@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source table catalog.
+  *
+  * The reference service unifies several data sources (files, JDBC)
+  * behind one Spark catalog of temp views; this is the Spark-first
+  * equivalent: a `SourceProvider` per format, a `Catalog` that
+  * registers tables as temp views, and cache management.
+  */
+trait SourceProvider {
+  def format: String
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame
+}
+
+object ParquetSource extends SourceProvider {
+  val format = "parquet"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    spark.read.options(options).parquet(path)
+}
+
+object CsvSource extends SourceProvider {
+  val format = "csv"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    spark.read.options(Map("header" -> "true", "inferSchema" -> "true") ++ options).csv(path)
+}
+
+object JsonSource extends SourceProvider {
+  val format = "json"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    spark.read.options(options).json(path)
+}
+
+object OrcSource extends SourceProvider {
+  val format = "orc"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    spark.read.options(options).orc(path)
+}
+
+/** JDBC-style external source. No JDBC driver ships in the build
+  * environment, so this provider only builds the reader plan; it is
+  * exercised for construction, not execution, in tests.
+  */
+object JdbcSource extends SourceProvider {
+  val format = "jdbc"
+  def read(spark: SparkSession, url: String, options: Map[String, String]): DataFrame =
+    spark.read.format("jdbc").option("url", url).options(options).load()
+}
+
+final class Catalog(val spark: SparkSession) {
+  private val providers: Map[String, SourceProvider] =
+    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource)
+      .map(p => p.format -> p).toMap
+
+  def read(format: String, path: String, options: Map[String, String] = Map.empty): DataFrame =
+    providers(format).read(spark, path, options)
+
+  def register(name: String, format: String, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val df = read(format, path, options)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def cacheTable(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
+    spark.table(name).persist(level); ()
+  }
+
+  def uncacheTable(name: String): Unit = { spark.table(name).unpersist(); () }
+}
+
+/** The driver's test corpus: one parquet file per table under an
+  * sf directory (TESTDATA.md). Lazy per-table accessors keep column
+  * pruning/pushdown intact (each query re-reads only what it needs).
+  */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def events: DataFrame = t("events")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Register every table as a temp view (for `spark.sql` queries). */
+  def registerAll(): Unit = Tables.names.foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
