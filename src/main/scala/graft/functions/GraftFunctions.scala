@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** SQL-function surface of the graft engine.
+  *
+  * The reference service exposes its engine purely through SQL
+  * (wangpy1995/data-service: POST /sql → Spark SQL); we follow suit —
+  * every custom expression is registered as a SQL function so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works, plus typed
+  * Column wrappers for the DataFrame API.
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def expect(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("dot_f"), info("dot_f", classOf[DotF]),
+      (args: Seq[Expression]) => { val a = expect("dot_f", 2)(args); DotF(a(0), a(1)) }),
+    (FunctionIdentifier("norm_f"), info("norm_f", classOf[NormF]),
+      (args: Seq[Expression]) => { val a = expect("norm_f", 1)(args); NormF(a(0)) }),
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSim]),
+      (args: Seq[Expression]) => { val a = expect("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
+    (FunctionIdentifier("minhash_sig"), info("minhash_sig", classOf[MinHashSig]),
+      (args: Seq[Expression]) => { val a = expect("minhash_sig", 3)(args); MinHashSig(a(0), a(1), a(2)) }),
+    (FunctionIdentifier("simhash64"), info("simhash64", classOf[SimHash64]),
+      (args: Seq[Expression]) => { val a = expect("simhash64", 2)(args); SimHash64(a(0), a(1)) }),
+    (FunctionIdentifier("rolling_fp"), info("rolling_fp", classOf[RollingFp]),
+      (args: Seq[Expression]) => { val a = expect("rolling_fp", 1)(args); RollingFp(a(0)) }),
+    (FunctionIdentifier("token_count"), info("token_count", classOf[TokenCount]),
+      (args: Seq[Expression]) => { val a = expect("token_count", 1)(args); TokenCount(a(0)) }),
+    (FunctionIdentifier("hamming64"), info("hamming64", classOf[Hamming64]),
+      (args: Seq[Expression]) => { val a = expect("hamming64", 2)(args); Hamming64(a(0), a(1)) }),
+  )
+
+  /** Idempotent runtime registration — for sessions not built through
+    * GraftSession (the driver's Verify/Bench sessions).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (id, inf, builder) =>
+      registry.registerFunction(id, inf, builder)
+    }
+  }
+
+  // ---- typed Column wrappers (DataFrame API surface) ----
+  import org.apache.spark.sql.functions.lit
+
+  def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+  def normF(a: Column): Column = call_function("norm_f", a)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
+    call_function("minhash_sig", text, lit(numHashes), lit(shingleSize))
+  def simhash64(text: Column, shingleSize: Int): Column =
+    call_function("simhash64", text, lit(shingleSize))
+  def rollingFp(text: Column): Column = call_function("rolling_fp", text)
+  def tokenCount(text: Column): Column = call_function("token_count", text)
+  def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

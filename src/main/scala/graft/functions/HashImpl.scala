@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-hashing kernels (minhash, simhash, rolling fingerprint, token
+  * count) shared by interpreted eval and generated code. Static
+  * forwarders keep these callable from whole-stage codegen.
+  *
+  * Hash family: one 64-bit mix of each shingle (`mix64`) plus the
+  * standard two-hash construction g_i(x) = h1 + i*h2, giving n
+  * pairwise-independent-ish minhash functions from two base hashes —
+  * O(shingles) per row instead of O(shingles * n).
+  */
+object HashImpl {
+
+  /** splitmix64 finalizer — fast, well-mixed 64-bit hash step. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a string region via rolling splitmix over chars. */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  private def tokens(text: String): Array[String] = {
+    val t = text.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Hashes of word `k`-shingles (distinct). k<=0 → unigram tokens. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokens(text)
+    val kk = math.max(k, 1)
+    if (toks.length < kk) return Array.empty
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    var i = 0
+    while (i + kk <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < kk) { h = mix64(h ^ hash64(toks(i + j))); j += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** MinHash signature: n minimum values of g_i(shingle) = h1 + i*h2.
+    * Empty/short text → signature of Long.MaxValue slots (never
+    * matches a non-empty doc's slots by accident).
+    */
+  def minhash(text: UTF8String, numHashes: Int, shingleSize: Int): ArrayData = {
+    val hs = shingleHashes(text.toString, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < hs.length) {
+      val h1 = hs(s)
+      val h2 = mix64(h1) | 1L // odd → full-period stride
+      var i = 0
+      var g = h1
+      while (i < numHashes) {
+        if (g < sig(i)) sig(i) = g
+        g += h2
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over word shingles: per-bit vote by shingle hash. */
+  def simhash64(text: UTF8String, shingleSize: Int): Long = {
+    val hs = shingleHashes(text.toString, shingleSize)
+    val votes = new Array[Int](64)
+    var s = 0
+    while (s < hs.length) {
+      val h = hs(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling-hash fingerprint of the whole string (order-
+    * sensitive, unlike the shingle-set hashes above).
+    */
+  def rollingFingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31L * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** Number of whitespace-separated tokens (runs of non-whitespace). */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the graft hot paths. Each one
+  * generates a single static call into VecImpl/HashImpl, so the whole
+  * pipeline (scan → filter → these → agg) stays inside one
+  * WholeStageCodegen span — no UDF serialization, no Row boxing.
+  */
+
+/** dot_f(a, b): dot product of two float vectors → double. */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecImpl.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF = copy(newLeft, newRight)
+  override def prettyName: String = "dot_f"
+}
+
+/** norm_f(a): L2 norm of a float vector → double. */
+case class NormF(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = VecImpl.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.norm($a)")
+  override protected def withNewChildInternal(newChild: Expression): NormF =
+    copy(newChild)
+  override def prettyName: String = "norm_f"
+}
+
+/** cosine_sim(a, b): cosine similarity of two float vectors → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim = copy(newLeft, newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** minhash_sig(text, numHashes, shingleSize) → array<bigint>. */
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any, k: Any): Any =
+    HashImpl.minhash(t.asInstanceOf[UTF8String], n.asInstanceOf[Int], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, k) => s"graft.functions.HashImpl.minhash($t, $n, $k)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinHashSig = copy(f, s, t)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash64(text, shingleSize) → bigint. */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any, k: Any): Any =
+    HashImpl.simhash64(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.HashImpl.simhash64($t, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHash64 = copy(newLeft, newRight)
+  override def prettyName: String = "simhash64"
+}
+
+/** rolling_fp(text) → bigint: order-sensitive document fingerprint. */
+case class RollingFp(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    HashImpl.rollingFingerprint(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.HashImpl.rollingFingerprint($t)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(newChild)
+  override def prettyName: String = "rolling_fp"
+}
+
+/** token_count(text) → int: whitespace-run token count. */
+case class TokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(t: Any): Any =
+    HashImpl.tokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.HashImpl.tokenCount($t)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(newChild)
+  override def prettyName: String = "token_count"
+}
+
+/** hamming64(a, b) → int: Hamming distance of two 64-bit hashes. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 = copy(newLeft, newRight)
+  override def prettyName: String = "hamming64"
+}

@@ -55,7 +55,9 @@ final class Catalog(val spark: SparkSession) {
       .map(p => p.format -> p).toMap
 
   def read(format: String, path: String, options: Map[String, String] = Map.empty): DataFrame =
-    providers(format).read(spark, path, options)
+    providers.getOrElse(format, throw new IllegalArgumentException(
+      s"unknown format '$format'; supported: ${providers.keys.mkString(",")}"))
+      .read(spark, path, options)
 
   def register(name: String, format: String, path: String,
       options: Map[String, String] = Map.empty): DataFrame = {
@@ -64,11 +66,12 @@ final class Catalog(val spark: SparkSession) {
     df
   }
 
-  def cacheTable(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
-    spark.table(name).persist(level); ()
-  }
+  // Catalog-level cache ops key on the table NAME (not a plan), so they
+  // survive view re-registration — see spark.catalog docs.
+  def cacheTable(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =
+    spark.catalog.cacheTable(name, level)
 
-  def uncacheTable(name: String): Unit = { spark.table(name).unpersist(); () }
+  def uncacheTable(name: String): Unit = spark.catalog.uncacheTable(name)
 }
 
 /** The driver's test corpus: one parquet file per table under an
