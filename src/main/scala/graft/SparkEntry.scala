@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.GraftFunctions
+import graft.multimodal.Media
+import graft.operators.{Dedup, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver contract — see SURVEY.md §2 for the inventory each entry
+  * backs. Every SQL-expressible query has a DuckDB oracle in
+  * `oracleSql` with IDENTICAL column aliases, a deterministic ORDER
+  * BY, and round(_, 2|4) on floating aggregates; non-SQL-expressible
+  * operators (LSH internals, custom fingerprints, multimodal) are
+  * rows-only here and property-tested in ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, sfDir: String): Tables = {
+    GraftFunctions.register(spark) // idempotent; driver sessions skip GraftSession
+    Tables(spark, sfDir)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(t(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 relational core
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(t(s, d))),
+    "q6_filter_agg" -> ((s, d) => Relational.q6FilterAgg(t(s, d))),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(t(s, d))),
+    "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(t(s, d))),
+    "q_having" -> ((s, d) => Relational.qHaving(t(s, d))),
+    "q_outer_join" -> ((s, d) => Relational.qOuterJoin(t(s, d))),
+    "q_semi_join" -> ((s, d) => Relational.qSemiJoin(t(s, d))),
+    "q_anti_join" -> ((s, d) => Relational.qAntiJoin(t(s, d))),
+    "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(t(s, d))),
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(t(s, d))),
+    "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
+    "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
+    "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
+    "q_except" -> ((s, d) => Relational.qExcept(t(s, d))),
+    "q_intersect" -> ((s, d) => Relational.qIntersect(t(s, d))),
+    "q_window_topn" -> ((s, d) => Relational.qWindowTopn(t(s, d))),
+    "q_window_running" -> ((s, d) => Relational.qWindowRunning(t(s, d))),
+    "q_window_lag" -> ((s, d) => Relational.qWindowLag(t(s, d))),
+    "q_rollup" -> ((s, d) => Relational.qRollup(t(s, d))),
+    "q_cube" -> ((s, d) => Relational.qCube(t(s, d))),
+    "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
+    "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
+    "q_events_hourly" -> ((s, d) => Relational.qEventsHourly(t(s, d))),
+    "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(t(s, d))),
+    "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
+    "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
+    "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
+    "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
+    "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
+    // §2.3 dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
+    "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
+    "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
+    "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
+    // §2.4 similarity
+    "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
+    "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
+    "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),
+    "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
+    // §2.5 text analysis
+    "q_token_count" -> ((s, d) => TextAnalysis.qTokenCount(t(s, d))),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qQualityScore(t(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
+    "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
+    // §2.6 multimodal (plumbing; decode faked)
+    "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
+  )
+
+  /** DuckDB oracle per SQL-expressible query. Omitted keys
+    * (q_minhash_lsh, q_simhash, q_ann_lsh, q_fingerprint,
+    * q_media_features, q_approx_distinct) are rows-only by design —
+    * their semantics are not ANSI-SQL-expressible and are
+    * property-tested in ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        | floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+        | floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+        | floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+        | floor((avg(l_discount)) * 100 + 0.5) / 100 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT floor((sum(l_extendedprice*l_discount)) * 100 + 0.5) / 100 AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 5 ORDER BY o_custkey""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | floor((coalesce(sum(o_totalprice), 0)) * 100 + 0.5) / 100 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly,
+        | count(*) AS n_rows
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS agg_partkey, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) p
+        |  ON l.l_partkey = p.agg_partkey
+        |WHERE l.l_quantity < p.avg_qty * 0.5""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_union" ->
+      """SELECT key, count(*) AS cnt FROM (
+        |  SELECT n_nationkey AS key FROM nation WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT n_nationkey AS key FROM nation WHERE n_nationkey < 10) u
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price,
+        |    cast(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY floor((o_totalprice) * 100 + 0.5) / 100 DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_spend,
+        | floor((avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS moving_avg3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | floor((lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey)) * 100 + 0.5) / 100 AS prev_price,
+        | floor((o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey)) * 100 + 0.5) / 100 AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        | floor((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS open_total,
+        | floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS done_total,
+        | floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS pending_total,
+        | count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_case_when" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+        | count(*) AS cnt, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT event_type, cast(extract(hour FROM ts) AS INTEGER) AS hr,
+        | count(*) AS cnt, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | substr(p_name, 1, 8) AS name_prefix,
+        | p_type || '/' || p_brand AS type_brand,
+        | cast(length(p_name) AS INTEGER) AS name_len
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        | cast(coalesce(sum(cast(json_extract_string(props, '$.k') AS INTEGER)), 0) AS BIGINT) AS k_sum,
+        | floor((avg(cast(json_extract_string(props, '$.k') AS INTEGER))) * 100 + 0.5) / 100 AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         cast(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, epoch_s,
+        |    CASE WHEN lag(epoch_s) OVER w IS NULL
+        |           OR epoch_s - lag(epoch_s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, epoch_s,
+        |    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       max(epoch_s) - min(epoch_s) AS dur_sec
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_sql_cte" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       floor((avg(total)) * 100 + 0.5) / 100 AS avg_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT count(*) AS n_rows, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total,
+        | floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin,
+    // §2.3 dedup
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |  ))) AS shingle FROM d),
+        |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
+        |c AS (SELECT doc_id, shingle FROM s
+        |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 AS jaccard
+        |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+        |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
+        | floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                              CAST(y.embedding AS DOUBLE[]))) * 100 + 0.5) / 100 AS cos
+        |FROM embeddings x JOIN embeddings y
+        |  ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                                   CAST(y.embedding AS DOUBLE[]))) * 100 + 0.5) / 100 >= 0.97
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // §2.4 similarity
+    "q_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)) * 10000 + 0.5) / 10000 AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH s AS (
+        |  SELECT x.label AS label, x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |    floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                                 CAST(y.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+        |  FROM embeddings x JOIN embeddings y
+        |    ON x.label = y.label AND x.vec_id <> y.vec_id),
+        |r AS (
+        |  SELECT label, vec_a, vec_b, cos,
+        |    cast(row_number() OVER (PARTITION BY vec_a
+        |      ORDER BY cos DESC, vec_b) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT label, vec_a, vec_b, cos, rk FROM r
+        |WHERE rk <= 3 ORDER BY vec_a, rk""".stripMargin,
+    "q_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |ds AS (SELECT label, i, sum(v) AS dim_sum FROM u GROUP BY 1, 2),
+        |ss AS (SELECT label, floor((sum(dim_sum * dim_sum)) * 100 + 0.5) / 100 AS sum_sq
+        |       FROM ds GROUP BY label),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT ss.label AS label, cnt.n AS n, ss.sum_sq AS sum_sq
+        |FROM ss JOIN cnt ON ss.label = cnt.label ORDER BY label""".stripMargin,
+    // §2.5 text analysis
+    "q_token_count" ->
+      """SELECT doc_id,
+        | cast(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | cast(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+        |                      x -> x <> '')) AS INTEGER) AS n_bpeish,
+        | cast(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars, length(text) AS lc,
+        |         len(string_split(text, ' ')) AS nt,
+        |         len(list_filter(string_split(text, ' '),
+        |                         x -> x IN ('the', 'a'))) AS ns
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cast(nt AS INTEGER) AS n_tokens,
+        | floor(((lc - nt + 1) / nt) * 100 + 0.5) / 100 AS mean_tok_len,
+        | floor((ns / nt) * 100 + 0.5) / 100 AS stop_ratio,
+        | floor((least(nt / 50.0, 1.0) * 0.5
+        |   + least((ns / nt) * 5.0, 1.0) * 0.3
+        |   + (CASE WHEN (lc - nt + 1) / nt BETWEEN 3.0 AND 10.0
+        |      THEN 1.0 ELSE 0.0 END) * 0.2) * 100 + 0.5) / 100 AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','is'))) AS en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS fr,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','y'))) AS es,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','und','die'))) AS de
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+        |         WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+        |         WHEN es >= de AND es > 0 THEN 'es'
+        |         WHEN de > 0 THEN 'de'
+        |         ELSE 'unknown' END AS pred_lang
+        |  FROM h)
+        |SELECT doc_id, lang, pred_lang,
+        |       cast(pred_lang = lang AS INTEGER) AS is_hit
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_term_stats" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents) u
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+  )
 }

@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.6).
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` column
+  * plus a typed metadata struct — the layout a 100 TB multimodal
+  * corpus uses (parquet binary pages, metadata predicate pushdown for
+  * partition/row-group pruning, bytes only deserialized inside the
+  * decode stage).
+  *
+  * The decode kernel itself is STUBBED (no image/audio libs in this
+  * container): `FakeDecoder` is a deterministic stand-in with the same
+  * signature a real decoder (JPEG → HxWxC tensor) would have. The
+  * Spark-side plumbing — schema, batched `mapPartitions`, feature
+  * extraction, partition sizing — is real and tested (MultimodalSpec).
+  */
+object Media {
+
+  /** Typed metadata carried alongside the payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", metaSchema, nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("byte_mean", DoubleType, nullable = false),
+    StructField("byte_entropy", DoubleType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Deterministic fake decode: a real implementation would call the
+    * codec here (e.g. JPEG → pixels); the fake derives "pixels" from
+    * payload bytes so tests are reproducible byte-for-byte.
+    */
+  object FakeDecoder {
+    /** "Decode" payload to a (width, height, grayscale bytes) frame. */
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(width * height, 1))
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (payload.isEmpty) 0 else payload(i % payload.length)
+        i += 1
+      }
+      out
+    }
+
+    /** Deterministic stand-in for frame sampling: every `stride`-th
+      * frame index of a fake `nFrames`-frame clip.
+      */
+    def sampleFrames(nFrames: Int, stride: Int): Seq[Int] =
+      0 until nFrames by math.max(stride, 1)
+  }
+
+  /** Build a media table from `documents` — the text bytes stand in
+    * for an encoded payload; metadata is derived deterministically.
+    * (In production this is `spark.read.parquet` over a binary-column
+    * corpus; the driver's testdata has no binary table.)
+    */
+  def mediaTable(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("image").as("media_type"),
+        (pmod(col("doc_id"), lit(64)) + 32).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 24).cast("int").as("height"),
+        lit("fake").as("codec")).as("meta"))
+
+  /** Batched decode + feature extraction over `mapPartitions`: one
+    * decoder instance per partition (the real-world pattern — codec
+    * contexts are expensive), rows streamed through it. Output is a
+    * flat feature frame; downstream is ordinary DataFrame land.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outEncoder = RowEncoder.encoderFor(featureSchema)
+    media.select("doc_id", "payload", "meta.width", "meta.height")
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val w = r.getInt(2); val h = r.getInt(3)
+          val px = FakeDecoder.decode(payload, w, h)
+          val counts = new Array[Long](256)
+          var s = 0L
+          var i = 0
+          while (i < px.length) { counts(px(i) & 0xff) += 1; s += (px(i) & 0xff); i += 1 }
+          val n = px.length.toDouble
+          var ent = 0.0
+          var b = 0
+          while (b < 256) {
+            if (counts(b) > 0) { val p = counts(b) / n; ent -= p * math.log(p) }
+            b += 1
+          }
+          Row(docId, payload.length, s / n, ent / math.log(2.0), w, h)
+        }
+      }(outEncoder)
+  }
+
+  /** Feature pipeline as a query: media build → batched decode →
+    * rounded features (rows-only driver check; MultimodalSpec asserts
+    * determinism + batch shape).
+    */
+  def qMediaFeatures(t: Tables): DataFrame =
+    extractFeatures(mediaTable(t))
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("byte_mean"), 2).as("byte_mean"),
+        round(col("byte_entropy"), 2).as("byte_entropy"),
+        col("width"), col("height"))
+      .orderBy("doc_id")
+}

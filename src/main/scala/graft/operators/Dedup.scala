@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Deduplication suite for the LLM-pipeline surface (SURVEY.md §2.3).
+  *
+  * All near-dup paths are inverted-index joins — candidate pairs are
+  * generated per bucket (shingle / minhash band / simhash band), never
+  * by an O(n²) cross join, so they scale with Σ bucket² rather than
+  * n². Skew guard: shingles above a document-frequency cap (stopword
+  * shingles at corpus scale) are dropped before the self-join.
+  */
+object Dedup {
+
+  /** Exact duplicate stats by content hash: one pruned scan, one
+    * hash-agg. At 100 TB md5(text) shuffles 16-byte keys, not text.
+    */
+  def qDedupExact(t: Tables): DataFrame =
+    t.documents.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      countDistinct(col("lang")).as("n_langs"))
+
+  /** Exact dedup keep-first: min(doc_id) survives per content hash.
+    * Output one row per distinct content — the dedup'd corpus keys.
+    */
+  def qDedupKeepFirst(t: Tables): DataFrame =
+    t.documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Word-k-gram Jaccard near-dup pairs via inverted-index self-join.
+    *
+    * shingle → (shingle, doc) index → DF-capped → equi-self-join on
+    * shingle (a < b) → |∩| per pair → Jaccard against per-doc shingle
+    * counts. The shuffle keys on the shingle string, so pair
+    * generation is per-posting-list; the DF cap bounds the worst
+    * posting list (at web scale, boilerplate shingles) to `dfCap²`
+    * pairs.
+    */
+  def qNgramJaccard(t: Tables, k: Int = 5, dfCap: Int = 50,
+      threshold: Double = 0.6): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val shingled = docs
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)
+        ))).as("shingle"))
+    // DF cap via partial-agg count + broadcast ANTI join of the hot
+    // set — a window over `shingle` would put a stopword shingle's
+    // whole posting list on one task (no map-side combine); this way
+    // skewed shingles never key a shuffle.
+    val hot = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val capped = shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select("doc_id", "shingle")
+    val counts = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 2))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup (rows-only; MinHashSpec validates the
+    * estimator). Signature is one codegen'd expression (n mins from 2
+    * base hashes, O(shingles) per row); banding keys the self-join on
+    * (band index, band hash) so candidates come from band buckets
+    * only. est_jaccard = fraction of matching signature slots.
+    */
+  def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = t.documents
+      .select(col("doc_id"),
+        GraftFunctions.minhashSig(col("text"), numHashes, shingleSize).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes, 2))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup (rows-only; spec validates the hamming
+    * property). 64-bit simhash split into 4 16-bit bands — pigeonhole
+    * guarantees hamming ≤ 3 pairs share ≥1 exact band, so the
+    * self-join keys on (band, 16-bit chunk) and the hamming check
+    * runs only on candidates.
+    */
+  def qSimhash(t: Tables, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sigs = t.documents
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text"), shingleSize).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", GraftFunctions.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup, label-blocked: pairs are generated
+    * within a blocking key (label here; at 100 TB an LSH bucket or
+    * coarse quantizer cell) so the self-join shuffles on the block key
+    * and never materializes the n² cross product.
+    */
+  def qEmbedNeardup(t: Tables, threshold: Double = 0.97): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(
+        GraftFunctions.cosineSim(col("x.embedding"), col("y.embedding")), 2))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.label").as("label"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

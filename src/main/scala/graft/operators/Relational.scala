@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.sources.Tables
+
+/** Relational operator suite (SURVEY.md §2.1).
+  *
+  * Each query is a declarative DataFrame plan over the TPC-H-ish test
+  * tables — scan, filter, projection stay in Catalyst so parquet
+  * pushdown/pruning and whole-stage codegen apply. Every floating
+  * aggregate is `round(_, 2)` and every result has a deterministic
+  * ORDER BY so the DuckDB oracle hash-compares cleanly.
+  *
+  * Scale notes are per-query: what shuffles, what broadcasts, and why
+  * the plan survives 100 TB (the reference service ships these same
+  * shapes through Spark SQL; see /root/reference — Spark-SQL query
+  * service).
+  */
+object Relational {
+
+  /** Q1-style pricing summary: single scan → partial (map-side) hash
+    * agg → final agg on 2-col key (6 groups). At 100 TB the map-side
+    * combine reduces the shuffle to #partitions × #groups rows.
+    */
+  def q1PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6-style: selective filter + global agg. Filters push to the
+    * parquet scan (PushedFilters on l_shipdate/l_discount/l_quantity);
+    * the agg is a single partial→final reduction, no wide shuffle.
+    */
+  def q6FilterAgg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Q3-style shipping priority: dim-filtered customer (broadcast) →
+    * orders → lineitem. customer is small relative to facts at any SF
+    * → broadcast hint; orders⋈lineitem shuffles on orderkey (the
+    * natural co-partitioning key; at 100 TB bucketing both facts by
+    * orderkey removes this shuffle entirely).
+    */
+  def q3ShippingPriority(t: Tables): DataFrame = {
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local supplier volume: region→nation (tiny, broadcast)
+    * joins hang off the fact pipeline; the only wide shuffles are
+    * orders⋈lineitem (orderkey) and the customer join (custkey).
+    */
+  def q5LocalSupplier(t: Tables): DataFrame = {
+    val nations = t.nation.join(
+        broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = t.customer.select("c_custkey", "c_nationkey")
+    val supp = t.supplier.select("s_suppkey", "s_nationkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** HAVING-style post-aggregation filter — filter lands above the agg
+    * in the plan; nothing extra shuffles.
+    */
+  def qHaving(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_spent"))
+      .filter(col("n_orders") >= 5)
+      .orderBy("o_custkey")
+
+  /** Left outer join: every customer, with zero-order customers kept.
+    * customer⋈orders shuffles on custkey; count(o_orderkey) counts
+    * only matched rows (NULL-skipping), the outer-join semantics test.
+    */
+  def qOuterJoin(t: Tables): DataFrame =
+    t.customer.select("c_custkey", "c_name")
+      .join(t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Left semi join (EXISTS): customers having ≥1 'O' order. Semi join
+    * dedups the probe side inside the join — no distinct needed.
+    */
+  def qSemiJoin(t: Tables): DataFrame =
+    t.customer.select("c_custkey", "c_name")
+      .join(t.orders.filter(col("o_orderstatus") === "O").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+
+  /** Left anti join (NOT EXISTS): customers with no orders at all. */
+  def qAntiJoin(t: Tables): DataFrame =
+    t.customer.select("c_custkey", "c_name")
+      .join(t.orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  /** Scalar subquery: global avg computed once (1-row broadcast), then
+    * a selective filter over the fact — the subquery result is a
+    * literal at runtime, so the comparison stays codegen'd.
+    */
+  def qScalarSubquery(t: Tables): DataFrame = {
+    val avgQty = t.lineitem.agg(avg("l_quantity").as("global_avg"))
+    t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+      .crossJoin(broadcast(avgQty))
+      .filter(col("l_quantity") > col("global_avg") * 1.8)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q17-style correlated aggregate: per-part avg quantity joined back
+    * to lineitem. The correlated subquery becomes an aggregate + join
+    * on partkey — one shuffle each, both keyed the same → AQE reuses
+    * the exchange.
+    */
+  def q17SmallQty(t: Tables): DataFrame = {
+    val perPart = t.lineitem.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
+    * per-partition top-k then a single driver merge; no full sort at
+    * any scale.
+    */
+  def qTopkOrders(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Distinct: hash-agg on the projected column only (pruned scan). */
+  def qDistinctSegments(t: Tables): DataFrame =
+    t.customer.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** UNION ALL + re-aggregation (distinct-by-group). Union is a no-op
+    * plan-wise (no shuffle); the groupBy shuffles once on the key.
+    */
+  def qUnion(t: Tables): DataFrame = {
+    val a = t.nation.filter(col("n_regionkey") === 0).select(col("n_nationkey").as("key"))
+    val b = t.nation.filter(col("n_nationkey") < 10).select(col("n_nationkey").as("key"))
+    a.unionAll(b).groupBy("key").agg(count(lit(1)).as("cnt")).orderBy("key")
+  }
+
+  /** EXCEPT (distinct): nation keys that have customers but no
+    * suppliers. Planned as a left-anti join + distinct.
+    */
+  def qExcept(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("nkey"))
+      .except(t.supplier.select(col("s_nationkey").as("nkey")))
+      .orderBy("nkey")
+
+  /** INTERSECT (distinct): nation keys with both customers and
+    * suppliers — left-semi join + distinct.
+    */
+  def qIntersect(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("nkey"))
+      .intersect(t.supplier.select(col("s_nationkey").as("nkey")))
+      .orderBy("nkey")
+
+  /** Windowed top-n per group: one shuffle on the partition key, then
+    * an in-partition sort; the rn<=3 filter is pushed into the window
+    * operator by Spark's LimitPushDown/WindowGroupLimit at scale.
+    */
+  def qWindowTopn(t: Tables): DataFrame = {
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("price").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running sum + moving average per customer over order date. The
+    * frame order (o_orderdate, o_orderkey) is total → identical
+    * accumulation order in any engine.
+    */
+  def qWindowRunning(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("running_spend", round(sum("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("moving_avg3", round(avg("o_totalprice").over(
+        w.rowsBetween(-2, Window.currentRow)), 2))
+      .select("o_custkey", "o_orderkey", "running_spend", "moving_avg3")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag/lead deltas per customer ordered by (date, key). */
+  def qWindowLag(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+      .withColumn("delta", round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2))
+      .select("o_custkey", "o_orderkey", "prev_price", "delta")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP over (returnflag, linestatus): partial agg still applies;
+    * the rollup expands to grouping sets in one pass (no re-scan).
+    * NULL grouping keys are coalesced to 'ALL' for oracle stability.
+    */
+  def qRollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** CUBE over (returnflag, linestatus) — all 4 grouping sets. */
+  def qCube(t: Tables): DataFrame =
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** Pivot-style conditional aggregation: one scan, one agg — the
+    * CASEs evaluate inside the partial agg (no per-status re-scan).
+    */
+  def qPivotStatus(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("open_total"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("done_total"),
+        round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("pending_total"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** CASE WHEN bucketing + aggregation over the bucket expression. */
+  def qCaseWhen(t: Tables): DataFrame =
+    t.lineitem
+      .withColumn("bucket",
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("bucket")
+
+  /** Date/time extraction + agg over the events table. */
+  def qEventsHourly(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type", "hr")
+
+  /** String function suite: LIKE pushdown (StringContains reaches the
+    * scan), substr/upper/concat stay codegen'd.
+    */
+  def qStringFuncs(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
+  /** JSON extraction from a string column (events.props). */
+  def qEventsJson(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum("k_val"), lit(0L)).as("k_sum"),
+        round(avg("k_val"), 2).as("k_avg"))
+      .orderBy("event_type")
+
+  /** Deterministic mod-k sampling: the predicate is a pure function of
+    * the key, so the sample is stable across engines and runs (unlike
+    * TABLESAMPLE). Filter evaluates at the scan.
+    */
+  def qSampleMod(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_orderkey") % 10 === 0)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("total"),
+        round(avg("l_quantity"), 2).as("avg_qty"))
+
+  /** CTE / multi-step SQL through spark.sql — exercises the same
+    * SQL-service path the reference exposes (POST /sql).
+    */
+  def qSqlCte(t: Tables): DataFrame = {
+    t.registerAll()
+    t.spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS total
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_mktsegment,
+        |       count(*) AS n_cust,
+        |       round(avg(total), 2) AS avg_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Approximate distinct via HLL++ (rows-only driver check; the spec
+    * asserts the estimate is within rsd of exact). At 100 TB this is
+    * the only sane distinct-count: fixed-size sketches merge in the
+    * partial agg, no shuffle of raw keys.
+    */
+  def qApproxDistinct(t: Tables): DataFrame =
+    t.lineitem.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count(lit(1)).as("n_rows"))
+}

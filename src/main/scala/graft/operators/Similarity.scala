@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Similarity-search suite (SURVEY.md §2.4).
+  *
+  * Brute-force cosine top-k is the correctness baseline: the query set
+  * is tiny (broadcast), so the scan of n vectors is embarrassingly
+  * parallel and the top-k is a per-partition heap (TakeOrdered /
+  * window-group-limit), never a full sort. The LSH variant buckets by
+  * random-hyperplane sign bits so each probe touches ~n/2^bits
+  * candidates — the 100 TB path.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d) in [-1, 1) — seeded by mix64, identical on every executor
+    * without shipping a matrix.
+    */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val h = graft.functions.HashImpl.mix64(p.toLong * 1000003L + d)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-bit bucket id of a vector under `bits` hyperplanes, as a
+    * Column. Built from codegen-friendly aggregate() over the array —
+    * no UDF; the plane constants fold into the generated code.
+    */
+  private def lshBucket(vec: org.apache.spark.sql.Column, bits: Int, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val bitCols = (0 until bits).map { p =>
+      val dot = (0 until dim).map(d =>
+        element_at(vec, d + 1) * lit(planeComponent(p, d))).reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k for a small query set. Queries broadcast
+    * (3 rows); each of n vectors is scored once; row_number over the
+    * rounded score gives a deterministic, engine-independent ranking.
+    */
+  def qAnnBruteforce(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10): DataFrame = {
+    val e = t.embeddings
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** LSH-bucketed ANN (rows-only; AnnSpec checks recall vs brute
+    * force). Vectors bucket once by hyperplane signs; each query
+    * probes only its own bucket → candidate set ~n/2^bits. At cluster
+    * scale the bucket id is the shuffle key (one exchange), and
+    * multi-probe (flipping low-margin bits) trades recall for probes
+    * without rebuilding.
+    */
+  def qAnnLsh(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = t.embeddings.withColumn("bucket", lshBucket(col("embedding"), bits, dim))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Top-m most-similar neighbors per vector within its label block.
+    * Label-blocked self-join (shuffle on label) + window top-m — the
+    * all-pairs analogue of ANN, bounded by Σ block² not n².
+    */
+  def qCosinePairs(t: Tables, m: Int = 3): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.label").as("label"), col("x.vec_id").as("vec_a"),
+        col("y.vec_id").as("vec_b"),
+        round(GraftFunctions.cosineSim(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))))
+      .filter(col("rk") <= m)
+      .select("label", "vec_a", "vec_b", "cos", "rk")
+      .orderBy("vec_a", "rk")
+  }
+
+  /** Per-label centroid energy: posexplode → (label, dim) partial
+    * sums → Σ_dim (Σ_vec x_d)². Never collect_list (an unbounded
+    * group buffer); both aggs are hash aggs with map-side combine, so
+    * 100 TB of vectors reduce before the shuffle. The typed
+    * `CentroidAgg` Aggregator (functions package) covers the
+    * fixed-buffer single-pass form for Dataset users.
+    */
+  def qLabelCentroids(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val dimSums = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("dim_sum"))
+      .groupBy("label")
+      .agg(round(sum(col("dim_sum") * col("dim_sum")), 2).as("sum_sq"))
+    e.groupBy("label").agg(count(lit(1)).as("n"))
+      .join(dimSums, "label")
+      .select("label", "n", "sum_sq")
+      .orderBy("label")
+  }
+}

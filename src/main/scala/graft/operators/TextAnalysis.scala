@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Text-analysis suite for the LLM-pipeline surface (SURVEY.md §2.5).
+  *
+  * Every metric is a pure column expression over one pruned scan of
+  * `documents` — no UDFs, no shuffles except the term-stats aggregate
+  * (keyed on token, partial-agg'd map-side). Custom codegen'd
+  * expressions (`token_count`, `rolling_fp`) carry the hot paths.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a")
+
+  private def tokensCol: Column = split(col("text"), " ")
+
+  /** Token counts: custom codegen'd whitespace-run counter plus a
+    * BPE-ish sub-word proxy (runs of letters / digits / punctuation as
+    * separate tokens — the shape of a byte-level BPE pre-tokenizer).
+    */
+  def qTokenCount(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        GraftFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(filter(split(col("text"), "[^A-Za-z0-9]+"), x => x =!= "")).as("n_bpeish"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * uppercase/punctuation incidence → one bounded [0,1] score.
+    * Heuristics follow the public C4/Gopher-style filters (doc length
+    * bounds, symbol ratios, stopword presence).
+    */
+  def qQualityScore(t: Tables): DataFrame = {
+    val nTok = size(tokensCol)
+    val nStop = size(filter(tokensCol, x => x.isin(stopwords.map(lit): _*)))
+    val meanTokLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 50.0, lit(1.0))
+    val score = round(lenScore * 0.5 + least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+      when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.0) * 0.2, 2)
+    t.documents
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        round(meanTokLen, 2).as("mean_tok_len"),
+        round(stopRatio, 2).as("stop_ratio"),
+        score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-marker voting: count hits per language's
+    * marker set, argmax with a deterministic tie order. (On real
+    * corpora the marker sets are the top-k stopwords per language; the
+    * synthetic corpus shares one vocabulary, so this exercises the
+    * operator shape + accuracy accounting, not linguistics.)
+    */
+  def qLangId(t: Tables): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(tokensCol, x => x.isin(markers.map(lit): _*)))
+    val enHits = hits(Seq("the", "a", "is"))
+    val frHits = hits(Seq("le", "la", "et"))
+    val esHits = hits(Seq("el", "los", "y"))
+    val deHits = hits(Seq("der", "und", "die"))
+    val pred = when(enHits >= frHits && enHits >= esHits && enHits >= deHits && enHits > 0, "en")
+      .when(frHits >= esHits && frHits >= deHits && frHits > 0, "fr")
+      .when(esHits >= deHits && esHits > 0, "es")
+      .when(deHits > 0, "de")
+      .otherwise("unknown")
+    t.documents
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("is_hit", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints (rows-only): order-sensitive rolling hash —
+    * unlike the shingle-set hashes, permuted token order changes the
+    * fingerprint. One codegen'd expression per row.
+    */
+  def qFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), GraftFunctions.rollingFp(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Term statistics: explode tokens → (tf, df) per term → top 50.
+    * Both aggregates are partial-agg'd; the shuffle carries one row
+    * per (partition, term), not per token instance.
+    */
+  def qTermStats(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50)
+}

@@ -1,0 +1,50 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Catalog
+
+/** The reference's query-service contract as a library API.
+  *
+  * wangpy1995/data-service fronts one shared SparkSession with a Play
+  * REST layer (POST /sql → rows, plus source registration and result
+  * caching). The HTTP frame is out of scope here (no Play in the
+  * build env); this class is the same contract, callable: register
+  * sources, run SQL, name + cache results. Any HTTP layer is a thin
+  * adapter over these five methods.
+  */
+final class QueryService(val spark: SparkSession) {
+
+  val catalog = new Catalog(spark)
+
+  /** POST /sql — run a SQL statement, get the result as a DataFrame.
+    * The plan stays lazy; callers page/collect as they choose.
+    */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Register an external source as a named table. */
+  def registerSource(name: String, format: String, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    catalog.register(name, format, path, options)
+
+  /** Run a query and publish the result under a name (temp view) —
+    * the reference's named-result workflow.
+    */
+  def submit(name: String, query: String): DataFrame = {
+    val df = spark.sql(query)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Cache a named table/result by catalog name (survives view
+    * re-registration, unlike plan-keyed df.persist).
+    */
+  def cache(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =
+    catalog.cacheTable(name, level)
+
+  def uncache(name: String): Unit = catalog.uncacheTable(name)
+
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+}

