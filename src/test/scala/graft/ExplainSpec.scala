@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational}
+
+/** Plan-shape audits: the 100 TB guarantees (pushdown, pruning,
+  * broadcast, no cartesian products) asserted on the optimized plans.
+  */
+class ExplainSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 filter pushes down to the parquet scan") {
+    val plan = planOf(Relational.q6FilterAgg(tables))
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_shipdate")),
+      s"no pushdown in:\n$plan")
+  }
+
+  test("q6 scan reads only the referenced columns") {
+    val scanSchema = Relational.q6FilterAgg(tables).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(scanSchema.contains("l_extendedprice"))
+    assert(!scanSchema.contains("l_comment") && !scanSchema.contains("l_returnflag"),
+      s"scan not pruned:\n$scanSchema")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = planOf(Relational.q5LocalSupplier(tables))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast join in:\n$plan")
+  }
+
+  test("q3 keeps whole-stage codegen in the probe pipeline") {
+    val df = Relational.q3ShippingPriority(tables)
+    df.collect() // finalize the AQE plan
+    val plan = planOf(df)
+    // codegen stages print as "*(n)" prefixes in the executed plan
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.qTopkOrders(tables))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in topk:\n$plan")
+  }
+
+  test("embed near-dup join is an equi-join on label, not a cartesian product") {
+    val plan = planOf(Dedup.qEmbedNeardup(tables))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("custom expressions stay inside codegen (no eval fallback marker)") {
+    val df = tables.embeddings.select(
+      graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
+    val plan = planOf(df)
+    assert(plan.contains("*(") && plan.contains("cosine_sim"),
+      s"cosine fell out of codegen:\n$plan")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("q1 groups to returnflag x linestatus with positive sums") {
+    val rows = Relational.q1PricingSummary(tables).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("outer join keeps all customers; semi+anti partition them") {
+    val nCust = tables.customer.count()
+    assert(Relational.qOuterJoin(tables).count() == nCust)
+    val semiAll = tables.customer.join(
+      tables.orders.select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.qAntiJoin(tables).count()
+    assert(semiAll + anti == nCust)
+  }
+
+  test("topk orders is the global maxima in order") {
+    val rows = Relational.qTopkOrders(tables).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("price"))
+    assert(prices.sameElements(prices.sorted.reverse))
+    val globalMax = tables.orders.agg(max("o_totalprice")).head().getDouble(0)
+    assert(math.abs(prices.head - math.floor(globalMax * 100 + 0.5) / 100) < 1e-9)
+  }
+
+  test("window topn emits at most 3 rows per customer, ranked") {
+    val rows = Relational.qWindowTopn(tables).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("rollup has per-group, subtotal, and grand-total rows") {
+    val rows = Relational.qRollup(tables).collect()
+    val grand = rows.filter(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("cnt") == tables.lineitem.count())
+  }
+
+  test("approx_count_distinct is within 10% of exact") {
+    val r = Relational.qApproxDistinct(tables).head()
+    val exact = tables.lineitem.select(countDistinct("l_partkey")).head().getLong(0)
+    val approx = r.getAs[Long]("approx_parts")
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.service.QueryService
+import graft.sources.Catalog
+
+class SourcesSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("csv/json/orc round-trip through Catalog providers") {
+    val cat = new Catalog(spark)
+    val nation = tables.nation
+    val base = tmp()
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val path = s"$base/$fmt"
+      val w = nation.write.mode("overwrite")
+      fmt match {
+        case "csv" => w.option("header", "true").csv(path)
+        case "json" => w.json(path)
+        case "orc" => w.orc(path)
+      }
+      val back = cat.read(fmt, path)
+      assert(back.count() == 25, fmt)
+      val names = back.select("n_name").collect().map(_.getString(0)).toSet
+      val orig = nation.select("n_name").collect().map(_.getString(0)).toSet
+      assert(names == orig, fmt)
+    }
+  }
+
+  test("unknown format raises a helpful error") {
+    val cat = new Catalog(spark)
+    val e = intercept[IllegalArgumentException](cat.read("csv2", "/tmp/x"))
+    assert(e.getMessage.contains("csv2") && e.getMessage.contains("supported"))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val base = tmp() + "/orders_by_status"
+    tables.orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+    val pruned = spark.read.parquet(base).filter(col("o_orderstatus") === "O")
+    // partition pruning happens in the scan's PartitionFilters (the
+    // logical inputFiles listing is pre-pruning)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"no partition filter in:\n$plan")
+    val expected = tables.orders.filter(col("o_orderstatus") === "O").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("QueryService registers sources, runs SQL, caches by name") {
+    val svc = new QueryService(spark)
+    val base = tmp()
+    tables.region.write.mode("overwrite").parquet(s"$base/region_svc")
+    svc.registerSource("region_svc", "parquet", s"$base/region_svc")
+    val df = svc.sql("SELECT count(*) AS n FROM region_svc")
+    assert(df.head().getLong(0) == 5)
+    svc.submit("asia_only", "SELECT * FROM region_svc WHERE r_name = 'ASIA'")
+    assert(svc.sql("SELECT * FROM asia_only").count() == 1)
+    svc.cache("asia_only")
+    assert(spark.catalog.isCached("asia_only"))
+    svc.uncache("asia_only")
+    assert(!spark.catalog.isCached("asia_only"))
+    assert(svc.listTables().contains("region_svc"))
+  }
+
+  test("jdbc provider builds a reader plan (no driver in env)") {
+    val cat = new Catalog(spark)
+    // constructing the JDBC read fails only at connect time with no
+    // driver; the provider path itself must resolve the format
+    val e = intercept[Throwable] {
+      cat.read("jdbc", "jdbc:postgresql://nohost/db",
+        Map("dbtable" -> "t", "driver" -> "no.such.Driver")).count()
+    }
+    assert(e != null)
+  }
+}

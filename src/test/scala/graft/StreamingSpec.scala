@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed hourly agg over a memory stream matches hand counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0),
+      Event(4, ts(130), 1, "click", 4.0))
+    val q = EventStreams.hourlyCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test").collect()
+      val byKey = rows.map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+        r.getAs[String]("event_type")) -> r.getAs[Long]("cnt")).toMap
+      assert(byKey((0L, "click")) == 2)
+      assert(byKey((60L, "view")) == 1)
+      assert(byKey((120L, "click")) == 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart (one session forming)
+      input.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(5), 7, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0) // still open
+      // batch 2: an event 2h later closes the first session
+      input.addData(Event(3, ts(125), 7, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test").as[EventStreams.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.dur_sec == 300)
+    } finally q.stop()
+  }
+
+  test("batch q_events_hourly mirrors the streaming aggregation shape") {
+    val batch = graft.operators.Relational.qEventsHourly(tables)
+    assert(batch.columns.toSet == Set("event_type", "hr", "cnt", "total_value"))
+    assert(batch.count() > 0)
+  }
+}
