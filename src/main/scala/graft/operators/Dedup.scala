@@ -47,22 +47,35 @@ object Dedup {
     */
   def qNgramJaccard(t: Tables, k: Int = 5, dfCap: Int = 50,
       threshold: Double = 0.6): DataFrame = {
-    val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // The corpus arrives as few parquet row groups locally — spread
+    // the CPU-heavy shingling across all cores (a no-op rebalance on
+    // a many-file 100 TB corpus).
+    val docs = t.documents.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
+    // Shingles carry through the joins as 8-byte xxhash64 keys, not
+    // strings — 4x less shuffle and long-vs-long join compares.
+    // (Collision odds at 2^64 are ~n²/2^65 — irrelevant even at 100 TB
+    // per-bucket volumes.)
     val shingled = docs
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), size(col("w")) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)
-        ))).as("shingle"))
+        ))).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
     // DF cap via partial-agg count + broadcast ANTI join of the hot
     // set — a window over `shingle` would put a stopword shingle's
     // whole posting list on one task (no map-side combine); this way
     // skewed shingles never key a shuffle.
     val hot = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
+    // The capped inverted index feeds three consumers (per-doc counts
+    // and both self-join sides); persist so the shingle explode +
+    // anti-join runs once, spilling to disk at scale.
     val capped = shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -87,7 +100,7 @@ object Dedup {
   def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = t.documents
+    val sig = t.documents.repartition(col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("text"), numHashes, shingleSize).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
@@ -117,7 +130,7 @@ object Dedup {
     * runs only on candidates.
     */
   def qSimhash(t: Tables, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sigs = t.documents
+    val sigs = t.documents.repartition(col("doc_id"))
       .select(col("doc_id"), GraftFunctions.simhash64(col("text"), shingleSize).as("sh"))
     val banded = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
