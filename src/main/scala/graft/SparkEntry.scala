@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{Dedup, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -54,6 +54,7 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(t(s, d))),
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
+    "q_asof_join" -> ((s, d) => AsofJoin.qAsofJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
@@ -260,6 +261,15 @@ object SparkEntry {
         |       max(epoch_s) - min(epoch_s) AS dur_sec
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | e.tu - b.tu AS gap_us,
+        | floor((b.value) * 100 + 0.5) / 100 AS p_value
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events) e
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+        |                WHERE event_type = 'purchase') b
+        |  ON e.user_id = b.user_id AND e.tu >= b.tu
+        |ORDER BY e.event_id""".stripMargin,
     "q_sql_cte" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS total

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.sources.Tables
+
+/** As-of (merge-asof) join — for each left row, the latest right row
+  * with right.time <= left.time within the same key. Spark has no
+  * native operator for this; a naive inequality join is O(n·m) per
+  * key. This is the scalable composition: tag both sides, union,
+  * one shuffle on key, one in-partition sort, and a running
+  * last-non-null window — O((n+m) log(n+m)) per key, no join
+  * explosion, AQE-skew-splittable like any window.
+  */
+object AsofJoin {
+
+  /** Generic as-of join. `payload` columns from `right` arrive
+    * null-filled when no right row precedes the left row. The right
+    * payload travels as one struct, so a null payload FIELD doesn't
+    * make the window skip to an older right row (exact ASOF
+    * semantics). At equal timestamps the right row wins (inclusive
+    * `<=`), matching SQL `ASOF JOIN ... ON l.t >= r.t`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val pStruct = struct(col(time).as("_t") +: payload.map(col): _*)
+    val r = right.select(col(key), col(time), pStruct.as("_p"))
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1)).withColumn("_p", lit(null).cast(
+      r.schema("_p").dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal time → inclusive match
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val out = matched
+      .withColumn("_asof_time", col("_m._t"))
+    payload.foldLeft(out)((df, p) => df.withColumn(s"asof_$p", col(s"_m.$p")))
+      .drop("_side", "_p", "_m")
+  }
+
+  /** As-of query over events: each event joined to the user's most
+    * recent (prior-or-simultaneous) purchase — time-to-last-purchase
+    * and its value. Timestamps compared at exact microseconds.
+    */
+  def qAsofJoin(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tu"), col("value"))
+    asofJoin(ev, purchases, key = "user_id", time = "tu", payload = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        (col("tu") - col("_asof_time")).as("gap_us"),
+        round(col("asof_value"), 2).as("p_value"))
+      .orderBy("event_id")
+  }
+}

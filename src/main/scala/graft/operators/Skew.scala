@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for joins whose hot keys would otherwise
+  * pin one reducer (the classic 100 TB failure mode). AQE's skew-join
+  * splitting covers sort-merge joins at runtime; explicit salting is
+  * for when the skew is known and extreme (a null-ish key, a
+  * power-law entity), or for aggregations.
+  */
+object Skew {
+
+  /** Salted equi-join: the left side spreads each key over `salts`
+    * sub-keys; the right side replicates `salts`-fold. The salt comes
+    * from the row's position (monotonically_increasing_id), so even
+    * identical duplicate rows of a hot key spread across reducers;
+    * the JOIN RESULT is independent of salt assignment, so output
+    * stays deterministic. Identical to `left.join(right, key)` —
+    * only the shuffle layout changes: a hot key's rows land on
+    * `salts` reducers instead of one.
+    *
+    * Use when right is small-ish (replication cost = |right|·salts);
+    * for two huge skewed sides prefer AQE skew splitting or isolating
+    * the hot keys into a broadcast sub-join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    l.join(r, l(key) === r(key) && l("_salt") === r("_salt"))
+      .drop(r(key)).drop(l("_salt")).drop(r("_salt"))
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final on key. For algebraic
+    * aggregates Spark's hash-agg already does this map-side; this
+    * explicit form is for when rows-per-group must be bounded per
+    * task (e.g. collecting bounded samples per hot key).
+    */
+  def twoPhaseCount(df: DataFrame, key: String, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("cnt"))
+}
