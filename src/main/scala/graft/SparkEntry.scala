@@ -58,6 +58,8 @@ object SparkEntry {
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
+    "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
+    "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
@@ -282,6 +284,17 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total,
         | floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty
         |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | floor((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50,
+        | floor((quantile_cont(l_extendedprice, 0.95)) * 100 + 0.5) / 100 AS p95,
+        | floor((quantile_cont(l_quantity, 0.5)) * 100 + 0.5) / 100 AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_collect_statuses" ->
+      """SELECT o_custkey,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // §2.3 dedup
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,

@@ -350,6 +350,32 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` =
+    * continuous quantile, same interpolation as DuckDB quantile_cont).
+    * For 100 TB use qApproxDistinct-style sketches instead
+    * (approx_percentile) — exact percentile shuffles per-group sorted
+    * state; it's here as the small-group/oracle-able form.
+    */
+  def qPercentile(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("qty_p50"))
+      .orderBy("l_returnflag")
+
+  /** Set aggregation to a canonical string: collect_set → sort →
+    * join. Bounded cardinality (3 statuses) — safe per-group state;
+    * unbounded-domain versions belong in approx sketches.
+    */
+  def qCollectStatuses(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   /** Approximate distinct via HLL++ (rows-only driver check; the spec
     * asserts the estimate is within rsd of exact). At 100 TB this is
     * the only sane distinct-count: fixed-size sketches merge in the
