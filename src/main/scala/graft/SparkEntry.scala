@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{AsofJoin, Dedup, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -55,6 +55,7 @@ object SparkEntry {
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoin.qAsofJoin(t(s, d))),
+    "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
@@ -272,6 +273,16 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') b
         |  ON e.user_id = b.user_id AND e.tu >= b.tu
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tu, event_type FROM events)
+        |SELECT e.err_id, count(*) AS n_after,
+        | cast(sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |FROM (SELECT event_id AS err_id, user_id, tu AS err_tu FROM ev
+        |      WHERE event_type = 'error') e
+        |JOIN ev a ON a.user_id = e.user_id
+        |  AND a.tu > e.err_tu AND a.tu <= e.err_tu + 300000000
+        |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin,
     "q_sql_cte" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS total

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Banded range (interval) join. A raw inequality join
+  * (`a.t BETWEEN b.lo AND b.hi`) gives Spark no equi-key → nested-loop
+  * per key or worse. Banding quantizes time into fixed buckets and
+  * joins on (key, bucket) for each bucket the interval overlaps — an
+  * equi-join Catalyst shuffles/broadcasts normally, with the exact
+  * range predicate applied after. Candidate volume is
+  * |intervals| · (span/bucket + 1), independent of table sizes'
+  * product.
+  */
+object RangeJoin {
+
+  /** Events within `windowSec` AFTER an error event of the same user
+    * (error-impact attribution). Left: error events (interval start);
+    * right: all events. Bucket = windowSec, so each interval overlaps
+    * ≤ 2 buckets → the right side joins on (user, bucket) with the
+    * error side exploded to its 2 bucket ids.
+    */
+  def qRangeJoin(t: Tables, windowSec: Long = 300): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"))
+    val win = windowSec * 1000000L
+    // integer division (DIV) — a double roundtrip would be inexact in
+    // the general case and floor() differs for negatives
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("tu").as("err_tu"))
+      .withColumn("bucket", explode(array(expr(s"err_tu DIV $win"),
+        expr(s"err_tu DIV $win") + 1)))
+    val candidates = ev
+      .withColumn("bucket", expr(s"tu DIV $win"))
+      .join(errors, Seq("user_id", "bucket"))
+    candidates
+      .filter(col("tu") > col("err_tu") && col("tu") <= col("err_tu") + win)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .orderBy("err_id")
+  }
+}
