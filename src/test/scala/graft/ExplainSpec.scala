@@ -52,6 +52,20 @@ class ExplainSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("asof join plans one shuffle + window, no join operator at all") {
+    val plan = planOf(graft.operators.AsofJoin.qAsofJoin(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in asof plan:\n$plan")
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+  }
+
+  test("range join is an equi-join on (user, bucket), not nested-loop") {
+    val plan = planOf(graft.operators.RangeJoin.qRangeJoin(tables))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in range-join plan:\n$plan")
+    assert(plan.contains("bucket"), s"no bucket key:\n$plan")
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
