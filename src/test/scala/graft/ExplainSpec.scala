@@ -20,6 +20,12 @@ class ExplainSpec extends SparkSpecBase {
       s"no pushdown in:\n$plan")
   }
 
+  test("q1 shipdate filter pushes down despite the timestamp_ntz literal cast") {
+    val plan = planOf(Relational.q1PricingSummary(tables))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate not pushed:\n$plan")
+  }
+
   test("q6 scan reads only the referenced columns") {
     val scanSchema = Relational.q6FilterAgg(tables).queryExecution.executedPlan
       .collectLeaves().map(_.toString).mkString

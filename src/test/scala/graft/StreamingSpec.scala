@@ -57,6 +57,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet drop-in directory aggregates incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(15), 2, "view", 2.0))
+      .toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema)
+      .parquet(dir)
+    val q = EventStreams.hourlyCounts(stream, watermark = "1 minute")
+      .writeStream.format("memory").queryName("file_hourly")
+      .option("checkpointLocation", chk)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_hourly").count() == 2)
+      // a new file arriving is picked up incrementally
+      Seq(Event(3, ts(20), 3, "click", 5.0)).toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val cnt = spark.table("file_hourly")
+        .where($"event_type" === "click").select("cnt").collect().map(_.getLong(0)).sum
+      assert(cnt == 2)
+    } finally q.stop()
+  }
+
   test("batch q_events_hourly mirrors the streaming aggregation shape") {
     val batch = graft.operators.Relational.qEventsHourly(tables)
     assert(batch.columns.toSet == Set("event_type", "hr", "cnt", "total_value"))
