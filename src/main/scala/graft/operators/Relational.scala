@@ -336,7 +336,10 @@ object Relational {
     * SQL-service path the reference exposes (POST /sql).
     */
   def qSqlCte(t: Tables): DataFrame = {
-    t.registerAll()
+    // register only what the query touches (registerAll reads 10
+    // parquet footers; the service path registers on demand)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
     t.spark.sql(
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS total
