@@ -20,15 +20,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try { SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must not masquerade as a fast one
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}""")
     spark.stop()
   }
 }

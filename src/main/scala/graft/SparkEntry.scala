@@ -389,7 +389,8 @@ object SparkEntry {
     // §2.5 text analysis
     "q_token_count" ->
       """SELECT doc_id,
-        | cast(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | cast(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                      x -> x <> '')) AS INTEGER) AS n_tokens,
         | cast(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
         |                      x -> x <> '')) AS INTEGER) AS n_bpeish,
         | cast(length(text) AS INTEGER) AS n_chars

@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of every declared query, so the gate can fail on
+    // missing outputs instead of silently skipping a crashed query
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -17,31 +17,35 @@ import graft.sources.Tables
   */
 object AsofJoin {
 
-  /** Generic as-of join. `payload` columns from `right` arrive
-    * null-filled when no right row precedes the left row. The right
-    * payload travels as one struct, so a null payload FIELD doesn't
-    * make the window skip to an older right row (exact ASOF
-    * semantics). At equal timestamps the right row wins (inclusive
-    * `<=`), matching SQL `ASOF JOIN ... ON l.t >= r.t`.
+  /** Generic as-of join. Output = every left column, plus
+    * `asof_time` (the matched right row's time) and `asof_<p>` for
+    * each payload column — all null when no right row precedes the
+    * left row. The right payload travels as one struct, so a null
+    * payload FIELD doesn't make the window skip to an older right row
+    * (exact ASOF semantics). At equal timestamps the right row wins
+    * (inclusive `<=`), matching SQL `ASOF JOIN ... ON l.t >= r.t`.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {
+    val internal = Seq("__graft_side", "__graft_p", "__graft_m")
+    val outCols = "asof_time" +: payload.map(p => s"asof_$p")
+    val clash = left.columns.toSet.intersect((internal ++ outCols).toSet)
+    require(clash.isEmpty, s"left columns collide with asofJoin internals: $clash")
     val pStruct = struct(col(time).as("_t") +: payload.map(col): _*)
-    val r = right.select(col(key), col(time), pStruct.as("_p"))
-      .withColumn("_side", lit(0))
-    val l = left.withColumn("_side", lit(1)).withColumn("_p", lit(null).cast(
-      r.schema("_p").dataType))
+    val r = right.select(col(key), col(time), pStruct.as("__graft_p"))
+      .withColumn("__graft_side", lit(0))
+    val l = left.withColumn("__graft_side", lit(1))
+      .withColumn("__graft_p", lit(null).cast(r.schema("__graft_p").dataType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal time → inclusive match
-    val w = Window.partitionBy(key).orderBy(col(time).asc, col("_side").asc)
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
-      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-    val out = matched
-      .withColumn("_asof_time", col("_m._t"))
-    payload.foldLeft(out)((df, p) => df.withColumn(s"asof_$p", col(s"_m.$p")))
-      .drop("_side", "_p", "_m")
+      .withColumn("__graft_m", last(col("__graft_p"), ignoreNulls = true).over(w))
+      .filter(col("__graft_side") === 1)
+    val out = matched.withColumn("asof_time", col("__graft_m._t"))
+    payload.foldLeft(out)((df, p) => df.withColumn(s"asof_$p", col(s"__graft_m.$p")))
+      .drop(internal: _*)
   }
 
   /** As-of query over events: each event joined to the user's most
@@ -55,7 +59,7 @@ object AsofJoin {
       .select(col("user_id"), col("tu"), col("value"))
     asofJoin(ev, purchases, key = "user_id", time = "tu", payload = Seq("value"))
       .select(col("event_id"), col("user_id"),
-        (col("tu") - col("_asof_time")).as("gap_us"),
+        (col("tu") - col("asof_time")).as("gap_us"),
         round(col("asof_value"), 2).as("p_value"))
       .orderBy("event_id")
   }

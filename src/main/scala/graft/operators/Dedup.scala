@@ -72,7 +72,10 @@ object Dedup {
       .filter(col("df") > dfCap).select("shingle")
     // The capped inverted index feeds three consumers (per-doc counts
     // and both self-join sides); persist so the shingle explode +
-    // anti-join runs once, spilling to disk at scale.
+    // anti-join runs once, spilling to disk at scale. CacheManager
+    // dedups by plan, so repeated invocations over the same sfDir
+    // share ONE cache entry for the session (drop it with
+    // spark.catalog.clearCache() if memory-constrained).
     val capped = shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

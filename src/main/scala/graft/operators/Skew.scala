@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted equi-join: the left side spreads each key over `salts`
-    * sub-keys; the right side replicates `salts`-fold. The salt comes
-    * from the row's position (monotonically_increasing_id), so even
-    * identical duplicate rows of a hot key spread across reducers;
-    * the JOIN RESULT is independent of salt assignment, so output
-    * stays deterministic. Identical to `left.join(right, key)` —
-    * only the shuffle layout changes: a hot key's rows land on
-    * `salts` reducers instead of one.
+    * sub-keys; the right side replicates `salts`-fold. The salt is a
+    * DETERMINISTIC hash of the whole left row — critical on a real
+    * cluster: a nondeterministic salt (rand, monotonic id) becomes a
+    * shuffle key, and partial task re-execution after a fetch failure
+    * would re-salt rows into different reducers, dropping or
+    * duplicating join output. The cost: byte-identical duplicate rows
+    * of a hot key share a salt and don't spread — acceptable, since
+    * real payload rows differ.
     *
     * Use when right is small-ish (replication cost = |right|·salts);
     * for two huge skewed sides prefer AQE skew splitting or isolating
@@ -28,7 +29,7 @@ object Skew {
       salts: Int = 16): DataFrame = {
     require(salts > 0)
     val l = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     l.join(r, l(key) === r(key) && l("_salt") === r("_salt"))
@@ -42,7 +43,7 @@ object Skew {
     * task (e.g. collecting bounded samples per hot key).
     */
   def twoPhaseCount(df: DataFrame, key: String, salts: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

@@ -39,34 +39,50 @@ object EventStreams {
         col("cnt"), col("total_value"))
 
   /** Stateful gap sessionization via flatMapGroupsWithState: one state
-    * record per active user (bounded by the processing-time timeout),
-    * sessions emitted on gap expiry. The streaming twin of
-    * operators.Sessionize.
+    * record per active user. With `idleFlushMs > 0` (default 2× the
+    * gap) a processing-time timeout flushes and evicts idle users'
+    * open sessions — state stays O(active users) and a user who stops
+    * sending still gets their final session emitted. Pass
+    * `idleFlushMs <= 0` to disable (deterministic tests: pending
+    * timers keep `processAllAvailable` from quiescing).
+    * The streaming twin of operators.Sessionize.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+      idleFlushMs: Long = -2)
       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    val flushMs = if (idleFlushMs == -2) gapSec * 2000 else idleFlushMs
+    val timeoutConf = if (flushMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            cur match {
-              case Some(s) if sec - s.last <= gapSec =>
-                cur = Some(s.copy(last = sec, n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(userId, s.n, s.last - s.start)
-                cur = Some(SessionState(sec, sec, 1))
-              case None =>
-                cur = Some(SessionState(sec, sec, 1))
+          if (state.hasTimedOut) {
+            // idle user: close + evict the open session
+            val out = state.getOption.map(s => SessionOut(userId, s.n, s.last - s.start))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.n, s.last - s.start)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
             }
+            cur.foreach(state.update)
+            if (flushMs > 0) state.setTimeoutDuration(flushMs)
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 }

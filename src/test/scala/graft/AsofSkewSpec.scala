@@ -30,7 +30,7 @@ class AsofSkewSpec extends SparkSpecBase {
       .toDF("k", "t", "p")
     val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("p")).collect()
     // latest right row (t=20) has null p: ASOF matches that row, not t=10
-    assert(out.head.getAs[Long]("_asof_time") == 20L)
+    assert(out.head.getAs[Long]("asof_time") == 20L)
     assert(out.head.isNullAt(out.head.fieldIndex("asof_p")))
   }
 

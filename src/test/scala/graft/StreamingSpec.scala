@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Event]
-    val q = EventStreams.sessionize(input.toDS(), gapSec = 600)
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, idleFlushMs = -1)
       .writeStream.format("memory").queryName("sessions_test")
       .outputMode("append").start()
     try {
@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpecBase {
       val closed = spark.table("sessions_test").as[EventStreams.SessionOut].collect()
       assert(closed.length == 1)
       assert(closed.head.n_events == 2 && closed.head.dur_sec == 300)
+    } finally q.stop()
+  }
+
+  test("idle-flush timeout emits and evicts a silent user's open session") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, idleFlushMs = 500)
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 9, "click", 0), Event(2, ts(3), 9, "click", 0))
+      // cannot processAllAvailable here (pending timers block quiescence);
+      // poll until the timeout fires and the open session is flushed
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("sessions_flush").count()
+      }
+      val out = spark.table("sessions_flush").as[EventStreams.SessionOut].collect()
+      assert(out.length == 1, "timeout did not flush the open session")
+      assert(out.head.n_events == 2 && out.head.dur_sec == 180)
     } finally q.stop()
   }
 

@@ -22,6 +22,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
+    # clean slate: stale dirs from renamed/deleted queries must not count
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
@@ -53,10 +56,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    declared = json.load(open(f"{OUT}/queries.json"))
     results = {}
-    for name in sorted(os.listdir(OUT)):
+    for name in sorted(declared):
         d = os.path.join(OUT, name)
         if not os.path.isdir(d):
+            results[name] = {"ok": False, "err": "no output (query failed in Verify)"}
             continue
         try:
             sres = con.execute(
