@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{AsofJoin, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -71,6 +71,7 @@ object SparkEntry {
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
+    "q_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(t(s, d))),
     "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),
     "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
     // §2.5 text analysis
@@ -81,6 +82,8 @@ object SparkEntry {
     "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
     // §2.6 multimodal (plumbing; decode faked)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
+    // composed curation pipeline (dedup → quality gate → routing stats)
+    "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys
@@ -429,6 +432,21 @@ object SparkEntry {
         |SELECT doc_id, lang, pred_lang,
         |       cast(pred_lang = lang AS INTEGER) AS is_hit
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_curate" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |c AS (
+        |  SELECT d.lang, d.source,
+        |    len(string_split(d.text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(d.text, ' '),
+        |                    x -> x IN ('the', 'a'))) * 1.0
+        |      / len(string_split(d.text, ' ')) AS stop_ratio
+        |  FROM documents d JOIN keep USING (doc_id))
+        |SELECT lang, source, count(*) AS n_docs,
+        | cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | floor((avg(stop_ratio)) * 100 + 0.5) / 100 AS avg_stop_ratio
+        |FROM c WHERE n_tokens >= 20 AND stop_ratio >= 0.01
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_term_stats" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token

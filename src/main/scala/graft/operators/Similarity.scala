@@ -109,6 +109,79 @@ object Similarity {
       .orderBy("vec_a", "rk")
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic seeds →
+    * Lloyd iterations, entirely as DataFrame ops — centroids stay a
+    * k-row DataFrame that BROADCASTS into the assignment cross join;
+    * nothing collects to the driver. At 100 TB: train on a sample,
+    * assign the full corpus with one broadcast join, store cell id
+    * as a partition column.
+    */
+  def ivfCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    // deterministic pseudo-random seeds: k lowest hashes of vec_id
+    var centroids = e
+      .withColumn("_h", xxhash64(col("vec_id")))
+      .orderBy("_h").limit(k)
+      .select((row_number().over(Window.orderBy("_h")) - 1).cast("long").as("cell"),
+        col("embedding").as("centroid"))
+      // tiny (k rows): keep the plan stable across iterations
+      .persist()
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(e, centroids)
+      val next = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+      centroids = next.persist()
+    }
+    centroids
+  }
+
+  /** Nearest-cell assignment: cross join against the broadcast k-row
+    * centroid table, min squared distance per vector.
+    */
+  def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("_d",
+        aggregate(zip_with(col("embedding"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("_d").asc, col("cell").asc)))
+      .filter(col("_rk") === 1)
+      .drop("_d", "_rk", "centroid")
+
+  /** IVF-probed ANN (rows-only; AnnSpec checks recall): queries rank
+    * cells by centroid distance and scan only the `nprobe` nearest
+    * cells' posting lists. Candidate volume ≈ n·nprobe/k per query —
+    * the classic IVF trade; at cluster scale the posting lists are
+    * partitions keyed by cell.
+    */
+  def qAnnIvf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, cells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val e = t.embeddings
+    val centroids = ivfCentroids(e, cells)
+    val assigned = assignCells(e, centroids)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_d", aggregate(zip_with(col("q_emb"), col("centroid"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_d").asc, col("cell").asc)))
+      .filter(col("_rk") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-label centroid energy: posexplode → (label, dim) partial
     * sums → Σ_dim (Σ_vec x_d)². Never collect_list (an unbounded
     * group buffer); both aggs are hash aggs with map-side combine, so

@@ -22,6 +22,22 @@ class AnnSpec extends SparkSpecBase {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("IVF ANN recall beats random-cell scanning on sf0.001") {
+    val queries = Seq(1L, 2L, 3L, 10L, 20L)
+    val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val ivf = Similarity.qAnnIvf(tables, queries, k = 10, cells = 16, nprobe = 3).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // scanning 3/16 cells at random would recall ~0.19
+    assert(mean >= 0.4, s"mean IVF recall $mean")
+  }
+
   test("brute-force cosine scores are in [-1, 1] and ranked descending") {
     val rows = Similarity.qAnnBruteforce(tables).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
