@@ -60,6 +60,7 @@ object SparkEntry {
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
+    "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
@@ -303,6 +304,14 @@ object SparkEntry {
         | floor((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.5) / 100 AS p50,
         | floor((quantile_cont(l_extendedprice, 0.95)) * 100 + 0.5) / 100 AS p95,
         | floor((quantile_cont(l_quantity, 0.5)) * 100 + 0.5) / 100 AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | floor((stddev_samp(l_quantity)) * 100 + 0.5) / 100 AS sd_qty,
+        | floor((var_samp(l_discount)) * 10000 + 0.5) / 10000 AS var_disc,
+        | floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qty_price,
+        | floor((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100 AS cov_qty_price,
+        | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_collect_statuses" ->
       """SELECT o_custkey,

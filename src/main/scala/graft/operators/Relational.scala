@@ -353,6 +353,22 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Statistical aggregates: sample stddev/variance + correlation and
+    * covariance between quantity and price per group. All one-pass
+    * mergeable aggregates (Welford-style buffers) — partial agg
+    * applies, same as sum/avg, at any scale.
+    */
+  def qStatsAgg(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(var_samp(col("l_discount")), 4).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Exact interpolated percentiles per group (Spark `percentile` =
     * continuous quantile, same interpolation as DuckDB quantile_cont).
     * For 100 TB use qApproxDistinct-style sketches instead
