@@ -14,6 +14,15 @@ import graft.sources.Tables
   * by an O(n²) cross join, so they scale with Σ bucket² rather than
   * n². Skew guard: shingles above a document-frequency cap (stopword
   * shingles at corpus scale) are dropped before the self-join.
+  *
+  * Algorithms follow the public literature: MinHash resemblance
+  * (Broder, "On the Resemblance and Containment of Documents", 1997),
+  * LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch.3), SimHash (Charikar, "Similarity Estimation
+  * Techniques from Rounding Algorithms", STOC 2002; Manku et al.,
+  * WWW 2007 for the hamming-band trick), and near-dedup for LM
+  * corpora (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", ACL 2022).
   */
 object Dedup {
 

@@ -16,6 +16,10 @@ import graft.sources.Tables
   * window-group-limit), never a full sort. The LSH variant buckets by
   * random-hyperplane sign bits so each probe touches ~n/2^bits
   * candidates — the 100 TB path.
+  *
+  * Hyperplane LSH per Charikar (STOC 2002); multi-probe per Lv et
+  * al. (VLDB 2007); IVF coarse quantization per Sivic & Zisserman
+  * ("Video Google", ICCV 2003) and Jégou et al. (TPAMI 2011).
   */
 object Similarity {
 

@@ -34,8 +34,9 @@ object TextAnalysis {
 
   /** Quality scoring: length, mean token length, stopword ratio,
     * uppercase/punctuation incidence → one bounded [0,1] score.
-    * Heuristics follow the public C4/Gopher-style filters (doc length
-    * bounds, symbol ratios, stopword presence).
+    * Heuristics follow the public C4 (Raffel et al., JMLR 2020) and
+    * Gopher (Rae et al., 2021) filter families: doc length bounds,
+    * symbol ratios, stopword presence.
     */
   def qQualityScore(t: Tables): DataFrame = {
     val nTok = size(tokensCol)
