@@ -23,6 +23,14 @@ final class QueryService(val spark: SparkSession) {
     */
   def sql(query: String): DataFrame = spark.sql(query)
 
+  /** The reference's REST response shape: one JSON object per row.
+    * `limit` is a hard guard — a service must never collect an
+    * unbounded result to the driver; page with LIMIT/OFFSET in the
+    * query for more.
+    */
+  def sqlJson(query: String, limit: Int = 1000): Seq[String] =
+    spark.sql(query).limit(limit).toJSON.collect().toSeq
+
   /** Register an external source as a named table. */
   def registerSource(name: String, format: String, path: String,
       options: Map[String, String] = Map.empty): DataFrame =

@@ -67,6 +67,14 @@ class SourcesSpec extends SparkSpecBase {
     assert(svc.listTables().contains("region_svc"))
   }
 
+  test("sqlJson returns bounded JSON rows (the REST response shape)") {
+    val svc = new QueryService(spark)
+    tables.nation.createOrReplaceTempView("nation_json")
+    val rows = svc.sqlJson("SELECT n_nationkey, n_name FROM nation_json ORDER BY n_nationkey", limit = 3)
+    assert(rows.length == 3)
+    assert(rows.head.startsWith("{") && rows.head.contains("\"n_nationkey\":0"))
+  }
+
   test("jdbc provider builds a reader plan (no driver in env)") {
     val cat = new Catalog(spark)
     // constructing the JDBC read fails only at connect time with no
