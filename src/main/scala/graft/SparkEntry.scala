@@ -51,6 +51,8 @@ object SparkEntry {
     "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
     "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
     "q_events_hourly" -> ((s, d) => Relational.qEventsHourly(t(s, d))),
+    "q_resample" -> ((s, d) => Relational.qResample(t(s, d))),
+    "q_funnel" -> ((s, d) => Relational.qFunnel(t(s, d))),
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(t(s, d))),
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
@@ -81,6 +83,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
     "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
+    "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     // §2.6 multimodal (plumbing; decode faked)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
@@ -237,6 +240,52 @@ object SparkEntry {
       """SELECT event_type, cast(extract(hour FROM ts) AS INTEGER) AS hr,
         | count(*) AS cnt, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+    "q_resample" ->
+      """WITH sparse AS (
+        |  SELECT event_type, cast(extract(hour FROM ts) AS INTEGER) AS hr,
+        |         count(*) AS cnt,
+        |         floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, h.hr
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT cast(unnest(range(0, 24)) AS INTEGER) AS hr) h)
+        |SELECT g.event_type, g.hr,
+        |       coalesce(s.cnt, 0) AS cnt,
+        |       coalesce(s.total_value, 0) AS total_value
+        |FROM grid g LEFT JOIN sparse s
+        |  ON g.event_type = s.event_type AND g.hr = s.hr
+        |ORDER BY g.event_type, g.hr""".stripMargin,
+    "q_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        | count(t_view) AS n_view,
+        | cast(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        | cast(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM per_user""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    floor((tf.tf * ln(n.n_docs / df.df)) * 10000 + 0.5) / 10000 AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, score,
+        |    cast(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT doc_id, token, score, rk FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         | substr(p_name, 1, 8) AS name_prefix,

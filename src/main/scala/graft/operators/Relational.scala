@@ -353,6 +353,48 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Time-series resample with gap filling: the observed (type, hour)
+    * grid densified to every hour in the day via a generated
+    * dimension (sequence → explode, no driver loop), left-joined to
+    * the sparse aggregates, missing buckets zero-filled. The dense
+    * grid is |types|·24 rows — broadcast side; the fact aggregates
+    * once.
+    */
+  def qResample(t: Tables): DataFrame = {
+    val sparse = t.events
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+    val grid = t.events.select("event_type").distinct()
+      .crossJoin(t.events.sparkSession.range(0, 24).select(col("id").cast("int").as("hr")))
+    grid.join(sparse, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Ordered-event funnel: per user, did view → (later) click →
+    * (later) purchase happen? Stage membership from min event times
+    * per type — one aggregation, no self-joins; the stage comparison
+    * is a pure projection. Output: users entering each stage.
+    */
+  def qFunnel(t: Tables): DataFrame = {
+    val perUser = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("tu"))).as("t_view"),
+        min(when(col("event_type") === "click", col("tu"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("tu"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
   /** Statistical aggregates: sample stddev/variance + correlation and
     * covariance between quantity and price per group. All one-pass
     * mergeable aggregates (Welford-style buffers) — partial agg

@@ -87,6 +87,27 @@ object TextAnalysis {
       .select(col("doc_id"), GraftFunctions.rollingFp(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** TF-IDF top terms per document: tf and df from two partial-agg'd
+    * passes over the exploded tokens, idf joined back on the token
+    * key, window top-3 per doc on the rounded score (rounding before
+    * ranking keeps the order engine-portable).
+    */
+  def qTfidf(t: Tables, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t.documents.select(col("doc_id"), explode(tokensCol).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "token", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Term statistics: explode tokens → (tf, df) per term → top 50.
     * Both aggregates are partial-agg'd; the shuffle carries one row
     * per (partition, term), not per token instance.
