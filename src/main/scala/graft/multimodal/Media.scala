@@ -64,6 +64,25 @@ object Media {
       */
     def sampleFrames(nFrames: Int, stride: Int): Seq[Int] =
       0 until nFrames by math.max(stride, 1)
+
+    /** Nearest-neighbor resize of a grayscale frame — real (no codec
+      * needed), the downstream shape a thumbnail/feature stage uses.
+      */
+    def resize(px: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && w2 > 0 && h2 > 0 && px.length >= w * h)
+      val out = new Array[Byte](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val sy = y * h / h2
+        var x = 0
+        while (x < w2) {
+          out(y * w2 + x) = px(sy * w + x * w / w2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Build a media table from `documents` — the text bytes stand in

@@ -28,6 +28,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Media.FakeDecoder.decode(Array.emptyByteArray, 3, 3).forall(_ == 0))
   }
 
+  test("nearest-neighbor resize preserves corner pixels and target shape") {
+    val px = Array.tabulate(16)(i => i.toByte) // 4x4 ramp
+    val up = Media.FakeDecoder.resize(px, 4, 4, 8, 8)
+    assert(up.length == 64)
+    assert(up(0) == px(0) && up(63) == px(15)) // corners map to corners
+    val down = Media.FakeDecoder.resize(px, 4, 4, 2, 2)
+    assert(down.toSeq == Seq[Byte](0, 2, 8, 10)) // every other pixel
+  }
+
   test("frame sampling stub is deterministic") {
     assert(Media.FakeDecoder.sampleFrames(10, 3) == Seq(0, 3, 6, 9))
     assert(Media.FakeDecoder.sampleFrames(5, 0) == Seq(0, 1, 2, 3, 4))
