@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,11 +10,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * generates a single static call into VecImpl/HashImpl, so the whole
   * pipeline (scan → filter → these → agg) stays inside one
   * WholeStageCodegen span — no UDF serialization, no Row boxing.
+  *
+  * All declare `inputTypes` (ImplicitCastInputTypes): SQL callers get
+  * int→long widening where safe, and a clean ANALYSIS error for
+  * array<double> into a float-vector slot — without the declaration,
+  * `getFloat` over a double ArrayData silently reads garbage.
   */
 
 /** dot_f(a, b): dot product of two float vectors → double. */
 case class DotF(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -27,7 +34,8 @@ case class DotF(left: Expression, right: Expression)
 
 /** norm_f(a): L2 norm of a float vector → double. */
 case class NormF(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any = VecImpl.norm(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -39,7 +47,9 @@ case class NormF(child: Expression)
 
 /** cosine_sim(a, b): cosine similarity of two float vectors → double. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VecImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -52,7 +62,9 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** minhash_sig(text, numHashes, shingleSize) → array<bigint>. */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(StringType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any, k: Any): Any =
     HashImpl.minhash(t.asInstanceOf[UTF8String], n.asInstanceOf[Int], k.asInstanceOf[Int])
@@ -65,7 +77,8 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
 
 /** simhash64(text, shingleSize) → bigint. */
 case class SimHash64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(t: Any, k: Any): Any =
     HashImpl.simhash64(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
@@ -78,7 +91,8 @@ case class SimHash64(left: Expression, right: Expression)
 
 /** rolling_fp(text) → bigint: order-sensitive document fingerprint. */
 case class RollingFp(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(t: Any): Any =
     HashImpl.rollingFingerprint(t.asInstanceOf[UTF8String])
@@ -91,7 +105,8 @@ case class RollingFp(child: Expression)
 
 /** token_count(text) → int: whitespace-run token count. */
 case class TokenCount(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(t: Any): Any =
     HashImpl.tokenCount(t.asInstanceOf[UTF8String])
@@ -104,7 +119,8 @@ case class TokenCount(child: Expression)
 
 /** hamming64(a, b) → int: Hamming distance of two 64-bit hashes. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     HashImpl.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
