@@ -28,3 +28,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ExtensionsSpec must build the FIRST session in its JVM to prove the
+// spark.sql.extensions config-string injection path — in the shared
+// test JVM, getOrCreate() would return the already-built session and
+// the test would be vacuous. Give it its own forked group.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (iso, rest) = tests.partition(_.name.endsWith("ExtensionsSpec"))
+  Seq(
+    Tests.Group("extensions-isolated", iso, Tests.SubProcess(opts)),
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -26,13 +26,19 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Canonical content identity for exact dedup — shared by every
+    * consumer (qDedupExact/qDedupKeepFirst/Curate) so "same document"
+    * means one thing across the library.
+    */
+  def contentHash: org.apache.spark.sql.Column = md5(col("text"))
+
   /** Exact duplicate stats by content hash: one pruned scan, one
     * hash-agg. At 100 TB md5(text) shuffles 16-byte keys, not text.
     */
   def qDedupExact(t: Tables): DataFrame =
     t.documents.agg(
       count(lit(1)).as("n_docs"),
-      countDistinct(md5(col("text"))).as("n_unique"),
+      countDistinct(contentHash).as("n_unique"),
       countDistinct(col("lang")).as("n_langs"))
 
   /** Exact dedup keep-first: min(doc_id) survives per content hash.
@@ -40,7 +46,7 @@ object Dedup {
     */
   def qDedupKeepFirst(t: Tables): DataFrame =
     t.documents
-      .groupBy(md5(col("text")).as("content_hash"))
+      .groupBy(contentHash.as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("content_hash", "keep_id", "n_copies")
       .orderBy("keep_id")

@@ -137,23 +137,32 @@ object Similarity {
         .groupBy("cell").agg(
           array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
-      centroids = next.persist()
+        .persist()
+      next.count() // materialize before releasing the parent's cache
+      centroids.unpersist()
+      centroids = next
     }
     centroids
   }
 
-  /** Nearest-cell assignment: cross join against the broadcast k-row
-    * centroid table, min squared distance per vector.
+  /** `topN` nearest cells per vector against the broadcast k-row
+    * centroid table (squared-distance ranking, cell-id tie-break).
+    * topN=1 is cell assignment; topN=nprobe is query probing — one
+    * shared implementation so distance/tie-break fixes can't diverge.
     */
-  def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+  def nearestCells(e: DataFrame, centroids: DataFrame, topN: Int = 1): DataFrame =
     e.crossJoin(broadcast(centroids))
       .withColumn("_d",
         aggregate(zip_with(col("embedding"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("_d").asc, col("cell").asc)))
-      .filter(col("_rk") === 1)
+      .filter(col("_rk") <= topN)
       .drop("_d", "_rk", "centroid")
+
+  /** Nearest-cell assignment (the inverted file). */
+  def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCells(e, centroids, topN = 1)
 
   /** IVF-probed ANN (rows-only; AnnSpec checks recall): queries rank
     * cells by centroid distance and scan only the `nprobe` nearest
@@ -167,14 +176,8 @@ object Similarity {
     val centroids = ivfCentroids(e, cells)
     val assigned = assignCells(e, centroids)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("_d", aggregate(zip_with(col("q_emb"), col("centroid"),
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("_d").asc, col("cell").asc)))
-      .filter(col("_rk") <= nprobe)
-      .select("query_id", "q_emb", "cell")
+    val probes = nearestCells(q, centroids, topN = nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
     assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -16,7 +16,10 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a")
+  /** Corpus stopword list — shared with Curate so the quality gates
+    * and the standalone quality score agree by construction.
+    */
+  val stopwords: Seq[String] = Seq("the", "a")
 
   private def tokensCol: Column = split(col("text"), " ")
 

@@ -23,13 +23,20 @@ final class QueryService(val spark: SparkSession) {
     */
   def sql(query: String): DataFrame = spark.sql(query)
 
-  /** The reference's REST response shape: one JSON object per row.
-    * `limit` is a hard guard — a service must never collect an
-    * unbounded result to the driver; page with LIMIT/OFFSET in the
-    * query for more.
+  /** The reference's REST response shape: one JSON object per row,
+    * with null fields RETAINED (`toJSON` would drop the key entirely,
+    * giving rows inconsistent shapes — a trap for consumers indexing
+    * by field). `limit` is a hard guard — a service must never
+    * collect an unbounded result to the driver; page with
+    * LIMIT/OFFSET in the query for more.
     */
-  def sqlJson(query: String, limit: Int = 1000): Seq[String] =
-    spark.sql(query).limit(limit).toJSON.collect().toSeq
+  def sqlJson(query: String, limit: Int = 1000): Seq[String] = {
+    import org.apache.spark.sql.functions.{struct, to_json, col}
+    val df = spark.sql(query).limit(limit)
+    df.select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0)).toSeq
+  }
 
   /** Register an external source as a named table. */
   def registerSource(name: String, format: String, path: String,

@@ -23,6 +23,7 @@ class BucketJoinSpec extends SparkSpecBase {
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
     // disable broadcast so the join strategy is SMJ over the buckets
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = joined.queryExecution.executedPlan.toString
@@ -34,7 +35,7 @@ class BucketJoinSpec extends SparkSpecBase {
       val n = joined.count()
       assert(n == tables.lineitem.select("l_orderkey").distinct().count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }

@@ -73,6 +73,11 @@ class SourcesSpec extends SparkSpecBase {
     val rows = svc.sqlJson("SELECT n_nationkey, n_name FROM nation_json ORDER BY n_nationkey", limit = 3)
     assert(rows.length == 3)
     assert(rows.head.startsWith("{") && rows.head.contains("\"n_nationkey\":0"))
+    // null fields keep their key (consistent row shape for consumers)
+    val withNull = svc.sqlJson(
+      "SELECT n_nationkey, CASE WHEN n_nationkey = 0 THEN NULL ELSE n_name END AS maybe " +
+        "FROM nation_json ORDER BY n_nationkey", limit = 1)
+    assert(withNull.head.contains("\"maybe\":null"), withNull.head)
   }
 
   test("jdbc provider builds a reader plan (no driver in env)") {
