@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
+    "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),

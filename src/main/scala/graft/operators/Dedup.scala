@@ -166,6 +166,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Transitive duplicate clusters from near-dup pairs: connected
+    * components by iterative min-label propagation. Each round joins
+    * current labels across the (symmetrized) edge list and keeps the
+    * per-node minimum — labels converge to the component's smallest
+    * doc_id in O(diameter) rounds (near-dup components are shallow:
+    * chains of copies, diameter ≪ 10). The only driver-side value per
+    * round is the single changed-count scalar; labels and edges stay
+    * distributed. This is the standard large-scale CC loop (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) on DataFrames.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("n_min"))
+      val next = labels.join(viaNeighbors, "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("n_min")).as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over the corpus (rows-only; DupClusterSpec
+    * proves components on known graphs): n-gram Jaccard pairs →
+    * connected components → cluster roster.
+    */
+  def qDupClusters(t: Tables): DataFrame =
+    dupClusters(qNgramJaccard(t).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-dup, label-blocked: pairs are generated
     * within a blocking key (label here; at 100 TB an LSH bucket or
     * coarse quantizer cell) so the self-join shuffles on the block key

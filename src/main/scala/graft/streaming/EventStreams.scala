@@ -38,6 +38,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within `windowSec` AFTER the click (attribution). Both
+    * sides carry watermarks, and the time-bound condition lets the
+    * engine evict state once the watermark passes — without the bound
+    * a stream-stream join buffers forever. The streaming twin of the
+    * batch RangeJoin.
+    */
+  def clickPurchaseAttribution(events: DataFrame, windowSec: Long = 300,
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select("click_id", "purchase_id", "user_id", "value")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: one state
     * record per active user. With `idleFlushMs > 0` (default 2× the
     * gap) a processing-time timeout flushes and evicts idle users'

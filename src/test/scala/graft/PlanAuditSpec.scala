@@ -1,0 +1,46 @@
+package graft
+
+/** Blanket plan audit over the ENTIRE driver contract: no query may
+  * plan a cartesian product or nested-loop join unless it
+  * intentionally broadcasts a tiny constant-size side (scalar
+  * subqueries, fixed query sets, the 24-hour grid). Catches the
+  * classic silent killer — a join whose equi-condition stopped being
+  * recognized and degraded to NLJ — across all 55 queries at once.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  // queries whose plan legitimately contains a broadcast nested-loop
+  // join of a bounded-size side (≤ O(100) rows by construction)
+  private val intentionalCross = Set(
+    "q_scalar_subquery", // 1-row global avg
+    "q_ann_bruteforce",  // 3-row query set
+    "q_ann_ivf",         // k-row centroid table
+    "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
+    "q_tfidf",           // 1-row n_docs
+    "q_resample"         // |types| x 24 grid
+  )
+
+  test("no unintentional cartesian/nested-loop joins in any contract query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin")
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (nlj && !intentionalCross(name)) Some(s"$name: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every query's plan prunes the parquet scan to referenced columns") {
+    // spot the worst smell: a scan with the full 16-col lineitem schema
+    // in a query that uses a handful
+    val fullLineitem = "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity," +
+      "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      if (plan.contains(fullLineitem.replace(",", ":bigint,"))) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpruned lineitem scans: $offenders")
+  }
+}

@@ -57,6 +57,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(10), 1, "click", 0),
+      Event(2, ts(12), 1, "purchase", 9.99), // 2 min after click 1 → attributed
+      Event(3, ts(30), 1, "purchase", 5.0),  // 20 min after → outside window
+      Event(4, ts(11), 2, "purchase", 7.0))  // other user, no click
+    val q = EventStreams.clickPurchaseAttribution(input.toDF(), windowSec = 300)
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("click_id") == 1 &&
+        rows.head.getAs[Long]("purchase_id") == 2 &&
+        rows.head.getAs[Double]("value") == 9.99)
+    } finally q.stop()
+  }
+
   test("idle-flush timeout emits and evicts a silent user's open session") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
