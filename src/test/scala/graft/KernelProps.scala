@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HashImpl
+import graft.multimodal.Media
+
+/** Property-based checks of the pure kernels (no SparkSession):
+  * ScalaCheck drives arbitrary inputs through the same static methods
+  * whole-stage codegen calls.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val wsChars = Gen.oneOf(' ', '\t', '\n', '\r')
+  private val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val messyText: Gen[String] = for {
+    toks <- Gen.listOf(tokenGen)
+    seps <- Gen.listOfN(toks.length + 1, Gen.nonEmptyListOf(wsChars).map(_.mkString))
+  } yield seps.zipAll(toks, "", "").flatMap { case (s, t) => Seq(s, t) }.mkString
+
+  property("tokenCount == reference split semantics on arbitrary whitespace") =
+    forAll(messyText) { s =>
+      val expected = s.trim.split("\\s+").count(_.nonEmpty)
+      HashImpl.tokenCount(UTF8String.fromString(s)) == expected
+    }
+
+  property("hamming64 is a metric-ish: symmetric, zero iff equal, <= 64") =
+    forAll { (a: Long, b: Long) =>
+      val d = HashImpl.hamming64(a, b)
+      d == HashImpl.hamming64(b, a) && (d == 0) == (a == b) && d >= 0 && d <= 64
+    }
+
+  property("identical text gives identical minhash; disjoint text never collides on all slots") =
+    forAll(Gen.nonEmptyListOf(tokenGen), Gen.nonEmptyListOf(tokenGen)) { (as, bs) =>
+      val a = as.mkString(" ")
+      val b = bs.map(_ + "zzz").mkString(" ") // disjoint token space
+      val sa = HashImpl.minhash(UTF8String.fromString(a), 16, 1).toLongArray()
+      val sa2 = HashImpl.minhash(UTF8String.fromString(a), 16, 1).toLongArray()
+      val sb = HashImpl.minhash(UTF8String.fromString(b), 16, 1).toLongArray()
+      sa.sameElements(sa2) && !sa.sameElements(sb)
+    }
+
+  property("shingle sets are order-insensitive for k=1 and order-sensitive for k=2") =
+    forAll(Gen.listOfN(6, tokenGen).suchThat(l => l.distinct.length == l.length)) { toks =>
+      val fwd = toks.mkString(" ")
+      val rev = toks.reverse.mkString(" ")
+      val uni = HashImpl.shingleHashes(fwd, 1).toSet == HashImpl.shingleHashes(rev, 1).toSet
+      val bi = toks.length < 2 ||
+        HashImpl.shingleHashes(fwd, 2).toSet != HashImpl.shingleHashes(rev, 2).toSet
+      uni && bi
+    }
+
+  property("resize output has target size and every pixel comes from the source") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 12)) {
+      (w, h, w2, h2) =>
+        val px = Array.tabulate(w * h)(i => (i % 251).toByte)
+        val out = Media.FakeDecoder.resize(px, w, h, w2, h2)
+        out.length == w2 * h2 && out.forall(px.contains)
+    }
+
+  property("rolling fingerprint changes under any single-char edit (sampled)") =
+    forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { s =>
+      val mutated = "#" + s.drop(1)
+      s == mutated || HashImpl.rollingFingerprint(UTF8String.fromString(s)) !=
+        HashImpl.rollingFingerprint(UTF8String.fromString(mutated))
+    }
+}
