@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{AsofJoin, Curate, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Decontam, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -89,6 +89,10 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
+    // compliance stages: decontamination, redaction, stratified sampling
+    "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
+    "q_redact" -> ((s, d) => Decontam.qRedact(t(s, d))),
+    "q_stratified_sample" -> ((s, d) => Decontam.qStratifiedSample(t(s, d))),
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys
@@ -506,6 +510,36 @@ object SparkEntry {
         | floor((avg(stop_ratio)) * 100 + 0.5) / 100 AS avg_stop_ratio
         |FROM c WHERE n_tokens >= 20 AND stop_ratio >= 0.01
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |  ))) AS shingle FROM d),
+        |bench AS (
+        |  SELECT DISTINCT shingle, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits,
+        |       count(DISTINCT bench.bench_id) AS n_bench_docs
+        |FROM s JOIN bench USING (shingle)
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id HAVING count(*) >= 2
+        |ORDER BY s.doc_id""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        | cast(length(text) AS INTEGER) AS len_before,
+        | cast(length(regexp_replace(text, 'spark', '[X]', 'g')) AS INTEGER) AS len_after,
+        | cast(len(string_split_regex(text, 'spark')) - 1 AS INTEGER) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        | floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars
+        |FROM documents
+        |WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 80
+        |                           WHEN lang = 'zh' THEN 50 ELSE 20 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_term_stats" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token

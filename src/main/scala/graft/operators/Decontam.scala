@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Rnd.round
+
+import graft.sources.Tables
+
+/** Benchmark decontamination + redaction + stratified sampling — the
+  * remaining compliance stages of a training-data run (overlap
+  * removal per GPT-3/PaLM appendix methodology; pattern scrubbing;
+  * per-stratum rate control).
+  */
+object Decontam {
+
+  private def shingles(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)
+        ))).as("shingle"))
+
+  /** Corpus documents sharing ≥ `minHits` word-k-grams with the
+    * benchmark set (stand-in: every 50th doc). The benchmark shingle
+    * table is tiny relative to the corpus → broadcast inner join;
+    * the corpus side streams through one shuffle-free pass.
+    */
+  def qDecontaminate(t: Tables, k: Int = 5, minHits: Int = 2): DataFrame = {
+    val docs = t.documents.repartition(col("doc_id"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val benchShingles = shingles(bench, k)
+      .select(col("shingle"), col("doc_id").as("bench_id")).distinct()
+    shingles(docs.filter(col("doc_id") % 50 =!= 0), k)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id")
+  }
+
+  /** Pattern scrubbing: redact a target token pattern, report
+    * per-document redaction counts and resulting length — the shape
+    * of a PII scrub (the synthetic corpus has no PII, so the pattern
+    * targets a vocabulary word).
+    */
+  def qRedact(t: Tables, pattern: String = "spark"): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        length(col("text")).as("len_before"),
+        length(regexp_replace(col("text"), pattern, "[X]")).as("len_after"),
+        (size(split(col("text"), pattern, -1)) - 1).as("n_redactions"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: per-language keep rates via a
+    * pure function of the key — reproducible across runs/engines,
+    * unlike TABLESAMPLE. One pruned scan, rates as a CASE expression.
+    */
+  def qStratifiedSample(t: Tables): DataFrame = {
+    val rate = when(col("lang") === "en", 80)
+      .when(col("lang") === "zh", 50)
+      .otherwise(20)
+    t.documents
+      .filter(pmod(col("doc_id"), lit(100)) < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("lang")
+  }
+}
