@@ -63,6 +63,8 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
+    "q_histogram" -> ((s, d) => Relational.qHistogram(t(s, d))),
+    "q_quantize_error" -> ((s, d) => graft.operators.Quantize.qQuantizeError(t(s, d))),
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
@@ -367,6 +369,10 @@ object SparkEntry {
         | floor((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100 AS cov_qty_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT least(greatest(cast(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT), 0), 11) AS bucket,
+        | count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_collect_statuses" ->
       """SELECT o_custkey,
         | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot upsert without a table format: MERGE semantics (update
+  * matched keys, insert new ones) as a keyed full-outer coalesce.
+  * With both sides bucketed on the key (BucketJoinSpec pattern) the
+  * join is shuffle-free; output overwrites the snapshot partition-
+  * atomically at the sink. This is the pre-Delta/Iceberg pattern a
+  * plain-parquet service uses for slowly-changing reference data.
+  */
+object Merge {
+
+  /** `snapshot ⟵ updates` by `key`: update rows present in both,
+    * keep unmatched snapshot rows, insert unmatched update rows.
+    * Row-level selection (a presence flag, not per-column coalesce —
+    * coalesce would resurrect stale snapshot values under legit NULL
+    * updates). Schemas must match.
+    */
+  def upsert(snapshot: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(snapshot.columns.sameElements(updates.columns),
+      s"schema mismatch: ${snapshot.columns.toSeq} vs ${updates.columns.toSeq}")
+    val cols = snapshot.columns.filterNot(_ == key)
+    val s = snapshot.as("s")
+    val u = updates.withColumn("_from_u", lit(true)).as("u")
+    s.join(u, col(s"s.$key") === col(s"u.$key"), "full_outer")
+      .select(
+        coalesce(col(s"u.$key"), col(s"s.$key")).as(key) +:
+          cols.map(c =>
+            when(col("u._from_u"), col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)
+  }
+}

@@ -353,6 +353,23 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Fixed-width histogram of order totals: bucket index is a pure
+    * projection (no per-bucket scan), one hash-agg over ≤ nBuckets
+    * groups. The fixed [lo, hi) domain keeps the bucketing a
+    * constant-folded expression — at 100 TB a two-pass min/max +
+    * histogram still beats any sort-based approach.
+    */
+  def qHistogram(t: Tables, lo: Double = 0.0, hi: Double = 600000.0,
+      nBuckets: Int = 12): DataFrame = {
+    val w = (hi - lo) / nBuckets
+    t.orders
+      .select(least(greatest(floor((col("o_totalprice") - lo) / w), lit(0)),
+        lit(nBuckets - 1).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   /** Time-series resample with gap filling: the observed (type, hour)
     * grid densified to every hour in the day via a generated
     * dimension (sequence → explode, no driver loop), left-joined to
