@@ -41,6 +41,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("token_count", 1)(args); TokenCount(a(0)) }),
     (FunctionIdentifier("hamming64"), info("hamming64", classOf[Hamming64]),
       (args: Seq[Expression]) => { val a = expect("hamming64", 2)(args); Hamming64(a(0), a(1)) }),
+    (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShingles]),
+      (args: Seq[Expression]) => { val a = expect("word_shingles", 2)(args); WordShingles(a(0), a(1)) }),
   )
 
   /** Idempotent runtime registration — for sessions not built through
@@ -66,6 +68,8 @@ object GraftFunctions {
   def rollingFp(text: Column): Column = call_function("rolling_fp", text)
   def tokenCount(text: Column): Column = call_function("token_count", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text, lit(k))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

@@ -117,6 +117,28 @@ case class TokenCount(child: Expression)
   override def prettyName: String = "token_count"
 }
 
+/** word_shingles(text, k) → array<bigint>: distinct hashes of word
+  * k-shingles in one tight-loop pass (HashImpl.shingleHashes) — the
+  * codegen'd replacement for a transform(sequence)+concat_ws+hash
+  * expression pipeline, which builds per-shingle strings through
+  * Catalyst array machinery.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, k: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpl.shingleHashes(t.asInstanceOf[UTF8String].toString, k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpl.shingleHashes($t.toString(), $k))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles = copy(newLeft, newRight)
+  override def prettyName: String = "word_shingles"
+}
+
 /** hamming64(a, b) → int: Hamming distance of two 64-bit hashes. */
 case class Hamming64(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

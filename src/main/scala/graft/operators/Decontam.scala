@@ -14,13 +14,8 @@ import graft.sources.Tables
 object Decontam {
 
   private def shingles(df: DataFrame, k: Int): DataFrame =
-    df.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)
-        ))).as("shingle"))
+    df.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.wordShingles(col("text"), k)).as("shingle"))
 
   /** Corpus documents sharing ≥ `minHits` word-k-grams with the
     * benchmark set (stand-in: every 50th doc). The benchmark shingle

@@ -64,21 +64,20 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     // The corpus arrives as few parquet row groups locally — spread
     // the CPU-heavy shingling across all cores (a no-op rebalance on
-    // a many-file 100 TB corpus).
+    // a many-file 100 TB corpus). Docs shorter than k tokens produce
+    // zero shingles and drop out naturally (same as the oracle's
+    // length guard).
     val docs = t.documents.repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-    // Shingles carry through the joins as 8-byte xxhash64 keys, not
+      .select(col("doc_id"), col("text"))
+    // Shingles carry through the joins as 8-byte hash keys, not
     // strings — 4x less shuffle and long-vs-long join compares.
     // (Collision odds at 2^64 are ~n²/2^65 — irrelevant even at 100 TB
-    // per-bucket volumes.)
+    // per-bucket volumes.) word_shingles is one codegen'd tight-loop
+    // pass per row; the transform(sequence)+concat_ws pipeline it
+    // replaced built per-shingle strings through Catalyst machinery.
     val shingled = docs
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)
-        ))).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
+        explode(GraftFunctions.wordShingles(col("text"), k)).as("shingle"))
     // DF cap via partial-agg count + broadcast ANTI join of the hot
     // set — a window over `shingle` would put a stopword shingle's
     // whole posting list on one task (no map-side combine); this way
