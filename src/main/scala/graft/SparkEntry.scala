@@ -95,6 +95,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
     "q_redact" -> ((s, d) => Decontam.qRedact(t(s, d))),
     "q_stratified_sample" -> ((s, d) => Decontam.qStratifiedSample(t(s, d))),
+    "q_group_sample" -> ((s, d) => Decontam.qGroupSample(t(s, d))),
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys
@@ -539,6 +540,13 @@ object SparkEntry {
         | cast(length(regexp_replace(text, 'spark', '[X]', 'g')) AS INTEGER) AS len_after,
         | cast(len(string_split_regex(text, 'spark')) - 1 AS INTEGER) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_group_sample" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    cast(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
         | floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars

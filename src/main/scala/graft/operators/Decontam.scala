@@ -49,6 +49,20 @@ object Decontam {
         (size(split(col("text"), pattern, -1)) - 1).as("n_redactions"))
       .orderBy("doc_id")
 
+  /** Bounded per-group sample: exactly k docs per language, chosen by
+    * a deterministic pseudo-random order (md5 of the key) — the
+    * "inspect k examples per stratum" primitive. One shuffle on the
+    * group key; WindowGroupLimit caps per-partition state at k.
+    */
+  def qGroupSample(t: Tables, k: Int = 5): DataFrame =
+    t.documents
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rk")
+
   /** Deterministic stratified sampling: per-language keep rates via a
     * pure function of the key — reproducible across runs/engines,
     * unlike TABLESAMPLE. One pruned scan, rates as a CASE expression.

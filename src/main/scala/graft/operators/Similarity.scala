@@ -171,9 +171,9 @@ object Similarity {
     * partitions keyed by cell.
     */
   def qAnnIvf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
-      k: Int = 10, cells: Int = 16, nprobe: Int = 3): DataFrame = {
+      k: Int = 10, cells: Int = 16, nprobe: Int = 3, iters: Int = 2): DataFrame = {
     val e = t.embeddings
-    val centroids = ivfCentroids(e, cells)
+    val centroids = ivfCentroids(e, cells, iters)
     val assigned = assignCells(e, centroids)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
     val probes = nearestCells(q, centroids, topN = nprobe)
