@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("checkpointed file sink survives restart exactly-once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    val chk = java.nio.file.Files.createTempDirectory("graft-chk2").toString
+    def start() = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema).parquet(src)
+      .filter($"value" >= 0)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
+      .toDS().write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // new data arrives while the query is down
+    Seq(Event(3, ts(3), 2, "click", 3.0)).toDS().write.mode("append").parquet(src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(sink)
+      // exactly-once across the restart: 3 rows, no dupes, no loss
+      assert(out.count() == 3)
+      assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    } finally q2.stop()
+  }
+
   test("batch q_events_hourly mirrors the streaming aggregation shape") {
     val batch = graft.operators.Relational.qEventsHourly(tables)
     assert(batch.columns.toSet == Set("event_type", "hr", "cnt", "total_value"))
