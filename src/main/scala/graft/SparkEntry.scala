@@ -98,11 +98,13 @@ object SparkEntry {
     "q_group_sample" -> ((s, d) => Decontam.qGroupSample(t(s, d))),
   )
 
-  /** DuckDB oracle per SQL-expressible query. Omitted keys
-    * (q_minhash_lsh, q_simhash, q_ann_lsh, q_fingerprint,
-    * q_media_features, q_approx_distinct) are rows-only by design —
-    * their semantics are not ANSI-SQL-expressible and are
-    * property-tested in ScalaTest instead.
+  /** DuckDB oracle per SQL-expressible query. Omitted keys —
+    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
+    * q_media_features, q_approx_distinct, q_dup_clusters,
+    * q_quantize_error — are rows-only BY DESIGN: their semantics are
+    * not ANSI-SQL-expressible and are property-tested in ScalaTest
+    * instead. (Keep this list equal to queries.keySet -- oracleSql
+    * .keySet.)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -390,8 +392,10 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
         |s AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(w) - 3),
@@ -519,8 +523,10 @@ object SparkEntry {
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
         |s AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(w) - 3),

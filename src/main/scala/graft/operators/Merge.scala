@@ -21,13 +21,24 @@ object Merge {
   def upsert(snapshot: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(snapshot.columns.sameElements(updates.columns),
       s"schema mismatch: ${snapshot.columns.toSeq} vs ${updates.columns.toSeq}")
+    require(!snapshot.columns.contains("__graft_from_u"),
+      "column name __graft_from_u is reserved by upsert")
     val cols = snapshot.columns.filterNot(_ == key)
+    // SQL MERGE rejects multiple source rows per key; mirror that with
+    // a runtime raise instead of silently duplicating snapshot rows
+    val dupGuard = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val u = updates
+      .withColumn("__graft_from_u",
+        when(count(lit(1)).over(dupGuard) > 1,
+          raise_error(concat(lit(s"upsert: multiple update rows for $key="),
+            col(key).cast("string"))))
+          .otherwise(lit(true)))
+      .as("u")
     val s = snapshot.as("s")
-    val u = updates.withColumn("_from_u", lit(true)).as("u")
     s.join(u, col(s"s.$key") === col(s"u.$key"), "full_outer")
       .select(
         coalesce(col(s"u.$key"), col(s"s.$key")).as(key) +:
           cols.map(c =>
-            when(col("u._from_u"), col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)
+            when(col("u.__graft_from_u"), col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)
   }
 }

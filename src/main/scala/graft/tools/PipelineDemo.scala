@@ -29,11 +29,18 @@ object PipelineDemo {
     val contaminated = Decontam.qDecontaminate(t).select("doc_id")
     val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 3. near-dup clusters: keep only each cluster's canonical doc
+    // 3. near-dup clusters: keep ONE representative per cluster among
+    //    the docs that survived steps 1-2 (picking the cluster's
+    //    global canonical would drop the whole cluster whenever the
+    //    canonical itself was curated away)
     val clusters = Dedup.qDupClusters(t)
-    val nonCanonical = clusters.filter(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
-    val canonical = clean.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val withCluster = clean.join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val canonical = withCluster
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn", "cluster_id")
 
     // 4. attach int8-quantized embeddings by id (doc_id ↔ vec_id)
     val emb = Quantize.quantize(t.embeddings)
@@ -41,19 +48,19 @@ object PipelineDemo {
     val corpus = canonical.join(emb, Seq("doc_id"), "left_outer")
       .select("doc_id", "lang", "source", "n_tokens", "text", "q_vec", "q_scale")
 
+    // one execution of the DAG; card/count read the written files back
     corpus.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
-
-    // 5. data card
-    val card = corpus.groupBy("lang")
+    val written = spark.read.parquet(s"$outDir/corpus")
+    val card = written.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         count(col("q_vec")).as("n_with_embedding"))
       .orderBy("lang")
     card.write.mode("overwrite").parquet(s"$outDir/data_card")
-    val rows = card.collect()
     println("=== data card ===")
-    rows.foreach(r => println(r.mkString("\t")))
-    println(s"curated corpus written to $outDir/corpus (${corpus.count()} docs)")
+    spark.read.parquet(s"$outDir/data_card").orderBy("lang").collect()
+      .foreach(r => println(r.mkString("\t")))
+    println(s"curated corpus written to $outDir/corpus (${written.count()} docs)")
     spark.stop()
   }
 }

@@ -35,7 +35,8 @@ object KernelProps extends Properties("graft.kernels") {
   property("identical text gives identical minhash; disjoint text never collides on all slots") =
     forAll(Gen.nonEmptyListOf(tokenGen), Gen.nonEmptyListOf(tokenGen)) { (as, bs) =>
       val a = as.mkString(" ")
-      val b = bs.map(_ + "zzz").mkString(" ") // disjoint token space
+      // '#' never appears in alphanumeric tokens → guaranteed-disjoint space
+      val b = bs.map("#" + _).mkString(" ")
       val sa = HashImpl.minhash(UTF8String.fromString(a), 16, 1).toLongArray()
       val sa2 = HashImpl.minhash(UTF8String.fromString(a), 16, 1).toLongArray()
       val sb = HashImpl.minhash(UTF8String.fromString(b), 16, 1).toLongArray()

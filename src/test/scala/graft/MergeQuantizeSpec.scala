@@ -25,6 +25,18 @@ class MergeQuantizeSpec extends SparkSpecBase {
       "NULL in the update row must win over the stale snapshot value")
   }
 
+  test("upsert raises on multiple update rows for one key (MERGE semantics)") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a")).toDF("id", "name")
+    val updates = Seq((1L, "x"), (1L, "y")).toDF("id", "name")
+    val e = intercept[Exception] {
+      Merge.upsert(snapshot, updates, "id").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("multiple update rows")), e.getMessage)
+  }
+
   test("int8 quantization keeps cosine fidelity above 0.999 on real embeddings") {
     val report = Quantize.qQuantizeError(tables).collect()
     assert(report.length == tables.embeddings.count())
