@@ -64,6 +64,8 @@ object SparkEntry {
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
     "q_histogram" -> ((s, d) => Relational.qHistogram(t(s, d))),
+    "q_anomaly" -> ((s, d) => Relational.qAnomaly(t(s, d))),
+    "q_cohort_retention" -> ((s, d) => Relational.qCohortRetention(t(s, d))),
     "q_quantize_error" -> ((s, d) => graft.operators.Quantize.qQuantizeError(t(s, d))),
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
@@ -372,6 +374,28 @@ object SparkEntry {
         | floor((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100 AS cov_qty_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type AS s_type, avg(value) AS mu,
+        |         stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        | floor((e.value) * 100 + 0.5) / 100 AS value,
+        | floor(((e.value - s.mu) / s.sd) * 100 + 0.5) / 100 AS z
+        |FROM events e JOIN stats s ON e.event_type = s.s_type
+        |WHERE s.sd > 0
+        |  AND abs(floor(((e.value - s.mu) / s.sd) * 100 + 0.5) / 100) >= 2.5
+        |ORDER BY e.event_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         cast(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day, cast(d.day - c.cohort_day AS INTEGER) AS day_offset,
+        |       count(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q_histogram" ->
       """SELECT least(greatest(cast(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT), 0), 11) AS bucket,
         | count(*) AS cnt

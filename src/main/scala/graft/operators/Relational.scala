@@ -353,6 +353,42 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Z-score anomaly detection over events: per-type mean/stddev from
+    * one partial-agg'd pass, broadcast back (tiny per-type stats), a
+    * pure-projection score, and a threshold filter. The canonical
+    * two-pass outlier scan — no window over the full stream.
+    */
+  def qAnomaly(t: Tables, threshold: Double = 2.5): DataFrame = {
+    val stats = t.events.groupBy(col("event_type").as("s_type"))
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    t.events.select("event_id", "event_type", "value")
+      .join(broadcast(stats), col("event_type") === col("s_type"))
+      .filter(col("sd") > 0)
+      // threshold the ROUNDED z: engines' stddev accumulation orders
+      // differ by ~1e-12 and an unrounded boundary compare could flip
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 2))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** Cohort retention: users grouped by first-activity day, counted by
+    * days-since-cohort activity. Two hash-aggs (first-seen per user,
+    * then cohort×offset) — both partial-agg'd; day arithmetic on
+    * epoch-days keeps the output integer-typed and engine-portable.
+    */
+  def qCohortRetention(t: Tables): DataFrame = {
+    val withDay = t.events.select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+    val cohorts = withDay.groupBy("user_id").agg(min("day").as("cohort_day"))
+    withDay.join(cohorts, "user_id")
+      .withColumn("day_offset", (col("day") - col("cohort_day")).cast("int"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Fixed-width histogram of order totals: bucket index is a pure
     * projection (no per-bucket scan), one hash-agg over ≤ nBuckets
     * groups. The fixed [lo, hi) domain keeps the bucketing a
