@@ -62,4 +62,11 @@ final class QueryService(val spark: SparkSession) {
 
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
+
+  /** EXPLAIN endpoint: the optimized + physical plan for a statement
+    * without executing it — the service parity for plan inspection.
+    */
+  def explain(query: String): String =
+    spark.sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }

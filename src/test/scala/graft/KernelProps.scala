@@ -61,6 +61,30 @@ object KernelProps extends Properties("graft.kernels") {
         out.length == w2 * h2 && out.forall(px.contains)
     }
 
+  property("cosine is symmetric, bounded, and 1.0 on self for nonzero vectors") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100, 100))) { xs =>
+      val a = xs.map(_.toFloat).toArray
+      val b = xs.reverse.map(v => (v / 2).toFloat).toArray
+      val ad = toArrayData(a); val bd = toArrayData(b)
+      val cab = graft.functions.VecImpl.cosine(ad, bd)
+      val cba = graft.functions.VecImpl.cosine(bd, ad)
+      val self = graft.functions.VecImpl.cosine(ad, ad)
+      val zero = a.forall(_ == 0.0f)
+      cab == cba && cab >= -1.0000001 && cab <= 1.0000001 &&
+        (if (zero) self == 0.0 else math.abs(self - 1.0) < 1e-9)
+    }
+
+  property("dot against a zero vector is zero; norm is nonnegative") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-50, 50))) { xs =>
+      val a = toArrayData(xs.map(_.toFloat).toArray)
+      val z = toArrayData(Array.fill(xs.length)(0.0f))
+      graft.functions.VecImpl.dot(a, z) == 0.0 &&
+        graft.functions.VecImpl.norm(a) >= 0.0
+    }
+
+  private def toArrayData(a: Array[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+
   property("rolling fingerprint changes under any single-char edit (sampled)") =
     forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { s =>
       val mutated = "#" + s.drop(1)

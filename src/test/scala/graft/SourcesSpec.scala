@@ -80,6 +80,16 @@ class SourcesSpec extends SparkSpecBase {
     assert(withNull.head.contains("\"maybe\":null"), withNull.head)
   }
 
+  test("explain endpoint returns the physical plan without executing") {
+    val svc = new QueryService(spark)
+    tables.lineitem.createOrReplaceTempView("li_explain")
+    val plan = svc.explain(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_explain " +
+        "WHERE l_quantity > 10 GROUP BY l_returnflag")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
+  }
+
   test("jdbc provider builds a reader plan (no driver in env)") {
     val cat = new Catalog(spark)
     // constructing the JDBC read fails only at connect time with no
