@@ -147,18 +147,34 @@ object Similarity {
 
   /** `topN` nearest cells per vector against the broadcast k-row
     * centroid table (squared-distance ranking, cell-id tie-break).
-    * topN=1 is cell assignment; topN=nprobe is query probing — one
-    * shared implementation so distance/tie-break fixes can't diverge.
+    * One entry point so distance/tie-break fixes can't diverge, two
+    * physical paths: topN=1 (the full-corpus assignment) is a
+    * min_by HASH-AGG — partial aggregation collapses the k×n
+    * candidate rows map-side before any shuffle, where a row_number
+    * window would sort-shuffle all k×n rows; topN>1 (the tiny query
+    * side) keeps the window.
     */
-  def nearestCells(e: DataFrame, centroids: DataFrame, topN: Int = 1): DataFrame =
-    e.crossJoin(broadcast(centroids))
+  def nearestCells(e: DataFrame, centroids: DataFrame, topN: Int = 1): DataFrame = {
+    val scored = e.crossJoin(broadcast(centroids))
       .withColumn("_d",
         aggregate(zip_with(col("embedding"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("_d").asc, col("cell").asc)))
-      .filter(col("_rk") <= topN)
-      .drop("_d", "_rk", "centroid")
+    if (topN == 1) {
+      val carried = e.columns.filterNot(_ == "vec_id")
+      scored.groupBy("vec_id")
+        .agg(
+          // struct ordering = (distance, cell) lexicographic → same
+          // deterministic tie-break as the window path
+          min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"),
+          carried.map(c => first(col(c)).as(c)): _*)
+    } else {
+      scored
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("_d").asc, col("cell").asc)))
+        .filter(col("_rk") <= topN)
+        .drop("_d", "_rk", "centroid")
+    }
+  }
 
   /** Nearest-cell assignment (the inverted file). */
   def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
