@@ -47,6 +47,9 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(t(s, d))),
     "q_window_lag" -> ((s, d) => Relational.qWindowLag(t(s, d))),
     "q_rollup" -> ((s, d) => Relational.qRollup(t(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(t(s, d))),
+    "q_ntile" -> ((s, d) => Relational.qNtile(t(s, d))),
+    "q_first_last" -> ((s, d) => Relational.qFirstLast(t(s, d))),
     "q_cube" -> ((s, d) => Relational.qCube(t(s, d))),
     "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
     "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
@@ -230,6 +233,30 @@ object SparkEntry {
         | floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_ntile" ->
+      """SELECT quartile, count(*) AS n,
+        | floor((min(c_acctbal)) * 100 + 0.5) / 100 AS lo,
+        | floor((max(c_acctbal)) * 100 + 0.5) / 100 AS hi
+        |FROM (
+        |  SELECT c_acctbal,
+        |    cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |  FROM customer) t
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         | coalesce(l_linestatus, 'ALL') AS ls,

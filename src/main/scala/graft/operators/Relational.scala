@@ -265,6 +265,47 @@ object Relational {
         col("sum_price"), col("cnt"))
       .orderBy("rf", "ls")
 
+  /** Explicit GROUPING SETS (distinct from rollup/cube): exactly the
+    * named groupings in one pass, via the SQL surface.
+    */
+  def qGroupingSets(t: Tables): DataFrame = {
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** ntile quartiles of customers by account balance + per-quartile
+    * stats: one window pass for bucketing, one agg.
+    */
+  def qNtile(t: Tables): DataFrame =
+    t.customer
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo"),
+        round(max("c_acctbal"), 2).as("hi"))
+      .orderBy("quartile")
+
+  /** first_value/last_value over an explicit full-partition frame:
+    * each order annotated with its customer's first and latest order
+    * keys by date.
+    */
+  def qFirstLast(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders.select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("first_order", first("o_orderkey").over(w))
+      .withColumn("last_order", last("o_orderkey").over(w))
+      .select("o_custkey", "o_orderkey", "first_order", "last_order")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Pivot-style conditional aggregation: one scan, one agg — the
     * CASEs evaluate inside the partial agg (no per-status re-scan).
     */
