@@ -68,6 +68,8 @@ object SparkEntry {
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
     "q_histogram" -> ((s, d) => Relational.qHistogram(t(s, d))),
     "q_anomaly" -> ((s, d) => Relational.qAnomaly(t(s, d))),
+    "q_distinct_cond" -> ((s, d) => Relational.qDistinctCond(t(s, d))),
+    "q_array_funcs" -> ((s, d) => Similarity.qArrayFuncs(t(s, d))),
     "q_cohort_retention" -> ((s, d) => Relational.qCohortRetention(t(s, d))),
     "q_quantize_error" -> ((s, d) => graft.operators.Quantize.qQuantizeError(t(s, d))),
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
@@ -413,6 +415,19 @@ object SparkEntry {
         |WHERE s.sd > 0
         |  AND abs(floor(((e.value - s.mu) / s.sd) * 100 + 0.5) / 100) >= 2.5
         |ORDER BY e.event_id""".stripMargin,
+    "q_distinct_cond" ->
+      """SELECT
+        | count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS open_custs,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS done_custs,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN o_custkey END) AS pending_custs,
+        | count(DISTINCT o_custkey) AS all_custs
+        |FROM orders""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        | cast(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        | floor((cast(list_aggregate(embedding, 'max') AS DOUBLE)) * 10000 + 0.5) / 10000 AS max_elem,
+        | floor((list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'sum')) * 10000 + 0.5) / 10000 AS l1_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_cohort_retention" ->
       """WITH d AS (
         |  SELECT user_id,

@@ -394,6 +394,17 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Conditional distinct counts: distinct customers per order status
+    * from ONE pass (count(DISTINCT CASE ...)) — no per-status
+    * re-scan, the expand+distinct machinery handles all three.
+    */
+  def qDistinctCond(t: Tables): DataFrame =
+    t.orders.agg(
+      countDistinct(when(col("o_orderstatus") === "O", col("o_custkey"))).as("open_custs"),
+      countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("done_custs"),
+      countDistinct(when(col("o_orderstatus") === "P", col("o_custkey"))).as("pending_custs"),
+      countDistinct(col("o_custkey")).as("all_custs"))
+
   /** Z-score anomaly detection over events: per-type mean/stddev from
     * one partial-agg'd pass, broadcast back (tiny per-type stats), a
     * pure-projection score, and a threshold filter. The canonical

@@ -205,6 +205,19 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Higher-order array functions over embeddings — the
+    * filter/exists/aggregate surface (all codegen'd, no UDF): per
+    * vector, positive-component count, max component, and L1 norm.
+    */
+  def qArrayFuncs(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_elem"),
+        round(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + abs(x.cast("double"))), 4).as("l1_norm"))
+      .orderBy("vec_id")
+
   /** Per-label centroid energy: posexplode → (label, dim) partial
     * sums → Σ_dim (Σ_vec x_d)². Never collect_list (an unbounded
     * group buffer); both aggs are hash aggs with map-side combine, so
