@@ -96,6 +96,8 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     // §2.6 multimodal (plumbing; decode faked)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
+    "q_source_roundtrip" -> ((s, d) =>
+      graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
@@ -572,6 +574,12 @@ object SparkEntry {
         |SELECT doc_id, lang, pred_lang,
         |       cast(pred_lang = lang AS INTEGER) AS is_hit
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_source_roundtrip" ->
+      """SELECT fmt, count(*) AS n_rows, count(DISTINCT n_name) AS n_names
+        |FROM (SELECT 'csv' AS fmt, n_name FROM nation
+        |      UNION ALL SELECT 'json', n_name FROM nation
+        |      UNION ALL SELECT 'orc', n_name FROM nation) u
+        |GROUP BY fmt ORDER BY fmt""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -116,3 +116,34 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 }
+
+/** Contract-visible multi-format round-trip: write `nation` through
+  * each non-parquet provider, read it back through the Catalog, and
+  * report per-format row/name counts. The oracle is the invariant
+  * (counts survive any faithful round-trip), so this runs under the
+  * DuckDB gate even though DuckDB never sees the temp files.
+  */
+object SourceRoundtrip {
+  def qSourceRoundtrip(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val cat = new Catalog(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+    val nation = t.nation
+    val perFmt = Seq("csv", "json", "orc").map { fmt =>
+      val path = s"$base/$fmt"
+      val w = nation.write.mode("overwrite")
+      fmt match {
+        case "csv" => w.option("header", "true").csv(path)
+        case "json" => w.json(path)
+        case "orc" => w.orc(path)
+      }
+      cat.read(fmt, path)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("n_name")).as("n_names"))
+        .withColumn("fmt", lit(fmt))
+        .select("fmt", "n_rows", "n_names")
+    }
+    perFmt.reduce(_ unionAll _).orderBy("fmt")
+  }
+}
