@@ -280,7 +280,11 @@ object Relational {
   }
 
   /** ntile quartiles of customers by account balance + per-quartile
-    * stats: one window pass for bucketing, one agg.
+    * stats: one window pass for bucketing, one agg. CAVEAT: an
+    * unpartitioned ntile needs a global total order → one task holds
+    * the whole input. Correct for dimension-sized tables like
+    * customer; for fact-scale quantiles use qPercentile's
+    * approx/exact cuts and bucket by comparison instead.
     */
   def qNtile(t: Tables): DataFrame =
     t.customer

@@ -159,6 +159,10 @@ object Similarity {
       .withColumn("_d",
         aggregate(zip_with(col("embedding"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      // corrupt/null vectors yield null distances; exclude them HERE so
+      // both physical paths below classify identically (min_by skips
+      // null orderings, a window sort would rank them first)
+      .filter(col("_d").isNotNull)
     if (topN == 1) {
       val carried = e.columns.filterNot(_ == "vec_id")
       scored.groupBy("vec_id")

@@ -64,9 +64,11 @@ final class QueryService(val spark: SparkSession) {
     spark.catalog.listTables().collect().map(_.name).toSeq
 
   /** EXPLAIN endpoint: the optimized + physical plan for a statement
-    * without executing it — the service parity for plan inspection.
+    * without executing it. Goes through SQL `EXPLAIN FORMATTED` —
+    * `spark.sql(query).queryExecution` would EXECUTE command plans
+    * (INSERT/DROP run eagerly at Dataset construction since Spark
+    * 3.2); the EXPLAIN command only ever plans its child.
     */
   def explain(query: String): String =
-    spark.sql(query).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    spark.sql(s"EXPLAIN FORMATTED $query").head().getString(0)
 }

@@ -124,26 +124,44 @@ object Tables {
   * DuckDB gate even though DuckDB never sees the temp files.
   */
 object SourceRoundtrip {
+
+  // Contract query functions are constructed freely (plan audits,
+  // explain tooling), so the write side effect is memoized per
+  // (session, sfDir): first construction writes the three formats,
+  // later constructions reuse the files. Shutdown hook cleans up.
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def writeOnce(t: Tables): String =
+    written.computeIfAbsent(s"${t.spark.hashCode}:${t.sfDir}", { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }
+      val nation = t.nation
+      Seq("csv", "json", "orc").foreach { fmt =>
+        val w = nation.write.mode("overwrite")
+        fmt match {
+          case "csv" => w.option("header", "true").csv(s"$base/$fmt")
+          case "json" => w.json(s"$base/$fmt")
+          case "orc" => w.orc(s"$base/$fmt")
+        }
+      }
+      base
+    })
+
   def qSourceRoundtrip(t: Tables): DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = t.spark
-    val cat = new Catalog(spark)
-    val base = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
-    val nation = t.nation
-    val perFmt = Seq("csv", "json", "orc").map { fmt =>
-      val path = s"$base/$fmt"
-      val w = nation.write.mode("overwrite")
-      fmt match {
-        case "csv" => w.option("header", "true").csv(path)
-        case "json" => w.json(path)
-        case "orc" => w.orc(path)
-      }
-      cat.read(fmt, path)
+    val cat = new Catalog(t.spark)
+    val base = writeOnce(t)
+    Seq("csv", "json", "orc").map { fmt =>
+      cat.read(fmt, s"$base/$fmt")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("n_name")).as("n_names"))
         .withColumn("fmt", lit(fmt))
         .select("fmt", "n_rows", "n_names")
-    }
-    perFmt.reduce(_ unionAll _).orderBy("fmt")
+    }.reduce(_ unionAll _).orderBy("fmt")
   }
 }
