@@ -109,11 +109,10 @@ object SparkEntry {
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
-    * q_media_features, q_approx_distinct, q_dup_clusters,
-    * q_quantize_error — are rows-only BY DESIGN: their semantics are
-    * not ANSI-SQL-expressible and are property-tested in ScalaTest
-    * instead. (Keep this list equal to queries.keySet -- oracleSql
-    * .keySet.)
+    * q_media_features, q_approx_distinct, q_quantize_error — are
+    * rows-only BY DESIGN: their semantics are not ANSI-SQL-expressible
+    * and are property-tested in ScalaTest instead. (Keep this list
+    * equal to queries.keySet -- oracleSql.keySet.)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -481,6 +480,39 @@ object SparkEntry {
         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
         |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components as a transitive closure over the same pair
+    // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
+    // because UNION dedups); cluster id = component minimum
+    "q_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |  ))) AS shingle FROM d),
+        |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
+        |c AS (SELECT doc_id, shingle FROM s
+        |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+        |  WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |      UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
         | floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

@@ -51,6 +51,32 @@ object Dedup {
       .select("content_hash", "keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Memoized scored candidate pairs, shared by every near-dup
+    * consumer (qNgramJaccard, qDupClusters). The shingle explode +
+    * inverted-index self-join is the expensive stage; its output — one
+    * row per candidate pair with the Jaccard score, tiny relative to
+    * the corpus — is computed eagerly once per (session, corpus,
+    * params) and cached. The big intermediate (the capped inverted
+    * index) is unpersisted as soon as the pairs materialize, and the
+    * LRU bound unpersists the eldest pair table when invocations roam
+    * across corpora — nothing accumulates for the session lifetime.
+    * Unfiltered by threshold so consumers with different thresholds
+    * share one entry.
+    */
+  def ngramPairs(t: Tables, k: Int = 5, dfCap: Int = 50): DataFrame =
+    pairsCache.synchronized {
+      val key = PairsKey(System.identityHashCode(t.spark), t.sfDir, k, dfCap)
+      val hit = pairsCache.get(key)
+      if (hit != null) hit
+      else { val built = buildNgramPairs(t, k, dfCap); pairsCache.put(key, built); built }
+    }
+
+  private case class PairsKey(session: Int, sfDir: String, k: Int, dfCap: Int)
+  private val pairsCache = new java.util.LinkedHashMap[PairsKey, DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[PairsKey, DataFrame]): Boolean =
+      if (size > 2) { e.getValue.unpersist(); true } else false
+  }
+
   /** Word-k-gram Jaccard near-dup pairs via inverted-index self-join.
     *
     * shingle → (shingle, doc) index → DF-capped → equi-self-join on
@@ -60,8 +86,7 @@ object Dedup {
     * posting list (at web scale, boilerplate shingles) to `dfCap²`
     * pairs.
     */
-  def qNgramJaccard(t: Tables, k: Int = 5, dfCap: Int = 50,
-      threshold: Double = 0.6): DataFrame = {
+  private def buildNgramPairs(t: Tables, k: Int, dfCap: Int): DataFrame = {
     // The corpus arrives as few parquet row groups locally — spread
     // the CPU-heavy shingling across all cores (a no-op rebalance on
     // a many-file 100 TB corpus). Docs shorter than k tokens produce
@@ -86,10 +111,7 @@ object Dedup {
       .filter(col("df") > dfCap).select("shingle")
     // The capped inverted index feeds three consumers (per-doc counts
     // and both self-join sides); persist so the shingle explode +
-    // anti-join runs once, spilling to disk at scale. CacheManager
-    // dedups by plan, so repeated invocations over the same sfDir
-    // share ONE cache entry for the session (drop it with
-    // spark.catalog.clearCache() if memory-constrained).
+    // anti-join runs once, spilling to disk at scale.
     val capped = shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,15 +120,26 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val scored = pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 2))
-      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()     // materialize now, while the index is cached
+    capped.unpersist() // then release the only big intermediate
+    scored
   }
+
+  /** Near-dup pair report at a Jaccard threshold (see ngramPairs for
+    * the cached pipeline).
+    */
+  def qNgramJaccard(t: Tables, k: Int = 5, dfCap: Int = 50,
+      threshold: Double = 0.6): DataFrame =
+    ngramPairs(t, k, dfCap)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
 
   /** MinHash + LSH near-dup (rows-only; MinHashSpec validates the
     * estimator). Signature is one codegen'd expression (n mins from 2
@@ -117,7 +150,14 @@ object Dedup {
   def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Docs with fewer than shingleSize tokens have NO shingles — their
+    // signature is the all-MaxValue sentinel, and banding would put
+    // every such doc in one bucket (a quadratic blowup at web scale)
+    // and report them as jaccard-1.0 duplicates sharing no content.
+    // Drop them before signing, mirroring the ngram oracle's length
+    // guard.
     val sig = t.documents.repartition(col("doc_id"))
+      .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("text"), numHashes, shingleSize).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
@@ -147,7 +187,11 @@ object Dedup {
     * runs only on candidates.
     */
   def qSimhash(t: Tables, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
+    // Same zero-shingle guard as qMinhashLsh: simhash of no shingles
+    // is 0L, so all short docs would band together and report
+    // hamming=0 "duplicates".
     val sigs = t.documents.repartition(col("doc_id"))
+      .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
       .select(col("doc_id"), GraftFunctions.simhash64(col("text"), shingleSize).as("sh"))
     val banded = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
@@ -202,15 +246,24 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: min-label propagation still changing $changed labels " +
+          s"after $maxIters rounds — components with diameter > $maxIters are " +
+          "returned SPLIT; raise maxIters for deep duplicate chains")
     labels
   }
 
-  /** Near-dup clusters over the corpus (rows-only; DupClusterSpec
-    * proves components on known graphs): n-gram Jaccard pairs →
-    * connected components → cluster roster.
+  /** Near-dup clusters over the corpus: n-gram Jaccard pairs →
+    * connected components → cluster roster. Shares the memoized pair
+    * table with qNgramJaccard (the CC loop never recomputes the
+    * shingle pipeline); oracled in DuckDB via a recursive-CTE
+    * transitive closure, and DupClusterSpec proves components on
+    * known graphs.
     */
-  def qDupClusters(t: Tables): DataFrame =
-    dupClusters(qNgramJaccard(t).select("doc_a", "doc_b"))
+  def qDupClusters(t: Tables, threshold: Double = 0.6): DataFrame =
+    dupClusters(ngramPairs(t).filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
   /** Embedding-cosine near-dup, label-blocked: pairs are generated

@@ -269,12 +269,14 @@ object Relational {
     * named groupings in one pass, via the SQL surface.
     */
   def qGroupingSets(t: Tables): DataFrame = {
-    t.lineitem.createOrReplaceTempView("lineitem")
+    // __graft_-prefixed view: in the shared-session service model a
+    // generic name would silently clobber a user-registered view
+    t.lineitem.createOrReplaceTempView("__graft_gs_lineitem")
     t.spark.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
         |       count(*) AS cnt
-        |FROM lineitem
+        |FROM __graft_gs_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin)
   }
@@ -382,18 +384,19 @@ object Relational {
     */
   def qSqlCte(t: Tables): DataFrame = {
     // register only what the query touches (registerAll reads 10
-    // parquet footers; the service path registers on demand)
-    t.orders.createOrReplaceTempView("orders")
-    t.customer.createOrReplaceTempView("customer")
+    // parquet footers; the service path registers on demand);
+    // __graft_-prefixed so a user view named "orders" survives
+    t.orders.createOrReplaceTempView("__graft_cte_orders")
+    t.customer.createOrReplaceTempView("__graft_cte_customer")
     t.spark.sql(
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS total
-        |  FROM orders GROUP BY o_custkey
+        |  FROM __graft_cte_orders GROUP BY o_custkey
         |)
         |SELECT c_mktsegment,
         |       count(*) AS n_cust,
         |       round(avg(total), 2) AS avg_spend
-        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |FROM __graft_cte_customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)
   }

@@ -37,6 +37,18 @@ class MergeQuantizeSpec extends SparkSpecBase {
     assert(causes(e).exists(m => m != null && m.contains("multiple update rows")), e.getMessage)
   }
 
+  test("upsert raises on a null merge key (no silent dual-retention)") {
+    import spark.implicits._
+    val snapshot = Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("id", "name")
+    val updates = Seq((Option.empty[Long], "b2")).toDF("id", "name")
+    val e = intercept[Exception] {
+      Merge.upsert(snapshot, updates, "id").collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("null id")), e.getMessage)
+  }
+
   test("int8 quantization keeps cosine fidelity above 0.999 on real embeddings") {
     val report = Quantize.qQuantizeError(tables).collect()
     assert(report.length == tables.embeddings.count())
