@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted IVF (inverted-file) ANN index: the k-row coarse-quantizer
+  * centroid table plus the cell-assigned corpus (the inverted file).
+  * Build once, probe many — a real similarity service trains the
+  * quantizer off the query path and serves probes against the stored
+  * index; `qAnnIvf` re-training Lloyd per call was round-2's
+  * second-most expensive query.
+  *
+  * On disk the inverted file is PARTITIONED BY cell, so a probe's scan
+  * prunes to the `nprobe` visited cells (PartitionFilters, not a full
+  * read) — the layout that matters at 100 TB, where each cell is a
+  * directory of parquet files and a probe touches nprobe/k of the
+  * corpus.
+  */
+final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+
+  def save(dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  def unpersist(): Unit = { centroids.unpersist(); assigned.unpersist(); () }
+}
+
+object IvfIndex {
+
+  /** Train the coarse quantizer and assign the full corpus, eagerly.
+    * `trainMod > 1` trains Lloyd on a deterministic 1/trainMod hash
+    * sample of the corpus (the standard large-scale recipe — quantizer
+    * quality needs a representative sample, not every vector) while
+    * the assignment pass still covers every vector with one broadcast
+    * join.
+    */
+  def build(e: DataFrame, cells: Int = 16, iters: Int = 2,
+      trainMod: Int = 1): IvfIndex = {
+    val train =
+      if (trainMod > 1) e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+      else e
+    val centroids = Similarity.ivfCentroids(train, cells, iters) // persisted inside
+    val assigned = Similarity.assignCells(e, centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Reopen a saved index. The partition column comes back from
+    * directory names (integer-inferred) — recast to long so probe
+    * joins and saved/loaded plans are type-identical.
+    */
+  def load(spark: SparkSession, dir: String): IvfIndex = IvfIndex(
+    spark.read.parquet(s"$dir/centroids").persist(),
+    spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("long")))
+}

@@ -184,21 +184,17 @@ object Similarity {
   def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
     nearestCells(e, centroids, topN = 1)
 
-  /** IVF-probed ANN (rows-only; AnnSpec checks recall): queries rank
-    * cells by centroid distance and scan only the `nprobe` nearest
-    * cells' posting lists. Candidate volume ≈ n·nprobe/k per query —
-    * the classic IVF trade; at cluster scale the posting lists are
-    * partitions keyed by cell.
+  /** Probe a prebuilt IVF index: each query ranks cells by centroid
+    * distance and scans only the `nprobe` nearest cells' posting
+    * lists. Candidate volume ≈ n·nprobe/k per query — the classic IVF
+    * trade; against a saved index the cell is a partition column, so
+    * the scan prunes to the visited cells.
     */
-  def qAnnIvf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
-      k: Int = 10, cells: Int = 16, nprobe: Int = 3, iters: Int = 2): DataFrame = {
-    val e = t.embeddings
-    val centroids = ivfCentroids(e, cells, iters)
-    val assigned = assignCells(e, centroids)
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-    val probes = nearestCells(q, centroids, topN = nprobe)
+  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val probes = nearestCells(queries, index.centroids, topN = nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
-    assigned.join(broadcast(probes), "cell")
+    index.assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
@@ -207,6 +203,37 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "cos", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  // Build-once index memo (same pattern as Dedup.ngramPairs): contract
+  // query invocations and plan audits must not retrain Lloyd per call.
+  // LRU-bounded; eviction unpersists both index DataFrames.
+  private case class IvfKey(session: Int, sfDir: String, cells: Int, iters: Int)
+  private val ivfCache = new java.util.LinkedHashMap[IvfKey, IvfIndex](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[IvfKey, IvfIndex]): Boolean =
+      if (size > 2) { e.getValue.unpersist(); true } else false
+  }
+
+  /** Memoized corpus index for the contract query. */
+  def corpusIndex(t: Tables, cells: Int = 16, iters: Int = 2): IvfIndex =
+    ivfCache.synchronized {
+      val key = IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters)
+      val hit = ivfCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = IvfIndex.build(t.embeddings, cells, iters)
+        ivfCache.put(key, built); built
+      }
+    }
+
+  /** IVF-probed ANN (rows-only; AnnSpec checks recall): build-once
+    * index (memoized per corpus), then probe.
+    */
+  def qAnnIvf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, cells: Int = 16, nprobe: Int = 3, iters: Int = 2): DataFrame = {
+    val index = corpusIndex(t, cells, iters)
+    val q = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+    ivfProbe(index, q, k, nprobe)
   }
 
   /** Higher-order array functions over embeddings — the

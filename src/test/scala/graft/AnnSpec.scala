@@ -38,6 +38,33 @@ class AnnSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean IVF recall $mean")
   }
 
+  test("saved IVF index probes identically after load, with cell pruning") {
+    import graft.operators.IvfIndex
+    val queries = Seq(1L, 2L, 3L)
+    val built = Similarity.corpusIndex(tables, cells = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      built.save(dir)
+      val loaded = IvfIndex.load(spark, dir)
+      val q = tables.embeddings.filter(
+        org.apache.spark.sql.functions.col("vec_id").isin(queries: _*))
+      val fromBuilt = Similarity.ivfProbe(built, q).collect().map(_.toString).sorted
+      val fromLoaded = Similarity.ivfProbe(loaded, q).collect().map(_.toString).sorted
+      assert(fromLoaded.sameElements(fromBuilt),
+        "probe against the loaded index diverges from the in-memory index")
+      // the saved inverted file is partitioned by cell → the probe scan
+      // must prune partitions, not read the whole corpus
+      val plan = Similarity.ivfProbe(loaded, q).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"expected cell partition pruning in:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("brute-force cosine scores are in [-1, 1] and ranked descending") {
     val rows = Similarity.qAnnBruteforce(tables).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
