@@ -1,0 +1,127 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Zero-dependency HTTP adapter over [[QueryService]] — the
+  * reference's defining shape is a REST SQL service (Play in the
+  * reference; the JDK's built-in httpserver here, since Play is not in
+  * the build environment). Every endpoint is a thin translation to one
+  * QueryService method; no query logic lives in this layer.
+  *
+  *   POST /sql      {"query": "...", "limit": 1000}    → {"rows": [...], "count": n}
+  *   POST /explain  {"query": "..."}                   → {"plan": "..."}
+  *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
+  *   GET  /tables                                      → {"tables": [...]}
+  *
+  * Errors return 400 with {"error": message}; wrong methods 405. The
+  * row payload reuses `sqlJson`'s hard collect cap — a service must
+  * never stream an unbounded result to one driver response; page with
+  * LIMIT/OFFSET for more.
+  */
+final class HttpQueryService(val service: QueryService, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.setExecutor(pool)
+  server.createContext("/sql", post { body =>
+    val limit = if (body.has("limit")) body.get("limit").asInt else 1000
+    val rows = service.sqlJson(text(body, "query"), limit)
+    s"""{"rows":[${rows.mkString(",")}],"count":${rows.size}}"""
+  })
+  server.createContext("/explain", post { body =>
+    val node = mapper.createObjectNode()
+    node.put("plan", service.explain(text(body, "query")))
+    mapper.writeValueAsString(node)
+  })
+  server.createContext("/register", post { body =>
+    val name = text(body, "name")
+    val options =
+      if (!body.has("options")) Map.empty[String, String]
+      else {
+        import scala.jdk.CollectionConverters._
+        body.get("options").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+    val df = service.registerSource(name, text(body, "format"), text(body, "path"), options)
+    val node = mapper.createObjectNode()
+    node.put("registered", name)
+    val cols = node.putArray("columns")
+    df.columns.foreach(cols.add)
+    mapper.writeValueAsString(node)
+  })
+  server.createContext("/tables", exchange =>
+    if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
+    else
+      try {
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("tables")
+        service.listTables().foreach(arr.add)
+        reply(exchange, 200, mapper.writeValueAsString(node))
+      } catch { case NonFatal(e) => reply(exchange, 400, err(e.toString)) })
+
+  private def text(body: com.fasterxml.jackson.databind.JsonNode, field: String): String = {
+    require(body.has(field), s"missing field '$field'")
+    body.get(field).asText()
+  }
+
+  private def err(msg: String): String = {
+    val node = mapper.createObjectNode()
+    node.put("error", msg)
+    mapper.writeValueAsString(node)
+  }
+
+  private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
+    if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
+    else
+      try {
+        val raw = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        reply(exchange, 200, handle(mapper.readTree(raw)))
+      } catch { case NonFatal(e) => reply(exchange, 400, err(e.toString)) }
+
+  private def reply(exchange: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os = exchange.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  def start(): HttpQueryService = { server.start(); this }
+
+  /** Actual bound port (pass port=0 to pick a free one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+/** Standalone service entry point:
+  * {{{
+  *   sbt "runMain graft.service.HttpServiceMain 8890 /root/testdata/sf0.01"
+  *   curl -s localhost:8890/sql -d '{"query":"SELECT count(*) AS n FROM lineitem"}'
+  * }}}
+  * The optional second argument registers every test table from that
+  * directory at startup.
+  */
+object HttpServiceMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8890)
+    val spark = graft.engine.GraftSession.builder(appName = "graft-http").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val service = new QueryService(spark)
+    args.drop(1).headOption.foreach { dir =>
+      graft.sources.Tables(spark, dir).registerAll()
+    }
+    val http = new HttpQueryService(service, port).start()
+    println(s"[graft-http] listening on ${http.boundPort}")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.service.{HttpQueryService, QueryService}
+
+class HttpServiceSpec extends SparkSpecBase {
+
+  private lazy val service = new QueryService(spark)
+  private lazy val http = new HttpQueryService(service, port = 0).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${http.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${http.boundPort}$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /register + /sql round-trips a parquet table over HTTP") {
+    val reg = post("/register",
+      s"""{"name":"http_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    assert(reg.statusCode == 200 && reg.body.contains("\"registered\":\"http_nation\""), reg.body)
+    assert(reg.body.contains("n_name"), reg.body)
+
+    val res = post("/sql",
+      """{"query":"SELECT n_name FROM http_nation ORDER BY n_nationkey LIMIT 2"}""")
+    assert(res.statusCode == 200, res.body)
+    // HTTP rows must be byte-identical to the library-level sqlJson rows
+    val expected = service
+      .sqlJson("SELECT n_name FROM http_nation ORDER BY n_nationkey LIMIT 2")
+    assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2}""", res.body)
+  }
+
+  test("POST /sql honors the collect limit") {
+    post("/register",
+      s"""{"name":"http_orders","format":"parquet","path":"${TestSpark.sfDir}/orders.parquet"}""")
+    val res = post("/sql", """{"query":"SELECT o_orderkey FROM http_orders","limit":7}""")
+    assert(res.statusCode == 200 && res.body.endsWith(""","count":7}"""), res.body)
+  }
+
+  test("GET /tables lists registered sources") {
+    post("/register",
+      s"""{"name":"http_region","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
+    val res = get("/tables")
+    assert(res.statusCode == 200 && res.body.contains("http_region"), res.body)
+  }
+
+  test("POST /explain returns the plan without executing") {
+    post("/register",
+      s"""{"name":"http_nation2","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    val res = post("/explain", """{"query":"SELECT count(*) FROM http_nation2"}""")
+    assert(res.statusCode == 200 && res.body.contains("Physical Plan"), res.body)
+  }
+
+  test("malformed requests get a 400 with an error payload, bad methods a 405") {
+    val badSql = post("/sql", """{"query":"SELECT FROM nope"}""")
+    assert(badSql.statusCode == 400 && badSql.body.contains("\"error\""), badSql.body)
+    val missing = post("/sql", """{"limit":5}""")
+    assert(missing.statusCode == 400 && missing.body.contains("missing field"), missing.body)
+    val wrongMethod = get("/sql")
+    assert(wrongMethod.statusCode == 405, wrongMethod.body)
+  }
+}
