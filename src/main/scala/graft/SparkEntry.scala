@@ -49,6 +49,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.qRollup(t(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(t(s, d))),
     "q_ntile" -> ((s, d) => Relational.qNtile(t(s, d))),
+    "q_ntile_scaled" -> ((s, d) => Relational.qNtileScaled(t(s, d))),
     "q_first_last" -> ((s, d) => Relational.qFirstLast(t(s, d))),
     "q_cube" -> ((s, d) => Relational.qCube(t(s, d))),
     "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
@@ -252,6 +253,20 @@ object SparkEntry {
         |    cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
         |  FROM customer) t
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_ntile_scaled" ->
+      """WITH cuts AS (
+        |  SELECT floor((quantile_cont(c_acctbal, 0.25)) * 100 + 0.5) / 100 AS q1,
+        |         floor((quantile_cont(c_acctbal, 0.50)) * 100 + 0.5) / 100 AS q2,
+        |         floor((quantile_cont(c_acctbal, 0.75)) * 100 + 0.5) / 100 AS q3
+        |  FROM customer)
+        |SELECT cast(1 + (CASE WHEN c_acctbal > q1 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c_acctbal > q2 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c_acctbal > q3 THEN 1 ELSE 0 END) AS INTEGER) AS quartile,
+        |       count(*) AS n,
+        |       floor((min(c_acctbal)) * 100 + 0.5) / 100 AS lo,
+        |       floor((max(c_acctbal)) * 100 + 0.5) / 100 AS hi
+        |FROM customer CROSS JOIN cuts
+        |GROUP BY 1 ORDER BY quartile""".stripMargin,
     "q_first_last" ->
       """SELECT o_custkey, o_orderkey,
         | first_value(o_orderkey) OVER w AS first_order,

@@ -282,11 +282,11 @@ object Relational {
   }
 
   /** ntile quartiles of customers by account balance + per-quartile
-    * stats: one window pass for bucketing, one agg. CAVEAT: an
-    * unpartitioned ntile needs a global total order → one task holds
-    * the whole input. Correct for dimension-sized tables like
-    * customer; for fact-scale quantiles use qPercentile's
-    * approx/exact cuts and bucket by comparison instead.
+    * stats: one window pass for bucketing, one agg. An unpartitioned
+    * ntile needs a global total order → one task holds the whole
+    * input, so this form is scoped to dimension-sized tables;
+    * qNtileScaled is the same bucketing without the global window for
+    * fact-scale inputs.
     */
   def qNtile(t: Tables): DataFrame =
     t.customer
@@ -297,6 +297,31 @@ object Relational {
         round(min("c_acctbal"), 2).as("lo"),
         round(max("c_acctbal"), 2).as("hi"))
       .orderBy("quartile")
+
+  /** Quantile bucketing at fact scale: quartile cut points from ONE
+    * exact-percentile aggregation (a 3-value broadcast row), bucket
+    * assignment by comparison — a pure projection. No global total
+    * order anywhere, so the plan is two hash aggs + a broadcast,
+    * partition-parallel end to end. Buckets are value-cut rather than
+    * exactly count-balanced (ties share a bucket) — the right trade
+    * when the input doesn't fit one task.
+    */
+  def qNtileScaled(t: Tables): DataFrame = {
+    val cuts = t.customer.agg(
+      round(expr("percentile(c_acctbal, 0.25D)"), 2).as("q1"),
+      round(expr("percentile(c_acctbal, 0.50D)"), 2).as("q2"),
+      round(expr("percentile(c_acctbal, 0.75D)"), 2).as("q3"))
+    t.customer.crossJoin(broadcast(cuts))
+      .withColumn("quartile",
+        lit(1) + when(col("c_acctbal") > col("q1"), 1).otherwise(0)
+               + when(col("c_acctbal") > col("q2"), 1).otherwise(0)
+               + when(col("c_acctbal") > col("q3"), 1).otherwise(0))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo"),
+        round(max("c_acctbal"), 2).as("hi"))
+      .orderBy("quartile")
+  }
 
   /** first_value/last_value over an explicit full-partition frame:
     * each order annotated with its customer's first and latest order

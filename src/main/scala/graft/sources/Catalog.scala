@@ -39,9 +39,10 @@ object OrcSource extends SourceProvider {
     spark.read.options(options).orc(path)
 }
 
-/** JDBC-style external source. No JDBC driver ships in the build
-  * environment, so this provider only builds the reader plan; it is
-  * exercised for construction, not execution, in tests.
+/** JDBC external source. Exercised at execution against embedded
+  * Derby (the one driver in the Spark jars directory) in SourcesSpec;
+  * any other driver works the same way once its jar is on the
+  * classpath.
   */
 object JdbcSource extends SourceProvider {
   val format = "jdbc"

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/** Streaming twin of `graft.sources.SourceProvider`: a named factory
+  * for an unbounded DataFrame. Pipelines (`EventStreams.*`) take the
+  * produced DataFrame, so "the source becomes Kafka with no code
+  * change" is structural — swapping file → memory → kafka is a
+  * constructor swap at the edge, never a pipeline edit.
+  */
+trait StreamSourceProvider {
+  def name: String
+  def readStream(spark: SparkSession): DataFrame
+}
+
+/** Drop-in directory source: new files under `path` are consumed
+  * incrementally (the standard landing-zone pattern; at scale the
+  * directory is an object-store prefix fed by an ingestion job).
+  * Streaming file sources require an explicit schema — inference
+  * would race the arriving files.
+  */
+final case class FileStreamSource(format: String, path: String, schema: StructType,
+    options: Map[String, String] = Map.empty) extends StreamSourceProvider {
+  val name = s"file-$format"
+  def readStream(spark: SparkSession): DataFrame = {
+    val r = spark.readStream.schema(schema).options(options)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "json"    => r.json(path)
+      case "csv"     => r.csv(path)
+      case other     => r.format(other).load(path)
+    }
+  }
+}
+
+/** Test/dev source over an in-process buffer; `add` feeds batches. */
+final class MemoryStreamSource[A: Encoder](spark: SparkSession)
+    extends StreamSourceProvider {
+  val name = "memory"
+  // MemoryStream is classic-only (it's a dev/test source; connect
+  // sessions use file/kafka sources instead)
+  private implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+    spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+  private val stream = MemoryStream[A]
+  def add(rows: A*): Unit = { stream.addData(rows); () }
+  def readStream(spark: SparkSession): DataFrame = stream.toDF()
+}
+
+/** Kafka-shaped source: the exact reader plan a production deployment
+  * uses (topic subscription + offset policy). The kafka connector jar
+  * is not in this environment, so `load()` raises
+  * DATA_SOURCE_NOT_FOUND here; with `spark-sql-kafka` on the
+  * classpath the same construction streams from a broker.
+  */
+final case class KafkaStreamSource(bootstrapServers: String, topic: String,
+    startingOffsets: String = "latest") extends StreamSourceProvider {
+  val name = "kafka"
+  def readStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+}

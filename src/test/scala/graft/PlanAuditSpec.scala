@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_ann_ivf",         // k-row centroid table
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
-    "q_resample"         // |types| x 24 grid
+    "q_resample",        // |types| x 24 grid
+    "q_ntile_scaled"     // 1-row quartile cut points
   )
 
   test("no unintentional cartesian/nested-loop joins in any contract query") {

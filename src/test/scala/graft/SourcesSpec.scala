@@ -90,7 +90,7 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
   }
 
-  test("jdbc provider builds a reader plan (no driver in env)") {
+  test("jdbc provider builds a reader plan even with a bogus driver") {
     val cat = new Catalog(spark)
     // constructing the JDBC read fails only at connect time with no
     // driver; the provider path itself must resolve the format
@@ -99,5 +99,23 @@ class SourcesSpec extends SparkSpecBase {
         Map("dbtable" -> "t", "driver" -> "no.such.Driver")).count()
     }
     assert(e != null)
+  }
+
+  test("jdbc round-trip executes against embedded Derby") {
+    // Derby ships in the Spark jars directory (the Hive metastore
+    // backend), so the JDBC provider can be exercised at EXECUTION,
+    // not just plan construction: write nation out, read it back.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = Map(
+      "dbtable" -> "nation_jdbc",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    tables.nation.select("n_nationkey", "n_name")
+      .write.format("jdbc")
+      .option("url", url).options(props).mode("overwrite").save()
+    val back = new Catalog(spark).read("jdbc", url, props)
+    assert(back.count() == 25)
+    val names = back.select("n_name").collect().map(_.getString(0).trim).toSet
+    val orig = tables.nation.select("n_name").collect().map(_.getString(0)).toSet
+    assert(names == orig)
   }
 }

@@ -109,9 +109,10 @@ class StreamingSpec extends SparkSpecBase {
     val chk = java.nio.file.Files.createTempDirectory("graft-chk").toString
     Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(15), 2, "view", 2.0))
       .toDS().write.mode("append").parquet(dir)
-    val stream = spark.readStream
-      .schema(Seq.empty[Event].toDS().schema)
-      .parquet(dir)
+    // same pipeline, source supplied through the provider trait
+    val stream = graft.streaming
+      .FileStreamSource("parquet", dir, Seq.empty[Event].toDS().schema)
+      .readStream(spark)
     val q = EventStreams.hourlyCounts(stream, watermark = "1 minute")
       .writeStream.format("memory").queryName("file_hourly")
       .option("checkpointLocation", chk)
@@ -153,6 +154,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(out.count() == 3)
       assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
     } finally q2.stop()
+  }
+
+  test("memory-source provider drives the same pipeline as raw MemoryStream") {
+    import spark.implicits._
+    val src = new graft.streaming.MemoryStreamSource[Event](spark)
+    src.add(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(70), 2, "view", 2.0))
+    val q = EventStreams.hourlyCounts(src.readStream(spark), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("provider_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("provider_hourly").collect()
+      assert(rows.map(_.getAs[Long]("cnt")).sum == 2)
+    } finally q.stop()
+  }
+
+  test("kafka-shaped source pins the production reader signature (env-blocked)") {
+    // no kafka connector jar in this environment: construction must
+    // fail at data-source lookup, NOT at option/plan assembly
+    val e = intercept[Throwable] {
+      graft.streaming.KafkaStreamSource("broker:9092", "events").readStream(spark)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.toLowerCase.contains("kafka")), e.toString)
   }
 
   test("batch q_events_hourly mirrors the streaming aggregation shape") {
