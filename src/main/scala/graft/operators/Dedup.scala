@@ -224,9 +224,10 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var cached = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist()
+    var labels = cached
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -235,14 +236,18 @@ object Dedup {
           col("dst") === col("dst_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("n_min"))
+      // carry the did-it-improve flag as a COLUMN so the convergence
+      // check is a filter over the freshly persisted round, not a
+      // second join job against the previous labels
       val next = labels.join(viaNeighbors, "doc_id")
         .select(col("doc_id"),
-          least(col("cluster_id"), col("n_min")).as("cluster_id"))
+          least(col("cluster_id"), col("n_min")).as("cluster_id"),
+          (col("n_min") < col("cluster_id")).as("_changed"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.drop("_changed")
       it += 1
     }
     edges.unpersist()

@@ -42,9 +42,10 @@ object IvfIndex {
       if (trainMod > 1) e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
       else e
     val centroids = Similarity.ivfCentroids(train, cells, iters) // persisted inside
+    // persisted lazily: the first probe (or save) fills the cache with
+    // the same single pass an eager count would spend
     val assigned = Similarity.assignCells(e, centroids)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
     IvfIndex(centroids, assigned)
   }
 

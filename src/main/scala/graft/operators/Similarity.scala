@@ -121,6 +121,16 @@ object Similarity {
     * as a partition column.
     */
   def ivfCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    // one row, read once: the vector width drives the fixed-size
+    // aggregation buffer below
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // element-wise mean as ONE hash agg with a fixed (dim+1)-double
+    // buffer (CentroidAgg): map-side partials, a single k-group
+    // shuffle — the posexplode → (cell,pos) avg → re-collect pipeline
+    // it replaces shuffled 64×n rows through two aggregations per
+    // Lloyd iteration.
+    val mean = udaf(new graft.functions.CentroidAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     // deterministic pseudo-random seeds: k lowest hashes of vec_id
     var centroids = e
       .withColumn("_h", xxhash64(col("vec_id")))
@@ -130,13 +140,10 @@ object Similarity {
       // tiny (k rows): keep the plan stable across iterations
       .persist()
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(e, centroids)
-      val next = assigned
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cell").agg(
-          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+      val next = assignCells(e, centroids)
+        .groupBy("cell")
+        .agg(mean(col("embedding")).as("m"))
+        .select(col("cell"), col("m").cast("array<float>").as("centroid"))
         .persist()
       next.count() // materialize before releasing the parent's cache
       centroids.unpersist()
