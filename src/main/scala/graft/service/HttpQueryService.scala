@@ -16,6 +16,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   *   POST /sql      {"query": "...", "limit": 1000}    → {"rows": [...], "count": n}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
+  *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
   *   GET  /tables                                      → {"tables": [...]}
   *
@@ -40,6 +41,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0) {
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))
     mapper.writeValueAsString(node)
+  })
+  server.createContext("/submit", post { body =>
+    val name = text(body, "name")
+    service.submit(name, text(body, "query"))
+    s"""{"submitted":${mapper.writeValueAsString(mapper.getNodeFactory.textNode(name))}}"""
   })
   server.createContext("/register", post { body =>
     val name = text(body, "name")

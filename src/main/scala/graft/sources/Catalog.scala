@@ -52,7 +52,7 @@ object JdbcSource extends SourceProvider {
 
 final class Catalog(val spark: SparkSession) {
   private val providers: Map[String, SourceProvider] =
-    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource)
+    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource, VTableSource)
       .map(p => p.format -> p).toMap
 
   def read(format: String, path: String, options: Map[String, String] = Map.empty): DataFrame =

@@ -45,6 +45,16 @@ class HttpServiceSpec extends SparkSpecBase {
     assert(res.statusCode == 200 && res.body.endsWith(""","count":7}"""), res.body)
   }
 
+  test("POST /submit publishes a named result queryable by later /sql") {
+    post("/register",
+      s"""{"name":"http_nation3","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    val sub = post("/submit",
+      """{"name":"big_nations","query":"SELECT n_name FROM http_nation3 WHERE n_nationkey >= 20"}""")
+    assert(sub.statusCode == 200 && sub.body == """{"submitted":"big_nations"}""", sub.body)
+    val res = post("/sql", """{"query":"SELECT count(*) AS n FROM big_nations"}""")
+    assert(res.statusCode == 200 && res.body.contains("\"n\":5"), res.body)
+  }
+
   test("GET /tables lists registered sources") {
     post("/register",
       s"""{"name":"http_region","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
