@@ -64,18 +64,12 @@ object Dedup {
     * share one entry.
     */
   def ngramPairs(t: Tables, k: Int = 5, dfCap: Int = 50): DataFrame =
-    pairsCache.synchronized {
-      val key = PairsKey(System.identityHashCode(t.spark), t.sfDir, k, dfCap)
-      val hit = pairsCache.get(key)
-      if (hit != null) hit
-      else { val built = buildNgramPairs(t, k, dfCap); pairsCache.put(key, built); built }
-    }
+    pairsCache.getOrBuild(PairsKey(System.identityHashCode(t.spark), t.sfDir, k, dfCap))(
+      buildNgramPairs(t, k, dfCap))
 
   private case class PairsKey(session: Int, sfDir: String, k: Int, dfCap: Int)
-  private val pairsCache = new java.util.LinkedHashMap[PairsKey, DataFrame](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[PairsKey, DataFrame]): Boolean =
-      if (size > 2) { e.getValue.unpersist(); true } else false
-  }
+  private val pairsCache =
+    new graft.util.BoundedMemo[PairsKey, DataFrame](2, _.unpersist())
 
   /** Word-k-gram Jaccard near-dup pairs via inverted-index self-join.
     *

@@ -214,24 +214,14 @@ object Similarity {
 
   // Build-once index memo (same pattern as Dedup.ngramPairs): contract
   // query invocations and plan audits must not retrain Lloyd per call.
-  // LRU-bounded; eviction unpersists both index DataFrames.
   private case class IvfKey(session: Int, sfDir: String, cells: Int, iters: Int)
-  private val ivfCache = new java.util.LinkedHashMap[IvfKey, IvfIndex](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[IvfKey, IvfIndex]): Boolean =
-      if (size > 2) { e.getValue.unpersist(); true } else false
-  }
+  private val ivfCache =
+    new graft.util.BoundedMemo[IvfKey, IvfIndex](2, _.unpersist())
 
   /** Memoized corpus index for the contract query. */
   def corpusIndex(t: Tables, cells: Int = 16, iters: Int = 2): IvfIndex =
-    ivfCache.synchronized {
-      val key = IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters)
-      val hit = ivfCache.get(key)
-      if (hit != null) hit
-      else {
-        val built = IvfIndex.build(t.embeddings, cells, iters)
-        ivfCache.put(key, built); built
-      }
-    }
+    ivfCache.getOrBuild(IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters))(
+      IvfIndex.build(t.embeddings, cells, iters))
 
   /** IVF-probed ANN (rows-only; AnnSpec checks recall): build-once
     * index (memoized per corpus), then probe.

@@ -25,7 +25,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * never stream an unbounded result to one driver response; page with
   * LIMIT/OFFSET for more.
   */
-final class HttpQueryService(val service: QueryService, port: Int = 0) {
+final class HttpQueryService(val service: QueryService, port: Int = 0,
+    maxRows: Int = 10000) {
 
   private val mapper = new ObjectMapper()
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -33,8 +34,12 @@ final class HttpQueryService(val service: QueryService, port: Int = 0) {
 
   server.setExecutor(pool)
   server.createContext("/sql", post { body =>
-    val limit = if (body.has("limit")) body.get("limit").asInt else 1000
-    val rows = service.sqlJson(text(body, "query"), limit)
+    // the cap must be SERVER-side: a client-supplied limit alone would
+    // let one request collect an unbounded result into the shared
+    // driver (page with LIMIT/OFFSET in the query for more rows)
+    val requested = if (body.has("limit")) body.get("limit").asInt else 1000
+    require(requested > 0, s"limit must be positive, got $requested")
+    val rows = service.sqlJson(text(body, "query"), math.min(requested, maxRows))
     s"""{"rows":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
   server.createContext("/explain", post { body =>

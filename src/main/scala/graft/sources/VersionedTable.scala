@@ -1,11 +1,10 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
-import scala.util.control.NonFatal
-
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.Merge
 
@@ -16,18 +15,20 @@ import graft.operators.Merge
   *   table_dir/
   *     _graft_log/v00000001.json   ordered commit log; each entry
   *     _graft_log/v00000002.json   names the EXACT data files of that
-  *     ...                         version (relative paths)
+  *     ...                         version (relative paths) + schema
   *     files-<uuid>/part-*.parquet immutable data files
   *
   * A version is committed by writing its manifest to a temp name and
-  * atomically renaming WITHOUT replace to `v{n+1}.json` — the rename
-  * either claims the version or throws, so two writers can never both
-  * commit version n+1 (optimistic concurrency; the loser retries on a
-  * fresh snapshot). Data files are written before the commit and are
-  * invisible until the manifest lands, so readers always see a
-  * complete snapshot: reads resolve a version's fixed file list, never
-  * a directory listing. This is exactly the object-store recipe —
-  * rename-if-absent maps to HDFS rename / S3 conditional put.
+  * claiming `v{n+1}.json` with `Files.createLink` — link(2) fails
+  * EEXIST atomically at the filesystem level, so two writers can never
+  * both commit version n+1 (optimistic concurrency; the loser's data
+  * files are cleaned up and it retries on a fresh snapshot). Data
+  * files land before the commit and are invisible until the manifest
+  * does, so readers always see a complete snapshot: reads resolve a
+  * version's fixed file list, never a directory listing. On
+  * filesystems without hard links the claim falls back to
+  * rename-without-replace (the HDFS/object-store recipe — there the
+  * store's own rename/conditional-put provides the same guarantee).
   *
   * MERGE is copy-on-write over the whole snapshot (`Merge.upsert` +
   * rewrite), the Delta strategy before deletion vectors; at 100 TB
@@ -49,6 +50,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   }
 
   private def listVersions(): Seq[Int] = {
+    if (!Files.isDirectory(logDir)) return Seq.empty
     val s = Files.list(logDir)
     try {
       import scala.jdk.CollectionConverters._
@@ -58,97 +60,141 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     } finally s.close()
   }
 
-  private def manifest(version: Int): Seq[String] = {
-    val node = mapper.readTree(logDir.resolve(f"v$version%08d.json").toFile)
+  private def manifest(version: Int): JsonNode =
+    mapper.readTree(logDir.resolve(f"v$version%08d.json").toFile)
+
+  private def manifestFiles(m: JsonNode): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    node.get("files").elements().asScala.map(_.asText()).toSeq
+    m.get("files").elements().asScala.map(_.asText()).toSeq
   }
 
   /** Snapshot read. `version = -1` reads the latest commit; any
     * earlier version stays readable (time travel) because data files
-    * are immutable and manifests are never rewritten.
+    * are immutable and manifests are never rewritten. An empty
+    * snapshot (e.g. overwrite with zero rows) reads back as an empty
+    * DataFrame with the committed schema.
     */
   def read(version: Int = -1): DataFrame = {
     val v = if (version == -1) currentVersion else version
     require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
-    val fs = manifest(v).map(rel => s"$dir/$rel")
-    if (fs.isEmpty) spark.read.parquet(s"$dir/_graft_empty") // unreachable: commits always carry files
-    else spark.read.parquet(fs: _*)
+    val m = manifest(v)
+    val fs = manifestFiles(m).map(rel => s"$dir/$rel")
+    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
   }
 
-  /** Write `df`'s rows as new immutable files, return their relative
-    * paths. Files live under a per-commit uuid directory, so
-    * uncommitted writes never collide and are invisible to readers.
+  /** Write `df`'s rows as new immutable files under a per-commit uuid
+    * directory (uncommitted writes never collide and are invisible to
+    * readers); returns (subdir, relative file paths).
     */
-  private def writeFiles(df: DataFrame): Seq[String] = {
+  private def writeFiles(df: DataFrame): (String, Seq[String]) = {
     val sub = s"files-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$dir/$sub")
     val s = Files.list(Paths.get(dir, sub))
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq.sorted
+      (sub, s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toSeq.sorted)
     } finally s.close()
   }
 
   /** Atomically claim version `v` with the given file list; throws
-    * ConcurrentModificationException if another writer got there
-    * first. (private[graft]: the spec races two claims directly to
-    * prove the rename-without-replace guarantee.)
+    * ConcurrentModificationException ONLY if another writer holds the
+    * version (any real I/O failure propagates untranslated).
+    * (private[graft]: the spec races two claims directly to prove the
+    * claim-once guarantee.)
     */
-  private[graft] def commit(v: Int, op: String, fileList: Seq[String]): Int = {
+  private[graft] def commit(v: Int, op: String, fileList: Seq[String],
+      schemaJson: String = null): Int = {
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("op", op)
+    if (schemaJson != null) node.put("schema", schemaJson)
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
+    Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
-    try Files.move(tmp, logDir.resolve(f"v$v%08d.json")) // no REPLACE → throws if claimed
-    catch {
-      case NonFatal(e) =>
-        Files.deleteIfExists(tmp)
+    val target = logDir.resolve(f"v$v%08d.json")
+    try {
+      try Files.createLink(target, tmp) // link(2): fails EEXIST atomically
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, target) // no-replace rename: the HDFS/object-store path
+      }
+      v
+    } catch {
+      case e: FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"commit conflict: version $v of $dir was claimed by another writer", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write + claim; a lost race deletes the just-written data files
+    * before rethrowing, so conflicts leak nothing. (private[graft]
+    * for the same race-injection reason as commit.)
+    */
+  private[graft] def commitData(v: Int, op: String, df: DataFrame,
+      carryForward: Seq[String]): Int = {
+    val (sub, fresh) = writeFiles(df)
+    try commit(v, op, carryForward ++ fresh, df.schema.json)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteTree(Paths.get(dir, sub))
+        throw e
     }
-    v
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach(deleteTree)
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
   }
 
   /** Append: next version = previous file list + the new files. */
   def append(df: DataFrame): Int = {
     val prev = currentVersion
-    val existing = if (prev == 0) Seq.empty else manifest(prev)
-    commit(prev + 1, "append", existing ++ writeFiles(df))
+    val existing = if (prev == 0) Seq.empty else manifestFiles(manifest(prev))
+    commitData(prev + 1, "append", df, existing)
   }
 
   /** Overwrite: next version = the new files only. Old versions stay
     * readable — nothing is deleted.
     */
   def overwrite(df: DataFrame): Int =
-    commit(currentVersion + 1, "overwrite", writeFiles(df))
+    commitData(currentVersion + 1, "overwrite", df, Seq.empty)
 
   /** Copy-on-write MERGE (update matched keys, insert new ones —
     * `Merge.upsert` semantics incl. the duplicate-source and null-key
     * raises): rewrites the snapshot into fresh files and commits them
     * as the next version.
     */
-  def merge(updates: DataFrame, key: String): Int = {
-    val next = Merge.upsert(read(), updates, key)
-    commit(currentVersion + 1, "merge", writeFiles(next))
-  }
+  def merge(updates: DataFrame, key: String): Int =
+    commitData(currentVersion + 1, "merge", Merge.upsert(read(), updates, key), Seq.empty)
 }
 
 object VersionedTable {
 
-  /** Open (creating the log directory if absent). */
-  def apply(spark: SparkSession, dir: String): VersionedTable = {
-    Files.createDirectories(Paths.get(dir, "_graft_log"))
+  /** Open a table handle. Opening has NO filesystem side effects —
+    * the log directory is created by the first commit, and reads of a
+    * never-committed path fail with a clear error instead of leaving
+    * directories behind.
+    */
+  def apply(spark: SparkSession, dir: String): VersionedTable =
     new VersionedTable(spark, dir)
-  }
 }
 
 /** Catalog integration: `read("vtable", dir)` serves the latest
-  * snapshot; `options("version")` time-travels.
+  * snapshot; `options("version")` time-travels. Read-only — never
+  * touches the filesystem beyond the manifest + data files.
   */
 object VTableSource extends SourceProvider {
   val format = "vtable"

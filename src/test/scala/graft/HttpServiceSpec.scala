@@ -38,11 +38,25 @@ class HttpServiceSpec extends SparkSpecBase {
     assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2}""", res.body)
   }
 
-  test("POST /sql honors the collect limit") {
+  test("POST /sql honors the collect limit and caps it server-side") {
     post("/register",
       s"""{"name":"http_orders","format":"parquet","path":"${TestSpark.sfDir}/orders.parquet"}""")
     val res = post("/sql", """{"query":"SELECT o_orderkey FROM http_orders","limit":7}""")
     assert(res.statusCode == 200 && res.body.endsWith(""","count":7}"""), res.body)
+    // a huge client limit is clamped to the server's maxRows, so one
+    // request cannot collect an unbounded result into the driver
+    val capped = new graft.service.HttpQueryService(service, port = 0, maxRows = 5).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${capped.boundPort}/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"SELECT o_orderkey FROM http_orders","limit":2147483647}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode == 200 && r.body.endsWith(""","count":5}"""), r.body)
+    } finally capped.stop()
+    val bad = post("/sql", """{"query":"SELECT 1","limit":-1}""")
+    assert(bad.statusCode == 400 && bad.body.contains("positive"), bad.body)
   }
 
   test("POST /submit publishes a named result queryable by later /sql") {

@@ -73,6 +73,51 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(cat.read("vtable", dir, Map("version" -> "1")).count() == 1)
   }
 
+  test("a lost race cleans up its data files; winner's snapshot intact") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // interloper claims version 2 between this handle's snapshot read
+    // and its commit: simulate by pre-claiming v2, then driving the
+    // write+claim path at the stale version
+    VersionedTable(spark, dir).commit(2, "append", Seq.empty, """{"type":"struct","fields":[]}""")
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitData(2, "append", Seq((9L, "lost")).toDF("id", "name"), Seq.empty)
+    }
+    // the loser's freshly written files-* directory was removed, and a
+    // retry on a fresh snapshot lands at v3
+    t.append(Seq((2L, "b")).toDF("id", "name"))
+    import scala.jdk.CollectionConverters._
+    val dataDirs = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("files-")).toSeq
+    assert(dataDirs.size == 2, s"orphaned data dirs: $dataDirs")
+    // the retry appended onto the interloper's (empty) v2 manifest;
+    // v1's snapshot is still readable via time travel
+    assert(t.read().collect().map(_.getString(1)).toSet == Set("b"))
+    assert(t.read(1).collect().map(_.getString(1)).toSet == Set("a"))
+  }
+
+  test("empty overwrite commits and reads back as an empty typed snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.overwrite(Seq.empty[(Long, String)].toDF("id", "name"))
+    val snap = t.read()
+    assert(snap.count() == 0 && snap.columns.toSeq == Seq("id", "name"))
+    assert(t.read(1).count() == 1)
+  }
+
+  test("opening or reading a never-committed path has no filesystem side effects") {
+    val dir = tmp() // path does not exist at all
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable(spark, dir).read()
+    }
+    assert(e.getMessage.contains("no committed version"))
+    assert(!Files.exists(java.nio.file.Paths.get(dir)), "read created directories")
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val dir = tmp()
