@@ -99,6 +99,7 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
+    "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
@@ -627,6 +628,19 @@ object SparkEntry {
         |      UNION ALL SELECT 'json', n_name FROM nation
         |      UNION ALL SELECT 'orc', n_name FROM nation) u
         |GROUP BY fmt ORDER BY fmt""".stripMargin,
+    // MERGE semantics reproduced in plain SQL: even keys keep their
+    // price unless divisible by 3 (updated); odd multiples of 3 are
+    // the inserted rows
+    "q_table_merge" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+        |         ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) t""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -201,3 +201,43 @@ object VTableSource extends SourceProvider {
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
     VersionedTable(spark, path).read(options.get("version").map(_.toInt).getOrElse(-1))
 }
+
+/** Contract query over the versioned table: append an orders snapshot
+  * (even keys), MERGE price-bumped updates (keys divisible by 3 —
+  * half match, half insert), read the committed snapshot back and
+  * aggregate. The oracle reproduces the MERGE result in plain SQL, so
+  * the table format's write → claim → read path is itself under the
+  * DuckDB gate. Memoized per (session, corpus) — contract queries are
+  * constructed freely and table commits are not idempotent.
+  */
+object TableMerge {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](2, dir => {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  })
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val dir = Files.createTempDirectory("graft-tmerge").toString + "/orders_t"
+      val vt = VersionedTable(t.spark, dir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      vt.append(base.filter(col("o_orderkey") % 2 === 0))
+      vt.merge(
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", graft.operators.Rnd.round(col("price") * 1.1, 2)),
+        "o_orderkey")
+      dir
+    }
+
+  def qTableMerge(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"))
+  }
+}
