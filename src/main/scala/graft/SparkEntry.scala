@@ -97,6 +97,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     // §2.6 multimodal (plumbing; decode faked)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
+    "q_audio_features" -> ((s, d) => Media.qAudioFeatures(t(s, d))),
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
@@ -111,10 +112,11 @@ object SparkEntry {
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
-    * q_media_features, q_approx_distinct, q_quantize_error — are
-    * rows-only BY DESIGN: their semantics are not ANSI-SQL-expressible
-    * and are property-tested in ScalaTest instead. (Keep this list
-    * equal to queries.keySet -- oracleSql.keySet.)
+    * q_media_features, q_audio_features, q_approx_distinct,
+    * q_quantize_error — are rows-only BY DESIGN: their semantics are
+    * not ANSI-SQL-expressible and are property-tested in ScalaTest
+    * instead. (Keep this list equal to queries.keySet --
+    * oracleSql.keySet.)
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->

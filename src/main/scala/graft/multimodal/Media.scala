@@ -143,4 +143,104 @@ object Media {
         round(col("byte_entropy"), 2).as("byte_entropy"),
         col("width"), col("height"))
       .orderBy("doc_id")
+
+  // ---- audio (PCM s16le — REAL decode, no codec library needed) ----
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false),
+    StructField("zero_cross_rate", DoubleType, nullable = false),
+    StructField("energy_var", DoubleType, nullable = false)))
+
+  /** Interpret a payload as 16-bit little-endian PCM samples in
+    * [-1, 1). Unlike image codecs this is a complete, real decoder —
+    * PCM is just byte layout.
+    */
+  def decodePcmS16le(payload: Array[Byte]): Array[Double] = {
+    val n = payload.length / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lo = payload(2 * i) & 0xff
+      val hi = payload(2 * i + 1).toInt
+      out(i) = ((hi << 8) | lo) / 32768.0
+      i += 1
+    }
+    out
+  }
+
+  /** Audio corpus stand-in: document bytes as a PCM payload plus the
+    * metadata an audio table carries (sample rate, channels).
+    */
+  def audioTable(t: Tables, sampleRate: Int = 16000): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("audio").as("media_type"),
+        lit(sampleRate).as("sample_rate"),
+        lit(1).as("channels"),
+        lit("pcm_s16le").as("codec")).as("meta"))
+
+  /** Batched PCM decode + classic audio features — duration, RMS
+    * energy, peak amplitude, zero-crossing rate, and the variance of
+    * per-window energies (the 256-sample windowing every
+    * MFCC/VAD-style pipeline starts from). Same `mapPartitions` batch
+    * shape as the image path: bytes deserialize only inside the
+    * decode stage, output is a flat feature frame.
+    */
+  def extractAudioFeatures(audio: DataFrame, window: Int = 256): DataFrame = {
+    val outEncoder = RowEncoder.encoderFor(audioFeatureSchema)
+    audio.select(col("doc_id"), col("payload"), col("meta.sample_rate"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val xs = decodePcmS16le(r.getAs[Array[Byte]](1))
+          val rate = r.getInt(2).toDouble
+          val n = xs.length
+          var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+          var i = 0
+          while (i < n) {
+            val x = xs(i)
+            sumSq += x * x
+            if (math.abs(x) > peak) peak = math.abs(x)
+            if (i > 0 && (x >= 0) != (xs(i - 1) >= 0)) crossings += 1
+            i += 1
+          }
+          // per-window energies → variance (activity profile)
+          val nw = math.max(n / window, 1)
+          val en = new Array[Double](nw)
+          var w = 0
+          while (w < nw) {
+            var e = 0.0
+            var j = w * window
+            val end = math.min(j + window, n)
+            while (j < end) { e += xs(j) * xs(j); j += 1 }
+            en(w) = e / math.max(end - w * window, 1)
+            w += 1
+          }
+          val mean = en.sum / nw
+          val variance = en.map(e => (e - mean) * (e - mean)).sum / nw
+          Row(docId, n, n / rate,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n), peak,
+            if (n <= 1) 0.0 else crossings.toDouble / (n - 1), variance)
+        }
+      }(outEncoder)
+  }
+
+  /** Audio feature pipeline as a query (rows-only; MultimodalSpec
+    * hand-checks the features on known PCM buffers).
+    */
+  def qAudioFeatures(t: Tables): DataFrame =
+    extractAudioFeatures(audioTable(t))
+      .select(col("doc_id"), col("n_samples"),
+        round(col("duration_sec"), 4).as("duration_sec"),
+        round(col("rms"), 4).as("rms"),
+        round(col("peak"), 4).as("peak"),
+        round(col("zero_cross_rate"), 4).as("zero_cross_rate"),
+        round(col("energy_var"), 6).as("energy_var"))
+      .orderBy("doc_id")
 }

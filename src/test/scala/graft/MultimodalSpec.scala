@@ -41,4 +41,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Media.FakeDecoder.sampleFrames(10, 3) == Seq(0, 3, 6, 9))
     assert(Media.FakeDecoder.sampleFrames(5, 0) == Seq(0, 1, 2, 3, 4))
   }
+
+  test("PCM s16le decode is exact on known byte patterns") {
+    // samples: 0, +256, -32768, +32767
+    val payload = Array[Byte](0, 0, 0, 1, 0, -128, -1, 127)
+    val xs = Media.decodePcmS16le(payload)
+    assert(xs.length == 4)
+    assert(xs(0) == 0.0)
+    assert(xs(1) == 256.0 / 32768.0)
+    assert(xs(2) == -1.0)
+    assert(math.abs(xs(3) - 32767.0 / 32768.0) < 1e-12)
+  }
+
+  test("audio features hand-check on a known alternating square wave") {
+    import spark.implicits._
+    // +16384, -16384 alternating → rms = peak = 0.5, zcr = 1.0
+    val payload = Array.tabulate(200) { i =>
+      if (i % 4 == 1) 64.toByte        // hi byte of +16384
+      else if (i % 4 == 3) (-64).toByte // hi byte of -16384
+      else 0.toByte
+    }
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(16000).as("sample_rate")))
+    val r = Media.extractAudioFeatures(df).collect().head
+    assert(r.getAs[Int]("n_samples") == 100)
+    assert(math.abs(r.getAs[Double]("rms") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("peak") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("zero_cross_rate") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("duration_sec") == 100 / 16000.0)
+  }
+
+  test("audio query pipeline is deterministic with bounded features") {
+    val a1 = Media.qAudioFeatures(tables).collect()
+    val a2 = Media.qAudioFeatures(tables).collect()
+    assert(a1.sameElements(a2))
+    assert(a1.length == tables.documents.count())
+    assert(a1.forall { r =>
+      val rms = r.getAs[Double]("rms"); val zcr = r.getAs[Double]("zero_cross_rate")
+      rms >= 0.0 && rms <= 1.0 && zcr >= 0.0 && zcr <= 1.0 &&
+        r.getAs[Double]("peak") <= 1.0
+    })
+  }
 }
