@@ -61,6 +61,7 @@ object SparkEntry {
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoin.qAsofJoin(t(s, d))),
+    "q_salted_join" -> ((s, d) => graft.operators.Skew.qSaltedJoin(t(s, d))),
     "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
@@ -386,6 +387,12 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') b
         |  ON e.user_id = b.user_id AND e.tu >= b.tu
         |ORDER BY e.event_id""".stripMargin,
+    // oracle is the PLAIN join: salting must be result-invisible
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tu, event_type FROM events)

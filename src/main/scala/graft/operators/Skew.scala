@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Skew-handling utilities for joins whose hot keys would otherwise
   * pin one reducer (the classic 100 TB failure mode). AQE's skew-join
   * splitting covers sort-merge joins at runtime; explicit salting is
@@ -48,4 +50,19 @@ object Skew {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("cnt"))
+
+  /** Contract query: salted fact⋈dim join + aggregation, DuckDB-oracled
+    * against the PLAIN join — result identity under salting is the
+    * whole point of the transform, so it's checked by the gate, not
+    * just the spec.
+    */
+  def qSaltedJoin(t: Tables): DataFrame = {
+    import graft.operators.Rnd.round
+    val l = t.orders.select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val r = t.customer.select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(l, r, "custkey", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -64,3 +64,33 @@ final case class KafkaStreamSource(bootstrapServers: String, topic: String,
       .option("startingOffsets", startingOffsets)
       .load()
 }
+
+/** Sink-side twin: a named factory that starts a streaming query over
+  * a transformed DataFrame. Same structural claim as the source
+  * trait — swapping memory → file → kafka is a constructor change.
+  */
+trait StreamSinkProvider {
+  def name: String
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery
+}
+
+/** In-memory table sink (tests/dev; query results readable via
+  * `spark.table(queryName)`).
+  */
+final case class MemoryStreamSink(queryName: String, outputMode: String = "append")
+    extends StreamSinkProvider {
+  val name = "memory"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode).start()
+}
+
+/** Checkpointed file sink — the exactly-once landing-zone writer. */
+final case class FileStreamSink(format: String, path: String, checkpoint: String,
+    outputMode: String = "append") extends StreamSinkProvider {
+  val name = s"file-$format"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(outputMode).start()
+}

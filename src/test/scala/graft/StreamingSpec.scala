@@ -134,12 +134,11 @@ class StreamingSpec extends SparkSpecBase {
     val src = java.nio.file.Files.createTempDirectory("graft-src").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
     val chk = java.nio.file.Files.createTempDirectory("graft-chk2").toString
-    def start() = spark.readStream
-      .schema(Seq.empty[Event].toDS().schema).parquet(src)
-      .filter($"value" >= 0)
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", chk)
-      .outputMode("append").start()
+    // source AND sink supplied through the provider traits
+    def start() = graft.streaming.FileStreamSink("parquet", sink, chk).start(
+      graft.streaming.FileStreamSource("parquet", src, Seq.empty[Event].toDS().schema)
+        .readStream(spark)
+        .filter($"value" >= 0))
     Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
       .toDS().write.mode("append").parquet(src)
     val q1 = start()
