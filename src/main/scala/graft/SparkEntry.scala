@@ -107,6 +107,8 @@ object SparkEntry {
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
     "q_redact" -> ((s, d) => Decontam.qRedact(t(s, d))),
+    "q_pii_scan" -> ((s, d) => Decontam.qPiiScan(t(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.qRepetition(t(s, d))),
     "q_stratified_sample" -> ((s, d) => Decontam.qStratifiedSample(t(s, d))),
     "q_group_sample" -> ((s, d) => Decontam.qGroupSample(t(s, d))),
   )
@@ -690,6 +692,30 @@ object SparkEntry {
         | cast(length(regexp_replace(text, 'spark', '[X]', 'g')) AS INTEGER) AS len_after,
         | cast(len(string_split_regex(text, 'spark')) - 1 AS INTEGER) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_scan" ->
+      """SELECT doc_id,
+        | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | cast(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b')) AS INTEGER) AS n_phones,
+        | cast(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+        | cast((len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0) AS INTEGER) AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |         len(list_distinct(w)) AS n_distinct,
+        |         len(list_distinct(list_transform(
+        |           range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS n_distinct_bi
+        |  FROM d WHERE len(w) >= 2)
+        |SELECT doc_id, cast(n_tokens AS INTEGER) AS n_tokens,
+        | floor((1.0 - n_distinct / n_tokens) * 10000 + 0.5) / 10000 AS dup_unigram_ratio,
+        | floor((1.0 - n_distinct_bi / (n_tokens - 1)) * 10000 + 0.5) / 10000 AS dup_bigram_ratio
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_group_sample" ->
       """SELECT lang, rk, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,

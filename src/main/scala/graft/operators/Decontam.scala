@@ -54,6 +54,29 @@ object Decontam {
         (size(split(col("text"), pattern, -1)) - 1).as("n_redactions"))
       .orderBy("doc_id")
 
+  /** Multi-pattern PII scan — per-document counts of email, phone,
+    * and IPv4 shapes plus a has_pii flag (the detect side of the
+    * scrub; qRedact is the remove side). One pruned scan, three
+    * codegen'd regexp_count projections — no UDF, no shuffle until
+    * the deterministic output sort. Patterns stay in the RE2 ∩ Java
+    * regex dialect so the DuckDB oracle matches byte-for-byte (the
+    * synthetic corpus is PII-free, so the gate pins the all-zero
+    * result — detection quality is the pattern's business, the
+    * operator's business is exact counting).
+    */
+  def qPiiScan(t: Tables): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    t.documents.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(phone)).as("n_phones"),
+        regexp_count(col("text"), lit(ipv4)).as("n_ips"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Bounded per-group sample: exactly k docs per language, chosen by
     * a deterministic pseudo-random order (md5 of the key) — the
     * "inspect k examples per stratum" primitive. One shuffle on the

@@ -57,6 +57,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition — the Gopher repetition filters (Rae
+    * et al., 2021 §A1.1): fraction of duplicated unigrams and bigrams
+    * per document. High-repetition docs are boilerplate/spam at corpus
+    * scale. Pure per-row projections (split + array_distinct), one
+    * pruned scan, no shuffle before the output sort.
+    */
+  def qRepetition(t: Tables): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val nTok = size(toks)
+    val bigrams = transform(sequence(lit(0), nTok - 2),
+      i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    t.documents
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(array_distinct(bigrams)).as("n_distinct_bi"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4).as("dup_unigram_ratio"),
+        round(lit(1.0) - col("n_distinct_bi") / (col("n_tokens") - 1), 4).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-marker voting: count hits per language's
     * marker set, argmax with a deterministic tie order. (On real
     * corpora the marker sets are the top-k stopwords per language; the
