@@ -38,6 +38,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of batch
+    * `Dedup.qDedupExact`: drop events whose dedup key was already seen
+    * within the watermark horizon. State is keyed on the (tiny) key
+    * column, and the watermark bounds it — keys older than the horizon
+    * are evicted, so state is O(keys per horizon) regardless of stream
+    * length. This is how exactly-once ingest absorbs at-least-once
+    * upstream delivery (Kafka producer retries, replayed batches).
+    */
+  def dedupStream(events: DataFrame, keyCol: String = "event_id",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Stream-stream interval join: clicks joined to the same user's
     * purchases within `windowSec` AFTER the click (attribution). Both
     * sides carry watermarks, and the time-bound condition lets the

@@ -155,6 +155,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(11), 1, "view", 2.0),
+        Event(1, ts(10), 1, "click", 1.0)) // duplicate delivery in-batch
+      q.processAllAvailable()
+      // replayed across a later batch: still within the horizon → dropped
+      input.addData(Event(2, ts(12), 1, "view", 2.0), Event(3, ts(13), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("memory-source provider drives the same pipeline as raw MemoryStream") {
     import spark.implicits._
     val src = new graft.streaming.MemoryStreamSource[Event](spark)
