@@ -179,6 +179,40 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   def merge(updates: DataFrame, key: String): Int =
     commitData(currentVersion + 1, "merge", Merge.upsert(read(), updates, key), Seq.empty)
+
+  /** Bound storage: drop history older than the last `retainVersions`
+    * commits — delete the older manifests, then every data file no
+    * surviving manifest references. Time travel keeps working within
+    * the retained window; copy-on-write tables need this or every
+    * overwrite/merge retains a full snapshot forever (Delta's VACUUM).
+    * Returns the number of data files deleted. Safe against
+    * mid-vacuum readers of RETAINED versions (their manifests and
+    * files are untouched); like Delta, readers of dropped history
+    * race with the delete by design.
+    */
+  def vacuum(retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val vs = listVersions().sorted
+    val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
+    if (drop.isEmpty) return 0
+    val live = keep.flatMap(v => manifestFiles(manifest(v))).toSet
+    val dead = drop.flatMap(v => manifestFiles(manifest(v))).distinct
+      .filterNot(live)
+    dead.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+    // drop data dirs with no parquet left (write markers like _SUCCESS
+    // don't keep a dead dir alive) and the dropped manifests
+    dead.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
+      val s = Files.list(d)
+      val hasParquet =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        } finally s.close()
+      if (!hasParquet) deleteTree(d)
+    }
+    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.json")))
+    dead.size
+  }
 }
 
 object VersionedTable {

@@ -15,6 +15,17 @@ class DupClusterSpec extends SparkSpecBase {
       7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("pointer jumping resolves a 64-deep chain within default rounds") {
+    import spark.implicits._
+    // plain min-label would need 63 rounds (> maxIters=10) and return
+    // split components; the doubling step converges in O(log n)
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.toSet == Set(1L), "chain did not collapse to one component")
+  }
+
   test("corpus dup clusters are consistent with the pair list") {
     val pairs = Dedup.qNgramJaccard(tables).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -118,6 +118,36 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(!Files.exists(java.nio.file.Paths.get(dir)), "read created directories")
   }
 
+  test("vacuum drops old history's files but keeps retained versions intact") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))       // v1: files A
+    t.overwrite(Seq((2L, "b")).toDF("id", "name"))    // v2: files B (A now historical)
+    t.merge(Seq((2L, "b2")).toDF("id", "name"), "id") // v3: files C (B historical)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted > 0, "expected historical files to be deleted")
+    // current snapshot unaffected; dropped history unreadable
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("b2"))
+    intercept[Exception] { t.read(1).collect() }
+    // a second vacuum is a no-op
+    assert(t.vacuum(retainVersions = 1) == 0)
+    // appends keep working after vacuum
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    assert(t.read().count() == 2)
+  }
+
+  test("vacuum never deletes files still referenced by a retained version") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))  // v1: files A
+    t.append(Seq((2L, "b")).toDF("id", "name"))  // v2: files A + B
+    // retain only v2 — v1's manifest goes, but file A is still live in v2
+    t.vacuum(retainVersions = 1)
+    assert(t.read().collect().map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val dir = tmp()
