@@ -210,8 +210,9 @@ object Media {
             if (i > 0 && (x >= 0) != (xs(i - 1) >= 0)) crossings += 1
             i += 1
           }
-          // per-window energies → variance (activity profile)
-          val nw = math.max(n / window, 1)
+          // per-window energies → variance (activity profile); ceil so
+          // the tail partial window counts (normalized by its length)
+          val nw = math.max((n + window - 1) / window, 1)
           val en = new Array[Double](nw)
           var w = 0
           while (w < nw) {

@@ -228,6 +228,14 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // superseded rounds must release their checkpoint blocks NOW, not
+    // when ContextCleaner eventually notices — a large corpus would
+    // otherwise hold maxIters copies of the label table in storage
+    def releaseBlocks(ds: DataFrame): Unit = ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+    var checkpointed = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -254,6 +262,8 @@ object Dedup {
           (least(col("n_min"), col("l_min")) < col("cluster_id")).as("_changed"))
         .localCheckpoint(true)
       changed = next.filter(col("_changed")).count()
+      releaseBlocks(checkpointed)
+      checkpointed = next
       labels = next.drop("_changed")
       it += 1
     }

@@ -66,8 +66,13 @@ object TextAnalysis {
   def qRepetition(t: Tables): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
     val nTok = size(toks)
-    val bigrams = transform(sequence(lit(0), nTok - 2),
-      i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    // guarded so sub-2-token rows never evaluate sequence(0, -1) /
+    // element_at(_, 0) — correctness must not depend on the later
+    // n_tokens filter being optimizer-pushed below this projection
+    val bigrams = when(nTok >= 2,
+      transform(sequence(lit(0), nTok - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array())
     t.documents
       .select(col("doc_id"), nTok.as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),

@@ -200,16 +200,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .filterNot(live)
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // drop data dirs with no parquet left (write markers like _SUCCESS
-    // don't keep a dead dir alive) and the dropped manifests
-    dead.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
-      val s = Files.list(d)
-      val hasParquet =
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-        } finally s.close()
-      if (!hasParquet) deleteTree(d)
-    }
+    // don't keep a dead dir alive) and the dropped manifests; a dir
+    // already removed by a concurrent/interrupted vacuum is fine
+    dead.map(rel => Paths.get(dir, rel).getParent).distinct
+      .filter(Files.isDirectory(_)).foreach { d =>
+        val s = Files.list(d)
+        val hasParquet =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+          } finally s.close()
+        if (!hasParquet) deleteTree(d)
+      }
     drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.json")))
     dead.size
   }
@@ -247,17 +249,22 @@ object VTableSource extends SourceProvider {
 object TableMerge {
 
   private case class Key(session: Int, sfDir: String)
-  private val tables = new graft.util.BoundedMemo[Key, String](2, dir => {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
-  })
+  // eviction must NOT delete the directory — a lazily evaluated
+  // DataFrame returned earlier still reads it; temp tables are cleaned
+  // at JVM exit instead
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
 
   private def builtTable(t: Tables): String =
     tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
       import org.apache.spark.sql.functions._
-      val dir = Files.createTempDirectory("graft-tmerge").toString + "/orders_t"
+      val parent = Files.createTempDirectory("graft-tmerge")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_t"
       val vt = VersionedTable(t.spark, dir)
       val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
       vt.append(base.filter(col("o_orderkey") % 2 === 0))

@@ -159,9 +159,9 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Event]
-    val q = EventStreams.dedupStream(input.toDF(), watermark = "1 hour")
-      .writeStream.format("memory").queryName("dedup_test")
-      .outputMode("append").start()
+    // sink supplied through the provider trait
+    val q = graft.streaming.MemoryStreamSink("dedup_test")
+      .start(EventStreams.dedupStream(input.toDF(), watermark = "1 hour"))
     try {
       input.addData(
         Event(1, ts(10), 1, "click", 1.0),
