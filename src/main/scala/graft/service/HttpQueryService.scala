@@ -17,6 +17,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /sql      {"query": "...", "limit": 1000}    → {"rows": [...], "count": n}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
+  *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
+  *   POST /uncache  {"name": "..."}                    → {"uncached": "..."}
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
   *   GET  /tables                                      → {"tables": [...]}
   *
@@ -50,7 +52,20 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/submit", post { body =>
     val name = text(body, "name")
     service.submit(name, text(body, "query"))
-    s"""{"submitted":${mapper.writeValueAsString(mapper.getNodeFactory.textNode(name))}}"""
+    s"""{"submitted":${quote(name)}}"""
+  })
+
+  private def quote(s: String): String =
+    mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))
+  server.createContext("/cache", post { body =>
+    val name = text(body, "name")
+    service.cache(name)
+    s"""{"cached":${quote(name)}}"""
+  })
+  server.createContext("/uncache", post { body =>
+    val name = text(body, "name")
+    service.uncache(name)
+    s"""{"uncached":${quote(name)}}"""
   })
   server.createContext("/register", post { body =>
     val name = text(body, "name")

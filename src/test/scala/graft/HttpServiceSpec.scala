@@ -69,6 +69,18 @@ class HttpServiceSpec extends SparkSpecBase {
     assert(res.statusCode == 200 && res.body.contains("\"n\":5"), res.body)
   }
 
+  test("POST /cache and /uncache manage name-keyed caching over HTTP") {
+    post("/register",
+      s"""{"name":"http_part","format":"parquet","path":"${TestSpark.sfDir}/part.parquet"}""")
+    val c = post("/cache", """{"name":"http_part"}""")
+    assert(c.statusCode == 200 && c.body == """{"cached":"http_part"}""", c.body)
+    assert(spark.catalog.isCached("http_part"))
+    val u = post("/uncache", """{"name":"http_part"}""")
+    assert(u.statusCode == 200 && !spark.catalog.isCached("http_part"), u.body)
+    // caching an unknown table is a client error, not a 500
+    assert(post("/cache", """{"name":"no_such_table"}""").statusCode == 400)
+  }
+
   test("GET /tables lists registered sources") {
     post("/register",
       s"""{"name":"http_region","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
