@@ -67,6 +67,25 @@ final class Catalog(val spark: SparkSession) {
     df
   }
 
+  /** Symmetric write side: land a DataFrame in any supported format.
+    * `vtable` appends a new committed version (creating the table on
+    * first write); `jdbc` treats `path` as the connection URL.
+    */
+  def write(df: DataFrame, format: String, path: String,
+      options: Map[String, String] = Map.empty, mode: String = "overwrite"): Unit =
+    format match {
+      case "vtable" => VersionedTable(spark, path).append(df); ()
+      case "parquet" => df.write.options(options).mode(mode).parquet(path)
+      case "csv" =>
+        df.write.options(Map("header" -> "true") ++ options).mode(mode).csv(path)
+      case "json" => df.write.options(options).mode(mode).json(path)
+      case "orc" => df.write.options(options).mode(mode).orc(path)
+      case "jdbc" =>
+        df.write.format("jdbc").option("url", path).options(options).mode(mode).save()
+      case other => throw new IllegalArgumentException(
+        s"unknown format '$other'; supported: vtable,parquet,csv,json,orc,jdbc")
+    }
+
   // Catalog-level cache ops key on the table NAME (not a plan), so they
   // survive view re-registration — see spark.catalog docs.
   def cacheTable(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =

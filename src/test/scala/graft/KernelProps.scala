@@ -53,6 +53,15 @@ object KernelProps extends Properties("graft.kernels") {
       uni && bi
     }
 
+  property("pcm s16le decode exactly inverts 16-bit little-endian encode") =
+    forAll(Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))) { shorts =>
+      val bytes = shorts.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+      val xs = Media.decodePcmS16le(bytes)
+      xs.length == shorts.length &&
+        shorts.zip(xs).forall { case (s, x) => x == s / 32768.0 }
+    }
+
   property("resize output has target size and every pixel comes from the source") =
     forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(1, 12)) {
       (w, h, w2, h2) =>

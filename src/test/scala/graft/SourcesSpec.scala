@@ -101,6 +101,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(e != null)
   }
 
+  test("Catalog.write lands data in each format, including vtable append") {
+    val cat = new Catalog(spark)
+    val base = tmp()
+    cat.write(tables.region, "parquet", s"$base/r_pq")
+    assert(cat.read("parquet", s"$base/r_pq").count() == 5)
+    cat.write(tables.region, "vtable", s"$base/r_vt")
+    cat.write(tables.region, "vtable", s"$base/r_vt") // second append
+    assert(cat.read("vtable", s"$base/r_vt").count() == 10)
+    assert(cat.read("vtable", s"$base/r_vt", Map("version" -> "1")).count() == 5)
+    intercept[IllegalArgumentException](cat.write(tables.region, "nope", base))
+  }
+
   test("jdbc round-trip executes against embedded Derby") {
     // Derby ships in the Spark jars directory (the Hive metastore
     // backend), so the JDBC provider can be exercised at EXECUTION,
