@@ -72,6 +72,19 @@ class ExplainSpec extends SparkSpecBase {
     assert(plan.contains("bucket"), s"no bucket key:\n$plan")
   }
 
+  test("q_ntile_scaled has no Window operator — bucketing is a projection") {
+    val plan = planOf(Relational.qNtileScaled(tables))
+    assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
+  }
+
+  test("pii scan prunes the documents read to (doc_id, text)") {
+    val plan = planOf(graft.operators.Decontam.qPiiScan(tables))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned scan: $readSchema")
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
