@@ -68,13 +68,22 @@ final class Catalog(val spark: SparkSession) {
   }
 
   /** Symmetric write side: land a DataFrame in any supported format.
-    * `vtable` appends a new committed version (creating the table on
-    * first write); `jdbc` treats `path` as the connection URL.
+    * `vtable` honors mode append/overwrite as a committed version
+    * (creating the table on first write) and rejects other modes;
+    * `jdbc` treats `path` as the connection URL.
     */
   def write(df: DataFrame, format: String, path: String,
       options: Map[String, String] = Map.empty, mode: String = "overwrite"): Unit =
     format match {
-      case "vtable" => VersionedTable(spark, path).append(df); ()
+      case "vtable" =>
+        val vt = VersionedTable(spark, path)
+        mode match {
+          case "append" => vt.append(df)
+          case "overwrite" => vt.overwrite(df)
+          case other => throw new IllegalArgumentException(
+            s"vtable supports mode append|overwrite, got '$other'")
+        }
+        ()
       case "parquet" => df.write.options(options).mode(mode).parquet(path)
       case "csv" =>
         df.write.options(Map("header" -> "true") ++ options).mode(mode).csv(path)
@@ -83,7 +92,7 @@ final class Catalog(val spark: SparkSession) {
       case "jdbc" =>
         df.write.format("jdbc").option("url", path).options(options).mode(mode).save()
       case other => throw new IllegalArgumentException(
-        s"unknown format '$other'; supported: vtable,parquet,csv,json,orc,jdbc")
+        s"unknown format '$other'; supported: ${Catalog.writableFormats.mkString(",")}")
     }
 
   // Catalog-level cache ops key on the table NAME (not a plan), so they
@@ -92,6 +101,14 @@ final class Catalog(val spark: SparkSession) {
     spark.catalog.cacheTable(name, level)
 
   def uncacheTable(name: String): Unit = spark.catalog.uncacheTable(name)
+}
+
+object Catalog {
+  /** Single source of truth for `write`'s dispatch — keep in sync by
+    * construction, not by hand-editing an error string.
+    */
+  val writableFormats: Seq[String] =
+    Seq("vtable", "parquet", "csv", "json", "orc", "jdbc")
 }
 
 /** The driver's test corpus: one parquet file per table under an

@@ -200,10 +200,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .filterNot(live)
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // drop data dirs with no parquet left (write markers like _SUCCESS
-    // don't keep a dead dir alive) and the dropped manifests; a dir
-    // already removed by a concurrent/interrupted vacuum is fine
-    dead.map(rel => Paths.get(dir, rel).getParent).distinct
-      .filter(Files.isDirectory(_)).foreach { d =>
+    // don't keep a dead dir alive) and the dropped manifests; a dir a
+    // concurrent/interrupted vacuum removes UNDER us is fine — catch,
+    // don't check-then-act
+    dead.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
+      try {
         val s = Files.list(d)
         val hasParquet =
           try {
@@ -211,7 +212,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
             s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
           } finally s.close()
         if (!hasParquet) deleteTree(d)
-      }
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+    }
     drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.json")))
     dead.size
   }
@@ -251,7 +253,10 @@ object TableMerge {
   private case class Key(session: Int, sfDir: String)
   // eviction must NOT delete the directory — a lazily evaluated
   // DataFrame returned earlier still reads it; temp tables are cleaned
-  // at JVM exit instead
+  // at JVM exit instead. Disk is bounded by the number of distinct
+  // corpora a session touches (a few MB each; the gate/bench touch at
+  // most three), not by the memo size — the memo only bounds how many
+  // stay addressable for reuse.
   private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
 
   private def builtTable(t: Tables): String =

@@ -106,10 +106,16 @@ class SourcesSpec extends SparkSpecBase {
     val base = tmp()
     cat.write(tables.region, "parquet", s"$base/r_pq")
     assert(cat.read("parquet", s"$base/r_pq").count() == 5)
-    cat.write(tables.region, "vtable", s"$base/r_vt")
-    cat.write(tables.region, "vtable", s"$base/r_vt") // second append
+    cat.write(tables.region, "vtable", s"$base/r_vt", mode = "append")
+    cat.write(tables.region, "vtable", s"$base/r_vt", mode = "append")
     assert(cat.read("vtable", s"$base/r_vt").count() == 10)
     assert(cat.read("vtable", s"$base/r_vt", Map("version" -> "1")).count() == 5)
+    // default mode=overwrite REPLACES the snapshot (v3), honoring the
+    // signature's contract instead of silently appending
+    cat.write(tables.region, "vtable", s"$base/r_vt")
+    assert(cat.read("vtable", s"$base/r_vt").count() == 5)
+    intercept[IllegalArgumentException](
+      cat.write(tables.region, "vtable", s"$base/r_vt", mode = "ignore"))
     intercept[IllegalArgumentException](cat.write(tables.region, "nope", base))
   }
 
