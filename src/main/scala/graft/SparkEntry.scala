@@ -56,6 +56,7 @@ object SparkEntry {
     "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
     "q_events_hourly" -> ((s, d) => Relational.qEventsHourly(t(s, d))),
     "q_resample" -> ((s, d) => Relational.qResample(t(s, d))),
+    "q_ohlc" -> ((s, d) => Relational.qOhlc(t(s, d))),
     "q_funnel" -> ((s, d) => Relational.qFunnel(t(s, d))),
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(t(s, d))),
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
@@ -319,6 +320,14 @@ object SparkEntry {
         |FROM grid g LEFT JOIN sparse s
         |  ON g.event_type = s.event_type AND g.hr = s.hr
         |ORDER BY g.event_type, g.hr""".stripMargin,
+    "q_ohlc" ->
+      """SELECT event_type, cast(extract(hour FROM ts) AS INTEGER) AS hr,
+        | floor((arg_min(value, ts)) * 100 + 0.5) / 100 AS open,
+        | floor((max(value)) * 100 + 0.5) / 100 AS high,
+        | floor((min(value)) * 100 + 0.5) / 100 AS low,
+        | floor((arg_max(value, ts)) * 100 + 0.5) / 100 AS close,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
     "q_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

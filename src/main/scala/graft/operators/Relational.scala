@@ -369,6 +369,25 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type", "hr")
 
+  /** OHLC resample: per (event_type, hour) open/high/low/close of the
+    * value series. Open/close are min_by/max_by on the event time —
+    * ONE hash agg with map-side partials, no window, no sort; the
+    * standard financial-bar shape at fact scale. (Timestamps are
+    * unique per group in this corpus; with ties, extend the ordering
+    * key with a tiebreaker column.)
+    */
+  def qOhlc(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"), col("ts"))
+      .groupBy("event_type", "hr")
+      .agg(
+        round(min_by(col("value"), col("ts")), 2).as("open"),
+        round(max("value"), 2).as("high"),
+        round(min("value"), 2).as("low"),
+        round(max_by(col("value"), col("ts")), 2).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "hr")
+
   /** String function suite: LIKE pushdown (StringContains reaches the
     * scan), substr/upper/concat stay codegen'd.
     */
