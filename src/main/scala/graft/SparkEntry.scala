@@ -53,6 +53,7 @@ object SparkEntry {
     "q_first_last" -> ((s, d) => Relational.qFirstLast(t(s, d))),
     "q_cube" -> ((s, d) => Relational.qCube(t(s, d))),
     "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
+    "q_pivot_wide" -> ((s, d) => Relational.qPivotWide(t(s, d))),
     "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
     "q_events_hourly" -> ((s, d) => Relational.qEventsHourly(t(s, d))),
     "q_resample" -> ((s, d) => Relational.qResample(t(s, d))),
@@ -294,6 +295,14 @@ object SparkEntry {
         | floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS done_total,
         | floor((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END)) * 100 + 0.5) / 100 AS pending_total,
         | count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the PIVOT result equals per-status conditional sums with
+    // absent (priority, status) cells filled with 0
+    "q_pivot_wide" ->
+      """SELECT o_orderpriority,
+        | floor((coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS open_total,
+        | floor((coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS done_total,
+        | floor((coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS pending_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_case_when" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'low'

@@ -350,6 +350,23 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderpriority")
 
+  /** True relational PIVOT (`RelationalGroupedDataset.pivot`) with an
+    * explicit value list — one pass, no per-status re-scan, and the
+    * fixed list keeps the output schema static (a valueless pivot
+    * would run an extra distinct job and make the schema data-
+    * dependent — wrong for a service contract). Complements
+    * qPivotStatus, which is the conditional-agg formulation.
+    */
+  def qPivotWide(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .na.fill(0.0, Seq("O", "F", "P"))
+      .select(col("o_orderpriority"), col("O").as("open_total"),
+        col("F").as("done_total"), col("P").as("pending_total"))
+      .orderBy("o_orderpriority")
+
   /** CASE WHEN bucketing + aggregation over the bucket expression. */
   def qCaseWhen(t: Tables): DataFrame =
     t.lineitem
