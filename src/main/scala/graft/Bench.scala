@@ -41,7 +41,13 @@ object Bench {
       s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else v.toString)
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}"""
+    println(line)
+    // stdout capture has truncated the per-query tail before; the file
+    // is the complete machine-readable record regardless of log limits
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
+    "q_percentile_approx" -> ((s, d) => Relational.qPercentileApprox(t(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
     "q_histogram" -> ((s, d) => Relational.qHistogram(t(s, d))),
     "q_anomaly" -> ((s, d) => Relational.qAnomaly(t(s, d))),
@@ -118,7 +119,8 @@ object SparkEntry {
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
     * q_media_features, q_audio_features, q_approx_distinct,
-    * q_quantize_error — are rows-only BY DESIGN: their semantics are
+    * q_percentile_approx, q_quantize_error — are rows-only BY DESIGN:
+    * their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
     * instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet.)

@@ -221,13 +221,15 @@ object Dedup {
       .persist()
     // Each round references the label table THREE times (neighbors,
     // pointer jump, self) — without lineage truncation the logical
-    // plan grows 3^rounds and analysis OOMs. localCheckpoint
-    // materializes the round eagerly and makes it a leaf; on a real
-    // cluster with unstable executors use a reliable checkpoint dir
+    // plan grows 3^rounds and analysis OOMs. localCheckpoint makes the
+    // round a leaf; LAZY (eager=false), so the convergence count below
+    // is the job that materializes it — one job per round, not a
+    // checkpoint job plus a count job. On a real cluster with unstable
+    // executors use a reliable checkpoint dir
     // (sparkContext.setCheckpointDir + .checkpoint) instead.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // superseded rounds must release their checkpoint blocks NOW, not
     // when ContextCleaner eventually notices — a large corpus would
     // otherwise hold maxIters copies of the label table in storage
@@ -248,19 +250,26 @@ object Dedup {
       // label's label — label chains halve each round, so convergence
       // is O(log diameter) instead of O(diameter). One extra
       // equi-join per round against the same checkpointed label table.
-      val viaLabel = labels
-        .join(labels.select(col("doc_id").as("_lbl_id"), col("cluster_id").as("l_min")),
-          col("cluster_id") === col("_lbl_id"))
-        .select(col("doc_id"), col("l_min"))
+      // Round 0 skips it: labels are identity there (everyone is their
+      // own label), so the label's label IS the label — the join would
+      // be a no-op paid on the full node set.
+      val best =
+        if (it == 0) col("n_min")
+        else least(col("n_min"), col("l_min"))
+      val joined =
+        if (it == 0) labels.join(viaNeighbors, "doc_id")
+        else labels.join(viaNeighbors, "doc_id")
+          .join(labels.select(col("doc_id").as("_lbl_id"), col("cluster_id").as("l_min")),
+            col("cluster_id") === col("_lbl_id"))
       // carry the did-it-improve flag as a COLUMN so the convergence
-      // check is a filter over the freshly materialized round, not a
-      // second join job against the previous labels
-      val next = labels.join(viaNeighbors, "doc_id")
-        .join(viaLabel, "doc_id")
+      // check is a filter over this round's single materialization
+      val next = joined
         .select(col("doc_id"),
-          least(col("cluster_id"), least(col("n_min"), col("l_min"))).as("cluster_id"),
-          (least(col("n_min"), col("l_min")) < col("cluster_id")).as("_changed"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), best).as("cluster_id"),
+          (best < col("cluster_id")).as("_changed"))
+        .localCheckpoint(false)
+      // ONE action: materializes the lazy checkpoint and returns the
+      // convergence scalar in the same job
       changed = next.filter(col("_changed")).count()
       releaseBlocks(checkpointed)
       checkpointed = next

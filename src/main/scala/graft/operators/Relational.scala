@@ -586,9 +586,9 @@ object Relational {
 
   /** Exact interpolated percentiles per group (Spark `percentile` =
     * continuous quantile, same interpolation as DuckDB quantile_cont).
-    * For 100 TB use qApproxDistinct-style sketches instead
-    * (approx_percentile) — exact percentile shuffles per-group sorted
-    * state; it's here as the small-group/oracle-able form.
+    * Exact percentile buffers per-group sorted state — fine for the
+    * oracle-able small-group form here; `qPercentileApprox` below is
+    * the sketch path that actually scales.
     */
   def qPercentile(t: Tables): DataFrame =
     t.lineitem
@@ -597,6 +597,23 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
         round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
         round(percentile(col("l_quantity"), lit(0.5)), 2).as("qty_p50"))
+      .orderBy("l_returnflag")
+
+  /** Percentiles via the Greenwald-Khanna sketch (approx_percentile) —
+    * the 100 TB form of qPercentile: a fixed-size mergeable summary
+    * per group (error ≤ 1/accuracy in RANK), so partial aggregation
+    * collapses map-side and the shuffle carries sketches, never the
+    * per-group value multiset that exact percentile sorts. Rows-only
+    * by design (the sketch's value is engine-specific);
+    * RelationalSpec bounds it against the exact `qPercentile` answer.
+    */
+  def qPercentileApprox(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)), 2).as("p50"),
+        round(approx_percentile(col("l_extendedprice"), lit(0.95), lit(accuracy)), 2).as("p95"),
+        round(approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy)), 2).as("qty_p50"))
       .orderBy("l_returnflag")
 
   /** Set aggregation to a canonical string: collect_set → sort →

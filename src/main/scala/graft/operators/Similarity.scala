@@ -123,7 +123,10 @@ object Similarity {
   def ivfCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
     // one row, read once: the vector width drives the fixed-size
     // aggregation buffer below
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val dim = e.select(size(col("embedding"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot train IVF quantizer on empty input"))
     // element-wise mean as ONE hash agg with a fixed (dim+1)-double
     // buffer (CentroidAgg): map-side partials, a single k-group
     // shuffle — the posexplode → (cell,pos) avg → re-collect pipeline
@@ -214,14 +217,24 @@ object Similarity {
 
   // Build-once index memo (same pattern as Dedup.ngramPairs): contract
   // query invocations and plan audits must not retrain Lloyd per call.
-  private case class IvfKey(session: Int, sfDir: String, cells: Int, iters: Int)
+  private case class IvfKey(session: Int, sfDir: String, cells: Int, iters: Int,
+      trainMod: Int)
   private val ivfCache =
     new graft.util.BoundedMemo[IvfKey, IvfIndex](2, _.unpersist())
 
-  /** Memoized corpus index for the contract query. */
-  def corpusIndex(t: Tables, cells: Int = 16, iters: Int = 2): IvfIndex =
-    ivfCache.getOrBuild(IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters))(
-      IvfIndex.build(t.embeddings, cells, iters))
+  /** Memoized corpus index for the contract query. Trains the coarse
+    * quantizer on a deterministic 1/4 hash sample BY DEFAULT — the
+    * large-scale recipe (quantizer quality needs a representative
+    * sample, not every vector; on 10^10 vectors full-corpus Lloyd is
+    * the training bottleneck) — while the assignment pass still covers
+    * every vector. AnnSpec asserts probe recall holds on the
+    * sample-trained index.
+    */
+  def corpusIndex(t: Tables, cells: Int = 16, iters: Int = 2,
+      trainMod: Int = 4): IvfIndex =
+    ivfCache.getOrBuild(
+      IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters, trainMod))(
+      IvfIndex.build(t.embeddings, cells, iters, trainMod))
 
   /** IVF-probed ANN (rows-only; AnnSpec checks recall): build-once
     * index (memoized per corpus), then probe.

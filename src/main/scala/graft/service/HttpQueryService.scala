@@ -14,7 +14,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the build environment). Every endpoint is a thin translation to one
   * QueryService method; no query logic lives in this layer.
   *
-  *   POST /sql      {"query": "...", "limit": 1000}    → {"rows": [...], "count": n}
+  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0}
+  *                    → {"rows": [...], "count": n, "offset": k[, "next_offset": k+n]}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
@@ -22,13 +23,28 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
   *   GET  /tables                                      → {"tables": [...]}
   *
-  * Errors return 400 with {"error": message}; wrong methods 405. The
-  * row payload reuses `sqlJson`'s hard collect cap — a service must
-  * never stream an unbounded result to one driver response; page with
-  * LIMIT/OFFSET for more.
+  * Error classes: client faults — malformed JSON, missing/invalid
+  * params, SQL analysis errors (bad syntax, unknown table) — return
+  * 400 with {"error": message}; wrong methods 405; an over-sized body
+  * 413; anything else (execution faults, server-side state) is a 500.
+  *
+  * /sql pages server-side: the response echoes `offset` and, when the
+  * page filled to `limit` (i.e. more rows may exist), a `next_offset`
+  * cursor to pass back. Pages are stable only when the query has a
+  * deterministic ORDER BY — the SQL paging contract. The row payload
+  * reuses `sqlJson`'s hard collect cap, so no request collects an
+  * unbounded result into the shared driver.
+  *
+  * Trust model: binds to loopback only and is UNAUTHENTICATED — any
+  * local process can run arbitrary SQL (which reads any path Spark
+  * can parse) and /register sources. That is the dev-service posture;
+  * a network-facing deployment needs an authenticating proxy or a
+  * shared-secret header in front. Request bodies are capped at
+  * `maxBodyBytes` before parsing, so oversized payloads can't occupy
+  * the pool's threads or the heap.
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20) {
 
   private val mapper = new ObjectMapper()
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -38,11 +54,15 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/sql", post { body =>
     // the cap must be SERVER-side: a client-supplied limit alone would
     // let one request collect an unbounded result into the shared
-    // driver (page with LIMIT/OFFSET in the query for more rows)
+    // driver (follow next_offset for more rows)
     val requested = if (body.has("limit")) body.get("limit").asInt else 1000
     require(requested > 0, s"limit must be positive, got $requested")
-    val rows = service.sqlJson(text(body, "query"), math.min(requested, maxRows))
-    s"""{"rows":[${rows.mkString(",")}],"count":${rows.size}}"""
+    val offset = if (body.has("offset")) body.get("offset").asInt else 0
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    val page = math.min(requested, maxRows)
+    val rows = service.sqlJson(text(body, "query"), page, offset)
+    val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
+    s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$next}"""
   })
   server.createContext("/explain", post { body =>
     val node = mapper.createObjectNode()
@@ -91,7 +111,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         val arr = node.putArray("tables")
         service.listTables().foreach(arr.add)
         reply(exchange, 200, mapper.writeValueAsString(node))
-      } catch { case NonFatal(e) => reply(exchange, 400, err(e.toString)) })
+      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
 
   private def text(body: com.fasterxml.jackson.databind.JsonNode, field: String): String = {
     require(body.has(field), s"missing field '$field'")
@@ -104,14 +124,37 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     mapper.writeValueAsString(node)
   }
 
+  /** 400 for faults the CALLER caused (malformed JSON, bad params,
+    * SQL that fails analysis); 500 for everything else — execution
+    * failures and server-side state belong to the server's status
+    * class, not the client's.
+    */
+  private def statusFor(e: Throwable): Int = e match {
+    case _: org.apache.spark.sql.AnalysisException        => 400 // bad SQL / unknown table
+    case _: com.fasterxml.jackson.core.JacksonException   => 400 // malformed JSON
+    // ANSI runtime faults (cast overflow, div-by-zero) raise
+    // SparkThrowables that EXTEND IllegalArgumentException subtypes —
+    // they fail server-side during execution, so class them 500 before
+    // the params case below can claim them
+    case _: org.apache.spark.SparkThrowable               => 500
+    case _: IllegalArgumentException                      => 400 // require() params
+    case _                                                => 500
+  }
+
   private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
     if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
     else
       try {
-        val raw = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        reply(exchange, 200, handle(mapper.readTree(raw)))
-      } catch { case NonFatal(e) => reply(exchange, 400, err(e.toString)) }
+        // bounded read: an over-sized body is rejected BEFORE parsing,
+        // so giant payloads can't saturate the pool or the heap
+        val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
+        if (raw.length > maxBodyBytes)
+          reply(exchange, 413, err(s"request body exceeds $maxBodyBytes bytes"))
+        else
+          reply(exchange, 200,
+            handle(mapper.readTree(new String(raw, StandardCharsets.UTF_8))))
+      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
 
   private def reply(exchange: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

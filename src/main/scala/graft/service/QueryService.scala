@@ -27,13 +27,17 @@ final class QueryService(val spark: SparkSession) {
     * with null fields RETAINED (`toJSON` would drop the key entirely,
     * giving rows inconsistent shapes — a trap for consumers indexing
     * by field). `limit` is a hard guard — a service must never
-    * collect an unbounded result to the driver; page with
-    * LIMIT/OFFSET in the query for more.
+    * collect an unbounded result to the driver — and `offset` is the
+    * server-driven page cursor (GlobalLimit/Offset execute driver-side
+    * on the collected prefix, so a page costs the prefix scan, same as
+    * SQL OFFSET). Pages are stable only when the query itself has a
+    * deterministic ORDER BY — same contract as SQL paging.
     */
-  def sqlJson(query: String, limit: Int = 1000): Seq[String] = {
+  def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] = {
     import org.apache.spark.sql.functions.{struct, to_json, col}
-    val df = spark.sql(query).limit(limit)
-    df.select(to_json(struct(df.columns.map(col): _*),
+    val base = spark.sql(query)
+    val df = (if (offset > 0) base.offset(offset) else base).limit(limit)
+    df.select(to_json(struct(base.columns.map(col): _*),
         Map("ignoreNullFields" -> "false")).as("j"))
       .collect().map(_.getString(0)).toSeq
   }

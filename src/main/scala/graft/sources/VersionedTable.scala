@@ -1,10 +1,15 @@
 package graft.sources
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+
+import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.types._
 
 import graft.operators.Merge
 
@@ -16,6 +21,9 @@ import graft.operators.Merge
   *     _graft_log/v00000001.json   ordered commit log; each entry
   *     _graft_log/v00000002.json   names the EXACT data files of that
   *     ...                         version (relative paths) + schema
+  *                                 + per-file column min/max stats
+  *     _graft_log/checkpoint-*.json  full-state copy every Nth commit
+  *     _graft_log/_last_checkpoint   advisory pointer to the newest one
   *     files-<uuid>/part-*.parquet immutable data files
   *
   * A version is committed by writing its manifest to a temp name and
@@ -27,27 +35,66 @@ import graft.operators.Merge
   * does, so readers always see a complete snapshot: reads resolve a
   * version's fixed file list, never a directory listing. On
   * filesystems without hard links the claim falls back to
-  * rename-without-replace (the HDFS/object-store recipe — there the
-  * store's own rename/conditional-put provides the same guarantee).
+  * rename-without-replace; because the JDK's Unix rename path is
+  * check-then-rename (not atomic put-if-absent), the fallback
+  * re-reads the claimed manifest and verifies the embedded writer
+  * UUID — a racer whose rename was overwritten sees the other
+  * writer's UUID and fails with ConcurrentModificationException
+  * instead of silently losing its commit. (On HDFS/object stores the
+  * store's own rename/conditional-put provides the atomic claim.)
   *
-  * MERGE is copy-on-write over the whole snapshot (`Merge.upsert` +
-  * rewrite), the Delta strategy before deletion vectors; at 100 TB
-  * the rewrite narrows to the partitions whose keys appear in the
-  * update set — the manifest already carries per-file paths, so a
-  * partition-pruned variant only swaps the touched files. The log is
-  * O(commits) small JSON files; long-lived tables periodically
-  * compact it into a checkpoint manifest (not needed at this scale).
+  * Every commit written through `commitData` records per-file min/max
+  * for each atomic column (harvested with one column-pruned pass over
+  * only the freshly written files; a production writer gets the same
+  * numbers free from the parquet footers it just wrote). MERGE uses
+  * them for partition-pruned copy-on-write: only files whose key range
+  * intersects the update set's key range are rewritten; every other
+  * file is carried forward by path, untouched — O(touched + updates)
+  * per upsert batch instead of a full-table rewrite, the same file-
+  * stats pruning Delta does, and the difference between a usable and
+  * an unusable table at 100 TB.
+  *
+  * The log is O(commits) small JSON files; every Nth commit also
+  * writes a self-contained checkpoint manifest and bumps the advisory
+  * `_last_checkpoint` pointer, so `currentVersion` probes FORWARD from
+  * the checkpointed version (O(commits since checkpoint) existence
+  * checks) instead of listing the whole log directory — O(1) metadata
+  * ops on a long-lived table.
   */
 final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
+  import VersionedTable.CheckpointInterval
+
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(dir, "_graft_log")
+  private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%08d.json")
+  private def checkpointPath(v: Int): Path = logDir.resolve(f"checkpoint-$v%08d.json")
+  private def pointerPath: Path = logDir.resolve("_last_checkpoint")
 
-  /** Latest committed version, 0 if the table is empty. */
+  /** Latest committed version, 0 if the table is empty. With a
+    * checkpoint pointer present this probes forward from the
+    * checkpointed version — never a full log listing; without one
+    * (young table, or the pointer's manifest was vacuumed away) it
+    * falls back to listing.
+    */
   def currentVersion: Int = {
-    val vs = listVersions()
-    if (vs.isEmpty) 0 else vs.max
+    val ckpt = lastCheckpointVersion
+    if (ckpt > 0 && Files.exists(manifestPath(ckpt))) {
+      var v = ckpt
+      while (Files.exists(manifestPath(v + 1))) v += 1
+      v
+    } else {
+      val vs = listVersions()
+      if (vs.isEmpty) 0 else vs.max
+    }
   }
+
+  private def lastCheckpointVersion: Int =
+    if (!Files.exists(pointerPath)) 0
+    else
+      // a torn/illegible pointer is advisory only — fall back to listing
+      try mapper.readTree(pointerPath.toFile).path("version").asInt(0)
+      catch { case NonFatal(_) => 0 }
 
   private def listVersions(): Seq[Int] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
@@ -61,12 +108,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   }
 
   private def manifest(version: Int): JsonNode =
-    mapper.readTree(logDir.resolve(f"v$version%08d.json").toFile)
+    mapper.readTree(manifestPath(version).toFile)
 
   private def manifestFiles(m: JsonNode): Seq[String] = {
     import scala.jdk.CollectionConverters._
     m.get("files").elements().asScala.map(_.asText()).toSeq
   }
+
+  private def manifestStats(m: JsonNode): Map[String, JsonNode] = {
+    val s = m.get("stats")
+    if (s == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      s.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+  }
+
+  /** The exact relative file paths of a committed version (spec hook:
+    * proves carried files keep their paths across a pruned MERGE).
+    */
+  private[graft] def fileList(version: Int): Seq[String] =
+    manifestFiles(manifest(version))
 
   /** Snapshot read. `version = -1` reads the latest commit; any
     * earlier version stays readable (time travel) because data files
@@ -100,6 +162,94 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     } finally s.close()
   }
 
+  /** Columns whose min/max are recorded per file: the atomic types
+    * with an unambiguous total order shared by Spark and the JSON
+    * manifest encoding. Anything else simply gets no stats (→ merge
+    * treats its files as always-touched, never incorrectly pruned).
+    */
+  private def statFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType
+           | DoubleType | FloatType | StringType => true
+      case _ => false
+    })
+
+  /** Per-file min/max of every stat-eligible column of the freshly
+    * written files, as ONE column-pruned Spark job over only those
+    * files (one output row per file — driver traffic is bounded by
+    * file count, never row count).
+    */
+  private def freshStats(sub: String, rels: Seq[String], schema: StructType)
+      : Map[String, JsonNode] = {
+    val fields = statFields(schema)
+    if (fields.isEmpty || rels.isEmpty) return Map.empty
+    val aggs = fields.flatMap(f =>
+      Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}")))
+    val rows = spark.read.parquet(s"$dir/$sub")
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val uri = r.getString(0)
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      val node = mapper.createObjectNode()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val lo = r.get(1 + 2 * i)
+        val hi = r.get(2 + 2 * i)
+        if (lo != null && hi != null) {
+          val a = node.putArray(f.name)
+          Seq(lo, hi).foreach {
+            case v: Long    => a.add(v)
+            case v: Int     => a.add(v)
+            case v: Short   => a.add(v.toInt)
+            case v: Byte    => a.add(v.toInt)
+            case v: Double  => a.add(v)
+            case v: Float   => a.add(v.toDouble) // exact widening
+            case v: String  => a.add(v)
+            case _          => ()
+          }
+          ()
+        }
+      }
+      s"$sub/$name" -> (node: JsonNode)
+    }.toMap
+  }
+
+  /** Does this file's recorded [min,max] for `key` intersect the
+    * update range [lo,hi]? Missing stats (pre-stats manifest, carried
+    * file without them, unsupported key type) are conservatively
+    * "yes" — pruning may only ever skip files that provably contain
+    * no matching key.
+    */
+  private def rangeOverlaps(st: Option[JsonNode], key: String, dt: DataType,
+      lo: Any, hi: Any): Boolean =
+    st.flatMap(n => Option(n.get(key))) match {
+      case None => true
+      case Some(a) =>
+        def asL(x: Any): Long = x match {
+          case v: Long => v; case v: Int => v.toLong
+          case v: Short => v.toLong; case v: Byte => v.toLong
+        }
+        def asD(x: Any): Double = x match {
+          case v: Double => v; case v: Float => v.toDouble
+        }
+        dt match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            a.get(1).asLong >= asL(lo) && a.get(0).asLong <= asL(hi)
+          case DoubleType | FloatType =>
+            a.get(1).asDouble >= asD(lo) && a.get(0).asDouble <= asD(hi)
+          case StringType =>
+            // compare in UTF-8 byte order — the order Spark's string
+            // min/max uses (UTF8String is byte-comparable); JVM
+            // String.compareTo (UTF-16 code units) disagrees above the
+            // BMP, which would make pruning unsound there
+            def b(s: String) = s.getBytes(StandardCharsets.UTF_8)
+            java.util.Arrays.compareUnsigned(b(a.get(1).asText), b(lo.toString)) >= 0 &&
+              java.util.Arrays.compareUnsigned(b(a.get(0).asText), b(hi.toString)) <= 0
+          case _ => true
+        }
+    }
+
   /** Atomically claim version `v` with the given file list; throws
     * ConcurrentModificationException ONLY if another writer holds the
     * version (any real I/O failure propagates untranslated).
@@ -107,23 +257,44 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * claim-once guarantee.)
     */
   private[graft] def commit(v: Int, op: String, fileList: Seq[String],
-      schemaJson: String = null): Int = {
+      schemaJson: String = null, stats: Map[String, JsonNode] = Map.empty,
+      epoch: Option[Long] = None): Int = {
+    val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("op", op)
+    node.put("writer", writer)
     if (schemaJson != null) node.put("schema", schemaJson)
+    epoch.foreach { e => node.put("epoch", e); () }
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
+    if (stats.nonEmpty) {
+      val sn = node.putObject("stats")
+      fileList.foreach(f => stats.get(f).foreach { s => sn.set[JsonNode](f, s); () })
+    }
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(node))
-    val target = logDir.resolve(f"v$v%08d.json")
+    val target = manifestPath(v)
     try {
       try Files.createLink(target, tmp) // link(2): fails EEXIST atomically
       catch {
         case _: UnsupportedOperationException =>
-          Files.move(tmp, target) // no-replace rename: the HDFS/object-store path
+          // linkless-filesystem fallback. The JDK's Unix move is
+          // check-then-rename, so two racers can both pass the check
+          // and the later rename replaces the earlier manifest; verify
+          // the claim by re-reading the target and matching OUR writer
+          // UUID — the overwritten racer fails loudly instead of
+          // silently losing its commit.
+          Files.move(tmp, target)
+          val held =
+            try mapper.readTree(target.toFile).path("writer").asText("") == writer
+            catch { case NonFatal(_) => false }
+          if (!held)
+            throw new java.util.ConcurrentModificationException(
+              s"commit conflict: version $v of $dir was overwritten by another writer")
       }
+      afterClaim(v, node)
       v
     } catch {
       case e: FileAlreadyExistsException =>
@@ -132,14 +303,38 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Every Nth commit: duplicate the (self-contained) manifest as a
+    * checkpoint and bump the advisory pointer. Only the claim winner
+    * of version v runs this, so the checkpoint file needs no claim of
+    * its own; the pointer is last-writer-wins and a stale value only
+    * costs extra forward probes.
+    */
+  private def afterClaim(v: Int, node: ObjectNode): Unit =
+    if (v % CheckpointInterval == 0) {
+      Files.write(checkpointPath(v), mapper.writeValueAsBytes(node))
+      val pn = mapper.createObjectNode()
+      pn.put("version", v)
+      val tmp = logDir.resolve(s".ckpt-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, mapper.writeValueAsBytes(pn))
+      try Files.move(tmp, pointerPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, pointerPath, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+
   /** Write + claim; a lost race deletes the just-written data files
     * before rethrowing, so conflicts leak nothing. (private[graft]
     * for the same race-injection reason as commit.)
     */
   private[graft] def commitData(v: Int, op: String, df: DataFrame,
-      carryForward: Seq[String]): Int = {
+      carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
+      epoch: Option[Long] = None): Int = {
     val (sub, fresh) = writeFiles(df)
-    try commit(v, op, carryForward ++ fresh, df.schema.json)
+    val stats = carriedStats ++ freshStats(sub, fresh, df.schema)
+    try commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch)
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteTree(Paths.get(dir, sub))
@@ -159,11 +354,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     ()
   }
 
-  /** Append: next version = previous file list + the new files. */
+  /** Append: next version = previous file list (stats carried) + the
+    * new files.
+    */
   def append(df: DataFrame): Int = {
     val prev = currentVersion
-    val existing = if (prev == 0) Seq.empty else manifestFiles(manifest(prev))
-    commitData(prev + 1, "append", df, existing)
+    val (existing, exStats) =
+      if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
+      else { val m = manifest(prev); (manifestFiles(m), manifestStats(m)) }
+    commitData(prev + 1, "append", df, existing, exStats)
   }
 
   /** Overwrite: next version = the new files only. Old versions stay
@@ -172,23 +371,92 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   def overwrite(df: DataFrame): Int =
     commitData(currentVersion + 1, "overwrite", df, Seq.empty)
 
-  /** Copy-on-write MERGE (update matched keys, insert new ones —
-    * `Merge.upsert` semantics incl. the duplicate-source and null-key
-    * raises): rewrites the snapshot into fresh files and commits them
-    * as the next version.
+  /** Partition-pruned copy-on-write MERGE (update matched keys, insert
+    * new ones — `Merge.upsert` semantics incl. the duplicate-source
+    * and null-key raises). Only snapshot files whose per-file [min,max]
+    * of `key` intersects the update set's key range are read and
+    * rewritten; disjoint files are carried forward by path, untouched.
+    * Soundness: a matched key lies inside both its file's range and
+    * the update range, so a range-disjoint file cannot contain a
+    * match, and inserts land in the rewritten output. Files without
+    * stats count as touched (correct, just not pruned).
     */
-  def merge(updates: DataFrame, key: String): Int =
-    commitData(currentVersion + 1, "merge", Merge.upsert(read(), updates, key), Seq.empty)
+  def merge(updates: DataFrame, key: String): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val keyType = updates.schema(key).dataType
+    val b = updates.agg(count(lit(1)).as("n"),
+      min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    if (b.getLong(0) == 0)
+      // empty update set: a visible no-op commit carrying every file
+      return commit(v + 1, "merge", files,
+        Option(m.get("schema")).map(_.asText()).orNull, stats)
+    val (touched, untouched) =
+      if (b.isNullAt(1)) (files, Seq.empty[String]) // all-null keys: upsert raises below
+      else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
+    val base =
+      if (touched.nonEmpty) spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
+    commitData(v + 1, "merge", Merge.upsert(base, updates, key),
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+  }
+
+  /** Most recent committed stream epoch: walk back from the current
+    * version until a manifest carrying one. O(1) on a stream-fed table
+    * (the newest commit is a stream append); bounded by the vacuum
+    * horizon otherwise (a vacuumed-away manifest ends the walk).
+    */
+  def lastCommittedEpoch: Option[Long] = {
+    var v = currentVersion
+    while (v > 0) {
+      val m =
+        try manifest(v)
+        catch { case _: java.io.IOException => return None } // below the vacuum horizon
+      if (m.has("epoch")) return Some(m.get("epoch").asLong)
+      v -= 1
+    }
+    None
+  }
+
+  /** Epoch-idempotent streaming append — the foreachBatch contract:
+    * Structured Streaming re-delivers a batch after a crash with the
+    * SAME epoch id, so the commit is keyed by it. An epoch at or below
+    * the last committed one is a replay and is skipped (returns None),
+    * making the sink exactly-once on top of at-least-once batch
+    * delivery. Assumes one streaming query per table — epoch ids are
+    * monotonic per query, which is what makes ≤ a replay test.
+    */
+  def appendEpoch(df: DataFrame, epochId: Long): Option[Int] = {
+    if (lastCommittedEpoch.exists(_ >= epochId)) return None
+    val prev = currentVersion
+    val (existing, exStats) =
+      if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
+      else { val m = manifest(prev); (manifestFiles(m), manifestStats(m)) }
+    try Some(commitData(prev + 1, "stream-append", df, existing, exStats,
+      epoch = Some(epochId)))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // a racing commit took our version; if that commit (or any
+        // newer one) already carries this epoch, this was a duplicate
+        // attempt — absorb it. A genuinely foreign conflict surfaces.
+        if (lastCommittedEpoch.exists(_ >= epochId)) None else throw e
+    }
+  }
 
   /** Bound storage: drop history older than the last `retainVersions`
-    * commits — delete the older manifests, then every data file no
-    * surviving manifest references. Time travel keeps working within
-    * the retained window; copy-on-write tables need this or every
-    * overwrite/merge retains a full snapshot forever (Delta's VACUUM).
-    * Returns the number of data files deleted. Safe against
-    * mid-vacuum readers of RETAINED versions (their manifests and
-    * files are untouched); like Delta, readers of dropped history
-    * race with the delete by design.
+    * commits — delete the older manifests (and their checkpoint
+    * copies), then every data file no surviving manifest references.
+    * Time travel keeps working within the retained window; copy-on-
+    * write tables need this or every overwrite/merge retains a full
+    * snapshot forever (Delta's VACUUM). Returns the number of data
+    * files deleted. Safe against mid-vacuum readers of RETAINED
+    * versions (their manifests and files are untouched); like Delta,
+    * readers of dropped history race with the delete by design.
     */
   def vacuum(retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
@@ -214,12 +482,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         if (!hasParquet) deleteTree(d)
       } catch { case _: java.nio.file.NoSuchFileException => () }
     }
-    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.json")))
+    drop.foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      Files.deleteIfExists(checkpointPath(v))
+    }
+    // a pointer whose manifest was just dropped would send readers to
+    // the full-listing fallback anyway; remove it so they don't probe
+    // a hole (the next Nth commit rewrites it)
+    val ckpt = lastCheckpointVersion
+    if (ckpt > 0 && !Files.exists(manifestPath(ckpt))) Files.deleteIfExists(pointerPath)
     dead.size
   }
 }
 
 object VersionedTable {
+
+  /** Checkpoint cadence: every Nth commit duplicates the manifest and
+    * bumps `_last_checkpoint`. Delta uses 10; manifests here are
+    * self-contained either way, so the interval only tunes how many
+    * forward probes `currentVersion` pays.
+    */
+  val CheckpointInterval = 10
 
   /** Open a table handle. Opening has NO filesystem side effects —
     * the log directory is created by the first commit, and reads of a

@@ -94,3 +94,27 @@ final case class FileStreamSink(format: String, path: String, checkpoint: String
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode(outputMode).start()
 }
+
+/** Streaming sink into a [[graft.sources.VersionedTable]] —
+  * stream-to-ACID-table. foreachBatch delivers each micro-batch at
+  * least once (a crash between sink write and checkpoint commit
+  * replays the batch with the SAME epoch id); `appendEpoch` keys the
+  * table commit by that id and skips already-committed epochs, so the
+  * table lands each batch exactly once across restarts. Readers see
+  * snapshot-consistent versions mid-stream, and the table's time
+  * travel / vacuum / MERGE all apply to streamed data.
+  */
+final case class VTableStreamSink(dir: String, checkpoint: String)
+    extends StreamSinkProvider {
+  val name = "vtable"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        graft.sources.VersionedTable(batch.sparkSession, dir)
+          .appendEpoch(batch.toDF(), epochId)
+        ()
+      }
+      .start()
+}

@@ -34,4 +34,39 @@ class BoundedMemoSpec extends AnyFunSuite {
     }
     assert(m.getOrBuild(9)("ok") == "ok")
   }
+
+  test("distinct keys build concurrently, not serialized behind one lock") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val m = new BoundedMemo[Int, String](4, _ => ())
+    // each build blocks until BOTH builds have started — this can only
+    // complete if distinct keys run outside any shared monitor
+    val gate = new CountDownLatch(2)
+    def slowBuild(v: String): String = {
+      gate.countDown()
+      assert(gate.await(5, TimeUnit.SECONDS), "distinct-key builds serialized")
+      v
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit[String](() => m.getOrBuild(1)(slowBuild("a")))
+      val f2 = pool.submit[String](() => m.getOrBuild(2)(slowBuild("b")))
+      assert(f1.get(10, TimeUnit.SECONDS) == "a")
+      assert(f2.get(10, TimeUnit.SECONDS) == "b")
+    } finally pool.shutdownNow()
+  }
+
+  test("same-key contention still builds exactly once") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    val builds = new AtomicInteger(0)
+    val m = new BoundedMemo[Int, String](4, _ => ())
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val fs = (1 to 8).map(_ => pool.submit[String] { () =>
+        m.getOrBuild(42) { Thread.sleep(50); builds.incrementAndGet(); "v" }
+      })
+      fs.foreach(f => assert(f.get(10, TimeUnit.SECONDS) == "v"))
+      assert(builds.get() == 1, s"built ${builds.get()} times")
+    } finally pool.shutdownNow()
+  }
 }

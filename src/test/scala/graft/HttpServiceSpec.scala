@@ -3,13 +3,26 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.service.{HttpQueryService, QueryService}
 
-class HttpServiceSpec extends SparkSpecBase {
+class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
 
   private lazy val service = new QueryService(spark)
-  private lazy val http = new HttpQueryService(service, port = 0).start()
+  @volatile private var httpStarted = false
+  private lazy val http = {
+    val h = new HttpQueryService(service, port = 0).start()
+    httpStarted = true
+    h
+  }
   private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    // the lazy server (and its thread pool) must not outlive the suite
+    if (httpStarted) http.stop()
+    super.afterAll()
+  }
 
   private def post(path: String, body: String): HttpResponse[String] =
     client.send(
@@ -35,14 +48,16 @@ class HttpServiceSpec extends SparkSpecBase {
     // HTTP rows must be byte-identical to the library-level sqlJson rows
     val expected = service
       .sqlJson("SELECT n_name FROM http_nation ORDER BY n_nationkey LIMIT 2")
-    assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2}""", res.body)
+    assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2,"offset":0}""", res.body)
   }
 
   test("POST /sql honors the collect limit and caps it server-side") {
     post("/register",
       s"""{"name":"http_orders","format":"parquet","path":"${TestSpark.sfDir}/orders.parquet"}""")
     val res = post("/sql", """{"query":"SELECT o_orderkey FROM http_orders","limit":7}""")
-    assert(res.statusCode == 200 && res.body.endsWith(""","count":7}"""), res.body)
+    // a full page advertises the next cursor
+    assert(res.statusCode == 200 &&
+      res.body.endsWith(""","count":7,"offset":0,"next_offset":7}"""), res.body)
     // a huge client limit is clamped to the server's maxRows, so one
     // request cannot collect an unbounded result into the driver
     val capped = new graft.service.HttpQueryService(service, port = 0, maxRows = 5).start()
@@ -53,7 +68,8 @@ class HttpServiceSpec extends SparkSpecBase {
             """{"query":"SELECT o_orderkey FROM http_orders","limit":2147483647}"""))
           .build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(r.statusCode == 200 && r.body.endsWith(""","count":5}"""), r.body)
+      assert(r.statusCode == 200 &&
+        r.body.endsWith(""","count":5,"offset":0,"next_offset":5}"""), r.body)
     } finally capped.stop()
     val bad = post("/sql", """{"query":"SELECT 1","limit":-1}""")
     assert(bad.statusCode == 400 && bad.body.contains("positive"), bad.body)
@@ -93,6 +109,39 @@ class HttpServiceSpec extends SparkSpecBase {
       s"""{"name":"http_nation2","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
     val res = post("/explain", """{"query":"SELECT count(*) FROM http_nation2"}""")
     assert(res.statusCode == 200 && res.body.contains("Physical Plan"), res.body)
+  }
+
+  test("POST /sql pages server-side via next_offset with no overlap or loss") {
+    post("/register",
+      s"""{"name":"http_nation_pg","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    val q = "SELECT n_nationkey FROM http_nation_pg ORDER BY n_nationkey"
+    def page(offset: Int) =
+      post("/sql", s"""{"query":"$q","limit":10,"offset":$offset}""")
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def keysOf(body: String): Seq[Int] =
+      """"n_nationkey":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toInt).toSeq
+    val p1 = page(0)
+    assert(p1.statusCode == 200 && p1.body.contains(""""next_offset":10"""), p1.body)
+    keys ++= keysOf(p1.body)
+    val p2 = page(10)
+    assert(p2.body.contains(""""offset":10""") && p2.body.contains(""""next_offset":20"""), p2.body)
+    keys ++= keysOf(p2.body)
+    val p3 = page(20)
+    // nation has 25 rows: the last page is short and carries no cursor
+    assert(p3.body.contains(""""count":5""") && !p3.body.contains("next_offset"), p3.body)
+    keys ++= keysOf(p3.body)
+    // stable ORDER BY + server paging: every row exactly once, in order
+    assert(keys.toSeq == (0 until 25).toSeq, keys.mkString(","))
+  }
+
+  test("oversized bodies get 413; runtime SQL faults get 500, not 400") {
+    val big = "x" * ((1 << 20) + 64)
+    val huge = post("/sql", s"""{"query":"SELECT 1","pad":"$big"}""")
+    assert(huge.statusCode == 413 && huge.body.contains("exceeds"), huge.statusCode.toString)
+    // analysis passes, execution fails (ANSI divide-by-zero): the fault
+    // class is the server's, not the caller's
+    val boom = post("/sql", """{"query":"SELECT 1/0 AS x"}""")
+    assert(boom.statusCode == 500 && boom.body.contains("\"error\""), s"${boom.statusCode} ${boom.body}")
   }
 
   test("malformed requests get a 400 with an error payload, bad methods a 405") {

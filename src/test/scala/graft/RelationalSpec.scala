@@ -55,4 +55,18 @@ class RelationalSpec extends SparkSpecBase {
     val approx = r.getAs[Long]("approx_parts")
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("approx_percentile tracks the exact percentiles within 1% per group") {
+    val exact = Relational.qPercentile(tables).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.qPercentileApprox(tables).collect()
+    assert(approx.map(_.getString(0)).toSet == exact.keySet)
+    approx.foreach { r =>
+      val (p50, p95, q50) = exact(r.getString(0))
+      def close(a: Double, e: Double) = math.abs(a - e) / math.abs(e) < 0.01
+      assert(close(r.getDouble(1), p50), s"${r.getString(0)} p50: ${r.getDouble(1)} vs $p50")
+      assert(close(r.getDouble(2), p95), s"${r.getString(0)} p95: ${r.getDouble(2)} vs $p95")
+      assert(close(r.getDouble(3), q50), s"${r.getString(0)} qty_p50: ${r.getDouble(3)} vs $q50")
+    }
+  }
 }
