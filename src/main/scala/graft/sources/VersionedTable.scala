@@ -406,6 +406,69 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }
 
+  /** Stats-pruned copy-on-write DELETE by key set: drop every snapshot
+    * row whose `key` appears in `keys`. Same pruning as MERGE — only
+    * files whose recorded key range intersects the delete set's range
+    * are rewritten (via anti-join); disjoint files are carried forward
+    * by path. NULL keys follow SQL join semantics: a NULL never
+    * matches, so NULL-keyed rows are always retained and NULL delete
+    * keys delete nothing.
+    */
+  def delete(keys: DataFrame, key: String): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    val keyType = keys.schema(key).dataType
+    val b = keys.agg(count(col(key)).as("n"),
+      min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    if (b.getLong(0) == 0) // empty (or all-NULL) delete set: visible no-op
+      return commit(v + 1, "delete", files, schemaJson, stats)
+    val (touched, untouched) =
+      files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
+    if (touched.isEmpty)
+      return commit(v + 1, "delete", files, schemaJson, stats)
+    val base = spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
+    // left_anti keeps the left schema untouched — committed column
+    // order is preserved across the rewrite
+    val remaining = base.join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
+    commitData(v + 1, "delete", remaining,
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+  }
+
+  /** Bin-pack small files into ~`targetBytes` outputs — the companion
+    * every streaming-fed table needs (each epoch commits one small
+    * file; unchecked, scans degrade to per-file task overhead). Files
+    * already ≥ `targetBytes` are carried forward untouched, small ones
+    * are read once and rewritten as ceil(total/target) files — with
+    * `clusterBy` they are range-partitioned on that column first, so
+    * the compacted files get tight disjoint min/max stats and later
+    * MERGE/DELETE pruning actually bites (Delta's OPTIMIZE ... ZORDER,
+    * one dimension). Data is unchanged; old versions stay readable.
+    * Returns the current version unchanged when there is nothing to
+    * compact (no empty commits from maintenance loops).
+    */
+  def compact(targetBytes: Long = 128L << 20, clusterBy: Option[String] = None): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val sized = files.map(f => f -> Files.size(Paths.get(dir, f)))
+    val (small, large) = sized.partition(_._2 < targetBytes)
+    if (small.size <= 1) return v
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val base = spark.read.parquet(small.map(p => s"$dir/${p._1}"): _*)
+    val packed = clusterBy match {
+      case Some(c) => base.repartitionByRange(nOut, col(c)) // range shuffle buys stat locality
+      case None    => base.coalesce(nOut)                   // shuffle-free bin-pack
+    }
+    commitData(v + 1, "compact", packed,
+      large.map(_._1), large.flatMap { case (f, _) => stats.get(f).map(f -> _) }.toMap)
+  }
+
   /** Most recent committed stream epoch: walk back from the current
     * version until a manifest carrying one. O(1) on a stream-fed table
     * (the newest commit is a stream append); bounded by the vacuum

@@ -176,6 +176,64 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(lowFiles.forall(t.fileList(v4).contains), "carried stats lost on re-merge")
   }
 
+  test("delete prunes untouched files and drops only the named keys") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq.tabulate(10)(i => (i.toLong, s"low$i")).toDF("id", "name").coalesce(1))
+    t.append(Seq.tabulate(10)(i => (1000L + i, s"hi$i")).toDF("id", "name").coalesce(1))
+    val lowFiles = t.fileList(1)
+    // delete keys land entirely in the hi file's range; 1999 matches nothing
+    val v3 = t.delete(Seq(1003L, 1007L, 1999L).toDF("id"), "id")
+    val after = t.fileList(v3)
+    assert(lowFiles.forall(after.contains), s"low file rewritten: $after")
+    assert(t.read().count() == 18)
+    val ids = t.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1003L) && !ids.contains(1007L) && ids.contains(1999L) == false)
+    assert(ids.contains(1001L) && ids.contains(5L))
+    // history intact: the pre-delete snapshot still has all 20
+    assert(t.read(2).count() == 20)
+    // empty delete set: visible no-op carrying every file
+    val v4 = t.delete(Seq.empty[Long].toDF("id"), "id")
+    assert(t.fileList(v4) == after && t.read().count() == 18)
+  }
+
+  test("delete retains NULL-keyed rows and ignores NULL delete keys") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b"))
+      .toDF("id", "name"))
+    t.delete(Seq[Option[Long]](Some(1L), None).toDF("id"), "id")
+    val got = t.read().collect().map(_.getString(1)).toSet
+    assert(got == Set("nullkey", "b"))
+  }
+
+  test("compact bin-packs small files, keeps data and history intact") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // 6 appends -> 6 small files (streaming-sink shape)
+    (1 to 6).foreach(i => t.append(
+      Seq.tabulate(10)(j => ((i * 100 + j).toLong, s"r$i-$j")).toDF("id", "name").coalesce(1)))
+    val before = t.fileList(t.currentVersion)
+    assert(before.size == 6)
+    val v = t.compact(targetBytes = 10L << 20, clusterBy = Some("id"))
+    val after = t.fileList(v)
+    assert(after.size < before.size, s"no packing: ${after.size}")
+    // byte-for-byte same data, and the pre-compact version still reads
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val old = t.read(6).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == old && got.size == 60)
+    // nothing left to compact -> returns the current version, no commit
+    assert(t.compact(targetBytes = 10L << 20) == v && t.currentVersion == v)
+    // compacted file stats still prune: a merge on hi-range keys must
+    // carry any range-disjoint compacted file (only when >1 output file
+    // exists does pruning show; with one packed file just check merge works)
+    t.merge(Seq((105L, "upd")).toDF("id", "name"), "id")
+    assert(t.read().where($"id" === 105L).head().getString(1) == "upd")
+  }
+
   test("merge with an empty update set is a visible no-op commit") {
     import spark.implicits._
     val dir = tmp()
