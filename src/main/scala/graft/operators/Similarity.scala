@@ -134,14 +134,25 @@ object Similarity {
     // Lloyd iteration.
     val mean = udaf(new graft.functions.CentroidAgg(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    // deterministic pseudo-random seeds: k lowest hashes of vec_id
-    var centroids = e
+    // deterministic pseudo-random seeds: k lowest hashes of vec_id.
+    // Pre-thin to a 1/64 hash slice first — TakeOrdered keeps the
+    // rank per-partition either way, but on 10^10 vectors there is no
+    // reason to rank every row to pick k seeds; if the corpus is too
+    // small for the slice to fill k seeds, fall back to ranking all
+    // (correctness never depends on the thin).
+    def seeds(src: DataFrame) = src
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy("_h").limit(k)
       .select((row_number().over(Window.orderBy("_h")) - 1).cast("long").as("cell"),
         col("embedding").as("centroid"))
       // tiny (k rows): keep the plan stable across iterations
       .persist()
+    var centroids =
+      seeds(e.filter(pmod(xxhash64(col("vec_id")), lit(64)) === 0))
+    if (centroids.count() < k) {
+      centroids.unpersist()
+      centroids = seeds(e)
+    }
     (0 until iters).foreach { _ =>
       val next = assignCells(e, centroids)
         .groupBy("cell")
