@@ -39,8 +39,14 @@ object IvfIndex {
   def build(e: DataFrame, cells: Int = 16, iters: Int = 2,
       trainMod: Int = 1): IvfIndex = {
     val train =
-      if (trainMod > 1) e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-      else e
+      if (trainMod > 1) {
+        val sample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+        // a corpus too small for the hash sample to cover k seed
+        // centroids trains on everything instead — sampling is a
+        // large-corpus optimization, never a correctness gate (the
+        // limit makes this an early-exit scan, not a full count)
+        if (sample.limit(cells).count() < cells) e else sample
+      } else e
     val centroids = Similarity.ivfCentroids(train, cells, iters) // persisted inside
     // persisted lazily: the first probe (or save) fills the cache with
     // the same single pass an eager count would spend

@@ -34,14 +34,12 @@ import graft.operators.Merge
   * files land before the commit and are invisible until the manifest
   * does, so readers always see a complete snapshot: reads resolve a
   * version's fixed file list, never a directory listing. On
-  * filesystems without hard links the claim falls back to
-  * rename-without-replace; because the JDK's Unix rename path is
-  * check-then-rename (not atomic put-if-absent), the fallback
-  * re-reads the claimed manifest and verifies the embedded writer
-  * UUID — a racer whose rename was overwritten sees the other
-  * writer's UUID and fails with ConcurrentModificationException
-  * instead of silently losing its commit. (On HDFS/object stores the
-  * store's own rename/conditional-put provides the atomic claim.)
+  * filesystems without hard links the claim falls back to a mkdir(2)
+  * lock directory — also an atomic put-if-absent — because the JDK's
+  * rename path is check-then-rename and a verify-after-rename scheme
+  * can only detect some lost commits, not prevent them. (On
+  * HDFS/object stores the store's own rename/conditional-put provides
+  * the atomic claim.)
   *
   * Every commit written through `commitData` records per-file min/max
   * for each atomic column (harvested with one column-pruned pass over
@@ -63,7 +61,7 @@ import graft.operators.Merge
   */
 final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
-  import VersionedTable.CheckpointInterval
+  import VersionedTable.{CheckpointInterval, StatStringMax}
 
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(dir, "_graft_log")
@@ -196,18 +194,36 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       fields.zipWithIndex.foreach { case (f, i) =>
         val lo = r.get(1 + 2 * i)
         val hi = r.get(2 + 2 * i)
-        if (lo != null && hi != null) {
+        // NaN breaks the total order pruning relies on (NaN >= lo is
+        // false, so a NaN-max file would be pruned while holding
+        // matching finite keys) — record no stats for such a column
+        def isNaN(x: Any): Boolean = x match {
+          case v: Double => v.isNaN; case v: Float => v.isNaN; case _ => false
+        }
+        if (lo != null && hi != null && !isNaN(lo) && !isNaN(hi)) {
           val a = node.putArray(f.name)
-          Seq(lo, hi).foreach {
-            case v: Long    => a.add(v)
-            case v: Int     => a.add(v)
-            case v: Short   => a.add(v.toInt)
-            case v: Byte    => a.add(v.toInt)
-            case v: Double  => a.add(v)
-            case v: Float   => a.add(v.toDouble) // exact widening
-            case v: String  => a.add(v)
+          def add(x: Any, isMax: Boolean): Unit = x match {
+            case v: Long    => a.add(v); ()
+            case v: Int     => a.add(v); ()
+            case v: Short   => a.add(v.toInt); ()
+            case v: Byte    => a.add(v.toInt); ()
+            case v: Double  => a.add(v); ()
+            case v: Float   => a.add(v.toDouble); () // exact widening
+            case v: String  =>
+              // wide text columns (document bodies) must not embed full
+              // values in every manifest. A truncated min PREFIX is
+              // still a sound lower bound; a truncated max is NOT a
+              // sound upper bound (successor-bumping is unsound above
+              // the BMP in UTF-8 order), so an over-long max is stored
+              // as null = +unbounded — half the pruning power, zero
+              // manifest bloat, never unsound.
+              if (v.length <= StatStringMax) { a.add(v); () }
+              else if (isMax) { a.addNull(); () }
+              else { a.add(v.substring(0, StatStringMax)); () }
             case _          => ()
           }
+          add(lo, isMax = false)
+          add(hi, isMax = true)
           ()
         }
       }
@@ -237,14 +253,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           case LongType | IntegerType | ShortType | ByteType =>
             a.get(1).asLong >= asL(lo) && a.get(0).asLong <= asL(hi)
           case DoubleType | FloatType =>
-            a.get(1).asDouble >= asD(lo) && a.get(0).asDouble <= asD(hi)
+            // NaN in the bounds or the stats (older manifests) breaks
+            // the order — never prune on it
+            val (sLo, sHi) = (a.get(0).asDouble, a.get(1).asDouble)
+            val (bLo, bHi) = (asD(lo), asD(hi))
+            sLo.isNaN || sHi.isNaN || bLo.isNaN || bHi.isNaN ||
+              (sHi >= bLo && sLo <= bHi)
           case StringType =>
             // compare in UTF-8 byte order — the order Spark's string
             // min/max uses (UTF8String is byte-comparable); JVM
             // String.compareTo (UTF-16 code units) disagrees above the
-            // BMP, which would make pruning unsound there
+            // BMP, which would make pruning unsound there. A null max
+            // stat means "+unbounded" (truncated wide value): the
+            // upper-side test passes vacuously. The stored min may be
+            // a truncated PREFIX — still a sound lower bound.
             def b(s: String) = s.getBytes(StandardCharsets.UTF_8)
-            java.util.Arrays.compareUnsigned(b(a.get(1).asText), b(lo.toString)) >= 0 &&
+            (a.get(1).isNull ||
+              java.util.Arrays.compareUnsigned(b(a.get(1).asText), b(lo.toString)) >= 0) &&
               java.util.Arrays.compareUnsigned(b(a.get(0).asText), b(hi.toString)) <= 0
           case _ => true
         }
@@ -277,24 +302,42 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     Files.write(tmp, mapper.writeValueAsBytes(node))
     val target = manifestPath(v)
     try {
-      try Files.createLink(target, tmp) // link(2): fails EEXIST atomically
-      catch {
+      try {
+        if (assumeLinkless) throw new UnsupportedOperationException("test-forced")
+        Files.createLink(target, tmp) // link(2): fails EEXIST atomically
+      } catch {
         case _: UnsupportedOperationException =>
-          // linkless-filesystem fallback. The JDK's Unix move is
-          // check-then-rename, so two racers can both pass the check
-          // and the later rename replaces the earlier manifest; verify
-          // the claim by re-reading the target and matching OUR writer
-          // UUID — the overwritten racer fails loudly instead of
-          // silently losing its commit.
-          Files.move(tmp, target)
-          val held =
-            try mapper.readTree(target.toFile).path("writer").asText("") == writer
-            catch { case NonFatal(_) => false }
-          if (!held)
-            throw new java.util.ConcurrentModificationException(
-              s"commit conflict: version $v of $dir was overwritten by another writer")
+          // linkless-filesystem fallback: claim via mkdir(2), which
+          // fails EEXIST atomically on every POSIX filesystem. (A
+          // verify-after-rename scheme can only DETECT some lost
+          // commits — two racers can both rename and both re-read
+          // their own bytes; a claim must be an atomic put-if-absent.)
+          // The claim dir serializes the window before the manifest
+          // exists; once it does, late arrivals fail the existence
+          // check below. A writer that crashes mid-claim leaves a
+          // stale .claim dir blocking its version — surfaced in the
+          // conflict message for recovery, the standard lock-dir
+          // trade-off.
+          val claim = logDir.resolve(f"v$v%08d.claim")
+          try Files.createDirectory(claim)
+          catch {
+            case e: FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(
+                s"commit conflict: version $v of $dir is being claimed by another " +
+                  s"writer (if that writer crashed, remove $claim to recover)", e)
+          }
+          try {
+            if (Files.exists(target))
+              throw new java.util.ConcurrentModificationException(
+                s"commit conflict: version $v of $dir was claimed by another writer")
+            Files.move(tmp, target)
+          } finally { Files.deleteIfExists(claim); () }
       }
-      afterClaim(v, node)
+      // advisory metadata (checkpoint, pointers) must never turn a
+      // durably claimed commit into a caller-visible failure — a
+      // retry would double-write the data
+      try afterClaim(v, node)
+      catch { case NonFatal(_) => () }
       v
     } catch {
       case e: FileAlreadyExistsException =>
@@ -303,13 +346,21 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     } finally Files.deleteIfExists(tmp)
   }
 
+  // test hook: tmpfs/ext4 all support link(2), so the linkless claim
+  // path is otherwise unreachable under test
+  private[graft] var assumeLinkless = false
+
   /** Every Nth commit: duplicate the (self-contained) manifest as a
     * checkpoint and bump the advisory pointer. Only the claim winner
     * of version v runs this, so the checkpoint file needs no claim of
     * its own; the pointer is last-writer-wins and a stale value only
     * costs extra forward probes.
     */
-  private def afterClaim(v: Int, node: ObjectNode): Unit =
+  private def afterClaim(v: Int, node: ObjectNode): Unit = {
+    // epoch knowledge is made durable OUTSIDE the manifests so vacuum
+    // can drop the manifests that carry it without opening an
+    // exactly-once hole for replayed micro-batches
+    if (node.has("epoch")) writeEpochPointer(node.get("epoch").asLong)
     if (v % CheckpointInterval == 0) {
       Files.write(checkpointPath(v), mapper.writeValueAsBytes(node))
       val pn = mapper.createObjectNode()
@@ -321,6 +372,35 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       catch {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
           Files.move(tmp, pointerPath, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+  }
+
+  private def epochPointerPath: Path = logDir.resolve("_last_epoch")
+
+  private def pointerEpoch: Option[Long] =
+    if (!Files.exists(epochPointerPath)) None
+    else
+      try {
+        val n = mapper.readTree(epochPointerPath.toFile).path("epoch")
+        if (n.isMissingNode) None else Some(n.asLong)
+      } catch { case NonFatal(_) => None } // torn pointer: advisory only
+
+  /** Advance the durable epoch high-water mark (monotonic, advisory,
+    * atomic replace).
+    */
+  private def writeEpochPointer(e: Long): Unit =
+    if (!pointerEpoch.exists(_ >= e)) {
+      val pn = mapper.createObjectNode()
+      pn.put("epoch", e)
+      val tmp = logDir.resolve(s".epoch-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, mapper.writeValueAsBytes(pn))
+      try Files.move(tmp, epochPointerPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, epochPointerPath, StandardCopyOption.REPLACE_EXISTING)
       }
       ()
     }
@@ -469,21 +549,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       large.map(_._1), large.flatMap { case (f, _) => stats.get(f).map(f -> _) }.toMap)
   }
 
-  /** Most recent committed stream epoch: walk back from the current
-    * version until a manifest carrying one. O(1) on a stream-fed table
-    * (the newest commit is a stream append); bounded by the vacuum
-    * horizon otherwise (a vacuumed-away manifest ends the walk).
+  /** Most recent committed stream epoch: the max of (a) a backward
+    * manifest walk — O(1) on a stream-fed table, the newest commit is
+    * a stream append — and (b) the durable `_last_epoch` pointer,
+    * which survives the manifests that carried the epoch being
+    * vacuumed away after maintenance commits (without it, a replayed
+    * micro-batch after compact+vacuum would re-append: an
+    * exactly-once hole).
     */
   def lastCommittedEpoch: Option[Long] = {
-    var v = currentVersion
-    while (v > 0) {
-      val m =
-        try manifest(v)
-        catch { case _: java.io.IOException => return None } // below the vacuum horizon
-      if (m.has("epoch")) return Some(m.get("epoch").asLong)
-      v -= 1
+    def walk: Option[Long] = {
+      var v = currentVersion
+      while (v > 0) {
+        val m =
+          try manifest(v)
+          catch { case _: java.io.IOException => return None } // below the vacuum horizon
+        if (m.has("epoch")) return Some(m.get("epoch").asLong)
+        v -= 1
+      }
+      None
     }
-    None
+    (walk.toSeq ++ pointerEpoch.toSeq).maxOption
   }
 
   /** Epoch-idempotent streaming append — the foreachBatch contract:
@@ -526,6 +612,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val vs = listVersions().sorted
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     if (drop.isEmpty) return 0
+    // the dropped manifests may be the only record of committed stream
+    // epochs (if the commit-time pointer write failed — it's advisory);
+    // harvest them into the durable pointer BEFORE deleting
+    try {
+      drop.iterator.flatMap { v =>
+        val m = manifest(v)
+        if (m.has("epoch")) Some(m.get("epoch").asLong) else None
+      }.maxOption.foreach(writeEpochPointer)
+    } catch { case NonFatal(_) => () }
     val live = keep.flatMap(v => manifestFiles(manifest(v))).toSet
     val dead = drop.flatMap(v => manifestFiles(manifest(v))).distinct
       .filterNot(live)
@@ -566,6 +661,12 @@ object VersionedTable {
     * forward probes `currentVersion` pays.
     */
   val CheckpointInterval = 10
+
+  /** String min/max stats longer than this are truncated in the
+    * manifest (min → sound prefix bound, max → unbounded) so wide text
+    * columns never bloat the log.
+    */
+  val StatStringMax = 64
 
   /** Open a table handle. Opening has NO filesystem side effects —
     * the log directory is created by the first commit, and reads of a

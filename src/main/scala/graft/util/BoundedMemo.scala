@@ -21,21 +21,30 @@ final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
 
   private final class Cell(build: () => V) {
     val task = new FutureTask[V](() => build())
-    // set under the map lock if the LRU evicts this cell mid-build;
-    // the builder releases the value itself once it completes
-    @volatile var evictedWhileBuilding = false
+    // set when the LRU evicts this cell; the actual onEvict happens in
+    // maybeRelease, guarded by a CAS so eviction racing build
+    // completion can neither double-release nor leak
+    val evicted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def maybeRelease(): Unit =
+      if (evicted.get && task.isDone && released.compareAndSet(false, true)) {
+        // a failed build holds no resources to release
+        try onEvict(task.get()) catch { case _: ExecutionException => () }
+      }
   }
 
   private val m = new java.util.LinkedHashMap[K, Cell](8, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =
-      if (size > max) { release(e.getValue); true } else false
+      if (size > max) {
+        // order matters: mark evicted FIRST, then attempt the release —
+        // if the build completes between the two, the builder's own
+        // maybeRelease (which runs after completion) sees the flag
+        e.getValue.evicted.set(true)
+        e.getValue.maybeRelease()
+        true
+      } else false
   }
-
-  private def release(c: Cell): Unit =
-    if (c.task.isDone) {
-      // a failed build holds no resources to release
-      try onEvict(c.task.get()) catch { case _: ExecutionException => () }
-    } else c.evictedWhileBuilding = true
 
   def getOrBuild(k: K)(build: => V): V = {
     var mine: Cell = null
@@ -56,8 +65,10 @@ final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
           m.synchronized { if (m.get(k) eq cell) { m.remove(k); () } }
           throw e.getCause
       }
-    // evicted before the build finished: nobody else will release it
-    if (mine != null && mine.evictedWhileBuilding) onEvict(v)
+    // evicted while building: the evictor's maybeRelease saw !isDone,
+    // so the builder must re-attempt; the CAS makes the pair run
+    // onEvict exactly once whichever interleaving happens
+    if (mine != null) mine.maybeRelease()
     v
   }
 }

@@ -278,6 +278,71 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().count() == 3)
   }
 
+  test("linkless-FS fallback: mkdir claim admits exactly one writer") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.assumeLinkless = true
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.append(Seq((2L, "b")).toDF("id", "name"))
+    assert(t.read().count() == 2)
+    // a second claim of an already-committed version loses cleanly
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(2, "append", t.fileList(2))
+    }
+    // a concurrent (or crashed) writer's claim dir blocks the version
+    // with a recovery hint rather than racing the rename
+    Files.createDirectory(java.nio.file.Paths.get(dir, "_graft_log", "v00000003.claim"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((3L, "c")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("remove"), e.getMessage)
+  }
+
+  test("epoch high-water mark survives vacuum + maintenance commits") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    assert(t.appendEpoch(Seq((1L, "a")).toDF("id", "name"), 0L).contains(1))
+    assert(t.appendEpoch(Seq((2L, "b")).toDF("id", "name"), 1L).contains(2))
+    // maintenance: a non-epoch commit, then vacuum away the epoch-carrying manifests
+    t.compact(targetBytes = 10L << 20)
+    t.vacuum(retainVersions = 1)
+    // the durable pointer still knows epoch 1 — a replayed micro-batch
+    // must be skipped, not re-appended (the exactly-once hole)
+    assert(t.lastCommittedEpoch.contains(1L))
+    assert(t.appendEpoch(Seq((2L, "b")).toDF("id", "name"), 1L).isEmpty)
+    assert(t.read().count() == 2)
+  }
+
+  test("NaN keys never mislead pruning; wide strings don't bloat stats") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // one file holding a NaN alongside finite keys: stats for the key
+    // column are skipped, so the file counts as touched
+    t.append(Seq((1.0, "one"), (Double.NaN, "nan"), (2.0, "two"))
+      .toDF("key", "name").coalesce(1))
+    t.merge(Seq((1.0, "updated")).toDF("key", "name"), "key")
+    val rows = t.read().collect().map(r => (r.getDouble(0), r.getString(1)))
+    assert(rows.count(r => r._1 == 1.0) == 1, s"duplicate key 1.0: ${rows.toSeq}")
+    assert(rows.exists(r => r._1 == 1.0 && r._2 == "updated"))
+    assert(rows.exists(r => r._1.isNaN && r._2 == "nan"))
+    // wide text columns: min stored as a short prefix, max unbounded —
+    // the manifest never embeds full document bodies
+    val dir2 = tmp()
+    val t2 = VersionedTable(spark, dir2)
+    val long = "z" * 5000
+    t2.append(Seq((1L, long), (2L, "a" * 5000)).toDF("id", "text").coalesce(1))
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "_graft_log", "v00000001.json")))
+    assert(manifest.length < 2000, s"manifest bloated: ${manifest.length} bytes")
+    assert(!manifest.contains(long.take(100)), "full wide value embedded in manifest")
+    // and the truncated stats still answer a merge correctly
+    t2.merge(Seq((2L, "short")).toDF("id", "text"), "id")
+    assert(t2.read().where($"id" === 2L).head().getString(1) == "short")
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val dir = tmp()
