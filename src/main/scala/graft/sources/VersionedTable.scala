@@ -434,6 +434,25 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     ()
   }
 
+  /** The committed schema must match the incoming one (names + types,
+    * nullability ignored — parquet writers vary it): mixed-schema data
+    * files would read back with whichever schema the scan samples, a
+    * silent-corruption class Delta also rejects. `overwrite` is the
+    * sanctioned schema-change path (it replaces the file set whole).
+    */
+  private def requireSchemaMatch(df: DataFrame, m: JsonNode, op: String): Unit = {
+    // manifests written through the raw commit path may carry no (or an
+    // empty) schema — nothing to enforce against
+    val sNode = m.get("schema")
+    if (sNode == null) return
+    val committed = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
+    if (committed.fields.isEmpty) return
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(committed) == shape(df.schema),
+      s"$op schema mismatch for table at $dir: committed ${committed.simpleString}, " +
+        s"got ${df.schema.simpleString} (use overwrite() to change a table's schema)")
+  }
+
   /** Append: next version = previous file list (stats carried) + the
     * new files.
     */
@@ -441,7 +460,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val prev = currentVersion
     val (existing, exStats) =
       if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
-      else { val m = manifest(prev); (manifestFiles(m), manifestStats(m)) }
+      else {
+        val m = manifest(prev)
+        requireSchemaMatch(df, m, "append")
+        (manifestFiles(m), manifestStats(m))
+      }
     commitData(prev + 1, "append", df, existing, exStats)
   }
 
@@ -465,6 +488,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
+    requireSchemaMatch(updates, m, "merge")
     val files = manifestFiles(m)
     val stats = manifestStats(m)
     val keyType = updates.schema(key).dataType
@@ -585,7 +609,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val prev = currentVersion
     val (existing, exStats) =
       if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
-      else { val m = manifest(prev); (manifestFiles(m), manifestStats(m)) }
+      else {
+        val m = manifest(prev)
+        requireSchemaMatch(df, m, "stream-append")
+        (manifestFiles(m), manifestStats(m))
+      }
     try Some(commitData(prev + 1, "stream-append", df, existing, exStats,
       epoch = Some(epochId)))
     catch {

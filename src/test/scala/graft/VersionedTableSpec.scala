@@ -343,6 +343,29 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t2.read().where($"id" === 2L).head().getString(1) == "short")
   }
 
+  test("append/merge reject schema drift; overwrite is the change path") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // renamed column, extra column, retyped column: all rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "b")).toDF("id", "label"))
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "b", 1.0)).toDF("id", "name", "score"))
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((2, "b")).toDF("id", "name"), "id") // id int, committed long
+    }
+    assert(t.currentVersion == 1, "a rejected write must not commit")
+    // overwrite replaces the schema wholesale, and the new shape sticks
+    t.overwrite(Seq((9L, "z", 0.5)).toDF("id", "name", "score"))
+    t.append(Seq((10L, "y", 0.7)).toDF("id", "name", "score"))
+    assert(t.read().columns.toSeq == Seq("id", "name", "score"))
+    assert(t.read().count() == 2)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val dir = tmp()
