@@ -43,6 +43,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("hamming64", 2)(args); Hamming64(a(0), a(1)) }),
     (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShingles]),
       (args: Seq[Expression]) => { val a = expect("word_shingles", 2)(args); WordShingles(a(0), a(1)) }),
+    (FunctionIdentifier("zvalue"), info("zvalue", classOf[ZValue]),
+      (args: Seq[Expression]) => { val a = expect("zvalue", 2)(args); ZValue(a(0), a(1)) }),
   )
 
   /** Idempotent runtime registration — for sessions not built through
@@ -70,6 +72,7 @@ object GraftFunctions {
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
+  def zvalue(a: Column, b: Column): Column = call_function("zvalue", a, b)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

@@ -124,4 +124,24 @@ object HashImpl {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Z-order (Morton) value: interleave the low 32 bits of `a` (even
+    * bit positions) and `b` (odd positions) into one long whose sort
+    * order clusters 2-D neighborhoods — range-partitioning on it keeps
+    * BOTH dimensions' per-file min/max tight, where lexicographic
+    * (a, b) ordering only bounds the leading column. Bit spreading by
+    * binary magic numbers (the public-domain Stanford Bit Twiddling
+    * Hacks recipe).
+    */
+  def zvalue(a: Long, b: Long): Long = spread32(a) | (spread32(b) << 1)
+
+  private def spread32(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
 }

@@ -152,3 +152,21 @@ case class Hamming64(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Hamming64 = copy(newLeft, newRight)
   override def prettyName: String = "hamming64"
 }
+
+/** zvalue(a, b) → long: Z-order (Morton) interleave of two 32-bit
+  * normalized coordinates — the clustering key behind multi-column
+  * compaction (sort by it and every dimension's per-file min/max stays
+  * tight, so file-stat pruning works on BOTH columns).
+  */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.zvalue(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.zvalue($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue = copy(newLeft, newRight)
+  override def prettyName: String = "zvalue"
+}

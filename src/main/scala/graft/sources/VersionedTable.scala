@@ -546,15 +546,22 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * every streaming-fed table needs (each epoch commits one small
     * file; unchecked, scans degrade to per-file task overhead). Files
     * already ≥ `targetBytes` are carried forward untouched, small ones
-    * are read once and rewritten as ceil(total/target) files — with
-    * `clusterBy` they are range-partitioned on that column first, so
-    * the compacted files get tight disjoint min/max stats and later
-    * MERGE/DELETE pruning actually bites (Delta's OPTIMIZE ... ZORDER,
-    * one dimension). Data is unchanged; old versions stay readable.
-    * Returns the current version unchanged when there is nothing to
-    * compact (no empty commits from maintenance loops).
+    * are read once and rewritten as ceil(total/target) files.
+    * Clustering (Delta's OPTIMIZE ... ZORDER):
+    *   - one `clusterBy` column → range-partitioned on it, so the
+    *     compacted files get tight disjoint min/max stats and later
+    *     MERGE/DELETE pruning actually bites;
+    *   - two columns → range-partitioned on the Z-order (Morton)
+    *     interleave of both, each normalized to 32 bits via its global
+    *     min/max (one agg job) — a lexicographic sort only bounds the
+    *     leading column's per-file range; the Z-curve keeps BOTH
+    *     tight, so stat pruning works on either column.
+    * Data is unchanged; old versions stay readable. Returns the
+    * current version unchanged when there is nothing to compact (no
+    * empty commits from maintenance loops).
     */
-  def compact(targetBytes: Long = 128L << 20, clusterBy: Option[String] = None): Int = {
+  def compact(targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Int = {
+    require(clusterBy.size <= 2, "compact clusters on at most two columns")
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
@@ -566,8 +573,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val base = spark.read.parquet(small.map(p => s"$dir/${p._1}"): _*)
     val packed = clusterBy match {
-      case Some(c) => base.repartitionByRange(nOut, col(c)) // range shuffle buys stat locality
-      case None    => base.coalesce(nOut)                   // shuffle-free bin-pack
+      case Seq()  => base.coalesce(nOut)              // shuffle-free bin-pack
+      case Seq(c) => base.repartitionByRange(nOut, col(c))
+      case Seq(x, y) =>
+        // normalize each column to [0, 2^32) on its own global range,
+        // then interleave — zvalue is a codegen'd native expression
+        val b = base.agg(
+          min(col(x)).as("xl"), max(col(x)).as("xh"),
+          min(col(y)).as("yl"), max(col(y)).as("yh")).head()
+        def norm(c: String, loI: Int, hiI: Int) = {
+          val (lo, hi) = (b.get(loI), b.get(hiI))
+          def d(a: Any) = a match {
+            case null => 0.0
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"compact clusterBy needs a numeric column, $c is ${other.getClass.getSimpleName}")
+          }
+          val span = d(hi) - d(lo)
+          if (span <= 0) lit(0L)
+          else ((col(c).cast("double") - lit(d(lo))) / lit(span) * lit((1L << 32) - 1d)).cast("long")
+        }
+        graft.functions.GraftFunctions.register(spark) // idempotent
+        base.repartitionByRange(nOut,
+          graft.functions.GraftFunctions.zvalue(norm(x, 0, 1), norm(y, 2, 3)))
     }
     commitData(v + 1, "compact", packed,
       large.map(_._1), large.flatMap { case (f, _) => stats.get(f).map(f -> _) }.toMap)

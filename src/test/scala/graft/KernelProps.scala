@@ -100,4 +100,27 @@ object KernelProps extends Properties("graft.kernels") {
       s == mutated || HashImpl.rollingFingerprint(UTF8String.fromString(s)) !=
         HashImpl.rollingFingerprint(UTF8String.fromString(mutated))
     }
+
+  property("zvalue interleaves bits exactly (vs naive bit loop)") =
+    forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) { (a, b) =>
+      def naive(x: Long, y: Long): Long = {
+        var z = 0L
+        var i = 0
+        while (i < 32) {
+          z |= ((x >> i) & 1L) << (2 * i)
+          z |= ((y >> i) & 1L) << (2 * i + 1)
+          i += 1
+        }
+        z
+      }
+      HashImpl.zvalue(a, b) == naive(a, b)
+    }
+
+  property("zvalue clusters quadrants: high bits come from high halves") =
+    forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) { (a, b) =>
+      // the top interleaved bit pair is (b's bit 31, a's bit 31): points
+      // agreeing on both halves share the z-range's top quarter
+      val z = HashImpl.zvalue(a, b)
+      ((z >>> 63) & 1L) == ((b >>> 31) & 1L) && ((z >>> 62) & 1L) == ((a >>> 31) & 1L)
+    }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.{Catalog, VersionedTable}
 
 class VersionedTableSpec extends SparkSpecBase {
@@ -218,7 +220,7 @@ class VersionedTableSpec extends SparkSpecBase {
       Seq.tabulate(10)(j => ((i * 100 + j).toLong, s"r$i-$j")).toDF("id", "name").coalesce(1)))
     val before = t.fileList(t.currentVersion)
     assert(before.size == 6)
-    val v = t.compact(targetBytes = 10L << 20, clusterBy = Some("id"))
+    val v = t.compact(targetBytes = 10L << 20, clusterBy = Seq("id"))
     val after = t.fileList(v)
     assert(after.size < before.size, s"no packing: ${after.size}")
     // byte-for-byte same data, and the pre-compact version still reads
@@ -341,6 +343,31 @@ class VersionedTableSpec extends SparkSpecBase {
     // and the truncated stats still answer a merge correctly
     t2.merge(Seq((2L, "short")).toDF("id", "text"), "id")
     assert(t2.read().where($"id" === 2L).head().getString(1) == "short")
+  }
+
+  test("z-order compact keeps BOTH columns' file stats tight for pruning") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // a 64x64 grid scattered across appends in row-major slices: before
+    // compaction every file spans the full y range
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    grid.grouped(512).foreach(s => t.append(s.toDF("x", "y").coalesce(1)))
+    // size the target off the real bytes so the pack yields ~4 files
+    val total = t.fileList(t.currentVersion)
+      .map(f => Files.size(java.nio.file.Paths.get(dir, f))).sum
+    val v = t.compact(targetBytes = total / 4 + 1, clusterBy = Seq("x", "y"))
+    val zFiles = t.fileList(v)
+    assert(zFiles.size > 1, "need multiple output files to observe pruning")
+    // delete keyed on y at the TOP of its range: with z-order
+    // clustering some files' y-range is provably disjoint -> carried;
+    // lexicographic (x, y) ordering would leave every file spanning
+    // all y and rewrite everything
+    val v2 = t.delete(Seq(60L).toDF("y"), "y")
+    val carried = zFiles.count(t.fileList(v2).contains)
+    assert(carried > 0, s"z-order stats pruned nothing: ${zFiles.size} files all rewritten")
+    assert(t.read().count() == 64L * 64L - 64L)
+    assert(t.read().where(col("y") === 60L).count() == 0)
   }
 
   test("append/merge reject schema drift; overwrite is the change path") {
