@@ -14,8 +14,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the build environment). Every endpoint is a thin translation to one
   * QueryService method; no query logic lives in this layer.
   *
-  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0}
+  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "..."]}
   *                    → {"rows": [...], "count": n, "offset": k[, "next_offset": k+n]}
+  *   POST /cancel   {"tag": "..."}                     → {"cancelled": "..."} (kills that tag's running jobs)
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
@@ -60,9 +61,25 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val offset = if (body.has("offset")) body.get("offset").asInt else 0
     require(offset >= 0, s"offset must be non-negative, got $offset")
     val page = math.min(requested, maxRows)
-    val rows = service.sqlJson(text(body, "query"), page, offset)
+    // an optional client tag scopes this request's Spark jobs into a
+    // cancellable group (POST /cancel) — the operational lever against
+    // a runaway query in a shared service; job groups are thread-local
+    // and the collect happens on this handler thread
+    val tagged = body.has("tag")
+    val sc = service.spark.sparkContext
+    if (tagged) sc.setJobGroup(text(body, "tag"), "graft-http /sql", interruptOnCancel = true)
+    val rows =
+      try service.sqlJson(text(body, "query"), page, offset)
+      finally if (tagged) sc.clearJobGroup()
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
     s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$next}"""
+  })
+  server.createContext("/cancel", post { body =>
+    val tag = text(body, "tag")
+    // cancels every active job in the group; idempotent on unknown or
+    // finished tags (nothing to cancel is success, not an error)
+    service.spark.sparkContext.cancelJobGroup(tag)
+    s"""{"cancelled":${quote(tag)}}"""
   })
   server.createContext("/explain", post { body =>
     val node = mapper.createObjectNode()

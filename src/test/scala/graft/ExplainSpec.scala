@@ -85,6 +85,14 @@ class ExplainSpec extends SparkSpecBase {
       s"unpruned scan: $readSchema")
   }
 
+  test("approx percentile aggregates partially map-side (mergeable sketch)") {
+    val plan = planOf(Relational.qPercentileApprox(tables))
+    // the GK sketch must partial-aggregate BEFORE the group shuffle —
+    // that map-side collapse is the entire point of the approx form
+    assert(plan.contains("partial_approx_percentile"),
+      s"no partial sketch aggregation:\n$plan")
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))

@@ -134,6 +134,30 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(keys.toSeq == (0 until 25).toSeq, keys.mkString(","))
   }
 
+  test("POST /cancel kills a tagged runaway query") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val ex = Executors.newSingleThreadExecutor()
+    try {
+      // range() is lazy (no driver memory), big enough to run for many
+      // seconds on 32 cores — the runaway shape /cancel exists for
+      val f = ex.submit[java.net.http.HttpResponse[String]](() =>
+        post("/sql",
+          """{"query":"SELECT sum(id) AS s FROM range(2000000000000)","tag":"runaway"}"""))
+      val sc = spark.sparkContext
+      val deadline = System.currentTimeMillis + 30000
+      while (sc.statusTracker.getJobIdsForGroup("runaway").isEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(sc.statusTracker.getJobIdsForGroup("runaway").nonEmpty, "query never started")
+      val c = post("/cancel", """{"tag":"runaway"}""")
+      assert(c.statusCode == 200 && c.body.contains("runaway"), c.body)
+      // the in-flight request fails server-side (500) with a
+      // cancellation message — not a hung connection
+      val r = f.get(60, TimeUnit.SECONDS)
+      assert(r.statusCode == 500 && r.body.toLowerCase.contains("cancel"),
+        s"${r.statusCode} ${r.body}")
+    } finally ex.shutdownNow()
+  }
+
   test("oversized bodies get 413; runtime SQL faults get 500, not 400") {
     val big = "x" * ((1 << 20) + 64)
     val huge = post("/sql", s"""{"query":"SELECT 1","pad":"$big"}""")
