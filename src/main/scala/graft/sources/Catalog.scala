@@ -68,20 +68,25 @@ final class Catalog(val spark: SparkSession) {
   }
 
   /** Symmetric write side: land a DataFrame in any supported format.
-    * `vtable` honors mode append/overwrite as a committed version
-    * (creating the table on first write) and rejects other modes;
-    * `jdbc` treats `path` as the connection URL.
+    * `vtable` honors mode append/overwrite/merge/delete as a committed
+    * version (creating the table on first write for append/overwrite;
+    * merge and delete key on `options("key")`) and rejects other
+    * modes; `jdbc` treats `path` as the connection URL.
     */
   def write(df: DataFrame, format: String, path: String,
       options: Map[String, String] = Map.empty, mode: String = "overwrite"): Unit =
     format match {
       case "vtable" =>
         val vt = VersionedTable(spark, path)
+        def key = options.getOrElse("key", throw new IllegalArgumentException(
+          s"vtable mode '$mode' needs options(\"key\") naming the merge/delete key column"))
         mode match {
           case "append" => vt.append(df)
           case "overwrite" => vt.overwrite(df)
+          case "merge" => vt.merge(df, key)
+          case "delete" => vt.delete(df, key)
           case other => throw new IllegalArgumentException(
-            s"vtable supports mode append|overwrite, got '$other'")
+            s"vtable supports mode append|overwrite|merge|delete, got '$other'")
         }
         ()
       case "parquet" => df.write.options(options).mode(mode).parquet(path)

@@ -454,18 +454,31 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   }
 
   /** Append: next version = previous file list (stats carried) + the
-    * new files.
+    * new files. Appends commute, so a lost optimistic-concurrency race
+    * is retried automatically against the fresh snapshot (Delta calls
+    * these blind appends) — two concurrent appenders both succeed,
+    * serialized; after `MaxCommitRetries` consecutive losses the
+    * conflict surfaces.
     */
   def append(df: DataFrame): Int = {
-    val prev = currentVersion
-    val (existing, exStats) =
-      if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
-      else {
-        val m = manifest(prev)
-        requireSchemaMatch(df, m, "append")
-        (manifestFiles(m), manifestStats(m))
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      val (existing, exStats) =
+        if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
+        else {
+          val m = manifest(prev)
+          requireSchemaMatch(df, m, "append")
+          (manifestFiles(m), manifestStats(m))
+        }
+      try return commitData(prev + 1, "append", df, existing, exStats)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
       }
-    commitData(prev + 1, "append", df, existing, exStats)
+    }
+    -1 // unreachable
   }
 
   /** Overwrite: next version = the new files only. Old versions stay
@@ -723,6 +736,12 @@ object VersionedTable {
     * columns never bloat the log.
     */
   val StatStringMax = 64
+
+  /** Blind appends retry this many lost races before surfacing the
+    * conflict (overwrite/merge/delete never auto-retry — they read the
+    * snapshot they rewrite, so the caller must decide on a conflict).
+    */
+  val MaxCommitRetries = 5
 
   /** Open a table handle. Opening has NO filesystem side effects —
     * the log directory is created by the first commit, and reads of a

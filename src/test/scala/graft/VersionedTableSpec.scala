@@ -393,6 +393,46 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().count() == 2)
   }
 
+  test("concurrent appends both land via optimistic retry") {
+    import spark.implicits._
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val dir = tmp()
+    VersionedTable(spark, dir).append(Seq((0L, "seed")).toDF("id", "name"))
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(i => pool.submit[Int] { () =>
+        val t = VersionedTable(spark, dir) // independent handles, shared log
+        val df = Seq((i.toLong, s"w$i")).toDF("id", "name")
+        barrier.await(30, TimeUnit.SECONDS)
+        t.append(df)
+      })
+      val versions = fs.map(_.get(120, TimeUnit.SECONDS))
+      // both committed, at distinct versions, nothing lost
+      assert(versions.toSet.size == 2, s"collided: $versions")
+      val got = VersionedTable(spark, dir).read()
+        .collect().map(_.getString(1)).toSet
+      assert(got == Set("seed", "w1", "w2"))
+    } finally pool.shutdownNow()
+  }
+
+  test("Catalog.write dispatches vtable merge/delete with a key option") {
+    import spark.implicits._
+    val dir = tmp()
+    val cat = new Catalog(spark)
+    cat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "vtable", dir, mode = "append")
+    cat.write(Seq((2L, "b2"), (3L, "c")).toDF("id", "name"), "vtable", dir,
+      options = Map("key" -> "id"), mode = "merge")
+    cat.write(Seq(1L).toDF("id"), "vtable", dir,
+      options = Map("key" -> "id"), mode = "delete")
+    val got = VersionedTable(spark, dir).read()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b2"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      cat.write(Seq(1L).toDF("id"), "vtable", dir, mode = "merge") // no key option
+    }
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val dir = tmp()
