@@ -666,6 +666,43 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Incremental consumption (change-data-feed, append-only form):
+    * the rows landed by append/stream-append commits AFTER `sinceVersion`,
+    * resolved as a manifest file-set diff — no full-table rescan, cost
+    * proportional to the new data. Fails fast if any intervening
+    * commit rewrote files (overwrite/merge/delete/compact): those are
+    * copy-on-write, so "what changed" is no longer identifiable at the
+    * file level and the consumer must re-read the snapshot (the same
+    * contract Delta's CDF has without per-row change tracking).
+    */
+  def readAppendsSince(sinceVersion: Int): DataFrame = {
+    val cur = currentVersion
+    require(sinceVersion >= 0 && sinceVersion <= cur,
+      s"version $sinceVersion out of range (current $cur)")
+    if (sinceVersion == cur) {
+      val m = manifest(cur)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
+    }
+    ((sinceVersion + 1) to cur).foreach { v =>
+      val op = manifest(v).path("op").asText("")
+      if (op != "append" && op != "stream-append")
+        throw new IllegalStateException(
+          s"cannot read appends across version $v ($op rewrites files); " +
+            "re-read the snapshot instead")
+    }
+    val baseFiles =
+      if (sinceVersion == 0) Set.empty[String]
+      else manifestFiles(manifest(sinceVersion)).toSet
+    val fresh = manifestFiles(manifest(cur)).filterNot(baseFiles)
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(manifest(cur).get("schema").asText()).asInstanceOf[StructType])
+    else spark.read.parquet(fresh.map(rel => s"$dir/$rel"): _*)
+  }
+
   /** Bound storage: drop history older than the last `retainVersions`
     * commits — delete the older manifests (and their checkpoint
     * copies), then every data file no surviving manifest references.

@@ -393,6 +393,30 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().count() == 2)
   }
 
+  test("readAppendsSince serves exactly the new rows, file-diff only") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    val v1 = t.currentVersion
+    t.append(Seq((2L, "b")).toDF("id", "name"))
+    t.appendEpoch(Seq((3L, "c")).toDF("id", "name"), 0L)
+    // only the two new commits' rows, not the base
+    val delta = t.readAppendsSince(v1)
+    assert(delta.collect().map(_.getString(1)).toSet == Set("b", "c"))
+    // caught up: empty frame with the table's schema
+    val none = t.readAppendsSince(t.currentVersion)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "name"))
+    // a copy-on-write commit in the window fails fast - file-level
+    // change tracking can't answer it
+    t.merge(Seq((2L, "b2")).toDF("id", "name"), "id")
+    intercept[IllegalStateException] { t.readAppendsSince(v1) }
+    // but a window starting after the rewrite works again
+    val vm = t.currentVersion
+    t.append(Seq((4L, "d")).toDF("id", "name"))
+    assert(t.readAppendsSince(vm).collect().map(_.getString(1)).toSet == Set("d"))
+  }
+
   test("concurrent appends both land via optimistic retry") {
     import spark.implicits._
     import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
