@@ -43,16 +43,29 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * shared-secret header in front. Request bodies are capped at
   * `maxBodyBytes` before parsing, so oversized payloads can't occupy
   * the pool's threads or the heap.
+  *
+  * Threading: dispatch is an unbounded cached pool; the
+  * Spark-executing endpoints are bounded by a `maxConcurrentQueries`
+  * semaphore (503 after `queueWaitMs` when saturated), so the control
+  * plane — /cancel above all — stays responsive exactly when runaway
+  * queries have the data plane pinned.
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
-    maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20) {
+    maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
+    maxConcurrentQueries: Int = 8, queueWaitMs: Long = 30000) {
 
   private val mapper = new ObjectMapper()
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  // unbounded dispatch pool + a semaphore on the QUERY endpoints: a
+  // fixed pool would let runaway /sql requests occupy every thread and
+  // starve /cancel — the one endpoint that must stay responsive
+  // precisely then. Heavy endpoints shed load with 503 after
+  // queueWaitMs instead of queueing unboundedly.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  private val heavy = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.setExecutor(pool)
-  server.createContext("/sql", post { body =>
+  server.createContext("/sql", gated { body =>
     // the cap must be SERVER-side: a client-supplied limit alone would
     // let one request collect an unbounded result into the shared
     // driver (follow next_offset for more rows)
@@ -81,12 +94,12 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     service.spark.sparkContext.cancelJobGroup(tag)
     s"""{"cancelled":${quote(tag)}}"""
   })
-  server.createContext("/explain", post { body =>
+  server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))
     mapper.writeValueAsString(node)
   })
-  server.createContext("/submit", post { body =>
+  server.createContext("/submit", gated { body =>
     val name = text(body, "name")
     service.submit(name, text(body, "query"))
     s"""{"submitted":${quote(name)}}"""
@@ -94,7 +107,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   private def quote(s: String): String =
     mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))
-  server.createContext("/cache", post { body =>
+  server.createContext("/cache", gated { body =>
     val name = text(body, "name")
     service.cache(name)
     s"""{"cached":${quote(name)}}"""
@@ -104,7 +117,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     service.uncache(name)
     s"""{"uncached":${quote(name)}}"""
   })
-  server.createContext("/register", post { body =>
+  server.createContext("/register", gated { body =>
     val name = text(body, "name")
     val options =
       if (!body.has("options")) Map.empty[String, String]
@@ -156,6 +169,24 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     case _: org.apache.spark.SparkThrowable               => 500
     case _: IllegalArgumentException                      => 400 // require() params
     case _                                                => 500
+  }
+
+  /** Spark-executing endpoints run behind the `heavy` semaphore: at
+    * most `maxConcurrentQueries` in flight; an arrival that can't get
+    * a slot within `queueWaitMs` is shed with 503 instead of queueing
+    * unboundedly. /cancel, /uncache and /tables stay ungated — the
+    * control plane must answer while the data plane is saturated.
+    */
+  private def gated(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler = {
+    val inner = post(handle)
+    (exchange: HttpExchange) =>
+      if (!heavy.tryAcquire(queueWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        reply(exchange, 503, err(
+          s"server busy: $maxConcurrentQueries queries in flight; retry or /cancel one"))
+      else
+        try inner.handle(exchange)
+        finally heavy.release()
   }
 
   private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)

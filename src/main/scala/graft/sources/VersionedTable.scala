@@ -140,9 +140,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val m = manifest(v)
     val fs = manifestFiles(m).map(rel => s"$dir/$rel")
     if (fs.nonEmpty) spark.read.parquet(fs: _*)
-    else spark.createDataFrame(
+    else emptySnapshot(m)
+  }
+
+  /** Zero-row frame carrying a manifest's committed schema. */
+  private def emptySnapshot(m: JsonNode): DataFrame = {
+    val s = m.get("schema")
+    require(s != null, s"manifest of $dir carries no schema for an empty snapshot")
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
-      DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
+      DataType.fromJson(s.asText()).asInstanceOf[StructType])
   }
 
   /** Write `df`'s rows as new immutable files under a per-commit uuid
@@ -365,16 +372,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       Files.write(checkpointPath(v), mapper.writeValueAsBytes(node))
       val pn = mapper.createObjectNode()
       pn.put("version", v)
-      val tmp = logDir.resolve(s".ckpt-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, mapper.writeValueAsBytes(pn))
-      try Files.move(tmp, pointerPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          Files.move(tmp, pointerPath, StandardCopyOption.REPLACE_EXISTING)
-      }
-      ()
+      atomicReplace(pointerPath, pn)
     }
+  }
+
+  /** Atomically replace an advisory pointer file (write temp, atomic
+    * move, non-atomic replace where the FS can't).
+    */
+  private def atomicReplace(target: Path, node: ObjectNode): Unit = {
+    val tmp = logDir.resolve(s".ptr-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    try Files.move(tmp, target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    ()
   }
 
   private def epochPointerPath: Path = logDir.resolve("_last_epoch")
@@ -388,21 +402,19 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       } catch { case NonFatal(_) => None } // torn pointer: advisory only
 
   /** Advance the durable epoch high-water mark (monotonic, advisory,
-    * atomic replace).
+    * atomic replace). The monotonic check-then-move runs under a
+    * per-directory JVM lock so an in-process vacuum harvest racing a
+    * stream commit cannot regress the mark; cross-process the residual
+    * window needs a second independent failure (a later vacuum whose
+    * harvest also fails) to become visible — accepted and documented.
     */
   private def writeEpochPointer(e: Long): Unit =
-    if (!pointerEpoch.exists(_ >= e)) {
-      val pn = mapper.createObjectNode()
-      pn.put("epoch", e)
-      val tmp = logDir.resolve(s".epoch-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, mapper.writeValueAsBytes(pn))
-      try Files.move(tmp, epochPointerPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          Files.move(tmp, epochPointerPath, StandardCopyOption.REPLACE_EXISTING)
+    VersionedTable.epochLock(dir).synchronized {
+      if (!pointerEpoch.exists(_ >= e)) {
+        val pn = mapper.createObjectNode()
+        pn.put("epoch", e)
+        atomicReplace(epochPointerPath, pn)
       }
-      ()
     }
 
   /** Write + claim; a lost race deletes the just-written data files
@@ -516,9 +528,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
     val base =
       if (touched.nonEmpty) spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
+      else emptySnapshot(m)
     commitData(v + 1, "merge", Merge.upsert(base, updates, key),
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }
@@ -677,29 +687,33 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   def readAppendsSince(sinceVersion: Int): DataFrame = {
     val cur = currentVersion
+    require(cur > 0, s"table at $dir has no committed version")
     require(sinceVersion >= 0 && sinceVersion <= cur,
       s"version $sinceVersion out of range (current $cur)")
-    if (sinceVersion == cur) {
-      val m = manifest(cur)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType])
-    }
-    ((sinceVersion + 1) to cur).foreach { v =>
-      val op = manifest(v).path("op").asText("")
+    // each manifest is read exactly once; one vacuumed away inside the
+    // window surfaces as the documented resync signal, not raw I/O
+    def readManifest(v: Int): JsonNode =
+      try manifest(v)
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"version $v of $dir is below the vacuum horizon; re-read the snapshot")
+      }
+    val mCur = readManifest(cur)
+    if (sinceVersion == cur) return emptySnapshot(mCur)
+    def checkOp(v: Int, m: JsonNode): Unit = {
+      val op = m.path("op").asText("")
       if (op != "append" && op != "stream-append")
         throw new IllegalStateException(
           s"cannot read appends across version $v ($op rewrites files); " +
             "re-read the snapshot instead")
     }
+    ((sinceVersion + 1) until cur).foreach(v => checkOp(v, readManifest(v)))
+    checkOp(cur, mCur)
     val baseFiles =
       if (sinceVersion == 0) Set.empty[String]
-      else manifestFiles(manifest(sinceVersion)).toSet
-    val fresh = manifestFiles(manifest(cur)).filterNot(baseFiles)
-    if (fresh.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(manifest(cur).get("schema").asText()).asInstanceOf[StructType])
+      else manifestFiles(readManifest(sinceVersion)).toSet
+    val fresh = manifestFiles(mCur).filterNot(baseFiles)
+    if (fresh.isEmpty) emptySnapshot(mCur)
     else spark.read.parquet(fresh.map(rel => s"$dir/$rel"): _*)
   }
 
@@ -779,6 +793,12 @@ object VersionedTable {
     * snapshot they rewrite, so the caller must decide on a conflict).
     */
   val MaxCommitRetries = 5
+
+  // per-table-dir lock serializing epoch-pointer advances in-process
+  private val epochLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def epochLock(dir: String): Object =
+    epochLocks.computeIfAbsent(dir, _ => new Object)
 
   /** Open a table handle. Opening has NO filesystem side effects —
     * the log directory is created by the first commit, and reads of a

@@ -142,7 +142,7 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       // seconds on 32 cores — the runaway shape /cancel exists for
       val f = ex.submit[java.net.http.HttpResponse[String]](() =>
         post("/sql",
-          """{"query":"SELECT sum(id) AS s FROM range(2000000000000)","tag":"runaway"}"""))
+          """{"query":"SELECT max(id) AS s FROM range(2000000000000)","tag":"runaway"}"""))
       val sc = spark.sparkContext
       val deadline = System.currentTimeMillis + 30000
       while (sc.statusTracker.getJobIdsForGroup("runaway").isEmpty &&
@@ -156,6 +156,37 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(r.statusCode == 500 && r.body.toLowerCase.contains("cancel"),
         s"${r.statusCode} ${r.body}")
     } finally ex.shutdownNow()
+  }
+
+  test("saturated query plane sheds 503 while /cancel stays responsive") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    // one query slot, near-immediate shed: the second query can't wait
+    val tiny = new HttpQueryService(service, port = 0,
+      maxConcurrentQueries = 1, queueWaitMs = 300).start()
+    val ex = Executors.newFixedThreadPool(2)
+    try {
+      def tinyPost(path: String, body: String) =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${tiny.boundPort}$path"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val slow = ex.submit[HttpResponse[String]](() =>
+        tinyPost("/sql",
+          """{"query":"SELECT max(id) AS s FROM range(2000000000000)","tag":"sat"}"""))
+      val sc = spark.sparkContext
+      val deadline = System.currentTimeMillis + 30000
+      while (sc.statusTracker.getJobIdsForGroup("sat").isEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      // data plane full -> 503, not an unbounded queue
+      val shed = tinyPost("/sql", """{"query":"SELECT 1 AS one"}""")
+      assert(shed.statusCode == 503 && shed.body.contains("busy"), s"${shed.statusCode}")
+      // control plane still answers and frees the slot
+      val c = tinyPost("/cancel", """{"tag":"sat"}""")
+      assert(c.statusCode == 200, c.body)
+      assert(slow.get(60, TimeUnit.SECONDS).statusCode == 500)
+      val after = tinyPost("/sql", """{"query":"SELECT 1 AS one"}""")
+      assert(after.statusCode == 200, s"slot not released: ${after.statusCode}")
+    } finally { ex.shutdownNow(); tiny.stop() }
   }
 
   test("oversized bodies get 413; runtime SQL faults get 500, not 400") {

@@ -415,6 +415,16 @@ class VersionedTableSpec extends SparkSpecBase {
     val vm = t.currentVersion
     t.append(Seq((4L, "d")).toDF("id", "name"))
     assert(t.readAppendsSince(vm).collect().map(_.getString(1)).toSet == Set("d"))
+    // a vacuumed-away manifest inside the window is the documented
+    // resync signal, not a raw I/O error
+    t.append(Seq((5L, "e")).toDF("id", "name"))
+    t.vacuum(retainVersions = 1)
+    val e = intercept[IllegalStateException] { t.readAppendsSince(vm) }
+    assert(e.getMessage.contains("vacuum horizon"), e.getMessage)
+    // an empty table reports "no committed version", not a crash
+    val fresh = VersionedTable(spark, tmp())
+    val e2 = intercept[IllegalArgumentException] { fresh.readAppendsSince(0) }
+    assert(e2.getMessage.contains("no committed version"), e2.getMessage)
   }
 
   test("concurrent appends both land via optimistic retry") {
