@@ -370,6 +370,44 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().where(col("y") === 60L).count() == 0)
   }
 
+  test("pruned merge/delete ≡ unpruned oracle on random corpora (astral strings, truncation)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // astral chars (🚀) order differently in UTF-8 bytes vs UTF-16
+    // code units, and pieces concatenate past StatStringMax=64 to
+    // exercise the truncated-min/unbounded-max path
+    val pieces = Array("a", "Z", "é", "中", "🚀", "�", "zzzzzzzzzzzz")
+    def randKey() = Seq.fill(1 + rnd.nextInt(12))(pieces(rnd.nextInt(pieces.length))).mkString
+    (1 to 3).foreach { trial =>
+      val dir = tmp()
+      val t = VersionedTable(spark, dir)
+      (1 to 3).foreach { _ =>
+        val batch = Seq.fill(25)((randKey(), rnd.nextInt(1000).toLong))
+        t.append(batch.toDF("k", "v").coalesce(1))
+      }
+      val existingKeys = t.read().select("k").collect().map(_.getString(0)).distinct
+      val updates = (rnd.shuffle(existingKeys.toSeq).take(10).map(k => (k, -1L)) ++
+        Seq.fill(5)((randKey(), -2L))).distinctBy(_._1)
+      val updatesDf = updates.toDF("k", "v")
+      // oracle: the unpruned upsert over the full snapshot, materialized
+      // BEFORE the pruned merge commits
+      val expected = graft.operators.Merge.upsert(t.read(), updatesDf, "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      t.merge(updatesDf, "k")
+      val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected, s"trial $trial: pruned merge diverged from oracle")
+      // delete oracle: anti-join on a mixed known/unknown key set
+      val delKeys = rnd.shuffle(existingKeys.toSeq).take(8) :+ randKey()
+      val expectedDel = t.read().join(delKeys.toDF("k"), Seq("k"), "left_anti")
+        .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      t.delete(delKeys.toDF("k"), "k")
+      val gotDel = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(gotDel == expectedDel, s"trial $trial: pruned delete diverged from oracle")
+    }
+  }
+
   test("append/merge reject schema drift; overwrite is the change path") {
     import spark.implicits._
     val dir = tmp()
