@@ -47,7 +47,8 @@ object IvfIndex {
         // limit makes this an early-exit scan, not a full count)
         if (sample.limit(cells).count() < cells) e else sample
       } else e
-    val centroids = Similarity.ivfCentroids(train, cells, iters) // persisted inside
+    val centroids = // persisted inside; the sampled path skips seed thinning
+      Similarity.ivfCentroids(train, cells, iters, preThinSeeds = trainMod <= 1)
     // persisted lazily: the first probe (or save) fills the cache with
     // the same single pass an eager count would spend
     val assigned = Similarity.assignCells(e, centroids)

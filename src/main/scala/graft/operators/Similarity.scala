@@ -120,7 +120,8 @@ object Similarity {
     * assign the full corpus with one broadcast join, store cell id
     * as a partition column.
     */
-  def ivfCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+  def ivfCentroids(e: DataFrame, k: Int = 16, iters: Int = 2,
+      preThinSeeds: Boolean = true): DataFrame = {
     // one row, read once: the vector width drives the fixed-size
     // aggregation buffer below
     val dim = e.select(size(col("embedding"))).limit(1).collect().headOption
@@ -135,11 +136,13 @@ object Similarity {
     val mean = udaf(new graft.functions.CentroidAgg(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     // deterministic pseudo-random seeds: k lowest hashes of vec_id.
-    // Pre-thin to a 1/64 hash slice first — TakeOrdered keeps the
-    // rank per-partition either way, but on 10^10 vectors there is no
-    // reason to rank every row to pick k seeds; if the corpus is too
-    // small for the slice to fill k seeds, fall back to ranking all
-    // (correctness never depends on the thin).
+    // When the input is the full corpus, pre-thin to a 1/64 hash
+    // slice first — TakeOrdered keeps the rank per-partition either
+    // way, but on 10^10 vectors there is no reason to rank every row
+    // to pick k seeds; if the slice can't fill k seeds, fall back to
+    // ranking all (correctness never depends on the thin). Callers
+    // already passing a SAMPLE (IvfIndex trainMod) disable the thin —
+    // there it's two wasted jobs that nearly always fall back.
     def seeds(src: DataFrame) = src
       .withColumn("_h", xxhash64(col("vec_id")))
       .orderBy("_h").limit(k)
@@ -148,8 +151,9 @@ object Similarity {
       // tiny (k rows): keep the plan stable across iterations
       .persist()
     var centroids =
-      seeds(e.filter(pmod(xxhash64(col("vec_id")), lit(64)) === 0))
-    if (centroids.count() < k) {
+      if (preThinSeeds) seeds(e.filter(pmod(xxhash64(col("vec_id")), lit(64)) === 0))
+      else seeds(e)
+    if (preThinSeeds && centroids.count() < k) {
       centroids.unpersist()
       centroids = seeds(e)
     }
