@@ -47,8 +47,11 @@ object IvfIndex {
         // limit makes this an early-exit scan, not a full count)
         if (sample.limit(cells).count() < cells) e else sample
       } else e
-    val centroids = // persisted inside; the sampled path skips seed thinning
-      Similarity.ivfCentroids(train, cells, iters, preThinSeeds = trainMod <= 1)
+    // seed thinning exists to avoid ranking a FULL corpus; derive the
+    // flag from what train actually is — the small-sample fallback
+    // above hands the full corpus back even when trainMod > 1
+    val centroids = // persisted inside
+      Similarity.ivfCentroids(train, cells, iters, preThinSeeds = train eq e)
     // persisted lazily: the first probe (or save) fills the cache with
     // the same single pass an eager count would spend
     val assigned = Similarity.assignCells(e, centroids)

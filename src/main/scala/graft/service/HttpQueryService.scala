@@ -160,6 +160,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     * class, not the client's.
     */
   private def statusFor(e: Throwable): Int = e match {
+    case _: HttpQueryService.ServiceBusyException         => 503 // query plane saturated
     case _: org.apache.spark.sql.AnalysisException        => 400 // bad SQL / unknown table
     case _: com.fasterxml.jackson.core.JacksonException   => 400 // malformed JSON
     // ANSI runtime faults (cast overflow, div-by-zero) raise
@@ -173,21 +174,31 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   /** Spark-executing endpoints run behind the `heavy` semaphore: at
     * most `maxConcurrentQueries` in flight; an arrival that can't get
-    * a slot within `queueWaitMs` is shed with 503 instead of queueing
-    * unboundedly. /cancel, /uncache and /tables stay ungated — the
-    * control plane must answer while the data plane is saturated.
+    * a slot within `queueWaitMs` is shed with 503. The permit is
+    * acquired only AFTER the method check and the (bounded) body read
+    * — a client stalling its upload must not pin a query slot — and
+    * the number of PARKED waiters is itself capped (4× the plane) so
+    * a shed burst can't stack an unbounded pile of waiting threads.
+    * /cancel, /uncache and /tables stay ungated — the control plane
+    * must answer while the data plane is saturated.
     */
   private def gated(handle: com.fasterxml.jackson.databind.JsonNode => String)
-      : com.sun.net.httpserver.HttpHandler = {
-    val inner = post(handle)
-    (exchange: HttpExchange) =>
-      if (!heavy.tryAcquire(queueWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-        reply(exchange, 503, err(
-          s"server busy: $maxConcurrentQueries queries in flight; retry or /cancel one"))
-      else
-        try inner.handle(exchange)
-        finally heavy.release()
+      : com.sun.net.httpserver.HttpHandler = post { body =>
+    val busy = new HttpQueryService.ServiceBusyException(
+      s"server busy: $maxConcurrentQueries queries in flight; retry or /cancel one")
+    if (waiters.incrementAndGet() > maxConcurrentQueries * 4) {
+      waiters.decrementAndGet()
+      throw busy
+    }
+    val acquired =
+      try heavy.tryAcquire(queueWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      finally waiters.decrementAndGet()
+    if (!acquired) throw busy
+    try handle(body)
+    finally heavy.release()
   }
+
+  private val waiters = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
@@ -218,6 +229,12 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object HttpQueryService {
+  /** Query plane saturated — mapped to 503 by `statusFor`. */
+  private[service] final class ServiceBusyException(msg: String)
+      extends RuntimeException(msg)
 }
 
 /** Standalone service entry point:

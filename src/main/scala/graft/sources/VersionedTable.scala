@@ -691,12 +691,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(sinceVersion >= 0 && sinceVersion <= cur,
       s"version $sinceVersion out of range (current $cur)")
     // each manifest is read exactly once; one vacuumed away inside the
-    // window surfaces as the documented resync signal, not raw I/O
+    // window surfaces as the documented resync signal. ONLY absence is
+    // translated — a torn/corrupt manifest is a different fault and
+    // must propagate as the parse error it is
     def readManifest(v: Int): JsonNode =
       try manifest(v)
       catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"version $v of $dir is below the vacuum horizon; re-read the snapshot")
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"version $v of $dir is below the vacuum horizon; re-read the snapshot")
       }
     val mCur = readManifest(cur)
     if (sinceVersion == cur) return emptySnapshot(mCur)
@@ -794,11 +797,14 @@ object VersionedTable {
     */
   val MaxCommitRetries = 5
 
-  // per-table-dir lock serializing epoch-pointer advances in-process
+  // per-table-dir lock serializing epoch-pointer advances in-process;
+  // keyed by the NORMALIZED absolute path so "/t", "/t/" and relative
+  // spellings of the same table share one monitor
   private val epochLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def epochLock(dir: String): Object =
-    epochLocks.computeIfAbsent(dir, _ => new Object)
+    epochLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
   /** Open a table handle. Opening has NO filesystem side effects —
     * the log directory is created by the first commit, and reads of a
