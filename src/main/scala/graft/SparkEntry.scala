@@ -101,6 +101,8 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     // §2.6 multimodal (plumbing; decode faked)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
+    "q_image_features" -> ((s, d) => Media.qImageFeatures(t(s, d))),
+    "q_frame_sample" -> ((s, d) => Media.qFrameSample(t(s, d))),
     "q_audio_features" -> ((s, d) => Media.qAudioFeatures(t(s, d))),
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
@@ -118,7 +120,8 @@ object SparkEntry {
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
-    * q_media_features, q_audio_features, q_approx_distinct,
+    * q_media_features, q_image_features, q_frame_sample,
+    * q_audio_features, q_approx_distinct,
     * q_percentile_approx, q_quantize_error — are rows-only BY DESIGN:
     * their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest

@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import java.awt.image.BufferedImage
+
+/** REAL image codec over the JDK's built-in `javax.imageio` (the
+  * java.desktop module ships PNG/JPEG/BMP/GIF/TIFF readers — no
+  * external library, works headless). This retires the round-3
+  * "image decode is environment-blocked" stub for every format the
+  * JDK carries; only proprietary video codecs (h264 etc.) remain
+  * genuinely out of scope.
+  *
+  * Frame sampling runs over multi-page TIFF — a real multi-frame
+  * container the JDK writes and reads natively — so the video-style
+  * every-Nth-frame path exercises an actual container index, not a
+  * fake.
+  *
+  * All methods are static and allocation-local: safe to call from
+  * `mapPartitions` workers with no shared codec context.
+  */
+object ImageCodec {
+
+  /** Decoded frame: real dimensions from the codec (not metadata),
+    * luminance plane, and per-channel means.
+    */
+  final case class Decoded(width: Int, height: Int, luma: Array[Byte],
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** Deterministic RGB test pattern for synthetic corpora: pixel
+    * (x, y) of doc `id` mixes the coordinates through a splitmix-style
+    * hash, so every (id, x, y) has a stable, independent color.
+    */
+  def synthPixels(id: Long, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = id * 0x9E3779B97F4A7C15L + (y.toLong << 32 | x.toLong)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        out(y * w + x) = ((z ^ (z >>> 31)) & 0xFFFFFF).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def toImage(w: Int, h: Int, rgb: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    img
+  }
+
+  /** Encode an RGB pixel array as PNG bytes (lossless — decode gives
+    * back the exact pixels, which the spec asserts).
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(toImage(w, h, rgb), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode frames as one multi-page TIFF — the JDK's native
+    * multi-frame container (`ImageWriter.writeToSequence`).
+    */
+  def encodeMultiTiff(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val out = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(toImage(w, h, f), null, null), null))
+    writer.endWriteSequence()
+    out.flush()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private def analyze(img: BufferedImage): Decoded = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Byte](w * h)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        // integer Rec.601 luma
+        luma(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    Decoded(w, h, luma, sr / n, sg / n, sb / n)
+  }
+
+  /** Decode any JDK-supported payload (PNG/JPEG/BMP/GIF/TIFF first
+    * frame). None for bytes no installed reader accepts — callers
+    * decide whether undecodable rows are dropped or surfaced.
+    */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload))).map(analyze)
+    catch { case _: java.io.IOException => None }
+
+  /** Frame count of a multi-frame container (TIFF pages, GIF frames);
+    * 1 for single-frame formats, 0 for undecodable bytes.
+    */
+  def frameCount(payload: Array[Byte]): Int = withReader(payload) { r =>
+    r.getNumImages(true)
+  }.getOrElse(0)
+
+  /** Decode every `stride`-th frame of a multi-frame payload — the
+    * video-pipeline sampling shape over a real container index (the
+    * unsampled frames are never pixel-decoded).
+    */
+  def sampleFrames(payload: Array[Byte], stride: Int): Seq[Decoded] =
+    withReader(payload) { r =>
+      val n = r.getNumImages(true)
+      (0 until n by math.max(stride, 1)).map(i => analyze(r.read(i)))
+    }.getOrElse(Seq.empty)
+
+  private def withReader[A](payload: Array[Byte])(f: javax.imageio.ImageReader => A)
+      : Option[A] = {
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      r.setInput(in)
+      try Some(f(r))
+      catch { case _: java.io.IOException => None }
+      finally r.dispose()
+    } finally in.close()
+  }
+}

@@ -15,11 +15,15 @@ import graft.sources.Tables
   * partition/row-group pruning, bytes only deserialized inside the
   * decode stage).
   *
-  * The decode kernel itself is STUBBED (no image/audio libs in this
-  * container): `FakeDecoder` is a deterministic stand-in with the same
-  * signature a real decoder (JPEG → HxWxC tensor) would have. The
-  * Spark-side plumbing — schema, batched `mapPartitions`, feature
-  * extraction, partition sizing — is real and tested (MultimodalSpec).
+  * Decode is REAL for every format the JDK ships a codec for:
+  * PNG/JPEG/BMP/GIF/TIFF stills via `ImageCodec` (javax.imageio,
+  * headless, zero external deps), multi-page TIFF for the multi-frame
+  * sampling path, and PCM s16le audio below. `FakeDecoder` remains as
+  * the deterministic harness for plumbing tests and as the stand-in
+  * shape for codecs the JDK does NOT carry (h264-style video —
+  * genuinely environment-blocked). The Spark-side plumbing — schema,
+  * batched `mapPartitions`, feature extraction, partition sizing — is
+  * shared by both and tested (MultimodalSpec).
   */
 object Media {
 
@@ -143,6 +147,128 @@ object Media {
         round(col("byte_entropy"), 2).as("byte_entropy"),
         col("width"), col("height"))
       .orderBy("doc_id")
+
+  // ---- images (REAL decode via JDK ImageIO — PNG/JPEG/BMP/GIF/TIFF) ----
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_mean", DoubleType, nullable = false),
+    StructField("luma_entropy", DoubleType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Synthetic image corpus with REAL PNG payloads: per-doc
+    * deterministic pixel pattern → encoded inside the partition (the
+    * corpus-builder shape — encode cost is distributed, the driver
+    * never sees pixels). Dimensions vary per doc so the decoder's
+    * reported size is meaningful.
+    */
+  def imageTable(t: Tables): DataFrame = {
+    val spark = t.spark
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("codec", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    t.documents.select(col("doc_id")).repartition(8)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 24 + 8).toInt
+          val h = (id % 18 + 6).toInt
+          Row(id, ImageCodec.encodePng(w, h, ImageCodec.synthPixels(id, w, h)), "png")
+        }
+      }(enc)
+  }
+
+  /** Batched REAL decode + features: JDK ImageIO inside
+    * `mapPartitions`, dimensions from the CODEC (not carried
+    * metadata), luminance histogram entropy + per-channel means.
+    * Undecodable payloads are dropped (corrupt-input policy: a
+    * curation pipeline quarantines, it doesn't crash).
+    */
+  def extractImageFeatures(images: DataFrame): DataFrame = {
+    val outEncoder = RowEncoder.encoderFor(imageFeatureSchema)
+    images.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          ImageCodec.decode(payload).map { d =>
+            val counts = new Array[Long](256)
+            var i = 0
+            while (i < d.luma.length) { counts(d.luma(i) & 0xff) += 1; i += 1 }
+            val n = d.luma.length.toDouble
+            var lumaSum = 0.0
+            var ent = 0.0
+            var b = 0
+            while (b < 256) {
+              if (counts(b) > 0) {
+                val p = counts(b) / n
+                ent -= p * math.log(p)
+                lumaSum += counts(b).toDouble * b
+              }
+              b += 1
+            }
+            Row(docId, payload.length, d.width, d.height,
+              lumaSum / n, ent / math.log(2.0), d.meanR, d.meanG, d.meanB)
+          }
+        }
+      }(outEncoder)
+  }
+
+  /** Real-decode image pipeline as a contract query (rows-only;
+    * MultimodalSpec proves the decode is the codec's, not the fake's).
+    */
+  def qImageFeatures(t: Tables): DataFrame =
+    extractImageFeatures(imageTable(t))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(col("luma_mean"), 2).as("luma_mean"),
+        round(col("luma_entropy"), 2).as("luma_entropy"),
+        round(col("mean_r"), 2).as("mean_r"),
+        round(col("mean_g"), 2).as("mean_g"),
+        round(col("mean_b"), 2).as("mean_b"))
+      .orderBy("doc_id")
+
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("sampled_luma_mean", DoubleType, nullable = false)))
+
+  /** Frame sampling over a REAL multi-frame container: per doc a
+    * multi-page TIFF clip is built (distributed), then every
+    * `stride`-th frame is decoded — unsampled frames are never
+    * pixel-decoded, the property that matters when a clip is 10k
+    * frames and the pipeline wants 1 in 100. Restricted to a 1-in-8
+    * doc sample: clips are ~6× the encode cost of stills.
+    */
+  def qFrameSample(t: Tables, frames: Int = 6, stride: Int = 2): DataFrame = {
+    val outEncoder = RowEncoder.encoderFor(frameSampleSchema)
+    t.documents.select(col("doc_id")).filter(pmod(col("doc_id"), lit(8)) === 0)
+      .repartition(8)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16; val h = 12
+          val clip = ImageCodec.encodeMultiTiff(w, h,
+            (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
+          val sampled = ImageCodec.sampleFrames(clip, stride)
+          val lumaMean =
+            if (sampled.isEmpty) 0.0
+            else sampled.map(d => d.luma.map(_ & 0xff).sum.toDouble / d.luma.length)
+              .sum / sampled.size
+          Row(id, ImageCodec.frameCount(clip), sampled.size, lumaMean)
+        }
+      }(outEncoder)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        round(col("sampled_luma_mean"), 2).as("sampled_luma_mean"))
+      .orderBy("doc_id")
+  }
 
   // ---- audio (PCM s16le — REAL decode, no codec library needed) ----
 

@@ -83,4 +83,52 @@ class MultimodalSpec extends SparkSpecBase {
         r.getAs[Double]("peak") <= 1.0
     })
   }
+
+  test("ImageCodec decodes PNG bit-exactly and reports codec dimensions") {
+    val (w, h) = (21, 13)
+    val px = graft.multimodal.ImageCodec.synthPixels(7L, w, h)
+    val png = graft.multimodal.ImageCodec.encodePng(w, h, px)
+    // PNG magic: a REAL container, not text bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val d = graft.multimodal.ImageCodec.decode(png).get
+    // dimensions come from the codec, not from carried metadata
+    assert(d.width == w && d.height == h)
+    // lossless: channel means match the source pixels exactly
+    def mean(shift: Int) = px.map(p => (p >> shift) & 0xff).sum.toDouble / px.length
+    assert(math.abs(d.meanR - mean(16)) < 1e-9)
+    assert(math.abs(d.meanG - mean(8)) < 1e-9)
+    assert(math.abs(d.meanB - mean(0)) < 1e-9)
+    // corrupt payloads are None, not exceptions
+    assert(graft.multimodal.ImageCodec.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("multi-page TIFF frame sampling decodes only every stride-th frame") {
+    val frames = (0 until 7).map(f =>
+      graft.multimodal.ImageCodec.synthPixels(1000L + f, 16, 12))
+    val clip = graft.multimodal.ImageCodec.encodeMultiTiff(16, 12, frames)
+    assert(graft.multimodal.ImageCodec.frameCount(clip) == 7)
+    val sampled = graft.multimodal.ImageCodec.sampleFrames(clip, 3)
+    assert(sampled.size == 3) // frames 0, 3, 6
+    // each sampled frame decodes to ITS page's pixels (frame identity)
+    sampled.zip(Seq(0, 3, 6)).foreach { case (d, idx) =>
+      val expect = frames(idx).map(p => (p >> 16) & 0xff).sum.toDouble / frames(idx).length
+      assert(math.abs(d.meanR - expect) < 1e-9, s"frame $idx mismatch")
+    }
+  }
+
+  test("image query pipeline decodes real PNGs end to end") {
+    val rows = Media.qImageFeatures(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the decoder's dimensions follow the corpus builder's formula
+      assert(r.getAs[Int]("width") == (id % 24 + 8).toInt)
+      assert(r.getAs[Int]("height") == (id % 18 + 6).toInt)
+      val ent = r.getAs[Double]("luma_entropy")
+      assert(ent >= 0.0 && ent <= 8.0)
+    }
+    val fs = Media.qFrameSample(tables).collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(r => r.getAs[Int]("n_frames") == 6 && r.getAs[Int]("n_sampled") == 3))
+  }
 }
