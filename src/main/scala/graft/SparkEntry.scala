@@ -99,7 +99,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
     "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
-    // §2.6 multimodal (plumbing; decode faked)
+    // §2.6 multimodal: q_media_features exercises the fake-decoder
+    // plumbing harness; image/frame/audio decode are REAL (JDK
+    // ImageIO + PCM)
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
     "q_image_features" -> ((s, d) => Media.qImageFeatures(t(s, d))),
     "q_frame_sample" -> ((s, d) => Media.qFrameSample(t(s, d))),

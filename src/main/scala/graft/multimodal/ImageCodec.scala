@@ -72,62 +72,73 @@ object ImageCodec {
     val writer = ImageIO.getImageWritersByFormatName("tiff").next()
     val bos = new ByteArrayOutputStream()
     val out = new MemoryCacheImageOutputStream(bos)
-    writer.setOutput(out)
-    writer.prepareWriteSequence(null)
-    frames.foreach(f =>
-      writer.writeToSequence(new javax.imageio.IIOImage(toImage(w, h, f), null, null), null))
-    writer.endWriteSequence()
-    out.flush()
-    writer.dispose()
-    bos.toByteArray
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(toImage(w, h, f), null, null), null))
+      writer.endWriteSequence()
+      out.flush()
+      bos.toByteArray
+    } finally {
+      writer.dispose()
+      out.close()
+    }
   }
 
   private def analyze(img: BufferedImage): Decoded = {
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk getRGB: per-pixel getRGB(x, y) pays a ColorModel
+    // conversion per call — ~10× slower in the decode hot path
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
     val luma = new Array[Byte](w * h)
     var sr = 0.0; var sg = 0.0; var sb = 0.0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-        sr += r; sg += g; sb += b
-        // integer Rec.601 luma
-        luma(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      // integer Rec.601 luma
+      luma(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+      i += 1
     }
     val n = (w * h).toDouble
     Decoded(w, h, luma, sr / n, sg / n, sb / n)
   }
 
   /** Decode any JDK-supported payload (PNG/JPEG/BMP/GIF/TIFF first
-    * frame). None for bytes no installed reader accepts — callers
-    * decide whether undecodable rows are dropped or surfaced.
+    * frame). None for bytes no installed reader accepts OR that a
+    * reader chokes on mid-parse — JDK plugins throw RuntimeExceptions
+    * (IllegalArgument, NegativeArraySize, ...) on corrupted headers,
+    * not just IIOException, and the quarantine contract covers both.
     */
   def decode(payload: Array[Byte]): Option[Decoded] =
     try Option(ImageIO.read(new ByteArrayInputStream(payload))).map(analyze)
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame count of a multi-frame container (TIFF pages, GIF frames);
     * 1 for single-frame formats, 0 for undecodable bytes.
     */
-  def frameCount(payload: Array[Byte]): Int = withReader(payload) { r =>
-    r.getNumImages(true)
-  }.getOrElse(0)
+  def frameCount(payload: Array[Byte]): Int =
+    withReader(payload)(_.getNumImages(true)).getOrElse(0)
 
   /** Decode every `stride`-th frame of a multi-frame payload — the
     * video-pipeline sampling shape over a real container index (the
     * unsampled frames are never pixel-decoded).
     */
   def sampleFrames(payload: Array[Byte], stride: Int): Seq[Decoded] =
+    sampleFramesWithCount(payload, stride)._2
+
+  /** (total frame count, sampled decodes) in ONE container parse —
+    * the per-row hot-path form (count + sample separately would open
+    * and index the container twice).
+    */
+  def sampleFramesWithCount(payload: Array[Byte], stride: Int): (Int, Seq[Decoded]) =
     withReader(payload) { r =>
       val n = r.getNumImages(true)
-      (0 until n by math.max(stride, 1)).map(i => analyze(r.read(i)))
-    }.getOrElse(Seq.empty)
+      (n, (0 until n by math.max(stride, 1)).map(i => analyze(r.read(i))))
+    }.getOrElse((0, Seq.empty))
 
   private def withReader[A](payload: Array[Byte])(f: javax.imageio.ImageReader => A)
       : Option[A] = {
@@ -137,8 +148,11 @@ object ImageCodec {
       if (!readers.hasNext) return None
       val r = readers.next()
       r.setInput(in)
+      // NonFatal, not just IOException: corrupted containers make JDK
+      // readers throw runtime exceptions, and the quarantine contract
+      // (None, never a task-killing throw) covers those too
       try Some(f(r))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
       finally r.dispose()
     } finally in.close()
   }

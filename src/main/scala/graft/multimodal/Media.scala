@@ -109,8 +109,26 @@ object Media {
     * contexts are expensive), rows streamed through it. Output is a
     * flat feature frame; downstream is ordinary DataFrame land.
     */
+  /** (mean, Shannon entropy in bits) of a byte plane via one 256-bin
+    * histogram pass — the kernel both the fake and the real decode
+    * feature paths share.
+    */
+  private[multimodal] def histStats(bytes: Array[Byte]): (Double, Double) = {
+    val counts = new Array[Long](256)
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; s += (bytes(i) & 0xff); i += 1 }
+    val n = math.max(bytes.length, 1).toDouble
+    var ent = 0.0
+    var b = 0
+    while (b < 256) {
+      if (counts(b) > 0) { val p = counts(b) / n; ent -= p * math.log(p) }
+      b += 1
+    }
+    (s / n, ent / math.log(2.0))
+  }
+
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outEncoder = RowEncoder.encoderFor(featureSchema)
     media.select("doc_id", "payload", "meta.width", "meta.height")
       .mapPartitions { rows =>
@@ -119,19 +137,8 @@ object Media {
           val docId = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val w = r.getInt(2); val h = r.getInt(3)
-          val px = FakeDecoder.decode(payload, w, h)
-          val counts = new Array[Long](256)
-          var s = 0L
-          var i = 0
-          while (i < px.length) { counts(px(i) & 0xff) += 1; s += (px(i) & 0xff); i += 1 }
-          val n = px.length.toDouble
-          var ent = 0.0
-          var b = 0
-          while (b < 256) {
-            if (counts(b) > 0) { val p = counts(b) / n; ent -= p * math.log(p) }
-            b += 1
-          }
-          Row(docId, payload.length, s / n, ent / math.log(2.0), w, h)
+          val (mean, ent) = histStats(FakeDecoder.decode(payload, w, h))
+          Row(docId, payload.length, mean, ent, w, h)
         }
       }(outEncoder)
   }
@@ -168,7 +175,6 @@ object Media {
     * reported size is meaningful.
     */
   def imageTable(t: Tables): DataFrame = {
-    val spark = t.spark
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false),
@@ -178,8 +184,9 @@ object Media {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val w = (id % 24 + 8).toInt
-          val h = (id % 18 + 6).toInt
+          // floorMod: a negative doc_id must still give positive dims
+          val w = math.floorMod(id, 24).toInt + 8
+          val h = math.floorMod(id, 18).toInt + 6
           Row(id, ImageCodec.encodePng(w, h, ImageCodec.synthPixels(id, w, h)), "png")
         }
       }(enc)
@@ -199,23 +206,9 @@ object Media {
           val docId = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           ImageCodec.decode(payload).map { d =>
-            val counts = new Array[Long](256)
-            var i = 0
-            while (i < d.luma.length) { counts(d.luma(i) & 0xff) += 1; i += 1 }
-            val n = d.luma.length.toDouble
-            var lumaSum = 0.0
-            var ent = 0.0
-            var b = 0
-            while (b < 256) {
-              if (counts(b) > 0) {
-                val p = counts(b) / n
-                ent -= p * math.log(p)
-                lumaSum += counts(b).toDouble * b
-              }
-              b += 1
-            }
+            val (lumaMean, ent) = histStats(d.luma)
             Row(docId, payload.length, d.width, d.height,
-              lumaSum / n, ent / math.log(2.0), d.meanR, d.meanG, d.meanB)
+              lumaMean, ent, d.meanR, d.meanG, d.meanB)
           }
         }
       }(outEncoder)
@@ -257,12 +250,13 @@ object Media {
           val w = 16; val h = 12
           val clip = ImageCodec.encodeMultiTiff(w, h,
             (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
-          val sampled = ImageCodec.sampleFrames(clip, stride)
+          // one container parse for count AND samples
+          val (nFrames, sampled) = ImageCodec.sampleFramesWithCount(clip, stride)
           val lumaMean =
             if (sampled.isEmpty) 0.0
             else sampled.map(d => d.luma.map(_ & 0xff).sum.toDouble / d.luma.length)
               .sum / sampled.size
-          Row(id, ImageCodec.frameCount(clip), sampled.size, lumaMean)
+          Row(id, nFrames, sampled.size, lumaMean)
         }
       }(outEncoder)
       .select(col("doc_id"), col("n_frames"), col("n_sampled"),
