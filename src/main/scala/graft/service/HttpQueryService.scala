@@ -17,6 +17,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "..."]}
   *                    → {"rows": [...], "count": n, "offset": k[, "next_offset": k+n]}
   *   POST /cancel   {"tag": "..."}                     → {"cancelled": "..."} (kills that tag's running jobs)
+  *   POST /query    {"query": "...", "limit": 1000}    → {"job": id} (async: returns immediately)
+  *   GET  /query/{id}                                  → {"status": running|done|failed[, "rows", "error"]}
+  *   GET  /query/{id}/result?offset=0&limit=1000       → page of the finished job's cached rows (409 until done)
+  *   POST /query/{id}/cancel                           → {"cancelled": id}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
@@ -87,6 +91,53 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
     s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$next}"""
   })
+  // ---- async query jobs: submit → id, poll, page, cancel ----
+  private val async = new AsyncQueries(service, maxRows)
+  server.createContext("/query", (exchange: HttpExchange) =>
+    try {
+      val parts = exchange.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      (exchange.getRequestMethod, parts) match {
+        case ("POST", List("query")) =>
+          val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
+          if (raw.length > maxBodyBytes)
+            reply(exchange, 413, err(s"request body exceeds $maxBodyBytes bytes"))
+          else {
+            val body = mapper.readTree(new String(raw, StandardCharsets.UTF_8))
+            val limit = if (body.has("limit")) body.get("limit").asInt else 1000
+            require(limit > 0, s"limit must be positive, got $limit")
+            val id = async.start(text(body, "query"), limit)
+            reply(exchange, 200, s"""{"job":${quote(id)}}""")
+          }
+        case ("GET", List("query", id)) =>
+          val (st, n, error) = async.status(id)
+          val extra = n.map(c => s""","rows":$c""").getOrElse("") +
+            error.map(e => s""","error":${quote(e)}""").getOrElse("")
+          reply(exchange, if (st == "unknown") 404 else 200,
+            s"""{"job":${quote(id)},"status":${quote(st)}$extra}""")
+        case ("GET", List("query", id, "result")) =>
+          val params = Option(exchange.getRequestURI.getQuery).getOrElse("")
+            .split("&").filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          val offset = params.get("offset").map(_.toInt).getOrElse(0)
+          val limit = params.get("limit").map(_.toInt).getOrElse(1000)
+          async.result(id, offset, limit) match {
+            case Some(rows) =>
+              reply(exchange, 200,
+                s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset}""")
+            case None =>
+              val (st, _, _) = async.status(id)
+              reply(exchange, if (st == "unknown") 404 else 409,
+                err(s"job $id is $st; result available only when done"))
+          }
+        case ("POST", List("query", id, "cancel")) =>
+          async.cancel(id)
+          reply(exchange, 200, s"""{"cancelled":${quote(id)}}""")
+        case (m, List("query")) => reply(exchange, 405, err(s"$m not allowed"))
+        case _ => reply(exchange, 404, err("unknown job path"))
+      }
+    } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
+
   server.createContext("/cancel", post { body =>
     val tag = text(body, "tag")
     // cancels every active job in the group; idempotent on unknown or
@@ -228,7 +279,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   /** Actual bound port (pass port=0 to pick a free one). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = { server.stop(0); pool.shutdown(); async.shutdown() }
 }
 
 object HttpQueryService {

@@ -158,6 +158,53 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally ex.shutdownNow()
   }
 
+  test("async jobs: submit, poll to done, page results, cancel a runaway") {
+    post("/register",
+      s"""{"name":"http_nation_aq","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    // fast job: submit -> poll to done -> page the cached result
+    val sub = post("/query",
+      """{"query":"SELECT n_nationkey FROM http_nation_aq ORDER BY n_nationkey"}""")
+    assert(sub.statusCode == 200 && sub.body.contains("\"job\""), sub.body)
+    val id = """"job":"([^"]+)"""".r.findFirstMatchIn(sub.body).get.group(1)
+    val deadline = System.currentTimeMillis + 60000
+    var status = ""
+    while (status != "done" && System.currentTimeMillis < deadline) {
+      val s = get(s"/query/$id")
+      status = """"status":"([^"]+)"""".r.findFirstMatchIn(s.body).get.group(1)
+      if (status == "failed") fail(s.body)
+      if (status != "done") Thread.sleep(50)
+    }
+    assert(status == "done")
+    assert(get(s"/query/$id").body.contains(""""rows":25"""))
+    // pages slice the driver-cached rows; before-done fetch contract below
+    val p1 = get(s"/query/$id/result?offset=0&limit=10")
+    val p2 = get(s"/query/$id/result?offset=20&limit=10")
+    assert(p1.statusCode == 200 && p1.body.contains(""""count":10"""), p1.body)
+    assert(p2.body.contains(""""count":5""") && p2.body.contains(""""offset":20"""), p2.body)
+    // unknown ids are 404 on status AND result
+    assert(get("/query/nope").statusCode == 404)
+    assert(get("/query/nope/result").statusCode == 404)
+    // runaway job: cancel lands it in failed with a cancellation error
+    val slow = post("/query", """{"query":"SELECT max(id) AS s FROM range(2000000000000)"}""")
+    val slowId = """"job":"([^"]+)"""".r.findFirstMatchIn(slow.body).get.group(1)
+    val sc = spark.sparkContext
+    val d2 = System.currentTimeMillis + 30000
+    while (sc.statusTracker.getJobIdsForGroup(s"graft-async-$slowId").isEmpty &&
+      System.currentTimeMillis < d2) Thread.sleep(50)
+    // result before completion is a 409, not a hang or empty page
+    assert(get(s"/query/$slowId/result").statusCode == 409)
+    assert(post(s"/query/$slowId/cancel", "{}").statusCode == 200)
+    var slowStatus = ""
+    val d3 = System.currentTimeMillis + 60000
+    while (slowStatus != "failed" && System.currentTimeMillis < d3) {
+      val s = get(s"/query/$slowId")
+      slowStatus = """"status":"([^"]+)"""".r.findFirstMatchIn(s.body).get.group(1)
+      if (slowStatus != "failed") Thread.sleep(100)
+    }
+    assert(slowStatus == "failed")
+    assert(get(s"/query/$slowId").body.toLowerCase.contains("cancel"))
+  }
+
   test("saturated query plane sheds 503 while /cancel stays responsive") {
     import java.util.concurrent.{Executors, TimeUnit}
     // one query slot, near-immediate shed: the second query can't wait
