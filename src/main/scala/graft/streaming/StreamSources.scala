@@ -103,8 +103,17 @@ final case class FileStreamSink(format: String, path: String, checkpoint: String
   * table lands each batch exactly once across restarts. Readers see
   * snapshot-consistent versions mid-stream, and the table's time
   * travel / vacuum / MERGE all apply to streamed data.
+  *
+  * Maintenance is part of the sink: every `compactEvery`-th landed
+  * epoch triggers `compact(compactTargetBytes)` inline — each epoch
+  * commits one small file, and a stream left running without
+  * compaction degrades every downstream scan to per-file task
+  * overhead. Compaction is a normal commit (replays still skip via
+  * the epoch pointer; time travel keeps working); `compactEvery <= 0`
+  * disables it for tables with an external maintenance job.
   */
-final case class VTableStreamSink(dir: String, checkpoint: String)
+final case class VTableStreamSink(dir: String, checkpoint: String,
+    compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20)
     extends StreamSinkProvider {
   val name = "vtable"
   def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
@@ -112,9 +121,15 @@ final case class VTableStreamSink(dir: String, checkpoint: String)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           epochId: Long) =>
-        graft.sources.VersionedTable(batch.sparkSession, dir)
-          .appendEpoch(batch.toDF(), epochId)
-        ()
+        val t = graft.sources.VersionedTable(batch.sparkSession, dir)
+        val landed = t.appendEpoch(batch.toDF(), epochId)
+        // only the writer that actually landed the epoch compacts (a
+        // replayed/skipped batch must stay a no-op), and only on the
+        // cadence boundary
+        if (landed.nonEmpty && compactEvery > 0 && (epochId + 1) % compactEvery == 0) {
+          t.compact(compactTargetBytes)
+          ()
+        }
       }
       .start()
 }

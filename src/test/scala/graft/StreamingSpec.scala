@@ -187,6 +187,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("vtable sink auto-compacts on its epoch cadence without losing rows") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-vcsrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-vcsink").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-vcchk").toString
+    val sink = graft.streaming.VTableStreamSink(tableDir, chk,
+      compactEvery = 2, compactTargetBytes = 10L << 20)
+    // 4 separate drops → 4 epochs → compactions after epochs 1 and 3
+    val q = sink.start(
+      graft.streaming.FileStreamSource("parquet", src, Seq.empty[Event].toDS().schema)
+        .readStream(spark))
+    try {
+      (1 to 4).foreach { i =>
+        Seq(Event(i.toLong, ts(i), 1, "click", i.toDouble))
+          .toDS().coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+      val t = graft.sources.VersionedTable(spark, tableDir)
+      // all four epochs landed exactly once, and the maintenance
+      // commits kept the live file count bounded (4 appends -> 1 file)
+      val out = t.read()
+      assert(out.count() == 4)
+      assert(out.select("event_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 2L, 3L, 4L)))
+      assert(t.fileList(t.currentVersion).size < 4,
+        s"no compaction happened: ${t.fileList(t.currentVersion)}")
+      // the epoch high-water mark survived the interleaved compactions
+      assert(t.lastCommittedEpoch.contains(3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
