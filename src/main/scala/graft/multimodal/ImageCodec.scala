@@ -113,9 +113,15 @@ object ImageCodec {
     * (IllegalArgument, NegativeArraySize, ...) on corrupted headers,
     * not just IIOException, and the quarantine contract covers both.
     */
-  def decode(payload: Array[Byte]): Option[Decoded] =
-    try Option(ImageIO.read(new ByteArrayInputStream(payload))).map(analyze)
-    catch { case scala.util.control.NonFatal(_) => None }
+  def decode(payload: Array[Byte]): Option[Decoded] = {
+    // the quarantine catch covers ONLY the reader: a bug in our own
+    // analyze must fail loudly, not silently drop the corpus as
+    // "corrupt media"
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map(analyze)
+  }
 
   /** Frame count of a multi-frame container (TIFF pages, GIF frames);
     * 1 for single-frame formats, 0 for undecodable bytes.
@@ -137,8 +143,11 @@ object ImageCodec {
   def sampleFramesWithCount(payload: Array[Byte], stride: Int): (Int, Seq[Decoded]) =
     withReader(payload) { r =>
       val n = r.getNumImages(true)
-      (n, (0 until n by math.max(stride, 1)).map(i => analyze(r.read(i))))
-    }.getOrElse((0, Seq.empty))
+      // only reader calls run inside the quarantine catch; analyze
+      // (our own math) runs outside it, below
+      (n, (0 until n by math.max(stride, 1)).map(r.read(_)))
+    }.map { case (n, imgs) => (n, imgs.map(analyze)) }
+      .getOrElse((0, Seq.empty))
 
   private def withReader[A](payload: Array[Byte])(f: javax.imageio.ImageReader => A)
       : Option[A] = {

@@ -1,7 +1,7 @@
 package graft.service
 
-import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
-import java.util.concurrent.atomic.AtomicReference
+import java.util.concurrent.{ConcurrentHashMap, Executors, RejectedExecutionException, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 /** Asynchronous query jobs over a [[QueryService]] — the capability a
   * real SQL service needs once a query outlives an HTTP round-trip:
@@ -10,43 +10,79 @@ import java.util.concurrent.atomic.AtomicReference
   * `graft-async-<id>`), so cancel maps to `cancelJobGroup` and a
   * runaway async query dies without touching its neighbors.
   *
+  * Cancellation is a FLAG plus the job-group kill: `cancelJobGroup`
+  * only reaches Spark jobs already running, so a cancel against a
+  * queued (or about-to-start) job marks it and the worker honors the
+  * mark — before starting, and again after a result that raced the
+  * cancel (cancellation wins; "you cancelled it but it completed
+  * anyway" is not an answer a client can act on).
+  *
   * Results are collected through the same hard `maxRows` cap as the
   * synchronous path (a service never streams an unbounded result into
   * the shared driver) and paged from the driver-cached rows —
   * repeated pages cost nothing after completion.
   *
-  * The registry is bounded: finished jobs beyond `retainJobs` are
-  * evicted oldest-first (their cached rows freed with them). A poll
-  * for an evicted id reports "unknown" — consumers page results
-  * promptly, same contract every job API has.
+  * Admission and retention are both bounded: at most
+  * `maxConcurrent * 4` unfinished jobs may exist (further submits
+  * throw [[AsyncQueries.TooManyJobsException]] → 503 at the HTTP
+  * layer — the async mirror of the sync path's load shed), and
+  * finished jobs beyond `retainJobs` are evicted oldest-first (their
+  * cached rows freed with them). A poll for an evicted id reports
+  * "unknown" — consumers page results promptly, same contract every
+  * job API has.
   */
 final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     retainJobs: Int = 64, maxConcurrent: Int = 4) {
 
-  import AsyncQueries.{Done, Failed, Running, State}
+  import AsyncQueries.{Done, Failed, Running, State, TooManyJobsException}
 
   private final class Job(val id: String, val submittedAtNanos: Long) {
     val state = new AtomicReference[State](Running)
+    val cancelRequested = new AtomicBoolean(false)
   }
 
   private val jobs = new ConcurrentHashMap[String, Job]()
-  // fixed pool = the async concurrency bound; excess jobs queue (their
-  // status stays "running" until a slot frees — a queue position, not
-  // a lie: the work is admitted)
+  // fixed pool = the async concurrency bound; admitted excess queues
+  // (bounded by the admission check in start)
   private val pool = Executors.newFixedThreadPool(maxConcurrent)
 
-  /** Submit; returns the job id immediately. */
+  private def unfinishedCount: Int = {
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.values.count(_.state.get() == Running)
+  }
+
+  /** Submit; returns the job id immediately, or throws
+    * TooManyJobsException when the unfinished-job bound is hit.
+    */
   def start(query: String, limit: Int = 1000): String = {
+    if (unfinishedCount >= maxConcurrent * 4)
+      throw new TooManyJobsException(
+        s"too many unfinished async jobs (bound ${maxConcurrent * 4}); " +
+          "poll or cancel existing jobs")
     val id = java.util.UUID.randomUUID().toString.take(12)
     val job = new Job(id, System.nanoTime())
     jobs.put(id, job)
-    pool.execute { () =>
-      val sc = service.spark.sparkContext
-      sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
-      try job.state.set(Done(service.sqlJson(query, math.min(limit, maxRows))))
-      catch { case scala.util.control.NonFatal(e) => job.state.set(Failed(e.toString)) }
-      finally sc.clearJobGroup()
+    try pool.execute { () =>
+      if (job.cancelRequested.get) job.state.set(Failed("cancelled before start"))
+      else {
+        val sc = service.spark.sparkContext
+        sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
+        try {
+          val rows = service.sqlJson(query, math.min(limit, maxRows))
+          // a cancel that raced completion wins — the client was told
+          // "cancelled", the result must not surface as done
+          if (job.cancelRequested.get) job.state.set(Failed("cancelled"))
+          else job.state.set(Done(rows))
+        }
+        catch { case scala.util.control.NonFatal(e) => job.state.set(Failed(e.toString)) }
+        finally sc.clearJobGroup()
+      }
       evictBeyondRetention()
+    } catch {
+      case e: RejectedExecutionException =>
+        // shutdown race: the entry must not linger as a forever-running job
+        jobs.remove(id)
+        throw e
     }
     id
   }
@@ -61,16 +97,21 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     }
 
   /** Page a finished job's cached rows; None until done (or unknown). */
-  def result(id: String, offset: Int = 0, limit: Int = 1000): Option[Seq[String]] =
+  def result(id: String, offset: Int = 0, limit: Int = 1000): Option[Seq[String]] = {
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    require(limit > 0, s"limit must be positive, got $limit")
     Option(jobs.get(id)).map(_.state.get()).collect {
-      case Done(rows) => rows.slice(offset, offset + math.max(limit, 0))
+      case Done(rows) => rows.slice(offset, offset + limit)
     }
+  }
 
-  /** Cancel the job's running Spark jobs (no-op when finished/unknown;
-    * the job then lands as "failed" with the cancellation message).
+  /** Cancel: mark the job (covers queued / not-yet-started work) and
+    * kill its running Spark jobs. No-op for finished/unknown ids.
     */
-  def cancel(id: String): Unit =
+  def cancel(id: String): Unit = {
+    Option(jobs.get(id)).foreach(_.cancelRequested.set(true))
     service.spark.sparkContext.cancelJobGroup(s"graft-async-$id")
+  }
 
   private def evictBeyondRetention(): Unit = {
     import scala.jdk.CollectionConverters._
@@ -91,4 +132,7 @@ object AsyncQueries {
   case object Running extends State
   final case class Done(rows: Seq[String]) extends State
   final case class Failed(error: String) extends State
+
+  /** Admission bound hit — the async mirror of the sync 503 shed. */
+  final class TooManyJobsException(msg: String) extends RuntimeException(msg)
 }

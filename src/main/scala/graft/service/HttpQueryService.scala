@@ -98,11 +98,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       val parts = exchange.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
       (exchange.getRequestMethod, parts) match {
         case ("POST", List("query")) =>
-          val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
-          if (raw.length > maxBodyBytes)
-            reply(exchange, 413, err(s"request body exceeds $maxBodyBytes bytes"))
-          else {
-            val body = mapper.readTree(new String(raw, StandardCharsets.UTF_8))
+          readBody(exchange).foreach { body =>
             val limit = if (body.has("limit")) body.get("limit").asInt else 1000
             require(limit > 0, s"limit must be positive, got $limit")
             val id = async.start(text(body, "query"), limit)
@@ -212,6 +208,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     */
   private def statusFor(e: Throwable): Int = e match {
     case _: HttpQueryService.ServiceBusyException         => 503 // query plane saturated
+    case _: AsyncQueries.TooManyJobsException             => 503 // async admission bound
     case _: org.apache.spark.sql.AnalysisException        => 400 // bad SQL / unknown table
     case _: com.fasterxml.jackson.core.JacksonException   => 400 // malformed JSON
     // ANSI runtime faults (cast overflow, div-by-zero) raise
@@ -251,20 +248,25 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   private val waiters = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Bounded body read + parse; replies 413 itself (and returns None)
+    * for an over-sized body — the single home of the body-cap
+    * contract, shared by post() and the /query job route.
+    */
+  private def readBody(exchange: HttpExchange)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
+    if (raw.length > maxBodyBytes) {
+      reply(exchange, 413, err(s"request body exceeds $maxBodyBytes bytes"))
+      None
+    } else Some(mapper.readTree(new String(raw, StandardCharsets.UTF_8)))
+  }
+
   private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
     if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
     else
-      try {
-        // bounded read: an over-sized body is rejected BEFORE parsing,
-        // so giant payloads can't saturate the pool or the heap
-        val raw = exchange.getRequestBody.readNBytes(maxBodyBytes + 1)
-        if (raw.length > maxBodyBytes)
-          reply(exchange, 413, err(s"request body exceeds $maxBodyBytes bytes"))
-        else
-          reply(exchange, 200,
-            handle(mapper.readTree(new String(raw, StandardCharsets.UTF_8))))
-      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
+      try readBody(exchange).foreach(body => reply(exchange, 200, handle(body)))
+      catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
 
   private def reply(exchange: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -125,11 +125,17 @@ final case class VTableStreamSink(dir: String, checkpoint: String,
         val landed = t.appendEpoch(batch.toDF(), epochId)
         // only the writer that actually landed the epoch compacts (a
         // replayed/skipped batch must stay a no-op), and only on the
-        // cadence boundary
-        if (landed.nonEmpty && compactEvery > 0 && (epochId + 1) % compactEvery == 0) {
-          t.compact(compactTargetBytes)
-          ()
-        }
+        // cadence boundary. Maintenance is best-effort BY CONTRACT: the
+        // epoch is already durably committed, so a compact fault (FS
+        // hiccup, concurrent-writer conflict) must not kill the
+        // streaming query — it logs and the next boundary retries.
+        if (landed.nonEmpty && compactEvery > 0 && (epochId + 1) % compactEvery == 0)
+          try { t.compact(compactTargetBytes); () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Console.err.println(
+                s"[graft] vtable auto-compact at epoch $epochId deferred: $e")
+          }
       }
       .start()
 }
