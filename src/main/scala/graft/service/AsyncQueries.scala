@@ -10,12 +10,15 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   * `graft-async-<id>`), so cancel maps to `cancelJobGroup` and a
   * runaway async query dies without touching its neighbors.
   *
-  * Cancellation is a FLAG plus the job-group kill: `cancelJobGroup`
-  * only reaches Spark jobs already running, so a cancel against a
-  * queued (or about-to-start) job marks it and the worker honors the
-  * mark — before starting, and again after a result that raced the
-  * cancel (cancellation wins; "you cancelled it but it completed
-  * anyway" is not an answer a client can act on).
+  * Cancellation is three-layered, because each layer has a blind
+  * spot: a FLAG (covers queued jobs and results that raced the
+  * cancel — cancellation wins; "you cancelled it but it completed
+  * anyway" is not an answer a client can act on), an immediate
+  * `cancelJobGroup` (covers Spark jobs already registered), and a
+  * job-start reaper listener (covers jobs that REGISTER after the
+  * cancel — the DAGScheduler can register a job hundreds of ms after
+  * submission, and an unreaped orphan scanning 10^12 rows would hog
+  * every task slot and starve the whole service).
   *
   * Results are collected through the same hard `maxRows` cap as the
   * synchronous path (a service never streams an unbounded result into
@@ -46,6 +49,25 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
   // (bounded by the admission check in start)
   private val pool = Executors.newFixedThreadPool(maxConcurrent)
 
+  // Cancellation vs registration race: a Spark job can REGISTER in the
+  // DAGScheduler hundreds of ms after the driver thread that submitted
+  // it was interrupted — cancelJobGroup at cancel (or reap) time finds
+  // nothing, then the orphan starts, hogs every task slot, and starves
+  // all later queries. The listener closes the race from the other
+  // side: any job that starts under a cancelled group is killed the
+  // moment it registers, whenever that is.
+  private val cancelledGroups =
+    ConcurrentHashMap.newKeySet[String]()
+  private val reaper = new org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = js.properties.getProperty("spark.jobGroup.id")
+      if (g != null && cancelledGroups.contains(g))
+        service.spark.sparkContext.cancelJob(js.jobId, s"async group $g cancelled")
+    }
+  }
+  service.spark.sparkContext.addSparkListener(reaper)
+
   private def unfinishedCount: Int = {
     import scala.jdk.CollectionConverters._
     jobs.asScala.values.count(_.state.get() == Running)
@@ -74,7 +96,11 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
           if (job.cancelRequested.get) job.state.set(Failed("cancelled"))
           else job.state.set(Done(rows))
         }
-        catch { case scala.util.control.NonFatal(e) => job.state.set(Failed(e.toString)) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            job.state.set(Failed(
+              if (job.cancelRequested.get) s"cancelled: $e" else e.toString))
+        }
         finally sc.clearJobGroup()
       }
       evictBeyondRetention()
@@ -105,11 +131,20 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     }
   }
 
-  /** Cancel: mark the job (covers queued / not-yet-started work) and
-    * kill its running Spark jobs. No-op for finished/unknown ids.
+  /** Cancel: mark the job (covers queued / not-yet-started work),
+    * register its group with the start-time reaper (covers jobs that
+    * REGISTER after this call), and kill its already-running Spark
+    * jobs. No-op for finished/unknown ids. A cancel that lands during
+    * query planning takes effect at the first Spark job — planning
+    * itself is not interruptible, deliberately: thread interrupts
+    * mid-planning destabilize shared session state.
     */
   def cancel(id: String): Unit = {
-    Option(jobs.get(id)).foreach(_.cancelRequested.set(true))
+    Option(jobs.get(id)).foreach { j =>
+      j.cancelRequested.set(true)
+      cancelledGroups.add(s"graft-async-$id")
+      ()
+    }
     service.spark.sparkContext.cancelJobGroup(s"graft-async-$id")
   }
 
@@ -117,10 +152,15 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     import scala.jdk.CollectionConverters._
     val finished = jobs.asScala.values
       .filter(_.state.get() != Running).toSeq.sortBy(_.submittedAtNanos)
-    finished.dropRight(retainJobs).foreach(j => jobs.remove(j.id))
+    finished.dropRight(retainJobs).foreach { j =>
+      jobs.remove(j.id)
+      cancelledGroups.remove(s"graft-async-${j.id}")
+      ()
+    }
   }
 
   def shutdown(): Unit = {
+    service.spark.sparkContext.removeSparkListener(reaper)
     pool.shutdown()
     pool.awaitTermination(5, TimeUnit.SECONDS)
     ()
