@@ -60,11 +60,15 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     ConcurrentHashMap.newKeySet[String]()
   private val reaper = new org.apache.spark.scheduler.SparkListener {
     override def onJobStart(
-        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      val g = js.properties.getProperty("spark.jobGroup.id")
-      if (g != null && cancelledGroups.contains(g))
-        service.spark.sparkContext.cancelJob(js.jobId, s"async group $g cancelled")
-    }
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      // properties is nullable on the event (Spark's own listeners
+      // Option-wrap it); an NPE here would just be swallowed by the
+      // listener bus and silently disable the reaper
+      for {
+        p <- Option(js.properties)
+        g <- Option(p.getProperty("spark.jobGroup.id"))
+        if cancelledGroups.contains(g)
+      } service.spark.sparkContext.cancelJob(js.jobId, s"async group $g cancelled")
   }
   service.spark.sparkContext.addSparkListener(reaper)
 
@@ -73,17 +77,23 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     jobs.asScala.values.count(_.state.get() == Running)
   }
 
+  private val admission = new Object
+
   /** Submit; returns the job id immediately, or throws
     * TooManyJobsException when the unfinished-job bound is hit.
     */
   def start(query: String, limit: Int = 1000): String = {
-    if (unfinishedCount >= maxConcurrent * 4)
-      throw new TooManyJobsException(
-        s"too many unfinished async jobs (bound ${maxConcurrent * 4}); " +
-          "poll or cancel existing jobs")
     val id = java.util.UUID.randomUUID().toString.take(12)
     val job = new Job(id, System.nanoTime())
-    jobs.put(id, job)
+    // check-and-admit under one lock: concurrent submits must not both
+    // pass the guard and breach the documented hard bound
+    admission.synchronized {
+      if (unfinishedCount >= maxConcurrent * 4)
+        throw new TooManyJobsException(
+          s"too many unfinished async jobs (bound ${maxConcurrent * 4}); " +
+            "poll or cancel existing jobs")
+      jobs.put(id, job)
+    }
     try pool.execute { () =>
       if (job.cancelRequested.get) job.state.set(Failed("cancelled before start"))
       else {
@@ -97,9 +107,13 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
           else job.state.set(Done(rows))
         }
         catch {
-          case scala.util.control.NonFatal(e) =>
+          // set a terminal state for EVERY throwable — a fatal error
+          // escaping with the job still Running would pin an admission
+          // slot forever; fatal ones still propagate after recording
+          case t: Throwable =>
             job.state.set(Failed(
-              if (job.cancelRequested.get) s"cancelled: $e" else e.toString))
+              if (job.cancelRequested.get) s"cancelled: $t" else t.toString))
+            if (!scala.util.control.NonFatal(t)) throw t
         }
         finally sc.clearJobGroup()
       }
@@ -160,9 +174,12 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
   }
 
   def shutdown(): Unit = {
-    service.spark.sparkContext.removeSparkListener(reaper)
     pool.shutdown()
     pool.awaitTermination(5, TimeUnit.SECONDS)
+    // only after the drain: a job cancelled near shutdown may still
+    // REGISTER its Spark job during awaitTermination, and the reaper
+    // must be alive to kill it (the SparkContext outlives this service)
+    service.spark.sparkContext.removeSparkListener(reaper)
     ()
   }
 }
