@@ -67,4 +67,21 @@ object IvfIndex {
     spark.read.parquet(s"$dir/centroids").persist(),
     spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("long")))
+
+  /** Incremental index maintenance: assign NEW vectors against the
+    * saved quantizer and append them to the on-disk inverted file —
+    * no retraining, no rewrite of existing cells' data. This is how a
+    * production index absorbs a daily ingest batch: the coarse
+    * quantizer is stable (retrain is a scheduled rebuild, not a
+    * per-batch cost), assignment is one broadcast join over only the
+    * new vectors, and the partitioned append keeps probes
+    * cell-pruned. Returns the number of vectors appended.
+    */
+  def appendToSaved(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = Similarity.assignCells(newVectors, centroids)
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+    n
+  }
 }

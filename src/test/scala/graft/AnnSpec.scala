@@ -65,6 +65,36 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental append to a saved IVF index absorbs new vectors without retraining") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    try {
+      // build + save on the even half only
+      val half = tables.embeddings.filter(col("vec_id") % 2 === 0)
+      IvfIndex.build(half, cells = 16, iters = 2).save(dir)
+      val before = IvfIndex.load(spark, dir).assigned.count()
+      // ingest batch: the odd half, assigned against the SAVED quantizer
+      val appended = IvfIndex.appendToSaved(spark, dir,
+        tables.embeddings.filter(col("vec_id") % 2 === 1))
+      val idx = IvfIndex.load(spark, dir)
+      assert(idx.assigned.count() == before + appended)
+      // appended vectors are retrievable: probes (self-matches
+      // excluded by design) must surface odd-id neighbors — the half
+      // that only exists in the index via the incremental append
+      val q = tables.embeddings.filter(col("vec_id").isin(2L, 4L, 6L))
+      val hits = Similarity.ivfProbe(idx, q).collect()
+      assert(hits.nonEmpty)
+      assert(hits.exists(_.getAs[Long]("vec_id") % 2 == 1),
+        s"no appended (odd) vector retrieved among ${hits.length} hits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("brute-force cosine scores are in [-1, 1] and ranked descending") {
     val rows = Similarity.qAnnBruteforce(tables).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>

@@ -99,5 +99,12 @@ class ExplainSpec extends SparkSpecBase {
     val plan = planOf(df)
     assert(plan.contains("*(") && plan.contains("cosine_sim"),
       s"cosine fell out of codegen:\n$plan")
+    // the z-order clustering key must also stay codegen'd — it runs
+    // over every row of a compaction rewrite
+    val z = tables.orders.select(graft.functions.GraftFunctions.zvalue(
+      col("o_orderkey"), col("o_custkey")).as("z"))
+    val zplan = planOf(z)
+    assert(zplan.contains("*(") && zplan.contains("zvalue"),
+      s"zvalue fell out of codegen:\n$zplan")
   }
 }
