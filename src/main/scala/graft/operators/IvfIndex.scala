@@ -79,9 +79,26 @@ object IvfIndex {
     */
   def appendToSaved(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
     val centroids = spark.read.parquet(s"$dir/centroids")
+    // the incoming batch must land with EXACTLY the saved inverted
+    // file's shape — parquet append accepts mixed schemas silently and
+    // a later read resolves from an arbitrary footer (columns vanish
+    // or null out run-to-run)
+    val saved = spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("long"))
     val assigned = Similarity.assignCells(newVectors, centroids)
-    val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
-    n
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(assigned) == shape(saved),
+      s"ingest batch shape ${assigned.schema.simpleString} does not match the " +
+        s"saved index ${saved.schema.simpleString}")
+    // persist: the count and the write must be ONE materialization of
+    // one assignment join, not two
+    assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = assigned.count()
+      assigned.select(saved.columns.map(col).toSeq: _*)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+      n
+    } finally { assigned.unpersist(); () }
   }
 }

@@ -95,29 +95,33 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
       jobs.put(id, job)
     }
     try pool.execute { () =>
-      if (job.cancelRequested.get) job.state.set(Failed("cancelled before start"))
-      else {
-        val sc = service.spark.sparkContext
-        sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
-        try {
-          val rows = service.sqlJson(query, math.min(limit, maxRows))
-          // a cancel that raced completion wins — the client was told
-          // "cancelled", the result must not surface as done
-          if (job.cancelRequested.get) job.state.set(Failed("cancelled"))
-          else job.state.set(Done(rows))
+      // eviction runs even when a fatal throwable propagates below —
+      // otherwise finished jobs (and their cached rows) linger until
+      // some later completion happens to sweep them
+      try {
+        if (job.cancelRequested.get) job.state.set(Failed("cancelled before start"))
+        else {
+          val sc = service.spark.sparkContext
+          sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
+          try {
+            val rows = service.sqlJson(query, math.min(limit, maxRows))
+            // a cancel that raced completion wins — the client was told
+            // "cancelled", the result must not surface as done
+            if (job.cancelRequested.get) job.state.set(Failed("cancelled"))
+            else job.state.set(Done(rows))
+          }
+          catch {
+            // set a terminal state for EVERY throwable — a fatal error
+            // escaping with the job still Running would pin an admission
+            // slot forever; fatal ones still propagate after recording
+            case t: Throwable =>
+              job.state.set(Failed(
+                if (job.cancelRequested.get) s"cancelled: $t" else t.toString))
+              if (!scala.util.control.NonFatal(t)) throw t
+          }
+          finally sc.clearJobGroup()
         }
-        catch {
-          // set a terminal state for EVERY throwable — a fatal error
-          // escaping with the job still Running would pin an admission
-          // slot forever; fatal ones still propagate after recording
-          case t: Throwable =>
-            job.state.set(Failed(
-              if (job.cancelRequested.get) s"cancelled: $t" else t.toString))
-            if (!scala.util.control.NonFatal(t)) throw t
-        }
-        finally sc.clearJobGroup()
-      }
-      evictBeyondRetention()
+      } finally evictBeyondRetention()
     } catch {
       case e: RejectedExecutionException =>
         // shutdown race: the entry must not linger as a forever-running job
@@ -175,10 +179,15 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
 
   def shutdown(): Unit = {
     pool.shutdown()
-    pool.awaitTermination(5, TimeUnit.SECONDS)
-    // only after the drain: a job cancelled near shutdown may still
-    // REGISTER its Spark job during awaitTermination, and the reaper
-    // must be alive to kill it (the SparkContext outlives this service)
+    // only after a REAL drain may the reaper go: a job cancelled near
+    // shutdown can still REGISTER its Spark job while workers wind
+    // down, and the reaper must be alive to kill it (the SparkContext
+    // outlives this service). A polite 5 s first; then force.
+    if (!pool.awaitTermination(5, TimeUnit.SECONDS)) {
+      pool.shutdownNow()
+      pool.awaitTermination(5, TimeUnit.SECONDS)
+      ()
+    }
     service.spark.sparkContext.removeSparkListener(reaper)
     ()
   }

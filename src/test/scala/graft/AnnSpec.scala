@@ -4,6 +4,13 @@ import graft.operators.{Dedup, Similarity}
 
 class AnnSpec extends SparkSpecBase {
 
+  private def deleteDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("LSH ANN recall >= 0.5 vs brute force on sf0.001 (8-bit buckets)") {
     val queries = Seq(1L, 2L, 3L, 10L, 20L)
     val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()
@@ -69,15 +76,19 @@ class AnnSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.col
     import graft.operators.IvfIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    // track every index handle: their persisted frames must not stay
+    // pinned in the shared session's block manager after the test
+    val handles = scala.collection.mutable.ArrayBuffer.empty[IvfIndex]
+    def tracked(i: IvfIndex): IvfIndex = { handles += i; i }
     try {
       // build + save on the even half only
       val half = tables.embeddings.filter(col("vec_id") % 2 === 0)
-      IvfIndex.build(half, cells = 16, iters = 2).save(dir)
-      val before = IvfIndex.load(spark, dir).assigned.count()
+      tracked(IvfIndex.build(half, cells = 16, iters = 2)).save(dir)
+      val before = tracked(IvfIndex.load(spark, dir)).assigned.count()
       // ingest batch: the odd half, assigned against the SAVED quantizer
       val appended = IvfIndex.appendToSaved(spark, dir,
         tables.embeddings.filter(col("vec_id") % 2 === 1))
-      val idx = IvfIndex.load(spark, dir)
+      val idx = tracked(IvfIndex.load(spark, dir))
       assert(idx.assigned.count() == before + appended)
       // appended vectors are retrievable: probes (self-matches
       // excluded by design) must surface odd-id neighbors — the half
@@ -88,10 +99,8 @@ class AnnSpec extends SparkSpecBase {
       assert(hits.exists(_.getAs[Long]("vec_id") % 2 == 1),
         s"no appended (odd) vector retrieved among ${hits.length} hits")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      handles.foreach(_.unpersist())
+      deleteDir(dir)
     }
   }
 
