@@ -22,6 +22,11 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
   def save(dir: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    // the inverted file's schema, recorded once — ingest-batch shape
+    // validation must not pay a full file listing of every cell dir
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "schema.json"),
+      assigned.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   def unpersist(): Unit = { centroids.unpersist(); assigned.unpersist(); () }
@@ -82,21 +87,33 @@ object IvfIndex {
     // the incoming batch must land with EXACTLY the saved inverted
     // file's shape — parquet append accepts mixed schemas silently and
     // a later read resolves from an arbitrary footer (columns vanish
-    // or null out run-to-run)
-    val saved = spark.read.parquet(s"$dir/assigned")
-      .withColumn("cell", col("cell").cast("long"))
+    // or null out run-to-run). The schema comes from the sidecar
+    // written at save time (never a full file listing of every cell
+    // dir); older indexes without one fall back to the listing.
+    val schemaPath = java.nio.file.Paths.get(dir, "schema.json")
+    val savedSchema =
+      if (java.nio.file.Files.exists(schemaPath))
+        org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(schemaPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      else spark.read.parquet(s"$dir/assigned")
+        .withColumn("cell", col("cell").cast("long")).schema
     val assigned = Similarity.assignCells(newVectors, centroids)
-    def shape(df: DataFrame) =
-      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(assigned) == shape(saved),
+    // catalogString normalizes nullability at every nesting level: a
+    // batch that is merely NARROWER (array<float> containsNull=false
+    // vs true) is append-safe and must not be rejected
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+    require(shape(assigned.schema) == shape(savedSchema),
       s"ingest batch shape ${assigned.schema.simpleString} does not match the " +
-        s"saved index ${saved.schema.simpleString}")
+        s"saved index ${savedSchema.simpleString}")
     // persist: the count and the write must be ONE materialization of
     // one assignment join, not two
     assigned.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = assigned.count()
-      assigned.select(saved.columns.map(col).toSeq: _*)
+      assigned.select(savedSchema.fieldNames.map(col).toSeq: _*)
         .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
       n
     } finally { assigned.unpersist(); () }

@@ -178,17 +178,18 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
   }
 
   def shutdown(): Unit = {
+    // shutdown (NOT shutdownNow): queued jobs still execute and reach a
+    // terminal state, and no worker is interrupted mid-planning — the
+    // hazard the cancel path deliberately avoids applies doubly here,
+    // on a SparkContext that outlives this service.
     pool.shutdown()
-    // only after a REAL drain may the reaper go: a job cancelled near
-    // shutdown can still REGISTER its Spark job while workers wind
-    // down, and the reaper must be alive to kill it (the SparkContext
-    // outlives this service). A polite 5 s first; then force.
-    if (!pool.awaitTermination(5, TimeUnit.SECONDS)) {
-      pool.shutdownNow()
-      pool.awaitTermination(5, TimeUnit.SECONDS)
-      ()
-    }
-    service.spark.sparkContext.removeSparkListener(reaper)
+    // the reaper may only go once the drain REALLY finished — a job
+    // cancelled near shutdown can still register its Spark job while
+    // workers wind down. On a slow drain the listener stays registered:
+    // one idle listener on the outliving context is a bounded cost;
+    // an unreaped orphan scan is not.
+    if (pool.awaitTermination(10, TimeUnit.SECONDS))
+      service.spark.sparkContext.removeSparkListener(reaper)
     ()
   }
 }

@@ -50,9 +50,10 @@ class AnnSpec extends SparkSpecBase {
     val queries = Seq(1L, 2L, 3L)
     val built = Similarity.corpusIndex(tables, cells = 16, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    var loaded: IvfIndex = null
     try {
       built.save(dir)
-      val loaded = IvfIndex.load(spark, dir)
+      loaded = IvfIndex.load(spark, dir)
       val q = tables.embeddings.filter(
         org.apache.spark.sql.functions.col("vec_id").isin(queries: _*))
       val fromBuilt = Similarity.ivfProbe(built, q).collect().map(_.toString).sorted
@@ -65,10 +66,11 @@ class AnnSpec extends SparkSpecBase {
       assert(plan.contains("PartitionFilters: [isnotnull(cell"),
         s"expected cell partition pruning in:\n$plan")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      // `built` stays cached: it is corpusIndex's memoized instance,
+      // released by the BoundedMemo evictor — but the LOADED handle is
+      // ours to unpersist, or its blocks pin the shared session
+      if (loaded != null) loaded.unpersist()
+      deleteDir(dir)
     }
   }
 
