@@ -36,12 +36,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // a failed query must not masquerade as a fast one
+    // a failed query must not masquerade as a fast one. Values are
+    // rounded to milliseconds: the driver's stdout capture has a fixed
+    // tail window and full-precision doubles pushed the one-line JSON
+    // past it (BENCH_r04 arrived truncated and unparseable) — ms
+    // precision keeps every query inside the window
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else v.toString)
+      s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}"""
     println(line)
     // stdout capture has truncated the per-query tail before; the file
     // is the complete machine-readable record regardless of log limits

@@ -81,10 +81,14 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // an optional client tag scopes this request's Spark jobs into a
     // cancellable group (POST /cancel) — the operational lever against
     // a runaway query in a shared service; job groups are thread-local
-    // and the collect happens on this handler thread
+    // and the collect happens on this handler thread. Client tags are
+    // namespaced (see `groupFor`) so a tag like "graft-async-<id>"
+    // can't collide with — and /cancel can't kill — the async job
+    // plane's groups.
     val tagged = body.has("tag")
     val sc = service.spark.sparkContext
-    if (tagged) sc.setJobGroup(text(body, "tag"), "graft-http /sql", interruptOnCancel = true)
+    if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
+      interruptOnCancel = true)
     val rows =
       try service.sqlJson(text(body, "query"), page, offset)
       finally if (tagged) sc.clearJobGroup()
@@ -137,10 +141,21 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/cancel", post { body =>
     val tag = text(body, "tag")
     // cancels every active job in the group; idempotent on unknown or
-    // finished tags (nothing to cancel is success, not an error)
-    service.spark.sparkContext.cancelJobGroup(tag)
+    // finished tags (nothing to cancel is success, not an error).
+    // Applies the same namespace prefix as /sql, so a client tag can
+    // only ever cancel jobs the client itself tagged — never the
+    // async plane's graft-async-<id> groups.
+    service.spark.sparkContext.cancelJobGroup(groupFor(tag))
     s"""{"cancelled":${quote(tag)}}"""
   })
+
+  /** Spark job-group name for a client-supplied /sql tag. The prefix
+    * partitions the group namespace: client tags live under
+    * "graft-http-", async jobs under "graft-async-" (AsyncQueries), so
+    * neither side can cancel the other's jobs however the tag is
+    * spelled.
+    */
+  private def groupFor(tag: String): String = s"graft-http-$tag"
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))

@@ -179,17 +179,21 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       case _ => false
     })
 
-  /** Per-file min/max of every stat-eligible column of the freshly
-    * written files, as ONE column-pruned Spark job over only those
-    * files (one output row per file — driver traffic is bounded by
-    * file count, never row count).
+  /** Per-file min/max (and a has-nulls flag) of every stat-eligible
+    * column of the freshly written files, as ONE column-pruned Spark
+    * job over only those files (one output row per file — driver
+    * traffic is bounded by file count, never row count). The stat
+    * entry is `[min, max, hasNulls]`: min/max ignore nulls, so without
+    * the flag a range-pruned file could silently carry null-keyed rows
+    * past `merge`'s null-key raise.
     */
   private def freshStats(sub: String, rels: Seq[String], schema: StructType)
       : Map[String, JsonNode] = {
     val fields = statFields(schema)
     if (fields.isEmpty || rels.isEmpty) return Map.empty
-    val aggs = fields.flatMap(f =>
-      Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}")))
+    val aggs = count(lit(1)).as("__rows") +: fields.flatMap(f =>
+      Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
+        count(col(f.name)).as(s"__nn_${f.name}")))
     val rows = spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -197,10 +201,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     rows.map { r =>
       val uri = r.getString(0)
       val name = uri.substring(uri.lastIndexOf('/') + 1)
+      val total = r.getLong(1)
       val node = mapper.createObjectNode()
       fields.zipWithIndex.foreach { case (f, i) =>
-        val lo = r.get(1 + 2 * i)
-        val hi = r.get(2 + 2 * i)
+        val lo = r.get(2 + 3 * i)
+        val hi = r.get(3 + 3 * i)
+        val nonNull = r.getLong(4 + 3 * i)
         // NaN breaks the total order pruning relies on (NaN >= lo is
         // false, so a NaN-max file would be pruned while holding
         // matching finite keys) — record no stats for such a column
@@ -231,12 +237,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           }
           add(lo, isMax = false)
           add(hi, isMax = true)
+          a.add(nonNull < total) // hasNulls
           ()
         }
       }
       s"$sub/$name" -> (node: JsonNode)
     }.toMap
   }
+
+  /** Can this file hold null values of `key`? True unless the stats
+    * PROVE otherwise (a three-element `[min,max,hasNulls]` entry with
+    * the flag false) — missing stats, a missing column entry, or a
+    * pre-flag two-element manifest all answer conservatively.
+    */
+  private def statMayHaveNulls(st: Option[JsonNode], key: String): Boolean =
+    st.flatMap(n => Option(n.get(key))) match {
+      case Some(a) if a.size() >= 3 => a.get(2).asBoolean
+      case _ => true
+    }
 
   /** Does this file's recorded [min,max] for `key` intersect the
     * update range [lo,hi]? Missing stats (pre-stats manifest, carried
@@ -507,7 +525,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * Soundness: a matched key lies inside both its file's range and
     * the update range, so a range-disjoint file cannot contain a
     * match, and inserts land in the rewritten output. Files without
-    * stats count as touched (correct, just not pruned).
+    * stats count as touched (correct, just not pruned), and so do
+    * files whose stats flag null keys — min/max ignore nulls, so
+    * without that rule a range-pruned file could carry a null-keyed
+    * snapshot row past the upsert's null-key raise, firing it
+    * nondeterministically depending on which files the update range
+    * happened to touch.
     */
   def merge(updates: DataFrame, key: String): Int = {
     val v = currentVersion
@@ -525,7 +548,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         Option(m.get("schema")).map(_.asText()).orNull, stats)
     val (touched, untouched) =
       if (b.isNullAt(1)) (files, Seq.empty[String]) // all-null keys: upsert raises below
-      else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
+      else files.partition(f =>
+        rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) ||
+          statMayHaveNulls(stats.get(f), key))
     val base =
       if (touched.nonEmpty) spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
       else emptySnapshot(m)
@@ -537,9 +562,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * row whose `key` appears in `keys`. Same pruning as MERGE — only
     * files whose recorded key range intersects the delete set's range
     * are rewritten (via anti-join); disjoint files are carried forward
-    * by path. NULL keys follow SQL join semantics: a NULL never
-    * matches, so NULL-keyed rows are always retained and NULL delete
-    * keys delete nothing.
+    * by path — if the delete frame's key type doesn't match the
+    * committed column's, pruning is disabled entirely (see the inline
+    * note). NULL keys follow SQL join semantics: a NULL never matches,
+    * so NULL-keyed rows are always retained (correct even in pruned
+    * files — unlike merge, no null raise exists to preserve) and NULL
+    * delete keys delete nothing.
     */
   def delete(keys: DataFrame, key: String): Int = {
     val v = currentVersion
@@ -549,12 +577,25 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val stats = manifestStats(m)
     val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
     val keyType = keys.schema(key).dataType
+    // Pruning compares the delete set's bounds against per-file stats
+    // recorded in the COMMITTED column's domain. If the caller's key
+    // frame carries a different type (say string keys against a long
+    // column), that comparison is meaningless — "09" fails the
+    // byte-order test against a file with min=max=9 — while the
+    // anti-join below still matches the row under its implicit cast.
+    // A type mismatch therefore disables pruning (every file counts
+    // as touched) instead of risking silently-surviving rows.
+    val committedKeyType = Option(schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == key).map(_.dataType))
+    val prunable = committedKeyType.forall(_ == keyType)
     val b = keys.agg(count(col(key)).as("n"),
       min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     if (b.getLong(0) == 0) // empty (or all-NULL) delete set: visible no-op
       return commit(v + 1, "delete", files, schemaJson, stats)
     val (touched, untouched) =
-      files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
+      if (!prunable) (files, Seq.empty[String])
+      else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)

@@ -16,6 +16,18 @@ import java.util.concurrent.{ExecutionException, FutureTask}
   * different corpora no longer serialize behind one global monitor.
   * A failed build is uncached before rethrowing, so later callers
   * retry instead of inheriting the failure forever.
+  *
+  * Eviction racing an in-flight build: if the LRU evicts an entry
+  * whose build is still running, the builder's post-completion
+  * `maybeRelease` runs `onEvict` immediately, so the builder (and any
+  * waiters blocked on the same task) receive a value whose persisted
+  * state was just released. That is CORRECT — a released Dataset
+  * recomputes from lineage on next use — the expensive
+  * materialization is simply discarded and rebuilt on the next
+  * `getOrBuild`. Deliberate trade: deferring the release until every
+  * waiter finished would need per-entry reference counting for a
+  * window (cache churn faster than a single build) that bounded
+  * caches over per-corpus keys don't hit in practice.
   */
 final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
 

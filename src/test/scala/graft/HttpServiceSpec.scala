@@ -144,10 +144,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
         post("/sql",
           """{"query":"SELECT max(id) AS s FROM range(2000000000000)","tag":"runaway"}"""))
       val sc = spark.sparkContext
+      // the service namespaces client tags into graft-http-<tag> so
+      // they can never collide with the async plane's job groups
       val deadline = System.currentTimeMillis + 30000
-      while (sc.statusTracker.getJobIdsForGroup("runaway").isEmpty &&
+      while (sc.statusTracker.getJobIdsForGroup("graft-http-runaway").isEmpty &&
         System.currentTimeMillis < deadline) Thread.sleep(50)
-      assert(sc.statusTracker.getJobIdsForGroup("runaway").nonEmpty, "query never started")
+      assert(sc.statusTracker.getJobIdsForGroup("graft-http-runaway").nonEmpty,
+        "query never started")
       val c = post("/cancel", """{"tag":"runaway"}""")
       assert(c.statusCode == 200 && c.body.contains("runaway"), c.body)
       // the in-flight request fails server-side (500) with a

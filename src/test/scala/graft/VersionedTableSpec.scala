@@ -200,6 +200,43 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.fileList(v4) == after && t.read().count() == 18)
   }
 
+  test("merge null-key raise fires even when range pruning skips the null file") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // file A: low keys plus one NULL; file B: high keys. A merge whose
+    // update range touches only B would, under pure range pruning,
+    // never scan A's null row and the upsert guard would go silent —
+    // the per-file hasNulls flag forces A touched, so the raise is
+    // deterministic regardless of which files the range hits
+    t.append(Seq((Option(1L), "a"), (Option.empty[Long], "n"), (Option(5L), "e"))
+      .toDF("id", "name").coalesce(1))
+    t.append(Seq((Option(100L), "x"), (Option(105L), "y")).toDF("id", "name").coalesce(1))
+    val e = intercept[Exception] {
+      t.merge(Seq((Option(101L), "upd")).toDF("id", "name"), "id")
+    }
+    def causes(th: Throwable): Seq[String] =
+      Option(th).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("null id")), e.toString)
+  }
+
+  test("delete with a mismatched key type disables pruning, not the delete") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq.tabulate(5)(i => ((i + 5).toLong, s"r$i")).toDF("id", "name").coalesce(1))
+    t.append(Seq.tabulate(5)(i => ((i + 100).toLong, s"h$i")).toDF("id", "name").coalesce(1))
+    // string keys against the long column: "09" sorts BELOW "5" in
+    // byte order, so range pruning in the string domain would skip
+    // the file holding key 9 — while the anti-join's implicit cast
+    // ("09" → 9) matches the row. The type mismatch must disable
+    // pruning so the row actually goes
+    t.delete(Seq("09").toDF("id"), "id")
+    val ids = t.read().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9L), s"row 9 survived a cast-matching delete: $ids")
+    assert(ids.size == 9)
+  }
+
   test("delete retains NULL-keyed rows and ignores NULL delete keys") {
     import spark.implicits._
     val dir = tmp()
