@@ -109,6 +109,7 @@ object SparkEntry {
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
+    "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
@@ -677,6 +678,14 @@ object SparkEntry {
         |         ELSE o_totalprice END AS price
         |  FROM orders
         |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) t""".stripMargin,
+    // the vtable holds exactly orders' rows; readWhere's data skipping
+    // must not change WHICH rows a filter returns, only how many files
+    // it opens — so the oracle is the plain filtered aggregate
+    "q_vtable_skip" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 500""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

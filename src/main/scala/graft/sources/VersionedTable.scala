@@ -7,7 +7,7 @@ import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.types._
 
@@ -141,6 +141,37 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val fs = manifestFiles(m).map(rel => s"$dir/$rel")
     if (fs.nonEmpty) spark.read.parquet(fs: _*)
     else emptySnapshot(m)
+  }
+
+  /** Snapshot read with file-level data skipping: the result is
+    * always ≡ `read(version).where(predicate)`, but files whose
+    * committed `[min,max,hasNulls]` stats prove no row can satisfy the
+    * predicate's simple conjuncts (`=  <  <=  >  >=` against a
+    * literal, BETWEEN, IS NULL — see [[DataSkipping]]) are never
+    * opened. With files kept range-clustered (`compact(clusterBy=…)`
+    * or range-partitioned appends) a selective predicate over the
+    * cluster column opens O(matching) files out of the whole table —
+    * on a 100 TB table the difference between a point lookup and a
+    * full scan. Unrecognized conjuncts or literal/column type
+    * mismatches prune nothing, and the FULL predicate is re-applied
+    * to every scanned row, so skipping only ever removes
+    * provably-dead IO.
+    */
+  def readWhere(predicate: Column, version: Int = -1): DataFrame = {
+    val v = if (version == -1) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
+    val m = manifest(v)
+    val stats = manifestStats(m)
+    val schema = Option(m.get("schema"))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+    val cons = DataSkipping.constraints(
+      org.apache.spark.sql.GraftColumnBridge.expression(predicate))
+    val keep = manifestFiles(m)
+      .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons))
+    val base =
+      if (keep.nonEmpty) spark.read.parquet(keep.map(rel => s"$dir/$rel"): _*)
+      else emptySnapshot(m)
+    base.where(predicate)
   }
 
   /** Zero-row frame carrying a manifest's committed schema. */
@@ -911,5 +942,47 @@ object TableMerge {
     VersionedTable(t.spark, builtTable(t)).read()
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("price"), 2).as("total"))
+  }
+}
+
+/** Contract query for stats-based data skipping: orders lands in a
+  * vtable range-clustered on `o_custkey` (so each file carries a
+  * tight, disjoint custkey range in its manifest stats), then a
+  * BETWEEN over the cluster column reads via `readWhere` — which
+  * opens only the overlapping files. Same session-memoized temp-table
+  * pattern as [[TableMerge]].
+  */
+object TableSkip {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tskip")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_s"
+      val vt = VersionedTable(t.spark, dir)
+      // range-partitioned append = the clustered layout a maintenance
+      // loop (compact + clusterBy) keeps on a long-lived table
+      vt.append(t.orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_custkey")))
+      dir
+    }
+
+  def qVtableSkip(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t))
+      .readWhere(col("o_custkey").between(100L, 500L))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
   }
 }

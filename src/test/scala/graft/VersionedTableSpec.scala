@@ -248,6 +248,43 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(got == Set("nullkey", "b"))
   }
 
+  test("readWhere skips range-disjoint files; result matches a plain filtered read") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // six appends with disjoint id ranges → six files with tight stats
+    (0 until 6).foreach(i => t.append(
+      Seq.tabulate(20)(j => ((i * 100 + j).toLong, s"r$i-$j")).toDF("id", "name").coalesce(1)))
+    val total = t.fileList(t.currentVersion).size
+    assert(total == 6)
+    val skipped = t.readWhere(col("id").between(100L, 219L))
+    val plain = t.read().where(col("id").between(100L, 219L))
+    assert(skipped.collect().map(_.getLong(0)).toSet ==
+      plain.collect().map(_.getLong(0)).toSet)
+    // only the two overlapping files were opened
+    assert(skipped.inputFiles.length == 2,
+      s"expected 2 files, opened ${skipped.inputFiles.length} of $total")
+    // a fully-disjoint predicate opens nothing and returns the empty
+    // snapshot with the committed schema
+    val none = t.readWhere(col("id") > 10000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "name"))
+    // an unrecognized conjunct shape prunes nothing but still filters
+    val odd = t.readWhere(col("id") % 2 === 1 && col("id") < 100L)
+    assert(odd.collect().map(_.getLong(0)).forall(id => id % 2 == 1 && id < 100))
+    assert(odd.inputFiles.length == 1, "the recognized conjunct should still prune")
+  }
+
+  test("readWhere IS NULL opens only files the hasNulls flag can't clear") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((Option(1L), "a"), (Option(2L), "b")).toDF("id", "name").coalesce(1))
+    t.append(Seq((Option(10L), "c"), (Option.empty[Long], "n")).toDF("id", "name").coalesce(1))
+    val nulls = t.readWhere(col("id").isNull)
+    assert(nulls.collect().map(_.getString(1)).toSeq == Seq("n"))
+    assert(nulls.inputFiles.length == 1, "null-free file should be skipped")
+  }
+
   test("compact bin-packs small files, keeps data and history intact") {
     import spark.implicits._
     val dir = tmp()
