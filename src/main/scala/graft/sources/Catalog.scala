@@ -81,6 +81,9 @@ final class Catalog(val spark: SparkSession) {
         def key = options.getOrElse("key", throw new IllegalArgumentException(
           s"vtable mode '$mode' needs options(\"key\") naming the merge/delete key column"))
         mode match {
+          // options("evolve") = "true" routes append through additive
+          // schema evolution (new nullable columns allowed)
+          case "append" if options.get("evolve").contains("true") => vt.appendEvolve(df)
           case "append" => vt.append(df)
           case "overwrite" => vt.overwrite(df)
           case "merge" => vt.merge(df, key)

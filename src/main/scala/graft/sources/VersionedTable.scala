@@ -139,7 +139,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
     val m = manifest(v)
     val fs = manifestFiles(m).map(rel => s"$dir/$rel")
-    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    if (fs.nonEmpty) readFiles(m, manifestFiles(m))
     else emptySnapshot(m)
   }
 
@@ -169,9 +169,26 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val keep = manifestFiles(m)
       .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons))
     val base =
-      if (keep.nonEmpty) spark.read.parquet(keep.map(rel => s"$dir/$rel"): _*)
+      if (keep.nonEmpty) readFiles(m, keep)
       else emptySnapshot(m)
     base.where(predicate)
+  }
+
+  /** Read a manifest's data files WITH its committed schema pinned:
+    * the scan never samples parquet footers, so a table whose files
+    * predate an additive schema evolution reads back uniformly (old
+    * files yield null for the added columns), and each time-travel
+    * version keeps its own column set. Manifests without a schema
+    * (raw commit path) fall back to footer inference.
+    */
+  private def readFiles(m: JsonNode, rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => s"$dir/$rel")
+    Option(m.get("schema"))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      .filter(_.fields.nonEmpty) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Zero-row frame carrying a manifest's committed schema. */
@@ -542,6 +559,67 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     -1 // unreachable
   }
 
+  /** Additive schema evolution (Delta's mergeSchema): append a frame
+    * that may ADD new columns to — and may omit existing columns of —
+    * the committed schema; columns present on both sides must keep
+    * their exact type (changing one remains `overwrite`'s job). The
+    * committed schema becomes the union: committed columns first (in
+    * their order), added columns after, every column that either side
+    * can leave unset marked nullable. Files written before the
+    * evolution are NOT rewritten — every manifest-driven read pins the
+    * manifest's schema, so old files simply yield null for the added
+    * columns, and time travel keeps each version's own column set.
+    * Same blind-append retry semantics as [[append]].
+    */
+  def appendEvolve(df: DataFrame): Int = {
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      if (prev == 0) return append(df)
+      val m = manifest(prev)
+      val committedOpt = Option(m.get("schema"))
+        .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+        .filter(_.fields.nonEmpty)
+      // a raw-commit table carries no schema to evolve against
+      if (committedOpt.isEmpty) return append(df)
+      val committed = committedOpt.get
+      val union = evolvedSchema(committed, df.schema)
+      val aligned = df.select(union.fields.toSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      try return commitData(prev + 1, "append", aligned,
+        manifestFiles(m), manifestStats(m))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The union schema of an additive evolution; raises on a type
+    * change. Columns the incoming frame omits — and every added
+    * column — are nullable in the result (old files hold no values
+    * for added columns; new files hold none for omitted ones).
+    */
+  private def evolvedSchema(committed: StructType, incoming: StructType): StructType = {
+    committed.fields.foreach { f =>
+      incoming.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"appendEvolve cannot change column ${f.name}: committed " +
+            s"${f.dataType.simpleString}, got ${g.dataType.simpleString} " +
+            "(use overwrite() for type changes)")
+      }
+    }
+    val kept = committed.fields.map(f =>
+      if (incoming.fieldNames.contains(f.name)) f else f.copy(nullable = true))
+    val added = incoming.fields
+      .filterNot(g => committed.fieldNames.contains(g.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
+
   /** Overwrite: next version = the new files only. Old versions stay
     * readable — nothing is deleted.
     */
@@ -583,7 +661,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) ||
           statMayHaveNulls(stats.get(f), key))
     val base =
-      if (touched.nonEmpty) spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
+      if (touched.nonEmpty) readFiles(m, touched)
       else emptySnapshot(m)
     commitData(v + 1, "merge", Merge.upsert(base, updates, key),
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
@@ -629,7 +707,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
-    val base = spark.read.parquet(touched.map(rel => s"$dir/$rel"): _*)
+    val base = readFiles(m, touched)
     // left_anti keeps the left schema untouched — committed column
     // order is preserved across the rewrite
     val remaining = base.join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -666,7 +744,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val (small, large) = sized.partition(_._2 < targetBytes)
     if (small.size <= 1) return v
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
-    val base = spark.read.parquet(small.map(p => s"$dir/${p._1}"): _*)
+    val base = readFiles(m, small.map(_._1))
     val packed = clusterBy match {
       case Seq()  => base.coalesce(nOut)              // shuffle-free bin-pack
       case Seq(c) => base.repartitionByRange(nOut, col(c))
@@ -789,7 +867,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       else manifestFiles(readManifest(sinceVersion)).toSet
     val fresh = manifestFiles(mCur).filterNot(baseFiles)
     if (fresh.isEmpty) emptySnapshot(mCur)
-    else spark.read.parquet(fresh.map(rel => s"$dir/$rel"): _*)
+    else readFiles(mCur, fresh)
   }
 
   /** Bound storage: drop history older than the last `retainVersions`

@@ -248,6 +248,38 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(got == Set("nullkey", "b"))
   }
 
+  test("appendEvolve adds nullable columns; old files read null; history keeps its schema") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // evolved frame: adds `score`, omits nothing
+    t.appendEvolve(Seq((3L, "c", 0.5)).toDF("id", "name", "score"))
+    val cur = t.read()
+    assert(cur.columns.toSeq == Seq("id", "name", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byId(1L) && byId(2L) && !byId(3L), s"old rows must read null score: $byId")
+    // time travel: version 1 still has the two-column schema
+    assert(t.read(1).columns.toSeq == Seq("id", "name"))
+    // an evolved frame may also OMIT a committed column (null-filled)
+    t.appendEvolve(Seq((4L, 0.9)).toDF("id", "score"))
+    val r4 = t.read().where(col("id") === 4L).head()
+    assert(r4.isNullAt(1) && r4.getDouble(2) == 0.9)
+    // type changes stay rejected — evolution is additive only
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq((5L, 1, 0.1)).toDF("id", "name", "score"))
+    }
+    assert(e.getMessage.contains("cannot change column name"), e.getMessage)
+    // plain append with the stale schema still fails the strict match
+    intercept[IllegalArgumentException] {
+      t.append(Seq((6L, "f")).toDF("id", "name"))
+    }
+    // data skipping still works across the evolution: files that
+    // predate `score` carry no stats for it and are opened (sound),
+    // while range pruning on `id` keeps working
+    assert(t.readWhere(col("id") === 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("readWhere skips range-disjoint files; result matches a plain filtered read") {
     import spark.implicits._
     val dir = tmp()
