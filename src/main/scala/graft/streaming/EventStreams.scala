@@ -77,6 +77,21 @@ object EventStreams {
       .select("click_id", "purchase_id", "user_id", "value")
   }
 
+  /** Stream-static enrichment: each streaming event joined to a
+    * STATIC dimension frame (user → segment, product → category). The
+    * static side is planned per micro-batch as an ordinary batch join
+    * — Spark broadcasts it when it fits — and needs no watermark or
+    * join state at all: the canonical way to attach slowly-changing
+    * reference data to a stream without paying a stream-stream join's
+    * state cost. Left join so unmatched events pass through (an
+    * enrichment must never drop facts). At scale the dimension is a
+    * vtable snapshot: upstream MERGEs land in the table, and a
+    * restart (or per-trigger re-read under availableNow) picks them
+    * up with no change to the streaming plan.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stateful gap sessionization via flatMapGroupsWithState: one state
     * record per active user. With `idleFlushMs > 0` (default 2× the
     * gap) a processing-time timeout flushes and evicts idle users'

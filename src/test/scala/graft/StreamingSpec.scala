@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a dimension without watermarks or state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val q = EventStreams.enrich(input.toDF(), dim)
+      .select("event_id", "user_id", "segment")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      // user 3 has no dimension row: left join must pass it through
+      input.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 3, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 2, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> None, 3L -> Some("trial")), got)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
