@@ -90,6 +90,10 @@ private[graft] object DataSkipping {
         case ("=" | "==", Seq(l, r))              => cmp("=", l, r)
         case (op @ (">" | ">=" | "<" | "<="), Seq(l, r)) => cmp(op, l, r)
         case ("isNull" | "isnull", Seq(a))        => name(a).map(RequiresNull).toSeq
+        // the SQL parser keeps BETWEEN as a ternary function until
+        // analysis (the Column DSL desugars it to an AND pair itself)
+        case ("between", Seq(a, lo: Literal, hi: Literal)) =>
+          name(a).map(c => Range(c, Some((lo, true)), Some((hi, true)))).toSeq
         case _                                    => Seq.empty
       }
     case _ => Seq.empty

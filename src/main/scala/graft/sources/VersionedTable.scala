@@ -971,8 +971,20 @@ object VersionedTable {
   */
 object VTableSource extends SourceProvider {
   val format = "vtable"
-  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    VersionedTable(spark, path).read(options.get("version").map(_.toInt).getOrElse(-1))
+  /** `version` time-travels; `where` is a SQL boolean expression
+    * routed through [[VersionedTable.readWhere]], so a service caller
+    * registering a filtered view gets file-level data skipping instead
+    * of a post-scan filter (the SQL parser's typed comparison nodes
+    * feed the same constraint extractor as the Column DSL).
+    */
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame = {
+    val vt = VersionedTable(spark, path)
+    val version = options.get("version").map(_.toInt).getOrElse(-1)
+    options.get("where") match {
+      case Some(w) => vt.readWhere(org.apache.spark.sql.functions.expr(w), version)
+      case None    => vt.read(version)
+    }
+  }
 }
 
 /** Contract query over the versioned table: append an orders snapshot

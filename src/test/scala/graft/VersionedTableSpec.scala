@@ -306,6 +306,20 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(odd.inputFiles.length == 1, "the recognized conjunct should still prune")
   }
 
+  test("Catalog vtable read with a where option skips files like readWhere") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    (0 until 4).foreach(i => t.append(
+      Seq.tabulate(10)(j => ((i * 100 + j).toLong, s"r$i-$j")).toDF("id", "name").coalesce(1)))
+    val cat = new Catalog(spark)
+    // SQL-parsed predicate: typed catalyst nodes, same constraint path
+    val df = cat.read("vtable", dir, Map("where" -> "id BETWEEN 100 AND 209"))
+    assert(df.collect().map(_.getLong(0)).forall(id => id >= 100 && id <= 209))
+    assert(df.count() == 20)
+    assert(df.inputFiles.length == 2, s"expected 2 files, got ${df.inputFiles.length}")
+  }
+
   test("readWhere IS NULL opens only files the hasNulls flag can't clear") {
     import spark.implicits._
     val dir = tmp()
