@@ -8,7 +8,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{col, conv, count, hex, input_file_name, least, lit, max, min, substring, when}
 import org.apache.spark.sql.types._
 
 import graft.operators.Merge
@@ -728,7 +728,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     *     interleave of both, each normalized to 32 bits via its global
     *     min/max (one agg job) — a lexicographic sort only bounds the
     *     leading column's per-file range; the Z-curve keeps BOTH
-    *     tight, so stat pruning works on either column.
+    *     tight, so stat pruning works on either column. Numeric
+    *     columns cluster on their value, string columns on a
+    *     byte-order-preserving 4-byte UTF-8 prefix (a weak key only
+    *     loosens clustering — stats come from real values, so
+    *     skipping stays sound).
     * Data is unchanged; old versions stay readable. Returns the
     * current version unchanged when there is nothing to compact (no
     * empty commits from maintenance loops).
@@ -749,26 +753,53 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       case Seq()  => base.coalesce(nOut)              // shuffle-free bin-pack
       case Seq(c) => base.repartitionByRange(nOut, col(c))
       case Seq(x, y) =>
-        // normalize each column to [0, 2^32) on its own global range,
-        // then interleave — zvalue is a codegen'd native expression
-        val b = base.agg(
-          min(col(x)).as("xl"), max(col(x)).as("xh"),
-          min(col(y)).as("yl"), max(col(y)).as("yh")).head()
-        def norm(c: String, loI: Int, hiI: Int) = {
-          val (lo, hi) = (b.get(loI), b.get(hiI))
-          def d(a: Any) = a match {
-            case null => 0.0
-            case n: java.lang.Number => n.doubleValue()
-            case other => throw new IllegalArgumentException(
-              s"compact clusterBy needs a numeric column, $c is ${other.getClass.getSimpleName}")
-          }
-          val span = d(hi) - d(lo)
-          if (span <= 0) lit(0L)
-          else ((col(c).cast("double") - lit(d(lo))) / lit(span) * lit((1L << 32) - 1d)).cast("long")
+        // normalize each cluster key to an EQUAL-FREQUENCY range id
+        // (Delta's ZORDER recipe), then interleave — zvalue is a
+        // codegen'd native expression. Min/max scaling breaks on
+        // skewed or discrete dimensions (three langs near the min and
+        // one at the max all land in the same z-slab); quantile cut
+        // points split the z-space evenly whatever the distribution.
+        // Numeric columns key on their value; string columns on their
+        // first-4-UTF-8-bytes prefix as an unsigned int (byte-order-
+        // preserving for the prefix). A weak key can only loosen the
+        // clustering: per-file stats are recorded from the REAL
+        // values afterward, so skipping stays sound whatever the key
+        // does.
+        def clusterKey(c: String): Column = base.schema(c).dataType match {
+          case StringType =>
+            conv(hex(substring(col(c).cast("binary"), 1, 4)), 16, 10).cast("long")
+          case _: NumericType => col(c)
+          case other => throw new IllegalArgumentException(
+            s"compact clusterBy needs a numeric or string column, $c is ${other.simpleString}")
+        }
+        val staged = base
+          .withColumn("__graft_zx", clusterKey(x).cast("double"))
+          .withColumn("__graft_zy", clusterKey(y).cast("double"))
+        val probs = (1 until VersionedTable.ZBuckets)
+          .map(_.toDouble / VersionedTable.ZBuckets).toArray
+        // one sampling pass for both dimensions' cut points
+        val Array(cutsX, cutsY) = staged.stat.approxQuantile(
+          Array("__graft_zx", "__graft_zy"), probs, 0.001)
+        def rangeId(k: Column, cuts: Array[Double]): Column = {
+          // bucket index = #cuts below the value (codegen'd indicator
+          // sum; nulls contribute nothing and share bucket 0), placed
+          // at i × 2^32/n over the DISTINCT cut count — a low-
+          // cardinality dimension (4 langs → 4 buckets at 00,01,10,11
+          // in the top bits) must vary the TOP z-bits exactly evenly
+          // or the interleave degrades to single-column ordering. The
+          // clamp folds the open top bucket of a continuous dimension
+          // into the highest cut's bucket, keeping every id < 2^32.
+          val cs = cuts.distinct
+          val n = math.max(1, cs.length)
+          val id = cs.foldLeft(lit(0L))((acc, c) =>
+            acc + when(k > lit(c), 1L).otherwise(0L))
+          least(id, lit(n - 1L)) * lit((1L << 32) / n)
         }
         graft.functions.GraftFunctions.register(spark) // idempotent
-        base.repartitionByRange(nOut,
-          graft.functions.GraftFunctions.zvalue(norm(x, 0, 1), norm(y, 2, 3)))
+        staged
+          .repartitionByRange(nOut, graft.functions.GraftFunctions.zvalue(
+            rangeId(col("__graft_zx"), cutsX), rangeId(col("__graft_zy"), cutsY)))
+          .drop("__graft_zx", "__graft_zy")
     }
     commitData(v + 1, "compact", packed,
       large.map(_._1), large.flatMap { case (f, _) => stats.get(f).map(f -> _) }.toMap)
@@ -946,6 +977,13 @@ object VersionedTable {
     * snapshot they rewrite, so the caller must decide on a conflict).
     */
   val MaxCommitRetries = 5
+
+  /** Equal-frequency buckets per Z-order dimension (64 = 6 bits;
+    * 4096 addressable z-cells — plenty of granularity above any
+    * realistic compaction output count, and the per-row range-id
+    * indicator sum stays a shallow codegen'd expression).
+    */
+  val ZBuckets = 64
 
   // per-table-dir lock serializing epoch-pointer advances in-process;
   // keyed by the NORMALIZED absolute path so "/t", "/t/" and relative

@@ -490,6 +490,27 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().where(col("y") === 60L).count() == 0)
   }
 
+  test("z-order compact clusters a STRING column; equality reads skip files") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // (lang, id) grid scattered so every pre-compact file spans all langs
+    val langs = Seq("de", "en", "fr", "ja")
+    val rows = for (i <- 0 until 2048) yield (langs(i % 4), i.toLong)
+    rows.grouped(256).foreach(s => t.append(s.toDF("lang", "id").coalesce(1)))
+    val total = t.fileList(t.currentVersion)
+      .map(f => Files.size(java.nio.file.Paths.get(dir, f))).sum
+    val v = t.compact(targetBytes = total / 4 + 1, clusterBy = Seq("lang", "id"))
+    val zFiles = t.fileList(v)
+    assert(zFiles.size > 1, "need multiple output files to observe pruning")
+    // string cluster key: files now carry tight lang ranges, so an
+    // equality read over the string column opens a strict subset
+    val de = t.readWhere(col("lang") === "de")
+    assert(de.count() == 512)
+    assert(de.inputFiles.length < zFiles.size,
+      s"string z-order pruned nothing: opened ${de.inputFiles.length} of ${zFiles.size}")
+  }
+
   test("pruned merge/delete ≡ unpruned oracle on random corpora (astral strings, truncation)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
