@@ -86,6 +86,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
+    "q_dedup_fuzzy" -> ((s, d) => Dedup.qDedupFuzzy(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
@@ -575,6 +576,17 @@ object SparkEntry {
         |WHERE floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
         |                                   CAST(y.embedding AS DOUBLE[]))) * 100 + 0.5) / 100 >= 0.97
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // fuzzy dedup: DuckDB's levenshtein mirrors Spark's (unit-cost DP
+    // over characters), so the pair list AND distances are hash-compared
+    "q_dedup_fuzzy" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | levenshtein(a.text, b.text) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND substr(a.text, 1, 24) = substr(b.text, 1, 24)
+        |    AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text)
+        |      <= 0.2 * greatest(length(a.text), length(b.text))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // §2.4 similarity
     "q_ann_bruteforce" ->
       """WITH q AS (

@@ -313,4 +313,28 @@ object Dedup {
         col("x.label").as("label"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Fuzzy (edit-distance) dedup: candidate pairs from a cheap
+    * blocking key — same lang + identical 24-char prefix, the
+    * candidate generator a pipeline swaps for MinHash/LSH buckets at
+    * scale — verified with true Levenshtein at ≤ 20% of the longer
+    * text. The shape matters more than the blocker: the quadratic
+    * stages are both bounded (pairs form only inside blocks, Σ
+    * bucket² never n²; levenshtein's O(len²) DP runs only on
+    * candidates), which is what keeps edit-distance verification
+    * affordable on a web-scale corpus.
+    */
+  def qDedupFuzzy(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), col("lang"), col("text"),
+      substring(col("text"), 1, 24).as("pfx"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("dist") <= lit(0.2) *
+        greatest(length(col("a.text")), length(col("b.text"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
