@@ -111,6 +111,7 @@ object SparkEntry {
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
+    "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
@@ -698,6 +699,15 @@ object SparkEntry {
         | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders WHERE o_custkey BETWEEN 100 AND 500""".stripMargin,
+    // the view was maintained INCREMENTALLY across three append+refresh
+    // cycles; the oracle is the direct one-shot aggregate over all of
+    // orders — gating that the incremental merge algebra is exact
+    "q_mview" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

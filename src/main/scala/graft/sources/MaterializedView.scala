@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregate spec of a materialized view — restricted to the
+  * ALGEBRAIC aggregates (Gray et al., "Data Cube", ICDE 1996): each
+  * has a bounded partial state that merges associatively, which is
+  * exactly the property incremental view maintenance needs. AVG is
+  * held as (sum, count) and finalized at read time; a holistic
+  * aggregate (median, distinct count) has no mergeable state and is
+  * deliberately not constructible here.
+  */
+sealed trait MvAgg { def alias: String }
+object MvAgg {
+  final case class Count(alias: String) extends MvAgg
+  final case class Sum(column: String, alias: String) extends MvAgg
+  final case class Min(column: String, alias: String) extends MvAgg
+  final case class Max(column: String, alias: String) extends MvAgg
+  final case class Avg(column: String, alias: String) extends MvAgg
+}
+
+/** Incrementally maintained aggregate view over a [[VersionedTable]]
+  * — the caching layer a SQL service needs once the base table is too
+  * big to re-aggregate per refresh.
+  *
+  * The view's state (one row per group, partial-aggregate columns) is
+  * itself a VersionedTable, so refreshes are atomic, versioned, and
+  * time-travelable. Each refresh:
+  *
+  *   1. reads the source version the state last covered — carried IN
+  *      the state table's own commit manifest (the `epoch` field), so
+  *      a crash between "compute" and "record coverage" is impossible
+  *      by construction: either the commit landed with its coverage
+  *      mark or neither exists;
+  *   2. pulls ONLY the new rows via [[VersionedTable.readAppendsSince]]
+  *      (a manifest file-set diff — cost proportional to the delta,
+  *      never a base-table rescan);
+  *   3. partial-aggregates the delta and merges it with the stored
+  *      state: count/sum merge by SUM, min/max by MIN/MAX, avg as
+  *      (sum, count) — one union of (|groups| + |delta groups|) rows,
+  *      one hash agg;
+  *   4. commits the merged state with `epoch = sourceVersion`.
+  *
+  * If any commit inside the refresh window rewrote files
+  * (merge/delete/overwrite/compact — `readAppendsSince` refuses), the
+  * refresh falls back to a full recompute, still atomic. At 100 TB
+  * the steady state is: appends stream in, `refresh()` touches only
+  * the fresh files plus a |groups|-row state table — the view costs
+  * O(delta), not O(base).
+  */
+final class MaterializedView private (
+    val spark: SparkSession,
+    val viewDir: String,
+    val sourceDir: String,
+    groupCols: Seq[String],
+    aggs: Seq[MvAgg]) {
+
+  require(groupCols.nonEmpty, "materialized view needs at least one group column")
+  require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+  private val dupNames = (groupCols ++ aggs.map(_.alias))
+    .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+  require(dupNames.isEmpty, s"duplicate output column(s): ${dupNames.mkString(", ")}")
+
+  private val state = VersionedTable(spark, viewDir)
+  private val source = VersionedTable(spark, sourceDir)
+
+  // ---- state schema ------------------------------------------------
+  // one partial-state column set per aggregate; names are __-prefixed
+  // so a group column can never collide with an internal column
+  private def partialExprs: Seq[Column] = aggs.flatMap {
+    case MvAgg.Count(a)  => Seq(count(lit(1)).as(s"__cnt_$a"))
+    case MvAgg.Sum(c, a) => Seq(sum(col(c)).as(s"__sum_$a"))
+    case MvAgg.Min(c, a) => Seq(min(col(c)).as(s"__min_$a"))
+    case MvAgg.Max(c, a) => Seq(max(col(c)).as(s"__max_$a"))
+    case MvAgg.Avg(c, a) =>
+      Seq(sum(col(c).cast("double")).as(s"__asum_$a"),
+        count(col(c)).as(s"__acnt_$a"))
+  }
+
+  private def mergeExprs: Seq[Column] = aggs.flatMap {
+    case MvAgg.Count(a)  => Seq(sum(col(s"__cnt_$a")).as(s"__cnt_$a"))
+    case MvAgg.Sum(_, a) => Seq(sum(col(s"__sum_$a")).as(s"__sum_$a"))
+    case MvAgg.Min(_, a) => Seq(min(col(s"__min_$a")).as(s"__min_$a"))
+    case MvAgg.Max(_, a) => Seq(max(col(s"__max_$a")).as(s"__max_$a"))
+    case MvAgg.Avg(_, a) =>
+      Seq(sum(col(s"__asum_$a")).as(s"__asum_$a"),
+        sum(col(s"__acnt_$a")).as(s"__acnt_$a"))
+  }
+
+  /** Partial-aggregate raw source rows into state shape. */
+  private def partial(rows: DataFrame): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(partialExprs.head, partialExprs.tail: _*)
+
+  /** Merge two state frames (associative by construction). */
+  private def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+
+  // ---- public API ----------------------------------------------------
+
+  /** Source version the current state covers (0 = never refreshed). */
+  def coveredSourceVersion: Int =
+    state.lastCommittedEpoch.map(_.toInt).getOrElse(0)
+
+  def stateVersion: Int = state.currentVersion
+
+  /** Bring the view up to the source's current version. Returns the
+    * state-table version serving the refreshed view; a no-op when the
+    * source hasn't moved. `sum`/`count` state is exact under
+    * incremental merge; the delta path is taken for pure append
+    * windows, and any rewriting commit (merge/delete/overwrite/
+    * compact) inside the window triggers a full recompute instead —
+    * never a wrong answer.
+    */
+  def refresh(): Int = {
+    val srcV = source.currentVersion
+    require(srcV > 0, s"source table at $sourceDir has no committed version")
+    val covered = coveredSourceVersion
+    if (covered == srcV && state.currentVersion > 0) return state.currentVersion
+    val newState =
+      if (covered == 0) partial(source.read())
+      else
+        try {
+          val delta = source.readAppendsSince(covered)
+          if (delta.isEmpty) state.read()
+          else mergeStates(state.read(), partial(delta))
+        } catch {
+          // rewriting commit inside the window — recompute from snapshot
+          case _: IllegalStateException => partial(source.read())
+        }
+    // the epoch field rides in the SAME atomic commit as the state, so
+    // coverage can never drift from content (vacuum keeps it durable
+    // via the harvested _last_epoch pointer)
+    state.commitData(state.currentVersion + 1, "mv-refresh", newState,
+      Seq.empty, epoch = Some(srcV.toLong))
+  }
+
+  /** The finalized view: group columns + one column per aggregate
+    * (AVG = sum/count). Reads the committed state only — no source
+    * IO; stale until the next `refresh()`, like any materialized view.
+    */
+  def read(): DataFrame = {
+    val finalCols = groupCols.map(col) ++ aggs.map {
+      case MvAgg.Count(a)  => col(s"__cnt_$a").as(a)
+      case MvAgg.Sum(_, a) => col(s"__sum_$a").as(a)
+      case MvAgg.Min(_, a) => col(s"__min_$a").as(a)
+      case MvAgg.Max(_, a) => col(s"__max_$a").as(a)
+      case MvAgg.Avg(_, a) =>
+        (col(s"__asum_$a") / col(s"__acnt_$a")).as(a)
+    }
+    state.read().select(finalCols: _*)
+  }
+}
+
+object MaterializedView {
+  def apply(spark: SparkSession, viewDir: String, sourceDir: String,
+      groupCols: Seq[String], aggs: Seq[MvAgg]): MaterializedView =
+    new MaterializedView(spark, viewDir, sourceDir, groupCols, aggs)
+}
+
+/** Contract query: a view over an orders vtable fed by THREE append
+  * batches with a refresh after each — so the committed result is the
+  * product of two genuinely incremental state merges, and the DuckDB
+  * oracle (one plain GROUP BY over all of orders) gates that the
+  * incremental algebra reproduces the direct aggregate exactly.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object MviewDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val views = new graft.util.BoundedMemo[Key, MaterializedView](4, _ => ())
+
+  private def builtView(t: Tables): MaterializedView =
+    views.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import java.nio.file.Files
+      val parent = Files.createTempDirectory("graft-mview")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val srcDir = parent.toString + "/orders_src"
+      val src = VersionedTable(t.spark, srcDir)
+      val base = t.orders.select(col("o_orderpriority"), col("o_totalprice"))
+      val mv = MaterializedView(t.spark, parent.toString + "/orders_mv", srcDir,
+        Seq("o_orderpriority"),
+        Seq(MvAgg.Count("n_orders"),
+          MvAgg.Sum("o_totalprice", "total"),
+          MvAgg.Min("o_totalprice", "min_price"),
+          MvAgg.Max("o_totalprice", "max_price"),
+          MvAgg.Avg("o_totalprice", "avg_price")))
+      (0 until 3).foreach { i =>
+        src.append(base.filter(pmod(col("o_totalprice").cast("long"), lit(3)) === i))
+        mv.refresh()
+        ()
+      }
+      mv
+    }
+
+  def qMview(t: Tables): DataFrame =
+    builtView(t).read()
+      .select(col("o_orderpriority"),
+        col("n_orders"),
+        graft.operators.Rnd.round(col("total"), 2).as("total"),
+        col("min_price"), col("max_price"),
+        graft.operators.Rnd.round(col("avg_price"), 2).as("avg_price"))
+      .orderBy("o_orderpriority")
+}

@@ -708,9 +708,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = readFiles(m, touched)
-    // left_anti keeps the left schema untouched — committed column
-    // order is preserved across the rewrite
+    // a USING anti-join hoists the key column to the front of the
+    // output, so re-select the committed column order explicitly — a
+    // delete on a non-leading key must not reorder the table's schema
     val remaining = base.join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
+      .select(base.columns.map(col).toSeq: _*)
     commitData(v + 1, "delete", remaining,
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{MaterializedView, MvAgg, VersionedTable}
+
+class MaterializedViewSpec extends SparkSpecBase {
+
+  private def dirs(): (String, String) = {
+    val p = Files.createTempDirectory("graft-mv").toString
+    (p + "/src", p + "/view")
+  }
+
+  private def mk(srcDir: String, viewDir: String): MaterializedView =
+    MaterializedView(spark, viewDir, srcDir,
+      Seq("grp"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("v", "total"),
+        MvAgg.Min("v", "lo"), MvAgg.Max("v", "hi"), MvAgg.Avg("v", "mean")))
+
+  private def fullAgg(df: DataFrame): Set[(String, Long, Long, Long, Long, Double)] =
+    df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("lo"), max("v").as("hi"), avg("v").as("mean"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+
+  private def viewRows(mv: MaterializedView): Set[(String, Long, Long, Long, Long, Double)] =
+    mv.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+
+  test("incremental refresh across appends equals a full recompute") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+
+    src.append(Seq(("a", 1L), ("a", 3L), ("b", 10L)).toDF("grp", "v"))
+    mv.refresh()
+    // second and third appends exercise the state-merge path (covered > 0)
+    src.append(Seq(("a", 5L), ("c", 7L)).toDF("grp", "v"))
+    mv.refresh()
+    src.append(Seq(("b", 2L), ("c", 700L), ("d", -4L)).toDF("grp", "v"))
+    val v = mv.refresh()
+
+    assert(v == mv.stateVersion)
+    assert(mv.coveredSourceVersion == src.currentVersion)
+    assert(viewRows(mv) == fullAgg(src.read()))
+  }
+
+  test("refresh is a no-op when the source hasn't moved") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L)).toDF("grp", "v"))
+    val v1 = mv.refresh()
+    val v2 = mv.refresh()
+    assert(v1 == v2, "an up-to-date view must not commit a new state version")
+  }
+
+  test("the delta path reads only appended files, not the base snapshot") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    mv.refresh()
+    val before = src.fileList(src.currentVersion).toSet
+    src.append(Seq(("a", 8L)).toDF("grp", "v"))
+    // the incremental input is exactly the manifest diff
+    val delta = src.readAppendsSince(mv.coveredSourceVersion)
+    assert(delta.count() == 1)
+    val after = src.fileList(src.currentVersion).toSet
+    assert((after -- before).nonEmpty && before.subsetOf(after))
+    mv.refresh()
+    assert(viewRows(mv) == fullAgg(src.read()))
+  }
+
+  test("a rewriting commit in the window falls back to full recompute") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("a", 3L), ("b", 10L)).toDF("grp", "v"))
+    mv.refresh()
+    // delete rewrites files → readAppendsSince refuses → full path
+    src.delete(Seq(("a", 3L)).toDF("grp", "v").select(col("v")), "v")
+    src.append(Seq(("c", 5L)).toDF("grp", "v"))
+    mv.refresh()
+    assert(mv.coveredSourceVersion == src.currentVersion)
+    assert(viewRows(mv) == fullAgg(src.read()))
+  }
+
+  test("state is itself versioned: earlier refreshes stay time-travelable") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L)).toDF("grp", "v"))
+    mv.refresh()
+    src.append(Seq(("a", 9L)).toDF("grp", "v"))
+    mv.refresh()
+    val state = VersionedTable(spark, viewDir)
+    assert(state.currentVersion == 2)
+    // version 1 of the state still reflects only the first batch
+    assert(state.read(1).select(sum("__cnt_n")).head().getLong(0) == 1L)
+    assert(state.read(2).select(sum("__cnt_n")).head().getLong(0) == 2L)
+  }
+
+  test("holistic aggregates and bad specs are rejected at construction") {
+    val (srcDir, viewDir) = dirs()
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, viewDir, srcDir, Seq.empty, Seq(MvAgg.Count("n")))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, viewDir, srcDir, Seq("grp"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, viewDir, srcDir, Seq("grp"),
+        Seq(MvAgg.Count("n"), MvAgg.Sum("v", "n")))
+    }
+  }
+}

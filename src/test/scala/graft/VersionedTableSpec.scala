@@ -200,6 +200,20 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.fileList(v4) == after && t.read().count() == 18)
   }
 
+  test("delete on a non-leading key preserves committed column order") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "id"))
+    // the USING anti-join hoists the key column; the rewrite must not
+    // let that reorder (or re-type) the table — a follow-up append of
+    // the original shape has to keep working
+    t.delete(Seq(2L).toDF("id"), "id")
+    assert(t.read().columns.toSeq == Seq("name", "id"))
+    t.append(Seq(("d", 4L)).toDF("name", "id"))
+    assert(t.read().count() == 3)
+  }
+
   test("merge null-key raise fires even when range pruning skips the null file") {
     import spark.implicits._
     val dir = tmp()
