@@ -87,6 +87,9 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.qDedupFuzzy(t(s, d))),
+    // rows-only: k-means cell blocking isn't SQL-expressible;
+    // SemDedupSpec bounds precision/recall vs brute force
+    "q_semdedup" -> ((s, d) => Dedup.qSemDedup(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),

@@ -314,6 +314,52 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * near-dup removal with the CORPUS'S OWN clustering as the blocking
+    * key — k-means cells from the memoized [[Similarity.corpusIndex]]
+    * coarse quantizer, so pairs form only within a cell (Σ cell², the
+    * same bound the paper relies on to scale past n²) and no label or
+    * other metadata is needed. Drop rule: a vector is dropped when a
+    * LOWER-ID vector in its cell has cosine ≥ `threshold` (the paper
+    * keeps one representative per ε-ball; lowest-id is the
+    * deterministic choice, and greedy — a dropped vector's keeper may
+    * itself be dropped by a yet-lower id, the standard chain caveat).
+    * Cross-cell near-dups are missed by design: that recall/cost trade
+    * IS the algorithm, bounded in SemDedupSpec against brute force.
+    */
+  def semDedupDrops(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(GraftFunctions.cosineSim(col("x.embedding"), col("y.embedding"))
+        >= threshold)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("kept_by"))
+  }
+
+  /** SemDeDup over the corpus's memoized IVF index. */
+  def semDedupDrops(t: Tables, threshold: Double, cells: Int): DataFrame =
+    semDedupDrops(Similarity.corpusIndex(t, cells).assigned, threshold)
+
+  /** Contract query (rows-only — k-means blocking is not
+    * SQL-expressible): per-label corpus reduction after SemDeDup. The
+    * synthetic corpus holds no true duplicates, so the default
+    * threshold sits where its cosine tail has mass — the drop RULE is
+    * exact either way (SemDedupSpec proves planted exact/near
+    * duplicates are dropped against their true keepers).
+    */
+  def qSemDedup(t: Tables, threshold: Double = 0.45): DataFrame = {
+    val drops = semDedupDrops(t, threshold, cells = 16)
+    t.embeddings.select(col("vec_id"), col("label"))
+      .join(drops.select(col("vec_id"), lit(1).as("_dropped")), Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("_dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("label")
+  }
+
   /** Fuzzy (edit-distance) dedup: candidate pairs from a cheap
     * blocking key — same lang + identical 24-char prefix, the
     * candidate generator a pipeline swaps for MinHash/LSH buckets at
