@@ -102,6 +102,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
     "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
+    "q_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(t(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
@@ -794,5 +795,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents) u
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    // the Misra-Gries sketch is EXACT while the observed vocabulary
+    // fits its capacity (128 >> synthetic vocab), so the oracle is the
+    // plain exact per-language top-k
+    "q_heavy_hitters" ->
+      """SELECT lang, term, cnt, rk FROM (
+        |  SELECT lang, term, count(*) AS cnt,
+        |    cast(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, term) AS INTEGER) AS rk
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) s
+        |  GROUP BY lang, term) t
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
   )
 }

@@ -149,4 +149,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(50)
+
+  /** Per-language heavy hitters via the Misra-Gries sketch
+    * ([[graft.functions.TopKAgg]]): one bounded (≤ capacity counters)
+    * buffer per language regardless of vocabulary width — where the
+    * exact `qTermStats` shuffle carries every distinct term, this
+    * carries at most `capacity` per map partition per group. The
+    * synthetic vocabulary fits the sketch, so counts are EXACT and the
+    * DuckDB oracle gates them; at a web-scale vocabulary the same plan
+    * degrades to the sketch's N/(capacity+1) deficit guarantee
+    * (TopKAggSpec proves both regimes).
+    */
+  def qHeavyHitters(t: Tables, k: Int = 10, capacity: Int = 128): DataFrame = {
+    val mg = udaf(new graft.functions.TopKAgg(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    t.documents
+      .select(col("lang"), explode(tokensCol).as("token"))
+      .groupBy("lang")
+      .agg(mg(col("token")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("term", "cnt")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
 }

@@ -14,8 +14,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the build environment). Every endpoint is a thin translation to one
   * QueryService method; no query logic lives in this layer.
   *
-  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "..."]}
-  *                    → {"rows": [...], "count": n, "offset": k[, "next_offset": k+n]}
+  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "...", "cache": true]}
+  *                    → {"rows": [...], "count": n, "offset": k[, "cached": bool][, "next_offset": k+n]}
+  *   GET  /cachestats                                   → {"hits": n, "misses": m} (result cache)
   *   POST /cancel   {"tag": "..."}                     → {"cancelled": "..."} (kills that tag's running jobs)
   *   POST /query    {"query": "...", "limit": 1000}    → {"job": id} (async: returns immediately)
   *   GET  /query/{id}                                  → {"status": running|done|failed[, "rows", "error"]}
@@ -86,15 +87,27 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // can't collide with — and /cancel can't kill — the async job
     // plane's groups.
     val tagged = body.has("tag")
+    // "cache": true opts the statement into the version-aware result
+    // cache; the response then reports whether this page came from it
+    val useCache = body.has("cache") && body.get("cache").asBoolean(false)
     val sc = service.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
       interruptOnCancel = true)
-    val rows =
-      try service.sqlJson(text(body, "query"), page, offset)
-      finally if (tagged) sc.clearJobGroup()
+    val (rows, hit) =
+      try {
+        if (useCache) service.sqlJsonCached(text(body, "query"), page, offset)
+        else (service.sqlJson(text(body, "query"), page, offset), false)
+      } finally if (tagged) sc.clearJobGroup()
+    val cached = if (useCache) s""","cached":$hit""" else ""
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
-    s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$next}"""
+    s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$cached$next}"""
   })
+  server.createContext("/cachestats", exchange =>
+    if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
+    else {
+      val (h, m) = service.results.stats
+      reply(exchange, 200, s"""{"hits":$h,"misses":$m}""")
+    })
   // ---- async query jobs: submit → id, poll, page, cancel ----
   private val async = new AsyncQueries(service, maxRows)
   server.createContext("/query", (exchange: HttpExchange) =>

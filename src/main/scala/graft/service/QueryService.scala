@@ -18,6 +18,20 @@ final class QueryService(val spark: SparkSession) {
 
   val catalog = new Catalog(spark)
 
+  /** Version-aware SQL result cache (see [[ResultCache]]); opt-in per
+    * call — `sqlJsonCached` — so the plain path stays cache-free.
+    */
+  lazy val results = new ResultCache(this)
+
+  /** Cached [[sqlJson]]: (page, served-from-cache). Entries key on
+    * normalized SQL + the live versions/nonces of every referenced
+    * table, so a vtable commit or a re-registered source invalidates
+    * dependents automatically.
+    */
+  def sqlJsonCached(query: String, limit: Int = 1000, offset: Int = 0)
+      : (Seq[String], Boolean) =
+    results.sqlJson(query, limit, offset)
+
   /** POST /sql — run a SQL statement, get the result as a DataFrame.
     * The plan stays lazy; callers page/collect as they choose.
     */
@@ -44,8 +58,11 @@ final class QueryService(val spark: SparkSession) {
 
   /** Register an external source as a named table. */
   def registerSource(name: String, format: String, path: String,
-      options: Map[String, String] = Map.empty): DataFrame =
-    catalog.register(name, format, path, options)
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val df = catalog.register(name, format, path, options)
+    results.noteRegistration(name, format, path)
+    df
+  }
 
   /** Run a query and publish the result under a name (temp view) —
     * the reference's named-result workflow.
@@ -53,6 +70,7 @@ final class QueryService(val spark: SparkSession) {
   def submit(name: String, query: String): DataFrame = {
     val df = spark.sql(query)
     df.createOrReplaceTempView(name)
+    results.invalidate(name)
     df
   }
 

@@ -249,6 +249,22 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(boom.statusCode == 500 && boom.body.contains("\"error\""), s"${boom.statusCode} ${boom.body}")
   }
 
+  test("""POST /sql with "cache":true serves repeats from the result cache""") {
+    post("/register",
+      s"""{"name":"http_cache_t","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
+    val q = """{"query":"SELECT r_name FROM http_cache_t ORDER BY r_regionkey","cache":true}"""
+    val cold = post("/sql", q)
+    assert(cold.statusCode == 200 && cold.body.contains(""""cached":false"""), cold.body)
+    val warm = post("/sql", q)
+    assert(warm.statusCode == 200 && warm.body.contains(""""cached":true"""), warm.body)
+    // identical rows either way; stats endpoint reflects the traffic
+    assert(cold.body.replace(""""cached":false""", "") ==
+      warm.body.replace(""""cached":true""", ""))
+    val stats = get("/cachestats")
+    assert(stats.statusCode == 200 &&
+      stats.body.matches("""\{"hits":[1-9]\d*,"misses":[1-9]\d*\}"""), stats.body)
+  }
+
   test("malformed requests get a 400 with an error payload, bad methods a 405") {
     val badSql = post("/sql", """{"query":"SELECT FROM nope"}""")
     assert(badSql.statusCode == 400 && badSql.body.contains("\"error\""), badSql.body)
