@@ -113,7 +113,8 @@ final case class FileStreamSink(format: String, path: String, checkpoint: String
   * disables it for tables with an external maintenance job.
   */
 final case class VTableStreamSink(dir: String, checkpoint: String,
-    compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20)
+    compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20,
+    refreshView: Option[graft.sources.MaterializedView] = None)
     extends StreamSinkProvider {
   val name = "vtable"
   def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
@@ -123,12 +124,29 @@ final case class VTableStreamSink(dir: String, checkpoint: String,
           epochId: Long) =>
         val t = graft.sources.VersionedTable(batch.sparkSession, dir)
         val landed = t.appendEpoch(batch.toDF(), epochId)
+        // a STREAMING MATERIALIZED VIEW: refresh right after the epoch
+        // lands — before any compaction commit — so the view's delta
+        // path stays pure-append (cost O(epoch), not O(table)). Best-
+        // effort like all maintenance below: a failed refresh leaves
+        // the view consistently stale (coverage never drifts from
+        // content) and the next epoch's refresh catches it up.
+        if (landed.nonEmpty) refreshView.foreach { mv =>
+          try { mv.refresh(); () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Console.err.println(
+                s"[graft] view refresh at epoch $epochId deferred: $e")
+          }
+        }
         // only the writer that actually landed the epoch compacts (a
         // replayed/skipped batch must stay a no-op), and only on the
         // cadence boundary. Maintenance is best-effort BY CONTRACT: the
         // epoch is already durably committed, so a compact fault (FS
         // hiccup, concurrent-writer conflict) must not kill the
         // streaming query — it logs and the next boundary retries.
+        // (The refresh FOLLOWING a compact recomputes once — compact
+        // rewrites files — then resumes incremental: 1/compactEvery of
+        // refreshes pay the full path.)
         if (landed.nonEmpty && compactEvery > 0 && (epochId + 1) % compactEvery == 0)
           try { t.compact(compactTargetBytes); () }
           catch {

@@ -239,6 +239,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming materialized view: per-epoch incremental refresh tracks the sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft-mvsrc").toString
+    val parent = java.nio.file.Files.createTempDirectory("graft-mvsink").toString
+    val tableDir = parent + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-mvchk").toString
+    val mv = graft.sources.MaterializedView(spark, parent + "/view", tableDir,
+      Seq("event_type"),
+      Seq(graft.sources.MvAgg.Count("n"), graft.sources.MvAgg.Sum("value", "total")))
+    val q = graft.streaming.VTableStreamSink(tableDir, chk, refreshView = Some(mv))
+      .start(graft.streaming.FileStreamSource(
+        "parquet", src, Seq.empty[Event].toDS().schema).readStream(spark))
+    try {
+      (1 to 3).foreach { i =>
+        Seq(Event(i.toLong, ts(i), 1, if (i % 2 == 0) "view" else "click", i.toDouble))
+          .toDS().coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+      val t = graft.sources.VersionedTable(spark, tableDir)
+      // the view covers exactly the table's committed version and one
+      // refresh landed per epoch (incremental, not one big recompute)
+      assert(mv.coveredSourceVersion == t.currentVersion)
+      assert(mv.stateVersion == 3)
+      val got = mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("click" -> 2L, "view" -> 1L))
+      val totals = mv.read().select(sum("total")).head().getDouble(0)
+      assert(totals == 6.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
