@@ -23,6 +23,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   GET  /query/{id}/result?offset=0&limit=1000       → page of the finished job's cached rows (409 until done)
   *   POST /query/{id}/cancel                           → {"cancelled": id}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
+  *   POST /history  {"path": "...", "limit": 100}      → {"history": [...], "count": n} (vtable commits, newest first)
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
   *   POST /uncache  {"name": "..."}                    → {"uncached": "..."}
@@ -169,6 +170,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     * spelled.
     */
   private def groupFor(tag: String): String = s"graft-http-$tag"
+  server.createContext("/history", gated { body =>
+    val limit = if (body.has("limit")) body.get("limit").asInt else 100
+    require(limit > 0, s"limit must be positive, got $limit")
+    import org.apache.spark.sql.functions.{struct, to_json, col}
+    val df = service.tableHistory(text(body, "path"), limit)
+    val rows = df.select(to_json(struct(df.columns.map(col).toSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0))
+    s"""{"history":[${rows.mkString(",")}],"count":${rows.length}}"""
+  })
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))

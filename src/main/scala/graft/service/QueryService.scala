@@ -85,6 +85,12 @@ final class QueryService(val spark: SparkSession) {
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
 
+  /** Commit history of a versioned table (DESCRIBE HISTORY): version,
+    * op, wall time, file count, stream epoch — newest first.
+    */
+  def tableHistory(dir: String, maxVersions: Int = 100): DataFrame =
+    graft.sources.VersionedTable(spark, dir).history(maxVersions)
+
   /** EXPLAIN endpoint: the optimized + physical plan for a statement
     * without executing it. Goes through SQL `EXPLAIN FORMATTED` —
     * `spark.sql(query).queryExecution` would EXECUTE command plans

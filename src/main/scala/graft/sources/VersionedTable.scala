@@ -362,6 +362,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     node.put("version", v)
     node.put("op", op)
     node.put("writer", writer)
+    node.put("ts", System.currentTimeMillis()) // commit wall time (history())
     if (schemaJson != null) node.put("schema", schemaJson)
     epoch.foreach { e => node.put("epoch", e); () }
     val arr = node.putArray("files")
@@ -901,6 +902,41 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val fresh = manifestFiles(mCur).filterNot(baseFiles)
     if (fresh.isEmpty) emptySnapshot(mCur)
     else readFiles(mCur, fresh)
+  }
+
+  /** Commit history, newest first (Delta's DESCRIBE HISTORY): one row
+    * per retained version with its operation, wall-clock commit time
+    * (null for manifests written before timestamps existed), file
+    * count, and stream epoch if any. Walks back from the current
+    * version over at most `maxVersions` manifests and stops at the
+    * vacuum horizon — a metadata-only scan, never data IO.
+    */
+  def history(maxVersions: Int = 100): DataFrame = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $dir has no committed version")
+    val rows = Iterator.range(cur, math.max(cur - maxVersions, 0), -1)
+      .map { v =>
+        try {
+          val m = manifest(v)
+          Some(Row(v, m.path("op").asText(""),
+            if (m.has("ts")) java.lang.Long.valueOf(m.get("ts").asLong) else null,
+            manifestFiles(m).size,
+            if (m.has("epoch")) java.lang.Long.valueOf(m.get("epoch").asLong) else null))
+        } catch {
+          // below the vacuum horizon: the walk is over
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            None
+        }
+      }
+      .takeWhile(_.isDefined).flatten.toSeq
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("ts", LongType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("epoch", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Bound storage: drop history older than the last `retainVersions`

@@ -265,6 +265,22 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       stats.body.matches("""\{"hits":[1-9]\d*,"misses":[1-9]\d*\}"""), stats.body)
   }
 
+  test("POST /history reports a vtable's commit log over HTTP") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-hist").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("id", "v"))
+    vt.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    val res = post("/history", s"""{"path":"$dir"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""count":2"""), res.body)
+    assert(res.body.indexOf(""""op":"overwrite"""") <
+      res.body.indexOf(""""op":"append""""), s"not newest-first: ${res.body}")
+    // a never-committed path is a client fault, not a 500
+    val bad = post("/history", """{"path":"/tmp/definitely-not-a-table-xyz"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("malformed requests get a 400 with an error payload, bad methods a 405") {
     val badSql = post("/sql", """{"query":"SELECT FROM nope"}""")
     assert(badSql.statusCode == 400 && badSql.body.contains("\"error\""), badSql.body)

@@ -200,6 +200,29 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.fileList(v4) == after && t.read().count() == 18)
   }
 
+  test("history lists commits newest-first with op, time, and file counts") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    val before = System.currentTimeMillis()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    t.delete(Seq(1L).toDF("id"), "id")
+    val h = t.history().collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(3, 2, 1), "newest first")
+    assert(h.map(_.getString(1)).toSeq == Seq("delete", "append", "append"))
+    h.foreach { r =>
+      val ts = r.getLong(2)
+      assert(ts >= before && ts <= System.currentTimeMillis(), s"bad commit ts $ts")
+    }
+    // v2 carried v1's file(s) plus its own; the walk respects maxVersions
+    assert(h(1).getInt(3) > h(2).getInt(3) || h(2).getInt(3) >= 1)
+    assert(t.history(maxVersions = 2).collect().map(_.getInt(0)).toSeq == Seq(3, 2))
+    // vacuumed history truncates the walk instead of failing
+    t.vacuum(retainVersions = 1)
+    assert(t.history().collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("delete on a non-leading key preserves committed column order") {
     import spark.implicits._
     val dir = tmp()
