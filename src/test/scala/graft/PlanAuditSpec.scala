@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_scalar_subquery", // 1-row global avg
     "q_ann_bruteforce",  // 3-row query set
     "q_ann_ivf",         // k-row centroid table
+    "q_semdedup",        // same k-row centroid table (index-build lineage)
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
     "q_resample",        // |types| x 24 grid
