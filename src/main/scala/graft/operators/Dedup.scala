@@ -372,15 +372,28 @@ object Dedup {
     */
   def qDedupFuzzy(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("lang"), col("text"),
-      substring(col("text"), 1, 24).as("pfx"))
+      substring(col("text"), 1, 24).as("pfx"), col("n_chars"))
+    // The Levenshtein test lives INSIDE the join condition, AFTER the
+    // cheap conjuncts — conjunct order is load-bearing: a dist column
+    // filtered above the join gets folded into the residual with the
+    // DP FIRST, so every hash-bucket candidate (dominated by self-
+    // pairs, which doc_id< would reject for free) pays a full O(len²)
+    // DP — measured 15× slower at sf0.1. The id test and the
+    // length-difference bound (levenshtein ≥ |Δlen|, so a pair that
+    // can't meet the 20% cap never enters the DP) both short-circuit
+    // ahead of it; the surviving O(matches) pairs re-evaluate the DP
+    // once more in the projection — 79 pairs at sf0.1, noise.
+    val cap = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      lit(0.2) * greatest(x, y)
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
-      .filter(col("dist") <= lit(0.2) *
-        greatest(length(col("a.text")), length(col("b.text"))))
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <=
+            cap(col("a.n_chars"), col("b.n_chars")) &&
+          levenshtein(col("a.text"), col("b.text")) <=
+            cap(length(col("a.text")), length(col("b.text"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("dist").cast("long").as("dist"))
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
   }
 }
