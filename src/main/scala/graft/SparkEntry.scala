@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => Relational.qWindowTopn(t(s, d))),
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(t(s, d))),
     "q_window_lag" -> ((s, d) => Relational.qWindowLag(t(s, d))),
+    "q_window_range" -> ((s, d) => Relational.qWindowRange(t(s, d))),
     "q_rollup" -> ((s, d) => Relational.qRollup(t(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.qGroupingSets(t(s, d))),
     "q_ntile" -> ((s, d) => Relational.qNtile(t(s, d))),
@@ -237,6 +238,19 @@ object SparkEntry {
         |      ORDER BY floor((o_totalprice) * 100 + 0.5) / 100 DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, day, spend_7d, pr, cd FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    cast(datediff('day', DATE '1990-01-01', cast(o_orderdate AS DATE)) AS INTEGER) AS day,
+        |    floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY datediff('day', DATE '1990-01-01', cast(o_orderdate AS DATE))
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS spend_7d,
+        |    floor((percent_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey)) * 10000 + 0.5) / 10000 AS pr,
+        |    floor((cume_dist() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey)) * 10000 + 0.5) / 10000 AS cd
+        |  FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         | floor((sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -242,6 +242,27 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE-frame window: trailing-7-day spend per customer framed on
+    * the VALUE of the order day (epoch-day int), so ties share a frame
+    * and calendar gaps shrink it — the semantics ROWS frames can't
+    * express. percent_rank/cume_dist ride the same pass for
+    * rank-family coverage (deterministic under the unique
+    * (price, orderkey) ordering). One shuffle on the partition key
+    * serves all three window functions.
+    */
+  def qWindowRange(t: Tables): DataFrame = {
+    val d = t.orders.select(col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date")).as("day"),
+      col("o_totalprice"))
+    val wr = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    val wv = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    d.withColumn("spend_7d", round(sum("o_totalprice").over(wr), 2))
+      .withColumn("pr", round(percent_rank().over(wv), 4))
+      .withColumn("cd", round(cume_dist().over(wv), 4))
+      .select("o_custkey", "o_orderkey", "day", "spend_7d", "pr", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** ROLLUP over (returnflag, linestatus): partial agg still applies;
     * the rollup expands to grouping sets in one pass (no re-scan).
     * NULL grouping keys are coalesced to 'ALL' for oracle stability.
