@@ -52,8 +52,8 @@ object JdbcSource extends SourceProvider {
 
 final class Catalog(val spark: SparkSession) {
   private val providers: Map[String, SourceProvider] =
-    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource, VTableSource)
-      .map(p => p.format -> p).toMap
+    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource, VTableSource,
+      MviewSource).map(p => p.format -> p).toMap
 
   def read(format: String, path: String, options: Map[String, String] = Map.empty): DataFrame =
     providers.getOrElse(format, throw new IllegalArgumentException(

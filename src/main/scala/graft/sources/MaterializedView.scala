@@ -107,6 +107,30 @@ final class MaterializedView private (
 
   def stateVersion: Int = state.currentVersion
 
+  /** Persist the view's definition next to its state (idempotent;
+    * written on the first refresh) so `MaterializedView.load` — and
+    * the `mview` catalog source — can reopen it by path alone. A
+    * different definition aimed at the same state directory is
+    * rejected up front: silently merging apples-state into
+    * oranges-spec is the failure mode this file exists to prevent.
+    */
+  private def persistDefinition(): Unit = {
+    val defPath = java.nio.file.Paths.get(viewDir, MaterializedView.DefFile)
+    val json = MaterializedView.defJson(sourceDir, groupCols, aggs)
+    if (java.nio.file.Files.exists(defPath)) {
+      val committed = new String(java.nio.file.Files.readAllBytes(defPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(committed == json,
+        s"view at $viewDir is already defined with a different spec; " +
+          "use a fresh directory for a new definition")
+    } else {
+      java.nio.file.Files.createDirectories(defPath.getParent)
+      java.nio.file.Files.write(defPath,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
   /** Bring the view up to the source's current version. Returns the
     * state-table version serving the refreshed view; a no-op when the
     * source hasn't moved. `sum`/`count` state is exact under
@@ -118,6 +142,7 @@ final class MaterializedView private (
   def refresh(): Int = {
     val srcV = source.currentVersion
     require(srcV > 0, s"source table at $sourceDir has no committed version")
+    persistDefinition()
     val covered = coveredSourceVersion
     if (covered == srcV && state.currentVersion > 0) return state.currentVersion
     val newState =
@@ -156,9 +181,75 @@ final class MaterializedView private (
 }
 
 object MaterializedView {
+
+  private[sources] val DefFile = "_mv_def.json"
+
   def apply(spark: SparkSession, viewDir: String, sourceDir: String,
       groupCols: Seq[String], aggs: Seq[MvAgg]): MaterializedView =
     new MaterializedView(spark, viewDir, sourceDir, groupCols, aggs)
+
+  /** Reopen a refreshed view from its persisted definition — the
+    * by-path handle the `mview` catalog source uses.
+    */
+  def load(spark: SparkSession, viewDir: String): MaterializedView = {
+    val defPath = java.nio.file.Paths.get(viewDir, DefFile)
+    require(java.nio.file.Files.exists(defPath),
+      s"no materialized view at $viewDir (definition written on first refresh)")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(defPath.toFile)
+    import scala.jdk.CollectionConverters._
+    val groupCols = node.get("group").elements().asScala.map(_.asText()).toSeq
+    val aggs = node.get("aggs").elements().asScala.map { a =>
+      val alias = a.get("alias").asText()
+      def c = a.get("column").asText()
+      a.get("kind").asText() match {
+        case "count" => MvAgg.Count(alias)
+        case "sum"   => MvAgg.Sum(c, alias)
+        case "min"   => MvAgg.Min(c, alias)
+        case "max"   => MvAgg.Max(c, alias)
+        case "avg"   => MvAgg.Avg(c, alias)
+        case other   => throw new IllegalArgumentException(s"unknown aggregate kind '$other'")
+      }
+    }.toSeq
+    new MaterializedView(spark, viewDir, node.get("source").asText(), groupCols, aggs)
+  }
+
+  /** Canonical definition JSON (stable field order → byte-comparable). */
+  private[sources] def defJson(sourceDir: String, groupCols: Seq[String],
+      aggs: Seq[MvAgg]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("source", sourceDir)
+    val g = node.putArray("group")
+    groupCols.foreach(g.add)
+    val arr = node.putArray("aggs")
+    aggs.foreach { a =>
+      val o = arr.addObject()
+      a match {
+        case MvAgg.Count(al)  => o.put("kind", "count"); o.put("alias", al)
+        case MvAgg.Sum(c, al) => o.put("kind", "sum"); o.put("column", c); o.put("alias", al)
+        case MvAgg.Min(c, al) => o.put("kind", "min"); o.put("column", c); o.put("alias", al)
+        case MvAgg.Max(c, al) => o.put("kind", "max"); o.put("column", c); o.put("alias", al)
+        case MvAgg.Avg(c, al) => o.put("kind", "avg"); o.put("column", c); o.put("alias", al)
+      }
+      ()
+    }
+    mapper.writeValueAsString(node)
+  }
+}
+
+/** Catalog integration: `read("mview", viewDir)` serves the view's
+  * FINALIZED columns from committed state (no source IO);
+  * `options("refresh") = "true"` brings it up to the source's current
+  * version first. A registered mview works like any SQL table — the
+  * serving path of a precomputed-aggregate cache.
+  */
+object MviewSource extends SourceProvider {
+  val format = "mview"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame = {
+    val mv = MaterializedView.load(spark, path)
+    if (options.get("refresh").contains("true")) mv.refresh()
+    mv.read()
+  }
 }
 
 /** Contract query: a view over an orders vtable fed by THREE append

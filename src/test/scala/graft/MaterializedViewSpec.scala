@@ -114,6 +114,31 @@ class MaterializedViewSpec extends SparkSpecBase {
     assert(state.read(2).select(sum("__cnt_n")).head().getLong(0) == 2L)
   }
 
+  test("a refreshed view reloads by path and serves through the catalog") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    mv.refresh()
+    // by-path reload sees the same finalized rows
+    val loaded = MaterializedView.load(spark, viewDir)
+    assert(viewRows(loaded) == viewRows(mv))
+    // catalog source: stale read from committed state, refresh option
+    val cat = new graft.sources.Catalog(spark)
+    src.append(Seq(("a", 9L)).toDF("grp", "v"))
+    assert(cat.read("mview", viewDir).count() == 2) // stale by contract
+    val fresh = cat.read("mview", viewDir, Map("refresh" -> "true"))
+    assert(fresh.where(col("grp") === "a").head().getLong(1) == 2L)
+    // SQL over a registered mview
+    cat.register("mv_sql_t", "mview", viewDir)
+    assert(spark.sql("SELECT sum(n) FROM mv_sql_t").head().getLong(0) == 3L)
+    // a conflicting definition against the same state dir is rejected
+    val bad = MaterializedView(spark, viewDir, srcDir, Seq("grp"),
+      Seq(MvAgg.Count("other_name")))
+    intercept[IllegalArgumentException] { bad.refresh() }
+  }
+
   test("holistic aggregates and bad specs are rejected at construction") {
     val (srcDir, viewDir) = dirs()
     intercept[IllegalArgumentException] {
