@@ -139,6 +139,41 @@ class MaterializedViewSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { bad.refresh() }
   }
 
+  test("randomized op sequences: view ≡ full recompute whatever the history") {
+    import spark.implicits._
+    // three trials of a random append/merge/delete/refresh interleaving:
+    // the view must equal the direct aggregate after a final refresh,
+    // whichever mix of delta and fallback paths the history forced
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(100 + trial)
+      val (srcDir, viewDir) = dirs()
+      val src = VersionedTable(spark, srcDir)
+      val mv = mk(srcDir, viewDir)
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = Seq.fill(n) {
+          nextId += 1
+          (s"g${rnd.nextInt(4)}", nextId, rnd.nextInt(1000).toLong)
+        }
+        rows.toDF("grp", "id", "v")
+      }
+      src.append(batch(20).select("grp", "v"))
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => src.append(batch(10).select("grp", "v")); ()
+          case 1 => // delete a value slice (rewrites files → fallback path)
+            src.delete(Seq(rnd.nextInt(1000).toLong).toDF("v"), "v"); ()
+          case 2 => // overwrite with a filtered snapshot (also rewriting)
+            src.overwrite(src.read().where(col("v") =!= rnd.nextInt(1000).toLong)); ()
+          case 3 => mv.refresh(); ()
+        }
+      }
+      mv.refresh()
+      assert(viewRows(mv) == fullAgg(src.read()),
+        s"trial $trial: view diverged from direct aggregate")
+    }
+  }
+
   test("holistic aggregates and bad specs are rejected at construction") {
     val (srcDir, viewDir) = dirs()
     intercept[IllegalArgumentException] {
