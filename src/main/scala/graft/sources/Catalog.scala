@@ -15,28 +15,46 @@ trait SourceProvider {
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame
 }
 
+object SourceProvider {
+  /** Shared reader assembly for the file providers: a `"schema"`
+    * option carries a DDL string and pins the read schema — which is
+    * both the skip-inference fast path on wide directories AND what
+    * makes PERMISSIVE corrupt-record quarantine expressible (declare a
+    * `_corrupt_record STRING` column, malformed rows land there
+    * instead of failing the batch — the ingest posture a pipeline fed
+    * by external producers needs). The key is consumed here, never
+    * passed to the underlying source.
+    */
+  private[sources] def reader(spark: SparkSession, options: Map[String, String])
+      : org.apache.spark.sql.DataFrameReader = {
+    val r = spark.read.options(options - "schema")
+    options.get("schema").fold(r)(ddl => r.schema(ddl))
+  }
+}
+
 object ParquetSource extends SourceProvider {
   val format = "parquet"
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    spark.read.options(options).parquet(path)
+    SourceProvider.reader(spark, options).parquet(path)
 }
 
 object CsvSource extends SourceProvider {
   val format = "csv"
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    spark.read.options(Map("header" -> "true", "inferSchema" -> "true") ++ options).csv(path)
+    SourceProvider.reader(spark,
+      Map("header" -> "true", "inferSchema" -> "true") ++ options).csv(path)
 }
 
 object JsonSource extends SourceProvider {
   val format = "json"
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    spark.read.options(options).json(path)
+    SourceProvider.reader(spark, options).json(path)
 }
 
 object OrcSource extends SourceProvider {
   val format = "orc"
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
-    spark.read.options(options).orc(path)
+    SourceProvider.reader(spark, options).orc(path)
 }
 
 /** JDBC external source. Exercised at execution against embedded

@@ -38,6 +38,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Streaming trending terms: the Misra-Gries sketch
+    * ([[graft.functions.TopKAgg]]) as windowed streaming state — per
+    * window, at most `capacity` counters live in the state store
+    * whatever the term cardinality, which is the property that keeps a
+    * "what's trending" aggregation viable over an unbounded
+    * high-cardinality stream (an exact per-term count would grow state
+    * with the vocabulary). Watermarked windows evict like any
+    * streaming agg; counts are exact while a window's observed terms
+    * fit the capacity (TopKAgg's contract), sketch-bounded beyond.
+    */
+  def trendingTerms(events: DataFrame, watermark: String = "2 hours",
+      capacity: Int = 64): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAgg(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("event_type")).as("terms"))
+      .select(col("window.start").as("window_start"), explode(col("terms")).as(Seq("term", "cnt")))
+  }
+
   /** Streaming exact dedup — the streaming twin of batch
     * `Dedup.qDedupExact`: drop events whose dedup key was already seen
     * within the watermark horizon. State is keyed on the (tiny) key

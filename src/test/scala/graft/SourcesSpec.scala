@@ -32,6 +32,36 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("permissive ingest quarantines corrupt records instead of failing the batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2, "name": "fine"}
+        |{"id": oops not json
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cat = new Catalog(spark)
+    // the "schema" option pins the DDL (incl. the quarantine column);
+    // PERMISSIVE mode lands malformed lines there instead of raising
+    val df = cat.read("json", dir, Map(
+      "schema" -> "id BIGINT, name STRING, _corrupt_record STRING",
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")).cache()
+    try {
+      assert(df.count() == 3)
+      assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+      val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("oops"))
+      // same schema option on csv pins types without inference
+      val csvDir = tmp()
+      java.nio.file.Files.write(java.nio.file.Paths.get(csvDir, "part-0.csv"),
+        "id,name\n1,ok\n2,fine\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val csv = cat.read("csv", csvDir, Map("schema" -> "id BIGINT, name STRING"))
+      assert(csv.schema.map(_.dataType.simpleString) == Seq("bigint", "string"))
+      assert(csv.count() == 2)
+    } finally { df.unpersist(); () }
+  }
+
   test("unknown format raises a helpful error") {
     val cat = new Catalog(spark)
     val e = intercept[IllegalArgumentException](cat.read("csv2", "/tmp/x"))

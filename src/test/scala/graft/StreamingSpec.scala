@@ -270,6 +270,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("trending terms: bounded Misra-Gries state per window, exact under capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(10), 1, "click", 0), Event(2, ts(20), 1, "click", 0),
+      Event(3, ts(30), 2, "view", 0),
+      Event(4, ts(70), 1, "view", 0), Event(5, ts(80), 2, "view", 0))
+    val q = EventStreams.trendingTerms(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trending_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("trending_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 60000,
+          r.getString(1)) -> r.getLong(2)).toMap
+      // vocabulary (2) << capacity (64): the sketch is exact
+      assert(got == Map((0L, "click") -> 2L, (0L, "view") -> 1L, (60L, "view") -> 2L), got)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
