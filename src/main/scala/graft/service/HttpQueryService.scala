@@ -173,12 +173,8 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/history", gated { body =>
     val limit = if (body.has("limit")) body.get("limit").asInt else 100
     require(limit > 0, s"limit must be positive, got $limit")
-    import org.apache.spark.sql.functions.{struct, to_json, col}
-    val df = service.tableHistory(text(body, "path"), limit)
-    val rows = df.select(to_json(struct(df.columns.map(col).toSeq: _*),
-        Map("ignoreNullFields" -> "false")).as("j"))
-      .collect().map(_.getString(0))
-    s"""{"history":[${rows.mkString(",")}],"count":${rows.length}}"""
+    val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
+    s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()

@@ -47,11 +47,17 @@ final class QueryService(val spark: SparkSession) {
     * SQL OFFSET). Pages are stable only when the query itself has a
     * deterministic ORDER BY — same contract as SQL paging.
     */
-  def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] = {
+  def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] =
+    jsonRows(spark.sql(query), limit, offset)
+
+  /** The service's single DataFrame→JSON-rows contract (nulls
+    * RETAINED, bounded collect) — every endpoint serializing rows goes
+    * through here so the shape can never drift between them.
+    */
+  def jsonRows(base: DataFrame, limit: Int, offset: Int = 0): Seq[String] = {
     import org.apache.spark.sql.functions.{struct, to_json, col}
-    val base = spark.sql(query)
     val df = (if (offset > 0) base.offset(offset) else base).limit(limit)
-    df.select(to_json(struct(base.columns.map(col): _*),
+    df.select(to_json(struct(base.columns.map(col).toSeq: _*),
         Map("ignoreNullFields" -> "false")).as("j"))
       .collect().map(_.getString(0)).toSeq
   }
@@ -70,7 +76,9 @@ final class QueryService(val spark: SparkSession) {
   def submit(name: String, query: String): DataFrame = {
     val df = spark.sql(query)
     df.createOrReplaceTempView(name)
-    results.invalidate(name)
+    // bumps the name's nonce AND taints it if the definition is
+    // non-deterministic, so cached queries over the view stay honest
+    results.noteSubmission(name, query)
     df
   }
 

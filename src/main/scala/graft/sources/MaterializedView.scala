@@ -145,16 +145,20 @@ final class MaterializedView private (
     persistDefinition()
     val covered = coveredSourceVersion
     if (covered == srcV && state.currentVersion > 0) return state.currentVersion
+    // every read below is pinned to srcV — the version the commit will
+    // record as covered. A concurrent append landing after the srcV
+    // read must NOT leak into this state (it would be folded in yet
+    // recorded uncovered → double-counted by the next refresh)
     val newState =
-      if (covered == 0) partial(source.read())
+      if (covered == 0) partial(source.read(srcV))
       else
         try {
-          val delta = source.readAppendsSince(covered)
+          val delta = source.readAppendsSince(covered, srcV)
           if (delta.isEmpty) state.read()
           else mergeStates(state.read(), partial(delta))
         } catch {
           // rewriting commit inside the window — recompute from snapshot
-          case _: IllegalStateException => partial(source.read())
+          case _: IllegalStateException => partial(source.read(srcV))
         }
     // the epoch field rides in the SAME atomic commit as the state, so
     // coverage can never drift from content (vacuum keeps it durable

@@ -868,12 +868,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * copy-on-write, so "what changed" is no longer identifiable at the
     * file level and the consumer must re-read the snapshot (the same
     * contract Delta's CDF has without per-row change tracking).
+    * `untilVersion` pins the window's UPPER bound (default: the live
+    * current version) — a consumer that records "covered through v"
+    * must pass the v it records, or a commit racing the read would be
+    * consumed now yet re-delivered next time.
     */
-  def readAppendsSince(sinceVersion: Int): DataFrame = {
-    val cur = currentVersion
+  def readAppendsSince(sinceVersion: Int, untilVersion: Int = -1): DataFrame = {
+    val cur = if (untilVersion == -1) currentVersion else untilVersion
     require(cur > 0, s"table at $dir has no committed version")
+    require(untilVersion == -1 || untilVersion <= currentVersion,
+      s"version $untilVersion not committed (current $currentVersion)")
     require(sinceVersion >= 0 && sinceVersion <= cur,
-      s"version $sinceVersion out of range (current $cur)")
+      s"version $sinceVersion out of range (upper bound $cur)")
     // each manifest is read exactly once; one vacuumed away inside the
     // window surfaces as the documented resync signal. ONLY absence is
     // translated — a torn/corrupt manifest is a different fault and

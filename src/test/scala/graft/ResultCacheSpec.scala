@@ -23,7 +23,7 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(!h3 && !h4, "literal case must split entries")
   }
 
-  test("a vtable commit invalidates dependent entries automatically") {
+  test("vtable entries key on the PINNED binding and rotate on re-register") {
     import spark.implicits._
     val s = svc()
     val dir = Files.createTempDirectory("graft-rc").toString + "/t"
@@ -34,14 +34,69 @@ class ResultCacheSpec extends SparkSpecBase {
     val (r1, _) = s.sqlJsonCached(q)
     val (r1b, hot) = s.sqlJsonCached(q)
     assert(hot && r1 == r1b)
+    // a commit does NOT move the registered view (it pinned v1's file
+    // list), so the cache keeps serving — and stays equal to LIVE
+    // execution, which is the invariant that matters
     vt.append(Seq((2L, "b")).toDF("id", "name"))
-    // the view still reads version 1's files (registration pinned the
-    // snapshot), so re-register — the service's refresh signal — and
-    // the FINGERPRINT (not the entry) is what must have moved
+    val (rStill, hStill) = s.sqlJsonCached(q)
+    assert(hStill && rStill == s.sqlJson(q),
+      "cache must mirror live execution's pinned-snapshot semantics")
+    // re-register — the refresh signal — rotates the key (new pinned
+    // version) and the new binding serves the new snapshot
     s.registerSource("rc_vt", "vtable", dir)
     val (r2, h2) = s.sqlJsonCached(q)
-    assert(!h2, "a committed append must invalidate the cached count")
+    assert(!h2, "re-registration must rotate the fingerprint")
     assert(r1.head.contains("1") && r2.head.contains("2"))
+    // re-pointing the name at a DIFFERENT table dir also rotates even
+    // if that table happens to share a version number
+    val dir2 = Files.createTempDirectory("graft-rc2").toString + "/t"
+    val vt2 = VersionedTable(spark, dir2)
+    vt2.append(Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("id", "name"))
+    vt2.append(Seq((10L, "w")).toDF("id", "name"))
+    s.registerSource("rc_vt", "vtable", dir2)
+    val (r3, h3) = s.sqlJsonCached(q)
+    assert(!h3 && r3.head.contains("4"), s"$h3 $r3")
+  }
+
+  test("uppercase names invalidate correctly (case-insensitive folding)") {
+    import spark.implicits._
+    val s = svc()
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("RC_Upper")
+    s.submit("RC_View", "SELECT id FROM RC_Upper WHERE id = 1")
+    val q = "SELECT count(*) AS n FROM rc_view"
+    val (r1, _) = s.sqlJsonCached(q)
+    s.submit("RC_View", "SELECT id FROM RC_Upper")
+    val (r2, h2) = s.sqlJsonCached(q)
+    assert(!h2, "mixed-case submit must still bump the fingerprint")
+    assert(r1 != r2)
+  }
+
+  test("a submitted view wrapping a non-deterministic function is never cached") {
+    val s = svc()
+    s.submit("rc_rand_v", "SELECT rand() AS r")
+    val q = "SELECT r FROM rc_rand_v"
+    val (_, h1) = s.sqlJsonCached(q)
+    val (_, h2) = s.sqlJsonCached(q)
+    assert(!h1 && !h2, "nondeterminism behind a submitted view must bypass")
+    // a second view READING the tainted one inherits the taint
+    s.submit("rc_rand_v2", "SELECT r FROM rc_rand_v")
+    val (_, h3) = s.sqlJsonCached("SELECT r FROM rc_rand_v2")
+    assert(!h3, "taint must propagate through submitted views")
+    // re-submitting a deterministic definition clears it
+    s.submit("rc_rand_v", "SELECT 1.0 AS r")
+    s.sqlJsonCached(q)
+    val (_, h4) = s.sqlJsonCached(q)
+    assert(h4, "a deterministic re-submit must cache again")
+  }
+
+  test("escaped quotes inside literals do not collapse distinct queries") {
+    val s = svc()
+    val rc = s.results
+    // \' stays inside the span: the differing tails must survive
+    val a = rc.normalize("""SELECT 'it\'s  A' FROM t""")
+    val b = rc.normalize("""SELECT 'it\'s  a' FROM t""")
+    assert(a != b, s"escaped-quote literals collapsed: $a")
+    assert(a == """select 'it\'s  A' from t""")
   }
 
   test("submit bumps the named view's nonce") {
