@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
+    "q_hll_sketch" -> ((s, d) => Relational.qHllSketch(t(s, d))),
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
     "q_percentile_approx" -> ((s, d) => Relational.qPercentileApprox(t(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.qDedupFuzzy(t(s, d))),
+    "q_line_dedup" -> ((s, d) => Dedup.qLineDedup(t(s, d))),
     // rows-only: k-means cell blocking isn't SQL-expressible;
     // SemDedupSpec bounds precision/recall vs brute force
     "q_semdedup" -> ((s, d) => Dedup.qSemDedup(t(s, d))),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
+    "q_decontaminate_bloom" -> ((s, d) => Decontam.qDecontaminateBloom(t(s, d))),
     "q_redact" -> ((s, d) => Decontam.qRedact(t(s, d))),
     "q_pii_scan" -> ((s, d) => Decontam.qPiiScan(t(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.qRepetition(t(s, d))),
@@ -131,13 +134,37 @@ object SparkEntry {
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
     * q_media_features, q_image_features, q_frame_sample,
-    * q_audio_features, q_approx_distinct,
+    * q_audio_features, q_approx_distinct, q_hll_sketch,
     * q_percentile_approx, q_quantize_error — are rows-only BY DESIGN:
     * their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
     * instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet.)
     */
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the bloom
+    * pre-filter is exact-by-construction, so both plans answer to one
+    * oracle text.
+    */
+  private val decontaminateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
+      |s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |  ))) AS shingle FROM d),
+      |bench AS (
+      |  SELECT DISTINCT shingle, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0)
+      |SELECT s.doc_id, count(*) AS n_hits,
+      |       count(DISTINCT bench.bench_id) AS n_bench_docs
+      |FROM s JOIN bench USING (shingle)
+      |WHERE s.doc_id % 50 <> 0
+      |GROUP BY s.doc_id HAVING count(*) >= 2
+      |ORDER BY s.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -741,25 +768,32 @@ object SparkEntry {
         | floor((avg(stop_ratio)) * 100 + 0.5) / 100 AS avg_stop_ratio
         |FROM c WHERE n_tokens >= 20 AND stop_ratio >= 0.01
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    "q_decontaminate" ->
+    "q_decontaminate" -> decontaminateSql,
+    // bit-identical by construction: the Bloom stage only pre-filters,
+    // the exact-confirm join restores exact semantics — so the bloom
+    // variant answers to the SAME oracle as the exact plan
+    "q_decontaminate_bloom" -> decontaminateSql,
+    "q_line_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |  ))) AS shingle FROM d),
-        |bench AS (
-        |  SELECT DISTINCT shingle, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0)
-        |SELECT s.doc_id, count(*) AS n_hits,
-        |       count(DISTINCT bench.bench_id) AS n_bench_docs
-        |FROM s JOIN bench USING (shingle)
-        |WHERE s.doc_id % 50 <> 0
-        |GROUP BY s.doc_id HAVING count(*) >= 2
-        |ORDER BY s.doc_id""".stripMargin,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(ceil(len(w) / 3.0) AS INT) AS n_chunks,
+        |         unnest(range(0, CAST(ceil(len(w) / 3.0) AS INT))) AS chunk_idx,
+        |         unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS INT)),
+        |           i -> array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' '))) AS chunk
+        |  FROM d),
+        |kept AS (
+        |  SELECT doc_id, n_chunks, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM c QUALIFY rk = 1)
+        |SELECT doc_id,
+        |       array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS text_clean,
+        |       any_value(n_chunks) AS n_chunks,
+        |       CAST(count(*) AS INT) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         | cast(length(text) AS INTEGER) AS len_before,

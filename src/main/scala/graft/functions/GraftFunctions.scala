@@ -45,6 +45,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("word_shingles", 2)(args); WordShingles(a(0), a(1)) }),
     (FunctionIdentifier("zvalue"), info("zvalue", classOf[ZValue]),
       (args: Seq[Expression]) => { val a = expect("zvalue", 2)(args); ZValue(a(0), a(1)) }),
+    (FunctionIdentifier("bloom_contains"), info("bloom_contains", classOf[BloomContains]),
+      (args: Seq[Expression]) => { val a = expect("bloom_contains", 2)(args); BloomContains(a(0), a(1)) }),
   )
 
   /** Idempotent runtime registration — for sessions not built through
@@ -73,6 +75,8 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
   def zvalue(a: Column, b: Column): Column = call_function("zvalue", a, b)
+  def bloomContains(bloom: Column, h: Column): Column =
+    call_function("bloom_contains", bloom, h)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

@@ -144,4 +144,29 @@ object HashImpl {
     x = (x | (x << 1)) & 0x5555555555555555L
     x
   }
+
+  /** Probe a [[BloomAgg]]-serialized Bloom filter (layout:
+    * [int32 numHashes][int64 words...], big-endian) for a 64-bit item
+    * hash. Bit positions use the same two-hash construction as minhash
+    * (g_i = h1 + i*h2, Kirsch-Mitzenmaier '06) so set and probe sides
+    * agree by sharing this file's kernels. Allocation-free — reads the
+    * filter words straight out of the byte array — so the expression
+    * stays cheap inside whole-stage codegen.
+    */
+  def bloomContains(bloom: Array[Byte], h: Long): Boolean = {
+    val k = ((bloom(0) & 0xff) << 24) | ((bloom(1) & 0xff) << 16) |
+      ((bloom(2) & 0xff) << 8) | (bloom(3) & 0xff)
+    val numBits = (bloom.length - 4).toLong * 8L
+    val h1 = h
+    val h2 = mix64(h)
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits)
+      val byteIdx = 4 + (bit >>> 3).toInt
+      val mask = 1 << (bit & 7L).toInt
+      if ((bloom(byteIdx) & mask) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -170,3 +170,23 @@ case class ZValue(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ZValue = copy(newLeft, newRight)
   override def prettyName: String = "zvalue"
 }
+
+/** bloom_contains(bloom, h) → boolean: probe a [[BloomAgg]]-built
+  * Bloom filter (binary, broadcast as a literal — KBs standing in for
+  * a set too large to ship raw) for 64-bit item hash `h`. No false
+  * negatives, so `filter(bloom_contains(...))` is a sound pre-filter
+  * ahead of exact verification; runs allocation-free inside
+  * whole-stage codegen.
+  */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.bloomContains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.bloomContains($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains = copy(newLeft, newRight)
+  override def prettyName: String = "bloom_contains"
+}

@@ -41,6 +41,48 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — SAME result as
+    * [[qDecontaminate]], different scale regime. The exact form
+    * broadcasts the raw benchmark shingle table; once the benchmark
+    * suite grows past broadcast size (10^9 shingles ≈ tens of GB of
+    * strings), that plan dies. Here the benchmark side is first folded
+    * into a [[graft.functions.BloomAgg]] Bloom filter — a distributed
+    * OR-mergeable build, ~1.2 bytes/item at 1% fp — and the corpus
+    * shingle stream drops non-members via the codegen'd
+    * `bloom_contains` BEFORE any join: only the ~(true hits + fp)
+    * sliver reaches the exact-confirm join that removes false
+    * positives (false negatives are impossible), so the result is
+    * bit-identical to the exact plan — the oracle is literally
+    * q_decontaminate's SQL.
+    *
+    * The `head()` is a single filter-sized byte array landing on the
+    * driver (the sketch, never the strings) — same driver traffic
+    * class as broadcast cut points elsewhere.
+    */
+  def qDecontaminateBloom(t: Tables, k: Int = 5, minHits: Int = 2,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bench = t.documents.filter(col("doc_id") % 50 === 0)
+    val benchShingles = shingles(bench, k)
+      .select(col("shingle"), col("doc_id").as("bench_id")).distinct()
+    // two tiny jobs over the small side only: size the filter, fill it
+    val n = math.max(1L, benchShingles.select("shingle").distinct().count())
+    val bloom = benchShingles
+      .select(xxhash64(col("shingle")).as("h")).as[Long](Encoders.scalaLong)
+      .select(new graft.functions.BloomAgg(n, fpp).toColumn).head()
+    val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
+      .repartition(col("doc_id"))
+    shingles(corpus, k)
+      .filter(graft.functions.GraftFunctions.bloomContains(
+        lit(bloom), xxhash64(col("shingle"))))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id")
+  }
+
   /** Pattern scrubbing: redact a target token pattern, report
     * per-document redaction counts and resulting length — the shape
     * of a PII scrub (the synthetic corpus has no PII, so the pattern

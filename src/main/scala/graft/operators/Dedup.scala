@@ -396,4 +396,48 @@ object Dedup {
         levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Sub-document (line-level) dedup, C4/RefinedWeb-style: any span
+    * repeated ACROSS the corpus keeps exactly its first occurrence
+    * (lowest doc_id, then position) and every other copy is cut out of
+    * its document — boilerplate removal where whole-doc dedup can't
+    * bite (navigation chrome, license headers, quoted reposts). The
+    * synthetic corpus has no newlines, so the "line" unit is a fixed
+    * `chunkWords`-word window; swap the chunker for split-on-\n and
+    * the rest is unchanged.
+    *
+    * Shape: split→chunk via pure higher-order array ops (transform/
+    * slice — no explode until chunks exist), one window keyed on the
+    * chunk value for keep-first (WindowGroupLimit caps per-key state),
+    * then re-assemble surviving chunks in document order. Three
+    * shuffles total (chunk key, reassembly, output sort), each keyed
+    * on bounded-width values — at 100 TB the chunk-key shuffle
+    * dominates and is exactly the exact-dedup shuffle at finer grain.
+    * Keying the window on the raw chunk string is deliberate here
+    * (oracle parity); at scale, key on xxhash64(chunk) so the shuffle
+    * moves 8-byte keys.
+    */
+  def qLineDedup(t: Tables, chunkWords: Int = 3): DataFrame = {
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    val nChunks = ceil(size(col("w")).cast("double") / chunkWords).cast("int")
+    val chunks = t.documents
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("n_chunks", nChunks)
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => array_join(slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val kept = chunks
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+          .orderBy("doc_id", "chunk_idx")))
+      .filter(col("rk") === 1)
+    kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_clean"),
+        first(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .orderBy("doc_id")
+  }
 }

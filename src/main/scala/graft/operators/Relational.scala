@@ -637,6 +637,36 @@ object Relational {
         round(approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy)), 2).as("qty_p50"))
       .orderBy("l_returnflag")
 
+  /** Distinct-user rollup via Apache DataSketches HLL — the
+    * RE-AGGREGATABLE form of count-distinct. The inner agg builds one
+    * fixed-size sketch per (event_type, day); the outer
+    * `hll_union_agg` merges day sketches into the per-type total
+    * WITHOUT touching raw events again. That union step is the whole
+    * point at 100 TB: materialize per-partition-date sketches once,
+    * then answer any date-window distinct question by merging KB-sized
+    * summaries — `approx_count_distinct` (qApproxDistinct) gives one
+    * number, a stored sketch gives every rollup for free. Per-day and
+    * overall estimates land in one result so the spec can bound both
+    * against exact. Rows-only by design: the sketch bytes and the
+    * estimator are engine-specific (DataSketches HLL_4).
+    */
+  def qHllSketch(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), dayofmonth(col("ts")).as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .cast("long").as("est_users_total"),
+        sum(when(col("day") <= 7,
+          hll_sketch_estimate(col("sketch"))).otherwise(lit(0)))
+          .cast("long").as("est_user_days_wk1"),
+        sum("n_events").as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Set aggregation to a canonical string: collect_set → sort →
     * join. Bounded cardinality (3 statuses) — safe per-group state;
     * unbounded-domain versions belong in approx sketches.

@@ -56,6 +56,28 @@ class RelationalSpec extends SparkSpecBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("hll sketch union estimate tracks exact distinct users within 5%") {
+    val est = Relational.qHllSketch(tables).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_users_total")).toMap
+    val exact = tables.events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: sketch $e vs exact ${exact(k)}")
+    }
+    // the re-aggregation property itself: union of per-day sketches
+    // equals a sketch built over all days at once
+    val allAtOnce = tables.events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .cast("long").as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(e == allAtOnce(k), s"$k: day-union $e != single-pass ${allAtOnce(k)}")
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles within 1% per group") {
     val exact = Relational.qPercentile(tables).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
