@@ -85,6 +85,7 @@ object SparkEntry {
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
+    "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
@@ -164,6 +165,40 @@ object SparkEntry {
       |WHERE s.doc_id % 50 <> 0
       |GROUP BY s.doc_id HAVING count(*) >= 2
       |ORDER BY s.doc_id""".stripMargin
+
+  /** The near-dup pair table + transitive closure, shared by
+    * q_dup_clusters (label roster) and q_dedup_near (drop manifest) —
+    * one CTE text, two tails, mirroring how the Spark side shares the
+    * memoized pair table.
+    */
+  private val dupReachCte: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
+      |s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |  ))) AS shingle FROM d),
+      |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
+      |c AS (SELECT doc_id, shingle FROM s
+      |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+      |  WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |      UNION ALL SELECT doc_b, doc_a FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -584,35 +619,20 @@ object SparkEntry {
     // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
     // because UNION dedups); cluster id = component minimum
     "q_dup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |  ))) AS shingle FROM d),
-        |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
-        |c AS (SELECT doc_id, shingle FROM s
-        |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
-        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-        |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |      GROUP BY 1, 2),
-        |pr AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
-        |  WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |      UNION ALL SELECT doc_b, doc_a FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+      (dupReachCte +
+        """
         |SELECT src AS doc_id, least(min(dst), src) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    "q_dedup_near" ->
+      (dupReachCte +
+        """,
+        |labels AS (SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        |           FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size
+        |       FROM labels GROUP BY cluster_id)
+        |SELECT l.doc_id AS dropped_id, l.cluster_id AS keeper_id, sz.cluster_size
+        |FROM labels l JOIN sz USING (cluster_id)
+        |WHERE l.doc_id <> l.cluster_id ORDER BY dropped_id""".stripMargin),
     "q_embed_neardup" ->
       """SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
         | floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

@@ -297,6 +297,26 @@ object Dedup {
         .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** End-to-end near-dup REMOVAL: the actionable form of
+    * [[qDupClusters]] — per cluster keep the lowest doc_id, emit every
+    * other member as (dropped, keeper, cluster size), i.e. the drop
+    * manifest a curation run applies (and audits: the keeper column
+    * is the provenance of each removal). Reuses the memoized pair
+    * table and the same CC labels; the roster itself is one tiny agg
+    * + join over the label table, which is |docs-in-any-pair| rows —
+    * far smaller than the corpus.
+    */
+  def qDedupNear(t: Tables, threshold: Double = 0.6): DataFrame = {
+    val labels = dupClusters(ngramPairs(t).filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("dropped_id"), col("cluster_id").as("keeper_id"),
+        col("cluster_size"))
+      .orderBy("dropped_id")
+  }
+
   /** Embedding-cosine near-dup, label-blocked: pairs are generated
     * within a blocking key (label here; at 100 TB an LSH bucket or
     * coarse quantizer cell) so the self-join shuffles on the block key

@@ -66,12 +66,22 @@ object IvfIndex {
 
   /** Reopen a saved index. The partition column comes back from
     * directory names (integer-inferred) — recast to long so probe
-    * joins and saved/loaded plans are type-identical.
+    * joins and saved/loaded plans are type-identical. Streamed epochs
+    * (see [[appendEpoch]]) live in a sibling `epochs/` tree and are
+    * unioned in here; `cell` is a partition column in BOTH trees, so a
+    * probe's cell filter prunes directories on each side — the union
+    * widens the file set, never the scan shape.
     */
-  def load(spark: SparkSession, dir: String): IvfIndex = IvfIndex(
-    spark.read.parquet(s"$dir/centroids").persist(),
-    spark.read.parquet(s"$dir/assigned")
-      .withColumn("cell", col("cell").cast("long")))
+  def load(spark: SparkSession, dir: String): IvfIndex = {
+    val base = spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("long"))
+    val withEpochs =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "epochs")))
+        base.unionByName(spark.read.parquet(s"$dir/epochs")
+          .withColumn("cell", col("cell").cast("long")).drop("epoch"))
+      else base
+    IvfIndex(spark.read.parquet(s"$dir/centroids").persist(), withEpochs)
+  }
 
   /** Incremental index maintenance: assign NEW vectors against the
     * saved quantizer and append them to the on-disk inverted file —
@@ -90,24 +100,9 @@ object IvfIndex {
     // or null out run-to-run). The schema comes from the sidecar
     // written at save time (never a full file listing of every cell
     // dir); older indexes without one fall back to the listing.
-    val schemaPath = java.nio.file.Paths.get(dir, "schema.json")
-    val savedSchema =
-      if (java.nio.file.Files.exists(schemaPath))
-        org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(schemaPath),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-      else spark.read.parquet(s"$dir/assigned")
-        .withColumn("cell", col("cell").cast("long")).schema
+    val savedSchema = savedSchemaOf(spark, dir)
     val assigned = Similarity.assignCells(newVectors, centroids)
-    // catalogString normalizes nullability at every nesting level: a
-    // batch that is merely NARROWER (array<float> containsNull=false
-    // vs true) is append-safe and must not be rejected
-    def shape(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
-    require(shape(assigned.schema) == shape(savedSchema),
-      s"ingest batch shape ${assigned.schema.simpleString} does not match the " +
-        s"saved index ${savedSchema.simpleString}")
+    requireShapeMatch(assigned.schema, savedSchema)
     // persist: the count and the write must be ONE materialization of
     // one assignment join, not two
     assigned.persist(StorageLevel.MEMORY_AND_DISK)
@@ -117,5 +112,69 @@ object IvfIndex {
         .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
       n
     } finally { assigned.unpersist(); () }
+  }
+
+  /** Epoch-keyed STREAMING index maintenance: land one micro-batch of
+    * new vectors as `epochs/epoch=<id>/cell=<c>/...` under the saved
+    * index. The epoch's directory is OVERWRITTEN whole, so a replayed
+    * batch (foreachBatch redelivery after restart, or a torn previous
+    * attempt) converges to exactly-once by construction — no marker
+    * file whose write could race the data. Cell stays a partition
+    * column inside every epoch, so probes keep directory-level pruning
+    * over streamed rows too.
+    *
+    * Single-writer contract (one streaming query per index, Structured
+    * Streaming's own constraint): a probe racing the overwrite of a
+    * replayed epoch can observe that epoch partially — the same
+    * no-snapshot-isolation trade every bare-parquet layout makes; the
+    * vtable sink is the path for readers that need isolation.
+    */
+  def appendEpoch(spark: SparkSession, dir: String, newVectors: DataFrame,
+      epochId: Long): Long = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val savedSchema = savedSchemaOf(spark, dir)
+    val assigned0 = Similarity.assignCells(newVectors, centroids)
+    requireShapeMatch(assigned0.schema, savedSchema)
+    val assigned = assigned0
+      .select(savedSchema.fieldNames.map(col).toSeq: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = assigned.count()
+      // an empty epoch writes nothing — replaying it is equally empty,
+      // so idempotence holds without an empty parquet footprint
+      if (n > 0)
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/epochs/epoch=$epochId")
+      n
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** The inverted file's schema from the save-time sidecar (never a
+    * full file listing of every cell dir); pre-sidecar indexes fall
+    * back to reading the tree's own footers.
+    */
+  private def savedSchemaOf(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType = {
+    val schemaPath = java.nio.file.Paths.get(dir, "schema.json")
+    if (java.nio.file.Files.exists(schemaPath))
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("long")).schema
+  }
+
+  /** catalogString normalizes nullability at every nesting level: a
+    * batch that is merely NARROWER (array<float> containsNull=false
+    * vs true) is append-safe and must not be rejected.
+    */
+  private def requireShapeMatch(batch: org.apache.spark.sql.types.StructType,
+      saved: org.apache.spark.sql.types.StructType): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+    require(shape(batch) == shape(saved),
+      s"ingest batch shape ${batch.simpleString} does not match the " +
+        s"saved index ${saved.simpleString}")
   }
 }

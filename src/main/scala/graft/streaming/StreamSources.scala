@@ -112,6 +112,30 @@ final case class FileStreamSink(format: String, path: String, checkpoint: String
   * the epoch pointer; time travel keeps working); `compactEvery <= 0`
   * disables it for tables with an external maintenance job.
   */
+/** STREAMING SIMILARITY-INDEX MAINTENANCE: each micro-batch of new
+  * vectors is assigned against the saved IVF coarse quantizer and
+  * landed as an epoch-keyed partition tree under the index
+  * ([[graft.operators.IvfIndex.appendEpoch]]) — a replayed epoch
+  * overwrites its own directory, so restarts converge to
+  * exactly-once. Probes over a freshly loaded index see streamed
+  * vectors with full cell pruning; the quantizer itself is stable
+  * (retraining is a scheduled rebuild, never a per-batch cost).
+  */
+final case class IvfStreamSink(indexDir: String, checkpoint: String)
+    extends StreamSinkProvider {
+  val name = "ivf"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        graft.operators.IvfIndex.appendEpoch(
+          batch.sparkSession, indexDir, batch.toDF(), epochId)
+        ()
+      }
+      .start()
+}
+
 final case class VTableStreamSink(dir: String, checkpoint: String,
     compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20,
     refreshView: Option[graft.sources.MaterializedView] = None)

@@ -342,4 +342,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.columns.toSet == Set("event_type", "hr", "cnt", "total_value"))
     assert(batch.count() > 0)
   }
+
+  test("ivf stream sink: epochs land exactly-once; probes retrieve streamed vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{IvfIndex, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    // index built over the even half; the odd half arrives as a stream
+    val built = IvfIndex.build(
+      tables.embeddings.filter(col("vec_id") % 2 === 0), cells = 16, iters = 2)
+    built.save(dir)
+    built.unpersist()
+    val base = IvfIndex.load(spark, dir).assigned.count()
+    val odd = tables.embeddings.filter(col("vec_id") % 2 === 1)
+      .collect().map(r => StreamingSpec.Vec(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray, r.getAs[Int]("label")))
+    val input = MemoryStream[StreamingSpec.Vec]
+    val q = graft.streaming.IvfStreamSink(dir, s"$dir/_ckpt").start(input.toDF())
+    try {
+      input.addData(odd.take(100).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(odd.drop(100).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.assigned.count() == base + odd.length,
+      s"${idx.assigned.count()} != $base + ${odd.length}")
+    // a replayed epoch (same id, same rows — foreachBatch redelivery)
+    // must overwrite in place, not double-append
+    IvfIndex.appendEpoch(spark, dir,
+      odd.drop(100).toIndexedSeq.toDF("vec_id", "embedding", "label"), 1L)
+    val replayed = IvfIndex.load(spark, dir)
+    assert(replayed.assigned.count() == base + odd.length, "replay double-appended")
+    // streamed (odd) vectors are retrievable through cell-pruned probes
+    val hits = Similarity.ivfProbe(replayed,
+      tables.embeddings.filter(col("vec_id").isin(2L, 4L, 6L))).collect()
+    assert(hits.exists(_.getAs[Long]("vec_id") % 2 == 1),
+      s"no streamed vector among ${hits.length} probe hits")
+    idx.centroids.unpersist(); replayed.centroids.unpersist()
+    ()
+  }
+}
+
+object StreamingSpec {
+  final case class Vec(vec_id: Long, embedding: Array[Float], label: Int)
 }
