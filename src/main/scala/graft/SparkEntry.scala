@@ -108,6 +108,7 @@ object SparkEntry {
     "q_term_stats" -> ((s, d) => TextAnalysis.qTermStats(t(s, d))),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(t(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
+    "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
     // ImageIO + PCM)
@@ -457,6 +458,28 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, token, score, rk FROM r
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.token, tf.doc_id, tf.tf,
+        |    floor((ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)))
+        |          * 10000 + 0.5) / 10000 AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN corpus),
+        |r AS (
+        |  SELECT token, doc_id, tf, score,
+        |    cast(row_number() OVER (PARTITION BY token
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT token, doc_id, tf, score, rk FROM r
+        |WHERE rk <= 10 ORDER BY token, rk""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         | substr(p_name, 1, 8) AS name_prefix,

@@ -138,6 +138,40 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** BM25 retrieval scoring (Robertson-Spärck Jones; the Okapi form
+    * with k1/b defaults) for a fixed query-term set against every
+    * document — the ranking a corpus-search or hard-negative-mining
+    * pass needs. Structure: the term filter lands BEFORE the tf
+    * aggregation (only query terms shuffle), doc lengths and corpus
+    * stats are two partial-agg'd passes, df and the 2-row corpus
+    * frame broadcast back. Scores are rounded before ranking so the
+    * per-term ordering is engine-portable (ties broken by doc_id).
+    * The arithmetic is assembled in the exact operand order the
+    * oracle SQL uses — double float ops are non-associative, so
+    * structural identity is what makes the hash compare exact.
+    */
+  def qBm25(t: Tables, terms: Seq[String] = Seq("spark", "merge", "window"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t.documents.select(col("doc_id"), explode(tokensCol).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+    val denom = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(dl, "doc_id").join(broadcast(df), "token")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", round(idf * col("tf") * lit(k1 + 1) / denom, 4))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("token").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= topK)
+      .select("token", "doc_id", "tf", "score", "rk")
+      .orderBy("token", "rk")
+  }
+
   /** Term statistics: explode tokens → (tf, df) per term → top 50.
     * Both aggregates are partial-agg'd; the shuffle carries one row
     * per (partition, term), not per token instance.

@@ -176,6 +176,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
     s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
+  server.createContext("/restore", gated { body =>
+    require(body.has("version"), "missing field: version")
+    val v = service.restoreTable(text(body, "path"), body.get("version").asInt)
+    s"""{"restored_as_version":$v}"""
+  })
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))

@@ -99,6 +99,13 @@ final class QueryService(val spark: SparkSession) {
   def tableHistory(dir: String, maxVersions: Int = 100): DataFrame =
     graft.sources.VersionedTable(spark, dir).history(maxVersions)
 
+  /** Roll a versioned table back to `version` (RESTORE — a new
+    * audited commit carrying the old file list; nothing erased).
+    * Returns the new version number.
+    */
+  def restoreTable(dir: String, version: Int): Int =
+    graft.sources.VersionedTable(spark, dir).restore(version)
+
   /** EXPLAIN endpoint: the optimized + physical plan for a statement
     * without executing it. Goes through SQL `EXPLAIN FORMATTED` —
     * `spark.sql(query).queryExecution` would EXECUTE command plans

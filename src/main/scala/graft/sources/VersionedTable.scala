@@ -627,6 +627,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   def overwrite(df: DataFrame): Int =
     commitData(currentVersion + 1, "overwrite", df, Seq.empty)
 
+  /** RESTORE (rollback-by-commit, Delta's RESTORE semantics): make
+    * version `v`'s content the newest version by committing v's file
+    * list — with its schema and per-file stats — under a new version
+    * number. No data is copied or rewritten (files are carried by
+    * path) and no history is erased: the bad commits stay readable
+    * via time travel, the undo is itself an audited commit. Restoring
+    * past the vacuum horizon fails at the manifest read — vacuum
+    * removed that version's unreferenced files, so the rollback
+    * target no longer exists, by design. A restore is a REWRITING
+    * commit for downstream contracts: `readAppendsSince` across one
+    * resyncs (content rewound — a file-level diff would be a lie) and
+    * an incremental view recomputes from the snapshot.
+    */
+  def restore(v: Int): Int = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $dir has no committed version")
+    require(v >= 1 && v <= cur,
+      s"version $v out of range (current $cur)")
+    val m = manifest(v)
+    commit(cur + 1, "restore", manifestFiles(m),
+      Option(m.get("schema")).map(_.asText()).orNull, manifestStats(m))
+  }
+
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
     * new ones — `Merge.upsert` semantics incl. the duplicate-source
     * and null-key raises). Only snapshot files whose per-file [min,max]

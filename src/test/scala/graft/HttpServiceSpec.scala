@@ -281,6 +281,21 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /restore rolls a vtable back over HTTP; bad version is a 400") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-rest").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("id", "v"))
+    vt.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    val res = post("/restore", s"""{"path":"$dir","version":1}""")
+    assert(res.statusCode == 200 && res.body == """{"restored_as_version":3}""", res.body)
+    assert(vt.read().collect().map(_.getLong(0)).sameElements(Array(1L)))
+    val bad = post("/restore", s"""{"path":"$dir","version":99}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+    val missing = post("/restore", s"""{"path":"$dir"}""")
+    assert(missing.statusCode == 400 && missing.body.contains("version"), missing.body)
+  }
+
   test("malformed requests get a 400 with an error payload, bad methods a 405") {
     val badSql = post("/sql", """{"query":"SELECT FROM nope"}""")
     assert(badSql.statusCode == 400 && badSql.body.contains("\"error\""), badSql.body)

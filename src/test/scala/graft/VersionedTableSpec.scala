@@ -23,6 +23,33 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read(1).count() == 2)
   }
 
+  test("restore rolls back by commit: old content newest, history intact") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    t.overwrite(Seq((9L, "z")).toDF("id", "name"))
+    val v4 = t.restore(2)
+    assert(v4 == 4 && t.currentVersion == 4)
+    // the restored snapshot IS version 2's content...
+    assert(t.read().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    // ...the "bad" overwrite stays readable (undo is additive)...
+    assert(t.read(3).collect().map(_.getLong(0)).sameElements(Array(9L)))
+    // ...and history audits the rollback as its own op
+    val ops = t.history().collect().map(_.getAs[String]("op"))
+    assert(ops.head == "restore", ops.mkString(","))
+    // carried stats still drive pruning: a merge after restore only
+    // rewrites files whose range intersects — result stays correct
+    t.merge(Seq((2L, "B")).toDF("id", "name"), "id")
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(Array((1L, "a"), (2L, "B"), (3L, "c"))))
+    // a restore is a REWRITING commit: the append-CDF across it resyncs
+    intercept[IllegalStateException] { t.readAppendsSince(3) }
+    // out-of-range target fails fast
+    intercept[IllegalArgumentException] { t.restore(99) }
+  }
+
   test("overwrite replaces the snapshot but keeps history readable") {
     import spark.implicits._
     val dir = tmp()
