@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_semdedup",        // same k-row centroid table (index-build lineage)
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
+    "q_bm25",            // 1-row (n_docs, avgdl) corpus stats
     "q_resample",        // |types| x 24 grid
     "q_ntile_scaled"     // 1-row quartile cut points
   )
