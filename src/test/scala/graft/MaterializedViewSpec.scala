@@ -141,9 +141,11 @@ class MaterializedViewSpec extends SparkSpecBase {
 
   test("randomized op sequences: view ≡ full recompute whatever the history") {
     import spark.implicits._
-    // three trials of a random append/merge/delete/refresh interleaving:
-    // the view must equal the direct aggregate after a final refresh,
-    // whichever mix of delta and fallback paths the history forced
+    // three trials of a random append/delete/overwrite/restore/refresh
+    // interleaving: the view must equal the direct aggregate after a
+    // final refresh, whichever mix of delta and fallback paths the
+    // history forced (restore rewinds content under the view's feet —
+    // the harshest rewriting-commit case)
     (1 to 3).foreach { trial =>
       val rnd = new scala.util.Random(100 + trial)
       val (srcDir, viewDir) = dirs()
@@ -159,13 +161,15 @@ class MaterializedViewSpec extends SparkSpecBase {
       }
       src.append(batch(20).select("grp", "v"))
       (1 to 8).foreach { _ =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => src.append(batch(10).select("grp", "v")); ()
           case 1 => // delete a value slice (rewrites files → fallback path)
             src.delete(Seq(rnd.nextInt(1000).toLong).toDF("v"), "v"); ()
           case 2 => // overwrite with a filtered snapshot (also rewriting)
             src.overwrite(src.read().where(col("v") =!= rnd.nextInt(1000).toLong)); ()
-          case 3 => mv.refresh(); ()
+          case 3 => // roll back to a random live version
+            src.restore(1 + rnd.nextInt(src.currentVersion)); ()
+          case 4 => mv.refresh(); ()
         }
       }
       mv.refresh()
