@@ -442,6 +442,10 @@ object Dedup {
     val nChunks = ceil(size(col("w")).cast("double") / chunkWords).cast("int")
     val chunks = t.documents
       .select(col("doc_id"), w.as("w"))
+      // guard the empty document: Spark's sequence(0, -1) generates a
+      // DESCENDING sequence (not the empty one DuckDB's range(0,0)
+      // gives), which would fabricate chunks for a zero-token doc
+      .filter(size(col("w")) > 0)
       .withColumn("n_chunks", nChunks)
       .select(col("doc_id"), col("n_chunks"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),

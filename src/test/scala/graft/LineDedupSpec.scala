@@ -44,7 +44,10 @@ class LineDedupSpec extends SparkSpecBase {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-linededup2").toString
     Seq((10L, "m n o p q r", "en", "web", 11),
-        (11L, "s t u v w x", "en", "web", 11))
+        (11L, "s t u v w x", "en", "web", 11),
+        // zero-token doc: must vanish, not fabricate chunks (Spark's
+        // sequence(0,-1) is descending, not empty — guarded in the op)
+        (12L, "", "en", "web", 0))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val rows = Dedup.qLineDedup(Tables(spark, dir)).collect()
