@@ -63,6 +63,7 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(t(s, d))),
     "q_events_json" -> ((s, d) => Relational.qEventsJson(t(s, d))),
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
+    "q_session_window" -> ((s, d) => Sessionize.qSessionWindow(t(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoin.qAsofJoin(t(s, d))),
     "q_salted_join" -> ((s, d) => graft.operators.Skew.qSaltedJoin(t(s, d))),
     "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
@@ -511,6 +512,26 @@ object SparkEntry {
         |       max(epoch_s) - min(epoch_s) AS dur_sec
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    // the native session_window closes a session when the gap reaches
+    // gapSec exactly (exclusive window end) → break test is >=
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |g AS (
+        |  SELECT user_id, tu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f)
+        |SELECT user_id, CAST(min(tu) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id,
         | e.tu - b.tu AS gap_us,

@@ -34,4 +34,24 @@ object Sessionize {
         (max("epoch_s") - min("epoch_s")).as("dur_sec"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** The same sessions via Spark's NATIVE session_window (3.2+): one
+    * hash-agg whose grouping key is the merging session window —
+    * Catalyst plans UpdatingSessionsExec + MergingSessionsExec, no
+    * hand-rolled lag/flag/running-sum windows, and the identical
+    * construction is legal under `groupBy` in a stream (see
+    * EventStreams.sessionCounts). Oracled against the gaps-and-islands
+    * SQL at microsecond precision; a session breaks when the gap
+    * reaches `gapSec` EXACTLY (the window's end is exclusive), which
+    * is why the oracle's break test is >=, not > as in [[qSessionize]].
+    */
+  def qSessionWindow(t: Tables, gapSec: Long = 1800): DataFrame =
+    t.events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
 }

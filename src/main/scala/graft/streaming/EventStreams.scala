@@ -38,6 +38,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** NATIVE session windows in a stream: the same
+    * `session_window` grouping the batch `Sessionize.qSessionWindow`
+    * uses, under a watermark — Spark merges windows as late events
+    * arrive and EMITS a session once the watermark passes its close
+    * (append mode), evicting its state. This is the declarative twin
+    * of the flatMapGroupsWithState `sessionize` below: no custom state
+    * type, no timeout bookkeeping — the trade is less control over
+    * emit timing (no mid-session progress events).
+    */
+  def sessionCounts(events: DataFrame, gapSec: Long = 600,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Streaming trending terms: the Misra-Gries sketch
     * ([[graft.functions.TopKAgg]]) as windowed streaming state — per
     * window, at most `capacity` counters live in the state store

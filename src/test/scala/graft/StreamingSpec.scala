@@ -343,6 +343,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.count() > 0)
   }
 
+  test("native session_window stream emits closed sessions after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(input.toDF(), gapSec = 600,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("swin_test")
+      .outputMode("append").start()
+    try {
+      // one user: two events 5 min apart (one session), then silence
+      input.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(5), 7, "click", 0))
+      q.processAllAvailable()
+      // advance the watermark far past the session's close
+      input.addData(Event(3, ts(120), 8, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("swin_test").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+      assert(rows == Map(7L -> 2L), rows.toString)
+    } finally q.stop()
+  }
+
   test("ivf stream sink: epochs land exactly-once; probes retrieve streamed vectors") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
