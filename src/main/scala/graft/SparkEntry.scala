@@ -110,6 +110,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(t(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
+    "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
     // ImageIO + PCM)
@@ -459,6 +460,20 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, token, score, rk FROM r
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tok,
+        |               count(*) AS n_distinct
+        |        FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, cast(tf.tf AS DOUBLE) / tot.n_tok AS p,
+        |             tot.n_tok, tot.n_distinct
+        |      FROM tf JOIN tot USING (doc_id))
+        |SELECT doc_id,
+        |       floor((-sum(p * ln(p))) * 10000 + 0.5) / 10000 AS entropy,
+        |       any_value(n_tok) AS n_tok, any_value(n_distinct) AS n_distinct
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -57,6 +57,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram entropy per document — the information-theoretic quality
+    * gate (low entropy = repetitive/boilerplate text, the signal
+    * behind C4-class heuristics that length/stopword ratios miss).
+    * H = -Σ p·ln p over the doc's token distribution, computed as one
+    * explode → per-(doc, token) count → per-doc agg: two partial-agg'd
+    * hash aggs keyed on bounded-width values, no window. The entropy
+    * sum is over ≤|vocabulary| terms per doc, so double summation
+    * order stays engine-comparable under the 4-decimal rounding.
+    */
+  def qEntropy(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("doc_id"), explode(tokensCol).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy("doc_id").agg(sum("tf").as("n_tok"),
+      count(lit(1)).as("n_distinct"))
+    tf.join(totals, "doc_id")
+      .withColumn("p", col("tf").cast("double") / col("n_tok"))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        first("n_tok").as("n_tok"), first("n_distinct").as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition — the Gopher repetition filters (Rae
     * et al., 2021 §A1.1): fraction of duplicated unigrams and bigrams
     * per document. High-repetition docs are boilerplate/spam at corpus

@@ -123,4 +123,21 @@ object KernelProps extends Properties("graft.kernels") {
       val z = HashImpl.zvalue(a, b)
       ((z >>> 63) & 1L) == ((b >>> 31) & 1L) && ((z >>> 62) & 1L) == ((a >>> 31) & 1L)
     }
+
+  property("bloom filter never false-negatives, whatever the sizing") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.choose(1, 16),
+        Gen.choose(0.001, 0.3)) { (items, sizeDiv, fpp) =>
+      // deliberately UNDER-size some filters (expected/sizeDiv): a full
+      // filter answers true for everything — degraded, never wrong
+      val agg = new graft.functions.BloomAgg(
+        math.max(1, items.size / sizeDiv).toLong, fpp)
+      // driver-side fold through the same reduce/merge the executors
+      // run, split into two partials merged out of order
+      val (l, r) = items.splitAt(items.size / 2)
+      val merged = agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce),
+        l.foldLeft(agg.zero)(agg.reduce))
+      val bloom = agg.finish(merged)
+      items.forall(h => HashImpl.bloomContains(bloom, h))
+    }
 }
