@@ -163,12 +163,20 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
 
   private def hasNondeterministic(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    val fns = plan.collectWithSubqueries { case p =>
+    val hits = plan.collectWithSubqueries { case p =>
       p.expressions.flatMap(_.collect {
         case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+        // the ANSI niladic forms (`SELECT current_date`, no parens)
+        // parse as plain ATTRIBUTES — the analyzer resolves them to the
+        // datetime/user functions only later. Without this case a
+        // cached result would go stale at midnight / serve another
+        // session's user. A real column that happens to carry one of
+        // these names over-bypasses — safe (uncached, never wrong).
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 => a.nameParts.head.toLowerCase
       })
     }.flatten.toSet
-    fns.exists(ResultCache.NondeterministicFns)
+    hits.exists(ResultCache.NondeterministicFns)
   }
 
   /** Collapse whitespace runs and case-fold, EXCEPT inside

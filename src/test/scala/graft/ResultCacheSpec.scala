@@ -89,6 +89,18 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(h4, "a deterministic re-submit must cache again")
   }
 
+  test("ANSI niladic current_date/timestamp forms bypass the cache") {
+    val s = svc()
+    // no parens: these parse to resolved CurrentDate/CurrentTimestamp
+    // nodes, not UnresolvedFunction — each must still bypass
+    Seq("SELECT current_date AS d", "SELECT current_timestamp AS t",
+        "SELECT current_user AS u").foreach { q =>
+      s.sqlJsonCached(q)
+      val (_, hot) = s.sqlJsonCached(q)
+      assert(!hot, s"niladic form was cached: $q")
+    }
+  }
+
   test("escaped quotes inside literals do not collapse distinct queries") {
     val s = svc()
     val rc = s.results
