@@ -285,17 +285,36 @@ object Dedup {
     labels
   }
 
+  /** Corpus dup-cluster labels, memoized like the pair table: the CC
+    * loop (log-rounds of joins + checkpoints) runs once per (session,
+    * corpus, threshold) and both roster consumers (qDupClusters,
+    * qDedupNear) read the same checkpointed label table. Eviction
+    * releases the checkpoint's storage blocks — the final round's RDD
+    * would otherwise outlive every consumer.
+    */
+  def corpusDupLabels(t: Tables, threshold: Double = 0.6): DataFrame =
+    labelsCache.getOrBuild(
+      LabelsKey(System.identityHashCode(t.spark), t.sfDir, threshold))(
+      dupClusters(ngramPairs(t).filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")))
+
+  private case class LabelsKey(session: Int, sfDir: String, threshold: Double)
+  private val labelsCache =
+    new graft.util.BoundedMemo[LabelsKey, DataFrame](2, df =>
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+        case _ => ()
+      })
+
   /** Near-dup clusters over the corpus: n-gram Jaccard pairs →
     * connected components → cluster roster. Shares the memoized pair
     * table with qNgramJaccard (the CC loop never recomputes the
-    * shingle pipeline); oracled in DuckDB via a recursive-CTE
-    * transitive closure, and DupClusterSpec proves components on
-    * known graphs.
+    * shingle pipeline) AND the memoized label table with qDedupNear;
+    * oracled in DuckDB via a recursive-CTE transitive closure, and
+    * DupClusterSpec proves components on known graphs.
     */
   def qDupClusters(t: Tables, threshold: Double = 0.6): DataFrame =
-    dupClusters(ngramPairs(t).filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b"))
-      .orderBy("doc_id")
+    corpusDupLabels(t, threshold).orderBy("doc_id")
 
   /** End-to-end near-dup REMOVAL: the actionable form of
     * [[qDupClusters]] — per cluster keep the lowest doc_id, emit every
@@ -307,8 +326,7 @@ object Dedup {
     * far smaller than the corpus.
     */
   def qDedupNear(t: Tables, threshold: Double = 0.6): DataFrame = {
-    val labels = dupClusters(ngramPairs(t).filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b"))
+    val labels = corpusDupLabels(t, threshold)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .filter(col("doc_id") =!= col("cluster_id"))
