@@ -17,6 +17,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "...", "cache": true]}
   *                    → {"rows": [...], "count": n, "offset": k[, "cached": bool][, "next_offset": k+n]}
   *   GET  /cachestats                                   → {"hits": n, "misses": m} (result cache)
+  *   GET  /metrics                                      → uptime, in-flight/queued queries, cache stats, per-endpoint request/error counters
   *   POST /cancel   {"tag": "..."}                     → {"cancelled": "..."} (kills that tag's running jobs)
   *   POST /query    {"query": "...", "limit": 1000}    → {"job": id} (async: returns immediately)
   *   GET  /query/{id}                                  → {"status": running|done|failed[, "rows", "error"]}
@@ -108,6 +109,25 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     else {
       val (h, m) = service.results.stats
       reply(exchange, 200, s"""{"hits":$h,"misses":$m}""")
+    })
+  // ---- observability: per-endpoint traffic counters ----
+  // ungated (control plane): must answer while the data plane is
+  // saturated — exactly when an operator is looking at it
+  server.createContext("/metrics", exchange =>
+    if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
+    else {
+      val (h, m) = service.results.stats
+      val inFlight = maxConcurrentQueries - heavy.availablePermits()
+      val eps = {
+        import scala.jdk.CollectionConverters._
+        counters.asScala.toSeq.sortBy(_._1).map { case (path, c) =>
+          s""""$path":{"requests":${c(0).get},"client_errors":${c(1).get},"server_errors":${c(2).get}}"""
+        }.mkString("{", ",", "}")
+      }
+      reply(exchange, 200,
+        s"""{"uptime_ms":${System.currentTimeMillis() - startedAt},""" +
+          s""""in_flight":$inFlight,"queued":${waiters.get},""" +
+          s""""cache":{"hits":$h,"misses":$m},"endpoints":$eps}""")
     })
   // ---- async query jobs: submit → id, poll, page, cancel ----
   private val async = new AsyncQueries(service, maxRows)
@@ -308,7 +328,20 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       try readBody(exchange).foreach(body => reply(exchange, 200, handle(body)))
       catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
 
+  private val startedAt = System.currentTimeMillis()
+  // path → [requests, 4xx, 5xx]; populated by reply(), served by
+  // /metrics. Keyed on the registered context path (not the raw URI),
+  // so /query/{id} variants fold into one row and cardinality is
+  // bounded by the endpoint count.
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[java.util.concurrent.atomic.AtomicLong]]()
+
   private def reply(exchange: HttpExchange, status: Int, body: String): Unit = {
+    val c = counters.computeIfAbsent(exchange.getHttpContext.getPath,
+      _ => Array.fill(3)(new java.util.concurrent.atomic.AtomicLong()))
+    c(0).incrementAndGet()
+    if (status >= 400 && status < 500) c(1).incrementAndGet()
+    else if (status >= 500) c(2).incrementAndGet()
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     exchange.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
     exchange.sendResponseHeaders(status, bytes.length)

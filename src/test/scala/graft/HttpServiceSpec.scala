@@ -281,6 +281,25 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("GET /metrics reports per-endpoint traffic and error classes") {
+    val r1 = post("/sql", """{"query":"SELECT 1 AS one"}""")
+    assert(r1.statusCode == 200)
+    val bad = post("/sql", """{"query":"SELECT FROM nope"}""")
+    assert(bad.statusCode == 400)
+    val res = get("/metrics")
+    assert(res.statusCode == 200, res.body)
+    val body = res.body
+    assert(body.contains(""""uptime_ms":"""), body)
+    assert(body.contains(""""in_flight":"""), body)
+    assert(body.contains(""""/sql":{"requests":"""), body)
+    // the /sql row must have counted at least one client error
+    val sqlRow = body.substring(body.indexOf(""""/sql":"""))
+    val clientErrs = """"client_errors":(\d+)""".r
+      .findFirstMatchIn(sqlRow).map(_.group(1).toLong)
+    assert(clientErrs.exists(_ >= 1), sqlRow.take(120))
+    assert(post("/metrics", "{}").statusCode == 405)
+  }
+
   test("POST /restore rolls a vtable back over HTTP; bad version is a 400") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-rest").toString + "/t"
