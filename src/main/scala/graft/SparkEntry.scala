@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{AsofJoin, Curate, Decontam, Dedup, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Decontam, Dedup, Pretrain, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -95,6 +95,10 @@ object SparkEntry {
     // rows-only: k-means cell blocking isn't SQL-expressible;
     // SemDedupSpec bounds precision/recall vs brute force
     "q_semdedup" -> ((s, d) => Dedup.qSemDedup(t(s, d))),
+    // §2.3b pretraining batch prep (packing / shuffle order / mixing)
+    "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
+    "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
+    "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
@@ -873,6 +877,60 @@ object SparkEntry {
         |       any_value(n_chunks) AS n_chunks,
         |       CAST(count(*) AS INT) AS n_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // packing: plain window cumsum in the oracle; the Spark plan
+    // computes the same positions via the two-level block prefix sum
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         cast(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tokens,
+        |         cast(coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM toks WHERE tokens > 0),
+        |spans AS (
+        |  SELECT doc_id, tokens, s,
+        |         unnest(range(s // 512, (s + tokens - 1) // 512 + 1)) AS pack_id
+        |  FROM pos)
+        |SELECT pack_id, count(*) AS n_docs,
+        |       cast(sum(least((pack_id + 1) * 512, s + tokens)
+        |                - greatest(pack_id * 512, s)) AS BIGINT) AS n_tokens
+        |FROM spans GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         cast(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) - 1 AS pos
+        |  FROM h)
+        |SELECT pos // 100 AS rank_bucket, count(*) AS n,
+        |       cast(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |       min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM r GROUP BY rank_bucket ORDER BY rank_bucket""".stripMargin,
+    "q_domain_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |w(lang, weight) AS (VALUES
+        |  ('en', 0.50), ('de', 0.20), ('es', 0.15), ('fr', 0.10), ('zh', 0.05)),
+        |rates AS (
+        |  SELECT c.lang, c.n_lang,
+        |         least(10000, cast(floor(
+        |           least(1.0, cast(w.weight AS DOUBLE) * t.n_total * 0.5 / c.n_lang)
+        |             * 10000 + 0.5) AS BIGINT)) AS gate
+        |  FROM counts c JOIN w USING (lang),
+        |       (SELECT cast(sum(n_lang) AS BIGINT) AS n_total FROM counts) t),
+        |sampled AS (
+        |  SELECT d.lang, count(*) AS n_sampled
+        |  FROM documents d JOIN rates r USING (lang)
+        |  WHERE ((d.doc_id * 2654435761) % 1000000007) % 10000 < r.gate
+        |  GROUP BY d.lang)
+        |SELECT r.lang, r.n_lang, s.n_sampled,
+        |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
+        |FROM rates r JOIN sampled s USING (lang)
+        |ORDER BY r.lang""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         | cast(length(text) AS INTEGER) AS len_before,

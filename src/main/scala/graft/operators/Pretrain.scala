@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Pretraining-batch preparation operators (SURVEY.md §2.3b): the
+  * steps between a curated corpus and a training run — sequence
+  * packing, deterministic global shuffle, and domain-mixture
+  * rebalancing. All three are exactly oracle-able (no RNG: packing is
+  * positional, shuffle order is a fixed multiplicative hash, mixing
+  * is a mod-hash gate), and none uses a corpus-wide single-partition
+  * window: global positions come from a two-level distributed prefix
+  * sum (per-block partial aggregation + a window over the tiny block
+  * roster), the same recipe that replaces `zipWithIndex` at 100 TB.
+  */
+object Pretrain {
+
+  /** Documents-per-block for the prefix-sum block roster. At sf0.1
+    * (5k docs) this yields ~20 blocks; at 100 TB with B=1e6 a 10^12-row
+    * corpus still produces only 10^6 roster rows — the roster window
+    * stays driver-trivial while every corpus-wide stage remains fully
+    * parallel.
+    */
+  private val BlockSize = 256L
+
+  /** (doc_id, start) where start = Σ tokens of all earlier doc_ids —
+    * the distributed prefix sum. Stage 1: per-block token subtotals
+    * (map-side combinable hash agg). Stage 2: running offsets over the
+    * BLOCK roster only (n/B rows — the single-partition window never
+    * sees corpus-scale data). Stage 3: broadcast offsets back and take
+    * a within-block running sum, partitioned by block so every
+    * partition's window is bounded by B rows.
+    */
+  private def withStart(docs: DataFrame): DataFrame = {
+    val blocked = docs.withColumn("block", expr(s"doc_id div $BlockSize"))
+    val roster = blocked.groupBy("block").agg(sum("tokens").as("btok"))
+    val wRoster = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = roster
+      .withColumn("boff", coalesce(sum("btok").over(wRoster), lit(0L)))
+      .select("block", "boff")
+    val wIn = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(broadcast(offsets), "block")
+      .withColumn("start", col("boff") + coalesce(sum("tokens").over(wIn), lit(0L)))
+  }
+
+  /** GPT-style sequence packing: concatenate documents in doc_id order
+    * into one token stream and cut it into fixed `budget`-token
+    * sequences; a document straddling a boundary is split across packs
+    * (what pretraining chunking actually does). Per pack: how many
+    * documents touch it and how many tokens land in it — every pack
+    * except the tail is exactly full by construction, and the DuckDB
+    * oracle (plain window cumsum + generate_series) gates the whole
+    * assignment. The explode fans each document out to only the packs
+    * it overlaps (≤ tokens/budget + 1 rows), so the fan-out is bounded
+    * by corpus token count / budget regardless of document skew.
+    */
+  def qPackSequences(t: Tables, budget: Long = 512L): DataFrame = {
+    val docs = t.documents.select(col("doc_id"),
+      GraftFunctions.tokenCount(col("text")).cast("long").as("tokens"))
+    withStart(docs)
+      .filter(col("tokens") > 0) // zero-token docs occupy no pack
+      .withColumn("pack_id",
+        explode(sequence(expr(s"start div $budget"),
+          expr(s"(start + tokens - 1) div $budget"))))
+      .withColumn("tok_in_pack",
+        least((col("pack_id") + 1) * budget, col("start") + col("tokens"))
+          - greatest(col("pack_id") * budget, col("start")))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_pack").as("n_tokens"))
+      .orderBy("pack_id")
+  }
+
+  /** Deterministic global training-order shuffle: rank every document
+    * by a fixed multiplicative hash (Knuth 2654435761, mod a prime to
+    * stay portable across engines — doc_id ties broken by doc_id) and
+    * emit rank-bucket aggregates proving the total order. The rank is
+    * a distributed prefix COUNT over hash-range buckets — per-bucket
+    * row counts, tiny-roster running offsets, then row_number within
+    * each bucket — i.e. a declarative zipWithIndex that never sorts
+    * the corpus in one partition. 64 range buckets here; a cluster
+    * run would use ~#partitions buckets of the same hash space.
+    */
+  def qShuffleOrder(t: Tables): DataFrame = {
+    val prime = 1000000007L
+    val bucketWidth = prime / 64 + 1
+    val hashed = t.documents
+      .select(col("doc_id"), ((col("doc_id") * 2654435761L) % prime).as("hv"))
+      .withColumn("bucket", expr(s"hv div $bucketWidth"))
+    val roster = hashed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val wRoster = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = roster
+      .withColumn("boff", coalesce(sum("bn").over(wRoster), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("hv", "doc_id")
+    hashed.join(broadcast(offsets), "bucket")
+      .withColumn("pos", col("boff") + row_number().over(wIn).cast("long") - 1L)
+      .withColumn("rank_bucket", expr("pos div 100"))
+      .groupBy("rank_bucket")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_doc_ids"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"))
+      .orderBy("rank_bucket")
+  }
+
+  /** Target language mixture for [[qDomainMix]]: the rebalance a
+    * multilingual pretraining corpus runs before sampling.
+    */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.50, "de" -> 0.20, "es" -> 0.15, "fr" -> 0.10, "zh" -> 0.05)
+
+  /** Domain-mixture rebalancing: given target weights per language and
+    * a global budget (half the corpus), derive each language's
+    * sampling rate `min(1, weight·target/count)` and take a
+    * deterministic mod-hash sample at that rate — the declarative,
+    * reproducible form of "sample the corpus to a target mixture".
+    * The gate hashes the id first (the same portable multiplicative
+    * hash as [[qShuffleOrder]]) so sequential/clustered ids still
+    * sample uniformly. Only per-language counts (a handful of rows)
+    * leave the aggregation; the corpus-scale pass is a broadcast join
+    * plus a pushed-down filter, so the plan is one shuffle regardless
+    * of corpus size. Rates are quantized to 1/10000 so the DuckDB
+    * oracle reproduces the gate bit-for-bit.
+    */
+  def qDomainMix(t: Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "lang")
+      .withColumn("hv", (col("doc_id") * 2654435761L) % 1000000007L)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val weights = t.spark.createDataFrame(MixWeights).toDF("lang", "weight")
+    val rates = counts.join(weights, "lang")
+      .withColumn("n_total", sum("n_lang").over(Window.partitionBy()))
+      .withColumn("rate",
+        least(lit(1.0), col("weight") * col("n_total") * 0.5 / col("n_lang")))
+      .withColumn("gate", least(lit(10000L),
+        floor(col("rate") * 10000 + 0.5).cast("long")))
+    val sampled = docs.join(broadcast(rates.select("lang", "gate")), "lang")
+      .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    rates.select("lang", "n_lang", "gate").join(sampled, "lang")
+      .select(col("lang"), col("n_lang"), col("n_sampled"),
+        Rnd.round(col("gate") / 10000.0, 4).as("rate"))
+      .orderBy("lang")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pretrain
+
+/** Properties behind the oracled pretraining-batch-prep queries: the
+  * oracle proves the numbers, these prove the INVARIANTS a training
+  * run relies on (full packs, permutation ranks, mixture targets).
+  */
+class PretrainSpec extends SparkSpecBase {
+
+  test("sequence packing: every pack except the tail is exactly full, no token lost") {
+    val packs = Pretrain.qPackSequences(tables, budget = 512L).collect()
+    val lastPack = packs.map(_.getAs[Long]("pack_id")).max
+    packs.foreach { r =>
+      val (p, n) = (r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens"))
+      if (p < lastPack) assert(n == 512L, s"pack $p has $n tokens")
+      else assert(n > 0L && n <= 512L, s"tail pack has $n tokens")
+    }
+    // pack ids are contiguous from 0 and total tokens are conserved
+    assert(packs.map(_.getAs[Long]("pack_id")).sorted.sameElements(0L to lastPack))
+    val total = tables.documents
+      .select(graft.functions.GraftFunctions.tokenCount(col("text")).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(packs.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
+
+  test("packing splits a straddling document across adjacent packs") {
+    // at least one pack boundary falls inside a document => some pack
+    // counts a document whose tokens also land in the previous pack;
+    // detectable as sum(n_docs) > distinct docs packed
+    val packs = Pretrain.qPackSequences(tables, budget = 512L).collect()
+    val nDocs = tables.documents
+      .filter(graft.functions.GraftFunctions.tokenCount(col("text")) > 0).count()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum > nDocs)
+  }
+
+  test("shuffle order: ranks are a permutation and differ from doc_id order") {
+    val buckets = Pretrain.qShuffleOrder(tables).collect()
+    val n = buckets.map(_.getAs[Long]("n")).sum
+    assert(n == tables.documents.count())
+    assert(buckets.map(_.getAs[Long]("min_pos")).min == 0L)
+    assert(buckets.map(_.getAs[Long]("max_pos")).max == n - 1)
+    // bucket extents tile [0, n): permutation <=> count matches extent
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("max_pos") - r.getAs[Long]("min_pos") + 1 == r.getAs[Long]("n"))
+    }
+    // the hash genuinely reorders: the first rank bucket is not just
+    // the first `bucketWidth` doc_ids
+    val first = buckets.minBy(_.getAs[Long]("rank_bucket"))
+    val firstN = first.getAs[Long]("n")
+    val identitySum = tables.documents.orderBy("doc_id").limit(firstN.toInt)
+      .agg(sum("doc_id")).head().getLong(0)
+    assert(first.getAs[Long]("sum_doc_ids") != identitySum)
+  }
+
+  test("domain mix hits its target mixture where unconstrained") {
+    val rows = Pretrain.qDomainMix(tables).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_lang"), r.getAs[Long]("n_sampled"), r.getAs[Double]("rate")))
+      .toMap
+    assert(rows.keySet == Pretrain.MixWeights.map(_._1).toSet)
+    rows.foreach { case (lang, (nLang, nSampled, rate)) =>
+      assert(nSampled <= nLang, s"$lang oversampled")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // unconstrained languages (rate < 1) land near their target share:
+    // the hashed mod-10000 gate admits ~rate of any id distribution
+    val total = rows.values.map(_._1).sum
+    Pretrain.MixWeights.foreach { case (lang, w) =>
+      val (nLang, nSampled, rate) = rows(lang)
+      if (rate < 1.0) {
+        val achieved = nSampled.toDouble / (0.5 * total)
+        assert(math.abs(achieved - w) < 0.05,
+          s"$lang achieved $achieved vs target $w (n=$nLang)")
+      }
+    }
+  }
+}
