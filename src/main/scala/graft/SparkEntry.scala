@@ -99,6 +99,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
+    "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
@@ -931,6 +932,60 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    // Naive Bayes train+score, exactly reproduced: quantized integer
+    // log-odds make document scores order-independent sums
+    "q_nb_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |ratio AS (
+        |  SELECT doc_id,
+        |         cast(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |           / len(w) AS stop_ratio
+        |  FROM docs WHERE len(w) > 0),
+        |med AS (
+        |  SELECT quantile_cont(stop_ratio, 0.5) AS med
+        |  FROM ratio WHERE doc_id % 2 = 0),
+        |labeled AS (
+        |  SELECT doc_id, cast(stop_ratio > med AS INT) AS label FROM ratio, med),
+        |occ AS (
+        |  SELECT doc_id, unnest(w) AS tok FROM docs),
+        |tr AS (
+        |  SELECT o.tok, l.label FROM occ o JOIN labeled l USING (doc_id)
+        |  WHERE doc_id % 2 = 0),
+        |counts AS (
+        |  SELECT tok, cast(sum(label) AS BIGINT) AS c1,
+        |         cast(sum(1 - label) AS BIGINT) AS c0
+        |  FROM tr GROUP BY tok),
+        |tot AS (
+        |  SELECT cast(sum(label) AS BIGINT) AS t1,
+        |         cast(sum(1 - label) AS BIGINT) AS t0,
+        |         cast(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM tr),
+        |pri AS (
+        |  SELECT cast(sum(label) AS BIGINT) AS n1,
+        |         cast(sum(1 - label) AS BIGINT) AS n0
+        |  FROM labeled WHERE doc_id % 2 = 0),
+        |wts AS (
+        |  SELECT tok, cast(floor((ln(c1 + 1) - ln(t1 + v)
+        |           - (ln(c0 + 1) - ln(t0 + v))) * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM counts, tot),
+        |consts AS (
+        |  SELECT cast(floor((ln(t0 + v) - ln(t1 + v)) * 1000000 + 0.5) AS BIGINT) AS w0,
+        |         cast(floor((ln(n1 + cast(1 AS DOUBLE)) - ln(n0 + cast(1 AS DOUBLE)))
+        |           * 1000000 + 0.5) AS BIGINT) AS prior_q
+        |  FROM tot, pri),
+        |scored AS (
+        |  SELECT o.doc_id, l.label AS actual,
+        |         cast(sum(coalesce(w.w, c.w0)) AS BIGINT) AS ev
+        |  FROM occ o JOIN labeled l USING (doc_id)
+        |       LEFT JOIN wts w ON o.tok = w.tok, consts c
+        |  WHERE o.doc_id % 2 = 1
+        |  GROUP BY o.doc_id, l.label)
+        |SELECT s.actual, cast(c.prior_q + s.ev > 0 AS INT) AS pred,
+        |       count(*) AS n
+        |FROM scored s, consts c
+        |GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         | cast(length(text) AS INTEGER) AS len_before,

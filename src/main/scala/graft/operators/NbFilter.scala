@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Model-based quality filtering, CCNet/fastText-style: distill a
+  * heuristic signal into a cheap multinomial Naive Bayes classifier,
+  * trained ON the cluster AS aggregations — per-(token, class)
+  * occurrence counts, class totals, and a vocabulary size are the
+  * entire "fit", so training is two shuffles (token counts + one
+  * scalar row) no matter the corpus size, and scoring is a
+  * broadcast-able join over the holdout's tokens. No driver-side
+  * learning loop, no UDF.
+  *
+  * Everything is exactly reproducible: log-odds are quantized to
+  * integer millionths (the fastText trick) so document scores are
+  * integer SUMS — order-independent, engine-portable — and the whole
+  * train+score pipeline answers to a DuckDB oracle, confusion matrix
+  * and all. The distilled signal here is the stopword-density label
+  * (ratio of {"the","a"} tokens above the train-split median); on a
+  * real corpus the same plan distills any reference-corpus /
+  * heuristic label — only the `labeled` frame changes.
+  */
+object NbFilter {
+
+  private val Q = 1000000L // log-odds quantization: integer millionths
+
+  private def quant(x: Column): Column = floor(x * Q + 0.5).cast("long")
+
+  private def isTrain = col("doc_id") % 2 === 0
+
+  /** (doc_id, label): the weak label — stopword density above the
+    * TRAIN-split median (the median never peeks at holdout docs).
+    */
+  private def labeled(t: Tables): DataFrame = {
+    val words = split(col("text"), " ")
+    val ratio = t.documents
+      .select(col("doc_id"), filter(words, x => x =!= "").as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"),
+        (size(filter(col("w"), x => x === "the" || x === "a")).cast("double")
+          / col("n_tok")).as("stop_ratio"))
+    val med = ratio.filter(isTrain)
+      .agg(expr("percentile(stop_ratio, 0.5D)").as("med"))
+    ratio.crossJoin(broadcast(med))
+      .select(col("doc_id"), (col("stop_ratio") > col("med")).cast("int").as("label"))
+  }
+
+  /** (doc_id, tok) occurrences — multinomial features. */
+  private def occ(t: Tables): DataFrame = t.documents
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    .filter(col("tok") =!= "")
+
+  /** Laplace-smoothed per-token quantized log-odds plus the two model
+    * scalars (unseen-token weight, class prior). Parenthesization of
+    * the double math mirrors the oracle so both engines quantize the
+    * same values.
+    */
+  private def fit(t: Tables): (DataFrame, DataFrame) = {
+    val lab = labeled(t)
+    val tr = occ(t).join(lab.filter(isTrain), "doc_id")
+    val counts = tr.groupBy("tok")
+      .agg(sum("label").as("c1"), sum(lit(1) - col("label")).as("c0"))
+    val tot = tr.agg(sum("label").as("t1"), sum(lit(1) - col("label")).as("t0"),
+      countDistinct("tok").as("v"))
+    val pri = lab.filter(isTrain)
+      .agg(sum("label").as("n1"), sum(lit(1) - col("label")).as("n0"))
+    val wts = counts.crossJoin(broadcast(tot))
+      .select(col("tok"), quant(
+        log(col("c1") + 1) - log(col("t1") + col("v"))
+          - (log(col("c0") + 1) - log(col("t0") + col("v")))).as("w"))
+    val consts = tot.crossJoin(pri)
+      .select(
+        quant(log(col("t0") + col("v")) - log(col("t1") + col("v"))).as("w0"),
+        quant(log(col("n1") + lit(1).cast("double"))
+          - log(col("n0") + lit(1).cast("double"))).as("prior_q"))
+    (wts, consts)
+  }
+
+  /** Train on even doc_ids, score odd ones; emit the holdout confusion
+    * matrix (actual, pred, n). Unseen holdout tokens take the
+    * smoothed zero-count weight `w0`.
+    */
+  def qNbFilter(t: Tables): DataFrame = {
+    val (wts, consts) = fit(t)
+    val scored = occ(t).join(labeled(t).filter(col("doc_id") % 2 === 1), "doc_id")
+      .join(wts, Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("wv", coalesce(col("w"), col("w0")))
+      .groupBy(col("doc_id"), col("label").as("actual"))
+      .agg(sum("wv").as("ev"))
+    scored.crossJoin(broadcast(consts))
+      .select(col("actual"),
+        (col("prior_q") + col("ev") > 0).cast("int").as("pred"))
+      .groupBy("actual", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "pred")
+  }
+
+  /** The learned per-token table (tok, w) — exposed so the spec can
+    * assert the model recovered the signal: the stopwords must carry
+    * the largest positive weights.
+    */
+  def tokenWeights(t: Tables): DataFrame = fit(t)._1
+}
