@@ -57,6 +57,29 @@ object OrcSource extends SourceProvider {
     SourceProvider.reader(spark, options).orc(path)
 }
 
+/** Raw text ingest — how web-corpus dumps actually arrive: one row
+  * per line (or per file with `wholetext=true`), a single `value`
+  * string column. The write side requires that single-string-column
+  * shape, mirroring `DataFrameWriter.text`.
+  */
+object TextSource extends SourceProvider {
+  val format = "text"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    SourceProvider.reader(spark, options).text(path)
+}
+
+/** Media-file ingest for the multimodal pipeline (§2.6): each file
+  * becomes one row of (path, modificationTime, length, content:binary)
+  * — the binary+metadata schema `Media` decodes. Read-only by nature;
+  * `pathGlobFilter`/`recursiveFileLookup` options pass through for
+  * extension filtering over a corpus tree.
+  */
+object BinaryFileSource extends SourceProvider {
+  val format = "binaryFile"
+  def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame =
+    spark.read.format("binaryFile").options(options).load(path)
+}
+
 /** JDBC external source. Exercised at execution against embedded
   * Derby (the one driver in the Spark jars directory) in SourcesSpec;
   * any other driver works the same way once its jar is on the
@@ -70,7 +93,8 @@ object JdbcSource extends SourceProvider {
 
 final class Catalog(val spark: SparkSession) {
   private val providers: Map[String, SourceProvider] =
-    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, JdbcSource, VTableSource,
+    Seq(ParquetSource, CsvSource, JsonSource, OrcSource, TextSource,
+      BinaryFileSource, JdbcSource, VTableSource,
       MviewSource).map(p => p.format -> p).toMap
 
   def read(format: String, path: String, options: Map[String, String] = Map.empty): DataFrame =
@@ -115,6 +139,7 @@ final class Catalog(val spark: SparkSession) {
         df.write.options(Map("header" -> "true") ++ options).mode(mode).csv(path)
       case "json" => df.write.options(options).mode(mode).json(path)
       case "orc" => df.write.options(options).mode(mode).orc(path)
+      case "text" => df.write.options(options).mode(mode).text(path)
       case "jdbc" =>
         df.write.format("jdbc").option("url", path).options(options).mode(mode).save()
       case other => throw new IllegalArgumentException(
@@ -134,7 +159,7 @@ object Catalog {
     * construction, not by hand-editing an error string.
     */
   val writableFormats: Seq[String] =
-    Seq("vtable", "parquet", "csv", "json", "orc", "jdbc")
+    Seq("vtable", "parquet", "csv", "json", "orc", "text", "jdbc")
 }
 
 /** The driver's test corpus: one parquet file per table under an

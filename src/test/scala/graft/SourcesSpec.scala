@@ -62,6 +62,46 @@ class SourcesSpec extends SparkSpecBase {
     } finally { df.unpersist(); () }
   }
 
+  test("text round-trip: raw corpus lines through Catalog read and write") {
+    val cat = new Catalog(spark)
+    val path = tmp() + "/raw_docs"
+    // land the documents' text as a raw dump (one line per doc — the
+    // synthetic corpus is newline-free), then read it back
+    cat.write(tables.documents.select(col("text")), "text", path)
+    val back = cat.read("text", path)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.count() == tables.documents.count())
+    // wholetext reads each file as ONE row
+    val whole = cat.read("text", path, Map("wholetext" -> "true"))
+    assert(whole.count() < back.count())
+    // write side rejects multi-column frames like DataFrameWriter.text
+    intercept[org.apache.spark.sql.AnalysisException] {
+      cat.write(tables.nation, "text", tmp() + "/bad")
+    }
+    ()
+  }
+
+  test("binaryFile ingest: media files arrive as (path, length, content) rows") {
+    val cat = new Catalog(spark)
+    val dir = tmp() + "/media"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.wav"),
+      Array[Byte](9, 8, 7))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"),
+      "not media".getBytes)
+    val all = cat.read("binaryFile", dir)
+    assert(all.count() == 3)
+    // extension filtering stays in the source (pathGlobFilter), so
+    // non-media files never reach the decode stage
+    val wav = cat.read("binaryFile", dir, Map("pathGlobFilter" -> "*.wav"))
+    val row = wav.select("path", "length", "content").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("length") == 3L)
+    assert(row(0).getAs[Array[Byte]]("content").toSeq == Seq[Byte](9, 8, 7))
+  }
+
   test("unknown format raises a helpful error") {
     val cat = new Catalog(spark)
     val e = intercept[IllegalArgumentException](cat.read("csv2", "/tmp/x"))
