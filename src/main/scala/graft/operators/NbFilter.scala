@@ -105,4 +105,43 @@ object NbFilter {
     * the largest positive weights.
     */
   def tokenWeights(t: Tables): DataFrame = fit(t)._1
+
+  /** A trained model collected to the driver — the deployable form: a
+    * bounded token→weight vocabulary plus the two scalars (exactly
+    * what a shipped fastText-style filter is). Collecting is the
+    * DEPLOY step, not a query step: vocabularies are capped in
+    * production models; an unbounded vocab stays on the cluster and
+    * scores via the [[qNbFilter]] join path instead.
+    */
+  final case class Model(weights: Map[String, Long], w0: Long, priorQ: Long)
+
+  def trainModel(t: Tables): Model = {
+    val (wts, consts) = fit(t)
+    val c = consts.collect().head
+    Model(
+      wts.collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("w")).toMap,
+      c.getAs[Long]("w0"), c.getAs[Long]("prior_q"))
+  }
+
+  /** Stateless per-row scoring expression over a `text` column: the
+    * model rides along as a map literal (broadcast with the plan), so
+    * the gate is a pure projection — no shuffle, no state, append-mode
+    * safe on a stream. This is how the batch-trained filter deploys
+    * against live ingest.
+    */
+  def scoreExpr(m: Model, text: Column): Column = {
+    val wmap = typedlit(m.weights)
+    lit(m.priorQ) + aggregate(
+      filter(split(text, " "), x => x =!= ""),
+      lit(0L),
+      (acc, tok) => acc + coalesce(element_at(wmap, tok), lit(m.w0)))
+  }
+
+  /** Streaming quality gate: score each document of a (doc_id, text)
+    * stream and keep score > 0 — the online deployment of the
+    * distilled filter.
+    */
+  def nbGate(docs: DataFrame, m: Model): DataFrame =
+    docs.withColumn("score", scoreExpr(m, col("text")))
+      .withColumn("keep", (col("score") > 0).cast("int"))
 }
