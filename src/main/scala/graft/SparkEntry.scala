@@ -88,6 +88,8 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
+    // rows-only: incremental ingest over the persisted LSH band index
+    "q_dedup_ingest" -> ((s, d) => graft.operators.DedupIndex.qDedupIngest(t(s, d))),
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.qDedupFuzzy(t(s, d))),

@@ -141,23 +141,31 @@ object Dedup {
     * (band index, band hash) so candidates come from band buckets
     * only. est_jaccard = fraction of matching signature slots.
     */
-  def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+  /** (doc_id, sig, band, band_hash) LSH band rows — the banding core
+    * shared by [[qMinhashLsh]] (in-session self-join) and
+    * [[DedupIndex]] (persisted, incrementally probed). Docs with
+    * fewer than shingleSize tokens have NO shingles — their signature
+    * is the all-MaxValue sentinel, and banding would put every such
+    * doc in one bucket (a quadratic blowup at web scale) and report
+    * them as jaccard-1.0 duplicates sharing no content. Drop them
+    * before signing, mirroring the ngram oracle's length guard.
+    */
+  def bandTable(docs: DataFrame, numHashes: Int, bands: Int,
+      shingleSize: Int): DataFrame = {
     val rows = numHashes / bands
-    // Docs with fewer than shingleSize tokens have NO shingles — their
-    // signature is the all-MaxValue sentinel, and banding would put
-    // every such doc in one bucket (a quadratic blowup at web scale)
-    // and report them as jaccard-1.0 duplicates sharing no content.
-    // Drop them before signing, mirroring the ngram oracle's length
-    // guard.
-    val sig = t.documents.repartition(col("doc_id"))
+    val sig = docs.repartition(col("doc_id"))
       .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("text"), numHashes, shingleSize).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val banded = bandTable(t.documents, numHashes, bands, shingleSize)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&

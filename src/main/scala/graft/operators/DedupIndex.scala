@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Incremental near-dup ingest — the shape a daily crawl batch needs:
+  * the corpus's MinHash band table lives ON DISK, a new batch checks
+  * itself against it WITHOUT recomputing (or reshuffling) the corpus,
+  * and accepted documents are absorbed by appending just their bands.
+  *
+  * The scale inversion is the point: the stored band table is
+  * corpus-sized, the batch is small — so the batch side broadcasts
+  * and the corpus side only SCANS (one pass, no exchange), pruned to
+  * the band-hash bucket partitions the batch actually touches. Cost
+  * per ingest batch is O(scanned buckets) + O(batch), independent of
+  * corpus shuffle width; absorbing is a partition-aligned append.
+  * Band semantics (signature, banding, estimator, short-doc guard)
+  * are shared with [[Dedup.qMinhashLsh]] via [[Dedup.bandTable]].
+  */
+object DedupIndex {
+
+  /** Directory partitions for the on-disk band table: bounded count
+    * (Spark's dynamic-partition ceiling is safe), fine enough that a
+    * small batch's bucket filter prunes most of the scan.
+    */
+  private val Buckets = 64
+
+  final case class Params(numHashes: Int, bands: Int, shingleSize: Int,
+      threshold: Double)
+
+  private def paramsPath(dir: String) = java.nio.file.Paths.get(dir, "_params.json")
+
+  private def writeParams(dir: String, p: Params): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(paramsPath(dir),
+      s"""{"numHashes":${p.numHashes},"bands":${p.bands},"shingleSize":${p.shingleSize},"threshold":${p.threshold}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readParams(dir: String): Params = {
+    val s = new String(java.nio.file.Files.readAllBytes(paramsPath(dir)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def f(k: String) = {
+      val m = (""""""" + k + """":([-0-9.]+)""").r
+      m.findFirstMatchIn(s).get.group(1)
+    }
+    Params(f("numHashes").toInt, f("bands").toInt, f("shingleSize").toInt,
+      f("threshold").toDouble)
+  }
+
+  private def withBucket(banded: DataFrame): DataFrame =
+    banded.withColumn("bh_bucket", pmod(col("band_hash"), lit(Buckets)))
+
+  /** Build the index from scratch over a (doc_id, text) corpus. */
+  def build(docs: DataFrame, dir: String, p: Params): Unit = {
+    writeParams(dir, p)
+    withBucket(Dedup.bandTable(docs, p.numHashes, p.bands, p.shingleSize))
+      .write.mode(SaveMode.Overwrite).partitionBy("bh_bucket")
+      .parquet(s"$dir/bands")
+    ()
+  }
+
+  /** Check a new (doc_id, text) batch against the stored corpus:
+    * returns (doc_id, dup_of, est_jaccard) — one row per detected
+    * near-duplicate pairing, `dup_of` an already-ingested doc. The
+    * batch side is hinted broadcast; the corpus table is scanned,
+    * never shuffled, and the scan is pruned to the batch's buckets
+    * (a bounded `isin` — batch × bands hashes at most).
+    */
+  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val p = readParams(dir)
+    val probe = withBucket(Dedup.bandTable(batch, p.numHashes, p.bands, p.shingleSize))
+    // bucket list is bounded by the (small) batch; collecting it is a
+    // planning step that buys PartitionFilters on the corpus scan
+    val buckets = probe.select("bh_bucket").distinct()
+      .collect().map(_.getAs[Long]("bh_bucket"))
+    val stored = spark.read.parquet(s"$dir/bands")
+      .filter(col("bh_bucket").isin(buckets: _*))
+    stored.as("x")
+      .join(broadcast(probe.as("y")),
+        col("x.bh_bucket") === col("y.bh_bucket") &&
+          col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("dup_of"),
+        col("x.sig").as("sig_x"), col("y.sig").as("sig_y"))
+      .dropDuplicates("doc_id", "dup_of")
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_x"), col("sig_y"), (a, b) => a === b),
+          x => x)).cast("double") / p.numHashes, 2))
+      .filter(col("est_jaccard") >= p.threshold)
+      .select("doc_id", "dup_of", "est_jaccard")
+  }
+
+  /** Absorb accepted batch docs: append ONLY their bands — the
+    * partition layout keeps the append aligned with the existing
+    * bucket directories; nothing already stored is rewritten.
+    */
+  def absorb(spark: SparkSession, dir: String, accepted: DataFrame): Unit = {
+    val p = readParams(dir)
+    withBucket(Dedup.bandTable(accepted, p.numHashes, p.bands, p.shingleSize))
+      .write.mode(SaveMode.Append).partitionBy("bh_bucket")
+      .parquet(s"$dir/bands")
+    ()
+  }
+
+  private case class Key(session: Int, sfDir: String)
+  private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  /** Contract query (rows-only — minhash isn't SQL-expressible):
+    * index the even-doc_id half of the corpus on disk, then ingest
+    * the odd half as a batch and report every near-dup it has against
+    * the indexed half. Index build memoized per (session, corpus).
+    */
+  def qDedupIngest(t: graft.sources.Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "text")
+    val dir = built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+      build(docs.filter(col("doc_id") % 2 === 0), d,
+        Params(numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5))
+      d
+    }
+    checkBatch(t.spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id", "dup_of")
+  }
+}

@@ -35,7 +35,7 @@ object Pretrain {
     * a within-block running sum, partitioned by block so every
     * partition's window is bounded by B rows.
     */
-  private def withStart(docs: DataFrame): DataFrame = {
+  private[graft] def withStart(docs: DataFrame): DataFrame = {
     val blocked = docs.withColumn("block", expr(s"doc_id div $BlockSize"))
     val roster = blocked.groupBy("block").agg(sum("tokens").as("btok"))
     val wRoster = Window.orderBy("block")

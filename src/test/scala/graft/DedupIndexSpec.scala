@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupIndex
+import graft.operators.DedupIndex.Params
+
+class DedupIndexSpec extends SparkSpecBase {
+
+  private val params = Params(numHashes = 64, bands = 16, shingleSize = 5,
+    threshold = 0.5)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-idx-spec").toString + "/idx"
+
+  test("a planted near-dup batch is flagged against the indexed corpus; fresh docs pass") {
+    import spark.implicits._
+    val corpus = tables.documents.select("doc_id", "text")
+    val dir = tmp()
+    DedupIndex.build(corpus, dir, params)
+    // batch: two exact copies of indexed docs (new ids), one perturbed
+    // copy, one genuinely fresh doc
+    val src = corpus.filter(col("doc_id").isin(1L, 2L, 3L))
+      .as[(Long, String)].collect().toMap
+    val batch = Seq(
+      (100001L, src(1L)),
+      (100002L, src(2L)),
+      (100003L, src(3L).split(" ").patch(3, Seq("xyzzy"), 0).mkString(" ")),
+      (100004L, Seq.fill(40)("completelyfreshtoken").zipWithIndex
+        .map { case (w, i) => s"$w$i" }.mkString(" "))
+    ).toDF("doc_id", "text")
+    val hits = DedupIndex.checkBatch(spark, dir, batch).collect()
+    val byDoc = hits.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => r.getAs[Long]("dup_of") -> r.getAs[Double]("est_jaccard"))).toMap
+    // exact copies flag their source with estimate 1.0
+    assert(byDoc(100001L).exists { case (d, j) => d == 1L && j == 1.0 })
+    assert(byDoc(100002L).exists { case (d, j) => d == 2L && j == 1.0 })
+    // the perturbed copy still flags its source (high but < exact)
+    assert(byDoc(100003L).exists { case (d, _) => d == 3L })
+    // the fresh doc is clean
+    assert(!byDoc.contains(100004L))
+  }
+
+  test("absorb makes a batch discoverable; the corpus side scans, never shuffles") {
+    import spark.implicits._
+    val corpus = tables.documents.select("doc_id", "text")
+    val dir = tmp()
+    DedupIndex.build(corpus.filter(col("doc_id") < 250), dir, params)
+    val doc = corpus.filter(col("doc_id") === 300L).as[(Long, String)].collect().head
+    val asBatch = Seq((200000L, doc._2)).toDF("doc_id", "text")
+    // not indexed yet: no hit for a copy of doc 300
+    assert(DedupIndex.checkBatch(spark, dir, asBatch).count() == 0)
+    DedupIndex.absorb(spark, dir, corpus.filter(col("doc_id") === 300L))
+    // after absorbing, the same copy is flagged against 300
+    val after = DedupIndex.checkBatch(spark, dir, asBatch).collect()
+    assert(after.exists(r => r.getAs[Long]("dup_of") == 300L &&
+      r.getAs[Double]("est_jaccard") == 1.0), after.mkString(","))
+    // scale inversion in the plan: the batch broadcasts (the stored
+    // corpus is joined without an exchange on its side) and the scan
+    // carries the bucket PartitionFilters
+    val plan = DedupIndex.checkBatch(spark, dir, asBatch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("PartitionFilters") && plan.contains("bh_bucket"),
+      plan.take(800))
+  }
+
+  test("contract query flags cross-half near-dups consistent with the in-session LSH") {
+    val ingest = DedupIndex.qDedupIngest(tables).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    // every (odd vs even) pair the in-session LSH reports must be
+    // found by the incremental path too (same signatures, same bands)
+    val lsh = graft.operators.Dedup.qMinhashLsh(tables).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(lsh.subsetOf(ingest), s"missing: ${lsh -- ingest}")
+  }
+}

@@ -55,6 +55,31 @@ class PretrainSpec extends SparkSpecBase {
     assert(first.getAs[Long]("sum_doc_ids") != identitySum)
   }
 
+  test("distributed prefix sum matches a sequential scan on adversarial id layouts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val scenarios: Seq[(String, Seq[Long])] = Seq(
+      // sparse: million-row gaps — most blocks empty, offsets must skip them
+      "sparse" -> Seq.fill(200)(math.abs(rnd.nextLong()) % 1000000000L),
+      // clustered: everything inside one 256-id block (single roster row)
+      "clustered" -> (0L until 200L).map(_ + 7L),
+      // boundary-straddling: ids hugging block edges (255, 256, 511, 512...)
+      "boundary" -> (1L to 50L).flatMap(i => Seq(i * 256 - 1, i * 256)),
+      // singleton
+      "one" -> Seq(12345L))
+    scenarios.foreach { case (name, ids0) =>
+      val ids = ids0.distinct
+      val docs = ids.map(id => (id, (id % 97) + 1)).toDF("doc_id", "tokens")
+      val got = graft.operators.Pretrain.withStart(docs)
+        .select("doc_id", "start").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = ids.sorted.foldLeft((Map.empty[Long, Long], 0L)) {
+        case ((m, acc), id) => (m + (id -> acc), acc + (id % 97) + 1)
+      }._1
+      assert(got == expect, s"scenario $name")
+    }
+  }
+
   test("domain mix hits its target mixture where unconstrained") {
     val rows = Pretrain.qDomainMix(tables).collect()
       .map(r => r.getAs[String]("lang") ->
