@@ -83,6 +83,10 @@ object GraftFunctions {
   * or `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // session-flagged COUNT(DISTINCT) → HLL sketch rewrite (off by
+    // default; see graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+  }
 }
