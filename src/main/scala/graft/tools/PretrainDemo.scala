@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.operators.{NbFilter, Pretrain}
+import graft.sources.Tables
+
+/** Executable batch-prep user story: the steps between a curated
+  * corpus and a training run, composed from the contract operators —
+  * model-based quality gate (batch-trained NB) → domain-mixture
+  * rebalance → deterministic shuffle order → sequence packing — and a
+  * run manifest recording what each stage kept. PipelineDemo is the
+  * CURATION story; this is the BATCH-PREP story downstream of it.
+  *
+  *   sbt "runMain graft.tools.PretrainDemo [sfDir] [outDir]"
+  */
+object PretrainDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_pretrain_out")
+    val spark = GraftSession.getOrCreate()
+    val t = Tables(spark, sfDir)
+
+    // 1. model-based quality gate: train once, score as a projection
+    val model = NbFilter.trainModel(t)
+    val gated = NbFilter.nbGate(t.documents.select("doc_id", "text", "lang"), model)
+      .filter(col("keep") === 1)
+
+    // 2. mixture rebalance: the per-lang gates from the contract
+    //    query, applied to the gated survivors
+    // the contract query reports rate = gate/10000 exactly
+    val gates = Pretrain.qDomainMix(t)
+      .select(col("lang"), floor(col("rate") * 10000 + 0.5).as("gate"))
+    val mixed = gated
+      .withColumn("hv", (col("doc_id") * 2654435761L) % 1000000007L)
+      .join(broadcast(gates), "lang")
+      .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
+
+    // 3. deterministic training order + fixed-budget packing over the
+    //    final roster
+    val packs = Pretrain.qPackSequences(t)
+    val order = Pretrain.qShuffleOrder(t)
+
+    mixed.select("doc_id", "lang").write.mode("overwrite")
+      .parquet(s"$outDir/roster")
+    packs.write.mode("overwrite").parquet(s"$outDir/packs")
+    order.write.mode("overwrite").parquet(s"$outDir/order")
+
+    val nDocs = t.documents.count()
+    val nGated = gated.count()
+    val nMixed = spark.read.parquet(s"$outDir/roster").count()
+    val nPacks = spark.read.parquet(s"$outDir/packs").count()
+    val manifest =
+      s"""{"corpus":"$sfDir","n_docs":$nDocs,"kept_by_model":$nGated,
+         |"kept_by_mixture":$nMixed,"n_packs":$nPacks,"pack_budget":512}"""
+        .stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "manifest.json"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"=== pretrain batch prep ===")
+    println(manifest)
+    spark.stop()
+  }
+}

@@ -65,6 +65,40 @@ class DedupIndexSpec extends SparkSpecBase {
       plan.take(800))
   }
 
+  test("streaming ingest: each micro-batch checks against the index, clean docs absorb") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpus = tables.documents.select("doc_id", "text")
+    val dir = tmp()
+    DedupIndex.build(corpus.filter(col("doc_id") < 100), dir, params)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dups = DedupIndex.checkBatch(spark, dir, batch)
+          .select("doc_id", "dup_of").as[(Long, Long)].collect()
+        flagged ++= dups
+        val dupIds = dups.map(_._1).distinct
+        DedupIndex.absorb(spark, dir,
+          batch.filter(!col("doc_id").isin(dupIds: _*)))
+      }.start()
+    try {
+      val freshText = (1 to 40).map(i => s"streamfresh$i").mkString(" ")
+      val doc5 = corpus.filter(col("doc_id") === 5L).as[(Long, String)].collect().head._2
+      // batch 1: a copy of indexed doc 5 (flagged, NOT absorbed) and a
+      // fresh doc (clean, absorbed)
+      input.addData((300001L, doc5), (300002L, freshText))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((300001L, 5L)), flagged)
+      // batch 2: a copy of the absorbed fresh doc — now flagged
+      // against 300002, proving the absorb landed
+      input.addData((300003L, freshText))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((300001L, 5L), (300003L, 300002L)), flagged)
+    } finally q.stop()
+  }
+
   test("contract query flags cross-half near-dups consistent with the in-session LSH") {
     val ingest = DedupIndex.qDedupIngest(tables).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
