@@ -54,10 +54,16 @@ object DedupIndex {
   private def withBucket(banded: DataFrame): DataFrame =
     banded.withColumn("bh_bucket", pmod(col("band_hash"), lit(Buckets)))
 
-  /** Build the index from scratch over a (doc_id, text) corpus. */
+  /** Build the index from scratch over a (doc_id, text) corpus. The
+    * pre-write repartition keys on the partition column so each bucket
+    * directory lands as one file per writing task instead of one per
+    * (shuffle partition × bucket) — small-file count is what partition
+    * layouts die of at scale.
+    */
   def build(docs: DataFrame, dir: String, p: Params): Unit = {
     writeParams(dir, p)
     withBucket(Dedup.bandTable(docs, p.numHashes, p.bands, p.shingleSize))
+      .repartition(col("bh_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bh_bucket")
       .parquet(s"$dir/bands")
     ()
@@ -102,6 +108,7 @@ object DedupIndex {
   def absorb(spark: SparkSession, dir: String, accepted: DataFrame): Unit = {
     val p = readParams(dir)
     withBucket(Dedup.bandTable(accepted, p.numHashes, p.bands, p.shingleSize))
+      .repartition(col("bh_bucket"))
       .write.mode(SaveMode.Append).partitionBy("bh_bucket")
       .parquet(s"$dir/bands")
     ()

@@ -120,7 +120,15 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     val names = referencedNames(plan)
     if (hasNondeterministic(plan) || names.exists(nondetNames.contains))
       return (service.sqlJson(query, limit, offset), false)
-    val key = normalize(query) + "\u0000" + fingerprint(names)
+    // session flags that change RESULT SEMANTICS key separately: an
+    // approximate-mode answer must never serve an exact-mode caller
+    // (or vice versa, or across different error targets)
+    val semantics =
+      if (service.spark.conf.getOption("spark.graft.approxDistinct").contains("true"))
+        "\u0000approx@" +
+          service.spark.conf.getOption("spark.graft.approxDistinct.rsd").getOrElse("0.05")
+      else ""
+    val key = normalize(query) + "\u0000" + fingerprint(names) + semantics
     var built = false
     val entry = memo.getOrBuild(key) {
       built = true

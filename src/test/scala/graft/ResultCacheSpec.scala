@@ -23,6 +23,32 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(!h3 && !h4, "literal case must split entries")
   }
 
+  test("approx-mode sessions never share entries with exact-mode ones") {
+    import spark.implicits._
+    val s = svc()
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("rc_apx")
+    val sql = "SELECT count(DISTINCT id) AS n FROM rc_apx"
+    val (exact, h1) = s.sqlJsonCached(sql)
+    assert(!h1)
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      // flag on: the exact entry must NOT answer — fresh execution
+      val (_, h2) = s.sqlJsonCached(sql)
+      assert(!h2, "approx-mode must not be served the exact-mode entry")
+      // a different rsd is yet another semantics — still no sharing
+      spark.conf.set("spark.graft.approxDistinct.rsd", "0.01")
+      val (_, h3) = s.sqlJsonCached(sql)
+      assert(!h3, "distinct rsd must key separately")
+    } finally {
+      spark.conf.unset("spark.graft.approxDistinct")
+      spark.conf.unset("spark.graft.approxDistinct.rsd")
+    }
+    // flag off again: the original exact entry still serves
+    val (back, h4) = s.sqlJsonCached(sql)
+    assert(h4 && back == exact)
+  }
+
   test("vtable entries key on the PINNED binding and rotate on re-register") {
     import spark.implicits._
     val s = svc()
