@@ -110,6 +110,8 @@ object SparkEntry {
     "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
     // §2.5 text analysis
     "q_token_count" -> ((s, d) => TextAnalysis.qTokenCount(t(s, d))),
+    // rows-only: corpus-trained BPE vocabulary isn't SQL-expressible
+    "q_bpe_tokens" -> ((s, d) => TextAnalysis.qBpeTokens(t(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qQualityScore(t(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),

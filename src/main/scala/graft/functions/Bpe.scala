@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding, split the way a 100 TB tokenizer train
+  * actually splits: the CLUSTER computes the word-frequency
+  * dictionary (one explode + hash agg over the corpus — the only
+  * corpus-scale pass), and the driver learns merges on that bounded
+  * dictionary — the standard BPE trainer (Sennrich '16) operates on
+  * word frequencies, never on raw text, so "train BPE on 100 TB" is
+  * exactly "aggregate word counts, then iterate on ~10^4 entries".
+  * Scoring goes back to the cluster as a codegen'd expression with
+  * the merge table embedded in the plan (`addReferenceObj` — riding
+  * plan serialization to executors, no lookup service needed).
+  *
+  * Determinism everywhere: dictionary truncation orders by
+  * (freq desc, word), merge selection by (count desc, pair), so two
+  * trains of the same corpus produce identical vocabularies.
+  */
+object Bpe {
+
+  final case class Model(merges: IndexedSeq[(String, String)]) extends Serializable {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    // per-word encode cache: corpora repeat words massively and eval
+    // is per-row; bounded by wipe-on-overflow (executor-local, a pure
+    // memo — losing it costs recompute only)
+    @transient private lazy val memo = new ConcurrentHashMap[String, Int]()
+
+    private def encodeWord(word: String): Int = {
+      var symbols = word.map(_.toString).toBuffer
+      var done = false
+      while (!done && symbols.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < symbols.length - 1) {
+          val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          symbols(bestIdx) = symbols(bestIdx) + symbols(bestIdx + 1)
+          symbols.remove(bestIdx + 1)
+          ()
+        }
+      }
+      symbols.length
+    }
+
+    /** BPE token count of a whitespace-tokenized text. */
+    def countTokens(text: String): Int = {
+      var total = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+        val start = i
+        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+        if (i > start) {
+          val w = text.substring(start, i)
+          if (memo.size > 65536) memo.clear()
+          total += memo.computeIfAbsent(w, encodeWord(_))
+        }
+      }
+      total
+    }
+  }
+
+  /** Learn `numMerges` merges from a (word, freq) dictionary —
+    * driver-side by design (the dictionary is bounded; see object
+    * doc). Stops early when no pair occurs twice.
+    */
+  def train(dict: Seq[(String, Long)], numMerges: Int): Model = {
+    val words = dict.map { case (w, f) => (w.map(_.toString).toBuffer, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    var exhausted = false
+    while (iter < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < 2) exhausted = true
+        else {
+          merges += pair
+          words.foreach { case (syms, _) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                syms(i) = syms(i) + syms(i + 1)
+                syms.remove(i + 1)
+                ()
+              } else i += 1
+            }
+          }
+        }
+      }
+      iter += 1
+    }
+    Model(merges.toIndexedSeq)
+  }
+
+  /** The corpus-scale half: word-frequency dictionary via one hash
+    * agg, truncated deterministically to `dictSize` (TakeOrdered — a
+    * per-partition top-k, not a global sort), then driver merges.
+    */
+  def trainOn(docs: DataFrame, numMerges: Int = 256, dictSize: Int = 8192): Model = {
+    val dict = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(dictSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    train(dict, numMerges)
+  }
+
+  // ---- SQL surface: models register under an id; the function
+  // builder resolves the id at ANALYSIS time (driver) and embeds the
+  // model object into the expression, so executors get it with the
+  // serialized plan, not from this registry ----
+  private val registry = new ConcurrentHashMap[String, Model]()
+
+  def register(id: String, m: Model): Unit = { registry.put(id, m); () }
+
+  private[functions] def resolve(id: String): Model = {
+    val m = registry.get(id)
+    require(m != null, s"no BPE model registered under '$id'")
+    m
+  }
+
+  def tokenCount(modelId: String, text: Column): Column =
+    call_function("bpe_count", text, lit(modelId))
+}
+
+/** Static eval target for both interpreted eval and generated Java —
+  * same pattern as [[HashImpl]].
+  */
+object BpeImpl {
+  def count(m: Bpe.Model, text: org.apache.spark.unsafe.types.UTF8String): Int =
+    m.countTokens(text.toString)
+}

@@ -47,6 +47,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("zvalue", 2)(args); ZValue(a(0), a(1)) }),
     (FunctionIdentifier("bloom_contains"), info("bloom_contains", classOf[BloomContains]),
       (args: Seq[Expression]) => { val a = expect("bloom_contains", 2)(args); BloomContains(a(0), a(1)) }),
+    (FunctionIdentifier("bpe_count"), info("bpe_count", classOf[BpeTokenCount]),
+      (args: Seq[Expression]) => {
+        val a = expect("bpe_count", 2)(args)
+        // the model id must be a literal: it resolves HERE, on the
+        // driver, so the expression ships the model with the plan
+        a(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+            BpeTokenCount(a(0), Bpe.resolve(s.toString))
+          case other => throw new IllegalArgumentException(
+            s"bpe_count expects a literal model id, got $other")
+        }
+      }),
   )
 
   /** Idempotent runtime registration — for sessions not built through

@@ -190,3 +190,27 @@ case class BloomContains(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomContains = copy(newLeft, newRight)
   override def prettyName: String = "bloom_contains"
 }
+
+/** bpe_count(text, 'model-id') → int: BPE token count under a trained
+  * [[Bpe.Model]]. The function BUILDER (driver, analysis time)
+  * resolves the id from the model registry and this expression then
+  * carries the model OBJECT — `addReferenceObj` embeds it in the
+  * generated code's reference array, so executors receive it with the
+  * serialized plan and codegen stays one static call. Token counts
+  * under the real tokenizer are what packing/budgeting at 100 TB
+  * actually needs (whitespace counts mis-size multilingual packs).
+  */
+case class BpeTokenCount(child: Expression, model: Bpe.Model)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(t: Any): Any =
+    BpeImpl.count(model, t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.Model].getName)
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeImpl.count($ref, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(newChild)
+  override def prettyName: String = "bpe_count"
+}

@@ -23,6 +23,32 @@ object TextAnalysis {
 
   private def tokensCol: Column = split(col("text"), " ")
 
+  private val bpeModels =
+    new graft.util.BoundedMemo[(Int, String), graft.functions.Bpe.Model](4, _ => ())
+
+  /** Real BPE token counts under a tokenizer TRAINED ON THIS CORPUS
+    * (rows-only — a learned vocabulary isn't SQL-expressible; BpeSpec
+    * pins the algebra). Training splits the scalable way: the cluster
+    * aggregates the word-frequency dictionary, the driver learns
+    * merges on those bounded counts (Sennrich '16 — BPE trainers
+    * operate on word frequencies, not raw text), and scoring returns
+    * to the cluster as one codegen'd expression carrying the merge
+    * table in the plan. Whitespace and BPE counts side by side: the
+    * gap is what whitespace budgeting would mis-size packs by.
+    */
+  def qBpeTokens(t: Tables): DataFrame = {
+    val id = s"__graft_corpus_${t.sfDir.hashCode}"
+    bpeModels.getOrBuild((System.identityHashCode(t.spark), t.sfDir)) {
+      val m = graft.functions.Bpe.trainOn(t.documents)
+      graft.functions.Bpe.register(id, m)
+      m
+    }
+    t.documents.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(id, col("text")).as("n_bpe"),
+        GraftFunctions.tokenCount(col("text")).as("n_ws"))
+      .orderBy("doc_id")
+  }
+
   /** Token counts: custom codegen'd whitespace-run counter plus a
     * BPE-ish sub-word proxy (runs of letters / digits / punctuation as
     * separate tokens — the shape of a byte-level BPE pre-tokenizer).

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.operators.TextAnalysis
+
+class BpeSpec extends SparkSpecBase {
+
+  test("driver trainer learns the textbook merges on a toy dictionary") {
+    // 'abab'×10 + 'ab'×5: (a,b) dominates (25), then (ab,ab) in the
+    // merged word (10)
+    val m = Bpe.train(Seq("abab" -> 10L, "ab" -> 5L), numMerges = 4)
+    assert(m.merges.head == ("a", "b"), m.merges)
+    assert(m.merges.contains(("ab", "ab")), m.merges)
+    assert(m.countTokens("abab ab") == 2) // each word fully merged
+    assert(m.countTokens("") == 0)
+    // unseen symbols never merge: 'xyz' stays 3 single chars
+    assert(m.countTokens("xyz") == 3)
+  }
+
+  test("training is deterministic: same corpus, same vocabulary") {
+    val a = Bpe.trainOn(tables.documents, numMerges = 64, dictSize = 512)
+    val b = Bpe.trainOn(tables.documents, numMerges = 64, dictSize = 512)
+    assert(a.merges == b.merges)
+    assert(a.merges.nonEmpty)
+  }
+
+  test("corpus counts: every word >= 1 token, dictionary words compress") {
+    val rows = TextAnalysis.qBpeTokens(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bpe, ws) = (r.getAs[Int]("n_bpe"), r.getAs[Int]("n_ws"))
+      assert(bpe >= ws, s"doc ${r.get(0)}: $bpe bpe < $ws words")
+    }
+    // the trained vocab compresses the corpus far below character
+    // level: dictionary words collapse toward one token each
+    val totBpe = rows.map(_.getAs[Int]("n_bpe").toLong).sum
+    val totWs = rows.map(_.getAs[Int]("n_ws").toLong).sum
+    assert(totBpe < totWs * 2, s"bpe $totBpe vs ws $totWs — no compression learned")
+  }
+
+  test("the SQL surface resolves a registered model at analysis time") {
+    val m = Bpe.train(Seq("spark" -> 100L), numMerges = 8)
+    Bpe.register("spec-model", m)
+    tables.documents.limit(5).createOrReplaceTempView("__graft_bpe_docs")
+    val n = spark.sql(
+      "SELECT bpe_count(text, 'spec-model') AS n FROM __graft_bpe_docs")
+      .collect().map(_.getInt(0))
+    assert(n.length == 5 && n.forall(_ > 0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_count('x', 'nope') AS n").collect()
+    }
+    assert(err.getMessage.contains("nope"), err.getMessage)
+  }
+}
