@@ -104,6 +104,8 @@ object SparkEntry {
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
+    // rows-only: the hash-embedding is a custom expression
+    "q_text_ann" -> ((s, d) => Similarity.qTextAnn(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(t(s, d))),
     "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),

@@ -47,6 +47,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("zvalue", 2)(args); ZValue(a(0), a(1)) }),
     (FunctionIdentifier("bloom_contains"), info("bloom_contains", classOf[BloomContains]),
       (args: Seq[Expression]) => { val a = expect("bloom_contains", 2)(args); BloomContains(a(0), a(1)) }),
+    (FunctionIdentifier("hash_embed"), info("hash_embed", classOf[HashEmbed]),
+      (args: Seq[Expression]) => { val a = expect("hash_embed", 2)(args); HashEmbed(a(0), a(1)) }),
     (FunctionIdentifier("bpe_count"), info("bpe_count", classOf[BpeTokenCount]),
       (args: Seq[Expression]) => {
         val a = expect("bpe_count", 2)(args)
@@ -89,6 +91,8 @@ object GraftFunctions {
   def zvalue(a: Column, b: Column): Column = call_function("zvalue", a, b)
   def bloomContains(bloom: Column, h: Column): Column =
     call_function("bloom_contains", bloom, h)
+  def hashEmbed(text: Column, dim: Int): Column =
+    call_function("hash_embed", text, lit(dim))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

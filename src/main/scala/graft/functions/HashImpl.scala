@@ -125,6 +125,39 @@ object HashImpl {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Feature-hashed document vector (Weinberger '09 hashing trick,
+    * signed): each whitespace token lands in bucket `hash mod dim`
+    * with a hash-derived ±1 sign (kills accumulation bias), then L2
+    * normalize — a text→unit-vector embedding with NO trained state,
+    * computable inside codegen in one pass. All-whitespace text →
+    * zero vector (callers filter on norm, never divide by it).
+    */
+  def hashEmbed(text: UTF8String, dim: Int): Array[Float] = {
+    val s = text.toString
+    val v = new Array[Float](dim)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = hash64(s.substring(start, i))
+        val idx = (((h % dim) + dim) % dim).toInt
+        v(idx) += (if (((h >>> 62) & 1L) == 1L) 1f else -1f)
+      }
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    v
+  }
+
   /** Z-order (Morton) value: interleave the low 32 bits of `a` (even
     * bit positions) and `b` (odd positions) into one long whose sort
     * order clusters 2-D neighborhoods — range-partitioning on it keeps

@@ -214,3 +214,28 @@ case class BpeTokenCount(child: Expression, model: Bpe.Model)
     copy(newChild)
   override def prettyName: String = "bpe_count"
 }
+
+/** hash_embed(text, dim) → array<float>: feature-hashed unit vector
+  * of a document (signed hashing trick) — the trained-state-free
+  * bridge from raw text into every embedding consumer (cosine
+  * near-dup, ANN, SemDeDup) when no model embeddings exist. One
+  * codegen'd pass per row; `dim` must be a positive literal-ish int.
+  */
+case class HashEmbed(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(t: Any, d: Any): Any = {
+    val dim = d.asInstanceOf[Int]
+    require(dim > 0, s"hash_embed dim must be positive, got $dim")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpl.hashEmbed(t.asInstanceOf[UTF8String], dim))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpl.hashEmbed($t, $d))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashEmbed = copy(newLeft, newRight)
+  override def prettyName: String = "hash_embed"
+}

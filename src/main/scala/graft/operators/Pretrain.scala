@@ -60,9 +60,16 @@ object Pretrain {
     * it overlaps (≤ tokens/budget + 1 rows), so the fan-out is bounded
     * by corpus token count / budget regardless of document skew.
     */
-  def qPackSequences(t: Tables, budget: Long = 512L): DataFrame = {
-    val docs = t.documents.select(col("doc_id"),
-      GraftFunctions.tokenCount(col("text")).cast("long").as("tokens"))
+  def qPackSequences(t: Tables, budget: Long = 512L): DataFrame =
+    packSequences(t.documents.select(col("doc_id"),
+      GraftFunctions.tokenCount(col("text")).cast("long").as("tokens")), budget)
+
+  /** Packing over any (doc_id, tokens) frame — the contract query
+    * budgets by whitespace counts (oracle-able); a training run
+    * passes counts from its REAL tokenizer (`Bpe.tokenCount`), which
+    * is what sizes packs correctly (see PretrainDemo).
+    */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
     withStart(docs)
       .filter(col("tokens") > 0) // zero-token docs occupy no pack
       .withColumn("pack_id",

@@ -52,6 +52,33 @@ object Similarity {
     * (3 rows); each of n vectors is scored once; row_number over the
     * rounded score gives a deterministic, engine-independent ranking.
     */
+  /** ANN over RAW TEXT with no trained state: hash-embed every
+    * document (signed feature hashing, unit-normalized, one codegen'd
+    * pass) and rank by cosine — the bridge that runs the whole
+    * embedding stack (near-dup, ANN, SemDeDup) on corpora that have
+    * no model embeddings yet. Same brute-force shape as
+    * [[qAnnBruteforce]]; at scale the same vectors feed the LSH/IVF
+    * paths unchanged. Zero-norm (all-whitespace) docs are filtered —
+    * cosine against a zero vector is undefined, not zero.
+    */
+  def qTextAnn(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, dim: Int = 256): DataFrame = {
+    val e = t.documents
+      .select(col("doc_id"), GraftFunctions.hashEmbed(col("text"), dim).as("embedding"))
+      .filter(GraftFunctions.normF(col("embedding")) > 0)
+    val q = e.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   def qAnnBruteforce(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10): DataFrame = {
     val e = t.embeddings

@@ -38,8 +38,13 @@ object PretrainDemo {
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
 
     // 3. deterministic training order + fixed-budget packing over the
-    //    final roster
-    val packs = Pretrain.qPackSequences(t)
+    //    final roster — budgeted by the REAL tokenizer (corpus-trained
+    //    BPE), not whitespace counts
+    graft.functions.Bpe.register("demo-bpe", graft.functions.Bpe.trainOn(t.documents))
+    val packs = Pretrain.packSequences(
+      t.documents.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount("demo-bpe", col("text")).cast("long").as("tokens")),
+      budget = 512L)
     val order = Pretrain.qShuffleOrder(t)
 
     mixed.select("doc_id", "lang").write.mode("overwrite")

@@ -29,6 +29,36 @@ class AnnSpec extends SparkSpecBase {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("text ANN: a planted copy is its source's nearest neighbor at cosine 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = tables.documents.select("doc_id", "text")
+    val copyOf1 = base.filter(col("doc_id") === 1L).as[(Long, String)]
+      .collect().head._2
+    val planted = base.unionByName(Seq((900001L, copyOf1)).toDF("doc_id", "text"))
+    // the planted frame through the same plan shape as qTextAnn:
+    val e = planted.select(col("doc_id"),
+      graft.functions.GraftFunctions.hashEmbed(col("text"), 256).as("embedding"))
+    val q = e.filter(col("doc_id") === 1L)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    val top = e.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(1).collect().head
+    assert(top.getAs[Long]("doc_id") == 900001L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-6)
+    // and the contract query is well-formed: k rows per query, cos
+    // non-increasing within each query
+    val rows = graft.operators.Similarity.qTextAnn(tables).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+  }
+
   test("IVF ANN recall beats random-cell scanning on sf0.001") {
     val queries = Seq(1L, 2L, 3L, 10L, 20L)
     val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()

@@ -53,6 +53,21 @@ object KernelProps extends Properties("graft.kernels") {
       uni && bi
     }
 
+  property("hashEmbed is deterministic, unit-norm (or zero), and dim-sized") =
+    forAll(messyText, Gen.choose(4, 512)) { (text, dim) =>
+      val a = HashImpl.hashEmbed(
+        UTF8String.fromString(text), dim)
+      val b = HashImpl.hashEmbed(
+        UTF8String.fromString(text), dim)
+      val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val hasTok = text.trim.nonEmpty
+      // exact opposite-sign collisions can cancel a nonempty text to
+      // the zero vector; empty text is ALWAYS the zero vector
+      a.sameElements(b) && a.length == dim &&
+        (norm == 0.0 || math.abs(norm - 1.0) < 1e-4) &&
+        (hasTok || norm == 0.0)
+    }
+
   property("pcm s16le decode exactly inverts 16-bit little-endian encode") =
     forAll(Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))) { shorts =>
       val bytes = shorts.flatMap(s =>
