@@ -102,6 +102,7 @@ object SparkEntry {
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
+    "q_lm_score" -> ((s, d) => graft.operators.LmScore.qLmScore(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     // rows-only: the hash-embedding is a custom expression
@@ -938,6 +939,36 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    // bigram LM train+score (CCNet-style perplexity gate), exactly
+    // reproduced via the same quantized-log trick as q_nb_filter
+    "q_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM docs, unnest(range(1, len(w))) AS r(i)
+        |  WHERE len(w) >= 2),
+        |tr AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |ctx AS (SELECT w1, count(*) AS ctx_n FROM tr GROUP BY w1),
+        |pc AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY w1, w2),
+        |vocab AS (SELECT cast(count(DISTINCT w2) AS BIGINT) AS v FROM tr),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |         cast(sum(CASE WHEN x.ctx_n IS NULL
+        |           THEN cast(floor((ln(1.0) - ln(vb.v)) * 1000000 + 0.5) AS BIGINT)
+        |           ELSE cast(floor((ln(coalesce(p.c, 0) + 1)
+        |             - ln(x.ctx_n + vb.v)) * 1000000 + 0.5) AS BIGINT)
+        |         END) AS BIGINT) AS lp_sum
+        |  FROM bg b
+        |  LEFT JOIN pc p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN ctx x ON b.w1 = x.w1, vocab vb
+        |  WHERE b.doc_id % 2 = 1
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       floor((cast(lp_sum AS DOUBLE) / (n_bigrams * 1000000.0)) * 10000 + 0.5)
+        |         / 10000 AS avg_lp
+        |FROM scored ORDER BY doc_id""".stripMargin,
     // Naive Bayes train+score, exactly reproduced: quantized integer
     // log-odds make document scores order-independent sums
     "q_nb_filter" ->

@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_bm25",            // 1-row (n_docs, avgdl) corpus stats
     "q_resample",        // |types| x 24 grid
     "q_ntile_scaled",    // 1-row quartile cut points
-    "q_nb_filter"        // 1-row label median + 1-row model scalars
+    "q_nb_filter",       // 1-row label median + 1-row model scalars
+    "q_lm_score"         // 1-row vocab scalar
   )
 
   test("no unintentional cartesian/nested-loop joins in any contract query") {
