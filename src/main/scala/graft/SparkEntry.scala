@@ -101,6 +101,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
+    "q_chunk_docs" -> ((s, d) => Pretrain.qChunkDocs(t(s, d))),
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
     "q_lm_score" -> ((s, d) => graft.operators.LmScore.qLmScore(t(s, d))),
     // §2.4 similarity
@@ -939,6 +940,19 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, cast(i AS INT) AS chunk_idx,
+        |         list_slice(w, i * 48 + 1, i * 48 + 64) AS cw
+        |  FROM docs, unnest(range(0, cast(ceil(len(w) / 48.0) AS BIGINT))) AS r(i)
+        |  WHERE len(w) > 0)
+        |SELECT doc_id, chunk_idx,
+        |       cast(len(cw) AS INT) AS n_tokens,
+        |       array_to_string(cw, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // bigram LM train+score (CCNet-style perplexity gate), exactly
     // reproduced via the same quantized-log trick as q_nb_filter
     "q_lm_score" ->

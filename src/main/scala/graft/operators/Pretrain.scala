@@ -115,6 +115,29 @@ object Pretrain {
       .orderBy("rank_bucket")
   }
 
+  /** Sliding-window chunking — the preprocessing an embedding model
+    * needs: split each document into windows of `window` tokens every
+    * `stride` tokens (overlap = window − stride keeps context across
+    * cuts). Pure array ops per row (split → slice → rejoin), no
+    * shuffle at all until a consumer aggregates; trailing windows may
+    * be short (kept — dropping them loses tail tokens). Fully
+    * oracle-able: the chunk texts themselves are compared.
+    */
+  def qChunkDocs(t: Tables, window: Int = 64, stride: Int = 48): DataFrame = {
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    t.documents
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          expr(s"cast(ceil(size(w) / ${stride}.0) AS INT) - 1"))).as("chunk_idx"),
+        col("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"size(slice(w, chunk_idx * $stride + 1, $window))").as("n_tokens"),
+        expr(s"concat_ws(' ', slice(w, chunk_idx * $stride + 1, $window))").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Target language mixture for [[qDomainMix]]: the rebalance a
     * multilingual pretraining corpus runs before sampling.
     */

@@ -55,6 +55,30 @@ class PretrainSpec extends SparkSpecBase {
     assert(first.getAs[Long]("sum_doc_ids") != identitySum)
   }
 
+  test("chunking covers every token with the declared overlap, tails kept") {
+    import org.apache.spark.sql.functions._
+    val chunks = Pretrain.qChunkDocs(tables, window = 64, stride = 48).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    val nTok = tables.documents
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // indices are contiguous from 0 and stride-offsets tile [0, n)
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).sameElements(sorted.indices))
+      sorted.foreach { c =>
+        val (i, len) = (c.getAs[Int]("chunk_idx"), c.getAs[Int]("n_tokens"))
+        assert(len == math.min(64, n - i * 48), s"doc $doc chunk $i: $len")
+        assert(c.getAs[String]("chunk").nonEmpty)
+      }
+      // coverage: the last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getAs[Int]("chunk_idx") * 48 + last.getAs[Int]("n_tokens") == n)
+    }
+  }
+
   test("distributed prefix sum matches a sequential scan on adversarial id layouts") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
