@@ -104,6 +104,7 @@ object SparkEntry {
     "q_chunk_docs" -> ((s, d) => Pretrain.qChunkDocs(t(s, d))),
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
     "q_lm_score" -> ((s, d) => graft.operators.LmScore.qLmScore(t(s, d))),
+    "q_drift" -> ((s, d) => graft.operators.Drift.qDrift(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
     // rows-only: the hash-embedding is a custom expression
@@ -940,6 +941,37 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    // PSI drift monitor: per-bin contributions quantized to integer
+    // 1e-8ths so the floating sum is order-independent
+    "q_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '1970-01-01', cast(ts AS DATE)) % 2 AS win,
+        |         least(9, greatest(0, cast(floor(value / 50.0) AS INT))) AS bin
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, win, bin, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |totals AS (
+        |  SELECT event_type, win, count(*) AS n FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT event_type, unnest(range(0, 10)) AS bin FROM e),
+        |j AS (
+        |  SELECT g.event_type, g.bin,
+        |         (coalesce(r.c, 0) + 0.5) / (nr.n + 5.0) AS p_ref,
+        |         (coalesce(u.c, 0) + 0.5) / (nu.n + 5.0) AS p_cur,
+        |         nr.n AS n_ref, nu.n AS n_cur
+        |  FROM grid g
+        |  LEFT JOIN counts r ON r.event_type = g.event_type AND r.bin = g.bin
+        |    AND r.win = 0
+        |  LEFT JOIN counts u ON u.event_type = g.event_type AND u.bin = g.bin
+        |    AND u.win = 1
+        |  JOIN totals nr ON nr.event_type = g.event_type AND nr.win = 0
+        |  JOIN totals nu ON nu.event_type = g.event_type AND nu.win = 1)
+        |SELECT event_type, min(n_ref) AS n_ref, min(n_cur) AS n_cur,
+        |       floor((cast(sum(cast(floor(((p_cur - p_ref) * ln(p_cur / p_ref))
+        |           * 100000000 + 0.5) AS BIGINT)) AS BIGINT) / 100000000.0)
+        |         * 1000000 + 0.5) / 1000000 AS psi
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_chunk_docs" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
