@@ -24,17 +24,36 @@ object Drift {
   def qDrift(t: Tables, binWidth: Double = 50.0, bins: Int = 10): DataFrame = {
     val e = t.events.select(col("event_type"),
       (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 2).as("win"),
-      least(lit(bins - 1), greatest(lit(0),
-        floor(col("value") / binWidth).cast("int"))).as("bin"))
-    val counts = e.groupBy("event_type", "win", "bin").agg(count(lit(1)).as("c"))
-    val totals = e.groupBy("event_type", "win").agg(count(lit(1)).as("n"))
+      binCol(binWidth, bins))
+    psiOf(
+      e.filter(col("win") === 0).select("event_type", "bin"),
+      e.filter(col("win") === 1).select("event_type", "bin"), bins)
+  }
+
+  /** Fixed-width clamped value bin — shared by the batch query and
+    * streaming gates. */
+  def binCol(binWidth: Double, bins: Int) =
+    least(lit(bins - 1), greatest(lit(0),
+      floor(col("value") / binWidth).cast("int"))).as("bin")
+
+  /** PSI of `cur` against `ref`, both (event_type, bin) frames — the
+    * generic core [[qDrift]] window-splits into and a streaming gate
+    * calls per micro-batch against a static reference (see
+    * DriftSpec). Types present in only one side drop out (an inner
+    * totals join): PSI needs both distributions to exist.
+    */
+  def psiOf(refBins: DataFrame, curBins: DataFrame, bins: Int = 10): DataFrame = {
+    val counts = refBins.withColumn("win", lit(0))
+      .unionByName(curBins.withColumn("win", lit(1)))
+    val byBin = counts.groupBy("event_type", "win", "bin").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("event_type", "win").agg(count(lit(1)).as("n"))
     // every (type, bin) cell must exist — an empty bin is drift
     // evidence, not a missing row
-    val grid = e.select("event_type").distinct()
+    val grid = counts.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(0), lit(bins - 1))).as("bin"))
-    val ref = counts.filter(col("win") === 0)
+    val ref = byBin.filter(col("win") === 0)
       .select(col("event_type"), col("bin"), col("c").as("c_ref"))
-    val cur = counts.filter(col("win") === 1)
+    val cur = byBin.filter(col("win") === 1)
       .select(col("event_type"), col("bin"), col("c").as("c_cur"))
     val nRef = totals.filter(col("win") === 0)
       .select(col("event_type"), col("n").as("n_ref"))
@@ -45,9 +64,9 @@ object Drift {
       .join(cur, Seq("event_type", "bin"), "left")
       .join(nRef, "event_type").join(nCur, "event_type")
       .withColumn("p_ref",
-        (coalesce(col("c_ref"), lit(0L)) + 0.5) / (col("n_ref") + 5.0))
+        (coalesce(col("c_ref"), lit(0L)) + 0.5) / (col("n_ref") + bins * 0.5))
       .withColumn("p_cur",
-        (coalesce(col("c_cur"), lit(0L)) + 0.5) / (col("n_cur") + 5.0))
+        (coalesce(col("c_cur"), lit(0L)) + 0.5) / (col("n_cur") + bins * 0.5))
       .withColumn("contrib_q",
         floor(((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
           * 100000000L + 0.5).cast("long"))
