@@ -910,7 +910,7 @@ object SparkEntry {
         |FROM spans GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     "q_shuffle_order" ->
       """WITH h AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS hv
+        |  SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hv
         |  FROM documents),
         |r AS (
         |  SELECT doc_id,
@@ -935,7 +935,7 @@ object SparkEntry {
         |sampled AS (
         |  SELECT d.lang, count(*) AS n_sampled
         |  FROM documents d JOIN rates r USING (lang)
-        |  WHERE ((d.doc_id * 2654435761) % 1000000007) % 10000 < r.gate
+        |  WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 10000 < r.gate
         |  GROUP BY d.lang)
         |SELECT r.lang, r.n_lang, s.n_sampled,
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate

@@ -84,7 +84,10 @@ object Pretrain {
   }
 
   /** Deterministic global training-order shuffle: rank every document
-    * by a fixed multiplicative hash (Knuth 2654435761, mod a prime to
+    * by a fixed multiplicative hash (Knuth 2654435761 over the
+    * mod-prime-reduced id — reducing FIRST keeps the product under
+    * 2^63 for any id, where hashing the raw id would overflow (Spark
+    * wraps, other engines raise — divergence exactly at scale), to
     * stay portable across engines — doc_id ties broken by doc_id) and
     * emit rank-bucket aggregates proving the total order. The rank is
     * a distributed prefix COUNT over hash-range buckets — per-bucket
@@ -97,7 +100,7 @@ object Pretrain {
     val prime = 1000000007L
     val bucketWidth = prime / 64 + 1
     val hashed = t.documents
-      .select(col("doc_id"), ((col("doc_id") * 2654435761L) % prime).as("hv"))
+      .select(col("doc_id"), (((col("doc_id") % prime) * 2654435761L) % prime).as("hv"))
       .withColumn("bucket", expr(s"hv div $bucketWidth"))
     val roster = hashed.groupBy("bucket").agg(count(lit(1)).as("bn"))
     val wRoster = Window.orderBy("bucket")
@@ -159,7 +162,7 @@ object Pretrain {
     */
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
-      .withColumn("hv", (col("doc_id") * 2654435761L) % 1000000007L)
+      .withColumn("hv", ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     val weights = t.spark.createDataFrame(MixWeights).toDF("lang", "weight")
     val rates = counts.join(weights, "lang")

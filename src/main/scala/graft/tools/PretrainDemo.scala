@@ -33,7 +33,7 @@ object PretrainDemo {
     val gates = Pretrain.qDomainMix(t)
       .select(col("lang"), floor(col("rate") * 10000 + 0.5).as("gate"))
     val mixed = gated
-      .withColumn("hv", (col("doc_id") * 2654435761L) % 1000000007L)
+      .withColumn("hv", ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L)
       .join(broadcast(gates), "lang")
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
 
