@@ -63,8 +63,13 @@ object Bpe {
         while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
         if (i > start) {
           val w = text.substring(start, i)
-          if (memo.size > 65536) memo.clear()
-          total += memo.computeIfAbsent(w, encodeWord(_))
+          // bound check only on INSERT (inside the mapping fn): a
+          // CHM.size() per token would traverse counter cells on
+          // every hit in the per-row hot path
+          total += memo.computeIfAbsent(w, key => {
+            if (memo.size > 65536) memo.clear()
+            encodeWord(key)
+          })
         }
       }
       total
@@ -134,6 +139,8 @@ object Bpe {
   private val registry = new ConcurrentHashMap[String, Model]()
 
   def register(id: String, m: Model): Unit = { registry.put(id, m); () }
+
+  def unregister(id: String): Unit = { registry.remove(id); () }
 
   private[functions] def resolve(id: String): Model = {
     val m = registry.get(id)

@@ -133,6 +133,9 @@ object HashImpl {
     * zero vector (callers filter on norm, never divide by it).
     */
   def hashEmbed(text: UTF8String, dim: Int): Array[Float] = {
+    // validated HERE so codegen (which calls this directly, skipping
+    // the expression's eval path) raises the same clean error
+    require(dim > 0, s"hash_embed dim must be positive, got $dim")
     val s = text.toString
     val v = new Array[Float](dim)
     var i = 0

@@ -225,12 +225,11 @@ case class HashEmbed(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def nullSafeEval(t: Any, d: Any): Any = {
-    val dim = d.asInstanceOf[Int]
-    require(dim > 0, s"hash_embed dim must be positive, got $dim")
+  override def nullSafeEval(t: Any, d: Any): Any =
+    // dim validation lives in HashImpl so the codegen path (a direct
+    // static call) raises the same error as this interpreted path
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      HashImpl.hashEmbed(t.asInstanceOf[UTF8String], dim))
-  }
+      HashImpl.hashEmbed(t.asInstanceOf[UTF8String], d.asInstanceOf[Int]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, d) =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +

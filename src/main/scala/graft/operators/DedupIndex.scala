@@ -44,7 +44,9 @@ object DedupIndex {
     val s = new String(java.nio.file.Files.readAllBytes(paramsPath(dir)),
       java.nio.charset.StandardCharsets.UTF_8)
     def f(k: String) = {
-      val m = (""""""" + k + """":([-0-9.]+)""").r
+      // [-0-9.Ee+] so a threshold serialized in scientific notation
+      // (1.0E-4) round-trips instead of truncating to "1.0"
+      val m = (""""""" + k + """":([-+0-9.Ee]+)""").r
       m.findFirstMatchIn(s).get.group(1)
     }
     Params(f("numHashes").toInt, f("bands").toInt, f("shingleSize").toInt,
@@ -78,7 +80,12 @@ object DedupIndex {
     */
   def checkBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     val p = readParams(dir)
+    // localCheckpoint: the batch's signature pipeline runs ONCE — the
+    // bucket collect below and the broadcast join both read the
+    // cached blocks (lineage cut; blocks release when the plan is
+    // GC'd), instead of re-tokenizing the batch twice per ingest
     val probe = withBucket(Dedup.bandTable(batch, p.numHashes, p.bands, p.shingleSize))
+      .localCheckpoint()
     // bucket list is bounded by the (small) batch; collecting it is a
     // planning step that buys PartitionFilters on the corpus scan
     val buckets = probe.select("bh_bucket").distinct()

@@ -163,10 +163,13 @@ object Pretrain {
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
       .withColumn("hv", ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L)
+    // n_total is the WHOLE corpus — computed before the weights join,
+    // so a language outside the weight table still counts toward the
+    // budget base (and the oracle, which totals all languages, agrees)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total", sum("n_lang").over(Window.partitionBy()))
     val weights = t.spark.createDataFrame(MixWeights).toDF("lang", "weight")
     val rates = counts.join(weights, "lang")
-      .withColumn("n_total", sum("n_lang").over(Window.partitionBy()))
       .withColumn("rate",
         least(lit(1.0), col("weight") * col("n_total") * 0.5 / col("n_lang")))
       .withColumn("gate", least(lit(10000L),

@@ -23,8 +23,11 @@ object TextAnalysis {
 
   private def tokensCol: Column = split(col("text"), " ")
 
+  // value carries its registry id so eviction unregisters the model —
+  // the registry stays bounded by the memo, never a JVM-lifetime leak
   private val bpeModels =
-    new graft.util.BoundedMemo[(Int, String), graft.functions.Bpe.Model](4, _ => ())
+    new graft.util.BoundedMemo[(Int, String), (String, graft.functions.Bpe.Model)](
+      4, { case (id, _) => graft.functions.Bpe.unregister(id) })
 
   /** Real BPE token counts under a tokenizer TRAINED ON THIS CORPUS
     * (rows-only — a learned vocabulary isn't SQL-expressible; BpeSpec
@@ -37,11 +40,14 @@ object TextAnalysis {
     * gap is what whitespace budgeting would mis-size packs by.
     */
   def qBpeTokens(t: Tables): DataFrame = {
-    val id = s"__graft_corpus_${t.sfDir.hashCode}"
-    bpeModels.getOrBuild((System.identityHashCode(t.spark), t.sfDir)) {
+    // id carries the FULL corpus path (not a 32-bit hashCode that can
+    // collide across corpora and silently cross-wire vocabularies)
+    val (id, _) = bpeModels.getOrBuild((System.identityHashCode(t.spark), t.sfDir)) {
+      val freshId =
+        s"__graft_corpus_${System.identityHashCode(t.spark)}_${t.sfDir}"
       val m = graft.functions.Bpe.trainOn(t.documents)
-      graft.functions.Bpe.register(id, m)
-      m
+      graft.functions.Bpe.register(freshId, m)
+      (freshId, m)
     }
     t.documents.select(col("doc_id"),
         graft.functions.Bpe.tokenCount(id, col("text")).as("n_bpe"),

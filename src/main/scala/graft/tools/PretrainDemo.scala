@@ -38,14 +38,20 @@ object PretrainDemo {
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
 
     // 3. deterministic training order + fixed-budget packing over the
-    //    final roster — budgeted by the REAL tokenizer (corpus-trained
-    //    BPE), not whitespace counts
+    //    FINAL roster (gated ∩ mixed — a doc the filters dropped must
+    //    not appear in a pack) — budgeted by the REAL tokenizer
+    //    (corpus-trained BPE), not whitespace counts
     graft.functions.Bpe.register("demo-bpe", graft.functions.Bpe.trainOn(t.documents))
     val packs = Pretrain.packSequences(
-      t.documents.select(col("doc_id"),
+      mixed.select(col("doc_id"),
         graft.functions.Bpe.tokenCount("demo-bpe", col("text")).cast("long").as("tokens")),
       budget = 512L)
-    val order = Pretrain.qShuffleOrder(t)
+    // training order: total-order sort by the portable hash — range
+    // partitioning gives globally sorted output files, the practical
+    // form of the contract query's explicit rank assignment
+    val order = mixed.select(col("doc_id"), col("hv"))
+      .repartitionByRange(col("hv"), col("doc_id"))
+      .sortWithinPartitions("hv", "doc_id")
 
     mixed.select("doc_id", "lang").write.mode("overwrite")
       .parquet(s"$outDir/roster")
@@ -56,8 +62,9 @@ object PretrainDemo {
     val nGated = gated.count()
     val nMixed = spark.read.parquet(s"$outDir/roster").count()
     val nPacks = spark.read.parquet(s"$outDir/packs").count()
+    val corpusJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =
-      s"""{"corpus":"$sfDir","n_docs":$nDocs,"kept_by_model":$nGated,
+      s"""{"corpus":"$corpusJson","n_docs":$nDocs,"kept_by_model":$nGated,
          |"kept_by_mixture":$nMixed,"n_packs":$nPacks,"pack_budget":512}"""
         .stripMargin.replaceAll("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "manifest.json"),
