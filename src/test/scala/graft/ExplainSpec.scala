@@ -93,6 +93,34 @@ class ExplainSpec extends SparkSpecBase {
       s"no partial sketch aggregation:\n$plan")
   }
 
+  test("chunking is shuffle-free until the final presentation sort") {
+    val plan = planOf(graft.operators.Pretrain.qChunkDocs(tables))
+    // split→slice→rejoin is per-row work: the ONLY exchange allowed is
+    // the orderBy's range partitioning
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking shuffled before the sort: $exchanges\n${plan.take(600)}")
+  }
+
+  test("packing's corpus-side windows are partitioned; mixture gate broadcasts") {
+    val pack = planOf(graft.operators.Pretrain.qPackSequences(tables))
+    // exactly one unpartitioned window may exist — over the tiny block
+    // roster; the corpus-side running sum must be keyed by block
+    assert(pack.contains("windowspecdefinition(block"),
+      s"corpus window lost its block partitioning:\n${pack.take(800)}")
+    val mix = planOf(graft.operators.Pretrain.qDomainMix(tables))
+    assert(mix.contains("BroadcastHashJoin"),
+      s"mixture gate did not broadcast the rates:\n${mix.take(800)}")
+  }
+
+  test("hash_embed and bpe-adjacent expressions stay codegen'd") {
+    val df = tables.documents.select(
+      graft.functions.GraftFunctions.hashEmbed(col("text"), 64).as("e"))
+    val plan = planOf(df)
+    assert(plan.contains("*(") && plan.contains("hash_embed"),
+      s"hash_embed fell out of codegen:\n$plan")
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
