@@ -29,6 +29,39 @@ class AnnSpec extends SparkSpecBase {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("hash-embedded text vectors feed the IVF index unchanged with useful recall") {
+    import org.apache.spark.sql.functions._
+    // the scale path claimed for q_text_ann: same vectors, same index
+    val vecs = tables.documents
+      .select(col("doc_id").as("vec_id"),
+        graft.functions.GraftFunctions.hashEmbed(col("text"), 64).as("embedding"))
+      .filter(graft.functions.GraftFunctions.normF(col("embedding")) > 0)
+    val index = graft.operators.IvfIndex.build(vecs, cells = 8, iters = 2)
+    try {
+      val queries = Seq(1L, 2L, 3L, 10L, 20L)
+      val q = vecs.filter(col("vec_id").isin(queries: _*))
+      val ivf = graft.operators.Similarity.ivfProbe(index, q, k = 10, nprobe = 3)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (qi, rs) => qi -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      // brute-force truth over the same text vectors
+      val bf = vecs.as("c").crossJoin(broadcast(
+          q.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 10).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (qi, rs) => qi -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      val recalls = bf.map { case (qi, truth) =>
+        ivf.getOrElse(qi, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.3, s"text-vector IVF recall $mean")
+    } finally index.unpersist()
+  }
+
   test("text ANN: a planted copy is its source's nearest neighbor at cosine 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
