@@ -104,6 +104,38 @@ class PretrainSpec extends SparkSpecBase {
     }
   }
 
+  test("packing matches an in-memory reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val budget = Seq(8L, 32L, 512L)(trial - 1)
+      val docs = (0 until 500).map { _ =>
+        (math.abs(rnd.nextLong()) % 100000L, rnd.nextInt(200).toLong)
+      }.distinctBy(_._1)
+      val got = Pretrain.packSequences(docs.toDF("doc_id", "tokens"), budget)
+        .collect()
+        .map(r => r.getAs[Long]("pack_id") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+      // sequential reference: walk docs in id order, spill across packs
+      val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      var pos = 0L
+      docs.sortBy(_._1).foreach { case (_, tokens) =>
+        if (tokens > 0) {
+          var off = 0L
+          while (off < tokens) {
+            val pack = (pos + off) / budget
+            val in = math.min(budget - (pos + off) % budget, tokens - off)
+            val (d, t) = expect.getOrElse(pack, (0L, 0L))
+            expect(pack) = (d + 1, t + in)
+            off += in
+          }
+          pos += tokens
+        }
+      }
+      assert(got == expect.toMap, s"trial $trial budget $budget")
+    }
+  }
+
   test("domain mix hits its target mixture where unconstrained") {
     val rows = Pretrain.qDomainMix(tables).collect()
       .map(r => r.getAs[String]("lang") ->
