@@ -61,6 +61,13 @@ final class MaterializedView private (
   private val dupNames = (groupCols ++ aggs.map(_.alias))
     .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
   require(dupNames.isEmpty, s"duplicate output column(s): ${dupNames.mkString(", ")}")
+  // internal partial-state columns are __-prefixed; a group column
+  // carrying that prefix could collide with them (e.g. a group column
+  // literally named __min_price vs Min(...,"price")'s state) — reject
+  // up front instead of failing deep inside a refresh union
+  require(groupCols.forall(!_.startsWith("__")),
+    s"group columns must not start with '__' (reserved for internal state): " +
+      groupCols.filter(_.startsWith("__")).mkString(", "))
 
   private val state = VersionedTable(spark, viewDir)
   private val source = VersionedTable(spark, sourceDir)
@@ -101,9 +108,14 @@ final class MaterializedView private (
 
   // ---- public API ----------------------------------------------------
 
-  /** Source version the current state covers (0 = never refreshed). */
+  /** Source version the current state covers (0 = never refreshed).
+    * Reads the manifest-chain epoch, NOT the monotonic stream mark: a
+    * restore of the state table rewinds coverage with the content, so
+    * the next refresh re-pulls the rewound-away source versions
+    * instead of silently skipping them.
+    */
   def coveredSourceVersion: Int =
-    state.lastCommittedEpoch.map(_.toInt).getOrElse(0)
+    state.contentEpoch.map(_.toInt).getOrElse(0)
 
   def stateVersion: Int = state.currentVersion
 
@@ -157,8 +169,12 @@ final class MaterializedView private (
           if (delta.isEmpty) state.read()
           else mergeStates(state.read(), partial(delta))
         } catch {
-          // rewriting commit inside the window — recompute from snapshot
-          case _: IllegalStateException => partial(source.read(srcV))
+          // the CDF's typed resync signal (rewriting commit in the
+          // window / vacuum horizon) — recompute from the snapshot.
+          // Deliberately NOT bare IllegalStateException: an unrelated
+          // ISE (stopped context) must surface, not silently trigger
+          // an O(base) recompute that fails later anyway
+          case _: VersionedTable.ResyncRequired => partial(source.read(srcV))
         }
     // the epoch field rides in the SAME atomic commit as the state, so
     // coverage can never drift from content (vacuum keeps it durable

@@ -138,9 +138,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val v = if (version == -1) currentVersion else version
     require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
     val m = manifest(v)
-    val fs = manifestFiles(m).map(rel => s"$dir/$rel")
-    if (fs.nonEmpty) readFiles(m, manifestFiles(m))
-    else emptySnapshot(m)
+    val rels = manifestFiles(m)
+    if (rels.nonEmpty) readFiles(m, rels) else emptySnapshot(m)
   }
 
   /** Snapshot read with file-level data skipping: the result is
@@ -206,7 +205,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private def writeFiles(df: DataFrame): (String, Seq[String]) = {
     val sub = s"files-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$dir/$sub")
+    // a failed write job (executor error, upsert's null-key raise_error
+    // firing mid-write, a kill) must not orphan its partial output:
+    // only the commit-conflict path cleaned up before, so every other
+    // failure grew the table directory forever — vacuum can't reclaim
+    // files no manifest ever referenced
+    try df.write.parquet(s"$dir/$sub")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try deleteTree(Paths.get(dir, sub))
+        catch { case scala.util.control.NonFatal(_) => () } // best-effort; the write error wins
+        throw e
+    }
     val s = Files.list(Paths.get(dir, sub))
     try {
       import scala.jdk.CollectionConverters._
@@ -492,11 +502,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
       epoch: Option[Long] = None): Int = {
     val (sub, fresh) = writeFiles(df)
-    val stats = carriedStats ++ freshStats(sub, fresh, df.schema)
-    try commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        deleteTree(Paths.get(dir, sub))
+    // ANY failure past this point (stats pass, lost commit race, torn
+    // manifest write) leaves data no manifest references — reclaim it
+    // here or it leaks forever (vacuum only sees manifest-held files)
+    try {
+      val stats = carriedStats ++ freshStats(sub, fresh, df.schema)
+      commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try deleteTree(Paths.get(dir, sub))
+        catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
   }
@@ -526,7 +541,21 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (sNode == null) return
     val committed = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
     if (committed.fields.isEmpty) return
-    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    // normalize nullability RECURSIVELY: reading parquet back flips
+    // inner struct/array/map nullability, and DataType equality is
+    // deep — comparing raw types would spuriously reject round-tripped
+    // frames despite the "nullability ignored" contract above
+    def norm(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = norm(a.elementType), containsNull = true)
+      case mp: org.apache.spark.sql.types.MapType =>
+        mp.copy(keyType = norm(mp.keyType), valueType = norm(mp.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
     require(shape(committed) == shape(df.schema),
       s"$op schema mismatch for table at $dir: committed ${committed.simpleString}, " +
         s"got ${df.schema.simpleString} (use overwrite() to change a table's schema)")
@@ -646,8 +675,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(v >= 1 && v <= cur,
       s"version $v out of range (current $cur)")
     val m = manifest(v)
+    // carry the restored manifest's epoch: the new snapshot's CONTENT
+    // covers exactly what version v covered, and contentEpoch below
+    // must report that (the monotonic stream pointer never rewinds —
+    // replay protection is a separate concern from content coverage)
     commit(cur + 1, "restore", manifestFiles(m),
-      Option(m.get("schema")).map(_.asText()).orNull, manifestStats(m))
+      Option(m.get("schema")).map(_.asText()).orNull, manifestStats(m),
+      epoch = if (m.has("epoch")) Some(m.get("epoch").asLong) else None)
   }
 
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
@@ -665,11 +699,19 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * nondeterministically depending on which files the update range
     * happened to touch.
     */
-  def merge(updates: DataFrame, key: String): Int = {
+  def merge(updates0: DataFrame, key: String): Int = {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
-    requireSchemaMatch(updates, m, "merge")
+    requireSchemaMatch(updates0, m, "merge")
+    // the pruning-bounds job and the rewrite below MUST see one
+    // evaluation of the caller's frame: a non-deterministic input
+    // (sample/rand/unordered limit) re-evaluating differently would
+    // compute bounds from keys the rewrite never sees, so a carried
+    // (pruned) file could keep a stale row for a key the second
+    // evaluation updates. localCheckpoint pins it — and makes the
+    // bounds job a cache read instead of a second full evaluation.
+    val updates = updates0.localCheckpoint()
     val files = manifestFiles(m)
     val stats = manifestStats(m)
     val keyType = updates.schema(key).dataType
@@ -702,13 +744,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * files — unlike merge, no null raise exists to preserve) and NULL
     * delete keys delete nothing.
     */
-  def delete(keys: DataFrame, key: String): Int = {
+  def delete(keys0: DataFrame, key: String): Int = {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
     val files = manifestFiles(m)
     val stats = manifestStats(m)
     val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    // same single-evaluation pin as merge: bounds and anti-join must
+    // agree on the delete set even for non-deterministic frames
+    val keys = keys0.localCheckpoint()
     val keyType = keys.schema(key).dataType
     // Pruning compares the delete set's bounds against per-file stats
     // recorded in the COMMITTED column's domain. If the caller's key
@@ -793,7 +838,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         // does.
         def clusterKey(c: String): Column = base.schema(c).dataType match {
           case StringType =>
-            conv(hex(substring(col(c).cast("binary"), 1, 4)), 16, 10).cast("long")
+            // LEFT-aligned 4-byte prefix: a short string shifts its
+            // bytes to the top ("z" → 0x7A000000), preserving UTF-8
+            // byte order against longer strings — the unshifted int
+            // would rank "z" (0x7A) below "bbbb" (0x62626262)
+            org.apache.spark.sql.functions.expr(
+              s"shiftleft(cast(conv(hex(substring(cast(`$c` AS binary), 1, 4)), 16, 10) AS bigint), " +
+                s"(4 - least(length(substring(cast(`$c` AS binary), 1, 4)), 4)) * 8)")
           case _: NumericType => col(c)
           case other => throw new IllegalArgumentException(
             s"compact clusterBy needs a numeric or string column, $c is ${other.simpleString}")
@@ -854,6 +905,31 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     (walk.toSeq ++ pointerEpoch.toSeq).maxOption
   }
 
+  /** Epoch recorded by the CURRENT manifest chain — content coverage,
+    * NOT the monotonic stream high-water: a restore rewinds this to
+    * the restored version's carried epoch (or clears it when the
+    * restored state predates any epoch), where [[lastCommittedEpoch]]
+    * deliberately never rewinds (replay protection). Incremental
+    * consumers asking "what source version does this CONTENT cover"
+    * (MaterializedView) must read this one — reading the monotonic
+    * mark across a restore would skip the rewound-away source rows
+    * forever.
+    */
+  def contentEpoch: Option[Long] = {
+    var v = currentVersion
+    while (v > 0) {
+      val m =
+        try manifest(v)
+        catch { case _: java.io.IOException => return None } // below the vacuum horizon
+      if (m.has("epoch")) return Some(m.get("epoch").asLong)
+      // a restore without an epoch rewound to pre-coverage content —
+      // walking past it would resurrect the pre-restore coverage
+      if (Option(m.get("op")).exists(_.asText() == "restore")) return None
+      v -= 1
+    }
+    None
+  }
+
   /** Epoch-idempotent streaming append — the foreachBatch contract:
     * Structured Streaming re-delivers a batch after a crash with the
     * SAME epoch id, so the commit is keyed by it. An epoch at or below
@@ -863,24 +939,32 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * monotonic per query, which is what makes ≤ a replay test.
     */
   def appendEpoch(df: DataFrame, epochId: Long): Option[Int] = {
-    if (lastCommittedEpoch.exists(_ >= epochId)) return None
-    val prev = currentVersion
-    val (existing, exStats) =
-      if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
-      else {
-        val m = manifest(prev)
-        requireSchemaMatch(df, m, "stream-append")
-        (manifestFiles(m), manifestStats(m))
+    var attempt = 0
+    while (true) {
+      if (lastCommittedEpoch.exists(_ >= epochId)) return None
+      val prev = currentVersion
+      val (existing, exStats) =
+        if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode])
+        else {
+          val m = manifest(prev)
+          requireSchemaMatch(df, m, "stream-append")
+          (manifestFiles(m), manifestStats(m))
+        }
+      try return Some(commitData(prev + 1, "stream-append", df, existing, exStats,
+        epoch = Some(epochId)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a racing commit took our version. A duplicate delivery of
+          // this epoch is absorbed (top of loop); any OTHER commit —
+          // a maintenance compact, a concurrent batch append — is a
+          // commutable race: retry on the fresh snapshot like blind
+          // append does, instead of failing (and replaying) the whole
+          // micro-batch over a routine maintenance collision
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
       }
-    try Some(commitData(prev + 1, "stream-append", df, existing, exStats,
-      epoch = Some(epochId)))
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        // a racing commit took our version; if that commit (or any
-        // newer one) already carries this epoch, this was a duplicate
-        // attempt — absorb it. A genuinely foreign conflict surfaces.
-        if (lastCommittedEpoch.exists(_ >= epochId)) None else throw e
     }
+    None // unreachable
   }
 
   /** Incremental consumption (change-data-feed, append-only form):
@@ -911,23 +995,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       try manifest(v)
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
+          throw new VersionedTable.ResyncRequired(
             s"version $v of $dir is below the vacuum horizon; re-read the snapshot")
       }
     val mCur = readManifest(cur)
     if (sinceVersion == cur) return emptySnapshot(mCur)
-    def checkOp(v: Int, m: JsonNode): Unit = {
-      val op = m.path("op").asText("")
-      if (op != "append" && op != "stream-append")
-        throw new IllegalStateException(
-          s"cannot read appends across version $v ($op rewrites files); " +
-            "re-read the snapshot instead")
-    }
-    ((sinceVersion + 1) until cur).foreach(v => checkOp(v, readManifest(v)))
-    checkOp(cur, mCur)
     val baseFiles =
       if (sinceVersion == 0) Set.empty[String]
       else manifestFiles(readManifest(sinceVersion)).toSet
+    // a rewriting op that left the file list IDENTICAL (empty MERGE,
+    // all-pruned DELETE, restore-to-parent) changed zero rows — it
+    // must not force every incremental consumer into an O(base)
+    // resync; only a commit that actually moved the file set does
+    var prevFiles = baseFiles
+    ((sinceVersion + 1) to cur).foreach { v =>
+      val m = if (v == cur) mCur else readManifest(v)
+      val op = m.path("op").asText("")
+      val fs = manifestFiles(m).toSet
+      if (op != "append" && op != "stream-append" && fs != prevFiles)
+        throw new VersionedTable.ResyncRequired(
+          s"cannot read appends across version $v ($op rewrites files); " +
+            "re-read the snapshot instead")
+      prevFiles = fs
+    }
     val fresh = manifestFiles(mCur).filterNot(baseFiles)
     if (fresh.isEmpty) emptySnapshot(mCur)
     else readFiles(mCur, fresh)
@@ -1025,6 +1115,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
 }
 
 object VersionedTable {
+
+  /** The CDF resync signal: `readAppendsSince` cannot answer with a
+    * file diff (rewriting commit in the window, or the window fell
+    * below the vacuum horizon) — re-read the snapshot. A SUBTYPE of
+    * IllegalStateException so it stays catch-compatible, but typed so
+    * consumers don't misread an unrelated ISE (stopped context,
+    * library bug) as "please recompute from scratch".
+    */
+  final class ResyncRequired(msg: String) extends IllegalStateException(msg)
 
   /** Checkpoint cadence: every Nth commit duplicates the manifest and
     * bumps `_last_checkpoint`. Delta uses 10; manifests here are

@@ -54,6 +54,33 @@ class MaterializedViewSpec extends SparkSpecBase {
     assert(viewRows(mv) == fullAgg(src.read()))
   }
 
+  test("restoring the state table rewinds coverage with the content") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("b", 10L)).toDF("grp", "v"))
+    mv.refresh()
+    val goodStateV = mv.stateVersion
+    val goodCovered = mv.coveredSourceVersion
+    src.append(Seq(("a", 5L), ("c", 7L)).toDF("grp", "v"))
+    mv.refresh()
+    // operator undoes the second refresh (bad batch, say) by restoring
+    // the STATE table — coverage must rewind to what that content
+    // covered, or the next refresh would skip source versions forever
+    VersionedTable(spark, viewDir).restore(goodStateV)
+    assert(mv.coveredSourceVersion == goodCovered,
+      s"coverage ${mv.coveredSourceVersion} did not rewind to $goodCovered")
+    // a further source append + refresh must reproduce the FULL
+    // aggregate — nothing from the rewound window may be lost
+    src.append(Seq(("b", 2L), ("d", -4L)).toDF("grp", "v"))
+    mv.refresh()
+    assert(viewRows(mv) == fullAgg(src.read()))
+    // the stream high-water mark deliberately does NOT rewind
+    assert(VersionedTable(spark, viewDir).lastCommittedEpoch
+      .exists(_ >= src.currentVersion - 1))
+  }
+
   test("refresh is a no-op when the source hasn't moved") {
     import spark.implicits._
     val (srcDir, viewDir) = dirs()
