@@ -28,7 +28,7 @@ object Bpe {
     // per-word encode cache: corpora repeat words massively and eval
     // is per-row; bounded by wipe-on-overflow (executor-local, a pure
     // memo — losing it costs recompute only)
-    @transient private lazy val memo = new ConcurrentHashMap[String, Int]()
+    @transient private lazy val memo = new ConcurrentHashMap[String, java.lang.Integer]()
 
     private def encodeWord(word: String): Int = {
       var symbols = word.map(_.toString).toBuffer
@@ -55,22 +55,19 @@ object Bpe {
     /** BPE token count of a whitespace-tokenized text. */
     def countTokens(text: String): Int = {
       var total = 0
-      var i = 0
-      val n = text.length
-      while (i < n) {
-        while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
-        val start = i
-        while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-        if (i > start) {
-          val w = text.substring(start, i)
-          // bound check only on INSERT (inside the mapping fn): a
-          // CHM.size() per token would traverse counter cells on
-          // every hit in the per-row hot path
-          total += memo.computeIfAbsent(w, key => {
+      HashImpl.foreachToken(text) { w =>
+        // get-first keeps the hot (hit) path lock- and size()-free;
+        // the bound check runs only on misses and OUTSIDE the map's
+        // mapping function (CHM forbids mutating the map from inside
+        // computeIfAbsent — a clear() there can deadlock two bins)
+        val cached = memo.get(w)
+        total += (if (cached != null) cached.intValue()
+          else {
             if (memo.size > 65536) memo.clear()
-            encodeWord(key)
+            val v = encodeWord(w)
+            memo.put(w, Int.box(v))
+            v
           })
-        }
       }
       total
     }

@@ -20,9 +20,13 @@ final class CentroidAgg(dim: Int)
   override def zero: CentroidAgg.Buf = CentroidAgg.Buf(new Array[Double](dim), 0L)
 
   override def reduce(b: CentroidAgg.Buf, v: Array[Float]): CentroidAgg.Buf = {
-    val n = math.min(dim, v.length)
+    // a short vector would silently zero-pad its tail while still
+    // counting in the denominator, shrinking the centroid toward 0
+    // with nothing ever surfacing the schema drift — reject it
+    require(v.length == dim,
+      s"CentroidAgg($dim) got a ${v.length}-dim vector; mixed dimensions bias the mean")
     var i = 0
-    while (i < n) { b.sums(i) += v(i); i += 1 }
+    while (i < dim) { b.sums(i) += v(i); i += 1 }
     CentroidAgg.Buf(b.sums, b.n + 1)
   }
 

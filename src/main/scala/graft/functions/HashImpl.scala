@@ -107,6 +107,22 @@ object HashImpl {
     mix64(h)
   }
 
+  /** One definition of "whitespace token" for every substring-needing
+    * consumer (hashEmbed, BPE counting) — a token-boundary change must
+    * not silently diverge between them. [[tokenCount]] keeps its own
+    * substring-free loop (same boundaries, hot path, zero allocation).
+    */
+  def foreachToken(s: String)(f: String => Unit): Unit = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) f(s.substring(start, i))
+    }
+  }
+
   /** Number of whitespace-separated tokens (runs of non-whitespace). */
   def tokenCount(text: UTF8String): Int = {
     val s = text.toString
@@ -138,17 +154,10 @@ object HashImpl {
     require(dim > 0, s"hash_embed dim must be positive, got $dim")
     val s = text.toString
     val v = new Array[Float](dim)
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) {
-        val h = hash64(s.substring(start, i))
-        val idx = (((h % dim) + dim) % dim).toInt
-        v(idx) += (if (((h >>> 62) & 1L) == 1L) 1f else -1f)
-      }
+    foreachToken(s) { tok =>
+      val h = hash64(tok)
+      val idx = (((h % dim) + dim) % dim).toInt
+      v(idx) += (if (((h >>> 62) & 1L) == 1L) 1f else -1f)
     }
     var norm = 0.0
     var j = 0
@@ -190,6 +199,10 @@ object HashImpl {
     * stays cheap inside whole-stage codegen.
     */
   def bloomContains(bloom: Array[Byte], h: Long): Boolean = {
+    // SQL-reachable: a truncated/corrupt blob must fail with a clear
+    // argument error, not an index/zero-division crash inside codegen
+    require(bloom.length > 4,
+      s"bloom filter blob too short (${bloom.length} bytes; needs 4-byte header + bits)")
     val k = ((bloom(0) & 0xff) << 24) | ((bloom(1) & 0xff) << 16) |
       ((bloom(2) & 0xff) << 8) | (bloom(3) & 0xff)
     val numBits = (bloom.length - 4).toLong * 8L

@@ -133,7 +133,10 @@ object EventStreams {
     * up with no change to the streaming plan.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    // no broadcast hint: the engine broadcasts when the dim fits the
+    // threshold and falls back to a shuffled join when it doesn't — a
+    // forced hint would OOM on a dimension too big to collect
+    events.join(dim, Seq(key), "left")
 
   /** Stateful gap sessionization via flatMapGroupsWithState: one state
     * record per active user. With `idleFlushMs > 0` (default 2× the
@@ -141,14 +144,19 @@ object EventStreams {
     * open sessions — state stays O(active users) and a user who stops
     * sending still gets their final session emitted. Pass
     * `idleFlushMs <= 0` to disable (deterministic tests: pending
-    * timers keep `processAllAvailable` from quiescing).
+    * timers keep `processAllAvailable` from quiescing). The default
+    * derives from gapSec directly — no sentinel value exists, so no
+    * negative number secretly re-enables the timer.
     * The streaming twin of operators.Sessionize.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
-      idleFlushMs: Long = -2)
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
+      (implicit spark: SparkSession): Dataset[SessionOut] =
+    sessionize(events, gapSec, gapSec * 2000)
+
+  def sessionize(events: Dataset[Event], gapSec: Long, idleFlushMs: Long)
       (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    val flushMs = if (idleFlushMs == -2) gapSec * 2000 else idleFlushMs
+    val flushMs = idleFlushMs
     val timeoutConf = if (flushMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events
@@ -168,7 +176,12 @@ object EventStreams {
               val sec = e.ts.getTime / 1000
               cur match {
                 case Some(s) if sec - s.last <= gapSec =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                  // a LATE cross-batch event (sec < last) merges but
+                  // must not move the session window backward: keep
+                  // last/start monotone or durations go negative and
+                  // the next gap is measured from the wrong edge
+                  cur = Some(s.copy(start = math.min(s.start, sec),
+                    last = math.max(s.last, sec), n = s.n + 1))
                 case Some(s) =>
                   out += SessionOut(userId, s.n, s.last - s.start)
                   cur = Some(SessionState(sec, sec, 1))

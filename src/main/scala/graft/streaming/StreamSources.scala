@@ -45,7 +45,15 @@ final class MemoryStreamSource[A: Encoder](spark: SparkSession)
     spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
   private val stream = MemoryStream[A]
   def add(rows: A*): Unit = { stream.addData(rows); () }
-  def readStream(spark: SparkSession): DataFrame = stream.toDF()
+  def readStream(spark: SparkSession): DataFrame = {
+    // a MemoryStream is bound to its construction session and cannot
+    // serve another one — reject the mismatch instead of silently
+    // returning a frame running under different session state
+    require(spark eq this.spark,
+      "MemoryStreamSource is bound to the session it was constructed with; " +
+        "construct one per session")
+    stream.toDF()
+  }
 }
 
 /** Kafka-shaped source: the exact reader plan a production deployment

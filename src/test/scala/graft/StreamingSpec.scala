@@ -57,6 +57,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a late cross-batch event merges without moving the session window backward") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 600, idleFlushMs = -1)
+      .writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: session edge at t=10min
+      input.addData(Event(1, ts(10), 9, "click", 0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at t=5min (inside the gap) merges; the
+      // window must stay [5,10], not rewind its right edge to 5
+      input.addData(Event(2, ts(5), 9, "click", 0))
+      q.processAllAvailable()
+      // batch 3: t=18min is within 600s of the TRUE edge (10min) —
+      // with a rewound edge (5min) the gap would be 780s and this
+      // would wrongly close the session
+      input.addData(Event(3, ts(18), 9, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_late_test").count() == 0, "session wrongly split")
+      // 2h later: flush — duration spans the late left edge to 18min
+      input.addData(Event(4, ts(150), 9, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late_test").as[EventStreams.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 3 && closed.head.dur_sec == 780,
+        closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a dimension without watermarks or state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
