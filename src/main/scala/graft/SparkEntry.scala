@@ -176,11 +176,11 @@ object SparkEntry {
       |  ))) AS shingle FROM d),
       |bench AS (
       |  SELECT DISTINCT shingle, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0)
-      |SELECT s.doc_id, count(*) AS n_hits,
+      |SELECT s.doc_id, count(DISTINCT shingle) AS n_hits,
       |       count(DISTINCT bench.bench_id) AS n_bench_docs
       |FROM s JOIN bench USING (shingle)
       |WHERE s.doc_id % 50 <> 0
-      |GROUP BY s.doc_id HAVING count(*) >= 2
+      |GROUP BY s.doc_id HAVING count(DISTINCT shingle) >= 2
       |ORDER BY s.doc_id""".stripMargin
 
   /** The near-dup pair table + transitive closure, shared by
@@ -937,9 +937,10 @@ object SparkEntry {
         |  FROM documents d JOIN rates r USING (lang)
         |  WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 10000 < r.gate
         |  GROUP BY d.lang)
-        |SELECT r.lang, r.n_lang, s.n_sampled,
+        |SELECT r.lang, r.n_lang,
+        |       cast(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
-        |FROM rates r JOIN sampled s USING (lang)
+        |FROM rates r LEFT JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
     // PSI drift monitor: per-bin contributions quantized to integer
     // 1e-8ths so the floating sum is order-independent
@@ -979,7 +980,8 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, cast(i AS INT) AS chunk_idx,
         |         list_slice(w, i * 48 + 1, i * 48 + 64) AS cw
-        |  FROM docs, unnest(range(0, cast(ceil(len(w) / 48.0) AS BIGINT))) AS r(i)
+        |  FROM docs, unnest(range(0, greatest(1,
+        |    cast(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1))) AS r(i)
         |  WHERE len(w) > 0)
         |SELECT doc_id, chunk_idx,
         |       cast(len(cw) AS INT) AS n_tokens,

@@ -32,7 +32,12 @@ object AsofJoin {
     val clash = left.columns.toSet.intersect((internal ++ outCols).toSet)
     require(clash.isEmpty, s"left columns collide with asofJoin internals: $clash")
     val pStruct = struct(col(time).as("_t") +: payload.map(col): _*)
-    val r = right.select(col(key), col(time), pStruct.as("__graft_p"))
+    // a NULL-time right row can never satisfy `right.time <= left.time`
+    // — unfiltered it would sort FIRST (nulls-first asc) and become a
+    // phantom match for every left row with no true predecessor
+    // (asof_time null yet payload populated)
+    val r = right.filter(col(time).isNotNull)
+      .select(col(key), col(time), pStruct.as("__graft_p"))
       .withColumn("__graft_side", lit(0))
     val l = left.withColumn("__graft_side", lit(1))
       .withColumn("__graft_p", lit(null).cast(r.schema("__graft_p").dataType))

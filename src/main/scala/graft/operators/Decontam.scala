@@ -35,7 +35,11 @@ object Decontam {
     shingles(corpus, k)
       .join(broadcast(benchShingles), "shingle")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"),
+      // n_hits = DISTINCT shared k-grams ("shares >= minHits k-grams
+      // with the benchmark SET"): one k-gram appearing in two bench
+      // docs is still ONE shared k-gram — the pair dimension is what
+      // n_bench_docs reports
+      .agg(countDistinct(col("shingle")).as("n_hits"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .filter(col("n_hits") >= minHits)
       .orderBy("doc_id")
@@ -77,7 +81,7 @@ object Decontam {
         lit(bloom), xxhash64(col("shingle"))))
       .join(broadcast(benchShingles), "shingle")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"),
+      .agg(countDistinct(col("shingle")).as("n_hits"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .filter(col("n_hits") >= minHits)
       .orderBy("doc_id")

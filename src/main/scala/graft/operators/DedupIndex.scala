@@ -101,7 +101,10 @@ object DedupIndex {
       .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("dup_of"),
         col("x.sig").as("sig_x"), col("y.sig").as("sig_y"))
       .dropDuplicates("doc_id", "dup_of")
-      .withColumn("est_jaccard", round(
+      // Rnd.round, NOT functions.round: qMinhashLsh rounds the same
+      // estimator with the engine-portable formula, and the two paths
+      // must agree at .xx5 boundaries (non-power-of-two numHashes)
+      .withColumn("est_jaccard", Rnd.round(
         size(filter(zip_with(col("sig_x"), col("sig_y"), (a, b) => a === b),
           x => x)).cast("double") / p.numHashes, 2))
       .filter(col("est_jaccard") >= p.threshold)

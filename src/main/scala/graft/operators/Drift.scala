@@ -46,10 +46,12 @@ object Drift {
     val counts = refBins.withColumn("win", lit(0))
       .unionByName(curBins.withColumn("win", lit(1)))
     val byBin = counts.groupBy("event_type", "win", "bin").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("event_type", "win").agg(count(lit(1)).as("n"))
+    // totals and the grid derive from the TINY byBin aggregate — the
+    // row-scale input is scanned exactly once, as the doc promises
+    val totals = byBin.groupBy("event_type", "win").agg(sum("c").as("n"))
     // every (type, bin) cell must exist — an empty bin is drift
     // evidence, not a missing row
-    val grid = counts.select("event_type").distinct()
+    val grid = byBin.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(0), lit(bins - 1))).as("bin"))
     val ref = byBin.filter(col("win") === 0)
       .select(col("event_type"), col("bin"), col("c").as("c_ref"))

@@ -59,7 +59,7 @@ object NbFilter {
     * the double math mirrors the oracle so both engines quantize the
     * same values.
     */
-  private def fit(t: Tables): (DataFrame, DataFrame) = {
+  private def fit(t: Tables): (DataFrame, DataFrame, DataFrame) = {
     val lab = labeled(t)
     val tr = occ(t).join(lab.filter(isTrain), "doc_id")
     val counts = tr.groupBy("tok")
@@ -77,7 +77,7 @@ object NbFilter {
         quant(log(col("t0") + col("v")) - log(col("t1") + col("v"))).as("w0"),
         quant(log(col("n1") + lit(1).cast("double"))
           - log(col("n0") + lit(1).cast("double"))).as("prior_q"))
-    (wts, consts)
+    (wts, consts, lab)
   }
 
   /** Train on even doc_ids, score odd ones; emit the holdout confusion
@@ -85,8 +85,10 @@ object NbFilter {
     * smoothed zero-count weight `w0`.
     */
   def qNbFilter(t: Tables): DataFrame = {
-    val (wts, consts) = fit(t)
-    val scored = occ(t).join(labeled(t).filter(col("doc_id") % 2 === 1), "doc_id")
+    // fit hands back its labeled frame: rebuilding it here would run
+    // the stop-ratio scan and the train-median job a second time
+    val (wts, consts, lab) = fit(t)
+    val scored = occ(t).join(lab.filter(col("doc_id") % 2 === 1), "doc_id")
       .join(wts, Seq("tok"), "left")
       .crossJoin(broadcast(consts))
       .withColumn("wv", coalesce(col("w"), col("w0")))
@@ -116,7 +118,7 @@ object NbFilter {
   final case class Model(weights: Map[String, Long], w0: Long, priorQ: Long)
 
   def trainModel(t: Tables): Model = {
-    val (wts, consts) = fit(t)
+    val (wts, consts, _) = fit(t)
     val c = consts.collect().head
     Model(
       wts.collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("w")).toMap,

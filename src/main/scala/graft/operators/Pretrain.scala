@@ -122,8 +122,12 @@ object Pretrain {
     * needs: split each document into windows of `window` tokens every
     * `stride` tokens (overlap = window − stride keeps context across
     * cuts). Pure array ops per row (split → slice → rejoin), no
-    * shuffle at all until a consumer aggregates; trailing windows may
-    * be short (kept — dropping them loses tail tokens). Fully
+    * shuffle at all until a consumer aggregates; the final window may
+    * be short (kept — dropping it loses tail tokens), but a window
+    * whose tokens are ENTIRELY inside the previous one is never
+    * emitted: chunk count is 1 for docs ≤ window, else
+    * ceil((n−window)/stride)+1 — the last start is the first offset
+    * whose window reaches the final token, no redundant tail. Fully
     * oracle-able: the chunk texts themselves are compared.
     */
   def qChunkDocs(t: Tables, window: Int = 64, stride: Int = 48): DataFrame = {
@@ -133,7 +137,7 @@ object Pretrain {
       .filter(size(col("w")) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0),
-          expr(s"cast(ceil(size(w) / ${stride}.0) AS INT) - 1"))).as("chunk_idx"),
+          expr(s"greatest(1, cast(ceil((size(w) - $window) / ${stride}.0) AS INT) + 1) - 1"))).as("chunk_idx"),
         col("w"))
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"size(slice(w, chunk_idx * $stride + 1, $window))").as("n_tokens"),
@@ -177,8 +181,11 @@ object Pretrain {
     val sampled = docs.join(broadcast(rates.select("lang", "gate")), "lang")
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    rates.select("lang", "n_lang", "gate").join(sampled, "lang")
-      .select(col("lang"), col("n_lang"), col("n_sampled"),
+    // LEFT join: a weighted language whose gate admitted zero docs
+    // must report n_sampled=0, not vanish from the mixture report
+    rates.select("lang", "n_lang", "gate").join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         Rnd.round(col("gate") / 10000.0, 4).as("rate"))
       .orderBy("lang")
   }

@@ -289,17 +289,28 @@ object Relational {
   /** Explicit GROUPING SETS (distinct from rollup/cube): exactly the
     * named groupings in one pass, via the SQL surface.
     */
+  /** View name unique per (session, corpus): the shared-session
+    * service model runs concurrent requests over DIFFERENT corpora,
+    * and a fixed name would let request B's registration swap the
+    * table out from under request A's un-analyzed SQL — silent
+    * wrong-corpus results. (__graft_-prefixed so user views survive.)
+    */
+  private def corpusView(t: Tables, base: String, df: DataFrame): String = {
+    val name = s"${base}_${System.identityHashCode(t.spark)}_" +
+      t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    df.createOrReplaceTempView(name)
+    name
+  }
+
   def qGroupingSets(t: Tables): DataFrame = {
-    // __graft_-prefixed view: in the shared-session service model a
-    // generic name would silently clobber a user-registered view
-    t.lineitem.createOrReplaceTempView("__graft_gs_lineitem")
+    val v = corpusView(t, "__graft_gs_lineitem", t.lineitem)
     t.spark.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |       coalesce(l_linestatus, 'ALL') AS ls,
-        |       count(*) AS cnt
-        |FROM __graft_gs_lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin)
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |       coalesce(l_linestatus, 'ALL') AS ls,
+         |       count(*) AS cnt
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
   }
 
   /** ntile quartiles of customers by account balance + per-quartile
@@ -466,21 +477,21 @@ object Relational {
     */
   def qSqlCte(t: Tables): DataFrame = {
     // register only what the query touches (registerAll reads 10
-    // parquet footers; the service path registers on demand);
-    // __graft_-prefixed so a user view named "orders" survives
-    t.orders.createOrReplaceTempView("__graft_cte_orders")
-    t.customer.createOrReplaceTempView("__graft_cte_customer")
+    // parquet footers; the service path registers on demand); names
+    // are per-(session, corpus) — see corpusView
+    val vo = corpusView(t, "__graft_cte_orders", t.orders)
+    val vc = corpusView(t, "__graft_cte_customer", t.customer)
     t.spark.sql(
-      """WITH spend AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS total
-        |  FROM __graft_cte_orders GROUP BY o_custkey
-        |)
-        |SELECT c_mktsegment,
-        |       count(*) AS n_cust,
-        |       round(avg(total), 2) AS avg_spend
-        |FROM __graft_cte_customer JOIN spend ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin)
+      s"""WITH spend AS (
+         |  SELECT o_custkey, sum(o_totalprice) AS total
+         |  FROM $vo GROUP BY o_custkey
+         |)
+         |SELECT c_mktsegment,
+         |       count(*) AS n_cust,
+         |       round(avg(total), 2) AS avg_spend
+         |FROM $vc JOIN spend ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
   }
 
   /** Conditional distinct counts: distinct customers per order status

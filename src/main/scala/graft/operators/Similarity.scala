@@ -105,6 +105,14 @@ object Similarity {
     */
   def qAnnLsh(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10, bits: Int = 8, dim: Int = 64): DataFrame = {
+    // the hyperplane width must match the data: VecImpl.dot iterates
+    // min(lengths), so a too-small `dim` would sign every plane from a
+    // vector PREFIX — buckets go near-random and recall silently
+    // collapses instead of erroring
+    val actual = t.embeddings.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    require(actual.forall(_ == dim),
+      s"lsh dim $dim != embedding width ${actual.getOrElse(-1)}")
     val e = t.embeddings.withColumn("bucket", lshBucket(col("embedding"), bits, dim))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
