@@ -99,28 +99,34 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
       // otherwise finished jobs (and their cached rows) linger until
       // some later completion happens to sweep them
       try {
-        if (job.cancelRequested.get) job.state.set(Failed("cancelled before start"))
+        // every terminal transition is a CAS from Running: cancel()
+        // itself CASes to Failed("cancelled") the moment the client is
+        // told, so a completion racing the cancel can never overwrite
+        // it — "you cancelled it but it completed anyway" stays
+        // impossible no matter how the flag check interleaves
+        if (job.cancelRequested.get)
+          job.state.compareAndSet(Running, Failed("cancelled before start"))
         else {
           val sc = service.spark.sparkContext
           sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
           try {
             val rows = service.sqlJson(query, math.min(limit, maxRows))
-            // a cancel that raced completion wins — the client was told
-            // "cancelled", the result must not surface as done
-            if (job.cancelRequested.get) job.state.set(Failed("cancelled"))
-            else job.state.set(Done(rows))
+            if (job.cancelRequested.get)
+              job.state.compareAndSet(Running, Failed("cancelled"))
+            else job.state.compareAndSet(Running, Done(rows))
           }
           catch {
-            // set a terminal state for EVERY throwable — a fatal error
-            // escaping with the job still Running would pin an admission
-            // slot forever; fatal ones still propagate after recording
+            // record a terminal state for EVERY throwable — a fatal
+            // error escaping with the job still Running would pin an
+            // admission slot forever; fatal ones propagate after
             case t: Throwable =>
-              job.state.set(Failed(
+              job.state.compareAndSet(Running, Failed(
                 if (job.cancelRequested.get) s"cancelled: $t" else t.toString))
               if (!scala.util.control.NonFatal(t)) throw t
           }
           finally sc.clearJobGroup()
         }
+        ()
       } finally evictBeyondRetention()
     } catch {
       case e: RejectedExecutionException =>
@@ -161,6 +167,10 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     Option(jobs.get(id)).foreach { j =>
       j.cancelRequested.set(true)
       cancelledGroups.add(s"graft-async-$id")
+      // the decisive step: once this CAS lands (job was Running), the
+      // outcome IS cancelled — a completion racing us finds the state
+      // taken and its CAS fails, so the result never surfaces as done
+      j.state.compareAndSet(Running, Failed("cancelled"))
       ()
     }
     service.spark.sparkContext.cancelJobGroup(s"graft-async-$id")

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.util.control.NonFatal
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** Zero-dependency HTTP adapter over [[QueryService]] — the
@@ -67,6 +67,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   // starve /cancel — the one endpoint that must stay responsive
   // precisely then. Heavy endpoints shed load with 503 after
   // queueWaitMs instead of queueing unboundedly.
+  // the cache must honor this layer's collect bound: a cache build
+  // would otherwise pull its own (larger) default rowCap into the
+  // shared driver
+  if (service.results.cap > maxRows) service.results.cap = maxRows
+
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   private val heavy = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -76,9 +81,9 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // the cap must be SERVER-side: a client-supplied limit alone would
     // let one request collect an unbounded result into the shared
     // driver (follow next_offset for more rows)
-    val requested = if (body.has("limit")) body.get("limit").asInt else 1000
+    val requested = intArg(body, "limit", 1000)
     require(requested > 0, s"limit must be positive, got $requested")
-    val offset = if (body.has("offset")) body.get("offset").asInt else 0
+    val offset = intArg(body, "offset", 0)
     require(offset >= 0, s"offset must be non-negative, got $offset")
     val page = math.min(requested, maxRows)
     // an optional client tag scopes this request's Spark jobs into a
@@ -137,7 +142,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       (exchange.getRequestMethod, parts) match {
         case ("POST", List("query")) =>
           readBody(exchange).foreach { body =>
-            val limit = if (body.has("limit")) body.get("limit").asInt else 1000
+            val limit = intArg(body, "limit", 1000)
             require(limit > 0, s"limit must be positive, got $limit")
             val id = async.start(text(body, "query"), limit)
             reply(exchange, 200, s"""{"job":${quote(id)}}""")
@@ -168,6 +173,10 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
           async.cancel(id)
           reply(exchange, 200, s"""{"cancelled":${quote(id)}}""")
         case (m, List("query")) => reply(exchange, 405, err(s"$m not allowed"))
+        // the subpaths EXIST — a wrong method on them is 405, not 404
+        case (m, List("query", _)) => reply(exchange, 405, err(s"$m not allowed"))
+        case (m, List("query", _, "result" | "cancel")) =>
+          reply(exchange, 405, err(s"$m not allowed"))
         case _ => reply(exchange, 404, err("unknown job path"))
       }
     } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
@@ -191,13 +200,15 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     */
   private def groupFor(tag: String): String = s"graft-http-$tag"
   server.createContext("/history", gated { body =>
-    val limit = if (body.has("limit")) body.get("limit").asInt else 100
+    val limit = intArg(body, "limit", 100)
     require(limit > 0, s"limit must be positive, got $limit")
     val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
     s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
   server.createContext("/restore", gated { body =>
     require(body.has("version"), "missing field: version")
+    require(body.get("version").canConvertToInt,
+      s"version out of int range: ${body.get("version")}")
     val v = service.restoreTable(text(body, "path"), body.get("version").asInt)
     s"""{"restored_as_version":$v}"""
   })
@@ -211,6 +222,18 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     service.submit(name, text(body, "query"))
     s"""{"submitted":${quote(name)}}"""
   })
+
+  /** Bounded int body field: Jackson's asInt silently TRUNCATES long
+    * JSON numbers (offset 2^32 would become page 0), so reject
+    * anything that doesn't convert exactly.
+    */
+  private def intArg(body: JsonNode, name: String, default: Int): Int =
+    if (!body.has(name)) default
+    else {
+      val n = body.get(name)
+      require(n.canConvertToInt, s"$name out of int range: $n")
+      n.asInt
+    }
 
   private def quote(s: String): String =
     mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))

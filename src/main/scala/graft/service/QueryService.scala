@@ -47,8 +47,20 @@ final class QueryService(val spark: SparkSession) {
     * SQL OFFSET). Pages are stable only when the query itself has a
     * deterministic ORDER BY — same contract as SQL paging.
     */
-  def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] =
-    jsonRows(spark.sql(query), limit, offset)
+  def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] = {
+    val df = spark.sql(query) // commands execute eagerly here
+    // a command (CREATE/REPLACE VIEW, SET, INSERT...) can re-point
+    // names or change session semantics underneath cached entries —
+    // tell the cache so it invalidates (coarse, DDL is rare)
+    val lp = df.queryExecution.logical
+    if (lp.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        lp.find(p =>
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+            p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement])
+          .isDefined)
+      results.noteCommand()
+    jsonRows(df, limit, offset)
+  }
 
   /** The service's single DataFrame→JSON-rows contract (nulls
     * RETAINED, bounded collect) — every endpoint serializing rows goes

@@ -53,6 +53,12 @@ import graft.sources.VersionedTable
 final class ResultCache(service: QueryService, capacity: Int = 64,
     rowCap: Int = 10000) {
 
+  /** Driver-collect cap for cache builds. Mutable so an HTTP layer
+    * with a stricter `maxRows` can tighten it at startup — the cache
+    * must never collect more rows than the service's own bound.
+    */
+  @volatile var cap: Int = rowCap
+
   private final case class Entry(rows: IndexedSeq[String], complete: Boolean)
 
   private val memo = new graft.util.BoundedMemo[String, Entry](capacity, _ => ())
@@ -97,6 +103,14 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     invalidate(name)
   }
 
+  // any command executed through the service (CREATE/REPLACE VIEW,
+  // SET, INSERT...) may re-point names or change session state the
+  // fingerprints can't see — one coarse global nonce invalidates the
+  // whole cache on DDL (rare) rather than risking a stale serve
+  private val ddlNonce = new AtomicLong(0)
+
+  def noteCommand(): Unit = { ddlNonce.incrementAndGet(); () }
+
   /** Bump a name's nonce (re-register, /submit, or explicit). */
   def invalidate(name: String): Unit = {
     nonces.merge(name.toLowerCase, 1L, (a, b) => a + b)
@@ -117,26 +131,53 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
         // unparseable here → let the live path raise the real error
         return (service.sqlJson(query, limit, offset), false)
       }
+    // commands and writes are NEVER cacheable: serving INSERT/SET/DDL
+    // from cache would silently suppress the side effect the client
+    // asked for (the live path also bumps the DDL nonce — see
+    // QueryService.sqlJson)
+    if (isCommandLike(plan))
+      return (service.sqlJson(query, limit, offset), false)
     val names = referencedNames(plan)
     if (hasNondeterministic(plan) || names.exists(nondetNames.contains))
       return (service.sqlJson(query, limit, offset), false)
     // session flags that change RESULT SEMANTICS key separately: an
     // approximate-mode answer must never serve an exact-mode caller
     // (or vice versa, or across different error targets)
-    val semantics =
-      if (service.spark.conf.getOption("spark.graft.approxDistinct").contains("true"))
-        "\u0000approx@" +
-          service.spark.conf.getOption("spark.graft.approxDistinct.rsd").getOrElse("0.05")
-      else ""
+    val semantics = {
+      val approx =
+        if (service.spark.conf.getOption("spark.graft.approxDistinct").contains("true"))
+          "approx@" +
+            service.spark.conf.getOption("spark.graft.approxDistinct.rsd").getOrElse("0.05")
+        else ""
+      // the session confs that change rendered RESULTS for the same
+      // data: timezone (timestamp rendering) and ANSI mode (eval
+      // semantics) — a SET through /sql must not let old-semantics
+      // entries answer new-semantics calls
+      "\u0000tz=" +
+        service.spark.conf.getOption("spark.sql.session.timeZone").getOrElse("") +
+        "\u0000ansi=" +
+        service.spark.conf.getOption("spark.sql.ansi.enabled").getOrElse("") +
+        "\u0000ddl=" + ddlNonce.get + "\u0000" + approx
+    }
     val key = normalize(query) + "\u0000" + fingerprint(names) + semantics
     var built = false
-    val entry = memo.getOrBuild(key) {
-      built = true
-      // one extra row past the cap tells a truncated prefix apart from
-      // an exactly-cap-sized complete result
-      val rows = service.sqlJson(query, rowCap + 1, 0)
-      Entry(rows.take(rowCap).toIndexedSeq, rows.size <= rowCap)
-    }
+    val entry =
+      try memo.getOrBuild(key) {
+        built = true
+        // one extra row past the cap tells a truncated prefix apart
+        // from an exactly-cap-sized complete result
+        val c = cap
+        val rows = service.sqlJson(query, c + 1, 0)
+        Entry(rows.take(c).toIndexedSeq, rows.size <= c)
+      } catch {
+        // a WAITER inheriting another client's failed/cancelled build
+        // (shared-miss execution) runs live instead of surfacing a
+        // stranger's cancellation as its own 500; the BUILDER's own
+        // failure propagates — that query genuinely failed
+        case NonFatal(_) if !built =>
+          missCount.incrementAndGet()
+          return (service.sqlJson(query, limit, offset), false)
+      }
     if (!entry.complete && offset + limit > entry.rows.size) {
       // found but unable to serve the page — a live execution, a miss
       missCount.incrementAndGet()
@@ -148,6 +189,18 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
   }
 
   // ---- keying --------------------------------------------------------
+
+  /** Commands, DDL, and writes — anything whose EXECUTION is the
+    * point. Parser-level command plans implement Command; INSERT
+    * parses to InsertIntoStatement.
+    */
+  private def isCommandLike(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+      plan.find(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement])
+        .isDefined
 
   /** Every relation name the statement references (lowercased,
     * deduped, sorted), subqueries included. CTE names show up too —
@@ -223,7 +276,10 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
       }
       i += 1
     }
-    out.toString.stripSuffix(";")
+    // "SELECT 1 ;" flushes a pending space before the ';' — trim it so
+    // the statement shares its entry with "SELECT 1" (quoted spans are
+    // untouchable by a whitespace trim: quotes aren't whitespace)
+    out.toString.stripSuffix(";").trim
   }
 }
 

@@ -23,6 +23,30 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(!h3 && !h4, "literal case must split entries")
   }
 
+  test("commands never cache, and DDL through the service invalidates entries") {
+    val s = svc()
+    // a command with cache:true must EXECUTE both times, not serve a
+    // cached no-op
+    val (_, c1) = s.sqlJsonCached("CREATE OR REPLACE TEMP VIEW rc_ddl AS SELECT 1 AS x")
+    val (_, c2) = s.sqlJsonCached("CREATE OR REPLACE TEMP VIEW rc_ddl AS SELECT 1 AS x")
+    assert(!c1 && !c2, "commands must never be served from cache")
+    val (r1, h1) = s.sqlJsonCached("SELECT x FROM rc_ddl")
+    assert(!h1 && r1.head.contains("1"))
+    // replacing the view through the service's own front door must
+    // drop the dependent entry — x=1 may not answer for x=2
+    s.sqlJson("CREATE OR REPLACE TEMP VIEW rc_ddl AS SELECT 2 AS x")
+    val (r2, h2) = s.sqlJsonCached("SELECT x FROM rc_ddl")
+    assert(!h2 && r2.head.contains("2"), s"stale cached view read: $r2 (hit=$h2)")
+    // a session-semantics SET also splits the key space: no stale hit
+    val (_, h3) = s.sqlJsonCached("SELECT x FROM rc_ddl")
+    assert(h3, "sanity: repeat hits before the SET")
+    s.sqlJson("SET spark.sql.session.timeZone=America/New_York")
+    try {
+      val (_, h4) = s.sqlJsonCached("SELECT x FROM rc_ddl")
+      assert(!h4, "an entry cached under the old session semantics answered")
+    } finally { s.sqlJson("SET spark.sql.session.timeZone=UTC"); () }
+  }
+
   test("approx-mode sessions never share entries with exact-mode ones") {
     import spark.implicits._
     val s = svc()
