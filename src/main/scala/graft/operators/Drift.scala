@@ -21,14 +21,12 @@ import graft.sources.Tables
   */
 object Drift {
 
-  def qDrift(t: Tables, binWidth: Double = 50.0, bins: Int = 10): DataFrame = {
-    val e = t.events.select(col("event_type"),
+  def qDrift(t: Tables, binWidth: Double = 50.0, bins: Int = 10): DataFrame =
+    // win derives inline — one scan of events, not a ref/cur split
+    // that unions two scans back together
+    psiOfBinned(t.events.select(col("event_type"),
       (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 2).as("win"),
-      binCol(binWidth, bins))
-    psiOf(
-      e.filter(col("win") === 0).select("event_type", "bin"),
-      e.filter(col("win") === 1).select("event_type", "bin"), bins)
-  }
+      binCol(binWidth, bins)), bins)
 
   /** Fixed-width clamped value bin — shared by the batch query and
     * streaming gates. */
@@ -42,9 +40,11 @@ object Drift {
     * DriftSpec). Types present in only one side drop out (an inner
     * totals join): PSI needs both distributions to exist.
     */
-  def psiOf(refBins: DataFrame, curBins: DataFrame, bins: Int = 10): DataFrame = {
-    val counts = refBins.withColumn("win", lit(0))
-      .unionByName(curBins.withColumn("win", lit(1)))
+  def psiOf(refBins: DataFrame, curBins: DataFrame, bins: Int = 10): DataFrame =
+    psiOfBinned(refBins.withColumn("win", lit(0))
+      .unionByName(curBins.withColumn("win", lit(1))), bins)
+
+  private def psiOfBinned(counts: DataFrame, bins: Int): DataFrame = {
     val byBin = counts.groupBy("event_type", "win", "bin").agg(count(lit(1)).as("c"))
     // totals and the grid derive from the TINY byBin aggregate — the
     // row-scale input is scanned exactly once, as the doc promises
