@@ -19,6 +19,17 @@ import graft.sources.Tables
   */
 object Pretrain {
 
+  /** The engine-portable multiplicative hash (Knuth 2654435761 over
+    * the mod-prime-reduced id — reducing FIRST keeps the product under
+    * 2^63 for any id). ONE definition: the shuffle order, the mixture
+    * gate, and PretrainDemo must stay bit-identical or the demo's
+    * sample silently desynchronizes from the contract queries.
+    */
+  val HashPrime = 1000000007L
+
+  def portableHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((id % HashPrime) * 2654435761L) % HashPrime
+
   /** Documents-per-block for the prefix-sum block roster. At sf0.1
     * (5k docs) this yields ~20 blocks; at 100 TB with B=1e6 a 10^12-row
     * corpus still produces only 10^6 roster rows — the roster window
@@ -97,10 +108,9 @@ object Pretrain {
     * run would use ~#partitions buckets of the same hash space.
     */
   def qShuffleOrder(t: Tables): DataFrame = {
-    val prime = 1000000007L
-    val bucketWidth = prime / 64 + 1
+    val bucketWidth = HashPrime / 64 + 1
     val hashed = t.documents
-      .select(col("doc_id"), (((col("doc_id") % prime) * 2654435761L) % prime).as("hv"))
+      .select(col("doc_id"), portableHash(col("doc_id")).as("hv"))
       .withColumn("bucket", expr(s"hv div $bucketWidth"))
     val roster = hashed.groupBy("bucket").agg(count(lit(1)).as("bn"))
     val wRoster = Window.orderBy("bucket")
@@ -166,7 +176,7 @@ object Pretrain {
     */
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
-      .withColumn("hv", ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L)
+      .withColumn("hv", portableHash(col("doc_id")))
     // n_total is the WHOLE corpus — computed before the weights join,
     // so a language outside the weight table still counts toward the
     // budget base (and the oracle, which totals all languages, agrees)

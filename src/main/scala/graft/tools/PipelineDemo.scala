@@ -25,9 +25,14 @@ object PipelineDemo {
     // 1. curate: exact dedup keep-first + quality gates
     val curated = Curate.curated(t)
 
-    // 2. decontaminate: drop docs overlapping the benchmark set
+    // 2. decontaminate: drop docs overlapping the benchmark set — AND
+    //    the benchmark docs themselves (the scan's corpus side excludes
+    //    them from its REPORT, but a training corpus that still
+    //    contains the eval set is the contamination this stage exists
+    //    to remove)
     val contaminated = Decontam.qDecontaminate(t).select("doc_id")
     val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 50 =!= 0)
 
     // 3. near-dup clusters: keep ONE representative per cluster among
     //    the docs that survived steps 1-2 (picking the cluster's

@@ -27,15 +27,27 @@ object PretrainDemo {
     val gated = NbFilter.nbGate(t.documents.select("doc_id", "text", "lang"), model)
       .filter(col("keep") === 1)
 
-    // 2. mixture rebalance: the per-lang gates from the contract
-    //    query, applied to the gated survivors
-    // the contract query reports rate = gate/10000 exactly
-    val gates = Pretrain.qDomainMix(t)
-      .select(col("lang"), floor(col("rate") * 10000 + 0.5).as("gate"))
+    // 2. mixture rebalance over the GATED SURVIVORS: the gates derive
+    //    from the population they're applied to — rates computed on
+    //    the raw corpus would miss whatever the model gate removed
+    //    unevenly across languages, and the achieved mixture would
+    //    drift from the targets
+    gated.persist()
+    val nGated = gated.count()
+    val counts = gated.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total",
+        sum("n_lang").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val weights = spark.createDataFrame(Pretrain.MixWeights).toDF("lang", "weight")
+    val gates = counts.join(weights, "lang")
+      .withColumn("rate",
+        least(lit(1.0), col("weight") * col("n_total") * 0.5 / col("n_lang")))
+      .select(col("lang"),
+        least(lit(10000L), floor(col("rate") * 10000 + 0.5).cast("long")).as("gate"))
     val mixed = gated
-      .withColumn("hv", ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L)
+      .withColumn("hv", Pretrain.portableHash(col("doc_id")))
       .join(broadcast(gates), "lang")
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
+      .persist()
 
     // 3. deterministic training order + fixed-budget packing over the
     //    FINAL roster (gated ∩ mixed — a doc the filters dropped must
@@ -59,9 +71,10 @@ object PretrainDemo {
     order.write.mode("overwrite").parquet(s"$outDir/order")
 
     val nDocs = t.documents.count()
-    val nGated = gated.count()
     val nMixed = spark.read.parquet(s"$outDir/roster").count()
     val nPacks = spark.read.parquet(s"$outDir/packs").count()
+    gated.unpersist()
+    mixed.unpersist()
     val corpusJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =
       s"""{"corpus":"$corpusJson","n_docs":$nDocs,"kept_by_model":$nGated,

@@ -1,29 +1,22 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import graft.engine.GraftSession
 
-import graft.sources.Tables
-
-/** Ad-hoc plan/profiling entry (not part of the driver contract).
-  * `SPARK_GRAFT_EXPLAIN=q_name,q_name` prints executed plans;
-  * otherwise times each named query.
+/** Ad-hoc plan inspector (not part of the driver contract): prints the
+  * EXECUTED plan (post-AQE, what actually ran) for each query named in
+  * `SPARK_GRAFT_EXPLAIN=q_name,q_name` or on the command line.
+  * For repeat timings use [[TimeQ]].
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    val spark = GraftSession.getOrCreate()
 
-    val names = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "").split(",")
+    val names = (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "").split(",").toSeq ++ args)
       .map(_.trim).filter(_.nonEmpty)
+    if (names.isEmpty)
+      println(s"usage: Scratch <query...> (or SPARK_GRAFT_EXPLAIN=a,b); " +
+        s"known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()

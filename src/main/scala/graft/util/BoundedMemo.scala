@@ -41,8 +41,17 @@ final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
 
     def maybeRelease(): Unit =
       if (evicted.get && task.isDone && released.compareAndSet(false, true)) {
-        // a failed build holds no resources to release
-        try onEvict(task.get()) catch { case _: ExecutionException => () }
+        // a failed build holds no resources to release; and a FAILING
+        // onEvict (unpersist on a stopped context, say) must never
+        // propagate — eviction runs inside the map lock during put(),
+        // and an escaping throw there would leave the just-inserted
+        // cell's FutureTask permanently un-run: every later caller of
+        // that key would block forever on a task nobody will execute
+        try onEvict(task.get())
+        catch {
+          case _: ExecutionException => ()
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
   }
 
