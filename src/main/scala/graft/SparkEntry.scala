@@ -107,6 +107,7 @@ object SparkEntry {
     "q_drift" -> ((s, d) => graft.operators.Drift.qDrift(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
+    "q_hard_negatives" -> ((s, d) => Similarity.qHardNegatives(t(s, d))),
     // rows-only: the hash-embedding is a custom expression
     "q_text_ann" -> ((s, d) => Similarity.qTextAnn(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
+    "q_filter_cascade" -> ((s, d) => Curate.qFilterCascade(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
     "q_decontaminate_bloom" -> ((s, d) => Decontam.qDecontaminateBloom(t(s, d))),
@@ -742,6 +744,23 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, vec_id, cos, rk FROM r
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // the band tests the rounded score in both engines, so the
+    // lo/hi boundary decisions agree bit-for-bit
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)) * 10000 + 0.5) / 10000 AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s WHERE cos >= 0.15 AND cos < 0.30)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q_cosine_pairs" ->
       """WITH s AS (
         |  SELECT x.label AS label, x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -861,6 +880,27 @@ object SparkEntry {
         | floor((avg(stop_ratio)) * 100 + 0.5) / 100 AS avg_stop_ratio
         |FROM c WHERE n_tokens >= 20 AND stop_ratio >= 0.01
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // all-integer comparisons (ratios cross-multiplied), so the
+    // first-failing-rule attribution is engine-exact
+    "q_filter_cascade" ->
+      """WITH s AS (
+        |  SELECT CASE
+        |    WHEN n_chars < 100 THEN 1
+        |    WHEN lang <> 'en' THEN 2
+        |    WHEN 25 * len(list_filter(string_split(text, ' '),
+        |                  x -> x = 'the' OR x = 'a'))
+        |         < len(string_split(text, ' ')) THEN 3
+        |    WHEN 2 * (len(string_split(text, ' '))
+        |              - len(list_distinct(string_split(text, ' '))))
+        |         > len(string_split(text, ' ')) THEN 4
+        |    ELSE 5 END AS stage
+        |  FROM documents)
+        |SELECT cast(stage AS INTEGER) AS stage,
+        |  CASE stage WHEN 1 THEN 'short' WHEN 2 THEN 'other_lang'
+        |    WHEN 3 THEN 'low_stopword' WHEN 4 THEN 'repetitive'
+        |    ELSE 'pass' END AS rule,
+        |  cast(count(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // bit-identical by construction: the Bloom stage only pre-filters,
     // the exact-confirm join restores exact semantics — so the bloom

@@ -44,4 +44,40 @@ object Curate {
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         round(avg("stop_ratio"), 2).as("avg_stop_ratio"))
       .orderBy("lang", "source")
+
+  /** Rule-cascade drop attribution — the curation observability card
+    * (RefinedWeb/Dolma-style filter reports): every document is
+    * attributed to the FIRST rule that rejects it, so the counts
+    * answer "what does each gate actually cost" and the stages sum
+    * back to the corpus size by construction. Cascade order for an
+    * English-targeting run: length floor → language routing → C4
+    * stopword-density gate → Gopher repetition gate → pass.
+    *
+    * Every threshold is an integer cross-multiplied comparison
+    * (ratio < 1/25 becomes 25·n_stop < n_tok) — no float arithmetic
+    * anywhere, so the attribution is engine-exact and the oracle
+    * matches bit-for-bit. One pruned scan → one 5-row hash agg;
+    * per-doc work is a few array ops, nothing shuffles but the
+    * 5-group partial agg. At 100 TB this is the same plan.
+    */
+  def qFilterCascade(t: Tables): DataFrame = {
+    val stops = TextAnalysis.stopwords
+    val w = split(col("text"), " ")
+    val nTok = size(w)
+    val nStop = size(filter(w, x => x.isin(stops.map(lit): _*)))
+    val nDist = size(array_distinct(w))
+    val stage = when(col("n_chars") < 100, 1)
+      .when(col("lang") =!= "en", 2)
+      .when(nStop * 25 < nTok, 3)
+      .when((nTok - nDist) * 2 > nTok, 4)
+      .otherwise(5)
+    val rules = array(Seq("short", "other_lang", "low_stopword",
+      "repetitive", "pass").map(lit): _*)
+    t.documents
+      .select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+      .select(col("stage"), element_at(rules, col("stage")).as("rule"),
+        col("n_docs"))
+      .orderBy("stage")
+  }
 }

@@ -79,6 +79,36 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR
+    * recipe, Karpukhin '20): for each query, the top-k most-similar
+    * candidates INSIDE a similarity band — close enough to be hard
+    * (cos ≥ lo, well above the corpus's ~0 random-pair floor) but
+    * capped below the positive/duplicate region (cos < hi) so
+    * paraphrases and near-dups can't leak into the negative set. The
+    * band tests the ROUNDED score, so the boundary decision is
+    * engine-exact. Same broadcast-score shape as [[qAnnBruteforce]];
+    * at corpus scale candidates come from the IVF index instead
+    * (probe first, band-filter after — the band is a post-probe
+    * projection either way), so mining cost follows the index's
+    * nprobe/k corpus fraction, not the full scan.
+    */
+  def qHardNegatives(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, lo: Double = 0.15, hi: Double = 0.30): DataFrame = {
+    val e = t.embeddings
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   def qAnnBruteforce(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10): DataFrame = {
     val e = t.embeddings

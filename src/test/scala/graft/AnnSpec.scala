@@ -178,6 +178,26 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("hard negatives stay inside the band and agree with brute-force scores") {
+    val rows = Similarity.qHardNegatives(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.15 && c < 0.30, s"cos $c escaped the [0.15, 0.30) band")
+      assert(r.getAs[Int]("rk") <= 10)
+    }
+    // the mined negatives are exactly the band slice of the full
+    // ranking: no candidate above the cap may appear, and any
+    // brute-force top-k hit inside the band must be mined first
+    val brute = Similarity.qAnnBruteforce(tables, k = 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(brute.get(key).forall(_ == r.getAs[Double]("cos")))
+    }
+  }
+
   test("minhash LSH candidates include the exact-jaccard near-dups") {
     // q_ngram_jaccard(threshold 0.6) pairs should mostly surface in the
     // minhash-LSH candidate set at matching shingle size.

@@ -26,4 +26,21 @@ class CurateSpec extends SparkSpecBase {
     val stats = Curate.qCurate(tables).agg(sum("n_docs")).head().getLong(0)
     assert(stats == Curate.curated(tables).count())
   }
+
+  test("filter cascade: stages partition the corpus and attribute first-failure only") {
+    val rows = Curate.qFilterCascade(tables).collect()
+    // every doc lands in exactly one stage → counts sum to the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == tables.documents.count())
+    // stage ids and rule names stay aligned (the literal-array lookup)
+    val byStage = rows.map(r => r.getAs[Int]("stage") -> r.getAs[String]("rule")).toMap
+    assert(byStage.get(1).forall(_ == "short") && byStage.get(5).forall(_ == "pass"))
+    // first-match semantics: a short non-English doc counts as "short",
+    // never "other_lang" — so other_lang must contain no doc under the
+    // length floor. Checked against the raw corpus: every non-en doc
+    // at >= 100 chars is exactly the other_lang bucket.
+    val nonEnLong = tables.documents
+      .filter(col("lang") =!= "en" && col("n_chars") >= 100).count()
+    assert(byStage.contains(2) && rows.find(_.getAs[Int]("stage") == 2)
+      .get.getAs[Long]("n_docs") == nonEnLong)
+  }
 }

@@ -14,6 +14,7 @@ class PlanAuditSpec extends SparkSpecBase {
   private val intentionalCross = Set(
     "q_scalar_subquery", // 1-row global avg
     "q_ann_bruteforce",  // 3-row query set
+    "q_hard_negatives",  // same 3-row query set, band-filtered
     "q_text_ann",        // 3-row hash-embedded query set
     "q_ann_ivf",         // k-row centroid table
     "q_semdedup",        // same k-row centroid table (index-build lineage)
