@@ -87,6 +87,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
+    "q_dedup_keep_best" -> ((s, d) => Dedup.qDedupKeepBest(t(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
     // rows-only: incremental ingest over the persisted LSH band index
     "q_dedup_ingest" -> ((s, d) => graft.operators.DedupIndex.qDedupIngest(t(s, d))),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
+    "q_dsir_select" -> ((s, d) => Pretrain.qDsirSelect(t(s, d))),
     "q_chunk_docs" -> ((s, d) => Pretrain.qChunkDocs(t(s, d))),
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
     "q_lm_score" -> ((s, d) => graft.operators.LmScore.qLmScore(t(s, d))),
@@ -708,6 +710,22 @@ object SparkEntry {
         |SELECT l.doc_id AS dropped_id, l.cluster_id AS keeper_id, sz.cluster_size
         |FROM labels l JOIN sz USING (cluster_id)
         |WHERE l.doc_id <> l.cluster_id ORDER BY dropped_id""".stripMargin),
+    // keeper = longest doc per cluster (ties → lowest doc_id): a
+    // window over the same CC labels, integer keys throughout
+    "q_dedup_keep_best" ->
+      (dupReachCte +
+        """,
+        |labels AS (SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        |           FROM reach GROUP BY src),
+        |j AS (SELECT l.doc_id, l.cluster_id, d.n_chars,
+        |        cast(row_number() OVER (PARTITION BY l.cluster_id
+        |          ORDER BY d.n_chars DESC, l.doc_id) AS INTEGER) AS rk
+        |      FROM labels l JOIN documents d USING (doc_id)),
+        |k AS (SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_chars
+        |      FROM j WHERE rk = 1)
+        |SELECT j.doc_id AS dropped_id, k.keeper_id, k.keeper_chars
+        |FROM j JOIN k USING (cluster_id)
+        |WHERE j.rk <> 1 ORDER BY dropped_id""".stripMargin),
     "q_embed_neardup" ->
       """SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
         | floor((list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
@@ -982,6 +1000,30 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r LEFT JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    // DSIR selection: per-token log-ratios quantized to integer
+    // millionths (identical doubles in both engines), doc scores are
+    // integer sums, top-k deterministic via (score desc, doc_id)
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |raw AS (SELECT tok, cast(count(*) AS BIGINT) AS rc FROM toks GROUP BY tok),
+        |tgt AS (SELECT tok, cast(count(*) AS BIGINT) AS tc
+        |        FROM toks WHERE lang = 'en' GROUP BY tok),
+        |m AS (SELECT r.tok, r.rc, cast(coalesce(t.tc, 0) AS BIGINT) AS tc
+        |      FROM raw r LEFT JOIN tgt t USING (tok)),
+        |scal AS (SELECT cast(sum(tc) AS BIGINT) AS tn,
+        |                cast(sum(rc - tc) AS BIGINT) AS cn,
+        |                cast(count(*) AS BIGINT) AS v FROM m),
+        |wts AS (
+        |  SELECT m.tok, cast(floor((ln(m.tc + 1) - ln(s.tn + s.v)
+        |      - (ln(m.rc - m.tc + 1) - ln(s.cn + s.v))) * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM m, scal s)
+        |SELECT o.doc_id, cast(sum(w.w) AS BIGINT) AS score_q
+        |FROM toks o JOIN wts w USING (tok)
+        |GROUP BY o.doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin,
     // PSI drift monitor: per-bin contributions quantized to integer
     // 1e-8ths so the floating sum is order-independent
     "q_drift" ->

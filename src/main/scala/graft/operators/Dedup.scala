@@ -343,6 +343,33 @@ object Dedup {
       .orderBy("dropped_id")
   }
 
+  /** Quality-priority near-dup removal: the production form of
+    * [[qDedupNear]] — per cluster keep the BEST document rather than
+    * the lowest id. "Best" here is longest text (n_chars, the common
+    * keep-the-fullest-copy heuristic when near-dups are truncations
+    * or snippets of one canonical page); ties break on lowest doc_id
+    * so the keeper is total-order deterministic. Any scalar quality
+    * key (model score, source rank) drops in by swapping the ORDER
+    * BY. Cost over qDedupNear is one window over the label table —
+    * |docs-in-any-pair| rows, far smaller than the corpus — and the
+    * n_chars join prunes `documents` to two columns.
+    */
+  def qDedupKeepBest(t: Tables, threshold: Double = 0.6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = corpusDupLabels(t, threshold)
+      .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("_rk", row_number().over(w))
+    val keepers = ranked.filter(col("_rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_chars").as("keeper_chars"))
+    ranked.filter(col("_rk") =!= 1)
+      .join(keepers, "cluster_id")
+      .select(col("doc_id").as("dropped_id"), col("keeper_id"),
+        col("keeper_chars"))
+      .orderBy("dropped_id")
+  }
+
   /** Embedding-cosine near-dup, label-blocked: pairs are generated
     * within a blocking key (label here; at 100 TB an LSH bucket or
     * coarse quantizer cell) so the self-join shuffles on the block key

@@ -174,6 +174,64 @@ object Pretrain {
     * of corpus size. Rates are quantized to 1/10000 so the DuckDB
     * oracle reproduces the gate bit-for-bit.
     */
+  /** DSIR-style importance scores (Xie '23, "Data Selection for
+    * Language Models via Importance Resampling"): rank documents by
+    * how much their token distribution resembles a TARGET slice.
+    * Because the target here is a SUBSET of the corpus, the weights
+    * contrast target vs complement (the discriminative form — the
+    * paper's target-vs-raw ratio degenerates when target ⊆ raw: the
+    * smoothing-denominator gap hands every rare token a positive
+    * weight regardless of where it occurs): per token,
+    * `ln p_target(tok) - ln p_complement(tok)` under add-one
+    * smoothing over the shared vocabulary. Training is two
+    * token-count hash aggs + one scalar row; scoring is one join
+    * over exploded tokens + an integer sum — each log-ratio is
+    * quantized to integer millionths (the NbFilter/LmScore trick) so
+    * document scores are order-independent sums both engines
+    * reproduce exactly. At 100 TB the vocabulary bounds via DSIR's
+    * hashed n-gram features (swap `tok` for a hash bucket); the plan
+    * shape is unchanged.
+    *
+    * `corpusToks` = (doc_id, tok) one row per occurrence;
+    * `targetIds` = the doc_ids defining the target distribution.
+    */
+  def dsirScores(corpusToks: DataFrame, targetIds: DataFrame): DataFrame = {
+    val Q = 1000000L
+    def quant(x: org.apache.spark.sql.Column) = floor(x * Q + 0.5).cast("long")
+    val tgtToks = corpusToks.join(targetIds, "doc_id")
+    val raw = corpusToks.groupBy("tok").agg(count(lit(1)).as("rc"))
+    val tgt = tgtToks.groupBy("tok").agg(count(lit(1)).as("tc"))
+    val m = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val scal = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
+      count(lit(1)).as("v"))
+    // parenthesization mirrors the oracle: identical doubles quantize
+    // to identical integers
+    val wts = m.crossJoin(broadcast(scal))
+      .select(col("tok"), quant(
+        log(col("tc") + 1) - log(col("tn") + col("v"))
+          - (log(col("rc") - col("tc") + 1) - log(col("cn") + col("v")))).as("w"))
+    corpusToks.join(wts, "tok")
+      .groupBy("doc_id").agg(sum("w").as("score_q"))
+  }
+
+  /** The contract form of [[dsirScores]]: target = the English slice
+    * of `documents`, top-k by (score desc, doc_id) as a TakeOrdered —
+    * no global window. (On the driver's synthetic corpus every
+    * language shares one token distribution, so this query pins
+    * engine-exactness; PretrainSpec plants a genuinely skewed target
+    * to prove the ranking actually recovers distribution match.)
+    */
+  def qDsirSelect(t: Tables, k: Int = 25): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+    dsirScores(toks.select("doc_id", "tok"),
+        t.documents.filter(col("lang") === "en").select("doc_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
       .withColumn("hv", portableHash(col("doc_id")))

@@ -40,4 +40,30 @@ class DupClusterSpec extends SparkSpecBase {
       assert(members.keys.min == cid)
     }
   }
+
+  test("keep-best picks the longest member per cluster and drops the rest") {
+    val chars = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = Dedup.qDupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val best = Dedup.qDedupKeepBest(tables).collect()
+      .map(r => (r.getAs[Long]("dropped_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("keeper_chars")))
+    assert(best.nonEmpty)
+    val dropped = best.map(_._1).toSet
+    best.foreach { case (d, k, kc) =>
+      // the keeper is the deterministic argmax (n_chars desc, doc_id
+      // asc) of the dropped doc's own cluster, and is never dropped
+      val cluster = members.values.find(_.contains(d)).get
+      assert(cluster.contains(k) && !dropped.contains(k))
+      val expect = cluster.toSeq.map(id => (chars(id), id))
+        .sortBy { case (c, id) => (-c, id) }.head._2
+      assert(k == expect, s"cluster of $d kept $k, expected $expect")
+      assert(kc == chars(k))
+    }
+    // every non-keeper cluster member is dropped exactly once
+    assert(dropped.size == best.length)
+    assert(members.values.map(_.size - 1).sum == best.length)
+  }
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_resample",        // |types| x 24 grid
     "q_ntile_scaled",    // 1-row quartile cut points
     "q_nb_filter",       // 1-row label median + 1-row model scalars
+    "q_dsir_select",     // 1-row vocab/total scalars
     "q_lm_score"         // 1-row vocab scalar
   )
 

@@ -158,4 +158,39 @@ class PretrainSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("DSIR scores recover distribution match on a planted target") {
+    // the driver corpus draws every language from ONE token
+    // distribution, so plant the signal instead: "code" docs use a
+    // disjoint-leaning vocabulary, "prose" docs another; the target
+    // is a code subset, and prose docs padded with shared filler must
+    // rank strictly below every code doc
+    import spark.implicits._
+    val code = Seq("def", "class", "return", "import", "val")
+    val prose = Seq("once", "upon", "time", "story", "king")
+    val shared = Seq("the", "of")
+    def doc(id: Long, words: Seq[String], reps: Int) =
+      (id, (Seq.fill(reps)(words).flatten ++ shared).mkString(" "))
+    val docs = ((0L until 10L).map(i => doc(i, code, 3 + (i % 3).toInt)) ++
+      (10L until 20L).map(i => doc(i, prose, 3 + (i % 3).toInt))).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+    val target = Seq(0L, 1L, 2L, 3L).toDF("doc_id") // a code subset
+    val scores = Pretrain.dsirScores(toks, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    val worstCode = (0L until 10L).map(scores).min
+    val bestProse = (10L until 20L).map(scores).max
+    assert(worstCode > bestProse,
+      s"code floor $worstCode not above prose ceiling $bestProse")
+  }
+
+  test("DSIR contract query is deterministic, descending, and exactly k rows") {
+    val rows = Pretrain.qDsirSelect(tables).collect()
+    assert(rows.length == 25)
+    val scores = rows.map(_.getAs[Long]("score_q"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
+    val again = Pretrain.qDsirSelect(tables).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
