@@ -17,6 +17,14 @@ object Decontam {
     df.select(col("doc_id"),
       explode(graft.functions.GraftFunctions.wordShingles(col("text"), k)).as("shingle"))
 
+  /** The stand-in benchmark membership rule (every 50th doc) — ONE
+    * definition, shared by both scan variants, their oracles'
+    * `% 50` literals, and PipelineDemo's training-corpus exclusion;
+    * swap in a real benchmark id table here and every consumer
+    * follows.
+    */
+  def isBench: org.apache.spark.sql.Column = col("doc_id") % 50 === 0
+
   /** Corpus documents sharing ≥ `minHits` word-k-grams with the
     * benchmark set (stand-in: every 50th doc). The benchmark shingle
     * table is tiny relative to the corpus → broadcast inner join, so
@@ -27,10 +35,10 @@ object Decontam {
   def qDecontaminate(t: Tables, k: Int = 5, minHits: Int = 2): DataFrame = {
     // filter BEFORE repartition: the ~2% benchmark side must not drag
     // a full-corpus shuffle behind it
-    val bench = t.documents.filter(col("doc_id") % 50 === 0)
+    val bench = t.documents.filter(isBench)
     val benchShingles = shingles(bench, k)
       .select(col("shingle"), col("doc_id").as("bench_id")).distinct()
-    val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
+    val corpus = t.documents.filter(!isBench)
       .repartition(col("doc_id"))
     shingles(corpus, k)
       .join(broadcast(benchShingles), "shingle")
@@ -66,7 +74,7 @@ object Decontam {
   def qDecontaminateBloom(t: Tables, k: Int = 5, minHits: Int = 2,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val bench = t.documents.filter(col("doc_id") % 50 === 0)
+    val bench = t.documents.filter(isBench)
     val benchShingles = shingles(bench, k)
       .select(col("shingle"), col("doc_id").as("bench_id")).distinct()
     // two tiny jobs over the small side only: size the filter, fill it
@@ -74,7 +82,7 @@ object Decontam {
     val bloom = benchShingles
       .select(xxhash64(col("shingle")).as("h")).as[Long](Encoders.scalaLong)
       .select(new graft.functions.BloomAgg(n, fpp).toColumn).head()
-    val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
+    val corpus = t.documents.filter(!isBench)
       .repartition(col("doc_id"))
     shingles(corpus, k)
       .filter(graft.functions.GraftFunctions.bloomContains(

@@ -161,19 +161,6 @@ object Pretrain {
   val MixWeights: Seq[(String, Double)] =
     Seq("en" -> 0.50, "de" -> 0.20, "es" -> 0.15, "fr" -> 0.10, "zh" -> 0.05)
 
-  /** Domain-mixture rebalancing: given target weights per language and
-    * a global budget (half the corpus), derive each language's
-    * sampling rate `min(1, weight·target/count)` and take a
-    * deterministic mod-hash sample at that rate — the declarative,
-    * reproducible form of "sample the corpus to a target mixture".
-    * The gate hashes the id first (the same portable multiplicative
-    * hash as [[qShuffleOrder]]) so sequential/clustered ids still
-    * sample uniformly. Only per-language counts (a handful of rows)
-    * leave the aggregation; the corpus-scale pass is a broadcast join
-    * plus a pushed-down filter, so the plan is one shuffle regardless
-    * of corpus size. Rates are quantized to 1/10000 so the DuckDB
-    * oracle reproduces the gate bit-for-bit.
-    */
   /** DSIR-style importance scores (Xie '23, "Data Selection for
     * Language Models via Importance Resampling"): rank documents by
     * how much their token distribution resembles a TARGET slice.
@@ -183,8 +170,10 @@ object Pretrain {
     * smoothing-denominator gap hands every rare token a positive
     * weight regardless of where it occurs): per token,
     * `ln p_target(tok) - ln p_complement(tok)` under add-one
-    * smoothing over the shared vocabulary. Training is two
-    * token-count hash aggs + one scalar row; scoring is one join
+    * smoothing over the shared vocabulary. Training is ONE
+    * token-count hash agg (each occurrence flagged by target
+    * membership, so raw and target counts come out of the same pass)
+    * + one scalar row; scoring is one join
     * over exploded tokens + an integer sum — each log-ratio is
     * quantized to integer millionths (the NbFilter/LmScore trick) so
     * document scores are order-independent sums both engines
@@ -198,11 +187,10 @@ object Pretrain {
   def dsirScores(corpusToks: DataFrame, targetIds: DataFrame): DataFrame = {
     val Q = 1000000L
     def quant(x: org.apache.spark.sql.Column) = floor(x * Q + 0.5).cast("long")
-    val tgtToks = corpusToks.join(targetIds, "doc_id")
-    val raw = corpusToks.groupBy("tok").agg(count(lit(1)).as("rc"))
-    val tgt = tgtToks.groupBy("tok").agg(count(lit(1)).as("tc"))
-    val m = raw.join(tgt, Seq("tok"), "left")
-      .select(col("tok"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val m = corpusToks
+      .join(targetIds.withColumn("_tgt", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("tok").agg(count(lit(1)).as("rc"),
+        sum(coalesce(col("_tgt"), lit(0L))).as("tc"))
     val scal = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
       count(lit(1)).as("v"))
     // parenthesization mirrors the oracle: identical doubles quantize
@@ -232,6 +220,37 @@ object Pretrain {
       .limit(k)
   }
 
+  /** Per-language mod-hash gates from a (lang, n_lang, n_total) count
+    * frame: rate = min(1, weight·n_total·budgetFrac/n_lang), quantized
+    * to 1/10000 so a DuckDB oracle reproduces the gate bit-for-bit.
+    * ONE definition shared by [[qDomainMix]] and PretrainDemo (they
+    * derive gates from different populations — raw corpus vs gated
+    * survivors — but must apply the same formula): the same
+    * anti-desync rule as [[portableHash]].
+    */
+  def mixGates(counts: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    val weights = counts.sparkSession.createDataFrame(MixWeights)
+      .toDF("lang", "weight")
+    counts.join(weights, "lang")
+      .withColumn("rate",
+        least(lit(1.0), col("weight") * col("n_total") * budgetFrac / col("n_lang")))
+      .withColumn("gate", least(lit(10000L),
+        floor(col("rate") * 10000 + 0.5).cast("long")))
+  }
+
+  /** Domain-mixture rebalancing: given target weights per language and
+    * a global budget (half the corpus), derive each language's
+    * sampling rate `min(1, weight·target/count)` and take a
+    * deterministic mod-hash sample at that rate — the declarative,
+    * reproducible form of "sample the corpus to a target mixture".
+    * The gate hashes the id first (the same portable multiplicative
+    * hash as [[qShuffleOrder]]) so sequential/clustered ids still
+    * sample uniformly. Only per-language counts (a handful of rows)
+    * leave the aggregation; the corpus-scale pass is a broadcast join
+    * plus a pushed-down filter, so the plan is one shuffle regardless
+    * of corpus size. Rates are quantized to 1/10000 so the DuckDB
+    * oracle reproduces the gate bit-for-bit.
+    */
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
       .withColumn("hv", portableHash(col("doc_id")))
@@ -240,12 +259,7 @@ object Pretrain {
     // budget base (and the oracle, which totals all languages, agrees)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       .withColumn("n_total", sum("n_lang").over(Window.partitionBy()))
-    val weights = t.spark.createDataFrame(MixWeights).toDF("lang", "weight")
-    val rates = counts.join(weights, "lang")
-      .withColumn("rate",
-        least(lit(1.0), col("weight") * col("n_total") * 0.5 / col("n_lang")))
-      .withColumn("gate", least(lit(10000L),
-        floor(col("rate") * 10000 + 0.5).cast("long")))
+    val rates = mixGates(counts)
     val sampled = docs.join(broadcast(rates.select("lang", "gate")), "lang")
       .filter(pmod(col("hv"), lit(10000L)) < col("gate"))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))

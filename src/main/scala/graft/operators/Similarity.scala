@@ -48,10 +48,6 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  /** Brute-force cosine top-k for a small query set. Queries broadcast
-    * (3 rows); each of n vectors is scored once; row_number over the
-    * rounded score gives a deterministic, engine-independent ranking.
-    */
   /** ANN over RAW TEXT with no trained state: hash-embed every
     * document (signed feature hashing, unit-normalized, one codegen'd
     * pass) and rank by cosine — the bridge that runs the whole
@@ -79,6 +75,33 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** (query_id, vec_id, cos rounded 4dp) for every (query, corpus)
+    * pair — queries broadcast, self-pairs excluded. ONE definition
+    * driving [[qAnnBruteforce]] and [[qHardNegatives]]: any scoring
+    * change (rounding scale, self-pair rule) must hit both, or the
+    * mined negatives silently disagree with the full ranking.
+    */
+  private def scoredPairs(e: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+  }
+
+  /** Deterministic per-query top-k over a scored pair frame:
+    * WindowGroupLimit keeps the rank a per-partition heap, ties break
+    * on vec_id.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+
   /** Hard-negative mining for retrieval/embedding training (the DPR
     * recipe, Karpukhin '20): for each query, the top-k most-similar
     * candidates INSIDE a similarity band — close enough to be hard
@@ -93,38 +116,17 @@ object Similarity {
     * nprobe/k corpus fraction, not the full scan.
     */
   def qHardNegatives(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
-      k: Int = 10, lo: Double = 0.15, hi: Double = 0.30): DataFrame = {
-    val e = t.embeddings
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
-      .filter(col("cos") >= lo && col("cos") < hi)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select("query_id", "vec_id", "cos", "rk")
-      .orderBy("query_id", "rk")
-  }
+      k: Int = 10, lo: Double = 0.15, hi: Double = 0.30): DataFrame =
+    topK(scoredPairs(t.embeddings, queryIds)
+      .filter(col("cos") >= lo && col("cos") < hi), k)
 
+  /** Brute-force cosine top-k for a small query set. Queries broadcast
+    * (3 rows); each of n vectors is scored once; row_number over the
+    * rounded score gives a deterministic, engine-independent ranking.
+    */
   def qAnnBruteforce(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
-      k: Int = 10): DataFrame = {
-    val e = t.embeddings
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select("query_id", "vec_id", "cos", "rk")
-      .orderBy("query_id", "rk")
-  }
+      k: Int = 10): DataFrame =
+    topK(scoredPairs(t.embeddings, queryIds), k)
 
   /** LSH-bucketed ANN (rows-only; AnnSpec checks recall vs brute
     * force). Vectors bucket once by hyperplane signs; each query

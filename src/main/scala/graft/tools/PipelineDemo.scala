@@ -32,7 +32,7 @@ object PipelineDemo {
     //    to remove)
     val contaminated = Decontam.qDecontaminate(t).select("doc_id")
     val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
-      .filter(col("doc_id") % 50 =!= 0)
+      .filter(!Decontam.isBench)
 
     // 3. near-dup clusters: keep ONE representative per cluster among
     //    the docs that survived steps 1-2 (picking the cluster's

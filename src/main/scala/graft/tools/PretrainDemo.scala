@@ -37,12 +37,8 @@ object PretrainDemo {
     val counts = gated.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       .withColumn("n_total",
         sum("n_lang").over(org.apache.spark.sql.expressions.Window.partitionBy()))
-    val weights = spark.createDataFrame(Pretrain.MixWeights).toDF("lang", "weight")
-    val gates = counts.join(weights, "lang")
-      .withColumn("rate",
-        least(lit(1.0), col("weight") * col("n_total") * 0.5 / col("n_lang")))
-      .select(col("lang"),
-        least(lit(10000L), floor(col("rate") * 10000 + 0.5).cast("long")).as("gate"))
+    // same formula as the contract query, by construction
+    val gates = Pretrain.mixGates(counts).select("lang", "gate")
     val mixed = gated
       .withColumn("hv", Pretrain.portableHash(col("doc_id")))
       .join(broadcast(gates), "lang")

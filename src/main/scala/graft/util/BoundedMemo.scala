@@ -48,10 +48,7 @@ final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
         // cell's FutureTask permanently un-run: every later caller of
         // that key would block forever on a task nobody will execute
         try onEvict(task.get())
-        catch {
-          case _: ExecutionException => ()
-          case scala.util.control.NonFatal(_) => ()
-        }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
   }
 
