@@ -34,10 +34,12 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(t(s, d))),
     "q_having" -> ((s, d) => Relational.qHaving(t(s, d))),
     "q_outer_join" -> ((s, d) => Relational.qOuterJoin(t(s, d))),
+    "q_full_outer" -> ((s, d) => Relational.qFullOuter(t(s, d))),
     "q_semi_join" -> ((s, d) => Relational.qSemiJoin(t(s, d))),
     "q_anti_join" -> ((s, d) => Relational.qAntiJoin(t(s, d))),
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(t(s, d))),
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(t(s, d))),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(t(s, d))),
     "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
     "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
     "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
@@ -55,6 +57,7 @@ object SparkEntry {
     "q_cube" -> ((s, d) => Relational.qCube(t(s, d))),
     "q_pivot_status" -> ((s, d) => Relational.qPivotStatus(t(s, d))),
     "q_pivot_wide" -> ((s, d) => Relational.qPivotWide(t(s, d))),
+    "q_unpivot" -> ((s, d) => Relational.qUnpivot(t(s, d))),
     "q_case_when" -> ((s, d) => Relational.qCaseWhen(t(s, d))),
     "q_events_hourly" -> ((s, d) => Relational.qEventsHourly(t(s, d))),
     "q_resample" -> ((s, d) => Relational.qResample(t(s, d))),
@@ -274,6 +277,18 @@ object SparkEntry {
         | floor((coalesce(sum(o_totalprice), 0)) * 100 + 0.5) / 100 AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH open AS (
+        |  SELECT o_custkey AS k1, count(*) AS n_open
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |done AS (
+        |  SELECT o_custkey AS k2, count(*) AS n_fulfilled
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT coalesce(k1, k2) AS custkey,
+        |  cast(coalesce(n_open, 0) AS BIGINT) AS n_open,
+        |  cast(coalesce(n_fulfilled, 0) AS BIGINT) AS n_fulfilled
+        |FROM open FULL JOIN done ON k1 = k2
+        |ORDER BY custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -295,6 +310,17 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_partkey) p
         |  ON l.l_partkey = p.agg_partkey
         |WHERE l.l_quantity < p.avg_qty * 0.5""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | floor((o_totalprice) * 100 + 0.5) / 100 AS total_price,
+        | floor((sum_qty) * 100 + 0.5) / 100 AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 200) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -415,6 +441,16 @@ object SparkEntry {
         | floor((coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS done_total,
         | floor((coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS pending_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |    cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+        |    cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n
+        |FROM wide UNPIVOT (n FOR status IN (n_open, n_fulfilled, n_partial))
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "q_case_when" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'low'
         |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,

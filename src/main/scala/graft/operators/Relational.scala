@@ -121,6 +121,24 @@ object Relational {
         round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
       .orderBy("c_custkey")
 
+  /** FULL OUTER join: open-order counts vs fulfilled-order counts per
+    * customer — both sides have keys the other lacks (customers with
+    * only-open or only-fulfilled orders), so both null-extension
+    * directions are exercised; the key survives via coalesce. One
+    * shuffle on custkey shared by both agg inputs and the join.
+    */
+  def qFullOuter(t: Tables): DataFrame = {
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k1")).agg(count(lit(1)).as("n_open"))
+    val done = t.orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_fulfilled"))
+    open.join(done, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("custkey"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_fulfilled"), lit(0L)).as("n_fulfilled"))
+      .orderBy("custkey")
+  }
+
   /** Left semi join (EXISTS): customers having ≥1 'O' order. Semi join
     * dedups the probe side inside the join — no distinct needed.
     */
@@ -163,6 +181,25 @@ object Relational {
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** Q18-style large-volume orders: IN-subquery over an agg-HAVING
+    * derived table (orders whose lineitems total > minQty), joined
+    * back to orders + customer. The subquery is one partial-agg'd
+    * shuffle on orderkey whose HAVING filter prunes before the join;
+    * quantities are integer-valued so the threshold is engine-exact.
+    */
+  def q18LargeOrders(t: Tables, minQty: Double = 200): DataFrame = {
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    t.orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("o_orderkey")
   }
 
   /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
@@ -398,6 +435,24 @@ object Relational {
       .select(col("o_orderpriority"), col("O").as("open_total"),
         col("F").as("done_total"), col("P").as("pending_total"))
       .orderBy("o_orderpriority")
+
+  /** UNPIVOT (melt): the wide per-priority status counts back to long
+    * (priority, status, n) rows via Spark's native `unpivot` — the
+    * relational inverse of [[qPivotWide]]. Expand is a pure
+    * projection: one row in, three out, no shuffle beyond the
+    * feeding agg. Counts are integers, so the melt is engine-exact.
+    */
+  def qUnpivot(t: Tables): DataFrame = {
+    val wide = t.orders.groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_fulfilled"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("n_open"), col("n_fulfilled"), col("n_partial")),
+        "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
 
   /** CASE WHEN bucketing + aggregation over the bucket expression. */
   def qCaseWhen(t: Tables): DataFrame =
