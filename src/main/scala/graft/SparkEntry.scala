@@ -26,7 +26,7 @@ object SparkEntry {
     Relational.q1PricingSummary(t(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 relational core
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(t(s, d))),
     "q6_filter_agg" -> ((s, d) => Relational.q6FilterAgg(t(s, d))),
@@ -157,21 +157,24 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_fingerprint,
-    * q_media_features, q_image_features, q_frame_sample,
-    * q_audio_features, q_approx_distinct, q_hll_sketch,
-    * q_percentile_approx, q_quantize_error — are rows-only BY DESIGN:
-    * their semantics are
+    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_text_ann,
+    * q_fingerprint, q_media_features, q_image_features,
+    * q_frame_sample, q_audio_features, q_approx_distinct,
+    * q_hll_sketch, q_percentile_approx, q_quantize_error,
+    * q_bpe_tokens, q_dedup_ingest, q_semdedup — are rows-only BY
+    * DESIGN: their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
     * instead. (Keep this list equal to queries.keySet --
-    * oracleSql.keySet.)
+    * oracleSql.keySet; OracleContractSpec enforces it.)
     */
-  /** Shared by q_decontaminate and q_decontaminate_bloom — the bloom
-    * pre-filter is exact-by-construction, so both plans answer to one
-    * oracle text.
+  /** The shingle table (d + s CTE bodies, no WITH prefix) — ONE text
+    * shared by the decontamination, n-gram-jaccard, and dup-cluster
+    * oracles: a change to shingle size or the min-length floor edits
+    * exactly one place, mirroring how the Spark side shares
+    * `word_shingles`.
     */
-  private val decontaminateSql: String =
-    """WITH d AS (
+  private val shingleCte: String =
+    """d AS (
       |  SELECT doc_id,
       |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       |  FROM documents
@@ -180,8 +183,29 @@ object SparkEntry {
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(w) - 3),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-      |  ))) AS shingle FROM d),
-      |bench AS (
+      |  ))) AS shingle FROM d)""".stripMargin
+
+  /** The DF-capped candidate-pair table over `s` — shared by the
+    * n-gram-jaccard oracle and the transitive-closure tails so the
+    * pair semantics (df cap 50, distinct shingles, a<b) can't
+    * diverge between them.
+    */
+  private val pairCte: String =
+    """hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
+      |c AS (SELECT doc_id, shingle FROM s
+      |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the bloom
+    * pre-filter is exact-by-construction, so both plans answer to one
+    * oracle text.
+    */
+  private val decontaminateSql: String =
+    "WITH " + shingleCte + ",\n" +
+    """bench AS (
       |  SELECT DISTINCT shingle, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0)
       |SELECT s.doc_id, count(DISTINCT shingle) AS n_hits,
       |       count(DISTINCT bench.bench_id) AS n_bench_docs
@@ -196,24 +220,8 @@ object SparkEntry {
     * memoized pair table.
     */
   private val dupReachCte: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-      |  FROM documents
-      |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
-      |s AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, len(w) - 3),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-      |  ))) AS shingle FROM d),
-      |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
-      |c AS (SELECT doc_id, shingle FROM s
-      |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
-      |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
-      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-      |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |      GROUP BY 1, 2),
-      |pr AS (
+    "WITH RECURSIVE " + shingleCte + ",\n" + pairCte + ",\n" +
+    """pr AS (
       |  SELECT doc_a, doc_b FROM p
       |  JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
       |  WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6),
@@ -224,7 +232,7 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
@@ -706,28 +714,12 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 3),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
-        |  ))) AS shingle FROM d),
-        |hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 50),
-        |c AS (SELECT doc_id, shingle FROM s
-        |      WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
-        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-        |      FROM c x JOIN c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common,
+      ("WITH " + shingleCte + ",\n" + pairCte + "\n" +
+       """SELECT doc_a, doc_b, n_common,
         |       floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 AS jaccard
         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
         |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // connected components as a transitive closure over the same pair
     // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
     // because UNION dedups); cluster id = component minimum

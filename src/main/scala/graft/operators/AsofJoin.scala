@@ -24,6 +24,13 @@ object AsofJoin {
     * payload FIELD doesn't make the window skip to an older right row
     * (exact ASOF semantics). At equal timestamps the right row wins
     * (inclusive `<=`), matching SQL `ASOF JOIN ... ON l.t >= r.t`.
+    *
+    * Determinism assumption (same one q_ohlc documents): right-side
+    * (key, time) pairs are unique. Two right rows at the SAME instant
+    * have no defined winner — this window and DuckDB's native ASOF
+    * each pick arbitrarily, so the oracle compare would flake.
+    * Verified to hold for purchase events at every driver SF;
+    * pre-aggregate the right side if an upstream feed can tie.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {

@@ -543,7 +543,7 @@ object Relational {
          |)
          |SELECT c_mktsegment,
          |       count(*) AS n_cust,
-         |       round(avg(total), 2) AS avg_spend
+         |       floor(avg(total) * 100 + 0.5) / 100 AS avg_spend
          |FROM $vc JOIN spend ON c_custkey = o_custkey
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin)

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contract file documents exactly which queries are rows-only by
+  * design; this spec keeps that list honest — a new query missing its
+  * oracle (or an oracle for a deleted query) fails here instead of
+  * silently weakening the correctness gate. Pure map arithmetic, no
+  * Spark session.
+  */
+class OracleContractSpec extends AnyFunSuite {
+
+  private val rowsOnlyByDesign = Set(
+    "q_minhash_lsh", "q_simhash", "q_ann_lsh", "q_ann_ivf", "q_text_ann",
+    "q_fingerprint", "q_media_features", "q_image_features",
+    "q_frame_sample", "q_audio_features", "q_approx_distinct",
+    "q_hll_sketch", "q_percentile_approx", "q_quantize_error",
+    "q_bpe_tokens", "q_dedup_ingest", "q_semdedup")
+
+  test("every query is oracled unless declared rows-only by design") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnlyByDesign,
+      s"undeclared rows-only: ${(missing -- rowsOnlyByDesign).toSeq.sorted}; " +
+        s"stale declarations: ${(rowsOnlyByDesign -- missing).toSeq.sorted}")
+  }
+
+  test("no orphaned oracle entries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted}")
+  }
+
+  // global-aggregate queries whose result is a single row — an ORDER
+  // BY would be a no-op, so its absence is deliberate
+  private val singleRowResults = Set(
+    "q6_filter_agg", "q17_small_qty", "q_funnel", "q_sample_mod",
+    "q_distinct_cond", "q_dedup_exact", "q_table_merge", "q_vtable_skip")
+
+  test("every oracle pins a deterministic output order") {
+    // the driver hash compare sorts rows, but ORDER BY (or a LIMIT'd
+    // TakeOrdered) keeps row COUNTS stable under ties across engines
+    val unordered = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }.toSet
+    assert(unordered == singleRowResults,
+      s"oracles without ORDER BY beyond the single-row set: " +
+        s"${(unordered -- singleRowResults).toSeq.sorted}; stale single-row " +
+        s"declarations: ${(singleRowResults -- unordered).toSeq.sorted}")
+  }
+}
