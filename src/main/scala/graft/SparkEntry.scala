@@ -105,6 +105,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
+    "q_mix_upsample" -> ((s, d) => Pretrain.qMixUpsample(t(s, d))),
     "q_dsir_select" -> ((s, d) => Pretrain.qDsirSelect(t(s, d))),
     "q_chunk_docs" -> ((s, d) => Pretrain.qChunkDocs(t(s, d))),
     "q_nb_filter" -> ((s, d) => graft.operators.NbFilter.qNbFilter(t(s, d))),
@@ -1028,6 +1029,29 @@ object SparkEntry {
         |       floor((r.gate / 10000.0) * 10000 + 0.5) / 10000 AS rate
         |FROM rates r LEFT JOIN sampled s USING (lang)
         |ORDER BY r.lang""".stripMargin,
+    // epoch replication: whole epochs via integer division of the
+    // quantized gate, the fractional epoch via the same portable
+    // mod-hash as q_domain_mix
+    "q_mix_upsample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |w(lang, weight) AS (VALUES
+        |  ('en', 0.50), ('de', 0.20), ('es', 0.15), ('fr', 0.10), ('zh', 0.05)),
+        |rates AS (
+        |  SELECT c.lang,
+        |         cast(floor((cast(w.weight AS DOUBLE) * t.n_total * 2.0 / c.n_lang)
+        |           * 10000 + 0.5) AS BIGINT) AS gate
+        |  FROM counts c JOIN w USING (lang),
+        |       (SELECT cast(sum(n_lang) AS BIGINT) AS n_total FROM counts) t),
+        |rep AS (
+        |  SELECT d.lang, (r.gate // 10000)
+        |    + CASE WHEN (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 10000
+        |        < r.gate % 10000 THEN 1 ELSE 0 END AS n_rep
+        |  FROM documents d JOIN rates r USING (lang)),
+        |e AS (SELECT lang, unnest(range(1, n_rep + 1)) AS epoch
+        |      FROM rep WHERE n_rep > 0)
+        |SELECT lang, cast(epoch AS BIGINT) AS epoch, count(*) AS n_docs
+        |FROM e GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
     // DSIR selection: per-token log-ratios quantized to integer
     // millionths (identical doubles in both engines), doc scores are
     // integer sums, top-k deterministic via (score desc, doc_id)

@@ -228,14 +228,16 @@ object Pretrain {
     * survivors — but must apply the same formula): the same
     * anti-desync rule as [[portableHash]].
     */
-  def mixGates(counts: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+  def mixGates(counts: DataFrame, budgetFrac: Double = 0.5,
+      capAtOne: Boolean = true): DataFrame = {
     val weights = counts.sparkSession.createDataFrame(MixWeights)
       .toDF("lang", "weight")
+    val raw = col("weight") * col("n_total") * budgetFrac / col("n_lang")
+    val rate = if (capAtOne) least(lit(1.0), raw) else raw
+    val gateRaw = floor(col("rate") * 10000 + 0.5).cast("long")
     counts.join(weights, "lang")
-      .withColumn("rate",
-        least(lit(1.0), col("weight") * col("n_total") * budgetFrac / col("n_lang")))
-      .withColumn("gate", least(lit(10000L),
-        floor(col("rate") * 10000 + 0.5).cast("long")))
+      .withColumn("rate", rate)
+      .withColumn("gate", if (capAtOne) least(lit(10000L), gateRaw) else gateRaw)
   }
 
   /** Domain-mixture rebalancing: given target weights per language and
@@ -251,6 +253,36 @@ object Pretrain {
     * of corpus size. Rates are quantized to 1/10000 so the DuckDB
     * oracle reproduces the gate bit-for-bit.
     */
+  /** Epoch-replication mixture (upsampling): when a language's target
+    * share exceeds its natural share, each document is emitted
+    * ⌈rate⌉ or ⌊rate⌋ times — the "epochs per source" recipe of the
+    * published pretraining mixes (Gopher/Llama data tables), where
+    * scarce high-value domains repeat while abundant ones subsample,
+    * all in one deterministic pass. Whole epochs replicate every doc
+    * (`gate div 10000`); the fractional epoch admits docs through the
+    * same portable mod-hash gate as [[qDomainMix]], so the roster is
+    * reproducible row-for-row. The corpus-scale plan is a broadcast
+    * join + an explode bounded by ⌈rate⌉ — no shuffle until the
+    * report agg; the roster itself (doc_id, epoch) streams straight
+    * to a writer at 100 TB.
+    */
+  def qMixUpsample(t: Tables, budgetFrac: Double = 2.0): DataFrame = {
+    val docs = t.documents.select("doc_id", "lang")
+      .withColumn("hv", portableHash(col("doc_id")))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total", sum("n_lang").over(Window.partitionBy()))
+    val rates = mixGates(counts, budgetFrac, capAtOne = false)
+      .select(col("lang"), col("gate"))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("n_rep", expr("gate div 10000") +
+        when(pmod(col("hv"), lit(10000L)) < pmod(col("gate"), lit(10000L)), 1L)
+          .otherwise(0L))
+      .filter(col("n_rep") > 0)
+      .select(col("lang"), explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+      .groupBy("lang", "epoch").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "epoch")
+  }
+
   def qDomainMix(t: Tables): DataFrame = {
     val docs = t.documents.select("doc_id", "lang")
       .withColumn("hv", portableHash(col("doc_id")))

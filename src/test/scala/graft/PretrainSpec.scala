@@ -159,6 +159,37 @@ class PretrainSpec extends SparkSpecBase {
     }
   }
 
+  test("upsampling mixture replicates whole epochs and gates the fractional one") {
+    val rows = Pretrain.qMixUpsample(tables).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("epoch"),
+        r.getAs[Long]("n_docs")))
+    val langCounts = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byEpoch = rs.map(r => r._2 -> r._3).toMap
+      val epochs = byEpoch.keys.toSeq.sorted
+      // epochs are contiguous from 1
+      assert(epochs == (1L to epochs.max), s"$lang epochs $epochs")
+      // a doc in epoch k+1 repeated through every earlier epoch, so
+      // per-epoch counts never increase
+      val counts = epochs.map(byEpoch)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$lang epoch counts increase: $counts")
+      // an upsampled language (>= 2 epochs) replicates its WHOLE
+      // corpus in every whole epoch
+      if (epochs.max >= 2) assert(byEpoch(1L) == langCounts(lang),
+        s"$lang whole epoch 1 has ${byEpoch(1L)} of ${langCounts(lang)}")
+    }
+    // the mixture genuinely mixes: at budgetFrac=2 the scarce-weighted
+    // languages upsample (>1 epoch) while zh (weight .05) downsamples
+    val maxEpoch = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    assert(maxEpoch("en") >= 2)
+    assert(maxEpoch("zh") == 1L && rows.collect {
+      case ("zh", 1L, n) => n
+    }.head < langCounts("zh"))
+  }
+
   test("DSIR scores recover distribution match on a planted target") {
     // the driver corpus draws every language from ONE token
     // distribution, so plant the signal instead: "code" docs use a
