@@ -141,6 +141,7 @@ object SparkEntry {
     "q_audio_features" -> ((s, d) => Media.qAudioFeatures(t(s, d))),
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
+    "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -882,6 +883,15 @@ object SparkEntry {
         |      UNION ALL SELECT 'json', n_name FROM nation
         |      UNION ALL SELECT 'orc', n_name FROM nation) u
         |GROUP BY fmt ORDER BY fmt""".stripMargin,
+    // The JDBC-served nation dim must answer identically to the
+    // parquet nation — federation may not change the result
+    "q_federated" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // MERGE semantics reproduced in plain SQL: even keys keep their
     // price unless divisible by 3 (updated); odd multiples of 3 are
     // the inserted rows

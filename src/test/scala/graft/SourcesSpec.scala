@@ -206,4 +206,24 @@ class SourcesSpec extends SparkSpecBase {
     val orig = tables.nation.select("n_name").collect().map(_.getString(0)).toSet
     assert(names == orig)
   }
+
+  test("federated query: JDBC dim scan broadcasts, answer matches all-parquet") {
+    val fed = graft.sources.Federated.qFederated(tables)
+    // Plan shape: the external dim arrives through a JDBC row scan and
+    // joins broadcast — the facts never shuffle toward the warehouse.
+    val plan = fed.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan JDBCRelation"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // Faithfulness: federation may not change the answer.
+    val direct = tables.orders.select("o_custkey", "o_totalprice")
+      .join(tables.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(tables.nation.select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Rnd.round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("n_name")
+    assert(fed.collect().toSeq == direct.collect().toSeq)
+  }
 }
