@@ -103,6 +103,7 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) => Dedup.qSemDedup(t(s, d))),
     // §2.3b pretraining batch prep (packing / shuffle order / mixing)
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
+    "q_pack_bpe" -> ((s, d) => Pretrain.qPackBpe(t(s, d))),
     "q_shuffle_order" -> ((s, d) => Pretrain.qShuffleOrder(t(s, d))),
     "q_domain_mix" -> ((s, d) => Pretrain.qDomainMix(t(s, d))),
     "q_mix_upsample" -> ((s, d) => Pretrain.qMixUpsample(t(s, d))),

@@ -22,15 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  final case class Model(merges: IndexedSeq[(String, String)]) extends Serializable {
+  /** `alphabet` is the sorted base-character inventory of the training
+    * dictionary; together with the merges it defines the VOCABULARY:
+    * ids 0..A-1 are the alphabet in order, each merge's concatenated
+    * symbol takes the next id on first appearance (two merge paths can
+    * produce the same string — the first keeps the id, exactly one id
+    * per distinct symbol). The id past the last is reserved for
+    * symbols outside the vocabulary (characters never seen in
+    * training), so `unkId == vocabSize` and every emitted id is
+    * `<= vocabSize`.
+    */
+  final case class Model(merges: IndexedSeq[(String, String)],
+      alphabet: IndexedSeq[String]) extends Serializable {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
-    // per-word encode cache: corpora repeat words massively and eval
+    @transient lazy val vocab: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      alphabet.foreach(s => if (!m.contains(s)) m.update(s, m.size))
+      merges.foreach { case (a, b) =>
+        val s = a + b
+        if (!m.contains(s)) m.update(s, m.size)
+      }
+      m.toMap
+    }
+    def vocabSize: Int = vocab.size
+    def unkId: Int = vocabSize
+    // per-word encode caches: corpora repeat words massively and eval
     // is per-row; bounded by wipe-on-overflow (executor-local, a pure
     // memo — losing it costs recompute only)
     @transient private lazy val memo = new ConcurrentHashMap[String, java.lang.Integer]()
+    @transient private lazy val memoIds = new ConcurrentHashMap[String, Array[Int]]()
 
-    private def encodeWord(word: String): Int = {
+    /** Greedy lowest-rank merge loop — the standard BPE apply. */
+    private def mergeWord(word: String): scala.collection.mutable.Buffer[String] = {
       var symbols = word.map(_.toString).toBuffer
       var done = false
       while (!done && symbols.length > 1) {
@@ -49,8 +73,13 @@ object Bpe {
           ()
         }
       }
-      symbols.length
+      symbols
     }
+
+    private def encodeWord(word: String): Int = mergeWord(word).length
+
+    private def encodeWordIds(word: String): Array[Int] =
+      mergeWord(word).map(s => vocab.getOrElse(s, unkId)).toArray
 
     /** BPE token count of a whitespace-tokenized text. */
     def countTokens(text: String): Int = {
@@ -71,6 +100,26 @@ object Bpe {
       }
       total
     }
+
+    /** Token IDS of a whitespace-tokenized text, words concatenated in
+      * order — the form a training batch actually consumes. Same
+      * wipe-on-overflow memo discipline as `countTokens`.
+      */
+    def encodeIds(text: String): Array[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      HashImpl.foreachToken(text) { w =>
+        val cached = memoIds.get(w)
+        val ids = if (cached != null) cached
+          else {
+            if (memoIds.size > 65536) memoIds.clear()
+            val v = encodeWordIds(w)
+            memoIds.put(w, v)
+            v
+          }
+        out ++= ids
+      }
+      out.toArray
+    }
   }
 
   /** Learn `numMerges` merges from a (word, freq) dictionary —
@@ -78,6 +127,11 @@ object Bpe {
     * doc). Stops early when no pair occurs twice.
     */
   def train(dict: Seq[(String, Long)], numMerges: Int): Model = {
+    // Base-character inventory, sorted — with the deterministic merge
+    // order below this makes the whole VOCABULARY (symbol → id)
+    // reproducible across trains of the same dictionary.
+    val alphabet = dict.iterator.flatMap(_._1.map(_.toString)).toSeq
+      .distinct.sorted.toIndexedSeq
     val words = dict.map { case (w, f) => (w.map(_.toString).toBuffer, f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var iter = 0
@@ -112,7 +166,7 @@ object Bpe {
       }
       iter += 1
     }
-    Model(merges.toIndexedSeq)
+    Model(merges.toIndexedSeq, alphabet)
   }
 
   /** The corpus-scale half: word-frequency dictionary via one hash
@@ -147,6 +201,9 @@ object Bpe {
 
   def tokenCount(modelId: String, text: Column): Column =
     call_function("bpe_count", text, lit(modelId))
+
+  def encode(modelId: String, text: Column): Column =
+    call_function("bpe_encode", text, lit(modelId))
 }
 
 /** Static eval target for both interpreted eval and generated Java —
@@ -155,4 +212,9 @@ object Bpe {
 object BpeImpl {
   def count(m: Bpe.Model, text: org.apache.spark.unsafe.types.UTF8String): Int =
     m.countTokens(text.toString)
+
+  def encode(m: Bpe.Model, text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      m.encodeIds(text.toString))
 }

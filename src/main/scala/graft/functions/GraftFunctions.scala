@@ -61,6 +61,16 @@ object GraftFunctions {
             s"bpe_count expects a literal model id, got $other")
         }
       }),
+    (FunctionIdentifier("bpe_encode"), info("bpe_encode", classOf[BpeEncode]),
+      (args: Seq[Expression]) => {
+        val a = expect("bpe_encode", 2)(args)
+        a(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+            BpeEncode(a(0), Bpe.resolve(s.toString))
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode expects a literal model id, got $other")
+        }
+      }),
   )
 
   /** Idempotent runtime registration — for sessions not built through

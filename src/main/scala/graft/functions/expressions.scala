@@ -215,6 +215,26 @@ case class BpeTokenCount(child: Expression, model: Bpe.Model)
   override def prettyName: String = "bpe_count"
 }
 
+/** bpe_encode(text, 'model-id') → array<int>: the text's BPE token
+  * IDS, words concatenated in order — what a packed training batch
+  * actually holds. Same model-in-plan embedding as [[BpeTokenCount]];
+  * `size(bpe_encode(...)) == bpe_count(...)` by construction.
+  */
+case class BpeEncode(child: Expression, model: Bpe.Model)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    BpeImpl.encode(model, t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.Model].getName)
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeImpl.encode($ref, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(newChild)
+  override def prettyName: String = "bpe_encode"
+}
+
 /** hash_embed(text, dim) → array<float>: feature-hashed unit vector
   * of a document (signed hashing trick) — the trained-state-free
   * bridge from raw text into every embedding consumer (cosine

@@ -94,6 +94,53 @@ object Pretrain {
       .orderBy("pack_id")
   }
 
+  /** Packed training sequences holding REAL BPE token ids — the
+    * artifact `packSequences` only sizes: documents are tokenized by
+    * the codegen'd `bpe_encode` (ids in word order), concatenated in
+    * doc_id order via the same two-level distributed prefix sum, and
+    * cut into `budget`-id sequences, documents straddling a boundary
+    * split across sequences. Returns (seq_id, ids) where every
+    * non-tail `ids` is exactly `budget` long. The per-token explode is
+    * the one corpus-token-scale stage — inherent (the output IS every
+    * token), map-side only, no shuffle until the per-sequence
+    * reassembly, whose groups are bounded at `budget` rows. Global
+    * positions make the reassembly order-exact: sequences sort their
+    * ids by position inside `array_sort`, never relying on row order
+    * surviving the shuffle.
+    */
+  def packBpeIds(docs: DataFrame, modelId: String, budget: Long): DataFrame = {
+    val withIds = docs
+      .select(col("doc_id"), graft.functions.Bpe.encode(modelId, col("text")).as("ids"))
+      .withColumn("tokens", size(col("ids")).cast("long"))
+    withStart(withIds)
+      .filter(col("tokens") > 0) // zero-token docs occupy no sequence
+      .select(col("start"), posexplode(col("ids")).as(Seq("pos", "id")))
+      .withColumn("gpos", col("start") + col("pos"))
+      .withColumn("seq_id", expr(s"gpos div $budget"))
+      .groupBy("seq_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("gpos"), col("id")))),
+        x => x("id")).as("ids"))
+  }
+
+  /** Contract digest over the packed-id table (rows-only — a learned
+    * vocabulary isn't SQL-expressible; PretrainSpec pins conservation:
+    * flattening the sequences in order reproduces the concatenated
+    * per-document id stream exactly). Fullness, order, and content
+    * are all visible in the digest: n_tokens proves fullness,
+    * first/last ids pin the boundaries, id_sum the content.
+    */
+  def qPackBpe(t: Tables, budget: Long = 512L): DataFrame = {
+    val (modelId, _) = TextAnalysis.corpusModel(t)
+    packBpeIds(t.documents, modelId, budget)
+      .select(col("seq_id"),
+        size(col("ids")).as("n_tokens"),
+        aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"))
+      .orderBy("seq_id")
+  }
+
   /** Deterministic global training-order shuffle: rank every document
     * by a fixed multiplicative hash (Knuth 2654435761 over the
     * mod-prime-reduced id — reducing FIRST keeps the product under

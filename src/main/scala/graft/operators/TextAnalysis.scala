@@ -39,16 +39,23 @@ object TextAnalysis {
     * table in the plan. Whitespace and BPE counts side by side: the
     * gap is what whitespace budgeting would mis-size packs by.
     */
-  def qBpeTokens(t: Tables): DataFrame = {
-    // id carries the FULL corpus path (not a 32-bit hashCode that can
-    // collide across corpora and silently cross-wire vocabularies)
-    val (id, _) = bpeModels.getOrBuild((System.identityHashCode(t.spark), t.sfDir)) {
+  /** The corpus-trained tokenizer, built once per (session, corpus)
+    * and registered under a memo-owned id — shared by `qBpeTokens`
+    * and the real-id packing (`Pretrain.qPackBpe`). The id carries
+    * the FULL corpus path (not a 32-bit hashCode that can collide
+    * across corpora and silently cross-wire vocabularies).
+    */
+  private[graft] def corpusModel(t: Tables): (String, graft.functions.Bpe.Model) =
+    bpeModels.getOrBuild((System.identityHashCode(t.spark), t.sfDir)) {
       val freshId =
         s"__graft_corpus_${System.identityHashCode(t.spark)}_${t.sfDir}"
       val m = graft.functions.Bpe.trainOn(t.documents)
       graft.functions.Bpe.register(freshId, m)
       (freshId, m)
     }
+
+  def qBpeTokens(t: Tables): DataFrame = {
+    val (id, _) = corpusModel(t)
     t.documents.select(col("doc_id"),
         graft.functions.Bpe.tokenCount(id, col("text")).as("n_bpe"),
         GraftFunctions.tokenCount(col("text")).as("n_ws"))

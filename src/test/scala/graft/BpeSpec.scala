@@ -40,6 +40,38 @@ class BpeSpec extends SparkSpecBase {
     assert(totBpe < totWs * 2, s"bpe $totBpe vs ws $totWs — no compression learned")
   }
 
+  test("encodeIds emits the deterministic vocabulary, unk for unseen chars") {
+    val m = Bpe.train(Seq("abab" -> 10L, "ab" -> 5L), numMerges = 4)
+    // vocabulary: alphabet sorted (a=0, b=1), then merges in rank
+    // order on first appearance ('ab'=2, 'abab'=3); unk reserves 4
+    assert(m.vocab == Map("a" -> 0, "b" -> 1, "ab" -> 2, "abab" -> 3))
+    assert(m.unkId == 4)
+    assert(m.encodeIds("abab ab").toSeq == Seq(3, 2))
+    assert(m.encodeIds("ba").toSeq == Seq(1, 0)) // no (b,a) merge learned
+    assert(m.encodeIds("xa").toSeq == Seq(4, 0)) // unseen char → unk
+    assert(m.encodeIds("").isEmpty)
+    // counts and ids agree by construction
+    assert(m.countTokens("abab ab ba xa") == m.encodeIds("abab ab ba xa").length)
+  }
+
+  test("bpe_encode SQL function: size(ids) == bpe_count, in-vocab ids") {
+    val m = Bpe.trainOn(tables.documents, numMerges = 64, dictSize = 512)
+    Bpe.register("spec-encode", m)
+    try {
+      tables.documents.limit(20).createOrReplaceTempView("__graft_bpe_enc")
+      val rows = spark.sql(
+        """SELECT bpe_encode(text, 'spec-encode') AS ids,
+          |       bpe_count(text, 'spec-encode') AS n
+          |FROM __graft_bpe_enc""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val ids = r.getSeq[Int](r.fieldIndex("ids"))
+        assert(ids.length == r.getAs[Int]("n"))
+        assert(ids.forall(id => id >= 0 && id <= m.unkId))
+      }
+    } finally Bpe.unregister("spec-encode")
+  }
+
   test("the SQL surface resolves a registered model at analysis time") {
     val m = Bpe.train(Seq("spark" -> 100L), numMerges = 8)
     Bpe.register("spec-model", m)

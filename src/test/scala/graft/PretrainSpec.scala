@@ -26,6 +26,38 @@ class PretrainSpec extends SparkSpecBase {
     assert(packs.map(_.getAs[Long]("n_tokens")).sum == total)
   }
 
+  test("BPE-id packing reproduces the concatenated token stream exactly") {
+    val budget = 64L
+    val (modelId, model) = graft.operators.TextAnalysis.corpusModel(tables)
+    val seqs = Pretrain.packBpeIds(tables.documents, modelId, budget)
+      .orderBy("seq_id").collect()
+    // fullness: every non-tail sequence is exactly budget ids
+    seqs.dropRight(1).foreach { r =>
+      assert(r.getSeq[Int](r.fieldIndex("ids")).length == budget,
+        s"seq ${r.getAs[Long]("seq_id")}")
+    }
+    assert(seqs.map(_.getAs[Long]("seq_id")).sameElements(seqs.indices.map(_.toLong)))
+    // conservation + order: flattening the sequences reproduces the
+    // per-document id streams concatenated in doc_id order
+    val packed = seqs.flatMap((r => r.getSeq[Int](r.fieldIndex("ids"))))
+    val expected = tables.documents.select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .flatMap(r => model.encodeIds(r.getAs[String]("text")))
+    assert(packed.sameElements(expected))
+    // every id is in-vocabulary or the reserved unk
+    assert(packed.forall(id => id >= 0 && id <= model.unkId))
+    // the digest contract query agrees with the raw table
+    val digest = Pretrain.qPackBpe(tables, budget).orderBy("seq_id").collect()
+    assert(digest.length == seqs.length)
+    digest.zip(seqs).foreach { case (d, s) =>
+      val ids = s.getSeq[Int](s.fieldIndex("ids"))
+      assert(d.getAs[Int]("n_tokens") == ids.length)
+      assert(d.getAs[Long]("id_sum") == ids.map(_.toLong).sum)
+      assert(d.getAs[Int]("first_id") == ids.head)
+      assert(d.getAs[Int]("last_id") == ids.last)
+    }
+  }
+
   test("packing splits a straddling document across adjacent packs") {
     // at least one pack boundary falls inside a document => some pack
     // counts a document whose tokens also land in the previous pack;
