@@ -93,14 +93,27 @@ final case class MemoryStreamSink(queryName: String, outputMode: String = "appen
       .outputMode(outputMode).start()
 }
 
-/** Checkpointed file sink — the exactly-once landing-zone writer. */
+/** Checkpointed file sink — the exactly-once landing-zone writer.
+  *
+  * `trigger` selects the run mode: `None` is the continuous tail;
+  * `Trigger.AvailableNow()` is the BACKFILL mode — drain everything
+  * currently in the source (in rate-limited batches, not one giant
+  * batch) and terminate, leaving the checkpoint positioned so the
+  * next start resumes incrementally. Backfill-then-tail over the
+  * same checkpoint is how a 100 TB historical pile and its live feed
+  * share one pipeline.
+  */
 final case class FileStreamSink(format: String, path: String, checkpoint: String,
-    outputMode: String = "append") extends StreamSinkProvider {
+    outputMode: String = "append",
+    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+    extends StreamSinkProvider {
   val name = s"file-$format"
-  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.format(format)
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format(format)
       .option("path", path).option("checkpointLocation", checkpoint)
-      .outputMode(outputMode).start()
+      .outputMode(outputMode)
+    trigger.fold(w)(w.trigger).start()
+  }
 }
 
 /** Streaming sink into a [[graft.sources.VersionedTable]] —

@@ -208,6 +208,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("AvailableNow backfill drains the pile in bounded batches, then resumes incrementally") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-bfsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-bfsink").toString + "/out"
+    val chk = java.nio.file.Files.createTempDirectory("graft-bfchk").toString
+    // a "historical pile": three separately-landed files
+    (1 to 3).foreach { i =>
+      Seq(Event(i.toLong, ts(i), i.toLong, "click", i.toDouble))
+        .toDS().write.mode("append").parquet(src)
+    }
+    // maxFilesPerTrigger=1 forces the drain through MULTIPLE bounded
+    // micro-batches — the rate-limited backfill, not one giant batch
+    def start() = graft.streaming.FileStreamSink("parquet", sink, chk,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())).start(
+      graft.streaming.FileStreamSource("parquet", src,
+        Seq.empty[Event].toDS().schema, Map("maxFilesPerTrigger" -> "1"))
+        .readStream(spark))
+    val q1 = start()
+    q1.awaitTermination(60000) // AvailableNow self-terminates when drained
+    assert(!q1.isActive)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 3,
+      q1.recentProgress.map(_.numInputRows).mkString(","))
+    assert(spark.read.parquet(sink).count() == 3)
+    // the same checkpoint resumes incrementally: only the new file
+    Seq(Event(4, ts(4), 4, "view", 4.0)).toDS().write.mode("append").parquet(src)
+    val q2 = start()
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 4) // exactly-once: no backfill re-read
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L, 4L)))
+  }
+
   test("vtable stream sink lands batches exactly-once across a restart") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-vsrc").toString
