@@ -109,12 +109,18 @@ object Pretrain {
     * surviving the shuffle.
     */
   def packBpeIds(docs: DataFrame, modelId: String, budget: Long): DataFrame = {
-    val withIds = docs
-      .select(col("doc_id"), graft.functions.Bpe.encode(modelId, col("text")).as("ids"))
-      .withColumn("tokens", size(col("ids")).cast("long"))
-    withStart(withIds)
+    // Sizing runs on bpe_count (count-only merge loop, per-word memo,
+    // no array materialization) — withStart references its input in
+    // TWO branches (block roster + main join), and building the id
+    // arrays in both would double the dominant tokenization cost. The
+    // arrays are built exactly once, after placement; size(encode) ==
+    // count by construction (same greedy merge loop — BpeSpec pins it).
+    val counted = docs.select(col("doc_id"), col("text"),
+      graft.functions.Bpe.tokenCount(modelId, col("text")).cast("long").as("tokens"))
+    withStart(counted)
       .filter(col("tokens") > 0) // zero-token docs occupy no sequence
-      .select(col("start"), posexplode(col("ids")).as(Seq("pos", "id")))
+      .select(col("start"),
+        posexplode(graft.functions.Bpe.encode(modelId, col("text"))).as(Seq("pos", "id")))
       .withColumn("gpos", col("start") + col("pos"))
       .withColumn("seq_id", expr(s"gpos div $budget"))
       .groupBy("seq_id")

@@ -38,7 +38,10 @@ object Federated {
 
   private def loadOnce(t: Tables): String =
     loaded.computeIfAbsent(s"${t.spark.hashCode}:${t.sfDir}", { key =>
-      val url = s"jdbc:derby:memory:graftfed${Integer.toHexString(key.hashCode)};create=true"
+      // db name carries the FULL sanitized key (not a 32-bit hashCode
+      // that can collide across keys and hand a second loader a db an
+      // earlier session's memoized URL still points at)
+      val url = s"jdbc:derby:memory:graftfed_${key.replaceAll("[^A-Za-z0-9]", "_")};create=true"
       // Prune to the columns the query needs BEFORE shipping to the
       // external store. createTableColumnTypes forces VARCHAR — the
       // Derby dialect's default StringType mapping is CLOB, which
