@@ -16,6 +16,46 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  /** DuckDB can't aggregate inside a recursive CTE, so the PageRank
+    * oracle unrolls its fixed iterations as chained CTEs — each one
+    * the exact integer step `graft.operators.Graph.pageRank` takes
+    * (quantized ranks, `//` floor division on non-negative values ==
+    * Spark's `div`, sums of integers so order can't matter).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, (SELECT baseq FROM consts) + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, cast(sum((r.r * e.w) // d.deg) AS BIGINT) AS s
+         |    FROM ed e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ke AS (
+       |  SELECT user_id, ts, event_id,
+       |         cast(json_extract_string(props, '$$.k') AS INTEGER) AS dst
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, dst
+       |  FROM ke),
+       |ed AS (
+       |  SELECT src, dst, cast(count(*) AS BIGINT) AS w
+       |  FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+       |deg AS (SELECT src, cast(sum(w) AS BIGINT) AS deg FROM ed GROUP BY src),
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |consts AS (SELECT 100000000 // count(*) AS initq,
+       |                  (15 * (100000000 // count(*))) // 100 AS baseq
+       |           FROM nodes),
+       |r0 AS (SELECT node, (SELECT initq FROM consts) AS r FROM nodes),
+       |$steps
+       |SELECT n.node, cast(coalesce(d.deg, 0) AS BIGINT) AS out_deg,
+       |       cast(r.r AS BIGINT) AS rank_q
+       |FROM nodes n JOIN r$iters r ON n.node = r.node
+       |LEFT JOIN deg d ON n.node = d.src
+       |ORDER BY n.node""".stripMargin
+  }
+
   private def t(spark: SparkSession, sfDir: String): Tables = {
     GraftFunctions.register(spark) // idempotent; driver sessions skip GraftSession
     Tables(spark, sfDir)
@@ -82,6 +122,7 @@ object SparkEntry {
     "q_distinct_cond" -> ((s, d) => Relational.qDistinctCond(t(s, d))),
     "q_array_funcs" -> ((s, d) => Similarity.qArrayFuncs(t(s, d))),
     "q_cohort_retention" -> ((s, d) => Relational.qCohortRetention(t(s, d))),
+    "q_pagerank" -> ((s, d) => graft.operators.Graph.qPageRank(t(s, d))),
     "q_quantize_error" -> ((s, d) => graft.operators.Quantize.qQuantizeError(t(s, d))),
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
@@ -698,6 +739,7 @@ object SparkEntry {
         |       count(DISTINCT d.user_id) AS n_active
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_pagerank" -> pageRankOracle(5),
     "q_histogram" ->
       """SELECT least(greatest(cast(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT), 0), 11) AS bucket,
         | count(*) AS cnt
