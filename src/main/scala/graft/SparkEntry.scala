@@ -80,6 +80,8 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(t(s, d))),
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(t(s, d))),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(t(s, d))),
+    "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(t(s, d))),
+    "q20_heavy_part_suppliers" -> ((s, d) => Relational.q20HeavyPartSuppliers(t(s, d))),
     "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
     "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
     "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
@@ -373,6 +375,30 @@ object SparkEntry {
         |  ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | cast(year(l_shipdate) AS INTEGER) AS l_year,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1','NATION_2')
+        |  AND cn.n_name IN ('NATION_1','NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q20_heavy_part_suppliers" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT l_partkey FROM lineitem
+        |    GROUP BY l_partkey HAVING sum(l_quantity) > 150))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

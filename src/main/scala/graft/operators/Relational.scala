@@ -202,6 +202,61 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Q7-style cross-nation volume: revenue flowing between two named
+    * nations per ship year. The pre-filtered 2-row nation dims
+    * broadcast onto both legs BEFORE the pair predicate, so the fact
+    * pipeline carries only rows touching either nation; the wide
+    * shuffles are lineitem⋈orders (orderkey) and the customer join
+    * (custkey) — the supplier join broadcasts too (dim-sized).
+    */
+  def q7NationVolume(t: Tables, nationA: String = "NATION_1",
+      nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val sn = t.nation.filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = t.nation.filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // the two directions
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Rnd.round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q20-style nested semi-join chain: nations whose suppliers shipped
+    * any "heavy" part (corpus-wide quantity above a threshold). Both
+    * inner derived tables are aggregates that shrink before any join;
+    * the supplier→nation hop is a broadcast and the part roster rides
+    * a semi-join, so no fact-scale row ever carries payload columns.
+    */
+  def q20HeavyPartSuppliers(t: Tables, minQty: Double = 150): DataFrame = {
+    val heavy = t.lineitem.groupBy("l_partkey")
+      .agg(sum("l_quantity").as("tot_qty"))
+      .filter(col("tot_qty") > minQty)
+      .select("l_partkey")
+    val shippers = t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(heavy, Seq("l_partkey"), "left_semi")
+      .select("l_suppkey").distinct()
+    t.supplier.select("s_suppkey", "s_nationkey")
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+  }
+
   /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
     * per-partition top-k then a single driver merge; no full sort at
     * any scale.
