@@ -82,6 +82,12 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(t(s, d))),
     "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(t(s, d))),
     "q20_heavy_part_suppliers" -> ((s, d) => Relational.q20HeavyPartSuppliers(t(s, d))),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(t(s, d))),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(t(s, d))),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(t(s, d))),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(t(s, d))),
+    "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(t(s, d))),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(t(s, d))),
     "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
     "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
     "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
@@ -399,6 +405,90 @@ object SparkEntry {
         |    SELECT l_partkey FROM lineitem
         |    GROUP BY l_partkey HAVING sum(l_quantity) > 150))
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year, nat_volume, total_volume,
+        | floor((nat_volume / total_volume) * 10000 + 0.5) / 10000 AS mkt_share
+        |FROM (
+        |  SELECT cast(year(o_orderdate) AS INTEGER) AS o_year,
+        |    floor((sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0 END)) * 100 + 0.5) / 100
+        |      AS nat_volume,
+        |    floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100
+        |      AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT sn.n_name AS nation,
+        | cast(year(o_orderdate) AS INTEGER) AS o_year,
+        | floor((sum(cast(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+        |     * cast(floor((1-l_discount)*100 + 0.5) AS BIGINT)
+        |   - cast(floor(p_retailprice*100 + 0.5) AS BIGINT) * 10
+        |     * cast(l_quantity AS BIGINT)) / 10000.0) * 100 + 0.5) / 100
+        |   AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        | floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 AS part_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100 >
+        |  (SELECT floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100
+        |   FROM lineitem) * 0.002
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT promo_volume, total_volume,
+        | floor((promo_volume * 100 / total_volume) * 10000 + 0.5) / 10000
+        |   AS promo_pct
+        |FROM (
+        |  SELECT
+        |    floor((sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0 END)) * 100 + 0.5) / 100
+        |      AS promo_volume,
+        |    floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100
+        |      AS total_volume
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revs AS (
+        |  SELECT l_suppkey,
+        |    floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revs JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revs)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

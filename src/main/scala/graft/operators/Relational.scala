@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Rnd.round
@@ -255,6 +255,169 @@ object Relational {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_suppliers"))
       .orderBy("n_name")
+  }
+
+  /** Q8-style market share: the home nation's slice of revenue sold
+    * into one region's customers for one part type, per order year.
+    * Every dim (filtered part roster, region-restricted customer
+    * nations, supplier→nation map) broadcasts; the only wide shuffles
+    * are the two fact joins (orderkey, custkey). The ratio divides two
+    * already-rounded sums so both engines quantize before the FP-
+    * sensitive division.
+    */
+  def q8MarketShare(t: Tables, region: String = "ASIA",
+      ptype: String = "PROMO", homeNation: String = "NATION_3"): DataFrame = {
+    val parts = t.part.filter(col("p_type") === ptype).select("p_partkey")
+    val custNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = t.supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Rnd.round(sum(when(col("supp_nation") === homeNation, vol)
+          .otherwise(lit(0.0))), 2).as("nat_volume"),
+        Rnd.round(sum(vol), 2).as("total_volume"))
+      .select(col("o_year"), col("nat_volume"), col("total_volume"),
+        Rnd.round(col("nat_volume") / col("total_volume"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9-style product profit: per supplier-nation per year, revenue
+    * minus a retail-price-proportional cost, over a part-name roster.
+    * The name filter prunes part to a broadcast; supplier→nation
+    * broadcasts; the orders join (for the order year) is the one
+    * fact-fact shuffle. At 100 TB the agg key (nation, year) is tiny,
+    * so partial aggregation collapses the shuffle to nearly nothing.
+    */
+  def q9ProductProfit(t: Tables, namePattern: String = "%widget%"): DataFrame = {
+    val parts = t.part.filter(col("p_name").like(namePattern))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = t.supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    // revenue minus cost cancels catastrophically in doubles — the
+    // rounded sum can land a cent apart across engines. Quantize each
+    // term to its exact decimal grid (cents × hundredths = 1e-4 units)
+    // and sum INTEGERS; the division back to currency happens once, on
+    // the final aggregate. int64 headroom: ~1e9/item leaves 9 orders
+    // of magnitude for the per-group sum.
+    def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+    val scaledProfit = cents(col("l_extendedprice")) *
+      cents(lit(1) - col("l_discount")) -
+      cents(col("p_retailprice")) * lit(10L) * col("l_quantity").cast("long")
+    t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(Rnd.round(sum(scaledProfit) / lit(10000.0), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q10-style returned-item losses: revenue tied up in returns per
+    * customer for one order quarter, top 20. The orders date filter
+    * pushes to the scan and shrinks the fact side before the lineitem
+    * join; nation broadcasts; the final top-k is TakeOrderedAndProject
+    * over the rounded revenue (+ key tiebreak → deterministic).
+    */
+  def q10ReturnedItems(t: Tables): DataFrame =
+    t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(Rnd.round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q11-style important parts: parts whose lineitem value exceeds a
+    * fraction of the corpus-wide total — the scalar subquery in the
+    * HAVING clause. Both sides of the comparison come off ONE shuffle
+    * (the per-part agg); the global total re-aggregates that small
+    * result and broadcasts back as a 1-row cross join. Threshold and
+    * per-part values are rounded before comparing, so the boundary is
+    * engine-exact.
+    */
+  def q11ImportantParts(t: Tables, fraction: Double = 0.002): DataFrame = {
+    val perPart = t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("raw_value"))
+    val total = perPart.agg(
+      Rnd.round(sum("raw_value"), 2).as("grand_total"))
+    perPart
+      .select(col("l_partkey"), Rnd.round(col("raw_value"), 2).as("part_value"))
+      .crossJoin(broadcast(total))
+      .filter(col("part_value") > col("grand_total") * fraction)
+      .select("l_partkey", "part_value")
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Q14-style promo share: percent of one month's revenue from promo
+    * parts. part broadcasts onto the date-pruned lineitem scan; one
+    * global agg, no wide shuffle. Numerator and denominator round
+    * before the division (same FP discipline as q8).
+    */
+  def q14PromoRevenue(t: Tables): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t.lineitem.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .join(broadcast(t.part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        Rnd.round(sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))), 2)
+          .as("promo_volume"),
+        Rnd.round(sum(vol), 2).as("total_volume"))
+      .select(col("promo_volume"), col("total_volume"),
+        Rnd.round(col("promo_volume") * 100 / col("total_volume"), 4)
+          .as("promo_pct"))
+  }
+
+  /** Q15-style top supplier: suppliers whose quarterly revenue equals
+    * the maximum — the classic view + scalar-max shape. Revenue per
+    * supplier is one partial-agg'd shuffle; the max re-aggregates that
+    * supplier-sized result and broadcasts back. Comparing ROUNDED
+    * revenue to the max of the same rounded column keeps the tie set
+    * identical across engines.
+    */
+  def q15TopSupplier(t: Tables): DataFrame = {
+    val revs = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(Rnd.round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val top = revs.agg(max("total_revenue").as("max_revenue"))
+    revs.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(t.supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
   }
 
   /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —

@@ -15,7 +15,7 @@ class OracleContractSpec extends AnyFunSuite {
     "q_fingerprint", "q_media_features", "q_image_features",
     "q_frame_sample", "q_audio_features", "q_approx_distinct",
     "q_hll_sketch", "q_percentile_approx", "q_quantize_error",
-    "q_bpe_tokens", "q_dedup_ingest", "q_semdedup")
+    "q_bpe_tokens", "q_pack_bpe", "q_dedup_ingest", "q_semdedup")
 
   test("every query is oracled unless declared rows-only by design") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -32,8 +32,9 @@ class OracleContractSpec extends AnyFunSuite {
   // global-aggregate queries whose result is a single row — an ORDER
   // BY would be a no-op, so its absence is deliberate
   private val singleRowResults = Set(
-    "q6_filter_agg", "q17_small_qty", "q_funnel", "q_sample_mod",
-    "q_distinct_cond", "q_dedup_exact", "q_table_merge", "q_vtable_skip")
+    "q6_filter_agg", "q17_small_qty", "q14_promo_revenue", "q_funnel",
+    "q_sample_mod", "q_distinct_cond", "q_dedup_exact", "q_table_merge",
+    "q_vtable_skip")
 
   test("every oracle pins a deterministic output order") {
     // the driver hash compare sorts rows, but ORDER BY (or a LIMIT'd
