@@ -88,6 +88,14 @@ object SparkEntry {
     "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(t(s, d))),
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(t(s, d))),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(t(s, d))),
+    "q2_min_bal_supplier" -> ((s, d) => Relational.q2MinBalSupplier(t(s, d))),
+    "q4_priority_check" -> ((s, d) => Relational.q4PriorityCheck(t(s, d))),
+    "q12_late_shipments" -> ((s, d) => Relational.q12LateShipments(t(s, d))),
+    "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(t(s, d))),
+    "q16_supplier_counts" -> ((s, d) => Relational.q16SupplierCounts(t(s, d))),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(t(s, d))),
+    "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(t(s, d))),
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(t(s, d))),
     "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
     "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
     "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
@@ -476,6 +484,93 @@ object SparkEntry {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin,
+    "q2_min_bal_supplier" ->
+      """WITH cand AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'STANDARD' AND p_size < 15 AND r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+        |FROM cand c
+        |WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+        |                   WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        | cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT floor((sum(l_extendedprice*(1-l_discount))) * 100 + 0.5) / 100
+        |   AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT n_name, count(*) AS numcust,
+        | floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT floor((avg(c_acctbal)) * 100 + 0.5) / 100
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q15_top_supplier" ->
       """WITH revs AS (
         |  SELECT l_suppkey,

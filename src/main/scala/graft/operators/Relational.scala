@@ -420,6 +420,182 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Q2-style minimum-cost supplier (adapted: no partsupp table, so
+    * "cost" is the supplier's account balance and the part↔supplier
+    * relation derives from shipped lineitems). The correlated MIN
+    * subquery becomes a per-part agg re-joined on (part, min) — both
+    * sides come off the SAME distinct'd pair shuffle, so AQE reuses
+    * the exchange. All dims broadcast.
+    */
+  def q2MinBalSupplier(t: Tables, ptype: String = "STANDARD",
+      maxSize: Int = 15, region: String = "EUROPE"): DataFrame = {
+    val pairs = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    val parts = t.part
+      .filter(col("p_type") === ptype && col("p_size") < maxSize)
+      .select("p_partkey", "p_name")
+    val supp = t.supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cand = pairs
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val minPer = cand.groupBy(col("p_partkey").as("mp_partkey"))
+      .agg(min("s_acctbal").as("min_bal"))
+    cand.join(minPer, col("p_partkey") === col("mp_partkey") &&
+        col("s_acctbal") === col("min_bal"))
+      .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** Q4-style priority check: orders from one quarter with at least
+    * one lineitem shipped more than `lateDays` after the order date.
+    * The EXISTS rides a left-semi join on orderkey whose non-equi
+    * lateness predicate evaluates inside the join — no second pass.
+    * The order-date filter pushes to the parquet scan.
+    */
+  def q4PriorityCheck(t: Tables, lateDays: Int = 60): DataFrame =
+    t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .join(t.lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q12-style shipment audit (adapted: lateness relative to the order
+    * date replaces the missing commit/receipt dates; return flag
+    * replaces ship mode). Conditional counts of high- vs low-priority
+    * orders among late shipments — one fact-fact shuffle on orderkey,
+    * then a 3-group agg that partial-aggregates to nothing.
+    */
+  def q12LateShipments(t: Tables, lateDays: Int = 90): DataFrame = {
+    val high = col("o_orderpriority").isInCollection(Seq("1-URGENT", "2-HIGH"))
+    t.lineitem.select("l_orderkey", "l_shipdate", "l_returnflag")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q13-style customer order-count distribution: LEFT join with an
+    * ON-clause filter (so order-less customers survive with count 0),
+    * then a second aggregation over the counts. Two shuffles — custkey
+    * then c_count — the second over a customer-sized input that
+    * partial-aggregates to a handful of distinct counts.
+    */
+  def q13OrderDistribution(t: Tables): DataFrame =
+    t.customer.select("c_custkey")
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q16-style supplier diversity (adapted: shipped-pair relation
+    * replaces partsupp; the exclusion list is suppliers in deficit).
+    * count(DISTINCT suppkey) per (brand, size) — Spark plans the
+    * distinct as a partial de-dup under the agg; the NOT IN rides a
+    * broadcast anti-join off the tiny filtered supplier dim.
+    */
+  def q16SupplierCounts(t: Tables): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val deficit = t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    t.lineitem.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(t.part
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size").isInCollection(sizes))
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(deficit), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Q19-style disjunctive predicate pushdown: three OR'd
+    * brand/size/quantity envelopes over the part⋈lineitem join. The
+    * per-branch part filters union into one broadcast roster; the
+    * mixed part+lineitem OR evaluates post-join where Catalyst also
+    * derives the common `p_size/l_quantity` bounds for scan pruning.
+    */
+  def q19Disjunctive(t: Tables): DataFrame = {
+    val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 5, 1, 11) || branch("Brand#15", 10, 10, 20) ||
+        branch("Brand#19", 15, 20, 30))
+      .agg(Rnd.round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Q21-style blocking supplier (adapted: "kept the order waiting" =
+    * shipped strictly last on a multi-supplier order; no receipt/commit
+    * dates in this schema). EXISTS(other supplier) is a left-semi and
+    * NOT EXISTS(other supplier shipping later-or-equal) a left-anti —
+    * both on the SAME orderkey equi-key with non-equi residuals, so
+    * the two passes reuse one exchange of the fact.
+    */
+  def q21WaitingSupplier(t: Tables, nation: String = "NATION_1"): DataFrame = {
+    val l1 = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val others = t.lineitem.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("l_shipdate").as("o2_shipdate"))
+    val natSupp = t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(t.nation.filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    l1.join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(others,
+        col("o2_orderkey") === col("l_orderkey") &&
+          col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(others,
+        col("o2_orderkey") === col("l_orderkey") &&
+          col("o2_suppkey") =!= col("l_suppkey") &&
+          col("o2_shipdate") >= col("l_shipdate"), "left_anti")
+      .groupBy("s_name")
+      .agg(countDistinct("l_orderkey").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** Q22-style idle wealthy customers: balance above the (rounded)
+    * average positive balance, with no orders at all. The scalar avg
+    * broadcasts as a 1-row cross join; the NOT EXISTS is an anti-join
+    * against just the orders key column. Rounding the threshold before
+    * comparing keeps the boundary row set engine-exact.
+    */
+  def q22IdleCustomers(t: Tables): DataFrame = {
+    val avgBal = t.customer.filter(col("c_acctbal") > 0)
+      .agg(Rnd.round(avg("c_acctbal"), 2).as("avg_bal"))
+    t.customer.select("c_custkey", "c_acctbal", "c_nationkey")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t.orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        Rnd.round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** Top-k by sort+limit: Spark plans this as TakeOrderedAndProject —
     * per-partition top-k then a single driver merge; no full sort at
     * any scale.

@@ -32,9 +32,9 @@ class OracleContractSpec extends AnyFunSuite {
   // global-aggregate queries whose result is a single row — an ORDER
   // BY would be a no-op, so its absence is deliberate
   private val singleRowResults = Set(
-    "q6_filter_agg", "q17_small_qty", "q14_promo_revenue", "q_funnel",
-    "q_sample_mod", "q_distinct_cond", "q_dedup_exact", "q_table_merge",
-    "q_vtable_skip")
+    "q6_filter_agg", "q17_small_qty", "q14_promo_revenue", "q19_disjunctive",
+    "q_funnel", "q_sample_mod", "q_distinct_cond", "q_dedup_exact",
+    "q_table_merge", "q_vtable_skip")
 
   test("every oracle pins a deterministic output order") {
     // the driver hash compare sorts rows, but ORDER BY (or a LIMIT'd
