@@ -121,6 +121,41 @@ class ExplainSpec extends SparkSpecBase {
       s"hash_embed fell out of codegen:\n$plan")
   }
 
+  test("q10 top-20 plans as TakeOrderedAndProject over the rounded revenue") {
+    val plan = planOf(Relational.q10ReturnedItems(tables))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in q10:\n$plan")
+  }
+
+  test("q8/q2 dims all broadcast; facts never nested-loop") {
+    for (df <- Seq(Relational.q8MarketShare(tables),
+        Relational.q2MinBalSupplier(tables))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n${plan.take(800)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop fact join:\n${plan.take(800)}")
+    }
+  }
+
+  test("q4/q21 EXISTS chains ride semi/anti hash joins on the orderkey") {
+    val q4 = planOf(Relational.q4PriorityCheck(tables))
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS not a semi join:\n${q4.take(800)}")
+    val q21 = planOf(Relational.q21WaitingSupplier(tables))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 lost its semi/anti pair:\n${q21.take(800)}")
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"),
+      s"q21 nested-loop:\n${q21.take(800)}")
+  }
+
+  test("q19 derives scan-prunable bounds from the OR'd envelopes") {
+    val plan = planOf(Relational.q19Disjunctive(tables))
+    // Catalyst folds the three branches' l_quantity ranges into a
+    // common [1,30] envelope that reaches the lineitem scan
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"no derived quantity bound at the scan:\n${plan.take(1200)}")
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
