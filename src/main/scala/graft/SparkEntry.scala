@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
 import graft.multimodal.Media
-import graft.operators.{AsofJoin, Curate, Decontam, Dedup, Pretrain, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Decontam, Dedup, Pretrain, Profile, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §2 for the inventory each entry
@@ -96,6 +96,8 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(t(s, d))),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(t(s, d))),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(t(s, d))),
+    "q_profile" -> ((s, d) => Profile.qProfile(t(s, d))),
+    "q_constraints" -> ((s, d) => Profile.qConstraints(t(s, d))),
     "q_topk_orders" -> ((s, d) => Relational.qTopkOrders(t(s, d))),
     "q_distinct_segments" -> ((s, d) => Relational.qDistinctSegments(t(s, d))),
     "q_union" -> ((s, d) => Relational.qUnion(t(s, d))),
@@ -571,6 +573,83 @@ object SparkEntry {
         |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    cast(min(o_orderkey) AS VARCHAR) AS min_val,
+        |    cast(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    cast(min(o_custkey) AS VARCHAR), cast(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    cast(min(o_orderstatus) AS VARCHAR), cast(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    cast(min(o_totalprice) AS VARCHAR), cast(max(o_totalprice) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    cast(min(o_orderdate) AS VARCHAR), cast(max(o_orderdate) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    cast(min(o_orderpriority) AS VARCHAR), cast(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
+    "q_constraints" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orderkey_not_null' AS constraint_name,
+        |    count(*) AS n_rows,
+        |    cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_range', count(*),
+        |    cast(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0)
+        |      THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_positive', count(*),
+        |    cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive', count(*),
+        |    cast(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_ship_after_1994', count(*),
+        |    cast(sum(CASE WHEN l_shipdate < TIMESTAMP '1994-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1994-01-01'
+        |      THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', cast(NULL AS BIGINT),
+        |    cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |    count(*) = count(DISTINCT o_orderkey)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_ref_integrity', cast(NULL AS BIGINT),
+        |    count(*), count(*) = 0
+        |  FROM (SELECT l_orderkey FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |ORDER BY constraint_name""".stripMargin,
     "q15_top_supplier" ->
       """WITH revs AS (
         |  SELECT l_suppkey,
