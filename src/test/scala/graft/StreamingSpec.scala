@@ -273,6 +273,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("quality-gated sink routes violating rows to quarantine with check names") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    val input = MemoryStream[Event]
+    val checks = Seq(
+      graft.operators.Profile.Check("value_positive", $"value" <= 0),
+      graft.operators.Profile.Check("kind_known",
+        !$"event_type".isInCollection(Seq("click", "view"))))
+    val q = graft.streaming.QualityGatedVTableSink(
+      s"$base/main", s"$base/quarantine", s"$base/chk", checks)
+      .start(input.toDS().toDF())
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),   // clean
+        Event(2, ts(2), 1, "view", -2.0),   // value_positive
+        Event(3, ts(3), 2, "zzz", 3.0),     // kind_known
+        Event(4, ts(4), 2, "zzz", -4.0))    // both
+      q.processAllAvailable()
+      val main = graft.sources.VersionedTable(spark, s"$base/main").read()
+      val quar = graft.sources.VersionedTable(spark, s"$base/quarantine").read()
+      assert(main.select("event_id").as[Long].collect().toSeq == Seq(1L))
+      val flagged = quar.select("event_id", "violated").as[(Long, String)]
+        .collect().toMap
+      assert(flagged == Map(2L -> "value_positive", 3L -> "kind_known",
+        4L -> "value_positive,kind_known"))
+
+      // a replayed epoch is a no-op on BOTH tables (exactly-once each)
+      val mainT = graft.sources.VersionedTable(spark, s"$base/main")
+      assert(mainT.appendEpoch(main.limit(1), 0L).isEmpty)
+      val quarT = graft.sources.VersionedTable(spark, s"$base/quarantine")
+      assert(quarT.appendEpoch(quar.limit(1), 0L).isEmpty)
+
+      // triage path: fix quarantined rows and MERGE back into main —
+      // the gate's schema (violated column dropped) matches again
+      val fixed = quar.drop("violated")
+        .withColumn("value", abs($"value"))
+        .withColumn("event_type", lit("click"))
+      mainT.merge(fixed, "event_id")
+      assert(mainT.read().count() == 4)
+      assert(mainT.read().where($"value" <= 0).count() == 0)
+    } finally q.stop()
+  }
+
   test("vtable sink auto-compacts on its epoch cadence without losing rows") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-vcsrc").toString
