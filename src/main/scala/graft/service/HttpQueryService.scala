@@ -212,6 +212,14 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.restoreTable(text(body, "path"), body.get("version").asInt)
     s"""{"restored_as_version":$v}"""
   })
+  server.createContext("/profile", gated { body =>
+    val approx = !body.has("approx") || body.get("approx").asBoolean(true)
+    val df = service.profileTable(text(body, "table"), approx)
+    // a profile has exactly one row per profiled column — bounded by
+    // schema width, so a fixed generous cap replaces paging
+    val rows = service.jsonRows(df, 10000)
+    s"""{"profile":[${rows.mkString(",")}],"count":${rows.size},"approx":$approx}"""
+  })
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()
     node.put("plan", service.explain(text(body, "query")))

@@ -105,6 +105,14 @@ final class QueryService(val spark: SparkSession) {
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
 
+  /** Column profile of a registered table (one row per column). The
+    * HTTP default is `approx=true` — the Expand-free single-pass form
+    * is the right default against tables of service scale; exact
+    * distincts are an explicit opt-in.
+    */
+  def profileTable(name: String, approx: Boolean = true): DataFrame =
+    graft.operators.Profile.profile(spark.table(name), approx)
+
   /** Commit history of a versioned table (DESCRIBE HISTORY): version,
     * op, wall time, file count, stream epoch — newest first.
     */

@@ -281,6 +281,27 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /profile returns a per-column profile of a registered table") {
+    post("/register",
+      s"""{"name":"http_prof_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    val res = post("/profile", """{"table":"http_prof_nation"}""")
+    assert(res.statusCode == 200, res.body)
+    // one row per column, approx (single-pass) by default
+    assert(res.body.contains(""""count":3""") &&
+      res.body.contains(""""approx":true"""), res.body)
+    assert(res.body.contains(""""col_name":"n_name"""), res.body)
+    // exact mode opt-in: nation keys are unique, so exact ndv == rows
+    val exact = post("/profile",
+      """{"table":"http_prof_nation","approx":false}""")
+    assert(exact.statusCode == 200 && exact.body.contains(""""approx":false"""),
+      exact.body)
+    assert(exact.body.contains(""""col_name":"n_nationkey","n_rows":25,"n_nulls":0,"n_distinct":25"""),
+      exact.body)
+    // unknown table is a client fault (analysis), not a 500
+    val bad = post("/profile", """{"table":"no_such_table_xyz"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("GET /metrics reports per-endpoint traffic and error classes") {
     val r1 = post("/sql", """{"query":"SELECT 1 AS one"}""")
     assert(r1.statusCode == 200)
