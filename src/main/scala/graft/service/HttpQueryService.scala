@@ -205,6 +205,10 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
     s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
+  server.createContext("/delete", gated { body =>
+    val v = service.deleteWhere(text(body, "path"), text(body, "where"))
+    s"""{"deleted_as_version":$v}"""
+  })
   server.createContext("/restore", gated { body =>
     require(body.has("version"), "missing field: version")
     require(body.get("version").canConvertToInt,

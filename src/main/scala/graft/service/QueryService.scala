@@ -126,6 +126,14 @@ final class QueryService(val spark: SparkSession) {
   def restoreTable(dir: String, version: Int): Int =
     graft.sources.VersionedTable(spark, dir).restore(version)
 
+  /** Predicate DELETE on a versioned table (retention sweeps over
+    * HTTP). Stats-pruned: only files whose committed min/max overlap
+    * the predicate are rewritten. Returns the new committed version.
+    */
+  def deleteWhere(dir: String, where: String): Int =
+    graft.sources.VersionedTable(spark, dir)
+      .deleteWhere(org.apache.spark.sql.functions.expr(where))
+
   /** EXPLAIN endpoint: the optimized + physical plan for a statement
     * without executing it. Goes through SQL `EXPLAIN FORMATTED` —
     * `spark.sql(query).queryExecution` would EXECUTE command plans

@@ -8,7 +8,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, conv, count, hex, input_file_name, least, lit, max, min, substring, when}
+import org.apache.spark.sql.functions.{coalesce, col, conv, count, hex, input_file_name, least, lit, max, min, substring, when}
 import org.apache.spark.sql.types._
 
 import graft.operators.Merge
@@ -782,6 +782,41 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // delete on a non-leading key must not reorder the table's schema
     val remaining = base.join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
       .select(base.columns.map(col).toSeq: _*)
+    commitData(v + 1, "delete", remaining,
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+  }
+
+  /** Predicate DELETE — the retention/TTL path (`DELETE WHERE
+    * ts < cutoff`, GDPR erasure by attribute, …). Files whose
+    * committed stats PROVE no row can satisfy the predicate's simple
+    * conjuncts (the same [[DataSkipping]] contract as `readWhere`)
+    * are carried forward untouched; only overlapping files are read
+    * and rewritten. On a retention sweep over a time-clustered 100 TB
+    * table that is O(expiring files), not O(table). Unrecognized
+    * conjunct shapes prune nothing (every file counts as touched) —
+    * pruning only ever removes provably-dead rewrites.
+    *
+    * SQL DELETE semantics: a row is deleted only where the predicate
+    * is TRUE — NULL-valued predicates keep the row (the coalesce
+    * below pins that even for three-valued conditions).
+    */
+  def deleteWhere(condition: Column): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    val schema = Option(schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    val cons = DataSkipping.constraints(
+      org.apache.spark.sql.GraftColumnBridge.expression(condition))
+    val (touched, untouched) = files.partition(f =>
+      DataSkipping.mayMatch(stats.get(f), schema, cons))
+    if (touched.isEmpty) // nothing can match: visible no-op commit
+      return commit(v + 1, "delete", files, schemaJson, stats)
+    val base = readFiles(m, touched)
+    val remaining = base.filter(!coalesce(condition, lit(false)))
     commitData(v + 1, "delete", remaining,
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }

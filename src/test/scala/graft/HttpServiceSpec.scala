@@ -281,6 +281,22 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /delete runs a predicate delete on a vtable and commits a version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-del").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "keep"), (2L, "old"), (3L, "old")).toDF("id", "v"))
+    val res = post("/delete", s"""{"path":"$dir","where":"id >= 2"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body == """{"deleted_as_version":2}""", res.body)
+    assert(vt.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // history still has the pre-delete snapshot
+    assert(vt.read(1).count() == 3)
+    // a bad predicate is a client fault, not a 500
+    val bad = post("/delete", s"""{"path":"$dir","where":"no_such_col > 1"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("POST /profile returns a per-column profile of a registered table") {
     post("/register",
       s"""{"name":"http_prof_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")

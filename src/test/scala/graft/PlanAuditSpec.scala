@@ -13,6 +13,8 @@ class PlanAuditSpec extends SparkSpecBase {
   // join of a bounded-size side (≤ O(100) rows by construction)
   private val intentionalCross = Set(
     "q_scalar_subquery", // 1-row global avg
+    "q11_important_parts", // 1-row grand-total threshold
+    "q22_idle_customers",  // 1-row rounded avg-balance threshold
     "q_ann_bruteforce",  // 3-row query set
     "q_hard_negatives",  // same 3-row query set, band-filtered
     "q_text_ann",        // 3-row hash-embedded query set

@@ -227,6 +227,38 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.fileList(v4) == after && t.read().count() == 18)
   }
 
+  test("deleteWhere prunes by stats and applies SQL three-valued delete semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq.tabulate(10)(i => (i.toLong, s"low$i")).toDF("id", "name").coalesce(1))
+    t.append(Seq.tabulate(10)(i => (1000L + i, s"hi$i")).toDF("id", "name").coalesce(1))
+    val lowFiles = t.fileList(1)
+    // retention sweep entirely inside the hi file's range
+    val v3 = t.deleteWhere(col("id") >= 1005L)
+    val after = t.fileList(v3)
+    assert(lowFiles.forall(after.contains), s"low file rewritten: $after")
+    assert(t.read().count() == 15)
+    assert(t.read().filter(col("id") >= 1005L).count() == 0)
+    // pre-delete snapshot intact
+    assert(t.read(2).count() == 20)
+    // a predicate matching nothing anywhere: visible no-op, all files carried
+    val v4 = t.deleteWhere(col("id") > 99999L)
+    assert(t.fileList(v4) == after && t.read().count() == 15)
+    // NULL predicate keeps the row: id IS NULL rows survive a value test
+    val t2 = VersionedTable(spark, tmp())
+    t2.append(Seq(Some(1L), None, Some(30L)).toDF("id"))
+    t2.deleteWhere(col("id") > 10L)
+    val left = t2.read().collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(left == Set(Some(1L), None), s"three-valued delete broke: $left")
+    // unrecognized conjunct (arithmetic) prunes nothing but deletes right
+    val v5 = t.deleteWhere(expr("id % 2 = 1 and id < 10"))
+    assert(t.read(v5).filter(expr("id % 2 = 1 and id < 10")).count() == 0)
+    assert(t.read(v5).count() == 10)
+  }
+
   test("history lists commits newest-first with op, time, and file counts") {
     import spark.implicits._
     val dir = tmp()
