@@ -209,6 +209,28 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.deleteWhere(text(body, "path"), text(body, "where"))
     s"""{"deleted_as_version":$v}"""
   })
+  server.createContext("/update", gated { body =>
+    require(body.has("set") && body.get("set").isObject && body.get("set").size > 0,
+      "missing or empty object field: set")
+    val set = {
+      import scala.jdk.CollectionConverters._
+      body.get("set").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    val v = service.updateWhere(text(body, "path"), text(body, "where"), set)
+    s"""{"updated_as_version":$v}"""
+  })
+  server.createContext("/constraints", gated { body =>
+    require(body.has("checks") && body.get("checks").isArray &&
+      body.get("checks").size > 0, "missing or empty array field: checks")
+    val checks = (0 until body.get("checks").size).map { i =>
+      val c = body.get("checks").get(i)
+      (text(c, "name"), text(c, "violation"))
+    }
+    val rows = service.jsonRows(
+      service.checkConstraints(text(body, "table"), checks), 10000)
+    s"""{"constraints":[${rows.mkString(",")}],"count":${rows.size}}"""
+  })
   server.createContext("/restore", gated { body =>
     require(body.has("version"), "missing field: version")
     require(body.get("version").canConvertToInt,

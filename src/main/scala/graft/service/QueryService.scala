@@ -134,6 +134,23 @@ final class QueryService(val spark: SparkSession) {
     graft.sources.VersionedTable(spark, dir)
       .deleteWhere(org.apache.spark.sql.functions.expr(where))
 
+  /** Predicate UPDATE on a versioned table; assignments are SQL
+    * expressions over the row's OLD values. Returns the new version.
+    */
+  def updateWhere(dir: String, where: String, set: Map[String, String]): Int =
+    graft.sources.VersionedTable(spark, dir).updateWhere(
+      org.apache.spark.sql.functions.expr(where),
+      set.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) })
+
+  /** Evaluate a named constraint suite over a registered table — each
+    * violation predicate is a SQL boolean marking BAD rows; all checks
+    * run in ONE conditional-agg pass.
+    */
+  def checkConstraints(table: String, checks: Seq[(String, String)]): DataFrame =
+    graft.operators.Profile.checkConstraints(spark.table(table),
+      checks.map { case (n, v) =>
+        graft.operators.Profile.Check(n, org.apache.spark.sql.functions.expr(v)) })
+
   /** EXPLAIN endpoint: the optimized + physical plan for a statement
     * without executing it. Goes through SQL `EXPLAIN FORMATTED` —
     * `spark.sql(query).queryExecution` would EXECUTE command plans

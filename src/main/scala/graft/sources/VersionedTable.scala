@@ -821,6 +821,57 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }
 
+  /** Predicate UPDATE — `UPDATE SET col = expr WHERE condition` as a
+    * copy-on-write rewrite, the companion to [[deleteWhere]] with the
+    * same [[DataSkipping]] pruning: files whose stats prove no row
+    * matches keep their bytes (and their stats) untouched. Assignments
+    * apply only where the condition is TRUE (three-valued: NULL keeps
+    * the old value), evaluate against the ROW'S OLD VALUES (standard
+    * SQL UPDATE — an assignment referencing an assigned column sees
+    * the pre-update value), and may only target existing columns (no
+    * silent schema drift through an UPDATE).
+    */
+  def updateWhere(condition: Column, assignments: Map[String, Column]): Int = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    val schema = Option(schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    val cons = DataSkipping.constraints(
+      org.apache.spark.sql.GraftColumnBridge.expression(condition))
+    val (touched, untouched) = files.partition(f =>
+      DataSkipping.mayMatch(stats.get(f), schema, cons))
+    if (touched.isEmpty)
+      return commit(v + 1, "update", files, schemaJson, stats)
+    val base = readFiles(m, touched)
+    val bad = assignments.keySet -- base.columns.toSet
+    require(bad.isEmpty, s"UPDATE targets unknown column(s): ${bad.toSeq.sorted.mkString(", ")}")
+    val hit = coalesce(condition, lit(false))
+    // one projection: every assignment branches on the SAME condition
+    // over the same input row — old values on both sides of each when
+    val updated = base.select(base.columns.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    // when() unifies branch types, so a widening assignment (double
+    // into a long column) would silently change the schema of the
+    // REWRITTEN files only — mixed-schema corruption. Make it loud;
+    // an explicit cast in the assignment is the sanctioned path.
+    assignments.keys.foreach { c =>
+      val (was, now) = (base.schema(c).dataType, updated.schema(c).dataType)
+      require(was == now,
+        s"UPDATE would change $c from $was to $now; cast the assignment explicitly")
+    }
+    commitData(v + 1, "update", updated,
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+  }
+
   /** Bin-pack small files into ~`targetBytes` outputs — the companion
     * every streaming-fed table needs (each epoch commits one small
     * file; unchecked, scans degrade to per-file task overhead). Files

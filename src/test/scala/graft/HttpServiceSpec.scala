@@ -297,6 +297,32 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /update applies predicate assignments; POST /constraints reports checks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-upd").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 5.0), (2L, -3.0), (3L, 7.0)).toDF("id", "price"))
+    val res = post("/update",
+      s"""{"path":"$dir","where":"price < 0","set":{"price":"0.0 - price"}}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body == """{"updated_as_version":2}""", res.body)
+    assert(vt.read().filter($"id" === 2L).head().getDouble(1) == 3.0)
+    // missing set object is a 400
+    val bad = post("/update", s"""{"path":"$dir","where":"id = 1"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+
+    post("/register",
+      s"""{"name":"http_cons_orders","format":"parquet","path":"${TestSpark.sfDir}/orders.parquet"}""")
+    val cons = post("/constraints",
+      """{"table":"http_cons_orders","checks":[
+        |{"name":"price_positive","violation":"o_totalprice <= 0"},
+        |{"name":"status_known","violation":"o_orderstatus NOT IN ('F','O','P')"}]}""".stripMargin)
+    assert(cons.statusCode == 200, cons.body)
+    assert(cons.body.contains(""""constraint_name":"price_positive"""") &&
+      cons.body.contains(""""n_violations":0""") &&
+      cons.body.contains(""""count":2"""), cons.body)
+  }
+
   test("POST /profile returns a per-column profile of a registered table") {
     post("/register",
       s"""{"name":"http_prof_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")

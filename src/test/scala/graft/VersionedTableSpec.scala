@@ -259,6 +259,39 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read(v5).count() == 10)
   }
 
+  test("updateWhere rewrites only overlapping files, old values feed assignments") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq.tabulate(5)(i => (i.toLong, 10.0 * i)).toDF("id", "price").coalesce(1))
+    t.append(Seq.tabulate(5)(i => (100L + i, 1000.0 + i)).toDF("id", "price").coalesce(1))
+    val lowFiles = t.fileList(1)
+    // hit only the hi file; swap-style pair proves OLD values feed
+    // every assignment (price uses pre-update id, id uses +1000)
+    val v3 = t.updateWhere(col("id") >= 100L,
+      Map("price" -> (col("id").cast("double") * 2), "id" -> (col("id") + 1000L)))
+    assert(lowFiles.forall(t.fileList(v3).contains), "low file rewritten")
+    val hi = t.read().filter(col("id") >= 1100L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hi == (0 until 5).map(i => (1100L + i) -> (100.0 + i) * 2).toMap, hi)
+    // untouched rows byte-identical; snapshot history intact
+    assert(t.read().filter(col("id") < 100L).collect()
+      .map(r => r.getDouble(1)).sorted.toSeq == Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    assert(t.read(2).filter(col("id") === 100L).head().getDouble(1) == 1000.0)
+    // no-match predicate: visible no-op, all files carried
+    val v4 = t.updateWhere(col("id") > 99999L, Map("price" -> lit(0.0)))
+    assert(t.fileList(v4) == t.fileList(v3))
+    // widening assignment must be loud, not silent schema drift
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 0L, Map("id" -> lit(1.5)))
+    }
+    // unknown target column is rejected
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 0L, Map("nope" -> lit(1)))
+    }
+  }
+
   test("history lists commits newest-first with op, time, and file counts") {
     import spark.implicits._
     val dir = tmp()
