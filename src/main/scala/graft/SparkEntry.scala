@@ -203,6 +203,7 @@ object SparkEntry {
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
+    "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
@@ -1227,6 +1228,25 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // MERGE semantics reproduced in plain SQL: even keys keep their
     // price unless divisible by 3 (updated); odd multiples of 3 are
+    "q_scd2" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+        |    TIMESTAMP '1995-01-01' AS valid_from,
+        |    cast(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    TIMESTAMP '1995-01-01', TIMESTAMP '2000-01-01', false
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'VIP', c_acctbal,
+        |    TIMESTAMP '2000-01-01', cast(NULL AS TIMESTAMP), true
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', 0.0,
+        |    TIMESTAMP '2000-01-01', cast(NULL AS TIMESTAMP), true
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // the inserted rows
     "q_table_merge" ->
       """SELECT count(*) AS n_rows,

@@ -48,4 +48,101 @@ object Merge {
           cols.map(c =>
             when(col("u.__graft_from_u"), col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)
   }
+
+  /** SCD TYPE 2 dimension maintenance — apply a change batch to a
+    * versioned dimension, preserving full history: a matched key whose
+    * tracked attributes differ (null-safely) CLOSES the current row
+    * (`valid_to` = effective ts, `is_current` = false) and opens a new
+    * one; an identical match is untouched; a new key opens its first
+    * row; historical rows pass through.
+    *
+    * `dim` carries the business columns plus `valid_from`/`valid_to`
+    * (timestamp, null = open) and `is_current` (boolean); `changes`
+    * carries the business columns only. One full-outer join on the
+    * key, then each joined row EXPLODES into its 1–2 output rows — a
+    * single pass, no plan re-execution per output class, the same
+    * shuffle budget as a plain MERGE at any scale. Null / duplicate
+    * change keys raise, mirroring `upsert`.
+    */
+  def scd2(dim: DataFrame, changes: DataFrame, key: String,
+      effectiveTs: String): DataFrame = {
+    val metaCols = Seq("valid_from", "valid_to", "is_current")
+    require(metaCols.forall(dim.columns.contains),
+      s"dim must carry $metaCols; has ${dim.columns.toSeq}")
+    val business = dim.columns.filterNot(metaCols.contains).toSeq
+    require(changes.columns.sameElements(business),
+      s"changes must carry exactly the business columns $business " +
+        s"(no SCD metadata); has ${changes.columns.toSeq}")
+    val tracked = business.filterNot(_ == key)
+    val ts = lit(effectiveTs).cast("timestamp_ntz")
+
+    def checkedKey(df: DataFrame, side: String) = df.withColumn(key,
+      when(col(key).isNull, raise_error(lit(s"scd2: null $key in $side")))
+        .otherwise(col(key)))
+    val dupGuard = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val u = checkedKey(changes, "changes")
+      .withColumn("__graft_from_u",
+        when(count(lit(1)).over(dupGuard) > 1,
+          raise_error(concat(lit(s"scd2: multiple change rows for $key="),
+            col(key).cast("string"))))
+          .otherwise(lit(true)))
+      .as("u")
+
+    val current = checkedKey(dim.filter(col("is_current")), "dim").as("c")
+    val history = dim.filter(!col("is_current"))
+
+    val hasC = col("c.__graft_from_c").isNotNull
+    val hasU = col("u.__graft_from_u").isNotNull
+    val differs = !tracked.map(t => col(s"c.$t") <=> col(s"u.$t"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+    def cRow = struct(
+      business.map(b => col(s"c.$b").as(b)) ++
+        Seq(col("c.valid_from").as("valid_from"),
+          col("c.valid_to").as("valid_to"),
+          col("c.is_current").as("is_current")): _*)
+    def closedRow = struct(
+      business.map(b => col(s"c.$b").as(b)) ++
+        Seq(col("c.valid_from").as("valid_from"), ts.as("valid_to"),
+          lit(false).as("is_current")): _*)
+    def openedRow = struct(
+      business.map(b => col(s"u.$b").as(b)) ++
+        Seq(ts.as("valid_from"),
+          lit(null).cast("timestamp_ntz").as("valid_to"),
+          lit(true).as("is_current")): _*)
+
+    val joined = current.withColumn("__graft_from_c", lit(true)).as("c")
+      .join(u, col(s"c.$key") === col(s"u.$key"), "full_outer")
+    val exploded = joined.select(explode(
+      when(hasC && !hasU, array(cRow))
+        .when(hasC && hasU && !differs, array(cRow))
+        .when(hasC && hasU && differs, array(closedRow, openedRow))
+        .otherwise(array(openedRow))).as("r"))
+      .select("r.*")
+    history.select(exploded.columns.map(col).toSeq: _*).unionByName(exploded)
+  }
+
+  /** Contract query: SCD2 over a customer dimension. The initial dim
+    * is every customer open since 1995; the change batch re-segments
+    * every 7th customer to VIP (same balance — only the tracked
+    * segment differs) and introduces brand-new +1M keys for every 13th
+    * — so the output exercises all four row classes (untouched,
+    * closed, re-opened, first-open) and the DuckDB oracle rebuilds
+    * each class with plain set arithmetic.
+    */
+  def qScd2(t: graft.sources.Tables): DataFrame = {
+    val dim = t.customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      .withColumn("valid_from", lit("1995-01-01").cast("timestamp_ntz"))
+      .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+      .withColumn("is_current", lit(true))
+    val changes = t.customer.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"), lit("VIP").as("segment"),
+        col("c_acctbal").as("acctbal"))
+      .unionByName(t.customer.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEW").as("segment"), lit(0.0).as("acctbal")))
+    scd2(dim, changes, "c_custkey", "2000-01-01")
+      .orderBy("c_custkey", "valid_from")
+  }
 }
