@@ -204,6 +204,7 @@ object SparkEntry {
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
+    "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
@@ -1247,6 +1248,13 @@ object SparkEntry {
         |    TIMESTAMP '2000-01-01', cast(NULL AS TIMESTAMP), true
         |  FROM customer WHERE c_custkey % 13 = 0)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_scd2_pit" ->
+      """SELECT segment, count(*) AS n_orders FROM (
+        |  SELECT CASE WHEN c_custkey % 7 = 0
+        |              AND o_orderdate >= TIMESTAMP '2000-01-01'
+        |         THEN 'VIP' ELSE c_mktsegment END AS segment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     // the inserted rows
     "q_table_merge" ->
       """SELECT count(*) AS n_rows,

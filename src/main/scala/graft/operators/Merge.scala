@@ -145,4 +145,25 @@ object Merge {
     scd2(dim, changes, "c_custkey", "2000-01-01")
       .orderBy("c_custkey", "valid_from")
   }
+
+  /** Contract query: POINT-IN-TIME join of facts to the SCD2
+    * dimension — each order picks the dimension version valid at its
+    * order date. In a well-formed SCD2 chain (contiguous, non-
+    * overlapping intervals per key) "valid at t" ≡ "latest version
+    * with valid_from <= t", so the interval join rides the as-of
+    * machinery: ONE shuffle + window, never an inequality nested
+    * loop. The oracle encodes the same semantic directly as a CASE on
+    * the change rule, so the whole scd2 → PIT pipeline is checked,
+    * not just the join.
+    */
+  def qScd2Pit(t: graft.sources.Tables): DataFrame = {
+    val dim = qScd2(t).select(col("c_custkey").as("ck"),
+      col("valid_from").as("pt"), col("segment"))
+    val facts = t.orders.select(col("o_custkey").as("ck"),
+      col("o_orderdate").as("pt"))
+    AsofJoin.asofJoin(facts, dim, "ck", "pt", Seq("segment"))
+      .groupBy(col("asof_segment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("segment")
+  }
 }
