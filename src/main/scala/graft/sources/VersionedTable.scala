@@ -68,6 +68,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%08d.json")
   private def checkpointPath(v: Int): Path = logDir.resolve(f"checkpoint-$v%08d.json")
   private def pointerPath: Path = logDir.resolve("_last_checkpoint")
+  private def cdfMarkerPath: Path = logDir.resolve("_cdf_enabled")
+
+  /** Opt into row-level change tracking (Delta's
+    * `enableChangeDataFeed` table property): from now on every
+    * rewriting commit (merge / delete / deleteWhere / updateWhere)
+    * also writes its row-level changes as change files, and
+    * [[readChangesSince]] can serve a complete change feed across
+    * them. Appends never need change files (the fresh data files ARE
+    * the inserts), so enabling costs nothing on the append path;
+    * rewrites pay one extra write proportional to the CHANGED rows —
+    * the price of not making every downstream consumer rescan the
+    * snapshot. Idempotent; applies to commits AFTER the call (earlier
+    * rewrites still answer with the resync signal).
+    */
+  def enableCdf(): Unit = {
+    Files.createDirectories(logDir)
+    if (!Files.exists(cdfMarkerPath))
+      try { Files.createFile(cdfMarkerPath); () }
+      catch { case _: FileAlreadyExistsException => () } // racing enable: both win
+  }
+
+  /** Is row-level change tracking on for this table? */
+  def cdfEnabled: Boolean = Files.exists(cdfMarkerPath)
 
   /** Latest committed version, 0 if the table is empty. With a
     * checkpoint pointer present this probes forward from the
@@ -121,6 +144,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       s.properties().asScala.map(e => e.getKey -> e.getValue).toMap
     }
   }
+
+  /** Relative change-file paths a rewriting commit recorded, or None
+    * for a commit written without change tracking (pre-CDF writer, or
+    * the table wasn't enabled yet) — None and empty differ: empty
+    * means "tracked, zero changes", None means "unknowable, resync".
+    */
+  private def manifestCdf(m: JsonNode): Option[Seq[String]] =
+    Option(m.get("cdf")).map { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(_.asText()).toSeq
+    }
 
   /** The exact relative file paths of a committed version (spec hook:
     * proves carried files keep their paths across a pruned MERGE).
@@ -203,8 +237,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * directory (uncommitted writes never collide and are invisible to
     * readers); returns (subdir, relative file paths).
     */
-  private def writeFiles(df: DataFrame): (String, Seq[String]) = {
-    val sub = s"files-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def writeFiles(df: DataFrame, prefix: String = "files"): (String, Seq[String]) = {
+    val sub = s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
     // a failed write job (executor error, upsert's null-key raise_error
     // firing mid-write, a kill) must not orphan its partial output:
     // only the commit-conflict path cleaned up before, so every other
@@ -366,7 +400,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private[graft] def commit(v: Int, op: String, fileList: Seq[String],
       schemaJson: String = null, stats: Map[String, JsonNode] = Map.empty,
-      epoch: Option[Long] = None): Int = {
+      epoch: Option[Long] = None, cdf: Option[Seq[String]] = None): Int = {
     val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -377,6 +411,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     epoch.foreach { e => node.put("epoch", e); () }
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
+    cdf.foreach { rels =>
+      val ca = node.putArray("cdf") // present-but-empty = "zero changes"
+      rels.foreach(ca.add)
+    }
     if (stats.nonEmpty) {
       val sn = node.putObject("stats")
       fileList.foreach(f => stats.get(f).foreach { s => sn.set[JsonNode](f, s); () })
@@ -500,18 +538,30 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private[graft] def commitData(v: Int, op: String, df: DataFrame,
       carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
-      epoch: Option[Long] = None): Int = {
+      epoch: Option[Long] = None, changes: Option[DataFrame] = None): Int = {
     val (sub, fresh) = writeFiles(df)
-    // ANY failure past this point (stats pass, lost commit race, torn
-    // manifest write) leaves data no manifest references — reclaim it
-    // here or it leaks forever (vacuum only sees manifest-held files)
+    // ANY failure past this point (stats pass, change write, lost
+    // commit race, torn manifest write) leaves data no manifest
+    // references — reclaim it here or it leaks forever (vacuum only
+    // sees manifest-held files). The change files are written AFTER
+    // the data (a failing rewrite — upsert's null-key raise — must
+    // not leave change files for a commit that never happened) and
+    // cleaned up alongside it.
+    var cdfSub: Option[String] = None
     try {
+      val cdfRels = changes.map { ch =>
+        val (csub, crels) = writeFiles(ch, prefix = "cdf")
+        cdfSub = Some(csub)
+        crels
+      }
       val stats = carriedStats ++ freshStats(sub, fresh, df.schema)
-      commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch)
+      commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch, cdfRels)
     } catch {
       case scala.util.control.NonFatal(e) =>
-        try deleteTree(Paths.get(dir, sub))
-        catch { case scala.util.control.NonFatal(_) => () }
+        (Seq(sub) ++ cdfSub).foreach { s =>
+          try deleteTree(Paths.get(dir, s))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         throw e
     }
   }
@@ -729,8 +779,28 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val base =
       if (touched.nonEmpty) readFiles(m, touched)
       else emptySnapshot(m)
+    // row-level changes (CDF): matched keys emit pre+postimage, new
+    // keys emit insert. Derived from the TOUCHED files only — sound
+    // because a carried file is range-disjoint from the update keys,
+    // so it cannot hold a matched row. Assumes key-unique snapshots
+    // (the SQL MERGE precondition upsert's dup-source raise enforces
+    // on the update side).
+    val changes =
+      if (!cdfEnabled) None
+      else {
+        val ct = VersionedTable.ChangeTypeCol
+        val updKeys = updates.select(col(key)).distinct()
+        val baseKeys = base.select(col(key)).distinct()
+        Some(base.join(updKeys, Seq(key), "left_semi")
+          .withColumn(ct, lit("update_preimage"))
+          .unionByName(updates.join(baseKeys, Seq(key), "left_semi")
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(updates.join(baseKeys, Seq(key), "left_anti")
+            .withColumn(ct, lit("insert"))))
+      }
     commitData(v + 1, "merge", Merge.upsert(base, updates, key),
-      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      changes = changes)
   }
 
   /** Stats-pruned copy-on-write DELETE by key set: drop every snapshot
@@ -777,13 +847,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = readFiles(m, touched)
+    val keysD = keys.select(col(key)).distinct()
     // a USING anti-join hoists the key column to the front of the
     // output, so re-select the committed column order explicitly — a
     // delete on a non-leading key must not reorder the table's schema
-    val remaining = base.join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
+    val remaining = base.join(keysD, Seq(key), "left_anti")
       .select(base.columns.map(col).toSeq: _*)
+    // CDF: the deleted rows are exactly the semi-join complement of
+    // `remaining` — same join, same implicit-cast semantics, so the
+    // change feed can never disagree with what the rewrite dropped
+    val changes =
+      if (!cdfEnabled) None
+      else Some(base.join(keysD, Seq(key), "left_semi")
+        .select(base.columns.map(col).toSeq: _*)
+        .withColumn(VersionedTable.ChangeTypeCol, lit("delete")))
     commitData(v + 1, "delete", remaining,
-      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      changes = changes)
   }
 
   /** Predicate DELETE — the retention/TTL path (`DELETE WHERE
@@ -816,9 +896,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (touched.isEmpty) // nothing can match: visible no-op commit
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = readFiles(m, touched)
-    val remaining = base.filter(!coalesce(condition, lit(false)))
+    val hit = coalesce(condition, lit(false))
+    val remaining = base.filter(!hit)
+    val changes =
+      if (!cdfEnabled) None
+      else Some(base.filter(hit)
+        .withColumn(VersionedTable.ChangeTypeCol, lit("delete")))
     commitData(v + 1, "delete", remaining,
-      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      changes = changes)
   }
 
   /** Predicate UPDATE — `UPDATE SET col = expr WHERE condition` as a
@@ -868,8 +954,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       require(was == now,
         s"UPDATE would change $c from $was to $now; cast the assignment explicitly")
     }
+    // CDF: pre/postimages of exactly the hit rows. The postimage
+    // applies assignments to rows filtered on their OLD values — an
+    // assignment that flips the condition column must not drop the
+    // row from the feed (filtering `updated` on the condition would).
+    // The cast is a no-op by the type guard above; it only pins the
+    // raw assignment expression (whose type when() would otherwise
+    // unify) to the table's column type.
+    val changes =
+      if (!cdfEnabled) None
+      else {
+        val ct = VersionedTable.ChangeTypeCol
+        val hits = base.filter(hit)
+        Some(hits.withColumn(ct, lit("update_preimage"))
+          .unionByName(hits.select(base.columns.toSeq.map { c =>
+            assignments.get(c) match {
+              case Some(e) => e.cast(base.schema(c).dataType).as(c)
+              case None    => col(c)
+            }
+          }: _*).withColumn(ct, lit("update_postimage"))))
+      }
     commitData(v + 1, "update", updated,
-      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap)
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      changes = changes)
   }
 
   /** Bin-pack small files into ~`targetBytes` outputs — the companion
@@ -1109,6 +1216,103 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     else readFiles(mCur, fresh)
   }
 
+  /** Row-level change feed (Delta's `table_changes`): every change the
+    * commits in `(sinceVersion, untilVersion]` made, as table rows
+    * tagged `_change_type` (`insert`, `delete`, `update_preimage`,
+    * `update_postimage`) and `_commit_version`. Per-commit cost model:
+    *
+    *   - append / stream-append — served from the commit's fresh data
+    *     files (a manifest file-set diff, no change files needed);
+    *   - merge / delete / update — served from the change files the
+    *     commit wrote ([[enableCdf]]); a rewriting commit written
+    *     without tracking answers [[VersionedTable.ResyncRequired]];
+    *   - compact — skipped: it moves bytes, not rows (zero logical
+    *     change), so maintenance never forces consumers to resync;
+    *   - overwrite / restore — resync: their logical delta is a full
+    *     snapshot diff, which no file-level record can answer;
+    *   - any rewriting commit that left the file list identical
+    *     (empty MERGE, all-pruned DELETE) — skipped, zero changes.
+    *
+    * Rows come back under the `untilVersion` schema: change files and
+    * appended files written before an additive evolution read under
+    * their own commit's schema and are null-extended, mirroring how
+    * snapshot reads treat old files. Consumers resume by recording the
+    * upper bound they passed, exactly like [[readAppendsSince]].
+    */
+  def readChangesSince(sinceVersion: Int, untilVersion: Int = -1): DataFrame = {
+    val cur = if (untilVersion == -1) currentVersion else untilVersion
+    require(cur > 0, s"table at $dir has no committed version")
+    require(untilVersion == -1 || untilVersion <= currentVersion,
+      s"version $untilVersion not committed (current $currentVersion)")
+    require(sinceVersion >= 0 && sinceVersion <= cur,
+      s"version $sinceVersion out of range (upper bound $cur)")
+    def readManifest(v: Int): JsonNode =
+      try manifest(v)
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          throw new VersionedTable.ResyncRequired(
+            s"version $v of $dir is below the vacuum horizon; re-read the snapshot")
+      }
+    val ct = VersionedTable.ChangeTypeCol
+    val cv = VersionedTable.CommitVersionCol
+    val mCur = readManifest(cur)
+    val tgtNode = mCur.get("schema")
+    require(tgtNode != null, s"manifest of $dir carries no schema; change feed needs one")
+    val tgt = DataType.fromJson(tgtNode.asText()).asInstanceOf[StructType]
+    // every piece aligns to the until-version schema: committed
+    // columns in order (old files null-extend), then the two feed
+    // columns — so the union is well-typed across schema evolution
+    def align(df: DataFrame, version: Int): DataFrame = {
+      val have = df.columns.toSet
+      df.select(tgt.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(ct) :+ lit(version).as(cv): _*)
+    }
+    var prevFiles =
+      if (sinceVersion == 0) Set.empty[String]
+      else manifestFiles(readManifest(sinceVersion)).toSet
+    val pieces = ((sinceVersion + 1) to cur).flatMap { v =>
+      val m = if (v == cur) mCur else readManifest(v)
+      val op = m.path("op").asText("")
+      val fs = manifestFiles(m).toSet
+      val piece: Option[DataFrame] =
+        if (op == "append" || op == "stream-append") {
+          val fresh = manifestFiles(m).filterNot(prevFiles)
+          if (fresh.isEmpty) None
+          else Some(align(readFiles(m, fresh).withColumn(ct, lit("insert")), v))
+        } else manifestCdf(m) match {
+          case Some(rels) =>
+            if (rels.isEmpty) None
+            else {
+              // pin the change files to their OWN commit's schema (+
+              // the tag column the writer appended) — a later additive
+              // evolution must not make old change files read wide
+              val st = Option(m.get("schema"))
+                .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+                .getOrElse(tgt)
+                .add(StructField(ct, StringType, nullable = true))
+              Some(align(
+                spark.read.schema(st).parquet(rels.map(r => s"$dir/$r"): _*), v))
+            }
+          case None if fs == prevFiles => None // no-op commit: zero changes
+          case None if op == "compact" => None // bytes moved, rows unchanged
+          case None =>
+            throw new VersionedTable.ResyncRequired(
+              s"cannot read changes across version $v ($op " +
+                "wrote no change files); re-read the snapshot instead")
+        }
+      prevFiles = fs
+      piece
+    }
+    val empty = {
+      val schema = StructType(tgt.fields.toSeq :+
+        StructField(ct, StringType, nullable = true) :+
+        StructField(cv, IntegerType, nullable = false))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    pieces.foldLeft(empty)(_ unionByName _)
+  }
+
   /** Commit history, newest first (Delta's DESCRIBE HISTORY): one row
     * per retained version with its operation, wall-clock commit time
     * (null for manifests written before timestamps existed), file
@@ -1168,8 +1372,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         if (m.has("epoch")) Some(m.get("epoch").asLong) else None
       }.maxOption.foreach(writeEpochPointer)
     } catch { case NonFatal(_) => () }
-    val live = keep.flatMap(v => manifestFiles(manifest(v))).toSet
-    val dead = drop.flatMap(v => manifestFiles(manifest(v))).distinct
+    // change files are referenced ONLY by their own commit's manifest,
+    // so they die with it — include them on both sides for uniformity
+    def held(v: Int): Seq[String] = {
+      val m = manifest(v)
+      manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
+    }
+    val live = keep.flatMap(held).toSet
+    val dead = drop.flatMap(held).distinct
       .filterNot(live)
     dead.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // drop data dirs with no parquet left (write markers like _SUCCESS
@@ -1210,6 +1420,14 @@ object VersionedTable {
     * library bug) as "please recompute from scratch".
     */
   final class ResyncRequired(msg: String) extends IllegalStateException(msg)
+
+  /** Change-feed tag column: insert | delete | update_preimage |
+    * update_postimage (Delta's _change_type vocabulary).
+    */
+  val ChangeTypeCol = "_change_type"
+
+  /** Change-feed commit-version column. */
+  val CommitVersionCol = "_commit_version"
 
   /** Checkpoint cadence: every Nth commit duplicates the manifest and
     * bumps `_last_checkpoint`. Delta uses 10; manifests here are

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.sources.VersionedTable
+
+/** Row-level change-data-feed contract: readChangesSince serves every
+  * change a tracked commit made — appends from file diffs, rewrites
+  * from change files, compaction transparently skipped — and the feed
+  * agrees with what the rewrites actually did to the snapshot.
+  */
+class CdfSpec extends SparkSpecBase {
+
+  private val CT = VersionedTable.ChangeTypeCol
+  private val CV = VersionedTable.CommitVersionCol
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-cdf").toString + "/t"
+
+  private def changeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Int)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("name")),
+      r.getString(r.fieldIndex(CT)),
+      r.getInt(r.fieldIndex(CV)))).toSet
+
+  test("merge emits pre/postimage for matched keys, insert for new ones") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.merge(Seq((2L, "B"), (9L, "z")).toDF("id", "name"), "id")       // v2
+    val feed = t.readChangesSince(1)
+    assert(changeSet(feed) == Set(
+      (2L, "b", "update_preimage", 2),
+      (2L, "B", "update_postimage", 2),
+      (9L, "z", "insert", 2)))
+    // the postimage+insert rows ARE the new snapshot state for those keys
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+  }
+
+  test("delete by key set and deleteWhere both emit delete rows") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.delete(Seq(2L).toDF("id"), "id")                // v2
+    t.deleteWhere(col("id") > 3L)                     // v3
+    assert(changeSet(t.readChangesSince(1)) == Set(
+      (2L, "b", "delete", 2),
+      (4L, "d", "delete", 3)))
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("updateWhere postimage reflects old-value filtering, new values") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    t.enableCdf()
+    // the assignment rewrites the condition column itself: the feed
+    // must still carry the row (condition evaluated on OLD values)
+    t.updateWhere(col("name") === "a", Map("name" -> lit("A"))) // v2
+    assert(changeSet(t.readChangesSince(1)) == Set(
+      (1L, "a", "update_preimage", 2),
+      (1L, "A", "update_postimage", 2)))
+  }
+
+  test("appends feed as inserts with no enablement; windows compose") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("id", "name"))  // v1
+    t.append(Seq((2L, "b")).toDF("id", "name"))  // v2
+    val all = t.readChangesSince(0)
+    assert(changeSet(all) == Set((1L, "a", "insert", 1), (2L, "b", "insert", 2)))
+    // (since, until] windowing matches readAppendsSince semantics
+    assert(changeSet(t.readChangesSince(1, 2)) == Set((2L, "b", "insert", 2)))
+    assert(t.readChangesSince(2).isEmpty)
+  }
+
+  test("compaction is transparent to the feed; no-op rewrites feed nothing") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableCdf()
+    t.append(Seq((1L, "a")).toDF("id", "name"))  // v1
+    t.append(Seq((2L, "b")).toDF("id", "name"))  // v2
+    t.compact(targetBytes = 1L << 20)            // v3: bytes move, rows don't
+    t.delete(Seq(99L).toDF("id"), "id")          // v4: all-pruned no-op
+    assert(t.currentVersion == 4)
+    assert(changeSet(t.readChangesSince(0)) ==
+      Set((1L, "a", "insert", 1), (2L, "b", "insert", 2)))
+  }
+
+  test("untracked rewrites and overwrites answer ResyncRequired") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1 (no CDF yet)
+    t.merge(Seq((2L, "B")).toDF("id", "name"), "id")       // v2: untracked rewrite
+    intercept[VersionedTable.ResyncRequired] { t.readChangesSince(1) }
+    t.enableCdf()
+    // enabling is not retroactive: v2 still can't answer...
+    intercept[VersionedTable.ResyncRequired] { t.readChangesSince(1) }
+    // ...but a window past it can
+    t.delete(Seq(1L).toDF("id"), "id")                     // v3
+    assert(changeSet(t.readChangesSince(2)) == Set((1L, "a", "delete", 3)))
+    t.overwrite(Seq((9L, "z")).toDF("id", "name"))         // v4: tracked or not, resync
+    intercept[VersionedTable.ResyncRequired] { t.readChangesSince(3) }
+  }
+
+  test("vacuum reclaims dropped commits' change files; feed below horizon resyncs") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.enableCdf()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    t.merge(Seq((2L, "B")).toDF("id", "name"), "id")       // v2: writes change files
+    t.delete(Seq(1L).toDF("id"), "id")                     // v3
+    def cdfDirs() = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("cdf-")).toSeq
+      } finally s.close()
+    }
+    assert(cdfDirs().size == 2)
+    t.vacuum(retainVersions = 1)
+    // v2's change files are unreferenced once its manifest drops; the
+    // RETAINED v3's change files stay live with its manifest
+    assert(cdfDirs().size == 1, cdfDirs().mkString(","))
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[VersionedTable.ResyncRequired] { t.readChangesSince(1) }
+  }
+
+  test("feed aligns across additive schema evolution under the until-schema") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableCdf()
+    t.append(Seq((1L, "a")).toDF("id", "name"))                  // v1
+    t.delete(Seq(99L, 1L).toDF("id"), "id")                      // v2: change file, old schema
+    t.appendEvolve(Seq((2L, "b", 7)).toDF("id", "name", "score")) // v3: adds score
+    val feed = t.readChangesSince(0)
+    assert(feed.columns.toSeq == Seq("id", "name", "score", CT, CV))
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3), r.getInt(4))).toSet
+    // pre-evolution rows (v1 insert read from old data files, v2 delete
+    // read from an old-schema change file) null-extend the added column
+    assert(rows == Set(
+      (1L, "a", -1, "insert", 1),
+      (1L, "a", -1, "delete", 2),
+      (2L, "b", 7, "insert", 3)))
+  }
+}
