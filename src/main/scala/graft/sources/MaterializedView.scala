@@ -42,11 +42,19 @@ object MvAgg {
   *      one hash agg;
   *   4. commits the merged state with `epoch = sourceVersion`.
   *
-  * If any commit inside the refresh window rewrote files
-  * (merge/delete/overwrite/compact — `readAppendsSince` refuses), the
-  * refresh falls back to a full recompute, still atomic. At 100 TB
-  * the steady state is: appends stream in, `refresh()` touches only
-  * the fresh files plus a |groups|-row state table — the view costs
+  * If a commit inside the refresh window rewrote files, the append
+  * diff can't answer — but with change tracking on the source
+  * ([[VersionedTable.enableCdf]]) and only SUBTRACTABLE aggregates
+  * (count/sum/avg — state forms a group under addition), the refresh
+  * folds the row-level change feed as signed deltas (+arrivals,
+  * −departures) and stays O(changes). Min/max state is not
+  * self-maintainable under deletes (the runner-up is gone), so those
+  * definitions — and windows even the feed can't cover (untracked
+  * rewrite, overwrite, vacuum horizon) — fall back to a full
+  * recompute, still atomic, never a wrong answer. At 100 TB the
+  * steady state is: appends stream in, merges/deletes trickle
+  * through the feed, `refresh()` touches only the fresh files (or
+  * change files) plus a |groups|-row state table — the view costs
   * O(delta), not O(base).
   */
 final class MaterializedView private (
@@ -72,10 +80,23 @@ final class MaterializedView private (
   private val state = VersionedTable(spark, viewDir)
   private val source = VersionedTable(spark, sourceDir)
 
+  // can every aggregate be maintained under DELETIONS by subtracting
+  // contributions? count/sum/avg can (their state is a group under
+  // addition); min/max cannot — deleting the current extremum needs
+  // the runner-up, which the state doesn't hold (classic IVM theory:
+  // MIN/MAX are not self-maintainable under deletes)
+  private val subtractable = aggs.forall {
+    case _: MvAgg.Min | _: MvAgg.Max => false
+    case _                           => true
+  }
+
   // ---- state schema ------------------------------------------------
   // one partial-state column set per aggregate; names are __-prefixed
-  // so a group column can never collide with an internal column
-  private def partialExprs: Seq[Column] = aggs.flatMap {
+  // so a group column can never collide with an internal column.
+  // __rows tracks group liveness: a group whose source rows are all
+  // deleted must VANISH from the view (sum=0 alone can't tell "empty"
+  // from "sums to zero")
+  private def partialExprs: Seq[Column] = (aggs.flatMap {
     case MvAgg.Count(a)  => Seq(count(lit(1)).as(s"__cnt_$a"))
     case MvAgg.Sum(c, a) => Seq(sum(col(c)).as(s"__sum_$a"))
     case MvAgg.Min(c, a) => Seq(min(col(c)).as(s"__min_$a"))
@@ -83,9 +104,9 @@ final class MaterializedView private (
     case MvAgg.Avg(c, a) =>
       Seq(sum(col(c).cast("double")).as(s"__asum_$a"),
         count(col(c)).as(s"__acnt_$a"))
-  }
+  }) :+ count(lit(1)).as("__rows")
 
-  private def mergeExprs: Seq[Column] = aggs.flatMap {
+  private def mergeExprs: Seq[Column] = (aggs.flatMap {
     case MvAgg.Count(a)  => Seq(sum(col(s"__cnt_$a")).as(s"__cnt_$a"))
     case MvAgg.Sum(_, a) => Seq(sum(col(s"__sum_$a")).as(s"__sum_$a"))
     case MvAgg.Min(_, a) => Seq(min(col(s"__min_$a")).as(s"__min_$a"))
@@ -93,18 +114,44 @@ final class MaterializedView private (
     case MvAgg.Avg(_, a) =>
       Seq(sum(col(s"__asum_$a")).as(s"__asum_$a"),
         sum(col(s"__acnt_$a")).as(s"__acnt_$a"))
-  }
+  }) :+ sum(col("__rows")).as("__rows")
 
   /** Partial-aggregate raw source rows into state shape. */
   private def partial(rows: DataFrame): DataFrame =
     rows.groupBy(groupCols.map(col): _*)
       .agg(partialExprs.head, partialExprs.tail: _*)
 
-  /** Merge two state frames (associative by construction). */
+  /** Partial-aggregate a CHANGE FEED into signed state deltas: rows
+    * that arrive (insert, update_postimage) contribute +1, rows that
+    * depart (delete, update_preimage) contribute −1 — an update is a
+    * departure of the old row plus an arrival of the new one, exactly
+    * the (ΔR⁻, ΔR⁺) decomposition of incremental view maintenance.
+    * Only called when `subtractable` (no min/max state).
+    */
+  private def signedPartial(changes: DataFrame): DataFrame = {
+    val ct = col(VersionedTable.ChangeTypeCol)
+    val w = when(ct.isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val exprs = (aggs.flatMap {
+      case MvAgg.Count(a)  => Seq(sum(w).as(s"__cnt_$a"))
+      case MvAgg.Sum(c, a) => Seq(sum(w * col(c)).as(s"__sum_$a"))
+      case MvAgg.Avg(c, a) =>
+        Seq(sum(w * col(c).cast("double")).as(s"__asum_$a"),
+          sum(when(col(c).isNotNull, w).otherwise(0L)).as(s"__acnt_$a"))
+      case other => throw new IllegalStateException(
+        s"signed delta over non-subtractable aggregate $other") // guarded by `subtractable`
+    }) :+ sum(w).as("__rows")
+    changes.groupBy(groupCols.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Merge two state frames (associative by construction); a group
+    * whose row count reaches zero leaves the state entirely.
+    */
   private def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy(groupCols.map(col): _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
+      .filter(col("__rows") > 0)
 
   // ---- public API ----------------------------------------------------
 
@@ -161,21 +208,34 @@ final class MaterializedView private (
     // record as covered. A concurrent append landing after the srcV
     // read must NOT leak into this state (it would be folded in yet
     // recorded uncovered → double-counted by the next refresh)
+    def recompute() = partial(source.read(srcV))
     val newState =
-      if (covered == 0) partial(source.read(srcV))
-      else
-        try {
-          val delta = source.readAppendsSince(covered, srcV)
-          if (delta.isEmpty) state.read()
-          else mergeStates(state.read(), partial(delta))
-        } catch {
-          // the CDF's typed resync signal (rewriting commit in the
-          // window / vacuum horizon) — recompute from the snapshot.
-          // Deliberately NOT bare IllegalStateException: an unrelated
-          // ISE (stopped context) must surface, not silently trigger
-          // an O(base) recompute that fails later anyway
-          case _: VersionedTable.ResyncRequired => partial(source.read(srcV))
-        }
+      if (covered == 0) recompute()
+      else {
+        val st = state.read()
+        if (!st.columns.contains("__rows")) recompute() // pre-liveness state: migrate once
+        else
+          try {
+            val delta = source.readAppendsSince(covered, srcV)
+            if (delta.isEmpty) st
+            else mergeStates(st, partial(delta))
+          } catch {
+            // a rewriting commit in the window: the append diff can't
+            // answer, but the ROW-LEVEL change feed can — when every
+            // aggregate is subtractable (count/sum/avg), fold the
+            // signed deltas instead of recomputing O(base). Min/max —
+            // or a window the feed itself can't cover (untracked
+            // rewrite, overwrite, vacuum horizon) — fall back to the
+            // full recompute, never a wrong answer. Deliberately NOT
+            // bare IllegalStateException: an unrelated ISE (stopped
+            // context) must surface, not silently trigger an O(base)
+            // recompute that fails later anyway
+            case _: VersionedTable.ResyncRequired if subtractable =>
+              try mergeStates(st, signedPartial(source.readChangesSince(covered, srcV)))
+              catch { case _: VersionedTable.ResyncRequired => recompute() }
+            case _: VersionedTable.ResyncRequired => recompute()
+          }
+      }
     // the epoch field rides in the SAME atomic commit as the state, so
     // coverage can never drift from content (vacuum keeps it durable
     // via the harvested _last_epoch pointer)

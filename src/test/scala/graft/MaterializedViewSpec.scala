@@ -205,6 +205,65 @@ class MaterializedViewSpec extends SparkSpecBase {
     }
   }
 
+  test("subtractable view folds the change feed — snapshot untouched") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf()
+    // count/sum/avg only: every aggregate subtractable → delta path
+    val mv = MaterializedView(spark, viewDir, srcDir, Seq("grp"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("v", "total"), MvAgg.Avg("v", "mean")))
+    src.append(Seq(("a", 1L, 1L), ("a", 2L, 3L), ("b", 3L, 10L), ("c", 4L, 5L))
+      .toDF("grp", "id", "v"))
+    mv.refresh()
+    val before = src.fileList(src.currentVersion).toSet
+    src.merge(Seq(("a", 2L, 30L)).toDF("grp", "id", "v"), "id") // a's 3 → 30
+    src.delete(Seq(3L).toDF("id"), "id") // b's only row gone → group b vanishes
+    // PROOF the refresh used the feed, not a recompute: remove the
+    // rewritten snapshot data files — only change files and the old
+    // state remain readable, so an O(base) recompute would throw
+    (src.fileList(src.currentVersion).toSet -- before).foreach { rel =>
+      Files.delete(java.nio.file.Paths.get(srcDir, rel))
+    }
+    mv.refresh()
+    val got = mv.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(("a", 2L, 31L, 15.5), ("c", 1L, 5L, 5.0)))
+  }
+
+  test("min/max definitions fall back to recompute under deletes — still exact") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf() // tracked — but min/max must NOT take the signed path
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("a", 9L), ("b", 10L)).toDF("grp", "v"))
+    mv.refresh()
+    // deleting the current max of group a: only a recompute can find
+    // the runner-up (signed state can't), and the result must show it
+    src.delete(Seq(9L).toDF("v"), "v")
+    mv.refresh()
+    assert(viewRows(mv) == fullAgg(src.read()))
+    assert(mv.read().where(col("grp") === "a").head().getAs[Long]("hi") == 1L)
+  }
+
+  test("pre-liveness state (no __rows) migrates via one recompute") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    val mv = mk(srcDir, viewDir)
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    mv.refresh()
+    // simulate a state table written before the liveness column existed
+    val state = VersionedTable(spark, viewDir)
+    state.overwrite(state.read().drop("__rows"))
+    src.append(Seq(("a", 8L)).toDF("grp", "v"))
+    mv.refresh()
+    assert(viewRows(mv) == fullAgg(src.read()))
+    // the migrated state carries __rows again → delta path works next time
+    assert(state.read().columns.contains("__rows"))
+  }
+
   test("holistic aggregates and bad specs are rejected at construction") {
     val (srcDir, viewDir) = dirs()
     intercept[IllegalArgumentException] {
