@@ -206,6 +206,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
+    "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
@@ -1266,6 +1267,38 @@ object SparkEntry {
         |         ELSE o_totalprice END AS price
         |  FROM orders
         |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) t""".stripMargin,
+    // every change class reconstructed in SQL: v1 inserts = the evens
+    // append, v2 pre/postimages = the merge's matched keys (evens ∩
+    // div3) at old/bumped price + inserts = unmatched div3, v3 deletes
+    // = div5 keys of the POST-MERGE snapshot at their then-current
+    // price — the feed's content, not just its row counts, is gated
+    "q_cdf" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_orderkey AS k,
+        |    floor((o_totalprice * 1.1) * 100 + 0.5) / 100 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |snap AS (
+        |  SELECT coalesce(u.k, e.k) AS k, coalesce(u.price, e.price) AS price
+        |  FROM evens e FULL OUTER JOIN upd u ON e.k = u.k),
+        |changes AS (
+        |  SELECT 1 AS v, 'insert' AS change_type, price FROM evens
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', e.price FROM evens e JOIN upd u ON e.k = u.k
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', u.price FROM upd u JOIN evens e ON u.k = e.k
+        |  UNION ALL
+        |  SELECT 2, 'insert', price FROM upd
+        |  WHERE k NOT IN (SELECT k FROM evens)
+        |  UNION ALL
+        |  SELECT 3, 'delete', price FROM snap WHERE k % 5 = 0)
+        |SELECT CAST(v AS INTEGER) AS commit_version, change_type,
+        | count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total
+        |FROM changes GROUP BY v, change_type
+        |ORDER BY commit_version, change_type""".stripMargin,
     // the vtable holds exactly orders' rows; readWhere's data skipping
     // must not change WHICH rows a filter returns, only how many files
     // it opens — so the oracle is the plain filtered aggregate

@@ -25,6 +25,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /query/{id}/cancel                           → {"cancelled": id}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /history  {"path": "...", "limit": 100}      → {"history": [...], "count": n} (vtable commits, newest first)
+  *   POST /changes  {"path": "...", "since": v[, "until", "limit", "offset"]}
+  *                    → {"changes": [...], "count": n[, "next_offset"]} (row-level feed; 409 = resync)
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
   *   POST /uncache  {"name": "..."}                    → {"uncached": "..."}
@@ -205,6 +207,22 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
     s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
+  server.createContext("/changes", gated { body =>
+    val since = intArg(body, "since", -1)
+    require(since >= 0, "missing or negative field: since")
+    val until = intArg(body, "until", -1)
+    val limit = intArg(body, "limit", 1000)
+    require(limit > 0, s"limit must be positive, got $limit")
+    val offset = intArg(body, "offset", 0)
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    // same server-driven paging contract as /sql; a window the feed
+    // can't answer replies 409 (resync: re-read the snapshot)
+    val df = service.tableChanges(text(body, "path"), since, until)
+      .orderBy(graft.sources.VersionedTable.CommitVersionCol)
+    val rows = service.jsonRows(df, limit, offset)
+    val next = if (rows.size == limit) s""","next_offset":${offset + limit}""" else ""
+    s"""{"changes":[${rows.mkString(",")}],"count":${rows.size}$next}"""
+  })
   server.createContext("/delete", gated { body =>
     val v = service.deleteWhere(text(body, "path"), text(body, "where"))
     s"""{"deleted_as_version":$v}"""
@@ -326,6 +344,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private def statusFor(e: Throwable): Int = e match {
     case _: HttpQueryService.ServiceBusyException         => 503 // query plane saturated
     case _: AsyncQueries.TooManyJobsException             => 503 // async admission bound
+    // the change feed can't answer this window (untracked rewrite /
+    // vacuum horizon): a CONFLICT with the table's state the caller
+    // resolves by re-reading the snapshot — not a bad request, not a
+    // server fault
+    case _: graft.sources.VersionedTable.ResyncRequired   => 409
     case _: org.apache.spark.sql.AnalysisException        => 400 // bad SQL / unknown table
     case _: com.fasterxml.jackson.core.JacksonException   => 400 // malformed JSON
     // ANSI runtime faults (cast overflow, div-by-zero) raise

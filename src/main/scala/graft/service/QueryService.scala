@@ -126,6 +126,15 @@ final class QueryService(val spark: SparkSession) {
   def restoreTable(dir: String, version: Int): Int =
     graft.sources.VersionedTable(spark, dir).restore(version)
 
+  /** Row-level change feed of a versioned table in `(since, until]`
+    * (until = -1 reads to the current version). Throws the table's
+    * typed ResyncRequired when the window can't be answered — surfaced
+    * to HTTP callers as a 409 so they know to re-read the snapshot
+    * rather than retry.
+    */
+  def tableChanges(dir: String, since: Int, until: Int = -1): DataFrame =
+    graft.sources.VersionedTable(spark, dir).readChangesSince(since, until)
+
   /** Predicate DELETE on a versioned table (retention sweeps over
     * HTTP). Stats-pruned: only files whose committed min/max overlap
     * the predicate are rewritten. Returns the new committed version.

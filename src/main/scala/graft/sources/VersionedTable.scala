@@ -1543,6 +1543,56 @@ object TableMerge {
   }
 }
 
+/** Contract query for the row-level change feed: a tracked table goes
+  * through append (evens) → MERGE (keys divisible by 3, price-bumped —
+  * half match, half insert) → DELETE (keys divisible by 5), then the
+  * WHOLE feed since version 0 is aggregated per (commit, change type).
+  * The oracle reconstructs every change class in plain SQL — insert
+  * rows from the append diff, pre/postimages from the merge join,
+  * deletes against the post-merge snapshot — so the feed's content
+  * (not just its row counts) is under the DuckDB gate. Memoized per
+  * (session, corpus) like [[TableMerge]].
+  */
+object TableCdf {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tcdf")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_c"
+      val vt = VersionedTable(t.spark, dir)
+      vt.enableCdf()
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      vt.append(base.filter(col("o_orderkey") % 2 === 0))
+      vt.merge(
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", graft.operators.Rnd.round(col("price") * 1.1, 2)),
+        "o_orderkey")
+      vt.delete(base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      dir
+    }
+
+  def qCdf(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).readChangesSince(0)
+      .groupBy(col(VersionedTable.CommitVersionCol).as("commit_version"),
+        col(VersionedTable.ChangeTypeCol).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"))
+      .orderBy("commit_version", "change_type")
+  }
+}
+
 /** Contract query for stats-based data skipping: orders lands in a
   * vtable range-clustered on `o_custkey` (so each file carries a
   * tight, disjoint custkey range in its manifest stats), then a

@@ -281,6 +281,31 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /changes serves the row-level feed; unanswerable windows are 409") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-cdf").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.enableCdf()
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v1
+    vt.delete(Seq(1L).toDF("id"), "id")                    // v2
+    val res = post("/changes", s"""{"path":"$dir","since":0}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""count":3"""), res.body) // 2 inserts + 1 delete
+    assert(res.body.contains(""""_change_type":"delete""""), res.body)
+    // paging: page size 2 hands back a next_offset, second page disjoint
+    val p1 = post("/changes", s"""{"path":"$dir","since":0,"limit":2}""")
+    assert(p1.body.contains(""""next_offset":2"""), p1.body)
+    val p2 = post("/changes", s"""{"path":"$dir","since":0,"limit":2,"offset":2}""")
+    assert(p2.body.contains(""""count":1""") && !p2.body.contains("next_offset"), p2.body)
+    // an overwrite makes the window unanswerable: 409, re-read the snapshot
+    vt.overwrite(Seq((9L, "z")).toDF("id", "v"))           // v3
+    val conflict = post("/changes", s"""{"path":"$dir","since":2}""")
+    assert(conflict.statusCode == 409, s"${conflict.statusCode}: ${conflict.body}")
+    // missing since is a client fault
+    val bad = post("/changes", s"""{"path":"$dir"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("POST /delete runs a predicate delete on a vtable and commits a version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-del").toString + "/t"
