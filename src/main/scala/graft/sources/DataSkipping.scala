@@ -123,6 +123,20 @@ private[graft] object DataSkipping {
         }
     }
 
+  /** Equality (point) constraints among `cons`, each as (column, JVM
+    * value in the committed column's domain, committed type) — the
+    * shape a Bloom-index probe needs. Only constraints whose literal
+    * lives in the column's domain qualify (same sound-only rule as
+    * range pruning).
+    */
+  def points(cons: Seq[Constraint], schema: Option[StructType])
+      : Seq[(String, Any, DataType)] =
+    cons.collect {
+      case Range(c, Some((l1, true)), Some((l2, true))) if l1 == l2 =>
+        schema.flatMap(_.fields.find(_.name == c)).flatMap(f =>
+          bound(f.dataType, l1).map(v => (c, v, f.dataType)))
+    }.flatten
+
   /** The literal's value in the column's stats domain, or None when the
     * types don't share one (→ no pruning on this constraint). NaN never
     * prunes: Spark orders NaN above every double, IEEE below — stats

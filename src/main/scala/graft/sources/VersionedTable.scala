@@ -92,6 +92,70 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   /** Is row-level change tracking on for this table? */
   def cdfEnabled: Boolean = Files.exists(cdfMarkerPath)
 
+  private def bloomConfigPath: Path = logDir.resolve("_bloom")
+
+  /** Opt into per-file Bloom filter indexes on `columns` (Delta's
+    * bloom filter index): every data file written from now on gets a
+    * `<file>.bloom-<col>` sidecar — a [[graft.functions.BloomAgg]]
+    * filter over the column's xxhash64 values, built inside the same
+    * one-pass stats job every commit already runs. Point lookups
+    * (key-set DELETE / MERGE, `readWhere(col === x)`) then skip files
+    * the filter PROVES key-free — the case min/max ranges can't touch:
+    * a uuid-keyed table where every file's range spans the whole
+    * domain. False positives only cost IO; false negatives are
+    * impossible, so skipping stays sound-only. Filters are sized for
+    * `expectedItemsPerFile` rows at `fpp` (Bloom '70 formulas —
+    * oversizing wastes sidecar bytes, undersizing raises the fp rate,
+    * neither affects correctness). Existing files have no sidecars and
+    * stay conservatively unprunable.
+    */
+  def enableBloom(columns: Seq[String], expectedItemsPerFile: Long = 1L << 20,
+      fpp: Double = 0.01): Unit = {
+    require(columns.nonEmpty, "enableBloom needs at least one column")
+    require(columns.forall(_.matches("[A-Za-z0-9_]+")),
+      s"bloom columns must be simple identifiers (they name sidecar files): $columns")
+    require(expectedItemsPerFile >= 1 && fpp > 0 && fpp < 1,
+      s"need expectedItemsPerFile >= 1 and fpp in (0,1); got $expectedItemsPerFile, $fpp")
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("columns")
+    columns.foreach(arr.add)
+    node.put("expected", expectedItemsPerFile)
+    node.put("fpp", fpp)
+    atomicReplace(bloomConfigPath, node)
+  }
+
+  private def bloomConfig: Option[VersionedTable.BloomConfig] =
+    if (!Files.exists(bloomConfigPath)) None
+    else
+      try {
+        val n = mapper.readTree(bloomConfigPath.toFile)
+        import scala.jdk.CollectionConverters._
+        Some(VersionedTable.BloomConfig(
+          n.get("columns").elements().asScala.map(_.asText()).toSeq,
+          n.get("expected").asLong, n.get("fpp").asDouble))
+      } catch { case NonFatal(_) => None } // torn config: indexes are advisory
+
+  /** Sidecar filter bytes for (file, column), if the writer built one.
+    * Absence — pre-enablement file, non-bloom column — answers None →
+    * the caller must treat the file as possibly-matching.
+    */
+  private def bloomFor(rel: String, column: String): Option[Array[Byte]] = {
+    val p = Paths.get(dir, s"$rel.bloom-$column")
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  /** Could this file contain ANY of the probed key hashes? Missing or
+    * undersized sidecars answer true (never prune on absence).
+    */
+  private def bloomMayContainAny(rel: String, column: String,
+      hashes: Array[Long]): Boolean =
+    bloomFor(rel, column) match {
+      case Some(blob) if blob.length > 4 =>
+        hashes.exists(graft.functions.HashImpl.bloomContains(blob, _))
+      case _ => true
+    }
+
   /** Latest committed version, 0 if the table is empty. With a
     * checkpoint pointer present this probes forward from the
     * checkpointed version — never a full log listing; without one
@@ -199,8 +263,28 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
     val cons = DataSkipping.constraints(
       org.apache.spark.sql.GraftColumnBridge.expression(predicate))
+    // bloom refinement for point lookups (`col === x` on an indexed
+    // column): one local 1-row job hashes each equality literal with
+    // xxhash64 IN THE COMMITTED COLUMN TYPE (the build-side hash), and
+    // files whose sidecar filter refutes any required point are never
+    // opened — the uuid-key case where every file's [min,max] range
+    // spans the domain and range skipping is powerless
+    val ptHashes: Seq[(String, Long)] = {
+      val indexed = bloomConfig.map(_.columns.toSet).getOrElse(Set.empty[String])
+      val pts =
+        if (indexed.isEmpty) Seq.empty
+        else DataSkipping.points(cons, schema).filter(p => indexed(p._1))
+      if (pts.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.xxhash64
+        val row = spark.range(1).select(pts.zipWithIndex.map { case ((_, w, dt), i) =>
+          xxhash64(lit(w).cast(dt)).as(s"__h$i") }: _*).head()
+        pts.zipWithIndex.map { case ((c, _, _), i) => (c, row.getLong(i)) }
+      }
+    }
     val keep = manifestFiles(m)
-      .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons))
+      .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons) &&
+        ptHashes.forall { case (c, h) => bloomMayContainAny(f, c, Array(h)) })
     val base =
       if (keep.nonEmpty) readFiles(m, keep)
       else emptySnapshot(m)
@@ -283,9 +367,22 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       : Map[String, JsonNode] = {
     val fields = statFields(schema)
     if (fields.isEmpty || rels.isEmpty) return Map.empty
-    val aggs = count(lit(1)).as("__rows") +: fields.flatMap(f =>
+    // bloom sidecars ride the SAME per-file aggregation pass as the
+    // min/max stats — enabling the index adds agg columns, not jobs.
+    // xxhash64 is the probe side's hash too (Spark hash functions are
+    // null-total, so null keys just set one harmless bit pattern)
+    val bloomCols = bloomConfig.toSeq.flatMap(cfg =>
+      cfg.columns.filter(schema.fieldNames.contains).map(c => (c, cfg)))
+    val bloomAggs = bloomCols.map { case (c, cfg) =>
+      org.apache.spark.sql.functions.udaf(
+          new graft.functions.BloomAgg(cfg.expected, cfg.fpp),
+          org.apache.spark.sql.Encoders.scalaLong)
+        .apply(org.apache.spark.sql.functions.xxhash64(col(c)))
+        .as(s"__bloom_$c")
+    }
+    val aggs = (count(lit(1)).as("__rows") +: fields.flatMap(f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
-        count(col(f.name)).as(s"__nn_${f.name}")))
+        count(col(f.name)).as(s"__nn_${f.name}")))) ++ bloomAggs
     val rows = spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -294,6 +391,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       val uri = r.getString(0)
       val name = uri.substring(uri.lastIndexOf('/') + 1)
       val total = r.getLong(1)
+      bloomCols.zipWithIndex.foreach { case ((c, _), j) =>
+        val blob = r.getAs[Array[Byte]](2 + 3 * fields.size + j)
+        if (blob != null)
+          Files.write(Paths.get(dir, sub, s"$name.bloom-$c"), blob)
+      }
       val node = mapper.createObjectNode()
       fields.zipWithIndex.foreach { case (f, i) =>
         val lo = r.get(2 + 3 * i)
@@ -771,10 +873,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       // empty update set: a visible no-op commit carrying every file
       return commit(v + 1, "merge", files,
         Option(m.get("schema")).map(_.asText()).orNull, stats)
+    // bloom refinement as in delete(); null-flagged files stay touched
+    // regardless (the null-raise coverage rule above bloom's pay grade)
+    val probeHashes = deleteProbeHashes(updates, key, prunable = true)
     val (touched, untouched) =
       if (b.isNullAt(1)) (files, Seq.empty[String]) // all-null keys: upsert raises below
       else files.partition(f =>
-        rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) ||
+        (rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) &&
+          probeHashes.forall(hs => bloomMayContainAny(f, key, hs))) ||
           statMayHaveNulls(stats.get(f), key))
     val base =
       if (touched.nonEmpty) readFiles(m, touched)
@@ -841,9 +947,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     if (b.getLong(0) == 0) // empty (or all-NULL) delete set: visible no-op
       return commit(v + 1, "delete", files, schemaJson, stats)
+    // point-lookup refinement: with a bloom index on the key and a
+    // small delete set, files the filter proves key-free are carried
+    // even when their [min,max] range overlaps (the uuid-key case
+    // where ranges never prune). Hashes come from a bounded Spark job
+    // over the pinned keys frame — build and probe share xxhash64 of
+    // the committed column type, which `prunable` just verified
+    val probeHashes = deleteProbeHashes(keys, key, prunable)
     val (touched, untouched) =
       if (!prunable) (files, Seq.empty[String])
-      else files.partition(f => rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)))
+      else files.partition(f =>
+        rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) &&
+          probeHashes.forall(hs => bloomMayContainAny(f, key, hs)))
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = readFiles(m, touched)
@@ -864,6 +979,21 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     commitData(v + 1, "delete", remaining,
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
       changes = changes)
+  }
+
+  /** Distinct xxhash64 values of a small DELETE/MERGE key set, or None
+    * when bloom probing doesn't apply (no index on the key, key-type
+    * mismatch, or a key set past [[VersionedTable.MaxBloomProbeKeys]]).
+    */
+  private def deleteProbeHashes(keys: DataFrame, key: String,
+      prunable: Boolean): Option[Array[Long]] = {
+    if (!prunable || !bloomConfig.exists(_.columns.contains(key))) return None
+    import org.apache.spark.sql.functions.xxhash64
+    val hs = keys.where(col(key).isNotNull)
+      .select(xxhash64(col(key)).as("h")).distinct()
+      .limit(VersionedTable.MaxBloomProbeKeys + 1)
+      .collect().map(_.getLong(0))
+    if (hs.length > VersionedTable.MaxBloomProbeKeys) None else Some(hs)
   }
 
   /** Predicate DELETE — the retention/TTL path (`DELETE WHERE
@@ -1381,7 +1511,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val live = keep.flatMap(held).toSet
     val dead = drop.flatMap(held).distinct
       .filterNot(live)
-    dead.foreach(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+    dead.foreach { rel =>
+      Files.deleteIfExists(Paths.get(dir, rel))
+      // a dead data file takes its bloom sidecars (whatever columns
+      // were indexed when it was written) with it
+      val p = Paths.get(dir, rel)
+      val parent = p.getParent
+      val prefix = p.getFileName.toString + ".bloom-"
+      if (Files.isDirectory(parent)) {
+        val s = Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(prefix))
+            .foreach(Files.deleteIfExists)
+        } finally s.close()
+      }
+    }
     // drop data dirs with no parquet left (write markers like _SUCCESS
     // don't keep a dead dir alive) and the dropped manifests; a dir a
     // concurrent/interrupted vacuum removes UNDER us is fine — catch,
@@ -1420,6 +1566,19 @@ object VersionedTable {
     * library bug) as "please recompute from scratch".
     */
   final class ResyncRequired(msg: String) extends IllegalStateException(msg)
+
+  /** Bloom index config: which columns get per-file sidecar filters,
+    * sized for how many rows per file at what false-positive rate.
+    */
+  final case class BloomConfig(columns: Seq[String], expected: Long, fpp: Double)
+
+  /** Key-set cap for driver-side Bloom probing in DELETE/MERGE: above
+    * this the key set is bulk-scale (a backfill, not a point lookup) —
+    * range pruning still applies, the per-file filter test is skipped
+    * (its cost would be files × keys on the driver for little gain:
+    * a large key set touches most files anyway).
+    */
+  val MaxBloomProbeKeys = 10000
 
   /** Change-feed tag column: insert | delete | update_preimage |
     * update_postimage (Delta's _change_type vocabulary).
