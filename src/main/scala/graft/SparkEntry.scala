@@ -207,6 +207,7 @@ object SparkEntry {
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
+    "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
@@ -1299,6 +1300,14 @@ object SparkEntry {
         | floor((sum(price)) * 100 + 0.5) / 100 AS total
         |FROM changes GROUP BY v, change_type
         |ORDER BY commit_version, change_type""".stripMargin,
+    // the Bloom-pruned point lookup must return exactly the rows the
+    // plain md5-equality filter selects — index-driven file skipping
+    // may change how many files open, never the answer
+    "q_bloom_lookup" ->
+      """SELECT count(*) AS n_rows,
+        | coalesce(floor((sum(o_totalprice)) * 100 + 0.5) / 100, 0.0) AS total
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('100')""".stripMargin,
     // the vtable holds exactly orders' rows; readWhere's data skipping
     // must not change WHICH rows a filter returns, only how many files
     // it opens — so the oracle is the plain filtered aggregate

@@ -1702,6 +1702,53 @@ object TableMerge {
   }
 }
 
+/** Contract query for Bloom-index point lookups: orders lands in a
+  * vtable keyed by `md5(o_orderkey)` — a uuid-shaped key whose
+  * per-file [min,max] ranges all span the hex domain, so RANGE
+  * skipping can never carry a file — split across 8 files with a
+  * Bloom sidecar on the key. The query is a point lookup through
+  * `readWhere`, which opens only the files the filter admits; the
+  * oracle applies the same md5-equality filter in plain SQL, gating
+  * that index-driven skipping returns exactly the filtered rows.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object TableBloom {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tbloom")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_b"
+      val vt = VersionedTable(t.spark, dir)
+      vt.enableBloom(Seq("k"), expectedItemsPerFile = 1L << 18, fpp = 0.001)
+      vt.append(t.orders
+        .select(md5(col("o_orderkey").cast("string").cast("binary")).as("k"),
+          col("o_totalprice").as("price"))
+        .repartition(8))
+      dir
+    }
+
+  def qBloomLookup(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("100".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    VersionedTable(t.spark, builtTable(t))
+      .readWhere(col("k") === probe)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(graft.operators.Rnd.round(sum("price"), 2), lit(0.0)).as("total"))
+  }
+}
+
 /** Contract query for the row-level change feed: a tracked table goes
   * through append (evens) → MERGE (keys divisible by 3, price-bumped —
   * half match, half insert) → DELETE (keys divisible by 5), then the
