@@ -209,6 +209,7 @@ object SparkEntry {
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
+    "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     "q_filter_cascade" -> ((s, d) => Curate.qFilterCascade(t(s, d))),
@@ -1325,6 +1326,27 @@ object SparkEntry {
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         | floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the view was maintained by one full compute plus two SIGNED-DELTA
+    // folds of the change feed (across a MERGE and a DELETE); the
+    // oracle aggregates the final snapshot directly — any drop or
+    // double-count in the ±delta algebra diverges the hash
+    "q_mview_cdf" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |    floor((o_totalprice * 1.1) * 100 + 0.5) / 100 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |snap AS (
+        |  SELECT coalesce(u.k, e.k) AS k, coalesce(u.pri, e.pri) AS pri,
+        |    coalesce(u.price, e.price) AS price
+        |  FROM evens e FULL OUTER JOIN upd u ON e.k = u.k)
+        |SELECT pri, count(*) AS n_orders,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | floor((avg(price)) * 100 + 0.5) / 100 AS avg_price
+        |FROM snap WHERE k % 5 <> 0
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -332,6 +332,62 @@ object MviewSource extends SourceProvider {
   }
 }
 
+/** Contract query for IVM ACROSS REWRITES: a count/sum/avg view over
+  * a change-tracked orders vtable that is appended to, MERGED (price
+  * bumps + inserts) and DELETED from, with a refresh after each
+  * commit — so the committed result is the product of one full
+  * compute plus TWO signed-delta folds of the change feed (the
+  * append-diff path throws ResyncRequired on both rewrites). The
+  * DuckDB oracle aggregates the final snapshot directly: if the
+  * ±delta algebra dropped or double-counted anything, the hash
+  * diverges. Memoized per (session, corpus) like [[TableMerge]].
+  */
+object MviewCdfDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val views = new graft.util.BoundedMemo[Key, MaterializedView](4, _ => ())
+
+  private def builtView(t: Tables): MaterializedView =
+    views.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import java.nio.file.Files
+      val parent = Files.createTempDirectory("graft-mvcdf")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val srcDir = parent.toString + "/orders_src"
+      val src = VersionedTable(t.spark, srcDir)
+      src.enableCdf()
+      val base = t.orders.select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"))
+      val mv = MaterializedView(t.spark, parent.toString + "/orders_mv", srcDir,
+        Seq("pri"),
+        Seq(MvAgg.Count("n_orders"),
+          MvAgg.Sum("price", "total"),
+          MvAgg.Avg("price", "avg_price")))
+      src.append(base.filter(col("o_orderkey") % 2 === 0))
+      mv.refresh()
+      src.merge(
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", graft.operators.Rnd.round(col("price") * 1.1, 2)),
+        "o_orderkey")
+      mv.refresh() // signed-delta fold of the merge's pre/post/insert rows
+      src.delete(base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      mv.refresh() // signed-delta fold of the delete rows
+      mv
+    }
+
+  def qMviewCdf(t: Tables): DataFrame =
+    builtView(t).read()
+      .select(col("pri"), col("n_orders"),
+        graft.operators.Rnd.round(col("total"), 2).as("total"),
+        graft.operators.Rnd.round(col("avg_price"), 2).as("avg_price"))
+      .orderBy("pri")
+}
+
 /** Contract query: a view over an orders vtable fed by THREE append
   * batches with a refresh after each — so the committed result is the
   * product of two genuinely incremental state merges, and the DuckDB

@@ -240,6 +240,44 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (rels.nonEmpty) readFiles(m, rels) else emptySnapshot(m)
   }
 
+  /** The newest committed version whose commit wall time is ≤
+    * `tsMillis` (Delta's TIMESTAMP AS OF resolution). Walks newest →
+    * oldest, so out-of-order clock stamps (two writers, clock skew)
+    * resolve to the newest qualifying commit — best-effort by nature,
+    * exactly like Delta's. Fails when `tsMillis` predates the oldest
+    * retained commit (or the history below is vacuumed away) — an
+    * explicit error beats silently serving the wrong era. Manifests
+    * written before timestamps existed end the walk the same way.
+    */
+  def versionAt(tsMillis: Long): Int = {
+    var v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    while (v > 0) {
+      val ts =
+        try {
+          val m = manifest(v)
+          if (m.has("ts")) Some(m.get("ts").asLong) else None
+        } catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            None // below the vacuum horizon
+        }
+      ts match {
+        case Some(t) if t <= tsMillis => return v
+        case Some(_)                  => v -= 1
+        case None =>
+          throw new IllegalArgumentException(
+            s"timestamp $tsMillis predates the retained history of $dir " +
+              "(vacuumed or pre-timestamp commits); earliest readable version is " +
+              s"${v + 1}")
+      }
+    }
+    throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates every commit of $dir")
+  }
+
+  /** TIMESTAMP AS OF read: the snapshot as of a wall-clock instant. */
+  def readAsOf(tsMillis: Long): DataFrame = read(versionAt(tsMillis))
+
   /** Snapshot read with file-level data skipping: the result is
     * always ≡ `read(version).where(predicate)`, but files whose
     * committed `[min,max,hasNulls]` stats prove no row can satisfy the
@@ -1638,7 +1676,9 @@ object VersionedTable {
   */
 object VTableSource extends SourceProvider {
   val format = "vtable"
-  /** `version` time-travels; `where` is a SQL boolean expression
+  /** `version` time-travels by commit number, `timestampAsOf` by wall
+    * clock (epoch millis, or an ISO instant like
+    * `2026-08-13T12:00:00Z`); `where` is a SQL boolean expression
     * routed through [[VersionedTable.readWhere]], so a service caller
     * registering a filtered view gets file-level data skipping instead
     * of a post-scan filter (the SQL parser's typed comparison nodes
@@ -1646,7 +1686,16 @@ object VTableSource extends SourceProvider {
     */
   def read(spark: SparkSession, path: String, options: Map[String, String]): DataFrame = {
     val vt = VersionedTable(spark, path)
-    val version = options.get("version").map(_.toInt).getOrElse(-1)
+    require(!(options.contains("version") && options.contains("timestampAsOf")),
+      "give version OR timestampAsOf, not both")
+    val version = options.get("version").map(_.toInt)
+      .orElse(options.get("timestampAsOf").map { t =>
+        val millis =
+          if (t.forall(_.isDigit)) t.toLong
+          else java.time.Instant.parse(t).toEpochMilli
+        vt.versionAt(millis)
+      })
+      .getOrElse(-1)
     options.get("where") match {
       case Some(w) => vt.readWhere(org.apache.spark.sql.functions.expr(w), version)
       case None    => vt.read(version)

@@ -50,6 +50,37 @@ class VersionedTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { t.restore(99) }
   }
 
+  test("TIMESTAMP AS OF resolves the newest commit at or before the instant") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.append(Seq((2L, "b")).toDF("id", "name"))
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    // commit wall times come from the manifests themselves (history()),
+    // so the assertions hold however fast the commits landed
+    val ts = t.history().collect().map(r => r.getInt(0) -> r.getAs[Long]("ts")).toMap
+    // at v2's stamp: some version ≥ 2 whose own stamp is ≤ it (= v2,
+    // or a later commit that landed in the same millisecond)
+    val at2 = t.versionAt(ts(2))
+    assert(at2 >= 2 && ts(at2) <= ts(2), s"got v$at2")
+    // far future resolves to the newest version; catalog option form
+    // agrees, and the ISO spelling parses to the same snapshot
+    assert(t.versionAt(ts(3) + 60000L) == 3)
+    assert(t.readAsOf(ts(3) + 60000L).count() == 3)
+    val cat = new Catalog(spark)
+    assert(cat.read("vtable", dir,
+      Map("timestampAsOf" -> (ts(3) + 60000L).toString)).count() == 3)
+    assert(cat.read("vtable", dir, Map("timestampAsOf" ->
+      java.time.Instant.ofEpochMilli(ts(3) + 60000L).toString)).count() == 3)
+    // before every commit: explicit error, not a wrong-era read
+    intercept[IllegalArgumentException] { t.versionAt(ts(1) - 1) }
+    // both travel spellings at once is ambiguous
+    intercept[IllegalArgumentException] {
+      cat.read("vtable", dir, Map("version" -> "1", "timestampAsOf" -> "0"))
+    }
+  }
+
   test("overwrite replaces the snapshot but keeps history readable") {
     import spark.implicits._
     val dir = tmp()
