@@ -42,17 +42,23 @@ object Bench {
     // past it (BENCH_r04 arrived truncated and unparseable) — ms
     // precision keeps every query inside the window
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
+    def jsonQs(rs: Seq[(String, Double)]) = rs.map { case (k, v) =>
       s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}"""
-    println(line)
-    // stdout capture has truncated the per-query tail before; the file
-    // is the complete machine-readable record regardless of log limits
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length}}"""
+    // The driver captures only a fixed tail of stdout (~2000 chars) and
+    // parses the last JSON line it finds; 136 queries make the full line
+    // ~3 KB, so it arrived truncated and unparseable four rounds running.
+    // stdout gets a compact line — total plus the slowest queries, under
+    // ~1.2 KB — printed LAST; the complete per-query record goes to the
+    // file, which has no length limit.
+    val slowest = results.sortBy { case (k, v) => if (failed.contains(k)) Double.MinValue else -v }.take(30)
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},"detail":"bench_queries.json"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
     spark.stop()
   }
 }
