@@ -104,6 +104,7 @@ object SparkEntry {
     "q_except" -> ((s, d) => Relational.qExcept(t(s, d))),
     "q_intersect" -> ((s, d) => Relational.qIntersect(t(s, d))),
     "q_window_topn" -> ((s, d) => Relational.qWindowTopn(t(s, d))),
+    "q_topk_pergroup" -> ((s, d) => Relational.qTopkPerGroup(t(s, d))),
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(t(s, d))),
     "q_window_lag" -> ((s, d) => Relational.qWindowLag(t(s, d))),
     "q_window_range" -> ((s, d) => Relational.qWindowRange(t(s, d))),
@@ -694,6 +695,13 @@ object SparkEntry {
         |      ORDER BY floor((o_totalprice) * 100 + 0.5) / 100 DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY floor((o_totalprice) * 100 + 0.5) / 100 DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, day, spend_7d, pr, cd FROM (
         |  SELECT o_custkey, o_orderkey,

@@ -114,5 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session-flagged COUNT(DISTINCT) → HLL sketch rewrite (off by
     // default; see graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+    // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
+    // top-k); inert on every other plan node
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

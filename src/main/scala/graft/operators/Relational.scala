@@ -648,6 +648,21 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The same top-3-orders-per-customer selection as [[qWindowTopn]],
+    * planned through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator instead of a window: bounded per-group heaps on both
+    * sides of the exchange, so the shuffle carries ≤ 3 rows per
+    * customer per upstream partition and nothing is sorted — the
+    * 100 TB spelling of top-n. Same oracle family as q_window_topn
+    * (identical rows, minus the rank column).
+    */
+  def qTopkPerGroup(t: Tables): DataFrame = {
+    val base = t.orders
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    graft.plans.TopKPerGroup(base, Seq("o_custkey"),
+      Seq(col("price").desc, col("o_orderkey").asc), k = 3)
+  }
+
   /** Running sum + moving average per customer over order date. The
     * frame order (o_orderdate, o_orderkey) is total → identical
     * accumulation order in any engine.

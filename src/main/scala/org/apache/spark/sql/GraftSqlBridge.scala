@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway graft needs: turning a constructed
+  * [[LogicalPlan]] back into a [[DataFrame]]. Every custom logical
+  * operator (graft.plans.TopKPerGroupPlan) has to re-enter the public
+  * Dataset API through `Dataset.ofRows`, which Spark scopes to its own
+  * package — the standard extension-library recipe is this one-object
+  * bridge file compiled into the `org.apache.spark.sql` package. Kept
+  * deliberately minimal: no other internal surface is re-exported.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Catalyst expression behind a public [[Column]] — converted
+    * EAGERLY. (Spark 4 wraps a ColumnNode; `ExpressionUtils.expression`
+    * returns a lazy `ColumnNodeExpression` placeholder that only the
+    * analyzer unwraps, useless for inspecting the caller's sort
+    * direction before a plan exists.)
+    */
+  def expr(c: Column): catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+}
