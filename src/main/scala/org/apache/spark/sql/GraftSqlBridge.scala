@@ -22,4 +22,14 @@ object GraftSqlBridge {
     */
   def expr(c: Column): catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-tag a batch frame as a streaming one — what a DSv1
+    * `Source.getBatch` must hand MicroBatchExecution (it asserts
+    * `isStreaming`). Same recipe as Spark's own file stream source:
+    * the batch plan's RDD wrapped in a streaming-flagged LogicalRDD.
+    * The RDD is lazy; nothing executes here.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }
