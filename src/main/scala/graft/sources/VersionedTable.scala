@@ -751,6 +751,32 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         s"got ${df.schema.simpleString} (use overwrite() to change a table's schema)")
   }
 
+  /** Serializable retry for REWRITING commits (merge / delete /
+    * update): a lost optimistic-concurrency race re-executes the
+    * entire declarative operation — pruning, rewrite, change files —
+    * against the winner's snapshot. That is the always-correct arm of
+    * Delta's conflict resolution (re-apply after the winner, i.e.
+    * serialize behind it): the operation's INPUT (update set, delete
+    * keys, predicate) is fixed, so re-running it on version v+1
+    * instead of v yields exactly the state a serial execution would.
+    * No conflict-classification fast path — a concurrent append whose
+    * rows match the update keys is handled by the re-run seeing those
+    * rows, never by carrying stale files. Retries are bounded; the
+    * final loss propagates.
+    */
+  private def retryingRewrite(body: => Int): Int = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Append: next version = previous file list (stats carried) + the
     * new files. Appends commute, so a lost optimistic-concurrency race
     * is retried automatically against the fresh snapshot (Delta calls
@@ -844,7 +870,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * readable — nothing is deleted.
     */
   def overwrite(df: DataFrame): Int =
-    commitData(currentVersion + 1, "overwrite", df, Seq.empty)
+    // last-writer-wins by definition, so re-claiming after a lost race
+    // preserves its semantics exactly
+    retryingRewrite(commitData(currentVersion + 1, "overwrite", df, Seq.empty))
 
   /** RESTORE (rollback-by-commit, Delta's RESTORE semantics): make
     * version `v`'s content the newest version by committing v's file
@@ -890,10 +918,6 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * happened to touch.
     */
   def merge(updates0: DataFrame, key: String): Int = {
-    val v = currentVersion
-    require(v > 0, s"table at $dir has no committed version")
-    val m = manifest(v)
-    requireSchemaMatch(updates0, m, "merge")
     // the pruning-bounds job and the rewrite below MUST see one
     // evaluation of the caller's frame: a non-deterministic input
     // (sample/rand/unordered limit) re-evaluating differently would
@@ -901,7 +925,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // (pruned) file could keep a stale row for a key the second
     // evaluation updates. localCheckpoint pins it — and makes the
     // bounds job a cache read instead of a second full evaluation.
+    // Pinned ONCE, outside the race-retry loop: every re-attempt
+    // re-applies the same update set to the fresh snapshot.
     val updates = updates0.localCheckpoint()
+    retryingRewrite(mergeOnce(updates, key))
+  }
+
+  private def mergeOnce(updates: DataFrame, key: String): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    requireSchemaMatch(updates, m, "merge")
     val files = manifestFiles(m)
     val stats = manifestStats(m)
     val keyType = updates.schema(key).dataType
@@ -959,15 +993,19 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * delete keys delete nothing.
     */
   def delete(keys0: DataFrame, key: String): Int = {
+    // same single-evaluation pin as merge: bounds and anti-join must
+    // agree on the delete set even for non-deterministic frames
+    val keys = keys0.localCheckpoint()
+    retryingRewrite(deleteOnce(keys, key))
+  }
+
+  private def deleteOnce(keys: DataFrame, key: String): Int = {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
     val files = manifestFiles(m)
     val stats = manifestStats(m)
     val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
-    // same single-evaluation pin as merge: bounds and anti-join must
-    // agree on the delete set even for non-deterministic frames
-    val keys = keys0.localCheckpoint()
     val keyType = keys.schema(key).dataType
     // Pruning compares the delete set's bounds against per-file stats
     // recorded in the COMMITTED column's domain. If the caller's key
@@ -1048,7 +1086,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * is TRUE — NULL-valued predicates keep the row (the coalesce
     * below pins that even for three-valued conditions).
     */
-  def deleteWhere(condition: Column): Int = {
+  def deleteWhere(condition: Column): Int =
+    retryingRewrite(deleteWhereOnce(condition))
+
+  private def deleteWhereOnce(condition: Column): Int = {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
@@ -1085,7 +1126,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * the pre-update value), and may only target existing columns (no
     * silent schema drift through an UPDATE).
     */
-  def updateWhere(condition: Column, assignments: Map[String, Column]): Int = {
+  def updateWhere(condition: Column, assignments: Map[String, Column]): Int =
+    retryingRewrite(updateWhereOnce(condition, assignments))
+
+  private def updateWhereOnce(condition: Column, assignments: Map[String, Column]): Int = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
@@ -1169,7 +1213,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * current version unchanged when there is nothing to compact (no
     * empty commits from maintenance loops).
     */
-  def compact(targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Int = {
+  def compact(targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Int =
+    // maintenance racing a writer re-plans against the fresh snapshot
+    // (the file set it bin-packed just changed underneath it)
+    retryingRewrite(compactOnce(targetBytes, clusterBy))
+
+  private def compactOnce(targetBytes: Long, clusterBy: Seq[String]): Int = {
     require(clusterBy.size <= 2, "compact clusters on at most two columns")
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")

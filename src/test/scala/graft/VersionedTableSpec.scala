@@ -789,6 +789,48 @@ class VersionedTableSpec extends SparkSpecBase {
     } finally pool.shutdownNow()
   }
 
+  test("a rewrite losing the claim race re-applies against the winner's snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    // deterministically steal v2: an append (same semantics as a
+    // concurrent writer landing first) committed through the raw path
+    t.commit(2, "append", t.fileList(1))
+    // merge's first claim targets v2 and loses; the retry must re-run
+    // the whole operation at v3 — including seeing rows the winner
+    // added (none here; the two-thread test below covers overlap)
+    val v = t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "name"), "id")
+    assert(v == 3, s"expected retried merge at v3, got $v")
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("concurrent merges on disjoint keys both land, serialized") {
+    import spark.implicits._
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val dir = tmp()
+    VersionedTable(spark, dir)
+      .append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(i => pool.submit[Int] { () =>
+        val t = VersionedTable(spark, dir)
+        val df = Seq((i.toLong, s"W$i"), (i + 10L, s"N$i")).toDF("id", "name")
+        barrier.await(30, TimeUnit.SECONDS)
+        t.merge(df, "id")
+      })
+      val versions = fs.map(_.get(120, TimeUnit.SECONDS))
+      assert(versions.toSet == Set(2, 3), s"want serialized v2+v3, got $versions")
+      // both updates and both inserts present — the loser re-applied
+      // on top of the winner instead of clobbering its files
+      val got = VersionedTable(spark, dir).read()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "W1"), (2L, "W2"), (11L, "N1"), (12L, "N2")))
+    } finally pool.shutdownNow()
+  }
+
   test("Catalog.write dispatches vtable merge/delete with a key option") {
     import spark.implicits._
     val dir = tmp()
