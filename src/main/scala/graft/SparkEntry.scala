@@ -179,6 +179,7 @@ object SparkEntry {
     "q_text_ann" -> ((s, d) => Similarity.qTextAnn(t(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(t(s, d))),
+    "q_ann_pq" -> ((s, d) => graft.operators.Pq.qAnnPq(t(s, d))),
     "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),
     "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
     // §2.5 text analysis
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
+    "q_vtable_lazy" -> ((s, d) => graft.sources.TableSkip.qVtableLazy(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -225,7 +227,7 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_text_ann,
+    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq, q_text_ann,
     * q_fingerprint, q_media_features, q_image_features,
     * q_frame_sample, q_audio_features, q_approx_distinct,
     * q_hll_sketch, q_percentile_approx, q_quantize_error,
@@ -1325,6 +1327,14 @@ object SparkEntry {
         | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders WHERE o_custkey BETWEEN 100 AND 500""".stripMargin,
+    // the filter travels through a temp view and plain SQL — the lazy
+    // relation + optimizer rule must prune files WITHOUT changing the
+    // matching row set, so the oracle is again the plain filtered agg
+    "q_vtable_lazy" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders WHERE o_custkey BETWEEN 700 AND 900 AND o_totalprice > 1000""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh
     // cycles; the oracle is the direct one-shot aggregate over all of
     // orders — gating that the incremental merge algebra is exact

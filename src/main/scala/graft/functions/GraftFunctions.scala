@@ -117,5 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // lazy vtable scans: Filter-over-marker collapses to the
+    // stats+bloom-pruned file scan; bare markers plan as a full
+    // snapshot read (see graft.plans.VTableScan)
+    ext.injectOptimizerRule(graft.plans.VTableScanRule)
+    ext.injectPlannerStrategy(graft.plans.VTableScanStrategy)
   }
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Product quantization (PQ) for ANN at memory scale (Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011): split each d-dim vector into `m` subvectors, k-means each
+  * subspace to `ksub` centroids, and store a vector as `m` small
+  * codes — 64 float dims (256 B) become 8 codes (8 B), a 32×
+  * compression that is what lets a 10^10-vector corpus's index live
+  * in cluster memory at all.
+  *
+  * Queries score WITHOUT decompressing (asymmetric distance, ADC):
+  * per query, a tiny m×ksub lookup table of subspace dot products is
+  * computed against the codebooks, and a corpus vector's score is the
+  * sum of m table lookups — here a codegen'd `zip_with`/`aggregate`
+  * over the codes array against the LUT literal, no UDF, no shuffle
+  * of the corpus beyond the final per-query top-k.
+  *
+  * Training is Lloyd over ALL m subspaces JOINTLY: one DataFrame of
+  * (vec_id, sub, svec) rows trains every subspace's codebook in the
+  * same two jobs per iteration (assign = broadcast join + min_by
+  * hash-agg keyed (vec_id, sub); update = CentroidAgg hash-agg keyed
+  * (sub, code)) — m separate k-means loops would be m× the job count
+  * for identical work. Vectors are unit-normalized first, so summed
+  * subspace dots approximate full cosine.
+  */
+object Pq {
+
+  /** (sub, code, centroid) codebook rows: m×ksub total — broadcast
+    * scale. Trains on a deterministic 1/trainMod hash sample (the
+    * same large-corpus recipe as IvfIndex; codebook quality needs a
+    * representative sample, not every vector).
+    */
+  def trainCodebooks(e: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    val sub = subvectors(unit(e), m)
+    val train =
+      if (trainMod > 1) {
+        val s = sub.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+        // per-subspace seed coverage: the sample must hold ksub rows
+        // PER SUB (uniform in vec_id → uniform per sub); bounded probe
+        if (s.filter(col("sub") === 0).limit(ksub).count() < ksub) sub else s
+      } else sub
+    val sd = subDim(e, m)
+    val mean = udaf(new graft.functions.CentroidAgg(sd),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    // deterministic seeds: the ksub lowest vec_id-hashes per subspace
+    var codebooks = train
+      .withColumn("_h", xxhash64(col("vec_id")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("sub").orderBy(col("_h"), col("vec_id"))))
+      .filter(col("_rn") <= ksub)
+      .select(col("sub"), (col("_rn") - 1).cast("int").as("code"),
+        col("svec").as("centroid"))
+      .persist()
+    (0 until iters).foreach { _ =>
+      val next = assign(train, codebooks)
+        .groupBy("sub", "code")
+        .agg(mean(col("svec")).as("c"))
+        .select(col("sub"), col("code"), col("c").cast("array<float>").as("centroid"))
+        .persist()
+      next.count() // materialize before releasing the parent
+      codebooks.unpersist()
+      codebooks = next
+    }
+    codebooks
+  }
+
+  /** (vec_id, codes array<int> length m): the compressed corpus. */
+  def encode(e: DataFrame, codebooks: DataFrame, m: Int = 8): DataFrame =
+    assign(subvectors(unit(e), m), codebooks)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** ADC top-k: for each (query_id, unit query vector), rank the coded
+    * corpus by summed LUT lookups. `lut(q)` is m×ksub subspace dots —
+    * built driver-side from the collected codebooks (M×ksub rows, the
+    * same metadata scale as a broadcast centroid table) and inlined as
+    * a literal so the scoring loop stays inside codegen.
+    */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame,
+      queries: Seq[(Long, Array[Float])], m: Int, ksub: Int,
+      k: Int = 10): DataFrame = {
+    // codebook → cb(sub)(code) = centroid
+    val cb = Array.ofDim[Array[Float]](m, ksub)
+    codebooks.collect().foreach { r =>
+      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray
+    }
+    val sd = cb(0)(0).length
+    def normalized(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val scored = queries.map { case (qid, qRaw) =>
+      val q = normalized(qRaw)
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        (0 until ksub).map { c =>
+          val cen = cb(s)(c)
+          if (cen == null) Double.MinValue // empty cluster: never wins
+          else (0 until sd).map(i => q(s * sd + i).toDouble * cen(i)).sum
+        }
+      }
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          aggregate(
+            zip_with(col("codes"), typedLit(lut), (c, l) => element_at(l, c + 1)),
+            lit(0.0d), (acc, x) => acc + x).as("score"))
+    }.reduce(_ union _)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Trained codebooks + coded corpus, memoized per (session, corpus,
+    * params) — contract-query invocations and plan audits must not
+    * retrain per call (same pattern as Similarity.corpusIndex).
+    */
+  final case class PqModel(codebooks: DataFrame, codes: DataFrame) {
+    def unpersist(): Unit = { codebooks.unpersist(); codes.unpersist(); () }
+  }
+
+  private case class PqCacheKey(session: Int, sfDir: String, m: Int, ksub: Int, iters: Int)
+  private val pqCache = new graft.util.BoundedMemo[PqCacheKey, PqModel](2, _.unpersist())
+
+  def corpusPq(t: Tables, m: Int = 8, ksub: Int = 16, iters: Int = 2): PqModel =
+    pqCache.getOrBuild(
+      PqCacheKey(System.identityHashCode(t.spark), t.sfDir, m, ksub, iters)) {
+      val cbs = Pq.trainCodebooks(t.embeddings, m, ksub, iters, trainMod = 4)
+      val codes = Pq.encode(t.embeddings, cbs, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      PqModel(cbs, codes)
+    }
+
+  /** PQ/ADC ANN contract query (rows-only; AnnSpec checks recall vs
+    * brute force): build-once coded corpus → ADC shortlist of
+    * `rerank`·k candidates from the 8-byte codes alone → EXACT cosine
+    * re-rank of just the shortlist. The two-stage shape is the
+    * production recipe (Jégou '11 §V): the compressed index does the
+    * heavy candidate generation without touching raw vectors, and the
+    * exact pass — a broadcast hash-join of the tiny shortlist against
+    * the corpus, one scan — repairs quantization error where it
+    * matters, at the top of the ranking.
+    */
+  def qAnnPq(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L), k: Int = 10,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    val model = corpusPq(t, m, ksub)
+    val qs = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toSeq.sortBy(_._1)
+    val shortlist = adcTopK(model.codes, model.codebooks, qs, m, ksub, k * rerank)
+      .select("query_id", "vec_id")
+    val qDf = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    t.embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Rnd.round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  private def subDim(e: DataFrame, m: Int): Int = {
+    val dim = e.select(size(col("embedding"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("cannot train PQ on empty input"))
+    require(dim % m == 0, s"PQ needs m to divide the dimension, got dim=$dim m=$m")
+    dim / m
+  }
+
+  /** Unit-normalize (zero vectors dropped — cosine undefined). */
+  private def unit(e: DataFrame): DataFrame =
+    e.filter(GraftFunctions.normF(col("embedding")) > 0)
+      .withColumn("_n", GraftFunctions.normF(col("embedding")))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x / col("_n")).cast("float")))
+      .drop("_n")
+
+  /** One row per (vec_id, sub): the sub'th slice of the embedding. */
+  private def subvectors(e: DataFrame, m: Int): DataFrame = {
+    val sd = subDim(e, m)
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        slice(col("embedding"), col("sub") * sd + 1, lit(sd)).as("svec"))
+  }
+
+  /** Nearest codebook entry per (vec_id, sub): broadcast join on sub,
+    * min_by hash-agg (map-side partials collapse the ksub candidates
+    * before any shuffle — the same shape as IVF cell assignment).
+    */
+  private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), "sub")
+      .withColumn("_d",
+        aggregate(zip_with(col("svec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .filter(col("_d").isNotNull)
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("_d"), col("code"))).as("code"),
+        first(col("svec")).as("svec"))
+}

@@ -178,16 +178,25 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * it arrives as LONG nanos. Convert via integer division (exact —
-    * a double roundtrip would lose precision at 2^53) to micros.
+  /** events.ts normalizes to session-local TIMESTAMP regardless of
+    * how the generator wrote it: parquet TIMESTAMP(NANOS) (rejected by
+    * the vectorized reader; with `spark.sql.legacy.parquet.nanosAsLong
+    * =true` it arrives as LONG nanos — convert via integer division,
+    * exact where a double roundtrip would lose precision at 2^53) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred TIMESTAMP_NTZ,
+    * which time-arithmetic functions like unix_micros reject — cast
+    * under the engine's pinned UTC session, a micros-identity). Every
+    * consumer below sees one type, whichever vintage of the corpus is
+    * on disk.
     */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

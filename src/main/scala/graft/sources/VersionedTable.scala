@@ -292,15 +292,28 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * to every scanned row, so skipping only ever removes
     * provably-dead IO.
     */
-  def readWhere(predicate: Column, version: Int = -1): DataFrame = {
+  def readWhere(predicate: Column, version: Int = -1): DataFrame =
+    prunedScan(org.apache.spark.sql.GraftColumnBridge.expression(predicate), version)
+      .where(predicate)
+
+  /** The skipping core of [[readWhere]], predicate as a raw Catalyst
+    * expression tree (unresolved Column DSL shapes AND resolved
+    * post-analysis trees — [[DataSkipping]] matches both): the
+    * snapshot scan over only the files `pred` might touch. The
+    * predicate is NOT re-applied here — [[readWhere]] layers it via
+    * `.where`, and the lazy-scan optimizer rule
+    * ([[graft.plans.VTableScanRule]]) re-attaches it as a remapped
+    * Filter node in place.
+    */
+  private[graft] def prunedScan(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      version: Int = -1): DataFrame = {
     val v = if (version == -1) currentVersion else version
     require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
     val m = manifest(v)
     val stats = manifestStats(m)
     val schema = Option(m.get("schema"))
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
-    val cons = DataSkipping.constraints(
-      org.apache.spark.sql.GraftColumnBridge.expression(predicate))
+    val cons = DataSkipping.constraints(pred)
     // bloom refinement for point lookups (`col === x` on an indexed
     // column): one local 1-row job hashes each equality literal with
     // xxhash64 IN THE COMMITTED COLUMN TYPE (the build-side hash), and
@@ -323,10 +336,46 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val keep = manifestFiles(m)
       .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons) &&
         ptHashes.forall { case (c, h) => bloomMayContainAny(f, c, Array(h)) })
-    val base =
-      if (keep.nonEmpty) readFiles(m, keep)
-      else emptySnapshot(m)
-    base.where(predicate)
+    if (keep.nonEmpty) readFiles(m, keep)
+    else emptySnapshot(m)
+  }
+
+  /** Lazy snapshot scan: a DataFrame whose leaf is a
+    * [[graft.plans.VTableRelation]] marker that the injected optimizer
+    * rule collapses into a stats+bloom-pruned file scan once
+    * Catalyst's own pushdown has parked the query's filters against
+    * it — automatic [[readWhere]] for SQL/temp-view consumers who
+    * never see this class. Version pins at CALL time (same snapshot
+    * isolation as `read`); size stats come from the manifest's file
+    * set so join planning sees the true table bytes. Installs the
+    * rule and the bare-marker fallback strategy into the session's
+    * runtime hooks on first use (config-built sessions already carry
+    * both via GraftExtensions).
+    */
+  def scan(version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val v = if (version == -1) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
+    val m = manifest(v)
+    val st = Option(m.get("schema"))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      .filter(_.fields.nonEmpty)
+      .getOrElse(readFiles(m, manifestFiles(m)).schema)
+    val bytes = manifestFiles(m).map { rel =>
+      try Files.size(Paths.get(s"$dir/$rel")) catch { case _: java.io.IOException => 0L }
+    }.sum
+    val attrs = st.map(f =>
+      AttributeReference(f.name, f.dataType, nullable = true)())
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.VTableScanRule(spark)))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.VTableScanRule(spark)
+      if (!spark.experimental.extraStrategies.contains(graft.plans.VTableScanStrategy(spark)))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), attrs))
   }
 
   /** Read a manifest's data files WITH its committed schema pinned:
@@ -1936,5 +1985,24 @@ object TableSkip {
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
         min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
+  }
+
+  /** The LAZY scan twin of [[qVtableSkip]]: the filter reaches the
+    * table through plain SQL over a temp view — no readWhere call
+    * anywhere — and the injected optimizer rule must still collapse
+    * it to the pruned file scan. Same invariant (skipping never
+    * changes WHICH rows match), so the oracle is the plain filtered
+    * aggregate over orders.
+    */
+  def qVtableLazy(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).scan()
+      .createOrReplaceTempView("__graft_vt_lazy")
+    t.spark.sql(
+      """SELECT count(*) AS n_rows,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total,
+        |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM __graft_vt_lazy
+        |WHERE o_custkey BETWEEN 700 AND 900 AND o_totalprice > 1000""".stripMargin)
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** The lazy vtable scan (VTableRelation + VTableScanRule): filters
+  * written ANYWHERE above the scan — DataFrame DSL, SQL over a temp
+  * view — must collapse into the stats-pruned file scan, with result
+  * equality to the eager read as the invariant.
+  */
+class VTableScanSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-vscan").toString + "/t"
+
+  /** Parquet scans of the FINAL physical plan — descends through AQE
+    * wrappers (AdaptiveSparkPlanExec / query stages), whose scans a
+    * plain treewalk never sees. Materializes first so the adaptive
+    * plan is final.
+    */
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec        => go(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  /** Files the physical plan actually opens (post-pruning). */
+  private def scanFiles(df: DataFrame): Int =
+    scans(df).map(_.relation.location.inputFiles.length).sum
+
+  /** Leaf columns the parquet scan reads (column-pruning witness). */
+  private def scanColumns(df: DataFrame): Seq[String] =
+    scans(df).flatMap(_.requiredSchema.fieldNames.toSeq)
+
+  /** Six single-file appends with disjoint id ranges [i*100, i*100+19]. */
+  private def sixFiles(): VersionedTable = {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    (0 until 6).foreach(i => t.append(
+      Seq.tabulate(20)(j => ((i * 100 + j).toLong, s"r$i-$j")).toDF("id", "name").coalesce(1)))
+    t
+  }
+
+  test("DataFrame filter over the lazy scan prunes files, result matches eager read") {
+    val t = sixFiles()
+    val lzy = t.scan().where(col("id").between(100L, 219L))
+    val eager = t.read().where(col("id").between(100L, 219L))
+    assert(lzy.collect().map(_.getLong(0)).toSet ==
+      eager.collect().map(_.getLong(0)).toSet)
+    assert(scanFiles(lzy) == 2, s"expected 2 of 6 files, opened ${scanFiles(lzy)}")
+  }
+
+  test("bare lazy scan falls back to the full snapshot read") {
+    val t = sixFiles()
+    assert(t.scan().count() == 120)
+    assert(scanFiles(t.scan()) == 6)
+  }
+
+  test("filter through SQL over a temp view still prunes") {
+    val t = sixFiles()
+    t.scan().createOrReplaceTempView("__graft_vscan_spec")
+    val point = spark.sql(
+      "SELECT name FROM __graft_vscan_spec WHERE id = 305")
+    assert(point.collect().map(_.getString(0)).toSeq == Seq("r3-5"))
+    assert(scanFiles(point) == 1, s"point lookup opened ${scanFiles(point)} files")
+    // column pruning survives the rewrite: the scan reads only what
+    // the query needs, not the marker's full width
+    val cols = scanColumns(point)
+    assert(cols.toSet == Set("id", "name") || cols.toSet == Set("name", "id"),
+      s"scan read $cols")
+    val narrow = spark.sql(
+      "SELECT count(*) AS n FROM __graft_vscan_spec WHERE id < 100")
+    assert(narrow.head().getLong(0) == 20)
+    assert(scanColumns(narrow) == Seq("id"), s"scan read ${scanColumns(narrow)}")
+  }
+
+  test("no-match predicate opens zero files and returns the schema") {
+    val t = sixFiles()
+    val none = t.scan().where(col("id") > 10000L)
+    assert(none.count() == 0)
+    assert(scanFiles(none) == 0)
+    assert(none.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("two filtered scans of one table compose (self-union, distinct instances)") {
+    val t = sixFiles()
+    val a = t.scan().where(col("id") < 100L)
+    val b = t.scan().where(col("id") >= 500L)
+    assert(a.union(b).count() == 40)
+  }
+
+  test("version pins at scan creation — later commits don't leak in") {
+    import spark.implicits._
+    val t = sixFiles()
+    val pinned = t.scan()
+    t.append(Seq((9999L, "late")).toDF("id", "name").coalesce(1))
+    assert(pinned.count() == 120)
+    assert(pinned.where(col("id") === 9999L).count() == 0)
+    assert(t.scan().count() == 121)
+  }
+
+  test("unrecognized conjunct shapes keep the recognized ones pruning") {
+    val t = sixFiles()
+    val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
+    assert(odd.collect().map(_.getLong(0)).forall(id => id % 2 == 1 && id < 100))
+    assert(scanFiles(odd) == 1, "the recognized conjunct should still prune")
+  }
+}
