@@ -1796,7 +1796,14 @@ object VTableSource extends SourceProvider {
       .getOrElse(-1)
     options.get("where") match {
       case Some(w) => vt.readWhere(org.apache.spark.sql.functions.expr(w), version)
-      case None    => vt.read(version)
+      // no explicit predicate → the LAZY scan, so filters the caller
+      // composes later (or writes in SQL over a /register'd view)
+      // still collapse to the stats+bloom-pruned file scan via the
+      // optimizer rule. options("lazy")="false" forces the eager
+      // snapshot read (e.g. for a caller inspecting df.inputFiles,
+      // which a marker leaf reports empty).
+      case None if options.get("lazy").contains("false") => vt.read(version)
+      case None => vt.scan(version)
     }
   }
 }

@@ -120,6 +120,36 @@ object EventStreams {
       .select("click_id", "purchase_id", "user_id", "value")
   }
 
+  /** LEFT OUTER stream-stream interval join: like
+    * [[clickPurchaseAttribution]], but every click eventually emits —
+    * matched rows as soon as the purchase arrives, UNMATCHED clicks
+    * with null purchase columns once the watermark passes the end of
+    * their attribution window (only then can the engine PROVE no
+    * matching purchase can still arrive; outer results are inherently
+    * watermark-delayed). Same state-eviction bound as the inner form —
+    * the join never buffers past watermark + window. This is the
+    * conversion-funnel shape: the null rows ARE the
+    * clicked-but-never-purchased cohort, produced incrementally
+    * instead of by a batch anti-join over the full history.
+    */
+  def clickPurchaseAttributionOuter(events: DataFrame, windowSec: Long = 300,
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+      .select("click_id", "purchase_id", "user_id", "value")
+  }
+
   /** Stream-static enrichment: each streaming event joined to a
     * STATIC dimension frame (user → segment, product → category). The
     * static side is planned per micro-batch as an ordinary batch join

@@ -132,6 +132,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark proves them") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(10), 1, "click", 0),       // purchased 2 min later → matched
+      Event(2, ts(12), 1, "purchase", 9.99),
+      Event(3, ts(11), 2, "click", 0))       // never purchases → null row
+    val q = EventStreams.clickPurchaseAttributionOuter(input.toDF(), windowSec = 300)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past click 3's window end so
+      // the engine can prove no purchase can still arrive (outer rows
+      // are watermark-delayed by design; events must pass the
+      // click/purchase filters to reach the watermark nodes — a
+      // filtered-out event advances nothing; different users and a
+      // >window gap keep the advancing events from matching anything)
+      input.addData(Event(99, ts(120), 8, "click", 0),
+        Event(100, ts(130), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(101, ts(131), 7, "click", 0),
+        Event(102, ts(141), 6, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+      val matched = rows.filter(r => !r.isNullAt(r.fieldIndex("purchase_id")))
+      val unmatched = rows.filter(r => r.isNullAt(r.fieldIndex("purchase_id")))
+      assert(matched.length == 1 &&
+        matched.head.getAs[Long]("click_id") == 1 &&
+        matched.head.getAs[Long]("purchase_id") == 2)
+      assert(unmatched.length == 1 &&
+        unmatched.head.getAs[Long]("click_id") == 3 &&
+        unmatched.head.isNullAt(unmatched.head.fieldIndex("value")))
+    } finally q.stop()
+  }
+
   test("idle-flush timeout emits and evicts a silent user's open session") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -109,6 +109,19 @@ class VTableScanSpec extends SparkSpecBase {
     assert(t.scan().count() == 121)
   }
 
+  test("Catalog-registered vtable view prunes through plain SQL (service path)") {
+    val t = sixFiles()
+    val cat = new graft.sources.Catalog(spark)
+    cat.register("__graft_vscan_reg", "vtable", t.dir)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM __graft_vscan_reg WHERE id BETWEEN 300 AND 419")
+    assert(q.head().getLong(0) == 40)
+    assert(scanFiles(q) == 2, s"registered view opened ${scanFiles(q)} files")
+    // eager opt-out keeps the old inspectable behavior
+    val eager = cat.read("vtable", t.dir, Map("lazy" -> "false"))
+    assert(eager.inputFiles.length == 6)
+  }
+
   test("unrecognized conjunct shapes keep the recognized ones pruning") {
     val t = sixFiles()
     val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
