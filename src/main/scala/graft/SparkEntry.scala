@@ -180,6 +180,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.qAnnLsh(t(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.qAnnIvf(t(s, d))),
     "q_ann_pq" -> ((s, d) => graft.operators.Pq.qAnnPq(t(s, d))),
+    "q_ann_ivfpq" -> ((s, d) => graft.operators.Pq.qAnnIvfPq(t(s, d))),
     "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),
     "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
     // §2.5 text analysis
@@ -227,7 +228,8 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq, q_text_ann,
+    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq,
+    * q_ann_ivfpq, q_text_ann,
     * q_fingerprint, q_media_features, q_image_features,
     * q_frame_sample, q_audio_features, q_approx_distinct,
     * q_hll_sketch, q_percentile_approx, q_quantize_error,

@@ -89,39 +89,51 @@ object Pq {
   def adcTopK(codes: DataFrame, codebooks: DataFrame,
       queries: Seq[(Long, Array[Float])], m: Int, ksub: Int,
       k: Int = 10): DataFrame = {
-    // codebook → cb(sub)(code) = centroid
-    val cb = Array.ofDim[Array[Float]](m, ksub)
-    codebooks.collect().foreach { r =>
-      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
-        r.getAs[scala.collection.Seq[Float]]("centroid").toArray
-    }
-    val sd = cb(0)(0).length
-    def normalized(v: Array[Float]): Array[Float] = {
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      if (n == 0) v else v.map(x => (x / n).toFloat)
-    }
-    val scored = queries.map { case (qid, qRaw) =>
-      val q = normalized(qRaw)
-      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
-        (0 until ksub).map { c =>
-          val cen = cb(s)(c)
-          if (cen == null) Double.MinValue // empty cluster: never wins
-          else (0 until sd).map(i => q(s * sd + i).toDouble * cen(i)).sum
-        }
-      }
+    val luts = lutsFor(codebooks, queries, m, ksub)
+    luts.map { case (qid, lut) =>
       codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id"),
-          aggregate(
-            zip_with(col("codes"), typedLit(lut), (c, l) => element_at(l, c + 1)),
-            lit(0.0d), (acc, x) => acc + x).as("score"))
+        .select(lit(qid).as("query_id"), col("vec_id"), scoreCol(lut).as("score"))
     }.reduce(_ union _)
-    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rk"))
       .orderBy("query_id", "rk")
   }
+
+  /** Per-query m×ksub LUTs of subspace dots, built driver-side from
+    * the collected codebooks (m·ksub rows — broadcast-metadata scale).
+    */
+  private def lutsFor(codebooks: DataFrame, queries: Seq[(Long, Array[Float])],
+      m: Int, ksub: Int): Seq[(Long, Seq[Seq[Double]])] = {
+    val cb = Array.ofDim[Array[Float]](m, ksub)
+    codebooks.collect().foreach { r =>
+      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray
+    }
+    val sd = cb.flatten.find(_ != null)
+      .getOrElse(throw new IllegalStateException("empty PQ codebook")).length
+    def normalized(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    queries.map { case (qid, qRaw) =>
+      val q = normalized(qRaw)
+      qid -> (0 until m).map { s =>
+        (0 until ksub).map { c =>
+          val cen = cb(s)(c)
+          if (cen == null) Double.MinValue // empty cluster: never wins
+          else (0 until sd).map(i => q(s * sd + i).toDouble * cen(i)).sum
+        }: Seq[Double]
+      }
+    }
+  }
+
+  /** Σ_sub lut(sub)(codes(sub)) as a codegen'd column over `codes`. */
+  private def scoreCol(lut: Seq[Seq[Double]]): Column =
+    aggregate(
+      zip_with(col("codes"), typedLit(lut), (c, l) => element_at(l, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
 
   /** Trained codebooks + coded corpus, memoized per (session, corpus,
     * params) — contract-query invocations and plan audits must not
@@ -164,6 +176,57 @@ object Pq {
     val shortlist = adcTopK(model.codes, model.codebooks, qs, m, ksub, k * rerank)
       .select("query_id", "vec_id")
     val qDf = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    t.embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Rnd.round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-PQ probed ANN (rows-only; AnnSpec checks recall): the FULL
+    * Jégou '11 serving pipeline — coarse cells bound the candidate
+    * set (nprobe/cells of the corpus per query), ADC over the 8-byte
+    * codes ranks candidates without touching raw vectors, and the
+    * exact re-rank repairs the shortlist. At 100 TB this is the
+    * layout that serves: the inverted file is partition-pruned on
+    * disk (IvfIndex), the codes fit in memory, and the only raw-
+    * vector IO is the shortlist join.
+    */
+  def qAnnIvfPq(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L), k: Int = 10,
+      cells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    val ivf = Similarity.corpusIndex(t, cells)
+    val model = corpusPq(t, m, ksub)
+    val qRows = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+    val probes = Similarity.nearestCells(qRows, ivf.centroids, topN = nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // candidate ids per query: vectors living in the probed cells
+    val cand = ivf.assigned.select(col("cell"), col("vec_id"))
+      .join(broadcast(probes), "cell")
+      .select(col("query_id"), col("vec_id"))
+    val qs = qRows.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toSeq.sortBy(_._1)
+    // ADC over candidates only, per query (each query's LUT is a
+    // literal, so scoring stays codegen'd; the candidate join keyed
+    // the work to nprobe/cells of the corpus already)
+    val coded = cand.join(model.codes, "vec_id")
+    val shortlist = lutsFor(model.codebooks, qs, m, ksub).map { case (qid, lut) =>
+      coded.filter(col("query_id") === qid && col("vec_id") =!= qid)
+        .select(col("query_id"), col("vec_id"), scoreCol(lut).as("score"))
+    }.reduce(_ union _)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= k * rerank)
+      .select("query_id", "vec_id")
+    val qDf = qRows
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     t.embeddings.select(col("vec_id"), col("embedding"))
       .join(broadcast(shortlist), "vec_id")

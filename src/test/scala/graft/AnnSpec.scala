@@ -241,4 +241,22 @@ class AnnSpec extends SparkSpecBase {
     val again = graft.operators.Pq.qAnnPq(tables, queries, k = 10).collect()
     assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("IVF-PQ probe recall vs brute force (cells bound candidates, ADC ranks)") {
+    val queries = Seq(1L, 2L, 3L, 10L, 20L)
+    val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val got = graft.operators.Pq.qAnnIvfPq(tables, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    // candidates are capped at nprobe/cells of the corpus AND ranked
+    // from 8-byte codes; the exact re-rank repairs the shortlist, so
+    // recall must still clear the IVF-alone floor's neighborhood
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean IVF-PQ recall $mean")
+  }
 }
