@@ -38,6 +38,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Windowed APPROXIMATE cardinality under a watermark: distinct
+    * users per hour as an HLL sketch aggregation. COUNT(DISTINCT) is
+    * unsupported in streaming for the same reason it hurts in batch —
+    * exact distinct state is unbounded per window — while the sketch
+    * keeps O(KB) state per (window) group and merges monotonically
+    * across micro-batches, so this is THE way to watch unique-visitor
+    * cardinality on an unbounded stream. rsd defaults to Spark's 5%;
+    * the batch HLL rewrite rule (ApproxDistinctRewrite) makes the same
+    * trade opt-in for batch SQL.
+    */
+  def hourlyUniqueUsers(events: DataFrame, watermark: String = "2 hours",
+      rsd: Double = 0.05): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
   /** NATIVE session windows in a stream: the same
     * `session_window` grouping the batch `Sessionize.qSessionWindow`
     * uses, under a watermark — Spark merges windows as late events

@@ -132,6 +132,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed approx-distinct users tracks the exact count within rsd bounds") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // window [0:00, 1:00): users 1..40, some repeating; [1:00, 2:00): users 1..10
+    val batch1 = (1 to 40).map(u => Event(u.toLong, ts(u % 50), u.toLong % 40 + 1, "click", 0)) ++
+      (1 to 20).map(u => Event(100 + u.toLong, ts(3), u.toLong % 40 + 1, "view", 0))
+    val batch2 = (1 to 10).map(u => Event(200 + u.toLong, ts(70), u.toLong, "click", 0))
+    input.addData(batch1 ++ batch2: _*)
+    val q = EventStreams.hourlyUniqueUsers(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("uniq_users")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // close both windows: push the watermark past 2:10
+      input.addData(Event(999, ts(200), 99, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(1000, ts(201), 99, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("uniq_users").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 60000 ->
+          r.getAs[Long]("approx_users")).toMap
+      // HLL at 5% rsd on n=40 / n=10: generous ±30% envelope — the
+      // point is bounded-state cardinality, not exactness
+      assert(rows.contains(0) && rows(0) >= 28 && rows(0) <= 52,
+        s"window 0 approx ${rows.get(0)} vs exact 40")
+      assert(rows.contains(60) && rows(60) >= 7 && rows(60) <= 13,
+        s"window 60 approx ${rows.get(60)} vs exact 10")
+    } finally q.stop()
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark proves them") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
