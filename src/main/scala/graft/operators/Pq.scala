@@ -90,10 +90,22 @@ object Pq {
       queries: Seq[(Long, Array[Float])], m: Int, ksub: Int,
       k: Int = 10): DataFrame = {
     val luts = lutsFor(codebooks, queries, m, ksub)
-    luts.map { case (qid, lut) =>
-      codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id"), scoreCol(lut).as("score"))
-    }.reduce(_ union _)
+    // ONE plan regardless of query count: the per-query LUTs stack
+    // into a 3-D literal indexed by query ordinal, and scoring is a
+    // broadcast cross join against the tiny (query_id, ordinal) frame
+    // — a per-query union would grow the plan (and its codegen)
+    // linearly with the query batch, the wrong shape for a serving
+    // path that batches hundreds of probes
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qFrame = broadcast(
+      luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
+        .toDF("query_id", "_q"))
+    val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
+    codes.crossJoin(qFrame)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rk") <= k)
@@ -129,10 +141,13 @@ object Pq {
     }
   }
 
-  /** Σ_sub lut(sub)(codes(sub)) as a codegen'd column over `codes`. */
-  private def scoreCol(lut: Seq[Seq[Double]]): Column =
+  /** Σ_sub lut(sub)(codes(sub)) as a codegen'd column over `codes`;
+    * `lut` is any array<array<double>>-typed column (a literal, or a
+    * slice of the stacked 3-D literal).
+    */
+  private def scoreCol(lut: Column): Column =
     aggregate(
-      zip_with(col("codes"), typedLit(lut), (c, l) => element_at(l, c + 1)),
+      zip_with(col("codes"), lut, (c, l) => element_at(l, c + 1)),
       lit(0.0d), (acc, x) => acc + x)
 
   /** Trained codebooks + coded corpus, memoized per (session, corpus,
@@ -214,14 +229,23 @@ object Pq {
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
       .toSeq.sortBy(_._1)
-    // ADC over candidates only, per query (each query's LUT is a
-    // literal, so scoring stays codegen'd; the candidate join keyed
-    // the work to nprobe/cells of the corpus already)
+    // ADC over candidates only — one plan for the whole query batch:
+    // the stacked 3-D LUT literal is indexed by the query's ordinal
+    // from the tiny broadcast frame (same shape as adcTopK), and the
+    // candidate join already keyed the work to nprobe/cells of the
+    // corpus
+    val spark = t.spark
+    import spark.implicits._
     val coded = cand.join(model.codes, "vec_id")
-    val shortlist = lutsFor(model.codebooks, qs, m, ksub).map { case (qid, lut) =>
-      coded.filter(col("query_id") === qid && col("vec_id") =!= qid)
-        .select(col("query_id"), col("vec_id"), scoreCol(lut).as("score"))
-    }.reduce(_ union _)
+    val luts = lutsFor(model.codebooks, qs, m, ksub)
+    val qOrd = broadcast(
+      luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
+        .toDF("query_id", "_q"))
+    val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
+    val shortlist = coded.join(qOrd, "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
       .filter(col("rk") <= k * rerank)
