@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_hard_negatives",  // same 3-row query set, band-filtered
     "q_text_ann",        // 3-row hash-embedded query set
     "q_ann_ivf",         // k-row centroid table
+    "q_ann_pq",          // 3-row query-ordinal frame fanning out the ADC batch
+    "q_ann_ivfpq",       // k-row centroid table + same ordinal frame
     "q_semdedup",        // same k-row centroid table (index-build lineage)
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
