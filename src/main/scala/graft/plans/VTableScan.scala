@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, OneRowRelation, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -50,9 +51,11 @@ import graft.sources.VersionedTable
   * `read(v).where(cond)` is the invariant VTableScanSpec asserts.
   */
 case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
-    output: Seq[Attribute]) extends LeafNode with MultiInstanceRelation {
+    rows: Option[BigInt], output: Seq[Attribute])
+  extends LeafNode with MultiInstanceRelation {
   override def newInstance(): VTableRelation = copy(output = output.map(_.newInstance()))
-  override def computeStats(): Statistics = Statistics(sizeInBytes = sizeBytes)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = sizeBytes, rowCount = rows)
   override def simpleString(maxFields: Int): String =
     s"VTableRelation $dir v$version"
 }
@@ -118,7 +121,44 @@ object VTableScan {
   * strategy scans the full snapshot beneath them).
   */
 case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** An ungrouped aggregate list answerable from the manifest alone:
+    * every expression is COUNT(*) / COUNT(non-null literal) (possibly
+    * aliased). Strict by design — any other aggregate, a FILTER
+    * clause, or DISTINCT falls through to the real scan.
+    */
+  private def allCountStar(exprs: Seq[NamedExpression]): Boolean =
+    exprs.nonEmpty && exprs.forall {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) => v != null
+      case _ => false
+    }
+
+  private def metadataCount(r: VTableRelation, exprs: Seq[NamedExpression]): LogicalPlan = {
+    val n = Literal(r.rows.get.toLong, org.apache.spark.sql.types.LongType)
+    Project(
+      exprs.map { case a: Alias =>
+        Alias(n, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      },
+      OneRowRelation())
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // metadata-only COUNT(*): the manifest's per-file row counts sum
+    // to the exact snapshot cardinality (copy-on-write — no
+    // tombstones), so SELECT count(*) answers in O(1) without opening
+    // a single data file. The signature move of a table format whose
+    // commit log carries stats; on a 100 TB table this is the
+    // difference between a dashboard ping and a full scan.
+    // the optimizer usually parks an (often empty) column-pruning
+    // Project between the count and the leaf — projections never
+    // change cardinality, so the count is still the manifest's
+    case Aggregate(Nil, exprs, r: VTableRelation, _)
+        if r.rows.isDefined && allCountStar(exprs) =>
+      metadataCount(r, exprs)
+    case Aggregate(Nil, exprs, Project(_, r: VTableRelation), _)
+        if r.rows.isDefined && allCountStar(exprs) =>
+      metadataCount(r, exprs)
     // the column-pruned shape the optimizer leaves over a filtered
     // scan: Project(narrow) over Filter over leaf. Narrow the restored
     // output to what the Project (and nothing else) references.

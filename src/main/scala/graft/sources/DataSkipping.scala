@@ -109,13 +109,15 @@ private[graft] object DataSkipping {
     cons.forall {
       case RequiresNull(c) =>
         st.flatMap(n => Option(n.get(c))) match {
-          // only a three-element entry with hasNulls=false PROVES the
-          // file null-free; missing stats or a pre-flag manifest can't
-          case Some(a) if a.size() >= 3 => a.get(2).asBoolean
-          case _                        => true
+          // only a three-element ARRAY entry with hasNulls=false PROVES
+          // the file null-free; missing stats, a pre-flag manifest, or
+          // a non-array node (a column named "_rows" colliding with
+          // the per-file row-count field) can't
+          case Some(a) if a.isArray && a.size() >= 3 => a.get(2).asBoolean
+          case _                                     => true
         }
       case Range(c, lo, hi) =>
-        val entry = st.flatMap(n => Option(n.get(c)))
+        val entry = st.flatMap(n => Option(n.get(c))).filter(_.isArray)
         val dt = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
         (entry, dt) match {
           case (Some(a), Some(d)) => rangeMayMatch(a, d, lo, hi)

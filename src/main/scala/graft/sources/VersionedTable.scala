@@ -361,9 +361,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
       .filter(_.fields.nonEmpty)
       .getOrElse(readFiles(m, manifestFiles(m)).schema)
-    val bytes = manifestFiles(m).map { rel =>
+    val files = manifestFiles(m)
+    val bytes = files.map { rel =>
       try Files.size(Paths.get(s"$dir/$rel")) catch { case _: java.io.IOException => 0L }
     }.sum
+    // exact snapshot cardinality from the per-file "_rows" stats —
+    // known only when EVERY file carries one (pre-rows manifests and
+    // raw-path commits answer None, disabling the metadata fast paths)
+    val stats = manifestStats(m)
+    val perFile = files.map(f => stats.get(f)
+      .flatMap(n => Option(n.get("_rows"))).filter(_.isNumber).map(_.asLong))
+    val rows: Option[BigInt] =
+      if (files.isEmpty) Some(BigInt(0))
+      else if (perFile.forall(_.isDefined)) Some(BigInt(perFile.flatten.sum))
+      else None
     val attrs = st.map(f =>
       AttributeReference(f.name, f.dataType, nullable = true)())
     spark.experimental.synchronized {
@@ -375,7 +386,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), attrs))
+      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, attrs))
   }
 
   /** Read a manifest's data files WITH its committed schema pinned:
@@ -522,6 +533,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           ()
         }
       }
+      // per-file ROW COUNT, free in this same pass: sums to the exact
+      // snapshot cardinality (copy-on-write, no tombstones), which the
+      // lazy scan serves as Statistics.rowCount and the metadata-only
+      // COUNT(*) rewrite answers without opening a single file. Put
+      // LAST so a user column literally named "_rows" loses its
+      // min/max entry (sound — it just won't prune) rather than
+      // corrupting the count.
+      node.put("_rows", total)
       s"$sub/$name" -> (node: JsonNode)
     }.toMap
   }
@@ -533,7 +552,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private def statMayHaveNulls(st: Option[JsonNode], key: String): Boolean =
     st.flatMap(n => Option(n.get(key))) match {
-      case Some(a) if a.size() >= 3 => a.get(2).asBoolean
+      case Some(a) if a.isArray && a.size() >= 3 => a.get(2).asBoolean
       case _ => true
     }
 

@@ -109,6 +109,32 @@ class VTableScanSpec extends SparkSpecBase {
     assert(t.scan().count() == 121)
   }
 
+  test("COUNT(*) answers from manifest row counts without opening any file") {
+    import spark.implicits._
+    val t = sixFiles()
+    t.scan().createOrReplaceTempView("__graft_vscan_cnt")
+    val cnt = spark.sql("SELECT count(*) AS n FROM __graft_vscan_cnt")
+    assert(cnt.head().getLong(0) == 120)
+    assert(scans(cnt).isEmpty, "metadata count must not plan a file scan")
+    // a filtered count is NOT metadata-answerable — it must scan (the
+    // pruned files) and still be exact
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM __graft_vscan_cnt WHERE id < 100")
+    assert(filtered.head().getLong(0) == 20)
+    assert(scans(filtered).nonEmpty)
+    // version pinning: the metadata count moves with new commits only
+    // through a NEW scan
+    val pinned = t.scan()
+    t.append(Seq((7777L, "x"), (7778L, "y")).toDF("id", "name").coalesce(1))
+    assert(pinned.groupBy().count().head().getLong(0) == 120)
+    val fresh = t.scan().groupBy().count()
+    assert(fresh.head().getLong(0) == 122)
+    assert(scans(fresh).isEmpty)
+    // copy-on-write rewrites keep the counts exact
+    t.delete(Seq(0L, 1L, 7777L).toDF("id"), "id")
+    assert(t.scan().groupBy().count().head().getLong(0) == 119)
+  }
+
   test("Catalog-registered vtable view prunes through plain SQL (service path)") {
     val t = sixFiles()
     val cat = new graft.sources.Catalog(spark)
