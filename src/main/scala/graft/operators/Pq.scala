@@ -264,6 +264,67 @@ object Pq {
       .orderBy("query_id", "rk")
   }
 
+  /** Persist an IVF-PQ index: the inverted file carries the PQ codes
+    * (and raw vectors, for re-rank) IN the cell-partitioned tree, so
+    * a probe's scan prunes to the visited cells and finds codes and
+    * vectors co-located — no second lookup. Centroids and codebooks
+    * are tiny side tables. This is the serving layout: on 10^10
+    * vectors a probe reads nprobe/cells of the partition tree, scores
+    * from the 8-byte codes, and touches raw vectors only for the
+    * shortlist rows it already has in hand.
+    */
+  def saveIndex(dir: String, ivf: IvfIndex, model: PqModel): Unit = {
+    ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    model.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    ivf.assigned.join(model.codes, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Probe a saved IVF-PQ index; result-identical to the in-memory
+    * [[qAnnIvfPq]] at the same parameters (same assignment, same
+    * deterministic tie-breaks).
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .withColumn("cell", col("cell").cast("long"))
+    val probes = Similarity.nearestCells(queries, centroids, topN = nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qs = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toSeq.sortBy(_._1)
+    val luts = lutsFor(codebooks, qs, m, ksub)
+    val qOrd = broadcast(
+      luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
+        .toDF("query_id", "_q"))
+    val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
+    // candidate scan prunes to probed cells (partition column join);
+    // codes AND vectors arrive from the same pruned partitions
+    val shortlist = assigned.join(broadcast(probes), "cell")
+      .join(qOrd, "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= k * rerank)
+    val qDf = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    shortlist.join(broadcast(qDf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Rnd.round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---- internals ----------------------------------------------------
 
   private def subDim(e: DataFrame, m: Int): Int = {

@@ -242,6 +242,27 @@ class AnnSpec extends SparkSpecBase {
     assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("saved IVF-PQ index probes result-identical to the in-memory pipeline") {
+    import org.apache.spark.sql.functions.col
+    val queries = Seq(1L, 2L, 3L)
+    val ivf = graft.operators.Similarity.corpusIndex(tables)
+    val model = graft.operators.Pq.corpusPq(tables)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      graft.operators.Pq.saveIndex(dir, ivf, model)
+      val qRows = tables.embeddings.filter(col("vec_id").isin(queries: _*))
+      val onDisk = graft.operators.Pq.probeIndex(spark, dir, qRows).collect()
+      val inMem = graft.operators.Pq.qAnnIvfPq(tables, queries).collect()
+      assert(onDisk.map(_.toString).toSeq == inMem.map(_.toString).toSeq,
+        s"on-disk probe diverged: ${onDisk.length} vs ${inMem.length} rows")
+      // the probe's scan is partition-pruned to the visited cells
+      val scan = graft.operators.Pq.probeIndex(spark, dir, qRows)
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+        "probe scan should carry a cell partition filter")
+    } finally deleteDir(dir)
+  }
+
   test("IVF-PQ probe recall vs brute force (cells bound candidates, ADC ranks)") {
     val queries = Seq(1L, 2L, 3L, 10L, 20L)
     val bf = Similarity.qAnnBruteforce(tables, queries, k = 10).collect()
