@@ -210,6 +210,7 @@ object SparkEntry {
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_vtable_lazy" -> ((s, d) => graft.sources.TableSkip.qVtableLazy(t(s, d))),
+    "q_vtable_meta" -> ((s, d) => graft.sources.TableSkip.qVtableMeta(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -1337,6 +1338,15 @@ object SparkEntry {
         | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
         | min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM orders WHERE o_custkey BETWEEN 700 AND 900 AND o_totalprice > 1000""".stripMargin,
+    // the Spark side answers these from the manifest's per-file stats
+    // alone (no data file opened); the oracle aggregates the rows the
+    // honest way — any drift in the stats arithmetic diverges the hash
+    "q_vtable_meta" ->
+      """SELECT count(*) AS n_rows,
+        | min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+        | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh
     // cycles; the oracle is the direct one-shot aggregate over all of
     // orders — gating that the incremental merge algebra is exact

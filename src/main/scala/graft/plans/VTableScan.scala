@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, OneRowRelation, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -51,7 +51,8 @@ import graft.sources.VersionedTable
   * `read(v).where(cond)` is the invariant VTableScanSpec asserts.
   */
 case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
-    rows: Option[BigInt], output: Seq[Attribute])
+    rows: Option[BigInt], bounds: Map[String, (Any, Any)],
+    output: Seq[Attribute])
   extends LeafNode with MultiInstanceRelation {
   override def newInstance(): VTableRelation = copy(output = output.map(_.newInstance()))
   override def computeStats(): Statistics =
@@ -122,43 +123,77 @@ object VTableScan {
   */
 case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** An ungrouped aggregate list answerable from the manifest alone:
-    * every expression is COUNT(*) / COUNT(non-null literal) (possibly
-    * aliased). Strict by design — any other aggregate, a FILTER
-    * clause, or DISTINCT falls through to the real scan.
+  /** The manifest-answerable ungrouped aggregates: COUNT(*) /
+    * COUNT(non-null literal), and MIN/MAX of a relation column whose
+    * per-file numeric stats cover every file (`r.bounds`). Strict by
+    * design — any other aggregate, a FILTER clause, or DISTINCT makes
+    * the whole list fall through to the real scan. Returns the
+    * replacement literal per expression, or None.
     */
-  private def allCountStar(exprs: Seq[NamedExpression]): Boolean =
-    exprs.nonEmpty && exprs.forall {
-      case Alias(AggregateExpression(
-          Count(Seq(Literal(v, _))), Complete, false, None, _), _) => v != null
-      case _ => false
+  private def metaAnswer(r: VTableRelation, e: NamedExpression): Option[Expression] = {
+    def boundLit(a: Attribute, v: Any): Expression = {
+      import org.apache.spark.sql.types._
+      a.dataType match {
+        case LongType    => Literal(v.asInstanceOf[Long])
+        case IntegerType => Literal(v.asInstanceOf[Long].toInt)
+        case ShortType   => Literal(v.asInstanceOf[Long].toShort)
+        case ByteType    => Literal(v.asInstanceOf[Long].toByte)
+        case DoubleType  => Literal(v.asInstanceOf[Double])
+        case FloatType   => Literal(v.asInstanceOf[Double].toFloat)
+        case dt          => throw new IllegalStateException(s"unexpected bound type $dt")
+      }
     }
+    // MIN/MAX over ZERO rows is null of the column type
+    def orNull(a: Attribute, pick: ((Any, Any)) => Any): Option[Expression] =
+      if (r.rows.contains(BigInt(0))) Some(Literal(null, a.dataType))
+      else r.bounds.get(a.name).map(b => boundLit(a, pick(b)))
+    e match {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) if v != null =>
+        r.rows.map(n => Literal(n.toLong))
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), Complete, false, None, _), _)
+          if r.outputSet.contains(a) =>
+        orNull(a, _._1)
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), Complete, false, None, _), _)
+          if r.outputSet.contains(a) =>
+        orNull(a, _._2)
+      case _ => None
+    }
+  }
 
-  private def metadataCount(r: VTableRelation, exprs: Seq[NamedExpression]): LogicalPlan = {
-    val n = Literal(r.rows.get.toLong, org.apache.spark.sql.types.LongType)
-    Project(
-      exprs.map { case a: Alias =>
-        Alias(n, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+  private def metadataAgg(r: VTableRelation,
+      exprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    if (r.rows.isEmpty || exprs.isEmpty) return None
+    val answers = exprs.map(e => metaAnswer(r, e))
+    if (answers.exists(_.isEmpty)) None
+    else Some(Project(
+      exprs.zip(answers).collect { case (a: Alias, Some(lit0)) =>
+        Alias(lit0, a.name)(exprId = a.exprId, qualifier = a.qualifier)
       },
-      OneRowRelation())
+      OneRowRelation()))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // metadata-only COUNT(*): the manifest's per-file row counts sum
-    // to the exact snapshot cardinality (copy-on-write — no
-    // tombstones), so SELECT count(*) answers in O(1) without opening
-    // a single data file. The signature move of a table format whose
-    // commit log carries stats; on a 100 TB table this is the
-    // difference between a dashboard ping and a full scan.
-    // the optimizer usually parks an (often empty) column-pruning
-    // Project between the count and the leaf — projections never
-    // change cardinality, so the count is still the manifest's
-    case Aggregate(Nil, exprs, r: VTableRelation, _)
-        if r.rows.isDefined && allCountStar(exprs) =>
-      metadataCount(r, exprs)
-    case Aggregate(Nil, exprs, Project(_, r: VTableRelation), _)
-        if r.rows.isDefined && allCountStar(exprs) =>
-      metadataCount(r, exprs)
+    // metadata-only aggregates: per-file row counts sum to the exact
+    // snapshot cardinality (copy-on-write — no tombstones) and global
+    // numeric [min,max] folds from full-coverage per-file stats, so
+    // SELECT count(*) / min(k) / max(ts) answers in O(1) without
+    // opening a single data file — on a 100 TB table the difference
+    // between a dashboard ping and a full scan. The optimizer usually
+    // parks a (possibly empty) column-pruning Project between the
+    // aggregate and the leaf — projections of plain attributes change
+    // neither cardinality nor column values, so the manifest's answer
+    // stands; an alias-computing Project makes the Min/Max argument
+    // reference the alias, which fails the outputSet test and falls
+    // through.
+    case agg @ Aggregate(Nil, exprs, r: VTableRelation, _)
+        if metadataAgg(r, exprs).isDefined =>
+      metadataAgg(r, exprs).get
+    case agg @ Aggregate(Nil, exprs, Project(ps, r: VTableRelation), _)
+        if ps.forall(_.isInstanceOf[Attribute]) && metadataAgg(r, exprs).isDefined =>
+      metadataAgg(r, exprs).get
     // the column-pruned shape the optimizer leaves over a filtered
     // scan: Project(narrow) over Filter over leaf. Narrow the restored
     // output to what the Project (and nothing else) references.

@@ -375,6 +375,37 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       if (files.isEmpty) Some(BigInt(0))
       else if (perFile.forall(_.isDefined)) Some(BigInt(perFile.flatten.sum))
       else None
+    // exact per-column global [min,max] where EVERY file carries a
+    // numeric stats entry — the metadata MIN/MAX answer. Strings are
+    // excluded on principle (a truncated min prefix is a sound BOUND
+    // for pruning but is not the actual minimum, and the manifest
+    // cannot distinguish truncated from exact); a NaN-carrying or
+    // all-null file records no entry and disqualifies its column.
+    val bounds: Map[String, (Any, Any)] = st.fields.iterator.flatMap { f =>
+      def num(n: JsonNode): Option[Any] = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType
+             if n.isIntegralNumber => Some(n.asLong)
+        case DoubleType | FloatType if n.isNumber => Some(n.asDouble)
+        case _ => None
+      }
+      val perF = files.map(f0 => stats.get(f0)
+        .flatMap(nd => Option(nd.get(f.name))).filter(_.isArray)
+        .filter(_.size() >= 2)
+        .flatMap(a => for { lo <- num(a.get(0)); hi <- num(a.get(1)) } yield (lo, hi)))
+      if (files.nonEmpty && perF.forall(_.isDefined)) {
+        val los = perF.flatten.map(_._1)
+        val his = perF.flatten.map(_._2)
+        val (lo, hi) = f.dataType match {
+          case DoubleType | FloatType =>
+            (los.map(_.asInstanceOf[Double]).min: Any,
+             his.map(_.asInstanceOf[Double]).max: Any)
+          case _ =>
+            (los.map(_.asInstanceOf[Long]).min: Any,
+             his.map(_.asInstanceOf[Long]).max: Any)
+        }
+        Some(f.name -> ((lo, hi)))
+      } else None
+    }.toMap
     val attrs = st.map(f =>
       AttributeReference(f.name, f.dataType, nullable = true)())
     spark.experimental.synchronized {
@@ -386,7 +417,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, attrs))
+      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds, attrs))
   }
 
   /** Read a manifest's data files WITH its committed schema pinned:
@@ -2030,5 +2061,22 @@ object TableSkip {
         |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM __graft_vt_lazy
         |WHERE o_custkey BETWEEN 700 AND 900 AND o_totalprice > 1000""".stripMargin)
+  }
+
+  /** Metadata-only aggregate over the vtable: count(*) + numeric
+    * min/max answer from the commit manifest's per-file stats (zero
+    * data files opened — VTableScanSpec asserts the scan-free plan);
+    * the DuckDB oracle computes the same aggregates the honest way
+    * over orders, gating the manifest's arithmetic against the data.
+    */
+  def qVtableMeta(t: Tables): DataFrame = {
+    VersionedTable(t.spark, builtTable(t)).scan()
+      .createOrReplaceTempView("__graft_vt_meta")
+    t.spark.sql(
+      """SELECT count(*) AS n_rows,
+        |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+        |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM __graft_vt_meta""".stripMargin)
   }
 }

@@ -135,6 +135,27 @@ class VTableScanSpec extends SparkSpecBase {
     assert(t.scan().groupBy().count().head().getLong(0) == 119)
   }
 
+  test("MIN/MAX of stats-covered numeric columns answer from the manifest") {
+    val t = sixFiles()
+    t.scan().createOrReplaceTempView("__graft_vscan_mm")
+    val mm = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM __graft_vscan_mm")
+    val row = mm.head()
+    assert(row.getLong(0) == 0 && row.getLong(1) == 519 && row.getLong(2) == 120)
+    assert(scans(mm).isEmpty, "metadata min/max must not plan a file scan")
+    // a STRING column's min/max must scan (truncated stats are bounds,
+    // not values) — and still be correct
+    val sm = spark.sql(
+      "SELECT min(name) AS lo FROM __graft_vscan_mm")
+    assert(sm.head().getString(0) == "r0-0")
+    assert(scans(sm).nonEmpty)
+    // min/max mixed with a non-answerable aggregate falls through whole
+    val mixed = spark.sql(
+      "SELECT min(id) AS lo, sum(id) AS s FROM __graft_vscan_mm")
+    assert(mixed.head().getLong(0) == 0)
+    assert(scans(mixed).nonEmpty)
+  }
+
   test("Catalog-registered vtable view prunes through plain SQL (service path)") {
     val t = sixFiles()
     val cat = new graft.sources.Catalog(spark)
