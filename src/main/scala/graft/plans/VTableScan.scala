@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, OneRowRelation, Project, Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LeafNode, LogicalPlan, OneRowRelation, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -121,7 +121,64 @@ object VTableScan {
   * must see every row exactly once, in snapshot order — the fallback
   * strategy scans the full snapshot beneath them).
   */
-case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  /** Dynamic file pruning for `marker ⋈ small-dim` inner joins (the
+    * Delta-style DFP move): when one side is a lazy vtable scan and
+    * the other a small deterministic plan, execute the dim's key
+    * MIN/MAX (one tiny job — the dim is under the broadcast threshold
+    * and will be fully materialized for the join anyway) and expand
+    * the marker through the stats machinery with the derived
+    * `key BETWEEN lo AND hi` constraint. A selective dim against a
+    * range-clustered fact then opens O(matching) files where the plain
+    * join scans the table. Sound because the range is a NECESSARY
+    * condition for any inner-join match (equality never matches
+    * outside the dim's own [min,max], and neither side matches
+    * nulls); the full join condition still evaluates above.
+    */
+  private def dynamicPrune(j: Join): Option[LogicalPlan] = {
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    val cond = j.condition.getOrElse(return None)
+    def markerOf(p: LogicalPlan): Option[(VTableRelation, Option[Expression])] = p match {
+      case r: VTableRelation => Some((r, None))
+      case Filter(c, r: VTableRelation) if c.deterministic => Some((r, Some(c)))
+      case _ => None
+    }
+    val (marker, extra, dim, markerLeft) = (markerOf(j.left), markerOf(j.right)) match {
+      case (Some((r, e)), None) => (r, e, j.right, true)
+      case (None, Some((r, e))) => (r, e, j.left, false)
+      case _ => return None
+    }
+    // the dim must be small (bounded double-execution) and fully
+    // deterministic (a rand-filtered dim would give bounds from a
+    // DIFFERENT draw than the join's own execution — unsound)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0 || dim.stats.sizeInBytes > threshold) return None
+    if (dim.exists(_.expressions.exists(!_.deterministic))) return None
+    val pair = splitConjunctivePredicates(cond).collectFirst {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+          if marker.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          b: AttributeReference, a: AttributeReference)
+          if marker.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
+    }
+    val (mk, dk) = pair.getOrElse(return None)
+    val boundsRow = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      Aggregate(Nil, Seq(
+        Alias(AggregateExpression(Min(dk), Complete, isDistinct = false, None), "lo")(),
+        Alias(AggregateExpression(Max(dk), Complete, isDistinct = false, None), "hi")()),
+        dim)).head()
+    if (boundsRow.isNullAt(0)) return None // empty/all-null dim: no gain
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual}
+    val range = And(
+      GreaterThanOrEqual(mk, Literal.create(boundsRow.get(0), mk.dataType)),
+      LessThanOrEqual(mk, Literal.create(boundsRow.get(1), mk.dataType)))
+    val full = extra.map(And(_, range)).getOrElse(range)
+    val pruned = VTableScan.expand(spark, marker, Some(full))
+    Some(if (markerLeft) j.copy(left = pruned) else j.copy(right = pruned))
+  }
 
   /** The manifest-answerable ungrouped aggregates: COUNT(*) /
     * COUNT(non-null literal), and MIN/MAX of a relation column whose
@@ -194,6 +251,12 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(Nil, exprs, Project(ps, r: VTableRelation), _)
         if ps.forall(_.isInstanceOf[Attribute]) && metadataAgg(r, exprs).isDefined =>
       metadataAgg(r, exprs).get
+    // marker joined to a small dim: derive the dim's key bounds and
+    // prune the marker's file set before the join plans (DFP).
+    // Single evaluation — dynamicPrune runs a (tiny) Spark job, so a
+    // guard + body double-call would run it twice
+    case j: Join =>
+      dynamicPrune(j).getOrElse(j)
     // the column-pruned shape the optimizer leaves over a filtered
     // scan: Project(narrow) over Filter over leaf. Narrow the restored
     // output to what the Project (and nothing else) references.

@@ -169,6 +169,52 @@ class VTableScanSpec extends SparkSpecBase {
     assert(eager.inputFiles.length == 6)
   }
 
+  test("dynamic file pruning: a small dim's key bounds prune the fact scan") {
+    import spark.implicits._
+    val t = sixFiles()
+    // dim keys live entirely inside file 3's range [300, 319]
+    val dim = Seq((305L, "x"), (310L, "y"), (317L, "z")).toDF("k", "tag")
+    val joined = t.scan().join(dim, col("id") === col("k"))
+    val rows = joined.collect()
+    assert(rows.length == 3)
+    assert(scanFiles(joined) == 1,
+      s"DFP should open 1 of 6 files, opened ${scanFiles(joined)}")
+    // result identical to the eager join
+    val eager = t.read().join(dim, col("id") === col("k")).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(eager.map(_.getLong(0)).sorted))
+    // an existing filter on the fact composes with the derived range
+    val filtered = t.scan().where(col("name").isNotNull)
+      .join(dim, col("id") === col("k"))
+    assert(filtered.count() == 3)
+    assert(scanFiles(filtered) == 1)
+    // outer joins must NOT prune (unmatched fact rows survive)
+    val outer = t.scan().join(dim, col("id") === col("k"), "left")
+    assert(outer.count() == 120)
+    // the decisive cases use a FILE-backed dim carrying NO static key
+    // predicate: its bounds are discoverable only by EXECUTING it, so
+    // InferFiltersFromConstraints can't pre-prune the fact and the
+    // file-skipping below is attributable to DFP alone. (A
+    // LocalRelation dim won't do for the negative case: the optimizer
+    // materializes rand() into its rows and the final dim really is
+    // deterministic.)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dfp").toString + "/dim"
+    dim.coalesce(1).write.parquet(dimDir)
+    val fileDim = spark.read.parquet(dimDir)
+    val viaFile = t.scan().join(fileDim, col("id") === col("k"))
+    assert(viaFile.count() == 3)
+    // fact pruned to 1 by executed bounds + the dim's own 1 file
+    assert(scanFiles(viaFile) == 2,
+      s"DFP via executed bounds should open 1+1 files, saw ${scanFiles(viaFile)}")
+    // a non-deterministic dim must not prune (bounds would come from a
+    // different draw than the join's own execution)
+    val rndDim = fileDim.withColumn("noise", rand(7))
+    val viaRnd = t.scan().join(rndDim, col("id") === col("k"))
+    assert(viaRnd.count() == 3)
+    // fact unpruned (6) + dim (1); an unsound prune would show 1 + 1
+    assert(scanFiles(viaRnd) == 7,
+      s"non-deterministic dim should leave the fact unpruned, saw ${scanFiles(viaRnd)}")
+  }
+
   test("unrecognized conjunct shapes keep the recognized ones pruning") {
     val t = sixFiles()
     val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
