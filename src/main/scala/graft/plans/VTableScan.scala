@@ -138,16 +138,20 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
     * nulls); the full join condition still evaluates above.
     */
   private def dynamicPrune(j: Join): Option[LogicalPlan] = {
-    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
     val cond = j.condition.getOrElse(return None)
     def markerOf(p: LogicalPlan): Option[(VTableRelation, Option[Expression])] = p match {
       case r: VTableRelation => Some((r, None))
       case Filter(c, r: VTableRelation) if c.deterministic => Some((r, Some(c)))
       case _ => None
     }
-    val (marker, extra, dim, markerLeft) = (markerOf(j.left), markerOf(j.right)) match {
-      case (Some((r, e)), None) => (r, e, j.right, true)
-      case (None, Some((r, e))) => (r, e, j.left, false)
+    // Inner: either side prunes. LeftSemi (EXISTS / IN): only the LEFT
+    // is output — its rows must match, so left-side pruning is sound;
+    // the right is the probe set and stays whole.
+    val (marker, extra, dim, markerLeft) = (j.joinType, markerOf(j.left), markerOf(j.right)) match {
+      case (Inner, Some((r, e)), None)    => (r, e, j.right, true)
+      case (Inner, None, Some((r, e)))    => (r, e, j.left, false)
+      case (LeftSemi, Some((r, e)), _)    => (r, e, j.right, true)
       case _ => return None
     }
     // the dim must be small (bounded double-execution) and fully

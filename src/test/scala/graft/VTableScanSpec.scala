@@ -205,6 +205,12 @@ class VTableScanSpec extends SparkSpecBase {
     // fact pruned to 1 by executed bounds + the dim's own 1 file
     assert(scanFiles(viaFile) == 2,
       s"DFP via executed bounds should open 1+1 files, saw ${scanFiles(viaFile)}")
+    // LEFT SEMI (EXISTS) prunes the left the same way — only matching
+    // left rows are output
+    val semi = t.scan().join(fileDim, col("id") === col("k"), "left_semi")
+    assert(semi.count() == 3)
+    assert(scanFiles(semi) == 2,
+      s"semi-join DFP should open 1+1 files, saw ${scanFiles(semi)}")
     // a non-deterministic dim must not prune (bounds would come from a
     // different draw than the join's own execution)
     val rndDim = fileDim.withColumn("noise", rand(7))
