@@ -211,6 +211,7 @@ object SparkEntry {
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
     "q_vtable_lazy" -> ((s, d) => graft.sources.TableSkip.qVtableLazy(t(s, d))),
     "q_vtable_meta" -> ((s, d) => graft.sources.TableSkip.qVtableMeta(t(s, d))),
+    "q_vtable_dfp" -> ((s, d) => graft.sources.TableSkip.qVtableDfp(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -1347,6 +1348,15 @@ object SparkEntry {
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
+    // the Spark side semi-joins the vtable scan against a parquet key
+    // table (keys exist only as data → any file skipping is dynamic,
+    // from executed bounds); the oracle rebuilds the key set with the
+    // same mod predicate — pruning must never change WHICH rows match
+    "q_vtable_dfp" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders WHERE o_custkey % 97 = 0""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh
     // cycles; the oracle is the direct one-shot aggregate over all of
     // orders — gating that the incremental merge algebra is exact

@@ -2063,6 +2063,38 @@ object TableSkip {
         |WHERE o_custkey BETWEEN 700 AND 900 AND o_totalprice > 1000""".stripMargin)
   }
 
+  /** A key table whose content exists only as DATA (no predicate in
+    * any plan): the deterministic 1-in-97 custkeys, written to parquet
+    * once per corpus. Joining the vtable scan to it exercises DYNAMIC
+    * file pruning — static constraint propagation has nothing to
+    * push, so any file skipping comes from the executed key bounds.
+    */
+  private val keyDirs = new graft.util.BoundedMemo[Key, String](4, _ => ())
+  private def builtKeys(t: Tables): String =
+    keyDirs.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val dir = Files.createTempDirectory("graft-tskip-keys").toString + "/keys"
+      t.orders.select(col("o_custkey").as("k"))
+        .filter(pmod(col("k"), lit(97)) === 0).distinct()
+        .coalesce(1).write.parquet(dir)
+      dir
+    }
+
+  /** Semi-join of the vtable scan against the parquet key table:
+    * result-gated by the oracle below; the file skipping itself (DFP
+    * from executed bounds) is asserted in VTableScanSpec. The oracle
+    * reconstructs the key set with the same mod predicate over orders.
+    */
+  def qVtableDfp(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = t.spark.read.parquet(builtKeys(t))
+    VersionedTable(t.spark, builtTable(t)).scan()
+      .join(keys, col("o_custkey") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
+  }
+
   /** Metadata-only aggregate over the vtable: count(*) + numeric
     * min/max answer from the commit manifest's per-file stats (zero
     * data files opened — VTableScanSpec asserts the scan-free plan);
