@@ -1343,7 +1343,7 @@ object SparkEntry {
     // alone (no data file opened); the oracle aggregates the rows the
     // honest way — any drift in the stats arithmetic diverges the hash
     "q_vtable_meta" ->
-      """SELECT count(*) AS n_rows,
+      """SELECT count(*) AS n_rows, count(o_custkey) AS n_ck,
         | min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

@@ -52,7 +52,7 @@ import graft.sources.VersionedTable
   */
 case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
     rows: Option[BigInt], bounds: Map[String, (Any, Any)],
-    output: Seq[Attribute])
+    nonNulls: Map[String, Long], output: Seq[Attribute])
   extends LeafNode with MultiInstanceRelation {
   override def newInstance(): VTableRelation = copy(output = output.map(_.newInstance()))
   override def computeStats(): Statistics =
@@ -212,6 +212,12 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
       case Alias(AggregateExpression(
           Count(Seq(Literal(v, _))), Complete, false, None, _), _) if v != null =>
         r.rows.map(n => Literal(n.toLong))
+      // COUNT(col): the exact non-null count from the 4th stats element
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if r.outputSet.contains(a) =>
+        if (r.rows.contains(BigInt(0))) Some(Literal(0L))
+        else r.nonNulls.get(a.name).map(Literal(_))
       case Alias(AggregateExpression(
           Min(a: AttributeReference), Complete, false, None, _), _)
           if r.outputSet.contains(a) =>

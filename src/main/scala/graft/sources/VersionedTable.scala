@@ -406,6 +406,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         Some(f.name -> ((lo, hi)))
       } else None
     }.toMap
+    // exact per-column non-null counts (COUNT(col) metadata answer):
+    // the 4th stats element, where every file carries it. Unlike
+    // `bounds`, strings qualify too — a count needs no value fidelity.
+    val nonNulls: Map[String, Long] = st.fields.iterator.flatMap { f =>
+      val perF = files.map(f0 => stats.get(f0)
+        .flatMap(nd => Option(nd.get(f.name))).filter(_.isArray)
+        .filter(_.size() >= 4).map(_.get(3)).filter(_.isIntegralNumber)
+        .map(_.asLong))
+      if (files.nonEmpty && perF.forall(_.isDefined))
+        Some(f.name -> perF.flatten.sum)
+      else None
+    }.toMap
     val attrs = st.map(f =>
       AttributeReference(f.name, f.dataType, nullable = true)())
     spark.experimental.synchronized {
@@ -417,7 +429,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds, attrs))
+      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds,
+        nonNulls, attrs))
   }
 
   /** Read a manifest's data files WITH its committed schema pinned:
@@ -561,6 +574,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           add(lo, isMax = false)
           add(hi, isMax = true)
           a.add(nonNull < total) // hasNulls
+          a.add(nonNull) // 4th element: exact non-null count (COUNT(col) metadata answer)
           ()
         }
       }
@@ -2105,7 +2119,7 @@ object TableSkip {
     VersionedTable(t.spark, builtTable(t)).scan()
       .createOrReplaceTempView("__graft_vt_meta")
     t.spark.sql(
-      """SELECT count(*) AS n_rows,
+      """SELECT count(*) AS n_rows, count(o_custkey) AS n_ck,
         |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
         |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

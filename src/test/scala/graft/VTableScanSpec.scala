@@ -156,6 +156,19 @@ class VTableScanSpec extends SparkSpecBase {
     assert(scans(mixed).nonEmpty)
   }
 
+  test("COUNT(col) answers from non-null stats counts, null-exact") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((Option(1L), "a"), (Option(2L), "b")).toDF("id", "name").coalesce(1))
+    t.append(Seq((Option(10L), "c"), (Option.empty[Long], "n")).toDF("id", "name").coalesce(1))
+    t.scan().createOrReplaceTempView("__graft_vscan_nn")
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(id) AS n_id, count(name) AS n_nm FROM __graft_vscan_nn")
+    val row = q.head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 3 && row.getLong(2) == 4)
+    assert(scans(q).isEmpty, "COUNT(col) should answer from the manifest")
+  }
+
   test("Catalog-registered vtable view prunes through plain SQL (service path)") {
     val t = sixFiles()
     val cat = new graft.sources.Catalog(spark)
