@@ -25,6 +25,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /query/{id}/cancel                           → {"cancelled": id}
   *   POST /explain  {"query": "..."}                   → {"plan": "..."}
   *   POST /history  {"path": "...", "limit": 100}      → {"history": [...], "count": n} (vtable commits, newest first)
+  *   POST /describe {"path": "..."[, "version"]}       → schema + manifest rows/non-null/min-max, O(metadata)
   *   POST /changes  {"path": "...", "since": v[, "until", "limit", "offset"]}
   *                    → {"changes": [...], "count": n[, "next_offset"]} (row-level feed; 409 = resync)
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
@@ -206,6 +207,12 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     require(limit > 0, s"limit must be positive, got $limit")
     val rows = service.jsonRows(service.tableHistory(text(body, "path"), limit), limit)
     s"""{"history":[${rows.mkString(",")}],"count":${rows.size}}"""
+  })
+  // O(metadata) DESCRIBE: schema + manifest row count / non-null
+  // counts / numeric bounds, no data file opened (the instant
+  // complement to the scanning /profile)
+  server.createContext("/describe", gated { body =>
+    service.tableDescribe(text(body, "path"), intArg(body, "version", -1))
   })
   server.createContext("/changes", gated { body =>
     val since = intArg(body, "since", -1)

@@ -119,6 +119,13 @@ final class QueryService(val spark: SparkSession) {
   def tableHistory(dir: String, maxVersions: Int = 100): DataFrame =
     graft.sources.VersionedTable(spark, dir).history(maxVersions)
 
+  /** O(metadata) table summary: schema + manifest row count, per-column
+    * non-null counts and numeric bounds. No data file is opened — the
+    * instant complement to the scanning [[profileTable]].
+    */
+  def tableDescribe(dir: String, version: Int = -1): String =
+    graft.sources.VersionedTable(spark, dir).describeJson(version)
+
   /** Roll a versioned table back to `version` (RESTORE — a new
     * audited commit carrying the old file list; nothing erased).
     * Returns the new version number.

@@ -433,6 +433,39 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         nonNulls, attrs))
   }
 
+  /** DESCRIBE DETAIL as one O(metadata) JSON document: schema plus the
+    * commit manifest's exact row count, per-column non-null counts and
+    * numeric [min,max] — everything the lazy scan's metadata fast
+    * paths know, with no data file opened. Fields appear only when the
+    * manifest can actually answer them (pre-stats manifests yield the
+    * schema alone). The service's O(1) complement to the scanning
+    * `/profile`.
+    */
+  def describeJson(version: Int = -1): String = {
+    val rel = scan(version).queryExecution.logical.collectFirst {
+      case r: graft.plans.VTableRelation => r
+    }.getOrElse(throw new IllegalStateException(s"scan of $dir lost its relation"))
+    val node = mapper.createObjectNode()
+    node.put("path", dir)
+    node.put("version", rel.version)
+    rel.rows.foreach { r => node.put("rows", r.toLong); () }
+    node.put("size_bytes", rel.sizeBytes.toLong)
+    node.put("files", manifestFiles(manifest(rel.version)).size)
+    val cols = node.putArray("columns")
+    rel.output.foreach { a =>
+      val c = mapper.createObjectNode()
+      c.put("name", a.name)
+      c.put("type", a.dataType.simpleString)
+      rel.nonNulls.get(a.name).foreach { n => c.put("non_null", n); () }
+      rel.bounds.get(a.name).foreach { case (lo, hi) =>
+        c.put("min", lo.toString); c.put("max", hi.toString); ()
+      }
+      cols.add(c)
+      ()
+    }
+    mapper.writeValueAsString(node)
+  }
+
   /** Read a manifest's data files WITH its committed schema pinned:
     * the scan never samples parquet footers, so a table whose files
     * predate an additive schema evolution reads back uniformly (old

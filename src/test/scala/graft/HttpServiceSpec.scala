@@ -281,6 +281,25 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /describe returns manifest metadata without scanning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-desc").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    vt.append(Seq((10L, "c")).toDF("id", "v"))
+    val res = post("/describe", s"""{"path":"$dir"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""rows":3"""), res.body)
+    assert(res.body.contains(""""name":"id""""), res.body)
+    assert(res.body.contains(""""min":"1"""") && res.body.contains(""""max":"10""""), res.body)
+    assert(res.body.contains(""""non_null":3"""), res.body)
+    // version pin: the first commit's snapshot
+    val v1 = post("/describe", s"""{"path":"$dir","version":1}""")
+    assert(v1.statusCode == 200 && v1.body.contains(""""rows":2"""), v1.body)
+    val bad = post("/describe", """{"path":"/tmp/definitely-not-a-table-xyz"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("POST /changes serves the row-level feed; unanswerable windows are 409") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-cdf").toString + "/t"
