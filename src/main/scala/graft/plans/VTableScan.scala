@@ -140,20 +140,32 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def dynamicPrune(j: Join): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
     val cond = j.condition.getOrElse(return None)
-    def markerOf(p: LogicalPlan): Option[(VTableRelation, Option[Expression])] = p match {
-      case r: VTableRelation => Some((r, None))
-      case Filter(c, r: VTableRelation) if c.deterministic => Some((r, Some(c)))
+    // the marker may sit under a filter and/or the narrow Project
+    // column pruning inserts (the RewriteSubquery-produced semi-join
+    // shape); `keep` preserves that narrowing through the rewrite so
+    // the replaced side's output is unchanged
+    def markerOf(p: LogicalPlan)
+        : Option[(VTableRelation, Option[Expression], Option[Seq[Attribute]])] = p match {
+      case r: VTableRelation => Some((r, None, None))
+      case Filter(c, r: VTableRelation) if c.deterministic => Some((r, Some(c), None))
+      case Project(ps, r: VTableRelation)
+          if ps.forall(_.isInstanceOf[Attribute]) =>
+        Some((r, None, Some(ps.map(_.asInstanceOf[Attribute]))))
+      case Project(ps, Filter(c, r: VTableRelation))
+          if c.deterministic && ps.forall(_.isInstanceOf[Attribute]) =>
+        Some((r, Some(c), Some(ps.map(_.asInstanceOf[Attribute]))))
       case _ => None
     }
     // Inner: either side prunes. LeftSemi (EXISTS / IN): only the LEFT
     // is output — its rows must match, so left-side pruning is sound;
     // the right is the probe set and stays whole.
-    val (marker, extra, dim, markerLeft) = (j.joinType, markerOf(j.left), markerOf(j.right)) match {
-      case (Inner, Some((r, e)), None)    => (r, e, j.right, true)
-      case (Inner, None, Some((r, e)))    => (r, e, j.left, false)
-      case (LeftSemi, Some((r, e)), _)    => (r, e, j.right, true)
-      case _ => return None
-    }
+    val (marker, extra, keep, dim, markerLeft) =
+      (j.joinType, markerOf(j.left), markerOf(j.right)) match {
+        case (Inner, Some((r, e, k)), None)    => (r, e, k, j.right, true)
+        case (Inner, None, Some((r, e, k)))    => (r, e, k, j.left, false)
+        case (LeftSemi, Some((r, e, k)), _)    => (r, e, k, j.right, true)
+        case _ => return None
+      }
     // the dim must be small (bounded double-execution) and fully
     // deterministic (a rand-filtered dim would give bounds from a
     // DIFFERENT draw than the join's own execution — unsound)
@@ -180,7 +192,7 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
       GreaterThanOrEqual(mk, Literal.create(boundsRow.get(0), mk.dataType)),
       LessThanOrEqual(mk, Literal.create(boundsRow.get(1), mk.dataType)))
     val full = extra.map(And(_, range)).getOrElse(range)
-    val pruned = VTableScan.expand(spark, marker, Some(full))
+    val pruned = VTableScan.expand(spark, marker, Some(full), keep)
     Some(if (markerLeft) j.copy(left = pruned) else j.copy(right = pruned))
   }
 
@@ -230,6 +242,17 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** Does the condition contain an IN/EXISTS predicate subquery (the
+    * shapes RewriteSubquery later turns into semi/anti joins)? Scalar
+    * subqueries don't count — they never become joins over the marker.
+    */
+  private def hasPredicateSubquery(cond: Expression): Boolean =
+    cond.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.InSubquery => true
+      case _: org.apache.spark.sql.catalyst.expressions.Exists     => true
+      case _ => false
+    }
+
   private def metadataAgg(r: VTableRelation,
       exprs: Seq[NamedExpression]): Option[LogicalPlan] = {
     if (r.rows.isEmpty || exprs.isEmpty) return None
@@ -270,10 +293,16 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
     // the column-pruned shape the optimizer leaves over a filtered
     // scan: Project(narrow) over Filter over leaf. Narrow the restored
     // output to what the Project (and nothing else) references.
-    case p @ Project(ps, Filter(cond, r: VTableRelation)) if cond.deterministic =>
+    // Conditions holding a PREDICATE subquery (IN / EXISTS) defer: an
+    // early rule pass would expand the marker before RewriteSubquery
+    // turns the predicate into the semi join that dynamic pruning can
+    // feed — expansion then happens on the rewritten shape instead.
+    case p @ Project(ps, Filter(cond, r: VTableRelation))
+        if cond.deterministic && !hasPredicateSubquery(cond) =>
       p.copy(child = VTableScan.expand(spark, r, Some(cond),
         Some(VTableScan.needed(r, ps))))
-    case Filter(cond, r: VTableRelation) if cond.deterministic =>
+    case Filter(cond, r: VTableRelation)
+        if cond.deterministic && !hasPredicateSubquery(cond) =>
       VTableScan.expand(spark, r, Some(cond))
     // unfiltered but projected: no file skipping, but the scan width
     // still narrows to the projected columns

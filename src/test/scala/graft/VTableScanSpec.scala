@@ -224,6 +224,15 @@ class VTableScanSpec extends SparkSpecBase {
     assert(semi.count() == 3)
     assert(scanFiles(semi) == 2,
       s"semi-join DFP should open 1+1 files, saw ${scanFiles(semi)}")
+    // the SQL spelling — WHERE id IN (subquery) — rewrites to the same
+    // semi join and must prune identically
+    t.scan().createOrReplaceTempView("__graft_dfp_fact")
+    fileDim.createOrReplaceTempView("__graft_dfp_keys")
+    val inSub = spark.sql(
+      "SELECT count(*) AS n FROM __graft_dfp_fact WHERE id IN (SELECT k FROM __graft_dfp_keys)")
+    assert(inSub.head().getLong(0) == 3)
+    assert(scanFiles(inSub) == 2,
+      s"IN-subquery DFP should open 1+1 files, saw ${scanFiles(inSub)}")
     // a non-deterministic dim must not prune (bounds would come from a
     // different draw than the join's own execution)
     val rndDim = fileDim.withColumn("noise", rand(7))
