@@ -49,8 +49,8 @@ object TableDemo {
     val carried = vt.fileList(vM).count(before.contains)
     println(s"[3] after pruned merge: v=$vM carried=$carried/${before.size} files")
 
-    // 4. stats-pruned DELETE of another id band
-    val vD = vt.delete(orders.filter(col("id") > 5000).select("id"), "id")
+    // 4. stats-pruned DELETE of another id band (sf0.001 ids < 1500)
+    val vD = vt.delete(orders.filter(col("id") > 1200).select("id"), "id")
     println(s"[4] after delete: v=$vD rows=${vt.read().count()}")
 
     // 5. time travel: every prior version still reads
@@ -61,6 +61,30 @@ object TableDemo {
     val freed = vt.vacuum(retainVersions = 2)
     println(s"[6] vacuum freed $freed files; current still reads " +
       s"rows=${vt.read().count()} epoch=${vt.lastCommittedEpoch.getOrElse(-1L)}")
+
+    // 7. LAZY scan: the optimizer prunes files for plain SQL — no
+    //    readWhere call anywhere
+    vt.scan().createOrReplaceTempView("orders_t")
+    val sel = spark.sql("SELECT count(*) AS n FROM orders_t WHERE id BETWEEN 1000 AND 1999")
+    println(s"[7] lazy-scan SQL point band: n=${sel.head().getLong(0)} " +
+      s"(of ${vt.fileList(vt.currentVersion).size} files the plan opens only the band's)")
+
+    // 8. metadata-only aggregates: answered from the commit manifest,
+    //    zero data files opened
+    val meta = spark.sql(
+      "SELECT count(*) AS n, count(price) AS n_p, min(id) AS lo, max(id) AS hi FROM orders_t").head()
+    println(s"[8] metadata aggregates: n=${meta.getLong(0)} n_price=${meta.getLong(1)} " +
+      s"id in [${meta.getLong(2)}, ${meta.getLong(3)}]")
+
+    // 9. dynamic file pruning: a key set that exists only as data
+    //    prunes the fact scan via its executed bounds
+    val keys = orders.filter(col("id").between(600L, 700L)).select(col("id").as("k"))
+      .localCheckpoint()
+    val dfp = vt.scan().join(keys, col("id") === col("k"), "left_semi")
+    println(s"[9] DFP semi-join rows=${dfp.count()}")
+
+    // 10. O(metadata) DESCRIBE (what POST /describe serves)
+    println(s"[10] describe: ${vt.describeJson()}")
 
     spark.stop()
   }
