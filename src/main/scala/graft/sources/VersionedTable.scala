@@ -125,6 +125,65 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     atomicReplace(bloomConfigPath, node)
   }
 
+  private def ndvConfigPath: Path = logDir.resolve("_ndv")
+
+  /** Opt into per-file HLL (DataSketches) NDV sketches on `columns`:
+    * every data file written from now on gets a `<file>.ndv-<col>`
+    * sidecar holding a mergeable HllSketch of the column, built
+    * inside the same one-pass per-file stats job as min/max and the
+    * Bloom filters. Sketches union across files driver-side (a few KB
+    * each — metadata scale), so [[approxNdv]] answers "how many
+    * distinct values" with NO data scan: per-file exact counts can't
+    * compose into a global distinct count, a mergeable sketch is the
+    * only O(metadata) answer. `lgK` trades size for error (12 ≈ ±2.5%
+    * at ~2.5 KB). Existing files have no sidecars and disable the
+    * answer (never corrupt it).
+    */
+  def enableNdv(columns: Seq[String], lgK: Int = 12): Unit = {
+    require(columns.nonEmpty, "enableNdv needs at least one column")
+    require(columns.forall(_.matches("[A-Za-z0-9_]+")),
+      s"ndv columns must be simple identifiers (they name sidecar files): $columns")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("columns")
+    columns.foreach(arr.add)
+    node.put("lgK", lgK)
+    atomicReplace(ndvConfigPath, node)
+  }
+
+  private def ndvConfig: Option[VersionedTable.NdvConfig] =
+    if (!Files.exists(ndvConfigPath)) None
+    else
+      try {
+        val n = mapper.readTree(ndvConfigPath.toFile)
+        import scala.jdk.CollectionConverters._
+        Some(VersionedTable.NdvConfig(
+          n.get("columns").elements().asScala.map(_.asText()).toSeq,
+          n.get("lgK").asInt))
+      } catch { case NonFatal(_) => None } // torn config: indexes are advisory
+
+  /** Approximate distinct count of `column` from the per-file HLL
+    * sidecars alone — answerable only when EVERY file of the snapshot
+    * carries one (pre-enablement files disqualify; sound-only).
+    */
+  def approxNdv(column: String, version: Int = -1): Option[Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val cfg = ndvConfig.getOrElse(return None)
+    if (!cfg.columns.contains(column)) return None
+    val v = if (version == -1) currentVersion else version
+    if (v <= 0) return None
+    val files = manifestFiles(manifest(v))
+    if (files.isEmpty) return Some(0L)
+    val union = new Union(cfg.lgK)
+    files.foreach { rel =>
+      val p = Paths.get(dir, s"$rel.ndv-$column")
+      if (!Files.exists(p)) return None
+      union.update(HllSketch.heapify(Files.readAllBytes(p)))
+    }
+    Some(math.round(union.getResult.getEstimate))
+  }
+
   private def bloomConfig: Option[VersionedTable.BloomConfig] =
     if (!Files.exists(bloomConfigPath)) None
     else
@@ -460,6 +519,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       rel.bounds.get(a.name).foreach { case (lo, hi) =>
         c.put("min", lo.toString); c.put("max", hi.toString); ()
       }
+      approxNdv(a.name, rel.version).foreach { n => c.put("ndv_approx", n); () }
       cols.add(c)
       ()
     }
@@ -555,9 +615,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         .apply(org.apache.spark.sql.functions.xxhash64(col(c)))
         .as(s"__bloom_$c")
     }
+    // HLL NDV sketches ride the same pass (mergeable across files —
+    // the only O(metadata) global-distinct answer)
+    val ndvCols = ndvConfig.toSeq.flatMap(cfg =>
+      cfg.columns.filter(schema.fieldNames.contains).map(c => (c, cfg.lgK)))
+    val ndvAggs = ndvCols.map { case (c, lgK) =>
+      org.apache.spark.sql.functions.hll_sketch_agg(col(c), lgK).as(s"__ndv_$c")
+    }
     val aggs = (count(lit(1)).as("__rows") +: fields.flatMap(f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
-        count(col(f.name)).as(s"__nn_${f.name}")))) ++ bloomAggs
+        count(col(f.name)).as(s"__nn_${f.name}")))) ++ bloomAggs ++ ndvAggs
     val rows = spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -570,6 +637,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         val blob = r.getAs[Array[Byte]](2 + 3 * fields.size + j)
         if (blob != null)
           Files.write(Paths.get(dir, sub, s"$name.bloom-$c"), blob)
+      }
+      ndvCols.zipWithIndex.foreach { case ((c, _), j) =>
+        val blob = r.getAs[Array[Byte]](2 + 3 * fields.size + bloomCols.size + j)
+        if (blob != null)
+          Files.write(Paths.get(dir, sub, s"$name.ndv-$c"), blob)
       }
       val node = mapper.createObjectNode()
       fields.zipWithIndex.foreach { case (f, i) =>
@@ -1746,17 +1818,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .filterNot(live)
     dead.foreach { rel =>
       Files.deleteIfExists(Paths.get(dir, rel))
-      // a dead data file takes its bloom sidecars (whatever columns
-      // were indexed when it was written) with it
+      // a dead data file takes its index sidecars (bloom filters, NDV
+      // sketches — whatever columns were indexed when it was written)
+      // with it
       val p = Paths.get(dir, rel)
       val parent = p.getParent
-      val prefix = p.getFileName.toString + ".bloom-"
+      val prefixes = Seq(".bloom-", ".ndv-").map(p.getFileName.toString + _)
       if (Files.isDirectory(parent)) {
         val s = Files.list(parent)
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
-            .filter(_.getFileName.toString.startsWith(prefix))
+            .filter(f => prefixes.exists(f.getFileName.toString.startsWith))
             .foreach(Files.deleteIfExists)
         } finally s.close()
       }
@@ -1804,6 +1877,7 @@ object VersionedTable {
     * sized for how many rows per file at what false-positive rate.
     */
   final case class BloomConfig(columns: Seq[String], expected: Long, fpp: Double)
+  final case class NdvConfig(columns: Seq[String], lgK: Int)
 
   /** Key-set cap for driver-side Bloom probing in DELETE/MERGE: above
     * this the key set is bulk-scale (a backfill, not a point lookup) —

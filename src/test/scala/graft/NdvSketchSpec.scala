@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.VersionedTable
+
+/** Per-file HLL NDV sketches: mergeable across files, so the global
+  * distinct count answers from sidecar metadata with no data scan —
+  * per-file exact counts can't compose, a sketch union can.
+  */
+class NdvSketchSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ndv").toString + "/t"
+
+  test("sketch union estimates distinct ids across overlapping files") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableNdv(Seq("id"))
+    // three files with overlapping id ranges: exact distinct = 200
+    t.append((0L until 100L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    t.append((50L until 150L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    t.append((100L until 200L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    val est = t.approxNdv("id")
+    assert(est.isDefined, "full sidecar coverage should answer")
+    assert(math.abs(est.get - 200L) <= 10, s"estimate ${est.get} vs exact 200")
+    // a naive sum of per-file counts would say 300 — the union must not
+    assert(est.get < 260, s"estimate ${est.get} double-counts the overlap")
+    // unconfigured column: no sketches, no answer
+    assert(t.approxNdv("name").isEmpty)
+    // the O(metadata) describe surfaces it
+    assert(t.describeJson().contains("\"ndv_approx\""))
+  }
+
+  test("a pre-enablement file breaks coverage; compaction restores it") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append((0L until 50L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    t.enableNdv(Seq("id"))
+    t.append((50L until 100L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    // the first file has no sidecar — sound-only: refuse, never guess
+    assert(t.approxNdv("id").isEmpty)
+    // compaction rewrites every file under the current config → fresh
+    // sidecars, coverage restored
+    t.compact(targetBytes = 64 << 20)
+    val est = t.approxNdv("id")
+    assert(est.isDefined && math.abs(est.get - 100L) <= 5, s"post-compact $est")
+  }
+
+  test("vacuum sweeps dead files' ndv sidecars") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableNdv(Seq("id"))
+    t.append((0L until 30L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    t.overwrite((100L until 130L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1))
+    t.vacuum(retainVersions = 1)
+    val dirF = new java.io.File(t.dir)
+    def sidecars(f: java.io.File): Seq[String] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isDirectory).flatMap(sidecars) ++
+        kids.filter(_.getName.contains(".ndv-")).map(_.getName)
+    }
+    // only the live snapshot's sidecar survives
+    assert(sidecars(dirF).size == 1, s"leftover sidecars: ${sidecars(dirF)}")
+    assert(t.approxNdv("id").exists(e => math.abs(e - 30L) <= 3))
+    // the filter on the live snapshot still answers after the sweep
+    assert(t.read().where(col("id") >= 100L).count() == 30)
+  }
+}
