@@ -52,11 +52,52 @@ import graft.sources.VersionedTable
   */
 case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
     rows: Option[BigInt], bounds: Map[String, (Any, Any)],
-    nonNulls: Map[String, Long], output: Seq[Attribute])
+    nonNulls: Map[String, Long], ndv: Map[String, Long],
+    output: Seq[Attribute])
   extends LeafNode with MultiInstanceRelation {
   override def newInstance(): VTableRelation = copy(output = output.map(_.newInstance()))
-  override def computeStats(): Statistics =
-    Statistics(sizeInBytes = sizeBytes, rowCount = rows)
+
+  /** In the column's Catalyst-internal representation (ColumnStat's
+    * contract — estimation math reads these typed).
+    */
+  private def internal(a: Attribute, v: Any): Any = {
+    import org.apache.spark.sql.types._
+    a.dataType match {
+      case LongType    => v.asInstanceOf[Long]
+      case IntegerType => v.asInstanceOf[Long].toInt
+      case ShortType   => v.asInstanceOf[Long].toShort
+      case ByteType    => v.asInstanceOf[Long].toByte
+      case DoubleType  => v.asInstanceOf[Double]
+      case FloatType   => v.asInstanceOf[Double].toFloat
+      case _           => v
+    }
+  }
+
+  /** CBO-grade statistics straight from the commit log: exact row
+    * count, per-column min/max and null counts from the manifest,
+    * approximate distinct counts from the NDV sidecars — join reorder
+    * and selectivity estimation get ANALYZE-quality numbers without an
+    * ANALYZE ever running.
+    */
+  override def computeStats(): Statistics = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeMap
+    import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
+    val colStats = output.flatMap { a =>
+      val b = bounds.get(a.name)
+      val nulls = for { r <- rows; nn <- nonNulls.get(a.name) }
+        yield r - BigInt(nn)
+      val dc = ndv.get(a.name).map(BigInt(_))
+      if (b.isEmpty && nulls.isEmpty && dc.isEmpty) None
+      else Some(a -> ColumnStat(
+        distinctCount = dc,
+        min = b.map(p => internal(a, p._1)),
+        max = b.map(p => internal(a, p._2)),
+        nullCount = nulls))
+    }
+    Statistics(sizeInBytes = sizeBytes, rowCount = rows,
+      attributeStats = AttributeMap(colStats))
+  }
+
   override def simpleString(maxFields: Int): String =
     s"VTableRelation $dir v$version"
 }

@@ -487,9 +487,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
+    // approximate distinct counts from the NDV sidecars (configured
+    // columns only; O(files) driver-side sidecar reads — metadata IO)
+    val ndv: Map[String, Long] = ndvConfig.toSeq
+      .flatMap(_.columns.filter(st.fieldNames.contains))
+      .flatMap(c => approxNdv(c, v).map(c -> _)).toMap
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds,
-        nonNulls, attrs))
+        nonNulls, ndv, attrs))
   }
 
   /** DESCRIBE DETAIL as one O(metadata) JSON document: schema plus the
@@ -519,7 +524,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       rel.bounds.get(a.name).foreach { case (lo, hi) =>
         c.put("min", lo.toString); c.put("max", hi.toString); ()
       }
-      approxNdv(a.name, rel.version).foreach { n => c.put("ndv_approx", n); () }
+      rel.ndv.get(a.name).foreach { n => c.put("ndv_approx", n); () }
       cols.add(c)
       ()
     }

@@ -30,6 +30,18 @@ class NdvSketchSpec extends SparkSpecBase {
     assert(t.approxNdv("name").isEmpty)
     // the O(metadata) describe surfaces it
     assert(t.describeJson().contains("\"ndv_approx\""))
+    // ...and the lazy scan serves CBO-grade column statistics: exact
+    // rows and null counts, manifest min/max, sketch distinct counts
+    val rel = t.scan().queryExecution.logical.collectFirst {
+      case r: graft.plans.VTableRelation => r
+    }.get
+    val stats = rel.computeStats()
+    assert(stats.rowCount.contains(BigInt(300)))
+    val idStat = stats.attributeStats.find(_._1.name == "id").map(_._2).get
+    assert(idStat.nullCount.contains(BigInt(0)))
+    assert(idStat.min.contains(0L) && idStat.max.contains(199L))
+    assert(idStat.distinctCount.exists(d => (d - BigInt(200)).abs <= 10),
+      s"distinctCount ${idStat.distinctCount}")
   }
 
   test("a pre-enablement file breaks coverage; compaction restores it") {
