@@ -117,10 +117,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
-    // lazy vtable scans: Filter-over-marker collapses to the
-    // stats+bloom-pruned file scan; bare markers plan as a full
-    // snapshot read (see graft.plans.VTableScan)
-    ext.injectOptimizerRule(graft.plans.VTableScanRule)
+    // lazy vtable scans: bare markers plan as a full snapshot read.
+    // The COLLAPSING rule (Filter-over-marker → pruned scan, DFP,
+    // metadata aggregates) is deliberately NOT injected here — it
+    // belongs in the "User Provided Optimizers" tail batch, installed
+    // by scan() itself, where constraint inference and subquery
+    // rewrites have finished; an operator-optimization-batch copy
+    // would expand markers before those phases could contribute
+    // prunable filters (see graft.plans.VTableScan)
     ext.injectPlannerStrategy(graft.plans.VTableScanStrategy)
   }
 }

@@ -39,7 +39,10 @@ object Pq {
     */
   def trainCodebooks(e: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, trainMod: Int = 1): DataFrame = {
-    val sub = subvectors(unit(e), m)
+    // one dimension probe for the whole build (subvector slicing and
+    // the aggregation buffer share it)
+    val sd = subDim(e, m)
+    val sub = subvectors(unit(e), m, sd)
     val train =
       if (trainMod > 1) {
         val s = sub.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
@@ -47,7 +50,6 @@ object Pq {
         // PER SUB (uniform in vec_id → uniform per sub); bounded probe
         if (s.filter(col("sub") === 0).limit(ksub).count() < ksub) sub else s
       } else sub
-    val sd = subDim(e, m)
     val mean = udaf(new graft.functions.CentroidAgg(sd),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     // deterministic seeds: the ksub lowest vec_id-hashes per subspace
@@ -74,7 +76,7 @@ object Pq {
 
   /** (vec_id, codes array<int> length m): the compressed corpus. */
   def encode(e: DataFrame, codebooks: DataFrame, m: Int = 8): DataFrame =
-    assign(subvectors(unit(e), m), codebooks)
+    assign(subvectors(unit(e), m, subDim(e, m)), codebooks)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
@@ -344,8 +346,7 @@ object Pq {
       .drop("_n")
 
   /** One row per (vec_id, sub): the sub'th slice of the embedding. */
-  private def subvectors(e: DataFrame, m: Int): DataFrame = {
-    val sd = subDim(e, m)
+  private def subvectors(e: DataFrame, m: Int, sd: Int): DataFrame = {
     e.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("embedding"))

@@ -209,10 +209,19 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     // the dim must be small (bounded double-execution) and fully
     // deterministic (a rand-filtered dim would give bounds from a
-    // DIFFERENT draw than the join's own execution — unsound)
+    // DIFFERENT draw than the join's own execution — unsound). A
+    // subquery ANYWHERE in the dim also refuses: an expression's
+    // deterministic flag doesn't look inside subquery plans, so a
+    // scalar subquery over rand() would pass the flag check while
+    // still drawing differently across the two executions.
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0 || dim.stats.sizeInBytes > threshold) return None
-    if (dim.exists(_.expressions.exists(!_.deterministic))) return None
+    val impure = dim.exists(_.expressions.exists(e =>
+      !e.deterministic || e.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+        case _ => false
+      }))
+    if (impure) return None
     val pair = splitConjunctivePredicates(cond).collectFirst {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           a: AttributeReference, b: AttributeReference)
@@ -319,12 +328,11 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
     // stands; an alias-computing Project makes the Min/Max argument
     // reference the alias, which fails the outputSet test and falls
     // through.
-    case agg @ Aggregate(Nil, exprs, r: VTableRelation, _)
-        if metadataAgg(r, exprs).isDefined =>
-      metadataAgg(r, exprs).get
+    case agg @ Aggregate(Nil, exprs, r: VTableRelation, _) =>
+      metadataAgg(r, exprs).getOrElse(agg)
     case agg @ Aggregate(Nil, exprs, Project(ps, r: VTableRelation), _)
-        if ps.forall(_.isInstanceOf[Attribute]) && metadataAgg(r, exprs).isDefined =>
-      metadataAgg(r, exprs).get
+        if ps.forall(_.isInstanceOf[Attribute]) =>
+      metadataAgg(r, exprs).getOrElse(agg)
     // marker joined to a small dim: derive the dim's key bounds and
     // prune the marker's file set before the join plans (DFP).
     // Single evaluation — dynamicPrune runs a (tiny) Spark job, so a
@@ -345,11 +353,12 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
     case Filter(cond, r: VTableRelation)
         if cond.deterministic && !hasPredicateSubquery(cond) =>
       VTableScan.expand(spark, r, Some(cond))
-    // unfiltered but projected: no file skipping, but the scan width
-    // still narrows to the projected columns
-    case p @ Project(ps, r: VTableRelation) =>
-      p.copy(child = VTableScan.expand(spark, r, None,
-        Some(VTableScan.needed(r, ps))))
+    // NO case for a bare/merely-projected marker: expanding those
+    // early would forfeit manifest skipping for filters that only
+    // materialize in later optimizer phases (constraint inference,
+    // subquery rewrites). They plan through VTableScanStrategy at
+    // physical planning, where PhysicalOperation narrows the scan's
+    // columns from whatever projects sit above.
   }
 }
 

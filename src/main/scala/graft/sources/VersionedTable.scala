@@ -168,14 +168,22 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * carries one (pre-enablement files disqualify; sound-only).
     */
   def approxNdv(column: String, version: Int = -1): Option[Long] = {
-    import org.apache.datasketches.hll.{HllSketch, Union}
     val cfg = ndvConfig.getOrElse(return None)
     if (!cfg.columns.contains(column)) return None
     val v = if (version == -1) currentVersion else version
     if (v <= 0) return None
-    val files = manifestFiles(manifest(v))
+    approxNdvOver(column, cfg.lgK, manifestFiles(manifest(v)))
+  }
+
+  /** The sidecar-union core, over an already-listed file set — scan()
+    * calls this per configured column without re-reading the manifest
+    * each time.
+    */
+  private def approxNdvOver(column: String, lgK: Int,
+      files: Seq[String]): Option[Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
     if (files.isEmpty) return Some(0L)
-    val union = new Union(cfg.lgK)
+    val union = new Union(lgK)
     files.foreach { rel =>
       val p = Paths.get(dir, s"$rel.ndv-$column")
       if (!Files.exists(p)) return None
@@ -488,10 +496,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
     // approximate distinct counts from the NDV sidecars (configured
-    // columns only; O(files) driver-side sidecar reads — metadata IO)
-    val ndv: Map[String, Long] = ndvConfig.toSeq
-      .flatMap(_.columns.filter(st.fieldNames.contains))
-      .flatMap(c => approxNdv(c, v).map(c -> _)).toMap
+    // columns only; O(files) driver-side sidecar reads — metadata IO;
+    // the file list in hand, no per-column manifest re-parse)
+    val ndv: Map[String, Long] = ndvConfig.toSeq.flatMap(cfg =>
+      cfg.columns.filter(st.fieldNames.contains)
+        .flatMap(c => approxNdvOver(c, cfg.lgK, files).map(c -> _))).toMap
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds,
         nonNulls, ndv, attrs))
@@ -719,7 +728,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private def rangeOverlaps(st: Option[JsonNode], key: String, dt: DataType,
       lo: Any, hi: Any): Boolean =
-    st.flatMap(n => Option(n.get(key))) match {
+    // non-array entry = the per-file "_rows" count colliding with a
+    // column literally named _rows: that column has no range stats, so
+    // it conservatively never prunes (same guard as statMayHaveNulls)
+    st.flatMap(n => Option(n.get(key))).filter(_.isArray) match {
       case None => true
       case Some(a) =>
         def asL(x: Any): Long = x match {

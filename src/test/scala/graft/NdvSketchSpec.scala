@@ -59,6 +59,21 @@ class NdvSketchSpec extends SparkSpecBase {
     assert(est.isDefined && math.abs(est.get - 100L) <= 5, s"post-compact $est")
   }
 
+  test("a column literally named _rows survives merge/delete keyed on it") {
+    import spark.implicits._
+    // the per-file row count shares the stats node with column entries;
+    // a user column named "_rows" loses its range stats (sound — it
+    // just won't prune) but every keyed rewrite must still WORK
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("_rows", "name").coalesce(1))
+    val v = t.delete(Seq(2L).toDF("_rows"), "_rows")
+    assert(v == 2)
+    assert(t.read().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+    t.merge(Seq((3L, "c2"), (4L, "d")).toDF("_rows", "name"), "_rows")
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .sameElements(Array((1L, "a"), (3L, "c2"), (4L, "d"))))
+  }
+
   test("vacuum sweeps dead files' ndv sidecars") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
