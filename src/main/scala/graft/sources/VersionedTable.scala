@@ -1012,6 +1012,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     -1 // unreachable
   }
 
+  /** Append with the batch born range-clustered on `cols`: range
+    * partition + sort-within before the write, so every new file gets
+    * TIGHT disjoint [min,max] stats on the cluster columns at ingest
+    * time — data skipping works from the first commit instead of
+    * waiting for a `compact(clusterBy)` maintenance pass. This is how
+    * a 100 TB ingest keeps point/range reads O(matching files) without
+    * ever rewriting: the clustering cost is paid once, in the write's
+    * own shuffle. `files` bounds the file count per batch (range
+    * partitioning makes them near-equal rows).
+    */
+  def appendClustered(df: DataFrame, cols: Seq[String], files: Int = 8): Int = {
+    require(cols.nonEmpty, "appendClustered needs at least one cluster column")
+    require(files >= 1, s"files must be >= 1, got $files")
+    val sortCols = cols.map(col)
+    append(df.repartitionByRange(files, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*))
+  }
+
   /** Append: next version = previous file list (stats carried) + the
     * new files. Appends commute, so a lost optimistic-concurrency race
     * is retried automatically against the fresh snapshot (Delta calls

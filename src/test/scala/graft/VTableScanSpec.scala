@@ -243,6 +243,47 @@ class VTableScanSpec extends SparkSpecBase {
       s"non-deterministic dim should leave the fact unpruned, saw ${scanFiles(viaRnd)}")
   }
 
+  test("appendClustered: files born range-clustered skip from the first commit") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    // one UNSORTED batch; clustering happens inside the append's shuffle
+    val shuffled = new scala.util.Random(7).shuffle((0L until 600L).toList)
+    t.appendClustered(shuffled.map(i => (i, s"r$i")).toDF("id", "name"),
+      Seq("id"), files = 6)
+    assert(t.fileList(t.currentVersion).size == 6)
+    val point = t.scan().where(col("id").between(100L, 199L))
+    assert(point.count() == 100)
+    // disjoint ranges → a 1/6 band opens ~1 file, never all 6
+    assert(scanFiles(point) <= 2,
+      s"clustered ingest should skip most files, opened ${scanFiles(point)}")
+  }
+
+  test("randomized DFP equivalence: scan-join == eager-join for arbitrary key sets") {
+    import spark.implicits._
+    val t = sixFiles()
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dfp-prop").toString
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { i =>
+      // random key sets: some inside the domain, some straddling file
+      // boundaries, some entirely outside, some empty
+      val n = 1 + rnd.nextInt(11)
+      val keys = Seq.fill(n)(rnd.nextLong().abs % 800L)
+      val kd = s"$dimDir/k$i"
+      keys.map(k => (k, s"t$k")).toDF("k", "tag").coalesce(1).write.parquet(kd)
+      val dim = spark.read.parquet(kd)
+      val viaScan = t.scan().join(dim, col("id") === col("k"))
+        .select("id", "tag").collect().map(_.toString).sorted.toSeq
+      val viaEager = t.read().join(dim, col("id") === col("k"))
+        .select("id", "tag").collect().map(_.toString).sorted.toSeq
+      assert(viaScan == viaEager, s"iteration $i: keys=$keys")
+      val semiScan = t.scan().join(dim, col("id") === col("k"), "left_semi")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val semiEager = t.read().join(dim, col("id") === col("k"), "left_semi")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(semiScan == semiEager, s"iteration $i semi: keys=$keys")
+    }
+  }
+
   test("unrecognized conjunct shapes keep the recognized ones pruning") {
     val t = sixFiles()
     val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
