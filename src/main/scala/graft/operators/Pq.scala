@@ -89,9 +89,8 @@ object Pq {
     * a literal so the scoring loop stays inside codegen.
     */
   def adcTopK(codes: DataFrame, codebooks: DataFrame,
-      queries: Seq[(Long, Array[Float])], m: Int, ksub: Int,
-      k: Int = 10): DataFrame = {
-    val luts = lutsFor(codebooks, queries, m, ksub)
+      queries: Seq[(Long, Array[Float])], k: Int = 10): DataFrame = {
+    val luts = lutsFor(codebooks, queries)
     // ONE plan regardless of query count: the per-query LUTs stack
     // into a 3-D literal indexed by query ordinal, and scoring is a
     // broadcast cross join against the tiny (query_id, ordinal) frame
@@ -104,24 +103,37 @@ object Pq {
       luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
         .toDF("query_id", "_q"))
     val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
-    codes.crossJoin(qFrame)
+    val scored = codes.crossJoin(qFrame)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
+    // bounded-heap per-group top-k — NOT a row_number window, which
+    // would sort-shuffle all n×q scored rows; the heap keeps k per
+    // query per partition and only k·q·partitions rows ever move.
+    // The rank column is then a window over the ≤ k·q survivors.
+    graft.plans.TopKPerGroup(scored, Seq("query_id"),
+        Seq(col("score").desc, col("vec_id")), k)
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
   /** Per-query m×ksub LUTs of subspace dots, built driver-side from
     * the collected codebooks (m·ksub rows — broadcast-metadata scale).
+    * `m` and `ksub` are DERIVED from the codebook rows themselves
+    * (max sub+1, max code+1) — the saved codebooks fully determine
+    * both, so a caller can never pass a mismatched pair that would
+    * index out of bounds or score against a truncated table.
     */
-  private def lutsFor(codebooks: DataFrame, queries: Seq[(Long, Array[Float])],
-      m: Int, ksub: Int): Seq[(Long, Seq[Seq[Double]])] = {
+  private def lutsFor(codebooks: DataFrame,
+      queries: Seq[(Long, Array[Float])]): Seq[(Long, Seq[Seq[Double]])] = {
+    val rows = codebooks.collect()
+    require(rows.nonEmpty, "empty PQ codebook")
+    val m = rows.iterator.map(_.getAs[Int]("sub")).max + 1
+    val ksub = rows.iterator.map(_.getAs[Int]("code")).max + 1
     val cb = Array.ofDim[Array[Float]](m, ksub)
-    codebooks.collect().foreach { r =>
+    rows.foreach { r =>
       cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
         r.getAs[scala.collection.Seq[Float]]("centroid").toArray
     }
@@ -190,7 +202,7 @@ object Pq {
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
       .toSeq.sortBy(_._1)
-    val shortlist = adcTopK(model.codes, model.codebooks, qs, m, ksub, k * rerank)
+    val shortlist = adcTopK(model.codes, model.codebooks, qs, k * rerank)
       .select("query_id", "vec_id")
     val qDf = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -239,18 +251,19 @@ object Pq {
     val spark = t.spark
     import spark.implicits._
     val coded = cand.join(model.codes, "vec_id")
-    val luts = lutsFor(model.codebooks, qs, m, ksub)
+    val luts = lutsFor(model.codebooks, qs)
     val qOrd = broadcast(
       luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
         .toDF("query_id", "_q"))
     val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
-    val shortlist = coded.join(qOrd, "query_id")
+    val scored = coded.join(qOrd, "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rk") <= k * rerank)
+    // bounded-heap shortlist (candidates are nprobe/cells of the
+    // corpus per query — still corpus-scale; never sort-shuffle them)
+    val shortlist = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+        Seq(col("score").desc, col("vec_id")), k * rerank)
       .select("query_id", "vec_id")
     val qDf = qRows
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -284,11 +297,13 @@ object Pq {
 
   /** Probe a saved IVF-PQ index; result-identical to the in-memory
     * [[qAnnIvfPq]] at the same parameters (same assignment, same
-    * deterministic tie-breaks).
+    * deterministic tie-breaks). `m`/`ksub` are derived from the saved
+    * codebooks — the index fully determines them, so the caller can't
+    * pass a mismatched pair.
     */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int = 10, nprobe: Int = 4, m: Int = 8,
-      ksub: Int = 16, rerank: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4,
+      rerank: Int = 4): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$dir/centroids")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
@@ -300,21 +315,21 @@ object Pq {
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
       .toSeq.sortBy(_._1)
-    val luts = lutsFor(codebooks, qs, m, ksub)
+    val luts = lutsFor(codebooks, qs)
     val qOrd = broadcast(
       luts.zipWithIndex.map { case ((qid, _), i) => (qid, i + 1) }
         .toDF("query_id", "_q"))
     val lut3d: Seq[Seq[Seq[Double]]] = luts.map(_._2)
     // candidate scan prunes to probed cells (partition column join);
-    // codes AND vectors arrive from the same pruned partitions
-    val shortlist = assigned.join(broadcast(probes), "cell")
+    // codes AND vectors arrive from the same pruned partitions.
+    // Bounded-heap shortlist — same no-sort-shuffle shape as adcTopK
+    val scored = assigned.join(broadcast(probes), "cell")
       .join(qOrd, "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("embedding"),
         scoreCol(element_at(typedLit(lut3d), col("_q"))).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rk") <= k * rerank)
+    val shortlist = graft.plans.TopKPerGroup(scored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id")), k * rerank)
     val qDf = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     shortlist.join(broadcast(qDf), "query_id")

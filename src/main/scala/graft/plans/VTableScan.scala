@@ -33,15 +33,17 @@ import graft.sources.VersionedTable
   *     semantics survive concurrent commits), and byte-size stats so
   *     join-side broadcast estimation sees the real table size.
   *   - [[VTableScanRule]]: rewrites Filter-over-marker. Registered
-  *     both via `SparkSessionExtensions.injectOptimizerRule` (runs in
-  *     the operator-optimization fixed point, AFTER the iteration's
-  *     PushDownPredicates has moved filters adjacent) and via the
-  *     runtime `spark.experimental.extraOptimizations` hook (runs in
-  *     the "User Provided Optimizers" batch at the tail of the
-  *     optimizer, when filter placement is final). Only the
-  *     Filter-adjacent shape rewrites — a bare marker is left alone so
-  *     an early rule pass can never expand it prematurely and forfeit
-  *     pruning that a later-pushed filter would have bought.
+  *     ONLY via the runtime `spark.experimental.extraOptimizations`
+  *     hook (installed by `scan()` on first use), which runs in the
+  *     "User Provided Optimizers" batch at the tail of the optimizer,
+  *     when filter placement is final. GraftExtensions deliberately
+  *     does NOT `injectOptimizerRule` it: in the operator-optimization
+  *     fixed point an early iteration would expand the marker before
+  *     constraint inference and subquery rewrites have contributed
+  *     their filters, forfeiting the pruning they buy (see the
+  *     GraftFunctions.install comment). Only the Filter-adjacent
+  *     shape rewrites — a bare marker is left alone so nothing can
+  *     expand it prematurely.
   *   - [[VTableScanStrategy]]: physical-planning fallback for markers
   *     no filter ever reached — expands to the full snapshot scan.
   *
@@ -114,12 +116,24 @@ object VTableScan {
     * reads column needs from, so restoring all columns under a
     * `SELECT count(*) WHERE k = …` would drag the full row width
     * through the parquet scan.
+    *
+    * `pruneOnly` joins `cond` for FILE pruning but is never
+    * re-applied to rows — for conditions some enclosing operator
+    * already enforces (DFP's derived IN-set: the join's own equality
+    * subsumes it, and re-evaluating a 10k-literal IN per fact row
+    * would cost more than the skipped IO saved).
     */
   private[plans] def expand(spark: SparkSession, r: VTableRelation,
       cond: Option[Expression],
-      keep: Option[Seq[Attribute]] = None): LogicalPlan = {
+      keep: Option[Seq[Attribute]] = None,
+      pruneOnly: Option[Expression] = None): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.And
     val t = VersionedTable(spark, r.dir)
-    val base = cond match {
+    val pruneCond = (cond, pruneOnly) match {
+      case (Some(c), Some(p)) => Some(And(c, p))
+      case (c, p)             => c.orElse(p)
+    }
+    val base = pruneCond match {
       case Some(c) => t.prunedScan(c, r.version)
       case None    => t.read(r.version)
     }
@@ -167,16 +181,32 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Dynamic file pruning for `marker ⋈ small-dim` inner joins (the
     * Delta-style DFP move): when one side is a lazy vtable scan and
-    * the other a small deterministic plan, execute the dim's key
-    * MIN/MAX (one tiny job — the dim is under the broadcast threshold
-    * and will be fully materialized for the join anyway) and expand
-    * the marker through the stats machinery with the derived
-    * `key BETWEEN lo AND hi` constraint. A selective dim against a
-    * range-clustered fact then opens O(matching) files where the plain
-    * join scans the table. Sound because the range is a NECESSARY
-    * condition for any inner-join match (equality never matches
-    * outside the dim's own [min,max], and neither side matches
-    * nulls); the full join condition still evaluates above.
+    * the other a small deterministic plan, execute the dim's key set
+    * (one tiny job — the dim is under the broadcast threshold and
+    * will be fully materialized for the join anyway) and expand the
+    * marker through the stats machinery with a derived constraint:
+    * the literal `key IN (…)` when the dim holds at most
+    * [[graft.sources.VersionedTable.MaxBloomProbeKeys]] distinct keys
+    * (point-exact skipping, and Bloom sidecars prune too — a sparse
+    * key set over a clustered fact opens exactly the admitting
+    * files where a [min,max] band would admit nearly everything), or
+    * the `key BETWEEN lo AND hi` band above that. Sound because both
+    * are NECESSARY conditions for any inner-join match (equality
+    * never matches outside the dim's own key set, and neither side
+    * matches nulls); the full join condition still evaluates above.
+    *
+    * The dim must additionally be SNAPSHOT-STABLE: the key-set job
+    * runs at optimization time and the join re-executes the dim, so
+    * a source that can return different rows across the two
+    * executions (JDBC, an unknown V2 source) could surface keys at
+    * join time that fall outside the earlier set — matching fact
+    * rows silently pruned. Only leaves whose contents are pinned for
+    * the query's lifetime qualify: file relations (pinned listing),
+    * LocalRelation / OneRowRelation / Range (literal rows), and
+    * vtable markers (pinned version). Note the derivation job also
+    * runs when a caller merely optimizes the plan (`explain()`), the
+    * price of optimizer-time derivation; it is bounded by the
+    * broadcast threshold.
     */
   private def dynamicPrune(j: Join): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
@@ -231,18 +261,49 @@ case class VTableScanRule(spark: SparkSession) extends Rule[LogicalPlan]
           if marker.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
     }
     val (mk, dk) = pair.getOrElse(return None)
-    val boundsRow = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      Aggregate(Nil, Seq(
-        Alias(AggregateExpression(Min(dk), Complete, isDistinct = false, None), "lo")(),
-        Alias(AggregateExpression(Max(dk), Complete, isDistinct = false, None), "hi")()),
-        dim)).head()
-    if (boundsRow.isNullAt(0)) return None // empty/all-null dim: no gain
-    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual}
-    val range = And(
-      GreaterThanOrEqual(mk, Literal.create(boundsRow.get(0), mk.dataType)),
-      LessThanOrEqual(mk, Literal.create(boundsRow.get(1), mk.dataType)))
-    val full = extra.map(And(_, range)).getOrElse(range)
-    val pruned = VTableScan.expand(spark, marker, Some(full), keep)
+    val stable = dim.collectLeaves().forall {
+      case _: VTableRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false // JDBC / V2 / anything re-readable: refuse (see scaladoc)
+    }
+    if (!stable) return None
+    // one tiny job: the dim's distinct keys, capped. A complete set at
+    // or under the cap pushes the literal IN; a truncated one falls
+    // back to the [min,max] band (second tiny job, bounded dim).
+    val cap = graft.sources.VersionedTable.MaxBloomProbeKeys
+    val keyRows = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      Project(Seq(dk), dim)).distinct().limit(cap + 1).collect()
+    val keys = keyRows.iterator.map(_.get(0)).filter(_ != null).toSeq
+    if (keys.isEmpty) return None // empty/all-null dim: no gain
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, In, LessThanOrEqual}
+    // complete key set → literal IN, for FILE pruning only (the join's
+    // own equality subsumes it row-wise; re-applying a wide IN per
+    // fact row would undo the win). Truncated → [min,max] band, which
+    // IS re-applied (cheap, and it feeds parquet row-group pushdown).
+    val (derived, rowApplied) =
+      if (keyRows.length <= cap)
+        (In(mk, keys.map(k => Literal.create(k, mk.dataType))), false)
+      else {
+        val boundsRow = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          Aggregate(Nil, Seq(
+            Alias(AggregateExpression(Min(dk), Complete, isDistinct = false, None), "lo")(),
+            Alias(AggregateExpression(Max(dk), Complete, isDistinct = false, None), "hi")()),
+            dim)).head()
+        (And(
+          GreaterThanOrEqual(mk, Literal.create(boundsRow.get(0), mk.dataType)),
+          LessThanOrEqual(mk, Literal.create(boundsRow.get(1), mk.dataType))): Expression,
+          true)
+      }
+    val pruned =
+      if (rowApplied)
+        VTableScan.expand(spark, marker,
+          Some(extra.map(And(_, derived)).getOrElse(derived)), keep)
+      else
+        VTableScan.expand(spark, marker, extra, keep, pruneOnly = Some(derived))
     Some(if (markerLeft) j.copy(left = pruned) else j.copy(right = pruned))
   }
 

@@ -33,6 +33,18 @@ private[graft] object DataSkipping {
   final case class Range(column: String,
       lo: Option[(Literal, Boolean)], hi: Option[(Literal, Boolean)]) extends Constraint
   final case class RequiresNull(column: String) extends Constraint
+  /** `col IN (v1, …, vn)` — the file may match iff ANY point lies in
+    * its [min,max] (and, when a Bloom sidecar exists, survives the
+    * any-of probe). Null literals are dropped at extraction (equality
+    * never matches null), so an all-null list refutes every file.
+    */
+  final case class AnyOf(column: String, values: Seq[Literal]) extends Constraint
+
+  /** IN-lists above this size are ignored for skipping — per-file
+    * evaluation is O(values), and a list this wide rarely prunes a
+    * clustered file anyway. Matches the delete path's probe cap.
+    */
+  private val MaxInValues = VersionedTable.MaxBloomProbeKeys
 
   /** `<attr> vs <literal>` in either order, or nothing. */
   private def sides(l: Expression, r: Expression): Option[(String, Literal)] =
@@ -84,6 +96,14 @@ private[graft] object DataSkipping {
     case LessThan(l, r)           => cmp("<", l, r)
     case LessThanOrEqual(l, r)    => cmp("<=", l, r)
     case IsNull(a)                => name(a).map(RequiresNull).toSeq
+    // col IN (literal, …): both the Column DSL's `isin` and SQL's IN
+    // build the typed node directly. Non-literal elements make the
+    // whole conjunct unextractable (sound-only); null literals drop
+    // (x = null is never true under IN's match semantics)
+    case In(a, list) if list.nonEmpty && list.sizeIs <= MaxInValues &&
+        list.forall(_.isInstanceOf[Literal]) =>
+      name(a).map(c =>
+        AnyOf(c, list.collect { case l: Literal if l.value != null => l })).toSeq
     case f: UnresolvedFunction if f.nameParts.sizeIs == 1 && !f.isDistinct =>
       (f.nameParts.head, f.arguments) match {
         case ("and", Seq(l, r))                   => constraints(l) ++ constraints(r)
@@ -94,6 +114,11 @@ private[graft] object DataSkipping {
         // analysis (the Column DSL desugars it to an AND pair itself)
         case ("between", Seq(a, lo: Literal, hi: Literal)) =>
           name(a).map(c => Range(c, Some((lo, true)), Some((hi, true)))).toSeq
+        // Column.isin before analysis: in(col, v1, …, vn)
+        case ("in", a +: list) if list.nonEmpty && list.sizeIs <= MaxInValues &&
+            list.forall(_.isInstanceOf[Literal]) =>
+          name(a).map(c =>
+            AnyOf(c, list.collect { case l: Literal if l.value != null => l })).toSeq
         case _                                    => Seq.empty
       }
     case _ => Seq.empty
@@ -123,21 +148,45 @@ private[graft] object DataSkipping {
           case (Some(a), Some(d)) => rangeMayMatch(a, d, lo, hi)
           case _                  => true
         }
+      case AnyOf(c, values) =>
+        // an IN over an all-null (or empty) literal list matches no row
+        // — refute unconditionally, even without stats
+        if (values.isEmpty) false
+        else {
+          val entry = st.flatMap(n => Option(n.get(c))).filter(_.isArray)
+          val dt = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+          (entry, dt) match {
+            case (Some(a), Some(d)) =>
+              values.exists(v => rangeMayMatch(a, d, Some((v, true)), Some((v, true))))
+            case _ => true
+          }
+        }
     }
 
-  /** Equality (point) constraints among `cons`, each as (column, JVM
-    * value in the committed column's domain, committed type) — the
-    * shape a Bloom-index probe needs. Only constraints whose literal
-    * lives in the column's domain qualify (same sound-only rule as
-    * range pruning).
+  /** Point-set constraints among `cons`, each as (column, JVM values
+    * in the committed column's domain, committed type) — the shape a
+    * Bloom-index probe needs. An equality contributes a 1-element set;
+    * an IN-list its whole (null-free) set — a file survives the probe
+    * iff the sidecar may contain ANY of the set (the `=`/`IN` match
+    * semantics). A constraint with any literal outside the column's
+    * domain is skipped whole (same sound-only rule as range pruning:
+    * probing a partial set could prune a file whose match was the
+    * unconverted literal).
     */
-  def points(cons: Seq[Constraint], schema: Option[StructType])
-      : Seq[(String, Any, DataType)] =
+  def pointSets(cons: Seq[Constraint], schema: Option[StructType])
+      : Seq[(String, Seq[Any], DataType)] = {
+    def domain(c: String, lits: Seq[Literal]): Option[(String, Seq[Any], DataType)] =
+      schema.flatMap(_.fields.find(_.name == c)).flatMap { f =>
+        val vs = lits.map(bound(f.dataType, _))
+        if (vs.exists(_.isEmpty)) None
+        else Some((c, vs.flatten, f.dataType))
+      }
     cons.collect {
       case Range(c, Some((l1, true)), Some((l2, true))) if l1 == l2 =>
-        schema.flatMap(_.fields.find(_.name == c)).flatMap(f =>
-          bound(f.dataType, l1).map(v => (c, v, f.dataType)))
+        domain(c, Seq(l1))
+      case AnyOf(c, values) if values.nonEmpty => domain(c, values)
     }.flatten
+  }
 
   /** The literal's value in the column's stats domain, or None when the
     * types don't share one (→ no pruning on this constraint). NaN never

@@ -387,22 +387,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // files whose sidecar filter refutes any required point are never
     // opened — the uuid-key case where every file's [min,max] range
     // spans the domain and range skipping is powerless
-    val ptHashes: Seq[(String, Long)] = {
+    val ptHashes: Seq[(String, Array[Long])] = {
       val indexed = bloomConfig.map(_.columns.toSet).getOrElse(Set.empty[String])
       val pts =
         if (indexed.isEmpty) Seq.empty
-        else DataSkipping.points(cons, schema).filter(p => indexed(p._1))
+        else DataSkipping.pointSets(cons, schema).filter(p => indexed(p._1))
       if (pts.isEmpty) Seq.empty
       else {
         import org.apache.spark.sql.functions.xxhash64
-        val row = spark.range(1).select(pts.zipWithIndex.map { case ((_, w, dt), i) =>
+        // flatten every constraint's value set into one 1-row hashing
+        // job, then regroup: a file must pass EVERY constraint, and
+        // passes one when the sidecar admits ANY of its hashes
+        val flat = pts.flatMap { case (c, vs, dt) => vs.map(v => (c, v, dt)) }
+        val row = spark.range(1).select(flat.zipWithIndex.map { case ((_, w, dt), i) =>
           xxhash64(lit(w).cast(dt)).as(s"__h$i") }: _*).head()
-        pts.zipWithIndex.map { case ((c, _, _), i) => (c, row.getLong(i)) }
+        val it = Iterator.from(0)
+        pts.map { case (c, vs, _) =>
+          (c, vs.map(_ => row.getLong(it.next())).toArray)
+        }
       }
     }
     val keep = manifestFiles(m)
       .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons) &&
-        ptHashes.forall { case (c, h) => bloomMayContainAny(f, c, Array(h)) })
+        ptHashes.forall { case (c, hs) => bloomMayContainAny(f, c, hs) })
     if (keep.nonEmpty) readFiles(m, keep)
     else emptySnapshot(m)
   }
@@ -429,9 +436,6 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .filter(_.fields.nonEmpty)
       .getOrElse(readFiles(m, manifestFiles(m)).schema)
     val files = manifestFiles(m)
-    val bytes = files.map { rel =>
-      try Files.size(Paths.get(s"$dir/$rel")) catch { case _: java.io.IOException => 0L }
-    }.sum
     // exact snapshot cardinality from the per-file "_rows" stats —
     // known only when EVERY file carries one (pre-rows manifests and
     // raw-path commits answer None, disabling the metadata fast paths)
@@ -495,15 +499,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ graft.plans.VTableScanStrategy(spark)
     }
-    // approximate distinct counts from the NDV sidecars (configured
-    // columns only; O(files) driver-side sidecar reads — metadata IO;
-    // the file list in hand, no per-column manifest re-parse)
-    val ndv: Map[String, Long] = ndvConfig.toSeq.flatMap(cfg =>
-      cfg.columns.filter(st.fieldNames.contains)
-        .flatMap(c => approxNdvOver(c, cfg.lgK, files).map(c -> _))).toMap
+    // the per-file driver IO — Files.size of every data file and the
+    // NDV sidecar reads for every configured column — memoized per
+    // (dir, version, ndv-config): a committed version's file set is
+    // immutable, so repeated scan()s, /describe calls, and view
+    // re-registrations pay the O(files) walk ONCE instead of on every
+    // call. The ndv columns key the memo so enableNdv() between scans
+    // can't serve a stale column set.
+    val cfg = ndvConfig
+    val meta = VersionedTable.scanMeta.getOrBuild(
+      (dir, v, cfg.map(_.columns).getOrElse(Nil))) {
+      val bytes = files.map { rel =>
+        try Files.size(Paths.get(s"$dir/$rel")) catch { case _: java.io.IOException => 0L }
+      }.sum
+      val ndv: Map[String, Long] = cfg.toSeq.flatMap(c0 =>
+        c0.columns.filter(st.fieldNames.contains)
+          .flatMap(c => approxNdvOver(c, c0.lgK, files).map(c -> _))).toMap
+      VersionedTable.ScanMeta(bytes, ndv)
+    }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.VTableRelation(dir, v, BigInt(bytes.max(1L)), rows, bounds,
-        nonNulls, ndv, attrs))
+      graft.plans.VTableRelation(dir, v, BigInt(meta.bytes.max(1L)), rows, bounds,
+        nonNulls, meta.ndv, attrs))
   }
 
   /** DESCRIBE DETAIL as one O(metadata) JSON document: schema plus the
@@ -1921,6 +1937,15 @@ object VersionedTable {
     * a large key set touches most files anyway).
     */
   val MaxBloomProbeKeys = 10000
+
+  /** scan()'s per-file driver metadata (summed file bytes, NDV
+    * sidecar unions), memoized per (dir, version, ndv-columns) — the
+    * file set of a committed version is immutable, so this work is
+    * computed once per JVM, not once per scan()/describe call.
+    */
+  private[sources] final case class ScanMeta(bytes: Long, ndv: Map[String, Long])
+  private[sources] val scanMeta =
+    new graft.util.BoundedMemo[(String, Int, Seq[String]), ScanMeta](64, _ => ())
 
   /** Change-feed tag column: insert | delete | update_preimage |
     * update_postimage (Delta's _change_type vocabulary).

@@ -243,6 +243,58 @@ class VTableScanSpec extends SparkSpecBase {
       s"non-deterministic dim should leave the fact unpruned, saw ${scanFiles(viaRnd)}")
   }
 
+  test("IN-set DFP: a sparse dim prunes point-exact where the band admits everything") {
+    import spark.implicits._
+    val t = sixFiles()
+    // keys 5 and 505 straddle the whole table: the [min,max] band
+    // [5,505] intersects every file's range, but the literal IN-set
+    // admits exactly files 0 and 5. File-backed dim with no static
+    // predicate, so the keys are discoverable only by executing it.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dfp-in").toString + "/dim"
+    Seq((5L, "a"), (505L, "b")).toDF("k", "tag").coalesce(1).write.parquet(dimDir)
+    val sparse = spark.read.parquet(dimDir)
+    val joined = t.scan().join(sparse, col("id") === col("k"))
+    assert(joined.count() == 2)
+    assert(scanFiles(joined) == 3, // 2 fact files + 1 dim file
+      s"IN-set DFP should open 2+1 files, opened ${scanFiles(joined)}")
+    // result identical to the eager join
+    val eager = t.read().join(sparse, col("id") === col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == eager)
+  }
+
+  test("DFP refuses dims that are not snapshot-stable sources") {
+    import spark.implicits._
+    val t = sixFiles()
+    // a cached dim reads from an InMemoryRelation leaf — re-readable
+    // storage the stability allowlist refuses (conservative: the
+    // cache could be evicted and recomputed between the optimizer's
+    // key-set job and the join's own execution)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dfp-st").toString + "/dim"
+    Seq((305L, "x")).toDF("k", "tag").coalesce(1).write.parquet(dimDir)
+    val cached = spark.read.parquet(dimDir).cache()
+    try {
+      val joined = t.scan().join(cached, col("id") === col("k"))
+      assert(joined.count() == 1)
+      // fact unpruned: all 6 files open (dim scan served from cache)
+      assert(scanFiles(joined) >= 6,
+        s"non-stable dim must leave the fact unpruned, saw ${scanFiles(joined)}")
+    } finally { cached.unpersist(); () }
+  }
+
+  test("readWhere with isin prunes via point-set skipping") {
+    val t = sixFiles()
+    val q = t.readWhere(col("id").isin(7L, 307L))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 307L))
+    assert(scanFiles(q) == 2, s"isin should open 2 of 6 files, opened ${scanFiles(q)}")
+    // SQL spelling over the lazy scan
+    t.scan().createOrReplaceTempView("__graft_vscan_in")
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM __graft_vscan_in WHERE id IN (7, 307, 9999)")
+    assert(sql.head().getLong(0) == 2)
+    assert(scanFiles(sql) == 2, s"SQL IN opened ${scanFiles(sql)} files")
+  }
+
   test("appendClustered: files born range-clustered skip from the first commit") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
