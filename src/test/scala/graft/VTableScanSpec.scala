@@ -336,6 +336,85 @@ class VTableScanSpec extends SparkSpecBase {
     }
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Output column names of the INNERMOST join of the optimized plan
+    * — which pair of tables the optimizer chose to join first. (The
+    * tables themselves are parquet scans by then: the join-inferred
+    * isnotnull filters expand the markers, so identify sides by their
+    * distinguishing columns.)
+    */
+  private def innermostJoinCols(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = df.queryExecution.optimizedPlan
+    val inner = lp.collect { case j: Join => j }
+      .filter(j => !j.children.exists(_.exists(_.isInstanceOf[Join])))
+    assert(inner.nonEmpty, s"no innermost join in:\n$lp")
+    inner.head.children.flatMap(_.output.map(_.name)).toSet
+  }
+
+  test("CBO: manifest rowCount + NDV stats reorder a 3-way join, results equal") {
+    import spark.implicits._
+    // fact: 10k rows, k1 has 100 distinct values, k2 has 1000.
+    // d1: 5 keys of k1 (selective). d2: all 1000 keys of k2 (not).
+    // Written order joins fact⋈d2 FIRST — a 10k-row intermediate;
+    // fact⋈d1 first is a 500-row intermediate. With CBO fed by the
+    // markers' exact rowCount and sidecar NDV of the keys, join
+    // reorder must discover that; with CBO off the written order
+    // stands. This is the payoff test for commit-log statistics: the
+    // numbers change the PLAN, not just decorate explain output.
+    val base = java.nio.file.Files.createTempDirectory("graft-cbo").toString
+    def table(name: String, ndvCols: Seq[String], df: DataFrame): VersionedTable = {
+      val t = VersionedTable(spark, s"$base/$name")
+      t.enableNdv(ndvCols)
+      t.append(df.coalesce(1))
+      t
+    }
+    val fact = table("fact", Seq("k1", "k2"),
+      spark.range(10000).select(
+        (col("id") % 100).as("k1"), (col("id") % 1000).as("k2"),
+        col("id").as("payload")))
+    val d1 = table("d1", Seq("k1"),
+      spark.range(5).select(col("id").as("k1"), (col("id") * 7).as("w1")))
+    val d2 = table("d2", Seq("k2"),
+      spark.range(1000).select(col("id").as("k2"), (col("id") * 3).as("w2")))
+    def query(): DataFrame = {
+      val f = fact.scan(); val a = d1.scan(); val b = d2.scan()
+      f.join(b, f("k2") === b("k2")).join(a, f("k1") === a("k1"))
+        .select(f("payload"), a("w1"), b("w2"))
+    }
+    // broadcast threshold off: keeps DFP's marker expansion out of the
+    // optimized plan so the join tree stays marker-leaved + inspectable
+    val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    var cboRows: Array[Long] = null
+    var offRows: Array[Long] = null
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true", noBcast) {
+      val q = query()
+      val cols = innermostJoinCols(q)
+      assert(cols.contains("w1") && !cols.contains("w2"),
+        s"CBO should join the selective dim (w1) first, got $cols")
+      cboRows = q.collect().map(r => r.getLong(0) * 31 + r.getLong(1) * 7 + r.getLong(2))
+    }
+    withConf("spark.sql.cbo.enabled" -> "false", noBcast) {
+      val q = query()
+      val cols = innermostJoinCols(q)
+      assert(cols.contains("w2") && !cols.contains("w1"),
+        s"without CBO the written order (w2 first) should stand, got $cols")
+      offRows = q.collect().map(r => r.getLong(0) * 31 + r.getLong(1) * 7 + r.getLong(2))
+    }
+    assert(cboRows.sorted.toSeq == offRows.sorted.toSeq,
+      "join reorder must not change results")
+    assert(cboRows.length == 500)
+  }
+
   test("unrecognized conjunct shapes keep the recognized ones pruning") {
     val t = sixFiles()
     val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
