@@ -620,15 +620,176 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       case _ => false
     })
 
-  /** Per-file min/max (and a has-nulls flag) of every stat-eligible
-    * column of the freshly written files, as ONE column-pruned Spark
-    * job over only those files (one output row per file — driver
-    * traffic is bounded by file count, never row count). The stat
-    * entry is `[min, max, hasNulls]`: min/max ignore nulls, so without
-    * the flag a range-pruned file could silently carry null-keyed rows
-    * past `merge`'s null-key raise.
+  /** One column's manifest stats entry `[min, max, hasNulls, nn?]`,
+    * shared by the aggregation and footer stats paths so both agree
+    * on the NaN guard and the wide-string truncation contract (min →
+    * sound prefix bound, over-long max → null = +unbounded). `nn`
+    * absent writes a 3-element entry — readers treat the missing
+    * non-null count conservatively (COUNT(col) not metadata-
+    * answerable), which only pre-stats manifests used to produce.
+    */
+  private def putStatEntry(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      f: StructField, lo: Any, hi: Any, hasNulls: Boolean, nn: Option[Long]): Unit = {
+    def isNaN(x: Any): Boolean = x match {
+      case v: Double => v.isNaN; case v: Float => v.isNaN; case _ => false
+    }
+    if (lo == null || hi == null || isNaN(lo) || isNaN(hi)) return
+    val a = node.putArray(f.name)
+    def add(x: Any, isMax: Boolean): Unit = x match {
+      case v: Long    => a.add(v); ()
+      case v: Int     => a.add(v); ()
+      case v: Short   => a.add(v.toInt); ()
+      case v: Byte    => a.add(v.toInt); ()
+      case v: Double  => a.add(v); ()
+      case v: Float   => a.add(v.toDouble); () // exact widening
+      case v: String  =>
+        // wide text columns (document bodies) must not embed full
+        // values in every manifest. A truncated min PREFIX is still a
+        // sound lower bound; a truncated max is NOT a sound upper
+        // bound (successor-bumping is unsound above the BMP in UTF-8
+        // order), so an over-long max is stored as null = +unbounded —
+        // half the pruning power, zero manifest bloat, never unsound.
+        if (v.length <= StatStringMax) { a.add(v); () }
+        else if (isMax) { a.addNull(); () }
+        else { a.add(v.substring(0, StatStringMax)); () }
+      case _          => ()
+    }
+    add(lo, isMax = false)
+    add(hi, isMax = true)
+    a.add(hasNulls)
+    nn.foreach { v => a.add(v); () }
+    ()
+  }
+
+  /** Per-file stats of the freshly written files. Two sources, same
+    * manifest contract:
+    *   - no value-level index configured → [[footerStats]]: the
+    *     parquet footers the write ALREADY produced carry min/max,
+    *     null counts and row counts — O(files) driver metadata reads,
+    *     no second pass over the data. This keeps commit cost at one
+    *     write job for plain tables (the common case).
+    *   - bloom/NDV sidecars enabled → [[aggStats]]: those need a real
+    *     aggregation over the values, and min/max ride along in the
+    *     same one-pass job as before.
     */
   private def freshStats(sub: String, rels: Seq[String], schema: StructType)
+      : Map[String, JsonNode] =
+    if (bloomConfig.isEmpty && ndvConfig.isEmpty) footerStats(rels, schema)
+    else aggStats(sub, rels, schema)
+
+  /** Footer-derived per-file stats: trust boundary is narrow by
+    * construction — these files were written by THIS engine moments
+    * ago (Spark's parquet-mr ≥ 1.13: unsigned binary order, untrun-
+    * cated chunk statistics, stats > 4 KB dropped whole), so the
+    * footer numbers are authoritative. Guards stay anyway: a chunk
+    * that carries values but no stats (or can't prove itself
+    * all-null) drops the column's entry; string bounds must survive a
+    * UTF-8 byte round-trip (a truncated/patched binary bound that
+    * doesn't decode losslessly could reorder); NaN-poisoned and
+    * signed-zero float bounds are dropped/widened to keep the
+    * manifest's total-order contract.
+    */
+  private def footerStats(rels: Seq[String], schema: StructType)
+      : Map[String, JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    if (rels.isEmpty) return Map.empty
+    val fields = statFields(schema)
+    val conf = spark.sessionState.newHadoopConf()
+    rels.map { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), conf))
+      val node = try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val total = blocks.map(_.getRowCount).sum
+        val n = mapper.createObjectNode()
+        fields.foreach { f =>
+          footerColumn(blocks, f).foreach { case (lo, hi, hasNulls, nn) =>
+            putStatEntry(n, f, lo, hi, hasNulls, nn.map(total - _))
+          }
+        }
+        // LAST so a user column literally named "_rows" loses its
+        // min/max entry rather than corrupting the count (same
+        // ordering contract as the agg path)
+        n.put("_rows", total)
+        n
+      } finally reader.close()
+      rel -> (node: JsonNode)
+    }.toMap
+  }
+
+  /** One column's merged footer bounds across a file's row groups:
+    * (min, max, hasNulls, numNulls?) in the same JVM domain the agg
+    * path produces, or None when the footers can't PROVE a sound
+    * entry (missing chunk, statless chunk with values, all-null
+    * column, NaN bounds, non-roundtripping string bounds).
+    */
+  private def footerColumn(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      f: StructField): Option[(Any, Any, Boolean, Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    val paired = blocks.map { b =>
+      b -> b.getColumns.asScala.find(c =>
+        c.getPath.size == 1 && c.getPath.toDotString == f.name)
+    }
+    if (paired.exists(_._2.isEmpty)) return None
+    val chunks = paired.map { case (b, c) => (b, c.get.getStatistics) }
+    if (chunks.exists(_._2 == null)) return None
+    // every chunk must either carry min/max or PROVE itself all-null;
+    // a statless chunk holding values would break the merged bound
+    val sound = chunks.forall { case (b, s) =>
+      s.hasNonNullValue || (s.isNumNullsSet && s.getNumNulls == b.getRowCount)
+    }
+    if (!sound) return None
+    val stats = chunks.map(_._2)
+    val nullsKnown = stats.forall(_.isNumNullsSet)
+    val numNulls = if (nullsKnown) Some(stats.map(_.getNumNulls).sum) else None
+    val hasNulls = numNulls.forall(_ > 0) // unknown → conservatively true
+    val valued = stats.filter(_.hasNonNullValue)
+    if (valued.isEmpty) return None // all-null column: no entry (agg path parity)
+    def longs: (Any, Any) = {
+      val vs = valued.map(_.genericGetMin.asInstanceOf[Number].longValue()) ->
+        valued.map(_.genericGetMax.asInstanceOf[Number].longValue())
+      (vs._1.min, vs._2.max)
+    }
+    val bounds: Option[(Any, Any)] = f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => Some(longs)
+      case DoubleType | FloatType =>
+        val lo0 = valued.map(_.genericGetMin.asInstanceOf[Number].doubleValue()).min
+        val hi0 = valued.map(_.genericGetMax.asInstanceOf[Number].doubleValue()).max
+        if (lo0.isNaN || hi0.isNaN) None
+        else Some((
+          if (lo0 == 0d) -0.0d else lo0,  // widen signed zeros: parquet
+          if (hi0 == 0d) 0.0d else hi0))  // writers may store either sign
+      case StringType =>
+        val ord = Ordering.comparatorToOrdering(
+          java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
+        val loB = valued.map(_.genericGetMin
+          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).min(ord)
+        val hiB = valued.map(_.genericGetMax
+          .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).max(ord)
+        val lo0 = new String(loB, StandardCharsets.UTF_8)
+        val hi0 = new String(hiB, StandardCharsets.UTF_8)
+        // byte-exact round-trip or no entry: a bound that doesn't
+        // decode losslessly could reorder after re-encoding
+        if (java.util.Arrays.equals(lo0.getBytes(StandardCharsets.UTF_8), loB) &&
+            java.util.Arrays.equals(hi0.getBytes(StandardCharsets.UTF_8), hiB))
+          Some((lo0, hi0))
+        else None
+      case _ => None
+    }
+    bounds.map { case (lo, hi) => (lo, hi, hasNulls, numNulls) }
+  }
+
+  /** The aggregation-job stats path (one column-pruned Spark job over
+    * only the fresh files, one output row per file — driver traffic
+    * bounded by file count): required when bloom/NDV sidecars are
+    * configured, since those aggregate actual values; min/max and the
+    * has-nulls flag ride along in the same pass. Min/max ignore
+    * nulls, so without the flag a range-pruned file could silently
+    * carry null-keyed rows past `merge`'s null-key raise.
+    */
+  private def aggStats(sub: String, rels: Seq[String], schema: StructType)
       : Map[String, JsonNode] = {
     val fields = statFields(schema)
     if (fields.isEmpty || rels.isEmpty) return Map.empty
@@ -674,44 +835,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           Files.write(Paths.get(dir, sub, s"$name.ndv-$c"), blob)
       }
       val node = mapper.createObjectNode()
+      // NaN guard, wide-string truncation, and the [min,max,hasNulls,
+      // nn] layout all live in putStatEntry, shared with footerStats
       fields.zipWithIndex.foreach { case (f, i) =>
-        val lo = r.get(2 + 3 * i)
-        val hi = r.get(3 + 3 * i)
         val nonNull = r.getLong(4 + 3 * i)
-        // NaN breaks the total order pruning relies on (NaN >= lo is
-        // false, so a NaN-max file would be pruned while holding
-        // matching finite keys) — record no stats for such a column
-        def isNaN(x: Any): Boolean = x match {
-          case v: Double => v.isNaN; case v: Float => v.isNaN; case _ => false
-        }
-        if (lo != null && hi != null && !isNaN(lo) && !isNaN(hi)) {
-          val a = node.putArray(f.name)
-          def add(x: Any, isMax: Boolean): Unit = x match {
-            case v: Long    => a.add(v); ()
-            case v: Int     => a.add(v); ()
-            case v: Short   => a.add(v.toInt); ()
-            case v: Byte    => a.add(v.toInt); ()
-            case v: Double  => a.add(v); ()
-            case v: Float   => a.add(v.toDouble); () // exact widening
-            case v: String  =>
-              // wide text columns (document bodies) must not embed full
-              // values in every manifest. A truncated min PREFIX is
-              // still a sound lower bound; a truncated max is NOT a
-              // sound upper bound (successor-bumping is unsound above
-              // the BMP in UTF-8 order), so an over-long max is stored
-              // as null = +unbounded — half the pruning power, zero
-              // manifest bloat, never unsound.
-              if (v.length <= StatStringMax) { a.add(v); () }
-              else if (isMax) { a.addNull(); () }
-              else { a.add(v.substring(0, StatStringMax)); () }
-            case _          => ()
-          }
-          add(lo, isMax = false)
-          add(hi, isMax = true)
-          a.add(nonNull < total) // hasNulls
-          a.add(nonNull) // 4th element: exact non-null count (COUNT(col) metadata answer)
-          ()
-        }
+        putStatEntry(node, f, r.get(2 + 3 * i), r.get(3 + 3 * i),
+          hasNulls = nonNull < total, nn = Some(nonNull))
       }
       // per-file ROW COUNT, free in this same pass: sums to the exact
       // snapshot cardinality (copy-on-write, no tombstones), which the
