@@ -265,11 +265,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   })
   server.createContext("/profile", gated { body =>
     val approx = !body.has("approx") || body.get("approx").asBoolean(true)
-    val df = service.profileTable(text(body, "table"), approx)
+    // metadata fast path first (approx only — sidecar NDV is an
+    // estimate): a vtable-registered view with full stats + NDV
+    // coverage profiles without opening a data file
+    val fast = if (approx) service.profileTableFast(text(body, "table")) else None
+    val df = fast.getOrElse(service.profileTable(text(body, "table"), approx))
     // a profile has exactly one row per profiled column — bounded by
     // schema width, so a fixed generous cap replaces paging
     val rows = service.jsonRows(df, 10000)
-    s"""{"profile":[${rows.mkString(",")}],"count":${rows.size},"approx":$approx}"""
+    val src = if (fast.isDefined) "metadata" else "scan"
+    s"""{"profile":[${rows.mkString(",")}],"count":${rows.size},"approx":$approx,"source":"$src"}"""
   })
   server.createContext("/explain", gated { body =>
     val node = mapper.createObjectNode()

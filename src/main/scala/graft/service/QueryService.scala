@@ -111,7 +111,26 @@ final class QueryService(val spark: SparkSession) {
     * distincts are an explicit opt-in.
     */
   def profileTable(name: String, approx: Boolean = true): DataFrame =
-    graft.operators.Profile.profile(spark.table(name), approx)
+    (if (approx) profileTableFast(name) else None)
+      .getOrElse(graft.operators.Profile.profile(spark.table(name), approx))
+
+  /** Zero-scan profile: when the registered view IS a bare lazy
+    * vtable scan (the Catalog's default registration) and the
+    * manifest + NDV sidecars cover every column, the profile answers
+    * from metadata — no data file opened. None otherwise (view with
+    * transformations, non-vtable source, missing sidecar coverage).
+    */
+  def profileTableFast(name: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, View}
+    def bareMarker(p: LogicalPlan): Option[graft.plans.VTableRelation] = p match {
+      case r: graft.plans.VTableRelation => Some(r)
+      case s: SubqueryAlias              => bareMarker(s.child)
+      case v: View                       => bareMarker(v.child)
+      case _                             => None
+    }
+    bareMarker(spark.table(name).queryExecution.analyzed).flatMap(r =>
+      graft.sources.VersionedTable(spark, r.dir).profileFromMetadata(r.version))
+  }
 
   /** Commit history of a versioned table (DESCRIBE HISTORY): version,
     * op, wall time, file count, stream epoch — newest first.

@@ -388,6 +388,44 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
   }
 
+  test("POST /profile answers vtable tables from metadata, zero data scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-pmeta").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    // NDV on EVERY column is the coverage requirement for the fast path
+    vt.enableNdv(Seq("id", "lang"))
+    vt.append(Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, null: String))
+      .toDF("id", "lang").coalesce(1))
+    post("/register", s"""{"name":"http_prof_vt","format":"vtable","path":"$dir"}""")
+    val res = post("/profile", """{"table":"http_prof_vt"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""source":"metadata""""), res.body)
+    // exact rows/nulls from the manifest; HLL is exact at these sizes
+    assert(res.body.contains(""""col_name":"id","n_rows":4,"n_nulls":0,"n_distinct":4"""),
+      res.body)
+    assert(res.body.contains(""""col_name":"lang","n_rows":4,"n_nulls":1,"n_distinct":2"""),
+      res.body)
+    // numeric bounds served exactly; string bounds withheld (may be
+    // truncated in the manifest), never served wrong
+    assert(res.body.contains(""""min_val":"1","max_val":"4""""), res.body)
+    assert(res.body.contains(""""min_val":null,"max_val":null"""), res.body)
+    // a parquet-registered table has no manifest: the scanning path
+    post("/register",
+      s"""{"name":"http_prof_scan","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
+    val scan = post("/profile", """{"table":"http_prof_scan"}""")
+    assert(scan.statusCode == 200 && scan.body.contains(""""source":"scan""""), scan.body)
+    // partial NDV coverage falls back to scanning rather than serving
+    // an incomplete profile
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-http-pmeta2").toString + "/t"
+    val vt2 = graft.sources.VersionedTable(spark, dir2)
+    vt2.enableNdv(Seq("id"))
+    vt2.append(Seq((1L, "x")).toDF("id", "lang").coalesce(1))
+    post("/register", s"""{"name":"http_prof_vt2","format":"vtable","path":"$dir2"}""")
+    val partial = post("/profile", """{"table":"http_prof_vt2"}""")
+    assert(partial.statusCode == 200 && partial.body.contains(""""source":"scan""""),
+      partial.body)
+  }
+
   test("GET /metrics reports per-endpoint traffic and error classes") {
     val r1 = post("/sql", """{"query":"SELECT 1 AS one"}""")
     assert(r1.statusCode == 200)

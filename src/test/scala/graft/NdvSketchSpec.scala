@@ -93,4 +93,45 @@ class NdvSketchSpec extends SparkSpecBase {
     // the filter on the live snapshot still answers after the sweep
     assert(t.read().where(col("id") >= 100L).count() == 30)
   }
+
+  test("string-column sketches: distinct languages from sidecars alone") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableNdv(Seq("lang", "src"))
+    val langs = Seq("en", "de", "fr", "zh", "es")
+    t.append((0 until 200).map(i => (i.toLong, langs(i % 3), s"crawl-${i % 7}"))
+      .toDF("id", "lang", "src").coalesce(1))
+    t.append((200 until 400).map(i => (i.toLong, langs(i % 5), s"crawl-${i % 11}"))
+      .toDF("id", "lang", "src").coalesce(1))
+    // union across files, exact at these cardinalities
+    assert(t.approxNdv("lang").contains(5L), t.approxNdv("lang"))
+    assert(t.approxNdv("src").contains(11L), t.approxNdv("src"))
+    // the lazy scan's column statistics carry the string NDVs (CBO food)
+    val rel = t.scan().queryExecution.logical.collectFirst {
+      case r: graft.plans.VTableRelation => r
+    }.get
+    val langStat = rel.computeStats().attributeStats
+      .find(_._1.name == "lang").map(_._2).get
+    assert(langStat.distinctCount.contains(BigInt(5)))
+  }
+
+  test("profileFromMetadata: full coverage answers, partial falls back") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableNdv(Seq("id", "lang"))
+    t.append(Seq((1L, "en"), (2L, "de"), (3L, null: String))
+      .toDF("id", "lang").coalesce(1))
+    val p = t.profileFromMetadata()
+    assert(p.isDefined, "full NDV coverage should answer from metadata")
+    val rows = p.get.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(rows("id") == ((3L, 0L, 3L, "1", "3")))
+    // string bounds withheld (manifest may truncate); counts exact
+    assert(rows("lang") == ((3L, 1L, 2L, null, null)))
+    // a column without an NDV sidecar breaks coverage: no metadata answer
+    val t2 = VersionedTable(spark, tmp())
+    t2.enableNdv(Seq("id"))
+    t2.append(Seq((1L, "x")).toDF("id", "lang").coalesce(1))
+    assert(t2.profileFromMetadata().isEmpty)
+  }
 }
