@@ -1244,15 +1244,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
   /** Additive schema evolution (Delta's mergeSchema): append a frame
     * that may ADD new columns to — and may omit existing columns of —
-    * the committed schema; columns present on both sides must keep
-    * their exact type (changing one remains `overwrite`'s job). The
-    * committed schema becomes the union: committed columns first (in
-    * their order), added columns after, every column that either side
-    * can leave unset marked nullable. Files written before the
-    * evolution are NOT rewritten — every manifest-driven read pins the
-    * manifest's schema, so old files simply yield null for the added
-    * columns, and time travel keeps each version's own column set.
-    * Same blind-append retry semantics as [[append]].
+    * the committed schema. Columns present on both sides may WIDEN
+    * losslessly (byte→short→int→long, float→double — the promotions
+    * Spark 4's parquet readers evaluate natively, SPARK-40876): the
+    * committed type becomes the wider of the two and files written
+    * before the widening are NOT rewritten — the pinned read schema
+    * up-converts their values at scan time, and time travel keeps
+    * each version's own vintage. Any other type change remains
+    * `overwrite`'s job, and a bloom/NDV-indexed column refuses to
+    * widen (sidecars hash the committed type; probing them with the
+    * widened type's hashes would unsoundly prune). The committed
+    * schema becomes the union: committed columns first (in their
+    * order), added columns after, every column that either side can
+    * leave unset marked nullable; old files yield null for added
+    * columns. Same blind-append retry semantics as [[append]].
     */
   def appendEvolve(df: DataFrame): Int = {
     var attempt = 0
@@ -1267,8 +1272,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       if (committedOpt.isEmpty) return append(df)
       val committed = committedOpt.get
       val union = evolvedSchema(committed, df.schema)
+      // cast to the union type: a no-op for unchanged columns, the
+      // lossless up-cast when the committed type is the wider one
       val aligned = df.select(union.fields.toSeq.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
       try return commitData(prev + 1, "append", aligned,
         manifestFiles(m), manifestStats(m))
@@ -1281,22 +1288,49 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     -1 // unreachable
   }
 
-  /** The union schema of an additive evolution; raises on a type
-    * change. Columns the incoming frame omits — and every added
-    * column — are nullable in the result (old files hold no values
-    * for added columns; new files hold none for omitted ones).
+  /** `from` values read losslessly as `to`: the widening promotions
+    * Spark 4's parquet readers evaluate natively (SPARK-40876), which
+    * is what lets old files stay un-rewritten under the widened
+    * committed schema.
+    */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType)            => true
+    case (IntegerType, LongType)                        => true
+    case (FloatType, DoubleType)                        => true
+    case _                                              => false
+  }
+
+  /** The union schema of an additive evolution; shared columns may
+    * widen (either direction — the wider type wins; an incoming
+    * NARROWER column just up-casts at write), anything else raises.
+    * Columns the incoming frame omits — and every added column — are
+    * nullable in the result (old files hold no values for added
+    * columns; new files hold none for omitted ones).
     */
   private def evolvedSchema(committed: StructType, incoming: StructType): StructType = {
-    committed.fields.foreach { f =>
-      incoming.fields.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
-          s"appendEvolve cannot change column ${f.name}: committed " +
-            s"${f.dataType.simpleString}, got ${g.dataType.simpleString} " +
-            "(use overwrite() for type changes)")
+    val kept = committed.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case None => f.copy(nullable = true)
+        case Some(g) if g.dataType == f.dataType => f
+        case Some(g) if widens(g.dataType, f.dataType) => f // up-cast at write
+        case Some(g) if widens(f.dataType, g.dataType) =>
+          // sidecar hashes are computed in the committed column type;
+          // a widened probe would hash differently and unsoundly
+          // prune old files, so indexed columns refuse to widen
+          val indexed = bloomConfig.exists(_.columns.contains(f.name)) ||
+            ndvConfig.exists(_.columns.contains(f.name))
+          require(!indexed,
+            s"appendEvolve cannot widen bloom/NDV-indexed column ${f.name}: " +
+              "sidecars hash the committed type (drop the index config first)")
+          f.copy(dataType = g.dataType)
+        case Some(g) =>
+          throw new IllegalArgumentException(
+            s"appendEvolve cannot change column ${f.name}: committed " +
+              s"${f.dataType.simpleString}, got ${g.dataType.simpleString} " +
+              "(only lossless widening evolves; use overwrite() otherwise)")
       }
     }
-    val kept = committed.fields.map(f =>
-      if (incoming.fieldNames.contains(f.name)) f else f.copy(nullable = true))
     val added = incoming.fields
       .filterNot(g => committed.fieldNames.contains(g.name))
       .map(_.copy(nullable = true))

@@ -55,7 +55,11 @@ final class VTableChangeSourceProvider extends StreamSourceProvider with DataSou
     val vt = VersionedTable(ctx.sparkSession, tableDir(params))
     val starting = params.get("startingVersion").orElse(params.get("startingversion"))
       .map(_.toInt)
-    new VTableChangeSource(vt, starting)
+    val maxVersions = params.get("maxVersionsPerTrigger")
+      .orElse(params.get("maxversionspertrigger")).map(_.toInt)
+    maxVersions.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
+    new VTableChangeSource(vt, starting, maxVersions)
   }
 }
 
@@ -71,25 +75,49 @@ private[streaming] object VTableChangeSource {
 }
 
 private[streaming] final class VTableChangeSource(vt: VersionedTable,
-    startingVersion: Option[Int]) extends Source {
+    startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int] = None)
+  extends Source {
 
   // fixed at stream START (first run, not restart — restarts resume
   // from the checkpointed offset, which supersedes this)
   private val initialVersion: Int = startingVersion.getOrElse(vt.currentVersion)
+
+  // high-water mark of batch ends already handed out — the base the
+  // rate limit counts from. Restart recovery calls getBatch with the
+  // checkpointed range before the next getOffset, so the mark
+  // self-corrects past the checkpoint after a resume.
+  @volatile private var lastEnd: Int = initialVersion
 
   override val schema: StructType = VTableChangeSource.feedSchema(vt)
 
   // works for LongOffset and the SerializedOffset a restart hands back
   private def v(o: Offset): Int = o.json.trim.toInt
 
+  /** Without `maxVersionsPerTrigger` a batch covers everything up to
+    * the current version — a backfill from version 0 of a long-lived
+    * table is then ONE giant micro-batch (Delta's unthrottled shape).
+    * With it, each trigger admits at most that many commit versions,
+    * so the backlog drains as bounded batches and the sink's
+    * per-batch memory/commit cost stays flat while the stream catches
+    * up to the tail.
+    */
   override def getOffset: Option[Offset] = {
     val cur = vt.currentVersion
-    if (cur > initialVersion) Some(LongOffset(cur.toLong)) else None
+    val base = math.max(lastEnd, initialVersion)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(cur, base + m)
+      case None    => cur
+    }
+    if (capped > initialVersion && capped > lastEnd) Some(LongOffset(capped.toLong))
+    else None
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = v(end)
+    if (e > lastEnd) lastEnd = e
     org.apache.spark.sql.GraftSqlBridge.asStreamingFrame(
-      vt.readChangesSince(start.map(v).getOrElse(initialVersion), v(end)))
+      vt.readChangesSince(start.map(v).getOrElse(initialVersion), e))
+  }
 
   override def stop(): Unit = ()
 }

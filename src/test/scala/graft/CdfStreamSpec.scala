@@ -128,4 +128,39 @@ class CdfStreamSpec extends SparkSpecBase {
         s"want ResyncRequired in cause chain, got $e")
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger drains a commit backlog in bounded batches") {
+    import spark.implicits._
+    val root = tmp("cdfthrottle")
+    val dir = s"$root/t"
+    val t = VersionedTable(spark, dir)
+    t.enableCdf()
+    // 5-commit backlog BEFORE the stream starts (the backfill shape:
+    // unthrottled, this is one giant micro-batch)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "name")))
+    val q = spark.readStream
+      .format("graft.streaming.VTableChangeSourceProvider")
+      .option("path", dir)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdf_throttle")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      // exactly-once: each commit's row exactly one insert
+      assert(rows("cdf_throttle") == (1 to 5).map(i =>
+        (i.toLong, s"r$i", "insert", i)).toSet)
+      // the backlog drained as ≥3 bounded batches (2+2+1 versions),
+      // not one giant one
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"backlog drained in $dataBatches batches")
+      // the tail keeps flowing after catch-up
+      t.append(Seq((6L, "r6")).toDF("id", "name"))
+      q.processAllAvailable()
+      assert(rows("cdf_throttle").size == 6)
+    } finally q.stop()
+  }
 }

@@ -440,6 +440,48 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.readWhere(col("id") === 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("appendEvolve widens int→long and float→double; vintages and skipping hold") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x").coalesce(1)) // v1: int, float
+    t.appendEvolve(Seq((3L, 3.5d), (4L, 4.5d)).toDF("k", "x").coalesce(1)) // widens
+    val cur = t.read()
+    assert(cur.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(cur.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // old files read through the widened schema without rewrite
+    assert(cur.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      Seq((1L, 1.5d), (2L, 2.5d), (3L, 3.5d), (4L, 4.5d)))
+    // time travel keeps the narrow vintage
+    assert(t.read(1).schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t.read(1).schema("x").dataType == org.apache.spark.sql.types.FloatType)
+    // stats recorded under the old type still prune under the new one
+    val hit = t.readWhere(col("k") === 1L)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.readWhere(col("k") > 100L).count() == 0)
+    // an incoming NARROWER frame up-casts at write, schema stays wide
+    t.appendEvolve(Seq((5, 5.5f)).toDF("k", "x").coalesce(1))
+    assert(t.read().schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.read().where(col("k") === 5L).head().getDouble(1) == 5.5d)
+    // lossy changes still refuse
+    val e = intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq(("not-a-number", 1.0d)).toDF("k", "x"))
+    }
+    assert(e.getMessage.contains("cannot change column k"), e.getMessage)
+    // merge keyed on the widened column spans vintages correctly
+    t.merge(Seq((1L, 100.0d), (9L, 9.5d)).toDF("k", "x"), "k")
+    val after = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(after(1L) == 100.0d && after(9L) == 9.5d && after(2L) == 2.5d)
+    // a bloom-indexed column refuses to widen (sidecar hash domain)
+    val t2 = VersionedTable(spark, tmp())
+    t2.enableBloom(Seq("k"), expectedItemsPerFile = 100)
+    t2.append(Seq((1, "a")).toDF("k", "v").coalesce(1))
+    val eb = intercept[IllegalArgumentException] {
+      t2.appendEvolve(Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(eb.getMessage.contains("bloom/NDV-indexed"), eb.getMessage)
+  }
+
   test("readWhere skips range-disjoint files; result matches a plain filtered read") {
     import spark.implicits._
     val dir = tmp()
