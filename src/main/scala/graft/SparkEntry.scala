@@ -212,6 +212,8 @@ object SparkEntry {
     "q_vtable_lazy" -> ((s, d) => graft.sources.TableSkip.qVtableLazy(t(s, d))),
     "q_vtable_meta" -> ((s, d) => graft.sources.TableSkip.qVtableMeta(t(s, d))),
     "q_vtable_dfp" -> ((s, d) => graft.sources.TableSkip.qVtableDfp(t(s, d))),
+    "q_vtable_in" -> ((s, d) => graft.sources.TableSkip.qVtableIn(t(s, d))),
+    "q_table_evolve" -> ((s, d) => graft.sources.TableEvolve.qTableEvolve(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -1357,6 +1359,30 @@ object SparkEntry {
         | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders WHERE o_custkey % 97 = 0""".stripMargin,
+    // point-SET skipping (readWhere + isin): the sparse key set spans
+    // the clustered table end to end, so band pruning would admit
+    // every file; the IN-set constraint opens only admitting files —
+    // and must return exactly the plain IN filter's rows
+    "q_vtable_in" ->
+      """SELECT count(*) AS n_rows,
+        | coalesce(floor((sum(o_totalprice)) * 100 + 0.5) / 100, 0.0) AS total,
+        | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders WHERE o_custkey IN (97, 194, 9700)""".stripMargin,
+    // two vintages — (int, float) files widened in place to (long,
+    // double) with NO rewrite — must read back as the same union the
+    // oracle builds explicitly, float round-trip and all
+    "q_table_evolve" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(p)) * 100 + 0.5) / 100 AS total,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+        |)""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh
     // cycles; the oracle is the direct one-shot aggregate over all of
     // orders — gating that the incremental merge algebra is exact

@@ -2289,6 +2289,53 @@ object TableMerge {
   }
 }
 
+/** Contract query for lossless type-widening evolution: an orders
+  * snapshot lands narrow (int key, float price), a later append
+  * widens the committed schema to (long, double) WITHOUT rewriting
+  * the earlier files — Spark 4's parquet readers up-convert the old
+  * vintage at scan time. The read-back aggregate is oracled by
+  * reproducing the same two-vintage union (with the same float
+  * round-trip on the narrow half) in plain SQL, so the no-rewrite
+  * evolution path is itself under the DuckDB gate. Memoized per
+  * (session, corpus) like [[TableMerge]].
+  */
+object TableEvolve {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tevolve")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_e"
+      val vt = VersionedTable(t.spark, dir)
+      // narrow vintage: even keys as (int, float)
+      vt.append(t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").cast("float").as("price")))
+      // widening append: odd keys divisible by 3, native (long, double)
+      vt.appendEvolve(t.orders
+        .filter(col("o_orderkey") % 2 =!= 0 && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price")))
+      dir
+    }
+
+  def qTableEvolve(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+}
+
 /** Contract query for Bloom-index point lookups: orders lands in a
   * vtable keyed by `md5(o_orderkey)` — a uuid-shaped key whose
   * per-file [min,max] ranges all span the hex domain, so RANGE
@@ -2473,6 +2520,21 @@ object TableSkip {
     val keys = t.spark.read.parquet(builtKeys(t))
     VersionedTable(t.spark, builtTable(t)).scan()
       .join(keys, col("o_custkey") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
+  }
+
+  /** IN-set data skipping through `readWhere(isin)`: a sparse key
+    * set over the range-clustered table opens only the files whose
+    * [min,max] admit SOME key — the point-set constraint the band
+    * form of skipping can't express (a wide-straddling pair of keys
+    * bands to the whole table). Oracled as the plain IN filter.
+    */
+  def qVtableIn(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t))
+      .readWhere(col("o_custkey").isin(97L, 194L, 9700L))
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
         min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
