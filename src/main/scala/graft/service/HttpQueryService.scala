@@ -256,6 +256,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       service.checkConstraints(text(body, "table"), checks), 10000)
     s"""{"constraints":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
+  server.createContext("/rename", gated { body =>
+    val v = service.renameTableColumn(text(body, "path"),
+      text(body, "from"), text(body, "to"))
+    s"""{"renamed_as_version":$v}"""
+  })
   server.createContext("/restore", gated { body =>
     require(body.has("version"), "missing field: version")
     require(body.get("version").canConvertToInt,

@@ -152,6 +152,12 @@ final class QueryService(val spark: SparkSession) {
   def restoreTable(dir: String, version: Int): Int =
     graft.sources.VersionedTable(spark, dir).restore(version)
 
+  /** Rename a versioned table's column (metadata-only commit via
+    * column mapping — no file rewritten). Returns the new version.
+    */
+  def renameTableColumn(dir: String, oldName: String, newName: String): Int =
+    graft.sources.VersionedTable(spark, dir).renameColumn(oldName, newName)
+
   /** Row-level change feed of a versioned table in `(since, until]`
     * (until = -1 reads to the current version). Throws the table's
     * typed ResyncRequired when the window can't be answered — surfaced

@@ -595,18 +595,46 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       spark.sparkContext.parallelize(entries, 1), schema))
   }
 
+  /** Any column whose logical name differs from its stored name? */
+  private def hasMapping(st: StructType): Boolean =
+    st.fields.exists(f => VersionedTable.physicalName(f) != f.name)
+
+  /** The schema as parquet files store it: physical names, no
+    * mapping metadata (files know nothing about renames).
+    */
+  private def physicalSchema(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(name = VersionedTable.physicalName(f),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Rename a logical frame's data columns to their physical names
+    * for writing; `extra` columns (the CDF tag) pass through.
+    */
+  private def toPhysical(df: DataFrame, st: StructType,
+      extra: Seq[String] = Seq.empty): DataFrame =
+    if (!hasMapping(st)) df
+    else df.select(st.fields.toSeq.map(f =>
+      col(f.name).as(VersionedTable.physicalName(f))) ++ extra.map(col): _*)
+
   /** Read a manifest's data files WITH its committed schema pinned:
     * the scan never samples parquet footers, so a table whose files
     * predate an additive schema evolution reads back uniformly (old
     * files yield null for the added columns), and each time-travel
-    * version keeps its own column set. Manifests without a schema
-    * (raw commit path) fall back to footer inference.
+    * version keeps its own column set. Renamed columns read through
+    * their PHYSICAL names (stable across renames — files are never
+    * rewritten) and surface under the manifest's logical names.
+    * Manifests without a schema (raw commit path) fall back to
+    * footer inference.
     */
   private def readFiles(m: JsonNode, rels: Seq[String]): DataFrame = {
     val paths = rels.map(rel => s"$dir/$rel")
     Option(m.get("schema"))
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
       .filter(_.fields.nonEmpty) match {
+      case Some(st) if hasMapping(st) =>
+        spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+          .select(st.fields.toSeq.map(f =>
+            col(VersionedTable.physicalName(f)).as(f.name)): _*)
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None     => spark.read.parquet(paths: _*)
     }
@@ -1095,10 +1123,70 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * before rethrowing, so conflicts leak nothing. (private[graft]
     * for the same race-injection reason as commit.)
     */
+  /** The schema this commit stores: the frame's own, plus column-
+    * mapping metadata inherited by name from the previous committed
+    * schema — physical names are stable for a column's lifetime, so
+    * every rewrite (merge, compact, evolve) keeps writing renamed
+    * columns under their original stored names. `overwrite` resets
+    * (it replaces the file set whole — a fresh mapping-free schema).
+    * A NEW column whose name collides with an inherited physical
+    * name (add `a` after renaming some `a`→`b`) gets a synthesized
+    * physical name — two columns must never share stored storage.
+    */
+  private def inheritMapping(v: Int, op: String, base: StructType): StructType = {
+    if (op == "overwrite" || v <= 1) return base
+    val prevSchema =
+      try Option(manifest(v - 1).get("schema"))
+        .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      catch { case NonFatal(_) => None }
+    prevSchema.filter(hasMapping) match {
+      case None => base
+      case Some(ps) =>
+        val inherited = ps.fields.iterator
+          .filter(f => base.fieldNames.contains(f.name))
+          .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+        val taken = scala.collection.mutable.HashSet.empty[String]
+        taken ++= inherited.values
+        def withPhysical(f: StructField, p: String): StructField =
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(VersionedTable.PhysicalNameKey, p).build())
+        StructType(base.fields.map { f =>
+          inherited.get(f.name) match {
+            case Some(p) if p != f.name => withPhysical(f, p)
+            case Some(_)                => f
+            case None =>
+              if (taken.add(f.name)) f
+              else { val p = s"${f.name}__c$v"; taken += p; withPhysical(f, p) }
+          }
+        })
+    }
+  }
+
+  /** Remap a per-file stats node's column keys physical→logical (the
+    * stored convention: stats keys track the commit's LOGICAL names,
+    * re-keyed at each rename — read-side consumers never translate).
+    */
+  private def statsToLogical(st: StructType,
+      stats: Map[String, JsonNode]): Map[String, JsonNode] =
+    if (!hasMapping(st)) stats
+    else {
+      val toLogical = st.fields.iterator
+        .map(f => VersionedTable.physicalName(f) -> f.name).toMap
+      stats.map { case (file, node) =>
+        val out = mapper.createObjectNode()
+        node.properties().forEach { e =>
+          out.set[JsonNode](toLogical.getOrElse(e.getKey, e.getKey), e.getValue); ()
+        }
+        file -> (out: JsonNode)
+      }
+    }
+
   private[graft] def commitData(v: Int, op: String, df: DataFrame,
       carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
       epoch: Option[Long] = None, changes: Option[DataFrame] = None): Int = {
-    val (sub, fresh) = writeFiles(df)
+    val storeSchema = inheritMapping(v, op, df.schema)
+    val (sub, fresh) = writeFiles(toPhysical(df, storeSchema))
     // ANY failure past this point (stats pass, change write, lost
     // commit race, torn manifest write) leaves data no manifest
     // references — reclaim it here or it leaks forever (vacuum only
@@ -1109,12 +1197,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     var cdfSub: Option[String] = None
     try {
       val cdfRels = changes.map { ch =>
-        val (csub, crels) = writeFiles(ch, prefix = "cdf")
+        val (csub, crels) = writeFiles(
+          toPhysical(ch, storeSchema, extra = Seq(VersionedTable.ChangeTypeCol)),
+          prefix = "cdf")
         cdfSub = Some(csub)
         crels
       }
-      val stats = carriedStats ++ freshStats(sub, fresh, df.schema)
-      commit(v, op, carryForward ++ fresh, df.schema.json, stats, epoch, cdfRels)
+      val stats = carriedStats ++ statsToLogical(storeSchema,
+        freshStats(sub, fresh, physicalSchema(storeSchema)))
+      commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels)
     } catch {
       case scala.util.control.NonFatal(e) =>
         (Seq(sub) ++ cdfSub).foreach { s =>
@@ -1286,6 +1377,61 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
     }
     -1 // unreachable
+  }
+
+  /** Rename a column — a METADATA-ONLY commit (Delta's name-mode
+    * column mapping): the new schema carries the column's original
+    * PHYSICAL name in field metadata, every data file stays exactly
+    * where it is, and reads map stored→logical at scan time. Per-file
+    * stats re-key to the new logical name inside the same commit, so
+    * every read-side consumer (skipping, metadata aggregates, CBO
+    * stats, profile) speaks logical names only. Time travel keeps the
+    * old name at old versions. Refused for bloom/NDV-indexed columns
+    * (sidecar files are named by the column; re-pointing the config
+    * is the caller's explicit move) and for `_rows` (reserved).
+    * Change-feed consumers keep working across the rename — pieces
+    * align by physical identity — and `readAppendsSince` treats it
+    * as the zero-row commit it is.
+    */
+  def renameColumn(oldName: String, newName: String): Int = retryingRewrite {
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(newName.nonEmpty, "new column name must be non-empty")
+    require(newName != "_rows", "`_rows` is reserved for the per-file row count")
+    val prev = currentVersion
+    require(prev > 0, s"table at $dir has no committed version")
+    val m = manifest(prev)
+    val sNode = m.get("schema")
+    require(sNode != null && DataType.fromJson(sNode.asText())
+        .asInstanceOf[StructType].fields.nonEmpty,
+      s"table at $dir carries no committed schema (raw commits); cannot rename")
+    val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
+    require(st.fieldNames.contains(oldName),
+      s"no column `$oldName` in (${st.fieldNames.mkString(", ")})")
+    require(!st.fieldNames.contains(newName),
+      s"column `$newName` already exists")
+    val indexed = bloomConfig.exists(_.columns.contains(oldName)) ||
+      ndvConfig.exists(_.columns.contains(oldName))
+    require(!indexed,
+      s"cannot rename bloom/NDV-indexed column `$oldName`: sidecar files are " +
+        "named by it (drop the index config first)")
+    val renamed = StructType(st.fields.map { f =>
+      if (f.name == oldName)
+        f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(VersionedTable.PhysicalNameKey,
+              VersionedTable.physicalName(f)).build())
+      else f
+    })
+    val rekeyed = manifestStats(m).map { case (file, node) =>
+      val out = mapper.createObjectNode()
+      node.properties().forEach { e =>
+        out.set[JsonNode](
+          if (e.getKey == oldName) newName else e.getKey, e.getValue); ()
+      }
+      file -> (out: JsonNode)
+    }
+    commit(prev + 1, "rename", manifestFiles(m), renamed.json, rekeyed)
   }
 
   /** `from` values read losslessly as `to`: the widening promotions
@@ -1949,13 +2095,26 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val tgt = DataType.fromJson(tgtNode.asText()).asInstanceOf[StructType]
     // every piece aligns to the until-version schema: committed
     // columns in order (old files null-extend), then the two feed
-    // columns — so the union is well-typed across schema evolution
-    def align(df: DataFrame, version: Int): DataFrame = {
-      val have = df.columns.toSet
+    // columns — so the union is well-typed across schema evolution.
+    // Matching is by PHYSICAL identity (falling back to the name for
+    // unmapped columns): a rename inside the window changes logical
+    // names but never physical ones, so pre-rename pieces keep
+    // feeding the renamed column instead of null-extending; the cast
+    // up-converts pre-widening vintages losslessly.
+    def align(df: DataFrame, version: Int, pieceSchema: StructType): DataFrame = {
+      val byPhys = pieceSchema.fields.iterator
+        .map(f => VersionedTable.physicalName(f) -> f.name).toMap
       df.select(tgt.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+        byPhys.get(VersionedTable.physicalName(f)) match {
+          case Some(src) if df.columns.contains(src) =>
+            col(src).cast(f.dataType).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
       } :+ col(ct) :+ lit(version).as(cv): _*)
     }
+    def commitSchema(m: JsonNode): StructType = Option(m.get("schema"))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      .filter(_.fields.nonEmpty).getOrElse(tgt)
     var prevFiles =
       if (sinceVersion == 0) Set.empty[String]
       else manifestFiles(readManifest(sinceVersion)).toSet
@@ -1967,20 +2126,30 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         if (op == "append" || op == "stream-append") {
           val fresh = manifestFiles(m).filterNot(prevFiles)
           if (fresh.isEmpty) None
-          else Some(align(readFiles(m, fresh).withColumn(ct, lit("insert")), v))
+          else Some(align(readFiles(m, fresh).withColumn(ct, lit("insert")), v,
+            commitSchema(m)))
         } else manifestCdf(m) match {
           case Some(rels) =>
             if (rels.isEmpty) None
             else {
               // pin the change files to their OWN commit's schema (+
               // the tag column the writer appended) — a later additive
-              // evolution must not make old change files read wide
-              val st = Option(m.get("schema"))
-                .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
-                .getOrElse(tgt)
-                .add(StructField(ct, StringType, nullable = true))
-              Some(align(
-                spark.read.schema(st).parquet(rels.map(r => s"$dir/$r"): _*), v))
+              // evolution must not make old change files read wide.
+              // Mapped commits stored the change files under physical
+              // names; surface them logical like any data read.
+              val cs = commitSchema(m)
+              val paths = rels.map(r => s"$dir/$r")
+              val piece0 =
+                if (hasMapping(cs))
+                  spark.read.schema(StructType(physicalSchema(cs).fields.toSeq :+
+                      StructField(ct, StringType, nullable = true)))
+                    .parquet(paths: _*)
+                    .select(cs.fields.toSeq.map(f =>
+                      col(VersionedTable.physicalName(f)).as(f.name)) :+ col(ct): _*)
+                else
+                  spark.read.schema(cs.add(StructField(ct, StringType, nullable = true)))
+                    .parquet(paths: _*)
+              Some(align(piece0, v, cs))
             }
           case None if fs == prevFiles => None // no-op commit: zero changes
           case None if op == "compact" => None // bytes moved, rows unchanged
@@ -2148,6 +2317,18 @@ object VersionedTable {
   private[sources] final case class ScanMeta(bytes: Long, ndv: Map[String, Long])
   private[sources] val scanMeta =
     new graft.util.BoundedMemo[(String, Int, Seq[String]), ScanMeta](64, _ => ())
+
+  /** Field-metadata key carrying a column's PHYSICAL name — the name
+    * its values are stored under in parquet files (Delta's name-mode
+    * column mapping). Absent = physical equals the logical name,
+    * which is every column's state until a rename.
+    */
+  val PhysicalNameKey = "graft_physical"
+
+  /** The name `f`'s values are stored under on disk. */
+  private[sources] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
 
   /** Change-feed tag column: insert | delete | update_preimage |
     * update_postimage (Delta's _change_type vocabulary).

@@ -445,6 +445,20 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(post("/metrics", "{}").statusCode == 405)
   }
 
+  test("POST /rename renames a vtable column over HTTP; conflicts are 400") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-ren").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val res = post("/rename", s"""{"path":"$dir","from":"id","to":"doc_id"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""renamed_as_version":2"""), res.body)
+    assert(vt.read().columns.toSeq == Seq("doc_id", "v"))
+    // renaming onto an existing column is a client fault, not a 500
+    val bad = post("/rename", s"""{"path":"$dir","from":"doc_id","to":"v"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("POST /restore rolls a vtable back over HTTP; bad version is a 400") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-rest").toString + "/t"
