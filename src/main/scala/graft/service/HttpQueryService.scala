@@ -261,6 +261,10 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       text(body, "from"), text(body, "to"))
     s"""{"renamed_as_version":$v}"""
   })
+  server.createContext("/drop-column", gated { body =>
+    val v = service.dropTableColumn(text(body, "path"), text(body, "column"))
+    s"""{"dropped_as_version":$v}"""
+  })
   server.createContext("/restore", gated { body =>
     require(body.has("version"), "missing field: version")
     require(body.get("version").canConvertToInt,

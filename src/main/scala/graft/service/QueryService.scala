@@ -158,6 +158,12 @@ final class QueryService(val spark: SparkSession) {
   def renameTableColumn(dir: String, oldName: String, newName: String): Int =
     graft.sources.VersionedTable(spark, dir).renameColumn(oldName, newName)
 
+  /** Drop a versioned table's column (metadata-only commit; the
+    * storage name retires so a re-add gets fresh storage).
+    */
+  def dropTableColumn(dir: String, name: String): Int =
+    graft.sources.VersionedTable(spark, dir).dropColumn(name)
+
   /** Row-level change feed of a versioned table in `(since, until]`
     * (until = -1 reads to the current version). Throws the table's
     * typed ResyncRequired when the window can't be answered — surfaced

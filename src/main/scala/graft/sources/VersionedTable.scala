@@ -287,6 +287,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       arr.elements().asScala.map(_.asText()).toSeq
     }
 
+  /** Physical storage names of DROPPED columns — never reusable. */
+  private def retiredOf(m: JsonNode): Seq[String] =
+    Option(m.get("retired")).map { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Seq.empty)
+
   /** The exact relative file paths of a committed version (spec hook:
     * proves carried files keep their paths across a pruned MERGE).
     */
@@ -987,7 +994,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private[graft] def commit(v: Int, op: String, fileList: Seq[String],
       schemaJson: String = null, stats: Map[String, JsonNode] = Map.empty,
-      epoch: Option[Long] = None, cdf: Option[Seq[String]] = None): Int = {
+      epoch: Option[Long] = None, cdf: Option[Seq[String]] = None,
+      extraRetired: Seq[String] = Seq.empty): Int = {
     val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -996,6 +1004,26 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     node.put("ts", System.currentTimeMillis()) // commit wall time (history())
     if (schemaJson != null) node.put("schema", schemaJson)
     epoch.foreach { e => node.put("epoch", e); () }
+    // RETIRED physical storage names (dropped columns): carried
+    // forward on every commit, so a column later re-added under a
+    // dropped name can never be assigned the dropped data's storage —
+    // old files still hold those values, and reusing the name would
+    // resurrect them. Overwrite resets: its snapshot shares no files
+    // with the past.
+    val retired: Seq[String] =
+      if (op == "overwrite") extraRetired.distinct
+      else {
+        val prevRetired =
+          if (v <= 1) Seq.empty
+          else
+            try retiredOf(manifest(v - 1))
+            catch { case NonFatal(_) => Seq.empty }
+        (prevRetired ++ extraRetired).distinct
+      }
+    if (retired.nonEmpty) {
+      val ra = node.putArray("retired")
+      retired.foreach(ra.add)
+    }
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
     cdf.foreach { rels =>
@@ -1135,18 +1163,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     */
   private def inheritMapping(v: Int, op: String, base: StructType): StructType = {
     if (op == "overwrite" || v <= 1) return base
-    val prevSchema =
-      try Option(manifest(v - 1).get("schema"))
-        .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+    val prevM =
+      try Some(manifest(v - 1))
       catch { case NonFatal(_) => None }
-    prevSchema.filter(hasMapping) match {
-      case None => base
-      case Some(ps) =>
+    val prevSchema = prevM.flatMap(m => Option(m.get("schema")))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+    val retired = prevM.map(retiredOf).getOrElse(Seq.empty)
+    prevSchema match {
+      case Some(ps) if hasMapping(ps) || retired.nonEmpty =>
         val inherited = ps.fields.iterator
           .filter(f => base.fieldNames.contains(f.name))
           .map(f => f.name -> VersionedTable.physicalName(f)).toMap
         val taken = scala.collection.mutable.HashSet.empty[String]
         taken ++= inherited.values
+        taken ++= retired // dropped columns' storage is never reusable
         def withPhysical(f: StructField, p: String): StructField =
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
@@ -1160,6 +1190,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
               else { val p = s"${f.name}__c$v"; taken += p; withPhysical(f, p) }
           }
         })
+      case _ => base
     }
   }
 
@@ -1432,6 +1463,47 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       file -> (out: JsonNode)
     }
     commit(prev + 1, "rename", manifestFiles(m), renamed.json, rekeyed)
+  }
+
+  /** Drop a column — a METADATA-ONLY commit (op `drop`): the schema
+    * loses the field, data files keep their bytes untouched (the
+    * pinned read schema simply never selects the stored column), and
+    * the column's PHYSICAL storage name is recorded as RETIRED in the
+    * manifest so a column later re-added under the same name gets
+    * fresh storage instead of resurrecting the dropped values from
+    * old files. Stats shed the column's entries in the same commit.
+    * Time travel keeps the column at old versions; the change feed
+    * and `readAppendsSince` treat the drop as the zero-row commit it
+    * is. Refused for bloom/NDV-indexed columns and for the last
+    * remaining column.
+    */
+  def dropColumn(name: String): Int = retryingRewrite {
+    val prev = currentVersion
+    require(prev > 0, s"table at $dir has no committed version")
+    val m = manifest(prev)
+    val sNode = m.get("schema")
+    require(sNode != null && DataType.fromJson(sNode.asText())
+        .asInstanceOf[StructType].fields.nonEmpty,
+      s"table at $dir carries no committed schema (raw commits); cannot drop")
+    val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
+    val field = st.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column `$name` in (${st.fieldNames.mkString(", ")})"))
+    require(st.fields.length >= 2, "cannot drop a table's last column")
+    val indexed = bloomConfig.exists(_.columns.contains(name)) ||
+      ndvConfig.exists(_.columns.contains(name))
+    require(!indexed,
+      s"cannot drop bloom/NDV-indexed column `$name` (drop the index config first)")
+    val remaining = StructType(st.fields.filterNot(_.name == name))
+    val cleaned = manifestStats(m).map { case (file, node) =>
+      val out = mapper.createObjectNode()
+      node.properties().forEach { e =>
+        if (e.getKey != name) { out.set[JsonNode](e.getKey, e.getValue); () }
+      }
+      file -> (out: JsonNode)
+    }
+    commit(prev + 1, "drop", manifestFiles(m), remaining.json, cleaned,
+      extraRetired = Seq(VersionedTable.physicalName(field)))
   }
 
   /** `from` values read losslessly as `to`: the widening promotions

@@ -120,6 +120,55 @@ class ColumnMappingSpec extends SparkSpecBase {
     ()
   }
 
+  test("dropColumn: metadata-only, time travel keeps it, re-add gets fresh storage") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score").coalesce(1))
+    val vBefore = t.currentVersion
+    t.dropColumn("score")
+    assert(t.read().columns.toSeq == Seq("id", "name"))
+    assert(t.read().count() == 2)
+    // time travel keeps the dropped column's values
+    assert(t.read(vBefore).select("score").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(10.0, 20.0))
+    // new appends omit it (schema enforcement requires the new shape)
+    t.append(Seq((3L, "c")).toDF("id", "name").coalesce(1))
+    assert(t.read().count() == 3)
+    // RE-ADD a column named score: fresh storage — old files' dropped
+    // values must NOT resurrect (they read null)
+    t.appendEvolve(Seq((4L, "d", 99.0)).toDF("id", "name", "score"))
+    val byId = t.read().collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).isEmpty,
+      s"dropped values resurrected: $byId")
+    assert(byId(4L).contains(99.0))
+    // merge after the re-add keeps both vintages straight
+    t.merge(Seq((1L, "A", 1.5)).toDF("id", "name", "score"), "id")
+    val r1 = t.read().where(col("id") === 1L).head()
+    assert(r1.getString(1) == "A" && r1.getDouble(2) == 1.5)
+    // drop refusals
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+    val t2 = VersionedTable(spark, tmp())
+    t2.append(Seq(Tuple1(1L)).toDF("only").coalesce(1))
+    intercept[IllegalArgumentException] { t2.dropColumn("only") }
+    ()
+  }
+
+  test("drop of a RENAMED column retires its original storage name") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, 5L)).toDF("a", "keep").coalesce(1))
+    t.renameColumn("a", "b")
+    t.dropColumn("b") // physical storage was "a"
+    // re-adding logical "a" must get fresh storage, not the old bytes
+    t.appendEvolve(Seq((7L, 100L)).toDF("keep", "a"))
+    val rows = t.read().orderBy("keep").collect()
+    assert(t.read().columns.toSeq == Seq("keep", "a"))
+    assert(rows(0).getLong(0) == 5L && rows(0).isNullAt(1),
+      s"dropped storage resurrected: ${rows.toSeq}")
+    assert(rows(1).getLong(0) == 7L && rows(1).getLong(1) == 100L)
+  }
+
   test("overwrite resets the mapping (fresh schema, no stale physical names)") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())

@@ -457,6 +457,14 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     // renaming onto an existing column is a client fault, not a 500
     val bad = post("/rename", s"""{"path":"$dir","from":"doc_id","to":"v"}""")
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+    // drop over HTTP: metadata-only commit
+    val drop = post("/drop-column", s"""{"path":"$dir","column":"v"}""")
+    assert(drop.statusCode == 200, drop.body)
+    assert(drop.body.contains(""""dropped_as_version":3"""), drop.body)
+    assert(vt.read().columns.toSeq == Seq("doc_id"))
+    // dropping the last column is a client fault
+    val last = post("/drop-column", s"""{"path":"$dir","column":"doc_id"}""")
+    assert(last.statusCode == 400, s"${last.statusCode}: ${last.body}")
   }
 
   test("POST /restore rolls a vtable back over HTTP; bad version is a 400") {
