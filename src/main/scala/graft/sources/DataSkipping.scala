@@ -39,6 +39,13 @@ private[graft] object DataSkipping {
     * never matches null), so an all-null list refutes every file.
     */
   final case class AnyOf(column: String, values: Seq[Literal]) extends Constraint
+  /** A disjunction: the file may match iff SOME branch's constraint
+    * set can't be refuted. Only built when EVERY branch extracted at
+    * least one constraint — a branch the extractor can't bound makes
+    * the whole OR unbounded (sound-only). Branches may nest further
+    * OrOfs (`(a AND (b OR c)) OR d`).
+    */
+  final case class OrOf(branches: Seq[Seq[Constraint]]) extends Constraint
 
   /** IN-lists above this size are ignored for skipping — per-file
     * evaluation is O(values), and a list this wide rarely prunes a
@@ -88,8 +95,15 @@ private[graft] object DataSkipping {
     * …, "isNull") that only resolve to the typed nodes during
     * analysis.
     */
+  /** OR of two conjunct sets — or nothing when either side extracted
+    * nothing (an unbounded branch admits every file anyway).
+    */
+  private def orOf(l: Seq[Constraint], r: Seq[Constraint]): Seq[Constraint] =
+    if (l.isEmpty || r.isEmpty) Seq.empty else Seq(OrOf(Seq(l, r)))
+
   def constraints(e: Expression): Seq[Constraint] = e match {
     case And(l, r)                => constraints(l) ++ constraints(r)
+    case Or(l, r)                 => orOf(constraints(l), constraints(r))
     case EqualTo(l, r)            => cmp("=", l, r)
     case GreaterThan(l, r)        => cmp(">", l, r)
     case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
@@ -107,6 +121,7 @@ private[graft] object DataSkipping {
     case f: UnresolvedFunction if f.nameParts.sizeIs == 1 && !f.isDistinct =>
       (f.nameParts.head, f.arguments) match {
         case ("and", Seq(l, r))                   => constraints(l) ++ constraints(r)
+        case ("or", Seq(l, r))                    => orOf(constraints(l), constraints(r))
         case ("=" | "==", Seq(l, r))              => cmp("=", l, r)
         case (op @ (">" | ">=" | "<" | "<="), Seq(l, r)) => cmp(op, l, r)
         case ("isNull" | "isnull", Seq(a))        => name(a).map(RequiresNull).toSeq
@@ -131,7 +146,13 @@ private[graft] object DataSkipping {
     */
   def mayMatch(st: Option[JsonNode], schema: Option[StructType],
       cons: Seq[Constraint]): Boolean =
-    cons.forall {
+    cons.forall(check(st, schema, _))
+
+  private def check(st: Option[JsonNode], schema: Option[StructType],
+      con: Constraint): Boolean =
+    con match {
+      case OrOf(branches) =>
+        branches.exists(_.forall(check(st, schema, _)))
       case RequiresNull(c) =>
         st.flatMap(n => Option(n.get(c))) match {
           // only a three-element ARRAY entry with hasNulls=false PROVES

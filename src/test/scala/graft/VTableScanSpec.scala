@@ -415,6 +415,35 @@ class VTableScanSpec extends SparkSpecBase {
     assert(cboRows.length == 500)
   }
 
+  test("OR predicates prune files when every branch is boundable") {
+    val t = sixFiles()
+    // two point branches in different files: 2 of 6 open
+    val either = t.readWhere(col("id") === 5L || col("id") === 305L)
+    assert(either.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 305L))
+    assert(scanFiles(either) == 2, s"OR of points opened ${scanFiles(either)}")
+    // range OR range, straddling
+    val ranges = t.readWhere(col("id") < 20L || col("id") >= 500L)
+    assert(ranges.count() == 40)
+    assert(scanFiles(ranges) == 2, s"OR of ranges opened ${scanFiles(ranges)}")
+    // an unboundable branch disables the OR (sound), result unchanged
+    val opaque = t.readWhere(col("id") < 20L || col("id") % 7 === 3L)
+    assert(opaque.collect().map(_.getLong(0)).sorted.toSeq ==
+      t.read().where(col("id") < 20L || col("id") % 7 === 3L)
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(scanFiles(opaque) == 6)
+    // OR nested under AND composes with the conjunct's own pruning
+    val nested = t.readWhere((col("id") === 5L || col("id") === 305L) &&
+      col("name").isNotNull)
+    assert(nested.count() == 2)
+    assert(scanFiles(nested) == 2)
+    // the SQL spelling through the lazy scan prunes identically
+    t.scan().createOrReplaceTempView("__graft_vscan_or")
+    val sql = spark.sql(
+      "SELECT count(*) AS n FROM __graft_vscan_or WHERE id = 5 OR id = 305")
+    assert(sql.head().getLong(0) == 2)
+    assert(scanFiles(sql) == 2, s"SQL OR opened ${scanFiles(sql)}")
+  }
+
   test("unrecognized conjunct shapes keep the recognized ones pruning") {
     val t = sixFiles()
     val odd = t.scan().where(col("id") % 2 === 1 && col("id") < 100L)
