@@ -213,7 +213,9 @@ object SparkEntry {
     "q_vtable_meta" -> ((s, d) => graft.sources.TableSkip.qVtableMeta(t(s, d))),
     "q_vtable_dfp" -> ((s, d) => graft.sources.TableSkip.qVtableDfp(t(s, d))),
     "q_vtable_in" -> ((s, d) => graft.sources.TableSkip.qVtableIn(t(s, d))),
+    "q_vtable_or" -> ((s, d) => graft.sources.TableSkip.qVtableOr(t(s, d))),
     "q_table_evolve" -> ((s, d) => graft.sources.TableEvolve.qTableEvolve(t(s, d))),
+    "q_table_rename" -> ((s, d) => graft.sources.TableMapping.qTableRename(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -1368,6 +1370,16 @@ object SparkEntry {
         | coalesce(floor((sum(o_totalprice)) * 100 + 0.5) / 100, 0.0) AS total,
         | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders WHERE o_custkey IN (97, 194, 9700)""".stripMargin,
+    // disjunctive skipping: each OR branch prunes with its own
+    // constraint set; a file opens when SOME branch survives — and
+    // the result must equal the plain SQL disjunction's rows
+    "q_vtable_or" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders
+        |WHERE (o_custkey BETWEEN 20 AND 80 AND o_totalprice > 2000)
+        |   OR o_custkey BETWEEN 120 AND 140""".stripMargin,
     // two vintages — (int, float) files widened in place to (long,
     // double) with NO rewrite — must read back as the same union the
     // oracle builds explicitly, float round-trip and all
@@ -1382,6 +1394,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice
         |  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+        |)""".stripMargin,
+    // rename + drop + re-add were METADATA-ONLY commits: the oracle
+    // rebuilds the final logical snapshot from orders directly —
+    // renamed `amount` must serve pre-rename files' stored `price`,
+    // and dropped `pri` values must NOT resurrect for pre-drop rows
+    // (their pri is null; only the re-added era carries values)
+    "q_table_rename" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(amount)) * 100 + 0.5) / 100 AS total,
+        | count(pri) AS n_pri, min(pri) AS min_pri, max(k) AS max_k
+        |FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS amount,
+        |         CAST(NULL AS VARCHAR) AS pri
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR)
+        |  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, substr(o_orderpriority, 1, 1)
+        |  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0
+        |    AND o_orderkey % 5 = 0
         |)""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh
     // cycles; the oracle is the direct one-shot aggregate over all of

@@ -23,8 +23,16 @@ object Verify {
     // 144-query gate fast as the contract grows; serial wall time was
     // dominated by per-query scheduling gaps, not CPU.
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    // local-iteration subset (comma-separated names); the driver's
+    // gate leaves this unset and dumps the full contract
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -54,7 +62,7 @@ object Verify {
     // manifest of every declared query, so the gate can fail on
     // missing outputs instead of silently skipping a crashed query
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -223,6 +223,26 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       case _ => true
     }
 
+  /** Does file `f` survive a point-set probe on `column`? The probe
+    * hash set is selected by the FILE's sidecar build type (stats key
+    * `__bt_<column>`, default: the current committed type), so a
+    * filter built before a type widening is probed with its own
+    * era's hashes. An EMPTY hash set refutes without touching the
+    * sidecar: none of the probed values is representable in the
+    * file's value type, so no row can match. Unknown build tags (and
+    * probes [[probeHashes]] couldn't classify) admit.
+    */
+  private def bloomAdmits(f: String, column: String, defaultTag: String,
+      byTag: Map[String, Array[Long]], stats: Map[String, JsonNode]): Boolean = {
+    val tag = stats.get(f).flatMap(n => Option(n.get(s"__bt_$column")))
+      .map(_.asText).getOrElse(defaultTag)
+    byTag.get(tag) match {
+      case Some(hs) if hs.isEmpty => false
+      case Some(hs)               => bloomMayContainAny(f, column, hs)
+      case None                   => true
+    }
+  }
+
   /** Latest committed version, 0 if the table is empty. With a
     * checkpoint pointer present this probes forward from the
     * checkpointed version — never a full log listing; without one
@@ -389,34 +409,34 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
     val cons = DataSkipping.constraints(pred)
     // bloom refinement for point lookups (`col === x` on an indexed
-    // column): one local 1-row job hashes each equality literal with
-    // xxhash64 IN THE COMMITTED COLUMN TYPE (the build-side hash), and
-    // files whose sidecar filter refutes any required point are never
-    // opened — the uuid-key case where every file's [min,max] range
-    // spans the domain and range skipping is powerless
-    val ptHashes: Seq[(String, Array[Long])] = {
+    // column): each equality/IN literal is hashed driver-side with
+    // the SAME xxhash64 the sidecar build ran — once per sidecar
+    // BUILD TYPE present in the snapshot, so files written before a
+    // type widening are probed with their own era's hashes — and
+    // files whose filter refutes any required point are never opened,
+    // the uuid-key case where every file's [min,max] range spans the
+    // domain and range skipping is powerless
+    val ptProbes: Seq[(String, String, Map[String, Array[Long]])] = {
       val indexed = bloomConfig.map(_.columns.toSet).getOrElse(Set.empty[String])
       val pts =
         if (indexed.isEmpty) Seq.empty
         else DataSkipping.pointSets(cons, schema).filter(p => indexed(p._1))
-      if (pts.isEmpty) Seq.empty
-      else {
-        import org.apache.spark.sql.functions.xxhash64
-        // flatten every constraint's value set into one 1-row hashing
-        // job, then regroup: a file must pass EVERY constraint, and
-        // passes one when the sidecar admits ANY of its hashes
-        val flat = pts.flatMap { case (c, vs, dt) => vs.map(v => (c, v, dt)) }
-        val row = spark.range(1).select(flat.zipWithIndex.map { case ((_, w, dt), i) =>
-          xxhash64(lit(w).cast(dt)).as(s"__h$i") }: _*).head()
-        val it = Iterator.from(0)
-        pts.map { case (c, vs, _) =>
-          (c, vs.map(_ => row.getLong(it.next())).toArray)
-        }
+      pts.map { case (c, vs, dt) =>
+        val defaultTag = VersionedTable.typeTag(dt)
+        val tags = stats.valuesIterator
+          .flatMap(n => Option(n.get(s"__bt_$c")).map(_.asText)).toSet + defaultTag
+        // a tag absent from the map admits (unknown build type)
+        val byTag = tags.iterator.flatMap { tag =>
+          VersionedTable.tagType(tag)
+            .flatMap(bt => VersionedTable.probeHashes(vs, bt)).map(tag -> _)
+        }.toMap
+        (c, defaultTag, byTag)
       }
     }
     val keep = manifestFiles(m)
       .filter(f => DataSkipping.mayMatch(stats.get(f), schema, cons) &&
-        ptHashes.forall { case (c, hs) => bloomMayContainAny(f, c, hs) })
+        ptProbes.forall { case (c, defaultTag, byTag) =>
+          bloomAdmits(f, c, defaultTag, byTag, stats) })
     if (keep.nonEmpty) readFiles(m, keep)
     else emptySnapshot(m)
   }
@@ -916,6 +936,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         putStatEntry(node, f, r.get(2 + 3 * i), r.get(3 + 3 * i),
           hasNulls = nonNull < total, nn = Some(nonNull))
       }
+      // sidecar BUILD TYPE per bloom column: probes must hash in the
+      // type the filter was built with, not the (possibly since
+      // widened) committed type — consulted by every probe site via
+      // bloomAdmits; appendEvolve stamps it onto files that predate
+      // this record when it widens an indexed column
+      bloomCols.foreach { case (c, _) =>
+        node.put(s"__bt_$c", VersionedTable.typeTag(schema(c).dataType)); () }
       // per-file ROW COUNT, free in this same pass: sums to the exact
       // snapshot cardinality (copy-on-write, no tombstones), which the
       // lazy scan serves as Statistics.rowCount and the metadata-only
@@ -1373,9 +1400,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * before the widening are NOT rewritten — the pinned read schema
     * up-converts their values at scan time, and time travel keeps
     * each version's own vintage. Any other type change remains
-    * `overwrite`'s job, and a bloom/NDV-indexed column refuses to
-    * widen (sidecars hash the committed type; probing them with the
-    * widened type's hashes would unsoundly prune). The committed
+    * `overwrite`'s job. A bloom-indexed column may widen — sidecars
+    * record their build type per file (`__bt_` stats entries) and
+    * every probe site hashes in the file's own era — but an
+    * NDV-indexed column refuses (HLL sketches union across files;
+    * mixed build types would double-count). The committed
     * schema becomes the union: committed columns first (in their
     * order), added columns after, every column that either side can
     * leave unset marked nullable; old files yield null for added
@@ -1399,8 +1428,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       val aligned = df.select(union.fields.toSeq.map(f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
+      // widening a bloom-indexed column: stamp every carried stats
+      // node that lacks a build-type record with the PRE-widen
+      // committed type. Files written before build types were
+      // recorded could only have been built in that type (widening
+      // used to refuse outright on indexed columns), so the one-time
+      // stamp here keeps their probes sound ever after
+      val widenedBloom = committed.fields.toSeq.collect {
+        case f if bloomConfig.exists(_.columns.contains(f.name)) &&
+            union.fields.exists(u => u.name == f.name && u.dataType != f.dataType) =>
+          f.name -> VersionedTable.typeTag(f.dataType)
+      }
+      val carried =
+        if (widenedBloom.isEmpty) manifestStats(m)
+        else manifestStats(m).map { case (file, node) =>
+          val cp = node.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+          widenedBloom.foreach { case (c, tag) =>
+            if (!cp.has(s"__bt_$c")) { cp.put(s"__bt_$c", tag); () } }
+          file -> (cp: JsonNode)
+        }
       try return commitData(prev + 1, "append", aligned,
-        manifestFiles(m), manifestStats(m))
+        manifestFiles(m), carried)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -1533,14 +1581,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         case Some(g) if g.dataType == f.dataType => f
         case Some(g) if widens(g.dataType, f.dataType) => f // up-cast at write
         case Some(g) if widens(f.dataType, g.dataType) =>
-          // sidecar hashes are computed in the committed column type;
-          // a widened probe would hash differently and unsoundly
-          // prune old files, so indexed columns refuse to widen
-          val indexed = bloomConfig.exists(_.columns.contains(f.name)) ||
-            ndvConfig.exists(_.columns.contains(f.name))
-          require(!indexed,
-            s"appendEvolve cannot widen bloom/NDV-indexed column ${f.name}: " +
-              "sidecars hash the committed type (drop the index config first)")
+          // bloom sidecars record their BUILD type per file (stats key
+          // `__bt_<col>`), so probes hash each file in its own era and
+          // bloom-indexed columns may widen freely. NDV sketches can't:
+          // they UNION across files, and the same value hashed under
+          // two build types would double-count every surviving distinct
+          require(!ndvConfig.exists(_.columns.contains(f.name)),
+            s"appendEvolve cannot widen NDV-indexed column ${f.name}: " +
+              "HLL sidecars hash the committed type and union across " +
+              "files (drop the ndv config first)")
           f.copy(dataType = g.dataType)
         case Some(g) =>
           throw new IllegalArgumentException(
@@ -1636,12 +1685,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         Option(m.get("schema")).map(_.asText()).orNull, stats)
     // bloom refinement as in delete(); null-flagged files stay touched
     // regardless (the null-raise coverage rule above bloom's pay grade)
-    val probeHashes = deleteProbeHashes(updates, key, prunable = true)
+    val probe = deleteProbeHashes(updates, key, prunable = true, stats)
     val (touched, untouched) =
       if (b.isNullAt(1)) (files, Seq.empty[String]) // all-null keys: upsert raises below
       else files.partition(f =>
         (rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) &&
-          probeHashes.forall(hs => bloomMayContainAny(f, key, hs))) ||
+          probe.forall { case (dTag, byTag) => bloomAdmits(f, key, dTag, byTag, stats) }) ||
           statMayHaveNulls(stats.get(f), key))
     val base =
       if (touched.nonEmpty) readFiles(m, touched)
@@ -1715,15 +1764,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // point-lookup refinement: with a bloom index on the key and a
     // small delete set, files the filter proves key-free are carried
     // even when their [min,max] range overlaps (the uuid-key case
-    // where ranges never prune). Hashes come from a bounded Spark job
-    // over the pinned keys frame — build and probe share xxhash64 of
-    // the committed column type, which `prunable` just verified
-    val probeHashes = deleteProbeHashes(keys, key, prunable)
+    // where ranges never prune). Keys come from one bounded collect
+    // of the pinned frame, hashed per sidecar build type — build and
+    // probe share xxhash64 of each file's own committed-era type
+    val probe = deleteProbeHashes(keys, key, prunable, stats)
     val (touched, untouched) =
       if (!prunable) (files, Seq.empty[String])
       else files.partition(f =>
         rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) &&
-          probeHashes.forall(hs => bloomMayContainAny(f, key, hs)))
+          probe.forall { case (dTag, byTag) => bloomAdmits(f, key, dTag, byTag, stats) })
     if (touched.isEmpty)
       return commit(v + 1, "delete", files, schemaJson, stats)
     val base = readFiles(m, touched)
@@ -1746,19 +1795,41 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       changes = changes)
   }
 
-  /** Distinct xxhash64 values of a small DELETE/MERGE key set, or None
+  /** Per-build-type probe hash sets of a small DELETE/MERGE key set
+    * (as `(defaultTag, tag → hashes)` for [[bloomAdmits]]), or None
     * when bloom probing doesn't apply (no index on the key, key-type
     * mismatch, or a key set past [[VersionedTable.MaxBloomProbeKeys]]).
+    * One bounded collect of the raw keys, then driver-side hashing
+    * per sidecar build type present in the snapshot — files filtered
+    * before a type widening are probed with their own era's hashes.
+    * Key types outside the widening-capable stats domain (timestamp,
+    * …) keep the old single-era Spark-job hash: they can never have
+    * widened, so the committed-type hash is the build hash.
     */
-  private def deleteProbeHashes(keys: DataFrame, key: String,
-      prunable: Boolean): Option[Array[Long]] = {
+  private def deleteProbeHashes(keys: DataFrame, key: String, prunable: Boolean,
+      stats: Map[String, JsonNode]): Option[(String, Map[String, Array[Long]])] = {
     if (!prunable || !bloomConfig.exists(_.columns.contains(key))) return None
-    import org.apache.spark.sql.functions.xxhash64
-    val hs = keys.where(col(key).isNotNull)
-      .select(xxhash64(col(key)).as("h")).distinct()
-      .limit(VersionedTable.MaxBloomProbeKeys + 1)
-      .collect().map(_.getLong(0))
-    if (hs.length > VersionedTable.MaxBloomProbeKeys) None else Some(hs)
+    val cap = VersionedTable.MaxBloomProbeKeys
+    val defaultTag = VersionedTable.typeTag(keys.schema(key).dataType)
+    val tags = stats.valuesIterator
+      .flatMap(n => Option(n.get(s"__bt_$key")).map(_.asText)).toSet + defaultTag
+    if (VersionedTable.tagType(defaultTag).isEmpty) {
+      // non-widenable key type: hash in one tiny Spark job, exactly
+      // the committed type (= every sidecar's build type)
+      import org.apache.spark.sql.functions.xxhash64
+      val hs = keys.where(col(key).isNotNull)
+        .select(xxhash64(col(key)).as("h")).distinct()
+        .limit(cap + 1).collect().map(_.getLong(0))
+      return if (hs.length > cap) None else Some((defaultTag, Map(defaultTag -> hs)))
+    }
+    val vs = keys.where(col(key).isNotNull).select(col(key)).distinct()
+      .limit(cap + 1).collect().map(_.get(0)).toSeq
+    if (vs.length > cap) return None
+    val byTag = tags.iterator.flatMap { tag =>
+      VersionedTable.tagType(tag)
+        .flatMap(bt => VersionedTable.probeHashes(vs, bt)).map(tag -> _)
+    }.toMap
+    Some((defaultTag, byTag))
   }
 
   /** Predicate DELETE — the retention/TTL path (`DELETE WHERE
@@ -2381,6 +2452,85 @@ object VersionedTable {
     */
   val MaxBloomProbeKeys = 10000
 
+  /** Manifest tag naming a bloom sidecar's BUILD type — the committed
+    * column type at the commit that wrote the filter. Stored per file
+    * as stats key `__bt_<column>` so probes after a type widening can
+    * hash in each file's own era (xxhash64 of int ≠ xxhash64 of long
+    * for the same value).
+    */
+  private[sources] def typeTag(dt: DataType): String = dt.catalogString
+
+  private[sources] def tagType(tag: String): Option[DataType] = tag match {
+    case "tinyint"  => Some(ByteType)
+    case "smallint" => Some(ShortType)
+    case "int"      => Some(IntegerType)
+    case "bigint"   => Some(LongType)
+    case "float"    => Some(FloatType)
+    case "double"   => Some(DoubleType)
+    case "string"   => Some(StringType)
+    case _          => None // unrecognized build type: probes admit
+  }
+
+  private sealed trait StoredRepr
+  private final case class StoredAs(v: Any) extends StoredRepr
+  private case object OutOfDomain extends StoredRepr
+  private case object Unclassified extends StoredRepr
+
+  /** `v` (a pointSets/probe value in the CURRENT committed domain:
+    * boxed integral, Double/Float, or String) as the JVM value a
+    * `bt`-typed column stores — or OutOfDomain when no bt-typed row
+    * can ever equal it (a long beyond int range, a double that does
+    * not survive the float round-trip), which lets the probe REFUTE
+    * the file instead of hashing a wrapped value.
+    */
+  private def stored(v: Any, bt: DataType): StoredRepr = (v, bt) match {
+    case (n: java.lang.Number, ByteType | ShortType | IntegerType | LongType)
+        if !v.isInstanceOf[java.lang.Double] && !v.isInstanceOf[java.lang.Float] =>
+      val l = n.longValue()
+      bt match {
+        case ByteType if l >= Byte.MinValue && l <= Byte.MaxValue => StoredAs(l.toByte)
+        case ShortType if l >= Short.MinValue && l <= Short.MaxValue => StoredAs(l.toShort)
+        case IntegerType if l >= Int.MinValue && l <= Int.MaxValue => StoredAs(l.toInt)
+        case LongType => StoredAs(l)
+        case _ => OutOfDomain
+      }
+    case (d: java.lang.Double, DoubleType) => StoredAs(d.doubleValue())
+    case (d: java.lang.Double, FloatType) =>
+      val f = d.floatValue()
+      if (d.isNaN || f.toDouble == d.doubleValue()) StoredAs(f) else OutOfDomain
+    case (f: java.lang.Float, FloatType) => StoredAs(f.floatValue())
+    case (f: java.lang.Float, DoubleType) => StoredAs(f.doubleValue())
+    case (s: String, StringType) =>
+      StoredAs(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case (u: org.apache.spark.unsafe.types.UTF8String, StringType) => StoredAs(u)
+    case _ => Unclassified
+  }
+
+  /** xxhash64 of each probe value AS build type `bt` — bit-for-bit
+    * the hash a sidecar built when the column was bt-typed holds:
+    * [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
+    * IS the `functions.xxhash64` expression's interpreted evaluator
+    * (same algorithm, same default seed 42; equality asserted in
+    * WidenBloomSpec). Values not exactly representable in `bt` are
+    * DROPPED — a file whose values are all bt-typed can never
+    * contain them, so an emptied probe set refutes the file without
+    * touching its sidecar. None = some value could not be classified
+    * (caller must admit).
+    */
+  private[graft] def probeHashes(values: Seq[Any], bt: DataType): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val out = Array.newBuilder[Long]
+    val it = values.iterator
+    while (it.hasNext) {
+      stored(it.next(), bt) match {
+        case StoredAs(v)   => out += XxHash64Function.hash(v, bt, 42L)
+        case OutOfDomain   => ()
+        case Unclassified  => return None
+      }
+    }
+    Some(out.result())
+  }
+
   /** scan()'s per-file driver metadata (summed file bytes, NDV
     * sidecar unions), memoized per (dir, version, ndv-columns) — the
     * file set of a committed version is immutable, so this work is
@@ -2589,6 +2739,67 @@ object TableEvolve {
   }
 }
 
+/** Contract query for column-mapping evolution: RENAME, DROP, and
+  * re-ADD under the dropped name — three metadata-only commits that
+  * never rewrite a data file — then one read of the final snapshot.
+  * Gated against the DuckDB oracle, this proves: the renamed column
+  * still serves every pre-rename file's values (name-mode mapping
+  * reads stored `price` as logical `amount`); dropped values NEVER
+  * resurrect when the name is re-added (the retired storage name
+  * forces fresh synthesized storage, so pre-drop rows read null
+  * `pri`); and rows from every era align on the logical schema.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object TableMapping {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tmapping")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_m"
+      val vt = VersionedTable(t.spark, dir)
+      // v1: even keys under the ORIGINAL names (k, price, pri)
+      vt.append(t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("pri")))
+      // v2: metadata-only rename — v1's files stay, stored as `price`
+      vt.renameColumn("price", "amount")
+      // v3: odd keys divisible by 3, written under the NEW name
+      vt.append(t.orders
+        .filter(col("o_orderkey") % 2 =!= 0 && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("amount"),
+          col("o_orderpriority").as("pri")))
+      // v4: metadata-only drop — `pri`'s storage name is retired
+      vt.dropColumn("pri")
+      // v5: re-ADD `pri` (different derivation) — must get synthesized
+      // storage, never v1/v3's still-on-disk values
+      vt.appendEvolve(t.orders
+        .filter(col("o_orderkey") % 2 =!= 0 && col("o_orderkey") % 3 =!= 0 &&
+          col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("amount"),
+          substring(col("o_orderpriority"), 1, 1).as("pri")))
+      dir
+    }
+
+  def qTableRename(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("amount"), 2).as("total"),
+        count(col("pri")).as("n_pri"), min(col("pri")).as("min_pri"),
+        max(col("k")).as("max_k"))
+  }
+}
+
 /** Contract query for Bloom-index point lookups: orders lands in a
   * vtable keyed by `md5(o_orderkey)` — a uuid-shaped key whose
   * per-file [min,max] ranges all span the hex domain, so RANGE
@@ -2722,6 +2933,25 @@ object TableSkip {
     import org.apache.spark.sql.functions._
     VersionedTable(t.spark, builtTable(t))
       .readWhere(col("o_custkey").between(100L, 500L))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))
+  }
+
+  /** Disjunctive skipping end to end: an OR whose branches are a
+    * clustered-key band conjoined with a price floor, and a second
+    * key band. Each branch extracts its own constraint set and a file
+    * opens only when SOME branch survives its stats
+    * ([[DataSkipping]]'s OrOf) — on the range-clustered layout the
+    * two bands admit disjoint file subsets, so the scan opens their
+    * union, not the whole table. The oracle applies the same
+    * disjunction in SQL: skipping must never change WHICH rows match.
+    */
+  def qVtableOr(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t))
+      .readWhere((col("o_custkey").between(20L, 80L) && col("o_totalprice") > 2000) ||
+        col("o_custkey").between(120L, 140L))
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("o_totalprice"), 2).as("total"),
         min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"))

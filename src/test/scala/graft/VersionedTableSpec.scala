@@ -472,14 +472,15 @@ class VersionedTableSpec extends SparkSpecBase {
     t.merge(Seq((1L, 100.0d), (9L, 9.5d)).toDF("k", "x"), "k")
     val after = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(after(1L) == 100.0d && after(9L) == 9.5d && after(2L) == 2.5d)
-    // a bloom-indexed column refuses to widen (sidecar hash domain)
+    // a bloom-indexed column NOW widens (probes hash per-file in the
+    // sidecar's recorded build type — WidenBloomSpec owns the pruning
+    // contract); NDV-indexed columns still refuse (sketches union)
     val t2 = VersionedTable(spark, tmp())
     t2.enableBloom(Seq("k"), expectedItemsPerFile = 100)
     t2.append(Seq((1, "a")).toDF("k", "v").coalesce(1))
-    val eb = intercept[IllegalArgumentException] {
-      t2.appendEvolve(Seq((2L, "b")).toDF("k", "v"))
-    }
-    assert(eb.getMessage.contains("bloom/NDV-indexed"), eb.getMessage)
+    t2.appendEvolve(Seq((2L, "b")).toDF("k", "v"))
+    assert(t2.read().schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(t2.readWhere(col("k") === 1L).count() == 1)
   }
 
   test("readWhere skips range-disjoint files; result matches a plain filtered read") {
