@@ -27,7 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq
 
 // ExtensionsSpec must build the FIRST session in its JVM to prove the
 // spark.sql.extensions config-string injection path — in the shared

@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.cbo.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
+      .config("spark.sql.cbo.joinReorder.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CBO", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

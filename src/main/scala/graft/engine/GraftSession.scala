@@ -27,6 +27,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cost-based optimization ON by default: plans without catalog
+      // stats are bit-identical either way (CboParitySpec proves it
+      // over the stats-less contract queries — Spark falls back to
+      // sizeInBytes heuristics), and vtable lazy scans carry exact
+      // rowCount + NDV attributeStats from the commit manifest, which
+      // lets the reorderer put the selective dim first in multi-way
+      // joins (VTableScanSpec's CBO reorder test)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -119,6 +119,32 @@ class WidenBloomSpec extends SparkSpecBase {
     assert(e.getMessage.contains("NDV-indexed"))
   }
 
+  test("compact after widening rebuilds sidecars in the wide era; probes stay exact") {
+    val t = widened(tmp())
+    t.compact(targetBytes = 1L << 30) // packs every era into one file
+    assert(t.read().count() == 11)
+    val hit = t.readWhere(col("k") === 21L)
+    assert(hit.count() == 2)
+    assert(hit.inputFiles.length == 1, hit.inputFiles.mkString(","))
+    // absent key inside the packed range: only the fresh bigint-era
+    // sidecar can refute it
+    assert(t.readWhere(col("k") === 99L).count() == 0)
+    assert(t.readWhere(col("k") === 4100000000L).count() == 1)
+  }
+
+  test("change feed reads across a widening append") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableCdf()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.appendEvolve(Seq((5000000000L, "c")).toDF("k", "v"))
+    val ch = t.readChangesSince(0)
+    assert(ch.schema("k").dataType == LongType)
+    val inserts = ch.where(col(VersionedTable.ChangeTypeCol) === "insert")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(inserts == Set(1L, 2L, 5000000000L))
+  }
+
   test("widening stamps carried files that predate build-type records") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
