@@ -1669,7 +1669,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     retryingRewrite(mergeOnce(updates, key))
   }
 
-  private def mergeOnce(updates: DataFrame, key: String): Int = {
+  private def mergeOnce(updates: DataFrame, key: String,
+      epoch: Option[Long] = None): Int = {
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
@@ -1681,8 +1682,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     if (b.getLong(0) == 0)
       // empty update set: a visible no-op commit carrying every file
+      // (and the epoch, so a replayed empty batch stays absorbed)
       return commit(v + 1, "merge", files,
-        Option(m.get("schema")).map(_.asText()).orNull, stats)
+        Option(m.get("schema")).map(_.asText()).orNull, stats, epoch)
     // bloom refinement as in delete(); null-flagged files stay touched
     // regardless (the null-raise coverage rule above bloom's pay grade)
     val probe = deleteProbeHashes(updates, key, prunable = true, stats)
@@ -1716,7 +1718,36 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
     commitData(v + 1, "merge", Merge.upsert(base, updates, key),
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
-      changes = changes)
+      epoch = epoch, changes = changes)
+  }
+
+  /** Epoch-idempotent streaming UPSERT — the CDC-apply form of
+    * [[appendEpoch]]: each micro-batch MERGEs by key (update matched,
+    * insert new), with the commit keyed by the epoch id so a batch
+    * re-delivered after a crash is skipped whole. At-least-once batch
+    * delivery × epoch-keyed commit = each batch's upsert applied
+    * exactly once. Pruning (stats + bloom, per-era hashes), CDF
+    * emission, and the null-key raise are [[merge]]'s own; lost OCC
+    * races against maintenance commits retry on the fresh snapshot,
+    * re-checking the epoch first (a duplicate delivery that lost to
+    * its twin is absorbed, not double-applied). Same single-writer
+    * assumption as appendEpoch: one streaming query per table.
+    */
+  def mergeEpoch(updates0: DataFrame, key: String, epochId: Long): Option[Int] = {
+    // same single-evaluation pin as merge(): bounds and rewrite must
+    // agree on the update set across retries
+    val updates = updates0.localCheckpoint()
+    var attempt = 0
+    while (true) {
+      if (lastCommittedEpoch.exists(_ >= epochId)) return None
+      try return Some(mergeOnce(updates, key, epoch = Some(epochId)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Stats-pruned copy-on-write DELETE by key set: drop every snapshot

@@ -203,6 +203,47 @@ final case class VTableStreamSink(dir: String, checkpoint: String,
       .start()
 }
 
+/** CDC APPLY — streaming UPSERT into the ACID table, exactly-once
+  * across restarts: each micro-batch MERGEs by `key` via
+  * [[graft.sources.VersionedTable.mergeEpoch]] (epoch-keyed commit, a
+  * replayed batch is skipped whole). `orderBy` names a monotonic
+  * change-ordering column (CDC sequence number, source timestamp):
+  * when a batch carries several changes to one key, only the LATEST
+  * survives — resolved inside the batch with a per-key window (batch-
+  * sized, not corpus-sized) before the merge, which requires
+  * key-unique updates. Without `orderBy` the batch must already be
+  * key-unique (the merge raises loudly if not — silent last-wins over
+  * an arbitrary order would be a correctness trap).
+  *
+  * The 100 TB cadence: per batch cost is O(touched files + batch) —
+  * manifest stats and bloom sidecars prune the untouched corpus, so a
+  * trickle of updates against a huge clustered table rewrites only
+  * the files its keys land in, never the table.
+  */
+final case class VTableMergeSink(dir: String, key: String, checkpoint: String,
+    orderBy: Option[String] = None) extends StreamSinkProvider {
+  val name = "vtable-merge"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val latest = orderBy match {
+          case Some(oc) => batch
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(key).orderBy(col(oc).desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+          case None => batch.toDF()
+        }
+        graft.sources.VersionedTable(batch.sparkSession, dir)
+          .mergeEpoch(latest, key, epochId)
+        ()
+      }
+      .start()
+}
+
 /** QUALITY-GATED streaming ingest — the dead-letter-queue pattern over
   * two ACID tables. Each micro-batch is split row-wise by a
   * [[graft.operators.Profile.Check]] suite: clean rows land in the

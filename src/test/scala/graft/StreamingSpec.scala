@@ -343,6 +343,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("vtable merge sink applies a CDC stream exactly-once, last change wins") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cdcsrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-cdct").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-cdcchk").toString
+    val t = graft.sources.VersionedTable(spark, tableDir)
+    // initial snapshot the change stream applies onto
+    t.append(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "seq"))
+    val schema = Seq.empty[(Long, String, Long)].toDF("k", "v", "seq").schema
+    def start() = graft.streaming.VTableMergeSink(tableDir, "k", chk,
+      orderBy = Some("seq")).start(
+      graft.streaming.FileStreamSource("parquet", src, schema).readStream(spark))
+    // batch 1: update k=1, insert k=4
+    Seq((1L, "a1", 1L), (4L, "d1", 1L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // while the query is down: a batch with TWO changes to k=2 — the
+    // in-batch window must keep only the later one — plus an insert
+    Seq((2L, "b2", 2L), (2L, "b3", 3L), (5L, "e1", 2L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a1", 2L -> "b3", 3L -> "c", 4L -> "d1", 5L -> "e1"))
+      assert(t.read().count() == 5) // key-unique: upsert, never append
+      assert(t.lastCommittedEpoch.nonEmpty)
+      // the applied table is a full vtable: time travel sees the
+      // pre-stream snapshot
+      assert(t.read(1).count() == 3)
+      // a crash-replay of the last epoch is skipped WHOLE — the
+      // foreachBatch at-least-once contract made exactly-once
+      val e = t.lastCommittedEpoch.get
+      assert(t.mergeEpoch(Seq((1L, "ZZZ", 9L)).toDF("k", "v", "seq"), "k", e).isEmpty)
+      assert(t.read().where($"k" === 1).head().getString(1) == "a1")
+    } finally q2.stop()
+  }
+
   test("quality-gated sink routes violating rows to quarantine with check names") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
