@@ -1750,6 +1750,136 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     None // unreachable
   }
 
+  /** APPLY CHANGES INTO — the CDC-replica primitive: ONE copy-on-write
+    * commit applying a change batch that mixes upserts and DELETEs
+    * (`changeTypeCol` ∈ insert | update_postimage | update_preimage |
+    * delete; preimages are informational and dropped). Several changes
+    * to one key resolve to the one with the highest `orderBy` value —
+    * the CDC sequence; for this engine's own change feed that is
+    * `_commit_version` — and the key's final state is that change: a
+    * delete drops it, anything else upserts the row. After resolution
+    * upserts project to the COMMITTED schema (metadata columns — the
+    * change type, `_commit_version`, a feed's extras — fall away).
+    * Pruning is MERGE/DELETE's: only files whose stats/bloom admit
+    * some affected key are rewritten, per-era hashes included —
+    * O(touched files + batch), never O(table). NULL change keys raise
+    * (a CDC bug); NULL-keyed snapshot rows are always retained (SQL
+    * join semantics, as in DELETE). On an EMPTY table the batch's
+    * upserts become the seeding append (a replica's first backfill)
+    * and its deletes are vacuous. The replica-convergence property —
+    * applying a table's own change feed reproduces its snapshot
+    * exactly — is CdfStreamSpec's apply test.
+    */
+  def applyChanges(changes0: DataFrame, key: String, orderBy: String,
+      changeTypeCol: String = VersionedTable.ChangeTypeCol): Int = {
+    // same single-evaluation pin as merge/delete
+    val changes = changes0.localCheckpoint()
+    retryingRewrite(applyOnce(changes, key, orderBy, changeTypeCol, None))
+  }
+
+  /** [[applyChanges]] keyed by a streaming epoch: a batch re-delivered
+    * after a crash skips whole — [[graft.streaming.VTableApplySink]]'s
+    * exactly-once contract (same shape as [[mergeEpoch]]).
+    */
+  def applyChangesEpoch(changes0: DataFrame, key: String, orderBy: String,
+      epochId: Long,
+      changeTypeCol: String = VersionedTable.ChangeTypeCol): Option[Int] = {
+    val changes = changes0.localCheckpoint()
+    var attempt = 0
+    while (true) {
+      if (lastCommittedEpoch.exists(_ >= epochId)) return None
+      try return Some(applyOnce(changes, key, orderBy, changeTypeCol, Some(epochId)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+    None // unreachable
+  }
+
+  private def applyOnce(changes: DataFrame, key: String, orderBy: String,
+      changeTypeCol: String, epoch: Option[Long]): Int = {
+    Seq(key, orderBy, changeTypeCol).foreach(c =>
+      require(changes.columns.contains(c), s"apply: change batch lacks column $c"))
+    // resolve each key to its LATEST change. Ties on orderBy are a
+    // feed bug (one sequence value, two changes); broken by change
+    // type so replays at least resolve identically
+    val latest = changes
+      .filter(col(changeTypeCol) =!= "update_preimage")
+      .withColumn("__graft_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(col(orderBy).desc, col(changeTypeCol))))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val v = currentVersion
+    if (v == 0) {
+      // seeding a fresh replica: the first batch's upserts ARE the
+      // table; this engine's feed metadata falls away, deletes are
+      // vacuous (nothing exists to delete)
+      val drop = Set(changeTypeCol, VersionedTable.CommitVersionCol)
+      val seeded = latest.filter(col(changeTypeCol) =!= "delete")
+        .select(changes.columns.filterNot(drop).map(col).toSeq: _*)
+      return commitData(1, "append", seeded, Seq.empty, Map.empty, epoch)
+    }
+    val m = manifest(v)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    val committed = Option(schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .filter(_.fields.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"apply: table at $dir carries no committed schema"))
+    val upserts = latest.filter(col(changeTypeCol) =!= "delete")
+      .select(committed.fields.toSeq.map(f => col(f.name)): _*)
+    requireSchemaMatch(upserts, m, "apply")
+    val allKeys = latest.select(col(key))
+    val b = allKeys.agg(count(lit(1)).as("n"),
+      min(col(key)).as("lo"), max(col(key)).as("hi"),
+      count(col(key)).as("nn")).head()
+    if (b.getLong(0) == 0) // empty batch: visible no-op, epoch recorded
+      return commit(v + 1, "apply", files, schemaJson, stats, epoch)
+    require(b.getLong(3) == b.getLong(0),
+      s"apply: null $key in change batch (a CDC feed bug — null keys can't merge)")
+    val keyType = committed(key).dataType
+    val probe = deleteProbeHashes(allKeys, key, prunable = true, stats)
+    val (touched, untouched) = files.partition(f =>
+      rangeOverlaps(stats.get(f), key, keyType, b.get(1), b.get(2)) &&
+        probe.forall { case (dTag, byTag) => bloomAdmits(f, key, dTag, byTag, stats) })
+    val base =
+      if (touched.nonEmpty) readFiles(m, touched)
+      else emptySnapshot(m)
+    val allKeysD = allKeys.distinct()
+    // affected keys leave (anti-join), upserted keys return with their
+    // final row — deleted keys simply don't. Key-uniqueness of the
+    // upsert side is by construction (the row_number resolution)
+    val remaining = base.join(allKeysD, Seq(key), "left_anti")
+      .select(base.columns.map(col).toSeq: _*)
+    val out = remaining.unionByName(upserts)
+    val delKeys = latest.filter(col(changeTypeCol) === "delete")
+      .select(col(key)).distinct()
+    val changesOut =
+      if (!cdfEnabled) None
+      else {
+        val ct = VersionedTable.ChangeTypeCol
+        val baseKeys = base.select(col(key)).distinct()
+        val updKeys = upserts.select(col(key)).distinct()
+        Some(base.join(updKeys, Seq(key), "left_semi")
+          .select(base.columns.map(col).toSeq: _*)
+          .withColumn(ct, lit("update_preimage"))
+          .unionByName(upserts.join(baseKeys, Seq(key), "left_semi")
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(upserts.join(baseKeys, Seq(key), "left_anti")
+            .withColumn(ct, lit("insert")))
+          .unionByName(base.join(delKeys, Seq(key), "left_semi")
+            .select(base.columns.map(col).toSeq: _*)
+            .withColumn(ct, lit("delete"))))
+      }
+    commitData(v + 1, "apply", out,
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      epoch = epoch, changes = changesOut)
+  }
+
   /** Stats-pruned copy-on-write DELETE by key set: drop every snapshot
     * row whose `key` appears in `keys`. Same pruning as MERGE — only
     * files whose recorded key range intersects the delete set's range

@@ -244,6 +244,36 @@ final case class VTableMergeSink(dir: String, key: String, checkpoint: String,
       .start()
 }
 
+/** Table→table REPLICATION — apply a versioned table's row-level
+  * change feed onto a replica, exactly-once: pair a
+  * [[VTableChangeSourceProvider]] stream (commit versions as offsets,
+  * `maxVersionsPerTrigger` for bounded backfills) with this sink and
+  * the replica CONVERGES to the source snapshot — inserts, updates,
+  * and deletes included — via one epoch-keyed
+  * [[graft.sources.VersionedTable.applyChangesEpoch]] commit per
+  * micro-batch. Defaults speak this engine's own feed dialect
+  * (`_change_type` / `_commit_version`); point `orderBy` at any other
+  * feed's sequence column to apply foreign CDC. The first batch onto
+  * an empty replica seeds it (backfill), every later batch is
+  * O(touched files + batch) through stats + bloom pruning.
+  */
+final case class VTableApplySink(dir: String, key: String, checkpoint: String,
+    orderBy: String = graft.sources.VersionedTable.CommitVersionCol,
+    changeTypeCol: String = graft.sources.VersionedTable.ChangeTypeCol)
+    extends StreamSinkProvider {
+  val name = "vtable-apply"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        graft.sources.VersionedTable(batch.sparkSession, dir)
+          .applyChangesEpoch(batch.toDF(), key, orderBy, epochId, changeTypeCol)
+        ()
+      }
+      .start()
+}
+
 /** QUALITY-GATED streaming ingest — the dead-letter-queue pattern over
   * two ACID tables. Each micro-batch is split row-wise by a
   * [[graft.operators.Profile.Check]] suite: clean rows land in the

@@ -163,4 +163,66 @@ class CdfStreamSpec extends SparkSpecBase {
       assert(rows("cdf_throttle").size == 6)
     } finally q.stop()
   }
+
+  /** Snapshot as a sorted row set (the convergence comparison). */
+  private def snap(t: VersionedTable): Seq[(Long, String)] =
+    t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  test("replica converges to the source through its change feed, restart included") {
+    import spark.implicits._
+    val root = tmp("cdfreplica")
+    val srcDir = s"$root/src"
+    val repDir = s"$root/replica"
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf()
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name"))
+    src.merge(Seq((2L, "B"), (5L, "e")).toDF("id", "name"), "id") // update + insert
+    src.delete(Seq(3L).toDF("id"), "id")
+    def start() = graft.streaming.VTableApplySink(repDir, "id", s"$root/ckpt")
+      .start(readCdf(srcDir, startingVersion = Some(0)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val rep = VersionedTable(spark, repDir)
+    // full convergence: backfill + update + insert + delete all applied
+    assert(snap(rep) == Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")))
+    // source keeps changing while the replica is down; the restarted
+    // stream resumes from the checkpointed version and re-converges
+    src.merge(Seq((1L, "A2"), (6L, "f")).toDF("id", "name"), "id")
+    src.delete(Seq(5L).toDF("id"), "id")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(snap(rep) == snap(src))
+      assert(snap(rep) == Seq((1L, "A2"), (2L, "B"), (4L, "d"), (6L, "f")))
+      // exactly-once: a crash-replay of the last epoch skips whole
+      val e = rep.lastCommittedEpoch.get
+      assert(rep.applyChangesEpoch(
+        Seq((1L, "ZZZ", "insert", 99)).toDF("id", "name", CT, CV),
+        "id", CV, e).isEmpty)
+      assert(snap(rep) == snap(src))
+    } finally q2.stop()
+  }
+
+  test("applyChanges resolves multi-change keys and mixes deletes in one commit") {
+    import spark.implicits._
+    val dir = tmp("cdfapply") + "/t"
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    val batch = Seq(
+      (1L, "a1", "update_postimage", 10), // then deleted at seq 20
+      (1L, "a0", "delete", 20),
+      (2L, "b1", "delete", 10),           // then re-inserted at seq 20
+      (2L, "b2", "insert", 20),
+      (4L, "d1", "insert", 10)            // plain insert
+    ).toDF("id", "name", CT, "seq")
+    t.applyChanges(batch, "id", orderBy = "seq")
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
+      Seq((2L, "b2"), (3L, "c"), (4L, "d1")))
+    // null change keys raise loudly — a CDC feed bug, not a semantic
+    val err = intercept[IllegalArgumentException] {
+      t.applyChanges(Seq((null.asInstanceOf[java.lang.Long], "x", "insert", 1))
+        .toDF("id", "name", CT, "seq"), "id", orderBy = "seq")
+    }
+    assert(err.getMessage.contains("null"))
+  }
 }
