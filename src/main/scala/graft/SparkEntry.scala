@@ -216,6 +216,7 @@ object SparkEntry {
     "q_vtable_or" -> ((s, d) => graft.sources.TableSkip.qVtableOr(t(s, d))),
     "q_table_evolve" -> ((s, d) => graft.sources.TableEvolve.qTableEvolve(t(s, d))),
     "q_table_rename" -> ((s, d) => graft.sources.TableMapping.qTableRename(t(s, d))),
+    "q_table_apply" -> ((s, d) => graft.sources.TableApply.qTableApply(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
@@ -1414,6 +1415,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, substr(o_orderpriority, 1, 1)
         |  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0
+        |    AND o_orderkey % 5 = 0
+        |)""".stripMargin,
+    // ONE mixed CDC batch (upsert-inserts, plain inserts, and per-key
+    // update-then-delete conflicts) applied onto the even-key base;
+    // the oracle rebuilds the final snapshot from orders directly, so
+    // sequence resolution and delete semantics are hash-gated
+    "q_table_apply" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(p)) * 100 + 0.5) / 100 AS total,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000 FROM orders
+        |  WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0
         |    AND o_orderkey % 5 = 0
         |)""".stripMargin,
     // the view was maintained INCREMENTALLY across three append+refresh

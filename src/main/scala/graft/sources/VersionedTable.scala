@@ -2961,6 +2961,60 @@ object TableMapping {
   }
 }
 
+/** Contract query for APPLY CHANGES INTO: orders' even keys seed a
+  * vtable, then ONE mixed CDC batch applies — updates that are really
+  * inserts (odd keys ÷3, not in the base), plain inserts (odd ÷5 not
+  * ÷3), and per-key conflicts where an update at seq 1 loses to a
+  * delete at seq 2 (even keys ÷7). The DuckDB oracle reconstructs the
+  * final snapshot from orders alone, so resolution order, delete
+  * semantics, and upsert projection are all hash-gated. Memoized per
+  * (session, corpus) like [[TableMerge]].
+  */
+object TableApply {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tapply")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_a"
+      val vt = VersionedTable(t.spark, dir)
+      val o = t.orders.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"))
+      vt.append(o.filter(col("k") % 2 === 0))
+      val ct = VersionedTable.ChangeTypeCol
+      val batch = o.filter(col("k") % 2 =!= 0 && col("k") % 3 === 0)
+        .select(col("k"), (col("price") + 1000).as("price"),
+          lit("update_postimage").as(ct), lit(1).as("seq"))
+        .unionByName(o.filter(col("k") % 2 =!= 0 && col("k") % 3 =!= 0 &&
+            col("k") % 5 === 0)
+          .select(col("k"), col("price"), lit("insert").as(ct), lit(1).as("seq")))
+        .unionByName(o.filter(col("k") % 2 === 0 && col("k") % 7 === 0)
+          .select(col("k"), (col("price") + 5).as("price"),
+            lit("update_postimage").as(ct), lit(1).as("seq")))
+        .unionByName(o.filter(col("k") % 2 === 0 && col("k") % 7 === 0)
+          .select(col("k"), col("price"), lit("delete").as(ct), lit(2).as("seq")))
+      vt.applyChanges(batch, "k", orderBy = "seq")
+      dir
+    }
+
+  def qTableApply(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+}
+
 /** Contract query for Bloom-index point lookups: orders lands in a
   * vtable keyed by `md5(o_orderkey)` — a uuid-shaped key whose
   * per-file [min,max] ranges all span the hex domain, so RANGE

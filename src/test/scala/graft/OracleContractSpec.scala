@@ -37,7 +37,7 @@ class OracleContractSpec extends AnyFunSuite {
     "q_funnel", "q_sample_mod", "q_distinct_cond", "q_dedup_exact",
     "q_table_merge", "q_vtable_skip", "q_vtable_lazy", "q_vtable_meta",
     "q_vtable_dfp", "q_vtable_in", "q_vtable_or", "q_table_evolve",
-    "q_table_rename", "q_bloom_lookup")
+    "q_table_rename", "q_table_apply", "q_bloom_lookup")
 
   test("every oracle pins a deterministic output order") {
     // the driver hash compare sorts rows, but ORDER BY (or a LIMIT'd
