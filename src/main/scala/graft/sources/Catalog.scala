@@ -130,8 +130,15 @@ final class Catalog(val spark: SparkSession) {
           case "overwrite" => vt.overwrite(df)
           case "merge" => vt.merge(df, key)
           case "delete" => vt.delete(df, key)
+          // CDC apply: df is a change batch (change-type column +
+          // ordering column); options("orderBy") names the sequence,
+          // options("changeType") overrides the feed dialect
+          case "apply" => vt.applyChanges(df, key,
+            orderBy = options.getOrElse("orderBy", VersionedTable.CommitVersionCol),
+            changeTypeCol = options.getOrElse("changeType",
+              VersionedTable.ChangeTypeCol))
           case other => throw new IllegalArgumentException(
-            s"vtable supports mode append|overwrite|merge|delete, got '$other'")
+            s"vtable supports mode append|overwrite|merge|delete|apply, got '$other'")
         }
         ()
       case "parquet" => df.write.options(options).mode(mode).parquet(path)

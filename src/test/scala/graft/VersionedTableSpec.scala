@@ -886,6 +886,14 @@ class VersionedTableSpec extends SparkSpecBase {
     val got = VersionedTable(spark, dir).read()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((2L, "b2"), (3L, "c")))
+    // CDC apply through the same dispatch: one batch mixing an upsert
+    // and a delete, ordered by a custom sequence column
+    cat.write(Seq((2L, "B3", "update_postimage", 1L), (3L, "c", "delete", 1L))
+      .toDF("id", "name", VersionedTable.ChangeTypeCol, "seq"),
+      "vtable", dir, options = Map("key" -> "id", "orderBy" -> "seq"), mode = "apply")
+    val applied = VersionedTable(spark, dir).read()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied == Set((2L, "B3")))
     intercept[IllegalArgumentException] {
       cat.write(Seq(1L).toDF("id"), "vtable", dir, mode = "merge") // no key option
     }
