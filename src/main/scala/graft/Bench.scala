@@ -10,6 +10,36 @@ import org.apache.spark.sql.SparkSession
   * indexes — is still built cold inside the timed pass.)
   */
 object Bench {
+  @volatile private var sink = 0L // defeats dead-code elimination
+
+  /** Fixed-work all-core calibration — a NOISE SENTINEL for the
+    * artifact's reader. The bench host shows hour-scale interference
+    * windows (identical code totals 73 s in a clean window, 215+ s
+    * inside one — PROGRESS.md round-6 note), so the JSON carries this
+    * loop's wall time from before and after the timed pass: a
+    * calibration 2-3× its clean-host value (~0.2-0.5 s) means the
+    * surrounding query numbers are inflated the same way and should
+    * be read against a re-benched baseline, not face value.
+    */
+  private def calibrate(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { s =>
+      val th = new Thread(() => {
+        var x = s.toLong
+        var i = 0
+        while (i < 200000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        sink = x
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -46,6 +76,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val calibPre = calibrate()
     val first = queries.map { case (name, fn) => name -> timed(name, fn) }
     // sub-threshold queries re-run once and report the min: at that
     // scale the measurement is dominated by scheduler noise, and
@@ -70,7 +101,9 @@ object Bench {
       s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length}}"""
+    val calibPost = calibrate()
+    val calib = s""""calib":[${ms(calibPre)},${ms(calibPost)}]"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib}"""
     // The driver captures only a fixed tail of stdout (~2000 chars) and
     // parses the last JSON line it finds; 136 queries make the full line
     // ~3 KB, so it arrived truncated and unparseable four rounds running.
@@ -78,7 +111,7 @@ object Bench {
     // ~1.2 KB — printed LAST; the complete per-query record goes to the
     // file, which has no length limit.
     val slowest = results.sortBy { case (k, v) => if (failed.contains(k)) Double.MinValue else -v }.take(30)
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},"detail":"bench_queries.json"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},$calib,"detail":"bench_queries.json"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
