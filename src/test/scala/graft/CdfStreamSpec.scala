@@ -203,6 +203,41 @@ class CdfStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("replication chains: A→B→C converges through B's OWN change feed") {
+    // C can only converge if B's apply commits emit an exactly-right
+    // row-level feed — this chain test therefore gates applyChanges's
+    // CDF emission (preimage/postimage/insert/delete derivation)
+    // against the strongest oracle there is: a downstream consumer
+    import spark.implicits._
+    val root = tmp("cdfchain")
+    val a = VersionedTable(spark, s"$root/a")
+    a.enableCdf()
+    val b = VersionedTable(spark, s"$root/b")
+    b.enableCdf() // B is a replica AND a source
+    a.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    a.merge(Seq((2L, "B"), (4L, "d")).toDF("id", "name"), "id")
+    a.delete(Seq(1L).toDF("id"), "id")
+    def pump(src: String, dst: String, ck: String) = {
+      val q = graft.streaming.VTableApplySink(dst, "id", ck)
+        .start(readCdf(src, startingVersion = Some(0)))
+      q.processAllAvailable(); q.stop()
+    }
+    pump(s"$root/a", s"$root/b", s"$root/ck_ab")
+    pump(s"$root/b", s"$root/c", s"$root/ck_bc")
+    val c = VersionedTable(spark, s"$root/c")
+    assert(snap(c) == snap(a))
+    assert(snap(c) == Seq((2L, "B"), (3L, "c"), (4L, "d")))
+    // second wave: more change types through the chain, resumed from
+    // both checkpoints
+    a.merge(Seq((3L, "C2"), (5L, "e")).toDF("id", "name"), "id")
+    a.delete(Seq(4L).toDF("id"), "id")
+    pump(s"$root/a", s"$root/b", s"$root/ck_ab")
+    pump(s"$root/b", s"$root/c", s"$root/ck_bc")
+    assert(snap(b) == snap(a))
+    assert(snap(c) == snap(a))
+    assert(snap(c) == Seq((2L, "B"), (3L, "C2"), (5L, "e")))
+  }
+
   test("applyChanges resolves multi-change keys and mixes deletes in one commit") {
     import spark.implicits._
     val dir = tmp("cdfapply") + "/t"
