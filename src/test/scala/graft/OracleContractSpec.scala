@@ -30,6 +30,10 @@ class OracleContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted}")
   }
 
+  test("the flagship entry() returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
   // global-aggregate queries whose result is a single row — an ORDER
   // BY would be a no-op, so its absence is deliberate
   private val singleRowResults = Set(
