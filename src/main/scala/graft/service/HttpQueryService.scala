@@ -245,6 +245,17 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.updateWhere(text(body, "path"), text(body, "where"), set)
     s"""{"updated_as_version":$v}"""
   })
+  server.createContext("/apply", gated { body =>
+    val orderBy =
+      if (body.has("orderBy")) text(body, "orderBy")
+      else graft.sources.VersionedTable.CommitVersionCol
+    val changeType =
+      if (body.has("changeType")) text(body, "changeType")
+      else graft.sources.VersionedTable.ChangeTypeCol
+    val v = service.applyTableChanges(text(body, "path"), text(body, "changes"),
+      text(body, "key"), orderBy, changeType)
+    s"""{"applied_as_version":$v}"""
+  })
   server.createContext("/constraints", gated { body =>
     require(body.has("checks") && body.get("checks").isArray &&
       body.get("checks").size > 0, "missing or empty array field: checks")

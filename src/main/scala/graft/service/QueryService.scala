@@ -189,6 +189,18 @@ final class QueryService(val spark: SparkSession) {
       org.apache.spark.sql.functions.expr(where),
       set.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) })
 
+  /** APPLY CHANGES INTO a versioned table over the service: `table`
+    * names a REGISTERED view holding the change batch (change-type +
+    * ordering columns included), applied as one copy-on-write commit
+    * — mixed upserts and deletes, highest-`orderBy` change wins per
+    * key. Returns the new committed version.
+    */
+  def applyTableChanges(dir: String, table: String, key: String,
+      orderBy: String = graft.sources.VersionedTable.CommitVersionCol,
+      changeType: String = graft.sources.VersionedTable.ChangeTypeCol): Int =
+    graft.sources.VersionedTable(spark, dir)
+      .applyChanges(spark.table(table), key, orderBy, changeType)
+
   /** Evaluate a named constraint suite over a registered table — each
     * violation predicate is a SQL boolean marking BAD rows; all checks
     * run in ONE conditional-agg pass.

@@ -467,6 +467,32 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(last.statusCode == 400, s"${last.statusCode}: ${last.body}")
   }
 
+  test("POST /apply lands a mixed CDC batch as one commit over HTTP") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-apply").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // the change batch arrives as a registered view (the service's
+    // table namespace), keyed by a custom sequence column
+    Seq((2L, "B", "update_postimage", 1L), (3L, "c", "delete", 1L),
+      (4L, "d", "insert", 1L))
+      .toDF("id", "v", graft.sources.VersionedTable.ChangeTypeCol, "seq")
+      .createOrReplaceTempView("http_changes")
+    val res = post("/apply",
+      s"""{"path":"$dir","changes":"http_changes","key":"id","orderBy":"seq"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains(""""applied_as_version":2"""), res.body)
+    assert(vt.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // a batch with null keys is a client fault, not a 500
+    Seq((null.asInstanceOf[java.lang.Long], "x", "insert", 1L))
+      .toDF("id", "v", graft.sources.VersionedTable.ChangeTypeCol, "seq")
+      .createOrReplaceTempView("http_changes_bad")
+    val bad = post("/apply",
+      s"""{"path":"$dir","changes":"http_changes_bad","key":"id","orderBy":"seq"}""")
+    assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+  }
+
   test("POST /restore rolls a vtable back over HTTP; bad version is a 400") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-rest").toString + "/t"
