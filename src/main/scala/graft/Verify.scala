@@ -32,8 +32,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        // a typo'd name must fail loudly, not silently shrink
+        // queries.json and weaken the missing-output gate
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val tasks = selected.toSeq.map { case (name, fn) =>

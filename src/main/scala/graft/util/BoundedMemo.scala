@@ -29,6 +29,22 @@ import java.util.concurrent.{ExecutionException, FutureTask}
   * window (cache churn faster than a single build) that bounded
   * caches over per-corpus keys don't hit in practice.
   */
+/** Companion carries a process-global cache-hit counter. Its one
+  * consumer is [[graft.Bench]]'s min-of-rerun policy: a re-timed query
+  * during which ANY memo served a hit is reading warm build state
+  * (pair tables, ANN indexes, committed vtables), so its rerun number
+  * measures a cache read, not the operator — Bench snapshots this
+  * counter around the rerun and keeps the cold number when it moved.
+  * Self-maintaining by construction: a query is "memoizing" iff it
+  * actually hit a memo, so new memoized queries never need hand-listing.
+  */
+object BoundedMemo {
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[util] def recordHit(): Unit = { hitCounter.incrementAndGet(); () }
+  /** Total cache hits across every BoundedMemo in this process. */
+  def globalHits: Long = hitCounter.get
+}
+
 final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
 
   private final class Cell(build: () => V) {
@@ -68,7 +84,7 @@ final class BoundedMemo[K, V <: AnyRef](max: Int, onEvict: V => Unit) {
     var mine: Cell = null
     val cell = m.synchronized {
       val hit = m.get(k)
-      if (hit != null) hit
+      if (hit != null) { BoundedMemo.recordHit(); hit }
       else {
         mine = new Cell(() => build)
         m.put(k, mine)
