@@ -206,6 +206,7 @@ object SparkEntry {
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
+    "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
@@ -1277,6 +1278,24 @@ object SparkEntry {
         |         THEN 'VIP' ELSE c_mktsegment END AS segment
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    // the SQL-text DML path: merge (bump div-3 keys / insert the
+    // unmatched), double div-5 prices, delete the expensive tail —
+    // reproduced as nested CASE/WHERE over the same base
+    "q_sql_merge" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN p * 2 ELSE p END AS price
+        |  FROM (
+        |    SELECT o_orderkey,
+        |      CASE WHEN o_orderkey % 3 = 0
+        |           THEN floor((o_totalprice * 1.1) * 100 + 0.5) / 100
+        |           ELSE o_totalprice END AS p
+        |    FROM orders
+        |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
+        |WHERE price <= 400000""".stripMargin,
     // the inserted rows
     "q_table_merge" ->
       """SELECT count(*) AS n_rows,

@@ -46,13 +46,23 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * reuses `sqlJson`'s hard collect cap, so no request collects an
   * unbounded result into the shared driver.
   *
-  * Trust model: binds to loopback only and is UNAUTHENTICATED — any
-  * local process can run arbitrary SQL (which reads any path Spark
-  * can parse) and /register sources. That is the dev-service posture;
-  * a network-facing deployment needs an authenticating proxy or a
-  * shared-secret header in front. Request bodies are capped at
-  * `maxBodyBytes` before parsing, so oversized payloads can't occupy
-  * the pool's threads or the heap.
+  * Trust model: binds to loopback only. With `authToken = None` the
+  * service is UNAUTHENTICATED — the dev posture; any local process can
+  * run SQL and register sources. With a token configured, every
+  * MUTATING surface requires `Authorization: Bearer <token>`: the
+  * mutation routes (/delete, /update, /apply, /rename, /drop-column,
+  * /restore, /register, /submit, /cache, /uncache) AND any /sql or
+  * async /query statement whose leading verb can write (MERGE /
+  * UPDATE / DELETE / INSERT / CREATE / DROP / SET / ... — see
+  * [[SqlDml.isMutation]]; unknown verbs classify as mutations so
+  * nothing unlisted slips through). Read surfaces stay open unless
+  * `authReads = true`, which extends the requirement to every
+  * endpoint. Token comparison is constant-time; failures are 401,
+  * counted separately per endpoint in /metrics (`auth_failures`).
+  * /cancel deliberately stays open either way: it is the emergency
+  * lever against a runaway query and destroys no state. Request
+  * bodies are capped at `maxBodyBytes` before parsing, so oversized
+  * payloads can't occupy the pool's threads or the heap.
   *
   * Threading: dispatch is an unbounded cached pool; the
   * Spark-executing endpoints are bounded by a `maxConcurrentQueries`
@@ -62,7 +72,29 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
     maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
-    maxConcurrentQueries: Int = 8, queueWaitMs: Long = 30000) {
+    maxConcurrentQueries: Int = 8, queueWaitMs: Long = 30000,
+    authToken: Option[String] = None, authReads: Boolean = false) {
+
+  require(authToken.forall(_.nonEmpty), "authToken must be non-empty when set")
+  require(!authReads || authToken.isDefined,
+    "authReads requires an authToken to check against")
+
+  /** Constant-time bearer check; throws (→ 401) when a token is
+    * configured and the request's doesn't match. No-op when
+    * unauthenticated (dev posture).
+    */
+  private def requireAuth(exchange: HttpExchange): Unit =
+    authToken.foreach { t =>
+      val presented = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.substring(7))
+      val ok = presented.exists(p => java.security.MessageDigest.isEqual(
+        p.getBytes(StandardCharsets.UTF_8), t.getBytes(StandardCharsets.UTF_8)))
+      if (!ok) throw new HttpQueryService.UnauthorizedException(
+        "missing or invalid Authorization: Bearer token")
+    }
+
+  private def requireAuthForReads(exchange: HttpExchange): Unit =
+    if (authReads) requireAuth(exchange)
 
   private val mapper = new ObjectMapper()
   // unbounded dispatch pool + a semaphore on the QUERY endpoints: a
@@ -80,7 +112,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.setExecutor(pool)
-  server.createContext("/sql", gated { body =>
+  server.createContext("/sql", gatedEx { (body, exchange) =>
     // the cap must be SERVER-side: a client-supplied limit alone would
     // let one request collect an unbounded result into the shared
     // driver (follow next_offset for more rows)
@@ -100,13 +132,19 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // "cache": true opts the statement into the version-aware result
     // cache; the response then reports whether this page came from it
     val useCache = body.has("cache") && body.get("cache").asBoolean(false)
+    val query = text(body, "query")
+    // per-statement auth: a mutating verb (MERGE/UPDATE/DELETE/INSERT/
+    // CREATE/DROP/...) at the SQL surface needs the same token as the
+    // dedicated mutation routes — otherwise /sql would be an
+    // authentication bypass for every one of them
+    if (SqlDml.isMutation(query)) requireAuth(exchange)
     val sc = service.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
       interruptOnCancel = true)
     val (rows, hit) =
       try {
-        if (useCache) service.sqlJsonCached(text(body, "query"), page, offset)
-        else (service.sqlJson(text(body, "query"), page, offset), false)
+        if (useCache) service.sqlJsonCached(query, page, offset)
+        else (service.sqlJson(query, page, offset), false)
       } finally if (tagged) sc.clearJobGroup()
     val cached = if (useCache) s""","cached":$hit""" else ""
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
@@ -114,40 +152,48 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   })
   server.createContext("/cachestats", exchange =>
     if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
-    else {
-      val (h, m) = service.results.stats
-      reply(exchange, 200, s"""{"hits":$h,"misses":$m}""")
-    })
+    else
+      try {
+        requireAuthForReads(exchange)
+        val (h, m) = service.results.stats
+        reply(exchange, 200, s"""{"hits":$h,"misses":$m}""")
+      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
   // ---- observability: per-endpoint traffic counters ----
   // ungated (control plane): must answer while the data plane is
   // saturated — exactly when an operator is looking at it
   server.createContext("/metrics", exchange =>
     if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
-    else {
+    else try {
+      requireAuthForReads(exchange)
       val (h, m) = service.results.stats
       val inFlight = maxConcurrentQueries - heavy.availablePermits()
       val eps = {
         import scala.jdk.CollectionConverters._
         counters.asScala.toSeq.sortBy(_._1).map { case (path, c) =>
-          s""""$path":{"requests":${c(0).get},"client_errors":${c(1).get},"server_errors":${c(2).get}}"""
+          s""""$path":{"requests":${c(0).get},"client_errors":${c(1).get},"server_errors":${c(2).get},"auth_failures":${c(3).get}}"""
         }.mkString("{", ",", "}")
       }
       reply(exchange, 200,
         s"""{"uptime_ms":${System.currentTimeMillis() - startedAt},""" +
           s""""in_flight":$inFlight,"queued":${waiters.get},""" +
           s""""cache":{"hits":$h,"misses":$m},"endpoints":$eps}""")
-    })
+    } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
   // ---- async query jobs: submit → id, poll, page, cancel ----
   private val async = new AsyncQueries(service, maxRows)
   server.createContext("/query", (exchange: HttpExchange) =>
     try {
       val parts = exchange.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      requireAuthForReads(exchange)
       (exchange.getRequestMethod, parts) match {
         case ("POST", List("query")) =>
           readBody(exchange).foreach { body =>
             val limit = intArg(body, "limit", 1000)
             require(limit > 0, s"limit must be positive, got $limit")
-            val id = async.start(text(body, "query"), limit)
+            val query = text(body, "query")
+            // same per-statement gate as /sql — the async plane must
+            // not be a mutation-auth bypass
+            if (SqlDml.isMutation(query)) requireAuth(exchange)
+            val id = async.start(query, limit)
             reply(exchange, 200, s"""{"job":${quote(id)}}""")
           }
         case ("GET", List("query", id)) =>
@@ -184,7 +230,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       }
     } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
 
-  server.createContext("/cancel", post { body =>
+  server.createContext("/cancel", postOpen { body =>
     val tag = text(body, "tag")
     // cancels every active job in the group; idempotent on unknown or
     // finished tags (nothing to cancel is success, not an error).
@@ -230,11 +276,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val next = if (rows.size == limit) s""","next_offset":${offset + limit}""" else ""
     s"""{"changes":[${rows.mkString(",")}],"count":${rows.size}$next}"""
   })
-  server.createContext("/delete", gated { body =>
+  server.createContext("/delete", gatedMut { body =>
     val v = service.deleteWhere(text(body, "path"), text(body, "where"))
     s"""{"deleted_as_version":$v}"""
   })
-  server.createContext("/update", gated { body =>
+  server.createContext("/update", gatedMut { body =>
     require(body.has("set") && body.get("set").isObject && body.get("set").size > 0,
       "missing or empty object field: set")
     val set = {
@@ -245,7 +291,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.updateWhere(text(body, "path"), text(body, "where"), set)
     s"""{"updated_as_version":$v}"""
   })
-  server.createContext("/apply", gated { body =>
+  server.createContext("/apply", gatedMut { body =>
     val orderBy =
       if (body.has("orderBy")) text(body, "orderBy")
       else graft.sources.VersionedTable.CommitVersionCol
@@ -267,16 +313,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       service.checkConstraints(text(body, "table"), checks), 10000)
     s"""{"constraints":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
-  server.createContext("/rename", gated { body =>
+  server.createContext("/rename", gatedMut { body =>
     val v = service.renameTableColumn(text(body, "path"),
       text(body, "from"), text(body, "to"))
     s"""{"renamed_as_version":$v}"""
   })
-  server.createContext("/drop-column", gated { body =>
+  server.createContext("/drop-column", gatedMut { body =>
     val v = service.dropTableColumn(text(body, "path"), text(body, "column"))
     s"""{"dropped_as_version":$v}"""
   })
-  server.createContext("/restore", gated { body =>
+  server.createContext("/restore", gatedMut { body =>
     require(body.has("version"), "missing field: version")
     require(body.get("version").canConvertToInt,
       s"version out of int range: ${body.get("version")}")
@@ -301,7 +347,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     node.put("plan", service.explain(text(body, "query")))
     mapper.writeValueAsString(node)
   })
-  server.createContext("/submit", gated { body =>
+  server.createContext("/submit", gatedMut { body =>
     val name = text(body, "name")
     service.submit(name, text(body, "query"))
     s"""{"submitted":${quote(name)}}"""
@@ -321,17 +367,17 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   private def quote(s: String): String =
     mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))
-  server.createContext("/cache", gated { body =>
+  server.createContext("/cache", gatedMut { body =>
     val name = text(body, "name")
     service.cache(name)
     s"""{"cached":${quote(name)}}"""
   })
-  server.createContext("/uncache", post { body =>
+  server.createContext("/uncache", postMut { body =>
     val name = text(body, "name")
     service.uncache(name)
     s"""{"uncached":${quote(name)}}"""
   })
-  server.createContext("/register", gated { body =>
+  server.createContext("/register", gatedMut { body =>
     val name = text(body, "name")
     val options =
       if (!body.has("options")) Map.empty[String, String]
@@ -351,6 +397,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
     else
       try {
+        requireAuthForReads(exchange)
         val node = mapper.createObjectNode()
         val arr = node.putArray("tables")
         service.listTables().foreach(arr.add)
@@ -374,6 +421,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     * class, not the client's.
     */
   private def statusFor(e: Throwable): Int = e match {
+    case _: HttpQueryService.UnauthorizedException        => 401 // bad/missing bearer token
     case _: HttpQueryService.ServiceBusyException         => 503 // query plane saturated
     case _: AsyncQueries.TooManyJobsException             => 503 // async admission bound
     // the change feed can't answer this window (untracked rewrite /
@@ -402,8 +450,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     * /cancel, /uncache and /tables stay ungated — the control plane
     * must answer while the data plane is saturated.
     */
-  private def gated(handle: com.fasterxml.jackson.databind.JsonNode => String)
-      : com.sun.net.httpserver.HttpHandler = post { body =>
+  private def withPermit(run: => String): String = {
     val busy = new HttpQueryService.ServiceBusyException(
       s"server busy: $maxConcurrentQueries queries in flight; retry or /cancel one")
     if (waiters.incrementAndGet() > maxConcurrentQueries * 4) {
@@ -414,9 +461,33 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       try heavy.tryAcquire(queueWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       finally waiters.decrementAndGet()
     if (!acquired) throw busy
-    try handle(body)
+    try run
     finally heavy.release()
   }
+
+  private def gated(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler =
+    post(body => withPermit(handle(body)))
+
+  /** Gated route whose handler also sees the exchange — for /sql,
+    * where the auth decision is per-STATEMENT (a mutating verb needs
+    * the token; a read doesn't).
+    */
+  private def gatedEx(
+      handle: (com.fasterxml.jackson.databind.JsonNode, HttpExchange) => String)
+      : com.sun.net.httpserver.HttpHandler =
+    postEx((body, ex) => withPermit(handle(body, ex)))
+
+  /** Mutating route: the bearer check runs BEFORE a query permit is
+    * taken, so unauthorized requests can't occupy the data plane.
+    */
+  private def gatedMut(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler =
+    postEx { (body, ex) => requireAuth(ex); withPermit(handle(body)) }
+
+  private def postMut(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler =
+    postEx { (body, ex) => requireAuth(ex); handle(body) }
 
   private val waiters = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -434,11 +505,27 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   }
 
   private def post(handle: com.fasterxml.jackson.databind.JsonNode => String)
+      : com.sun.net.httpserver.HttpHandler = postEx((body, _) => handle(body))
+
+  /** POST route exempt from `authReads` — /cancel only: the emergency
+    * lever must stay reachable however the service is locked down.
+    */
+  private def postOpen(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
     if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
     else
       try readBody(exchange).foreach(body => reply(exchange, 200, handle(body)))
       catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
+
+  private def postEx(
+      handle: (com.fasterxml.jackson.databind.JsonNode, HttpExchange) => String)
+      : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
+    if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
+    else
+      try {
+        requireAuthForReads(exchange)
+        readBody(exchange).foreach(body => reply(exchange, 200, handle(body, exchange)))
+      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
 
   private val startedAt = System.currentTimeMillis()
   // path → [requests, 4xx, 5xx]; populated by reply(), served by
@@ -450,9 +537,13 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   private def reply(exchange: HttpExchange, status: Int, body: String): Unit = {
     val c = counters.computeIfAbsent(exchange.getHttpContext.getPath,
-      _ => Array.fill(3)(new java.util.concurrent.atomic.AtomicLong()))
+      _ => Array.fill(4)(new java.util.concurrent.atomic.AtomicLong()))
     c(0).incrementAndGet()
-    if (status >= 400 && status < 500) c(1).incrementAndGet()
+    // 401s are split out of client_errors: an operator reading
+    // /metrics must be able to tell "clients sending bad SQL" from
+    // "something is probing with the wrong token"
+    if (status == 401) c(3).incrementAndGet()
+    else if (status >= 400 && status < 500) c(1).incrementAndGet()
     else if (status >= 500) c(2).incrementAndGet()
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     exchange.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
@@ -473,6 +564,12 @@ object HttpQueryService {
   /** Query plane saturated — mapped to 503 by `statusFor`. */
   private[service] final class ServiceBusyException(msg: String)
       extends RuntimeException(msg)
+
+  /** Bearer-token check failed — mapped to 401 by `statusFor` and
+    * counted in its own /metrics column.
+    */
+  private[service] final class UnauthorizedException(msg: String)
+      extends RuntimeException(msg)
 }
 
 /** Standalone service entry point:
@@ -492,7 +589,12 @@ object HttpServiceMain {
     args.drop(1).headOption.foreach { dir =>
       graft.sources.Tables(spark, dir).registerAll()
     }
-    val http = new HttpQueryService(service, port).start()
+    // SPARK_GRAFT_HTTP_TOKEN locks the mutating surface (and
+    // SPARK_GRAFT_HTTP_AUTH_READS=true every endpoint but /cancel)
+    // behind Authorization: Bearer <token>
+    val http = new HttpQueryService(service, port,
+      authToken = sys.env.get("SPARK_GRAFT_HTTP_TOKEN"),
+      authReads = sys.env.get("SPARK_GRAFT_HTTP_AUTH_READS").contains("true")).start()
     println(s"[graft-http] listening on ${http.boundPort}")
     Thread.currentThread().join()
   }

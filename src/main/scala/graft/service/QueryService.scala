@@ -34,8 +34,12 @@ final class QueryService(val spark: SparkSession) {
 
   /** POST /sql — run a SQL statement, get the result as a DataFrame.
     * The plan stays lazy; callers page/collect as they choose.
+    * Versioned-table DML verbs (MERGE INTO / UPDATE / DELETE FROM /
+    * DESCRIBE HISTORY) against a registered vtable route to the table
+    * API — see [[SqlDml]]; everything else is plain `spark.sql`.
     */
-  def sql(query: String): DataFrame = spark.sql(query)
+  def sql(query: String): DataFrame =
+    SqlDml.dispatch(this, query).getOrElse(spark.sql(query))
 
   /** The reference's REST response shape: one JSON object per row,
     * with null fields RETAINED (`toJSON` would drop the key entirely,
@@ -48,6 +52,13 @@ final class QueryService(val spark: SparkSession) {
     * deterministic ORDER BY — same contract as SQL paging.
     */
   def sqlJson(query: String, limit: Int = 1000, offset: Int = 0): Seq[String] = {
+    // vtable DML arrives here too (SqlDml commits eagerly and already
+    // invalidates the cache itself); its one-row version frame pages
+    // through the same JSON contract as any result
+    SqlDml.dispatch(this, query) match {
+      case Some(dml) => return jsonRows(dml, limit, offset)
+      case None      => ()
+    }
     val df = spark.sql(query) // commands execute eagerly here
     // a command (CREATE/REPLACE VIEW, SET, INSERT...) can re-point
     // names or change session semantics underneath cached entries —

@@ -23,6 +23,15 @@ object GraftSqlBridge {
   def expr(c: Column): catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The reverse direction: a public [[Column]] over a catalyst
+    * expression (Spark 4 fenced the wrapping constructor too). Used by
+    * the SQL DML dispatcher, which pattern-matches parsed
+    * UPDATE/DELETE trees and hands their condition/assignment
+    * expressions to the versioned-table API, whose surface is Columns.
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Re-tag a batch frame as a streaming one — what a DSv1
     * `Source.getBatch` must hand MicroBatchExecution (it asserts
     * `isStreaming`). Same recipe as Spark's own file stream source:

@@ -516,4 +516,109 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     val wrongMethod = get("/sql")
     assert(wrongMethod.statusCode == 405, wrongMethod.body)
   }
+
+  test("SQL MERGE/UPDATE/DELETE text at POST /sql lands on the versioned table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-sqldml").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    vt.scan().createOrReplaceTempView("http_sqldml")
+    Seq((3L, 300.0), (4L, 400.0)).toDF("k", "v")
+      .createOrReplaceTempView("http_sqldml_src")
+    val m = post("/sql", """{"query":"MERGE INTO http_sqldml t USING http_sqldml_src s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"}""")
+    assert(m.statusCode == 200 && m.body.contains(""""version":2"""), m.body)
+    val d = post("/sql", """{"query":"DELETE FROM http_sqldml WHERE k = 1"}""")
+    assert(d.statusCode == 200 && d.body.contains(""""version":3"""), d.body)
+    assert(vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 20.0), (3L, 300.0), (4L, 400.0)))
+    // read-your-writes through the same /sql surface
+    val sel = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM http_sqldml"}""")
+    assert(sel.statusCode == 200 && sel.body.contains(""""n":3"""), sel.body)
+    // an unsupported MERGE shape is a descriptive client fault
+    val bad = post("/sql", """{"query":"MERGE INTO http_sqldml t USING http_sqldml_src s ON t.k = s.k WHEN MATCHED AND s.v > 0 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"}""")
+    assert(bad.statusCode == 400 && bad.body.contains("supported MERGE forms"), bad.body)
+  }
+
+  test("a configured bearer token refuses unauthorized mutations, 401 counted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    vt.scan().createOrReplaceTempView("http_auth_t")
+    val locked = new HttpQueryService(service, port = 0,
+      authToken = Some("sesame")).start()
+    try {
+      def send(path: String, body: String, token: Option[String]) = {
+        val b = HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:${locked.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // mutation route without / with wrong / with right token
+      assert(send("/delete", s"""{"path":"$dir","where":"id = 1"}""", None)
+        .statusCode == 401)
+      assert(send("/delete", s"""{"path":"$dir","where":"id = 1"}""", Some("wrong"))
+        .statusCode == 401)
+      assert(vt.read().count() == 2, "unauthorized delete must not land")
+      assert(send("/delete", s"""{"path":"$dir","where":"id = 1"}""", Some("sesame"))
+        .statusCode == 200)
+      assert(vt.read().count() == 1)
+      // /sql: reads open, mutating statements gated per-verb
+      assert(send("/sql",
+        """{"query":"SELECT count(*) AS n FROM http_auth_t"}""", None)
+        .statusCode == 200)
+      assert(send("/sql",
+        """{"query":"DELETE FROM http_auth_t WHERE id = 2"}""", None)
+        .statusCode == 401)
+      assert(vt.read().count() == 1, "unauthorized SQL DELETE must not land")
+      assert(send("/sql",
+        """{"query":"DELETE FROM http_auth_t WHERE id = 2"}""", Some("sesame"))
+        .statusCode == 200)
+      assert(vt.read().count() == 0)
+      // async plane honors the same per-statement gate
+      assert(send("/query",
+        """{"query":"CREATE TEMP VIEW http_auth_v AS SELECT 1"}""", None)
+        .statusCode == 401)
+      // /register is a mutation
+      assert(send("/register",
+        s"""{"name":"http_auth_n","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""",
+        None).statusCode == 401)
+      // 401s surface in their own metrics column
+      val metrics = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${locked.boundPort}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(metrics.statusCode == 200, metrics.body)
+      val delAuth =
+        """"/delete":\{[^}]*"auth_failures":(\d+)""".r
+          .findFirstMatchIn(metrics.body).map(_.group(1).toInt)
+      assert(delAuth.contains(2), metrics.body)
+    } finally locked.stop()
+  }
+
+  test("authReads extends the token to every endpoint except /cancel") {
+    val locked = new HttpQueryService(service, port = 0,
+      authToken = Some("sesame"), authReads = true).start()
+    try {
+      def send(path: String, body: String, token: Option[String]) = {
+        val b = HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:${locked.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(send("/sql", """{"query":"SELECT 1 AS one"}""", None).statusCode == 401)
+      assert(send("/sql", """{"query":"SELECT 1 AS one"}""", Some("sesame"))
+        .statusCode == 200)
+      val tables = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${locked.boundPort}/tables")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(tables.statusCode == 401, tables.body)
+      // the emergency lever stays open
+      assert(send("/cancel", """{"tag":"nope"}""", None).statusCode == 200)
+    } finally locked.stop()
+  }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.service.QueryService
+import graft.sources.VersionedTable
+
+/** The SQL-statement DML surface (SqlDml): MERGE INTO / UPDATE /
+  * DELETE FROM / DESCRIBE HISTORY text submitted at the service's SQL
+  * entry point routes to the versioned-table API when the target is a
+  * registered bare vtable view, with read-your-writes on the view,
+  * and falls through to Spark untouched otherwise.
+  */
+class SqlDmlSpec extends SparkSpecBase {
+
+  private def freshTable(prefix: String): (VersionedTable, String) = {
+    val dir = Files.createTempDirectory(s"graft-$prefix").toString + "/t"
+    (VersionedTable(spark, dir), dir)
+  }
+
+  private def seeded(prefix: String, name: String): (QueryService, VersionedTable) = {
+    val (vt, _) = freshTable(prefix)
+    vt.append(spark.range(1, 11).select(col("id").as("k"),
+      (col("id") * 10.0).as("v")))
+    vt.scan().createOrReplaceTempView(name)
+    (new QueryService(spark), vt)
+  }
+
+  test("SQL MERGE INTO hash-matches the API-path merge") {
+    // API path
+    val (apiVt, _) = freshTable("sqldml-api")
+    val base = spark.range(1, 11).select(col("id").as("k"), (col("id") * 10.0).as("v"))
+    val upd = spark.range(5, 16).select(col("id").as("k"), (col("id") * 100.0).as("v"))
+    apiVt.append(base)
+    apiVt.merge(upd, "k")
+
+    // SQL path over registered views
+    val (svc, sqlVt) = seeded("sqldml-sql", "sqlm_target")
+    upd.createOrReplaceTempView("sqlm_updates")
+    val res = svc.sql("MERGE INTO sqlm_target AS t USING sqlm_updates AS s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(res.columns.toSeq == Seq("version"))
+    assert(res.head().getInt(0) == 2) // append=1, merge=2
+
+    val api = apiVt.read().orderBy("k").collect().toSeq
+    val viaSql = sqlVt.read().orderBy("k").collect().toSeq
+    assert(viaSql == api)
+    // read-your-writes: the registered view was refreshed to the new head
+    assert(spark.table("sqlm_target").count() == 15)
+  }
+
+  test("explicit full-coverage identity assignment lists are accepted as SET */INSERT *") {
+    val (svc, vt) = seeded("sqldml-ident", "sqlm_ident")
+    spark.range(10, 13).select(col("id").as("k"), lit(0.0).as("v"))
+      .createOrReplaceTempView("sqlm_ident_src")
+    svc.sql("MERGE INTO sqlm_ident t USING sqlm_ident_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)").collect()
+    val rows = vt.read().filter(col("k") >= 10).orderBy("k").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 0.0, 0.0))
+    assert(vt.read().count() == 12)
+  }
+
+  test("SQL UPDATE and DELETE route to updateWhere/deleteWhere") {
+    val (svc, vt) = seeded("sqldml-ud", "sqlm_ud")
+    svc.sql("UPDATE sqlm_ud SET v = v + 1 WHERE k % 2 = 0").collect()
+    svc.sql("DELETE FROM sqlm_ud WHERE k > 8").collect()
+    val rows = vt.read().orderBy("k").collect()
+    assert(rows.length == 8)
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      (1L to 8L).map(k => (k, k * 10.0 + (if (k % 2 == 0) 1 else 0))))
+    // the view reads the final state too (refreshed twice)
+    assert(spark.table("sqlm_ud").count() == 8)
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE alone routes to keyed delete") {
+    val (svc, vt) = seeded("sqldml-del", "sqlm_del")
+    spark.range(3, 7).select(col("id").as("k"), lit(0.0).as("v"))
+      .createOrReplaceTempView("sqlm_del_keys")
+    svc.sql("MERGE INTO sqlm_del t USING sqlm_del_keys s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE").collect()
+    assert(vt.read().select("k").orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 7L, 8L, 9L, 10L))
+  }
+
+  test("unsupported MERGE shapes fail with a descriptive error, not a fallthrough") {
+    val (svc, _) = seeded("sqldml-bad", "sqlm_bad")
+    spark.range(1, 3).select(col("id").as("k"), lit(0.0).as("v"))
+      .createOrReplaceTempView("sqlm_bad_src")
+    // clause condition
+    val e1 = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e1.getMessage.contains("supported MERGE forms"))
+    // partial-column update
+    val e2 = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("supported MERGE forms"))
+    // non-equality ON
+    val e3 = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k < s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e3.getMessage.contains("key equality"))
+  }
+
+  test("subqueries in DELETE conditions are rejected with guidance") {
+    val (svc, _) = seeded("sqldml-subq", "sqlm_subq")
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("DELETE FROM sqlm_subq WHERE k IN (SELECT k FROM sqlm_subq WHERE v > 50)")
+    }
+    assert(e.getMessage.contains("subquer"))
+  }
+
+  test("DML against a non-vtable view falls through to Spark's own error") {
+    val svc = new QueryService(spark)
+    spark.range(3).select(col("id").as("k")).createOrReplaceTempView("sqlm_plain")
+    // Spark rejects DELETE on a plain view — its native error surface
+    // (a SparkThrowable, not this library's IllegalArgumentException),
+    // proving the dispatcher didn't claim the statement
+    val e = intercept[Exception] {
+      svc.sql("DELETE FROM sqlm_plain WHERE k = 1")
+    }
+    assert(e.isInstanceOf[org.apache.spark.SparkThrowable], e.getClass.getName)
+  }
+
+  test("DESCRIBE HISTORY over SQL returns the commit log") {
+    val (svc, vt) = seeded("sqldml-hist", "sqlm_hist")
+    svc.sql("DELETE FROM sqlm_hist WHERE k = 1").collect()
+    val hist = svc.sql("DESCRIBE HISTORY sqlm_hist").collect()
+    assert(hist.length == 2) // append + delete
+    val ops = hist.map(_.getAs[String]("op")).toSet
+    assert(ops.contains("append"), ops.mkString(","))
+    // quoted-path form reaches the same table
+    val byPath = svc.sql(s"DESCRIBE HISTORY '${vt.dir}'").collect()
+    assert(byPath.length == 2)
+  }
+
+  test("a time-traveled registration is not re-pointed by DML") {
+    val (vt, _) = freshTable("sqldml-tt")
+    vt.append(spark.range(1, 4).select(col("id").as("k"), lit(1.0).as("v")))
+    vt.append(spark.range(4, 6).select(col("id").as("k"), lit(2.0).as("v")))
+    vt.scan(1).createOrReplaceTempView("sqlm_pinned") // old snapshot
+    vt.scan().createOrReplaceTempView("sqlm_head")
+    val svc = new QueryService(spark)
+    svc.sql("DELETE FROM sqlm_head WHERE k = 1").collect()
+    // the head view follows the commit; the pinned one keeps v1
+    assert(spark.table("sqlm_head").count() == 4)
+    assert(spark.table("sqlm_pinned").count() == 3)
+  }
+}
