@@ -69,6 +69,65 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   private def checkpointPath(v: Int): Path = logDir.resolve(f"checkpoint-$v%08d.json")
   private def pointerPath: Path = logDir.resolve("_last_checkpoint")
   private def cdfMarkerPath: Path = logDir.resolve("_cdf_enabled")
+  private def feedsDir: Path = logDir.resolve("feeds")
+
+  /** One lease file per registered change-feed consumer. The raw id
+    * (a checkpoint path, typically) is sanitized into the filename and
+    * disambiguated by hash; the JSON keeps the original for error
+    * messages.
+    */
+  private def leasePath(consumerId: String): Path = {
+    val safe = consumerId.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
+    feedsDir.resolve(s"$safe-${Integer.toHexString(consumerId.hashCode)}.json")
+  }
+
+  /** Record (or advance) a change-feed consumer's durable progress:
+    * the consumer has committed everything THROUGH `readThrough` and
+    * still needs every later version to remain replayable.
+    * [[vacuum]] refuses to drop versions a fresh lease protects, so a
+    * replica briefly offline no longer discovers ResyncRequired at its
+    * next read — the retention race the round-6 CDC work left open.
+    * Written by [[graft.streaming.VTableChangeSource]] from its
+    * checkpointed offset on every batch; callers driving
+    * [[readChangesSince]] by hand can register one too. Atomic
+    * replace; last writer wins (progress only ever advances for a
+    * single consumer, so order races are benign).
+    */
+  def registerFeedLease(consumerId: String, readThrough: Int): Unit = {
+    Files.createDirectories(feedsDir)
+    val tmp = Files.createTempFile(feedsDir, ".lease-", ".tmp")
+    Files.writeString(tmp,
+      mapper.writeValueAsString(mapper.createObjectNode()
+        .put("id", consumerId).put("v", readThrough)
+        .put("ts", System.currentTimeMillis())))
+    Files.move(tmp, leasePath(consumerId),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop a consumer's lease — a decommissioned replica stops holding
+    * retention back immediately instead of waiting out the lease age.
+    */
+  def releaseFeedLease(consumerId: String): Unit = {
+    Files.deleteIfExists(leasePath(consumerId)); ()
+  }
+
+  /** Registered consumer id → (read-through version, lease wall time). */
+  def feedLeases: Map[String, (Int, Long)] = {
+    if (!Files.isDirectory(feedsDir)) return Map.empty
+    val s = Files.list(feedsDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap { p =>
+          try {
+            val n = mapper.readTree(p.toFile)
+            Some(n.get("id").asText() -> (n.get("v").asInt(), n.get("ts").asLong()))
+          } catch { case NonFatal(_) => None } // torn write: skip, not fail
+        }.toMap
+    } finally s.close()
+  }
 
   /** Opt into row-level change tracking (Delta's
     * `enableChangeDataFeed` table property): from now on every
@@ -1814,9 +1873,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val v = currentVersion
     if (v == 0) {
       // seeding a fresh replica: the first batch's upserts ARE the
-      // table; this engine's feed metadata falls away, deletes are
-      // vacuous (nothing exists to delete)
-      val drop = Set(changeTypeCol, VersionedTable.CommitVersionCol)
+      // table; FEED metadata falls away — the change-type column, this
+      // engine's commit-version column, AND the feed's own sequence
+      // column (a foreign CDC feed's custom orderBy is ordering
+      // metadata exactly like CommitVersionCol; baking it into the
+      // seeded schema would diverge the replica from its source, since
+      // every later batch projects upserts to the committed schema and
+      // so would never carry it again). orderBy == key is the one
+      // exception: the key is data by necessity. Deletes are vacuous
+      // (nothing exists to delete yet).
+      val drop = Set(changeTypeCol, VersionedTable.CommitVersionCol) ++
+        (if (orderBy != key) Set(orderBy) else Set.empty)
       val seeded = latest.filter(col(changeTypeCol) =!= "delete")
         .select(changes.columns.filterNot(drop).map(col).toSeq: _*)
       return commitData(1, "append", seeded, Seq.empty, Map.empty, epoch)
@@ -2518,12 +2585,34 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * files deleted. Safe against mid-vacuum readers of RETAINED
     * versions (their manifests and files are untouched); like Delta,
     * readers of dropped history race with the delete by design.
+    *
+    * Change-feed consumers are protected: a registered lease
+    * ([[registerFeedLease]]) younger than `maxFeedLeaseAgeMs` REFUSES
+    * the vacuum when it would drop a version past the consumer's
+    * read-through point — otherwise a replica offline across a vacuum
+    * discovers ResyncRequired (full re-sync) instead of resuming its
+    * delta stream. Stale leases (a consumer dead longer than the age
+    * bound, default 7 days) stop holding retention back; `force`
+    * overrides the guard entirely.
     */
-  def vacuum(retainVersions: Int = 1): Int = {
+  def vacuum(retainVersions: Int = 1, force: Boolean = false,
+      maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
     val vs = listVersions().sorted
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     if (drop.isEmpty) return 0
+    if (!force) {
+      val now = System.currentTimeMillis()
+      feedLeases.foreach { case (id, (through, ts)) =>
+        val needed = drop.filter(_ > through)
+        if (now - ts <= maxFeedLeaseAgeMs && needed.nonEmpty)
+          throw new IllegalStateException(
+            s"vacuum would drop versions ${needed.min}..${needed.max} that " +
+              s"change-feed consumer '$id' (read through v$through, lease " +
+              s"${now - ts} ms old) still needs; wait for it to advance, " +
+              "releaseFeedLease(id), or vacuum(force = true)")
+      }
+    }
     // the dropped manifests may be the only record of committed stream
     // epochs (if the commit-time pointer write failed — it's advisory);
     // harvest them into the durable pointer BEFORE deleting
@@ -2739,6 +2828,13 @@ object VersionedTable {
     * snapshot they rewrite, so the caller must decide on a conflict).
     */
   val MaxCommitRetries = 5
+
+  /** How long a change-feed lease protects retention after its last
+    * update (7 days): long enough to ride out a weekend outage of a
+    * replica, short enough that a decommissioned-without-release
+    * consumer doesn't pin history forever.
+    */
+  val DefaultFeedLeaseAgeMs: Long = 7L * 24 * 60 * 60 * 1000
 
   /** Equal-frequency buckets per Z-order dimension (64 = 6 bits;
     * 4096 addressable z-cells — plenty of granularity above any

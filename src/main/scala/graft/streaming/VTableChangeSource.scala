@@ -59,7 +59,10 @@ final class VTableChangeSourceProvider extends StreamSourceProvider with DataSou
       .orElse(params.get("maxversionspertrigger")).map(_.toInt)
     maxVersions.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
-    new VTableChangeSource(vt, starting, maxVersions)
+    // the stream's checkpoint location is the stable consumer identity
+    // (survives restarts, distinct per query) — it names the retention
+    // lease this source maintains on the table
+    new VTableChangeSource(vt, starting, maxVersions, Some(metadataPath))
   }
 }
 
@@ -75,8 +78,28 @@ private[streaming] object VTableChangeSource {
 }
 
 private[streaming] final class VTableChangeSource(vt: VersionedTable,
-    startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int] = None)
+    startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int] = None,
+    leaseId: Option[String] = None)
   extends Source {
+
+  // last read-through version this source leased — skip rewriting the
+  // lease file when progress hasn't moved
+  @volatile private var lastLeased: Int = -1
+
+  /** Advance the table's retention lease to the consumer's DURABLE
+    * progress: `start` of a batch is the previously committed offset
+    * (Spark replays from the checkpoint on restart), so everything
+    * after it must stay replayable. Lease IO must never fail the
+    * stream — vacuum protection is best-effort by design (the
+    * ResyncRequired path below remains the correctness backstop).
+    */
+  private def lease(readThrough: Int): Unit =
+    leaseId.foreach { id =>
+      if (readThrough != lastLeased) {
+        try { vt.registerFeedLease(id, readThrough); lastLeased = readThrough }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
 
   // fixed at stream START (first run, not restart — restarts resume
   // from the checkpointed offset, which supersedes this)
@@ -115,8 +138,10 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = v(end)
     if (e > lastEnd) lastEnd = e
+    val s = start.map(v).getOrElse(initialVersion)
+    lease(s)
     org.apache.spark.sql.GraftSqlBridge.asStreamingFrame(
-      vt.readChangesSince(start.map(v).getOrElse(initialVersion), e))
+      vt.readChangesSince(s, e))
   }
 
   override def stop(): Unit = ()

@@ -260,4 +260,81 @@ class CdfStreamSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("null"))
   }
+
+  test("vacuum respects an active change-feed consumer's lease") {
+    import spark.implicits._
+    val root = tmp("cdflease")
+    val dir = s"$root/t"
+    val out = s"$root/out"
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name")) // v1
+    t.enableCdf()
+    // restartable consumer (file sink — memory refuses checkpoint
+    // recovery); its lease records the checkpointed progress
+    def run(): Unit = {
+      val q = readCdf(dir, Some(0)).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(t.feedLeases.nonEmpty, "streaming source registered no lease")
+    // commits the offline consumer has NOT seen yet
+    t.merge(Seq((2L, "b")).toDF("id", "name"), "id") // v2
+    t.merge(Seq((3L, "c")).toDF("id", "name"), "id") // v3
+    // retention would drop versions past the consumer's read-through
+    // point → refused, nothing deleted
+    val e = intercept[IllegalStateException] { t.vacuum(retainVersions = 1) }
+    assert(e.getMessage.contains("change-feed consumer"), e.getMessage)
+    assert(t.read(1).count() == 1, "refused vacuum must delete nothing")
+    // the offline consumer catches up cleanly — its deltas survived —
+    // and its lease advances (to the catch-up batch's START, v1: the
+    // lease is deliberately one batch conservative)
+    run()
+    assert(spark.read.parquet(out).count() == 3) // bootstrap + 2 merge inserts
+    assert(t.feedLeases.values.exists(_._1 >= 1), t.feedLeases.toString)
+    // dropping only v1 (consumed) is now allowed
+    assert(t.vacuum(retainVersions = 2) >= 0)
+    // an EXPIRED lease stops blocking (age bound zero ⇒ every lease
+    // stale) — the dead-consumer escape hatch
+    t.merge(Seq((4L, "d")).toDF("id", "name"), "id")
+    t.registerFeedLease("dead-replica", 0)
+    t.vacuum(retainVersions = 1, maxFeedLeaseAgeMs = 0L)
+    // releasing a lease removes its hold entirely
+    t.feedLeases.keys.foreach(t.releaseFeedLease)
+    t.merge(Seq((5L, "e")).toDF("id", "name"), "id")
+    t.registerFeedLease("retired", 0)
+    intercept[IllegalStateException] { t.vacuum(retainVersions = 1) }
+    t.releaseFeedLease("retired")
+    t.vacuum(retainVersions = 1)
+  }
+
+  test("seeding an empty replica from a foreign feed drops its sequence column") {
+    import spark.implicits._
+    val dir = tmp("cdfseed") + "/t"
+    val t = VersionedTable(spark, dir)
+    // a FOREIGN feed's first batch: custom `seq` ordering column, a
+    // superseded change, and a delete for a never-seen key
+    val seedBatch = Seq(
+      (1L, "a0", "insert", 10),
+      (1L, "a1", "update_postimage", 20), // supersedes the insert
+      (2L, "b", "insert", 10),
+      (9L, "gone", "delete", 10)          // vacuous on an empty table
+    ).toDF("id", "name", CT, "seq")
+    t.applyChanges(seedBatch, "id", orderBy = "seq")
+    // the seeded schema is the SOURCE's data schema: no change-type,
+    // no commit-version, and no foreign `seq` — ordering metadata must
+    // not bake into the replica (the docstring's "extras fall away")
+    assert(t.read().columns.toSeq == Seq("id", "name"))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
+      Seq((1L, "a1"), (2L, "b")))
+    // and the NEXT batch from the same feed applies cleanly against
+    // the seeded schema (projection to committed fields must line up)
+    t.applyChanges(Seq((2L, "b2", "update_postimage", 30))
+      .toDF("id", "name", CT, "seq"), "id", orderBy = "seq")
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
+      Seq((1L, "a1"), (2L, "b2")))
+  }
 }
