@@ -65,6 +65,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(t(spark, "/root/testdata/sf0.001"))
 
+  /** Serving-index builds a deployment amortizes across queries —
+    * train once, probe many. Bench runs these at the TARGET corpus
+    * before its timed pass and reports their cost separately
+    * (`index_build` in the artifact), so the ANN query numbers measure
+    * the probe/ADC/re-rank serving path, not Lloyd training — while
+    * the training cost itself stays visible instead of hiding inside
+    * whichever ANN query happened to run first. Verify does NOT run
+    * these: the correctness gate exercises build+probe together, as a
+    * cold client would. Each build forces materialization (the memos
+    * persist lazily).
+    */
+  val indexWarmups: Map[String, (SparkSession, String) => Unit] = Map(
+    "ivf" -> ((s, d) => {
+      graft.operators.Similarity.corpusIndex(t(s, d)).assigned.count(); ()
+    }),
+    "pq" -> ((s, d) => {
+      val m = graft.operators.Pq.corpusPq(t(s, d))
+      m.codebooks.count(); m.codes.count(); ()
+    }))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 relational core
@@ -238,9 +258,9 @@ object SparkEntry {
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq,
     * q_ann_ivfpq, q_text_ann,
-    * q_fingerprint, q_media_features, q_image_features,
+    * q_media_features, q_image_features,
     * q_frame_sample, q_audio_features, q_approx_distinct,
-    * q_hll_sketch, q_percentile_approx, q_quantize_error,
+    * q_hll_sketch, q_percentile_approx,
     * q_bpe_tokens, q_dedup_ingest, q_semdedup — are rows-only BY
     * DESIGN: their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
@@ -864,6 +884,79 @@ object SparkEntry {
         | cast(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM per_user""".stripMargin,
+    // the custom RollingFp expression replayed in pure SQL: the
+    // 31·h+c polynomial folds left-to-right over the characters in
+    // HUGEINT mod 2^64 (DuckDB BIGINT raises on overflow, so the
+    // wraparound is explicit), then the splitmix64 finalizer — each
+    // 64×64 multiply split into 32-bit halves to stay inside HUGEINT,
+    // logical shifts as integer division on the non-negative residues
+    // — and the unsigned result mapped back to Java's signed long.
+    // Exercises every char of every doc: a single bit off anywhere
+    // flips the hash
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN z6 >= 9223372036854775808::HUGEINT
+        |       THEN z6 - 18446744073709551616::HUGEINT ELSE z6 END::BIGINT AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      [1125899906842597::HUGEINT] ||
+        |        list_transform(generate_series(1, length(text)),
+        |          i -> unicode(substring(text, i, 1))::HUGEINT),
+        |      (h, c) -> (31 * h + c) % 18446744073709551616::HUGEINT) AS h0,
+        |    (h0 + 11400714819323198485::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z1,
+        |    xor(z1, z1 // 1073741824) AS z2,
+        |    ((z2 % 4294967296) * 484763065::HUGEINT
+        |      + ((z2 % 4294967296) * 3210233709::HUGEINT
+        |         + (z2 // 4294967296) * 484763065::HUGEINT)
+        |        * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z3,
+        |    xor(z3, z3 // 134217728) AS z4,
+        |    ((z4 % 4294967296) * 321982955::HUGEINT
+        |      + ((z4 % 4294967296) * 2496678331::HUGEINT
+        |         + (z4 // 4294967296) * 321982955::HUGEINT)
+        |        * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z5,
+        |    xor(z5, z5 // 2147483648) AS z6
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // int8 absmax quantize→dequantize→cosine replayed in SQL with the
+    // engine's exact float semantics: the scale and the dequantized
+    // values round through REAL (float32) at the same points Spark
+    // does — a float×float product is exact in double, so
+    // CAST(d AS REAL) reproduces the single-rounded float multiply —
+    // and the cosine accumulates left-to-right in DOUBLE like VecImpl
+    "q_quantize_error" ->
+      """SELECT vec_id, floor(cos * 10000 + 0.5) / 10000 AS cos_fidelity
+        |FROM (
+        |  SELECT vec_id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE d / (sqrt(na) * sqrt(nb)) END AS cos
+        |  FROM (
+        |    SELECT vec_id,
+        |      list_reduce([0.0::DOUBLE] ||
+        |        list_transform(generate_series(1, len(embedding)),
+        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(dqv[i] AS DOUBLE)),
+        |        (a, b) -> a + b) AS d,
+        |      list_reduce([0.0::DOUBLE] ||
+        |        list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        |        (a, b) -> a + b) AS na,
+        |      list_reduce([0.0::DOUBLE] ||
+        |        list_transform(dqv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        |        (a, b) -> a + b) AS nb
+        |    FROM (
+        |      SELECT vec_id, embedding,
+        |        list_transform(qv, q ->
+        |          CAST(CAST(q AS DOUBLE) * CAST(s AS DOUBLE) AS REAL)) AS dqv
+        |      FROM (
+        |        SELECT vec_id, embedding,
+        |          CAST(CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE)
+        |               / 127.0 AS REAL) AS s,
+        |          list_transform(embedding, v ->
+        |            CASE WHEN s = 0 THEN 0
+        |                 ELSE CAST(round(CAST(v AS DOUBLE) / CAST(s AS DOUBLE)) AS BIGINT)
+        |            END) AS qv
+        |        FROM embeddings))))
+        |ORDER BY vec_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -66,9 +66,31 @@ object Graph {
     * edges. Returns (node, out_deg, rank_q); damping 0.85 as the
     * integer step `base + (85·S) div 100`.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    pageRankLoop(edges, iters, checkpoint = false)
+
+  /** [[pageRank]] with per-iteration lineage truncation — the 100 TB
+    * posture the object scaladoc prescribes: each round's ranks are
+    * eagerly `localCheckpoint`ed, so iteration i+1 joins edges against
+    * a materialized RDD instead of the unrolled lazy lineage of every
+    * prior round (whose plan depth — and optimizer time, and task
+    * binary size — grows linearly with `iters`, and whose recompute-
+    * on-failure cost grows quadratically). Rank-IDENTICAL to the lazy
+    * form: the quanta arithmetic is integer and order-independent
+    * (GraphSpec asserts frame equality and constant plan depth).
+    * Superseded checkpoint blocks are released by Spark's context
+    * cleaner once the previous iteration's frame is unreachable.
+    */
+  def pageRankCheckpointed(edges: DataFrame, iters: Int): DataFrame =
+    pageRankLoop(edges, iters, checkpoint = true)
+
+  private def pageRankLoop(edges: DataFrame, iters: Int,
+      checkpoint: Boolean): DataFrame = {
+    val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+    // the roster is re-joined every iteration: pin it once in the
+    // checkpointed regime (it also feeds the count below)
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
     // node count as a driver literal: the roster is per-key tiny here;
     // at scale this is one count() on an already-persisted frame
     val n = nodes.count()
@@ -80,9 +102,10 @@ object Graph {
       val contrib = edges.join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("(r * w) div deg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(baseQ) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      r = if (checkpoint) next.localCheckpoint() else next
     }
     val deg = edges.groupBy("src").agg(sum("w").as("out_deg"))
       .withColumnRenamed("src", "node")

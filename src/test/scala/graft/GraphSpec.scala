@@ -59,4 +59,24 @@ class GraphSpec extends SparkSpecBase {
     assert(a.length.toLong <= ks)
     assert(a.length > 10)
   }
+
+  test("checkpointed variant is rank-identical with constant plan depth") {
+    val edges = Graph.edgesFor(tables)
+    val lazyRanks = Graph.pageRank(edges, 5).orderBy("node").collect()
+    val ckptRanks = Graph.pageRankCheckpointed(edges, 5).orderBy("node").collect()
+    // bit-identical: quanta arithmetic is integer and order-independent
+    assert(ckptRanks.toSeq == lazyRanks.toSeq)
+    // lineage truncation: the optimized plan after 5 iterations is no
+    // deeper than after 1 — each round starts from a materialized RDD,
+    // so plan size (and optimizer time) stays flat however many
+    // iterations run; the lazy form grows linearly by construction
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val d1 = planSize(Graph.pageRankCheckpointed(edges, 1))
+    val d5 = planSize(Graph.pageRankCheckpointed(edges, 5))
+    assert(d5 == d1, s"checkpointed plan grew with iterations: $d1 -> $d5")
+    val l1 = planSize(Graph.pageRank(edges, 1))
+    val l5 = planSize(Graph.pageRank(edges, 5))
+    assert(l5 > l1, s"lazy-form growth assumption broken: $l1 -> $l5")
+  }
 }
