@@ -25,6 +25,66 @@ class CdfSpec extends SparkSpecBase {
       r.getString(r.fieldIndex(CT)),
       r.getInt(r.fieldIndex(CV)))).toSet
 
+  test("randomized APPLY batches: snapshot and feed match the model oracle") {
+    import spark.implicits._
+    // applyChanges' CDF rows are DERIVED from joins over the touched
+    // base files, not recorded directly — this property trial gates
+    // that derivation (and the batch resolution rule) against a plain
+    // in-memory model: random batches of insert/update/delete/preimage
+    // rows with COLLIDING sequence numbers, applied commit after
+    // commit; after each, the committed snapshot must equal the model
+    // and the commit's feed rows must be exactly the model's diff
+    // classes (pre+post for an upsert on a live key — equal values
+    // included — insert for a new key, delete for a live key, nothing
+    // for a delete of an absent key).
+    val types = Seq("insert", "update_postimage", "delete", "update_preimage")
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(4200 + trial)
+      val t = VersionedTable(spark, tmp())
+      var model = (1L to 10L).map(k => k -> s"init$k").toMap
+      t.append(model.toSeq.toDF("id", "name"))
+      t.enableCdf()
+      var v = 1
+      (0 until 6).foreach { _ =>
+        val batch = (0 until (5 + rnd.nextInt(11))).map { _ =>
+          (rnd.nextInt(30).toLong + 1, s"v${rnd.nextInt(1000)}",
+            types(rnd.nextInt(types.length)), rnd.nextInt(5).toLong + 1)
+        }
+        // model resolution = the documented rule: preimages drop, then
+        // per key the highest seq wins, seq ties broken by change type
+        // ascending (so replays resolve identically)
+        val resolved = batch.filter(_._3 != "update_preimage")
+          .groupBy(_._1).map { case (k, changes) =>
+            k -> changes.minBy(c => (-c._4, c._3))
+          }
+        val prev = model
+        resolved.foreach { case (k, (_, value, ct, _)) =>
+          if (ct == "delete") model -= k else model += (k -> value)
+        }
+        val expectedFeed: Set[(Long, String, String)] = resolved.flatMap {
+          case (k, (_, value, ct, _)) =>
+            (ct, prev.get(k)) match {
+              case ("delete", Some(old)) => Seq((k, old, "delete"))
+              case ("delete", None)      => Seq.empty
+              case (_, Some(old)) => Seq((k, old, "update_preimage"),
+                (k, value, "update_postimage"))
+              case (_, None)      => Seq((k, value, "insert"))
+            }
+        }.toSet
+        t.applyChanges(
+          batch.toDF("id", "name", CT, "seq"), "id", orderBy = "seq")
+        v += 1
+        assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+          == model, s"trial $trial v$v snapshot diverged from model")
+        val feed = t.readChangesSince(v - 1, v).collect()
+          .map(r => (r.getLong(r.fieldIndex("id")),
+            r.getString(r.fieldIndex("name")), r.getString(r.fieldIndex(CT))))
+          .toSet
+        assert(feed == expectedFeed, s"trial $trial v$v feed diverged")
+      }
+    }
+  }
+
   test("merge emits pre/postimage for matched keys, insert for new ones") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
