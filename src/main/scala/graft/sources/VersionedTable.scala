@@ -1626,6 +1626,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     case _                                              => false
   }
 
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** The union schema of an additive evolution; shared columns may
     * widen (either direction — the wider type wins; an incoming
     * NARROWER column just up-casts at write), anything else raises.
@@ -1642,13 +1647,22 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         case Some(g) if widens(f.dataType, g.dataType) =>
           // bloom sidecars record their BUILD type per file (stats key
           // `__bt_<col>`), so probes hash each file in its own era and
-          // bloom-indexed columns may widen freely. NDV sketches can't:
-          // they UNION across files, and the same value hashed under
-          // two build types would double-count every surviving distinct
-          require(!ndvConfig.exists(_.columns.contains(f.name)),
-            s"appendEvolve cannot widen NDV-indexed column ${f.name}: " +
-              "HLL sidecars hash the committed type and union across " +
-              "files (drop the ndv config first)")
+          // bloom-indexed columns may widen freely. NDV sketches widen
+          // too across the INTEGRAL chain: Spark's HllSketchAgg
+          // converts every integral input to long before the sketch
+          // update (verified empirically — an int-era and a long-era
+          // sketch of the same values union to the exact count), so
+          // the same logical value lands on the same sketch hash in
+          // every era and cross-era unions never double-count. Only a
+          // representation-CHANGING widening (float→double — types the
+          // sketch agg doesn't accept anyway) would fracture the hash
+          // domain, so that combination stays refused defensively.
+          require(integral(f.dataType) && integral(g.dataType) ||
+            !ndvConfig.exists(_.columns.contains(f.name)),
+            s"appendEvolve cannot widen NDV-indexed column ${f.name} " +
+              s"from ${f.dataType.simpleString} to ${g.dataType.simpleString}: " +
+              "HLL sketch hashes are not stable across that promotion " +
+              "(drop the ndv config first)")
           f.copy(dataType = g.dataType)
         case Some(g) =>
           throw new IllegalArgumentException(

@@ -474,7 +474,9 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(after(1L) == 100.0d && after(9L) == 9.5d && after(2L) == 2.5d)
     // a bloom-indexed column NOW widens (probes hash per-file in the
     // sidecar's recorded build type — WidenBloomSpec owns the pruning
-    // contract); NDV-indexed columns still refuse (sketches union)
+    // contract); NDV-indexed integral columns widen too (the sketch
+    // agg hashes every integral input as long — WidenBloomSpec owns
+    // the cross-era exactness contract)
     val t2 = VersionedTable(spark, tmp())
     t2.enableBloom(Seq("k"), expectedItemsPerFile = 100)
     t2.append(Seq((1, "a")).toDF("k", "v").coalesce(1))

@@ -108,15 +108,23 @@ class WidenBloomSpec extends SparkSpecBase {
     assert(t.read().where(col("k") === 22L).head().getString(1) == "updated")
   }
 
-  test("NDV-indexed columns still refuse to widen") {
+  test("NDV-indexed integral columns widen; cross-era unions never double-count") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
     t.enableNdv(Seq("k"))
-    t.append(Seq((1, "a")).toDF("k", "v"))
-    val e = intercept[IllegalArgumentException] {
-      t.appendEvolve(Seq((5L, "b")).toDF("k", "v"))
-    }
-    assert(e.getMessage.contains("NDV-indexed"))
+    // int era: 5 distinct keys
+    t.append((1 to 5).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(t.approxNdv("k").contains(5L))
+    // widening append with OVERLAPPING keys (3,4,5 recur as longs):
+    // Spark's sketch agg hashes every integral input as long, so the
+    // int-era and long-era sidecars union to the exact distinct count
+    // — a type-dependent hash would read ~11 here, not 8
+    t.appendEvolve((3L to 8L).map(i => (i, s"w$i")).toDF("k", "v"))
+    assert(t.read().schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.approxNdv("k").contains(8L), t.approxNdv("k").toString)
+    // and the pre-widening snapshot still answers in its own era
+    assert(t.approxNdv("k", version = 1).contains(5L))
   }
 
   test("compact after widening rebuilds sidecars in the wide era; probes stay exact") {
