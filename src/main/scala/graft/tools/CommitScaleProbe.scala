@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Commit-path scale probe: how does the driver-side metadata path —
+  * per-file stats collection, self-contained JSON manifest write,
+  * manifest parse, `currentVersion` — behave as the FILE COUNT in a
+  * single table grows toward the many-thousand-file manifests a
+  * 100 TB deployment carries?
+  *
+  * The standing concern (round-6 verdict): every commit writes one
+  * self-contained JSON manifest listing EVERY live file with stats,
+  * so at large file counts the O(files) JSON serialize/parse could
+  * dominate small commits. This probe measures, per file count N:
+  *
+  *   - `bulk_commit_s`: append of an N-partition frame (includes the
+  *     parquet task writes — the distributed part; reported for
+  *     context, not the metric under test)
+  *   - `small_commit_s`: a 1-file append onto the N-file table — pure
+  *     metadata overhead dominates (parse N-entry manifest, carry
+  *     stats, write N+1-entry manifest); THE number that regresses
+  *     when the manifest path stops scaling
+  *   - `manifest_kb`: manifest JSON size at N files
+  *   - `parse_s`: cold manifest parse + file-list + stats extraction
+  *     (fresh VersionedTable instance, so no memo)
+  *   - `current_version_s`: the version probe a lazy scan pays
+  *   - `plan_s`: `scan()` construction + one `count()` over the
+  *     manifest-backed snapshot
+  *
+  * Run: `sbt "runMain graft.tools.CommitScaleProbe 1000,5000,20000"`.
+  * One JSON line per N on stdout; findings recorded in PROGRESS.md
+  * with the threshold decision.
+  */
+object CommitScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1000, 5000, 20000, 50000))
+    val spark = graft.engine.GraftSession
+      .builder(master = "local[8]", appName = "graft-commit-probe",
+        shufflePartitions = 8)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    ns.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory("graft-cprobe")
+      val dir = root.toString + "/t"
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root.toFile)
+      }
+      val vt = VersionedTable(spark, dir)
+      // n files, a handful of rows each — the shape of a streaming
+      // table before compaction, scaled
+      val df = spark.range(n.toLong * 4)
+        .select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+        .repartition(n)
+      val (_, bulk) = timed(vt.append(df))
+      val one = spark.range(4).select(col("id").as("k"),
+        (col("id") % 997).cast("double").as("v")).coalesce(1)
+      val (_, small) = timed(vt.append(one))
+      val manifestPath = java.nio.file.Paths.get(dir, "_graft_log", "v00000002.json")
+      val bytes = java.nio.file.Files.size(manifestPath)
+      // fresh instance: no memoized scanMeta / manifest state
+      val cold = VersionedTable(spark, dir)
+      val (_, cv) = timed(cold.currentVersion)
+      val (_, parse) = timed(cold.describeJson())
+      val (_, plan) = timed(cold.scan().count())
+      def ms(x: Double) = f"$x%.3f"
+      println(s"""{"files":$n,"bulk_commit_s":${ms(bulk)},""" +
+        s""""small_commit_s":${ms(small)},"manifest_kb":${bytes / 1024},""" +
+        s""""current_version_s":${ms(cv)},"parse_s":${ms(parse)},""" +
+        s""""plan_count_s":${ms(plan)}}""")
+    }
+    spark.stop()
+  }
+}
