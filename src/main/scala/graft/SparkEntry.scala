@@ -227,6 +227,8 @@ object SparkEntry {
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
+    "q_sql_merge_general" -> ((s, d) =>
+      graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
@@ -1389,6 +1391,33 @@ object SparkEntry {
         |    FROM orders
         |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
         |WHERE price <= 400000""".stripMargin,
+    // the general-MERGE clause algebra replayed as a left-join CASE
+    // (matched arm: conditional delete via WHERE, first-match clause
+    // order via CASE order) plus an anti-join insert arm; evens not
+    // matched by source halve when divisible by 7
+    "q_sql_merge_general" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey,
+        |    floor((o_totalprice * 1.1) * 100 + 0.5) / 100 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT b.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN b.price + s.price
+        |         WHEN b.o_orderkey % 7 = 0 THEN b.price * 0.5
+        |         ELSE b.price END AS price
+        |  FROM base b LEFT JOIN src s USING (o_orderkey)
+        |  WHERE s.o_orderkey IS NULL OR s.price <= 200000
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.price
+        |  FROM src s LEFT JOIN base b USING (o_orderkey)
+        |  WHERE b.o_orderkey IS NULL AND s.price <= 150000)
+        |SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM merged""".stripMargin,
     // the inserted rows
     "q_table_merge" ->
       """SELECT count(*) AS n_rows,

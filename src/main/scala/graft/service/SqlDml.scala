@@ -37,24 +37,28 @@ import graft.sources.VersionedTable
   * sees the change — the read-your-writes a SQL user expects. A view
   * deliberately time-traveled to an older version is left untouched.
   *
-  * Supported statements (unsupported *shapes* of a supported verb get
-  * a descriptive error naming these forms, not a silent fallback —
-  * falling through would hand the user Spark's misleading "table does
-  * not support row-level operations"):
+  * Supported statements:
   *
   *   - `DELETE FROM t WHERE cond` → [[VersionedTable.deleteWhere]]
   *     (stats+bloom file pruning; cond must be subquery-free)
   *   - `UPDATE t SET c = e, ... [WHERE cond]` →
   *     [[VersionedTable.updateWhere]] (expressions over the row's old
   *     values; subquery-free)
-  *   - `MERGE INTO t [AS a] USING src [AS b] ON t.k = src.k` with
-  *       `WHEN MATCHED THEN UPDATE SET *` (or an explicit
-  *       full-coverage identity list `SET c = src.c, ...`) +
-  *       `WHEN NOT MATCHED THEN INSERT *` (or full identity list)
-  *       → [[VersionedTable.merge]] (keyed upsert; `src` may be any
-  *       query — a registered view, or an inline subquery)
-  *     `WHEN MATCHED THEN DELETE` as the ONLY clause
-  *       → [[VersionedTable.delete]] (anti-join by key)
+  *   - `MERGE INTO t [AS a] USING src [AS b] ON t.k = src.k` — full
+  *     clause semantics, keyed by a single same-name equality:
+  *       - the canonical upsert (`UPDATE SET *` + `INSERT *`, or
+  *         explicit full-coverage identity lists) fast-paths to
+  *         [[VersionedTable.merge]], matched-DELETE-only to
+  *         [[VersionedTable.delete]];
+  *       - everything else — clause conditions (`WHEN MATCHED AND
+  *         …`), partial-column updates, several WHEN clauses in
+  *         order, `WHEN NOT MATCHED BY SOURCE` — compiles via
+  *         [[SqlDml.generalMerge]] into ONE
+  *         [[VersionedTable.applyChanges]] commit. Duplicate matched
+  *         target keys or duplicate acting source keys raise the
+  *         standard MERGE cardinality error (keyed upsert cannot
+  *         represent them); `WITH SCHEMA EVOLUTION` is refused.
+  *     `src` may be any query — a registered view or inline subquery.
   *   - `DESCRIBE HISTORY t` / `DESCRIBE HISTORY '/path'` →
   *     [[VersionedTable.history]]
   *
@@ -160,6 +164,7 @@ object SqlDml {
             mergeForm(m, quals, cols) match {
               case Upsert    => vt.merge(source, key)
               case DeleteAll => vt.delete(source.select(key), key)
+              case General   => generalMerge(svc, vt, m, key, quals)
             }
           }
         }
@@ -278,14 +283,7 @@ object SqlDml {
   private sealed trait MergeForm
   private case object Upsert extends MergeForm
   private case object DeleteAll extends MergeForm
-
-  private val SupportedMergeForms =
-    "supported MERGE forms: 'WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-      "MATCHED THEN INSERT *' (explicit full-coverage identity " +
-      "assignment lists also accepted) for keyed upsert, or 'WHEN " +
-      "MATCHED THEN DELETE' alone for keyed delete; clause conditions " +
-      "(WHEN MATCHED AND ...) and partial-column updates are not " +
-      "expressible against this table"
+  private case object General extends MergeForm
 
   /** `ON a.k = b.k` (same column name both sides, any qualifiers) →
     * the committed-case key column name.
@@ -319,13 +317,20 @@ object SqlDml {
       assigned.toSet == cols.map(_.toLowerCase).toSet
   }
 
+  /** Pick the cheapest lowering: the two canonical shapes go straight
+    * to the single-purpose table ops (pruned join built in, no
+    * full-outer evaluation pass); everything else compiles through
+    * [[generalMerge]].
+    */
   private def mergeForm(m: MergeIntoTable, quals: Set[String], cols: Seq[String])
       : MergeForm = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail(s"MERGE WHEN NOT MATCHED BY SOURCE is not supported; $SupportedMergeForms")
-    (m.matchedActions.toList, m.notMatchedActions.toList) match {
-      case (List(DeleteAction(None)), Nil) => DeleteAll
-      case (List(matched), List(notMatched)) =>
+    if (m.withSchemaEvolution)
+      fail("MERGE WITH SCHEMA EVOLUTION is not supported against a " +
+        "versioned table; evolve the schema first (appendEvolve), then merge")
+    (m.matchedActions.toList, m.notMatchedActions.toList,
+        m.notMatchedBySourceActions.toList) match {
+      case (List(DeleteAction(None)), Nil, Nil) => DeleteAll
+      case (List(matched), List(notMatched), Nil) =>
         val updOk = matched match {
           case UpdateStarAction(None)      => true
           case UpdateAction(None, as, _)   => identityCovering(as, quals, cols)
@@ -336,11 +341,166 @@ object SqlDml {
           case InsertAction(None, as)      => identityCovering(as, quals, cols)
           case _                           => false
         }
-        if (updOk && insOk) Upsert
-        else fail(s"unsupported MERGE clause shape; $SupportedMergeForms")
-      case _ => fail(s"unsupported MERGE clause combination; $SupportedMergeForms")
+        if (updOk && insOk) Upsert else General
+      case _ => General
     }
   }
+
+  // ---- general MERGE lowering --------------------------------------
+
+  /** Full MERGE semantics — clause conditions, partial-column updates,
+    * multiple WHEN clauses in order, WHEN NOT MATCHED BY SOURCE —
+    * compiled into ONE [[VersionedTable.applyChanges]] commit.
+    *
+    * Evaluation: one full-outer join of the target snapshot and the
+    * source (both aliased exactly as the statement aliased them, so
+    * the parsed clause expressions resolve unmodified), membership
+    * markers split it into matched / not-matched / not-matched-by-
+    * source branches, and per branch a CASE over the clause
+    * conditions picks the FIRST matching clause (SQL's order
+    * semantics). Each acting row becomes one change-batch row — the
+    * full post-image for UPDATE/INSERT (unassigned columns keep the
+    * target value for UPDATE, NULL for INSERT), a key-only row for
+    * DELETE — and the batch lands as a single copy-on-write commit
+    * with MERGE-grade stats+bloom file pruning (only files touched by
+    * the batch's keys rewrite). Rows matching no clause are absent
+    * from the batch and stay untouched.
+    *
+    * Keyed-upsert representability is enforced, not assumed: a key
+    * with multiple matched target rows, or multiple acting change
+    * rows (duplicate source keys), raises the standard MERGE
+    * cardinality error instead of silently collapsing rows.
+    */
+  private def generalMerge(svc: QueryService, vt: VersionedTable,
+      m: MergeIntoTable, key: String, quals: Set[String]): Int = {
+    import org.apache.spark.sql.functions._
+    val schema = vt.read().schema
+    (m.mergeCondition +:
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .flatMap(actionExprs)).foreach(noSubquery(_, "MERGE"))
+    val tAlias = aliasHead(m.targetTable)
+    val sAlias = aliasHead(m.sourceTable)
+    // markers added BELOW the alias so clause expressions still
+    // resolve through the user's qualifiers; marker names are
+    // graft-prefixed to dodge data-column collisions
+    val t = vt.scan().withColumn("__graft_t", lit(1)).alias(tAlias)
+    val s = GraftSqlBridge.ofRows(svc.spark, stripAliases(m.sourceTable))
+      .withColumn("__graft_s", lit(1)).alias(sAlias)
+    val fo = t.join(s, toColumn(m.mergeCondition), "full_outer")
+    val matched = fo.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)
+    val notMatched = fo.filter(col("__graft_t").isNull)
+    val notMatchedBySrc = fo.filter(col("__graft_s").isNull)
+
+    // cardinality: several matched (target row × source row) pairs for
+    // one key — duplicate target keys or duplicate source keys — are
+    // unrepresentable by a keyed upsert (row-wise SQL MERGE could
+    // treat each pair differently); the standard MERGE error
+    val dupT = matched.groupBy(col(s"$tAlias.$key")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dupT.nonEmpty)
+      fail(s"MERGE matched ${dupT.head.getLong(1)} row pairs for key " +
+        s"${dupT.head.get(0)} (duplicate source or target keys); " +
+        "keyed upsert requires a unique match per key")
+
+    def tCol(c: String) = col(s"$tAlias.$c")
+    def sCol(c: String) = col(s"$sAlias.$c")
+    val CT = VersionedTable.ChangeTypeCol
+
+    /** Rows of `branch` acting under clause list `acts`, compiled to
+      * change rows. `defaults` supplies unassigned columns (target
+      * values for matched/by-source UPDATEs, NULL for INSERTs).
+      */
+    def changeRows(branch: DataFrame,
+        acts: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+        defaults: String => Column): Seq[DataFrame] = {
+      // first-match clause index; -1 = no clause applies (row no-ops)
+      val action = acts.zipWithIndex.foldRight(lit(-1)) { case ((a, i), els) =>
+        val c = a.condition.map(toColumn).getOrElse(lit(true))
+        when(c, lit(i)).otherwise(els)
+      }
+      val tagged = branch.withColumn("__graft_act", action)
+      acts.zipWithIndex.map { case (a, i) =>
+        val rows = tagged.filter(col("__graft_act") === i)
+        a match {
+          case DeleteAction(_) =>
+            rows.select(
+              (schema.fields.map { f =>
+                (if (f.name == key) coalesce(tCol(key), sCol(key))
+                 else lit(null)).cast(f.dataType).as(f.name)
+              } :+ lit("delete").as(CT)).toSeq: _*)
+          case _ =>
+            val assigned: Map[String, Column] = a match {
+              case UpdateStarAction(_) =>
+                schema.fields.map(f => f.name.toLowerCase -> sCol(f.name)).toMap
+              case InsertStarAction(_) =>
+                schema.fields.map(f => f.name.toLowerCase -> sCol(f.name)).toMap
+              case UpdateAction(_, as, _) => assignmentMap(as)
+              case InsertAction(_, as)    => assignmentMap(as)
+              case other => fail(s"unsupported MERGE action: $other")
+            }
+            rows.select(
+              (schema.fields.map { f =>
+                assigned.getOrElse(f.name.toLowerCase, defaults(f.name))
+                  .cast(f.dataType).as(f.name)
+              } :+ lit("update_postimage").as(CT)).toSeq: _*)
+        }
+      }
+    }
+
+    val pieces =
+      changeRows(matched, m.matchedActions, tCol) ++
+        changeRows(notMatched, m.notMatchedActions, _ => lit(null)) ++
+        changeRows(notMatchedBySrc, m.notMatchedBySourceActions, tCol)
+    val batch0 = pieces.reduceLeft(_.unionByName(_))
+    // idempotent duplicate deletes collapse; anything else duplicated
+    // is a genuine cardinality violation (duplicate source keys)
+    val batch = batch0.filter(col(CT) === "delete").distinct()
+      .unionByName(batch0.filter(col(CT) =!= "delete"))
+      .withColumn("__graft_seq", lit(1L))
+    val dupB = batch.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dupB.nonEmpty)
+      fail(s"MERGE source produced ${dupB.head.getLong(1)} changes for key " +
+        s"${dupB.head.get(0)} (duplicate source keys?); one change per key required")
+    vt.applyChanges(batch, key, orderBy = "__graft_seq")
+  }
+
+  /** Innermost alias (or relation) name — the qualifier the
+    * statement's expressions use for this side.
+    */
+  private def aliasHead(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(id, _) => id.name
+    case UnresolvedRelation(parts, _, _) => parts.last
+    case _ => fail("MERGE source must be a (optionally aliased) table or subquery")
+  }
+
+  /** Drop the outer aliases — re-aliased after the marker column so
+    * the alias covers marker + payload.
+    */
+  private def stripAliases(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, child) => stripAliases(child)
+    case other => other
+  }
+
+  private def actionExprs(
+      a: org.apache.spark.sql.catalyst.plans.logical.MergeAction): Seq[Expression] =
+    a.condition.toSeq ++ (a match {
+      case UpdateAction(_, as, _) => as.flatMap(x => Seq(x.key, x.value))
+      case InsertAction(_, as)    => as.flatMap(x => Seq(x.key, x.value))
+      case _                      => Seq.empty
+    })
+
+  /** lowercase target column name → value expression (qualifiers kept;
+    * they resolve against the aliased join).
+    */
+  private def assignmentMap(as: Seq[Assignment]): Map[String, Column] =
+    as.map { case Assignment(k, v) =>
+      val name = k match {
+        case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+        case other => fail(s"MERGE assignment target must be a column, got ${other.sql}")
+      }
+      name -> toColumn(v)
+    }.toMap
 }
 
 /** Contract query for the SQL DML surface (`q_sql_merge`): the same
@@ -395,6 +555,65 @@ object SqlDmlDemo {
     }
 
   def qSqlMerge(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+  }
+}
+
+/** Contract query for the GENERAL MERGE lowering (`q_sql_merge_general`):
+  * one statement exercising every clause class — conditional matched
+  * DELETE, partial-column matched UPDATE mixing t. and s. values,
+  * conditional NOT MATCHED INSERT with an explicit column list, and a
+  * conditional NOT MATCHED BY SOURCE UPDATE — compiled through
+  * [[SqlDml.generalMerge]] into one applyChanges commit. The DuckDB
+  * oracle replays the clause algebra as a left-join CASE plus an
+  * anti-join insert arm, so first-match clause order, the branch
+  * membership split, and the batch commit are all under the hash
+  * gate. Memoized per (session, corpus) like [[SqlDmlDemo]].
+  */
+object SqlMergeGeneralDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: graft.sources.Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = java.nio.file.Files.createTempDirectory("graft-sqlgm")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_g"
+      val vt = VersionedTable(t.spark, dir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      vt.append(base.filter(col("o_orderkey") % 2 === 0))
+      val suffix = s"${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tgt = s"__graft_sqlgm_t_$suffix"
+      val src = s"__graft_sqlgm_s_$suffix"
+      vt.scan().createOrReplaceTempView(tgt)
+      base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("price", graft.operators.Rnd.round(col("price") * 1.1, 2))
+        .createOrReplaceTempView(src)
+      new QueryService(t.spark).sql(
+        s"MERGE INTO `$tgt` AS t USING `$src` AS s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND s.price > 200000 THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET price = t.price + s.price " +
+          "WHEN NOT MATCHED AND s.price <= 150000 " +
+          "THEN INSERT (o_orderkey, price) VALUES (s.o_orderkey, s.price) " +
+          "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0 " +
+          "THEN UPDATE SET price = t.price * 0.5").collect()
+      dir
+    }
+
+  def qSqlMergeGeneral(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     VersionedTable(t.spark, builtTable(t)).read()
       .agg(count(lit(1)).as("n_rows"),

@@ -85,30 +85,67 @@ class SqlDmlSpec extends SparkSpecBase {
       Seq(1L, 2L, 7L, 8L, 9L, 10L))
   }
 
-  test("unsupported MERGE shapes fail with a descriptive error, not a fallthrough") {
+  test("non-equality MERGE ON fails with a descriptive error, not a fallthrough") {
     val (svc, _) = seeded("sqldml-bad", "sqlm_bad")
     spark.range(1, 3).select(col("id").as("k"), lit(0.0).as("v"))
       .createOrReplaceTempView("sqlm_bad_src")
-    // clause condition
-    val e1 = intercept[IllegalArgumentException] {
-      svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k = s.k " +
-        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e1.getMessage.contains("supported MERGE forms"))
-    // partial-column update
-    val e2 = intercept[IllegalArgumentException] {
-      svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET v = s.v " +
-        "WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e2.getMessage.contains("supported MERGE forms"))
-    // non-equality ON
-    val e3 = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       svc.sql("MERGE INTO sqlm_bad t USING sqlm_bad_src s ON t.k < s.k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
-    assert(e3.getMessage.contains("key equality"))
+    assert(e.getMessage.contains("key equality"))
+  }
+
+  test("general MERGE: clause conditions, partial updates, clause order") {
+    // target: k=1..10, v=k*10
+    val (svc, vt) = seeded("sqldml-gen", "sqlm_gen")
+    // source rows touch 4,5,6 (matched) and 11,12 (not matched)
+    spark.createDataFrame(Seq(
+      (4L, 1.0), (5L, -1.0), (6L, 2.0), (11L, 3.0), (12L, -3.0)))
+      .toDF("k", "v").createOrReplaceTempView("sqlm_gen_src")
+    svc.sql("MERGE INTO sqlm_gen t USING sqlm_gen_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v < 0 THEN DELETE " +          // kills 5
+      "WHEN MATCHED AND s.v > 1.5 THEN UPDATE SET v = t.v + s.v " + // 6: 60+2
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +          // 4: 1.0 (first-match: only if neither above fired)
+      "WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v * 100)")
+      .collect() // 11 inserts as 300; 12 (v<0) no-ops
+    val out = vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(!out.contains(5L), "matched-delete clause must remove 5")
+    assert(out(4L) == 1.0, s"plain update clause: ${out(4L)}")
+    assert(out(6L) == 62.0, s"conditional update clause: ${out(6L)}")
+    assert(out(11L) == 300.0, s"conditional insert: ${out.get(11L)}")
+    assert(!out.contains(12L), "insert condition must filter 12")
+    // untouched rows intact
+    assert(out(1L) == 10.0 && out(10L) == 100.0 && out.size == 10)
+  }
+
+  test("general MERGE: NOT MATCHED BY SOURCE synchronizes the target") {
+    val (svc, vt) = seeded("sqldml-nmbs", "sqlm_nmbs")
+    // source covers keys 1..4 only; 5..10 are stale target rows
+    spark.range(1, 5).select(col("id").as("k"), (col("id") * 1000.0).as("v"))
+      .createOrReplaceTempView("sqlm_nmbs_src")
+    svc.sql("MERGE INTO sqlm_nmbs t USING sqlm_nmbs_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k > 8 THEN DELETE").collect()
+    val out = vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // 1..4 refreshed, 9..10 purged, 5..8 kept (condition spared them)
+    assert((1L to 4L).forall(k => out(k) == k * 1000.0), out.toString)
+    assert((5L to 8L).forall(k => out(k) == k * 10.0))
+    assert(!out.contains(9L) && !out.contains(10L))
+  }
+
+  test("general MERGE: cardinality violations raise instead of collapsing rows") {
+    val (svc, _) = seeded("sqldml-card", "sqlm_card")
+    // duplicate source keys that both act
+    spark.createDataFrame(Seq((3L, 1.0), (3L, 2.0)))
+      .toDF("k", "v").createOrReplaceTempView("sqlm_card_src")
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_card t USING sqlm_card_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 1.5 THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.toLowerCase.contains("key"), e.getMessage)
   }
 
   test("subqueries in DELETE conditions are rejected with guidance") {
