@@ -135,6 +135,27 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!out.contains(9L) && !out.contains(10L))
   }
 
+  test("general MERGE: single-clause forms (insert-only, update-only, conditional delete)") {
+    val (svc, vt) = seeded("sqldml-single", "sqlm_single")
+    spark.createDataFrame(Seq((9L, 0.5), (20L, 0.5), (21L, 0.5)))
+      .toDF("k", "v").createOrReplaceTempView("sqlm_single_src")
+    // insert-only: existing key 9 untouched, 20/21 inserted
+    svc.sql("MERGE INTO sqlm_single t USING sqlm_single_src s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    var out = vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(9L) == 90.0 && out(20L) == 0.5 && out(21L) == 0.5 && out.size == 12)
+    // update-only: only the matched keys move, nothing inserts
+    svc.sql("MERGE INTO sqlm_single t USING sqlm_single_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + 1").collect()
+    out = vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(9L) == 91.0 && out(20L) == 1.5 && out.size == 12)
+    // conditional matched delete alone (General, not the DeleteAll fast path)
+    svc.sql("MERGE INTO sqlm_single t USING sqlm_single_src s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k >= 20 THEN DELETE").collect()
+    out = vt.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(9L) == 91.0 && !out.contains(20L) && !out.contains(21L) && out.size == 10)
+  }
+
   test("general MERGE: cardinality violations raise instead of collapsing rows") {
     val (svc, _) = seeded("sqldml-card", "sqlm_card")
     // duplicate source keys that both act
