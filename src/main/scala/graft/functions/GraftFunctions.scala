@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // SQL DML over vtable views in PLAIN spark.sql (MERGE INTO /
+    // UPDATE / DELETE FROM / DESCRIBE HISTORY) — pure routing over the
+    // delegate's parse; see graft.service.GraftSqlParser
+    ext.injectParser((_, delegate) => new graft.service.GraftSqlParser(delegate))
     // lazy vtable scans: bare markers plan as a full snapshot read.
     // The COLLAPSING rule (Filter-over-marker → pruned scan, DFP,
     // metadata aggregates) is deliberately NOT injected here — it

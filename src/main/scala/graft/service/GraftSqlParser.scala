@@ -1,0 +1,82 @@
+package graft.service
+
+import org.apache.spark.sql.{GraftDmlCommand, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+/** Injected session parser (`injectParser` in GraftExtensions):
+  * carries the [[SqlDml]] DML surface into PLAIN `spark.sql` — a user
+  * of an extension-built session types `MERGE INTO view ...` and it
+  * lands on the versioned table, without going through a
+  * [[QueryService]].
+  *
+  * Pure routing, zero grammar: every statement parses through the
+  * DELEGATE (Spark's own parser — the DML grammar already exists
+  * there), and only a top-level MERGE/UPDATE/DELETE tree is re-wrapped
+  * as a [[org.apache.spark.sql.GraftDmlCommand]] whose `run` dispatches
+  * the ALREADY-PARSED tree through [[SqlDml.dmlPlan]]. Command
+  * semantics make execution eager at `Dataset` construction — the same
+  * contract as INSERT/CREATE — and parsing itself stays side-effect
+  * free (EXPLAIN of a wrapped statement never mutates). `DESCRIBE
+  * HISTORY` (not Spark grammar) is recognized textually before
+  * delegation. When `run` finds the target is NOT a registered bare
+  * vtable view, it falls back to analyzing/executing the delegate's
+  * original tree — which raises Spark's native error for unsupported
+  * targets, or runs the operation should a genuinely row-level-capable
+  * DSv2 table ever be the target. Everything else — every SELECT,
+  * every identifier/type parse — is pure delegation.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (!SqlDml.mightDispatch(sqlText)) delegate.parsePlan(sqlText)
+    else if (SqlDml.isDescribeHistory(sqlText))
+      GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
+        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else
+      delegate.parsePlan(sqlText) match {
+        case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable) =>
+          GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
+            (spark, _) =>
+              SqlDml.dmlPlan(spark, dmlTree, () => ())
+                .map(_.collect().toSeq)
+                .getOrElse(GraftSqlBridge.ofRows(spark, dmlTree).collect().toSeq))
+        case other => other
+      }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+  /** DML result shape: the committed version (same contract as the
+    * HTTP mutation routes and the QueryService dispatch path).
+    */
+  private def versionOutput: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  /** Mirrors [[graft.sources.VersionedTable.history]]'s schema. */
+  private def historyOutput: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = true)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("epoch", LongType, nullable = true)())
+}

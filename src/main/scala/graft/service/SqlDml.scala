@@ -90,30 +90,51 @@ object SqlDml {
 
   /** Route `query` to the vtable API if it is a supported DML /
     * maintenance statement against a registered vtable; None otherwise
-    * (caller falls through to `spark.sql`).
+    * (caller falls through to `spark.sql`). The service overload also
+    * invalidates the result cache's command nonce on commit; the bare
+    * overload (used by the injected parser — see [[GraftSqlParser]])
+    * relies on the cache's version-keyed invalidation alone, which the
+    * commit itself triggers.
     */
-  def dispatch(svc: QueryService, query: String): Option[DataFrame] = {
+  def dispatch(svc: QueryService, query: String): Option[DataFrame] =
+    dispatch(svc.spark, query, () => svc.results.noteCommand())
+
+  def dispatch(spark: org.apache.spark.sql.SparkSession, query: String,
+      onCommit: () => Unit): Option[DataFrame] = {
     val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
     verb match {
-      case "DESCRIBE" => describeHistory(svc, query)
-      case "MERGE" | "UPDATE" | "DELETE" => dml(svc, query)
+      case "DESCRIBE" => describeHistory(spark, query)
+      case "MERGE" | "UPDATE" | "DELETE" => dml(spark, query, onCommit)
       case _ => None
     }
+  }
+
+  /** Leading-verb probe only — does [[dispatch]] even want to look at
+    * this statement? (The injected parser uses it to skip the regex /
+    * tree inspection on the hot non-DML path.)
+    */
+  def mightDispatch(query: String): Boolean = {
+    val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+    verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" || verb == "DELETE"
   }
 
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
 
-  private def describeHistory(svc: QueryService, query: String): Option[DataFrame] =
+  private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
+      query: String): Option[DataFrame] =
     query match {
       case HistoryRe(target) =>
         val dir = unquotePath(target)
-          .orElse(resolveVTable(svc, unquoteIdent(target)).map(_._1))
+          .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
           .getOrElse(throw new IllegalArgumentException(
             s"DESCRIBE HISTORY: '$target' is not a registered vtable view or a quoted table path"))
-        Some(VersionedTable(svc.spark, dir).history())
+        Some(VersionedTable(spark, dir).history())
       case _ => None // plain DESCRIBE t — Spark's own statement
     }
+
+  private[service] def isDescribeHistory(query: String): Boolean =
+    HistoryRe.findFirstIn(query).isDefined
 
   /** `'path'` / `"path"` literal → the table directory itself. */
   private def unquotePath(s: String): Option[String] =
@@ -126,29 +147,38 @@ object SqlDml {
       s.substring(1, s.length - 1)
     else s
 
-  private def dml(svc: QueryService, query: String): Option[DataFrame] = {
+  private def dml(spark: org.apache.spark.sql.SparkSession, query: String,
+      onCommit: () => Unit): Option[DataFrame] = {
     val plan =
-      try svc.spark.sessionState.sqlParser.parsePlan(query)
+      try spark.sessionState.sqlParser.parsePlan(query)
       catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         return None // let spark.sql raise the parse error itself
       }
+    dmlPlan(spark, plan, onCommit)
+  }
+
+  /** Dispatch an ALREADY-PARSED DML tree (the injected parser hands
+    * its delegate's output here so the statement parses exactly once).
+    */
+  private[service] def dmlPlan(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan, onCommit: () => Unit): Option[DataFrame] = {
     plan match {
       case DeleteFromTable(tbl, cond) =>
-        target(svc, tbl).map { case (dir, quals, _) =>
+        target(spark, tbl).map { case (dir, quals, _) =>
           noSubquery(cond, "DELETE")
-          commit(svc, dir) { vt =>
+          commit(spark, onCommit, dir) { vt =>
             vt.deleteWhere(toColumn(strip(cond, quals)))
           }
         }
       case UpdateTable(tbl, assigns, cond) =>
-        target(svc, tbl).map { case (dir, quals, _) =>
+        target(spark, tbl).map { case (dir, quals, _) =>
           val set = assigns.map { case Assignment(k, v) =>
             noSubquery(v, "UPDATE")
             colName(k, quals).getOrElse(fail(
               s"UPDATE supports only plain column assignment targets, got ${k.sql}")) ->
               toColumn(strip(v, quals))
           }.toMap
-          commit(svc, dir) { vt =>
+          commit(spark, onCommit, dir) { vt =>
             vt.updateWhere(
               cond.map(c => { noSubquery(c, "UPDATE"); toColumn(strip(c, quals)) })
                 .getOrElse(org.apache.spark.sql.functions.lit(true)),
@@ -156,15 +186,15 @@ object SqlDml {
           }
         }
       case m: MergeIntoTable =>
-        target(svc, m.targetTable).map { case (dir, targetQuals, cols) =>
+        target(spark, m.targetTable).map { case (dir, targetQuals, cols) =>
           val quals = targetQuals ++ aliasesOf(m.sourceTable)
           val key = mergeKey(m.mergeCondition, quals, cols)
-          val source = GraftSqlBridge.ofRows(svc.spark, m.sourceTable)
-          commit(svc, dir) { vt =>
+          val source = GraftSqlBridge.ofRows(spark, m.sourceTable)
+          commit(spark, onCommit, dir) { vt =>
             mergeForm(m, quals, cols) match {
               case Upsert    => vt.merge(source, key)
               case DeleteAll => vt.delete(source.select(key), key)
-              case General   => generalMerge(svc, vt, m, key, quals)
+              case General   => generalMerge(spark, vt, m, key, quals)
             }
           }
         }
@@ -176,15 +206,16 @@ object SqlDml {
     * registered view when it tracked the pre-statement head. Returns
     * the single-row `(version int)` result frame.
     */
-  private def commit(svc: QueryService, dir: String)(op: VersionedTable => Int)
+  private def commit(spark: org.apache.spark.sql.SparkSession,
+      onCommit: () => Unit, dir: String)(op: VersionedTable => Int)
       : DataFrame = {
-    val vt = VersionedTable(svc.spark, dir)
+    val vt = VersionedTable(spark, dir)
     val preHead = vt.currentVersion
     val v = op(vt)
-    svc.results.noteCommand()
-    refreshViews(svc, dir, preHead)
+    onCommit()
+    refreshViews(spark, dir, preHead)
     import org.apache.spark.sql.functions.lit
-    svc.spark.range(1).select(lit(v).as("version"))
+    spark.range(1).select(lit(v).as("version"))
   }
 
   /** Re-point every registered view that is a bare vtable scan of
@@ -192,11 +223,12 @@ object SqlDml {
     * the view the statement targeted (and any other registration of
     * the same table at head). Time-traveled pins are left alone.
     */
-  private def refreshViews(svc: QueryService, dir: String, preHead: Int): Unit =
-    svc.listTables().foreach { name =>
-      relationOf(svc, name).foreach { r =>
+  private def refreshViews(spark: org.apache.spark.sql.SparkSession,
+      dir: String, preHead: Int): Unit =
+    spark.catalog.listTables().collect().map(_.name).foreach { name =>
+      relationOf(spark, name).foreach { r =>
         if (r.dir == dir && r.version == preHead)
-          VersionedTable(svc.spark, dir).scan().createOrReplaceTempView(name)
+          VersionedTable(spark, dir).scan().createOrReplaceTempView(name)
       }
     }
 
@@ -207,14 +239,14 @@ object SqlDml {
     * when the target is not a single-part name registered as a BARE
     * vtable scan.
     */
-  private def target(svc: QueryService, plan: LogicalPlan)
+  private def target(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan)
       : Option[(String, Set[String], Seq[String])] = {
     def walk(p: LogicalPlan, quals: Set[String])
         : Option[(String, Set[String], Seq[String])] = p match {
       case SubqueryAlias(id, child) => walk(child, quals + id.name.toLowerCase)
       case UnresolvedRelation(parts, _, _) if parts.length == 1 =>
         val name = parts.head
-        resolveVTable(svc, name).map { case (dir, cols) =>
+        resolveVTable(spark, name).map { case (dir, cols) =>
           (dir, quals + name.toLowerCase, cols)
         }
       case _ => None
@@ -225,18 +257,19 @@ object SqlDml {
   /** A registered name whose analyzed view plan is a bare
     * [[VTableRelation]] → (dir, column names).
     */
-  private def resolveVTable(svc: QueryService, name: String)
+  private def resolveVTable(spark: org.apache.spark.sql.SparkSession, name: String)
       : Option[(String, Seq[String])] =
-    relationOf(svc, name).map(r => (r.dir, r.output.map(_.name)))
+    relationOf(spark, name).map(r => (r.dir, r.output.map(_.name)))
 
-  private def relationOf(svc: QueryService, name: String): Option[VTableRelation] = {
+  private def relationOf(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[VTableRelation] = {
     def bare(p: LogicalPlan): Option[VTableRelation] = p match {
       case r: VTableRelation   => Some(r)
       case s: SubqueryAlias    => bare(s.child)
       case v: View             => bare(v.child)
       case _                   => None
     }
-    try bare(svc.spark.table(name).queryExecution.analyzed)
+    try bare(spark.table(name).queryExecution.analyzed)
     catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
@@ -371,8 +404,9 @@ object SqlDml {
     * rows (duplicate source keys), raises the standard MERGE
     * cardinality error instead of silently collapsing rows.
     */
-  private def generalMerge(svc: QueryService, vt: VersionedTable,
-      m: MergeIntoTable, key: String, quals: Set[String]): Int = {
+  private def generalMerge(spark: org.apache.spark.sql.SparkSession,
+      vt: VersionedTable, m: MergeIntoTable, key: String,
+      quals: Set[String]): Int = {
     import org.apache.spark.sql.functions._
     val schema = vt.read().schema
     (m.mergeCondition +:
@@ -384,7 +418,7 @@ object SqlDml {
     // resolve through the user's qualifiers; marker names are
     // graft-prefixed to dodge data-column collisions
     val t = vt.scan().withColumn("__graft_t", lit(1)).alias(tAlias)
-    val s = GraftSqlBridge.ofRows(svc.spark, stripAliases(m.sourceTable))
+    val s = GraftSqlBridge.ofRows(spark, stripAliases(m.sourceTable))
       .withColumn("__graft_s", lit(1)).alias(sAlias)
     val fo = t.join(s, toColumn(m.mergeCondition), "full_outer")
     val matched = fo.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)

@@ -2619,7 +2619,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       val now = System.currentTimeMillis()
       feedLeases.foreach { case (id, (through, ts)) =>
         val needed = drop.filter(_ > through)
-        if (now - ts <= maxFeedLeaseAgeMs && needed.nonEmpty)
+        // strictly-less: a zero age bound means every lease is stale,
+        // even one written this same millisecond
+        if (now - ts < maxFeedLeaseAgeMs && needed.nonEmpty)
           throw new IllegalStateException(
             s"vacuum would drop versions ${needed.min}..${needed.max} that " +
               s"change-feed consumer '$id' (read through v$through, lease " +

@@ -42,3 +42,22 @@ object GraftSqlBridge {
     df.sparkSession.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }
+
+/** Eager command node for the injected SQL parser
+  * (graft.service.GraftSqlParser): a versioned-table DML statement
+  * parses to THIS instead of Spark's DSv2 DML tree, so it executes
+  * with command semantics — eagerly at Dataset construction, exactly
+  * like INSERT/CREATE — and its result (the committed version, or the
+  * history rows) IS the statement's result set. Lives in this package
+  * because `LeafRunnableCommand` is `private[sql]`; behavior stays in
+  * graft.service — this is only the plumbing shell (same posture as
+  * the other bridge members above).
+  */
+case class GraftDmlCommand(sqlText: String,
+    override val output: Seq[catalyst.expressions.Attribute],
+    runner: (SparkSession, String) => Seq[Row])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = runner(session, sqlText)
+  override def simpleString(maxFields: Int): String =
+    s"GraftDmlCommand ${sqlText.linesIterator.next().take(60)}"
+}

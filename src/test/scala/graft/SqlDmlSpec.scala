@@ -189,6 +189,33 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(e.isInstanceOf[org.apache.spark.SparkThrowable], e.getClass.getName)
   }
 
+  test("plain spark.sql carries the DML surface (injected parser, no service)") {
+    val (_, vt) = seeded("sqldml-parser", "sqlm_parser")
+    // no QueryService anywhere — the extension-built session's own
+    // SQL entry point routes the verbs
+    val res = spark.sql("DELETE FROM sqlm_parser WHERE k <= 2")
+    assert(res.columns.toSeq == Seq("version"))
+    assert(res.head().getInt(0) == 2)
+    assert(vt.read().count() == 8)
+    spark.range(100, 102).select(col("id").as("k"), lit(0.0).as("v"))
+      .createOrReplaceTempView("sqlm_parser_src")
+    spark.sql("MERGE INTO sqlm_parser t USING sqlm_parser_src s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(vt.read().count() == 10)
+    spark.sql("UPDATE sqlm_parser SET v = v + 1 WHERE k = 100")
+    assert(vt.read().filter(col("k") === 100).head().getDouble(1) == 1.0)
+    // DESCRIBE HISTORY as plain SQL, with the history schema
+    val h = spark.sql("DESCRIBE HISTORY sqlm_parser")
+    assert(h.columns.toSeq == Seq("version", "op", "ts", "n_files", "epoch"))
+    assert(h.count() == 4) // append + delete + merge + update
+    // EXPLAIN of a DML statement must never mutate (parsing is pure;
+    // only command EXECUTION commits) — whatever EXPLAIN returns or
+    // throws for this plan, the table must not move
+    try spark.sql("EXPLAIN DELETE FROM sqlm_parser WHERE k = 5").collect()
+    catch { case _: Exception => () }
+    assert(vt.read().count() == 10)
+  }
+
   test("DESCRIBE HISTORY over SQL returns the commit log") {
     val (svc, vt) = seeded("sqldml-hist", "sqlm_hist")
     svc.sql("DELETE FROM sqlm_hist WHERE k = 1").collect()
