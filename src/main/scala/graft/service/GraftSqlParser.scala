@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftDmlCommand, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 /** Injected session parser (`injectParser` in GraftExtensions):
@@ -38,7 +38,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
     else
       delegate.parsePlan(sqlText) match {
-        case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable) =>
+        case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable |
+            _: InsertIntoStatement) =>
           GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
             (spark, _) =>
               SqlDml.dmlPlan(spark, dmlTree, () => ())

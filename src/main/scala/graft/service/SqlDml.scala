@@ -3,7 +3,7 @@ package graft.service
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 
 import graft.plans.VTableRelation
 import graft.sources.VersionedTable
@@ -59,6 +59,11 @@ import graft.sources.VersionedTable
   *         standard MERGE cardinality error (keyed upsert cannot
   *         represent them); `WITH SCHEMA EVOLUTION` is refused.
   *     `src` may be any query — a registered view or inline subquery.
+  *   - `INSERT INTO t [(cols…)] query|VALUES …` →
+  *     [[VersionedTable.append]]; `INSERT OVERWRITE` →
+  *     [[VersionedTable.overwrite]]. Positional inserts require the
+  *     full column count; a column list (or BY NAME) maps by name
+  *     with NULL for unlisted columns; values store-assign via cast.
   *   - `DESCRIBE HISTORY t` / `DESCRIBE HISTORY '/path'` →
   *     [[VersionedTable.history]]
   *
@@ -104,7 +109,7 @@ object SqlDml {
     val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
     verb match {
       case "DESCRIBE" => describeHistory(spark, query)
-      case "MERGE" | "UPDATE" | "DELETE" => dml(spark, query, onCommit)
+      case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case _ => None
     }
   }
@@ -115,7 +120,8 @@ object SqlDml {
     */
   def mightDispatch(query: String): Boolean = {
     val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
-    verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" || verb == "DELETE"
+    verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
+      verb == "DELETE" || verb == "INSERT"
   }
 
   private val HistoryRe =
@@ -183,6 +189,51 @@ object SqlDml {
               cond.map(c => { noSubquery(c, "UPDATE"); toColumn(strip(c, quals)) })
                 .getOrElse(org.apache.spark.sql.functions.lit(true)),
               set)
+          }
+        }
+      case i: InsertIntoStatement if i.partitionSpec.isEmpty =>
+        // INSERT INTO → append, INSERT OVERWRITE → overwrite.
+        // Positional inserts rename the query's output to the
+        // committed names (count must match); an explicit column list
+        // (or BY NAME) maps by name with NULL for unlisted columns —
+        // standard SQL insert semantics. Values store-assign via cast
+        // to the committed types. Partitioned specs fall through (the
+        // vtable has no partition concept).
+        target(spark, i.table).map { case (dir, _, _) =>
+          commit(spark, onCommit, dir) { vt =>
+            val data = GraftSqlBridge.ofRows(spark, i.query)
+            val committed = vt.read().schema
+            import org.apache.spark.sql.functions.{col, lit}
+            val named =
+              if (i.userSpecifiedCols.nonEmpty) {
+                if (i.userSpecifiedCols.length != data.columns.length)
+                  fail(s"INSERT column list names ${i.userSpecifiedCols.length} " +
+                    s"columns but the query produces ${data.columns.length}")
+                val unknown = i.userSpecifiedCols
+                  .filterNot(c => committed.fieldNames.exists(_.equalsIgnoreCase(c)))
+                if (unknown.nonEmpty)
+                  fail(s"INSERT column list names non-columns: ${unknown.mkString(", ")}")
+                Some(data.toDF(i.userSpecifiedCols: _*))
+              } else if (i.byName) Some(data)
+              else None
+            val aligned = named match {
+              case Some(n) =>
+                val have = n.columns.map(c => c.toLowerCase -> c).toMap
+                n.select(committed.fields.toSeq.map { f =>
+                  have.get(f.name.toLowerCase)
+                    .map(col(_).cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+                }: _*)
+              case None =>
+                if (data.columns.length != committed.length)
+                  fail(s"INSERT query produces ${data.columns.length} columns; " +
+                    s"the table has ${committed.length} (name them with an " +
+                    "INSERT (cols...) list for a partial insert)")
+                data.toDF(committed.fieldNames.toSeq: _*)
+                  .select(committed.fields.toSeq.map(f =>
+                    col(f.name).cast(f.dataType).as(f.name)): _*)
+            }
+            if (i.overwrite) vt.overwrite(aligned) else vt.append(aligned)
           }
         }
       case m: MergeIntoTable =>

@@ -189,6 +189,26 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(e.isInstanceOf[org.apache.spark.SparkThrowable], e.getClass.getName)
   }
 
+  test("SQL INSERT INTO appends; OVERWRITE replaces; column lists map by name") {
+    val (svc, vt) = seeded("sqldml-ins", "sqlm_ins")
+    val v1 = svc.sql("INSERT INTO sqlm_ins VALUES (100, 0.5), (101, 1.5)")
+    assert(v1.columns.toSeq == Seq("version") && v1.head().getInt(0) == 2)
+    assert(vt.read().count() == 12)
+    // partial column list: v defaults to NULL
+    svc.sql("INSERT INTO sqlm_ins (k) VALUES (102)").collect()
+    assert(vt.read().filter(col("k") === 102).head().isNullAt(1))
+    // a query source + OVERWRITE
+    svc.sql("INSERT OVERWRITE sqlm_ins SELECT id AS k, 9.9 AS v FROM range(3)")
+      .collect()
+    assert(vt.read().count() == 3)
+    assert(vt.read().agg(sum("v")).head().getDouble(0) == 9.9 * 3)
+    // positional count mismatch is a descriptive client fault
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("INSERT INTO sqlm_ins VALUES (1)")
+    }
+    assert(e.getMessage.contains("columns"), e.getMessage)
+  }
+
   test("plain spark.sql carries the DML surface (injected parser, no service)") {
     val (_, vt) = seeded("sqldml-parser", "sqlm_parser")
     // no QueryService anywhere — the extension-built session's own
