@@ -118,9 +118,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     // SQL DML over vtable views in PLAIN spark.sql (MERGE INTO /
-    // UPDATE / DELETE FROM / DESCRIBE HISTORY) — pure routing over the
-    // delegate's parse; see graft.service.GraftSqlParser
-    ext.injectParser((_, delegate) => new graft.service.GraftSqlParser(delegate))
+    // UPDATE / DELETE FROM / INSERT / DESCRIBE HISTORY) — pure routing
+    // over the delegate's parse; see graft.service.GraftSqlParser
+    // (the same parser substitutes VERSION AS OF / TIMESTAMP AS OF
+    // over vtable views — an analyzer rule would lose the race with
+    // ResolveRelations' eager temp-view time-travel error)
+    ext.injectParser((session, delegate) =>
+      new graft.service.GraftSqlParser(session, delegate))
     // lazy vtable scans: bare markers plan as a full snapshot read.
     // The COLLAPSING rule (Filter-over-marker → pruned scan, DFP,
     // metadata aggregates) is deliberately NOT injected here — it

@@ -29,13 +29,22 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   * DSv2 table ever be the target. Everything else — every SELECT,
   * every identifier/type parse — is pure delegation.
   */
-final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (!SqlDml.mightDispatch(sqlText)) delegate.parsePlan(sqlText)
+    if (!SqlDml.mightDispatch(sqlText)) timeTravel(delegate.parsePlan(sqlText))
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
         (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else if (SqlDml.isMaintenance(sqlText))
+      // VACUUM / OPTIMIZE / RESTORE — no Spark grammar exists for
+      // these, so the command wraps BEFORE delegation (which would
+      // raise a parse error)
+      GraftDmlCommand(sqlText,
+        if (SqlDml.isVacuum(sqlText)) GraftSqlParser.vacuumOutput
+        else GraftSqlParser.versionOutput,
+        (spark, q) => SqlDml.maintenance(spark, q, () => ()).get.collect().toSeq)
     else
       delegate.parsePlan(sqlText) match {
         case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable |
@@ -45,8 +54,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               SqlDml.dmlPlan(spark, dmlTree, () => ())
                 .map(_.collect().toSeq)
                 .getOrElse(GraftSqlBridge.ofRows(spark, dmlTree).collect().toSeq))
-        case other => other
+        case other => timeTravel(other)
       }
+
+  /** `VERSION AS OF` / `TIMESTAMP AS OF` over a vtable view pins the
+    * versioned scan here at parse time — see
+    * [[graft.plans.VTableTimeTravel]] for why this cannot be an
+    * analyzer rule. Identity on plans with no time-travel node.
+    */
+  private def timeTravel(plan: LogicalPlan): LogicalPlan =
+    if (!graft.plans.VTableTimeTravel.hasTimeTravel(plan)) plan
+    else graft.plans.VTableTimeTravel.substitute(session, plan)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -72,6 +90,10 @@ object GraftSqlParser {
     */
   private def versionOutput: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  /** VACUUM reports reclamation, not a commit. */
+  private def vacuumOutput: Seq[Attribute] =
+    Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
 
   /** Mirrors [[graft.sources.VersionedTable.history]]'s schema. */
   private def historyOutput: Seq[Attribute] = Seq(

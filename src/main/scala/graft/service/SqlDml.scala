@@ -66,6 +66,11 @@ import graft.sources.VersionedTable
   *     with NULL for unlisted columns; values store-assign via cast.
   *   - `DESCRIBE HISTORY t` / `DESCRIBE HISTORY '/path'` →
   *     [[VersionedTable.history]]
+  *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
+  *     [[VersionedTable.vacuum]] (result = files freed);
+  *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
+  *     [[VersionedTable.compact]]; `RESTORE [TABLE] t [TO] VERSION AS
+  *     OF v` → [[VersionedTable.restore]]
   *
   * DML statements return a single row `(version int)` — the committed
   * version, same contract as the HTTP mutation routes.
@@ -110,6 +115,7 @@ object SqlDml {
     verb match {
       case "DESCRIBE" => describeHistory(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
+      case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
       case _ => None
     }
   }
@@ -121,7 +127,8 @@ object SqlDml {
   def mightDispatch(query: String): Boolean = {
     val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
-      verb == "DELETE" || verb == "INSERT"
+      verb == "DELETE" || verb == "INSERT" ||
+      verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE"
   }
 
   private val HistoryRe =
@@ -141,6 +148,72 @@ object SqlDml {
 
   private[service] def isDescribeHistory(query: String): Boolean =
     HistoryRe.findFirstIn(query).isDefined
+
+  // ---- maintenance statements (none are Spark grammar) -------------
+
+  private[service] def isMaintenance(query: String): Boolean = {
+    val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+    (verb == "VACUUM" && VacuumRe.findFirstIn(query).isDefined) ||
+      (verb == "OPTIMIZE" && OptimizeRe.findFirstIn(query).isDefined) ||
+      (verb == "RESTORE" && RestoreRe.findFirstIn(query).isDefined)
+  }
+
+  private[service] def isVacuum(query: String): Boolean =
+    query.trim.takeWhile(c => !c.isWhitespace && c != '(')
+      .equalsIgnoreCase("VACUUM")
+
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  /** Delta-shaped maintenance verbs over a registered vtable (or a
+    * quoted table path):
+    *
+    *   VACUUM t [RETAIN n VERSIONS]          → vacuum(n); result = files freed
+    *   OPTIMIZE t [ZORDER BY (c1[, c2])]     → compact(clusterBy); result = version
+    *   RESTORE [TABLE] t [TO] VERSION AS OF v → restore(v); result = version
+    *
+    * Verb classification already treats all three as mutations at the
+    * HTTP auth gate (closed-world: they're not in the read set).
+    */
+  private[service] def maintenance(spark: org.apache.spark.sql.SparkSession,
+      query: String, onCommit: () => Unit): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    def table(target: String): VersionedTable = {
+      val dir = unquotePath(target.trim)
+        .orElse(resolveVTable(spark, unquoteIdent(target.trim)).map(_._1))
+        .getOrElse(fail(s"'${target.trim}' is not a registered vtable view " +
+          "or a quoted table path"))
+      VersionedTable(spark, dir)
+    }
+    query match {
+      case VacuumRe(target, retain) =>
+        val n = Option(retain).map(_.toInt).getOrElse(1)
+        val freed = table(target).vacuum(retainVersions = n)
+        onCommit()
+        Some(spark.range(1).select(lit(freed).as("deleted_files")))
+      case OptimizeRe(target, zorder) =>
+        val cols = Option(zorder).toSeq
+          .flatMap(_.split(",")).map(c => unquoteIdent(c.trim)).filter(_.nonEmpty)
+        val vt = table(target)
+        val preHead = vt.currentVersion
+        val v = vt.compact(clusterBy = cols)
+        onCommit()
+        refreshViews(spark, vt.dir, preHead)
+        Some(spark.range(1).select(lit(v).as("version")))
+      case RestoreRe(target, ver) =>
+        val vt = table(target)
+        val preHead = vt.currentVersion
+        val v = vt.restore(ver.toInt)
+        onCommit()
+        refreshViews(spark, vt.dir, preHead)
+        Some(spark.range(1).select(lit(v).as("version")))
+      case _ => None // malformed → spark.sql raises its parse error
+    }
+  }
 
   /** `'path'` / `"path"` literal → the table directory itself. */
   private def unquotePath(s: String): Option[String] =

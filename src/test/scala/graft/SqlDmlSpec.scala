@@ -236,6 +236,32 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(vt.read().count() == 10)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF pin the snapshot") {
+    val (svc, vt) = seeded("sqldml-tt2", "sqlm_tt2") // v1: 10 rows
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    svc.sql("DELETE FROM sqlm_tt2 WHERE k > 5").collect() // v2: 5 rows
+    // current view reads the head; VERSION AS OF reaches back
+    assert(spark.sql("SELECT count(*) AS n FROM sqlm_tt2").head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlm_tt2 VERSION AS OF 1")
+      .head().getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlm_tt2 VERSION AS OF 2")
+      .head().getLong(0) == 5)
+    // wall-clock form: an instant between v1 and v2 resolves to v1
+    val iso = java.time.Instant.ofEpochMilli(tsAfterV1).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM sqlm_tt2 TIMESTAMP AS OF '$iso'")
+      .head().getLong(0) == 10)
+    // the pinned scan composes with ordinary SQL above it
+    val agg = spark.sql("SELECT sum(v) AS s FROM sqlm_tt2 VERSION AS OF 1 WHERE k <= 3")
+    assert(agg.head().getDouble(0) == 10.0 + 20.0 + 30.0)
+    assert(vt.read().count() == 5) // nothing mutated by any of this
+    // a non-numeric version on a vtable is a descriptive fault
+    intercept[Exception] {
+      spark.sql("SELECT * FROM sqlm_tt2 VERSION AS OF 'abc'").collect()
+    }
+  }
+
   test("DESCRIBE HISTORY over SQL returns the commit log") {
     val (svc, vt) = seeded("sqldml-hist", "sqlm_hist")
     svc.sql("DELETE FROM sqlm_hist WHERE k = 1").collect()
@@ -246,6 +272,28 @@ class SqlDmlSpec extends SparkSpecBase {
     // quoted-path form reaches the same table
     val byPath = svc.sql(s"DESCRIBE HISTORY '${vt.dir}'").collect()
     assert(byPath.length == 2)
+  }
+
+  test("SQL maintenance: VACUUM, OPTIMIZE ZORDER BY, RESTORE") {
+    val (svc, vt) = seeded("sqldml-maint", "sqlm_maint")          // v1
+    svc.sql("DELETE FROM sqlm_maint WHERE k > 5").collect()       // v2
+    // RESTORE rolls back as an audited commit
+    val r = svc.sql("RESTORE TABLE sqlm_maint TO VERSION AS OF 1")
+    assert(r.columns.toSeq == Seq("version") && r.head().getInt(0) == 3)
+    assert(vt.read().count() == 10)
+    // OPTIMIZE compacts (zorder over the two columns)
+    val o = svc.sql("OPTIMIZE sqlm_maint ZORDER BY (k, v)")
+    assert(o.columns.toSeq == Seq("version"))
+    assert(vt.read().count() == 10)
+    // VACUUM drops pre-restore history; the restored head survives
+    val f = svc.sql("VACUUM sqlm_maint RETAIN 1 VERSIONS")
+    assert(f.columns.toSeq == Seq("deleted_files"))
+    assert(f.head().getInt(0) >= 1, "old rewrites should free files")
+    assert(vt.read().count() == 10)
+    // plain spark.sql speaks the same statements (injected parser)
+    spark.sql("OPTIMIZE sqlm_maint").collect()
+    assert(spark.sql("VACUUM sqlm_maint").columns.toSeq == Seq("deleted_files"))
+    assert(vt.read().count() == 10)
   }
 
   test("a time-traveled registration is not re-pointed by DML") {
