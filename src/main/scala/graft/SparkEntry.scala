@@ -229,6 +229,8 @@ object SparkEntry {
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
+    "q_sql_timetravel" -> ((s, d) =>
+      graft.service.SqlTimeTravelDemo.qSqlTimeTravel(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
@@ -1391,6 +1393,20 @@ object SparkEntry {
         |    FROM orders
         |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
         |WHERE price <= 400000""".stripMargin,
+    // both arms of the time-travel union reproduced from the raw
+    // table: v1 = the even-key append, head = v1 minus the SQL DELETE
+    "q_sql_timetravel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT 'v1' AS snap, count(*) AS n_rows,
+        |  floor(sum(price) * 100 + 0.5) / 100 AS total
+        |FROM base
+        |UNION ALL
+        |SELECT 'head' AS snap, count(*) AS n_rows,
+        |  floor(sum(price) * 100 + 0.5) / 100 AS total
+        |FROM base WHERE o_orderkey % 3 <> 0
+        |ORDER BY snap""".stripMargin,
     // the general-MERGE clause algebra replayed as a left-join CASE
     // (matched arm: conditional delete via WHERE, first-match clause
     // order via CASE order) plus an anti-join insert arm; evens not

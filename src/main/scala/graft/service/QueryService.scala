@@ -39,7 +39,9 @@ final class QueryService(val spark: SparkSession) {
     * API — see [[SqlDml]]; everything else is plain `spark.sql`.
     */
   def sql(query: String): DataFrame =
-    SqlDml.dispatch(this, query).getOrElse(spark.sql(query))
+    SqlDml.dispatch(this, query)
+      .orElse(SqlDml.timeTravelSelect(spark, query))
+      .getOrElse(spark.sql(query))
 
   /** The reference's REST response shape: one JSON object per row,
     * with null fields RETAINED (`toJSON` would drop the key entirely,
@@ -55,7 +57,8 @@ final class QueryService(val spark: SparkSession) {
     // vtable DML arrives here too (SqlDml commits eagerly and already
     // invalidates the cache itself); its one-row version frame pages
     // through the same JSON contract as any result
-    SqlDml.dispatch(this, query) match {
+    SqlDml.dispatch(this, query)
+      .orElse(SqlDml.timeTravelSelect(spark, query)) match {
       case Some(dml) => return jsonRows(dml, limit, offset)
       case None      => ()
     }

@@ -131,6 +131,30 @@ object SqlDml {
       verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE"
   }
 
+  /** `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...` for sessions
+    * WITHOUT the injected parser (the service may front a plain
+    * session): a cheap textual probe, then the same parse-time
+    * substitution [[GraftSqlParser]] applies. None when the statement
+    * carries no time-travel clause (including the probe's false
+    * positives — e.g. the words inside a string literal — which the
+    * parsed tree disambiguates).
+    */
+  def timeTravelSelect(spark: org.apache.spark.sql.SparkSession,
+      query: String): Option[DataFrame] = {
+    if (!TimeTravelProbe.matcher(query).find()) return None
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None
+      }
+    if (!graft.plans.VTableTimeTravel.hasTimeTravel(plan)) None
+    else Some(GraftSqlBridge.ofRows(spark,
+      graft.plans.VTableTimeTravel.substitute(spark, plan)))
+  }
+
+  private val TimeTravelProbe =
+    java.util.regex.Pattern.compile("(?is)\\b(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b")
+
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
 
@@ -777,5 +801,56 @@ object SqlMergeGeneralDemo {
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("price"), 2).as("total"),
         min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+  }
+}
+
+/** Contract query for SQL TIME TRAVEL (`q_sql_timetravel`): an orders
+  * snapshot lands (v1), a SQL DELETE rewrites it (v2), and ONE
+  * statement reads both worlds — `FROM t VERSION AS OF 1` unioned
+  * with the head — through [[QueryService.sql]] (exercising the
+  * parser-less substitution path [[SqlDml.timeTravelSelect]]). The
+  * DuckDB oracle reproduces both arms from the raw table, so the
+  * version-pinned scan's CONTENT is hash-gated, not just its row
+  * count. Memoized per (session, corpus) like [[SqlDmlDemo]].
+  */
+object SqlTimeTravelDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, (String, String)](4, _ => ())
+
+  /** Returns (table dir, registered view name). */
+  private def builtTable(t: graft.sources.Tables): (String, String) =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = java.nio.file.Files.createTempDirectory("graft-sqltt")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_tt"
+      val vt = VersionedTable(t.spark, dir)
+      vt.append(t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      val tgt = s"__graft_sqltt_${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      vt.scan().createOrReplaceTempView(tgt)
+      new QueryService(t.spark)
+        .sql(s"DELETE FROM `$tgt` WHERE o_orderkey % 3 = 0").collect()
+      (dir, tgt)
+    }
+
+  def qSqlTimeTravel(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    val (_, tgt) = builtTable(t)
+    new QueryService(t.spark).sql(
+      s"""SELECT 'v1' AS snap, count(*) AS n_rows,
+         |  floor(sum(price) * 100 + 0.5) / 100 AS total
+         |FROM `$tgt` VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'head' AS snap, count(*) AS n_rows,
+         |  floor(sum(price) * 100 + 0.5) / 100 AS total
+         |FROM `$tgt`
+         |ORDER BY snap""".stripMargin)
   }
 }
