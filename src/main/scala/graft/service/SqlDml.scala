@@ -562,16 +562,39 @@ object SqlDml {
         .flatMap(actionExprs)).foreach(noSubquery(_, "MERGE"))
     val tAlias = aliasHead(m.targetTable)
     val sAlias = aliasHead(m.sourceTable)
+    // the source is pinned to ONE evaluation (localCheckpoint): the
+    // branches, cardinality checks and batch assembly all re-read it,
+    // and a non-deterministic source re-evaluating differently per
+    // branch would classify rows inconsistently — same posture as
+    // applyChanges' own input pin
+    val sFrame = GraftSqlBridge.ofRows(spark, stripAliases(m.sourceTable))
+      .localCheckpoint()
+    val hasBySource = m.notMatchedBySourceActions.nonEmpty
+    // with no BY SOURCE clause the statement is SOURCE-driven: target
+    // rows matching no source key can't act, so the evaluation join's
+    // target side prunes to the source's key range — Filter-over-
+    // marker collapses it to the stats+bloom-pruned file scan, making
+    // a sparse MERGE O(touched files) for EVALUATION, not just for
+    // the write. (BY SOURCE clauses need every target row; no prune.)
+    val tScan =
+      if (hasBySource) vt.scan()
+      else {
+        val b = sFrame.agg(min(col(key)), max(col(key))).head()
+        if (b.isNullAt(0)) vt.scan().where(lit(false)) // empty source
+        else vt.scan().where(col(key).between(lit(b.get(0)), lit(b.get(1))))
+      }
     // markers added BELOW the alias so clause expressions still
     // resolve through the user's qualifiers; marker names are
     // graft-prefixed to dodge data-column collisions
-    val t = vt.scan().withColumn("__graft_t", lit(1)).alias(tAlias)
-    val s = GraftSqlBridge.ofRows(spark, stripAliases(m.sourceTable))
-      .withColumn("__graft_s", lit(1)).alias(sAlias)
-    val fo = t.join(s, toColumn(m.mergeCondition), "full_outer")
+    val t = tScan.withColumn("__graft_t", lit(1)).alias(tAlias)
+    val s = sFrame.withColumn("__graft_s", lit(1)).alias(sAlias)
+    val joinType = if (hasBySource) "full_outer" else "right_outer"
+    val fo = t.join(s, toColumn(m.mergeCondition), joinType)
     val matched = fo.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)
     val notMatched = fo.filter(col("__graft_t").isNull)
-    val notMatchedBySrc = fo.filter(col("__graft_s").isNull)
+    val notMatchedBySrc =
+      if (hasBySource) fo.filter(col("__graft_s").isNull)
+      else fo.filter(lit(false))
 
     // cardinality: several matched (target row × source row) pairs for
     // one key — duplicate target keys or duplicate source keys — are
