@@ -19,8 +19,11 @@ class CdfStreamSpec extends SparkSpecBase {
     Files.createTempDirectory(s"graft-$name").toString
 
   private def readCdf(dir: String, startingVersion: Option[Int]) = {
+    // the SHORT name, resolved through the ServiceLoader registration
+    // (META-INF/services) — the ergonomic form a user writes; the
+    // fully-qualified class name works identically
     val r = spark.readStream
-      .format("graft.streaming.VTableChangeSourceProvider")
+      .format("graft-cdf")
       .option("path", dir)
     startingVersion.fold(r)(v => r.option("startingVersion", v.toString)).load()
   }
