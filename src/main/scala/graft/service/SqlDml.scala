@@ -57,7 +57,9 @@ import graft.sources.VersionedTable
   *         [[VersionedTable.applyChanges]] commit. Duplicate matched
   *         target keys or duplicate acting source keys raise the
   *         standard MERGE cardinality error (keyed upsert cannot
-  *         represent them); `WITH SCHEMA EVOLUTION` is refused.
+  *         represent them). `WITH SCHEMA EVOLUTION` commits the
+  *         source's added/widened columns as an empty evolving append
+  *         first, then merges against the evolved schema.
   *     `src` may be any query — a registered view or inline subquery.
   *   - `INSERT INTO t [(cols…)] query|VALUES …` →
   *     [[VersionedTable.append]]; `INSERT OVERWRITE` →
@@ -505,9 +507,11 @@ object SqlDml {
     */
   private def mergeForm(m: MergeIntoTable, quals: Set[String], cols: Seq[String])
       : MergeForm = {
-    if (m.withSchemaEvolution)
-      fail("MERGE WITH SCHEMA EVOLUTION is not supported against a " +
-        "versioned table; evolve the schema first (appendEvolve), then merge")
+    // WITH SCHEMA EVOLUTION always takes the general path — it
+    // pre-evolves the committed schema (generalMerge), after which
+    // the canonical fast paths' schema-match preconditions no longer
+    // describe the statement
+    if (m.withSchemaEvolution) return General
     (m.matchedActions.toList, m.notMatchedActions.toList,
         m.notMatchedBySourceActions.toList) match {
       case (List(DeleteAction(None)), Nil, Nil) => DeleteAll
@@ -556,7 +560,6 @@ object SqlDml {
       vt: VersionedTable, m: MergeIntoTable, key: String,
       quals: Set[String]): Int = {
     import org.apache.spark.sql.functions._
-    val schema = vt.read().schema
     (m.mergeCondition +:
       (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
         .flatMap(actionExprs)).foreach(noSubquery(_, "MERGE"))
@@ -569,6 +572,14 @@ object SqlDml {
     // applyChanges' own input pin
     val sFrame = GraftSqlBridge.ofRows(spark, stripAliases(m.sourceTable))
       .localCheckpoint()
+    // WITH SCHEMA EVOLUTION: an EMPTY evolving append commits the
+    // union schema first (new nullable columns land, shared columns
+    // may widen, zero rows move), then the merge proceeds against the
+    // evolved schema — old rows read NULL for the added columns, and
+    // the batch below can carry them (applyChanges projects upserts
+    // to the committed schema, which now includes them)
+    if (m.withSchemaEvolution) vt.appendEvolve(sFrame.limit(0))
+    val schema = vt.read().schema
     val hasBySource = m.notMatchedBySourceActions.nonEmpty
     // with no BY SOURCE clause the statement is SOURCE-driven: target
     // rows matching no source key can't act, so the evaluation join's
@@ -634,11 +645,16 @@ object SqlDml {
                  else lit(null)).cast(f.dataType).as(f.name)
               } :+ lit("delete").as(CT)).toSeq: _*)
           case _ =>
+            // star actions assign the SOURCE's columns (SQL's `SET *`
+            // semantics); target columns the source lacks — possible
+            // once the schema has evolved past the source, or under
+            // WITH SCHEMA EVOLUTION where the source ADDED columns —
+            // fall to the branch defaults
+            val srcCols = sFrame.columns
+              .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
             val assigned: Map[String, Column] = a match {
-              case UpdateStarAction(_) =>
-                schema.fields.map(f => f.name.toLowerCase -> sCol(f.name)).toMap
-              case InsertStarAction(_) =>
-                schema.fields.map(f => f.name.toLowerCase -> sCol(f.name)).toMap
+              case UpdateStarAction(_) | InsertStarAction(_) =>
+                srcCols.map(c => c.toLowerCase -> sCol(c)).toMap
               case UpdateAction(_, as, _) => assignmentMap(as)
               case InsertAction(_, as)    => assignmentMap(as)
               case other => fail(s"unsupported MERGE action: $other")

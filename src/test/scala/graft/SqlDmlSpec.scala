@@ -156,6 +156,32 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(out(9L) == 91.0 && !out.contains(20L) && !out.contains(21L) && out.size == 10)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new column, then merges") {
+    val (svc, vt) = seeded("sqldml-ev", "sqlm_ev") // (k, v), 10 rows
+    spark.createDataFrame(Seq((5L, 55.0, "x5"), (20L, 200.0, "x20")))
+      .toDF("k", "v", "tag").createOrReplaceTempView("sqlm_ev_src")
+    svc.sql("MERGE WITH SCHEMA EVOLUTION INTO sqlm_ev t USING sqlm_ev_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    val out = vt.read()
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), Option(r.getString(2)))).toMap
+    assert(rows.size == 11)
+    assert(rows(5L) == ((55.0, Some("x5"))), rows(5L).toString)
+    assert(rows(20L) == ((200.0, Some("x20"))))
+    // untouched old rows read NULL for the added column
+    assert(rows(1L) == ((10.0, None)))
+    // without the clause, a new source column is a loud error (not a
+    // silent drop): the batch projection can't find it a home
+    spark.createDataFrame(Seq((6L, 66.0, 1))).toDF("k", "v", "extra")
+      .createOrReplaceTempView("sqlm_ev_src2")
+    intercept[Exception] {
+      svc.sql("MERGE INTO sqlm_ev t USING sqlm_ev_src2 s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
   test("general MERGE: cardinality violations raise instead of collapsing rows") {
     val (svc, _) = seeded("sqldml-card", "sqlm_card")
     // duplicate source keys that both act
