@@ -607,17 +607,6 @@ object SqlDml {
       if (hasBySource) fo.filter(col("__graft_s").isNull)
       else fo.filter(lit(false))
 
-    // cardinality: several matched (target row × source row) pairs for
-    // one key — duplicate target keys or duplicate source keys — are
-    // unrepresentable by a keyed upsert (row-wise SQL MERGE could
-    // treat each pair differently); the standard MERGE error
-    val dupT = matched.groupBy(col(s"$tAlias.$key")).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dupT.nonEmpty)
-      fail(s"MERGE matched ${dupT.head.getLong(1)} row pairs for key " +
-        s"${dupT.head.get(0)} (duplicate source or target keys); " +
-        "keyed upsert requires a unique match per key")
-
     def tCol(c: String) = col(s"$tAlias.$c")
     def sCol(c: String) = col(s"$sAlias.$c")
     val CT = VersionedTable.ChangeTypeCol
@@ -678,11 +667,22 @@ object SqlDml {
     val batch = batch0.filter(col(CT) === "delete").distinct()
       .unionByName(batch0.filter(col(CT) =!= "delete"))
       .withColumn("__graft_seq", lit(1L))
-    val dupB = batch.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dupB.nonEmpty)
-      fail(s"MERGE source produced ${dupB.head.getLong(1)} changes for key " +
-        s"${dupB.head.get(0)} (duplicate source keys?); one change per key required")
+    // cardinality, ONE validation job for both classes: several
+    // matched (target row × source row) pairs per key — duplicate
+    // target or source keys — and several acting change rows per key
+    // are both unrepresentable by a keyed upsert (row-wise SQL MERGE
+    // could treat each pair differently); the standard MERGE error
+    val viol = matched.groupBy(col(s"$tAlias.$key").as("k")).count()
+      .filter(col("count") > 1)
+      .select(lit("matched row pairs").as("what"), col("k"), col("count"))
+      .unionByName(batch.groupBy(col(key).as("k")).count()
+        .filter(col("count") > 1)
+        .select(lit("acting changes").as("what"), col("k"), col("count")))
+      .limit(1).collect()
+    if (viol.nonEmpty)
+      fail(s"MERGE produced ${viol.head.getLong(2)} ${viol.head.getString(0)} " +
+        s"for key ${viol.head.get(1)} (duplicate source or target keys); " +
+        "keyed upsert requires a unique match and one change per key")
     vt.applyChanges(batch, key, orderBy = "__graft_seq")
   }
 
