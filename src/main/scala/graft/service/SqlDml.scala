@@ -90,15 +90,52 @@ object SqlDml {
     Set("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC",
       "EXPLAIN", "FROM")
 
+  /** Offset of the first token after leading whitespace and SQL
+    * comments (`-- …` and `/* … */`, arbitrarily many) — the verb
+    * probes must see through a comment header, or a commented-out
+    * preamble would hide a DML statement from dispatch (and make a
+    * commented SELECT read as a mutation at the auth gate).
+    */
+  private def contentStart(query: String): Int = {
+    val n = query.length
+    var i = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < n && query(i).isWhitespace) { i += 1; moved = true }
+      if (i + 1 < n && query(i) == '-' && query(i + 1) == '-') {
+        while (i < n && query(i) != '\n') i += 1
+        moved = true
+      } else if (i + 1 < n && query(i) == '/' && query(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(query(i) == '*' && query(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        moved = true
+      }
+    }
+    i
+  }
+
+  /** The statement body with comment/whitespace headers removed. */
+  private def content(query: String): String =
+    query.substring(contentStart(query))
+
+  private def leadingVerb(query: String, skipParens: Boolean): String = {
+    var i = contentStart(query)
+    val n = query.length
+    if (skipParens)
+      while (i < n && (query(i) == '(' || query(i).isWhitespace)) i += 1
+    val start = i
+    while (i < n && query(i).isLetter) i += 1
+    query.substring(start, i).toUpperCase
+  }
+
   /** Whether `query` can change table/session state (MERGE / UPDATE /
     * DELETE / INSERT / CREATE / DROP / SET / ...). Pure text probe —
     * must stay cheap; it runs on every /sql request when auth is on.
     */
-  def isMutation(query: String): Boolean = {
-    val s = query.dropWhile(c => c.isWhitespace || c == '(')
-    val verb = s.takeWhile(_.isLetter).toUpperCase
-    !ReadVerbs.contains(verb)
-  }
+  def isMutation(query: String): Boolean =
+    !ReadVerbs.contains(leadingVerb(query, skipParens = true))
 
   /** Route `query` to the vtable API if it is a supported DML /
     * maintenance statement against a registered vtable; None otherwise
@@ -113,8 +150,7 @@ object SqlDml {
 
   def dispatch(spark: org.apache.spark.sql.SparkSession, query: String,
       onCommit: () => Unit): Option[DataFrame] = {
-    val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
-    verb match {
+    leadingVerb(query, skipParens = false) match {
       case "DESCRIBE" => describeHistory(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
@@ -127,7 +163,7 @@ object SqlDml {
     * tree inspection on the hot non-DML path.)
     */
   def mightDispatch(query: String): Boolean = {
-    val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+    val verb = leadingVerb(query, skipParens = false)
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
       verb == "DELETE" || verb == "INSERT" ||
       verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE"
@@ -162,7 +198,7 @@ object SqlDml {
 
   private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] =
-    query match {
+    content(query) match {
       case HistoryRe(target) =>
         val dir = unquotePath(target)
           .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
@@ -173,20 +209,20 @@ object SqlDml {
     }
 
   private[service] def isDescribeHistory(query: String): Boolean =
-    HistoryRe.findFirstIn(query).isDefined
+    HistoryRe.findFirstIn(content(query)).isDefined
 
   // ---- maintenance statements (none are Spark grammar) -------------
 
   private[service] def isMaintenance(query: String): Boolean = {
-    val verb = query.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
-    (verb == "VACUUM" && VacuumRe.findFirstIn(query).isDefined) ||
-      (verb == "OPTIMIZE" && OptimizeRe.findFirstIn(query).isDefined) ||
-      (verb == "RESTORE" && RestoreRe.findFirstIn(query).isDefined)
+    val verb = leadingVerb(query, skipParens = false)
+    val body = content(query)
+    (verb == "VACUUM" && VacuumRe.findFirstIn(body).isDefined) ||
+      (verb == "OPTIMIZE" && OptimizeRe.findFirstIn(body).isDefined) ||
+      (verb == "RESTORE" && RestoreRe.findFirstIn(body).isDefined)
   }
 
   private[service] def isVacuum(query: String): Boolean =
-    query.trim.takeWhile(c => !c.isWhitespace && c != '(')
-      .equalsIgnoreCase("VACUUM")
+    leadingVerb(query, skipParens = false) == "VACUUM"
 
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
@@ -215,7 +251,7 @@ object SqlDml {
           "or a quoted table path"))
       VersionedTable(spark, dir)
     }
-    query match {
+    content(query) match {
       case VacuumRe(target, retain) =>
         val n = Option(retain).map(_.toInt).getOrElse(1)
         val freed = table(target).vacuum(retainVersions = n)

@@ -195,6 +195,23 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(e.getMessage.toLowerCase.contains("key"), e.getMessage)
   }
 
+  test("leading SQL comments don't hide statements from the dispatcher") {
+    val (svc, vt) = seeded("sqldml-cmt", "sqlm_cmt")
+    // line + block comment headers ahead of the verb
+    val res = svc.sql(
+      "-- retention sweep\n/* ticket 123 */ DELETE FROM sqlm_cmt WHERE k > 8")
+    assert(res.columns.toSeq == Seq("version"), "commented DELETE must dispatch")
+    assert(vt.read().count() == 8)
+    svc.sql("/* audit */ DESCRIBE HISTORY sqlm_cmt").collect()
+    svc.sql("-- roll back\nRESTORE sqlm_cmt TO VERSION AS OF 1").collect()
+    assert(vt.read().count() == 10)
+    // the auth classifier sees through comments too: a commented
+    // SELECT is a read, a commented DELETE is a mutation
+    assert(!graft.service.SqlDml.isMutation("-- note\nSELECT 1"))
+    assert(graft.service.SqlDml.isMutation("/* note */ DELETE FROM t"))
+    assert(graft.service.SqlDml.isMutation("-- just a comment, no verb"))
+  }
+
   test("subqueries in DELETE conditions are rejected with guidance") {
     val (svc, _) = seeded("sqldml-subq", "sqlm_subq")
     val e = intercept[IllegalArgumentException] {
