@@ -231,6 +231,8 @@ object SparkEntry {
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
     "q_sql_timetravel" -> ((s, d) =>
       graft.service.SqlTimeTravelDemo.qSqlTimeTravel(t(s, d))),
+    "q_sql_insert" -> ((s, d) =>
+      graft.service.SqlInsertDemo.qSqlInsert(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
@@ -1393,6 +1395,14 @@ object SparkEntry {
         |    FROM orders
         |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
         |WHERE price <= 400000""".stripMargin,
+    // only the INSERT OVERWRITE's world survives: the div-3 slice
+    "q_sql_insert" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 3 = 0) t""".stripMargin,
     // both arms of the time-travel union reproduced from the raw
     // table: v1 = the even-key append, head = v1 minus the SQL DELETE
     "q_sql_timetravel" ->

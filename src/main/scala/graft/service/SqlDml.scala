@@ -879,6 +879,63 @@ object SqlMergeGeneralDemo {
   }
 }
 
+/** Contract query for the SQL INSERT path (`q_sql_insert`): the table
+  * is built ENTIRELY by SQL statements — positional `INSERT INTO …
+  * SELECT` (evens), a column-list insert that NULL-fills the omitted
+  * column (a sentinel row), and `INSERT OVERWRITE … SELECT` replacing
+  * everything with the div-3 slice — then the committed snapshot is
+  * aggregated. The DuckDB oracle reproduces the final world (only the
+  * overwrite survives), so append/overwrite routing, positional
+  * renaming, and store-assignment casts are all under the hash gate.
+  * Memoized per (session, corpus) like [[SqlDmlDemo]].
+  */
+object SqlInsertDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: graft.sources.Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = java.nio.file.Files.createTempDirectory("graft-sqlins")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_ins"
+      val vt = VersionedTable(t.spark, dir)
+      // seed the schema with one appended row, then everything else
+      // happens as SQL text
+      vt.append(t.orders.limit(1)
+        .select(lit(-1L).as("o_orderkey"), lit(0.0d).as("price")))
+      val suffix = s"${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tgt = s"__graft_sqlins_t_$suffix"
+      val src = s"__graft_sqlins_o_$suffix"
+      vt.scan().createOrReplaceTempView(tgt)
+      t.orders.createOrReplaceTempView(src)
+      val svc = new QueryService(t.spark)
+      svc.sql(s"INSERT INTO `$tgt` " +
+        s"SELECT o_orderkey, o_totalprice FROM `$src` WHERE o_orderkey % 2 = 0")
+        .collect()
+      svc.sql(s"INSERT INTO `$tgt` (o_orderkey) VALUES (-2)").collect()
+      svc.sql(s"INSERT OVERWRITE `$tgt` " +
+        s"SELECT o_orderkey, o_totalprice FROM `$src` WHERE o_orderkey % 3 = 0")
+        .collect()
+      dir
+    }
+
+  def qSqlInsert(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+  }
+}
+
 /** Contract query for SQL TIME TRAVEL (`q_sql_timetravel`): an orders
   * snapshot lands (v1), a SQL DELETE rewrites it (v2), and ONE
   * statement reads both worlds — `FROM t VERSION AS OF 1` unioned

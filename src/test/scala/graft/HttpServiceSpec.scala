@@ -540,6 +540,14 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     // lowering and are covered in SqlDmlSpec
     val bad = post("/sql", """{"query":"MERGE INTO http_sqldml t USING http_sqldml_src s ON t.k < s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"}""")
     assert(bad.statusCode == 400 && bad.body.contains("key equality"), bad.body)
+    // INSERT and the maintenance verbs ride the same surface
+    val ins = post("/sql", """{"query":"INSERT INTO http_sqldml VALUES (9, 9.0)"}""")
+    assert(ins.statusCode == 200 && ins.body.contains(""""version":4"""), ins.body)
+    assert(vt.read().count() == 4)
+    val hist = post("/sql", """{"query":"DESCRIBE HISTORY http_sqldml","limit":10}""")
+    assert(hist.statusCode == 200 && hist.body.contains(""""count":4"""), hist.body)
+    val vac = post("/sql", """{"query":"VACUUM http_sqldml RETAIN 1 VERSIONS"}""")
+    assert(vac.statusCode == 200 && vac.body.contains("deleted_files"), vac.body)
   }
 
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
@@ -583,6 +591,11 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(send("/query",
         """{"query":"CREATE TEMP VIEW http_auth_v AS SELECT 1"}""", None)
         .statusCode == 401)
+      // maintenance verbs are mutations under the closed-world rule
+      assert(send("/sql", s"""{"query":"VACUUM http_auth_t"}""", None)
+        .statusCode == 401)
+      assert(send("/sql", s"""{"query":"RESTORE http_auth_t TO VERSION AS OF 1"}""",
+        None).statusCode == 401)
       // /register is a mutation
       assert(send("/register",
         s"""{"name":"http_auth_n","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""",
