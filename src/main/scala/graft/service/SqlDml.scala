@@ -672,14 +672,20 @@ object SqlDml {
           case _ =>
             // star actions assign the SOURCE's columns (SQL's `SET *`
             // semantics); target columns the source lacks — possible
-            // once the schema has evolved past the source, or under
-            // WITH SCHEMA EVOLUTION where the source ADDED columns —
-            // fall to the branch defaults
-            val srcCols = sFrame.columns
-              .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+            // once the schema has evolved past the source — fall to
+            // the branch defaults. A source column the TARGET lacks is
+            // a loud error for star actions unless WITH SCHEMA
+            // EVOLUTION consumed it (a silent drop hides data loss);
+            // explicit assignment lists are free to ignore extras
             val assigned: Map[String, Column] = a match {
               case UpdateStarAction(_) | InsertStarAction(_) =>
-                srcCols.map(c => c.toLowerCase -> sCol(c)).toMap
+                val extra = sFrame.columns
+                  .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+                if (extra.nonEmpty)
+                  fail(s"MERGE ... SET */INSERT *: source has columns the " +
+                    s"target lacks: ${extra.mkString(", ")}; add WITH SCHEMA " +
+                    "EVOLUTION to evolve them in, or drop them from the source")
+                sFrame.columns.map(c => c.toLowerCase -> sCol(c)).toMap
               case UpdateAction(_, as, _) => assignmentMap(as)
               case InsertAction(_, as)    => assignmentMap(as)
               case other => fail(s"unsupported MERGE action: $other")

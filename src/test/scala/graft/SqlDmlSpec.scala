@@ -173,13 +173,19 @@ class SqlDmlSpec extends SparkSpecBase {
     // untouched old rows read NULL for the added column
     assert(rows(1L) == ((10.0, None)))
     // without the clause, a new source column is a loud error (not a
-    // silent drop): the batch projection can't find it a home
-    spark.createDataFrame(Seq((6L, 66.0, 1))).toDF("k", "v", "extra")
+    // silent drop) — on the canonical fast path AND the general one
+    spark.createDataFrame(Seq((6L, 66.0, "z", 1))).toDF("k", "v", "tag", "extra")
       .createOrReplaceTempView("sqlm_ev_src2")
     intercept[Exception] {
       svc.sql("MERGE INTO sqlm_ev t USING sqlm_ev_src2 s ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_ev t USING sqlm_ev_src2 s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET * " + // condition → general path
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
   }
 
   test("general MERGE: cardinality violations raise instead of collapsing rows") {
