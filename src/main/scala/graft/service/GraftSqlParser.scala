@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftDmlCommand, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UnresolvedWith, UpdateTable}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 /** Injected session parser (`injectParser` in GraftExtensions):
@@ -47,8 +47,14 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         (spark, q) => SqlDml.maintenance(spark, q, () => ()).get.collect().toSeq)
     else
       delegate.parsePlan(sqlText) match {
+        // wrap ONLY when the target resolves to a registered bare
+        // vtable view (probed at parse time, like DESCRIBE HISTORY):
+        // non-vtable DML keeps its native plan, output schema, and
+        // EXPLAIN surface. UnresolvedWith carries CTE-prefixed DML —
+        // dmlPlan inlines the prologue before dispatching.
         case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable |
-            _: InsertIntoStatement) =>
+            _: InsertIntoStatement | _: UnresolvedWith)
+            if SqlDml.isVTableDml(session, dmlTree) =>
           GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
             (spark, _) =>
               SqlDml.dmlPlan(spark, dmlTree, () => ())

@@ -3,7 +3,7 @@ package graft.service
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
 
 import graft.plans.VTableRelation
 import graft.sources.VersionedTable
@@ -85,10 +85,21 @@ object SqlDml {
     * never heard of can never slip a write past a configured token
     * (the statement was going to error anyway if it was a typo'd
     * read). Leading parens are allowed (set-operation syntax).
+    *
+    * `WITH` and `FROM` are NOT in this set even though most WITH-led
+    * and FROM-led statements are reads: Spark's grammar allows a CTE
+    * prologue before DML (`WITH x AS (…) INSERT/MERGE/… `, including
+    * `INSERT OVERWRITE DIRECTORY`) and multi-insert (`FROM t INSERT
+    * OVERWRITE …`), so classifying by the literal first word would
+    * let a CTE header launder a write past the bearer token. Instead
+    * [[effectiveVerb]] lexes past the CTE prologue and classifies by
+    * the statement verb that follows, and FROM-led statements scan
+    * for a top-level `INSERT` token. A WITH prologue that fails to
+    * lex classifies as a mutation (closed world — it would not parse
+    * as a read either).
     */
   private val ReadVerbs =
-    Set("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC",
-      "EXPLAIN", "FROM")
+    Set("SELECT", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC", "EXPLAIN")
 
   /** Offset of the first token after leading whitespace and SQL
     * comments (`-- …` and `/* … */`, arbitrarily many) — the verb
@@ -96,9 +107,12 @@ object SqlDml {
     * preamble would hide a DML statement from dispatch (and make a
     * commented SELECT read as a mutation at the auth gate).
     */
-  private def contentStart(query: String): Int = {
+  private def contentStart(query: String): Int = skipTrivia(query, 0)
+
+  /** First non-whitespace, non-comment offset at or after `i`. */
+  private def skipTrivia(query: String, start: Int): Int = {
     val n = query.length
-    var i = 0
+    var i = start
     var moved = true
     while (moved) {
       moved = false
@@ -115,6 +129,145 @@ object SqlDml {
     }
     i
   }
+
+  /** End of the quoted region starting at `i` (`'…'`, `"…"` or
+    * `` `…` ``), honoring doubled-quote and backslash escapes.
+    */
+  private def skipQuoted(q: String, i: Int): Int = {
+    val quote = q(i)
+    val n = q.length
+    var j = i + 1
+    while (j < n) {
+      val c = q(j)
+      if (c == quote) {
+        if (j + 1 < n && q(j + 1) == quote) j += 2 // doubled-quote escape
+        else return j + 1
+      } else if (quote != '`' && c == '\\' && j + 1 < n) j += 2
+      else j += 1
+    }
+    n
+  }
+
+  /** `q(start)` must be `'('`; returns the offset just past its
+    * matching `')'` (string-literal and comment aware), or the end of
+    * the string when unbalanced.
+    */
+  private def skipBalancedParens(q: String, start: Int): Int = {
+    val n = q.length
+    var j = start
+    var depth = 0
+    while (j < n) {
+      val c = q(j)
+      if (c == '\'' || c == '"' || c == '`') j = skipQuoted(q, j)
+      else if (c == '-' && j + 1 < n && q(j + 1) == '-') {
+        while (j < n && q(j) != '\n') j += 1
+      } else if (c == '/' && j + 1 < n && q(j + 1) == '*') {
+        j += 2
+        while (j + 1 < n && !(q(j) == '*' && q(j + 1) == '/')) j += 1
+        j = math.min(j + 2, n)
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return j + 1 }
+        j += 1
+      }
+    }
+    n
+  }
+
+  /** The identifier-ish word at `i`: (uppercased text, end offset).
+    * Empty when `i` is not at a word character.
+    */
+  private def wordAt(q: String, i: Int): (String, Int) = {
+    var j = i
+    while (j < q.length && (q(j).isLetterOrDigit || q(j) == '_')) j += 1
+    (q.substring(i, j).toUpperCase(java.util.Locale.ROOT), j)
+  }
+
+  /** With `withEnd` just past a leading `WITH`, lex past the CTE
+    * prologue — `[RECURSIVE] name [(cols…)] AS ( … ) [, …]*` — and
+    * return the offset of the statement verb that follows, or -1 when
+    * the text does not scan as a prologue. String-literal, comment,
+    * and nested-paren aware; this is what stops a CTE header from
+    * laundering DML past the verb classifier.
+    */
+  private def postCteStart(q: String, withEnd: Int): Int = {
+    val n = q.length
+    var i = skipTrivia(q, withEnd)
+    val (w0, a0) = wordAt(q, i)
+    if (w0 == "RECURSIVE") i = skipTrivia(q, a0)
+    var done = false
+    while (!done) {
+      // CTE name: bare or backquoted identifier
+      if (i < n && q(i) == '`') i = skipQuoted(q, i)
+      else {
+        val (w, a) = wordAt(q, i)
+        if (w.isEmpty) return -1
+        i = a
+      }
+      i = skipTrivia(q, i)
+      // optional column alias list
+      if (i < n && q(i) == '(') i = skipTrivia(q, skipBalancedParens(q, i))
+      val (as_, aAs) = wordAt(q, i)
+      if (as_ != "AS") return -1
+      i = skipTrivia(q, aAs)
+      if (i >= n || q(i) != '(') return -1
+      i = skipTrivia(q, skipBalancedParens(q, i))
+      if (i < n && q(i) == ',') i = skipTrivia(q, i + 1) else done = true
+    }
+    if (i >= n) -1 else i
+  }
+
+  /** Whether a top-level `INSERT` keyword occurs at or after `start`
+    * outside string literals and comments — the FROM-led multi-insert
+    * probe (`FROM t INSERT OVERWRITE …` vs the read `FROM t SELECT
+    * …`). An unquoted identifier literally named `insert` false-
+    * positives toward MUTATION — the safe direction for an auth gate.
+    */
+  private def hasInsertToken(q: String, start: Int): Boolean = {
+    val n = q.length
+    var i = start
+    while (i < n) {
+      val c = q(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(q, i)
+      else if (c == '-' && i + 1 < n && q(i + 1) == '-') {
+        while (i < n && q(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(q(i) == '*' && q(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+      } else if (c.isLetter || c == '_') {
+        val (w, a) = wordAt(q, i)
+        if (w == "INSERT") return true
+        i = a
+      } else i += 1
+    }
+    false
+  }
+
+  /** Offset of the statement's EFFECTIVE verb: past trivia, past
+    * leading parens when `skipParens`, and past a well-formed `WITH …`
+    * CTE prologue. A prologue that fails to lex returns the offset of
+    * the `WITH` itself (callers closed-world it to a mutation).
+    */
+  private def effectiveVerbStart(query: String, skipParens: Boolean): Int = {
+    var i = contentStart(query)
+    val n = query.length
+    if (skipParens)
+      while (i < n && (query(i) == '(' || query(i).isWhitespace)) i += 1
+    val (w, after) = wordAt(query, i)
+    if (w != "WITH") i
+    else {
+      val p = postCteStart(query, after)
+      if (p >= 0) p else i
+    }
+  }
+
+  /** The statement's effective verb — the verb after any CTE
+    * prologue. [[dispatch]]/[[mightDispatch]] key on this so
+    * `WITH … MERGE INTO vtable` routes like its verb-led form.
+    */
+  private def effectiveVerb(query: String): String =
+    wordAt(query, effectiveVerbStart(query, skipParens = false))._1
 
   /** The statement body with comment/whitespace headers removed. */
   private def content(query: String): String =
@@ -133,9 +286,18 @@ object SqlDml {
   /** Whether `query` can change table/session state (MERGE / UPDATE /
     * DELETE / INSERT / CREATE / DROP / SET / ...). Pure text probe —
     * must stay cheap; it runs on every /sql request when auth is on.
+    * Classifies by the EFFECTIVE verb (past any CTE prologue), and a
+    * FROM-led statement is a mutation when a top-level INSERT token
+    * follows (Spark's multi-insert) — so neither `WITH … INSERT
+    * OVERWRITE DIRECTORY …` nor `FROM t INSERT OVERWRITE …` can
+    * launder a write past a configured token.
     */
-  def isMutation(query: String): Boolean =
-    !ReadVerbs.contains(leadingVerb(query, skipParens = true))
+  def isMutation(query: String): Boolean = {
+    val start = effectiveVerbStart(query, skipParens = true)
+    val (verb, after) = wordAt(query, start)
+    if (verb == "FROM") hasInsertToken(query, after)
+    else !ReadVerbs.contains(verb)
+  }
 
   /** Route `query` to the vtable API if it is a supported DML /
     * maintenance statement against a registered vtable; None otherwise
@@ -150,7 +312,10 @@ object SqlDml {
 
   def dispatch(spark: org.apache.spark.sql.SparkSession, query: String,
       onCommit: () => Unit): Option[DataFrame] = {
-    leadingVerb(query, skipParens = false) match {
+    // effective verb: a CTE prologue is transparent, so `WITH … MERGE
+    // INTO vtable` routes exactly like its verb-led form (dmlPlan
+    // inlines the CTE definitions into the parsed tree)
+    effectiveVerb(query) match {
       case "DESCRIBE" => describeHistory(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
@@ -158,12 +323,14 @@ object SqlDml {
     }
   }
 
-  /** Leading-verb probe only — does [[dispatch]] even want to look at
-    * this statement? (The injected parser uses it to skip the regex /
-    * tree inspection on the hot non-DML path.)
+  /** Effective-verb probe only — does [[dispatch]] even want to look
+    * at this statement? (The injected parser uses it to skip the
+    * regex / tree inspection on the hot non-DML path.) Sees through a
+    * CTE prologue, so WITH-led DML against a vtable view reaches the
+    * dispatcher instead of dying on Spark's native temp-view error.
     */
   def mightDispatch(query: String): Boolean = {
-    val verb = leadingVerb(query, skipParens = false)
+    val verb = effectiveVerb(query)
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
       verb == "DELETE" || verb == "INSERT" ||
       verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE"
@@ -304,6 +471,10 @@ object SqlDml {
   private[service] def dmlPlan(spark: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan, onCommit: () => Unit): Option[DataFrame] = {
     plan match {
+      case w: UnresolvedWith =>
+        // CTE-prefixed DML: inline the prologue's definitions into the
+        // statement (classic CTE substitution) and dispatch the result
+        inlineCtes(w).flatMap(p => dmlPlan(spark, p, onCommit))
       case DeleteFromTable(tbl, cond) =>
         target(spark, tbl).map { case (dir, quals, _) =>
           noSubquery(cond, "DELETE")
@@ -349,8 +520,18 @@ object SqlDml {
                 if (unknown.nonEmpty)
                   fail(s"INSERT column list names non-columns: ${unknown.mkString(", ")}")
                 Some(data.toDF(i.userSpecifiedCols: _*))
-              } else if (i.byName) Some(data)
-              else None
+              } else if (i.byName) {
+                // same loud-error contract as the explicit column list
+                // and the star-MERGE path: a source column the target
+                // lacks is data loss, not something to silently drop
+                // (Spark's native BY NAME errors here too)
+                val unknown = data.columns
+                  .filterNot(c => committed.fieldNames.exists(_.equalsIgnoreCase(c)))
+                if (unknown.nonEmpty)
+                  fail(s"INSERT BY NAME: query produces columns the table " +
+                    s"lacks: ${unknown.mkString(", ")}")
+                Some(data)
+              } else None
             val aligned = named match {
               case Some(n) =>
                 val have = n.columns.map(c => c.toLowerCase -> c).toMap
@@ -386,6 +567,99 @@ object SqlDml {
         }
       case _ => None
     }
+  }
+
+  /** Whether this parsed statement is DML whose target resolves to a
+    * registered bare vtable view (through any CTE prologue). The
+    * injected parser wraps a DML tree as an eager command ONLY when
+    * this holds, so non-vtable DML keeps its native plan, output
+    * schema, and EXPLAIN surface instead of gaining an opaque
+    * `(version int)` command wrapper.
+    */
+  private[service] def isVTableDml(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case w: UnresolvedWith => inlineCtes(w).exists(isVTableDml(spark, _))
+    case d: DeleteFromTable => target(spark, d.table).isDefined
+    case u: UpdateTable => target(spark, u.table).isDefined
+    case i: InsertIntoStatement =>
+      i.partitionSpec.isEmpty && target(spark, i.table).isDefined
+    case m: MergeIntoTable => target(spark, m.targetTable).isDefined
+    case _ => false
+  }
+
+  /** Inline a WITH prologue's definitions into its DML child — the
+    * pre-3.0 CTE-substitution shape, applied only here because the
+    * analyzer's own CTE machinery (CTERelationDef/Ref) never gets to
+    * run on a tree this dispatcher takes apart. Definitions substitute
+    * in order (later CTEs may reference earlier ones), into relation
+    * leaves AND subquery-expression plans, with inner WITH blocks
+    * shadowing outer names. None — fall through to `spark.sql`'s
+    * native error surface — when the child is not a DML statement,
+    * recursion is requested, or the DML target name collides with a
+    * CTE name (you cannot MERGE into a CTE).
+    */
+  private[service] def inlineCtes(w: UnresolvedWith): Option[LogicalPlan] = {
+    if (w.allowRecursion) return None
+    val isDml = w.child match {
+      case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
+      case i: InsertIntoStatement => i.partitionSpec.isEmpty
+      case _ => false
+    }
+    if (!isDml) return None
+    var defs = Map.empty[String, LogicalPlan]
+    w.cteRelations.foreach { case (name, alias, _) =>
+      defs += name.toLowerCase -> SubqueryAlias(alias.identifier,
+        cteSubstitute(alias.child, defs))
+    }
+    val targetPlan = w.child match {
+      case d: DeleteFromTable     => d.table
+      case u: UpdateTable         => u.table
+      case i: InsertIntoStatement => i.table
+      case m: MergeIntoTable      => m.targetTable
+    }
+    if (relationName(targetPlan).exists(defs.contains)) None
+    else Some(cteSubstitute(w.child, defs))
+  }
+
+  /** Substitute CTE `defs` into `plan`: single-part relation leaves
+    * whose name matches a definition become that definition's plan
+    * (already wrapped in its own alias), recursively through children
+    * and subquery-expression plans. A nested WITH shadows: its own
+    * definitions (which may themselves reference the outer scope)
+    * hide same-named outer definitions for its child and for later
+    * siblings in its list.
+    */
+  private def cteSubstitute(plan: LogicalPlan,
+      defs: Map[String, LogicalPlan]): LogicalPlan =
+    if (defs.isEmpty) plan
+    else plan match {
+      case inner: UnresolvedWith =>
+        var scope = defs
+        val rels = inner.cteRelations.map { case (n, a, x) =>
+          val sub = SubqueryAlias(a.identifier, cteSubstitute(a.child, scope))
+          scope -= n.toLowerCase
+          (n, sub, x)
+        }
+        UnresolvedWith(cteSubstitute(inner.child, scope), rels,
+          inner.allowRecursion)
+      case UnresolvedRelation(parts, _, _) if parts.length == 1 &&
+          defs.contains(parts.head.toLowerCase) =>
+        defs(parts.head.toLowerCase)
+      case other =>
+        val kids = other.withNewChildren(
+          other.children.map(cteSubstitute(_, defs)))
+        kids.transformExpressions {
+          case sq: SubqueryExpression =>
+            sq.withNewPlan(cteSubstitute(sq.plan, defs))
+        }
+    }
+
+  /** Innermost single-part relation name of a DML target plan. */
+  private def relationName(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => relationName(child)
+    case UnresolvedRelation(parts, _, _) if parts.length == 1 =>
+      Some(parts.head.toLowerCase)
+    case _ => None
   }
 
   /** Run a committing op, invalidate the result cache, and refresh the
@@ -587,10 +861,16 @@ object SqlDml {
     * the batch's keys rewrite). Rows matching no clause are absent
     * from the batch and stay untouched.
     *
-    * Keyed-upsert representability is enforced, not assumed: a key
-    * with multiple matched target rows, or multiple acting change
-    * rows (duplicate source keys), raises the standard MERGE
-    * cardinality error instead of silently collapsing rows.
+    * Keyed-upsert representability is enforced, not assumed: an
+    * ACTING key with multiple matched pairs (duplicate source or
+    * target keys), or multiple acting change rows per key, raises the
+    * standard MERGE cardinality error instead of silently collapsing
+    * rows; a multi-matched key where no clause acts passes (Delta's
+    * semantics). NULL change keys raise a dedicated error — NULL
+    * never equi-matches, so the keyed lowering cannot represent them.
+    * The checks ride the change batch as window counts + raise_error
+    * guards, evaluated inside applyChanges' input-pinning job — ONE
+    * pass, no separate validation job.
     */
   private def generalMerge(spark: org.apache.spark.sql.SparkSession,
       vt: VersionedTable, m: MergeIntoTable, key: String,
@@ -637,11 +917,21 @@ object SqlDml {
     val s = sFrame.withColumn("__graft_s", lit(1)).alias(sAlias)
     val joinType = if (hasBySource) "full_outer" else "right_outer"
     val fo = t.join(s, toColumn(m.mergeCondition), joinType)
+    // per-target-key matched-pair count, carried through the batch so
+    // the cardinality check can evaluate INSIDE applyChanges' input-
+    // pinning job instead of as a separate validation job (matched
+    // keys are never null — NULL doesn't equi-join — so the window's
+    // null partition is vacuous here)
+    val pairW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"$tAlias.$key"))
     val matched = fo.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)
+      .withColumn("__graft_paircnt", count(lit(1)).over(pairW))
     val notMatched = fo.filter(col("__graft_t").isNull)
+      .withColumn("__graft_paircnt", lit(1L))
     val notMatchedBySrc =
-      if (hasBySource) fo.filter(col("__graft_s").isNull)
-      else fo.filter(lit(false))
+      (if (hasBySource) fo.filter(col("__graft_s").isNull)
+       else fo.filter(lit(false)))
+        .withColumn("__graft_paircnt", lit(1L))
 
     def tCol(c: String) = col(s"$tAlias.$c")
     def sCol(c: String) = col(s"$sAlias.$c")
@@ -668,7 +958,8 @@ object SqlDml {
               (schema.fields.map { f =>
                 (if (f.name == key) coalesce(tCol(key), sCol(key))
                  else lit(null)).cast(f.dataType).as(f.name)
-              } :+ lit("delete").as(CT)).toSeq: _*)
+              } :+ lit("delete").as(CT)
+                :+ col("__graft_paircnt")).toSeq: _*)
           case _ =>
             // star actions assign the SOURCE's columns (SQL's `SET *`
             // semantics); target columns the source lacks — possible
@@ -694,7 +985,8 @@ object SqlDml {
               (schema.fields.map { f =>
                 assigned.getOrElse(f.name.toLowerCase, defaults(f.name))
                   .cast(f.dataType).as(f.name)
-              } :+ lit("update_postimage").as(CT)).toSeq: _*)
+              } :+ lit("update_postimage").as(CT)
+                :+ col("__graft_paircnt")).toSeq: _*)
         }
       }
     }
@@ -706,27 +998,58 @@ object SqlDml {
     val batch0 = pieces.reduceLeft(_.unionByName(_))
     // idempotent duplicate deletes collapse; anything else duplicated
     // is a genuine cardinality violation (duplicate source keys)
-    val batch = batch0.filter(col(CT) === "delete").distinct()
+    val batchD = batch0.filter(col(CT) === "delete").distinct()
       .unionByName(batch0.filter(col(CT) =!= "delete"))
+    // cardinality, folded into the batch itself — the window counts
+    // and the raise_error guards evaluate inside applyChanges' input-
+    // pinning localCheckpoint job, so validation costs ZERO extra
+    // Spark jobs (the old shape re-ran the whole evaluation join in a
+    // separate validation pass). Two violation classes, both
+    // unrepresentable by a keyed upsert (row-wise SQL MERGE could
+    // treat each pair differently): an ACTING key with several
+    // matched (target row × source row) pairs — duplicate target or
+    // source keys — and several acting change rows per key. A
+    // multi-matched key where NO clause acts produces no change row
+    // and passes (Delta's semantics: multiple matches only error when
+    // the statement would modify the row). NULL change keys get a
+    // dedicated error: NULL never equi-matches, so a keyed upsert
+    // cannot represent a NULL-key change (several NULL-key inserts
+    // are not duplicates of each other — they must not collapse into
+    // a spurious duplicate-key error).
+    val chgW = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val guardMsg = format_string(
+      "%s key %s has %d matched row pairs and %d acting changes; " +
+        "keyed upsert requires a unique match and one change per key",
+      lit(CardinalityTag), col(key).cast("string"),
+      col("__graft_paircnt"), col("__graft_chgcnt"))
+    val batch = batchD
+      .withColumn("__graft_chgcnt", count(lit(1)).over(chgW))
+      .withColumn(key,
+        when(col(key).isNull, raise_error(lit(NullKeyMsg)))
+          .when(col("__graft_paircnt") > 1 || col("__graft_chgcnt") > 1,
+            raise_error(guardMsg))
+          .otherwise(col(key)))
+      .drop("__graft_paircnt", "__graft_chgcnt")
       .withColumn("__graft_seq", lit(1L))
-    // cardinality, ONE validation job for both classes: several
-    // matched (target row × source row) pairs per key — duplicate
-    // target or source keys — and several acting change rows per key
-    // are both unrepresentable by a keyed upsert (row-wise SQL MERGE
-    // could treat each pair differently); the standard MERGE error
-    val viol = matched.groupBy(col(s"$tAlias.$key").as("k")).count()
-      .filter(col("count") > 1)
-      .select(lit("matched row pairs").as("what"), col("k"), col("count"))
-      .unionByName(batch.groupBy(col(key).as("k")).count()
-        .filter(col("count") > 1)
-        .select(lit("acting changes").as("what"), col("k"), col("count")))
-      .limit(1).collect()
-    if (viol.nonEmpty)
-      fail(s"MERGE produced ${viol.head.getLong(2)} ${viol.head.getString(0)} " +
-        s"for key ${viol.head.get(1)} (duplicate source or target keys); " +
-        "keyed upsert requires a unique match and one change per key")
-    vt.applyChanges(batch, key, orderBy = "__graft_seq")
+    try vt.applyChanges(batch, key, orderBy = "__graft_seq")
+    catch {
+      case e: Throwable =>
+        // surface the guard's message as the same IllegalArgumentException
+        // the rest of the DML surface raises (Spark wraps task-side
+        // raise_error in SparkException layers)
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(m => m.contains(CardinalityTag) || m.contains(NullKeyMsg))
+          .foreach(m => fail(m.replaceFirst("^\\[USER_RAISED_EXCEPTION\\]\\s*", "")))
+        throw e
+    }
   }
+
+  private val CardinalityTag = "MERGE cardinality:"
+  private val NullKeyMsg =
+    "MERGE: NULL merge key — a keyed upsert cannot represent a NULL-key " +
+      "change (NULL never equi-matches); filter NULL keys from the source " +
+      "or de-NULL them before merging"
 
   /** Innermost alias (or relation) name — the qualifier the
     * statement's expressions use for this side.

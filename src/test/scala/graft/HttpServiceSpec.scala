@@ -600,6 +600,34 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(send("/register",
         s"""{"name":"http_auth_n","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""",
         None).statusCode == 401)
+      // a CTE header must not launder a write past the token: Spark's
+      // grammar accepts WITH-led INSERT OVERWRITE DIRECTORY (a
+      // filesystem write), and the classifier must see the verb
+      // BEHIND the prologue
+      val escapeDir = java.nio.file.Files
+        .createTempDirectory("graft-http-auth-esc").toString
+      assert(send("/sql",
+        s"""{"query":"WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '$escapeDir/out' USING parquet SELECT * FROM x"}""",
+        None).statusCode == 401)
+      assert(!new java.io.File(s"$escapeDir/out").exists,
+        "unauthorized CTE-led directory write must not land")
+      // FROM-led multi-insert is the same lexer gap from the other side
+      assert(send("/sql",
+        s"""{"query":"FROM http_auth_t INSERT OVERWRITE DIRECTORY '$escapeDir/out2' USING parquet SELECT *"}""",
+        None).statusCode == 401)
+      assert(!new java.io.File(s"$escapeDir/out2").exists)
+      // while WITH-led and FROM-led READS stay open
+      assert(send("/sql",
+        """{"query":"WITH x AS (SELECT 1 AS a) SELECT * FROM x"}""", None)
+        .statusCode == 200)
+      assert(send("/sql",
+        """{"query":"FROM http_auth_t SELECT count(*) AS n"}""", None)
+        .statusCode == 200)
+      // and a token lets the CTE-led write through (it is legal SQL)
+      assert(send("/sql",
+        s"""{"query":"WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '$escapeDir/out3' USING parquet SELECT * FROM x"}""",
+        Some("sesame")).statusCode == 200)
+      assert(new java.io.File(s"$escapeDir/out3").exists)
       // 401s surface in their own metrics column
       val metrics = client.send(
         HttpRequest.newBuilder(

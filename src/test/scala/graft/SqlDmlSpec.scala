@@ -345,6 +345,104 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(vt.read().count() == 10)
   }
 
+  test("the auth classifier sees through CTE headers and multi-insert") {
+    import graft.service.SqlDml
+    // a CTE header must not launder DML past the verb classifier
+    assert(SqlDml.isMutation("WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x"))
+    assert(SqlDml.isMutation("WITH x AS (SELECT 1 AS k) MERGE INTO t USING x " +
+      "ON t.k = x.k WHEN MATCHED THEN DELETE"))
+    assert(SqlDml.isMutation("WITH x AS (SELECT 1 AS a) INSERT OVERWRITE " +
+      "DIRECTORY '/tmp/p' USING parquet SELECT * FROM x"))
+    assert(!SqlDml.isMutation("WITH x AS (SELECT 1 AS a) SELECT * FROM x"))
+    // chained CTEs, column alias lists, parens INSIDE string literals
+    assert(!SqlDml.isMutation("WITH a AS (SELECT '(' AS p), " +
+      "b (q) AS (SELECT concat(p, ')') FROM a) SELECT * FROM b"))
+    assert(SqlDml.isMutation("WITH a AS (SELECT '((' AS p) , " +
+      "b AS (SELECT * FROM a) DELETE FROM t WHERE q = ')'"))
+    // RECURSIVE prologue is still a read when the statement is
+    assert(!SqlDml.isMutation("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r"))
+    // FROM-led: Spark's multi-insert is a write; FROM t SELECT is a read
+    assert(SqlDml.isMutation(
+      "FROM t INSERT OVERWRITE DIRECTORY '/tmp/p' USING parquet SELECT *"))
+    assert(!SqlDml.isMutation("FROM t SELECT *"))
+    // a WITH prologue that fails to lex closed-worlds to a mutation
+    assert(SqlDml.isMutation("WITH oops"))
+    // comments interleaved with the prologue
+    assert(SqlDml.isMutation(
+      "WITH x AS (SELECT 1) -- staging\n INSERT INTO t SELECT * FROM x"))
+    // dispatch sees through the header too
+    assert(SqlDml.mightDispatch(
+      "WITH s AS (SELECT 1 AS k) MERGE INTO t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(!SqlDml.mightDispatch("WITH s AS (SELECT 1 AS k) SELECT * FROM s"))
+  }
+
+  test("CTE-prefixed DML dispatches and commits like its verb-led form") {
+    // verb-led control: inline subquery source
+    val (ctl, ctlVt) = seeded("sqldml-cte-ctl", "sqlm_cte_ctl")
+    ctl.sql("MERGE INTO sqlm_cte_ctl t USING (SELECT k, v * 2 AS v FROM " +
+      "sqlm_cte_ctl WHERE k <= 3) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET *").collect()
+    // WITH-led form: same statement, source as a CTE (chained — the
+    // second definition references the first)
+    val (svc, vt) = seeded("sqldml-cte", "sqlm_cte")
+    val res = svc.sql("WITH lows AS (SELECT * FROM sqlm_cte WHERE k <= 3), " +
+      "doubled AS (SELECT k, v * 2 AS v FROM lows) " +
+      "MERGE INTO sqlm_cte t USING doubled s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    assert(res.columns.toSeq == Seq("version"), "WITH-led MERGE must dispatch")
+    assert(vt.read().orderBy("k").collect().toSeq ==
+      ctlVt.read().orderBy("k").collect().toSeq)
+    // WITH-led INSERT
+    svc.sql("WITH src AS (SELECT CAST(100 AS BIGINT) AS k, 1.5 AS v) " +
+      "INSERT INTO sqlm_cte SELECT * FROM src").collect()
+    assert(vt.read().count() == 11)
+    // a CTE shadowing the TARGET name falls through to Spark's own
+    // error (you cannot INSERT into a CTE) and nothing commits
+    intercept[Exception] {
+      svc.sql("WITH sqlm_cte AS (SELECT 1 AS k) " +
+        "INSERT INTO sqlm_cte SELECT 2, 2.0").collect()
+    }
+    assert(vt.read().count() == 11)
+    // the injected parser carries the same surface into plain spark.sql
+    spark.sql("WITH gone AS (SELECT k FROM sqlm_cte WHERE k > 99) " +
+      "MERGE INTO sqlm_cte t USING gone s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE").collect()
+    assert(vt.read().count() == 10)
+  }
+
+  test("general MERGE: NULL merge keys raise a dedicated error, not a spurious duplicate") {
+    val (svc, vt) = seeded("sqldml-nullkey", "sqlm_nullkey")
+    // two NOT MATCHED inserts whose key is NULL: NULL never
+    // equi-matches, so both land in the insert branch — the keyed
+    // lowering can't represent them and must say so by name (they are
+    // NOT duplicates of each other, so the old per-key count raised a
+    // misleading cardinality error here)
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 1.0 AS v UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), 2.0")
+      .createOrReplaceTempView("sqlm_nullkey_src")
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("MERGE INTO sqlm_nullkey t USING sqlm_nullkey_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("NULL merge key"), e.getMessage)
+    assert(vt.read().count() == 10, "nothing may commit on a NULL-key batch")
+  }
+
+  test("non-vtable DML through the injected parser keeps its native plan and schema") {
+    spark.sql("DROP TABLE IF EXISTS sqlm_native")
+    spark.sql("CREATE TABLE sqlm_native (k BIGINT, v DOUBLE) USING parquet")
+    try {
+      // a catalog (non-vtable) table: INSERT must run Spark's native
+      // command — empty output schema, not this library's (version int)
+      val res = spark.sql("INSERT INTO sqlm_native VALUES (1, 1.0)")
+      assert(!res.columns.contains("version"),
+        s"native INSERT must keep its own output, got ${res.columns.mkString(",")}")
+      assert(spark.table("sqlm_native").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlm_native")
+  }
+
   test("a time-traveled registration is not re-pointed by DML") {
     val (vt, _) = freshTable("sqldml-tt")
     vt.append(spark.range(1, 4).select(col("id").as("k"), lit(1.0).as("v")))
