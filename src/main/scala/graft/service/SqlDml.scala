@@ -109,6 +109,28 @@ object SqlDml {
     */
   private def contentStart(query: String): Int = skipTrivia(query, 0)
 
+  // With q(start) at the opening slash-star: offset just past the
+  // MATCHING star-slash. Spark 4.1's lexer NESTS bracketed comments
+  // (verified: a comment containing an inner comment stays one
+  // comment), so the skip must track depth — a non-nesting skip would
+  // end at the first star-slash and let a nested-comment header like
+  //   <open><open><close> SELECT 1 <close> INSERT INTO t VALUES (1)
+  // read as a SELECT at the auth gate while Spark executes the INSERT.
+  // An unterminated comment swallows the rest of the statement
+  // (matching Spark, which refuses to parse it — and a truncated
+  // probe closed-worlds to mutation anyway).
+  private def skipBracketedComment(q: String, start: Int): Int = {
+    val n = q.length
+    var i = start + 2
+    var depth = 1
+    while (i < n && depth > 0) {
+      if (i + 1 < n && q(i) == '/' && q(i + 1) == '*') { depth += 1; i += 2 }
+      else if (i + 1 < n && q(i) == '*' && q(i + 1) == '/') { depth -= 1; i += 2 }
+      else i += 1
+    }
+    i
+  }
+
   /** First non-whitespace, non-comment offset at or after `i`. */
   private def skipTrivia(query: String, start: Int): Int = {
     val n = query.length
@@ -121,9 +143,7 @@ object SqlDml {
         while (i < n && query(i) != '\n') i += 1
         moved = true
       } else if (i + 1 < n && query(i) == '/' && query(i + 1) == '*') {
-        i += 2
-        while (i + 1 < n && !(query(i) == '*' && query(i + 1) == '/')) i += 1
-        i = math.min(i + 2, n)
+        i = skipBracketedComment(query, i)
         moved = true
       }
     }
@@ -131,9 +151,14 @@ object SqlDml {
   }
 
   /** End of the quoted region starting at `i` (`'…'`, `"…"` or
-    * `` `…` ``), honoring doubled-quote and backslash escapes.
+    * `` `…` ``), honoring doubled-quote escapes — and backslash
+    * escapes only when `esc` (Spark's default lexing;
+    * `spark.sql.parser.escapedStringLiterals=true` turns backslash
+    * into a plain character). The auth gate lexes under BOTH
+    * conventions ([[isMutation]]), so whichever way the session is
+    * configured, a write can't hide in the disagreement.
     */
-  private def skipQuoted(q: String, i: Int): Int = {
+  private def skipQuoted(q: String, i: Int, esc: Boolean): Int = {
     val quote = q(i)
     val n = q.length
     var j = i + 1
@@ -142,7 +167,7 @@ object SqlDml {
       if (c == quote) {
         if (j + 1 < n && q(j + 1) == quote) j += 2 // doubled-quote escape
         else return j + 1
-      } else if (quote != '`' && c == '\\' && j + 1 < n) j += 2
+      } else if (esc && quote != '`' && c == '\\' && j + 1 < n) j += 2
       else j += 1
     }
     n
@@ -152,19 +177,17 @@ object SqlDml {
     * matching `')'` (string-literal and comment aware), or the end of
     * the string when unbalanced.
     */
-  private def skipBalancedParens(q: String, start: Int): Int = {
+  private def skipBalancedParens(q: String, start: Int, esc: Boolean): Int = {
     val n = q.length
     var j = start
     var depth = 0
     while (j < n) {
       val c = q(j)
-      if (c == '\'' || c == '"' || c == '`') j = skipQuoted(q, j)
+      if (c == '\'' || c == '"' || c == '`') j = skipQuoted(q, j, esc)
       else if (c == '-' && j + 1 < n && q(j + 1) == '-') {
         while (j < n && q(j) != '\n') j += 1
       } else if (c == '/' && j + 1 < n && q(j + 1) == '*') {
-        j += 2
-        while (j + 1 < n && !(q(j) == '*' && q(j + 1) == '/')) j += 1
-        j = math.min(j + 2, n)
+        j = skipBracketedComment(q, j)
       } else {
         if (c == '(') depth += 1
         else if (c == ')') { depth -= 1; if (depth == 0) return j + 1 }
@@ -184,13 +207,19 @@ object SqlDml {
   }
 
   /** With `withEnd` just past a leading `WITH`, lex past the CTE
-    * prologue — `[RECURSIVE] name [(cols…)] AS ( … ) [, …]*` — and
+    * prologue — `[RECURSIVE] name [(cols…)] [AS] ( … ) [, …]*` — and
     * return the offset of the statement verb that follows, or -1 when
     * the text does not scan as a prologue. String-literal, comment,
     * and nested-paren aware; this is what stops a CTE header from
     * laundering DML past the verb classifier.
+    *
+    * `AS` is OPTIONAL in Spark's grammar (`WITH y (SELECT 2) …`
+    * parses), so a paren group straight after the name is ambiguous:
+    * alias list or body. Disambiguated by what follows it — `AS` or
+    * another `(` means it was the alias list; anything else means it
+    * WAS the body.
     */
-  private def postCteStart(q: String, withEnd: Int): Int = {
+  private def postCteStart(q: String, withEnd: Int, esc: Boolean): Int = {
     val n = q.length
     var i = skipTrivia(q, withEnd)
     val (w0, a0) = wordAt(q, i)
@@ -198,20 +227,32 @@ object SqlDml {
     var done = false
     while (!done) {
       // CTE name: bare or backquoted identifier
-      if (i < n && q(i) == '`') i = skipQuoted(q, i)
+      if (i < n && q(i) == '`') i = skipQuoted(q, i, esc)
       else {
         val (w, a) = wordAt(q, i)
         if (w.isEmpty) return -1
         i = a
       }
       i = skipTrivia(q, i)
-      // optional column alias list
-      if (i < n && q(i) == '(') i = skipTrivia(q, skipBalancedParens(q, i))
-      val (as_, aAs) = wordAt(q, i)
-      if (as_ != "AS") return -1
-      i = skipTrivia(q, aAs)
-      if (i >= n || q(i) != '(') return -1
-      i = skipTrivia(q, skipBalancedParens(q, i))
+      if (i < n && q(i) == '(') {
+        // alias list or AS-less body
+        val afterP1 = skipTrivia(q, skipBalancedParens(q, i, esc))
+        val (w1, a1) = wordAt(q, afterP1)
+        if (w1 == "AS") { // (aliases) AS (body)
+          val j = skipTrivia(q, a1)
+          if (j >= n || q(j) != '(') return -1
+          i = skipTrivia(q, skipBalancedParens(q, j, esc))
+        } else if (afterP1 < n && q(afterP1) == '(') {
+          // (aliases) (body) — AS-less with an alias list
+          i = skipTrivia(q, skipBalancedParens(q, afterP1, esc))
+        } else i = afterP1 // the first group WAS the body
+      } else {
+        val (as_, aAs) = wordAt(q, i)
+        if (as_ != "AS") return -1
+        i = skipTrivia(q, aAs)
+        if (i >= n || q(i) != '(') return -1
+        i = skipTrivia(q, skipBalancedParens(q, i, esc))
+      }
       if (i < n && q(i) == ',') i = skipTrivia(q, i + 1) else done = true
     }
     if (i >= n) -1 else i
@@ -223,18 +264,16 @@ object SqlDml {
     * …`). An unquoted identifier literally named `insert` false-
     * positives toward MUTATION — the safe direction for an auth gate.
     */
-  private def hasInsertToken(q: String, start: Int): Boolean = {
+  private def hasInsertToken(q: String, start: Int, esc: Boolean): Boolean = {
     val n = q.length
     var i = start
     while (i < n) {
       val c = q(i)
-      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(q, i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(q, i, esc)
       else if (c == '-' && i + 1 < n && q(i + 1) == '-') {
         while (i < n && q(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
-        i += 2
-        while (i + 1 < n && !(q(i) == '*' && q(i + 1) == '/')) i += 1
-        i = math.min(i + 2, n)
+        i = skipBracketedComment(q, i)
       } else if (c.isLetter || c == '_') {
         val (w, a) = wordAt(q, i)
         if (w == "INSERT") return true
@@ -249,7 +288,8 @@ object SqlDml {
     * CTE prologue. A prologue that fails to lex returns the offset of
     * the `WITH` itself (callers closed-world it to a mutation).
     */
-  private def effectiveVerbStart(query: String, skipParens: Boolean): Int = {
+  private def effectiveVerbStart(query: String, skipParens: Boolean,
+      esc: Boolean): Int = {
     var i = contentStart(query)
     val n = query.length
     if (skipParens)
@@ -257,7 +297,7 @@ object SqlDml {
     val (w, after) = wordAt(query, i)
     if (w != "WITH") i
     else {
-      val p = postCteStart(query, after)
+      val p = postCteStart(query, after, esc)
       if (p >= 0) p else i
     }
   }
@@ -265,9 +305,13 @@ object SqlDml {
   /** The statement's effective verb — the verb after any CTE
     * prologue. [[dispatch]]/[[mightDispatch]] key on this so
     * `WITH … MERGE INTO vtable` routes like its verb-led form.
+    * Lexed under Spark's DEFAULT backslash-escape convention — the
+    * dispatch probes' worst case on an exotically-configured session
+    * is a native Spark error, not a write bypass (the auth gate
+    * lexes both ways — see [[isMutation]]).
     */
   private def effectiveVerb(query: String): String =
-    wordAt(query, effectiveVerbStart(query, skipParens = false))._1
+    wordAt(query, effectiveVerbStart(query, skipParens = false, esc = true))._1
 
   /** The statement body with comment/whitespace headers removed. */
   private def content(query: String): String =
@@ -292,10 +336,19 @@ object SqlDml {
     * OVERWRITE DIRECTORY …` nor `FROM t INSERT OVERWRITE …` can
     * launder a write past a configured token.
     */
-  def isMutation(query: String): Boolean = {
-    val start = effectiveVerbStart(query, skipParens = true)
+  def isMutation(query: String): Boolean =
+    // lexed under BOTH string-escape conventions (default backslash
+    // escapes AND spark.sql.parser.escapedStringLiterals=true): a
+    // statement classifies as a read only when it reads as one EITHER
+    // way, so a CTE body crafted to desync one convention's lexer
+    // (e.g. a literal ending in a lone backslash) still can't flip a
+    // write to a read on a session configured the other way
+    isMutationLex(query, esc = true) || isMutationLex(query, esc = false)
+
+  private def isMutationLex(query: String, esc: Boolean): Boolean = {
+    val start = effectiveVerbStart(query, skipParens = true, esc)
     val (verb, after) = wordAt(query, start)
-    if (verb == "FROM") hasInsertToken(query, after)
+    if (verb == "FROM") hasInsertToken(query, after, esc)
     else !ReadVerbs.contains(verb)
   }
 
@@ -871,6 +924,16 @@ object SqlDml {
     * The checks ride the change batch as window counts + raise_error
     * guards, evaluated inside applyChanges' input-pinning job — ONE
     * pass, no separate validation job.
+    *
+    * USER-VISIBLE CONSEQUENCE of the NULL-key guard: a target that
+    * already holds NULL-key rows fails the WHOLE statement whenever a
+    * `WHEN NOT MATCHED BY SOURCE` clause acts on one of those rows
+    * (the change row's key IS the target's NULL — earlier versions
+    * silently skipped such rows and committed the rest). Failing loud
+    * is deliberate: a silent skip on a by-source DELETE means rows
+    * the statement promised to delete survive. To merge by-source
+    * over such a table, first `DELETE FROM t WHERE key IS NULL` (or
+    * scope the by-source clause's condition with `key IS NOT NULL`).
     */
   private def generalMerge(spark: org.apache.spark.sql.SparkSession,
       vt: VersionedTable, m: MergeIntoTable, key: String,
@@ -1036,11 +1099,22 @@ object SqlDml {
       case e: Throwable =>
         // surface the guard's message as the same IllegalArgumentException
         // the rest of the DML surface raises (Spark wraps task-side
-        // raise_error in SparkException layers)
-        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        // raise_error in SparkException layers). The INNERMOST matching
+        // cause wins, and only the tagged tail of its message is
+        // surfaced: an outer stage-failure wrapper embeds the guard text
+        // mid-blob ("Job aborted due to stage failure … [USER_RAISED_
+        // EXCEPTION] MERGE cardinality: …"), so taking the first match
+        // wholesale would surface the verbose wrapper, not the guard.
+        val tagged = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
           .map(t => Option(t.getMessage).getOrElse(""))
-          .find(m => m.contains(CardinalityTag) || m.contains(NullKeyMsg))
-          .foreach(m => fail(m.replaceFirst("^\\[USER_RAISED_EXCEPTION\\]\\s*", "")))
+          .filter(m => m.contains(CardinalityTag) || m.contains(NullKeyMsg))
+          .toSeq
+        tagged.lastOption.foreach { m =>
+          val at = math.max(m.indexOf(CardinalityTag), m.indexOf("MERGE: NULL"))
+          // guard messages are single-line by construction — cut before
+          // any wrapper continuation (stack frames on following lines)
+          fail(m.substring(at).takeWhile(_ != '\n'))
+        }
         throw e
     }
   }

@@ -616,6 +616,25 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
         s"""{"query":"FROM http_auth_t INSERT OVERWRITE DIRECTORY '$escapeDir/out2' USING parquet SELECT *"}""",
         None).statusCode == 401)
       assert(!new java.io.File(s"$escapeDir/out2").exists)
+      // Spark NESTS bracketed comments: to its lexer this whole header
+      // is ONE comment and the statement is the write — a non-nesting
+      // classifier would end the comment early, read SELECT, and wave
+      // the write through
+      assert(send("/sql",
+        s"""{"query":"/* /* */ SELECT 1 */ INSERT OVERWRITE DIRECTORY '$escapeDir/out4' USING parquet SELECT 1 AS a"}""",
+        None).statusCode == 401)
+      assert(!new java.io.File(s"$escapeDir/out4").exists,
+        "nested-comment header must not launder a write")
+      // AS-less CTE (Spark's grammar makes AS optional) is still a
+      // classified write...
+      assert(send("/sql",
+        s"""{"query":"WITH y (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '$escapeDir/out5' USING parquet SELECT * FROM y"}""",
+        None).statusCode == 401)
+      assert(!new java.io.File(s"$escapeDir/out5").exists)
+      // ...and an AS-less READ stays open
+      assert(send("/sql",
+        """{"query":"WITH y (SELECT 1 AS a) SELECT * FROM y"}""", None)
+        .statusCode == 200)
       // while WITH-led and FROM-led READS stay open
       assert(send("/sql",
         """{"query":"WITH x AS (SELECT 1 AS a) SELECT * FROM x"}""", None)

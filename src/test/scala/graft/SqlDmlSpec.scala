@@ -377,6 +377,45 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!SqlDml.mightDispatch("WITH s AS (SELECT 1 AS k) SELECT * FROM s"))
   }
 
+  test("the auth classifier lexes like Spark: nested comments, AS-less CTEs, either escape convention") {
+    import graft.service.SqlDml
+    // Spark 4.1 NESTS bracketed comments: the whole header below is ONE
+    // comment, so Spark executes the INSERT — the classifier must too
+    // (a non-nesting lexer ends the comment early, sees SELECT, and
+    // waves the write through unauthenticated)
+    assert(SqlDml.isMutation("/* /* */ SELECT 1 */ INSERT INTO t VALUES (1)"))
+    // ...and the mirror image: an INSERT wholly inside a nested comment
+    // is trivia, the statement is the SELECT that follows
+    assert(!SqlDml.isMutation("/* /* INSERT */ still comment */ SELECT 1"))
+    // nested comments inside a CTE body and in the FROM-led scan
+    assert(SqlDml.isMutation(
+      "WITH x AS (SELECT /* /* */ 1 */ 1) INSERT INTO t SELECT * FROM x"))
+    assert(!SqlDml.isMutation("FROM t /* /* INSERT */ x */ SELECT *"))
+    // AS is optional in Spark's CTE grammar: body directly after the
+    // name, with or without a column alias list
+    assert(!SqlDml.isMutation("WITH y (SELECT 2) SELECT * FROM y"))
+    assert(SqlDml.isMutation("WITH y (SELECT 2) INSERT INTO t SELECT * FROM y"))
+    assert(!SqlDml.isMutation("WITH y (a) (SELECT 2) SELECT a FROM y"))
+    assert(SqlDml.isMutation("WITH y (a) (SELECT 2) DELETE FROM t WHERE k = 1"))
+    assert(!SqlDml.isMutation(
+      "WITH y (SELECT 2), z AS (SELECT 3) SELECT * FROM y JOIN z"))
+    assert(SqlDml.mightDispatch("WITH y (SELECT 1 AS k) MERGE INTO t USING y " +
+      "ON t.k = y.k WHEN MATCHED THEN DELETE"))
+    // escape-convention desync: under escapedStringLiterals=true the
+    // backslash is a plain char, the literal closes before the INSERT,
+    // and Spark executes a write — the gate lexes BOTH conventions and
+    // classifies mutation when either sees one
+    assert(SqlDml.isMutation("WITH x AS (SELECT '\\') INSERT INTO t VALUES (1) --'"))
+    // the sharp version: under DEFAULT lexing the whole INSERT hides
+    // inside one string literal and the statement scans as a WITH-led
+    // SELECT — only the escapedStringLiterals lexing reveals the write.
+    // One convention seeing a write is enough.
+    assert(SqlDml.isMutation(
+      "WITH x AS (SELECT '\\') INSERT INTO t SELECT ''') SELECT * FROM x"))
+    // ...and the default-convention write stays caught too
+    assert(SqlDml.isMutation("WITH x AS (SELECT 'a') INSERT INTO t VALUES (1)"))
+  }
+
   test("CTE-prefixed DML dispatches and commits like its verb-led form") {
     // verb-led control: inline subquery source
     val (ctl, ctlVt) = seeded("sqldml-cte-ctl", "sqlm_cte_ctl")
@@ -409,6 +448,13 @@ class SqlDmlSpec extends SparkSpecBase {
       "MERGE INTO sqlm_cte t USING gone s ON t.k = s.k " +
       "WHEN MATCHED THEN DELETE").collect()
     assert(vt.read().count() == 10)
+    // AS-less CTE form (Spark's grammar makes AS optional) dispatches
+    // and commits like the AS form
+    val asless = svc.sql("WITH gone2 (SELECT k FROM sqlm_cte WHERE k = 1) " +
+      "MERGE INTO sqlm_cte t USING gone2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(asless.columns.toSeq == Seq("version"), "AS-less WITH-led MERGE must dispatch")
+    assert(vt.read().count() == 9)
   }
 
   test("general MERGE: NULL merge keys raise a dedicated error, not a spurious duplicate") {
