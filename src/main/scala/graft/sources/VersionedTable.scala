@@ -969,24 +969,50 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val aggs = (count(lit(1)).as("__rows") +: fields.flatMap(f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
         count(col(f.name)).as(s"__nn_${f.name}")))) ++ bloomAggs ++ ndvAggs
-    val rows = spark.read.parquet(s"$dir/$sub")
+    val aggDf = spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val nScalar = 2 + 3 * fields.size
+    val rows: Array[Row] =
+      if (bloomCols.isEmpty && ndvCols.isEmpty) aggDf.collect()
+      else {
+        // Sidecar blobs are written TASK-SIDE and only the scalar
+        // stats prefix rides to the driver: a bloom blob is ~1.2 MB
+        // per column per file (BloomAgg at the 1M/0.01 default), so a
+        // bulk commit — a 100k-file backfill, a large compaction on an
+        // indexed table — would otherwise funnel hundreds of GB
+        // through one driver collect. Executors write to the table
+        // directory, which they can reach by construction (they write
+        // the data files themselves). The write happens inside the
+        // task before its rows ship, so every sidecar is on disk when
+        // collect() returns — i.e. before the manifest commits; a
+        // retried task rewrites identical bytes (the agg is
+        // deterministic per file), so replays are idempotent.
+        val tableDir = dir
+        val bloomNames = bloomCols.map(_._1)
+        val ndvNames = ndvCols.map(_._1)
+        aggDf.rdd.mapPartitions { it =>
+          it.map { r =>
+            val uri = r.getString(0)
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            bloomNames.zipWithIndex.foreach { case (c, j) =>
+              val blob = r.getAs[Array[Byte]](nScalar + j)
+              if (blob != null)
+                Files.write(Paths.get(tableDir, sub, s"$name.bloom-$c"), blob)
+            }
+            ndvNames.zipWithIndex.foreach { case (c, j) =>
+              val blob = r.getAs[Array[Byte]](nScalar + bloomNames.size + j)
+              if (blob != null)
+                Files.write(Paths.get(tableDir, sub, s"$name.ndv-$c"), blob)
+            }
+            Row.fromSeq(r.toSeq.take(nScalar))
+          }
+        }.collect()
+      }
     rows.map { r =>
       val uri = r.getString(0)
       val name = uri.substring(uri.lastIndexOf('/') + 1)
       val total = r.getLong(1)
-      bloomCols.zipWithIndex.foreach { case ((c, _), j) =>
-        val blob = r.getAs[Array[Byte]](2 + 3 * fields.size + j)
-        if (blob != null)
-          Files.write(Paths.get(dir, sub, s"$name.bloom-$c"), blob)
-      }
-      ndvCols.zipWithIndex.foreach { case ((c, _), j) =>
-        val blob = r.getAs[Array[Byte]](2 + 3 * fields.size + bloomCols.size + j)
-        if (blob != null)
-          Files.write(Paths.get(dir, sub, s"$name.ndv-$c"), blob)
-      }
       val node = mapper.createObjectNode()
       // NaN guard, wide-string truncation, and the [min,max,hasNulls,
       // nn] layout all live in putStatEntry, shared with footerStats

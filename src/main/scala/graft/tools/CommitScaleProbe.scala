@@ -76,11 +76,45 @@ object CommitScaleProbe {
       val (_, cv) = timed(cold.currentVersion)
       val (_, parse) = timed(cold.describeJson())
       val (_, plan) = timed(cold.scan().count())
+      // bloom+NDV-indexed variant of the bulk commit: the stats job
+      // builds a bloom blob per (file, column), but the sidecar write
+      // is TASK-side — only the scalar stats row per file transits the
+      // driver collect, so driver traffic stays flat with file count.
+      // sidecar_mb is what landed on disk WITHOUT passing through the
+      // driver (at the default 1M/0.01 sizing that is ~1.2 MB/file —
+      // the probe uses a smaller filter so the probe itself stays
+      // quick; the driver-side claim is sizing-independent).
+      val bdir = root.toString + "/tb"
+      val bvt = VersionedTable(spark, bdir)
+      bvt.enableBloom(Seq("k"), expectedItemsPerFile = 1L << 14)
+      bvt.enableNdv(Seq("k"))
+      // live-set delta, not allocation rate: GC before both readings,
+      // so transient task/collect garbage doesn't masquerade as
+      // driver-side retention
+      def liveHeap(): Long = {
+        System.gc(); System.gc()
+        Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+      }
+      val heapBefore = liveHeap()
+      val (_, bloomBulk) = timed(bvt.append(df))
+      val heapAfter = liveHeap()
+      val sidecarBytes = {
+        val d = new java.io.File(bdir)
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          else if (f.getName.contains(".bloom-") || f.getName.contains(".ndv-"))
+            f.length
+          else 0L
+        walk(d)
+      }
       def ms(x: Double) = f"$x%.3f"
       println(s"""{"files":$n,"bulk_commit_s":${ms(bulk)},""" +
         s""""small_commit_s":${ms(small)},"manifest_kb":${bytes / 1024},""" +
         s""""current_version_s":${ms(cv)},"parse_s":${ms(parse)},""" +
-        s""""plan_count_s":${ms(plan)}}""")
+        s""""plan_count_s":${ms(plan)},""" +
+        s""""bloom_bulk_commit_s":${ms(bloomBulk)},""" +
+        s""""sidecar_mb":${sidecarBytes / (1024 * 1024)},""" +
+        s""""bloom_commit_heap_delta_mb":${(heapAfter - heapBefore) / (1024 * 1024)}}""")
     }
     spark.stop()
   }
