@@ -82,7 +82,13 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
   /** Submit; returns the job id immediately, or throws
     * TooManyJobsException when the unfinished-job bound is hit.
     */
-  def start(query: String, limit: Int = 1000): String = {
+  /** `svc` overrides which service EXECUTES the statement (the HTTP
+    * layer passes a per-client isolated session); job bookkeeping,
+    * admission, and the reaper stay on the constructor service's
+    * shared SparkContext, which every isolated session shares.
+    */
+  def start(query: String, limit: Int = 1000,
+      svc: QueryService = service): String = {
     val id = java.util.UUID.randomUUID().toString.take(12)
     val job = new Job(id, System.nanoTime())
     // check-and-admit under one lock: concurrent submits must not both
@@ -110,7 +116,7 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
           val sc = service.spark.sparkContext
           sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
           try {
-            val rows = service.sqlJson(query, math.min(limit, maxRows))
+            val rows = svc.sqlJson(query, math.min(limit, maxRows))
             if (job.cancelRequested.get)
               job.state.compareAndSet(Running, Failed("cancelled"))
             else job.state.compareAndSet(Running, Done(rows))

@@ -1,0 +1,115 @@
+package graft.service
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Durable catalog definitions for [[QueryService]] — the piece that
+  * makes the service a STANDING service: `_catalog.json` under the
+  * registry directory holds one entry per registered name (source
+  * format/path/options, or a submitted view's SQL), ordered by last
+  * (re)definition, and a restarting service replays it before taking
+  * traffic. Definitions only, never data: a replayed source re-reads
+  * its path lazily, a replayed view re-plans its SQL.
+  *
+  * Write discipline mirrors the vtable manifest: serialize the whole
+  * (small — one JSON object per name) registry to a temp file and
+  * ATOMIC_MOVE it over `_catalog.json`, so a crash mid-write leaves
+  * the previous intact version, never a torn file. Redefining a name
+  * moves its entry to the END, preserving the invariant that an entry
+  * only ever references names defined before it (the order they were
+  * last defined in is an order that worked).
+  *
+  * Precedent: MaterializedView persists `_mv_def.json` next to its
+  * state the same way (reference model: the service's tables survive
+  * process death — wangpy1995/data-service registers against a
+  * standing metastore).
+  */
+final class CatalogRegistry(dir: Option[Path]) {
+  import CatalogRegistry.Entry
+
+  private val mapper = new ObjectMapper()
+  private val file = dir.map(_.resolve("_catalog.json"))
+  // insertion-ordered name → entry; guarded by this
+  private val entries = new java.util.LinkedHashMap[String, Entry]()
+
+  dir.foreach(Files.createDirectories(_))
+  load()
+
+  private def load(): Unit = synchronized {
+    val f = file.filter(Files.exists(_)).getOrElse(return)
+    val root = mapper.readTree(Files.readAllBytes(f))
+    if (root == null || !root.isArray) return
+    (0 until root.size).foreach { i =>
+      val n = root.get(i)
+      def s(f: String) = Option(n.get(f)).map(_.asText()).getOrElse("")
+      val opts = Option(n.get("options")).map { o =>
+        import scala.jdk.CollectionConverters._
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      val e = Entry(s("kind"), s("name"), s("format"), s("path"), opts, s("query"))
+      if (e.name.nonEmpty && (e.kind == "source" || e.kind == "view")) {
+        entries.remove(e.name)
+        entries.put(e.name, e)
+        ()
+      }
+    }
+  }
+
+  /** Replay every persisted definition in order through `apply`
+    * (true = registered, false = skipped); runs at service
+    * construction. Failures are the CALLER's policy — this class only
+    * iterates.
+    */
+  def replay(apply: Entry => Boolean): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.toSeq.foreach(apply)
+  }
+
+  def recordSource(name: String, format: String, path: String,
+      options: Map[String, String]): Unit =
+    record(Entry("source", name, format, path, options, ""))
+
+  def recordView(name: String, query: String): Unit =
+    record(Entry("view", name, "", "", Map.empty, query))
+
+  private def record(e: Entry): Unit = synchronized {
+    entries.remove(e.name) // redefinition moves to the end
+    entries.put(e.name, e)
+    persist()
+  }
+
+  private def persist(): Unit = {
+    val target = file.getOrElse(return) // in-memory registry (session
+    // sharing without durability): records replay into new sessions
+    // but nothing lands on disk
+    import scala.jdk.CollectionConverters._
+    val arr = mapper.createArrayNode()
+    entries.values.asScala.foreach { e =>
+      val n = arr.addObject()
+      n.put("kind", e.kind)
+      n.put("name", e.name)
+      if (e.kind == "source") {
+        n.put("format", e.format)
+        n.put("path", e.path)
+        val o = n.putObject("options")
+        e.options.foreach { case (k, v) => o.put(k, v) }
+      } else n.put("query", e.query)
+    }
+    val tmp = Files.createTempFile(target.getParent, "_catalog", ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(arr).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}
+
+object CatalogRegistry {
+  /** One catalog definition: a registered source (`kind = "source"`,
+    * format/path/options) or a submitted view (`kind = "view"`, SQL).
+    */
+  final case class Entry(kind: String, name: String, format: String,
+      path: String, options: Map[String, String], query: String)
+}

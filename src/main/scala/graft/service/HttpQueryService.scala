@@ -69,6 +69,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * semaphore (503 after `queueWaitMs` when saturated), so the control
   * plane — /cancel above all — stays responsive exactly when runaway
   * queries have the data plane pinned.
+  *
+  * Sessions: an `X-Graft-Session: <id>` request header runs the
+  * SQL-executing endpoints in that id's own isolated SparkSession
+  * (own SQL conf + temp views; catalog definitions shared through the
+  * service registry) — one client's `SET x` never changes another's
+  * live results. Headerless requests share the default session. At
+  * most `maxSessions` distinct ids (excess refused with 400).
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
     maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
@@ -111,6 +118,38 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private val heavy = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // ---- per-client session isolation --------------------------------
+  // An `X-Graft-Session: <id>` header runs the request in that id's
+  // OWN SparkSession (isolated SQL conf + temp views via
+  // QueryService.newIsolated — catalog definitions shared through the
+  // registry), so one client's `SET spark.sql.ansi.enabled` can never
+  // change another client's live results. Headerless requests use the
+  // shared default service — the pre-existing behavior. Applied on
+  // the SQL-executing surfaces (/sql, async /query, /explain,
+  // /submit, /register, /profile, /constraints); the table-path
+  // routes (/delete, /update, /history, …) address tables by
+  // directory and are session-free by construction. The id space is
+  // BOUNDED: creating beyond `maxSessions` distinct ids is refused
+  // (400) — ids are client-chosen, and an unbounded map of
+  // SparkSessions is a memory leak an adversarial client could drive.
+  private val maxSessions = 32
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, QueryService]()
+
+  private def serviceFor(exchange: HttpExchange): QueryService =
+    Option(exchange.getRequestHeaders.getFirst("X-Graft-Session")) match {
+      case None => service
+      case Some(id) =>
+        sessions.computeIfAbsent(id, _ => {
+          require(sessions.size < maxSessions,
+            s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
+          val s = service.newIsolated()
+          // isolated caches honor the same driver-side collect bound
+          if (s.results.cap > maxRows) s.results.cap = maxRows
+          s
+        })
+    }
+
   server.setExecutor(pool)
   server.createContext("/sql", gatedEx { (body, exchange) =>
     // the cap must be SERVER-side: a client-supplied limit alone would
@@ -138,13 +177,14 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // dedicated mutation routes — otherwise /sql would be an
     // authentication bypass for every one of them
     if (SqlDml.isMutation(query)) requireAuth(exchange)
-    val sc = service.spark.sparkContext
+    val svc = serviceFor(exchange)
+    val sc = svc.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
       interruptOnCancel = true)
     val (rows, hit) =
       try {
-        if (useCache) service.sqlJsonCached(query, page, offset)
-        else (service.sqlJson(query, page, offset), false)
+        if (useCache) svc.sqlJsonCached(query, page, offset)
+        else (svc.sqlJson(query, page, offset), false)
       } finally if (tagged) sc.clearJobGroup()
     val cached = if (useCache) s""","cached":$hit""" else ""
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
@@ -193,7 +233,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
             // same per-statement gate as /sql — the async plane must
             // not be a mutation-auth bypass
             if (SqlDml.isMutation(query)) requireAuth(exchange)
-            val id = async.start(query, limit)
+            val id = async.start(query, limit, serviceFor(exchange))
             reply(exchange, 200, s"""{"job":${quote(id)}}""")
           }
         case ("GET", List("query", id)) =>
@@ -302,15 +342,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       text(body, "key"), orderBy, changeType)
     s"""{"applied_as_version":$v}"""
   })
-  server.createContext("/constraints", gated { body =>
+  server.createContext("/constraints", gatedEx { (body, ex) =>
     require(body.has("checks") && body.get("checks").isArray &&
       body.get("checks").size > 0, "missing or empty array field: checks")
     val checks = (0 until body.get("checks").size).map { i =>
       val c = body.get("checks").get(i)
       (text(c, "name"), text(c, "violation"))
     }
-    val rows = service.jsonRows(
-      service.checkConstraints(text(body, "table"), checks), 10000)
+    val svc = serviceFor(ex)
+    val rows = svc.jsonRows(
+      svc.checkConstraints(text(body, "table"), checks), 10000)
     s"""{"constraints":[${rows.mkString(",")}],"count":${rows.size}}"""
   })
   server.createContext("/rename", gatedMut { body =>
@@ -329,27 +370,28 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.restoreTable(text(body, "path"), body.get("version").asInt)
     s"""{"restored_as_version":$v}"""
   })
-  server.createContext("/profile", gated { body =>
+  server.createContext("/profile", gatedEx { (body, ex) =>
+    val svc = serviceFor(ex)
     val approx = !body.has("approx") || body.get("approx").asBoolean(true)
     // metadata fast path first (approx only — sidecar NDV is an
     // estimate): a vtable-registered view with full stats + NDV
     // coverage profiles without opening a data file
-    val fast = if (approx) service.profileTableFast(text(body, "table")) else None
-    val df = fast.getOrElse(service.profileTable(text(body, "table"), approx))
+    val fast = if (approx) svc.profileTableFast(text(body, "table")) else None
+    val df = fast.getOrElse(svc.profileTable(text(body, "table"), approx))
     // a profile has exactly one row per profiled column — bounded by
     // schema width, so a fixed generous cap replaces paging
-    val rows = service.jsonRows(df, 10000)
+    val rows = svc.jsonRows(df, 10000)
     val src = if (fast.isDefined) "metadata" else "scan"
     s"""{"profile":[${rows.mkString(",")}],"count":${rows.size},"approx":$approx,"source":"$src"}"""
   })
-  server.createContext("/explain", gated { body =>
+  server.createContext("/explain", gatedEx { (body, ex) =>
     val node = mapper.createObjectNode()
-    node.put("plan", service.explain(text(body, "query")))
+    node.put("plan", serviceFor(ex).explain(text(body, "query")))
     mapper.writeValueAsString(node)
   })
-  server.createContext("/submit", gatedMut { body =>
+  server.createContext("/submit", gatedMutEx { (body, ex) =>
     val name = text(body, "name")
-    service.submit(name, text(body, "query"))
+    serviceFor(ex).submit(name, text(body, "query"))
     s"""{"submitted":${quote(name)}}"""
   })
 
@@ -377,7 +419,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     service.uncache(name)
     s"""{"uncached":${quote(name)}}"""
   })
-  server.createContext("/register", gatedMut { body =>
+  server.createContext("/register", gatedMutEx { (body, ex) =>
     val name = text(body, "name")
     val options =
       if (!body.has("options")) Map.empty[String, String]
@@ -386,7 +428,8 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         body.get("options").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       }
-    val df = service.registerSource(name, text(body, "format"), text(body, "path"), options)
+    val df = serviceFor(ex).registerSource(
+      name, text(body, "format"), text(body, "path"), options)
     val node = mapper.createObjectNode()
     node.put("registered", name)
     val cols = node.putArray("columns")
@@ -400,7 +443,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         requireAuthForReads(exchange)
         val node = mapper.createObjectNode()
         val arr = node.putArray("tables")
-        service.listTables().foreach(arr.add)
+        serviceFor(exchange).listTables().foreach(arr.add)
         reply(exchange, 200, mapper.writeValueAsString(node))
       } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
 
@@ -484,6 +527,14 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private def gatedMut(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler =
     postEx { (body, ex) => requireAuth(ex); withPermit(handle(body)) }
+
+  /** [[gatedMut]] whose handler also sees the exchange — for routes
+    * that resolve a per-client session from the request headers.
+    */
+  private def gatedMutEx(
+      handle: (com.fasterxml.jackson.databind.JsonNode, HttpExchange) => String)
+      : com.sun.net.httpserver.HttpHandler =
+    postEx { (body, ex) => requireAuth(ex); withPermit(handle(body, ex)) }
 
   private def postMut(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler =
@@ -585,7 +636,12 @@ object HttpServiceMain {
     val port = args.headOption.map(_.toInt).getOrElse(8890)
     val spark = graft.engine.GraftSession.builder(appName = "graft-http").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val service = new QueryService(spark)
+    // SPARK_GRAFT_CATALOG_DIR makes /register + /submit definitions
+    // durable: they replay from <dir>/_catalog.json at startup, so the
+    // catalog survives service restarts (a standing service's tables
+    // must outlive its process)
+    val service = new QueryService(spark,
+      registryDir = sys.env.get("SPARK_GRAFT_CATALOG_DIR"))
     args.drop(1).headOption.foreach { dir =>
       graft.sources.Tables(spark, dir).registerAll()
     }

@@ -13,10 +13,42 @@ import graft.sources.Catalog
   * build env); this class is the same contract, callable: register
   * sources, run SQL, name + cache results. Any HTTP layer is a thin
   * adapter over these five methods.
+  *
+  * `registryDir`, when set, makes the catalog SURVIVE process death —
+  * the posture a standing data service needs (registrations were
+  * session temp views only, so a restart emptied the catalog). Every
+  * [[registerSource]] and [[submit]] appends its definition — not its
+  * data — to `<registryDir>/_catalog.json` (atomic tmp+move, ordered,
+  * latest definition per name wins and replays last so redefinitions
+  * can reference earlier names), and a new QueryService pointed at the
+  * same directory replays the file at construction. A replay entry
+  * that no longer resolves (deleted path, dropped upstream view) is
+  * skipped with a stderr note instead of failing startup — one stale
+  * table must not take the whole service down.
+  *
+  * A clone created with `parent` set is an ISOLATED twin: its own
+  * SparkSession (`newSession()` — isolated SQL conf and temp views,
+  * shared SparkContext and cached data) replaying the parent's
+  * definition log at construction, and recording its own definitions
+  * back into the SAME registry, so the parent, later clones, and the
+  * persisted file all see them. One client's `SET
+  * spark.sql.ansi.enabled` can then never change another client's
+  * live semantics — the HTTP layer keys clones on a session header.
   */
-final class QueryService(val spark: SparkSession) {
+final class QueryService(val spark: SparkSession,
+    val registryDir: Option[String] = None,
+    parent: Option[QueryService] = None) {
 
   val catalog = new Catalog(spark)
+
+  /** An isolated-session twin of this service (see class doc). */
+  def newIsolated(): QueryService = {
+    val s = spark.newSession()
+    // runtime-registered functions are session-scoped; re-register
+    // (idempotent) so the clone speaks the same SQL dialect
+    graft.functions.GraftFunctions.register(s)
+    new QueryService(s, registryDir, parent = Some(this))
+  }
 
   /** Version-aware SQL result cache (see [[ResultCache]]); opt-in per
     * call — `sqlJsonCached` — so the plain path stays cache-free.
@@ -93,6 +125,7 @@ final class QueryService(val spark: SparkSession) {
       options: Map[String, String] = Map.empty): DataFrame = {
     val df = catalog.register(name, format, path, options)
     results.noteRegistration(name, format, path)
+    registry.recordSource(name, format, path, options)
     df
   }
 
@@ -105,7 +138,37 @@ final class QueryService(val spark: SparkSession) {
     // bumps the name's nonce AND taints it if the definition is
     // non-deterministic, so cached queries over the view stay honest
     results.noteSubmission(name, query)
+    registry.recordView(name, query)
     df
+  }
+
+  // ---- persistent / shared catalog ---------------------------------
+  // ONE registry per service family: clones share the parent's (so
+  // definitions recorded anywhere replay into every later clone and,
+  // when file-backed, persist once). A parentless service without a
+  // registryDir gets an in-memory registry — still the clone-seeding
+  // log, just not durable.
+  private val registry: CatalogRegistry = parent.map(_.registry).getOrElse(
+    new CatalogRegistry(registryDir.map(java.nio.file.Paths.get(_))))
+  // replay BEFORE the service takes traffic (construction order: the
+  // registry loads here, after catalog/results exist). Definitions
+  // only — a source re-reads its path, a view re-plans its SQL (lazy:
+  // nothing executes until queried).
+  registry.replay { entry =>
+    try {
+      if (entry.kind == "source") {
+        catalog.register(entry.name, entry.format, entry.path, entry.options)
+        results.noteRegistration(entry.name, entry.format, entry.path)
+      } else {
+        spark.sql(entry.query).createOrReplaceTempView(entry.name)
+        results.noteSubmission(entry.name, entry.query)
+      }
+      true
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] catalog replay: skipping ${entry.kind} '${entry.name}': ${e.getMessage}")
+      false
+    }
   }
 
   /** Cache a named table/result by catalog name (survives view

@@ -550,6 +550,104 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(vac.statusCode == 200 && vac.body.contains("deleted_files"), vac.body)
   }
 
+  test("a registryDir-backed catalog survives a service restart") {
+    def postTo(h: HttpQueryService, path: String, body: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${h.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def getTo(h: HttpQueryService, path: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${h.boundPort}$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+    val regDir = java.nio.file.Files.createTempDirectory("graft-http-registry").toString
+    // first incarnation: register a source and publish a view over it
+    val h1 = new HttpQueryService(
+      new QueryService(spark.newSession(), Some(regDir)), port = 0).start()
+    try {
+      assert(postTo(h1, "/register",
+        s"""{"name":"reg_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+        .statusCode == 200)
+      assert(postTo(h1, "/submit",
+        """{"name":"reg_view","query":"SELECT n_regionkey, count(*) AS n FROM reg_nation GROUP BY n_regionkey"}""")
+        .statusCode == 200)
+    } finally h1.stop()
+    // "restart": a FRESH session (temp views are gone) + fresh service
+    // over the same registry — both definitions must replay, in order
+    // (the view references the source)
+    val h2 = new HttpQueryService(
+      new QueryService(spark.newSession(), Some(regDir)), port = 0).start()
+    try {
+      val tables = getTo(h2, "/tables").body
+      assert(tables.contains("reg_nation") && tables.contains("reg_view"), tables)
+      val res = postTo(h2, "/sql",
+        """{"query":"SELECT sum(n) AS total FROM reg_view"}""")
+      assert(res.statusCode == 200 && res.body.contains("\"total\":25"), res.body)
+    } finally h2.stop()
+    // a stale entry (its files deleted) is skipped with a note — one
+    // dead table must not take the whole service down
+    val gone = java.nio.file.Files.createTempDirectory("graft-reg-gone")
+    spark.range(3).toDF("k").write.mode("overwrite").parquet(gone.toString)
+    val h3 = new HttpQueryService(
+      new QueryService(spark.newSession(), Some(regDir)), port = 0).start()
+    try {
+      assert(postTo(h3, "/register",
+        s"""{"name":"reg_gone","format":"parquet","path":"$gone"}""").statusCode == 200)
+    } finally h3.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(gone.toFile)
+    val h4 = new HttpQueryService(
+      new QueryService(spark.newSession(), Some(regDir)), port = 0).start()
+    try {
+      val tables = getTo(h4, "/tables").body
+      assert(tables.contains("reg_nation") && !tables.contains("reg_gone"), tables)
+    } finally h4.stop()
+  }
+
+  test("X-Graft-Session isolates one client's SQL conf from another's live results") {
+    val h = new HttpQueryService(
+      new QueryService(spark.newSession()), port = 0).start()
+    try {
+      def sqlAs(sess: Option[String], q: String): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${h.boundPort}/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"query":"$q"}"""))
+        sess.foreach(s => b.header("X-Graft-Session", s))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val probe = "SELECT CAST('oops' AS INT) AS v"
+      // default sessions run ANSI (Spark 4): the bad cast is a runtime
+      // error — 500, execution-class
+      assert(sqlAs(None, probe).statusCode == 500)
+      // client A turns ANSI off IN ITS OWN SESSION (SET is a mutation
+      // verb, but this service is unauthenticated — dev posture)
+      assert(sqlAs(Some("a"), "SET spark.sql.ansi.enabled=false").statusCode == 200)
+      val a = sqlAs(Some("a"), probe)
+      assert(a.statusCode == 200 && a.body.contains("\"v\":null"), a.body)
+      // client B and the headerless shared session still run ANSI —
+      // the LIVE path, not a cache artifact (no cache opt-in here)
+      assert(sqlAs(Some("b"), probe).statusCode == 500)
+      assert(sqlAs(None, probe).statusCode == 500)
+      // a view submitted by A is visible to the NEXT new session (the
+      // shared-registry seeding) ...
+      val sub = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/submit"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"sess_view","query":"SELECT 42 AS answer"}"""))
+        .header("X-Graft-Session", "a").build()
+      assert(client.send(sub, HttpResponse.BodyHandlers.ofString()).statusCode == 200)
+      val c = sqlAs(Some("c"), "SELECT answer FROM sess_view")
+      assert(c.statusCode == 200 && c.body.contains("\"answer\":42"), c.body)
+      // ... and session ids are BOUNDED: default cap is 32, and a
+      // flood of fresh ids is refused rather than leaking sessions
+      val over = (3 until 40).map(i => sqlAs(Some(s"flood-$i"), "SELECT 1 AS one"))
+      assert(over.exists(_.statusCode == 400),
+        "session flood must hit the cap with a 400")
+    } finally h.stop()
+  }
+
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"
