@@ -120,7 +120,40 @@ object Bench {
     // hand-listing here.
     val rerunBelow = sys.env.get("SPARK_GRAFT_BENCH_RERUN_BELOW")
       .map(_.toDouble).getOrElse(1.5)
-    val results = first.map { case (name, v) =>
+    // ---- interference auto-requeue ----------------------------------
+    // The mid-pass probes DETECT an interference window; act on the
+    // detection instead of shipping inflated numbers (BENCH_r07/r08
+    // both shipped passes with 2-3× probe drift; every "slow" query
+    // re-ran 3-10× faster solo). A probe is inflated when it exceeds
+    // 1.5× the fastest probe of this run (the in-run clean floor — the
+    // bracketing calibrations, 8× the work, are scaled down to join
+    // it). Every query whose span sits between two probes where EITHER
+    // is inflated is suspect and re-runs once after the pass; the
+    // rerun replaces the number only when it's faster AND didn't hit a
+    // per-corpus memo (a warm rerun measures cache reads, not the
+    // operator — same guard as the small-query rerun below).
+    val probePts = (0.0, calibPre / 8) +: midCalib.toSeq
+    val cleanFloor = probePts.map(_._2).min
+    val inflated = probePts.map { case (o, c) => (o, c > cleanFloor * 1.5) }
+    def suspect(name: String): Boolean = {
+      val s = starts(name)
+      // probes bracketing this query's start (pass start counts as a
+      // probe; the last gap extends to the end of the pass)
+      val before = inflated.filter(_._1 <= s).lastOption.exists(_._2)
+      val after = inflated.find(_._1 > s).exists(_._2)
+      before || after
+    }
+    val requeued = scala.collection.mutable.ArrayBuffer.empty[String]
+    val second = first.map { case (name, v) =>
+      if (!failed.contains(name) && v >= rerunBelow && suspect(name)) {
+        requeued += name
+        val hits0 = graft.util.BoundedMemo.globalHits
+        val again = timed(name, SparkEntry.queries(name))
+        val warm = graft.util.BoundedMemo.globalHits != hits0
+        name -> (if (warm) v else math.min(v, again))
+      } else name -> v
+    }
+    val results = second.map { case (name, v) =>
       if (v < rerunBelow && !failed.contains(name)) {
         val hits0 = graft.util.BoundedMemo.globalHits
         val again = timed(name, SparkEntry.queries(name))
@@ -150,7 +183,8 @@ object Bench {
       .mkString("[", ",", "]")
     val idxJson = indexBuild.map { case (k, v) => s"\"$k\":${ms(v)}" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib,"calib_mid":$midJson,"index_build":$idxJson,"t_start":$startsJson}"""
+    val requeuedJson = requeued.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib,"calib_mid":$midJson,"index_build":$idxJson,"requeued":$requeuedJson,"t_start":$startsJson}"""
     // The driver captures only a fixed tail of stdout (~2000 chars) and
     // parses the last JSON line it finds; 136 queries make the full line
     // ~3 KB, so it arrived truncated and unparseable four rounds running.
@@ -158,7 +192,7 @@ object Bench {
     // ~1.2 KB — printed LAST; the complete per-query record goes to the
     // file, which has no length limit.
     val slowest = results.sortBy { case (k, v) => if (failed.contains(k)) Double.MinValue else -v }.take(30)
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},$calib,"index_build":$idxJson,"detail":"bench_queries.json"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},$calib,"requeued":${requeued.length},"index_build":$idxJson,"detail":"bench_queries.json"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
