@@ -309,6 +309,15 @@ class SqlDmlSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM sqlm_tt2 VERSION AS OF 'abc'").collect()
     }
+    // the probe is position-independent, so a CTE header doesn't hide
+    // the time-travel clause (the parsed tree does the real work)
+    assert(svc.sql("WITH keys AS (SELECT 2 AS kk) " +
+      "SELECT count(*) AS n FROM sqlm_tt2 VERSION AS OF 1 JOIN keys " +
+      "ON k >= kk").head().getLong(0) == 9)
+    // ...and the words inside a string literal stay a false positive
+    // the parse disambiguates (no time travel → plain SQL)
+    assert(svc.sql("SELECT 'VERSION AS OF 1' AS s").head().getString(0)
+      == "VERSION AS OF 1")
   }
 
   test("DESCRIBE HISTORY over SQL returns the commit log") {
