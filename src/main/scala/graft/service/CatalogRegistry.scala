@@ -80,6 +80,15 @@ final class CatalogRegistry(dir: Option[Path]) {
     persist()
   }
 
+  /** Drop a definition; true when it existed. The file shrinks with
+    * it — an unregistered table must not resurrect on restart.
+    */
+  def remove(name: String): Boolean = synchronized {
+    val had = entries.remove(name) != null
+    if (had) persist()
+    had
+  }
+
   private def persist(): Unit = {
     val target = file.getOrElse(return) // in-memory registry (session
     // sharing without durability): records replay into new sessions

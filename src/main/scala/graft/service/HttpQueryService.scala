@@ -32,6 +32,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
   *   POST /uncache  {"name": "..."}                    → {"uncached": "..."}
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
+  *   POST /unregister {"name": "..."}                  → {"unregistered": "...", "existed": bool} (drops view + durable definition)
+  *   POST /drop-session {"id": "..."}                  → {"dropped": "...", "existed": bool} (frees an X-Graft-Session slot)
   *   GET  /tables                                      → {"tables": [...]}
   *
   * Error classes: client faults — malformed JSON, missing/invalid
@@ -216,6 +218,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       reply(exchange, 200,
         s"""{"uptime_ms":${System.currentTimeMillis() - startedAt},""" +
           s""""in_flight":$inFlight,"queued":${waiters.get},""" +
+          s""""sessions":${sessions.size},""" +
           s""""cache":{"hits":$h,"misses":$m},"endpoints":$eps}""")
     } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
   // ---- async query jobs: submit → id, poll, page, cancel ----
@@ -418,6 +421,21 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val name = text(body, "name")
     service.uncache(name)
     s"""{"uncached":${quote(name)}}"""
+  })
+  // remove a registered source / submitted view from the session AND
+  // the durable registry (it must not resurrect on restart)
+  server.createContext("/unregister", gatedMutEx { (body, ex) =>
+    val name = text(body, "name")
+    val existed = serviceFor(ex).unregister(name)
+    s"""{"unregistered":${quote(name)},"existed":$existed}"""
+  })
+  // free an X-Graft-Session slot (ids are bounded; long-lived services
+  // need a way to retire one). The SparkSession itself is just session
+  // state over the shared context — dropping the reference releases it.
+  server.createContext("/drop-session", postMut { body =>
+    val id = text(body, "id")
+    val existed = sessions.remove(id) != null
+    s"""{"dropped":${quote(id)},"existed":$existed}"""
   })
   server.createContext("/register", gatedMutEx { (body, ex) =>
     val name = text(body, "name")

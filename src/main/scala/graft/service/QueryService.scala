@@ -142,6 +142,20 @@ final class QueryService(val spark: SparkSession,
     df
   }
 
+  /** Remove a registered source or submitted view: the temp view goes
+    * from THIS session, the definition from the shared registry (so it
+    * neither replays on restart nor seeds future isolated sessions).
+    * Sibling sessions that already registered the view keep their live
+    * copy until they drop it — temp views are session state. True when
+    * the name was known to either.
+    */
+  def unregister(name: String): Boolean = {
+    val dropped = spark.catalog.dropTempView(name)
+    val removed = registry.remove(name)
+    if (dropped || removed) results.noteRegistration(name, "", "") // nonce bump
+    dropped || removed
+  }
+
   // ---- persistent / shared catalog ---------------------------------
   // ONE registry per service family: clones share the parent's (so
   // definitions recorded anywhere replay into every later clone and,

@@ -603,7 +603,18 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     try {
       val tables = getTo(h4, "/tables").body
       assert(tables.contains("reg_nation") && !tables.contains("reg_gone"), tables)
+      // /unregister drops the live view AND the durable definition
+      val un = postTo(h4, "/unregister", """{"name":"reg_view"}""")
+      assert(un.statusCode == 200 && un.body.contains("\"existed\":true"), un.body)
+      assert(!getTo(h4, "/tables").body.contains("reg_view"))
     } finally h4.stop()
+    // an unregistered name must NOT resurrect on the next restart
+    val h5 = new HttpQueryService(
+      new QueryService(spark.newSession(), Some(regDir)), port = 0).start()
+    try {
+      val tables = getTo(h5, "/tables").body
+      assert(tables.contains("reg_nation") && !tables.contains("reg_view"), tables)
+    } finally h5.stop()
   }
 
   test("X-Graft-Session isolates one client's SQL conf from another's live results") {
@@ -645,6 +656,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       val over = (3 until 40).map(i => sqlAs(Some(s"flood-$i"), "SELECT 1 AS one"))
       assert(over.exists(_.statusCode == 400),
         "session flood must hit the cap with a 400")
+      // /drop-session frees a slot: retire one flood id, a fresh id fits
+      val drop = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/drop-session"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"id":"flood-3"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(drop.statusCode == 200 && drop.body.contains("\"existed\":true"), drop.body)
+      assert(sqlAs(Some("after-drop"), "SELECT 1 AS one").statusCode == 200)
     } finally h.stop()
   }
 
