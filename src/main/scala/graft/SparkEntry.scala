@@ -168,6 +168,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
+    "q_span_dedup" -> ((s, d) => Dedup.qSpanDedup(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
     "q_dedup_keep_best" -> ((s, d) => Dedup.qDedupKeepBest(t(s, d))),
@@ -1179,6 +1180,26 @@ object SparkEntry {
         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
         |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // verbatim-span dedup: 8-token spans (the Spark side joins 8-byte
+    // span hashes, the oracle joins the span strings — doc-level
+    // outputs agree modulo 2^64 hash collisions, same accepted
+    // equivalence as the jaccard pair oracle)
+    "q_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')
+        |  ))) AS span FROM d WHERE len(w) >= 8),
+        |o AS (SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span)
+        |SELECT s.doc_id, count(*) AS n_shared, min(o.first_doc) AS first_partner
+        |FROM s JOIN o USING (span)
+        |WHERE s.doc_id > o.first_doc
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // connected components as a transitive closure over the same pair
     // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
     // because UNION dedups); cluster id = component minimum

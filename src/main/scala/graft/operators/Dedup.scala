@@ -126,6 +126,36 @@ object Dedup {
     scored
   }
 
+  /** Verbatim-SPAN dedup — the substring-overlap family (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): a document is listed for DROP when it shares ANY k-token
+    * verbatim span with an EARLIER document (lower doc_id), whether or
+    * not that earlier document itself survives — the order-independent,
+    * SQL-expressible form of greedy keep-first. Distinct from the
+    * Jaccard path: ONE shared long span convicts; there is no
+    * similarity threshold and no pair enumeration.
+    *
+    * 100 TB shape: shingle → per-span min-owner hash agg (partial-
+    * agg'd, so a boilerplate span's postings combine map-side), then
+    * ONE equi-join of the inverted index back to the owners table;
+    * spans travel as 8-byte hashes, never strings. No DF cap needed:
+    * a span shared by M docs costs M index rows against ONE owner row
+    * — linear where the pair join would be M² (which is why the pair
+    * path caps and this one need not). Output: each dropped doc, how
+    * many distinct spans convict it, and its earliest partner.
+    */
+  def qSpanDedup(t: Tables, k: Int = 8): DataFrame = {
+    val sh = t.documents.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
+    val owners = sh.groupBy("span").agg(min("doc_id").as("first_doc"))
+    sh.join(owners, "span")
+      .filter(col("doc_id") > col("first_doc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"), min("first_doc").as("first_partner"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup pair report at a Jaccard threshold (see ngramPairs for
     * the cached pipeline).
     */
