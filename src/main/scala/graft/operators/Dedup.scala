@@ -135,21 +135,25 @@ object Dedup {
     * Jaccard path: ONE shared long span convicts; there is no
     * similarity threshold and no pair enumeration.
     *
-    * 100 TB shape: shingle → per-span min-owner hash agg (partial-
-    * agg'd, so a boilerplate span's postings combine map-side), then
-    * ONE equi-join of the inverted index back to the owners table;
-    * spans travel as 8-byte hashes, never strings. No DF cap needed:
-    * a span shared by M docs costs M index rows against ONE owner row
-    * — linear where the pair join would be M² (which is why the pair
-    * path caps and this one need not). Output: each dropped doc, how
-    * many distinct spans convict it, and its earliest partner.
+    * 100 TB shape: ONE scan+shingle pass, ONE shuffle of the (doc,
+    * span) index keyed on the span hash, and the per-span min-owner
+    * is a WINDOW min inside that partitioning — no second scan, no
+    * join, and no owners table to broadcast or shuffle (a per-span
+    * row set is corpus-scale; the naive agg+join form shuffles the
+    * index twice and materializes it — measured 2 exchanges + a
+    * corpus-sized broadcast at AQE's mercy). Spans travel as 8-byte
+    * hashes, never strings. No DF cap needed: a span shared by M docs
+    * costs M window rows — linear where the pair join would be M²
+    * (which is why the pair path caps and this one need not). Output:
+    * each dropped doc, how many distinct spans convict it, and its
+    * earliest partner.
     */
   def qSpanDedup(t: Tables, k: Int = 8): DataFrame = {
     val sh = t.documents.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
-    val owners = sh.groupBy("span").agg(min("doc_id").as("first_doc"))
-    sh.join(owners, "span")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("span")
+    sh.withColumn("first_doc", min("doc_id").over(w))
       .filter(col("doc_id") > col("first_doc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"), min("first_doc").as("first_partner"))
