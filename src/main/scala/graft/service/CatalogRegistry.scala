@@ -21,6 +21,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * only ever references names defined before it (the order they were
   * last defined in is an order that worked).
   *
+  * Concurrent WRITERS (two services on one registryDir) are safe:
+  * every mutation takes a mkdir(2) lock — the same atomic
+  * put-if-absent the vtable commit claim uses — RE-LOADS the file
+  * under it, applies the one-name op, and writes back, so writer A's
+  * registration can never be erased by writer B persisting a stale
+  * whole-file snapshot (a stale lock older than `lockStaleMs` is
+  * broken — a crashed holder must not brick the catalog). Reads
+  * (replay) stay lock-free against the atomic snapshot.
+  *
   * Precedent: MaterializedView persists `_mv_def.json` next to its
   * state the same way (reference model: the service's tables survive
   * process death — wangpy1995/data-service registers against a
@@ -74,19 +83,53 @@ final class CatalogRegistry(dir: Option[Path]) {
   def recordView(name: String, query: String): Unit =
     record(Entry("view", name, "", "", Map.empty, query))
 
-  private def record(e: Entry): Unit = synchronized {
+  private def record(e: Entry): Unit = mutate { () =>
     entries.remove(e.name) // redefinition moves to the end
     entries.put(e.name, e)
-    persist()
+    ()
   }
 
   /** Drop a definition; true when it existed. The file shrinks with
     * it — an unregistered table must not resurrect on restart.
     */
-  def remove(name: String): Boolean = synchronized {
-    val had = entries.remove(name) != null
-    if (had) persist()
+  def remove(name: String): Boolean = {
+    var had = false
+    mutate { () => had = entries.remove(name) != null }
     had
+  }
+
+  /** Load-modify-write under the cross-process lock: re-sync the
+    * in-memory map from disk FIRST so this op lands on the latest
+    * state another writer may have persisted, then write back. The
+    * in-memory map is also the read cache for lock-free replay().
+    */
+  private def mutate(op: () => Unit): Unit = synchronized {
+    val lock = dir.map(_.resolve("_catalog.lock"))
+    lock.foreach(acquireLock)
+    try {
+      if (file.isDefined) { entries.clear(); load() }
+      op()
+      persist()
+    } finally lock.foreach(l => { Files.deleteIfExists(l); () })
+  }
+
+  private val lockStaleMs = 10000L
+  private def acquireLock(lock: Path): Unit = {
+    val deadline = System.currentTimeMillis() + lockStaleMs + 5000
+    while (true) {
+      try { Files.createDirectory(lock); return }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val age =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case scala.util.control.NonFatal(_) => 0L } // raced away
+        if (age > lockStaleMs) { Files.deleteIfExists(lock); () } // crashed holder
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"catalog registry lock held too long: $lock")
+        else Thread.sleep(25)
+      }
+    }
   }
 
   private def persist(): Unit = {
