@@ -169,6 +169,7 @@ object SparkEntry {
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
     "q_span_dedup" -> ((s, d) => Dedup.qSpanDedup(t(s, d))),
+    "q_cross_source_overlap" -> ((s, d) => Dedup.qCrossSourceOverlap(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
     "q_dedup_keep_best" -> ((s, d) => Dedup.qDedupKeepBest(t(s, d))),
@@ -1200,6 +1201,21 @@ object SparkEntry {
         |WHERE s.doc_id > o.first_doc
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    // cross-source overlap: which sources share verbatim 8-token spans
+    "q_cross_source_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')
+        |  ))) AS span FROM d WHERE len(w) >= 8)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_spans
+        |FROM s a JOIN s b ON a.span = b.span AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // connected components as a transitive closure over the same pair
     // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
     // because UNION dedups); cluster id = component minimum

@@ -160,6 +160,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-SOURCE verbatim-overlap matrix — the corpus-curation
+    * diagnostic behind span dedup: for every pair of sources, how many
+    * distinct k-token spans do they share? (Which crawls re-crawl each
+    * other; where does boilerplate concentrate; which acquisitions add
+    * nothing new.) The self-join keys on the span hash AFTER
+    * project-to-(span, source)-distinct, so a span's posting list is
+    * bounded by |sources| — pairs per span are |sources|²/2 at worst,
+    * a constant; corpus size only widens the span dimension, which the
+    * distinct partial-agg combines map-side. Same 8-byte span hashes
+    * as [[qSpanDedup]].
+    */
+  def qCrossSourceOverlap(t: Tables, k: Int = 8): DataFrame = {
+    val x = t.documents.repartition(col("doc_id"))
+      .select(col("source"),
+        explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
+      .distinct()
+    x.as("a").join(x.as("b"),
+        col("a.span") === col("b.span") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Near-dup pair report at a Jaccard threshold (see ngramPairs for
     * the cached pipeline).
     */
