@@ -171,6 +171,7 @@ object SparkEntry {
     "q_span_dedup" -> ((s, d) => Dedup.qSpanDedup(t(s, d))),
     "q_cross_source_overlap" -> ((s, d) => Dedup.qCrossSourceOverlap(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
+    "q_leakage_split" -> ((s, d) => Dedup.qLeakageSafeSplit(t(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.qDedupNear(t(s, d))),
     "q_dedup_keep_best" -> ((s, d) => Dedup.qDedupKeepBest(t(s, d))),
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
@@ -1224,6 +1225,22 @@ object SparkEntry {
         """
         |SELECT src AS doc_id, least(min(dst), src) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // leakage-safe split: split by CLUSTER (near-dups can't straddle);
+    // singletons are their own cluster; 8/1/1 by cluster_id % 10
+    "q_leakage_split" ->
+      (dupReachCte +
+        """,
+        |labels AS (SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        |           FROM reach GROUP BY src),
+        |assigned AS (
+        |  SELECT documents.doc_id,
+        |         coalesce(labels.cluster_id, documents.doc_id) AS cluster_id
+        |  FROM documents LEFT JOIN labels ON documents.doc_id = labels.doc_id)
+        |SELECT CASE WHEN cluster_id % 10 < 8 THEN 'train'
+        |            WHEN cluster_id % 10 = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_dedup_near" ->
       (dupReachCte +
         """,

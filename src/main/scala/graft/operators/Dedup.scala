@@ -183,6 +183,37 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assign splits by CLUSTER, not
+    * by document, so near-duplicates can never straddle a split
+    * boundary (the eval-set contamination a doc-hash split silently
+    * creates whenever the corpus has near-dups — the reason dedup-
+    * aware splitting is standard pretraining practice). Cluster id
+    * comes from the same memoized CC label table as [[qDupClusters]];
+    * docs in no near-dup pair are their own singleton cluster. The
+    * assignment is `cluster_id % 10` → 8/1/1 — deterministic, engine-
+    * portable integer arithmetic (no engine-specific hash in the
+    * oracle contract), trivially swappable for a salted hash in
+    * production. Output is the per-split summary; the per-doc
+    * assignment is the obvious intermediate.
+    *
+    * 100 TB: one left join of the corpus' doc_id column against the
+    * (small — docs-in-any-pair) label table, then a 3-group agg.
+    */
+  def qLeakageSafeSplit(t: Tables, threshold: Double = 0.6): DataFrame = {
+    val labels = corpusDupLabels(t, threshold)
+    val assigned = t.documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(col("cluster_id") % 10 < 8, "train")
+          .when(col("cluster_id") % 10 === 8, "val")
+          .otherwise("test"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"))
+      .orderBy("split")
+  }
+
   /** Near-dup pair report at a Jaccard threshold (see ngramPairs for
     * the cached pipeline).
     */
