@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Hand-graph semantics for the span-family operators (the DuckDB
+  * oracle gates them on the real corpus; this pins the SEMANTICS on a
+  * corpus built to exercise each rule): one shared 8-token span
+  * convicts, earlier docs are never convicted by later ones, the
+  * cross-source matrix counts distinct shared spans per source pair,
+  * and the leakage-safe split puts a whole near-dup cluster on one
+  * side.
+  */
+class SpanDedupSpec extends SparkSpecBase {
+
+  // 8+ token docs; doc 1 and doc 2 share a verbatim 8-token run;
+  // doc 3 shares nothing 8 tokens long (overlap of 7 only); doc 4
+  // repeats doc 1 entirely from a different source
+  private lazy val tinyTables: Tables = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spandedup").toString
+    val run = "t1 t2 t3 t4 t5 t6 t7 t8" // the convicting 8-token span
+    Seq(
+      (1L, s"$run a b c", "en", "srcA", 0),
+      (2L, s"x y $run", "en", "srcB", 0),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 q r s", "en", "srcB", 0), // 7-overlap: innocent
+      (4L, s"$run a b c", "en", "srcC", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("one shared 8-token span convicts; 7 tokens never do; first doc survives") {
+    val rows = Dedup.qSpanDedup(tinyTables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!rows.contains(1L), "the FIRST holder of a span is never convicted")
+    assert(rows(2L)._2 == 1L, s"doc 2's earliest partner must be doc 1: ${rows.get(2L)}")
+    assert(!rows.contains(3L), "a 7-token overlap must not convict at k=8")
+    // doc 4 repeats doc 1 verbatim: every one of its spans convicts
+    // ("$run a b c" = 11 tokens -> 4 distinct spans)
+    assert(rows(4L) == ((4L, 1L)), s"full duplicate: ${rows.get(4L)}")
+  }
+
+  test("cross-source matrix counts distinct shared spans per source pair") {
+    val m = Dedup.qCrossSourceOverlap(tinyTables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // srcA(doc1) vs srcB(doc2): exactly the one 8-token run
+    assert(m(("srcA", "srcB")) == 1L, s"A-B: $m")
+    // srcA(doc1) vs srcC(doc4): identical docs -> all 4 spans
+    assert(m(("srcA", "srcC")) == 4L, s"A-C: $m")
+    assert(m(("srcB", "srcC")) == 1L, s"B-C: $m")
+    assert(m.size == 3, s"no other pair overlaps: $m")
+  }
+
+  test("leakage-safe split keeps every near-dup cluster on one side") {
+    // real-corpus form: totals conserve and every split id is legal
+    val t = tables // the shared sf0.001 corpus
+    val rows = Dedup.qLeakageSafeSplit(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    val total = rows.values.map(_._1).sum
+    assert(total == t.documents.count(), "every doc lands in exactly one split")
+    // the invariant itself: split is a FUNCTION of cluster_id, so two
+    // docs with one cluster can't diverge — assert on the assignment
+    // path by reconstructing it
+    import org.apache.spark.sql.functions._
+    val labels = Dedup.corpusDupLabels(t)
+    val perCluster = t.documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(col("cluster_id") % 10 < 8, "train")
+          .when(col("cluster_id") % 10 === 8, "val").otherwise("test"))
+      .groupBy("cluster_id").agg(countDistinct("split").as("n_splits"))
+      .agg(max("n_splits")).head().getLong(0)
+    assert(perCluster == 1L, "a cluster straddled a split boundary")
+  }
+}
