@@ -177,6 +177,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.qMinhashLsh(t(s, d))),
     // rows-only: incremental ingest over the persisted LSH band index
     "q_dedup_ingest" -> ((s, d) => graft.operators.DedupIndex.qDedupIngest(t(s, d))),
+    "q_span_ingest" -> ((s, d) => graft.operators.SpanIndex.qSpanIngest(t(s, d))),
     "q_simhash" -> ((s, d) => Dedup.qSimhash(t(s, d))),
     "q_embed_neardup" -> ((s, d) => Dedup.qEmbedNeardup(t(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.qDedupFuzzy(t(s, d))),
@@ -1200,6 +1201,25 @@ object SparkEntry {
         |SELECT s.doc_id, count(*) AS n_shared, min(o.first_doc) AS first_partner
         |FROM s JOIN o USING (span)
         |WHERE s.doc_id > o.first_doc
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    // incremental span ingest: odd docs probed against the even-doc
+    // on-disk span index = odd docs sharing a span with any even doc
+    "q_span_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')
+        |  ))) AS span FROM d WHERE len(w) >= 8),
+        |o AS (SELECT span, min(doc_id) AS owner FROM s
+        |      WHERE doc_id % 2 = 0 GROUP BY span)
+        |SELECT s.doc_id, count(*) AS n_shared, min(o.owner) AS first_partner
+        |FROM s JOIN o USING (span)
+        |WHERE s.doc_id % 2 = 1
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
     // cross-source overlap: which sources share verbatim 8-token spans

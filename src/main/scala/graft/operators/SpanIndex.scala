@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Incremental VERBATIM-SPAN dedup ingest — [[Dedup.qSpanDedup]]'s
+  * daily-crawl form, the same scale inversion as [[DedupIndex]]: the
+  * corpus's span inverted index lives ON DISK partitioned by span-hash
+  * bucket, a new batch checks itself against it without recomputing
+  * (or reshuffling) the corpus, and accepted documents absorb by
+  * appending just their spans.
+  *
+  * Per-batch cost is O(touched buckets) + O(batch): the batch side is
+  * hinted broadcast, the stored side only SCANS, pruned by a bounded
+  * `isin` over the batch's bucket set (PartitionFilters on the span
+  * table — the corpus never reshuffles). One shared k-token span
+  * convicts, exactly the standing-corpus rule of `q_span_dedup` — and
+  * unlike MinHash banding there is no probability in the story, so
+  * the whole two-phase pipeline answers to a plain SQL oracle.
+  *
+  * Stored rows are raw (span, doc_id) postings; the "first owner" is
+  * resolved at probe time as `min(doc_id)` per span, so absorb never
+  * reads existing state (pure append, no read-modify-write) and two
+  * absorbers can't race each other's rewrites.
+  */
+object SpanIndex {
+
+  /** Bounded directory-partition count, fine enough that a small
+    * batch's bucket filter prunes most of the stored scan.
+    */
+  private val Buckets = 64
+
+  private def paramsPath(dir: String) = java.nio.file.Paths.get(dir, "_params.json")
+
+  private def writeParams(dir: String, k: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(paramsPath(dir),
+      s"""{"k":$k}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readK(dir: String): Int = {
+    val s = new String(java.nio.file.Files.readAllBytes(paramsPath(dir)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    """"k":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+  }
+
+  private def spans(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
+      .withColumn("span_bucket", pmod(col("span"), lit(Buckets)))
+
+  /** Build the index from scratch over a (doc_id, text) corpus. The
+    * pre-write repartition keys on the partition column so each bucket
+    * lands as one file per writing task (same small-file discipline as
+    * [[DedupIndex.build]]).
+    */
+  def build(docs: DataFrame, dir: String, k: Int = 8): Unit = {
+    writeParams(dir, k)
+    spans(docs, k).repartition(col("span_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("span_bucket")
+      .parquet(s"$dir/spans")
+    ()
+  }
+
+  /** Check a (doc_id, text) batch against the stored corpus: one row
+    * per CONVICTED batch doc — (doc_id, n_shared distinct spans,
+    * first_partner = earliest owning corpus doc). In-batch overlap is
+    * [[Dedup.qSpanDedup]]'s job; this checks against the INDEX.
+    */
+  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val k = readK(dir)
+    // one signature pass for both the bucket collect and the join
+    val probe = spans(batch, k).localCheckpoint()
+    val buckets = probe.select("span_bucket").distinct()
+      .collect().map(_.getAs[Long]("span_bucket"))
+    val stored = spark.read.parquet(s"$dir/spans")
+      .filter(col("span_bucket").isin(buckets: _*))
+    stored.as("x")
+      .join(broadcast(probe.as("y")),
+        col("x.span_bucket") === col("y.span_bucket") &&
+          col("x.span") === col("y.span"))
+      .groupBy(col("y.doc_id").as("doc_id"))
+      .agg(countDistinct(col("x.span")).as("n_shared"),
+        min(col("x.doc_id")).as("first_partner"))
+  }
+
+  /** Absorb accepted batch docs: pure partition-aligned append of
+    * their spans; nothing stored is read or rewritten.
+    */
+  def absorb(spark: SparkSession, dir: String, accepted: DataFrame): Unit = {
+    val k = readK(dir)
+    spans(accepted, k).repartition(col("span_bucket"))
+      .write.mode(SaveMode.Append).partitionBy("span_bucket")
+      .parquet(s"$dir/spans")
+    ()
+  }
+
+  private case class Key(session: Int, sfDir: String)
+  private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  /** Contract query — FULLY DuckDB-oracled (span overlap is plain
+    * SQL): index the even-doc_id half of the corpus on disk, ingest
+    * the odd half as a batch, report each convicted batch doc with its
+    * distinct-span count and earliest indexed partner.
+    */
+  def qSpanIngest(t: graft.sources.Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "text")
+    val dir = built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      val d = java.nio.file.Files.createTempDirectory("graft-span-idx").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+      build(docs.filter(col("doc_id") % 2 === 0), d, k = 8)
+      d
+    }
+    checkBatch(t.spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+  }
+}

@@ -54,6 +54,29 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(m.size == 3, s"no other pair overlaps: $m")
   }
 
+  test("span index: absorb makes docs discoverable; corpus side scans pruned, batch broadcasts") {
+    import spark.implicits._
+    import graft.operators.SpanIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx-spec").toString + "/idx"
+    val corpus = tables.documents.select("doc_id", "text")
+    SpanIndex.build(corpus.filter(org.apache.spark.sql.functions.col("doc_id") < 250), dir)
+    // a verbatim copy of an UNINDEXED doc: clean until absorbed
+    val doc300 = corpus.filter($"doc_id" === 300L).as[(Long, String)].collect().head
+    val batch = Seq((900000L, doc300._2)).toDF("doc_id", "text")
+    assert(SpanIndex.checkBatch(spark, dir, batch).count() == 0)
+    SpanIndex.absorb(spark, dir, corpus.filter($"doc_id" === 300L))
+    val after = SpanIndex.checkBatch(spark, dir, batch).collect()
+    assert(after.length == 1 && after.head.getAs[Long]("first_partner") == 300L,
+      after.mkString(","))
+    // scale inversion: stored side scans with bucket PartitionFilters,
+    // batch side broadcasts — the corpus never reshuffles per ingest
+    val plan = SpanIndex.checkBatch(spark, dir, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("PartitionFilters") && plan.contains("span_bucket"),
+      plan.take(800))
+  }
+
   test("leakage-safe split keeps every near-dup cluster on one side") {
     // real-corpus form: totals conserve and every split id is legal
     val t = tables // the shared sf0.001 corpus
