@@ -295,6 +295,23 @@ object SparkEntry {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
       |  ))) AS shingle FROM d)""".stripMargin
 
+  /** The 8-token SPAN table (d + s bodies, no WITH prefix) — shared
+    * by the three span-family oracles (span dedup, span ingest,
+    * cross-source matrix), mirroring how the Spark side shares
+    * `word_shingles(text, 8)`. Keeps `source` so the matrix can read
+    * it; the other tails ignore the column.
+    */
+  private val spanCte: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 6),
+      |    i -> array_to_string(w[i:i+7], ' ')
+      |  ))) AS span FROM d WHERE len(w) >= 8)""".stripMargin
+
   /** The DF-capped candidate-pair table over `s` — shared by the
     * n-gram-jaccard oracle and the transitive-closure tails so the
     * pair semantics (df cap 50, distinct shingles, a<b) can't
@@ -1188,55 +1205,32 @@ object SparkEntry {
     // outputs agree modulo 2^64 hash collisions, same accepted
     // equivalence as the jaccard pair oracle)
     "q_span_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 6),
-        |    i -> array_to_string(w[i:i+7], ' ')
-        |  ))) AS span FROM d WHERE len(w) >= 8),
-        |o AS (SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span)
+      ("WITH " + spanCte + ",\n" +
+       """o AS (SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span)
         |SELECT s.doc_id, count(*) AS n_shared, min(o.first_doc) AS first_partner
         |FROM s JOIN o USING (span)
         |WHERE s.doc_id > o.first_doc
         |GROUP BY s.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
+        |ORDER BY s.doc_id""".stripMargin),
     // incremental span ingest: odd docs probed against the even-doc
     // on-disk span index = odd docs sharing a span with any even doc
     "q_span_ingest" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 6),
-        |    i -> array_to_string(w[i:i+7], ' ')
-        |  ))) AS span FROM d WHERE len(w) >= 8),
-        |o AS (SELECT span, min(doc_id) AS owner FROM s
+      ("WITH " + spanCte + ",\n" +
+       """o AS (SELECT span, min(doc_id) AS owner FROM s
         |      WHERE doc_id % 2 = 0 GROUP BY span)
         |SELECT s.doc_id, count(*) AS n_shared, min(o.owner) AS first_partner
         |FROM s JOIN o USING (span)
         |WHERE s.doc_id % 2 = 1
         |GROUP BY s.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
+        |ORDER BY s.doc_id""".stripMargin),
     // cross-source overlap: which sources share verbatim 8-token spans
     "q_cross_source_overlap" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |s AS (
-        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 6),
-        |    i -> array_to_string(w[i:i+7], ' ')
-        |  ))) AS span FROM d WHERE len(w) >= 8)
+      ("WITH " + spanCte + ",\n" +
+       """x AS (SELECT DISTINCT source, span FROM s)
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_spans
-        |FROM s a JOIN s b ON a.span = b.span AND a.source < b.source
+        |FROM x a JOIN x b ON a.span = b.span AND a.source < b.source
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin),
     // connected components as a transitive closure over the same pair
     // pipeline as q_ngram_jaccard (symmetrized edges; closure is finite
     // because UNION dedups); cluster id = component minimum
