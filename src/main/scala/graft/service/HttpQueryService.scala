@@ -34,6 +34,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
   *   POST /unregister {"name": "..."}                  → {"unregistered": "...", "existed": bool} (drops view + durable definition)
   *   POST /drop-session {"id": "..."}                  → {"dropped": "...", "existed": bool} (frees an X-Graft-Session slot)
+  *   GET  /sessions                                    → {"sessions": [...], "max": n} (live X-Graft-Session ids)
   *   GET  /tables                                      → {"tables": [...]}
   *
   * Error classes: client faults — malformed JSON, missing/invalid
@@ -437,6 +438,17 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val existed = sessions.remove(id) != null
     s"""{"dropped":${quote(id)},"existed":$existed}"""
   })
+  // which ids hold the bounded slots — what an operator reads before
+  // deciding which one to /drop-session
+  server.createContext("/sessions", exchange =>
+    if (exchange.getRequestMethod != "GET") reply(exchange, 405, err("GET only"))
+    else
+      try {
+        requireAuthForReads(exchange)
+        import scala.jdk.CollectionConverters._
+        val ids = sessions.keySet.asScala.toSeq.sorted.map(quote).mkString(",")
+        reply(exchange, 200, s"""{"sessions":[$ids],"max":$maxSessions}""")
+      } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
   server.createContext("/register", gatedMutEx { (body, ex) =>
     val name = text(body, "name")
     val options =

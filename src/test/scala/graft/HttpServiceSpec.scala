@@ -663,6 +663,12 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
         .build(), HttpResponse.BodyHandlers.ofString())
       assert(drop.statusCode == 200 && drop.body.contains("\"existed\":true"), drop.body)
       assert(sqlAs(Some("after-drop"), "SELECT 1 AS one").statusCode == 200)
+      // /sessions lists the live ids an operator would pick from
+      val listing = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/sessions")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(listing.statusCode == 200 && listing.body.contains("\"after-drop\"") &&
+        !listing.body.contains("\"flood-3\""), listing.body)
     } finally h.stop()
   }
 
