@@ -83,6 +83,14 @@ object SparkEntry {
     "pq" -> ((s, d) => {
       val m = graft.operators.Pq.corpusPq(t(s, d))
       m.codebooks.count(); m.codes.count(); ()
+    }),
+    // on-disk ingest indexes: the build is a one-time corpus cost the
+    // artifact should report, not fold into the first probe's timing
+    "dedup_lsh" -> ((s, d) => {
+      graft.operators.DedupIndex.corpusIndexDir(t(s, d)); ()
+    }),
+    "span_idx" -> ((s, d) => {
+      graft.operators.SpanIndex.corpusIndexDir(t(s, d)); ()
     }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
