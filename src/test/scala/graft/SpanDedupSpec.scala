@@ -77,6 +77,40 @@ class SpanDedupSpec extends SparkSpecBase {
       plan.take(800))
   }
 
+  test("span index streaming ingest: per micro-batch check, clean docs absorb") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.SpanIndex
+    val corpus = tables.documents.select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx-stream").toString + "/idx"
+    SpanIndex.build(corpus.filter(col("doc_id") < 100), dir)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = SpanIndex.checkBatch(spark, dir, batch)
+          .select("doc_id", "first_partner").as[(Long, Long)].collect()
+        flagged ++= hits
+        val hitIds = hits.map(_._1)
+        SpanIndex.absorb(spark, dir, batch.filter(!col("doc_id").isin(hitIds: _*)))
+      }.start()
+    try {
+      val fresh = (1 to 40).map(i => s"spanstream$i").mkString(" ")
+      val doc5 = corpus.filter(col("doc_id") === 5L).as[(Long, String)].collect().head._2
+      // batch 1: a verbatim copy of indexed doc 5 (convicted, not
+      // absorbed) and a fresh doc (clean, absorbed)
+      input.addData((400001L, doc5), (400002L, fresh))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((400001L, 5L)), flagged)
+      // batch 2: a copy of the absorbed fresh doc convicts against it
+      input.addData((400003L, fresh))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((400001L, 5L), (400003L, 400002L)), flagged)
+    } finally q.stop()
+  }
+
   test("leakage-safe split keeps every near-dup cluster on one side") {
     // real-corpus form: totals conserve and every split id is legal
     val t = tables // the shared sf0.001 corpus
