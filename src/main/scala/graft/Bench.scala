@@ -103,10 +103,29 @@ object Bench {
     def offsetSec: Double = (System.nanoTime() - passT0) / 1e9
     val starts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val midCalib = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // whether the FIRST timed run of each query already hit a memo
+    // (e.g. the ingest queries probe an index the warmup pre-built):
+    // the rerun guards below must reject a rerun only when it is
+    // warmER than the first run, not when both are identically warm —
+    // otherwise a pre-warmed query's inflated reading is uncorrectable
+    val firstWarm = scala.collection.mutable.Map.empty[String, Boolean]
     val first = queries.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 20 == 0) midCalib += ((offsetSec, calibrate(25000000)))
       starts(name) = offsetSec
-      name -> timed(name, fn)
+      val h0 = graft.util.BoundedMemo.globalHits
+      val v = timed(name, fn)
+      firstWarm(name) = graft.util.BoundedMemo.globalHits != h0
+      name -> v
+    }
+    // rerun that can't pollute the record: exceptions DISCARD the
+    // rerun (the first-pass number stands) instead of marking a
+    // succeeded query failed and letting its time-to-exception win
+    // the min
+    def rerunTimed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
     // sub-threshold queries re-run once and report the min: at that
     // scale the measurement is dominated by scheduler noise, and
@@ -143,23 +162,26 @@ object Bench {
       val after = inflated.find(_._1 > s).exists(_._2)
       before || after
     }
+    // a rerun is rejected only when it is WARMER than the first run
+    // (first run cold, rerun memo-hit); identically-warm runs compare
+    // fairly, so pre-warmed queries stay correctable
+    def rerunMin(name: String, v: Double): Double = {
+      val hits0 = graft.util.BoundedMemo.globalHits
+      val again = rerunTimed(SparkEntry.queries(name))
+      val warmer = graft.util.BoundedMemo.globalHits != hits0 &&
+        !firstWarm.getOrElse(name, false)
+      if (warmer) v else again.fold(v)(a => math.min(v, a))
+    }
     val requeued = scala.collection.mutable.ArrayBuffer.empty[String]
     val second = first.map { case (name, v) =>
       if (!failed.contains(name) && v >= rerunBelow && suspect(name)) {
         requeued += name
-        val hits0 = graft.util.BoundedMemo.globalHits
-        val again = timed(name, SparkEntry.queries(name))
-        val warm = graft.util.BoundedMemo.globalHits != hits0
-        name -> (if (warm) v else math.min(v, again))
+        name -> rerunMin(name, v)
       } else name -> v
     }
     val results = second.map { case (name, v) =>
-      if (v < rerunBelow && !failed.contains(name)) {
-        val hits0 = graft.util.BoundedMemo.globalHits
-        val again = timed(name, SparkEntry.queries(name))
-        val warm = graft.util.BoundedMemo.globalHits != hits0
-        name -> (if (warm) v else math.min(v, again))
-      } else name -> v
+      if (v < rerunBelow && !failed.contains(name)) name -> rerunMin(name, v)
+      else name -> v
     }
     // a failed query must not masquerade as a fast one. Values are
     // rounded to milliseconds: the driver's stdout capture has a fixed

@@ -139,13 +139,7 @@ object DedupIndex {
     */
   def corpusIndexDir(t: graft.sources.Tables): String =
     built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
-      val d = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }
+      val d = graft.util.TempDirs.createWithCleanup("graft-dedup-idx")
       build(t.documents.select("doc_id", "text")
           .filter(col("doc_id") % 2 === 0), d,
         Params(numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5))

@@ -101,11 +101,6 @@ object SpanIndex {
   private case class Key(session: Int, sfDir: String)
   private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
 
-  /** Contract query — FULLY DuckDB-oracled (span overlap is plain
-    * SQL): index the even-doc_id half of the corpus on disk, ingest
-    * the odd half as a batch, report each convicted batch doc with its
-    * distinct-span count and earliest indexed partner.
-    */
   /** The contract query's memoized even-half index — exposed so the
     * bench warms the BUILD at the target corpus (`index_build` in the
     * artifact) and the timed query measures the probe path; the
@@ -113,18 +108,17 @@ object SpanIndex {
     */
   def corpusIndexDir(t: graft.sources.Tables): String =
     built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
-      val d = java.nio.file.Files.createTempDirectory("graft-span-idx").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }
+      val d = graft.util.TempDirs.createWithCleanup("graft-span-idx")
       build(t.documents.select("doc_id", "text")
         .filter(col("doc_id") % 2 === 0), d, k = 8)
       d
     }
 
+  /** Contract query — FULLY DuckDB-oracled (span overlap is plain
+    * SQL): index the even-doc_id half of the corpus on disk, ingest
+    * the odd half as a batch, report each convicted batch doc with its
+    * distinct-span count and earliest indexed partner.
+    */
   def qSpanIngest(t: graft.sources.Tables): DataFrame = {
     val dir = corpusIndexDir(t)
     checkBatch(t.spark, dir, t.documents.select("doc_id", "text")

@@ -139,18 +139,27 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, QueryService]()
 
+  private val sessionCreateLock = new Object
   private def serviceFor(exchange: HttpExchange): QueryService =
     Option(exchange.getRequestHeaders.getFirst("X-Graft-Session")) match {
       case None => service
       case Some(id) =>
-        sessions.computeIfAbsent(id, _ => {
-          require(sessions.size < maxSessions,
-            s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
-          val s = service.newIsolated()
-          // isolated caches honor the same driver-side collect bound
-          if (s.results.cap > maxRows) s.results.cap = maxRows
-          s
-        })
+        // lock-free fast path for live ids; creation serializes so the
+        // size check and the insert are one atomic step — k concurrent
+        // first-requests with distinct fresh ids must not each read
+        // size 31 and all breach the documented hard bound
+        val existing = sessions.get(id)
+        if (existing != null) existing
+        else sessionCreateLock.synchronized {
+          sessions.computeIfAbsent(id, _ => {
+            require(sessions.size < maxSessions,
+              s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
+            val s = service.newIsolated()
+            // isolated caches honor the same driver-side collect bound
+            if (s.results.cap > maxRows) s.results.cap = maxRows
+            s
+          })
+        }
     }
 
   server.setExecutor(pool)
@@ -413,14 +422,17 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
 
   private def quote(s: String): String =
     mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))
-  server.createContext("/cache", gatedMut { body =>
+  // session-routed like the other NAME-keyed endpoints: a table
+  // registered under an X-Graft-Session id lives in that session's
+  // catalog, so its cache ops must resolve there too
+  server.createContext("/cache", gatedMutEx { (body, ex) =>
     val name = text(body, "name")
-    service.cache(name)
+    serviceFor(ex).cache(name)
     s"""{"cached":${quote(name)}}"""
   })
-  server.createContext("/uncache", postMut { body =>
+  server.createContext("/uncache", postMutEx { (body, ex) =>
     val name = text(body, "name")
-    service.uncache(name)
+    serviceFor(ex).uncache(name)
     s"""{"uncached":${quote(name)}}"""
   })
   // remove a registered source / submitted view from the session AND
@@ -569,6 +581,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   private def postMut(handle: com.fasterxml.jackson.databind.JsonNode => String)
       : com.sun.net.httpserver.HttpHandler =
     postEx { (body, ex) => requireAuth(ex); handle(body) }
+
+  private def postMutEx(
+      handle: (com.fasterxml.jackson.databind.JsonNode, HttpExchange) => String)
+      : com.sun.net.httpserver.HttpHandler =
+    postEx { (body, ex) => requireAuth(ex); handle(body, ex) }
 
   private val waiters = new java.util.concurrent.atomic.AtomicInteger(0)
 

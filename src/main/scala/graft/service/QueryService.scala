@@ -138,9 +138,31 @@ final class QueryService(val spark: SparkSession,
     // bumps the name's nonce AND taints it if the definition is
     // non-deterministic, so cached queries over the view stay honest
     results.noteSubmission(name, query)
-    registry.recordView(name, query)
+    // record ONLY pure queries: replay runs `spark.sql` on every
+    // restart and every isolated-session creation, and a COMMAND
+    // (INSERT/SET/DDL) executes eagerly there — recording one would
+    // re-run a one-time authorized write N times with no further
+    // request. The live submit above still behaves as before; the
+    // definition just isn't durable (a command isn't a view anyway).
+    if (isPureQuery(query)) registry.recordView(name, query)
+    else System.err.println(
+      s"[graft] submit '$name': statement is a command — registered live, NOT recorded for replay")
     df
   }
+
+  /** True when `query` parses as a plain query (no Command / INSERT
+    * anywhere in the tree) — the only statements safe to re-plan at
+    * replay time. Parse failures are NOT pure (never record garbage).
+    */
+  private def isPureQuery(query: String): Boolean =
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(query)
+      !(plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        plan.find(p =>
+          p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+            p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement])
+          .isDefined)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Remove a registered source or submitted view: the temp view goes
     * from THIS session, the definition from the shared registry (so it
@@ -173,6 +195,12 @@ final class QueryService(val spark: SparkSession,
       if (entry.kind == "source") {
         catalog.register(entry.name, entry.format, entry.path, entry.options)
         results.noteRegistration(entry.name, entry.format, entry.path)
+      } else if (!isPureQuery(entry.query)) {
+        // defense in depth vs a hand-edited registry file: replay must
+        // never EXECUTE anything — a command here would re-run a write
+        // on every restart/session creation
+        System.err.println(
+          s"[graft] catalog replay: refusing command view '${entry.name}'")
       } else {
         spark.sql(entry.query).createOrReplaceTempView(entry.name)
         results.noteSubmission(entry.name, entry.query)

@@ -571,6 +571,12 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(postTo(h1, "/submit",
         """{"name":"reg_view","query":"SELECT n_regionkey, count(*) AS n FROM reg_nation GROUP BY n_regionkey"}""")
         .statusCode == 200)
+      // a COMMAND submitted as a "view" registers live but is NOT
+      // recorded — replay must never re-execute a side-effecting
+      // statement on restart
+      assert(postTo(h1, "/submit",
+        """{"name":"cmd_view","query":"SET spark.sql.shuffle.partitions=4"}""")
+        .statusCode == 200)
     } finally h1.stop()
     // "restart": a FRESH session (temp views are gone) + fresh service
     // over the same registry — both definitions must replay, in order
@@ -580,6 +586,8 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     try {
       val tables = getTo(h2, "/tables").body
       assert(tables.contains("reg_nation") && tables.contains("reg_view"), tables)
+      assert(!tables.contains("cmd_view"),
+        s"command submissions must not replay: $tables")
       val res = postTo(h2, "/sql",
         """{"query":"SELECT sum(n) AS total FROM reg_view"}""")
       assert(res.statusCode == 200 && res.body.contains("\"total\":25"), res.body)
