@@ -135,29 +135,65 @@ object Dedup {
     * Jaccard path: ONE shared long span convicts; there is no
     * similarity threshold and no pair enumeration.
     *
-    * 100 TB shape: ONE scan+shingle pass, ONE shuffle of the (doc,
-    * span) index keyed on the span hash, and the per-span min-owner
-    * is a WINDOW min inside that partitioning — no second scan, no
-    * join, and no owners table to broadcast or shuffle (a per-span
-    * row set is corpus-scale; the naive agg+join form shuffles the
-    * index twice and materializes it — measured 2 exchanges + a
-    * corpus-sized broadcast at AQE's mercy). Spans travel as 8-byte
-    * hashes, never strings. No DF cap needed: a span shared by M docs
-    * costs M window rows — linear where the pair join would be M²
-    * (which is why the pair path caps and this one need not). Output:
-    * each dropped doc, how many distinct spans convict it, and its
-    * earliest partner.
+    * 100 TB shape: the per-span min-owner is a WINDOW min inside the
+    * span-keyed shuffle — but a plain `min over (partition by span)`
+    * puts a boilerplate span's ENTIRE posting list (license headers,
+    * navigation chrome: guaranteed hot keys at web scale) into ONE
+    * window partition on one task, and WindowExec has no partial
+    * aggregation and no AQE skew split. So postings are ROUTED first
+    * (see [[routedSpans]]): spans above a document-frequency cap
+    * resolve their owner from a pre-aggregated broadcast sliver (the
+    * agg's map-side combine bounds any one span to one row per scan
+    * task — the skew never keys a shuffle), and only the ≤`hotCap`-row
+    * cold partitions reach the window. Per-window-partition rows are
+    * bounded BY CONSTRUCTION at max(hotCap, per-doc span
+    * multiplicity), for any corpus. Spans travel as 8-byte hashes,
+    * never strings. Output: each dropped doc, how many convicting
+    * postings, and its earliest partner — identical, for every
+    * `hotCap`, to the unrouted window form (SpanDedupSpec proves it
+    * on a planted 10⁴-owner mega-span).
     */
-  def qSpanDedup(t: Tables, k: Int = 8): DataFrame = {
-    val sh = t.documents.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("span")
-    sh.withColumn("first_doc", min("doc_id").over(w))
+  def qSpanDedup(t: Tables, k: Int = 8, hotCap: Int = 4096): DataFrame = {
+    val routed = routedSpans(t.documents, k, hotCap)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("span", "_salt")
+    routed
+      .withColumn("first_doc", coalesce(col("hot_first"), min("doc_id").over(w)))
       .filter(col("doc_id") > col("first_doc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"), min("first_doc").as("first_partner"))
       .orderBy("doc_id")
+  }
+
+  /** Skew-routed span postings: (doc_id, span, hot_first, _salt) where
+    * `hot_first` is the global min owner for spans whose posting count
+    * exceeds `hotCap` (null otherwise) and `_salt` spreads hot spans'
+    * rows so `Window.partitionBy(span, _salt)` never concentrates a
+    * hot posting list: cold rows salt 0 (their window partition IS the
+    * span, ≤ hotCap rows); hot rows salt on doc_id (window output is
+    * ignored — coalesce takes the sliver's owner — so each partition
+    * collapses to the per-doc posting multiplicity).
+    *
+    * Costs one extra codegen'd shingle pass (the sliver agg and the
+    * routing join each consume the postings; persisting a corpus-scale
+    * posting list would cost far more than rescanning), plus a
+    * broadcast of the sliver — bounded by postings/hotCap rows and in
+    * practice the handful of true boilerplate spans; raise `hotCap`
+    * if a corpus is pathologically templated. Same df-cap idea as
+    * [[ngramPairs]]' `hot` anti-join, kept as a separate inline shape
+    * because here the hot rows are rescued (owner via sliver), not
+    * dropped.
+    */
+  private[graft] def routedSpans(docs: DataFrame, k: Int, hotCap: Int): DataFrame = {
+    def postings = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
+    val hotOwners = postings.groupBy("span")
+      .agg(min("doc_id").as("hot_first"), count(lit(1)).as("_df"))
+      .filter(col("_df") > hotCap)
+      .select("span", "hot_first")
+    postings.join(broadcast(hotOwners), Seq("span"), "left")
+      .withColumn("_salt",
+        when(col("hot_first").isNull, lit(0L)).otherwise(col("doc_id")))
   }
 
   /** Cross-SOURCE verbatim-overlap matrix — the corpus-curation

@@ -78,7 +78,8 @@ object DedupIndex {
     * never shuffled, and the scan is pruned to the batch's buckets
     * (a bounded `isin` — batch × bands hashes at most).
     */
-  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
     val p = readParams(dir)
     // localCheckpoint: the batch's signature pipeline runs ONCE — the
     // bucket collect below and the broadcast join both read the
@@ -90,10 +91,16 @@ object DedupIndex {
     // planning step that buys PartitionFilters on the corpus scan
     val buckets = probe.select("bh_bucket").distinct()
       .collect().map(_.getAs[Long]("bh_bucket"))
+    // size-gate the broadcast (same guard as SpanIndex.checkBatch,
+    // lower default: band rows carry the full numHashes signature
+    // array). An oversized batch shuffles instead; the bucket prune
+    // on the stored scan survives either way.
+    val bcast = probe.count() <= maxBroadcastRows
+    val probeSide = if (bcast) broadcast(probe.as("y")) else probe.as("y")
     val stored = spark.read.parquet(s"$dir/bands")
       .filter(col("bh_bucket").isin(buckets: _*))
     stored.as("x")
-      .join(broadcast(probe.as("y")),
+      .join(probeSide,
         col("x.bh_bucket") === col("y.bh_bucket") &&
           col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&

@@ -13,9 +13,10 @@ import graft.functions.GraftFunctions
   * appending just their spans.
   *
   * Per-batch cost is O(touched buckets) + O(batch): the batch side is
-  * hinted broadcast, the stored side only SCANS, pruned by a bounded
-  * `isin` over the batch's bucket set (PartitionFilters on the span
-  * table — the corpus never reshuffles). One shared k-token span
+  * hinted broadcast while it fits (size-gated — an oversized batch
+  * falls back to shuffle joins), the stored side only SCANS, pruned
+  * by a bounded `isin` over the batch's bucket set (PartitionFilters
+  * on the span table — the corpus never reshuffles). One shared k-token span
   * convicts, exactly the standing-corpus rule of `q_span_dedup` — and
   * unlike MinHash banding there is no probability in the story, so
   * the whole two-phase pipeline answers to a plain SQL oracle.
@@ -69,22 +70,53 @@ object SpanIndex {
     * per CONVICTED batch doc — (doc_id, n_shared distinct spans,
     * first_partner = earliest owning corpus doc). In-batch overlap is
     * [[Dedup.qSpanDedup]]'s job; this checks against the INDEX.
+    *
+    * Two scale guards over the naive postings×postings broadcast join:
+    *
+    *  1. '''Hot-span fan-out.''' A boilerplate span with M stored
+    *     postings would multiply every matching probe posting M-fold
+    *     before the final agg. Instead the stored side is first
+    *     semi-joined down to probe-matched spans (no exchange — the
+    *     probe side carries the hint) and pre-aggregated to ONE owner
+    *     row per span; the agg's map-side combine bounds a hot span's
+    *     contribution to one row per scan task, so the conviction join
+    *     emits O(probe postings) rows no matter how hot a stored span
+    *     is. Identical result: `n_shared` counts distinct spans either
+    *     way, and min decomposes through the pre-agg.
+    *  2. '''Broadcast size gate.''' The probe side of both joins is
+    *     hinted broadcast only while the batch's span explode stays
+    *     under `maxBroadcastRows` (≈ tokens per doc × docs; a real
+    *     daily-crawl batch can exceed the 8 GB broadcast hard limit).
+    *     Above the gate the hints drop and the joins shuffle — the
+    *     stored scan keeps its bucket PartitionFilters prune either
+    *     way, because the `isin` sits on the scan, not the join
+    *     (SpanDedupSpec pins both properties).
     */
-  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+  def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
     val k = readK(dir)
-    // one signature pass for both the bucket collect and the join
+    // one signature pass for the bucket collect, the size gate, and
+    // both join probes
     val probe = spans(batch, k).localCheckpoint()
     val buckets = probe.select("span_bucket").distinct()
       .collect().map(_.getAs[Long]("span_bucket"))
+    // counting cached blocks, not a recompute; decides the hints below
+    val small = probe.count() <= maxBroadcastRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val stored = spark.read.parquet(s"$dir/spans")
       .filter(col("span_bucket").isin(buckets: _*))
-    stored.as("x")
-      .join(broadcast(probe.as("y")),
+    val matched = stored.join(
+      hinted(probe.select("span_bucket", "span").distinct()),
+      Seq("span_bucket", "span"), "left_semi")
+    val owners = matched.groupBy("span_bucket", "span")
+      .agg(min("doc_id").as("first_owner"))
+    owners.as("x")
+      .join(hinted(probe.as("y")),
         col("x.span_bucket") === col("y.span_bucket") &&
           col("x.span") === col("y.span"))
       .groupBy(col("y.doc_id").as("doc_id"))
       .agg(countDistinct(col("x.span")).as("n_shared"),
-        min(col("x.doc_id")).as("first_partner"))
+        min(col("x.first_owner")).as("first_partner"))
   }
 
   /** Absorb accepted batch docs: pure partition-aligned append of

@@ -43,6 +43,69 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(rows(4L) == ((4L, 1L)), s"full duplicate: ${rows.get(4L)}")
   }
 
+  // a license-header-style mega-hot span: one 8-token run shared by
+  // every one of 10⁴ docs, each otherwise unique
+  private lazy val hotTables: Tables = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spanhot").toString
+    val run = "h1 h2 h3 h4 h5 h6 h7 h8"
+    (0 until 10000).map(i => (i.toLong, s"$run u${i}a u${i}b", "en", "src", 0))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("hot-span routing: a 10⁴-owner span never reaches the window; result is cap-invariant") {
+    import org.apache.spark.sql.functions._
+    // with the cap at 100, the mega-span's postings route via the
+    // broadcast owner sliver and every surviving window partition is
+    // bounded by the cap
+    val routed = Dedup.routedSpans(
+      hotTables.documents.select("doc_id", "text"), 8, 100)
+      .persist()
+    try {
+      val hotRows = routed.filter(col("hot_first").isNotNull)
+      assert(hotRows.count() == 10000L, "every mega-span posting is routed hot")
+      assert(hotRows.select("span").distinct().count() == 1L)
+      assert(hotRows.filter(col("hot_first") =!= 0L).count() == 0L,
+        "the sliver's owner is the global min doc_id")
+      val maxWindowPartition = routed.filter(col("hot_first").isNull)
+        .groupBy("span", "_salt").count()
+        .agg(max("count")).head().getLong(0)
+      assert(maxWindowPartition <= 100L,
+        s"cold window partitions must be df-capped, got $maxWindowPartition")
+    } finally { routed.unpersist(); () }
+    // semantics are cap-invariant: the routed plan at cap 100 equals
+    // the unrouted pure-window plan (cap = MaxValue → empty sliver)
+    val capped = Dedup.qSpanDedup(hotTables, 8, hotCap = 100).collect().toSet
+    val unrouted = Dedup.qSpanDedup(hotTables, 8, hotCap = Int.MaxValue).collect().toSet
+    assert(capped == unrouted, "routing must not change results")
+    // and both match the obvious expectation: every doc but the first
+    // convicts on exactly the one shared span, partner = doc 0
+    assert(capped.size == 9999)
+    assert(capped.forall(r => r.getLong(1) == 1L && r.getLong(2) == 0L))
+  }
+
+  test("span index: oversized batch drops the broadcast but keeps the bucket prune and results") {
+    import spark.implicits._
+    import graft.operators.SpanIndex
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx-gate").toString + "/idx"
+    val corpus = tables.documents.select("doc_id", "text")
+    SpanIndex.build(corpus.filter(col("doc_id") < 250), dir)
+    val doc5 = corpus.filter($"doc_id" === 5L).as[(Long, String)].collect().head
+    val fresh = (1 to 40).map(i => s"gatefresh$i").mkString(" ")
+    val batch = Seq((910000L, doc5._2), (910001L, fresh)).toDF("doc_id", "text")
+    val viaBroadcast = SpanIndex.checkBatch(spark, dir, batch).collect().toSet
+    // maxBroadcastRows = 0 forces the shuffle-join fallback
+    val gated = SpanIndex.checkBatch(spark, dir, batch, maxBroadcastRows = 0L)
+    assert(gated.collect().toSet == viaBroadcast,
+      "the non-broadcast path must return identical convictions")
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("span_bucket"),
+      "bucket pruning must not depend on the broadcast hint: " + plan.take(800))
+  }
+
   test("cross-source matrix counts distinct shared spans per source pair") {
     val m = Dedup.qCrossSourceOverlap(tinyTables).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
