@@ -91,6 +91,14 @@ object SparkEntry {
     }),
     "span_idx" -> ((s, d) => {
       graft.operators.SpanIndex.corpusIndexDir(t(s, d)); ()
+    }),
+    // the memoized n-gram candidate-pair table + CC label build every
+    // near-dup roster query rides (qDupClusters/qDedupNear/
+    // qDedupKeepBest/qLeakageSafeSplit): one corpus-level build, four
+    // consumers — timing it inside whichever roster query ran first
+    // mis-attributed ~9% of the whole bench to a 0.2 s-class query
+    "ngram_cc" -> ((s, d) => {
+      graft.operators.Dedup.corpusDupLabels(t(s, d)).count(); ()
     }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
