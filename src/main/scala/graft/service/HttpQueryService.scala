@@ -78,7 +78,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * (own SQL conf + temp views; catalog definitions shared through the
   * service registry) — one client's `SET x` never changes another's
   * live results. Headerless requests share the default session. At
-  * most `maxSessions` distinct ids (excess refused with 400).
+  * most `maxSessions` distinct ids (excess refused with 400); when a
+  * token is configured, CREATING a new id requires it (slot
+  * exhaustion by throwaway headers is a mutation-grade act), while
+  * requests against an existing id keep the endpoint's own auth
+  * level. /drop-session releases the session's /cache entries from
+  * the shared CacheManager along with the slot.
+  *
+  * Observability exposure: /metrics (uptime, in-flight, live session
+  * COUNT, per-endpoint counters — no ids, no SQL text) follows
+  * `authReads`, like /sessions (which lists actual ids) and
+  * /cachestats: open on a default service, token-gated when the
+  * operator locks reads down. Deployments that want open health
+  * probes with locked reads should front /metrics with their proxy.
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
     maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
@@ -150,15 +162,26 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         // size 31 and all breach the documented hard bound
         val existing = sessions.get(id)
         if (existing != null) existing
-        else sessionCreateLock.synchronized {
-          sessions.computeIfAbsent(id, _ => {
-            require(sessions.size < maxSessions,
-              s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
-            val s = service.newIsolated()
-            // isolated caches honor the same driver-side collect bound
-            if (s.results.cap > maxRows) s.results.cap = maxRows
-            s
-          })
+        else {
+          // CREATING a session id is mutation-grade when a token is
+          // configured: ids are client-chosen and slots are bounded,
+          // so an unauthenticated client could otherwise fill all
+          // maxSessions slots with throwaway headers and turn every
+          // legitimate new-session request into a 400 until an
+          // operator /drop-session. Using an EXISTING id stays at the
+          // endpoint's own auth level; with no token configured (dev
+          // posture) nothing changes.
+          requireAuth(exchange)
+          sessionCreateLock.synchronized {
+            sessions.computeIfAbsent(id, _ => {
+              require(sessions.size < maxSessions,
+                s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
+              val s = service.newIsolated()
+              // isolated caches honor the same driver-side collect bound
+              if (s.results.cap > maxRows) s.results.cap = maxRows
+              s
+            })
+          }
         }
     }
 
@@ -444,11 +467,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   })
   // free an X-Graft-Session slot (ids are bounded; long-lived services
   // need a way to retire one). The SparkSession itself is just session
-  // state over the shared context — dropping the reference releases it.
+  // state over the shared context and dropping the reference releases
+  // it — but tables the session cached via /cache live in the
+  // SparkContext-SHARED CacheManager and would survive the drop, so
+  // they are uncached explicitly (a cache/drop/recreate cycle must
+  // not accumulate persisted plans the endpoint claims to free).
   server.createContext("/drop-session", postMut { body =>
     val id = text(body, "id")
-    val existed = sessions.remove(id) != null
-    s"""{"dropped":${quote(id)},"existed":$existed}"""
+    val svc = sessions.remove(id)
+    if (svc != null) svc.releaseCaches()
+    s"""{"dropped":${quote(id)},"existed":${svc != null}}"""
   })
   // which ids hold the bounded slots — what an operator reads before
   // deciding which one to /drop-session

@@ -216,10 +216,36 @@ final class QueryService(val spark: SparkSession,
   /** Cache a named table/result by catalog name (survives view
     * re-registration, unlike plan-keyed df.persist).
     */
-  def cache(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =
+  def cache(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
     catalog.cacheTable(name, level)
+    cachedNames.add(name)
+    ()
+  }
 
-  def uncache(name: String): Unit = catalog.uncacheTable(name)
+  def uncache(name: String): Unit = {
+    catalog.uncacheTable(name)
+    cachedNames.remove(name)
+    ()
+  }
+
+  // names THIS service cached: cached plans live in the SparkContext-
+  // shared CacheManager and outlive the session object, so dropping a
+  // session must release them explicitly or a cache/drop/recreate
+  // cycle accumulates persisted plans forever
+  private val cachedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Release every cache this service created (called by the HTTP
+    * layer's /drop-session). Best-effort per name: a view dropped
+    * since caching must not block releasing the rest.
+    */
+  def releaseCaches(): Unit = {
+    cachedNames.forEach { n =>
+      try catalog.uncacheTable(n)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    cachedNames.clear()
+  }
 
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq

@@ -1107,21 +1107,28 @@ object SqlDml {
         // wholesale would surface the verbose wrapper, not the guard.
         val tagged = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
           .map(t => Option(t.getMessage).getOrElse(""))
-          .filter(m => m.contains(CardinalityTag) || m.contains(NullKeyMsg))
+          .filter(m => m.contains(CardinalityTag) || m.contains(NullKeyTag))
           .toSeq
         tagged.lastOption.foreach { m =>
-          val at = math.max(m.indexOf(CardinalityTag), m.indexOf("MERGE: NULL"))
+          // NullKeyTag (the shared constant), not a re-typed literal:
+          // a reworded NullKeyMsg must not desync the filter above
+          // from this extraction and turn the handler into a
+          // StringIndexOutOfBoundsException
+          val at = math.max(m.indexOf(CardinalityTag), m.indexOf(NullKeyTag))
           // guard messages are single-line by construction — cut before
           // any wrapper continuation (stack frames on following lines)
-          fail(m.substring(at).takeWhile(_ != '\n'))
+          if (at >= 0) fail(m.substring(at).takeWhile(_ != '\n'))
         }
         throw e
     }
   }
 
   private val CardinalityTag = "MERGE cardinality:"
+  // the stable extraction prefix of NullKeyMsg — filter and indexOf
+  // both key on it, so rewording the message tail can't desync them
+  private val NullKeyTag = "MERGE: NULL merge key"
   private val NullKeyMsg =
-    "MERGE: NULL merge key — a keyed upsert cannot represent a NULL-key " +
+    NullKeyTag + " — a keyed upsert cannot represent a NULL-key " +
       "change (NULL never equi-matches); filter NULL keys from the source " +
       "or de-NULL them before merging"
 

@@ -992,18 +992,39 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         val bloomNames = bloomCols.map(_._1)
         val ndvNames = ndvCols.map(_._1)
         aggDf.rdd.mapPartitions { it =>
+          // tmp + ATOMIC_MOVE, the manifest's write discipline: a
+          // speculative/killed duplicate attempt dying mid-write after
+          // the survivor finished must not leave a torn sidecar at the
+          // final name (plain create+truncate Files.write could).
+          // Racing attempts write identical bytes (the agg is
+          // deterministic per file), so whichever move lands last is
+          // byte-equal; REPLACE_EXISTING keeps the replay idempotent.
+          def put(target: java.nio.file.Path, blob: Array[Byte]): Unit = {
+            val tmp = target.resolveSibling(
+              s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+            Files.write(tmp, blob)
+            try Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.move(tmp, target,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+            ()
+          }
           it.map { r =>
             val uri = r.getString(0)
             val name = uri.substring(uri.lastIndexOf('/') + 1)
             bloomNames.zipWithIndex.foreach { case (c, j) =>
               val blob = r.getAs[Array[Byte]](nScalar + j)
               if (blob != null)
-                Files.write(Paths.get(tableDir, sub, s"$name.bloom-$c"), blob)
+                put(Paths.get(tableDir, sub, s"$name.bloom-$c"), blob)
             }
             ndvNames.zipWithIndex.foreach { case (c, j) =>
               val blob = r.getAs[Array[Byte]](nScalar + bloomNames.size + j)
               if (blob != null)
-                Files.write(Paths.get(tableDir, sub, s"$name.ndv-$c"), blob)
+                put(Paths.get(tableDir, sub, s"$name.ndv-$c"), blob)
             }
             Row.fromSeq(r.toSeq.take(nScalar))
           }

@@ -809,8 +809,73 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
           URI.create(s"http://127.0.0.1:${locked.boundPort}/tables")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(tables.statusCode == 401, tables.body)
+      // /metrics follows authReads like /sessions and /cachestats —
+      // the documented observability-exposure decision: session count
+      // and per-endpoint counters are information an operator who
+      // locked reads down chose not to serve anonymously
+      def metrics(token: Option[String]) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${locked.boundPort}/metrics")).GET()
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(metrics(None).statusCode == 401)
+      val m = metrics(Some("sesame"))
+      assert(m.statusCode == 200 && m.body.contains("\"sessions\""), m.body)
       // the emergency lever stays open
       assert(send("/cancel", """{"tag":"nope"}""", None).statusCode == 200)
     } finally locked.stop()
+  }
+
+  test("creating a session id is token-gated when a token is configured; existing ids are not") {
+    // authReads = false: reads are open — but a FRESH client-chosen
+    // session id claims one of the bounded slots, so creation demands
+    // the token (otherwise any local client could fill all slots with
+    // throwaway X-Graft-Session headers and 400 every legitimate one)
+    val locked = new HttpQueryService(new QueryService(spark.newSession()),
+      port = 0, authToken = Some("sesame")).start()
+    try {
+      def sqlAs(sess: String, token: Option[String]): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${locked.boundPort}/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"SELECT 1 AS one"}"""))
+          .header("X-Graft-Session", sess)
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(sqlAs("slotgrab", None).statusCode == 401,
+        "an unauthenticated read must not create a new session id")
+      assert(sqlAs("slotgrab", Some("sesame")).statusCode == 200)
+      // the id now exists: reads through it stay open (authReads off)
+      assert(sqlAs("slotgrab", None).statusCode == 200)
+    } finally locked.stop()
+  }
+
+  test("dropping a session releases the tables it cached") {
+    // unit surface: releaseCaches frees the shared CacheManager
+    // entries this session created
+    val iso = service.newIsolated()
+    iso.spark.sql("SELECT 11 AS x").createOrReplaceTempView("rel_cache_v")
+    iso.cache("rel_cache_v")
+    assert(iso.spark.catalog.isCached("rel_cache_v"))
+    iso.releaseCaches()
+    assert(!iso.spark.catalog.isCached("rel_cache_v"),
+      "releaseCaches must uncache what the session cached")
+    // wire surface: /cache inside a session, /drop-session, then the
+    // same id re-creates and re-caches cleanly (the drop released the
+    // old entry rather than stacking a new persisted plan on it)
+    def as(sess: String, path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${http.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("X-Graft-Session", sess).build(),
+        HttpResponse.BodyHandlers.ofString())
+    assert(as("cz", "/submit",
+      """{"name":"drop_cache_v","query":"SELECT 7 AS seven"}""").statusCode == 200)
+    assert(as("cz", "/cache", """{"name":"drop_cache_v"}""").statusCode == 200)
+    assert(post("/drop-session", """{"id":"cz"}""").statusCode == 200)
+    assert(as("cz", "/cache", """{"name":"drop_cache_v"}""").statusCode == 200)
+    assert(post("/drop-session", """{"id":"cz"}""").statusCode == 200)
   }
 }
