@@ -26,20 +26,21 @@ import graft.operators.Merge
   *     _graft_log/_last_checkpoint   advisory pointer to the newest one
   *     files-<uuid>/part-*.parquet immutable data files
   *
-  * A version is committed by writing its manifest to a temp name and
-  * claiming `v{n+1}.json` with `Files.createLink` — link(2) fails
-  * EEXIST atomically at the filesystem level, so two writers can never
+  * A version is committed by an atomic put-if-absent of `v{n+1}.json`
+  * through the pluggable [[CommitStore]], so two writers can never
   * both commit version n+1 (optimistic concurrency; the loser's data
   * files are cleaned up and it retries on a fresh snapshot). Data
   * files land before the commit and are invisible until the manifest
   * does, so readers always see a complete snapshot: reads resolve a
-  * version's fixed file list, never a directory listing. On
-  * filesystems without hard links the claim falls back to a mkdir(2)
-  * lock directory — also an atomic put-if-absent — because the JDK's
-  * rename path is check-then-rename and a verify-after-rename scheme
-  * can only detect some lost commits, not prevent them. (On
-  * HDFS/object stores the store's own rename/conditional-put provides
-  * the atomic claim.)
+  * version's fixed file list, never a directory listing. The default
+  * store claims with `Files.createLink` — link(2) fails EEXIST
+  * atomically at the filesystem level — falling back to a mkdir(2)
+  * lock directory on linkless filesystems (the JDK's rename path is
+  * check-then-rename, and a verify-after-rename scheme can only
+  * detect some lost commits, not prevent them). On object stores the
+  * claim is the store's conditional PUT (`If-None-Match: *` /
+  * `ifGenerationMatch=0`) via [[CommitStore.ConditionalPut]] — never
+  * an assumed-atomic rename.
   *
   * Every commit written through `commitData` records per-file min/max
   * for each atomic column (harvested with one column-pruned pass over
@@ -1168,53 +1169,27 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       fileList.foreach(f => stats.get(f).foreach { s => sn.set[JsonNode](f, s); () })
     }
     Files.createDirectories(logDir)
-    val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    val target = manifestPath(v)
-    try {
-      try {
-        if (assumeLinkless) throw new UnsupportedOperationException("test-forced")
-        Files.createLink(target, tmp) // link(2): fails EEXIST atomically
-      } catch {
-        case _: UnsupportedOperationException =>
-          // linkless-filesystem fallback: claim via mkdir(2), which
-          // fails EEXIST atomically on every POSIX filesystem. (A
-          // verify-after-rename scheme can only DETECT some lost
-          // commits — two racers can both rename and both re-read
-          // their own bytes; a claim must be an atomic put-if-absent.)
-          // The claim dir serializes the window before the manifest
-          // exists; once it does, late arrivals fail the existence
-          // check below. A writer that crashes mid-claim leaves a
-          // stale .claim dir blocking its version — surfaced in the
-          // conflict message for recovery, the standard lock-dir
-          // trade-off.
-          val claim = logDir.resolve(f"v$v%08d.claim")
-          try Files.createDirectory(claim)
-          catch {
-            case e: FileAlreadyExistsException =>
-              throw new java.util.ConcurrentModificationException(
-                s"commit conflict: version $v of $dir is being claimed by another " +
-                  s"writer (if that writer crashed, remove $claim to recover)", e)
-          }
-          try {
-            if (Files.exists(target))
-              throw new java.util.ConcurrentModificationException(
-                s"commit conflict: version $v of $dir was claimed by another writer")
-            Files.move(tmp, target)
-          } finally { Files.deleteIfExists(claim); () }
-      }
-      // advisory metadata (checkpoint, pointers) must never turn a
-      // durably claimed commit into a caller-visible failure — a
-      // retry would double-write the data
-      try afterClaim(v, node)
-      catch { case NonFatal(_) => () }
-      v
-    } catch {
-      case e: FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"commit conflict: version $v of $dir was claimed by another writer", e)
-    } finally Files.deleteIfExists(tmp)
+    // the claim itself is delegated to the pluggable CommitStore: the
+    // default is POSIX link/mkdir put-if-absent; an object-store
+    // deployment swaps in a conditional-PUT store instead of silently
+    // assuming atomic rename (see CommitStore's scaladoc)
+    commitStore.putIfAbsent(manifestPath(v), mapper.writeValueAsBytes(node),
+      s"version $v of $dir")
+    // advisory metadata (checkpoint, pointers) must never turn a
+    // durably claimed commit into a caller-visible failure — a
+    // retry would double-write the data
+    try afterClaim(v, node)
+    catch { case NonFatal(_) => () }
+    v
   }
+
+  /** Storage primitive for the manifest claim (see [[CommitStore]]);
+    * `private[graft] var` so the spec can race commits through a
+    * simulated no-atomic-rename store, and an embedding deployment
+    * can install a real conditional-put implementation.
+    */
+  private[graft] var commitStore: CommitStore =
+    new CommitStore.AtomicRename(() => assumeLinkless)
 
   // test hook: tmpfs/ext4 all support link(2), so the linkless claim
   // path is otherwise unreachable under test

@@ -121,6 +121,59 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.append(Seq((2L, "b")).toDF("id", "name")) == 3)
   }
 
+  test("conditional-put store: OCC holds with no atomic rename anywhere") {
+    import spark.implicits._
+    // the object-store shape — the claim is a simulated server-side
+    // If-None-Match precondition; no link(2), no rename, no mkdir.
+    // The same store instance backs every handle (one "bucket").
+    val dir = tmp()
+    val store = graft.sources.CommitStore.simulatedConditionalPut()
+    def handle(): VersionedTable = {
+      val t = VersionedTable(spark, dir)
+      t.commitStore = store
+      t
+    }
+    val t = handle()
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // two-writer race on version 2: exactly one manifest lands
+    val winner = handle()
+    winner.commit(2, "append", Seq.empty)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(2, "append", Seq.empty)
+    }
+    assert(handle().currentVersion == 2)
+    // the loser retries on a fresh snapshot and lands at v3
+    assert(t.append(Seq((2L, "b")).toDF("id", "name")) == 3)
+    // a genuinely concurrent stampede: 8 writers claim version 4,
+    // exactly one conditional put succeeds
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val losses = new java.util.concurrent.atomic.AtomicInteger
+    (0 until 8).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try { handle().commit(4, "append", Seq.empty); wins.incrementAndGet(); () }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              losses.incrementAndGet(); ()
+          }
+      })
+    }.foreach(_.get())
+    pool.shutdown()
+    assert(wins.get() == 1 && losses.get() == 7, s"${wins.get()} wins")
+    // a lost DATA commit through this store still cleans its files up
+    val stale = handle()
+    handle().commit(5, "append", Seq.empty, """{"type":"struct","fields":[]}""")
+    intercept[java.util.ConcurrentModificationException] {
+      stale.commitData(5, "append", Seq((9L, "lost")).toDF("id", "name"), Seq.empty)
+    }
+    stale.append(Seq((3L, "c")).toDF("id", "name"))
+    import scala.jdk.CollectionConverters._
+    val dataDirs = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("files-")).toSeq
+    assert(dataDirs.size == 3, s"orphaned data dirs: $dataDirs")
+  }
+
   test("reopening the table sees the committed log; Catalog serves it") {
     import spark.implicits._
     val dir = tmp()
