@@ -287,11 +287,15 @@ object SparkEntry {
     * q_media_features, q_image_features,
     * q_frame_sample, q_audio_features, q_approx_distinct,
     * q_hll_sketch, q_percentile_approx,
-    * q_bpe_tokens, q_dedup_ingest, q_semdedup — are rows-only BY
+    * q_bpe_tokens, q_semdedup — are rows-only BY
     * DESIGN: their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
     * instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet; OracleContractSpec enforces it.)
+    * q_dedup_ingest IS oracled, as a decision replay: the signature
+    * function isn't SQL, but given the exported band tables
+    * (DedupIndex.OracleExportDir) the banding join, pair dedup,
+    * estimator, and threshold all are.
     */
   /** The shingle table (d + s CTE bodies, no WITH prefix) — ONE text
     * shared by the decontamination, n-gram-jaccard, and dup-cluster
@@ -1216,6 +1220,27 @@ object SparkEntry {
         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
         |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // LSH ingest decision replay: Verify's q_dedup_ingest run exports
+    // both halves' band tables to a fixed path (DedupIndex.
+    // OracleExportDir) BEFORE the gate runs this SQL on the same
+    // host; the oracle independently re-derives the accepted decision
+    // set — band equi-join, pair dedup, slot-match estimator at
+    // numHashes=64, threshold 0.5 — from those signatures. The
+    // estimator round matches Rnd.round's floor(x*100+0.5)/100.
+    "q_dedup_ingest" ->
+      """WITH cand AS (
+        |  SELECT DISTINCT y.doc_id AS doc_id, x.doc_id AS dup_of,
+        |         x.sig AS sig_x, y.sig AS sig_y
+        |  FROM read_parquet('/tmp/graft_dedup_ingest_bands/indexed/*.parquet') x
+        |  JOIN read_parquet('/tmp/graft_dedup_ingest_bands/probe/*.parquet') y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |   AND x.doc_id <> y.doc_id
+        |)
+        |SELECT doc_id, dup_of,
+        |  floor((len(list_filter(range(1, 65), i -> sig_x[i] = sig_y[i])) / 64.0) * 100 + 0.5) / 100 AS est_jaccard
+        |FROM cand
+        |WHERE floor((len(list_filter(range(1, 65), i -> sig_x[i] = sig_y[i])) / 64.0) * 100 + 0.5) / 100 >= 0.5
+        |ORDER BY doc_id, dup_of""".stripMargin,
     // verbatim-span dedup: 8-token spans (the Spark side joins 8-byte
     // span hashes, the oracle joins the span strings — doc-level
     // outputs agree modulo 2^64 hash collisions, same accepted

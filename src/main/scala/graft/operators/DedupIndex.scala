@@ -134,25 +134,56 @@ object DedupIndex {
   private case class Key(session: Int, sfDir: String)
   private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
 
-  /** Contract query (rows-only — minhash isn't SQL-expressible):
-    * index the even-doc_id half of the corpus on disk, then ingest
-    * the odd half as a batch and report every near-dup it has against
-    * the indexed half. Index build memoized per (session, corpus).
+  /** Fixed export location of the contract query's band tables, read
+    * back by the DuckDB oracle's decision replay (see
+    * SparkEntry.oracleSql("q_dedup_ingest")). A STATIC path because
+    * oracle SQL is static text: Verify runs the query (which exports
+    * here) before the gate runs the SQL, on the same host — the same
+    * ordering contract the gate's own output-parquet compare relies
+    * on. Overwritten per run.
     */
+  val OracleExportDir = "/tmp/graft_dedup_ingest_bands"
+
   /** The contract query's memoized even-half index — exposed so the
     * bench can warm the BUILD at the target corpus and report it under
     * `index_build`, leaving the timed query to measure the probe path
-    * (the correctness gate still runs build+probe cold).
+    * (the correctness gate still runs build+probe cold). The build
+    * also exports both halves' band tables (doc_id, sig, band,
+    * band_hash) to [[OracleExportDir]]: given the signatures, the
+    * banding join, pair dedup, estimator, and threshold are plain
+    * SQL, so the ingest DECISION set is fully DuckDB-replayable even
+    * though the signature function itself (xxhash64 minhash) is not
+    * SQL-expressible.
     */
   def corpusIndexDir(t: graft.sources.Tables): String =
     built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
       val d = graft.util.TempDirs.createWithCleanup("graft-dedup-idx")
-      build(t.documents.select("doc_id", "text")
-          .filter(col("doc_id") % 2 === 0), d,
-        Params(numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5))
+      val docs = t.documents.select("doc_id", "text")
+      val p = Params(numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+      build(docs.filter(col("doc_id") % 2 === 0), d, p)
+      // oracle replay export: the indexed side is a cheap column copy
+      // of the band table just built; the probe side is the odd half's
+      // bands (the same rows checkBatch will recompute at probe time)
+      t.spark.read.parquet(s"$d/bands")
+        .select("doc_id", "sig", "band", "band_hash")
+        .write.mode(SaveMode.Overwrite).parquet(s"$OracleExportDir/indexed")
+      Dedup.bandTable(docs.filter(col("doc_id") % 2 === 1),
+          p.numHashes, p.bands, p.shingleSize)
+        .select("doc_id", "sig", "band", "band_hash")
+        .write.mode(SaveMode.Overwrite).parquet(s"$OracleExportDir/probe")
       d
     }
 
+  /** Contract query — DuckDB-oracled as a DECISION REPLAY: the oracle
+    * re-derives every (batch doc, indexed partner, est_jaccard) from
+    * the exported band tables in plain SQL (band equi-join, pair
+    * dedup, slot-match estimator, threshold) and must reproduce this
+    * output exactly. The signatures themselves are Spark-computed
+    * inputs to both sides — MinHashSpec property-tests the estimator;
+    * the oracle proves everything downstream of it. Index the
+    * even-doc_id half of the corpus on disk, ingest the odd half as a
+    * batch, report every near-dup it has against the indexed half.
+    */
   def qDedupIngest(t: graft.sources.Tables): DataFrame = {
     val dir = corpusIndexDir(t)
     checkBatch(t.spark, dir, t.documents.select("doc_id", "text")

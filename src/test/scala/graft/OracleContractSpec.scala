@@ -16,7 +16,7 @@ class OracleContractSpec extends AnyFunSuite {
     "q_media_features", "q_image_features",
     "q_frame_sample", "q_audio_features", "q_approx_distinct",
     "q_hll_sketch", "q_percentile_approx",
-    "q_bpe_tokens", "q_pack_bpe", "q_dedup_ingest", "q_semdedup")
+    "q_bpe_tokens", "q_pack_bpe", "q_semdedup")
 
   test("every query is oracled unless declared rows-only by design") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
