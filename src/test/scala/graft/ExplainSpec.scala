@@ -156,6 +156,27 @@ class ExplainSpec extends SparkSpecBase {
       s"no derived quantity bound at the scan:\n${plan.take(1200)}")
   }
 
+  test("keep-first windows plan as map-side WindowGroupLimit, not full-list windows") {
+    // every rank-filtered keep-first/top-k window in the dedup and
+    // curation paths must take Spark's WindowGroupLimit rewrite with a
+    // Partial (pre-shuffle) stage: a hot key — a boilerplate line in
+    // line-dedup, a mega-duplicated content hash in curation, a
+    // stopword token in bm25 — then contributes at most k rows per map
+    // task to the shuffle instead of its whole posting list to one
+    // window partition. (qSpanDedup's aggregate window is NOT eligible
+    // for this rewrite, which is why it routes hot spans explicitly —
+    // see Dedup.routedSpans.)
+    for ((name, df) <- Seq(
+        "line_dedup" -> Dedup.qLineDedup(tables),
+        "curate" -> graft.operators.Curate.qCurate(tables),
+        "bm25" -> graft.operators.TextAnalysis.qBm25(tables),
+        "group_sample" -> graft.operators.Decontam.qGroupSample(tables))) {
+      val plan = planOf(df)
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"$name lost the map-side group-limit rewrite:\n${plan.take(1200)}")
+    }
+  }
+
   test("custom expressions stay inside codegen (no eval fallback marker)") {
     val df = tables.embeddings.select(
       graft.functions.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
