@@ -54,7 +54,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * run SQL and register sources. With a token configured, every
   * MUTATING surface requires `Authorization: Bearer <token>`: the
   * mutation routes (/delete, /update, /apply, /rename, /drop-column,
-  * /restore, /register, /submit, /cache, /uncache) AND any /sql or
+  * /add-column, /restore, /register, /submit, /cache, /uncache) AND any /sql or
   * async /query statement whose leading verb can write (MERGE /
   * UPDATE / DELETE / INSERT / CREATE / DROP / SET / ... — see
   * [[SqlDml.isMutation]]; unknown verbs classify as mutations so
@@ -398,6 +398,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/drop-column", gatedMut { body =>
     val v = service.dropTableColumn(text(body, "path"), text(body, "column"))
     s"""{"dropped_as_version":$v}"""
+  })
+  server.createContext("/add-column", gatedMut { body =>
+    val v = service.addTableColumn(text(body, "path"),
+      text(body, "column"), text(body, "type"))
+    s"""{"added_as_version":$v}"""
   })
   server.createContext("/restore", gatedMut { body =>
     require(body.has("version"), "missing field: version")

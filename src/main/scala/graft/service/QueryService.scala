@@ -309,6 +309,14 @@ final class QueryService(val spark: SparkSession,
   def dropTableColumn(dir: String, name: String): Int =
     graft.sources.VersionedTable(spark, dir).dropColumn(name)
 
+  /** Add a nullable column to a versioned table (metadata-only
+    * commit; existing rows read NULL). `typeDdl` is a Spark DDL type
+    * string ("int", "decimal(10,2)", …).
+    */
+  def addTableColumn(dir: String, name: String, typeDdl: String): Int =
+    graft.sources.VersionedTable(spark, dir).addColumn(name,
+      org.apache.spark.sql.types.DataType.fromDDL(typeDdl))
+
   /** Row-level change feed of a versioned table in `(since, until]`
     * (until = -1 reads to the current version). Throws the table's
     * typed ResyncRequired when the window can't be answered — surfaced

@@ -3,7 +3,7 @@ package graft.service
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
 
 import graft.plans.VTableRelation
 import graft.sources.VersionedTable
@@ -68,6 +68,11 @@ import graft.sources.VersionedTable
   *     with NULL for unlisted columns; values store-assign via cast.
   *   - `DESCRIBE HISTORY t` / `DESCRIBE HISTORY '/path'` →
   *     [[VersionedTable.history]]
+  *   - `ALTER TABLE t ADD COLUMN[S] c TYPE[, …]` →
+  *     [[VersionedTable.addColumn]]; `RENAME COLUMN a TO b` →
+  *     [[VersionedTable.renameColumn]]; `DROP COLUMN[S] [IF EXISTS]
+  *     c[, …]` → [[VersionedTable.dropColumn]] — all metadata-only
+  *     commits; other ALTER forms fall through to Spark
   *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
   *     [[VersionedTable.vacuum]] (result = files freed);
   *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
@@ -372,6 +377,7 @@ object SqlDml {
       case "DESCRIBE" => describeHistory(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
+      case "ALTER" => alterTable(spark, query, onCommit)
       case _ => None
     }
   }
@@ -386,7 +392,8 @@ object SqlDml {
     val verb = effectiveVerb(query)
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
       verb == "DELETE" || verb == "INSERT" ||
-      verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE"
+      verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE" ||
+      verb == "ALTER"
   }
 
   /** `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...` for sessions
@@ -744,6 +751,115 @@ object SqlDml {
           VersionedTable(spark, dir).scan().createOrReplaceTempView(name)
       }
     }
+
+  // ---- ALTER TABLE schema evolution --------------------------------
+
+  /** `ALTER TABLE t ADD|RENAME|DROP COLUMN …` against a registered
+    * vtable view (or a backtick-quoted table path) routes to the
+    * table's metadata-only schema-evolution commits:
+    *
+    *   - `ADD COLUMN[S] c TYPE[, …]` → [[VersionedTable.addColumn]]
+    *     (nullable by construction; FIRST/AFTER, DEFAULT, NOT NULL
+    *     and nested paths are refused loudly — the vtable appends
+    *     columns and has no defaults)
+    *   - `RENAME COLUMN a TO b` → [[VersionedTable.renameColumn]]
+    *     (column mapping; data untouched)
+    *   - `DROP COLUMN[S] [IF EXISTS] c[, …]` →
+    *     [[VersionedTable.dropColumn]] (storage retired; IF EXISTS
+    *     skips absent names)
+    *
+    * Any other ALTER form, or a non-vtable target, returns None and
+    * falls through to `spark.sql` so Spark's native surface (catalog
+    * tables, error messages) is preserved. Results are the committed
+    * version, one commit per column for the multi-column forms.
+    */
+  private[service] def alterTable(spark: org.apache.spark.sql.SparkSession,
+      query: String, onCommit: () => Unit): Option[DataFrame] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None // let spark.sql raise the parse error itself
+      }
+    alterPlan(spark, plan, onCommit)
+  }
+
+  /** Dispatch an ALREADY-PARSED ALTER tree (the injected parser hands
+    * its delegate's output here, mirroring [[dmlPlan]]).
+    */
+  private[service] def alterPlan(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan, onCommit: () => Unit): Option[DataFrame] = plan match {
+    case a: AddColumns =>
+      alterDir(spark, a.table).map { dir =>
+        val cols = a.columnsToAdd.map { c =>
+          if (c.path.nonEmpty) fail(
+            "ALTER TABLE ADD COLUMN: nested field paths are not supported on a vtable")
+          if (!c.nullable) fail(
+            "ALTER TABLE ADD COLUMN: a column added over existing rows must be " +
+              "nullable (every existing row reads NULL for it)")
+          if (c.position.nonEmpty) fail(
+            "ALTER TABLE ADD COLUMN: FIRST/AFTER is not supported (columns append)")
+          if (c.default.nonEmpty) fail(
+            "ALTER TABLE ADD COLUMN: DEFAULT is not supported on a vtable")
+          (c.colName, c.dataType)
+        }
+        commit(spark, onCommit, dir) { vt =>
+          cols.map { case (n, dt) => vt.addColumn(n, dt) }.last
+        }
+      }
+    case r: RenameColumn =>
+      alterDir(spark, r.table).map { dir =>
+        if (r.column.name.length != 1) fail(
+          "ALTER TABLE RENAME COLUMN: nested field paths are not supported on a vtable")
+        commit(spark, onCommit, dir)(_.renameColumn(r.column.name.head, r.newName))
+      }
+    case d: DropColumns =>
+      alterDir(spark, d.table).map { dir =>
+        val names = d.columnsToDrop.map { f =>
+          if (f.name.length != 1) fail(
+            "ALTER TABLE DROP COLUMN: nested field paths are not supported on a vtable")
+          f.name.head
+        }
+        commit(spark, onCommit, dir) { vt =>
+          val present = vt.scan().schema.fieldNames.toSet
+          val missing = names.filterNot(present)
+          if (missing.nonEmpty && !d.ifExists) fail(
+            s"ALTER TABLE DROP COLUMN: no column `${missing.head}` " +
+              s"in (${present.toSeq.sorted.mkString(", ")}) — use IF EXISTS to skip")
+          val acting = names.filter(present)
+          if (acting.isEmpty) vt.currentVersion // IF EXISTS, all absent: no-op
+          else acting.map(vt.dropColumn).last
+        }
+      }
+    case _ => None // other ALTER forms: Spark's own statement surface
+  }
+
+  /** An ALTER tree this dispatcher would handle (parse-time probe for
+    * the injected parser, mirroring [[isVTableDml]]).
+    */
+  private[service] def isVTableAlter(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case a: AddColumns   => alterDir(spark, a.table).isDefined
+    case r: RenameColumn => alterDir(spark, r.table).isDefined
+    case d: DropColumns  => alterDir(spark, d.table).isDefined
+    case _ => false
+  }
+
+  /** ALTER target → table dir: a single-part name registered as a
+    * bare vtable view, or a quoted absolute path that IS a versioned
+    * table (`ALTER TABLE ` + "`/data/t`" + ` …`) — never a name that
+    * merely looks path-like without a commit log.
+    */
+  private def alterDir(spark: org.apache.spark.sql.SparkSession,
+      tbl: LogicalPlan): Option[String] = tbl match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if u.multipartIdentifier.length == 1 =>
+      val n = u.multipartIdentifier.head
+      resolveVTable(spark, n).map(_._1).orElse(
+        Some(n).filter(s => s.startsWith("/") &&
+          java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s, "_graft_log"))))
+    case _ => None
+  }
 
   // ---- target resolution -------------------------------------------
 

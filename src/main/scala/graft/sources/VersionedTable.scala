@@ -1539,6 +1539,35 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     -1 // unreachable
   }
 
+  /** Add a nullable column — a METADATA-ONLY commit (op `addcol`):
+    * the schema gains the field, no data file is touched, and every
+    * existing row reads NULL for it (the same missing-column scan
+    * semantics [[appendEvolve]]'s carried files rely on). Re-adding a
+    * previously DROPPED name gets fresh physical storage via the
+    * retired-name bookkeeping, so old files can never resurrect the
+    * dropped values. The column arrives nullable by construction —
+    * a NOT NULL column over existing rows would be instantly false.
+    */
+  def addColumn(name: String, dt: DataType): Int = retryingRewrite {
+    val prev = currentVersion
+    require(prev > 0, s"table at $dir has no committed version")
+    val m = manifest(prev)
+    val sNode = m.get("schema")
+    require(sNode != null && DataType.fromJson(sNode.asText())
+        .asInstanceOf[StructType].fields.nonEmpty,
+      s"table at $dir carries no committed schema (raw commits); cannot add")
+    require(name.nonEmpty, "column name must be non-empty")
+    require(name != "_rows", "`_rows` is reserved for the per-file row count")
+    val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
+    require(!st.fieldNames.contains(name),
+      s"column `$name` already exists in (${st.fieldNames.mkString(", ")})")
+    val withNew = StructType(st.fields :+ StructField(name, dt, nullable = true))
+    // inheritMapping keeps existing physical names and assigns the new
+    // column fresh storage if its name is retired (previously dropped)
+    val mapped = inheritMapping(prev + 1, "addcol", withNew)
+    commit(prev + 1, "addcol", manifestFiles(m), mapped.json, manifestStats(m))
+  }
+
   /** Rename a column — a METADATA-ONLY commit (Delta's name-mode
     * column mapping): the new schema carries the column's original
     * PHYSICAL name in field metadata, every data file stays exactly

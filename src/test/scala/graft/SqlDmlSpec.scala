@@ -285,6 +285,52 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(vt.read().count() == 10)
   }
 
+  test("SQL ALTER TABLE evolves the vtable schema: add, rename, drop") {
+    val (svc, vt) = seeded("sqldml-alter", "sqlm_alter")
+    // ADD COLUMN is metadata-only: version commits, no file writes,
+    // every existing row reads NULL, and the view refreshes
+    val r1 = svc.sql("ALTER TABLE sqlm_alter ADD COLUMN note STRING")
+    assert(r1.columns.toSeq == Seq("version") && r1.head().getInt(0) == 2)
+    assert(spark.table("sqlm_alter").columns.toSeq == Seq("k", "v", "note"))
+    assert(spark.table("sqlm_alter").filter(col("note").isNotNull).count() == 0)
+    // the new column is writable through the same SQL surface
+    svc.sql("UPDATE sqlm_alter SET note = 'x' WHERE k = 1").collect()
+    assert(spark.table("sqlm_alter").filter(col("note") === "x").count() == 1)
+    // RENAME COLUMN: column mapping — data travels under the old
+    // physical name, reads speak the new logical one
+    svc.sql("ALTER TABLE sqlm_alter RENAME COLUMN note TO remark").collect()
+    assert(spark.table("sqlm_alter").columns.toSeq == Seq("k", "v", "remark"))
+    assert(spark.table("sqlm_alter").filter(col("remark") === "x").count() == 1)
+    // DROP COLUMN; absent names error without IF EXISTS, no-op with
+    svc.sql("ALTER TABLE sqlm_alter DROP COLUMN remark").collect()
+    assert(spark.table("sqlm_alter").columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException] {
+      svc.sql("ALTER TABLE sqlm_alter DROP COLUMN nope").collect()
+    }
+    svc.sql("ALTER TABLE sqlm_alter DROP COLUMN IF EXISTS nope").collect()
+    // time travel keeps the old shape at old versions
+    assert(vt.read(3).columns.toSeq == Seq("k", "v", "note"))
+    // re-adding the dropped storage's name gets FRESH storage — the
+    // 'x' written above must never resurrect
+    svc.sql("ALTER TABLE sqlm_alter ADD COLUMN note STRING").collect()
+    assert(spark.table("sqlm_alter").filter(col("note").isNotNull).count() == 0)
+    // unsupported clauses refuse loudly instead of committing garbage
+    intercept[IllegalArgumentException] {
+      svc.sql("ALTER TABLE sqlm_alter ADD COLUMN c2 INT NOT NULL").collect()
+    }
+    // the injected parser carries the same surface into plain spark.sql
+    val r2 = spark.sql("ALTER TABLE sqlm_alter ADD COLUMNS (c3 INT, c4 DOUBLE)")
+    assert(r2.columns.toSeq == Seq("version"))
+    assert(spark.table("sqlm_alter").columns.toSeq ==
+      Seq("k", "v", "note", "c3", "c4"))
+    // a non-vtable ALTER target keeps Spark's native error surface
+    spark.range(3).createOrReplaceTempView("sqlm_alter_plainview")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE sqlm_alter_plainview ADD COLUMN x INT").collect()
+    }
+    assert(!e.getMessage.contains("vtable"), e.getMessage)
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF pin the snapshot") {
     val (svc, vt) = seeded("sqldml-tt2", "sqlm_tt2") // v1: 10 rows
     val tsAfterV1 = System.currentTimeMillis()
