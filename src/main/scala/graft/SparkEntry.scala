@@ -214,6 +214,7 @@ object SparkEntry {
     "q_drift" -> ((s, d) => graft.operators.Drift.qDrift(t(s, d))),
     // §2.4 similarity
     "q_ann_bruteforce" -> ((s, d) => Similarity.qAnnBruteforce(t(s, d))),
+    "q_maxsim" -> ((s, d) => Similarity.qMaxSim(t(s, d))),
     "q_hard_negatives" -> ((s, d) => Similarity.qHardNegatives(t(s, d))),
     // rows-only: the hash-embedding is a custom expression
     "q_text_ann" -> ((s, d) => Similarity.qTextAnn(t(s, d))),
@@ -279,6 +280,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.qRepetition(t(s, d))),
     "q_stratified_sample" -> ((s, d) => Decontam.qStratifiedSample(t(s, d))),
     "q_group_sample" -> ((s, d) => Decontam.qGroupSample(t(s, d))),
+    "q_weighted_sample" -> ((s, d) => Decontam.qWeightedSample(t(s, d))),
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
@@ -1343,6 +1345,19 @@ object SparkEntry {
         |      <= 0.2 * greatest(length(a.text), length(b.text))
         |ORDER BY doc_a, doc_b""".stripMargin,
     // §2.4 similarity
+    // MaxSim late interaction: per (label, query-token) max rounds
+    // FIRST (like every cosine oracle), then the rounded maxes sum
+    "q_maxsim" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 4),
+        |m AS (
+        |  SELECT e.label, q.q_id,
+        |    floor(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)) * 100 + 0.5) / 100 AS mx
+        |  FROM embeddings e CROSS JOIN q
+        |  GROUP BY e.label, q.q_id)
+        |SELECT label, floor(sum(mx) * 100 + 0.5) / 100 AS maxsim
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -2072,6 +2087,16 @@ object SparkEntry {
         |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM documents) t
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    // deterministic weighted priority sample: engine-portable integer
+    // uniform, priority = u/weight, bottom-k — pure IEEE division of
+    // integers, identical everywhere
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  floor((((doc_id * 2654435761) % 1000003 + 0.5) / n_chars) * 1000000 + 0.5) / 1000000 AS priority
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
         | floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars

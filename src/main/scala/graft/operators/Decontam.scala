@@ -131,6 +131,30 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Deterministic WEIGHTED sample — priority sampling (Duffield,
+    * Lund & Thorup, JACM 2007) with the uniform derived from the key:
+    * priority = u(doc_id) / weight, keep the k smallest, so a doc's
+    * selection odds scale with its weight (n_chars here; any scalar
+    * quality column drops in). u is engine-portable integer
+    * arithmetic — (doc_id · 2654435761) mod 1000003, the same
+    * convention as the leakage-split assignment — so the sample is
+    * bit-reproducible across engines and runs, the property
+    * TABLESAMPLE can't give (and the priority ordering is a plain
+    * IEEE division of integers, exact-rounded identically
+    * everywhere, unlike a pow/log-based Efraimidis–Spirakis key).
+    * Top-k plans as TakeOrderedAndProject — per-partition heaps, no
+    * corpus-scale total order.
+    */
+  def qWeightedSample(t: Tables, k: Int = 100): DataFrame = {
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) + lit(0.5)
+    t.documents
+      .filter(col("n_chars") > 0) // zero-weight docs can't be drawn
+      .select(col("doc_id"), col("n_chars"),
+        round(u / col("n_chars"), 6).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Bounded per-group sample: exactly k docs per language, chosen by
     * a deterministic pseudo-random order (md5 of the key) — the
     * "inspect k examples per stratum" primitive. One shuffle on the

@@ -120,6 +120,36 @@ object Similarity {
     topK(scoredPairs(t.embeddings, queryIds)
       .filter(col("cos") >= lo && col("cos") < hi), k)
 
+  /** Late-interaction (multi-vector) retrieval scoring — MaxSim
+    * (Khattab & Zaharia, "ColBERT", SIGIR 2020): a query is a SET of
+    * token vectors, a document is a SET of token vectors, and
+    * score(doc) = Σ over query tokens of the max cosine against any
+    * document token — fine-grained term matching dense single-vector
+    * retrieval loses. Here each LABEL's vectors play one multi-vector
+    * document and the first `numQuery` vec_ids play the query tokens.
+    *
+    * Shape: the query set broadcasts (tiny) against ONE corpus scan,
+    * and both stages — the per-(document, query-token) max and the
+    * per-document sum — are hash aggs with map-side combine: no
+    * window, no skew-sensitive key, however large one document's
+    * vector set grows. At 100 TB the same pipeline runs per IVF cell
+    * (probe the coarse quantizer first, MaxSim only the candidate
+    * cells), exactly the qAnnBruteforce→qAnnIvf serve-path step.
+    * Both maxes and the sum round like every cosine oracle here.
+    */
+  def qMaxSim(t: Tables, numQuery: Int = 4): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val q = e.filter(col("vec_id") < numQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .groupBy(col("label"), col("q_id"))
+      .agg(round(max(
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb"))), 2).as("mx"))
+      .groupBy("label")
+      .agg(round(sum("mx"), 2).as("maxsim"))
+      .orderBy("label")
+  }
+
   /** Brute-force cosine top-k for a small query set. Queries broadcast
     * (3 rows); each of n vectors is scored once; row_number over the
     * rounded score gives a deterministic, engine-independent ranking.

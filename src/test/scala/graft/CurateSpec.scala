@@ -22,6 +22,57 @@ class CurateSpec extends SparkSpecBase {
     } finally c.unpersist()
   }
 
+  test("weighted sample is deterministic, weight-biased, and top-k planned") {
+    import org.apache.spark.sql.functions._
+    val s1 = graft.operators.Decontam.qWeightedSample(tables).collect()
+    val s2 = graft.operators.Decontam.qWeightedSample(tables).collect()
+    assert(s1.toSeq == s2.toSeq, "same key function → same sample, every run")
+    assert(s1.length == 100)
+    // priorities arrive sorted ascending with doc_id tie-break
+    val prios = s1.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(prios.sameElements(prios.sorted), "bottom-k by (priority, doc_id)")
+    // weight bias: priority = u/weight, so heavy (long) docs win more
+    // often — the sample's mean length must exceed the corpus mean
+    val sampleAvg = s1.map(_.getLong(1).toDouble).sum / s1.length
+    val corpusAvg = tables.documents.filter(col("n_chars") > 0)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample must skew heavy: sample $sampleAvg vs corpus $corpusAvg")
+    // scale shape: top-k is TakeOrderedAndProject, never a global sort
+    val plan = graft.operators.Decontam.qWeightedSample(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("maxsim: self-containing documents score their own token 1.0; scores bounded") {
+    import org.apache.spark.sql.functions._
+    val res = graft.operators.Similarity.qMaxSim(tables).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val nLabels = tables.embeddings.select("label").distinct().count()
+    assert(res.size == nLabels, "one score per multi-vector document")
+    // each of the 4 query tokens contributes a max cosine in [-1, 1]
+    assert(res.values.forall(v => v >= -4.0 && v <= 4.0 + 1e-9))
+    // a document CONTAINING a query token matches it at cos 1.0, so
+    // its score is at least 1 plus 3 lower-bounded maxes
+    val qLabels = tables.embeddings.filter(col("vec_id") < 4)
+      .select("label").distinct().collect().map(_.getInt(0))
+    qLabels.foreach { l =>
+      assert(res(l) >= 1.0 - 3.0, s"label $l holds a query token: ${res(l)}")
+    }
+    // and the exact self-pair property: per-token max within the
+    // token's own label is 1.0
+    val e = tables.embeddings
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val selfMax = e.join(q, e("label") === q("q_label"))
+      .groupBy("q_id").agg(max(graft.functions.GraftFunctions
+        .cosineSim(col("embedding"), col("q_emb"))).as("mx"))
+      .collect()
+    assert(selfMax.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6),
+      selfMax.mkString(","))
+  }
+
   test("stats roll up only curated documents") {
     val stats = Curate.qCurate(tables).agg(sum("n_docs")).head().getLong(0)
     assert(stats == Curate.curated(tables).count())
