@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftDmlCommand, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DeleteFromTable, DropColumns, InsertIntoStatement, LogicalPlan, MergeIntoTable, RenameColumn, UnresolvedWith, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, DeleteFromTable, DropColumns, DropConstraint, InsertIntoStatement, LogicalPlan, MergeIntoTable, RenameColumn, UnresolvedWith, UpdateTable}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 /** Injected session parser (`injectParser` in GraftExtensions):
@@ -63,7 +63,8 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // ALTER TABLE ADD/RENAME/DROP COLUMN against a registered
         // vtable view routes to its metadata-only evolution commits;
         // any other ALTER keeps Spark's native plan and errors
-        case alterTree @ (_: AddColumns | _: RenameColumn | _: DropColumns)
+        case alterTree @ (_: AddColumns | _: RenameColumn | _: DropColumns |
+            _: AddCheckConstraint | _: DropConstraint)
             if SqlDml.isVTableAlter(session, alterTree) =>
           GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
             (spark, _) =>

@@ -3,7 +3,7 @@ package graft.service
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
 
 import graft.plans.VTableRelation
 import graft.sources.VersionedTable
@@ -72,7 +72,10 @@ import graft.sources.VersionedTable
   *     [[VersionedTable.addColumn]]; `RENAME COLUMN a TO b` →
   *     [[VersionedTable.renameColumn]]; `DROP COLUMN[S] [IF EXISTS]
   *     c[, …]` → [[VersionedTable.dropColumn]] — all metadata-only
-  *     commits; other ALTER forms fall through to Spark
+  *     commits; `ADD CONSTRAINT name CHECK (cond)` / `DROP CONSTRAINT
+  *     [IF EXISTS] name` → [[VersionedTable.addConstraint]] /
+  *     [[VersionedTable.dropConstraint]] (enforced on every
+  *     subsequent write); other ALTER forms fall through to Spark
   *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
   *     [[VersionedTable.vacuum]] (result = files freed);
   *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
@@ -830,6 +833,30 @@ object SqlDml {
           else acting.map(vt.dropColumn).last
         }
       }
+    case a: AddCheckConstraint =>
+      alterDir(spark, a.child).map { dir =>
+        val cc = a.checkConstraint
+        val name = Option(cc.userProvidedName).getOrElse(fail(
+          "ALTER TABLE ADD CONSTRAINT: a vtable CHECK constraint needs a name"))
+        // enforcement commits nothing (the config is table metadata,
+        // not a version), so report the current version
+        val vt = VersionedTable(spark, dir)
+        vt.addConstraint(name, cc.condition)
+        onCommit() // cached results may now assume the invariant
+        import org.apache.spark.sql.functions.lit
+        spark.range(1).select(lit(vt.currentVersion).as("version"))
+      }
+    case d: DropConstraint =>
+      alterDir(spark, d.table).map { dir =>
+        val vt = VersionedTable(spark, dir)
+        val existed = vt.dropConstraint(d.name)
+        if (!existed && !d.ifExists) fail(
+          s"ALTER TABLE DROP CONSTRAINT: no constraint `${d.name}` " +
+            s"(${vt.constraintList.map(_._1).mkString(", ")}) — use IF EXISTS to skip")
+        onCommit()
+        import org.apache.spark.sql.functions.lit
+        spark.range(1).select(lit(vt.currentVersion).as("version"))
+      }
     case _ => None // other ALTER forms: Spark's own statement surface
   }
 
@@ -841,24 +868,38 @@ object SqlDml {
     case a: AddColumns   => alterDir(spark, a.table).isDefined
     case r: RenameColumn => alterDir(spark, r.table).isDefined
     case d: DropColumns  => alterDir(spark, d.table).isDefined
+    case a: AddCheckConstraint => alterDir(spark, a.child).isDefined
+    case d: DropConstraint     => alterDir(spark, d.table).isDefined
     case _ => false
   }
 
   /** ALTER target → table dir: a single-part name registered as a
     * bare vtable view, or a quoted absolute path that IS a versioned
     * table (`ALTER TABLE ` + "`/data/t`" + ` …`) — never a name that
-    * merely looks path-like without a commit log.
+    * merely looks path-like without a commit log. AddCheckConstraint
+    * parses its target UNDER a validation Filter scan (Spark's own
+    * enforcement plan shape), so plan wrappers unwrap first.
     */
   private def alterDir(spark: org.apache.spark.sql.SparkSession,
-      tbl: LogicalPlan): Option[String] = tbl match {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if u.multipartIdentifier.length == 1 =>
-      val n = u.multipartIdentifier.head
-      resolveVTable(spark, n).map(_._1).orElse(
-        Some(n).filter(s => s.startsWith("/") &&
-          java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(s, "_graft_log"))))
-    case _ => None
+      tbl: LogicalPlan): Option[String] = {
+    def named(parts: Seq[String]): Option[String] =
+      if (parts.length != 1) None
+      else {
+        val n = parts.head
+        resolveVTable(spark, n).map(_._1).orElse(
+          Some(n).filter(s => s.startsWith("/") &&
+            java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(s, "_graft_log"))))
+      }
+    tbl match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        named(u.multipartIdentifier)
+      case UnresolvedRelation(parts, _, _) => named(parts)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        alterDir(spark, f.child)
+      case s: SubqueryAlias => alterDir(spark, s.child)
+      case _ => None
+    }
   }
 
   // ---- target resolution -------------------------------------------

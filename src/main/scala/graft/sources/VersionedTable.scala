@@ -8,7 +8,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, conv, count, hex, input_file_name, least, lit, max, min, substring, when}
+import org.apache.spark.sql.functions.{coalesce, col, conv, count, expr, hex, input_file_name, least, lit, max, min, substring, sum, when}
 import org.apache.spark.sql.types._
 
 import graft.operators.Merge
@@ -183,6 +183,100 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     node.put("expected", expectedItemsPerFile)
     node.put("fpp", fpp)
     atomicReplace(bloomConfigPath, node)
+  }
+
+  private def constraintsPath: Path = logDir.resolve("_constraints")
+
+  /** Named CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT …
+    * CHECK`): boolean SQL expressions every row written from now on
+    * must satisfy. Adding validates the expression analyzes as
+    * BOOLEAN against the current schema AND that every EXISTING row
+    * already satisfies it (one conditional-agg scan — a constraint
+    * the table violates would otherwise lie to readers); thereafter
+    * every data commit validates its NEW files in one bounded scan
+    * before the manifest claim, so a violating batch refuses and its
+    * files reclaim — nothing half-lands. NULL evaluates as a
+    * violation (the SQL-standard CHECK accepts NULL; a data-quality
+    * gate that lets NULL through silently is a trap — de-NULL in the
+    * expression with `coalesce`/`IS NULL` disjuncts if NULLs are
+    * intended to pass). Carried (unrewritten) files were validated by
+    * their own commits or the add-time scan and never re-validate:
+    * enforcement cost is O(new rows) per commit. RESTORE to a
+    * version predating the add can resurrect pre-constraint rows —
+    * the same window Delta documents.
+    */
+  def addConstraint(name: String, conditionSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint names must be simple identifiers, got `$name`")
+    require(!constraintList.exists(_._1 == name),
+      s"constraint `$name` already exists (drop it first to replace)")
+    // the schema to analyze against lives in the manifests — a
+    // constraint on a never-committed table would be unvalidated text
+    require(currentVersion > 0,
+      s"table at $dir has no committed version; add constraints after the first commit")
+    // must ANALYZE as a boolean over the table's schema, now
+    val probeType = scan().select(expr(conditionSql)).schema.head.dataType
+    require(probeType == BooleanType,
+      s"CHECK constraint must be a BOOLEAN expression, got ${probeType.simpleString}")
+    val bad = scan()
+      .agg(sum(when(!coalesce(expr(conditionSql), lit(false)), 1L)
+        .otherwise(0L)).as("bad"))
+      .head()
+    require(bad.isNullAt(0) || bad.getLong(0) == 0,
+      s"cannot add CHECK constraint `$name` ($conditionSql): " +
+        s"${bad.getLong(0)} existing row(s) violate it")
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    constraintList.foreach { case (n, e) => node.put(n, e); () }
+    node.put(name, conditionSql)
+    atomicReplace(constraintsPath, node)
+  }
+
+  /** Remove a named constraint; returns whether it existed. */
+  def dropConstraint(name: String): Boolean = {
+    val existing = constraintList
+    val found = existing.exists(_._1 == name)
+    if (found) {
+      val node = mapper.createObjectNode()
+      existing.filterNot(_._1 == name).foreach { case (n, e) => node.put(n, e); () }
+      atomicReplace(constraintsPath, node)
+    }
+    found
+  }
+
+  /** The live constraints, name-sorted (deterministic error order). */
+  def constraintList: Seq[(String, String)] =
+    if (!Files.exists(constraintsPath)) Seq.empty
+    else
+      try {
+        val n = mapper.readTree(constraintsPath.toFile)
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText())
+          .sortBy(_._1)
+      } catch { case NonFatal(_) => Seq.empty } // torn config: advisory
+
+  /** One conditional-agg pass over a commit's freshly written files —
+    * physical→logical mapped so constraints speak logical names. All
+    * constraints ride one job; the first (name-sorted) violated one
+    * reports. Throws IllegalArgumentException → commitData's cleanup
+    * reclaims the refused files.
+    */
+  private def validateConstraints(sub: String, storeSchema: StructType): Unit = {
+    val cs = constraintList
+    if (cs.isEmpty) return
+    val logical = spark.read.schema(physicalSchema(storeSchema))
+      .parquet(s"$dir/$sub")
+      .select(storeSchema.fields.toSeq.map(f =>
+        col(VersionedTable.physicalName(f)).as(f.name)): _*)
+    val aggs = cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(s"__ck_$n")
+    }
+    val row = logical.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty commit
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint `$n` ($e) violated by $bad row(s); commit refused")
+    }
   }
 
   private def ndvConfigPath: Path = logDir.resolve("_ndv")
@@ -1342,6 +1436,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         cdfSub = Some(csub)
         crels
       }
+      // enforced CHECK constraints: refuse (and reclaim) a violating
+      // batch BEFORE any manifest claim; carried files never re-scan
+      validateConstraints(sub, storeSchema)
       val stats = carriedStats ++ statsToLogical(storeSchema,
         freshStats(sub, fresh, physicalSchema(storeSchema)))
       commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels)

@@ -331,6 +331,38 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!e.getMessage.contains("vtable"), e.getMessage)
   }
 
+  test("SQL ADD/DROP CONSTRAINT enforces CHECKs on every write path") {
+    val (svc, vt) = seeded("sqldml-ck", "sqlm_ck") // k in 1..10, v = k*10
+    val r = svc.sql("ALTER TABLE sqlm_ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(r.columns.toSeq == Seq("version"))
+    assert(vt.constraintList == Seq("v_pos" -> "v > 0"))
+    // SQL INSERT of a violating row refuses; the table doesn't move
+    intercept[IllegalArgumentException] {
+      svc.sql("INSERT INTO sqlm_ck VALUES (99, -5.0)").collect()
+    }
+    assert(vt.currentVersion == 1)
+    // UPDATE that would break the invariant refuses as a whole
+    intercept[IllegalArgumentException] {
+      svc.sql("UPDATE sqlm_ck SET v = -1 WHERE k = 3").collect()
+    }
+    assert(spark.table("sqlm_ck").filter(col("v") < 0).count() == 0)
+    // conforming writes proceed
+    svc.sql("INSERT INTO sqlm_ck VALUES (99, 5.0)").collect()
+    // adding a constraint existing data violates refuses with a count
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("ALTER TABLE sqlm_ck ADD CONSTRAINT v_small CHECK (v < 50)").collect()
+    }
+    assert(e.getMessage.contains("existing row"), e.getMessage)
+    // DROP CONSTRAINT (and IF EXISTS semantics), then the write lands
+    intercept[IllegalArgumentException] {
+      svc.sql("ALTER TABLE sqlm_ck DROP CONSTRAINT nope").collect()
+    }
+    svc.sql("ALTER TABLE sqlm_ck DROP CONSTRAINT IF EXISTS nope").collect()
+    svc.sql("ALTER TABLE sqlm_ck DROP CONSTRAINT v_pos").collect()
+    svc.sql("INSERT INTO sqlm_ck VALUES (100, -5.0)").collect()
+    assert(spark.table("sqlm_ck").filter(col("v") < 0).count() == 1)
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF pin the snapshot") {
     val (svc, vt) = seeded("sqldml-tt2", "sqlm_tt2") // v1: 10 rows
     val tsAfterV1 = System.currentTimeMillis()

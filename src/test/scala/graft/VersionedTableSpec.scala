@@ -174,6 +174,48 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(dataDirs.size == 3, s"orphaned data dirs: $dataDirs")
   }
 
+  test("CHECK constraints: violating batches refuse and reclaim; add validates existing data") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.addConstraint("id_pos", "id > 0")
+    // a conforming append commits
+    assert(t.append(Seq((3L, "c")).toDF("id", "name")) == 2)
+    // a violating append refuses BEFORE any manifest claim, and its
+    // freshly written files reclaim (no orphans for vacuum to miss)
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((-7L, "bad")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("id_pos"), e.getMessage)
+    assert(t.currentVersion == 2 && t.read().count() == 3)
+    import scala.jdk.CollectionConverters._
+    val dataDirs = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("files-")).toSeq
+    assert(dataDirs.size == 2, s"refused batch leaked: $dataDirs")
+    // NULL counts as a violation (the quality-gate reading, not the
+    // SQL-standard pass)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((Option.empty[Long], "n")).toDF("id", "name"))
+    }
+    // MERGE rewrites validate too — an upsert can't sneak a violation in
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((-1L, "sneak")).toDF("id", "name"), "id")
+    }
+    assert(t.read().count() == 3)
+    // adding a constraint the EXISTING data violates refuses
+    val e2 = intercept[IllegalArgumentException] {
+      t.addConstraint("name_is_a", "name = 'a'")
+    }
+    assert(e2.getMessage.contains("existing row"), e2.getMessage)
+    // non-boolean expressions refuse at add time
+    intercept[IllegalArgumentException] { t.addConstraint("not_bool", "id + 1") }
+    // drop lifts enforcement
+    assert(t.dropConstraint("id_pos"))
+    assert(!t.dropConstraint("id_pos"))
+    assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 3)
+  }
+
   test("reopening the table sees the committed log; Catalog serves it") {
     import spark.implicits._
     val dir = tmp()
