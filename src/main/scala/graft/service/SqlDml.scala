@@ -76,6 +76,12 @@ import graft.sources.VersionedTable
   *     [IF EXISTS] name` → [[VersionedTable.addConstraint]] /
   *     [[VersionedTable.dropConstraint]] (enforced on every
   *     subsequent write); other ALTER forms fall through to Spark
+  *   - lifecycle (service entry points only — they own the durable
+  *     registry): `CREATE TABLE [IF NOT EXISTS] name [(cols)] USING
+  *     vtable LOCATION '/path' [AS query]` creates + registers (CTAS
+  *     commits the result as v1; a column list commits an empty
+  *     schema-bearing v1); `DROP TABLE [IF EXISTS] name` unregisters
+  *     (data stays; PURGE refuses)
   *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
   *     [[VersionedTable.vacuum]] (result = files freed);
   *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
@@ -368,8 +374,25 @@ object SqlDml {
     * relies on the cache's version-keyed invalidation alone, which the
     * commit itself triggers.
     */
-  def dispatch(svc: QueryService, query: String): Option[DataFrame] =
-    dispatch(svc.spark, query, () => svc.results.noteCommand())
+  def dispatch(svc: QueryService, query: String): Option[DataFrame] = {
+    // table LIFECYCLE statements are service-level only: CREATE/DROP
+    // register into the service's durable catalog registry, which a
+    // bare extension session doesn't have (its users attach tables
+    // via Catalog.register / the scan API instead)
+    val lifecycle = effectiveVerb(query) match {
+      case "CREATE" => createVTable(svc.spark, query, (n, p) => {
+        svc.registerSource(n, "vtable", p)
+        svc.results.noteCommand()
+      })
+      case "DROP" => dropVTable(svc.spark, query, n => {
+        val existed = svc.unregister(n)
+        svc.results.noteCommand()
+        existed
+      })
+      case _ => None
+    }
+    lifecycle.orElse(dispatch(svc.spark, query, () => svc.results.noteCommand()))
+  }
 
   def dispatch(spark: org.apache.spark.sql.SparkSession, query: String,
       onCommit: () => Unit): Option[DataFrame] = {
@@ -754,6 +777,124 @@ object SqlDml {
           VersionedTable(spark, dir).scan().createOrReplaceTempView(name)
       }
     }
+
+  // ---- CREATE / DROP TABLE (vtable lifecycle) ----------------------
+
+  /** `CREATE TABLE [IF NOT EXISTS] name [(col TYPE, …)] USING vtable
+    * LOCATION '/path' [AS query]`: creates a versioned table at the
+    * path and registers `name` over it (durably, via the service's
+    * registry — the `register` callback). CTAS appends the query
+    * result as version 1; a column list commits an EMPTY version 1
+    * carrying the declared schema, so DML and constraints have a
+    * schema to bind to immediately. A location already holding a
+    * committed table refuses (IF NOT EXISTS downgrades to
+    * register-only attach); partitioning clauses refuse (the vtable
+    * has no partition concept — clustering is OPTIMIZE ZORDER's job).
+    * Statements with a different/absent USING provider fall through
+    * to Spark untouched.
+    */
+  private[service] def createVTable(spark: org.apache.spark.sql.SparkSession,
+      query: String, register: (String, String) => Unit): Option[DataFrame] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None
+      }
+    def vtSpec(ts: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
+        : Option[org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec] = ts match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec if u.provider.exists(_.equalsIgnoreCase("vtable")) =>
+        Some(u)
+      case _ => None
+    }
+    def nameOf(p: LogicalPlan): Option[String] = p match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+          if u.nameParts.length == 1 => Some(u.nameParts.head)
+      case _ => None
+    }
+    def run(namePlan: LogicalPlan,
+        spec: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec,
+        partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+        ifNotExists: Boolean,
+        body: VersionedTable => Int): Option[DataFrame] =
+      nameOf(namePlan).map { name =>
+        if (partitioning.nonEmpty) fail(
+          "CREATE TABLE USING vtable: PARTITIONED BY is not supported " +
+            "(clustering is OPTIMIZE ZORDER BY's job)")
+        val location = spec.location.getOrElse(fail(
+          "CREATE TABLE USING vtable needs LOCATION '/abs/path' " +
+            "(tables are path-addressed; the name is the catalog handle)"))
+        if (spark.catalog.tableExists(name)) {
+          if (!ifNotExists) fail(
+            s"CREATE TABLE: `$name` is already registered — " +
+              "DROP TABLE it or use IF NOT EXISTS")
+          import org.apache.spark.sql.functions.lit
+          return Some(spark.range(1).select(
+            lit(VersionedTable(spark, location).currentVersion).as("version")))
+        }
+        val vt = VersionedTable(spark, location)
+        val v =
+          if (vt.currentVersion == 0) body(vt)
+          else if (ifNotExists) vt.currentVersion // attach the existing table
+          else fail(
+            s"CREATE TABLE: $location already holds a committed versioned " +
+              "table — register it instead, or IF NOT EXISTS to attach")
+        register(name, location)
+        import org.apache.spark.sql.functions.lit
+        spark.range(1).select(lit(v).as("version"))
+      }
+    plan match {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect =>
+        vtSpec(c.tableSpec).flatMap(spec =>
+          run(c.name, spec, c.partitioning, c.ignoreIfExists,
+            vt => vt.append(GraftSqlBridge.ofRows(spark, c.query))))
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
+        vtSpec(c.tableSpec).flatMap { spec =>
+          run(c.name, spec, c.partitioning, c.ignoreIfExists, { vt =>
+            if (c.columns.isEmpty) fail(
+              "CREATE TABLE USING vtable needs a column list or AS query " +
+                "(the schema-bearing first commit)")
+            val schema = org.apache.spark.sql.types.StructType(c.columns.map(cd =>
+              org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
+            vt.append(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+          })
+        }
+      case _ => None
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] name` against a REGISTERED vtable view:
+    * unregisters the name from the live session and the durable
+    * registry. The table directory is untouched — external-table
+    * semantics; data deletion belongs to vacuum/storage tooling, and
+    * `PURGE` refuses loudly to say so. Non-vtable names fall through
+    * to Spark's own DROP TABLE surface.
+    */
+  private[service] def dropVTable(spark: org.apache.spark.sql.SparkSession,
+      query: String, unregister: String => Boolean): Option[DataFrame] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None
+      }
+    plan match {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropTable =>
+        val name = d.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+              if u.nameParts.length == 1 => u.nameParts.head
+          case _ => return None
+        }
+        if (relationOf(spark, name).isEmpty) return None // not a vtable view
+        if (d.purge) fail(
+          "DROP TABLE … PURGE is not supported: dropping unregisters the " +
+            "name only; delete data with vacuum or storage tooling")
+        val existed = unregister(name)
+        import org.apache.spark.sql.functions.lit
+        Some(spark.range(1).select(lit(name).as("dropped"),
+          lit(existed).as("existed")))
+      case _ => None
+    }
+  }
 
   // ---- ALTER TABLE schema evolution --------------------------------
 

@@ -331,6 +331,52 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!e.getMessage.contains("vtable"), e.getMessage)
   }
 
+  test("CREATE TABLE USING vtable: CTAS, empty schema-bearing create, DROP unregisters") {
+    val svc = new QueryService(spark)
+    val base = Files.createTempDirectory("graft-sqlddl").toString
+    // CTAS: query result lands as v1, name registers over the path
+    val r = svc.sql(s"CREATE TABLE ctas_t USING vtable LOCATION '$base/a' " +
+      "AS SELECT id AS k, id * 2 AS v FROM range(5)")
+    assert(r.columns.toSeq == Seq("version") && r.head().getInt(0) == 1)
+    assert(svc.sql("SELECT count(*) AS n FROM ctas_t").head().getLong(0) == 5)
+    // the registered name is DML-capable immediately
+    svc.sql("DELETE FROM ctas_t WHERE k >= 3").collect()
+    assert(spark.table("ctas_t").count() == 3)
+    // a second CREATE at the same name refuses; IF NOT EXISTS no-ops
+    intercept[IllegalArgumentException] {
+      svc.sql(s"CREATE TABLE ctas_t USING vtable LOCATION '$base/b' " +
+        "AS SELECT 1 AS one").collect()
+    }
+    svc.sql(s"CREATE TABLE IF NOT EXISTS ctas_t USING vtable " +
+      s"LOCATION '$base/a' AS SELECT 1 AS one").collect()
+    assert(spark.table("ctas_t").count() == 3, "IF NOT EXISTS must not write")
+    // empty create with a column list: schema-bearing v1, zero rows,
+    // immediately insertable and constrainable
+    svc.sql(s"CREATE TABLE empty_t (k BIGINT, v DOUBLE) USING vtable " +
+      s"LOCATION '$base/e'").collect()
+    assert(spark.table("empty_t").count() == 0)
+    svc.sql("ALTER TABLE empty_t ADD CONSTRAINT v_pos CHECK (v > 0)").collect()
+    svc.sql("INSERT INTO empty_t VALUES (1, 2.5)").collect()
+    intercept[IllegalArgumentException] {
+      svc.sql("INSERT INTO empty_t VALUES (2, -1.0)").collect()
+    }
+    assert(spark.table("empty_t").count() == 1)
+    // a non-vtable provider falls through to Spark untouched
+    intercept[Exception] {
+      svc.sql(s"CREATE TABLE other_t USING nosuchformat LOCATION '$base/x' " +
+        "AS SELECT 1 AS one").collect()
+    }
+    // DROP TABLE unregisters the name but leaves the data directory
+    val d = svc.sql("DROP TABLE ctas_t")
+    assert(d.head().getString(0) == "ctas_t" && d.head().getBoolean(1))
+    assert(!spark.catalog.tableExists("ctas_t"))
+    assert(graft.sources.VersionedTable(spark, s"$base/a").currentVersion == 2,
+      "dropping the registration must not touch the table data")
+    intercept[IllegalArgumentException] {
+      svc.sql("DROP TABLE empty_t PURGE").collect()
+    }
+  }
+
   test("SQL ADD/DROP CONSTRAINT enforces CHECKs on every write path") {
     val (svc, vt) = seeded("sqldml-ck", "sqlm_ck") // k in 1..10, v = k*10
     val r = svc.sql("ALTER TABLE sqlm_ck ADD CONSTRAINT v_pos CHECK (v > 0)")
