@@ -37,6 +37,9 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
         (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else if (SqlDml.isDescribeDetail(sqlText))
+      GraftDmlCommand(sqlText, GraftSqlParser.detailOutput,
+        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
     else if (SqlDml.isMaintenance(sqlText))
       // VACUUM / OPTIMIZE / RESTORE — no Spark grammar exists for
       // these, so the command wraps BEFORE delegation (which would
@@ -111,6 +114,19 @@ object GraftSqlParser {
   /** VACUUM reports reclamation, not a commit. */
   private def vacuumOutput: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+
+  /** Mirrors [[graft.sources.VersionedTable.detail]]'s schema. */
+  private def detailOutput: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = true)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("cdf_enabled",
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)())
 
   /** Mirrors [[graft.sources.VersionedTable.history]]'s schema. */
   private def historyOutput: Seq[Attribute] = Seq(

@@ -448,6 +448,8 @@ object SqlDml {
 
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*$""".r
 
   private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] =
@@ -458,11 +460,21 @@ object SqlDml {
           .getOrElse(throw new IllegalArgumentException(
             s"DESCRIBE HISTORY: '$target' is not a registered vtable view or a quoted table path"))
         Some(VersionedTable(spark, dir).history())
+      case DetailRe(target) =>
+        // Delta's DESCRIBE DETAIL: one-row operational summary
+        val dir = unquotePath(target)
+          .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"DESCRIBE DETAIL: '$target' is not a registered vtable view or a quoted table path"))
+        Some(VersionedTable(spark, dir).detail())
       case _ => None // plain DESCRIBE t — Spark's own statement
     }
 
   private[service] def isDescribeHistory(query: String): Boolean =
     HistoryRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isDescribeDetail(query: String): Boolean =
+    DetailRe.findFirstIn(content(query)).isDefined
 
   // ---- maintenance statements (none are Spark grammar) -------------
 

@@ -2710,6 +2710,47 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * version over at most `maxVersions` manifests and stops at the
     * vacuum horizon — a metadata-only scan, never data IO.
     */
+  /** One-row operational summary — Delta's `DESCRIBE DETAIL` shape:
+    * location, head version + its op/wall-time, file count, exact
+    * snapshot row count when every file carries stats (null
+    * otherwise — never a guess), on-disk bytes of the snapshot's data
+    * files, the CDF flag, and the live CHECK constraints. O(metadata):
+    * one manifest read plus a `Files.size` per data file.
+    */
+  def detail(): DataFrame = {
+    val cur = currentVersion
+    require(cur > 0, s"table at $dir has no committed version")
+    val m = manifest(cur)
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val rows: java.lang.Long =
+      if (files.nonEmpty && files.forall(f =>
+          stats.get(f).exists(n => n.has("_rows") && n.get("_rows").isNumber)))
+        java.lang.Long.valueOf(files.map(f => stats(f).get("_rows").asLong).sum)
+      else if (files.isEmpty) java.lang.Long.valueOf(0L)
+      else null
+    val size = files.map { f =>
+      try Files.size(Paths.get(dir, f)) catch { case NonFatal(_) => 0L }
+    }.sum
+    val cons = constraintList.map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+    val schema = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("ts", LongType, nullable = true),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("num_rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("cdf_enabled", BooleanType, nullable = false),
+      StructField("constraints", StringType, nullable = false)))
+    val ts: java.lang.Long =
+      if (m.has("ts")) java.lang.Long.valueOf(m.get("ts").asLong) else null
+    spark.createDataFrame(
+      java.util.List.of(Row(dir, cur, m.path("op").asText(""), ts,
+        files.size, rows, size, cdfEnabled, cons)),
+      schema)
+  }
+
   def history(maxVersions: Int = 100): DataFrame = {
     val cur = currentVersion
     require(cur > 0, s"table at $dir has no committed version")

@@ -456,6 +456,25 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(byPath.length == 2)
   }
 
+  test("DESCRIBE DETAIL returns the one-row operational summary") {
+    val (svc, vt) = seeded("sqldml-detail", "sqlm_detail")
+    vt.addConstraint("k_pos", "k > 0")
+    // service path
+    val r = svc.sql("DESCRIBE DETAIL sqlm_detail").head()
+    assert(r.getAs[String]("location") == vt.dir)
+    assert(r.getAs[Int]("version") == 1)
+    assert(r.getAs[Long]("num_rows") == 10L)
+    assert(r.getAs[Int]("num_files") >= 1)
+    assert(r.getAs[Long]("size_bytes") > 0L)
+    assert(!r.getAs[Boolean]("cdf_enabled"))
+    assert(r.getAs[String]("constraints") == "k_pos CHECK (k > 0)")
+    // plain spark.sql path (injected parser), with the same schema
+    val p = spark.sql("DESCRIBE DETAIL sqlm_detail")
+    assert(p.columns.toSeq == Seq("location", "version", "op", "ts",
+      "num_files", "num_rows", "size_bytes", "cdf_enabled", "constraints"))
+    assert(p.head().getAs[Int]("version") == 1)
+  }
+
   test("SQL maintenance: VACUUM, OPTIMIZE ZORDER BY, RESTORE") {
     val (svc, vt) = seeded("sqldml-maint", "sqlm_maint")          // v1
     svc.sql("DELETE FROM sqlm_maint WHERE k > 5").collect()       // v2
