@@ -343,6 +343,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("CHECK constraints gate the streaming sink: violating batches fail, nothing half-lands") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-vcksrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-vcktbl").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-vckchk").toString
+    def start() = graft.streaming.VTableStreamSink(tableDir, chk).start(
+      graft.streaming.FileStreamSource("parquet", src, Seq.empty[Event].toDS().schema)
+        .readStream(spark))
+    // first conforming batch creates the table; then constrain it
+    Seq(Event(1, ts(1), 1, "click", 1.0)).toDS().write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val t = graft.sources.VersionedTable(spark, tableDir)
+    t.addConstraint("value_pos", "value > 0")
+    // conforming batches keep landing through commitData's validation
+    Seq(Event(2, ts(2), 1, "view", 2.0)).toDS().write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(t.read().count() == 2)
+    // a violating batch fails the stream BEFORE any manifest claim:
+    // the table is untouched and the refused files reclaimed — the
+    // constraint is the same gate batch writes go through
+    Seq(Event(3, ts(3), 1, "bad", -5.0)).toDS().write.mode("append").parquet(src)
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => String.valueOf(c.getMessage).contains("value_pos")), e.getMessage)
+    assert(t.read().count() == 2, "the violating batch must not half-land")
+    // lifting the constraint lets the SAME unconsumed batch through on
+    // restart — the checkpoint never advanced past the refused epoch
+    assert(t.dropConstraint("value_pos"))
+    val q4 = start()
+    try {
+      q4.processAllAvailable()
+      assert(t.read().count() == 3)
+    } finally q4.stop()
+  }
+
   test("vtable merge sink applies a CDC stream exactly-once, last change wins") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-cdcsrc").toString
