@@ -104,55 +104,19 @@ final class CatalogRegistry(dir: Option[Path]) {
     * in-memory map is also the read cache for lock-free replay().
     */
   private def mutate(op: () => Unit): Unit = synchronized {
-    val lock = dir.map(_.resolve("_catalog.lock"))
-    lock.foreach(acquireLock)
-    try {
+    def run(): Unit = {
       if (file.isDefined) { entries.clear(); load() }
       op()
       persist()
-    } finally lock.foreach(l => { Files.deleteIfExists(l); () })
+    }
+    dir.map(_.resolve("_catalog.lock")) match {
+      case Some(lock) =>
+        graft.util.DirLock.withLock(lock, lockStaleMs)(run())
+      case None => run()
+    }
   }
 
   private val lockStaleMs = 10000L
-  private def acquireLock(lock: Path): Unit = {
-    val deadline = System.currentTimeMillis() + lockStaleMs + 5000
-    while (true) {
-      try { Files.createDirectory(lock); return }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        val age =
-          try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case scala.util.control.NonFatal(_) => 0L } // raced away
-        if (age > lockStaleMs) {
-          // crashed holder. Breaking must itself be atomic — a bare
-          // delete is a TOCTOU: two waiters both judge the lock stale,
-          // the slower one's delete removes the faster one's FRESHLY
-          // CREATED lock, and both enter the critical section (the
-          // exact lost-update this lock exists to prevent). rename(2)
-          // of the lock dir is atomic: exactly ONE breaker wins the
-          // move (the loser's move throws and it just re-loops against
-          // the winner's new lock); the moved-aside corpse is deleted
-          // outside the protocol.
-          val corpse = lock.resolveSibling(
-            s"_catalog.lock.broken-${java.util.UUID.randomUUID().toString.take(8)}")
-          try {
-            Files.move(lock, corpse)
-            // the path may have been re-claimed between our staleness
-            // check and the move (break race winner + fresh holder):
-            // verify the MOVED instance really was the stale one, and
-            // hand a live lock straight back to its holder
-            val corpseAge = System.currentTimeMillis() -
-              Files.getLastModifiedTime(corpse).toMillis
-            if (corpseAge > lockStaleMs) Files.deleteIfExists(corpse)
-            else Files.move(corpse, lock) // stole a live lock — restore it
-          } catch { case scala.util.control.NonFatal(_) => () } // lost the break race
-        } else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"catalog registry lock held too long: $lock")
-        else Thread.sleep(25)
-      }
-    }
-  }
 
   private def persist(): Unit = {
     val target = file.getOrElse(return) // in-memory registry (session

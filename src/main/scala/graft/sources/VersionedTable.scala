@@ -226,22 +226,33 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       s"cannot add CHECK constraint `$name` ($conditionSql): " +
         s"${bad.getLong(0)} existing row(s) violate it")
     Files.createDirectories(logDir)
-    val node = mapper.createObjectNode()
-    constraintList.foreach { case (n, e) => node.put(n, e); () }
-    node.put(name, conditionSql)
-    atomicReplace(constraintsPath, node)
+    // read-modify-write under the cross-process lock: constraints are
+    // CORRECTNESS-bearing config (unlike the advisory bloom/NDV
+    // settings) — two racing adds must not last-write-wins one
+    // another's enforcement away
+    graft.util.DirLock.withLock(logDir.resolve("_constraints.lock")) {
+      require(!constraintList.exists(_._1 == name),
+        s"constraint `$name` already exists (drop it first to replace)")
+      val node = mapper.createObjectNode()
+      constraintList.foreach { case (n, e) => node.put(n, e); () }
+      node.put(name, conditionSql)
+      atomicReplace(constraintsPath, node)
+    }
   }
 
   /** Remove a named constraint; returns whether it existed. */
   def dropConstraint(name: String): Boolean = {
-    val existing = constraintList
-    val found = existing.exists(_._1 == name)
-    if (found) {
-      val node = mapper.createObjectNode()
-      existing.filterNot(_._1 == name).foreach { case (n, e) => node.put(n, e); () }
-      atomicReplace(constraintsPath, node)
+    Files.createDirectories(logDir)
+    graft.util.DirLock.withLock(logDir.resolve("_constraints.lock")) {
+      val existing = constraintList
+      val found = existing.exists(_._1 == name)
+      if (found) {
+        val node = mapper.createObjectNode()
+        existing.filterNot(_._1 == name).foreach { case (n, e) => node.put(n, e); () }
+        atomicReplace(constraintsPath, node)
+      }
+      found
     }
-    found
   }
 
   /** The live constraints, name-sorted (deterministic error order). */
