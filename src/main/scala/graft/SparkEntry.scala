@@ -2092,7 +2092,7 @@ object SparkEntry {
     // integers, identical everywhere
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars,
-        |  floor((((doc_id * 2654435761) % 1000003 + 0.5) / n_chars) * 1000000 + 0.5) / 1000000 AS priority
+        |  floor(((((doc_id % 1000003) * 2654435761) % 1000003 + 0.5) / n_chars) * 1000000 + 0.5) / 1000000 AS priority
         |FROM documents
         |WHERE n_chars > 0
         |ORDER BY priority, doc_id

@@ -146,7 +146,11 @@ object Decontam {
     * corpus-scale total order.
     */
   def qWeightedSample(t: Tables, k: Int = 100): DataFrame = {
-    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) + lit(0.5)
+    // reduce BEFORE the multiply: (d mod p)·m stays under 2^63 for any
+    // 64-bit doc_id, where d·m would silently wrap in Spark and raise
+    // an overflow error in DuckDB — same residues either way
+    val u = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+      lit(1000003L)) + lit(0.5)
     t.documents
       .filter(col("n_chars") > 0) // zero-weight docs can't be drawn
       .select(col("doc_id"), col("n_chars"),

@@ -839,6 +839,20 @@ object SqlDml {
           if (!ifNotExists) fail(
             s"CREATE TABLE: `$name` is already registered — " +
               "DROP TABLE it or use IF NOT EXISTS")
+          // IF NOT EXISTS no-ops against the REGISTERED table — but a
+          // different LOCATION in the statement means the caller
+          // believes that path holds the table, and a silent no-op
+          // would leave them pointed at nothing: surface the mismatch
+          val registered = relationOf(spark, name).map(_.dir)
+          registered match {
+            case Some(d) if d != location => fail(
+              s"CREATE TABLE IF NOT EXISTS: `$name` is registered at $d, " +
+                s"not $location — drop it or use the registered location")
+            case None => fail(
+              s"CREATE TABLE IF NOT EXISTS: `$name` exists but is not a " +
+                "vtable registration; pick another name")
+            case _ => ()
+          }
           import org.apache.spark.sql.functions.lit
           return Some(spark.range(1).select(
             lit(VersionedTable(spark, location).currentVersion).as("version")))
@@ -958,9 +972,9 @@ object SqlDml {
             "ALTER TABLE ADD COLUMN: DEFAULT is not supported on a vtable")
           (c.colName, c.dataType)
         }
-        commit(spark, onCommit, dir) { vt =>
-          cols.map { case (n, dt) => vt.addColumn(n, dt) }.last
-        }
+        // ONE commit for the whole column list: a per-column loop that
+        // failed mid-list would half-apply a statement that errored
+        commit(spark, onCommit, dir)(_.addColumns(cols))
       }
     case r: RenameColumn =>
       alterDir(spark, r.table).map { dir =>
@@ -983,7 +997,7 @@ object SqlDml {
               s"in (${present.toSeq.sorted.mkString(", ")}) — use IF EXISTS to skip")
           val acting = names.filter(present)
           if (acting.isEmpty) vt.currentVersion // IF EXISTS, all absent: no-op
-          else acting.map(vt.dropColumn).last
+          else vt.dropColumns(acting) // one all-or-nothing commit
         }
       }
     case a: AddCheckConstraint =>

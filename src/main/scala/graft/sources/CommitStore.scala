@@ -100,17 +100,32 @@ object CommitStore {
   }
 
   /** A simulated object store for tests and single-process dev: the
-    * server-side `If-None-Match: *` semantics (serialize, existence
-    * check, plain write) with NO rename, link, or mkdir anywhere —
-    * the spec's OCC races run through exactly the code path a real
-    * conditional-put deployment would, minus the HTTP.
+    * server-side `If-None-Match: *` semantics — serialize, existence
+    * check, write. The claim DECISION uses no rename/link/mkdir (the
+    * spec's OCC races run through exactly the code path a real
+    * conditional-put deployment would, minus the HTTP); the write
+    * itself lands via tmp + atomic move because a real store's PUT is
+    * atomic to READERS too — a plain create+truncate at the final
+    * path would let a concurrent reader observe a torn manifest, a
+    * state no real backend (or the AtomicRename store) can expose.
     */
   def simulatedConditionalPut(): ConditionalPut = {
     val lock = new Object
     new ConditionalPut((target, bytes) =>
       lock.synchronized {
         if (Files.exists(target)) false
-        else { Files.write(target, bytes); true }
+        else {
+          val tmp = target.resolveSibling(
+            s".put-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, bytes)
+          try Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(tmp, target)
+          }
+          true
+        }
       })
   }
 }

@@ -218,18 +218,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val probeType = scan().select(expr(conditionSql)).schema.head.dataType
     require(probeType == BooleanType,
       s"CHECK constraint must be a BOOLEAN expression, got ${probeType.simpleString}")
-    val bad = scan()
-      .agg(sum(when(!coalesce(expr(conditionSql), lit(false)), 1L)
-        .otherwise(0L)).as("bad"))
-      .head()
-    require(bad.isNullAt(0) || bad.getLong(0) == 0,
-      s"cannot add CHECK constraint `$name` ($conditionSql): " +
-        s"${bad.getLong(0)} existing row(s) violate it")
     Files.createDirectories(logDir)
-    // read-modify-write under the cross-process lock: constraints are
-    // CORRECTNESS-bearing config (unlike the advisory bloom/NDV
-    // settings) — two racing adds must not last-write-wins one
-    // another's enforcement away
+    // ENFORCE FIRST, validate after: writing the config before the
+    // existing-data scan means any data commit whose own validation
+    // reads the config after this point is already gated — a
+    // validate-then-write order would let a commit land violating
+    // rows in the gap between our scan and our write (its manifest
+    // invisible to the scan, the constraint invisible to its
+    // validation). The config mutation itself is a short locked
+    // read-modify-write (constraints are correctness-bearing, unlike
+    // the advisory bloom/NDV settings; the corpus scan deliberately
+    // happens OUTSIDE the lock — holding a 10s-stale-break lock
+    // across a table scan would get it broken under us).
     graft.util.DirLock.withLock(logDir.resolve("_constraints.lock")) {
       require(!constraintList.exists(_._1 == name),
         s"constraint `$name` already exists (drop it first to replace)")
@@ -237,6 +237,34 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       constraintList.foreach { case (n, e) => node.put(n, e); () }
       node.put(name, conditionSql)
       atomicReplace(constraintsPath, node)
+    }
+    // verify EXISTING data at a stable head: a commit landing mid-scan
+    // re-runs the scan against the new snapshot (bounded retries —
+    // each retry means enforcement-gated commits are landing, so the
+    // only residual window is a commit whose validation read the
+    // config before our write and whose claim outran every re-check:
+    // seconds-wide, the same in-flight caveat Delta documents). Any
+    // failure rolls the config back — "addConstraint threw" must mean
+    // "constraint not added".
+    try {
+      var attempt = 0
+      var stable = false
+      while (!stable) {
+        val v0 = currentVersion
+        val bad = scan()
+          .agg(sum(when(!coalesce(expr(conditionSql), lit(false)), 1L)
+            .otherwise(0L)).as("bad"))
+          .head()
+        require(bad.isNullAt(0) || bad.getLong(0) == 0,
+          s"cannot add CHECK constraint `$name` ($conditionSql): " +
+            s"${bad.getLong(0)} existing row(s) violate it")
+        stable = currentVersion == v0 || attempt >= 5
+        attempt += 1
+      }
+    } catch {
+      case NonFatal(e) =>
+        try dropConstraint(name) catch { case NonFatal(_) => () }
+        throw e
     }
   }
 
@@ -255,16 +283,52 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
-  /** The live constraints, name-sorted (deterministic error order). */
+  /** The live constraints, name-sorted (deterministic error order).
+    * UNLIKE the advisory bloom/NDV configs, an unreadable constraint
+    * file THROWS: constraints are correctness-bearing — swallowing a
+    * transient read failure would let a violating batch commit with
+    * enforcement silently off, and (worse) let a concurrent
+    * add/dropConstraint rebuild the config from an empty list,
+    * erasing every constraint. The file is written via atomic
+    * replace, so a parse failure is real I/O trouble, not a torn
+    * write.
+    */
   def constraintList: Seq[(String, String)] =
     if (!Files.exists(constraintsPath)) Seq.empty
-    else
-      try {
-        val n = mapper.readTree(constraintsPath.toFile)
-        import scala.jdk.CollectionConverters._
-        n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText())
-          .sortBy(_._1)
-      } catch { case NonFatal(_) => Seq.empty } // torn config: advisory
+    else {
+      val n =
+        try mapper.readTree(constraintsPath.toFile)
+        catch {
+          case NonFatal(e) => throw new IllegalStateException(
+            s"cannot read CHECK constraints at $constraintsPath — refusing " +
+              "to proceed as if none exist (fix or remove the file)", e)
+        }
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText())
+        .sortBy(_._1)
+    }
+
+  /** Refuse a column drop/rename while a CHECK constraint references
+    * the column — the metadata-only commit would succeed and then
+    * EVERY subsequent write would die re-analyzing the stored
+    * expression against the new schema: an unwritable table with a
+    * misleading error. Mirrors the bloom/NDV guard; references come
+    * from parsing the stored expression (qualified names take their
+    * last part; an unparsable expression conservatively refuses).
+    */
+  private def requireNoConstraintRefs(column: String, what: String): Unit = {
+    val lower = column.toLowerCase(java.util.Locale.ROOT)
+    val referencing = constraintList.filter { case (_, e) =>
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+      }.contains(lower)
+      catch { case NonFatal(_) => true } // can't prove it's unreferenced
+    }
+    require(referencing.isEmpty,
+      s"cannot $what column `$column`: referenced by CHECK constraint(s) " +
+        s"${referencing.map(_._1).mkString(", ")} (drop the constraint first)")
+  }
 
   /** One conditional-agg pass over a commit's freshly written files —
     * physical→logical mapped so constraints speak logical names. All
@@ -1656,7 +1720,19 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * dropped values. The column arrives nullable by construction —
     * a NOT NULL column over existing rows would be instantly false.
     */
-  def addColumn(name: String, dt: DataType): Int = retryingRewrite {
+  def addColumn(name: String, dt: DataType): Int = addColumns(Seq(name -> dt))
+
+  /** Multi-column form of [[addColumn]] as ONE commit — `ALTER TABLE
+    * ADD COLUMNS (a INT, b STRING)` must be all-or-nothing: a
+    * per-column commit loop that failed mid-list would leave a
+    * half-applied schema change behind a statement that reported an
+    * error. Every name validates BEFORE anything commits.
+    */
+  def addColumns(cols: Seq[(String, DataType)]): Int = retryingRewrite {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val dupes = cols.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    require(dupes.isEmpty,
+      s"duplicate column name(s) in ADD COLUMNS: ${dupes.mkString(", ")}")
     val prev = currentVersion
     require(prev > 0, s"table at $dir has no committed version")
     val m = manifest(prev)
@@ -1664,13 +1740,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(sNode != null && DataType.fromJson(sNode.asText())
         .asInstanceOf[StructType].fields.nonEmpty,
       s"table at $dir carries no committed schema (raw commits); cannot add")
-    require(name.nonEmpty, "column name must be non-empty")
-    require(name != "_rows", "`_rows` is reserved for the per-file row count")
     val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
-    require(!st.fieldNames.contains(name),
-      s"column `$name` already exists in (${st.fieldNames.mkString(", ")})")
-    val withNew = StructType(st.fields :+ StructField(name, dt, nullable = true))
-    // inheritMapping keeps existing physical names and assigns the new
+    cols.foreach { case (name, _) =>
+      require(name.nonEmpty, "column name must be non-empty")
+      require(name != "_rows", "`_rows` is reserved for the per-file row count")
+      require(!st.fieldNames.contains(name),
+        s"column `$name` already exists in (${st.fieldNames.mkString(", ")})")
+    }
+    val withNew = StructType(st.fields ++
+      cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
+    // inheritMapping keeps existing physical names and assigns a new
     // column fresh storage if its name is retired (previously dropped)
     val mapped = inheritMapping(prev + 1, "addcol", withNew)
     commit(prev + 1, "addcol", manifestFiles(m), mapped.json, manifestStats(m))
@@ -1711,6 +1790,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(!indexed,
       s"cannot rename bloom/NDV-indexed column `$oldName`: sidecar files are " +
         "named by it (drop the index config first)")
+    requireNoConstraintRefs(oldName, "rename")
     val renamed = StructType(st.fields.map { f =>
       if (f.name == oldName)
         f.copy(name = newName,
@@ -1743,7 +1823,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * is. Refused for bloom/NDV-indexed columns and for the last
     * remaining column.
     */
-  def dropColumn(name: String): Int = retryingRewrite {
+  def dropColumn(name: String): Int = dropColumns(Seq(name))
+
+  /** Multi-column form of [[dropColumn]] as ONE commit — same
+    * all-or-nothing contract as [[addColumns]]: every name validates
+    * (exists, unindexed, unreferenced by constraints, not the whole
+    * schema) before anything commits.
+    */
+  def dropColumns(names: Seq[String]): Int = retryingRewrite {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    require(names.distinct.size == names.size,
+      s"duplicate column name(s) in DROP COLUMNS: $names")
     val prev = currentVersion
     require(prev > 0, s"table at $dir has no committed version")
     val m = manifest(prev)
@@ -1752,24 +1842,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         .asInstanceOf[StructType].fields.nonEmpty,
       s"table at $dir carries no committed schema (raw commits); cannot drop")
     val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
-    val field = st.fields.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column `$name` in (${st.fieldNames.mkString(", ")})"))
-    require(st.fields.length >= 2, "cannot drop a table's last column")
-    val indexed = bloomConfig.exists(_.columns.contains(name)) ||
-      ndvConfig.exists(_.columns.contains(name))
-    require(!indexed,
-      s"cannot drop bloom/NDV-indexed column `$name` (drop the index config first)")
-    val remaining = StructType(st.fields.filterNot(_.name == name))
+    val fields = names.map { name =>
+      val f = st.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column `$name` in (${st.fieldNames.mkString(", ")})"))
+      val indexed = bloomConfig.exists(_.columns.contains(name)) ||
+        ndvConfig.exists(_.columns.contains(name))
+      require(!indexed,
+        s"cannot drop bloom/NDV-indexed column `$name` (drop the index config first)")
+      requireNoConstraintRefs(name, "drop")
+      f
+    }
+    require(st.fields.length > names.size, "cannot drop a table's last column")
+    val dropSet = names.toSet
+    val remaining = StructType(st.fields.filterNot(f => dropSet(f.name)))
     val cleaned = manifestStats(m).map { case (file, node) =>
       val out = mapper.createObjectNode()
       node.properties().forEach { e =>
-        if (e.getKey != name) { out.set[JsonNode](e.getKey, e.getValue); () }
+        if (!dropSet(e.getKey)) { out.set[JsonNode](e.getKey, e.getValue); () }
       }
       file -> (out: JsonNode)
     }
     commit(prev + 1, "drop", manifestFiles(m), remaining.json, cleaned,
-      extraRetired = Seq(VersionedTable.physicalName(field)))
+      extraRetired = fields.map(VersionedTable.physicalName))
   }
 
   /** `from` values read losslessly as `to`: the widening promotions

@@ -18,20 +18,63 @@ import java.nio.file.{Files, Path}
   * the move; it then re-verifies the MOVED instance's age (the path
   * may have been re-claimed between the staleness check and the move)
   * and hands a live lock straight back if it stole one.
+  *
+  * Unlock verifies OWNERSHIP: each holder stamps a token file inside
+  * its lock dir, and release deletes the dir only when the token is
+  * its own. Without this, a holder whose critical section outlives
+  * `staleMs` (GC pause, slow storage) would — via its bare finally
+  * delete — remove the lock a stale-breaker has since created,
+  * re-opening the lost-update window for a THIRD writer. The slow
+  * holder itself still overlaps the breaker (the stale-break's
+  * documented trade-off against crashed holders); the token stops
+  * the overlap from cascading.
   */
 object DirLock {
 
+  private val TokenFile = "owner"
+
   def withLock[T](lock: Path, staleMs: Long = 10000L)(body: => T): T = {
-    acquire(lock, staleMs)
+    val token = java.util.UUID.randomUUID().toString
+    acquire(lock, staleMs, token)
     try body
-    finally { Files.deleteIfExists(lock); () }
+    finally release(lock, token)
   }
 
-  private def acquire(lock: Path, staleMs: Long): Unit = {
+  private def release(lock: Path, token: String): Unit =
+    try {
+      val owner = lock.resolve(TokenFile)
+      if (new String(Files.readAllBytes(owner),
+          java.nio.charset.StandardCharsets.UTF_8) == token) {
+        Files.deleteIfExists(owner)
+        Files.deleteIfExists(lock)
+        ()
+      }
+    } catch {
+      // lock renamed away by a stale-breaker, or already superseded:
+      // not ours to delete
+      case scala.util.control.NonFatal(_) => ()
+    }
+
+  private def deleteCorpse(corpse: Path): Unit = {
+    Files.deleteIfExists(corpse.resolve(TokenFile))
+    Files.deleteIfExists(corpse)
+    ()
+  }
+
+  private def acquire(lock: Path, staleMs: Long, token: String): Unit = {
     val deadline = System.currentTimeMillis() + staleMs + 5000
     while (true) {
-      try { Files.createDirectory(lock); return }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
+      var acquired = false
+      try { Files.createDirectory(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (acquired) {
+        // stamp ownership; a breaker renaming our fresh dir away in
+        // this gap (only possible under extreme clock skew) surfaces
+        // as NoSuchFile — re-loop rather than proceed unlocked
+        try { Files.write(lock.resolve(TokenFile),
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)); return }
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else {
         val age =
           try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
@@ -43,7 +86,7 @@ object DirLock {
             Files.move(lock, corpse)
             val corpseAge = System.currentTimeMillis() -
               Files.getLastModifiedTime(corpse).toMillis
-            if (corpseAge > staleMs) Files.deleteIfExists(corpse)
+            if (corpseAge > staleMs) deleteCorpse(corpse)
             else Files.move(corpse, lock) // stole a live lock — restore it
           } catch { case scala.util.control.NonFatal(_) => () } // lost the break race
         } else if (System.currentTimeMillis() > deadline)

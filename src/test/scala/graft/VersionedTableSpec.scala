@@ -216,6 +216,47 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 3)
   }
 
+  test("constraint-referenced columns refuse drop/rename; multi-column DDL is one commit") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a", 5.0)).toDF("id", "name", "score"))
+    t.addConstraint("score_pos", "score > 0")
+    // dropping or renaming a constrained column would leave the table
+    // unwritable (every commit re-analyzes the stored expression) —
+    // both refuse with the constraint named, like the bloom/NDV guard
+    val e1 = intercept[IllegalArgumentException] { t.dropColumn("score") }
+    assert(e1.getMessage.contains("score_pos"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { t.renameColumn("score", "s2") }
+    assert(e2.getMessage.contains("score_pos"), e2.getMessage)
+    // unreferenced columns still evolve freely
+    assert(t.renameColumn("name", "title") == 2)
+    // multi-column ADD is all-or-nothing: a duplicate in the list
+    // refuses BEFORE anything commits (no half-applied schema)
+    intercept[IllegalArgumentException] {
+      t.addColumns(Seq("x" -> org.apache.spark.sql.types.IntegerType,
+        "x" -> org.apache.spark.sql.types.DoubleType))
+    }
+    assert(t.currentVersion == 2)
+    assert(!t.read().columns.contains("x"))
+    // and a valid list lands as ONE commit
+    assert(t.addColumns(Seq("x" -> org.apache.spark.sql.types.IntegerType,
+      "y" -> org.apache.spark.sql.types.DoubleType)) == 3)
+    assert(t.read().columns.toSeq == Seq("id", "title", "score", "x", "y"))
+    // multi-column DROP likewise: one bad name, nothing drops
+    intercept[IllegalArgumentException] { t.dropColumns(Seq("x", "nope")) }
+    assert(t.read().columns.contains("x"))
+    assert(t.dropColumns(Seq("x", "y")) == 4)
+    assert(t.read().columns.toSeq == Seq("id", "title", "score"))
+    // an unreadable constraint file REFUSES writes rather than
+    // committing with enforcement silently off
+    Files.write(java.nio.file.Paths.get(dir, "_graft_log", "_constraints"),
+      "not json".getBytes)
+    intercept[IllegalStateException] {
+      t.append(Seq((2L, "b", 1.0)).toDF("id", "title", "score"))
+    }
+  }
+
   test("reopening the table sees the committed log; Catalog serves it") {
     import spark.implicits._
     val dir = tmp()
