@@ -271,6 +271,9 @@ object SparkEntry {
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
+    "q_data_card" -> ((s, d) => Curate.qDataCard(t(s, d))),
+    // rows-only: candidate set comes from the k-means coarse quantizer
+    "q_maxsim_ivf" -> ((s, d) => Similarity.qMaxSimIvf(t(s, d))),
     "q_filter_cascade" -> ((s, d) => Curate.qFilterCascade(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
@@ -1347,6 +1350,19 @@ object SparkEntry {
     // §2.4 similarity
     // MaxSim late interaction: per (label, query-token) max rounds
     // FIRST (like every cosine oracle), then the rounded maxes sum
+    // data card: every measure shares its convention with the
+    // standalone operator oracles (md5 content hash, \s+ tokens)
+    "q_data_card" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_unique,
+        | floor((1.0 - count(DISTINCT md5(text)) / count(*)) * 10000 + 0.5) / 10000 AS dup_rate,
+        | count(DISTINCT lang) AS n_langs,
+        | count(DISTINCT source) AS n_sources,
+        | sum(cast(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                          x -> x <> '')) AS BIGINT)) AS total_tokens,
+        | sum(cast(n_chars AS BIGINT)) AS total_chars,
+        | floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
+        |FROM documents""".stripMargin,
     "q_maxsim" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb

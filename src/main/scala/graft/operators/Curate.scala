@@ -36,6 +36,30 @@ object Curate {
       .filter(col("n_tokens") >= minTokens && col("stop_ratio") >= minStopRatio)
   }
 
+  /** One-row corpus DATA CARD — the headline numbers a dataset
+    * release documents (Gebru et al., "Datasheets for Datasets",
+    * 2018): volume, exact-duplicate rate, language/source spread,
+    * token and length totals. ONE pruned scan, one agg — every
+    * measure is a partial-aggregable expression (countDistinct
+    * expands to the two-phase distinct agg), so the card costs a
+    * single pass at any corpus size. Shares [[Dedup.contentHash]] and
+    * the whitespace token convention with the standalone operators,
+    * so the card can never disagree with them.
+    */
+  def qDataCard(t: Tables): DataFrame =
+    t.documents.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(Dedup.contentHash).as("n_unique"),
+      graft.operators.Rnd.round(lit(1.0) -
+        countDistinct(Dedup.contentHash) / count(lit(1)).cast("double"), 4)
+        .as("dup_rate"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(graft.functions.GraftFunctions.tokenCount(col("text")).cast("long"))
+        .as("total_tokens"),
+      sum(col("n_chars").cast("long")).as("total_chars"),
+      graft.operators.Rnd.round(avg(col("n_chars")), 2).as("avg_chars"))
+
   /** Corpus statistics after curation — the data card numbers. */
   def qCurate(t: Tables): DataFrame =
     curated(t)

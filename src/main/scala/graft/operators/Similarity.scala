@@ -358,6 +358,47 @@ object Similarity {
     ivfProbe(index, q, k, nprobe)
   }
 
+  /** MaxSim over the IVF index — [[qMaxSim]]'s serve path (rows-only;
+    * MaxSimIvfSpec pins candidate-exactness and coverage): candidate
+    * documents come from each query token's `nprobe` nearest cells
+    * (the coarse-quantizer prune), and MaxSim then scores the
+    * CANDIDATE documents exactly — the standard late-interaction
+    * serving split (candidate generation ≈ IVF probe, scoring = full
+    * MaxSim on survivors), so a returned document's score is
+    * bit-identical to the exhaustive [[qMaxSim]]'s and the only
+    * approximation is which documents make the candidate set. Scan
+    * cost per query ≈ n·nprobe/cells for generation + |candidate
+    * docs|·tokens for scoring, vs the full n·|query| of the
+    * exhaustive form.
+    */
+  def qMaxSimIvf(t: Tables, numQuery: Int = 4, nprobe: Int = 4,
+      cells: Int = 16): DataFrame = {
+    val index = corpusIndex(t, cells)
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val q = e.filter(col("vec_id") < numQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // candidate generation: cells any query token probes → the labels
+    // owning a vector there (semi joins — no payload moves)
+    val probedCells = nearestCells(
+      q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      index.centroids, topN = nprobe)
+      .select("cell").distinct()
+    val candVecs = index.assigned
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val candLabels = e.join(candVecs, Seq("vec_id"), "left_semi")
+      .select("label").distinct()
+    // exact MaxSim on the candidates only
+    e.join(broadcast(candLabels), Seq("label"), "left_semi")
+      .crossJoin(broadcast(q))
+      .groupBy(col("label"), col("q_id"))
+      .agg(round(max(
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb"))), 2).as("mx"))
+      .groupBy("label")
+      .agg(round(sum("mx"), 2).as("maxsim"))
+      .orderBy("label")
+  }
+
   /** Higher-order array functions over embeddings — the
     * filter/exists/aggregate surface (all codegen'd, no UDF): per
     * vector, positive-component count, max component, and L1 norm.

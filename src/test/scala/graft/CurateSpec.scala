@@ -73,6 +73,23 @@ class CurateSpec extends SparkSpecBase {
       selfMax.mkString(","))
   }
 
+  test("maxsim-ivf serve path: candidate scores exact, exhaustive top doc covered") {
+    import graft.operators.Similarity
+    val full = Similarity.qMaxSim(tables).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.qMaxSimIvf(tables).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the serving split's guarantee: generation prunes DOCUMENTS, but
+    // every returned document scores exactly as the exhaustive pass
+    ivf.foreach { case (l, s) =>
+      assert(full(l) == s, s"label $l: ivf $s vs exhaustive ${full(l)}")
+    }
+    // coverage: the exhaustive winner survives candidate generation
+    val top1 = full.maxBy { case (l, s) => (s, -l) }._1
+    assert(ivf.contains(top1), s"top-1 label $top1 pruned away: ${ivf.keySet}")
+    assert(ivf.nonEmpty && ivf.size <= full.size)
+  }
+
   test("stats roll up only curated documents") {
     val stats = Curate.qCurate(tables).agg(sum("n_docs")).head().getLong(0)
     assert(stats == Curate.curated(tables).count())

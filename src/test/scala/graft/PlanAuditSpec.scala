@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_hard_negatives",  // same 3-row query set, band-filtered
     "q_text_ann",        // 3-row hash-embedded query set
     "q_maxsim",          // 4-row query-token set (late interaction)
+    "q_maxsim_ivf",      // same 4-row query set, IVF-pruned candidates
     "q_ann_ivf",         // k-row centroid table
     "q_ann_pq",          // 3-row query-ordinal frame fanning out the ADC batch
     "q_ann_ivfpq",       // k-row centroid table + same ordinal frame
