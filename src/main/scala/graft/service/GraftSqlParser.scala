@@ -56,7 +56,8 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // EXPLAIN surface. UnresolvedWith carries CTE-prefixed DML —
         // dmlPlan inlines the prologue before dispatching.
         case dmlTree @ (_: MergeIntoTable | _: UpdateTable | _: DeleteFromTable |
-            _: InsertIntoStatement | _: UnresolvedWith)
+            _: InsertIntoStatement | _: UnresolvedWith |
+            _: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression)
             if SqlDml.isVTableDml(session, dmlTree) =>
           GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
             (spark, _) =>

@@ -66,6 +66,10 @@ import graft.sources.VersionedTable
   *     [[VersionedTable.overwrite]]. Positional inserts require the
   *     full column count; a column list (or BY NAME) maps by name
   *     with NULL for unlisted columns; values store-assign via cast.
+  *     `INSERT INTO t REPLACE WHERE cond query` →
+  *     [[VersionedTable.replaceWhere]] — the atomic predicate
+  *     overwrite (delete slice + land rows in ONE commit, file-pruned
+  *     like DELETE; incoming rows must satisfy the predicate).
   *   - `DESCRIBE HISTORY t` / `DESCRIBE HISTORY '/path'` →
   *     [[VersionedTable.history]]
   *   - `ALTER TABLE t ADD COLUMN[S] c TYPE[, …]` →
@@ -663,6 +667,25 @@ object SqlDml {
             }
           }
         }
+      case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression =>
+        // `INSERT INTO t REPLACE WHERE cond query` — the predicate
+        // overwrite (Delta's replaceWhere): one atomic
+        // delete-slice-and-land commit, file-pruned like DELETE
+        target(spark, o.table).map { case (dir, quals, _) =>
+          noSubquery(o.deleteExpr, "REPLACE WHERE")
+          commit(spark, onCommit, dir) { vt =>
+            val data = GraftSqlBridge.ofRows(spark, o.query)
+            val committed = vt.read().schema
+            import org.apache.spark.sql.functions.col
+            if (data.columns.length != committed.length)
+              fail(s"REPLACE WHERE query produces ${data.columns.length} " +
+                s"columns; the table has ${committed.length}")
+            val aligned = data.toDF(committed.fieldNames.toSeq: _*)
+              .select(committed.fields.toSeq.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)): _*)
+            vt.replaceWhere(toColumn(strip(o.deleteExpr, quals)), aligned)
+          }
+        }
       case _ => None
     }
   }
@@ -682,6 +705,8 @@ object SqlDml {
     case i: InsertIntoStatement =>
       i.partitionSpec.isEmpty && target(spark, i.table).isDefined
     case m: MergeIntoTable => target(spark, m.targetTable).isDefined
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression =>
+      target(spark, o.table).isDefined
     case _ => false
   }
 

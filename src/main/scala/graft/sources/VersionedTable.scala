@@ -2372,6 +2372,70 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       changes = changes)
   }
 
+  /** Predicate OVERWRITE — Delta's `replaceWhere`: atomically delete
+    * every row matching `condition` AND land `df`, as ONE commit —
+    * the idempotent "rebuild this slice" primitive (re-land a day's
+    * partition, recompute one source's shard). Two separate
+    * delete+append commits cannot give it: a reader between them sees
+    * the slice missing, and a crash between them loses it. Same
+    * [[DataSkipping]] prune as [[deleteWhere]] — only files whose
+    * stats may hold matching rows rewrite; everything else carries
+    * forward with its stats. Every INCOMING row must satisfy the
+    * predicate (a task-side raise_error guard, zero extra pass) —
+    * anything else would smuggle out-of-slice rows into an operation
+    * that claims to replace the slice; Delta enforces the same. The
+    * condition must be UNRESOLVED (built from `col(...)`/`expr(...)`)
+    * so it can bind to both the table scan and the incoming frame.
+    * CDF: deletes for the replaced rows, inserts for the new ones, in
+    * the same commit.
+    */
+  def replaceWhere(condition: Column, df: DataFrame): Int =
+    retryingRewrite(replaceWhereOnce(condition, df))
+
+  private def replaceWhereOnce(condition: Column, df: DataFrame): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    requireSchemaMatch(df, m, "replaceWhere")
+    val files = manifestFiles(m)
+    val stats = manifestStats(m)
+    val schemaJson = Option(m.get("schema")).map(_.asText()).orNull
+    val schema = Option(schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    val hit = coalesce(condition, lit(false))
+    // in-slice guard on the INCOMING rows, task-side: wrap the first
+    // column so a violating row kills the write before the commit
+    // (same raise_error discipline as the MERGE guards)
+    val c0 = df.columns.head
+    val guarded = df.withColumn(c0,
+      when(!hit, org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.format_string(
+          "replaceWhere: incoming row falls outside the replaced slice " +
+            "(predicate is false/NULL for it); fix the source or widen " +
+            "the predicate [%s]", lit(condition.toString))))
+        .otherwise(col(c0)))
+    val cons = DataSkipping.constraints(
+      org.apache.spark.sql.GraftColumnBridge.expression(condition))
+    val (touched, untouched) = files.partition(f =>
+      DataSkipping.mayMatch(stats.get(f), schema, cons))
+    val kept =
+      if (touched.isEmpty) guarded // no stored row can match: pure add
+      else readFiles(m, touched).filter(!hit).unionByName(guarded)
+    val changes =
+      if (!cdfEnabled) None
+      else {
+        val dels =
+          if (touched.isEmpty) None
+          else Some(readFiles(m, touched).filter(hit)
+            .withColumn(VersionedTable.ChangeTypeCol, lit("delete")))
+        val ins = df.withColumn(VersionedTable.ChangeTypeCol, lit("insert"))
+        Some(dels.fold(ins)(_ unionByName ins))
+      }
+    commitData(v + 1, "replace", kept,
+      untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
+      changes = changes)
+  }
+
   /** Predicate UPDATE — `UPDATE SET col = expr WHERE condition` as a
     * copy-on-write rewrite, the companion to [[deleteWhere]] with the
     * same [[DataSkipping]] pruning: files whose stats prove no row

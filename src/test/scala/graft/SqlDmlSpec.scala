@@ -456,6 +456,28 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(byPath.length == 2)
   }
 
+  test("INSERT INTO ... REPLACE WHERE is the one-commit predicate overwrite") {
+    val (svc, vt) = seeded("sqldml-repl", "sqlm_repl") // k 1..10, v = k*10
+    val r = svc.sql("INSERT INTO sqlm_repl REPLACE WHERE k <= 5 " +
+      "SELECT id AS k, 0.0 AS v FROM range(1, 4)")
+    assert(r.columns.toSeq == Seq("version") && r.head().getInt(0) == 2)
+    val rows = vt.read().collect().map(rr => rr.getLong(0) -> rr.getDouble(1)).toMap
+    // slice k<=5 replaced by the three new rows; k>5 untouched
+    assert(rows == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0,
+      6L -> 60.0, 7L -> 70.0, 8L -> 80.0, 9L -> 90.0, 10L -> 100.0), rows)
+    // an incoming row outside the slice refuses the whole statement
+    intercept[Exception] {
+      svc.sql("INSERT INTO sqlm_repl REPLACE WHERE k <= 2 " +
+        "SELECT 99 AS k, 1.0 AS v").collect()
+    }
+    assert(vt.currentVersion == 2)
+    // the injected parser carries the same statement into plain spark.sql
+    val p = spark.sql("INSERT INTO sqlm_repl REPLACE WHERE k = 6 " +
+      "SELECT 6 AS k, 66.0 AS v")
+    assert(p.columns.toSeq == Seq("version") && p.head().getInt(0) == 3)
+    assert(vt.read().filter(col("k") === 6).head().getDouble(1) == 66.0)
+  }
+
   test("DESCRIBE DETAIL returns the one-row operational summary") {
     val (svc, vt) = seeded("sqldml-detail", "sqlm_detail")
     vt.addConstraint("k_pos", "k > 0")

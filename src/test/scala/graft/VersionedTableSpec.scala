@@ -216,6 +216,35 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 3)
   }
 
+  test("replaceWhere: one-commit slice rebuild, pruned carry-forward, out-of-slice refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "name", "day"))
+    t.append(Seq((3L, "c", 2L)).toDF("id", "name", "day"))
+    val day2Files = t.fileList(2).toSet -- t.fileList(1).toSet
+    // rebuild day 1 in ONE commit
+    val v = t.replaceWhere(col("day") === 1,
+      Seq((10L, "x", 1L), (11L, "y", 1L)).toDF("id", "name", "day"))
+    assert(v == 3)
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "x"), (11L, "y"), (3L, "c")))
+    // stats pruning carried the day-2 file forward by path, untouched
+    assert(day2Files.subsetOf(t.fileList(3).toSet),
+      s"day-2 file rewritten: ${t.fileList(3)}")
+    // exactly one commit: history reads append, append, replace
+    assert(t.history().collect().map(_.getString(1)).toSeq ==
+      Seq("replace", "append", "append"))
+    // an incoming row OUTSIDE the slice refuses the whole operation
+    intercept[Exception] {
+      t.replaceWhere(col("day") === 1, Seq((9L, "z", 2L)).toDF("id", "name", "day"))
+    }
+    assert(t.currentVersion == 3, "a refused replace must not commit")
+    // time travel still sees the pre-replace slice
+    assert(t.read(2).filter(col("day") === 1).count() == 2)
+  }
+
   test("constraint-referenced columns refuse drop/rename; multi-column DDL is one commit") {
     import spark.implicits._
     val dir = tmp()
