@@ -247,6 +247,7 @@ object SparkEntry {
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
+    "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
@@ -1595,6 +1596,18 @@ object SparkEntry {
         |         ELSE o_totalprice END AS price
         |  FROM orders
         |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) t""".stripMargin,
+    // the predicate overwrite: evens minus the %5 slice, plus ALL %5
+    // keys (replaced evens + net-new odds) at the discounted price
+    "q_table_replace" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS n_slice
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, floor((o_totalprice * 0.5) * 100 + 0.5) / 100
+        |  FROM orders WHERE o_orderkey % 5 = 0) t""".stripMargin,
     // every change class reconstructed in SQL: v1 inserts = the evens
     // append, v2 pre/postimages = the merge's matched keys (evens ∩
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes

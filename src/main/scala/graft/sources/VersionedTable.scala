@@ -3324,6 +3324,50 @@ object TableMerge {
   }
 }
 
+/** Contract query for the atomic predicate overwrite
+  * ([[VersionedTable.replaceWhere]]): an orders snapshot lands (even
+  * keys), then the `o_orderkey % 5 = 0` slice is REBUILT in one
+  * commit — its stored rows (the evens divisible by 10) replaced and
+  * net-new in-slice rows (odd multiples of 5) landed, all at a
+  * discounted price. The read-back aggregate is oracled by
+  * reproducing the same slice arithmetic in plain SQL, so the
+  * delete-and-land commit path is itself under the DuckDB gate.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object TableReplace {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-treplace")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_r"
+      val vt = VersionedTable(t.spark, dir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      vt.append(base.filter(col("o_orderkey") % 2 === 0))
+      vt.replaceWhere(col("o_orderkey") % 5 === 0,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("price", graft.operators.Rnd.round(col("price") * 0.5, 2)))
+      dir
+    }
+
+  def qTableReplace(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        sum(when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L)).as("n_slice"))
+  }
+}
+
 /** Contract query for lossless type-widening evolution: an orders
   * snapshot lands narrow (int key, float price), a later append
   * widens the committed schema to (long, double) WITHOUT rewriting
