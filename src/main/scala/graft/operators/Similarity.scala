@@ -137,8 +137,15 @@ object Similarity {
     * cells), exactly the qAnnBruteforce→qAnnIvf serve-path step.
     * Both maxes and the sum round like every cosine oracle here.
     */
-  def qMaxSim(t: Tables, numQuery: Int = 4): DataFrame = {
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+  def qMaxSim(t: Tables, numQuery: Int = 4): DataFrame =
+    maxSim(t.embeddings.select(col("vec_id"), col("label"), col("embedding")),
+      numQuery)
+
+  /** The exhaustive MaxSim core over any (vec_id, label, embedding)
+    * frame — shared by the contract query and the IVF serve path's
+    * candidate scorer, and directly testable on synthetic corpora.
+    */
+  def maxSim(e: DataFrame, numQuery: Int): DataFrame = {
     val q = e.filter(col("vec_id") < numQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
@@ -371,10 +378,20 @@ object Similarity {
     * docs|·tokens for scoring, vs the full n·|query| of the
     * exhaustive form.
     */
-  def qMaxSimIvf(t: Tables, numQuery: Int = 4, nprobe: Int = 4,
-      cells: Int = 16): DataFrame = {
-    val index = corpusIndex(t, cells)
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+  def qMaxSimIvf(t: Tables, numQuery: Int = 4, nprobe: Int = 2,
+      cells: Int = 16): DataFrame =
+    maxSimIvf(t.embeddings.select(col("vec_id"), col("label"), col("embedding")),
+      corpusIndex(t, cells), numQuery, nprobe)
+
+  /** The serve-path core over any frame + prebuilt index (see
+    * [[qMaxSimIvf]]) — CurateSpec drives it on a cluster-localized
+    * synthetic corpus to prove the candidate prune actually engages
+    * (on a corpus whose documents are not vector-localized, the
+    * candidate set legitimately approaches all documents — the prune
+    * pays off exactly when documents cluster).
+    */
+  def maxSimIvf(e: DataFrame, index: IvfIndex, numQuery: Int,
+      nprobe: Int): DataFrame = {
     val q = e.filter(col("vec_id") < numQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // candidate generation: cells any query token probes → the labels
@@ -389,14 +406,7 @@ object Similarity {
     val candLabels = e.join(candVecs, Seq("vec_id"), "left_semi")
       .select("label").distinct()
     // exact MaxSim on the candidates only
-    e.join(broadcast(candLabels), Seq("label"), "left_semi")
-      .crossJoin(broadcast(q))
-      .groupBy(col("label"), col("q_id"))
-      .agg(round(max(
-        GraftFunctions.cosineSim(col("embedding"), col("q_emb"))), 2).as("mx"))
-      .groupBy("label")
-      .agg(round(sum("mx"), 2).as("maxsim"))
-      .orderBy("label")
+    maxSim(e.join(broadcast(candLabels), Seq("label"), "left_semi"), numQuery)
   }
 
   /** Higher-order array functions over embeddings — the

@@ -642,14 +642,8 @@ object SqlDml {
                     .map(col(_).cast(f.dataType))
                     .getOrElse(lit(null).cast(f.dataType)).as(f.name)
                 }: _*)
-              case None =>
-                if (data.columns.length != committed.length)
-                  fail(s"INSERT query produces ${data.columns.length} columns; " +
-                    s"the table has ${committed.length} (name them with an " +
-                    "INSERT (cols...) list for a partial insert)")
-                data.toDF(committed.fieldNames.toSeq: _*)
-                  .select(committed.fields.toSeq.map(f =>
-                    col(f.name).cast(f.dataType).as(f.name)): _*)
+              case None => alignPositional(data, committed,
+                " (name them with an INSERT (cols...) list for a partial insert)")
             }
             if (i.overwrite) vt.overwrite(aligned) else vt.append(aligned)
           }
@@ -675,14 +669,7 @@ object SqlDml {
           noSubquery(o.deleteExpr, "REPLACE WHERE")
           commit(spark, onCommit, dir) { vt =>
             val data = GraftSqlBridge.ofRows(spark, o.query)
-            val committed = vt.read().schema
-            import org.apache.spark.sql.functions.col
-            if (data.columns.length != committed.length)
-              fail(s"REPLACE WHERE query produces ${data.columns.length} " +
-                s"columns; the table has ${committed.length}")
-            val aligned = data.toDF(committed.fieldNames.toSeq: _*)
-              .select(committed.fields.toSeq.map(f =>
-                col(f.name).cast(f.dataType).as(f.name)): _*)
+            val aligned = alignPositional(data, vt.read().schema, "")
             vt.replaceWhere(toColumn(strip(o.deleteExpr, quals)), aligned)
           }
         }
@@ -777,6 +764,22 @@ object SqlDml {
         }
     }
 
+  /** Positionally rename + store-assign-cast a query's output to the
+    * committed schema — shared by INSERT's bare form and REPLACE
+    * WHERE so their alignment semantics can never diverge.
+    */
+  private def alignPositional(data: DataFrame,
+      committed: org.apache.spark.sql.types.StructType,
+      hint: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (data.columns.length != committed.length)
+      fail(s"query produces ${data.columns.length} columns; " +
+        s"the table has ${committed.length}$hint")
+    data.toDF(committed.fieldNames.toSeq: _*)
+      .select(committed.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** Innermost single-part relation name of a DML target plan. */
   private def relationName(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => relationName(child)
@@ -868,9 +871,15 @@ object SqlDml {
           // different LOCATION in the statement means the caller
           // believes that path holds the table, and a silent no-op
           // would leave them pointed at nothing: surface the mismatch
+          // compare NORMALIZED paths: '/data/t/' and '/data/t' are the
+          // same directory, and IF NOT EXISTS must stay idempotent for
+          // a re-run spelling the location differently
+          def norm(p: String): String =
+            try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+            catch { case scala.util.control.NonFatal(_) => p }
           val registered = relationOf(spark, name).map(_.dir)
           registered match {
-            case Some(d) if d != location => fail(
+            case Some(d) if norm(d) != norm(location) => fail(
               s"CREATE TABLE IF NOT EXISTS: `$name` is registered at $d, " +
                 s"not $location — drop it or use the registered location")
             case None => fail(

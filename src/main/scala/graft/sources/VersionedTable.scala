@@ -263,7 +263,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
     } catch {
       case NonFatal(e) =>
-        try dropConstraint(name) catch { case NonFatal(_) => () }
+        // a rollback failure must be LOUD: the caller was told the add
+        // failed, so a constraint silently left enforced would gate
+        // every future commit on a table whose data may violate it
+        try { dropConstraint(name); () }
+        catch {
+          case NonFatal(rb) =>
+            val worse = new IllegalStateException(
+              s"addConstraint `$name` failed AND rolling the config back " +
+                s"also failed — the constraint IS currently enforced; run " +
+                s"dropConstraint(\"$name\") manually. Original failure: " +
+                e.getMessage, e)
+            worse.addSuppressed(rb)
+            throw worse
+        }
         throw e
     }
   }
@@ -316,18 +329,29 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * from parsing the stored expression (qualified names take their
     * last part; an unparsable expression conservatively refuses).
     */
-  private def requireNoConstraintRefs(column: String, what: String): Unit = {
-    val lower = column.toLowerCase(java.util.Locale.ROOT)
-    val referencing = constraintList.filter { case (_, e) =>
+  private def requireNoConstraintRefs(column: String, what: String): Unit =
+    requireNoConstraintRefs(Seq(column), what, constraintList)
+
+  private def requireNoConstraintRefs(columns: Seq[String], what: String,
+      constraints: Seq[(String, String)]): Unit = {
+    val lower = columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // EVERY name part counts, not just the last: a constraint on
+    // `meta.quality` references the struct column `meta` — matching
+    // only the leaf would let the struct drop and leave the table
+    // unwritable. Over-matching (a struct field that happens to share
+    // a top-level column's name) only refuses a convenience, never
+    // corrupts.
+    val referencing = constraints.filter { case (_, e) =>
       try spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-      }.contains(lower)
+          a.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+      }.flatten.exists(lower)
       catch { case NonFatal(_) => true } // can't prove it's unreferenced
     }
     require(referencing.isEmpty,
-      s"cannot $what column `$column`: referenced by CHECK constraint(s) " +
-        s"${referencing.map(_._1).mkString(", ")} (drop the constraint first)")
+      s"cannot $what column(s) ${columns.mkString(", ")}: referenced by CHECK " +
+        s"constraint(s) ${referencing.map(_._1).mkString(", ")} " +
+        "(drop the constraint first)")
   }
 
   /** One conditional-agg pass over a commit's freshly written files —
@@ -1842,17 +1866,21 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         .asInstanceOf[StructType].fields.nonEmpty,
       s"table at $dir carries no committed schema (raw commits); cannot drop")
     val st = DataType.fromJson(sNode.asText()).asInstanceOf[StructType]
+    // one config snapshot for the whole list — per-name re-reads would
+    // cost names×constraints expression parses and could even observe
+    // different config states mid-validation
+    val bloomCols = bloomConfig.map(_.columns.toSet).getOrElse(Set.empty)
+    val ndvCols = ndvConfig.map(_.columns.toSet).getOrElse(Set.empty)
+    val cons = constraintList
     val fields = names.map { name =>
       val f = st.fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"no column `$name` in (${st.fieldNames.mkString(", ")})"))
-      val indexed = bloomConfig.exists(_.columns.contains(name)) ||
-        ndvConfig.exists(_.columns.contains(name))
-      require(!indexed,
+      require(!bloomCols(name) && !ndvCols(name),
         s"cannot drop bloom/NDV-indexed column `$name` (drop the index config first)")
-      requireNoConstraintRefs(name, "drop")
       f
     }
+    requireNoConstraintRefs(names, "drop", cons)
     require(st.fields.length > names.size, "cannot drop a table's last column")
     val dropSet = names.toSet
     val remaining = StructType(st.fields.filterNot(f => dropSet(f.name)))

@@ -19,15 +19,19 @@ import java.nio.file.{Files, Path}
   * may have been re-claimed between the staleness check and the move)
   * and hands a live lock straight back if it stole one.
   *
-  * Unlock verifies OWNERSHIP: each holder stamps a token file inside
-  * its lock dir, and release deletes the dir only when the token is
-  * its own. Without this, a holder whose critical section outlives
-  * `staleMs` (GC pause, slow storage) would — via its bare finally
+  * Unlock verifies OWNERSHIP with the same rename-then-verify
+  * discipline: each holder stamps a token file inside its lock dir;
+  * release atomically renames the dir aside, checks the moved
+  * instance's token, and either deletes it (its own) or renames it
+  * straight back (a successor's — the holder was stale-broken while
+  * paused). Without this, a holder whose critical section outlives
+  * `staleMs` (GC pause, slow storage) would — via a bare finally
   * delete — remove the lock a stale-breaker has since created,
   * re-opening the lost-update window for a THIRD writer. The slow
   * holder itself still overlaps the breaker (the stale-break's
-  * documented trade-off against crashed holders); the token stops
-  * the overlap from cascading.
+  * documented trade-off against crashed holders); the rename-verify
+  * release bounds any residual theft to the restore gap instead of a
+  * whole critical section.
   */
 object DirLock {
 
@@ -42,13 +46,23 @@ object DirLock {
 
   private def release(lock: Path, token: String): Unit =
     try {
-      val owner = lock.resolve(TokenFile)
-      if (new String(Files.readAllBytes(owner),
-          java.nio.charset.StandardCharsets.UTF_8) == token) {
-        Files.deleteIfExists(owner)
-        Files.deleteIfExists(lock)
-        ()
-      }
+      // rename-THEN-verify, the same discipline as the stale-break: a
+      // read-check-delete sequence could pause between check and
+      // delete (the very GC/slow-storage pause that triggers breaks)
+      // and delete a SUCCESSOR's live lock. rename(2) is atomic, so
+      // exactly one mover wins; verifying the token on the MOVED
+      // instance and restoring a stolen live lock bounds the damage
+      // to the restore gap instead of a full critical section.
+      val corpse = lock.resolveSibling(
+        s"${lock.getFileName}.rel-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.move(lock, corpse)
+      val owned =
+        try new String(Files.readAllBytes(corpse.resolve(TokenFile)),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (owned) deleteCorpse(corpse)
+      else Files.move(corpse, lock) // a successor's lock — hand it back
+      ()
     } catch {
       // lock renamed away by a stale-breaker, or already superseded:
       // not ours to delete

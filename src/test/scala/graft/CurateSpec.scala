@@ -88,6 +88,33 @@ class CurateSpec extends SparkSpecBase {
     val top1 = full.maxBy { case (l, s) => (s, -l) }._1
     assert(ivf.contains(top1), s"top-1 label $top1 pruned away: ${ivf.keySet}")
     assert(ivf.nonEmpty && ivf.size <= full.size)
+    // the synthetic corpus's labels are NOT vector-localized, so the
+    // document prune may legitimately admit everything there — prove
+    // the prune ENGAGES on a corpus where documents cluster (the case
+    // it exists for): 4 labels at 4 well-separated corners, query
+    // tokens from label 0, nprobe 1 → only label 0 can be a candidate
+    import spark.implicits._
+    val dim = 8
+    val clustered = (0 until 4).flatMap { label =>
+      (0 until 20).map { i =>
+        val vid = label * 20L + i
+        val v = Array.tabulate(dim)(d =>
+          (if (d == label * 2) 1.0f else 0.0f) +
+            0.01f * (((vid * 7 + d) % 5) - 2))
+        (vid, label, v)
+      }
+    }.toDF("vec_id", "label", "embedding")
+    val idx = graft.operators.IvfIndex.build(clustered, cells = 4, iters = 2,
+      trainMod = 1)
+    try {
+      val pruned = Similarity.maxSimIvf(clustered, idx, numQuery = 2, nprobe = 1)
+        .collect().map(r => r.getInt(1 - 1)).toSet
+      val everything = Similarity.maxSim(clustered, 2)
+        .collect().map(r => r.getInt(0)).toSet
+      assert(everything.size == 4)
+      assert(pruned == Set(0),
+        s"localized corpus must prune to the query's own cluster: $pruned")
+    } finally idx.unpersist()
   }
 
   test("stats roll up only curated documents") {
