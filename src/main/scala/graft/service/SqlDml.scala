@@ -494,7 +494,7 @@ object SqlDml {
     leadingVerb(query, skipParens = false) == "VACUUM"
 
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val RestoreRe =
@@ -503,7 +503,7 @@ object SqlDml {
   /** Delta-shaped maintenance verbs over a registered vtable (or a
     * quoted table path):
     *
-    *   VACUUM t [RETAIN n VERSIONS]          → vacuum(n); result = files freed
+    *   VACUUM t [RETAIN n VERSIONS] [DRY RUN] → vacuum(n); result = files freed (a DRY RUN reports the count with zero side effects)
     *   OPTIMIZE t [ZORDER BY (c1[, c2])]     → compact(clusterBy); result = version
     *   RESTORE [TABLE] t [TO] VERSION AS OF v → restore(v); result = version
     *
@@ -521,10 +521,12 @@ object SqlDml {
       VersionedTable(spark, dir)
     }
     content(query) match {
-      case VacuumRe(target, retain) =>
+      case VacuumRe(target, retain, dry) =>
         val n = Option(retain).map(_.toInt).getOrElse(1)
-        val freed = table(target).vacuum(retainVersions = n)
-        onCommit()
+        val dryRun = dry != null
+        val freed = table(target).vacuum(retainVersions = n, dryRun = dryRun)
+        // a dry run frees nothing — the result cache stays valid
+        if (!dryRun) onCommit()
         Some(spark.range(1).select(lit(freed).as("deleted_files")))
       case OptimizeRe(target, zorder) =>
         val cols = Option(zorder).toSeq

@@ -2997,11 +2997,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * overrides the guard entirely.
     */
   def vacuum(retainVersions: Int = 1, force: Boolean = false,
-      maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs): Int = {
+      maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs,
+      dryRun: Boolean = false): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
     val vs = listVersions().sorted
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     if (drop.isEmpty) return 0
+    // DRY RUN: report how many files a real vacuum would free, with
+    // ZERO side effects — no deletes, no epoch-pointer harvest, and no
+    // lease veto (reporting what would free is exactly what an
+    // operator deciding whether to wait on a lease wants to see)
+    if (dryRun) {
+      def heldD(v: Int): Seq[String] = {
+        val m = manifest(v)
+        manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
+      }
+      val liveD = keep.flatMap(heldD).toSet
+      return drop.flatMap(heldD).distinct.count(!liveD(_))
+    }
     if (!force) {
       val now = System.currentTimeMillis()
       feedLeases.foreach { case (id, (through, ts)) =>

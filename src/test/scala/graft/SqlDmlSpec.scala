@@ -497,6 +497,18 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(p.head().getAs[Int]("version") == 1)
   }
 
+  test("VACUUM DRY RUN reports the reclaimable count with zero side effects") {
+    val (svc, vt) = seeded("sqldml-vdry", "sqlm_vdry")
+    svc.sql("DELETE FROM sqlm_vdry WHERE k <= 3").collect() // v2 rewrites
+    val dry = svc.sql("VACUUM sqlm_vdry RETAIN 1 VERSIONS DRY RUN").head().getInt(0)
+    assert(dry > 0, "the rewritten v1 files are reclaimable")
+    // nothing was deleted: time travel to v1 still reads
+    assert(vt.read(1).count() == 10)
+    // the real vacuum frees exactly what the dry run promised
+    val freed = svc.sql("VACUUM sqlm_vdry RETAIN 1 VERSIONS").head().getInt(0)
+    assert(freed == dry, s"dry run promised $dry, vacuum freed $freed")
+  }
+
   test("SQL maintenance: VACUUM, OPTIMIZE ZORDER BY, RESTORE") {
     val (svc, vt) = seeded("sqldml-maint", "sqlm_maint")          // v1
     svc.sql("DELETE FROM sqlm_maint WHERE k > 5").collect()       // v2
