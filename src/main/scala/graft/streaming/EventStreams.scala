@@ -171,6 +171,35 @@ object EventStreams {
       .select("click_id", "purchase_id", "user_id", "value")
   }
 
+  /** FULL OUTER stream-stream interval join: both unmatched sides
+    * eventually emit — unmatched clicks with null purchase columns
+    * AND unmatched purchases with null click columns, each once its
+    * own side's watermark proves no partner can still arrive. The
+    * purchase-side nulls are the orphan-conversion cohort (purchases
+    * with no attributable click: lost tracking, direct entry) that
+    * the left-outer form silently drops — attribution QA needs both
+    * null populations. Same bounded state as the inner form: the
+    * interval condition caps both buffers at watermark + window.
+    */
+  def clickPurchaseAttributionFull(events: DataFrame, windowSec: Long = 300,
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "fullOuter")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"), col("value"))
+  }
+
   /** Stream-static enrichment: each streaming event joined to a
     * STATIC dimension frame (user → segment, product → category). The
     * static side is planned per micro-batch as an ordinary batch join

@@ -202,6 +202,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits both orphan cohorts once watermarks prove them") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(10), 1, "click", 0),       // matched pair
+      Event(2, ts(12), 1, "purchase", 9.99),
+      Event(3, ts(11), 2, "click", 0),       // never purchases → null purchase
+      Event(4, ts(11), 3, "purchase", 4.0))  // no prior click → null click
+    val q = EventStreams.clickPurchaseAttributionFull(input.toDF(), windowSec = 300)
+      .writeStream.format("memory").queryName("attrib_full")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push both watermarks far past every open window (distinct
+      // users, >window gaps — the advancing events match nothing)
+      input.addData(Event(99, ts(120), 8, "click", 0),
+        Event(100, ts(130), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(101, ts(131), 7, "click", 0),
+        Event(102, ts(141), 6, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_full").collect()
+        .filter(r => r.getAs[Long]("user_id") <= 3)
+      val matched = rows.filter(r =>
+        !r.isNullAt(r.fieldIndex("click_id")) &&
+          !r.isNullAt(r.fieldIndex("purchase_id")))
+      assert(matched.length == 1 && matched.head.getAs[Long]("click_id") == 1)
+      val orphanClicks = rows.filter(r => r.isNullAt(r.fieldIndex("purchase_id")))
+      assert(orphanClicks.map(_.getAs[Long]("click_id")).toSet == Set(3L),
+        rows.mkString(","))
+      val orphanPurchases = rows.filter(r => r.isNullAt(r.fieldIndex("click_id")))
+      assert(orphanPurchases.map(_.getAs[Long]("purchase_id")).toSet == Set(4L),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("idle-flush timeout emits and evicts a silent user's open session") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
