@@ -820,6 +820,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     rel.rows.foreach { r => node.put("rows", r.toLong); () }
     node.put("size_bytes", rel.sizeBytes.toLong)
     node.put("files", manifestFiles(manifest(rel.version)).size)
+    node.put("cdf_enabled", cdfEnabled)
+    val consNode = node.putArray("constraints")
+    constraintList.foreach { case (n, e) =>
+      val c = mapper.createObjectNode()
+      c.put("name", n); c.put("check", e)
+      consNode.add(c); ()
+    }
     val cols = node.putArray("columns")
     rel.output.foreach { a =>
       val c = mapper.createObjectNode()
