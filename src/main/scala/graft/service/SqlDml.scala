@@ -496,7 +496,7 @@ object SqlDml {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
@@ -504,7 +504,7 @@ object SqlDml {
     * quoted table path):
     *
     *   VACUUM t [RETAIN n VERSIONS] [DRY RUN] → vacuum(n); result = files freed (a DRY RUN reports the count with zero side effects)
-    *   OPTIMIZE t [ZORDER BY (c1[, c2])]     → compact(clusterBy); result = version
+    *   OPTIMIZE t [WHERE cond] [ZORDER BY (c1[, c2])] → compact(clusterBy, where); result = version (WHERE restricts the bin-pack to stats-matching files — selective compaction)
     *   RESTORE [TABLE] t [TO] VERSION AS OF v → restore(v); result = version
     *
     * Verb classification already treats all three as mutations at the
@@ -528,12 +528,16 @@ object SqlDml {
         // a dry run frees nothing — the result cache stays valid
         if (!dryRun) onCommit()
         Some(spark.range(1).select(lit(freed).as("deleted_files")))
-      case OptimizeRe(target, zorder) =>
+      case OptimizeRe(target, whereCond, zorder) =>
         val cols = Option(zorder).toSeq
           .flatMap(_.split(",")).map(c => unquoteIdent(c.trim)).filter(_.nonEmpty)
         val vt = table(target)
         val preHead = vt.currentVersion
-        val v = vt.compact(clusterBy = cols)
+        // OPTIMIZE ... WHERE: selective compaction — only files whose
+        // stats may match the predicate are considered for bin-packing
+        val v = vt.compact(clusterBy = cols,
+          where = Option(whereCond).map(w =>
+            org.apache.spark.sql.functions.expr(w.trim)))
         onCommit()
         refreshViews(spark, vt.dir, preHead)
         Some(spark.range(1).select(lit(v).as("version")))

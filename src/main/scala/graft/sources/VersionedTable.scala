@@ -2568,20 +2568,40 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * current version unchanged when there is nothing to compact (no
     * empty commits from maintenance loops).
     */
-  def compact(targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Int =
+  def compact(targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty,
+      where: Option[Column] = None): Int =
     // maintenance racing a writer re-plans against the fresh snapshot
     // (the file set it bin-packed just changed underneath it)
-    retryingRewrite(compactOnce(targetBytes, clusterBy))
+    retryingRewrite(compactOnce(targetBytes, clusterBy, where))
 
-  private def compactOnce(targetBytes: Long, clusterBy: Seq[String]): Int = {
+  private def compactOnce(targetBytes: Long, clusterBy: Seq[String],
+      where: Option[Column]): Int = {
     require(clusterBy.size <= 2, "compact clusters on at most two columns")
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
     val files = manifestFiles(m)
     val stats = manifestStats(m)
-    val sized = files.map(f => f -> Files.size(Paths.get(dir, f)))
-    val (small, large) = sized.partition(_._2 < targetBytes)
+    // SELECTIVE compaction (Delta's OPTIMIZE ... WHERE): restrict the
+    // bin-pack to files whose stats MAY hold matching rows — the
+    // 100 TB maintenance shape, where "compact yesterday's ingest"
+    // must not consider (let alone rewrite) the settled bulk of a
+    // time-clustered table. Same sound-only DataSkipping contract as
+    // deleteWhere: unprunable shapes just widen the candidate set.
+    val schemaOpt = Option(m.get("schema"))
+      .map(sj => DataType.fromJson(sj.asText()).asInstanceOf[StructType])
+    val candidates = where match {
+      case None => files
+      case Some(cond) =>
+        val cons = DataSkipping.constraints(
+          org.apache.spark.sql.GraftColumnBridge.expression(cond))
+        files.filter(f => DataSkipping.mayMatch(stats.get(f), schemaOpt, cons))
+    }
+    val candidateSet = candidates.toSet
+    val sized = candidates.map(f => f -> Files.size(Paths.get(dir, f)))
+    val (small, largeInSlice) = sized.partition(_._2 < targetBytes)
+    val large = largeInSlice ++
+      files.filterNot(candidateSet).map(f => f -> 0L) // carried, size unused
     if (small.size <= 1) return v
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val base = readFiles(m, small.map(_._1))

@@ -216,6 +216,35 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 3)
   }
 
+  test("selective compaction packs only the predicate's files; the settled bulk never rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // two "settled" day-1 files + three small day-2 ingest files
+    t.append(Seq((1L, 1L), (2L, 1L)).toDF("id", "day"))
+    t.append(Seq((3L, 1L)).toDF("id", "day"))
+    (4 to 6).foreach(i => t.append(Seq((i.toLong, 2L)).toDF("id", "day")))
+    val day1Files = t.fileList(2).toSet
+    // compact ONLY day 2: the day-1 files must carry forward by path
+    val v = t.compact(targetBytes = 10L << 20, where = Some(col("day") === 2))
+    assert(v == 6)
+    assert(day1Files.subsetOf(t.fileList(v).toSet),
+      s"settled files rewritten: ${t.fileList(v)}")
+    // the day-2 slice packed down and nothing was lost
+    assert(t.fileList(v).size < t.fileList(5).size)
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L))
+    // the SQL surface drives the same path
+    t.scan().createOrReplaceTempView("opt_where_t")
+    val svc = new graft.service.QueryService(spark)
+    (7 to 8).foreach(i => t.append(Seq((i.toLong, 3L)).toDF("id", "day")))
+    val before = t.fileList(t.currentVersion).size
+    val r = svc.sql("OPTIMIZE opt_where_t WHERE day = 3").head().getInt(0)
+    assert(r == t.currentVersion)
+    assert(t.fileList(t.currentVersion).size < before)
+    assert(t.read().count() == 8)
+  }
+
   test("replaceWhere: one-commit slice rebuild, pruned carry-forward, out-of-slice refuses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
