@@ -495,8 +495,11 @@ object SqlDml {
 
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  // the WHERE group is TEMPERED against ZORDER: an unparsable ZORDER
+  // list must surface as the statement error it is, not backtrack into
+  // the predicate and blame a condition the user never wrote
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+((?:(?!\bZORDER\b).)+?))?(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 

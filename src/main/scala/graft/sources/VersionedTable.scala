@@ -2600,8 +2600,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val candidateSet = candidates.toSet
     val sized = candidates.map(f => f -> Files.size(Paths.get(dir, f)))
     val (small, largeInSlice) = sized.partition(_._2 < targetBytes)
-    val large = largeInSlice ++
-      files.filterNot(candidateSet).map(f => f -> 0L) // carried, size unused
+    // carried paths only — no fabricated sizes for out-of-slice files
+    val carried = largeInSlice.map(_._1) ++ files.filterNot(candidateSet)
     if (small.size <= 1) return v
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val base = readFiles(m, small.map(_._1))
@@ -2664,7 +2664,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           .drop("__graft_zx", "__graft_zy")
     }
     commitData(v + 1, "compact", packed,
-      large.map(_._1), large.flatMap { case (f, _) => stats.get(f).map(f -> _) }.toMap)
+      carried, carried.flatMap(f => stats.get(f).map(f -> _)).toMap)
   }
 
   /** Most recent committed stream epoch: the max of (a) a backward
@@ -3030,18 +3030,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val vs = listVersions().sorted
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     if (drop.isEmpty) return 0
-    // DRY RUN: report how many files a real vacuum would free, with
-    // ZERO side effects — no deletes, no epoch-pointer harvest, and no
-    // lease veto (reporting what would free is exactly what an
-    // operator deciding whether to wait on a lease wants to see)
-    if (dryRun) {
-      def heldD(v: Int): Seq[String] = {
-        val m = manifest(v)
-        manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
-      }
-      val liveD = keep.flatMap(heldD).toSet
-      return drop.flatMap(heldD).distinct.count(!liveD(_))
+    // files a version holds — data + change files; ONE definition so
+    // the dry-run count can never diverge from what the real pass
+    // frees (their parity is spec-pinned)
+    def held(v: Int): Seq[String] = {
+      val m = manifest(v)
+      manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
     }
+    // the lease veto applies to the DRY RUN too: a dry run is a
+    // predictor of the real command, and predicting N freed files
+    // when the real vacuum would throw the lease guard is a lie.
+    // force + dryRun answers "what would a forced vacuum free".
     if (!force) {
       val now = System.currentTimeMillis()
       feedLeases.foreach { case (id, (through, ts)) =>
@@ -3056,6 +3055,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
               "releaseFeedLease(id), or vacuum(force = true)")
       }
     }
+    // change files are referenced ONLY by their own commit's manifest,
+    // so they die with it — held() includes them on both sides
+    val live = keep.flatMap(held).toSet
+    val dead = drop.flatMap(held).distinct
+      .filterNot(live)
+    // DRY RUN ends here: the count, with zero side effects past the
+    // (shared) lease veto — no deletes, no epoch-pointer harvest
+    if (dryRun) return dead.size
     // the dropped manifests may be the only record of committed stream
     // epochs (if the commit-time pointer write failed — it's advisory);
     // harvest them into the durable pointer BEFORE deleting
@@ -3065,15 +3072,6 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         if (m.has("epoch")) Some(m.get("epoch").asLong) else None
       }.maxOption.foreach(writeEpochPointer)
     } catch { case NonFatal(_) => () }
-    // change files are referenced ONLY by their own commit's manifest,
-    // so they die with it — include them on both sides for uniformity
-    def held(v: Int): Seq[String] = {
-      val m = manifest(v)
-      manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
-    }
-    val live = keep.flatMap(held).toSet
-    val dead = drop.flatMap(held).distinct
-      .filterNot(live)
     dead.foreach { rel =>
       Files.deleteIfExists(Paths.get(dir, rel))
       // a dead data file takes its index sidecars (bloom filters, NDV

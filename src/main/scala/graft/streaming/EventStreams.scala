@@ -125,7 +125,17 @@ object EventStreams {
     * batch RangeJoin.
     */
   def clickPurchaseAttribution(events: DataFrame, windowSec: Long = 300,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(events, windowSec, watermark, "inner")
+      .select("click_id", "purchase_id", "user_id", "value")
+
+  /** ONE prep + interval-join body for all three attribution variants
+    * — a fix to the window condition or watermark handling must hit
+    * inner, left-outer, and full-outer alike, or the variants drift
+    * into silently different attribution windows.
+    */
+  private def attributionJoin(events: DataFrame, windowSec: Long,
+      watermark: String, joinType: String): DataFrame = {
     val base = events.withColumn("ts", col("ts").cast("timestamp"))
     val clicks = base.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -137,8 +147,8 @@ object EventStreams {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
-      .select("click_id", "purchase_id", "user_id", "value")
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   /** LEFT OUTER stream-stream interval join: like
@@ -154,22 +164,9 @@ object EventStreams {
     * instead of by a batch anti-join over the full history.
     */
   def clickPurchaseAttributionOuter(events: DataFrame, windowSec: Long = 300,
-      watermark: String = "10 minutes"): DataFrame = {
-    val base = events.withColumn("ts", col("ts").cast("timestamp"))
-    val clicks = base.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val purchases = base.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", watermark)
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
-      "leftOuter")
+      watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(events, windowSec, watermark, "leftOuter")
       .select("click_id", "purchase_id", "user_id", "value")
-  }
 
   /** FULL OUTER stream-stream interval join: both unmatched sides
     * eventually emit — unmatched clicks with null purchase columns
@@ -182,23 +179,10 @@ object EventStreams {
     * interval condition caps both buffers at watermark + window.
     */
   def clickPurchaseAttributionFull(events: DataFrame, windowSec: Long = 300,
-      watermark: String = "10 minutes"): DataFrame = {
-    val base = events.withColumn("ts", col("ts").cast("timestamp"))
-    val clicks = base.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val purchases = base.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", watermark)
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
-      "fullOuter")
+      watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(events, windowSec, watermark, "fullOuter")
       .select(col("click_id"), col("purchase_id"),
         coalesce(col("user_id"), col("p_user")).as("user_id"), col("value"))
-  }
 
   /** Stream-static enrichment: each streaming event joined to a
     * STATIC dimension frame (user → segment, product → category). The

@@ -298,6 +298,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(v1.statusCode == 200 && v1.body.contains(""""rows":2"""), v1.body)
     val bad = post("/describe", """{"path":"/tmp/definitely-not-a-table-xyz"}""")
     assert(bad.statusCode == 400, s"${bad.statusCode}: ${bad.body}")
+    // the operational fields ride along: CDF flag + enforced CHECKs
+    assert(res.body.contains(""""cdf_enabled":false"""), res.body)
+    assert(res.body.contains(""""constraints":[]"""), res.body)
+    vt.addConstraint("id_pos", "id > 0")
+    val withCk = post("/describe", s"""{"path":"$dir"}""")
+    assert(withCk.body.contains(""""name":"id_pos"""") &&
+      withCk.body.contains(""""check":"id > 0""""), withCk.body)
   }
 
   test("POST /changes serves the row-level feed; unanswerable windows are 409") {
