@@ -185,6 +185,7 @@ object SparkEntry {
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
     "q_span_dedup" -> ((s, d) => Dedup.qSpanDedup(t(s, d))),
+    "q_span_containment" -> ((s, d) => Dedup.qSpanContainment(t(s, d))),
     "q_cross_source_overlap" -> ((s, d) => Dedup.qCrossSourceOverlap(t(s, d))),
     "q_dup_clusters" -> ((s, d) => Dedup.qDupClusters(t(s, d))),
     "q_leakage_split" -> ((s, d) => Dedup.qLeakageSafeSplit(t(s, d))),
@@ -1259,6 +1260,21 @@ object SparkEntry {
         |WHERE s.doc_id > o.first_doc
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin),
+    // graded span overlap: per-doc fraction of spans owned earlier,
+    // kept at the mostly-duplicate 0.5 cut
+    "q_span_containment" ->
+      ("WITH " + spanCte + ",\n" +
+       """o AS (SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span),
+        |c AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN s.doc_id > o.first_doc THEN 1 ELSE 0 END) AS n_shared
+        |  FROM s JOIN o USING (span)
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_spans, n_shared,
+        |  floor((n_shared * 1.0 / n_spans) * 10000 + 0.5) / 10000 AS containment
+        |FROM c
+        |WHERE floor((n_shared * 1.0 / n_spans) * 10000 + 0.5) / 10000 >= 0.5
+        |ORDER BY doc_id""".stripMargin),
     // incremental span ingest: odd docs probed against the even-doc
     // on-disk span index = odd docs sharing a span with any even doc
     "q_span_ingest" ->

@@ -164,6 +164,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span CONTAINMENT — the graded form of [[qSpanDedup]] (Lee et
+    * al.'s "substantial overlap" rule): per document, the fraction of
+    * its k-token spans already owned by an EARLIER document. Where
+    * span dedup convicts on ANY shared span, containment measures HOW
+    * MUCH of the document is verbatim-recycled — the standard
+    * "mostly-duplicate" threshold drop (a 0.5 cut drops docs that are
+    * half boilerplate/quote even when no single doc matches them
+    * whole). Same routed postings as qSpanDedup — identical skew
+    * bounds — plus one per-doc count that rides the same final agg.
+    */
+  def qSpanContainment(t: Tables, k: Int = 8, hotCap: Int = 4096,
+      threshold: Double = 0.5): DataFrame = {
+    val routed = routedSpans(t.documents, k, hotCap)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("span", "_salt")
+    routed
+      .withColumn("first_doc", coalesce(col("hot_first"), min("doc_id").over(w)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L))
+          .as("n_shared"))
+      .withColumn("containment", round(col("n_shared") / col("n_spans"), 4))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_id")
+  }
+
   /** Skew-routed span postings: (doc_id, span, hot_first, _salt) where
     * `hot_first` is the global min owner for spans whose posting count
     * exceeds `hotCap` (null otherwise) and `_salt` spreads hot spans'

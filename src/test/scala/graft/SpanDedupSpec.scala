@@ -106,6 +106,21 @@ class SpanDedupSpec extends SparkSpecBase {
       "bucket pruning must not depend on the broadcast hint: " + plan.take(800))
   }
 
+  test("containment grades overlap: full duplicates 1.0, partial overlap below the cut") {
+    // doc 4 repeats doc 1 verbatim → containment 1.0 (all 4 spans
+    // owned earlier); doc 2 shares exactly 1 of its 3 spans (run at
+    // the tail of an 11-token doc) → 0.33, below the 0.5 cut; doc 1
+    // owns everything it has → 0.0
+    val rows = Dedup.qSpanContainment(tinyTables).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set(4L), s"only the full duplicate passes 0.5: $rows")
+    assert(rows(4L) == 1.0)
+    val all = Dedup.qSpanContainment(tinyTables, threshold = 0.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all(1L)._2 == 0L, "the first owner shares nothing backward")
+    assert(all(2L) == ((3L, 1L)), s"doc 2: 1 of 3 spans shared: ${all(2L)}")
+  }
+
   test("cross-source matrix counts distinct shared spans per source pair") {
     val m = Dedup.qCrossSourceOverlap(tinyTables).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
