@@ -24,7 +24,7 @@ object Verify {
     // threads fine; contract queries are independent — corpus-keyed
     // temp views and memoized builders are thread-safe by design, see
     // Relational.corpusView / util.BoundedMemo). 4-wide keeps the
-    // 144-query gate fast as the contract grows; serial wall time was
+    // 163-query gate fast as the contract grows; serial wall time was
     // dominated by per-query scheduling gaps, not CPU.
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
     // local-iteration subset (comma-separated names); the driver's
