@@ -1267,7 +1267,7 @@ object SparkEntry {
        """o AS (SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span),
         |c AS (
         |  SELECT s.doc_id, count(*) AS n_spans,
-        |    sum(CASE WHEN s.doc_id > o.first_doc THEN 1 ELSE 0 END) AS n_shared
+        |    CAST(sum(CASE WHEN s.doc_id > o.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
         |  FROM s JOIN o USING (span)
         |  GROUP BY s.doc_id)
         |SELECT doc_id, n_spans, n_shared,
@@ -1375,9 +1375,9 @@ object SparkEntry {
         | floor((1.0 - count(DISTINCT md5(text)) / count(*)) * 10000 + 0.5) / 10000 AS dup_rate,
         | count(DISTINCT lang) AS n_langs,
         | count(DISTINCT source) AS n_sources,
-        | sum(cast(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |                          x -> x <> '')) AS BIGINT)) AS total_tokens,
-        | sum(cast(n_chars AS BIGINT)) AS total_chars,
+        | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                          x -> x <> ''))) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents""".stripMargin,
     "q_maxsim" ->
@@ -1617,7 +1617,7 @@ object SparkEntry {
     "q_table_replace" ->
       """SELECT count(*) AS n_rows,
         | floor((sum(price)) * 100 + 0.5) / 100 AS total,
-        | sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS n_slice
+        | CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_slice
         |FROM (
         |  SELECT o_orderkey, o_totalprice AS price FROM orders
         |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0

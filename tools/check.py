@@ -74,8 +74,24 @@ def main():
             results[name] = {"ok": True, "rows_only": True, "rows": len(sres)}
             continue
         try:
-            ores = con.execute(oracles[name]).fetchall()
-            ocols = [c[0] for c in con.description]
+            orel = con.sql(oracles[name])
+            # Gate blind spot (round-10 postmortem): DuckDB sum() over
+            # integers yields HUGEINT (int128) and its Python repr is a
+            # plain int, so normhash here matches while the driver's
+            # hasher (typed) fails. Refuse any oracle whose result
+            # schema carries HUGEINT/DECIMAL -- force CAST(... AS
+            # BIGINT/DOUBLE) in the oracle SQL instead.
+            badtypes = [f"{c}:{t}" for c, t in zip(orel.columns, orel.types)
+                        if str(t).upper().startswith(("HUGEINT", "UHUGEINT",
+                                                      "DECIMAL"))]
+            if badtypes:
+                results[name] = {
+                    "ok": False,
+                    "err": f"oracle result type not driver-safe "
+                           f"(cast to BIGINT/DOUBLE): {badtypes}"}
+                continue
+            ores = orel.fetchall()
+            ocols = list(orel.columns)
         except Exception as e:
             results[name] = {"ok": False, "err": f"oracle: {e}"}
             continue
