@@ -1048,22 +1048,29 @@ object SqlDml {
         val cc = a.checkConstraint
         val name = Option(cc.userProvidedName).getOrElse(fail(
           "ALTER TABLE ADD CONSTRAINT: a vtable CHECK constraint needs a name"))
-        // enforcement commits nothing (the config is table metadata,
-        // not a version), so report the current version
+        // the add is itself a versioned metadata commit, so the
+        // reported version is the one the add claimed — and registered
+        // views must follow the head like any other commit, or the
+        // NEXT DML's refresh skips them (it only refreshes views
+        // pinned at its own pre-op head)
         val vt = VersionedTable(spark, dir)
+        val preHead = vt.currentVersion
         vt.addConstraint(name, cc.condition)
         onCommit() // cached results may now assume the invariant
+        refreshViews(spark, vt.dir, preHead)
         import org.apache.spark.sql.functions.lit
         spark.range(1).select(lit(vt.currentVersion).as("version"))
       }
     case d: DropConstraint =>
       alterDir(spark, d.table).map { dir =>
         val vt = VersionedTable(spark, dir)
+        val preHead = vt.currentVersion
         val existed = vt.dropConstraint(d.name)
         if (!existed && !d.ifExists) fail(
           s"ALTER TABLE DROP CONSTRAINT: no constraint `${d.name}` " +
             s"(${vt.constraintList.map(_._1).mkString(", ")}) — use IF EXISTS to skip")
         onCommit()
+        refreshViews(spark, vt.dir, preHead)
         import org.apache.spark.sql.functions.lit
         spark.range(1).select(lit(vt.currentVersion).as("version"))
       }

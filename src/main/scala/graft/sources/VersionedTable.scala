@@ -189,27 +189,38 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
   /** Named CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT …
     * CHECK`): boolean SQL expressions every row written from now on
-    * must satisfy. Adding validates the expression analyzes as
-    * BOOLEAN against the current schema AND that every EXISTING row
-    * already satisfies it (one conditional-agg scan — a constraint
-    * the table violates would otherwise lie to readers); thereafter
-    * every data commit validates its NEW files in one bounded scan
-    * before the manifest claim, so a violating batch refuses and its
-    * files reclaim — nothing half-lands. NULL evaluates as a
-    * violation (the SQL-standard CHECK accepts NULL; a data-quality
-    * gate that lets NULL through silently is a trap — de-NULL in the
-    * expression with `coalesce`/`IS NULL` disjuncts if NULLs are
-    * intended to pass). Carried (unrewritten) files were validated by
-    * their own commits or the add-time scan and never re-validate:
-    * enforcement cost is O(new rows) per commit. RESTORE to a
-    * version predating the add can resurrect pre-constraint rows —
-    * the same window Delta documents.
+    * must satisfy. The constraint set is VERSIONED table metadata —
+    * each manifest carries it, commits carry it forward, and
+    * add/dropConstraint are themselves commits claimed through the
+    * [[CommitStore]]. That claim is what closes the add-vs-write race
+    * Delta closes with metadata conflict detection: the add validates
+    * the EXISTING data of a pinned snapshot v and then claims v+1, so
+    * either it wins (and any in-flight writer who validated against
+    * the old set loses its own claim of v+1 and re-validates against
+    * the new set on retry) or a data commit got there first (and the
+    * add re-scans the new snapshot). No window remains in which a
+    * writer's rows land unvalidated — "scan was clean" and "no commit
+    * interleaved" are one atomic fact, the claim itself.
+    *
+    * Adding also validates the expression analyzes as BOOLEAN against
+    * the current schema; thereafter every data commit validates its
+    * NEW files in one bounded scan before the manifest claim, so a
+    * violating batch refuses and its files reclaim — nothing
+    * half-lands. NULL evaluates as a violation (the SQL-standard
+    * CHECK accepts NULL; a data-quality gate that lets NULL through
+    * silently is a trap — de-NULL in the expression with
+    * `coalesce`/`IS NULL` disjuncts if NULLs are intended to pass).
+    * Carried (unrewritten) files were validated by their own commits
+    * or the add-time scan and never re-validate: enforcement cost is
+    * O(new rows) per commit. A failed add commits nothing — there is
+    * no enforced-but-reported-failed state to roll back. RESTORE
+    * keeps the pre-restore constraint set but does not re-validate
+    * the restored files, so restoring past an add can resurrect
+    * pre-constraint rows — the same window Delta documents.
     */
   def addConstraint(name: String, conditionSql: String): Unit = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint names must be simple identifiers, got `$name`")
-    require(!constraintList.exists(_._1 == name),
-      s"constraint `$name` already exists (drop it first to replace)")
     // the schema to analyze against lives in the manifests — a
     // constraint on a never-committed table would be unvalidated text
     require(currentVersion > 0,
@@ -219,94 +230,112 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(probeType == BooleanType,
       s"CHECK constraint must be a BOOLEAN expression, got ${probeType.simpleString}")
     Files.createDirectories(logDir)
-    // ENFORCE FIRST, validate after: writing the config before the
-    // existing-data scan means any data commit whose own validation
-    // reads the config after this point is already gated — a
-    // validate-then-write order would let a commit land violating
-    // rows in the gap between our scan and our write (its manifest
-    // invisible to the scan, the constraint invisible to its
-    // validation). The config mutation itself is a short locked
-    // read-modify-write (constraints are correctness-bearing, unlike
-    // the advisory bloom/NDV settings; the corpus scan deliberately
-    // happens OUTSIDE the lock — holding a 10s-stale-break lock
-    // across a table scan would get it broken under us).
-    graft.util.DirLock.withLock(logDir.resolve("_constraints.lock")) {
-      require(!constraintList.exists(_._1 == name),
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      val existing = constraintsAt(prev)
+      require(!existing.exists(_._1 == name),
         s"constraint `$name` already exists (drop it first to replace)")
-      val node = mapper.createObjectNode()
-      constraintList.foreach { case (n, e) => node.put(n, e); () }
-      node.put(name, conditionSql)
-      atomicReplace(constraintsPath, node)
-    }
-    // verify EXISTING data at a stable head: a commit landing mid-scan
-    // re-runs the scan against the new snapshot (bounded retries —
-    // each retry means enforcement-gated commits are landing, so the
-    // only residual window is a commit whose validation read the
-    // config before our write and whose claim outran every re-check:
-    // seconds-wide, the same in-flight caveat Delta documents). Any
-    // failure rolls the config back — "addConstraint threw" must mean
-    // "constraint not added".
-    try {
-      var attempt = 0
-      var stable = false
-      while (!stable) {
-        val v0 = currentVersion
-        val bad = scan()
-          .agg(sum(when(!coalesce(expr(conditionSql), lit(false)), 1L)
-            .otherwise(0L)).as("bad"))
-          .head()
-        require(bad.isNullAt(0) || bad.getLong(0) == 0,
-          s"cannot add CHECK constraint `$name` ($conditionSql): " +
-            s"${bad.getLong(0)} existing row(s) violate it")
-        stable = currentVersion == v0 || attempt >= 5
-        attempt += 1
+      // validate EXISTING data of the PINNED snapshot prev — not the
+      // drifting head: the claim of prev+1 below fails if anything
+      // committed after prev, so a clean scan that wins its claim has
+      // provably validated every committed row
+      val bad = read(prev)
+        .agg(sum(when(!coalesce(expr(conditionSql), lit(false)), 1L)
+          .otherwise(0L)).as("bad"))
+        .head()
+      require(bad.isNullAt(0) || bad.getLong(0) == 0,
+        s"cannot add CHECK constraint `$name` ($conditionSql): " +
+          s"${bad.getLong(0)} existing row(s) violate it (NULL evaluates " +
+          "as a violation — de-NULL with coalesce/IS NULL if NULLs should pass)")
+      try {
+        commitConstraints(prev + 1, "add-constraint",
+          existing :+ (name -> conditionSql))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
       }
-    } catch {
-      case NonFatal(e) =>
-        // a rollback failure must be LOUD: the caller was told the add
-        // failed, so a constraint silently left enforced would gate
-        // every future commit on a table whose data may violate it
-        try { dropConstraint(name); () }
-        catch {
-          case NonFatal(rb) =>
-            val worse = new IllegalStateException(
-              s"addConstraint `$name` failed AND rolling the config back " +
-                s"also failed — the constraint IS currently enforced; run " +
-                s"dropConstraint(\"$name\") manually. Original failure: " +
-                e.getMessage, e)
-            worse.addSuppressed(rb)
-            throw worse
-        }
-        throw e
     }
   }
 
-  /** Remove a named constraint; returns whether it existed. */
-  def dropConstraint(name: String): Boolean = {
-    Files.createDirectories(logDir)
-    graft.util.DirLock.withLock(logDir.resolve("_constraints.lock")) {
-      val existing = constraintList
-      val found = existing.exists(_._1 == name)
-      if (found) {
-        val node = mapper.createObjectNode()
-        existing.filterNot(_._1 == name).foreach { case (n, e) => node.put(n, e); () }
-        atomicReplace(constraintsPath, node)
-      }
-      found
-    }
-  }
-
-  /** The live constraints, name-sorted (deterministic error order).
-    * UNLIKE the advisory bloom/NDV configs, an unreadable constraint
-    * file THROWS: constraints are correctness-bearing — swallowing a
-    * transient read failure would let a violating batch commit with
-    * enforcement silently off, and (worse) let a concurrent
-    * add/dropConstraint rebuild the config from an empty list,
-    * erasing every constraint. The file is written via atomic
-    * replace, so a parse failure is real I/O trouble, not a torn
-    * write.
+  /** Remove a named constraint; returns whether it existed. The drop
+    * is a metadata commit like [[addConstraint]], serializing with
+    * every writer through the claim protocol.
     */
-  def constraintList: Seq[(String, String)] =
+  def dropConstraint(name: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      val existing = constraintsAt(prev)
+      if (!existing.exists(_._1 == name)) return false
+      try {
+        commitConstraints(prev + 1, "drop-constraint",
+          existing.filterNot(_._1 == name))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+    false // unreachable
+  }
+
+  /** Claim `v` as a METADATA-ONLY commit: version v-1's exact file
+    * list, schema, stats and epoch, with the constraint set replaced.
+    * File-list-identical, so the incremental consumers
+    * ([[readAppendsSince]], [[readChangesSince]]) classify it as a
+    * zero-change commit, never a resync. After the claim the manifest
+    * is the constraint authority; the legacy unversioned sidecar (if
+    * this table predates versioned constraints) is superseded and
+    * swept best-effort — a manifest node, even empty, outranks it.
+    */
+  private def commitConstraints(v: Int, op: String,
+      cs: Seq[(String, String)]): Unit = {
+    val m = manifest(v - 1)
+    commit(v, op, manifestFiles(m),
+      Option(m.get("schema")).map(_.asText()).orNull, manifestStats(m),
+      epoch = if (m.has("epoch")) Some(m.get("epoch").asLong) else None,
+      constraintsOverride = Some(cs))
+    try { Files.deleteIfExists(constraintsPath); () }
+    catch { case NonFatal(_) => () }
+  }
+
+  /** The live constraints, name-sorted (deterministic error order):
+    * the head manifest's constraints node when present, else the
+    * legacy sidecar (tables whose constraints were written before they
+    * became versioned metadata).
+    */
+  def constraintList: Seq[(String, String)] = constraintsAt(currentVersion)
+
+  /** The constraint set in force at version `v`. A manifest WITH a
+    * constraints node (even empty) is the authority; one without
+    * falls back to the legacy sidecar.
+    */
+  private def constraintsAt(v: Int): Seq[(String, String)] =
+    (if (v > 0) constraintsOf(manifest(v)) else None)
+      .getOrElse(legacyConstraintSidecar)
+
+  /** The constraints node a manifest carries, if it is
+    * constraint-aware (None = pre-versioned-constraints manifest).
+    */
+  private def constraintsOf(m: JsonNode): Option[Seq[(String, String)]] =
+    Option(m.get("constraints")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText())
+        .sortBy(_._1)
+    }
+
+  /** UNLIKE the advisory bloom/NDV configs, an unreadable legacy
+    * constraint file THROWS: constraints are correctness-bearing —
+    * swallowing a transient read failure would let a violating batch
+    * commit with enforcement silently off. The file was written via
+    * atomic replace, so a parse failure is real I/O trouble, not a
+    * torn write.
+    */
+  private def legacyConstraintSidecar: Seq[(String, String)] =
     if (!Files.exists(constraintsPath)) Seq.empty
     else {
       val n =
@@ -374,7 +403,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     cs.zipWithIndex.foreach { case ((n, e), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty commit
       if (bad > 0) throw new IllegalArgumentException(
-        s"CHECK constraint `$n` ($e) violated by $bad row(s); commit refused")
+        s"CHECK constraint `$n` ($e) violated by $bad row(s); commit refused " +
+          "(NULL evaluates as a violation here — de-NULL with coalesce/IS NULL " +
+          "in the constraint expression if NULLs should pass)")
     }
   }
 
@@ -1329,7 +1360,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   private[graft] def commit(v: Int, op: String, fileList: Seq[String],
       schemaJson: String = null, stats: Map[String, JsonNode] = Map.empty,
       epoch: Option[Long] = None, cdf: Option[Seq[String]] = None,
-      extraRetired: Seq[String] = Seq.empty): Int = {
+      extraRetired: Seq[String] = Seq.empty,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
     val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1357,6 +1389,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (retired.nonEmpty) {
       val ra = node.putArray("retired")
       retired.foreach(ra.add)
+    }
+    // CHECK constraints are versioned metadata, carried forward on
+    // EVERY commit — including overwrite and restore: a data-quality
+    // gate survives a snapshot replacement (the new rows went through
+    // commitData's validation like any others). Unlike the advisory
+    // `retired` carry above, a read failure here propagates: silently
+    // dropping the node would disable enforcement for every commit
+    // after this one. (v-1 is the head we just built this commit
+    // against, so it cannot be below the vacuum horizon; the exists
+    // guard only covers raw commits of version 1 in tests.)
+    val carriedConstraints: Option[Seq[(String, String)]] =
+      constraintsOverride.orElse {
+        if (v <= 1 || !Files.exists(manifestPath(v - 1))) None
+        else constraintsOf(manifest(v - 1))
+      }
+    carriedConstraints.foreach { list =>
+      val cn = node.putObject("constraints")
+      list.foreach { case (n, e) => cn.put(n, e); () }
     }
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
@@ -1985,7 +2035,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * target no longer exists, by design. A restore is a REWRITING
     * commit for downstream contracts: `readAppendsSince` across one
     * resyncs (content rewound — a file-level diff would be a lie) and
-    * an incremental view recomputes from the snapshot.
+    * an incremental view recomputes from the snapshot. CHECK
+    * constraints carry from the PRE-restore head (the gate survives
+    * the rollback), but restored files are not re-validated — the
+    * documented restore-past-an-add window.
     */
   def restore(v: Int): Int = {
     val cur = currentVersion

@@ -380,13 +380,14 @@ class SqlDmlSpec extends SparkSpecBase {
   test("SQL ADD/DROP CONSTRAINT enforces CHECKs on every write path") {
     val (svc, vt) = seeded("sqldml-ck", "sqlm_ck") // k in 1..10, v = k*10
     val r = svc.sql("ALTER TABLE sqlm_ck ADD CONSTRAINT v_pos CHECK (v > 0)")
-    assert(r.columns.toSeq == Seq("version"))
+    // the add is a metadata commit: it claims version 2 itself
+    assert(r.columns.toSeq == Seq("version") && r.head().getInt(0) == 2)
     assert(vt.constraintList == Seq("v_pos" -> "v > 0"))
     // SQL INSERT of a violating row refuses; the table doesn't move
     intercept[IllegalArgumentException] {
       svc.sql("INSERT INTO sqlm_ck VALUES (99, -5.0)").collect()
     }
-    assert(vt.currentVersion == 1)
+    assert(vt.currentVersion == 2)
     // UPDATE that would break the invariant refuses as a whole
     intercept[IllegalArgumentException] {
       svc.sql("UPDATE sqlm_ck SET v = -1 WHERE k = 3").collect()
@@ -480,11 +481,11 @@ class SqlDmlSpec extends SparkSpecBase {
 
   test("DESCRIBE DETAIL returns the one-row operational summary") {
     val (svc, vt) = seeded("sqldml-detail", "sqlm_detail")
-    vt.addConstraint("k_pos", "k > 0")
+    vt.addConstraint("k_pos", "k > 0") // a metadata commit: v2
     // service path
     val r = svc.sql("DESCRIBE DETAIL sqlm_detail").head()
     assert(r.getAs[String]("location") == vt.dir)
-    assert(r.getAs[Int]("version") == 1)
+    assert(r.getAs[Int]("version") == 2)
     assert(r.getAs[Long]("num_rows") == 10L)
     assert(r.getAs[Int]("num_files") >= 1)
     assert(r.getAs[Long]("size_bytes") > 0L)
@@ -494,7 +495,7 @@ class SqlDmlSpec extends SparkSpecBase {
     val p = spark.sql("DESCRIBE DETAIL sqlm_detail")
     assert(p.columns.toSeq == Seq("location", "version", "op", "ts",
       "num_files", "num_rows", "size_bytes", "cdf_enabled", "constraints"))
-    assert(p.head().getAs[Int]("version") == 1)
+    assert(p.head().getAs[Int]("version") == 2)
   }
 
   test("VACUUM DRY RUN reports the reclaimable count with zero side effects") {

@@ -179,16 +179,22 @@ class VersionedTableSpec extends SparkSpecBase {
     val dir = tmp()
     val t = VersionedTable(spark, dir)
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // the add is itself a versioned metadata commit (v2): it claims a
+    // version like any writer, which is what closes the add-vs-write
+    // race — and readers of the feed see it as a zero-change commit
     t.addConstraint("id_pos", "id > 0")
+    assert(t.currentVersion == 2)
+    assert(t.readAppendsSince(1).count() == 0,
+      "a constraint commit must read as zero appended rows, not a resync")
     // a conforming append commits
-    assert(t.append(Seq((3L, "c")).toDF("id", "name")) == 2)
+    assert(t.append(Seq((3L, "c")).toDF("id", "name")) == 3)
     // a violating append refuses BEFORE any manifest claim, and its
     // freshly written files reclaim (no orphans for vacuum to miss)
     val e = intercept[IllegalArgumentException] {
       t.append(Seq((-7L, "bad")).toDF("id", "name"))
     }
     assert(e.getMessage.contains("id_pos"), e.getMessage)
-    assert(t.currentVersion == 2 && t.read().count() == 3)
+    assert(t.currentVersion == 3 && t.read().count() == 3)
     import scala.jdk.CollectionConverters._
     val dataDirs = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("files-")).toSeq
@@ -210,10 +216,16 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("existing row"), e2.getMessage)
     // non-boolean expressions refuse at add time
     intercept[IllegalArgumentException] { t.addConstraint("not_bool", "id + 1") }
-    // drop lifts enforcement
+    // a FAILED add commits nothing — no version moved, nothing enforced
+    assert(t.currentVersion == 3)
+    // drop lifts enforcement (itself a metadata commit, v4)
     assert(t.dropConstraint("id_pos"))
     assert(!t.dropConstraint("id_pos"))
-    assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 3)
+    assert(t.currentVersion == 4)
+    assert(t.append(Seq((-7L, "ok now")).toDF("id", "name")) == 5)
+    // time travel: the constraint set is part of each version's
+    // metadata, so history answers "what was enforced when"
+    assert(t.read(2).count() == 2) // the metadata commit carried v1's files
   }
 
   test("selective compaction packs only the predicate's files; the settled bulk never rewrites") {
@@ -287,32 +299,93 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(e1.getMessage.contains("score_pos"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] { t.renameColumn("score", "s2") }
     assert(e2.getMessage.contains("score_pos"), e2.getMessage)
-    // unreferenced columns still evolve freely
-    assert(t.renameColumn("name", "title") == 2)
+    // unreferenced columns still evolve freely (v2 was the add)
+    assert(t.renameColumn("name", "title") == 3)
     // multi-column ADD is all-or-nothing: a duplicate in the list
     // refuses BEFORE anything commits (no half-applied schema)
     intercept[IllegalArgumentException] {
       t.addColumns(Seq("x" -> org.apache.spark.sql.types.IntegerType,
         "x" -> org.apache.spark.sql.types.DoubleType))
     }
-    assert(t.currentVersion == 2)
+    assert(t.currentVersion == 3)
     assert(!t.read().columns.contains("x"))
     // and a valid list lands as ONE commit
     assert(t.addColumns(Seq("x" -> org.apache.spark.sql.types.IntegerType,
-      "y" -> org.apache.spark.sql.types.DoubleType)) == 3)
+      "y" -> org.apache.spark.sql.types.DoubleType)) == 4)
     assert(t.read().columns.toSeq == Seq("id", "title", "score", "x", "y"))
     // multi-column DROP likewise: one bad name, nothing drops
     intercept[IllegalArgumentException] { t.dropColumns(Seq("x", "nope")) }
     assert(t.read().columns.contains("x"))
-    assert(t.dropColumns(Seq("x", "y")) == 4)
+    assert(t.dropColumns(Seq("x", "y")) == 5)
     assert(t.read().columns.toSeq == Seq("id", "title", "score"))
-    // an unreadable constraint file REFUSES writes rather than
-    // committing with enforcement silently off
-    Files.write(java.nio.file.Paths.get(dir, "_graft_log", "_constraints"),
-      "not json".getBytes)
-    intercept[IllegalStateException] {
-      t.append(Seq((2L, "b", 1.0)).toDF("id", "title", "score"))
+  }
+
+  test("a writer that validated against the old constraint set loses the claim and re-validates") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // force the EXACT interleaving the round-10 design left open: a
+    // violating append passes validateConstraints (no constraint yet)
+    // and reaches its claim of v2 — at which instant addConstraint
+    // claims v2 first. The append must lose, retry on the new head,
+    // re-validate against the now-visible constraint, and refuse.
+    val inner = t.commitStore
+    @volatile var fired = false
+    t.commitStore = new graft.sources.CommitStore {
+      def putIfAbsent(target: java.nio.file.Path, bytes: Array[Byte],
+          what: String): Unit = {
+        if (!fired && what.startsWith("version 2 ")) {
+          fired = true // the add below re-enters this store; let it through
+          t.addConstraint("id_pos", "id > 0")
+        }
+        inner.putIfAbsent(target, bytes, what)
+      }
     }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        t.append(Seq((-5L, "sneak")).toDF("id", "name"))
+      }
+      assert(e.getMessage.contains("id_pos"), e.getMessage)
+    } finally t.commitStore = inner
+    assert(fired, "the interleaving hook must have run")
+    // the add won version 2; the violating rows never landed
+    assert(t.currentVersion == 2)
+    assert(t.constraintList == Seq("id_pos" -> "id > 0"))
+    assert(t.read().count() == 1)
+  }
+
+  test("legacy sidecar constraints: enforced, unreadable refuses, migrated by the next mutation") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    // simulate a pre-versioned-constraints table: constraints in the
+    // unversioned sidecar, no node in any manifest
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_log", "_constraints")
+    Files.write(sidecar, """{"id_pos":"id > 0"}""".getBytes)
+    assert(t.constraintList == Seq("id_pos" -> "id > 0"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((-3L, "bad")).toDF("id", "name"))
+    }
+    // an unreadable LEGACY constraint file REFUSES writes rather than
+    // committing with enforcement silently off
+    Files.write(sidecar, "not json".getBytes)
+    intercept[IllegalStateException] {
+      t.append(Seq((2L, "b")).toDF("id", "name"))
+    }
+    Files.write(sidecar, """{"id_pos":"id > 0"}""".getBytes)
+    // the next constraint mutation folds the sidecar into the
+    // manifest (now the authority) and sweeps the legacy file
+    t.addConstraint("name_set", "name IS NOT NULL")
+    assert(!Files.exists(sidecar), "legacy sidecar must be swept after migration")
+    assert(t.constraintList.map(_._1) == Seq("id_pos", "name_set"))
+    // a STALE sidecar reappearing cannot shadow the manifest: a
+    // constraints node — even an emptied one — outranks it
+    assert(t.dropConstraint("id_pos") && t.dropConstraint("name_set"))
+    Files.write(sidecar, """{"ghost":"id < 0"}""".getBytes)
+    assert(t.constraintList.isEmpty, "manifest node must outrank a stale sidecar")
+    assert(t.append(Seq((-9L, "ok")).toDF("id", "name")) > 0)
   }
 
   test("reopening the table sees the committed log; Catalog serves it") {
