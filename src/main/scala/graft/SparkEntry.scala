@@ -1228,18 +1228,19 @@ object SparkEntry {
         |WHERE floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
     // LSH ingest decision replay: Verify's q_dedup_ingest run exports
-    // both halves' band tables to a fixed path (DedupIndex.
-    // OracleExportDir) BEFORE the gate runs this SQL on the same
-    // host; the oracle independently re-derives the accepted decision
-    // set — band equi-join, pair dedup, slot-match estimator at
+    // both halves' band tables to a per-run path (DedupIndex.
+    // OracleExportDir, interpolated below at dump time — same JVM,
+    // same path) BEFORE the gate runs this SQL on the same host; the
+    // oracle independently re-derives the accepted decision set —
+    // band equi-join, pair dedup, slot-match estimator at
     // numHashes=64, threshold 0.5 — from those signatures. The
     // estimator round matches Rnd.round's floor(x*100+0.5)/100.
     "q_dedup_ingest" ->
-      """WITH cand AS (
+      s"""WITH cand AS (
         |  SELECT DISTINCT y.doc_id AS doc_id, x.doc_id AS dup_of,
         |         x.sig AS sig_x, y.sig AS sig_y
-        |  FROM read_parquet('/tmp/graft_dedup_ingest_bands/indexed/*.parquet') x
-        |  JOIN read_parquet('/tmp/graft_dedup_ingest_bands/probe/*.parquet') y
+        |  FROM read_parquet('${operators.DedupIndex.OracleExportDir}/indexed/*.parquet') x
+        |  JOIN read_parquet('${operators.DedupIndex.OracleExportDir}/probe/*.parquet') y
         |    ON x.band = y.band AND x.band_hash = y.band_hash
         |   AND x.doc_id <> y.doc_id
         |)

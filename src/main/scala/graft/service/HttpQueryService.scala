@@ -94,6 +94,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class HttpQueryService(val service: QueryService, port: Int = 0,
     maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
+    sessionIdleMs: Long = 30L * 60 * 1000, maxSessions: Int = 32,
     maxConcurrentQueries: Int = 8, queueWaitMs: Long = 30000,
     authToken: Option[String] = None, authReads: Boolean = false) {
 
@@ -147,9 +148,33 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   // BOUNDED: creating beyond `maxSessions` distinct ids is refused
   // (400) — ids are client-chosen, and an unbounded map of
   // SparkSessions is a memory leak an adversarial client could drive.
-  private val maxSessions = 32
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, QueryService]()
+  // last-touch wall time per id: the complement to token-gated
+  // creation. The gate stops an adversary from FILLING the slots;
+  // expiry frees slots a legitimate-but-gone client abandoned, so a
+  // long-lived service never needs an operator /drop-session just to
+  // make room. Expiry runs inside the creation lock (no background
+  // reaper thread to leak; an idle abandoned session costs nothing
+  // until someone actually wants a slot).
+  private val sessionLastUsed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def expireIdleSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    import scala.jdk.CollectionConverters._
+    sessions.keySet.asScala.toSeq.foreach { id =>
+      val last = sessionLastUsed.get(id)
+      if (last == null || now - last.longValue > sessionIdleMs) {
+        val svc = sessions.remove(id)
+        sessionLastUsed.remove(id)
+        // same cleanup as /drop-session: name-keyed caches live in the
+        // SparkContext-shared CacheManager and must be released (the
+        // hold-counted release never evicts another session's cache)
+        if (svc != null) svc.releaseCaches()
+      }
+    }
+  }
 
   private val sessionCreateLock = new Object
   private def serviceFor(exchange: HttpExchange): QueryService =
@@ -161,8 +186,10 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         // first-requests with distinct fresh ids must not each read
         // size 31 and all breach the documented hard bound
         val existing = sessions.get(id)
-        if (existing != null) existing
-        else {
+        if (existing != null) {
+          sessionLastUsed.put(id, java.lang.Long.valueOf(System.currentTimeMillis()))
+          existing
+        } else {
           // CREATING a session id is mutation-grade when a token is
           // configured: ids are client-chosen and slots are bounded,
           // so an unauthenticated client could otherwise fill all
@@ -173,12 +200,17 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
           // posture) nothing changes.
           requireAuth(exchange)
           sessionCreateLock.synchronized {
+            // abandoned ids free their slots before the bound check —
+            // OUTSIDE computeIfAbsent (mutating a ConcurrentHashMap
+            // inside its own compute can deadlock on bin locks)
+            if (!sessions.containsKey(id)) expireIdleSessions()
             sessions.computeIfAbsent(id, _ => {
               require(sessions.size < maxSessions,
                 s"too many live sessions (max $maxSessions); reuse or drop an X-Graft-Session id")
               val s = service.newIsolated()
               // isolated caches honor the same driver-side collect bound
               if (s.results.cap > maxRows) s.results.cap = maxRows
+              sessionLastUsed.put(id, java.lang.Long.valueOf(System.currentTimeMillis()))
               s
             })
           }
@@ -480,6 +512,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/drop-session", postMut { body =>
     val id = text(body, "id")
     val svc = sessions.remove(id)
+    sessionLastUsed.remove(id)
     if (svc != null) svc.releaseCaches()
     s"""{"dropped":${quote(id)},"existed":${svc != null}}"""
   })

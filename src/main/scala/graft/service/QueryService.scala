@@ -35,6 +35,30 @@ import graft.sources.Catalog
   * spark.sql.ansi.enabled` can then never change another client's
   * live semantics — the HTTP layer keys clones on a session header.
   */
+object QueryService {
+  // JVM-wide reference counts for name-keyed caches. The CacheManager
+  // is SparkContext-shared, so per-service tracking alone cannot
+  // decide eviction: the LAST holder's release is the one that
+  // actually uncaches. Keyed by catalog name, like the caches.
+  private val cacheHolds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def retainCache(name: String): Unit = {
+    cacheHolds.merge(name, Integer.valueOf(1),
+      (a, b) => Integer.valueOf(a.intValue + b.intValue))
+    ()
+  }
+
+  /** Drop one hold; true when that was the last (caller may evict). */
+  private def releaseCacheHold(name: String): Boolean =
+    cacheHolds.compute(name, (_, v) =>
+      if (v == null || v.intValue <= 1) null
+      else Integer.valueOf(v.intValue - 1)) == null
+
+  private def isCacheHeld(name: String): Boolean =
+    cacheHolds.containsKey(name)
+}
+
 final class QueryService(val spark: SparkSession,
     val registryDir: Option[String] = None,
     parent: Option[QueryService] = None) {
@@ -218,13 +242,24 @@ final class QueryService(val spark: SparkSession,
     */
   def cache(name: String, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
     catalog.cacheTable(name, level)
-    cachedNames.add(name)
+    if (cachedNames.add(name)) QueryService.retainCache(name)
     ()
   }
 
+  /** Release this service's hold on `name`. The cache itself is only
+    * evicted when NO live service holds it: cached plans live in the
+    * SparkContext-shared CacheManager, so an unconditional uncache
+    * from one HTTP session would silently degrade another session
+    * that cached the same name (it keeps "working", just slower —
+    * the worst kind of cross-session interference to debug). A name
+    * nobody tracked falls through to a plain uncache, preserving the
+    * operator's explicit intent.
+    */
   def uncache(name: String): Unit = {
-    catalog.uncacheTable(name)
-    cachedNames.remove(name)
+    val lastHold =
+      if (cachedNames.remove(name)) QueryService.releaseCacheHold(name)
+      else !QueryService.isCacheHeld(name)
+    if (lastHold) catalog.uncacheTable(name)
     ()
   }
 
@@ -235,14 +270,17 @@ final class QueryService(val spark: SparkSession,
   private val cachedNames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Release every cache this service created (called by the HTTP
-    * layer's /drop-session). Best-effort per name: a view dropped
-    * since caching must not block releasing the rest.
+  /** Release every cache hold this service has (called by the HTTP
+    * layer's /drop-session and session expiry); each name is evicted
+    * only when this was its last holder. Best-effort per name: a view
+    * dropped since caching must not block releasing the rest.
     */
   def releaseCaches(): Unit = {
     cachedNames.forEach { n =>
-      try catalog.uncacheTable(n)
-      catch { case scala.util.control.NonFatal(_) => () }
+      if (QueryService.releaseCacheHold(n)) {
+        try catalog.uncacheTable(n)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     cachedNames.clear()
   }

@@ -39,10 +39,46 @@ object DirLock {
 
   def withLock[T](lock: Path, staleMs: Long = 10000L)(body: => T): T = {
     val token = java.util.UUID.randomUUID().toString
+    sweepCorpses(lock, staleMs)
     acquire(lock, staleMs, token)
     try body
     finally release(lock, token)
   }
+
+  /** Best-effort sweep of abandoned corpse dirs: the mid-break /
+    * mid-release failure paths below deliberately swallow errors (a
+    * lost race is not the caller's problem), which can strand
+    * `.broken-*` / `.rel-*` dirs — without this, they'd accumulate
+    * unboundedly next to correctness-bearing locations like
+    * `_graft_log`. Each acquire clears siblings older than `staleMs`;
+    * the age gate exists for the same reason the stale-break's does —
+    * a YOUNG corpse may belong to a breaker or releaser mid-verify,
+    * about to restore it. (Sweeping a corpse a >staleMs-paused
+    * releaser was about to restore re-opens the same bounded overlap
+    * the stale-break itself documents; nothing new is traded away.)
+    */
+  private def sweepCorpses(lock: Path, staleMs: Long): Unit =
+    try {
+      val parent = lock.getParent
+      if (parent == null || !Files.isDirectory(parent)) return
+      val name = lock.getFileName.toString
+      val s = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          val isCorpse =
+            n.startsWith(s"$name.broken-") || n.startsWith(s"$name.rel-")
+          val stale = isCorpse &&
+            (try System.currentTimeMillis() -
+              Files.getLastModifiedTime(p).toMillis > staleMs
+            catch { case scala.util.control.NonFatal(_) => false })
+          if (stale)
+            try deleteCorpse(p)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def release(lock: Path, token: String): Unit =
     try {
@@ -70,9 +106,21 @@ object DirLock {
     }
 
   private def deleteCorpse(corpse: Path): Unit = {
-    Files.deleteIfExists(corpse.resolve(TokenFile))
-    Files.deleteIfExists(corpse)
-    ()
+    // recursive: a corpse holding anything beyond the token file must
+    // still go — a two-file-only delete would silently no-op on it
+    // and strand the dir forever
+    def rec(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.foreach(rec)
+        } finally s.close()
+      }
+      Files.deleteIfExists(p)
+      ()
+    }
+    rec(corpse)
   }
 
   private def acquire(lock: Path, staleMs: Long, token: String): Unit = {

@@ -58,4 +58,41 @@ class DirLockSpec extends AnyFunSuite {
       .map(_.getFileName.toString).filter(_.contains(".broken-")).toSeq
     assert(leftovers.isEmpty, s"corpse leaked: $leftovers")
   }
+
+  test("abandoned corpse dirs are swept on acquire; young ones survive") {
+    val dir = Files.createTempDirectory("graft-dirlock-sweep")
+    val lock = dir.resolve("z.lock")
+    // strand two OLD corpses as a swallowed failure path would — one
+    // holding an unexpected extra entry (the two-file-only delete
+    // used to no-op on exactly this shape)
+    val old1 = dir.resolve("z.lock.broken-dead0001")
+    val old2 = dir.resolve("z.lock.rel-dead0002")
+    Seq(old1, old2).foreach { c =>
+      Files.createDirectory(c)
+      Files.writeString(c.resolve("owner"), "gone")
+    }
+    Files.writeString(old1.resolve("surprise"), "extra entry")
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    Seq(old1, old2).foreach(Files.setLastModifiedTime(_, past))
+    // a YOUNG corpse may be a releaser mid-verify about to restore
+    // it — the sweep must leave it alone
+    val young = dir.resolve("z.lock.rel-live0003")
+    Files.createDirectory(young)
+    Files.writeString(young.resolve("owner"), "in-flight")
+    // an unrelated sibling never matches the corpse prefix
+    val other = dir.resolve("other.lock.broken-xyz")
+    Files.createDirectory(other)
+    graft.util.DirLock.withLock(lock, staleMs = 1000) { () }
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.contains(old1.getFileName.toString) &&
+      !names.contains(old2.getFileName.toString),
+      s"stale corpses must be swept: $names")
+    assert(names.contains(young.getFileName.toString),
+      "a young corpse may be mid-restore and must survive")
+    assert(names.contains(other.getFileName.toString),
+      "unrelated siblings are not the sweep's business")
+  }
 }

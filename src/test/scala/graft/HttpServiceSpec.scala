@@ -687,6 +687,39 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("an idle session expires and frees its slot; a touched one survives") {
+    // a small cap keeps the fill phase well inside the idle horizon
+    // (32 isolated-session creations would outlast any test-sized one)
+    val h = new HttpQueryService(
+      new QueryService(spark.newSession()), port = 0,
+      sessionIdleMs = 8000L, maxSessions = 3).start()
+    try {
+      def sqlAs(sess: String, q: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${h.boundPort}/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"query":"$q"}"""))
+          .header("X-Graft-Session", sess).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // fill every slot
+      (0 until 3).foreach(i =>
+        assert(sqlAs(s"idle-$i", "SELECT 1 AS one").statusCode == 200))
+      assert(sqlAs("overflow", "SELECT 1 AS one").statusCode == 400,
+        "premise: the cap must be reached")
+      // age everything past the idle horizon, then KEEP ONE ALIVE —
+      // expiry must free the abandoned slots, not the touched survivor
+      Thread.sleep(8500)
+      assert(sqlAs("idle-1", "SELECT 1 AS one").statusCode == 200)
+      assert(sqlAs("fresh-after-expiry", "SELECT 1 AS one").statusCode == 200,
+        "an abandoned slot must be reclaimable without /drop-session")
+      val listing = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/sessions")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(listing.body.contains("\"idle-1\"") &&
+        listing.body.contains("\"fresh-after-expiry\"") &&
+        !listing.body.contains("\"idle-0\""), listing.body)
+    } finally h.stop()
+  }
+
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"
@@ -884,5 +917,28 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(post("/drop-session", """{"id":"cz"}""").statusCode == 200)
     assert(as("cz", "/cache", """{"name":"drop_cache_v"}""").statusCode == 200)
     assert(post("/drop-session", """{"id":"cz"}""").statusCode == 200)
+  }
+
+  test("dropping one session never evicts a same-named cache another still holds") {
+    // cached plans live in the SparkContext-SHARED CacheManager, so
+    // release is hold-counted: the LAST holder's release evicts
+    val a = service.newIsolated()
+    val b = service.newIsolated()
+    a.spark.sql("SELECT 1 AS x").createOrReplaceTempView("refc_v")
+    b.spark.sql("SELECT 1 AS x").createOrReplaceTempView("refc_v")
+    a.cache("refc_v")
+    b.cache("refc_v")
+    a.releaseCaches()
+    assert(b.spark.catalog.isCached("refc_v"),
+      "dropping session A must not evict B's live cache of the same name")
+    // an explicit /uncache from a NON-holder defers to the holder too
+    val c = service.newIsolated()
+    c.spark.sql("SELECT 1 AS x").createOrReplaceTempView("refc_v")
+    c.uncache("refc_v")
+    assert(b.spark.catalog.isCached("refc_v"),
+      "a non-holder's uncache must not evict the holder's cache")
+    b.releaseCaches()
+    assert(!b.spark.catalog.isCached("refc_v"),
+      "the last holder's release evicts")
   }
 }
