@@ -289,17 +289,18 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_minhash_lsh, q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq,
+    * q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq,
     * q_ann_ivfpq, q_text_ann,
     * q_media_features, q_image_features,
     * q_frame_sample, q_audio_features, q_approx_distinct,
     * q_hll_sketch, q_percentile_approx,
-    * q_bpe_tokens, q_semdedup — are rows-only BY
+    * q_bpe_tokens — are rows-only BY
     * DESIGN: their semantics are
     * not ANSI-SQL-expressible and are property-tested in ScalaTest
     * instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet; OracleContractSpec enforces it.)
-    * q_dedup_ingest IS oracled, as a decision replay: the signature
+    * q_dedup_ingest, q_minhash_lsh, and q_semdedup ARE oracled, as
+    * decision replays: the signature
     * function isn't SQL, but given the exported band tables
     * (DedupIndex.OracleExportDir) the banding join, pair dedup,
     * estimator, and threshold all are.
@@ -1249,6 +1250,44 @@ object SparkEntry {
         |FROM cand
         |WHERE floor((len(list_filter(range(1, 65), i -> sig_x[i] = sig_y[i])) / 64.0) * 100 + 0.5) / 100 >= 0.5
         |ORDER BY doc_id, dup_of""".stripMargin,
+    // full-corpus MinHash+LSH decision replay — the same pattern over
+    // the band table qMinhashLsh materializes (and reads back) per
+    // run: band equi-join, pair dedup, slot-match estimator at
+    // numHashes=64, threshold 0.5, all plain SQL given the signatures
+    "q_minhash_lsh" ->
+      s"""WITH cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         x.sig AS sig_a, y.sig AS sig_b
+        |  FROM read_parquet('${graft.util.OracleExports.dir("minhash_bands")}/*.parquet') x
+        |  JOIN read_parquet('${graft.util.OracleExports.dir("minhash_bands")}/*.parquet') y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |   AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  floor((len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0) * 100 + 0.5) / 100 AS est_jaccard
+        |FROM cand
+        |WHERE floor((len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0) * 100 + 0.5) / 100 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // SemDeDup decision replay: given the exported k-means cell
+    // assignment, the drop rule (same-cell pair, lower-id keeper,
+    // cosine >= 0.45) and the per-label rollup are plain SQL over the
+    // embeddings table; cosines agree modulo last-ULP summation
+    // differences, the standard cosine-oracle equivalence
+    "q_semdedup" ->
+      s"""WITH a AS (
+        |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.util.OracleExports.dir("semdedup_cells")}/*.parquet') c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id),
+        |drops AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.emb, y.emb) >= 0.45)
+        |SELECT e.label,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  count(*) - CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
     // verbatim-span dedup: 8-token spans (the Spark side joins 8-byte
     // span hashes, the oracle joins the span strings — doc-level
     // outputs agree modulo 2^64 hash collisions, same accepted

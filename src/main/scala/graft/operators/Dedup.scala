@@ -284,11 +284,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash + LSH near-dup (rows-only; MinHashSpec validates the
-    * estimator). Signature is one codegen'd expression (n mins from 2
-    * base hashes, O(shingles) per row); banding keys the self-join on
-    * (band index, band hash) so candidates come from band buckets
-    * only. est_jaccard = fraction of matching signature slots.
+  /** MinHash + LSH near-dup — DuckDB-oracled as a DECISION REPLAY
+    * (the [[DedupIndex]] pattern): the signature function (xxhash64
+    * minhash) is not SQL-expressible, so the band table this query
+    * materializes is exported per run and the oracle re-derives the
+    * whole decision set — band equi-join, pair dedup, slot-match
+    * estimator, threshold — from those bytes in plain SQL.
+    * MinHashSpec property-tests the estimator itself. Signature is
+    * one codegen'd expression (n mins from 2 base hashes, O(shingles)
+    * per row); banding keys the self-join on (band index, band hash)
+    * so candidates come from band buckets only; est_jaccard =
+    * fraction of matching signature slots. The self-join reads the
+    * MATERIALIZED band table (write + read-back), so the signatures
+    * compute once, not once per join side — at corpus scale the band
+    * table is always persisted first anyway (that is [[DedupIndex]]).
     */
   /** (doc_id, sig, band, band_hash) LSH band rows — the banding core
     * shared by [[qMinhashLsh]] (in-session self-join) and
@@ -314,7 +323,10 @@ object Dedup {
 
   def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val banded = bandTable(t.documents, numHashes, bands, shingleSize)
+    val out = graft.util.OracleExports.dir("minhash_bands")
+    bandTable(t.documents, numHashes, bands, shingleSize)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    val banded = t.spark.read.parquet(out)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -564,15 +576,24 @@ object Dedup {
   def semDedupDrops(t: Tables, threshold: Double, cells: Int): DataFrame =
     semDedupDrops(Similarity.corpusIndex(t, cells).assigned, threshold)
 
-  /** Contract query (rows-only — k-means blocking is not
-    * SQL-expressible): per-label corpus reduction after SemDeDup. The
-    * synthetic corpus holds no true duplicates, so the default
-    * threshold sits where its cosine tail has mass — the drop RULE is
-    * exact either way (SemDedupSpec proves planted exact/near
-    * duplicates are dropped against their true keepers).
+  /** Contract query — DuckDB-oracled as a DECISION REPLAY: k-means
+    * blocking is not SQL-expressible, so the cell ASSIGNMENT
+    * (vec_id, cell) is exported per run and the oracle re-derives the
+    * drop set — same-cell pairs, cosine at the threshold, lowest-id
+    * keeper — and the per-label aggregation from those bytes plus the
+    * embeddings table in plain SQL (cosines agree modulo the engines'
+    * last-ULP summation differences, the same accepted equivalence as
+    * every cosine oracle). The synthetic corpus holds no true
+    * duplicates, so the default threshold sits where its cosine tail
+    * has mass — and SemDedupSpec separately proves planted exact/near
+    * duplicates are dropped against their true keepers.
     */
   def qSemDedup(t: Tables, threshold: Double = 0.45): DataFrame = {
-    val drops = semDedupDrops(t, threshold, cells = 16)
+    val assigned = Similarity.corpusIndex(t, cells = 16).assigned
+    assigned.select(col("vec_id"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("semdedup_cells"))
+    val drops = semDedupDrops(assigned, threshold)
     t.embeddings.select(col("vec_id"), col("label"))
       .join(drops.select(col("vec_id"), lit(1).as("_dropped")), Seq("vec_id"), "left")
       .groupBy("label")

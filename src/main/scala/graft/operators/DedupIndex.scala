@@ -142,20 +142,8 @@ object DedupIndex {
     * ordering contract the gate's own output-parquet compare relies
     * on. Overwritten per run.
     */
-  val OracleExportDir: String = {
-    // per-user AND per-process: two concurrent verify/bench runs on
-    // one host must not overwrite each other's band exports (the
-    // replay would silently compare mismatched halves), and a fixed
-    // world-writable literal could be pre-created or symlinked by any
-    // local user. The oracle SQL interpolates this value at dump
-    // time — same JVM, same path — so the gate's DuckDB run (after
-    // this JVM exits) still reads the right export; that is also why
-    // the dir is NOT registered for delete-on-exit.
-    val user = System.getProperty("user.name", "unknown")
-      .replaceAll("[^A-Za-z0-9_-]", "_")
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp")
-    s"$tmp/graft_dedup_bands_${user}_${ProcessHandle.current().pid()}"
-  }
+  val OracleExportDir: String =
+    graft.util.OracleExports.dir("dedup_ingest_bands")
 
   /** The contract query's memoized even-half index — exposed so the
     * bench can warm the BUILD at the target corpus and report it under
