@@ -289,18 +289,17 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_simhash, q_ann_lsh, q_ann_ivf, q_ann_pq,
-    * q_ann_ivfpq, q_text_ann,
     * q_media_features, q_image_features,
-    * q_frame_sample, q_audio_features, q_approx_distinct,
-    * q_hll_sketch, q_percentile_approx,
-    * q_bpe_tokens — are rows-only BY
-    * DESIGN: their semantics are
-    * not ANSI-SQL-expressible and are property-tested in ScalaTest
-    * instead. (Keep this list equal to queries.keySet --
+    * q_frame_sample, q_audio_features (codec work),
+    * q_approx_distinct, q_hll_sketch, q_percentile_approx
+    * (error-bounded sketches), q_bpe_tokens, q_pack_bpe (corpus-
+    * trained BPE vocabulary) — are rows-only BY DESIGN: their
+    * semantics are not ANSI-SQL-expressible and are property-tested
+    * in ScalaTest instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet; OracleContractSpec enforces it.)
-    * q_dedup_ingest, q_minhash_lsh, and q_semdedup ARE oracled, as
-    * decision replays: the signature
+    * q_dedup_ingest, q_minhash_lsh, q_simhash, q_semdedup,
+    * q_text_ann, q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq, and
+    * q_maxsim_ivf ARE oracled, as decision replays: the signature
     * function isn't SQL, but given the exported band tables
     * (DedupIndex.OracleExportDir) the banding join, pair dedup,
     * estimator, and threshold all are.
@@ -1268,6 +1267,27 @@ object SparkEntry {
         |FROM cand
         |WHERE floor((len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0) * 100 + 0.5) / 100 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // SimHash decision replay: given the exported 64-bit signatures,
+    // banding is shifts + masks, candidates a self-equi-join, and
+    // hamming a popcount over xor — all plain SQL. DuckDB >> on
+    // BIGINT is arithmetic like Spark's shiftright; the & 65535 mask
+    // makes the sign extension irrelevant on both engines.
+    "q_simhash" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, sh
+        |  FROM read_parquet('${graft.util.OracleExports.dir("simhash_sigs")}/*.parquet')),
+        |b AS (
+        |  SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS chunk
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         x.sh AS sh_a, y.sh AS sh_b
+        |  FROM b x JOIN b y
+        |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // SemDeDup decision replay: given the exported k-means cell
     // assignment, the drop rule (same-cell pair, lower-id keeper,
     // cosine >= 0.45) and the per-label rollup are plain SQL over the
@@ -1439,6 +1459,183 @@ object SparkEntry {
         |  SELECT q.query_id, e.vec_id,
         |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)) * 10000 + 0.5) / 10000 AS cos
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // text-ANN decision replay: hash_embed is the non-SQL step; the
+    // exported per-doc vectors (floats, exact parquet round-trip)
+    // drive the same brute-force shape as q_ann_bruteforce
+    "q_text_ann" ->
+      s"""WITH v AS (
+        |  SELECT doc_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.util.OracleExports.dir("text_ann_vecs")}/*.parquet')),
+        |q AS (SELECT doc_id AS query_id, emb AS q_emb FROM v WHERE doc_id IN (1, 2, 3)),
+        |s AS (
+        |  SELECT q.query_id, v.doc_id,
+        |    floor((list_cosine_similarity(v.emb, q.q_emb)) * 10000 + 0.5) / 10000 AS cos
+        |  FROM v CROSS JOIN q WHERE v.doc_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, doc_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, doc_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // LSH-bucketed ANN decision replay: hyperplane bucketing is the
+    // non-SQL step; given (vec_id, bucket) the hamming-1 multiprobe
+    // is xor arithmetic, and candidate restriction + scoring +
+    // ranking are plain SQL over the embeddings table. A corpus
+    // vector has ONE bucket, so it matches at most one probe per
+    // query — DISTINCT is belt-and-braces, not a semantic change.
+    "q_ann_lsh" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id, bucket
+        |  FROM read_parquet('${graft.util.OracleExports.dir("lsh_buckets")}/*.parquet')),
+        |qp AS (
+        |  SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id IN (1, 2, 3)
+        |  UNION
+        |  SELECT b.vec_id AS query_id, xor(b.bucket, (1 << s.b)) AS bucket
+        |  FROM bk b CROSS JOIN (SELECT unnest(range(0, 8)) AS b) s
+        |  WHERE b.vec_id IN (1, 2, 3)),
+        |cand AS (
+        |  SELECT DISTINCT qp.query_id, bk.vec_id
+        |  FROM bk JOIN qp USING (bucket) WHERE bk.vec_id <> qp.query_id),
+        |s AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qe.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // IVF decision replay: the k-means cell map and the probe choices
+    // are the exported non-SQL steps; candidates, scoring, ranking
+    // replay in SQL. One cell per vector + distinct probe cells per
+    // query → no duplicate candidates by construction.
+    "q_ann_ivf" ->
+      s"""WITH cells AS (
+        |  SELECT vec_id, cell
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivf_cells")}/*.parquet')),
+        |p AS (
+        |  SELECT query_id, cell
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivf_probes")}/*.parquet')),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id FROM cells c JOIN p USING (cell)
+        |  WHERE c.vec_id <> p.query_id),
+        |s AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qe.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // MaxSim-IVF decision replay: the coarse-quantizer candidate
+    // label set is exported; exact MaxSim over it is the q_maxsim
+    // oracle restricted to those labels
+    "q_maxsim_ivf" ->
+      s"""WITH cl AS (
+        |  SELECT label
+        |  FROM read_parquet('${graft.util.OracleExports.dir("maxsim_ivf_labels")}/*.parquet')),
+        |q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 4),
+        |m AS (
+        |  SELECT e.label, q.q_id,
+        |    floor(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)) * 100 + 0.5) / 100 AS mx
+        |  FROM embeddings e JOIN cl USING (label) CROSS JOIN q
+        |  GROUP BY e.label, q.q_id)
+        |SELECT label, floor(sum(mx) * 100 + 0.5) / 100 AS maxsim
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // PQ/ADC decision replay: codes + per-query LUTs are the exported
+    // non-SQL inputs; the ADC score is the SAME fixed left-to-right
+    // 8-term sum over the SAME exported doubles in both engines
+    // (bit-identical — no rounding needed for shortlist membership),
+    // and the exact re-rank rides the standard cosine equivalence
+    "q_ann_pq" ->
+      s"""WITH codes AS (
+        |  SELECT vec_id, codes
+        |  FROM read_parquet('${graft.util.OracleExports.dir("pq_codes")}/*.parquet')),
+        |luts AS (
+        |  SELECT query_id, lut
+        |  FROM read_parquet('${graft.util.OracleExports.dir("pq_luts")}/*.parquet')),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    lut[1][codes[1] + 1] + lut[2][codes[2] + 1] + lut[3][codes[3] + 1] +
+        |    lut[4][codes[4] + 1] + lut[5][codes[5] + 1] + lut[6][codes[6] + 1] +
+        |    lut[7][codes[7] + 1] + lut[8][codes[8] + 1] AS score
+        |  FROM codes c CROSS JOIN luts l WHERE c.vec_id <> l.query_id),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, vec_id) AS srk
+        |    FROM scored) t WHERE srk <= 40),
+        |s AS (
+        |  SELECT sh.query_id, sh.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qe.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+        |  FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
+        |  JOIN embeddings qe ON sh.query_id = qe.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // IVF-PQ decision replay: the full Jégou '11 serve pipeline in
+    // SQL — probe-restricted candidates, bit-identical ADC shortlist,
+    // exact cosine re-rank
+    "q_ann_ivfpq" ->
+      s"""WITH codes AS (
+        |  SELECT vec_id, codes
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivfpq_codes")}/*.parquet')),
+        |luts AS (
+        |  SELECT query_id, lut
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivfpq_luts")}/*.parquet')),
+        |cells AS (
+        |  SELECT vec_id, cell
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivfpq_cells")}/*.parquet')),
+        |p AS (
+        |  SELECT query_id, cell
+        |  FROM read_parquet('${graft.util.OracleExports.dir("ivfpq_probes")}/*.parquet')),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id,
+        |    lut[1][codes[1] + 1] + lut[2][codes[2] + 1] + lut[3][codes[3] + 1] +
+        |    lut[4][codes[4] + 1] + lut[5][codes[5] + 1] + lut[6][codes[6] + 1] +
+        |    lut[7][codes[7] + 1] + lut[8][codes[8] + 1] AS score
+        |  FROM codes c
+        |  JOIN cells cl ON c.vec_id = cl.vec_id
+        |  JOIN p ON cl.cell = p.cell
+        |  JOIN luts l ON l.query_id = p.query_id
+        |  WHERE c.vec_id <> p.query_id),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, vec_id) AS srk
+        |    FROM scored) t WHERE srk <= 40),
+        |s AS (
+        |  SELECT sh.query_id, sh.vec_id,
+        |    floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qe.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cos
+        |  FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
+        |  JOIN embeddings qe ON sh.query_id = qe.vec_id),
         |r AS (
         |  SELECT query_id, vec_id, cos,
         |    cast(row_number() OVER (PARTITION BY query_id

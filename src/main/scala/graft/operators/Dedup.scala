@@ -343,19 +343,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup (rows-only; spec validates the hamming
-    * property). 64-bit simhash split into 4 16-bit bands — pigeonhole
-    * guarantees hamming ≤ 3 pairs share ≥1 exact band, so the
-    * self-join keys on (band, 16-bit chunk) and the hamming check
+  /** SimHash near-dup — DuckDB-oracled as a DECISION REPLAY: the
+    * simhash64 function is not SQL-expressible, but given the
+    * exported per-doc signatures the entire decision set is — band
+    * split (shift + mask), candidate equi-join, popcount hamming,
+    * threshold. LineDedupSpec-style property checks still cover the
+    * signature itself. 64-bit simhash split into 4 16-bit bands —
+    * pigeonhole guarantees hamming ≤ 3 pairs share ≥1 exact band, so
+    * the self-join keys on (band, 16-bit chunk) and the hamming check
     * runs only on candidates.
     */
   def qSimhash(t: Tables, shingleSize: Int = 3, maxHamming: Int = 3): DataFrame = {
     // Same zero-shingle guard as qMinhashLsh: simhash of no shingles
     // is 0L, so all short docs would band together and report
     // hamming=0 "duplicates".
-    val sigs = t.documents.repartition(col("doc_id"))
+    val out = graft.util.OracleExports.dir("simhash_sigs")
+    t.documents.repartition(col("doc_id"))
       .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
       .select(col("doc_id"), GraftFunctions.simhash64(col("text"), shingleSize).as("sh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    // decision-replay export + materialization in one: the banding
+    // self-join reads the signatures back, so simhash64 runs once per
+    // doc, and the oracle re-derives banding + hamming from the same
+    // bytes (shifts, masks, and popcount are all plain SQL)
+    val sigs = t.spark.read.parquet(out)
     val banded = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -366,7 +377,11 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", GraftFunctions.hamming64(col("sh_a"), col("sh_b")))
+      // long, not int: the oracle's popcount is BIGINT-typed, and the
+      // driver's hasher is type-sensitive (the HUGEINT lesson) — same
+      // convention as qDedupFuzzy's dist
+      .withColumn("hamming",
+        GraftFunctions.hamming64(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")

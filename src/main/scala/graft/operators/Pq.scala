@@ -119,6 +119,23 @@ object Pq {
       .orderBy("query_id", "rk")
   }
 
+  /** Oracle decision-replay export for the ADC paths: the compressed
+    * corpus (vec_id, codes) and the per-query LUTs (query_id, lut) —
+    * the two non-SQL inputs from which the whole scoring + shortlist
+    * decision re-derives in plain SQL.
+    */
+  private def exportAdcInputs(t: Tables, model: PqModel,
+      qs: Seq[(Long, Array[Float])], prefix: String): Unit = {
+    val spark = t.spark
+    import spark.implicits._
+    model.codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir(s"${prefix}_codes"))
+    lutsFor(model.codebooks, qs).toDF("query_id", "lut")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir(s"${prefix}_luts"))
+    ()
+  }
+
   /** Per-query m×ksub LUTs of subspace dots, built driver-side from
     * the collected codebooks (m·ksub rows — broadcast-metadata scale).
     * `m` and `ksub` are DERIVED from the codebook rows themselves
@@ -184,8 +201,10 @@ object Pq {
       PqModel(cbs, codes)
     }
 
-  /** PQ/ADC ANN contract query (rows-only; AnnSpec checks recall vs
-    * brute force): build-once coded corpus → ADC shortlist of
+  /** PQ/ADC ANN contract query — DuckDB-oracled as a decision replay
+    * (exported codes + LUTs; the ADC sum, shortlist, and exact
+    * re-rank all replay in SQL); AnnSpec separately checks recall vs
+    * brute force. Build-once coded corpus → ADC shortlist of
     * `rerank`·k candidates from the 8-byte codes alone → EXACT cosine
     * re-rank of just the shortlist. The two-stage shape is the
     * production recipe (Jégou '11 §V): the compressed index does the
@@ -202,6 +221,13 @@ object Pq {
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
       .toSeq.sortBy(_._1)
+    // decision-replay exports: the trained codes and per-query LUTs
+    // are the non-SQL steps. Downstream, the ADC score is a fixed
+    // left-to-right sum of m LUT lookups — the SAME addition order
+    // over the SAME exported doubles in both engines, so shortlist
+    // membership replays bit-identically; the exact re-rank then
+    // rides the standard cosine equivalence.
+    exportAdcInputs(t, model, qs, "pq")
     val shortlist = adcTopK(model.codes, model.codebooks, qs, k * rerank)
       .select("query_id", "vec_id")
     val qDf = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
@@ -218,8 +244,8 @@ object Pq {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF-PQ probed ANN (rows-only; AnnSpec checks recall): the FULL
-    * Jégou '11 serving pipeline — coarse cells bound the candidate
+  /** IVF-PQ probed ANN — DuckDB-oracled as a decision replay of the
+    * FULL Jégou '11 serving pipeline — coarse cells bound the candidate
     * set (nprobe/cells of the corpus per query), ADC over the 8-byte
     * codes ranks candidates without touching raw vectors, and the
     * exact re-rank repairs the shortlist. At 100 TB this is the
@@ -235,6 +261,14 @@ object Pq {
     val qRows = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
     val probes = Similarity.nearestCells(qRows, ivf.centroids, topN = nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
+    // decision-replay exports (see qAnnPq): codes + LUTs for the ADC
+    // stage, plus this path's cell map and probe choices — the full
+    // IVF-PQ decision then re-derives in SQL
+    ivf.assigned.select(col("vec_id"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("ivfpq_cells"))
+    probes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("ivfpq_probes"))
     // candidate ids per query: vectors living in the probed cells
     val cand = ivf.assigned.select(col("cell"), col("vec_id"))
       .join(broadcast(probes), "cell")
@@ -243,6 +277,7 @@ object Pq {
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
       .toSeq.sortBy(_._1)
+    exportAdcInputs(t, model, qs, "ivfpq")
     // ADC over candidates only — one plan for the whole query batch:
     // the stacked 3-D LUT literal is indexed by the query's ordinal
     // from the tiny broadcast frame (same shape as adcTopK), and the

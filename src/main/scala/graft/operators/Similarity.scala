@@ -52,16 +52,25 @@ object Similarity {
     * document (signed feature hashing, unit-normalized, one codegen'd
     * pass) and rank by cosine — the bridge that runs the whole
     * embedding stack (near-dup, ANN, SemDeDup) on corpora that have
-    * no model embeddings yet. Same brute-force shape as
+    * no model embeddings yet — DuckDB-oracled as a decision replay
+    * over the exported vectors. Same brute-force shape as
     * [[qAnnBruteforce]]; at scale the same vectors feed the LSH/IVF
     * paths unchanged. Zero-norm (all-whitespace) docs are filtered —
     * cosine against a zero vector is undefined, not zero.
     */
   def qTextAnn(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10, dim: Int = 256): DataFrame = {
-    val e = t.documents
+    // decision-replay export + materialization in one: hash_embed is
+    // the non-SQL step, so the embedded vectors are written per run
+    // (floats round-trip parquet exactly) and both this query's
+    // self-join and the DuckDB oracle read the same bytes — the
+    // scoring, ranking, and top-k all replay in plain SQL
+    val out = graft.util.OracleExports.dir("text_ann_vecs")
+    t.documents
       .select(col("doc_id"), GraftFunctions.hashEmbed(col("text"), dim).as("embedding"))
       .filter(GraftFunctions.normF(col("embedding")) > 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    val e = t.spark.read.parquet(out)
     val q = e.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
@@ -165,8 +174,10 @@ object Similarity {
       k: Int = 10): DataFrame =
     topK(scoredPairs(t.embeddings, queryIds), k)
 
-  /** LSH-bucketed ANN (rows-only; AnnSpec checks recall vs brute
-    * force). Vectors bucket once by hyperplane signs; each query
+  /** LSH-bucketed ANN — DuckDB-oracled as a decision replay (the
+    * exported buckets drive the SQL-side multiprobe, scoring, and
+    * ranking); AnnSpec separately checks recall vs brute force.
+    * Vectors bucket once by hyperplane signs; each query
     * multi-probes its own bucket plus all hamming-1 neighbors
     * (bits+1 probes), trading a small candidate-set increase for a
     * large recall gain. At cluster scale the bucket id is the shuffle
@@ -183,6 +194,12 @@ object Similarity {
     require(actual.forall(_ == dim),
       s"lsh dim $dim != embedding width ${actual.getOrElse(-1)}")
     val e = t.embeddings.withColumn("bucket", lshBucket(col("embedding"), bits, dim))
+    // decision-replay export: the hyperplane bucketing is the non-SQL
+    // step; given (vec_id, bucket), the hamming-1 probe expansion is
+    // xor/shift arithmetic and the scoring/ranking replay in SQL
+    e.select(col("vec_id"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("lsh_buckets"))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
       .withColumn("bucket", explode(array(
@@ -355,18 +372,34 @@ object Similarity {
       IvfKey(System.identityHashCode(t.spark), t.sfDir, cells, iters, trainMod))(
       IvfIndex.build(t.embeddings, cells, iters, trainMod))
 
-  /** IVF-probed ANN (rows-only; AnnSpec checks recall): build-once
+  /** IVF-probed ANN — DuckDB-oracled as a decision replay (exported
+    * cell map + probe choices; candidates, scoring, and ranking
+    * replay in SQL); AnnSpec separately checks recall. Build-once
     * index (memoized per corpus), then probe.
     */
   def qAnnIvf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
       k: Int = 10, cells: Int = 16, nprobe: Int = 3, iters: Int = 2): DataFrame = {
     val index = corpusIndex(t, cells, iters)
     val q = t.embeddings.filter(col("vec_id").isin(queryIds: _*))
+    // decision-replay exports: the k-means cell map and this query
+    // batch's probe choices are the non-SQL steps (Lloyd + centroid
+    // distances); candidate restriction, scoring, and ranking replay
+    // in SQL from these plus the embeddings table
+    index.assigned.select(col("vec_id"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("ivf_cells"))
+    nearestCells(q, index.centroids, topN = nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("ivf_probes"))
     ivfProbe(index, q, k, nprobe)
   }
 
-  /** MaxSim over the IVF index — [[qMaxSim]]'s serve path (rows-only;
-    * MaxSimIvfSpec pins candidate-exactness and coverage): candidate
+  /** MaxSim over the IVF index — [[qMaxSim]]'s serve path, DuckDB-
+    * oracled as a decision replay (exported candidate labels; exact
+    * MaxSim over them replays as the q_maxsim oracle restricted to
+    * that set); CurateSpec pins candidate-exactness and coverage
+    * separately: candidate
     * documents come from each query token's `nprobe` nearest cells
     * (the coarse-quantizer prune), and MaxSim then scores the
     * CANDIDATE documents exactly — the standard late-interaction
@@ -379,9 +412,39 @@ object Similarity {
     * exhaustive form.
     */
   def qMaxSimIvf(t: Tables, numQuery: Int = 4, nprobe: Int = 2,
-      cells: Int = 16): DataFrame =
-    maxSimIvf(t.embeddings.select(col("vec_id"), col("label"), col("embedding")),
-      corpusIndex(t, cells), numQuery, nprobe)
+      cells: Int = 16): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val index = corpusIndex(t, cells)
+    // decision-replay export: the coarse-quantizer candidate set is
+    // the non-SQL step; given the candidate LABELS, the exact MaxSim
+    // over them is the q_maxsim oracle restricted to that set. A
+    // query's own cell is always among its nprobe nearest (it IS the
+    // nearest), so query labels are always candidates and the
+    // restricted frame keeps every query token.
+    val cand = maxSimIvfCandidates(e, index, numQuery, nprobe)
+    cand.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graft.util.OracleExports.dir("maxsim_ivf_labels"))
+    maxSim(e.join(broadcast(cand), Seq("label"), "left_semi"), numQuery)
+  }
+
+  /** Candidate labels for the MaxSim serve path: cells any query
+    * token probes → the labels owning a vector there (semi joins — no
+    * payload moves).
+    */
+  private def maxSimIvfCandidates(e: DataFrame, index: IvfIndex,
+      numQuery: Int, nprobe: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < numQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probedCells = nearestCells(
+      q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      index.centroids, topN = nprobe)
+      .select("cell").distinct()
+    val candVecs = index.assigned
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    e.join(candVecs, Seq("vec_id"), "left_semi")
+      .select("label").distinct()
+  }
 
   /** The serve-path core over any frame + prebuilt index (see
     * [[qMaxSimIvf]]) — CurateSpec drives it on a cluster-localized
@@ -391,23 +454,10 @@ object Similarity {
     * pays off exactly when documents cluster).
     */
   def maxSimIvf(e: DataFrame, index: IvfIndex, numQuery: Int,
-      nprobe: Int): DataFrame = {
-    val q = e.filter(col("vec_id") < numQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // candidate generation: cells any query token probes → the labels
-    // owning a vector there (semi joins — no payload moves)
-    val probedCells = nearestCells(
-      q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
-      index.centroids, topN = nprobe)
-      .select("cell").distinct()
-    val candVecs = index.assigned
-      .join(broadcast(probedCells), Seq("cell"), "left_semi")
-      .select("vec_id")
-    val candLabels = e.join(candVecs, Seq("vec_id"), "left_semi")
-      .select("label").distinct()
+      nprobe: Int): DataFrame =
     // exact MaxSim on the candidates only
-    maxSim(e.join(broadcast(candLabels), Seq("label"), "left_semi"), numQuery)
-  }
+    maxSim(e.join(broadcast(maxSimIvfCandidates(e, index, numQuery, nprobe)),
+      Seq("label"), "left_semi"), numQuery)
 
   /** Higher-order array functions over embeddings — the
     * filter/exists/aggregate surface (all codegen'd, no UDF): per

@@ -11,12 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class OracleContractSpec extends AnyFunSuite {
 
   private val rowsOnlyByDesign = Set(
-    "q_simhash", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
-    "q_ann_ivfpq", "q_text_ann",
     "q_media_features", "q_image_features",
     "q_frame_sample", "q_audio_features", "q_approx_distinct",
     "q_hll_sketch", "q_percentile_approx",
-    "q_bpe_tokens", "q_pack_bpe", "q_maxsim_ivf")
+    "q_bpe_tokens", "q_pack_bpe")
 
   test("every query is oracled unless declared rows-only by design") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
