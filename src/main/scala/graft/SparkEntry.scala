@@ -224,6 +224,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => graft.operators.Pq.qAnnPq(t(s, d))),
     "q_ann_ivfpq" -> ((s, d) => graft.operators.Pq.qAnnIvfPq(t(s, d))),
     "q_cosine_pairs" -> ((s, d) => Similarity.qCosinePairs(t(s, d))),
+    "q_hybrid_rrf" -> ((s, d) => Similarity.qHybridRrf(t(s, d))),
     "q_label_centroids" -> ((s, d) => Similarity.qLabelCentroids(t(s, d))),
     // §2.5 text analysis
     "q_token_count" -> ((s, d) => TextAnalysis.qTokenCount(t(s, d))),
@@ -1561,6 +1562,54 @@ object SparkEntry {
         |  GROUP BY e.label, q.q_id)
         |SELECT label, floor(sum(mx) * 100 + 0.5) / 100 AS maxsim
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // Reciprocal Rank Fusion: the dense arm replays over the exported
+    // hash-embedded vectors, the lexical arm is the n-gram-jaccard
+    // oracle's own shingle/pair SQL, and the fused score — two double
+    // divisions over integer ranks, summed in the same order — is
+    // bit-identical across engines before its final round
+    "q_hybrid_rrf" ->
+      ("WITH " + shingleCte + ",\n" + pairCte + ",\n" +
+       s"""v AS (
+        |  SELECT doc_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.util.OracleExports.dir("hybrid_vecs")}/*.parquet')),
+        |q AS (SELECT doc_id AS query_id, emb AS q_emb FROM v WHERE doc_id IN (1, 2, 3)),
+        |ds AS (
+        |  SELECT q.query_id, v.doc_id,
+        |    floor((list_cosine_similarity(v.emb, q.q_emb)) * 10000 + 0.5) / 10000 AS cos
+        |  FROM v CROSS JOIN q WHERE v.doc_id <> q.query_id),
+        |dt AS (
+        |  SELECT query_id, doc_id, dense_rk FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, doc_id) AS dense_rk
+        |    FROM ds) x WHERE dense_rk <= 50),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    floor((n_common / (na.n_sh + nb.n_sh - n_common)) * 100 + 0.5) / 100 AS jaccard
+        |  FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id),
+        |lx AS (
+        |  SELECT doc_a AS query_id, doc_b AS doc_id, jaccard FROM j WHERE doc_a IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT doc_b AS query_id, doc_a AS doc_id, jaccard FROM j WHERE doc_b IN (1, 2, 3)),
+        |lr AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY jaccard DESC, doc_id) AS lex_rk
+        |  FROM lx),
+        |f AS (
+        |  SELECT coalesce(dt.query_id, lr.query_id) AS query_id,
+        |         coalesce(dt.doc_id, lr.doc_id) AS doc_id,
+        |    floor((coalesce(CAST(1 AS DOUBLE) / (60 + dt.dense_rk), 0) +
+        |           coalesce(CAST(1 AS DOUBLE) / (60 + lr.lex_rk), 0)) * 1000000 + 0.5) / 1000000 AS rrf
+        |  FROM dt FULL OUTER JOIN lr
+        |    ON dt.query_id = lr.query_id AND dt.doc_id = lr.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk
+        |  FROM f)
+        |SELECT query_id, doc_id, rrf, rk FROM r
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin),
     // PQ/ADC decision replay: codes + per-query LUTs are the exported
     // non-SQL inputs; the ADC score is the SAME fixed left-to-right
     // 8-term sum over the SAME exported doubles in both engines

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the gate NEEDS the decision-replay exports (band tables, cell
+    // maps, LUTs…) its oracle SQL reads; they are off everywhere else
+    // so the bench and production callers never pay for them
+    graft.util.OracleExports.enabled = true
     new java.io.File(outDir).mkdirs()
     // queries dump CONCURRENTLY (Spark schedules jobs from multiple
     // threads fine; contract queries are independent — corpus-keyed

@@ -323,10 +323,8 @@ object Dedup {
 
   def qMinhashLsh(t: Tables, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val out = graft.util.OracleExports.dir("minhash_bands")
-    bandTable(t.documents, numHashes, bands, shingleSize)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-    val banded = t.spark.read.parquet(out)
+    val banded = graft.util.OracleExports.materialize(
+      bandTable(t.documents, numHashes, bands, shingleSize), "minhash_bands")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -357,16 +355,16 @@ object Dedup {
     // Same zero-shingle guard as qMinhashLsh: simhash of no shingles
     // is 0L, so all short docs would band together and report
     // hamming=0 "duplicates".
-    val out = graft.util.OracleExports.dir("simhash_sigs")
-    t.documents.repartition(col("doc_id"))
-      .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
-      .select(col("doc_id"), GraftFunctions.simhash64(col("text"), shingleSize).as("sh"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-    // decision-replay export + materialization in one: the banding
-    // self-join reads the signatures back, so simhash64 runs once per
-    // doc, and the oracle re-derives banding + hamming from the same
-    // bytes (shifts, masks, and popcount are all plain SQL)
-    val sigs = t.spark.read.parquet(out)
+    // decision-replay export + materialization in one (Verify only):
+    // the banding self-join reads the signatures back, so simhash64
+    // runs once per doc, and the oracle re-derives banding + hamming
+    // from the same bytes (shifts, masks, popcount — all plain SQL)
+    val sigs = graft.util.OracleExports.materialize(
+      t.documents.repartition(col("doc_id"))
+        .filter(GraftFunctions.tokenCount(col("text")) >= shingleSize)
+        .select(col("doc_id"),
+          GraftFunctions.simhash64(col("text"), shingleSize).as("sh")),
+      "simhash_sigs")
     val banded = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -605,9 +603,8 @@ object Dedup {
     */
   def qSemDedup(t: Tables, threshold: Double = 0.45): DataFrame = {
     val assigned = Similarity.corpusIndex(t, cells = 16).assigned
-    assigned.select(col("vec_id"), col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("semdedup_cells"))
+    graft.util.OracleExports.export(
+      assigned.select(col("vec_id"), col("cell")), "semdedup_cells")
     val drops = semDedupDrops(assigned, threshold)
     t.embeddings.select(col("vec_id"), col("label"))
       .join(drops.select(col("vec_id"), lit(1).as("_dropped")), Seq("vec_id"), "left")

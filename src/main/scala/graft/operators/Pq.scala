@@ -125,16 +125,14 @@ object Pq {
     * decision re-derives in plain SQL.
     */
   private def exportAdcInputs(t: Tables, model: PqModel,
-      qs: Seq[(Long, Array[Float])], prefix: String): Unit = {
-    val spark = t.spark
-    import spark.implicits._
-    model.codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir(s"${prefix}_codes"))
-    lutsFor(model.codebooks, qs).toDF("query_id", "lut")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir(s"${prefix}_luts"))
-    ()
-  }
+      qs: Seq[(Long, Array[Float])], prefix: String): Unit =
+    if (graft.util.OracleExports.enabled) {
+      val spark = t.spark
+      import spark.implicits._
+      graft.util.OracleExports.export(model.codes, s"${prefix}_codes")
+      graft.util.OracleExports.export(
+        lutsFor(model.codebooks, qs).toDF("query_id", "lut"), s"${prefix}_luts")
+    }
 
   /** Per-query m×ksub LUTs of subspace dots, built driver-side from
     * the collected codebooks (m·ksub rows — broadcast-metadata scale).
@@ -264,11 +262,9 @@ object Pq {
     // decision-replay exports (see qAnnPq): codes + LUTs for the ADC
     // stage, plus this path's cell map and probe choices — the full
     // IVF-PQ decision then re-derives in SQL
-    ivf.assigned.select(col("vec_id"), col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("ivfpq_cells"))
-    probes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("ivfpq_probes"))
+    graft.util.OracleExports.export(
+      ivf.assigned.select(col("vec_id"), col("cell")), "ivfpq_cells")
+    graft.util.OracleExports.export(probes, "ivfpq_probes")
     // candidate ids per query: vectors living in the probed cells
     val cand = ivf.assigned.select(col("cell"), col("vec_id"))
       .join(broadcast(probes), "cell")

@@ -65,12 +65,12 @@ object Similarity {
     // (floats round-trip parquet exactly) and both this query's
     // self-join and the DuckDB oracle read the same bytes — the
     // scoring, ranking, and top-k all replay in plain SQL
-    val out = graft.util.OracleExports.dir("text_ann_vecs")
-    t.documents
-      .select(col("doc_id"), GraftFunctions.hashEmbed(col("text"), dim).as("embedding"))
-      .filter(GraftFunctions.normF(col("embedding")) > 0)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-    val e = t.spark.read.parquet(out)
+    val e = graft.util.OracleExports.materialize(
+      t.documents
+        .select(col("doc_id"),
+          GraftFunctions.hashEmbed(col("text"), dim).as("embedding"))
+        .filter(GraftFunctions.normF(col("embedding")) > 0),
+      "text_ann_vecs")
     val q = e.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
     e.crossJoin(broadcast(q))
@@ -197,9 +197,8 @@ object Similarity {
     // decision-replay export: the hyperplane bucketing is the non-SQL
     // step; given (vec_id, bucket), the hamming-1 probe expansion is
     // xor/shift arithmetic and the scoring/ranking replay in SQL
-    e.select(col("vec_id"), col("bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("lsh_buckets"))
+    graft.util.OracleExports.export(
+      e.select(col("vec_id"), col("bucket")), "lsh_buckets")
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
       .withColumn("bucket", explode(array(
@@ -385,13 +384,11 @@ object Similarity {
     // batch's probe choices are the non-SQL steps (Lloyd + centroid
     // distances); candidate restriction, scoring, and ranking replay
     // in SQL from these plus the embeddings table
-    index.assigned.select(col("vec_id"), col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("ivf_cells"))
-    nearestCells(q, index.centroids, topN = nprobe)
-      .select(col("vec_id").as("query_id"), col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("ivf_probes"))
+    graft.util.OracleExports.export(
+      index.assigned.select(col("vec_id"), col("cell")), "ivf_cells")
+    graft.util.OracleExports.export(
+      nearestCells(q, index.centroids, topN = nprobe)
+        .select(col("vec_id").as("query_id"), col("cell")), "ivf_probes")
     ivfProbe(index, q, k, nprobe)
   }
 
@@ -422,8 +419,7 @@ object Similarity {
     // nearest), so query labels are always candidates and the
     // restricted frame keeps every query token.
     val cand = maxSimIvfCandidates(e, index, numQuery, nprobe)
-    cand.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(graft.util.OracleExports.dir("maxsim_ivf_labels"))
+    graft.util.OracleExports.export(cand, "maxsim_ivf_labels")
     maxSim(e.join(broadcast(cand), Seq("label"), "left_semi"), numQuery)
   }
 
@@ -458,6 +454,70 @@ object Similarity {
     // exact MaxSim on the candidates only
     maxSim(e.join(broadcast(maxSimIvfCandidates(e, index, numQuery, nprobe)),
       Seq("label"), "left_semi"), numQuery)
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) of a DENSE arm (hash-embedding cosine
+    * top-N, [[qTextAnn]]'s scorer) and a LEXICAL arm (word-5-gram
+    * Jaccard candidates, [[Dedup.ngramPairs]]'s memoized table):
+    * rrf(d) = Σ over arms ranking d of 1/(K + rank_arm(d)); a
+    * document missing from an arm contributes nothing — the standard
+    * truncated-list fusion, and the reason RRF needs no score
+    * calibration between arms (ranks only). The curation use: "find
+    * documents like these seeds" where lexical overlap catches
+    * verbatim/templated kin and the embedding catches paraphrase —
+    * either alone misses half the family.
+    *
+    * DuckDB-oracled end to end: the dense arm is a decision replay
+    * over the exported hash-embedded vectors; the lexical arm is the
+    * same shingle/pair SQL as the n-gram-jaccard oracle; ranks are
+    * integers, each arm's term is one double division, and the
+    * two-term sum is evaluated in the same order in both engines —
+    * the fused score replays bit-identically before its final round.
+    *
+    * 100 TB shape: the dense arm's crossJoin-against-broadcast-queries
+    * swaps for the IVF probe at corpus scale (same rank semantics);
+    * the lexical arm's candidates are already df-capped; fusion joins
+    * are per-query bounded (≤ denseTop + lexical candidates), never
+    * corpus-scale.
+    */
+  def qHybridRrf(t: Tables, queryIds: Seq[Long] = Seq(1L, 2L, 3L),
+      k: Int = 10, rrfK: Int = 60, denseTop: Int = 50,
+      dim: Int = 256): DataFrame = {
+    val e = graft.util.OracleExports.materialize(
+      t.documents
+        .select(col("doc_id"),
+          GraftFunctions.hashEmbed(col("text"), dim).as("embedding"))
+        .filter(GraftFunctions.normF(col("embedding")) > 0),
+      "hybrid_vecs")
+    val q = e.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 4).as("cos"))
+      .withColumn("dense_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("dense_rk") <= denseTop)
+      .select("query_id", "doc_id", "dense_rk")
+    // the pair table is a<b; a seed appears on either side
+    val pairs = Dedup.ngramPairs(t)
+    val lex = pairs.filter(col("doc_a").isin(queryIds: _*))
+        .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"), col("jaccard"))
+      .unionAll(pairs.filter(col("doc_b").isin(queryIds: _*))
+        .select(col("doc_b").as("query_id"), col("doc_a").as("doc_id"), col("jaccard")))
+      .withColumn("lex_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("jaccard").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "lex_rk")
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "rrf", "rk")
+      .orderBy("query_id", "rk")
+  }
 
   /** Higher-order array functions over embeddings — the
     * filter/exists/aggregate surface (all codegen'd, no UDF): per

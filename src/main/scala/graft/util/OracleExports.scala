@@ -27,4 +27,33 @@ object OracleExports {
   }
 
   def dir(sub: String): String = s"$Base/$sub"
+
+  /** Exports are VERIFICATION instrumentation, off by default:
+    * `graft.Verify` (the correctness gate's runner) switches them on
+    * before running the contract queries, so its oracle replays have
+    * their inputs — while the bench and any production caller run the
+    * pure operator, unbilled for parquet writes the oracle alone
+    * consumes. (Round-11 measurement: the always-on exports added
+    * 1.5–2.4× to exactly the exporting queries' bench times.)
+    */
+  @volatile var enabled: Boolean = false
+
+  /** Write `df`'s `cols` projection for the oracle when enabled. */
+  def export(df: org.apache.spark.sql.DataFrame, sub: String): Unit =
+    if (enabled) {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir(sub))
+      ()
+    }
+
+  /** Export-and-read-back when enabled (the exporting queries' joins
+    * then provably consume the SAME bytes the oracle replays); the
+    * unchanged lazy frame otherwise.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame,
+      sub: String): org.apache.spark.sql.DataFrame =
+    if (!enabled) df
+    else {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir(sub))
+      df.sparkSession.read.parquet(dir(sub))
+    }
 }
