@@ -250,6 +250,7 @@ object SparkEntry {
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
+    "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
@@ -292,18 +293,22 @@ object SparkEntry {
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
     * q_media_features, q_image_features,
     * q_frame_sample, q_audio_features (codec work),
-    * q_approx_distinct, q_hll_sketch, q_percentile_approx
-    * (error-bounded sketches), q_bpe_tokens, q_pack_bpe (corpus-
-    * trained BPE vocabulary) — are rows-only BY DESIGN: their
-    * semantics are not ANSI-SQL-expressible and are property-tested
-    * in ScalaTest instead. (Keep this list equal to queries.keySet --
+    * q_bpe_tokens, q_pack_bpe (corpus-trained BPE vocabulary) — are
+    * rows-only BY DESIGN: their semantics are not
+    * ANSI-SQL-expressible and are property-tested in ScalaTest
+    * instead. (Keep this list equal to queries.keySet --
     * oracleSql.keySet; OracleContractSpec enforces it.)
     * q_dedup_ingest, q_minhash_lsh, q_simhash, q_semdedup,
     * q_text_ann, q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq, and
     * q_maxsim_ivf ARE oracled, as decision replays: the signature
     * function isn't SQL, but given the exported band tables
     * (DedupIndex.OracleExportDir) the banding join, pair dedup,
-    * estimator, and threshold all are.
+    * estimator, and threshold all are. q_approx_distinct,
+    * q_hll_sketch, and q_percentile_approx are oracled as
+    * BOUND-VERIFICATION replays: the engine-specific estimates export
+    * as the decision table, and both engines independently recompute
+    * the exact counts/ranks from raw rows and hash-compare the
+    * within-bound flags.
     */
   /** The shingle table (d + s CTE bodies, no WITH prefix) — ONE text
     * shared by the decontamination, n-gram-jaccard, and dup-cluster
@@ -401,6 +406,65 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Sketch bound-verification replays: the exported estimates are
+    // the decision; the oracle recomputes exact counts/ranks itself
+    // and must reproduce Spark's within-bound flags bit-for-bit.
+    "q_approx_distinct" ->
+      s"""WITH est AS (
+        |  SELECT approx_parts, approx_orders
+        |  FROM read_parquet('${graft.util.OracleExports.dir("approx_distinct")}/*.parquet')),
+        |ex AS (
+        |  SELECT count(DISTINCT l_partkey) AS ex_parts,
+        |         count(DISTINCT l_orderkey) AS ex_orders,
+        |         count(*) AS n_rows
+        |  FROM lineitem)
+        |SELECT est.approx_parts, est.approx_orders, ex.n_rows,
+        |  abs(est.approx_parts - ex.ex_parts) <= ex.ex_parts * 0.06 AS parts_ok,
+        |  abs(est.approx_orders - ex.ex_orders) <= ex.ex_orders * 0.06 AS orders_ok
+        |FROM est, ex""".stripMargin,
+    "q_percentile_approx" ->
+      s"""WITH est AS (
+        |  SELECT l_returnflag, v50, v95, vq50
+        |  FROM read_parquet('${graft.util.OracleExports.dir("pct_sketch")}/*.parquet')),
+        |a AS (
+        |  SELECT l.l_returnflag, count(*) AS n,
+        |    CAST(sum(CASE WHEN l.l_extendedprice <= e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS le50,
+        |    CAST(sum(CASE WHEN l.l_extendedprice <  e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS lt50,
+        |    CAST(sum(CASE WHEN l.l_extendedprice <= e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS le95,
+        |    CAST(sum(CASE WHEN l.l_extendedprice <  e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS lt95,
+        |    CAST(sum(CASE WHEN l.l_quantity <= e.vq50 THEN 1 ELSE 0 END) AS BIGINT) AS leq50,
+        |    CAST(sum(CASE WHEN l.l_quantity <  e.vq50 THEN 1 ELSE 0 END) AS BIGINT) AS ltq50
+        |  FROM lineitem l JOIN est e USING (l_returnflag)
+        |  GROUP BY l.l_returnflag)
+        |SELECT a.l_returnflag,
+        |  floor(e.v50 * 100 + 0.5) / 100 AS p50,
+        |  floor(e.v95 * 100 + 0.5) / 100 AS p95,
+        |  floor(e.vq50 * 100 + 0.5) / 100 AS qty_p50,
+        |  a.n,
+        |  (le50 >= n * 0.5 - (n / 10000.0 + 1.0)) AND (lt50 <= n * 0.5 + (n / 10000.0 + 1.0)) AS p50_ok,
+        |  (le95 >= n * 0.95 - (n / 10000.0 + 1.0)) AND (lt95 <= n * 0.95 + (n / 10000.0 + 1.0)) AS p95_ok,
+        |  (leq50 >= n * 0.5 - (n / 10000.0 + 1.0)) AND (ltq50 <= n * 0.5 + (n / 10000.0 + 1.0)) AS qty_ok
+        |FROM a JOIN est e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_hll_sketch" ->
+      s"""WITH est AS (
+        |  SELECT event_type, est_users_total, est_user_days_wk1
+        |  FROM read_parquet('${graft.util.OracleExports.dir("hll_sketch")}/*.parquet')),
+        |e AS (
+        |  SELECT event_type, CAST(extract(day FROM ts) AS INTEGER) AS day, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT event_type,
+        |    count(DISTINCT user_id) AS ex_total,
+        |    count(DISTINCT CASE WHEN day <= 7
+        |      THEN CAST(day AS VARCHAR) || '#' || CAST(user_id AS VARCHAR) END) AS ex_wk1,
+        |    count(*) AS n_events
+        |  FROM e GROUP BY event_type)
+        |SELECT est.event_type, est.est_users_total, est.est_user_days_wk1, ex.n_events,
+        |  abs(est.est_users_total - ex.ex_total) <= greatest(ex.ex_total * 0.049, 3.0) AS total_ok,
+        |  abs(est.est_user_days_wk1 - ex.ex_wk1) <= greatest(ex.ex_wk1 * 0.049, 3.0) AS wk1_ok
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q6_filter_agg" ->
       """SELECT floor((sum(l_extendedprice*l_discount)) * 100 + 0.5) / 100 AS revenue,
         | count(*) AS n_rows
@@ -1910,6 +1974,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, floor((o_totalprice * 0.5) * 100 + 0.5) / 100
         |  FROM orders WHERE o_orderkey % 5 = 0) t""".stripMargin,
+    // shallow-clone isolation, both directions: the source summary
+    // must still be the plain evens snapshot; the clone summary must
+    // be evens minus the COW-deleted %10 keys plus its own appended
+    // odd-%3 rows at doubled price
+    "q_table_clone" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |src AS (SELECT k, price FROM base WHERE k % 2 = 0),
+        |cl AS (
+        |  SELECT k, price FROM base WHERE k % 2 = 0 AND k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k, floor((price * 2) * 100 + 0.5) / 100 AS price
+        |  FROM base WHERE k % 2 = 1 AND k % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT 'source' AS side, count(*) AS n_rows,
+        |    floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        |    min(k) AS min_k, max(k) AS max_k FROM src
+        |  UNION ALL
+        |  SELECT 'clone', count(*), floor((sum(price)) * 100 + 0.5) / 100,
+        |    min(k), max(k) FROM cl) u
+        |ORDER BY side""".stripMargin,
     // every change class reconstructed in SQL: v1 inserts = the evens
     // append, v2 pre/postimages = the merge's matched keys (evens ∩
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes

@@ -1099,18 +1099,57 @@ object Relational {
     * the 100 TB form of qPercentile: a fixed-size mergeable summary
     * per group (error ≤ 1/accuracy in RANK), so partial aggregation
     * collapses map-side and the shuffle carries sketches, never the
-    * per-group value multiset that exact percentile sorts. Rows-only
-    * by design (the sketch's value is engine-specific);
-    * RelationalSpec bounds it against the exact `qPercentile` answer.
+    * per-group value multiset that exact percentile sorts.
+    *
+    * DuckDB-oracled as a BOUND-VERIFICATION REPLAY: the sketch's
+    * chosen values (engine-specific, not SQL-reproducible) are
+    * exported as the decision table; both engines then independently
+    * recompute each value's exact rank span over the raw rows and
+    * emit the GK guarantee as `*_ok` flags — rank(v) must land within
+    * n/accuracy of the target rank. Hash equality therefore proves
+    * the estimates satisfy their contract against DuckDB's own exact
+    * ranks, not just that Spark agrees with itself. The audit join
+    * broadcasts the 3-row decision table; the per-group conditional
+    * counts partial-aggregate map-side, so the audit adds one scan
+    * and no extra shuffle at any scale.
     */
-  def qPercentileApprox(t: Tables, accuracy: Int = 10000): DataFrame =
-    t.lineitem
+  def qPercentileApprox(t: Tables, accuracy: Int = 10000): DataFrame = {
+    val est = t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        round(approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)), 2).as("p50"),
-        round(approx_percentile(col("l_extendedprice"), lit(0.95), lit(accuracy)), 2).as("p95"),
-        round(approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy)), 2).as("qty_p50"))
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("v50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(accuracy)).as("v95"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy)).as("vq50"))
+    val decided = graft.util.OracleExports.materialize(est, "pct_sketch")
+    val audit = t.lineitem
+      .join(broadcast(decided), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("v95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("l_extendedprice") < col("v95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("l_quantity") <= col("vq50"), 1L).otherwise(0L)).as("leq50"),
+        sum(when(col("l_quantity") < col("vq50"), 1L).otherwise(0L)).as("ltq50"))
+    // GK contract: some rank in (lt, le] is within n/accuracy of the
+    // target rank p·n (+1 absorbs the floor/ceil convention of the
+    // target index). Both engines evaluate the same double formula.
+    def ok(le: String, lt: String, p: Double) = {
+      val eps = col("n") / accuracy + lit(1.0)
+      (col(le) >= col("n") * p - eps) && (col(lt) <= col("n") * p + eps)
+    }
+    decided.join(audit, "l_returnflag")
+      .select(col("l_returnflag"),
+        round(col("v50"), 2).as("p50"),
+        round(col("v95"), 2).as("p95"),
+        round(col("vq50"), 2).as("qty_p50"),
+        col("n"),
+        ok("le50", "lt50", 0.5).as("p50_ok"),
+        ok("le95", "lt95", 0.95).as("p95_ok"),
+        ok("leq50", "ltq50", 0.5).as("qty_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Distinct-user rollup via Apache DataSketches HLL — the
     * RE-AGGREGATABLE form of count-distinct. The inner agg builds one
@@ -1122,16 +1161,25 @@ object Relational {
     * summaries — `approx_count_distinct` (qApproxDistinct) gives one
     * number, a stored sketch gives every rollup for free. Per-day and
     * overall estimates land in one result so the spec can bound both
-    * against exact. Rows-only by design: the sketch bytes and the
-    * estimator are engine-specific (DataSketches HLL_4).
+    * against exact.
+    *
+    * DuckDB-oracled as a BOUND-VERIFICATION REPLAY (the sketch bytes
+    * and estimator are engine-specific — DataSketches HLL_4): the
+    * estimates are exported as the decision table; both engines
+    * recompute the exact distinct counts from raw events and emit
+    * within-bound flags (lgK=12 → 3σ relative error ≈ 4.9%, +3
+    * absolute slack for the near-exact sparse regime). The exact
+    * audit is itself the scalable shape — distinct (type,user) /
+    * (type,day,user) hash-aggs, partial-combined map-side.
     */
   def qHllSketch(t: Tables): DataFrame = {
-    val daily = t.events
+    val typed = t.events
       .select(col("event_type"), dayofmonth(col("ts")).as("day"), col("user_id"))
+    val daily = typed
       .groupBy("event_type", "day")
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"),
         count(lit(1)).as("n_events"))
-    daily.groupBy("event_type")
+    val est = daily.groupBy("event_type")
       .agg(
         hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
           .cast("long").as("est_users_total"),
@@ -1139,6 +1187,19 @@ object Relational {
           hll_sketch_estimate(col("sketch"))).otherwise(lit(0)))
           .cast("long").as("est_user_days_wk1"),
         sum("n_events").as("n_events"))
+    val decided = graft.util.OracleExports.materialize(est, "hll_sketch")
+    val exact = typed.groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("ex_total"),
+        countDistinct(when(col("day") <= 7,
+          struct(col("day"), col("user_id")))).as("ex_wk1"))
+    def ok(e: String, x: String) =
+      abs(col(e) - col(x)) <= greatest(col(x) * 0.049, lit(3.0))
+    decided.join(exact, "event_type")
+      .select(col("event_type"), col("est_users_total"),
+        col("est_user_days_wk1"), col("n_events"),
+        ok("est_users_total", "ex_total").as("total_ok"),
+        ok("est_user_days_wk1", "ex_wk1").as("wk1_ok"))
       .orderBy("event_type")
   }
 
@@ -1153,14 +1214,30 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
-  /** Approximate distinct via HLL++ (rows-only driver check; the spec
-    * asserts the estimate is within rsd of exact). At 100 TB this is
-    * the only sane distinct-count: fixed-size sketches merge in the
-    * partial agg, no shuffle of raw keys.
+  /** Approximate distinct via HLL++. At 100 TB this is the only sane
+    * distinct-count: fixed-size sketches merge in the partial agg, no
+    * shuffle of raw keys.
+    *
+    * DuckDB-oracled as a BOUND-VERIFICATION REPLAY: the estimates are
+    * exported as the decision table; both engines recompute the exact
+    * distinct counts from raw rows and emit within-bound flags
+    * (rsd=0.02 → 3σ ≈ 6%). Hash equality proves the HLL++ estimates
+    * hold against DuckDB's own exact counts.
     */
-  def qApproxDistinct(t: Tables): DataFrame =
-    t.lineitem.agg(
+  def qApproxDistinct(t: Tables): DataFrame = {
+    val est = t.lineitem.agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
       count(lit(1)).as("n_rows"))
+    val decided = graft.util.OracleExports.materialize(est, "approx_distinct")
+    val exact = t.lineitem.agg(
+      countDistinct(col("l_partkey")).as("ex_parts"),
+      countDistinct(col("l_orderkey")).as("ex_orders"))
+    decided.crossJoin(broadcast(exact))
+      .select(col("approx_parts"), col("approx_orders"), col("n_rows"),
+        (abs(col("approx_parts") - col("ex_parts")) <= col("ex_parts") * 0.06)
+          .as("parts_ok"),
+        (abs(col("approx_orders") - col("ex_orders")) <= col("ex_orders") * 0.06)
+          .as("orders_ok"))
+  }
 }

@@ -469,7 +469,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (files.isEmpty) return Some(0L)
     val union = new Union(lgK)
     files.foreach { rel =>
-      val p = Paths.get(dir, s"$rel.ndv-$column")
+      val p = dataFsPath(s"$rel.ndv-$column")
       if (!Files.exists(p)) return None
       union.update(HllSketch.heapify(Files.readAllBytes(p)))
     }
@@ -492,7 +492,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * the caller must treat the file as possibly-matching.
     */
   private def bloomFor(rel: String, column: String): Option[Array[Byte]] = {
-    val p = Paths.get(dir, s"$rel.bloom-$column")
+    val p = dataFsPath(s"$rel.bloom-$column")
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
@@ -821,7 +821,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val meta = VersionedTable.scanMeta.getOrBuild(
       (dir, v, cfg.map(_.columns).getOrElse(Nil))) {
       val bytes = files.map { rel =>
-        try Files.size(Paths.get(s"$dir/$rel")) catch { case _: java.io.IOException => 0L }
+        try Files.size(dataFsPath(rel)) catch { case _: java.io.IOException => 0L }
       }.sum
       val ndv: Map[String, Long] = cfg.toSeq.flatMap(c0 =>
         c0.columns.filter(st.fieldNames.contains)
@@ -944,8 +944,22 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * Manifests without a schema (raw commit path) fall back to
     * footer inference.
     */
+  /** Resolve a manifest file entry to a filesystem path. Entries are
+    * normally relative to the table dir; a SHALLOW CLONE (cloneTo)
+    * commits the source's files under their ABSOLUTE paths
+    * (zero-copy) — those resolve as-is and are never owned: vacuum
+    * skips them, COW rewrites drop the reference and write local
+    * replacement files, and sidecar lookups read next to the source
+    * file, exactly where its writer put them.
+    */
+  private def dataPath(rel: String): String =
+    if (VersionedTable.isExternal(rel)) rel else s"$dir/$rel"
+
+  private def dataFsPath(rel: String): Path =
+    if (VersionedTable.isExternal(rel)) Paths.get(rel) else Paths.get(dir, rel)
+
   private def readFiles(m: JsonNode, rels: Seq[String]): DataFrame = {
-    val paths = rels.map(rel => s"$dir/$rel")
+    val paths = rels.map(dataPath)
     Option(m.get("schema"))
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
       .filter(_.fields.nonEmpty) match {
@@ -2055,6 +2069,44 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       epoch = if (m.has("epoch")) Some(m.get("epoch").asLong) else None)
   }
 
+  /** SHALLOW (zero-copy) clone: commit this table's current snapshot
+    * as version 1 of a fresh table at `destDir`, referencing the
+    * SAME data files by absolute path — no bytes move, so cloning a
+    * 100 TB table is one manifest write. The clone then lives its own
+    * life: appends/MERGE/DELETE write new files under `destDir` and
+    * copy-on-write rewrites simply drop references to source files
+    * (never delete them — see the vacuum external-file rule);
+    * `OPTIMIZE` on the clone rewrites external references into local
+    * files, i.e. gradual materialization. Per-file stats carry over
+    * (data skipping works on the clone from commit 1), as do CHECK
+    * constraints; bloom/NDV sidecars of source files stay readable in
+    * place, but the clone starts with no sidecar CONFIG of its own —
+    * enable indexes on the clone to cover files IT writes.
+    *
+    * The source is never modified; its own vacuum can still delete
+    * files the clone references (same contract as Delta shallow
+    * clones) — deep-copy via `OPTIMIZE`/overwrite before vacuuming
+    * the source if the clone must outlive it.
+    */
+  def cloneTo(destDir: String, version: Int = -1): VersionedTable = {
+    val v = if (version == -1) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version${if (version > 0) s" $version" else ""}")
+    val norm = Paths.get(destDir).toAbsolutePath.normalize()
+    require(norm != Paths.get(dir).toAbsolutePath.normalize(),
+      s"cannot clone a table onto itself ($dir)")
+    val dest = VersionedTable(spark, norm.toString)
+    require(dest.currentVersion == 0,
+      s"clone destination $destDir already has committed versions")
+    val m = manifest(v)
+    def abs(rel: String) = if (VersionedTable.isExternal(rel)) rel else s"$dir/$rel"
+    val files = manifestFiles(m).map(abs)
+    val stats = manifestStats(m).map { case (k, s) => abs(k) -> s }
+    dest.commit(1, "clone", files,
+      Option(m.get("schema")).map(_.asText()).orNull, stats,
+      constraintsOverride = constraintsOf(m))
+    dest
+  }
+
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
     * new ones — `Merge.upsert` semantics incl. the duplicate-source
     * and null-key raises). Only snapshot files whose per-file [min,max]
@@ -2651,7 +2703,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         files.filter(f => DataSkipping.mayMatch(stats.get(f), schemaOpt, cons))
     }
     val candidateSet = candidates.toSet
-    val sized = candidates.map(f => f -> Files.size(Paths.get(dir, f)))
+    val sized = candidates.map(f => f -> Files.size(dataFsPath(f)))
     val (small, largeInSlice) = sized.partition(_._2 < targetBytes)
     // carried paths only — no fabricated sizes for out-of-slice files
     val carried = largeInSlice.map(_._1) ++ files.filterNot(candidateSet)
@@ -2949,7 +3001,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
               // Mapped commits stored the change files under physical
               // names; surface them logical like any data read.
               val cs = commitSchema(m)
-              val paths = rels.map(r => s"$dir/$r")
+              val paths = rels.map(dataPath)
               val piece0 =
                 if (hasMapping(cs))
                   spark.read.schema(StructType(physicalSchema(cs).fields.toSeq :+
@@ -3008,7 +3060,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       else if (files.isEmpty) java.lang.Long.valueOf(0L)
       else null
     val size = files.map { f =>
-      try Files.size(Paths.get(dir, f)) catch { case NonFatal(_) => 0L }
+      try Files.size(dataFsPath(f)) catch { case NonFatal(_) => 0L }
     }.sum
     val cons = constraintList.map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
     val schema = StructType(Seq(
@@ -3109,10 +3161,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
     }
     // change files are referenced ONLY by their own commit's manifest,
-    // so they die with it — held() includes them on both sides
+    // so they die with it — held() includes them on both sides.
+    // EXTERNAL entries (absolute paths committed by a shallow clone)
+    // are never owned by this table: the source table's own vacuum
+    // governs their lifetime, so they are excluded from deletion even
+    // when no retained version of the CLONE references them anymore.
     val live = keep.flatMap(held).toSet
     val dead = drop.flatMap(held).distinct
       .filterNot(live)
+      .filterNot(VersionedTable.isExternal)
     // DRY RUN ends here: the count, with zero side effects past the
     // (shared) lease veto — no deletes, no epoch-pointer harvest
     if (dryRun) return dead.size
@@ -3181,6 +3238,12 @@ object VersionedTable {
     * library bug) as "please recompute from scratch".
     */
   final class ResyncRequired(msg: String) extends IllegalStateException(msg)
+
+  /** Manifest file entries are table-dir-relative except the absolute
+    * paths a SHALLOW CLONE commits (zero-copy references into the
+    * source table) — absolute = external = not owned by this table.
+    */
+  private[sources] def isExternal(rel: String): Boolean = rel.startsWith("/")
 
   /** Bloom index config: which columns get per-file sidecar filters,
     * sized for how many rows per file at what false-positive rate.
@@ -3484,6 +3547,60 @@ object TableReplace {
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("price"), 2).as("total"),
         sum(when(col("o_orderkey") % 5 === 0, 1L).otherwise(0L)).as("n_slice"))
+  }
+}
+
+/** Contract query for SHALLOW CLONE (`q_table_clone`): an orders
+  * snapshot is cloned zero-copy, the clone then diverges — an append
+  * of new rows and a copy-on-write DELETE that rewrites some of the
+  * files it shares with the source — while the source must read back
+  * untouched. The query aggregates BOTH tables side by side, so the
+  * DuckDB oracle (which reproduces each final state from the raw
+  * orders parquet in plain SQL) hash-verifies clone isolation in both
+  * directions: divergence landed on the clone, nothing leaked back.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object TableClone {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, (String, String)](4, _ => ())
+
+  private def builtTables(t: Tables): (String, String) =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tclone")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val srcDir = parent.toString + "/orders_src"
+      val src = VersionedTable(t.spark, srcDir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      src.append(base.filter(col("o_orderkey") % 2 === 0))
+      val clone = src.cloneTo(parent.toString + "/orders_clone")
+      // divergence: new rows only the clone has…
+      clone.append(base.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)
+        .withColumn("price", graft.operators.Rnd.round(col("price") * 2, 2)))
+      // …and a COW delete that rewrites shared (external) files into
+      // clone-local ones — the source files themselves must survive
+      clone.deleteWhere(col("o_orderkey") % 10 === 0)
+      (srcDir, parent.toString + "/orders_clone")
+    }
+
+  def qTableClone(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (srcDir, cloneDir) = builtTables(t)
+    def summary(dir: String, side: String) =
+      VersionedTable(t.spark, dir).read()
+        .agg(count(lit(1)).as("n_rows"),
+          graft.operators.Rnd.round(sum("price"), 2).as("total"),
+          min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .select(lit(side).as("side"), col("n_rows"), col("total"),
+          col("min_k"), col("max_k"))
+    summary(srcDir, "source").unionByName(summary(cloneDir, "clone"))
+      .orderBy("side")
   }
 }
 

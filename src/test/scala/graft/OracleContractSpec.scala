@@ -12,8 +12,7 @@ class OracleContractSpec extends AnyFunSuite {
 
   private val rowsOnlyByDesign = Set(
     "q_media_features", "q_image_features",
-    "q_frame_sample", "q_audio_features", "q_approx_distinct",
-    "q_hll_sketch", "q_percentile_approx",
+    "q_frame_sample", "q_audio_features",
     "q_bpe_tokens", "q_pack_bpe")
 
   test("every query is oracled unless declared rows-only by design") {
@@ -37,6 +36,7 @@ class OracleContractSpec extends AnyFunSuite {
   private val singleRowResults = Set(
     "q6_filter_agg", "q17_small_qty", "q14_promo_revenue", "q19_disjunctive",
     "q_funnel", "q_sample_mod", "q_distinct_cond", "q_dedup_exact", "q_data_card", "q_table_replace",
+    "q_approx_distinct",
     "q_table_merge", "q_sql_merge", "q_sql_merge_general", "q_sql_insert",
     "q_vtable_skip", "q_vtable_lazy", "q_vtable_meta",
     "q_vtable_dfp", "q_vtable_in", "q_vtable_or", "q_table_evolve",

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_ann_bruteforce",  // 3-row query set
     "q_hard_negatives",  // same 3-row query set, band-filtered
     "q_text_ann",        // 3-row hash-embedded query set
+    "q_hybrid_rrf",      // same 3-row query set (dense arm of the fusion)
     "q_maxsim",          // 4-row query-token set (late interaction)
     "q_maxsim_ivf",      // same 4-row query set, IVF-pruned candidates
     "q_ann_ivf",         // k-row centroid table

@@ -54,6 +54,8 @@ class RelationalSpec extends SparkSpecBase {
     val exact = tables.lineitem.select(countDistinct("l_partkey")).head().getLong(0)
     val approx = r.getAs[Long]("approx_parts")
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    // the query's own bound audit (what the DuckDB oracle replays)
+    assert(r.getAs[Boolean]("parts_ok") && r.getAs[Boolean]("orders_ok"))
   }
 
   test("hll sketch union estimate tracks exact distinct users within 5%") {
@@ -76,6 +78,11 @@ class RelationalSpec extends SparkSpecBase {
     est.foreach { case (k, e) =>
       assert(e == allAtOnce(k), s"$k: day-union $e != single-pass ${allAtOnce(k)}")
     }
+    // the query's own bound audit (what the DuckDB oracle replays)
+    Relational.qHllSketch(tables).collect().foreach { r =>
+      assert(r.getAs[Boolean]("total_ok") && r.getAs[Boolean]("wk1_ok"),
+        s"${r.getString(0)}: bound flags false")
+    }
   }
 
   test("approx_percentile tracks the exact percentiles within 1% per group") {
@@ -89,6 +96,9 @@ class RelationalSpec extends SparkSpecBase {
       assert(close(r.getDouble(1), p50), s"${r.getString(0)} p50: ${r.getDouble(1)} vs $p50")
       assert(close(r.getDouble(2), p95), s"${r.getString(0)} p95: ${r.getDouble(2)} vs $p95")
       assert(close(r.getDouble(3), q50), s"${r.getString(0)} qty_p50: ${r.getDouble(3)} vs $q50")
+      // the query's own GK rank-bound audit (what the oracle replays)
+      assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok") &&
+        r.getAs[Boolean]("qty_ok"), s"${r.getString(0)}: rank-bound flags false")
     }
   }
 }
