@@ -278,6 +278,7 @@ object SparkEntry {
     "q_data_card" -> ((s, d) => Curate.qDataCard(t(s, d))),
     // rows-only: candidate set comes from the k-means coarse quantizer
     "q_maxsim_ivf" -> ((s, d) => Similarity.qMaxSimIvf(t(s, d))),
+    "q_cluster_topics" -> ((s, d) => Similarity.qClusterTopics(t(s, d))),
     "q_filter_cascade" -> ((s, d) => Curate.qFilterCascade(t(s, d))),
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
@@ -1626,6 +1627,29 @@ object SparkEntry {
         |  GROUP BY e.label, q.q_id)
         |SELECT label, floor(sum(mx) * 100 + 0.5) / 100 AS maxsim
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // topic clustering decision replay: the k-means assignment map is
+    // the exported decision; metadata join, rollup, and the dominant-
+    // source tie-break (max count, lexicographic min) replay in SQL
+    "q_cluster_topics" ->
+      s"""WITH cells AS (
+        |  SELECT vec_id AS doc_id, cell AS topic
+        |  FROM read_parquet('${graft.util.OracleExports.dir("topic_cells")}/*.parquet')),
+        |j AS (
+        |  SELECT c.topic, d.lang, d.source, d.n_chars
+        |  FROM cells c JOIN documents d USING (doc_id)),
+        |tc AS (SELECT topic, source, count(*) AS cnt FROM j GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT topic, source AS top_source,
+        |    row_number() OVER (PARTITION BY topic ORDER BY cnt DESC, source) AS rk
+        |  FROM tc),
+        |agg AS (
+        |  SELECT topic, count(*) AS n_docs,
+        |    floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM j GROUP BY topic)
+        |SELECT agg.topic, agg.n_docs, agg.avg_chars, agg.n_langs, ts.top_source
+        |FROM agg JOIN ts USING (topic) WHERE ts.rk = 1
+        |ORDER BY topic""".stripMargin,
     // Reciprocal Rank Fusion: the dense arm replays over the exported
     // hash-embedded vectors, the lexical arm is the n-gram-jaccard
     // oracle's own shingle/pair SQL, and the fused score — two double

@@ -392,6 +392,47 @@ object Similarity {
     ivfProbe(index, q, k, nprobe)
   }
 
+  /** Topic clustering for corpus organization: the k-means coarse
+    * quantizer (the SAME memoized index the ANN serve path rides —
+    * one Lloyd train amortizes across both uses) assigns every
+    * document embedding a topic cell, and the per-topic rollup joins
+    * document metadata for a curation-facing summary: size, average
+    * length, language spread, dominant source. This is how a 100 TB
+    * corpus gets its composition map before mixing decisions — one
+    * broadcast-join assignment pass over the vectors (k-row centroid
+    * table, map-side min_by partial agg), one hash-agg join against
+    * documents, nothing corpus-quadratic.
+    *
+    * DuckDB-oracled as a DECISION REPLAY: the assignment map
+    * (vec_id → cell) is the non-SQL step (Lloyd + float distance
+    * argmin) and exports as the decision; the metadata join, all
+    * per-topic aggregates, and the dominant-source tie-break
+    * (max count, then lexicographic min) replay in plain SQL.
+    */
+  def qClusterTopics(t: Tables): DataFrame = {
+    val index = corpusIndex(t)
+    graft.util.OracleExports.export(
+      index.assigned.select(col("vec_id"), col("cell")), "topic_cells")
+    val assigned = index.assigned
+      .select(col("vec_id").as("doc_id"), col("cell").as("topic"))
+    val joined = assigned
+      .join(t.documents.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+    // dominant source: two-level agg — the second level is k × |sources|
+    // rows, so the min_by partial-agg never sees corpus-scale data
+    val topSource = joined.groupBy("topic", "source")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("topic")
+      .agg(min_by(col("source"), struct((-col("cnt")).as("nc"), col("source")))
+        .as("top_source"))
+    joined.groupBy("topic")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        countDistinct("lang").as("n_langs"))
+      .join(topSource, "topic")
+      .select("topic", "n_docs", "avg_chars", "n_langs", "top_source")
+      .orderBy("topic")
+  }
+
   /** MaxSim over the IVF index — [[qMaxSim]]'s serve path, DuckDB-
     * oracled as a decision replay (exported candidate labels; exact
     * MaxSim over them replays as the q_maxsim oracle restricted to

