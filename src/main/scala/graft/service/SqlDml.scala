@@ -84,8 +84,11 @@ import graft.sources.VersionedTable
   *     registry): `CREATE TABLE [IF NOT EXISTS] name [(cols)] USING
   *     vtable LOCATION '/path' [AS query]` creates + registers (CTAS
   *     commits the result as v1; a column list commits an empty
-  *     schema-bearing v1); `DROP TABLE [IF EXISTS] name` unregisters
-  *     (data stays; PURGE refuses)
+  *     schema-bearing v1); `CREATE TABLE [IF NOT EXISTS] name SHALLOW
+  *     CLONE source [VERSION AS OF v] LOCATION '/path'` →
+  *     [[VersionedTable.cloneTo]] (zero-copy clone + register);
+  *     `DROP TABLE [IF EXISTS] name` unregisters (data stays; PURGE
+  *     refuses)
   *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
   *     [[VersionedTable.vacuum]] (result = files freed);
   *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
@@ -842,8 +845,71 @@ object SqlDml {
     * Statements with a different/absent USING provider fall through
     * to Spark untouched.
     */
+  /** `CREATE TABLE [IF NOT EXISTS] name SHALLOW CLONE source
+    * [VERSION AS OF v] LOCATION '/path'` — Delta's clone statement
+    * shape. The source is a registered vtable view or a quoted table
+    * path; the clone is zero-copy ([[VersionedTable.cloneTo]]) and
+    * registers `name` like CREATE TABLE. Handled BEFORE Spark's
+    * parser (CLONE is not Spark grammar). IF NOT EXISTS downgrades a
+    * same-location re-run to a no-op, exactly like CREATE TABLE.
+    */
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_`]+)\s+""" +
+     """SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+     """\s+LOCATION\s+('[^']*'|"[^"]*")\s*;?\s*$""").r
+
+  private def createClone(spark: org.apache.spark.sql.SparkSession,
+      query: String, register: (String, String) => Unit): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    content(query) match {
+      case CloneRe(ine, name0, src, ver, loc) =>
+        val name = unquoteIdent(name0.trim)
+        val ifNotExists = ine != null
+        val location = unquotePath(loc.trim).getOrElse(fail(
+          "CREATE TABLE … SHALLOW CLONE needs LOCATION '/abs/path'"))
+        def norm(p: String): String =
+          try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+          catch { case scala.util.control.NonFatal(_) => p }
+        if (spark.catalog.tableExists(name)) {
+          if (!ifNotExists) fail(
+            s"CREATE TABLE: `$name` is already registered — " +
+              "DROP TABLE it or use IF NOT EXISTS")
+          relationOf(spark, name).map(_.dir) match {
+            case Some(d) if norm(d) != norm(location) => fail(
+              s"CREATE TABLE IF NOT EXISTS: `$name` is registered at $d, " +
+                s"not $location — drop it or use the registered location")
+            case None => fail(
+              s"CREATE TABLE IF NOT EXISTS: `$name` exists but is not a " +
+                "vtable registration; pick another name")
+            case _ => ()
+          }
+          return Some(spark.range(1).select(
+            lit(VersionedTable(spark, location).currentVersion).as("version")))
+        }
+        val srcDir = unquotePath(src.trim)
+          .orElse(resolveVTable(spark, unquoteIdent(src.trim)).map(_._1))
+          .getOrElse(fail(s"CLONE source '${src.trim}' is not a registered " +
+            "vtable view or a quoted table path"))
+        val dest = VersionedTable(spark, location)
+        val v =
+          if (dest.currentVersion == 0)
+            VersionedTable(spark, srcDir)
+              .cloneTo(location, Option(ver).map(_.toInt).getOrElse(-1))
+              .currentVersion
+          else if (ifNotExists) dest.currentVersion // attach the existing table
+          else fail(
+            s"CREATE TABLE … SHALLOW CLONE: $location already holds a " +
+              "committed versioned table — register it instead, or IF NOT " +
+              "EXISTS to attach")
+        register(name, location)
+        Some(spark.range(1).select(lit(v).as("version")))
+      case _ => None
+    }
+  }
+
   private[service] def createVTable(spark: org.apache.spark.sql.SparkSession,
       query: String, register: (String, String) => Unit): Option[DataFrame] = {
+    createClone(spark, query, register).foreach(df => return Some(df))
     val plan =
       try spark.sessionState.sqlParser.parsePlan(query)
       catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>

@@ -331,6 +331,37 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!e.getMessage.contains("vtable"), e.getMessage)
   }
 
+  test("CREATE TABLE SHALLOW CLONE: zero-copy, version pin, isolated divergence") {
+    val svc = new QueryService(spark)
+    val base = Files.createTempDirectory("graft-sqlclone").toString
+    svc.sql(s"CREATE TABLE clone_src USING vtable LOCATION '$base/src' " +
+      "AS SELECT id AS k, id * 2 AS v FROM range(5)").collect()
+    svc.sql("INSERT INTO clone_src VALUES (9, 18)").collect()
+    // clone of the head: all 6 rows, name immediately queryable + DML-able
+    val r = svc.sql("CREATE TABLE clone_t SHALLOW CLONE clone_src " +
+      s"LOCATION '$base/cl'")
+    assert(r.columns.toSeq == Seq("version") && r.head().getInt(0) == 1)
+    assert(svc.sql("SELECT count(*) AS n FROM clone_t").head().getLong(0) == 6)
+    svc.sql("DELETE FROM clone_t WHERE k >= 3").collect()
+    assert(spark.table("clone_t").count() == 3)
+    assert(spark.table("clone_src").count() == 6, "clone DML leaked to source")
+    // version pin: VERSION AS OF 1 sees the pre-insert snapshot
+    svc.sql("CREATE TABLE clone_v1 SHALLOW CLONE clone_src VERSION AS OF 1 " +
+      s"LOCATION '$base/v1'").collect()
+    assert(spark.table("clone_v1").count() == 5)
+    // IF NOT EXISTS no-ops at the registered location; a bare re-run refuses
+    intercept[IllegalArgumentException] {
+      svc.sql("CREATE TABLE clone_t SHALLOW CLONE clone_src " +
+        s"LOCATION '$base/other'").collect()
+    }
+    svc.sql("CREATE TABLE IF NOT EXISTS clone_t SHALLOW CLONE clone_src " +
+      s"LOCATION '$base/cl'").collect()
+    assert(spark.table("clone_t").count() == 3, "IF NOT EXISTS must not write")
+    svc.sql("DROP TABLE clone_t").collect()
+    svc.sql("DROP TABLE clone_v1").collect()
+    svc.sql("DROP TABLE clone_src").collect()
+  }
+
   test("CREATE TABLE USING vtable: CTAS, empty schema-bearing create, DROP unregisters") {
     val svc = new QueryService(spark)
     val base = Files.createTempDirectory("graft-sqlddl").toString
