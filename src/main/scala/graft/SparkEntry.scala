@@ -292,13 +292,12 @@ object SparkEntry {
   )
 
   /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_media_features, q_image_features,
-    * q_frame_sample, q_audio_features (codec work),
-    * q_bpe_tokens, q_pack_bpe (corpus-trained BPE vocabulary) — are
-    * rows-only BY DESIGN: their semantics are not
-    * ANSI-SQL-expressible and are property-tested in ScalaTest
-    * instead. (Keep this list equal to queries.keySet --
-    * oracleSql.keySet; OracleContractSpec enforces it.)
+    * q_media_features, q_image_features, q_frame_sample,
+    * q_audio_features (codec work) — are rows-only BY DESIGN: their
+    * semantics are not ANSI-SQL-expressible and are property-tested
+    * in ScalaTest instead. (Keep this list equal to queries.keySet --
+    * oracleSql.keySet; OracleContractSpec enforces it.) Every
+    * non-codec query is oracled.
     * q_dedup_ingest, q_minhash_lsh, q_simhash, q_semdedup,
     * q_text_ann, q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq, and
     * q_maxsim_ivf ARE oracled, as decision replays: the signature
@@ -393,7 +392,94 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
 
+  /** The BPE decision-replay core (shared by the q_bpe_tokens and
+    * q_pack_bpe oracles): given the exported learned merge ranks, the
+    * greedy lowest-rank-leftmost merge loop itself replays as a
+    * recursive CTE — each step merges exactly one symbol pair (the
+    * minimal-rank pair's leftmost occurrence, `list(i ORDER BY rank,
+    * i)[1]`), mirroring Bpe.Model.mergeWord step for step; a word's
+    * final segmentation is its minimal-length state. Runs on DISTINCT
+    * words (the dictionary), exactly like the Scala encoder's
+    * per-word memo.
+    */
+  private val bpeCte: String =
+    s"""m AS (
+      |  SELECT a, b, rank
+      |  FROM read_parquet('${graft.util.OracleExports.dir("bpe_merges")}/*.parquet')),
+      |dtw AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |docw AS (
+      |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS widx, unnest(w) AS word
+      |  FROM dtw),
+      |dw AS (SELECT DISTINCT word FROM docw),
+      |enc(word, syms) AS (
+      |  SELECT word, list_transform(range(1, len(word) + 1), i -> word[i]) FROM dw
+      |  UNION ALL
+      |  SELECT word,
+      |    list_concat(
+      |      list_concat(syms[1:bi-1], [syms[bi] || syms[bi+1]]),
+      |      syms[bi+2:len(syms)])
+      |  FROM (
+      |    SELECT e.word, e.syms,
+      |      (SELECT (list(p.i ORDER BY mm.rank, p.i))[1]
+      |       FROM unnest(range(1, len(e.syms))) AS p(i)
+      |       JOIN m mm ON mm.a = e.syms[p.i] AND mm.b = e.syms[p.i+1]) AS bi
+      |    FROM enc e) t
+      |  WHERE bi IS NOT NULL),
+      |fin AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM enc GROUP BY word)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // BPE token counts: the learned model replays via bpeCte; the
+    // per-document rollup and the whitespace count are plain SQL
+    "q_bpe_tokens" ->
+      ("WITH RECURSIVE " + bpeCte + ",\n" +
+       """agg AS (
+        |  SELECT doc_id, CAST(sum(len(f.syms)) AS INTEGER) AS n_bpe,
+        |         CAST(count(*) AS INTEGER) AS n_ws
+        |  FROM docw JOIN fin f USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bpe, 0) AS n_bpe,
+        |       coalesce(a.n_ws, 0) AS n_ws
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    // BPE sequence packing: token ids come from the exported
+    // vocabulary (unk = max id + 1, the Model contract), positions
+    // from a per-doc (word, symbol) ordering, starts from a plain
+    // cumulative sum in doc_id order — Pretrain.withStart's
+    // block-prefix-sum must equal this single-window spelling
+    "q_pack_bpe" ->
+      ("WITH RECURSIVE " + bpeCte + ",\n" +
+       s"""v AS (
+        |  SELECT symbol, id
+        |  FROM read_parquet('${graft.util.OracleExports.dir("bpe_vocab")}/*.parquet')),
+        |sy AS (
+        |  SELECT doc_id, widx,
+        |    unnest(range(1, len(syms) + 1)) AS sidx, unnest(syms) AS sym
+        |  FROM (SELECT docw.doc_id, docw.widx, f.syms
+        |        FROM docw JOIN fin f USING (word))),
+        |tok AS (
+        |  SELECT sy.doc_id, sy.widx, sy.sidx,
+        |    coalesce(v.id, (SELECT max(id) + 1 FROM v)) AS id
+        |  FROM sy LEFT JOIN v ON v.symbol = sy.sym),
+        |pos AS (
+        |  SELECT doc_id, id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1 AS pos
+        |  FROM tok),
+        |dcount AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+        |starts AS (
+        |  SELECT doc_id, CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM dcount),
+        |g AS (
+        |  SELECT (s.start + p.pos) // 512 AS seq_id, p.id,
+        |         s.start + p.pos AS gpos
+        |  FROM pos p JOIN starts s USING (doc_id))
+        |SELECT seq_id, CAST(count(*) AS INTEGER) AS n_tokens,
+        |  CAST(sum(id) AS BIGINT) AS id_sum,
+        |  CAST(min_by(id, gpos) AS INTEGER) AS first_id,
+        |  CAST(max_by(id, gpos) AS INTEGER) AS last_id
+        |FROM g GROUP BY seq_id ORDER BY seq_id""".stripMargin),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,

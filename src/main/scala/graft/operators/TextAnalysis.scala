@@ -51,6 +51,18 @@ object TextAnalysis {
         s"__graft_corpus_${System.identityHashCode(t.spark)}_${t.sfDir}"
       val m = graft.functions.Bpe.trainOn(t.documents)
       graft.functions.Bpe.register(freshId, m)
+      // oracle decision-replay exports (no-ops outside graft.Verify):
+      // given the learned merge ranks and the vocabulary, the greedy
+      // lowest-rank-leftmost merge loop, the id mapping (unk = max+1),
+      // and everything downstream replay in plain SQL — see the
+      // q_bpe_tokens / q_pack_bpe oracles' recursive CTE
+      val s = t.spark
+      import s.implicits._
+      graft.util.OracleExports.export(
+        m.merges.zipWithIndex.map { case ((a, b), r) => (a, b, r) }
+          .toDF("a", "b", "rank"), "bpe_merges")
+      graft.util.OracleExports.export(
+        m.vocab.toSeq.toDF("symbol", "id"), "bpe_vocab")
       (freshId, m)
     }
 

@@ -12,8 +12,7 @@ class OracleContractSpec extends AnyFunSuite {
 
   private val rowsOnlyByDesign = Set(
     "q_media_features", "q_image_features",
-    "q_frame_sample", "q_audio_features",
-    "q_bpe_tokens", "q_pack_bpe")
+    "q_frame_sample", "q_audio_features")
 
   test("every query is oracled unless declared rows-only by design") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
