@@ -202,6 +202,55 @@ object EventStreams {
     // forced hint would OOM on a dimension too big to collect
     events.join(dim, Seq(key), "left")
 
+  case class BucketState(tokens: Double, lastSec: Long)
+
+  case class RateDecision(user_id: Long, event_id: Long, admitted: Boolean)
+
+  /** Per-key token-bucket rate limiter (ingest protection for the
+    * quality-gated pipeline): each key holds a bucket of `burst`
+    * tokens refilling at `ratePerSec` in EVENT time; each event
+    * consumes one token or, when the bucket is dry, is tagged
+    * throttled. Emitting every event TAGGED (never silently dropped)
+    * lets the caller route throttled traffic to the dead-letter table
+    * the quality gate already maintains — throttling is a data-loss
+    * decision and must stay auditable.
+    *
+    * Event-time refill makes the decision a pure function of the
+    * event sequence — deterministic across replays and restarts
+    * (processing-time buckets re-admit different events after a
+    * checkpoint recovery, silently breaking exactly-once sinks).
+    * State is one (tokens, lastSec) pair per ACTIVE key — O(keys),
+    * the same bound every keyed-state operator here carries; at
+    * 100 TB the keys shard across executors with the state store.
+    * Within a batch events order by (ts, event_id) — the arrival
+    * order a replay reproduces.
+    */
+  def rateLimit(events: Dataset[Event], ratePerSec: Double, burst: Double)
+      (implicit spark: SparkSession): Dataset[RateDecision] = {
+    import spark.implicits._
+    require(ratePerSec > 0 && burst >= 1, "need ratePerSec > 0 and burst >= 1")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[BucketState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.getOrElse(BucketState(burst, Long.MinValue))
+          val out = sorted.map { e =>
+            val sec = e.ts.getTime / 1000
+            val refilled =
+              if (cur.lastSec == Long.MinValue) burst
+              else math.min(burst,
+                cur.tokens + (sec - cur.lastSec).max(0L) * ratePerSec)
+            val admit = refilled >= 1.0
+            cur = BucketState(if (admit) refilled - 1.0 else refilled,
+              math.max(sec, cur.lastSec))
+            RateDecision(userId, e.event_id, admit)
+          }
+          state.update(cur)
+          out.iterator
+        })
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: one state
     * record per active user. With `idleFlushMs > 0` (default 2× the
     * gap) a processing-time timeout flushes and evicts idle users'

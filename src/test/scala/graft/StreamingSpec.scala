@@ -35,6 +35,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("token-bucket rate limiter: burst, refill, per-key isolation, cross-batch state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // 1 token/sec refill, burst of 2
+    val q = EventStreams.rateLimit(input.toDS(), ratePerSec = 1.0, burst = 2.0)
+      .writeStream.format("memory").queryName("ratelimit_test")
+      .outputMode("append").start()
+    def decisions() = spark.table("ratelimit_test")
+      .as[EventStreams.RateDecision].collect()
+      .map(d => d.event_id -> d.admitted).toMap
+    try {
+      def at(ms: Long) = new Timestamp(ms)
+      // burst: 3 events in the same second → 2 admitted, 1 throttled;
+      // another key is untouched by the first key's empty bucket
+      input.addData(
+        Event(1, at(1000), 7, "c", 0), Event(2, at(1000), 7, "c", 0),
+        Event(3, at(1000), 7, "c", 0), Event(4, at(1000), 8, "c", 0))
+      q.processAllAvailable()
+      val d1 = decisions()
+      assert(d1(1L) && d1(2L) && !d1(3L), s"burst decisions: $d1")
+      assert(d1(4L), "key 8 must not share key 7's bucket")
+      // cross-batch state: 2 seconds later the bucket refilled 2 → both admit
+      input.addData(Event(5, at(3000), 7, "c", 0), Event(6, at(3000), 7, "c", 0))
+      q.processAllAvailable()
+      val d2 = decisions()
+      assert(d2(5L) && d2(6L), s"refill decisions: $d2")
+      // and a third in the same second is throttled again
+      input.addData(Event(7, at(3000), 7, "c", 0))
+      q.processAllAvailable()
+      assert(!decisions()(7L), "bucket must be dry after the refill spent")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
