@@ -251,6 +251,7 @@ object SparkEntry {
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
+    "q_copy_into" -> ((s, d) => graft.sources.TableCopyInto.qCopyInto(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
@@ -2104,6 +2105,18 @@ object SparkEntry {
         |  SELECT 'clone', count(*), floor((sum(price)) * 100 + 0.5) / 100,
         |    min(k), max(k) FROM cl) u
         |ORDER BY side""".stripMargin,
+    // COPY INTO exactly-once: evens loaded once (despite the re-run),
+    // the grown directory contributes exactly the odd-%3 batch
+    "q_copy_into" ->
+      """SELECT count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total,
+        | min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) t""".stripMargin,
     // every change class reconstructed in SQL: v1 inserts = the evens
     // append, v2 pre/postimages = the merge's matched keys (evens ∩
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes

@@ -410,6 +410,7 @@ object SqlDml {
       case "DESCRIBE" => describeHistory(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
+      case "COPY" => copyIntoStmt(spark, query, onCommit)
       case "ALTER" => alterTable(spark, query, onCommit)
       case _ => None
     }
@@ -426,7 +427,7 @@ object SqlDml {
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
       verb == "DELETE" || verb == "INSERT" ||
       verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE" ||
-      verb == "ALTER"
+      verb == "COPY" || verb == "ALTER"
   }
 
   /** `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...` for sessions
@@ -555,6 +556,39 @@ object SqlDml {
         refreshViews(spark, vt.dir, preHead)
         Some(spark.range(1).select(lit(v).as("version")))
       case _ => None // malformed → spark.sql raises its parse error
+    }
+  }
+
+  private val CopyRe =
+    ("""(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+('[^']*'|"[^"]*")""" +
+     """(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?(\s+FORCE)?\s*;?\s*$""").r
+
+  /** `COPY INTO t FROM '/dir' [FILEFORMAT = PARQUET] [FORCE]` →
+    * [[VersionedTable.copyInto]]: idempotent file-level ingest
+    * (already-loaded source files skip; FORCE reloads). Result is one
+    * row `(version, files_loaded)` — version unchanged when nothing
+    * new was found. Classified a mutation at the auth gate
+    * (closed-world: COPY is not in the read verb set).
+    */
+  private[service] def copyIntoStmt(spark: org.apache.spark.sql.SparkSession,
+      query: String, onCommit: () => Unit): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    content(query) match {
+      case CopyRe(target, src, fmt, force) =>
+        val dir = unquotePath(target.trim)
+          .orElse(resolveVTable(spark, unquoteIdent(target.trim)).map(_._1))
+          .getOrElse(fail(s"'${target.trim}' is not a registered vtable view " +
+            "or a quoted table path"))
+        val vt = VersionedTable(spark, dir)
+        val preHead = vt.currentVersion
+        val (v, n) = vt.copyInto(
+          unquotePath(src.trim).getOrElse(fail("COPY INTO needs FROM '/abs/dir'")),
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+          force = force != null)
+        if (n > 0) { onCommit(); refreshViews(spark, vt.dir, preHead) }
+        Some(spark.range(1).select(lit(v).as("version"),
+          lit(n).as("files_loaded")))
+      case _ => None
     }
   }
 

@@ -598,6 +598,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       arr.elements().asScala.map(_.asText()).toSeq
     }.getOrElse(Seq.empty)
 
+  /** Source-file identities COPY INTO has already loaded. */
+  private def copiedOf(m: JsonNode): Seq[String] =
+    Option(m.get("copied")).map { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Seq.empty)
+
   /** The exact relative file paths of a committed version (spec hook:
     * proves carried files keep their paths across a pruned MERGE).
     */
@@ -1375,7 +1382,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       schemaJson: String = null, stats: Map[String, JsonNode] = Map.empty,
       epoch: Option[Long] = None, cdf: Option[Seq[String]] = None,
       extraRetired: Seq[String] = Seq.empty,
-      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      extraCopied: Seq[String] = Seq.empty): Int = {
     val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1421,6 +1429,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     carriedConstraints.foreach { list =>
       val cn = node.putObject("constraints")
       list.foreach { case (n, e) => cn.put(n, e); () }
+    }
+    // COPY INTO load history: source-file identities already ingested,
+    // carried on EVERY commit (including overwrite — Delta's COPY INTO
+    // dedup likewise survives content replacement; FORCE is the
+    // explicit reload path). Best-effort read like `retired`: the
+    // history is an idempotence ledger, not a correctness gate.
+    val copied: Seq[String] = {
+      val prev =
+        if (v <= 1) Seq.empty
+        else
+          try copiedOf(manifest(v - 1))
+          catch { case NonFatal(_) => Seq.empty }
+      (prev ++ extraCopied).distinct
+    }
+    if (copied.nonEmpty) {
+      val ca = node.putArray("copied")
+      copied.foreach(ca.add)
     }
     val arr = node.putArray("files")
     fileList.foreach(arr.add)
@@ -1587,7 +1612,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
   private[graft] def commitData(v: Int, op: String, df: DataFrame,
       carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
-      epoch: Option[Long] = None, changes: Option[DataFrame] = None): Int = {
+      epoch: Option[Long] = None, changes: Option[DataFrame] = None,
+      extraCopied: Seq[String] = Seq.empty): Int = {
     val storeSchema = inheritMapping(v, op, df.schema)
     val (sub, fresh) = writeFiles(toPhysical(df, storeSchema))
     // ANY failure past this point (stats pass, change write, lost
@@ -1611,7 +1637,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       validateConstraints(sub, storeSchema)
       val stats = carriedStats ++ statsToLogical(storeSchema,
         freshStats(sub, fresh, physicalSchema(storeSchema)))
-      commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels)
+      commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels,
+        extraCopied = extraCopied)
     } catch {
       case scala.util.control.NonFatal(e) =>
         (Seq(sub) ++ cdfSub).foreach { s =>
@@ -1737,6 +1764,69 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
     }
     -1 // unreachable
+  }
+
+  /** Idempotent file-level batch ingest (Delta's `COPY INTO`): load
+    * every `format` data file under `srcDir` that no previous
+    * copyInto on this table has loaded, as one append commit. Loaded
+    * source-file identities (absolute path + size — a rewritten file
+    * of the same name re-loads) are recorded in the commit manifest's
+    * `copied` ledger and carried forward, so the statement is safely
+    * RE-RUNNABLE: after a partial failure nothing was committed and
+    * the retry loads everything; after success a re-run is a no-op;
+    * on a grown directory exactly the new files load. `force = true`
+    * ignores the ledger (Delta's COPY_OPTIONS force) — a deliberate
+    * double-load. Returns (version, filesLoaded); zero new files
+    * commits nothing and returns the current version.
+    *
+    * 100 TB posture: the listing is driver-side O(files) metadata (the
+    * same cost the manifest itself pays), the read+write is one
+    * distributed pass over only the NEW bytes, and the ledger adds
+    * O(loaded files) strings to the manifest — the same growth rate
+    * as the file list itself. Schema conformance rides commitData's
+    * existing gate (requireSchemaMatch + CHECK constraints).
+    */
+  def copyInto(srcDir: String, format: String = "parquet",
+      force: Boolean = false): (Int, Int) = {
+    val ext = "." + format.toLowerCase
+    val root = Paths.get(srcDir).toAbsolutePath.normalize()
+    require(Files.isDirectory(root), s"COPY INTO source $srcDir is not a directory")
+    val listed: Seq[(String, String)] = { // (identity, path)
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.toLowerCase.endsWith(ext) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(p => (s"$p#${Files.size(p)}", p.toString))
+          .toSeq.sortBy(_._2)
+      } finally s.close()
+    }
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      val (existing, exStats, loaded) =
+        if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode], Set.empty[String])
+        else {
+          val m = manifest(prev)
+          (manifestFiles(m), manifestStats(m),
+            if (force) Set.empty[String] else copiedOf(m).toSet)
+        }
+      val fresh = listed.filterNot(f => loaded(f._1))
+      if (fresh.isEmpty) return (prev, 0)
+      val df = spark.read.format(format).load(fresh.map(_._2): _*)
+      if (prev > 0) requireSchemaMatch(df, manifest(prev), "COPY INTO")
+      try return (commitData(prev + 1, "copy-into", df, existing, exStats,
+        extraCopied = fresh.map(_._1)), fresh.size)
+      catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < VersionedTable.MaxCommitRetries - 1 =>
+          attempt += 1
+      }
+    }
+    (-1, -1) // unreachable
   }
 
   /** Additive schema evolution (Delta's mergeSchema): append a frame
@@ -3601,6 +3691,56 @@ object TableClone {
           col("min_k"), col("max_k"))
     summary(srcDir, "source").unionByName(summary(cloneDir, "clone"))
       .orderBy("side")
+  }
+}
+
+/** Contract query for idempotent COPY INTO (`q_copy_into`): two
+  * source batches land in a directory; the first copyInto loads batch
+  * one, a RE-RUN is proven a no-op (zero files loaded, version
+  * unchanged), and after batch two appears a third run loads exactly
+  * the new files. The final aggregate is oracled by reproducing both
+  * batches from the raw orders parquet — so the ledger's exactly-once
+  * contract (no double-loads, no gaps) is itself under the hash gate.
+  * Memoized per (session, corpus) like [[TableMerge]].
+  */
+object TableCopyInto {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tcopy")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val src = parent.toString + "/landing"
+      val dir = parent.toString + "/orders_c"
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      base.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$src/b1")
+      val vt = VersionedTable(t.spark, dir)
+      val (_, n1) = vt.copyInto(src)
+      require(n1 > 0, "first COPY INTO must load batch one")
+      val (v2, n2) = vt.copyInto(src) // idempotent re-run
+      require(n2 == 0 && v2 == vt.currentVersion,
+        s"re-run must be a no-op, loaded $n2")
+      base.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)
+        .write.parquet(s"$src/b2")
+      val (_, n3) = vt.copyInto(src) // grown directory: only b2 loads
+      require(n3 > 0, "grown directory must load the new files")
+      dir
+    }
+
+  def qCopyInto(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
   }
 }
 
