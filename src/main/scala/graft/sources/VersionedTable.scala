@@ -1392,6 +1392,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     node.put("ts", System.currentTimeMillis()) // commit wall time (history())
     if (schemaJson != null) node.put("schema", schemaJson)
     epoch.foreach { e => node.put("epoch", e); () }
+    // The previous HEAD manifest, parsed ONCE for every carried node
+    // below (retired / constraints / copied). Absence is legal only
+    // for raw version-1 commits; a parse failure is surfaced per-node
+    // with each node's own tolerance (advisory carries swallow it,
+    // the constraint carry propagates it).
+    lazy val prevManifest: scala.util.Try[Option[JsonNode]] = scala.util.Try {
+      if (v <= 1 || !Files.exists(manifestPath(v - 1))) None
+      else Some(manifest(v - 1))
+    }
     // RETIRED physical storage names (dropped columns): carried
     // forward on every commit, so a column later re-added under a
     // dropped name can never be assigned the dropped data's storage —
@@ -1401,11 +1410,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val retired: Seq[String] =
       if (op == "overwrite") extraRetired.distinct
       else {
-        val prevRetired =
-          if (v <= 1) Seq.empty
-          else
-            try retiredOf(manifest(v - 1))
-            catch { case NonFatal(_) => Seq.empty }
+        val prevRetired = prevManifest.toOption.flatten
+          .map(retiredOf).getOrElse(Seq.empty)
         (prevRetired ++ extraRetired).distinct
       }
     if (retired.nonEmpty) {
@@ -1422,10 +1428,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // against, so it cannot be below the vacuum horizon; the exists
     // guard only covers raw commits of version 1 in tests.)
     val carriedConstraints: Option[Seq[(String, String)]] =
-      constraintsOverride.orElse {
-        if (v <= 1 || !Files.exists(manifestPath(v - 1))) None
-        else constraintsOf(manifest(v - 1))
-      }
+      constraintsOverride.orElse(prevManifest.get.flatMap(constraintsOf))
     carriedConstraints.foreach { list =>
       val cn = node.putObject("constraints")
       list.foreach { case (n, e) => cn.put(n, e); () }
@@ -1433,14 +1436,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // COPY INTO load history: source-file identities already ingested,
     // carried on EVERY commit (including overwrite — Delta's COPY INTO
     // dedup likewise survives content replacement; FORCE is the
-    // explicit reload path). Best-effort read like `retired`: the
+    // explicit reload path). Best-effort carry like `retired`: the
     // history is an idempotence ledger, not a correctness gate.
     val copied: Seq[String] = {
-      val prev =
-        if (v <= 1) Seq.empty
-        else
-          try copiedOf(manifest(v - 1))
-          catch { case NonFatal(_) => Seq.empty }
+      val prev = prevManifest.toOption.flatten
+        .map(copiedOf).getOrElse(Seq.empty)
       (prev ++ extraCopied).distinct
     }
     if (copied.nonEmpty) {
@@ -2191,9 +2191,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     def abs(rel: String) = if (VersionedTable.isExternal(rel)) rel else s"$dir/$rel"
     val files = manifestFiles(m).map(abs)
     val stats = manifestStats(m).map { case (k, s) => abs(k) -> s }
+    // the COPY INTO ledger carries too: the clone HOLDS those rows, so
+    // re-running the same COPY INTO against the clone must stay a no-op
     dest.commit(1, "clone", files,
       Option(m.get("schema")).map(_.asText()).orNull, stats,
-      constraintsOverride = constraintsOf(m))
+      constraintsOverride = constraintsOf(m),
+      extraCopied = copiedOf(m))
     dest
   }
 

@@ -60,6 +60,20 @@ class CopyIntoSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { t.copyInto(s"$root/bad") }
   }
 
+  test("the ledger carries through a shallow clone: same landing dir stays a no-op") {
+    import spark.implicits._
+    val root = tmp()
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$root/src/b1")
+    val t = VersionedTable(spark, s"$root/t")
+    t.copyInto(s"$root/src")
+    val clone = t.cloneTo(s"$root/cl")
+    assert(clone.copyInto(s"$root/src")._2 == 0,
+      "the clone holds the copied rows — a re-run must not double-load")
+    Seq((2L, "b")).toDF("id", "name").write.parquet(s"$root/src/b2")
+    assert(clone.copyInto(s"$root/src")._2 > 0, "new files still load")
+    assert(t.read().count() == 1, "source untouched by the clone's copy")
+  }
+
   test("COPY INTO SQL: loads, reports files, no-ops on re-run") {
     import spark.implicits._
     val svc = new QueryService(spark)
