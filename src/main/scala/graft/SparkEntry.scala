@@ -230,6 +230,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.qTokenCount(t(s, d))),
     // rows-only: corpus-trained BPE vocabulary isn't SQL-expressible
     "q_bpe_tokens" -> ((s, d) => TextAnalysis.qBpeTokens(t(s, d))),
+    "q_bpe_fertility" -> ((s, d) => TextAnalysis.qBpeFertility(t(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qQualityScore(t(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
@@ -444,6 +445,21 @@ object SparkEntry {
         |       coalesce(a.n_ws, 0) AS n_ws
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // fertility = BPE tokens per whitespace word, per language — the
+    // per-doc sums re-derive from the same merge replay, then join
+    // lang; integer-valued double sums keep the ratio bit-identical
+    "q_bpe_fertility" ->
+      ("WITH RECURSIVE " + bpeCte + ",\n" +
+       """agg AS (
+        |  SELECT doc_id, CAST(sum(len(f.syms)) AS DOUBLE) AS n_bpe,
+        |         CAST(count(*) AS DOUBLE) AS n_ws
+        |  FROM docw JOIN fin f USING (word) GROUP BY doc_id)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  floor((sum(a.n_bpe) / sum(a.n_ws)) * 10000 + 0.5) / 10000 AS fertility
+        |FROM documents d JOIN agg a USING (doc_id)
+        |WHERE a.n_ws > 0
+        |GROUP BY d.lang
+        |ORDER BY lang""".stripMargin),
     // BPE sequence packing: token ids come from the exported
     // vocabulary (unk = max id + 1, the Model contract), positions
     // from a per-doc (word, symbol) ordering, starts from a plain

@@ -74,6 +74,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — BPE tokens per whitespace
+    * word, the standard multilingual tokenizer-evaluation metric (a
+    * language with fertility ≫ 1 is paying more sequence length per
+    * word, i.e. the vocabulary underserves it — the number that
+    * drives per-language vocab budgeting before a big train). One
+    * scan, one tiny group agg; the sums are exact integer-valued
+    * doubles (< 2^53) so the ratio is bit-identical across engines.
+    * Oracled via the same recursive-CTE merge replay as q_bpe_tokens.
+    */
+  def qBpeFertility(t: Tables): DataFrame = {
+    val (id, _) = corpusModel(t)
+    t.documents.select(col("lang"),
+        graft.functions.Bpe.tokenCount(id, col("text")).as("n_bpe"),
+        GraftFunctions.tokenCount(col("text")).as("n_ws"))
+      .filter(col("n_ws") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_bpe").cast("double")) / sum(col("n_ws").cast("double")), 4)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Token counts: custom codegen'd whitespace-run counter plus a
     * BPE-ish sub-word proxy (runs of letters / digits / punctuation as
     * separate tokens — the shape of a byte-level BPE pre-tokenizer).

@@ -491,14 +491,15 @@ object SqlDml {
     val body = content(query)
     (verb == "VACUUM" && VacuumRe.findFirstIn(body).isDefined) ||
       (verb == "OPTIMIZE" && OptimizeRe.findFirstIn(body).isDefined) ||
-      (verb == "RESTORE" && RestoreRe.findFirstIn(body).isDefined)
+      (verb == "RESTORE" && (RestoreRe.findFirstIn(body).isDefined ||
+        RestoreTsRe.findFirstIn(body).isDefined))
   }
 
   private[service] def isVacuum(query: String): Boolean =
     leadingVerb(query, skipParens = false) == "VACUUM"
 
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   // the WHERE group is TEMPERED against ZORDER: an unparsable ZORDER
   // list must surface as the statement error it is, not backtrack into
   // the predicate and blame a condition the user never wrote
@@ -506,6 +507,9 @@ object SqlDml {
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+((?:(?!\bZORDER\b).)+?))?(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+""" +
+     """('[^']+'|"[^"]+"|\d+)\s*;?\s*$""").r
 
   /** Delta-shaped maintenance verbs over a registered vtable (or a
     * quoted table path):
@@ -528,10 +532,18 @@ object SqlDml {
       VersionedTable(spark, dir)
     }
     content(query) match {
-      case VacuumRe(target, retain, dry) =>
-        val n = Option(retain).map(_.toInt).getOrElse(1)
+      case VacuumRe(target, retain, unit, dry) =>
+        val vt = table(target)
+        // RETAIN n HOURS (Delta's spelling) maps to newest-N retention
+        // via the commit timestamps; RETAIN n VERSIONS stays direct
+        val n = Option(retain).map(_.toInt) match {
+          case Some(h) if unit != null && unit.equalsIgnoreCase("HOURS") =>
+            vt.retainCountForHours(h)
+          case Some(v) => v
+          case None    => 1
+        }
         val dryRun = dry != null
-        val freed = table(target).vacuum(retainVersions = n, dryRun = dryRun)
+        val freed = vt.vacuum(retainVersions = n, dryRun = dryRun)
         // a dry run frees nothing — the result cache stays valid
         if (!dryRun) onCommit()
         Some(spark.range(1).select(lit(freed).as("deleted_files")))
@@ -552,6 +564,23 @@ object SqlDml {
         val vt = table(target)
         val preHead = vt.currentVersion
         val v = vt.restore(ver.toInt)
+        onCommit()
+        refreshViews(spark, vt.dir, preHead)
+        Some(spark.range(1).select(lit(v).as("version")))
+      case RestoreTsRe(target, tsLit) =>
+        val vt = table(target)
+        val preHead = vt.currentVersion
+        // quoted 'yyyy-MM-dd HH:mm:ss[.f]' (session-independent local
+        // parse, same as java.sql.Timestamp.valueOf) or epoch millis
+        val millis = unquotePath(tsLit.trim) match {
+          case Some(s) =>
+            try java.sql.Timestamp.valueOf(s).getTime
+            catch { case scala.util.control.NonFatal(_) => fail(
+              s"RESTORE TIMESTAMP AS OF: cannot parse '$s' " +
+                "(use 'yyyy-MM-dd HH:mm:ss[.fff]' or epoch millis)") }
+          case None => tsLit.trim.toLong
+        }
+        val v = vt.restore(vt.versionAt(millis))
         onCommit()
         refreshViews(spark, vt.dir, preHead)
         Some(spark.range(1).select(lit(v).as("version")))

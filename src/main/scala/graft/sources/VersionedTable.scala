@@ -3221,6 +3221,36 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * bound, default 7 days) stop holding retention back; `force`
     * overrides the guard entirely.
     */
+  /** Hours-based retention mapped onto newest-N version retention
+    * (Delta's `VACUUM … RETAIN n HOURS` shape): walk newest→oldest
+    * counting versions whose commit timestamp is inside the window;
+    * the walk STOPS at the first version PROVABLY older than the
+    * window. A version whose age is unknowable (pre-timestamp or
+    * unreadable manifest) counts as retained and the walk continues —
+    * time-based deletion never acts on uncertainty (clear pre-ts
+    * history with RETAIN n VERSIONS instead). Always ≥ 1 (the head is
+    * never droppable).
+    */
+  def retainCountForHours(hours: Double,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    require(hours >= 0, "retention hours must be non-negative")
+    val cutoff = nowMs - (hours * 3600 * 1000).toLong
+    val vs = listVersions().sorted.reverse
+    var n = 0
+    val it = vs.iterator
+    var stopped = false
+    while (it.hasNext && !stopped) {
+      val v = it.next()
+      val provablyOld =
+        try {
+          val m = manifest(v)
+          m.has("ts") && m.get("ts").asLong < cutoff
+        } catch { case NonFatal(_) => false }
+      if (provablyOld) stopped = true else n += 1
+    }
+    math.max(n, 1)
+  }
+
   def vacuum(retainVersions: Int = 1, force: Boolean = false,
       maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs,
       dryRun: Boolean = false): Int = {

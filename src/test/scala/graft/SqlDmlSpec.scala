@@ -541,6 +541,30 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(freed == dry, s"dry run promised $dry, vacuum freed $freed")
   }
 
+  test("RESTORE TIMESTAMP AS OF and VACUUM RETAIN n HOURS") {
+    val (svc, vt) = seeded("sqldml-tsmaint", "sqlm_tsmaint")      // v1
+    val v1Ts = vt.history().collect()
+      .find(_.getAs[Int]("version") == 1).get.getAs[Long]("ts")
+    Thread.sleep(5) // v2 strictly later than v1's stamp
+    svc.sql("DELETE FROM sqlm_tsmaint WHERE k > 5").collect()     // v2
+    // epoch-millis form: restore to the instant of v1
+    val r = svc.sql(s"RESTORE sqlm_tsmaint TO TIMESTAMP AS OF $v1Ts")
+    assert(r.head().getInt(0) == 3 && vt.read().count() == 10)
+    // quoted-timestamp form parses (far future resolves to the head)
+    svc.sql("RESTORE sqlm_tsmaint TO TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .collect()
+    assert(vt.read().count() == 10)
+    // hours-based retention: everything is seconds old, so a 1-hour
+    // window retains all versions — zero files freed
+    assert(svc.sql("VACUUM sqlm_tsmaint RETAIN 1 HOURS DRY RUN")
+      .head().getInt(0) == 0)
+    assert(vt.read(1).count() == 10, "time travel must survive")
+    // a 0-hour window retains only the head: the rewritten files free
+    val freed = svc.sql("VACUUM sqlm_tsmaint RETAIN 0 HOURS").head().getInt(0)
+    assert(freed >= 1)
+    assert(vt.read().count() == 10)
+  }
+
   test("SQL maintenance: VACUUM, OPTIMIZE ZORDER BY, RESTORE") {
     val (svc, vt) = seeded("sqldml-maint", "sqlm_maint")          // v1
     svc.sql("DELETE FROM sqlm_maint WHERE k > 5").collect()       // v2
