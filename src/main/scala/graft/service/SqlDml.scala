@@ -1273,7 +1273,7 @@ object SqlDml {
   /** A registered name whose analyzed view plan is a bare
     * [[VTableRelation]] → (dir, column names).
     */
-  private def resolveVTable(spark: org.apache.spark.sql.SparkSession, name: String)
+  private[graft] def resolveVTable(spark: org.apache.spark.sql.SparkSession, name: String)
       : Option[(String, Seq[String])] =
     relationOf(spark, name).map(r => (r.dir, r.output.map(_.name)))
 

@@ -101,6 +101,29 @@ class CdfSpec extends SparkSpecBase {
       Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
   }
 
+  test("table_changes() SQL TVF serves the same feed by path and by registered name") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.merge(Seq((2L, "B")).toDF("id", "name"), "id")       // v2
+    // path form, SQL-composable: filter + count like any relation
+    val byPath = spark.sql(
+      s"SELECT id, name, _change_type FROM table_changes('$dir', 1) " +
+        "ORDER BY _change_type")
+    assert(byPath.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((2L, "B", "update_postimage"), (2L, "b", "update_preimage")))
+    // registered-name form through the lazy-scan view
+    t.scan().createOrReplaceTempView("cdf_tvf_t")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('cdf_tvf_t', 0, 1)")
+      .head().getLong(0) == 2, "bootstrap window: v1's two inserts")
+    // usage errors are loud
+    intercept[Exception] { spark.sql("SELECT * FROM table_changes('/nope')") }
+  }
+
   test("delete by key set and deleteWhere both emit delete rows") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
