@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** A word's base symbols: Unicode CODEPOINTS, not UTF-16 code units
+    * — a supplementary-plane character (emoji, rare CJK) is one
+    * symbol, never an unpaired surrogate pair. This is also what the
+    * oracle's character-indexed replay (`word[i]` in DuckDB) splits
+    * to, so the two engines segment identically beyond the BMP.
+    */
+  private[functions] def codepoints(w: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** `alphabet` is the sorted base-character inventory of the training
     * dictionary; together with the merges it defines the VOCABULARY:
     * ids 0..A-1 are the alphabet in order, each merge's concatenated
@@ -55,7 +72,7 @@ object Bpe {
 
     /** Greedy lowest-rank merge loop — the standard BPE apply. */
     private def mergeWord(word: String): scala.collection.mutable.Buffer[String] = {
-      var symbols = word.map(_.toString).toBuffer
+      var symbols = Bpe.codepoints(word).toBuffer
       var done = false
       while (!done && symbols.length > 1) {
         var bestRank = Int.MaxValue
@@ -130,9 +147,9 @@ object Bpe {
     // Base-character inventory, sorted — with the deterministic merge
     // order below this makes the whole VOCABULARY (symbol → id)
     // reproducible across trains of the same dictionary.
-    val alphabet = dict.iterator.flatMap(_._1.map(_.toString)).toSeq
+    val alphabet = dict.iterator.flatMap(w => codepoints(w._1)).toSeq
       .distinct.sorted.toIndexedSeq
-    val words = dict.map { case (w, f) => (w.map(_.toString).toBuffer, f) }
+    val words = dict.map { case (w, f) => (codepoints(w).toBuffer, f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var iter = 0
     var exhausted = false

@@ -959,7 +959,16 @@ object SqlDml {
             VersionedTable(spark, srcDir)
               .cloneTo(location, Option(ver).map(_.toInt).getOrElse(-1))
               .currentVersion
-          else if (ifNotExists) dest.currentVersion // attach the existing table
+          else if (ifNotExists && dest.commitOp(1).contains("clone"))
+            // attach ONLY a table that verifiably began life as a
+            // clone — IF NOT EXISTS is the re-run idempotence hatch,
+            // never license to adopt arbitrary pre-existing data as
+            // if it were the requested clone
+            dest.currentVersion
+          else if (ifNotExists) fail(
+            s"CREATE TABLE IF NOT EXISTS … SHALLOW CLONE: $location holds " +
+              "a committed table whose first commit is not a clone — " +
+              "refusing to attach it as one")
           else fail(
             s"CREATE TABLE … SHALLOW CLONE: $location already holds a " +
               "committed versioned table — register it instead, or IF NOT " +

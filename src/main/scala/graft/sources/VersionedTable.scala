@@ -591,25 +591,31 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       arr.elements().asScala.map(_.asText()).toSeq
     }
 
-  /** Physical storage names of DROPPED columns — never reusable. */
-  private def retiredOf(m: JsonNode): Seq[String] =
-    Option(m.get("retired")).map { arr =>
+  /** A manifest node's string-array entries ([] when absent). */
+  private def stringsOf(m: JsonNode, field: String): Seq[String] =
+    Option(m.get(field)).map { arr =>
       import scala.jdk.CollectionConverters._
       arr.elements().asScala.map(_.asText()).toSeq
     }.getOrElse(Seq.empty)
 
+  /** Physical storage names of DROPPED columns — never reusable. */
+  private def retiredOf(m: JsonNode): Seq[String] = stringsOf(m, "retired")
+
   /** Source-file identities COPY INTO has already loaded. */
-  private def copiedOf(m: JsonNode): Seq[String] =
-    Option(m.get("copied")).map { arr =>
-      import scala.jdk.CollectionConverters._
-      arr.elements().asScala.map(_.asText()).toSeq
-    }.getOrElse(Seq.empty)
+  private def copiedOf(m: JsonNode): Seq[String] = stringsOf(m, "copied")
 
   /** The exact relative file paths of a committed version (spec hook:
     * proves carried files keep their paths across a pruned MERGE).
     */
   private[graft] def fileList(version: Int): Seq[String] =
     manifestFiles(manifest(version))
+
+  /** A committed version's recorded operation, None when its manifest
+    * is unreadable or vacuumed away (provenance unknowable).
+    */
+  private[graft] def commitOp(version: Int): Option[String] =
+    try Some(manifest(version).path("op").asText(""))
+    catch { case NonFatal(_) => None }
 
   /** Snapshot read. `version = -1` reads the latest commit; any
     * earlier version stays readable (time travel) because data files
@@ -1769,8 +1775,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   /** Idempotent file-level batch ingest (Delta's `COPY INTO`): load
     * every `format` data file under `srcDir` that no previous
     * copyInto on this table has loaded, as one append commit. Loaded
-    * source-file identities (absolute path + size — a rewritten file
-    * of the same name re-loads) are recorded in the commit manifest's
+    * source-file identities (absolute path + size + mtime — a
+    * rewritten file of the same name re-loads even at an identical
+    * byte size) are recorded in the commit manifest's
     * `copied` ledger and carried forward, so the statement is safely
     * RE-RUNNABLE: after a partial failure nothing was committed and
     * the retry loads everything; after success a re-run is a no-op;
@@ -1800,24 +1807,25 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
             p.getFileName.toString.toLowerCase.endsWith(ext) &&
             !p.getFileName.toString.startsWith("_") &&
             !p.getFileName.toString.startsWith("."))
-          .map(p => (s"$p#${Files.size(p)}", p.toString))
+          .map(p => (s"$p#${Files.size(p)}#${Files.getLastModifiedTime(p).toMillis}",
+            p.toString))
           .toSeq.sortBy(_._2)
       } finally s.close()
     }
     var attempt = 0
     while (true) {
       val prev = currentVersion
-      val (existing, exStats, loaded) =
-        if (prev == 0) (Seq.empty[String], Map.empty[String, JsonNode], Set.empty[String])
-        else {
-          val m = manifest(prev)
+      val head = if (prev == 0) None else Some(manifest(prev))
+      val (existing, exStats, loaded) = head match {
+        case None => (Seq.empty[String], Map.empty[String, JsonNode], Set.empty[String])
+        case Some(m) =>
           (manifestFiles(m), manifestStats(m),
             if (force) Set.empty[String] else copiedOf(m).toSet)
-        }
+      }
       val fresh = listed.filterNot(f => loaded(f._1))
       if (fresh.isEmpty) return (prev, 0)
       val df = spark.read.format(format).load(fresh.map(_._2): _*)
-      if (prev > 0) requireSchemaMatch(df, manifest(prev), "COPY INTO")
+      head.foreach(requireSchemaMatch(df, _, "COPY INTO"))
       try return (commitData(prev + 1, "copy-into", df, existing, exStats,
         extraCopied = fresh.map(_._1)), fresh.size)
       catch {
@@ -2191,12 +2199,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     def abs(rel: String) = if (VersionedTable.isExternal(rel)) rel else s"$dir/$rel"
     val files = manifestFiles(m).map(abs)
     val stats = manifestStats(m).map { case (k, s) => abs(k) -> s }
-    // the COPY INTO ledger carries too: the clone HOLDS those rows, so
-    // re-running the same COPY INTO against the clone must stay a no-op
+    // every carried manifest ledger crosses with the files it governs:
+    // the COPY ledger (the clone HOLDS those rows — a re-run of the
+    // same COPY INTO must stay a no-op) and the RETIRED storage names
+    // (the clone references the source's files, so a column re-added
+    // on the clone under a dropped name must get fresh storage or the
+    // dropped values resurrect from the shared files)
     dest.commit(1, "clone", files,
       Option(m.get("schema")).map(_.asText()).orNull, stats,
       constraintsOverride = constraintsOf(m),
-      extraCopied = copiedOf(m))
+      extraCopied = copiedOf(m),
+      extraRetired = retiredOf(m))
     dest
   }
 

@@ -215,15 +215,19 @@ object EventStreams {
     * the quality gate already maintains — throttling is a data-loss
     * decision and must stay auditable.
     *
-    * Event-time refill makes the decision a pure function of the
-    * event sequence — deterministic across replays and restarts
-    * (processing-time buckets re-admit different events after a
-    * checkpoint recovery, silently breaking exactly-once sinks).
-    * State is one (tokens, lastSec) pair per ACTIVE key — O(keys),
-    * the same bound every keyed-state operator here carries; at
-    * 100 TB the keys shard across executors with the state store.
-    * Within a batch events order by (ts, event_id) — the arrival
-    * order a replay reproduces.
+    * Event-time refill makes the decision independent of WALL-CLOCK
+    * replay timing (processing-time buckets re-admit different events
+    * after a checkpoint recovery, silently breaking exactly-once
+    * sinks): for a per-key IN-ORDER stream the admitted set is a pure
+    * function of the event sequence. Within a batch events order by
+    * (ts, event_id); a LATE event (ts behind the bucket clock) gets
+    * zero refill — the conservative call — but its decision can still
+    * depend on which micro-batch boundary it landed behind, so a
+    * pipeline that needs bit-identical decisions under out-of-order
+    * delivery should watermark-sort upstream first. State is one
+    * (tokens, lastSec) pair per ACTIVE key — O(keys), the same bound
+    * every keyed-state operator here carries; at 100 TB the keys
+    * shard across executors with the state store.
     */
   def rateLimit(events: Dataset[Event], ratePerSec: Double, burst: Double)
       (implicit spark: SparkSession): Dataset[RateDecision] = {

@@ -115,6 +115,24 @@ class CloneSpec extends SparkSpecBase {
     assert(parquetFilesUnder(s"$root/clone").nonEmpty)
   }
 
+  test("the retired-storage ledger carries: a dropped column re-added on the clone reads null") {
+    import spark.implicits._
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "score").coalesce(1))
+    src.dropColumn("score")
+    val clone = src.cloneTo(s"$root/clone")
+    // re-adding `score` ON THE CLONE must get fresh storage — the
+    // clone still references the source's pre-drop files
+    clone.appendEvolve(Seq((3L, "c", 99.0)).toDF("id", "name", "score"))
+    val byId = clone.read().collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty,
+      s"dropped values resurrected through the clone: $byId")
+    assert(byId(3L).contains(99.0))
+  }
+
   test("clone of a time-travel version and self/existing-dest refusals") {
     import spark.implicits._
     val root = tmp()

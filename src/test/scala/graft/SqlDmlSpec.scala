@@ -357,6 +357,14 @@ class SqlDmlSpec extends SparkSpecBase {
     svc.sql("CREATE TABLE IF NOT EXISTS clone_t SHALLOW CLONE clone_src " +
       s"LOCATION '$base/cl'").collect()
     assert(spark.table("clone_t").count() == 3, "IF NOT EXISTS must not write")
+    // IF NOT EXISTS never adopts a NON-clone table as the requested clone
+    svc.sql(s"CREATE TABLE not_a_clone USING vtable LOCATION '$base/plain' " +
+      "AS SELECT 1 AS one").collect()
+    svc.sql("DROP TABLE not_a_clone").collect()
+    intercept[IllegalArgumentException] {
+      svc.sql("CREATE TABLE IF NOT EXISTS adopted SHALLOW CLONE clone_src " +
+        s"LOCATION '$base/plain'").collect()
+    }
     svc.sql("DROP TABLE clone_t").collect()
     svc.sql("DROP TABLE clone_v1").collect()
     svc.sql("DROP TABLE clone_src").collect()
