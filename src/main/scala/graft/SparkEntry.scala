@@ -272,6 +272,7 @@ object SparkEntry {
     "q_table_rename" -> ((s, d) => graft.sources.TableMapping.qTableRename(t(s, d))),
     "q_table_apply" -> ((s, d) => graft.sources.TableApply.qTableApply(t(s, d))),
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
+    "q_tvf_changes" -> ((s, d) => graft.sources.TableCdf.qTvfChanges(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
@@ -431,6 +432,39 @@ object SparkEntry {
       |    FROM enc e) t
       |  WHERE bi IS NOT NULL),
       |fin AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM enc GROUP BY word)""".stripMargin
+
+  /** One change-feed reconstruction gates BOTH feed entry points:
+    * `q_cdf` (the readChangesSince API) and `q_tvf_changes` (the
+    * table_changes() SQL table function) — the TVF can never drift
+    * from the API it wraps.
+    */
+  private val cdfOracle: String =
+    """WITH evens AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_orderkey AS k,
+        |    floor((o_totalprice * 1.1) * 100 + 0.5) / 100 AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |snap AS (
+        |  SELECT coalesce(u.k, e.k) AS k, coalesce(u.price, e.price) AS price
+        |  FROM evens e FULL OUTER JOIN upd u ON e.k = u.k),
+        |changes AS (
+        |  SELECT 1 AS v, 'insert' AS change_type, price FROM evens
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', e.price FROM evens e JOIN upd u ON e.k = u.k
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', u.price FROM upd u JOIN evens e ON u.k = e.k
+        |  UNION ALL
+        |  SELECT 2, 'insert', price FROM upd
+        |  WHERE k NOT IN (SELECT k FROM evens)
+        |  UNION ALL
+        |  SELECT 3, 'delete', price FROM snap WHERE k % 5 = 0)
+        |SELECT CAST(v AS INTEGER) AS commit_version, change_type,
+        | count(*) AS n_rows,
+        | floor((sum(price)) * 100 + 0.5) / 100 AS total
+        |FROM changes GROUP BY v, change_type
+        |ORDER BY commit_version, change_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // BPE token counts: the learned model replays via bpeCte; the
@@ -2138,33 +2172,8 @@ object SparkEntry {
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes
     // = div5 keys of the POST-MERGE snapshot at their then-current
     // price — the feed's content, not just its row counts, is gated
-    "q_cdf" ->
-      """WITH evens AS (
-        |  SELECT o_orderkey AS k, o_totalprice AS price
-        |  FROM orders WHERE o_orderkey % 2 = 0),
-        |upd AS (
-        |  SELECT o_orderkey AS k,
-        |    floor((o_totalprice * 1.1) * 100 + 0.5) / 100 AS price
-        |  FROM orders WHERE o_orderkey % 3 = 0),
-        |snap AS (
-        |  SELECT coalesce(u.k, e.k) AS k, coalesce(u.price, e.price) AS price
-        |  FROM evens e FULL OUTER JOIN upd u ON e.k = u.k),
-        |changes AS (
-        |  SELECT 1 AS v, 'insert' AS change_type, price FROM evens
-        |  UNION ALL
-        |  SELECT 2, 'update_preimage', e.price FROM evens e JOIN upd u ON e.k = u.k
-        |  UNION ALL
-        |  SELECT 2, 'update_postimage', u.price FROM upd u JOIN evens e ON u.k = e.k
-        |  UNION ALL
-        |  SELECT 2, 'insert', price FROM upd
-        |  WHERE k NOT IN (SELECT k FROM evens)
-        |  UNION ALL
-        |  SELECT 3, 'delete', price FROM snap WHERE k % 5 = 0)
-        |SELECT CAST(v AS INTEGER) AS commit_version, change_type,
-        | count(*) AS n_rows,
-        | floor((sum(price)) * 100 + 0.5) / 100 AS total
-        |FROM changes GROUP BY v, change_type
-        |ORDER BY commit_version, change_type""".stripMargin,
+    "q_cdf" -> cdfOracle,
+    "q_tvf_changes" -> cdfOracle,
     // the Bloom-pruned point lookup must return exactly the rows the
     // plain md5-equality filter selects — index-driven file skipping
     // may change how many files open, never the answer

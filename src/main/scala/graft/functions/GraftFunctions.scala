@@ -74,14 +74,63 @@ object GraftFunctions {
   )
 
   /** Idempotent runtime registration — for sessions not built through
-    * GraftSession (the driver's Verify/Bench sessions).
+    * GraftSession (the driver's Verify/Bench sessions). Registers the
+    * table functions too, so `table_changes()` works everywhere the
+    * scalar functions do.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (id, inf, builder) =>
       registry.registerFunction(id, inf, builder)
     }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, inf, builder) =>
+      tvfRegistry.registerFunction(id, inf, builder)
+    }
   }
+
+  /** Delta-shaped CDF table function: `SELECT * FROM
+    * table_changes('name-or-/path', since [, until])` serves the
+    * row-level change feed as plain SQL — the batch twin of the
+    * streaming CDF source, joinable/filterable like any relation.
+    * Arguments must be foldable (the table identity and version
+    * window ARE the relation — there is nothing row-dependent to
+    * defer); the feed frame resolves at analysis like a view body.
+    */
+  val tableFunctions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq((
+    org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft.sources.VersionedTable", "table_changes"),
+    (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $what must be an integer literal, got $other")
+      }
+      val (target, since, until) = args match {
+        case Seq(Literal(t: UTF8String, _), s) => (t.toString, intArg(s, "since"), -1)
+        case Seq(Literal(t: UTF8String, _), s, u) =>
+          (t.toString, intArg(s, "since"), intArg(u, "until"))
+        case _ => throw new IllegalArgumentException(
+          "usage: table_changes('name-or-/path', sinceVersion[, untilVersion])")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_changes: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .readChangesSince(since, until).queryExecution.analyzed
+    }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----
   import org.apache.spark.sql.functions.lit
@@ -134,43 +183,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would expand markers before those phases could contribute
     // prunable filters (see graft.plans.VTableScan)
     ext.injectPlannerStrategy(graft.plans.VTableScanStrategy)
-    // Delta-shaped CDF table function: `SELECT * FROM
-    // table_changes('name-or-/path', since [, until])` serves the
-    // row-level change feed as plain SQL — the batch twin of the
-    // streaming CDF source, joinable/filterable like any relation.
-    // Arguments must be foldable (the table identity and version
-    // window ARE the relation — there is nothing row-dependent to
-    // defer); the feed frame resolves at analysis like a view body.
-    ext.injectTableFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.sources.VersionedTable].getName, "table_changes"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        import org.apache.spark.unsafe.types.UTF8String
-        def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            what: String): Int = e match {
-          case Literal(v: Int, _)  => v
-          case Literal(v: Long, _) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"table_changes: $what must be an integer literal, got $other")
-        }
-        val (target, since, until) = args match {
-          case Seq(Literal(t: UTF8String, _), s) => (t.toString, intArg(s, "since"), -1)
-          case Seq(Literal(t: UTF8String, _), s, u) =>
-            (t.toString, intArg(s, "since"), intArg(u, "until"))
-          case _ => throw new IllegalArgumentException(
-            "usage: table_changes('name-or-/path', sinceVersion[, untilVersion])")
-        }
-        val spark = org.apache.spark.sql.SparkSession.active
-        val dir =
-          if (target.startsWith("/")) target
-          else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
-            .getOrElse(throw new IllegalArgumentException(
-              s"table_changes: '$target' is not a registered vtable view " +
-                "or an absolute table path"))
-        graft.sources.VersionedTable(spark, dir)
-          .readChangesSince(since, until).queryExecution.analyzed
-      }))
+    // CDF table function (see GraftFunctions.tableFunctions)
+    GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
   }
 }

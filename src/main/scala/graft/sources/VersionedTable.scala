@@ -4047,6 +4047,22 @@ object TableCdf {
         graft.operators.Rnd.round(sum("price"), 2).as("total"))
       .orderBy("commit_version", "change_type")
   }
+
+  /** The SAME feed through the `table_changes()` SQL table function —
+    * one oracle text gates both entry points (`q_tvf_changes` shares
+    * q_cdf's oracle verbatim), so the TVF can never drift from the
+    * API it wraps.
+    */
+  def qTvfChanges(t: Tables): DataFrame = {
+    val dir = builtTable(t)
+    t.spark.sql(
+      s"""SELECT ${VersionedTable.CommitVersionCol} AS commit_version,
+         |  ${VersionedTable.ChangeTypeCol} AS change_type,
+         |  count(*) AS n_rows,
+         |  floor((sum(price)) * 100 + 0.5) / 100 AS total
+         |FROM table_changes('$dir', 0)
+         |GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin)
+  }
 }
 
 /** Contract query for stats-based data skipping: orders lands in a
