@@ -908,26 +908,29 @@ object SqlDml {
     * Statements with a different/absent USING provider fall through
     * to Spark untouched.
     */
-  /** `CREATE TABLE [IF NOT EXISTS] name SHALLOW CLONE source
+  /** `CREATE TABLE [IF NOT EXISTS] name [SHALLOW|DEEP] CLONE source
     * [VERSION AS OF v] LOCATION '/path'` — Delta's clone statement
-    * shape. The source is a registered vtable view or a quoted table
-    * path; the clone is zero-copy ([[VersionedTable.cloneTo]]) and
-    * registers `name` like CREATE TABLE. Handled BEFORE Spark's
-    * parser (CLONE is not Spark grammar). IF NOT EXISTS downgrades a
-    * same-location re-run to a no-op, exactly like CREATE TABLE.
+    * shape (bare CLONE = deep, like Delta). The source is a
+    * registered vtable view or a quoted table path; SHALLOW is
+    * zero-copy ([[VersionedTable.cloneTo]]), DEEP materializes
+    * ([[VersionedTable.deepCloneTo]]); both register `name` like
+    * CREATE TABLE. Handled BEFORE Spark's parser (CLONE is not Spark
+    * grammar). IF NOT EXISTS downgrades a same-location re-run to a
+    * no-op, exactly like CREATE TABLE.
     */
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_`]+)\s+""" +
-     """SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+     """(?:(SHALLOW|DEEP)\s+)?CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
      """\s+LOCATION\s+('[^']*'|"[^"]*")\s*;?\s*$""").r
 
   private def createClone(spark: org.apache.spark.sql.SparkSession,
       query: String, register: (String, String) => Unit): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
     content(query) match {
-      case CloneRe(ine, name0, src, ver, loc) =>
+      case CloneRe(ine, name0, kind, src, ver, loc) =>
         val name = unquoteIdent(name0.trim)
         val ifNotExists = ine != null
+        val shallow = kind != null && kind.equalsIgnoreCase("SHALLOW")
         val location = unquotePath(loc.trim).getOrElse(fail(
           "CREATE TABLE … SHALLOW CLONE needs LOCATION '/abs/path'"))
         def norm(p: String): String =
@@ -955,10 +958,12 @@ object SqlDml {
             "vtable view or a quoted table path"))
         val dest = VersionedTable(spark, location)
         val v =
-          if (dest.currentVersion == 0)
-            VersionedTable(spark, srcDir)
-              .cloneTo(location, Option(ver).map(_.toInt).getOrElse(-1))
-              .currentVersion
+          if (dest.currentVersion == 0) {
+            val srcVt = VersionedTable(spark, srcDir)
+            val pin = Option(ver).map(_.toInt).getOrElse(-1)
+            (if (shallow) srcVt.cloneTo(location, pin)
+             else srcVt.deepCloneTo(location, pin)).currentVersion
+          }
           else if (ifNotExists && dest.commitOp(1).contains("clone"))
             // attach ONLY a table that verifiably began life as a
             // clone — IF NOT EXISTS is the re-run idempotence hatch,

@@ -2213,6 +2213,25 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     dest
   }
 
+  /** DEEP clone: the shallow manifest commit plus an immediate
+    * snapshot overwrite that rewrites EVERY reference (external or
+    * not, any size — compaction would carry large files by path) into
+    * clone-local files — after it, the clone owns all its bytes and
+    * outlives any source vacuum. Two commits by design (v1 shallow,
+    * v2 materialize): a crash between them leaves a valid shallow
+    * clone, never a torn copy, and v1 stays time-travel-readable. The
+    * copy itself is one distributed pass over the source bytes —
+    * exactly the irreducible cost of a deep clone. (Constraints and
+    * the COPY ledger carry through the overwrite; the retired-name
+    * ledger correctly resets — the rewritten files hold no dropped
+    * columns' bytes to resurrect.)
+    */
+  def deepCloneTo(destDir: String, version: Int = -1): VersionedTable = {
+    val dest = cloneTo(destDir, version)
+    dest.overwrite(dest.read())
+    dest
+  }
+
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
     * new ones — `Merge.upsert` semantics incl. the duplicate-source
     * and null-key raises). Only snapshot files whose per-file [min,max]

@@ -133,6 +133,22 @@ class CloneSpec extends SparkSpecBase {
     assert(byId(3L).contains(99.0))
   }
 
+  test("deep clone owns all its bytes and outlives source deletion") {
+    import spark.implicits._
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val deep = src.deepCloneTo(s"$root/deep")
+    assert(deep.fileList(deep.currentVersion).forall(!_.startsWith("/")),
+      "deep clone must hold no external references")
+    // delete the SOURCE's data outright — the deep clone still reads
+    parquetFilesUnder(s"$root/src").foreach(p =>
+      Files.delete(java.nio.file.Paths.get(p)))
+    assert(deep.read().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    // v1 (the shallow stage) remains in history as the audited step
+    assert(deep.currentVersion == 2)
+  }
+
   test("clone of a time-travel version and self/existing-dest refusals") {
     import spark.implicits._
     val root = tmp()

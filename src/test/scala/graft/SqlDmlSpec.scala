@@ -357,6 +357,13 @@ class SqlDmlSpec extends SparkSpecBase {
     svc.sql("CREATE TABLE IF NOT EXISTS clone_t SHALLOW CLONE clone_src " +
       s"LOCATION '$base/cl'").collect()
     assert(spark.table("clone_t").count() == 3, "IF NOT EXISTS must not write")
+    // bare CLONE = DEEP (Delta's default): materialized, no external refs
+    svc.sql("CREATE TABLE clone_deep CLONE clone_src " +
+      s"LOCATION '$base/deep'").collect()
+    assert(spark.table("clone_deep").count() == 6)
+    val deepVt = graft.sources.VersionedTable(spark, s"$base/deep")
+    assert(deepVt.fileList(deepVt.currentVersion).forall(!_.startsWith("/")))
+    svc.sql("DROP TABLE clone_deep").collect()
     // IF NOT EXISTS never adopts a NON-clone table as the requested clone
     svc.sql(s"CREATE TABLE not_a_clone USING vtable LOCATION '$base/plain' " +
       "AS SELECT 1 AS one").collect()
