@@ -72,6 +72,28 @@ class BpeSpec extends SparkSpecBase {
     } finally Bpe.unregister("spec-encode")
   }
 
+  test("base symbols are codepoints: a supplementary-plane char is ONE symbol") {
+    // "🎉" is U+1F389 — two UTF-16 code units, one codepoint. A model
+    // trained without it must count it as exactly one (unk) symbol,
+    // never an unpaired surrogate pair — and the alphabet of a model
+    // trained ON it holds the full character, matching what the
+    // DuckDB oracle's character-indexed replay splits to.
+    val party = new String(Character.toChars(0x1F389))
+    val m = Bpe.train(Seq("ab" -> 10L), numMerges = 4)
+    Bpe.register("spec-cp", m)
+    try {
+      import spark.implicits._
+      val n = Seq(s"x${party}y").toDF("text")
+        .select(Bpe.tokenCount("spec-cp", org.apache.spark.sql.functions.col("text")))
+        .head().getInt(0)
+      assert(n == 3, s"x + emoji + y must be 3 symbols, got $n")
+    } finally Bpe.unregister("spec-cp")
+    val m2 = Bpe.train(Seq(s"$party$party" -> 10L), numMerges = 4)
+    assert(m2.alphabet == IndexedSeq(party),
+      s"alphabet must hold the whole codepoint: ${m2.alphabet}")
+    assert(m2.merges.headOption.contains((party, party)))
+  }
+
   test("the SQL surface resolves a registered model at analysis time") {
     val m = Bpe.train(Seq("spark" -> 100L), numMerges = 8)
     Bpe.register("spec-model", m)
