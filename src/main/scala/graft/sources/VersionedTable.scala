@@ -2210,6 +2210,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       constraintsOverride = constraintsOf(m),
       extraCopied = copiedOf(m),
       extraRetired = retiredOf(m))
+    // change tracking is a table PROPERTY (Delta clones carry table
+    // properties): a clone of a CDF table keeps feeding its own
+    // rewrites from commit 2 on — replication chains built on clones
+    // keep working without a re-enable step
+    if (cdfEnabled) dest.enableCdf()
     dest
   }
 

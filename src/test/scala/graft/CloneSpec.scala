@@ -133,6 +133,19 @@ class CloneSpec extends SparkSpecBase {
     assert(byId(3L).contains(99.0))
   }
 
+  test("CDF enablement carries: the clone's own rewrites feed from commit 2") {
+    import spark.implicits._
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    src.enableCdf()
+    val clone = src.cloneTo(s"$root/clone")
+    assert(clone.cdfEnabled, "change tracking is a table property — it carries")
+    clone.deleteWhere(col("id") === 1L)
+    val feed = clone.readChangesSince(1).collect()
+    assert(feed.length == 1 && feed.head.getAs[String]("_change_type") == "delete")
+  }
+
   test("deep clone owns all its bytes and outlives source deletion") {
     import spark.implicits._
     val root = tmp()
