@@ -97,18 +97,14 @@ object GraftFunctions {
     * window ARE the relation — there is nothing row-dependent to
     * defer); the feed frame resolves at analysis like a view body.
     */
-  val tableFunctions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
-      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq((
-    org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
-    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-      "graft.sources.VersionedTable", "table_changes"),
-    (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq((
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_changes"),
+    (args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.unsafe.types.UTF8String
-      def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
-          what: String): Int = e match {
+      def intArg(e: Expression, what: String): Int = e match {
         case Literal(v: Int, _)  => v
         case Literal(v: Long, _) => v.toInt
         case other => throw new IllegalArgumentException(

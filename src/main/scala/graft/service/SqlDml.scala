@@ -931,8 +931,16 @@ object SqlDml {
         val name = unquoteIdent(name0.trim)
         val ifNotExists = ine != null
         val shallow = kind != null && kind.equalsIgnoreCase("SHALLOW")
+        val kindWord = if (shallow) "SHALLOW CLONE" else "CLONE"
+        // a statement that FORGOT the table name would otherwise bind
+        // SHALLOW/DEEP as the name and kind=null would run a full
+        // data-copying deep clone under a bogus registration
+        if (!name0.trim.startsWith("`") &&
+            (name.equalsIgnoreCase("SHALLOW") || name.equalsIgnoreCase("DEEP")))
+          fail(s"CREATE TABLE … CLONE: '$name' reads like a missing table " +
+            "name (backtick-quote it if it really is the name)")
         val location = unquotePath(loc.trim).getOrElse(fail(
-          "CREATE TABLE … SHALLOW CLONE needs LOCATION '/abs/path'"))
+          s"CREATE TABLE … $kindWord needs LOCATION '/abs/path'"))
         def norm(p: String): String =
           try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
           catch { case scala.util.control.NonFatal(_) => p }
@@ -964,18 +972,24 @@ object SqlDml {
             (if (shallow) srcVt.cloneTo(location, pin)
              else srcVt.deepCloneTo(location, pin)).currentVersion
           }
-          else if (ifNotExists && dest.commitOp(1).contains("clone"))
+          else if (ifNotExists && dest.commitOp(1).contains("clone")) {
             // attach ONLY a table that verifiably began life as a
             // clone — IF NOT EXISTS is the re-run idempotence hatch,
             // never license to adopt arbitrary pre-existing data as
-            // if it were the requested clone
-            dest.currentVersion
+            // if it were the requested clone. The attach COMPLETES a
+            // torn run: a DEEP request materializes any external refs
+            // still present (crash between the two deep commits), and
+            // the CDF property re-carries (crash between marker and
+            // commit on a pre-marker-ordering table) — both idempotent
+            if (VersionedTable(spark, srcDir).cdfEnabled) dest.enableCdf()
+            if (shallow) dest.currentVersion else dest.materializeExternal()
+          }
           else if (ifNotExists) fail(
-            s"CREATE TABLE IF NOT EXISTS … SHALLOW CLONE: $location holds " +
+            s"CREATE TABLE IF NOT EXISTS … $kindWord: $location holds " +
               "a committed table whose first commit is not a clone — " +
               "refusing to attach it as one")
           else fail(
-            s"CREATE TABLE … SHALLOW CLONE: $location already holds a " +
+            s"CREATE TABLE … $kindWord: $location already holds a " +
               "committed versioned table — register it instead, or IF NOT " +
               "EXISTS to attach")
         register(name, location)

@@ -2205,35 +2205,51 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // (the clone references the source's files, so a column re-added
     // on the clone under a dropped name must get fresh storage or the
     // dropped values resurrect from the shared files)
+    // change tracking is a table PROPERTY (Delta clones carry table
+    // properties): a clone of a CDF table keeps feeding its own
+    // rewrites from commit 2 on — replication chains built on clones
+    // keep working without a re-enable step. The marker lands BEFORE
+    // the commit: a crash between them leaves an uncommitted dir a
+    // re-run clones over (enableCdf is idempotent), never a committed
+    // clone that silently lost the property.
+    if (cdfEnabled) dest.enableCdf()
     dest.commit(1, "clone", files,
       Option(m.get("schema")).map(_.asText()).orNull, stats,
       constraintsOverride = constraintsOf(m),
       extraCopied = copiedOf(m),
       extraRetired = retiredOf(m))
-    // change tracking is a table PROPERTY (Delta clones carry table
-    // properties): a clone of a CDF table keeps feeding its own
-    // rewrites from commit 2 on — replication chains built on clones
-    // keep working without a re-enable step
-    if (cdfEnabled) dest.enableCdf()
     dest
   }
 
+  /** Rewrite every EXTERNAL reference into table-local files as one
+    * COMPACT-class commit (bytes move, rows don't — the change feed
+    * skips it, so a CDF table keeps feeding across the
+    * materialization; the retired/constraint/COPY ledgers all carry).
+    * No-op (no commit) when the table already owns every byte, which
+    * also makes it the idempotent COMPLETION step for a deep clone
+    * torn between its two commits. Returns the current version.
+    */
+  def materializeExternal(): Int = {
+    val v = currentVersion
+    require(v > 0, s"table at $dir has no committed version")
+    if (!fileList(v).exists(VersionedTable.isExternal)) v
+    else commitData(v + 1, "compact", read(v), carryForward = Seq.empty)
+  }
+
   /** DEEP clone: the shallow manifest commit plus an immediate
-    * snapshot overwrite that rewrites EVERY reference (external or
-    * not, any size — compaction would carry large files by path) into
+    * [[materializeExternal]] pass that rewrites EVERY reference (any
+    * size — plain compaction would carry large files by path) into
     * clone-local files — after it, the clone owns all its bytes and
     * outlives any source vacuum. Two commits by design (v1 shallow,
     * v2 materialize): a crash between them leaves a valid shallow
-    * clone, never a torn copy, and v1 stays time-travel-readable. The
-    * copy itself is one distributed pass over the source bytes —
-    * exactly the irreducible cost of a deep clone. (Constraints and
-    * the COPY ledger carry through the overwrite; the retired-name
-    * ledger correctly resets — the rewritten files hold no dropped
-    * columns' bytes to resurrect.)
+    * clone, never a torn copy; v1 stays time-travel-readable; and
+    * re-running materializeExternal completes the torn form. The copy
+    * itself is one distributed pass over the source bytes — exactly
+    * the irreducible cost of a deep clone.
     */
   def deepCloneTo(destDir: String, version: Int = -1): VersionedTable = {
     val dest = cloneTo(destDir, version)
-    dest.overwrite(dest.read())
+    dest.materializeExternal()
     dest
   }
 
