@@ -74,6 +74,23 @@ class CopyIntoSpec extends SparkSpecBase {
     assert(t.read().count() == 1, "source untouched by the clone's copy")
   }
 
+  test("two concurrent COPY INTOs of one landing dir never double-load") {
+    import spark.implicits._
+    val root = tmp()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .repartition(3).write.parquet(s"$root/src/b1")
+    val t = VersionedTable(spark, s"$root/t")
+    // OCC: both threads race the same ledger; the loser's retry
+    // re-reads the winner's copied set and must land ZERO new files
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => { t.copyInto(s"$root/src"); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.read().count() == 3,
+      s"double-load: ${t.read().count()} rows from a 3-row source")
+    assert(t.read().collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("COPY INTO SQL: loads, reports files, no-ops on re-run") {
     import spark.implicits._
     val svc = new QueryService(spark)
