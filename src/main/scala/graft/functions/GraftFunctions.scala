@@ -45,6 +45,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("word_shingles", 2)(args); WordShingles(a(0), a(1)) }),
     (FunctionIdentifier("zvalue"), info("zvalue", classOf[ZValue]),
       (args: Seq[Expression]) => { val a = expect("zvalue", 2)(args); ZValue(a(0), a(1)) }),
+    (FunctionIdentifier("zvalue_n"), info("zvalue_n", classOf[ZValueN]),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, s"zvalue_n expects >= 2 arguments, got ${args.length}")
+        ZValueN(args)
+      }),
     (FunctionIdentifier("bloom_contains"), info("bloom_contains", classOf[BloomContains]),
       (args: Seq[Expression]) => { val a = expect("bloom_contains", 2)(args); BloomContains(a(0), a(1)) }),
     (FunctionIdentifier("hash_embed"), info("hash_embed", classOf[HashEmbed]),
@@ -144,6 +149,7 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
   def zvalue(a: Column, b: Column): Column = call_function("zvalue", a, b)
+  def zvalueN(ids: Column*): Column = call_function("zvalue_n", ids: _*)
   def bloomContains(bloom: Column, h: Column): Column =
     call_function("bloom_contains", bloom, h)
   def hashEmbed(text: Column, dim: Int): Column =

@@ -180,6 +180,29 @@ object HashImpl {
     */
   def zvalue(a: Long, b: Long): Long = spread32(a) | (spread32(b) << 1)
 
+  /** Generic Morton interleave for 3+ dimensions: bit b of dimension
+    * i lands at position b·d + i, so the top interleaved bits cycle
+    * through every dimension's top bits — the equal-weight property
+    * z-ordering needs. Each id must fit 63/d bits (the compact path
+    * scales its range ids to exactly that); d=2 stays on the
+    * magic-constant [[zvalue]] fast path.
+    */
+  def zvalueN(ids: Array[Long]): Long = {
+    val d = ids.length
+    val bitsPer = 63 / d
+    var out = 0L
+    var b = 0
+    while (b < bitsPer) {
+      var i = 0
+      while (i < d) {
+        out |= ((ids(i) >>> b) & 1L) << (b * d + i)
+        i += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   private def spread32(v: Long): Long = {
     var x = v & 0xFFFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL

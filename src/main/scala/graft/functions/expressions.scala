@@ -171,6 +171,55 @@ case class ZValue(left: Expression, right: Expression)
   override def prettyName: String = "zvalue"
 }
 
+/** zvalue_n(id1, …, idN) → bigint: generic N-dimension Morton
+  * interleave for 3+ cluster columns (2 stays on [[ZValue]]'s
+  * magic-constant fast path). Each id must fit 63/N bits — the
+  * compaction path scales its equal-frequency range ids to exactly
+  * that. Codegen'd: ids land in a stack array, one static kernel
+  * call, any null input → null (the same semantics the binary form
+  * inherits from nullSafeEval).
+  */
+case class ZValueN(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  require(children.length >= 2, "zvalue_n needs at least 2 dimensions")
+  override def inputTypes: Seq[DataType] =
+    Seq.fill(children.length)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ids = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      ids(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HashImpl.zvalueN(ids)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zids")
+    val anyNull = ctx.freshName("zAnyNull")
+    val fill = evals.zipWithIndex.map { case (e, i) =>
+      code"""${e.code}
+            |if (${e.isNull}) { $anyNull = true; } else { $arr[$i] = ${e.value}; }
+            |""".stripMargin
+    }.reduce(_ + _)
+    ev.copy(code =
+      code"""boolean $anyNull = false;
+            |long[] $arr = new long[${children.length}];
+            |$fill
+            |boolean ${ev.isNull} = $anyNull;
+            |long ${ev.value} = $anyNull ? 0L : graft.functions.HashImpl.zvalueN($arr);
+            |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZValueN = copy(newChildren)
+  override def prettyName: String = "zvalue_n"
+}
+
 /** bloom_contains(bloom, h) → boolean: probe a [[BloomAgg]]-built
   * Bloom filter (binary, broadcast as a literal — KBs standing in for
   * a set too large to ship raw) for 64-bit item hash `h`. No false

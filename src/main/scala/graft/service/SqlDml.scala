@@ -91,7 +91,7 @@ import graft.sources.VersionedTable
   *     refuses)
   *   - maintenance: `VACUUM t [RETAIN n VERSIONS]` →
   *     [[VersionedTable.vacuum]] (result = files freed);
-  *     `OPTIMIZE t [ZORDER BY (c1[, c2])]` →
+  *     `OPTIMIZE t [ZORDER BY (c1[, … c4])]` →
   *     [[VersionedTable.compact]]; `RESTORE [TABLE] t [TO] VERSION AS
   *     OF v` → [[VersionedTable.restore]]
   *
@@ -515,7 +515,7 @@ object SqlDml {
     * quoted table path):
     *
     *   VACUUM t [RETAIN n VERSIONS] [DRY RUN] → vacuum(n); result = files freed (a DRY RUN reports the count with zero side effects)
-    *   OPTIMIZE t [WHERE cond] [ZORDER BY (c1[, c2])] → compact(clusterBy, where); result = version (WHERE restricts the bin-pack to stats-matching files — selective compaction)
+    *   OPTIMIZE t [WHERE cond] [ZORDER BY (c1[, … c4])] → compact(clusterBy, where); result = version (WHERE restricts the bin-pack to stats-matching files — selective compaction)
     *   RESTORE [TABLE] t [TO] VERSION AS OF v → restore(v); result = version
     *
     * Verb classification already treats all three as mutations at the

@@ -2827,7 +2827,6 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
 
   private def compactOnce(targetBytes: Long, clusterBy: Seq[String],
       where: Option[Column]): Int = {
-    require(clusterBy.size <= 2, "compact clusters on at most two columns")
     val v = currentVersion
     require(v > 0, s"table at $dir has no committed version")
     val m = manifest(v)
@@ -2859,19 +2858,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val packed = clusterBy match {
       case Seq()  => base.coalesce(nOut)              // shuffle-free bin-pack
       case Seq(c) => base.repartitionByRange(nOut, col(c))
-      case Seq(x, y) =>
+      case many if many.length > 4 => throw new IllegalArgumentException(
+        s"ZORDER BY ${many.length} columns: beyond 4 dimensions each " +
+          "dimension keeps too few interleaved bits to cluster usefully " +
+          "(63/n bits per dim) — cluster on the leading dimensions instead")
+      case dims => // 2-4 dimensions: equal-frequency range ids, interleaved
         // normalize each cluster key to an EQUAL-FREQUENCY range id
-        // (Delta's ZORDER recipe), then interleave — zvalue is a
-        // codegen'd native expression. Min/max scaling breaks on
-        // skewed or discrete dimensions (three langs near the min and
-        // one at the max all land in the same z-slab); quantile cut
-        // points split the z-space evenly whatever the distribution.
-        // Numeric columns key on their value; string columns on their
-        // first-4-UTF-8-bytes prefix as an unsigned int (byte-order-
-        // preserving for the prefix). A weak key can only loosen the
-        // clustering: per-file stats are recorded from the REAL
-        // values afterward, so skipping stays sound whatever the key
-        // does.
+        // (Delta's ZORDER recipe), then Morton-interleave — zvalue
+        // (2 dims, full 32 bits each) / zvalue_n (3-4 dims, 63/n bits
+        // each) are codegen'd native expressions. Min/max scaling
+        // breaks on skewed or discrete dimensions (three langs near
+        // the min and one at the max all land in the same z-slab);
+        // quantile cut points split the z-space evenly whatever the
+        // distribution. Numeric columns key on their value; string
+        // columns on their first-4-UTF-8-bytes prefix as an unsigned
+        // int (byte-order-preserving for the prefix). A weak key can
+        // only loosen the clustering: per-file stats are recorded
+        // from the REAL values afterward, so skipping stays sound
+        // whatever the key does.
         def clusterKey(c: String): Column = base.schema(c).dataType match {
           case StringType =>
             // LEFT-aligned 4-byte prefix: a short string shifts its
@@ -2885,34 +2889,41 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           case other => throw new IllegalArgumentException(
             s"compact clusterBy needs a numeric or string column, $c is ${other.simpleString}")
         }
-        val staged = base
-          .withColumn("__graft_zx", clusterKey(x).cast("double"))
-          .withColumn("__graft_zy", clusterKey(y).cast("double"))
+        val zcols = dims.indices.map(i => s"__graft_z$i")
+        val staged = dims.zip(zcols).foldLeft(base) { case (df, (c, zc)) =>
+          df.withColumn(zc, clusterKey(c).cast("double"))
+        }
         val probs = (1 until VersionedTable.ZBuckets)
           .map(_.toDouble / VersionedTable.ZBuckets).toArray
-        // one sampling pass for both dimensions' cut points
-        val Array(cutsX, cutsY) = staged.stat.approxQuantile(
-          Array("__graft_zx", "__graft_zy"), probs, 0.001)
-        def rangeId(k: Column, cuts: Array[Double]): Column = {
+        // one sampling pass for every dimension's cut points
+        val cuts = staged.stat.approxQuantile(zcols.toArray, probs, 0.001)
+        // each dim keeps bitsPer bits: 32 on the proven 2-dim path
+        // (zvalue spreads full 32-bit ids), 63/n beyond
+        val bitsPer = if (dims.length == 2) 32 else 63 / dims.length
+        def rangeId(k: Column, dimCuts: Array[Double]): Column = {
           // bucket index = #cuts below the value (codegen'd indicator
           // sum; nulls contribute nothing and share bucket 0), placed
-          // at i × 2^32/n over the DISTINCT cut count — a low-
+          // at i × 2^bitsPer/n over the DISTINCT cut count — a low-
           // cardinality dimension (4 langs → 4 buckets at 00,01,10,11
           // in the top bits) must vary the TOP z-bits exactly evenly
           // or the interleave degrades to single-column ordering. The
           // clamp folds the open top bucket of a continuous dimension
-          // into the highest cut's bucket, keeping every id < 2^32.
-          val cs = cuts.distinct
+          // into the highest cut's bucket, keeping every id < 2^bitsPer.
+          val cs = dimCuts.distinct
           val n = math.max(1, cs.length)
           val id = cs.foldLeft(lit(0L))((acc, c) =>
             acc + when(k > lit(c), 1L).otherwise(0L))
-          least(id, lit(n - 1L)) * lit((1L << 32) / n)
+          least(id, lit(n - 1L)) * lit((1L << bitsPer) / n)
         }
         graft.functions.GraftFunctions.register(spark) // idempotent
-        staged
-          .repartitionByRange(nOut, graft.functions.GraftFunctions.zvalue(
-            rangeId(col("__graft_zx"), cutsX), rangeId(col("__graft_zy"), cutsY)))
-          .drop("__graft_zx", "__graft_zy")
+        val ids = zcols.zip(cuts).map { case (zc, dimCuts) =>
+          rangeId(col(zc), dimCuts)
+        }
+        val zkey =
+          if (dims.length == 2)
+            graft.functions.GraftFunctions.zvalue(ids(0), ids(1))
+          else graft.functions.GraftFunctions.zvalueN(ids: _*)
+        staged.repartitionByRange(nOut, zkey).drop(zcols: _*)
     }
     commitData(v + 1, "compact", packed,
       carried, carried.flatMap(f => stats.get(f).map(f -> _)).toMap)

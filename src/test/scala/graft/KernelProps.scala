@@ -131,6 +131,29 @@ object KernelProps extends Properties("graft.kernels") {
       HashImpl.zvalue(a, b) == naive(a, b)
     }
 
+  property("zvalueN de-interleaves back to its inputs (3 and 4 dims)") =
+    forAll(Gen.choose(2, 4), Gen.listOfN(4, Gen.choose(0L, Long.MaxValue))) {
+      (d, raw) =>
+        val bitsPer = 63 / d
+        val mask = (1L << bitsPer) - 1
+        val ids = raw.take(d).map(_ & mask).toArray
+        val z = HashImpl.zvalueN(ids)
+        // bit b of dim i must sit at z position b*d + i — recover all
+        val back = Array.tabulate(d) { i =>
+          (0 until bitsPer).foldLeft(0L)((acc, b) =>
+            acc | (((z >>> (b * d + i)) & 1L) << b))
+        }
+        back.sameElements(ids)
+    }
+
+  property("zvalueN top interleaved bits come from every dim's top bit") =
+    forAll(Gen.listOfN(3, Gen.choose(0L, (1L << 21) - 1))) { raw =>
+      val ids = raw.toArray // 3 dims → 21 bits each
+      val z = HashImpl.zvalueN(ids)
+      (0 until 3).forall(i =>
+        ((z >>> (20 * 3 + i)) & 1L) == ((ids(i) >>> 20) & 1L))
+    }
+
   property("zvalue clusters quadrants: high bits come from high halves") =
     forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) { (a, b) =>
       // the top interleaved bit pair is (b's bit 31, a's bit 31): points

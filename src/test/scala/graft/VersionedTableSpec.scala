@@ -962,6 +962,35 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read().where(col("y") === 60L).count() == 0)
   }
 
+  test("3-dimension z-order: every dimension's stats prune after one compact") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    // a 16^3 cube scattered across appends in x-major slices: before
+    // compaction every file spans the full y and z ranges
+    val cube = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    cube.grouped(512).foreach(s => t.append(s.toDF("x", "y", "z").coalesce(1)))
+    val total = t.fileList(t.currentVersion)
+      .map(f => Files.size(java.nio.file.Paths.get(dir, f))).sum
+    val v = t.compact(targetBytes = total / 8 + 1, clusterBy = Seq("x", "y", "z"))
+    val zFiles = t.fileList(v)
+    assert(zFiles.size > 1, "need multiple output files to observe pruning")
+    // every dimension — including the THIRD, which a 2-dim key would
+    // scatter — must leave some files provably disjoint from a
+    // top-of-range point read
+    Seq("x", "y", "z").foreach { c =>
+      val rd = t.readWhere(col(c) === 15L)
+      assert(rd.count() == 256)
+      assert(rd.inputFiles.length < zFiles.size,
+        s"dim $c pruned nothing: opened ${rd.inputFiles.length} of ${zFiles.size}")
+    }
+    // >4 dims refuses loudly instead of degrading silently
+    intercept[IllegalArgumentException] {
+      t.compact(clusterBy = Seq("x", "y", "z", "x", "y"))
+    }
+  }
+
   test("z-order compact clusters a STRING column; equality reads skip files") {
     import spark.implicits._
     val dir = tmp()
