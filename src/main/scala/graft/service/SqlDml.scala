@@ -505,6 +505,9 @@ object SqlDml {
   // the predicate and blame a condition the user never wrote
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+((?:(?!\bZORDER\b).)+?))?(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_`\s,]+?)\s*\)?)?\s*;?\s*$""".r
+  private val VacuumOrphansRe =
+    ("""(?is)^\s*VACUUM\s+(.+?)\s+ORPHANS""" +
+     """(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTsRe =
@@ -532,6 +535,14 @@ object SqlDml {
       VersionedTable(spark, dir)
     }
     content(query) match {
+      // ORPHANS first: VacuumRe's lazy target group would otherwise
+      // swallow "t ORPHANS" as a (nonexistent) table name
+      case VacuumOrphansRe(target, hours, dry) =>
+        val age = Option(hours).map(_.toLong * 3600 * 1000)
+          .getOrElse(VersionedTable.DefaultOrphanAgeMs)
+        val freed = table(target).vacuumOrphans(age, dryRun = dry != null)
+        // orphans were never part of any snapshot — no cache impact
+        Some(spark.range(1).select(lit(freed).as("deleted_files")))
       case VacuumRe(target, retain, unit, dry) =>
         val vt = table(target)
         // RETAIN n HOURS (Delta's spelling) maps to newest-N retention

@@ -3315,6 +3315,82 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     math.max(n, 1)
   }
 
+  /** Reclaim ORPHANED data files: parquet (and their bloom/NDV
+    * sidecars) under the table directory that NO retained manifest
+    * references and that are older than `olderThanMs` — the debris a
+    * writer killed between writeFiles and its commit claim leaves
+    * behind, which version-based [[vacuum]] can never see (it walks
+    * manifests; these files were never in one). The age guard is the
+    * writer-safety mechanism (Delta's untracked-file retention): an
+    * in-flight commit's files are younger than any sane window, so
+    * the sweep runs safely next to live writers with no coordination.
+    * `dryRun` reports the count with zero deletes. The commit log
+    * itself and config sidecars are never candidates; external
+    * (clone-referenced) files live outside the directory by
+    * construction. One O(files) directory walk — the same cost class
+    * as the manifest listing maintenance already pays.
+    */
+  def vacuumOrphans(olderThanMs: Long = VersionedTable.DefaultOrphanAgeMs,
+      dryRun: Boolean = false): Int = {
+    require(olderThanMs >= 0, "orphan age must be non-negative")
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return 0
+    // everything ANY retained manifest can reach: data + change files
+    // and their index sidecars (sidecars are named <file>.bloom-* /
+    // <file>.ndv-*, so prefix-matching on the file path covers them)
+    val referenced: Set[String] = listVersions().flatMap { v =>
+      try {
+        val m = manifest(v)
+        manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
+      } catch { case NonFatal(_) => Seq.empty }
+    }.filterNot(VersionedTable.isExternal).map(rel => s"$dir/$rel").toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val logPrefix = logDir.toString
+    val candidates: Seq[Path] = {
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.toString.startsWith(logPrefix))
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") || n.contains(".parquet.bloom-") ||
+              n.contains(".parquet.ndv-")
+          }
+          .filterNot { p =>
+            val str = p.toString
+            // a sidecar is live while its data file is referenced
+            val base = str.indexOf(".parquet") match {
+              case -1 => str
+              case i  => str.substring(0, i + ".parquet".length)
+            }
+            referenced.contains(base)
+          }
+          .filter(p =>
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case NonFatal(_) => false }) // vanished under us: skip
+          .toSeq
+      } finally s.close()
+    }
+    if (dryRun) return candidates.size
+    candidates.foreach(p =>
+      try { Files.deleteIfExists(p); () } catch { case NonFatal(_) => () })
+    // drop now-empty data dirs (same rule as vacuum: markers like
+    // _SUCCESS don't keep a dead dir alive)
+    candidates.map(_.getParent).distinct.filter(_ != root).foreach { d =>
+      try {
+        val s = Files.list(d)
+        val hasParquet =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+          } finally s.close()
+        if (!hasParquet) deleteTree(d)
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    candidates.size
+  }
+
   def vacuum(retainVersions: Int = 1, force: Boolean = false,
       maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs,
       dryRun: Boolean = false): Int = {
@@ -3579,6 +3655,14 @@ object VersionedTable {
     * consumer doesn't pin history forever.
     */
   val DefaultFeedLeaseAgeMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Minimum age before an UNREFERENCED file counts as orphaned debris
+    * (7 days, Delta's untracked-file retention default): an in-flight
+    * writer's files are younger than any sane sweep window, so the
+    * age guard — not coordination — keeps vacuumOrphans safe to run
+    * next to live writers.
+    */
+  val DefaultOrphanAgeMs: Long = 7L * 24 * 60 * 60 * 1000
 
   /** Equal-frequency buckets per Z-order dimension (64 = 6 bits;
     * 4096 addressable z-cells — plenty of granularity above any

@@ -937,6 +937,41 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t2.read().where($"id" === 2L).head().getString(1) == "short")
   }
 
+  test("vacuumOrphans reclaims crashed-writer debris, never live files") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "name").coalesce(1))
+    val live = t.fileList(t.currentVersion)
+    // simulate a writer killed between writeFiles and its commit
+    // claim: a data file in a files-* dir no manifest references
+    val orphanDir = java.nio.file.Paths.get(dir, "files-deadbeef")
+    Files.createDirectories(orphanDir)
+    val src = java.nio.file.Paths.get(dir, live.head)
+    val orphan = orphanDir.resolve("part-00000-dead.parquet")
+    Files.copy(src, orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    // a YOUNG unreferenced file survives the default window (in-flight
+    // writer safety); age 0 makes it sweepable
+    assert(t.vacuumOrphans(dryRun = true) == 0, "default window must spare it")
+    assert(t.vacuumOrphans(olderThanMs = 0, dryRun = true) == 1)
+    assert(Files.exists(orphan), "dry run must not delete")
+    assert(t.vacuumOrphans(olderThanMs = 0) == 1)
+    assert(!Files.exists(orphan) && !Files.exists(orphanDir),
+      "orphan and its empty dir must go")
+    // live files untouched, the table still reads, re-run is a no-op
+    assert(live.forall(f => Files.exists(java.nio.file.Paths.get(dir, f))))
+    assert(t.read().count() == 3)
+    assert(t.vacuumOrphans(olderThanMs = 0) == 0)
+    // the SQL spelling over a quoted path
+    val svc = new graft.service.QueryService(spark)
+    val freed = svc.sql(s"VACUUM '$dir' ORPHANS OLDER THAN 0 HOURS DRY RUN")
+      .head().getInt(0)
+    assert(freed == 0)
+  }
+
   test("z-order compact keeps BOTH columns' file stats tight for pruning") {
     import spark.implicits._
     val dir = tmp()
