@@ -181,7 +181,10 @@ case class ZValue(left: Expression, right: Expression)
   */
 case class ZValueN(children: Seq[Expression])
     extends Expression with ImplicitCastInputTypes {
-  require(children.length >= 2, "zvalue_n needs at least 2 dimensions")
+  require(children.length >= 2 && children.length <= 8,
+    s"zvalue_n takes 2-8 dimensions, got ${children.length} — beyond 8 " +
+      "each dimension keeps under 8 interleaved bits and the key stops " +
+      "clustering anything")
   override def inputTypes: Seq[DataType] =
     Seq.fill(children.length)(LongType)
   override def dataType: DataType = LongType

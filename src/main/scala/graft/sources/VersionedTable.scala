@@ -3333,51 +3333,80 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   def vacuumOrphans(olderThanMs: Long = VersionedTable.DefaultOrphanAgeMs,
       dryRun: Boolean = false): Int = {
     require(olderThanMs >= 0, "orphan age must be non-negative")
-    val root = Paths.get(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize()
     if (!Files.isDirectory(root)) return 0
     // everything ANY retained manifest can reach: data + change files
     // and their index sidecars (sidecars are named <file>.bloom-* /
-    // <file>.ndv-*, so prefix-matching on the file path covers them)
+    // <file>.ndv-*, so prefix-matching on the file path covers them).
+    // Paths are built with the SAME resolver the walk below uses —
+    // string concat against a non-canonical dir (trailing slash)
+    // would match nothing and classify every live file as debris.
+    // A manifest that cannot be READ aborts the sweep (deleting on
+    // incomplete knowledge is how a cleaner destroys a table); one
+    // that VANISHED under us was dropped by a concurrent vacuum and
+    // its files are that vacuum's to reclaim — skip it.
     val referenced: Set[String] = listVersions().flatMap { v =>
       try {
         val m = manifest(v)
         manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
-      } catch { case NonFatal(_) => Seq.empty }
-    }.filterNot(VersionedTable.isExternal).map(rel => s"$dir/$rel").toSet
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException => Seq.empty
+      }
+    }.filterNot(VersionedTable.isExternal)
+      .map(rel => root.resolve(rel).normalize().toString).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val logPrefix = logDir.toString
-    val candidates: Seq[Path] = {
-      val s = Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && !p.toString.startsWith(logPrefix))
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.endsWith(".parquet") || n.contains(".parquet.bloom-") ||
-              n.contains(".parquet.ndv-")
+    // walk skips the commit-log subtree entirely (manifests and
+    // checkpoints are never candidates — no point statting them)
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult =
+        if (d.getFileName != null &&
+            d.getFileName.toString == logDir.getFileName.toString)
+          java.nio.file.FileVisitResult.SKIP_SUBTREE
+        else java.nio.file.FileVisitResult.CONTINUE
+      override def visitFile(p: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        val n = p.getFileName.toString
+        val isData = n.endsWith(".parquet") || n.contains(".parquet.bloom-") ||
+          n.contains(".parquet.ndv-")
+        if (isData && attrs.isRegularFile &&
+            attrs.lastModifiedTime.toMillis < cutoff) {
+          // a sidecar is live while its data file is referenced; the
+          // suffix search runs on the FILE NAME (a directory named
+          // *.parquet up the path must not truncate the base)
+          val base = n.lastIndexOf(".parquet") match {
+            case -1 => p
+            case i  => p.resolveSibling(n.substring(0, i + ".parquet".length))
           }
-          .filterNot { p =>
-            val str = p.toString
-            // a sidecar is live while its data file is referenced
-            val base = str.indexOf(".parquet") match {
-              case -1 => str
-              case i  => str.substring(0, i + ".parquet".length)
-            }
-            referenced.contains(base)
-          }
-          .filter(p =>
-            try Files.getLastModifiedTime(p).toMillis < cutoff
-            catch { case NonFatal(_) => false }) // vanished under us: skip
-          .toSeq
-      } finally s.close()
-    }
+          if (!referenced.contains(base.toString)) { candidates += p; () }
+        }
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE // vanished under us: skip
+    })
     if (dryRun) return candidates.size
-    candidates.foreach(p =>
-      try { Files.deleteIfExists(p); () } catch { case NonFatal(_) => () })
-    // drop now-empty data dirs (same rule as vacuum: markers like
-    // _SUCCESS don't keep a dead dir alive)
-    candidates.map(_.getParent).distinct.filter(_ != root).foreach { d =>
+    // report what was actually FREED, not what was attempted — the
+    // SQL result must not overstate under a permission-locked file
+    val deleted = candidates.count(p =>
+      try Files.deleteIfExists(p)
+      catch { case NonFatal(_) => false })
+    dropEmptyDataDirs(candidates.map(_.getParent).distinct.toSeq.filter(_ != root))
+    deleted
+  }
+
+  /** Drop data dirs with no parquet left (write markers like _SUCCESS
+    * don't keep a dead dir alive); a dir a concurrent vacuum removes
+    * UNDER us is fine — catch, don't check-then-act. Shared by
+    * [[vacuum]] and [[vacuumOrphans]].
+    */
+  private def dropEmptyDataDirs(dirs: Seq[Path]): Unit =
+    dirs.foreach { d =>
       try {
         val s = Files.list(d)
         val hasParquet =
@@ -3388,8 +3417,6 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         if (!hasParquet) deleteTree(d)
       } catch { case _: java.nio.file.NoSuchFileException => () }
     }
-    candidates.size
-  }
 
   def vacuum(retainVersions: Int = 1, force: Boolean = false,
       maxFeedLeaseAgeMs: Long = VersionedTable.DefaultFeedLeaseAgeMs,
@@ -3463,21 +3490,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         } finally s.close()
       }
     }
-    // drop data dirs with no parquet left (write markers like _SUCCESS
-    // don't keep a dead dir alive) and the dropped manifests; a dir a
-    // concurrent/interrupted vacuum removes UNDER us is fine — catch,
-    // don't check-then-act
-    dead.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
-      try {
-        val s = Files.list(d)
-        val hasParquet =
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-          } finally s.close()
-        if (!hasParquet) deleteTree(d)
-      } catch { case _: java.nio.file.NoSuchFileException => () }
-    }
+    // drop data dirs with no parquet left, then the dropped manifests
+    dropEmptyDataDirs(dead.map(rel => Paths.get(dir, rel).getParent).distinct)
     drop.foreach { v =>
       Files.deleteIfExists(manifestPath(v))
       Files.deleteIfExists(checkpointPath(v))

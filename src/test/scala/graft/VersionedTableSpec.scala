@@ -970,6 +970,20 @@ class VersionedTableSpec extends SparkSpecBase {
     val freed = svc.sql(s"VACUUM '$dir' ORPHANS OLDER THAN 0 HOURS DRY RUN")
       .head().getInt(0)
     assert(freed == 0)
+    // a NON-CANONICAL table path (trailing slash) must still match
+    // every referenced file — a resolver mismatch here would classify
+    // the whole live table as debris
+    assert(VersionedTable(spark, dir + "/").vacuumOrphans(
+      olderThanMs = 0, dryRun = true) == 0,
+      "trailing-slash path misclassified live files as orphans")
+    // an UNREADABLE manifest aborts the sweep — deleting on incomplete
+    // knowledge is how a cleaner destroys a table
+    val m1 = java.nio.file.Paths.get(dir, "_graft_log", "v00000001.json")
+    val good = Files.readAllBytes(m1)
+    Files.write(m1, "{torn".getBytes)
+    try intercept[Exception] { t.vacuumOrphans(olderThanMs = 0, dryRun = true) }
+    finally Files.write(m1, good)
+    assert(t.vacuumOrphans(olderThanMs = 0, dryRun = true) == 0)
   }
 
   test("z-order compact keeps BOTH columns' file stats tight for pruning") {
