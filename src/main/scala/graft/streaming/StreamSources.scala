@@ -159,7 +159,8 @@ final case class IvfStreamSink(indexDir: String, checkpoint: String)
 
 final case class VTableStreamSink(dir: String, checkpoint: String,
     compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20,
-    refreshView: Option[graft.sources.MaterializedView] = None)
+    refreshView: Option[graft.sources.MaterializedView] = None,
+    clusterBy: Seq[String] = Seq.empty)
     extends StreamSinkProvider {
   val name = "vtable"
   def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
@@ -192,8 +193,14 @@ final case class VTableStreamSink(dir: String, checkpoint: String,
         // (The refresh FOLLOWING a compact recomputes once — compact
         // rewrites files — then resumes incremental: 1/compactEvery of
         // refreshes pay the full path.)
+        // clusterBy makes the inline maintenance pass also the
+        // CLUSTERING pass: per-epoch files land append-ordered, and
+        // every compaction boundary re-sorts the small tail into
+        // tight per-file stats (1-col range, 2-4-col Z-order) — a
+        // stream-fed table stays point-lookup-prunable with no
+        // external OPTIMIZE job
         if (landed.nonEmpty && compactEvery > 0 && (epochId + 1) % compactEvery == 0)
-          try { t.compact(compactTargetBytes); () }
+          try { t.compact(compactTargetBytes, clusterBy); () }
           catch {
             case scala.util.control.NonFatal(e) =>
               Console.err.println(

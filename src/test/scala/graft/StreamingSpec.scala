@@ -571,6 +571,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("clustered sink: inline compaction leaves a stream-fed table point-prunable") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-zcsrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-zcsink").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-zcchk").toString
+    // cluster on user_id; keep targetBytes tiny so the pack yields
+    // multiple RANGE-disjoint files instead of one
+    val sink = graft.streaming.VTableStreamSink(tableDir, chk,
+      compactEvery = 4, compactTargetBytes = 3000L, clusterBy = Seq("user_id"))
+    val q = sink.start(
+      graft.streaming.FileStreamSource("parquet", src, Seq.empty[Event].toDS().schema)
+        .readStream(spark))
+    try {
+      // 4 epochs, each spanning the FULL user range — before the
+      // clustered compaction every file admits every user
+      (1 to 4).foreach { i =>
+        (0 until 64).map(u =>
+            Event(i.toLong * 100 + u, ts(i), u.toLong, "click", 1.0))
+          .toDS().coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+      val t = graft.sources.VersionedTable(spark, tableDir)
+      assert(t.read().count() == 256)
+      val files = t.fileList(t.currentVersion)
+      assert(files.size > 1, s"need several files to observe pruning: $files")
+      val rd = t.readWhere(col("user_id") === 63L)
+      assert(rd.count() == 4)
+      assert(rd.inputFiles.length < files.size,
+        s"clustered sink pruned nothing: ${rd.inputFiles.length} of ${files.size}")
+    } finally q.stop()
+  }
+
   test("streaming materialized view: per-epoch incremental refresh tracks the sink") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
