@@ -129,11 +129,19 @@ object GraftSqlParser {
       org.apache.spark.sql.types.BooleanType, nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)())
 
-  /** Mirrors [[graft.sources.VersionedTable.history]]'s schema. */
+  /** Mirrors [[graft.sources.VersionedTable.history]]'s schema
+    * (incl. the operation-metrics columns — a drift here surfaces as
+    * a CatalystTypeConverters arity crash on the plain-spark.sql
+    * DESCRIBE HISTORY path).
+    */
   private def historyOutput: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("op", StringType, nullable = false)(),
     AttributeReference("ts", LongType, nullable = true)(),
     AttributeReference("n_files", IntegerType, nullable = false)(),
-    AttributeReference("epoch", LongType, nullable = true)())
+    AttributeReference("epoch", LongType, nullable = true)(),
+    AttributeReference("files_added", IntegerType, nullable = true)(),
+    AttributeReference("files_removed", IntegerType, nullable = true)(),
+    AttributeReference("rows_added", LongType, nullable = true)(),
+    AttributeReference("rows_removed", LongType, nullable = true)())
 }

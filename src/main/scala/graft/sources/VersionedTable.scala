@@ -3241,14 +3241,45 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   def history(maxVersions: Int = 100): DataFrame = {
     val cur = currentVersion
     require(cur > 0, s"table at $dir has no committed version")
+    // operation metrics (Delta's operationMetrics): files/rows the
+    // commit ADDED and REMOVED, from the manifest file-set diff vs the
+    // previous version. Rows come from each file's `_rows` stat — a
+    // version with any statless file reports null rather than a wrong
+    // number; the oldest retained version diffs against its own full
+    // file set (everything "added") only when v-1 is readable, else
+    // null (the diff is unknowable below the vacuum horizon).
+    def rowsOf(m: JsonNode, files: Seq[String]): Option[Long] = {
+      val stats = manifestStats(m)
+      val per = files.map(f => stats.get(f)
+        .filter(n => n.has("_rows") && n.get("_rows").isNumber)
+        .map(_.get("_rows").asLong))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
     val rows = Iterator.range(cur, math.max(cur - maxVersions, 0), -1)
       .map { v =>
         try {
           val m = manifest(v)
+          val files = manifestFiles(m)
+          val prev: Option[(JsonNode, Set[String])] =
+            if (v <= 1) Some((m, Set.empty[String])) // v1 adds everything
+            else
+              try { val pm = manifest(v - 1); Some((pm, manifestFiles(pm).toSet)) }
+              catch { case NonFatal(_) => None }
+          val added = prev.map { case (_, pf) => files.filterNot(pf) }
+          val removed = prev.map { case (pm, _) =>
+            (prev.get._2 -- files.toSet).toSeq }
+          def jl(o: Option[Long]): java.lang.Long =
+            o.map(java.lang.Long.valueOf).orNull
+          def ji(o: Option[Int]): java.lang.Integer =
+            o.map(java.lang.Integer.valueOf).orNull
           Some(Row(v, m.path("op").asText(""),
             if (m.has("ts")) java.lang.Long.valueOf(m.get("ts").asLong) else null,
-            manifestFiles(m).size,
-            if (m.has("epoch")) java.lang.Long.valueOf(m.get("epoch").asLong) else null))
+            files.size,
+            if (m.has("epoch")) java.lang.Long.valueOf(m.get("epoch").asLong) else null,
+            ji(added.map(_.size)), ji(removed.map(_.size)),
+            jl(added.flatMap(a => rowsOf(m, a))),
+            jl(prev.flatMap { case (pm, _) =>
+              removed.flatMap(r => rowsOf(pm, r)) })))
         } catch {
           // below the vacuum horizon: the walk is over
           case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
@@ -3261,7 +3292,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       StructField("op", StringType, nullable = false),
       StructField("ts", LongType, nullable = true),
       StructField("n_files", IntegerType, nullable = false),
-      StructField("epoch", LongType, nullable = true)))
+      StructField("epoch", LongType, nullable = true),
+      StructField("files_added", IntegerType, nullable = true),
+      StructField("files_removed", IntegerType, nullable = true),
+      StructField("rows_added", LongType, nullable = true),
+      StructField("rows_removed", LongType, nullable = true)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }

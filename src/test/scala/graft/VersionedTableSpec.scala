@@ -607,10 +607,27 @@ class VersionedTableSpec extends SparkSpecBase {
     }
     // v2 carried v1's file(s) plus its own; the walk respects maxVersions
     assert(h(1).getInt(3) > h(2).getInt(3) || h(2).getInt(3) >= 1)
+    // operation metrics: the file-set diff + per-file row stats.
+    // v1 added 2 rows from nothing; v2 added 1; the keyed delete
+    // rewrote the touched file (one removed, its replacement added)
+    // and net rows_added - rows_removed == -1
+    val byV = h.map(r => r.getInt(0) -> r).toMap
+    assert(byV(1).getAs[Int]("files_added") >= 1 &&
+      byV(1).getAs[Int]("files_removed") == 0)
+    assert(byV(1).getAs[Long]("rows_added") == 2L)
+    assert(byV(2).getAs[Long]("rows_added") == 1L &&
+      byV(2).getAs[Long]("rows_removed") == 0L)
+    assert(byV(3).getAs[Int]("files_removed") >= 1)
+    assert(byV(3).getAs[Long]("rows_added") -
+      byV(3).getAs[Long]("rows_removed") == -1L)
     assert(t.history(maxVersions = 2).collect().map(_.getInt(0)).toSeq == Seq(3, 2))
     // vacuumed history truncates the walk instead of failing
     t.vacuum(retainVersions = 1)
-    assert(t.history().collect().map(_.getInt(0)).toSeq == Seq(3))
+    val afterVac = t.history().collect()
+    assert(afterVac.map(_.getInt(0)).toSeq == Seq(3))
+    // the oldest retained version's diff is unknowable below the
+    // horizon → null metrics, never a fabricated number
+    assert(afterVac.head.isNullAt(afterVac.head.fieldIndex("files_added")))
   }
 
   test("delete on a non-leading key preserves committed column order") {
