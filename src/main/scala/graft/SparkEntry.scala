@@ -169,6 +169,8 @@ object SparkEntry {
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
     "q_hll_sketch" -> ((s, d) => Relational.qHllSketch(t(s, d))),
+    "q_kll_quantiles" -> ((s, d) => Relational.qKllQuantiles(t(s, d))),
+    "q_theta_overlap" -> ((s, d) => Relational.qThetaOverlap(t(s, d))),
     "q_percentile" -> ((s, d) => Relational.qPercentile(t(s, d))),
     "q_percentile_approx" -> ((s, d) => Relational.qPercentileApprox(t(s, d))),
     "q_stats_agg" -> ((s, d) => Relational.qStatsAgg(t(s, d))),
@@ -601,6 +603,45 @@ object SparkEntry {
         |SELECT est.event_type, est.est_users_total, est.est_user_days_wk1, ex.n_events,
         |  abs(est.est_users_total - ex.ex_total) <= greatest(ex.ex_total * 0.049, 3.0) AS total_ok,
         |  abs(est.est_user_days_wk1 - ex.ex_wk1) <= greatest(ex.ex_wk1 * 0.049, 3.0) AS wk1_ok
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_kll_quantiles" ->
+      s"""WITH est AS (
+        |  SELECT event_type, v50, v95
+        |  FROM read_parquet('${graft.util.OracleExports.dir("kll_sketch")}/*.parquet')),
+        |a AS (
+        |  SELECT ev.event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN ev.value <= e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS le50,
+        |    CAST(sum(CASE WHEN ev.value <  e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS lt50,
+        |    CAST(sum(CASE WHEN ev.value <= e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS le95,
+        |    CAST(sum(CASE WHEN ev.value <  e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS lt95
+        |  FROM events ev JOIN est e USING (event_type)
+        |  GROUP BY ev.event_type)
+        |SELECT a.event_type,
+        |  floor(e.v50 * 10000 + 0.5) / 10000 AS p50,
+        |  floor(e.v95 * 10000 + 0.5) / 10000 AS p95,
+        |  a.n,
+        |  (le50 >= n * 0.5 - (n * 0.03 + 1.0)) AND (lt50 <= n * 0.5 + (n * 0.03 + 1.0)) AS p50_ok,
+        |  (le95 >= n * 0.95 - (n * 0.03 + 1.0)) AND (lt95 <= n * 0.95 + (n * 0.03 + 1.0)) AS p95_ok
+        |FROM a JOIN est e USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_theta_overlap" ->
+      s"""WITH est AS (
+        |  SELECT event_type, est_both, est_any
+        |  FROM read_parquet('${graft.util.OracleExports.dir("theta_overlap")}/*.parquet')),
+        |e AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN CAST(extract(day FROM ts) AS INTEGER) <= 7 THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN CAST(extract(day FROM ts) AS INTEGER) > 7 THEN 1 ELSE 0 END) AS h2
+        |  FROM events GROUP BY event_type, user_id),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ex_both,
+        |    count(*) AS ex_any
+        |  FROM e GROUP BY event_type)
+        |SELECT est.event_type, est.est_both, est.est_any,
+        |  abs(est.est_both - ex.ex_both) <= greatest(ex.ex_both * 0.05, 3.0) AS both_ok,
+        |  abs(est.est_any - ex.ex_any) <= greatest(ex.ex_any * 0.05, 3.0) AS any_ok
         |FROM est JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q6_filter_agg" ->

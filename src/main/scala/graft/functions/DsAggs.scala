@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{Intersection, SetOperation, Sketches, Union}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types._
+
+/** DataSketches aggregates beyond Spark's built-in HLL family — the
+  * two sketch classes a 100 TB analytics layer still needs:
+  *
+  *   - KLL quantile sketches (`kll_sketch_agg` / `kll_merge_agg` /
+  *     `kll_value`): RE-AGGREGATABLE percentiles. approx_percentile's
+  *     GK summary answers one query and is gone; a STORED KLL sketch
+  *     per (group, day) answers any later quantile question over any
+  *     date window by merging KB-sized summaries — the quantile twin
+  *     of the stored-HLL distinct rollup (`q_hll_sketch`).
+  *   - Theta sketches (`theta_sketch_agg` / `theta_union_agg` /
+  *     `theta_intersect_agg` / `theta_estimate`): distinct-count
+  *     sketches CLOSED UNDER SET ALGEBRA. HLL unions only; Theta
+  *     intersects — "distinct users in BOTH periods" (audience
+  *     overlap, retention) without ever shuffling raw ids twice.
+  *
+  * All are TypedImperativeAggregates (Spark's own datasketches-HLL
+  * shape): the buffer IS the sketch object, serialized only at
+  * shuffle boundaries, partials combine map-side — one distributed
+  * aggregation whatever the cardinality.
+  */
+object DsImpl {
+  // Spark evaluates scalar sketch readers inside codegen; keep them as
+  // single static calls like the HashImpl kernels.
+  def kllQuantile(bytes: Array[Byte], p: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(p,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+
+  def thetaEstimate(bytes: Array[Byte]): Double =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
+}
+
+/** kll_sketch_agg(value[, k]) → binary: a KLL doubles sketch of the
+  * group's values. k (default 200) trades size for rank accuracy
+  * (~1.65% normalized rank error at 200, 99% confidence).
+  */
+case class KllSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(b))
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** kll_merge_agg(sketch) → binary: union previously built KLL
+  * sketches WITHOUT touching raw values — the re-aggregation step
+  * (store per-day sketches once, answer any window later).
+  */
+case class KllMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance() // merge adopts the inputs' k
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(b))
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllMergeAgg =
+    copy(child = c)
+  override def prettyName: String = "kll_merge_agg"
+}
+
+/** kll_value(sketch, p) → double: the p-quantile a KLL sketch holds
+  * (INCLUSIVE search — the convention `percentile` families share).
+  */
+case class KllValue(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    DsImpl.kllQuantile(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.DsImpl.kllQuantile($b, $p)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllValue = copy(newLeft, newRight)
+  override def prettyName: String = "kll_value"
+}
+
+/** theta_sketch_agg(item) → binary: a Theta sketch of the group's
+  * 64-bit items. lgK fixes nominal entries (default 2^12 = 4096):
+  * EXACT below that many distincts, ~1/√(2^lgK) relative error above.
+  * The buffer is a theta Union — it accepts raw item updates AND
+  * partial-sketch merges through one object.
+  */
+case class ThetaSketchAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26], got $lgK")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(b: Array[Byte]): Union = {
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    u
+  }
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "theta_sketch_agg"
+}
+
+/** theta_union_agg(sketch) → binary: OR-combine stored sketches. */
+case class ThetaUnionAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(Sketches.wrapCompactSketch(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(b: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    u
+  }
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaUnionAgg =
+    copy(child = c)
+  override def prettyName: String = "theta_union_agg"
+}
+
+/** theta_intersect_agg(sketch) → binary: AND-combine stored sketches —
+  * the operation HLL structurally cannot do. Zero input rows yield an
+  * EMPTY sketch (estimate 0): the intersection of nothing is defined
+  * as empty here rather than the mathematician's universal set,
+  * because "no cohort matched" must read as zero overlap, not
+  * everything. State is (Intersection, seeded) — DataSketches'
+  * Intersection is virgin until its first intersect and would throw.
+  */
+case class ThetaIntersectAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaIntersectAgg.Buf]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): ThetaIntersectAgg.Buf =
+    ThetaIntersectAgg.Buf(SetOperation.builder().buildIntersection(), seeded = false)
+  override def update(buf: ThetaIntersectAgg.Buf, input: InternalRow): ThetaIntersectAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.it.intersect(Sketches.wrapCompactSketch(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf.seeded = true
+    }
+    buf
+  }
+  override def merge(buf: ThetaIntersectAgg.Buf, other: ThetaIntersectAgg.Buf): ThetaIntersectAgg.Buf =
+    // an unseeded partial is the identity (no constraints yet), not an
+    // empty set — merging it must not zero the other side
+    if (!other.seeded) buf
+    else if (!buf.seeded) other
+    else { buf.it.intersect(other.it.getResult); buf }
+  override def eval(buf: ThetaIntersectAgg.Buf): Any =
+    (if (buf.seeded) buf.it.getResult
+     else org.apache.datasketches.theta.UpdateSketch.builder().build().compact())
+      .toByteArray
+  override def serialize(buf: ThetaIntersectAgg.Buf): Array[Byte] =
+    if (!buf.seeded) Array.emptyByteArray
+    else buf.it.getResult.toByteArray
+  override def deserialize(b: Array[Byte]): ThetaIntersectAgg.Buf =
+    if (b.isEmpty) createAggregationBuffer()
+    else {
+      val buf = createAggregationBuffer()
+      buf.it.intersect(Sketches.wrapCompactSketch(Memory.wrap(b)))
+      buf.seeded = true
+      buf
+    }
+  override def withNewMutableAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaIntersectAgg =
+    copy(child = c)
+  override def prettyName: String = "theta_intersect_agg"
+}
+
+object ThetaIntersectAgg {
+  final case class Buf(it: Intersection, var seeded: Boolean)
+}
+
+/** theta_estimate(sketch) → double: the sketch's distinct estimate. */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(b: Any): Any =
+    DsImpl.thetaEstimate(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.DsImpl.thetaEstimate($b)")
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(newChild)
+  override def prettyName: String = "theta_estimate"
+}

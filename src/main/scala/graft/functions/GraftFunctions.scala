@@ -52,6 +52,32 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bloom_contains"), info("bloom_contains", classOf[BloomContains]),
       (args: Seq[Expression]) => { val a = expect("bloom_contains", 2)(args); BloomContains(a(0), a(1)) }),
+    (FunctionIdentifier("kll_sketch_agg"), info("kll_sketch_agg", classOf[KllSketchAgg]),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => KllSketchAgg(v, 200)
+        case Seq(v, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KllSketchAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: kll_sketch_agg(value[, k literal])")
+      }),
+    (FunctionIdentifier("kll_merge_agg"), info("kll_merge_agg", classOf[KllMergeAgg]),
+      (args: Seq[Expression]) => { val a = expect("kll_merge_agg", 1)(args); KllMergeAgg(a(0)) }),
+    (FunctionIdentifier("kll_value"), info("kll_value", classOf[KllValue]),
+      (args: Seq[Expression]) => { val a = expect("kll_value", 2)(args); KllValue(a(0), a(1)) }),
+    (FunctionIdentifier("theta_sketch_agg"), info("theta_sketch_agg", classOf[ThetaSketchAgg]),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => ThetaSketchAgg(v, 12)
+        case Seq(v, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          ThetaSketchAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: theta_sketch_agg(item[, lgK literal])")
+      }),
+    (FunctionIdentifier("theta_union_agg"), info("theta_union_agg", classOf[ThetaUnionAgg]),
+      (args: Seq[Expression]) => { val a = expect("theta_union_agg", 1)(args); ThetaUnionAgg(a(0)) }),
+    (FunctionIdentifier("theta_intersect_agg"), info("theta_intersect_agg", classOf[ThetaIntersectAgg]),
+      (args: Seq[Expression]) => { val a = expect("theta_intersect_agg", 1)(args); ThetaIntersectAgg(a(0)) }),
+    (FunctionIdentifier("theta_estimate"), info("theta_estimate", classOf[ThetaEstimate]),
+      (args: Seq[Expression]) => { val a = expect("theta_estimate", 1)(args); ThetaEstimate(a(0)) }),
     (FunctionIdentifier("hash_embed"), info("hash_embed", classOf[HashEmbed]),
       (args: Seq[Expression]) => { val a = expect("hash_embed", 2)(args); HashEmbed(a(0), a(1)) }),
     (FunctionIdentifier("bpe_count"), info("bpe_count", classOf[BpeTokenCount]),
@@ -154,6 +180,16 @@ object GraftFunctions {
     call_function("bloom_contains", bloom, h)
   def hashEmbed(text: Column, dim: Int): Column =
     call_function("hash_embed", text, lit(dim))
+  def kllSketchAgg(v: Column, k: Int = 200): Column =
+    call_function("kll_sketch_agg", v, lit(k))
+  def kllMergeAgg(s: Column): Column = call_function("kll_merge_agg", s)
+  def kllValue(s: Column, p: Double): Column =
+    call_function("kll_value", s, lit(p))
+  def thetaSketchAgg(v: Column, lgK: Int = 12): Column =
+    call_function("theta_sketch_agg", v, lit(lgK))
+  def thetaUnionAgg(s: Column): Column = call_function("theta_union_agg", s)
+  def thetaIntersectAgg(s: Column): Column = call_function("theta_intersect_agg", s)
+  def thetaEstimate(s: Column): Column = call_function("theta_estimate", s)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

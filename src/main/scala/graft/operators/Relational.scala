@@ -1203,6 +1203,87 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Re-aggregatable QUANTILES via stored KLL sketches — the quantile
+    * twin of [[qHllSketch]]'s stored-HLL distinct rollup:
+    * `approx_percentile`'s GK summary answers one query and is gone,
+    * while a KLL sketch per (event_type, day) is materialized ONCE
+    * and answers any later quantile question over any date window by
+    * merging KB-sized summaries (`kll_merge_agg`), never re-touching
+    * raw events. DuckDB-oracled as a BOUND-VERIFICATION REPLAY like
+    * q_percentile_approx: the merged sketches' chosen values export
+    * as the decision; both engines recompute each value's exact rank
+    * span over raw rows and hash-compare the within-bound flags
+    * (k=200 → ~1.65% normalized rank error at 99% confidence; the
+    * audit allows 3% + 1).
+    */
+  def qKllQuantiles(t: Tables): DataFrame = {
+    import graft.functions.GraftFunctions.{kllMergeAgg, kllSketchAgg, kllValue}
+    val typed = t.events
+      .select(col("event_type"), dayofmonth(col("ts")).as("day"), col("value"))
+    val daily = typed.groupBy("event_type", "day")
+      .agg(kllSketchAgg(col("value")).as("sk"))
+    val est = daily.groupBy("event_type")
+      .agg(kllValue(kllMergeAgg(col("sk")), 0.5).as("v50"),
+        kllValue(kllMergeAgg(col("sk")), 0.95).as("v95"))
+    val decided = graft.util.OracleExports.materialize(est, "kll_sketch")
+    val audit = typed.join(broadcast(decided), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("v95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") < col("v95"), 1L).otherwise(0L)).as("lt95"))
+    def ok(le: String, lt: String, p: Double) = {
+      val eps = col("n") * 0.03 + lit(1.0)
+      (col(le) >= col("n") * p - eps) && (col(lt) <= col("n") * p + eps)
+    }
+    decided.join(audit, "event_type")
+      .select(col("event_type"),
+        round(col("v50"), 4).as("p50"), round(col("v95"), 4).as("p95"),
+        col("n"),
+        ok("le50", "lt50", 0.5).as("p50_ok"),
+        ok("le95", "lt95", 0.95).as("p95_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Audience OVERLAP via Theta sketches — distinct-count sketches
+    * closed under SET ALGEBRA, the operation HLL structurally cannot
+    * do: per (event_type, period-half) sketches of user_id intersect
+    * (`theta_intersect_agg`) into "distinct users active in BOTH
+    * halves" and union into "active in either", without shuffling raw
+    * ids a second time — retention/overlap at 100 TB from stored
+    * KB-sized sketches. lgK=14 keeps the sketch EXACT below 16k
+    * distincts per cell and ~0.8%-error beyond. DuckDB-oracled as a
+    * bound-verification replay (estimates export; both engines
+    * recompute exact overlap from raw rows; flags hash-compare).
+    */
+  def qThetaOverlap(t: Tables): DataFrame = {
+    import graft.functions.GraftFunctions.{thetaEstimate, thetaIntersectAgg, thetaSketchAgg, thetaUnionAgg}
+    val typed = t.events
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 7, 0).otherwise(1).as("half"),
+        col("user_id"))
+    val halves = typed.groupBy("event_type", "half")
+      .agg(thetaSketchAgg(col("user_id"), 14).as("sk"))
+    val est = halves.groupBy("event_type")
+      .agg(thetaEstimate(thetaIntersectAgg(col("sk"))).cast("long").as("est_both"),
+        thetaEstimate(thetaUnionAgg(col("sk"))).cast("long").as("est_any"))
+    val decided = graft.util.OracleExports.materialize(est, "theta_overlap")
+    val exact = typed.groupBy("event_type", "user_id")
+      .agg(max(when(col("half") === 0, 1).otherwise(0)).as("h1"),
+        max(when(col("half") === 1, 1).otherwise(0)).as("h2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("h1") === 1 && col("h2") === 1, 1L).otherwise(0L)).as("ex_both"),
+        count(lit(1)).as("ex_any"))
+    def ok(e: String, x: String) =
+      abs(col(e) - col(x)) <= greatest(col(x) * 0.05, lit(3.0))
+    decided.join(exact, "event_type")
+      .select(col("event_type"), col("est_both"), col("est_any"),
+        ok("est_both", "ex_both").as("both_ok"),
+        ok("est_any", "ex_any").as("any_ok"))
+      .orderBy("event_type")
+  }
+
   /** Set aggregation to a canonical string: collect_set → sort →
     * join. Bounded cardinality (3 statuses) — safe per-group state;
     * unbounded-domain versions belong in approx sketches.

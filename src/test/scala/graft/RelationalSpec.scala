@@ -85,6 +85,48 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("stored KLL sketches answer merged quantiles within the rank bound") {
+    val rows = Relational.qKllQuantiles(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok"),
+        s"${r.getString(0)}: KLL rank bound failed")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))
+    }
+    // value-level check vs exact per-group percentile
+    val exact = tables.events.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("e50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(math.abs(r.getAs[Double]("p50") - e) / math.max(math.abs(e), 1e-9) < 0.2,
+        s"${r.getString(0)}: merged-KLL p50 ${r.getAs[Double]("p50")} far from exact $e")
+    }
+  }
+
+  test("theta sketches intersect: audience overlap matches exact at exact-mode scale") {
+    val rows = Relational.qThetaOverlap(tables).collect()
+    assert(rows.nonEmpty)
+    val exact = tables.events
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 7, 0).otherwise(1).as("half"), col("user_id"))
+      .groupBy("event_type", "user_id")
+      .agg(max(when(col("half") === 0, 1).otherwise(0)).as("h1"),
+        max(when(col("half") === 1, 1).otherwise(0)).as("h2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("h1") === 1 && col("h2") === 1, 1L).otherwise(0L)).as("b"),
+        count(lit(1)).as("a")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (b, a) = exact(r.getString(0))
+      // below lgK=14's nominal entries the sketch is EXACT
+      assert(r.getAs[Long]("est_both") == b && r.getAs[Long]("est_any") == a,
+        s"${r.getString(0)}: theta ${r.getAs[Long]("est_both")}/${r.getAs[Long]("est_any")} vs exact $b/$a")
+      assert(r.getAs[Boolean]("both_ok") && r.getAs[Boolean]("any_ok"))
+      assert(r.getAs[Long]("est_any") >= r.getAs[Long]("est_both"))
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles within 1% per group") {
     val exact = Relational.qPercentile(tables).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
