@@ -59,6 +59,28 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("approx_users"), col("n_events"))
 
+  /** Windowed QUANTILES under a watermark: per-hour p50/p95 of the
+    * value column via the KLL sketch aggregate — the latency-SLO /
+    * value-distribution monitor exact percentiles cannot provide on a
+    * stream (per-window sorted state is unbounded; the sketch keeps
+    * O(KB) state per window and merges monotonically across
+    * micro-batches, like the HLL cardinality twin above). The sketch
+    * BYTES could be emitted instead to a store for later cross-window
+    * re-aggregation — `kll_merge_agg` over the stored column.
+    */
+  def hourlyQuantiles(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions
+        .kllSketchAgg(col("value").cast("double")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        round(graft.functions.GraftFunctions.kllValue(col("sk"), 0.5), 4).as("p50"),
+        round(graft.functions.GraftFunctions.kllValue(col("sk"), 0.95), 4).as("p95"),
+        col("n_events"))
+
   /** NATIVE session windows in a stream: the same
     * `session_window` grouping the batch `Sessionize.qSessionWindow`
     * uses, under a watermark — Spark merges windows as late events

@@ -35,6 +35,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed KLL quantiles track per-window exact percentiles across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyQuantiles(input.toDS().toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("kll_win_test")
+      .outputMode("complete").start()
+    try {
+      // hour 0: values 1..100 over two batches (sketch state must
+      // merge across micro-batches); hour 1: constant 5.0
+      input.addData((1 to 50).map(i => Event(i.toLong, ts(i % 50), 1, "c", i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((51 to 100).map(i => Event(i.toLong, ts(i % 50), 1, "c", i.toDouble)): _*)
+      input.addData(Event(200, ts(70), 2, "c", 5.0), Event(201, ts(71), 2, "c", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("kll_win_test").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 3600000 ->
+          (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n_events"))).toMap
+      val (p50, p95, n) = rows(0L)
+      assert(n == 100)
+      // k=200 sketch on 100 values is EXACT: p50 = 50th value, p95 = 95th
+      assert(p50 >= 49.0 && p50 <= 51.0, s"hour-0 p50 $p50")
+      assert(p95 >= 94.0 && p95 <= 96.0, s"hour-0 p95 $p95")
+      val (c50, c95, cn) = rows(1L)
+      assert(cn == 2 && c50 == 5.0 && c95 == 5.0)
+    } finally q.stop()
+  }
+
   test("token-bucket rate limiter: burst, refill, per-key isolation, cross-batch state") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
