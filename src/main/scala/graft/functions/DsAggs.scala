@@ -32,8 +32,23 @@ import org.apache.spark.sql.types._
   */
 object DsImpl {
   // Spark evaluates scalar sketch readers inside codegen; keep them as
-  // single static calls like the HashImpl kernels.
-  def kllQuantile(bytes: Array[Byte], p: Double): Double =
+  // single static calls like the HashImpl kernels. An EMPTY sketch has
+  // no quantiles — surface SQL NULL (boxed return), not the library's
+  // exception: "p95 of a group that logged nothing" is a null, not a
+  // query failure.
+  def kllQuantile(bytes: Array[Byte], p: Double): java.lang.Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(sk.getQuantile(p,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  // codegen splits the null test from the primitive read (a boxed
+  // return would NPE on auto-unboxing into the generated double slot)
+  def kllIsEmpty(bytes: Array[Byte]): Boolean =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).isEmpty
+
+  def kllQuantilePrim(bytes: Array[Byte], p: Double): Double =
     KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(p,
       org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
 
@@ -118,10 +133,16 @@ case class KllValue(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // empty sketch → null
   override def nullSafeEval(b: Any, p: Any): Any =
     DsImpl.kllQuantile(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (b, p) => s"graft.functions.DsImpl.kllQuantile($b, $p)")
+    nullSafeCodeGen(ctx, ev, (b, p) =>
+      s"""if (graft.functions.DsImpl.kllIsEmpty($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DsImpl.kllQuantilePrim($b, $p);
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllValue = copy(newLeft, newRight)
   override def prettyName: String = "kll_value"

@@ -104,6 +104,21 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("kll aggregates partial-combine map-side; empty sketches read as null") {
+    // the shuffle must carry sketches, never per-group value multisets
+    val plan = Relational.qKllQuantiles(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kll_sketch_agg"),
+      s"no map-side sketch partial:\n${plan.take(800)}")
+    // empty sketch → SQL null on BOTH eval paths, not a library throw
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(graft.functions.GraftFunctions.kllSketchAgg(col("v")).as("sk"))
+      .select(graft.functions.GraftFunctions.kllValue(col("sk"), 0.5))
+      .head()
+    assert(empty.isNullAt(0), "p50 of nothing must be null")
+  }
+
   test("theta sketches intersect: audience overlap matches exact at exact-mode scale") {
     val rows = Relational.qThetaOverlap(tables).collect()
     assert(rows.nonEmpty)
