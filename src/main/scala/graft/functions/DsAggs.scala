@@ -43,14 +43,6 @@ object DsImpl {
       org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
   }
 
-  // codegen splits the null test from the primitive read (a boxed
-  // return would NPE on auto-unboxing into the generated double slot)
-  def kllIsEmpty(bytes: Array[Byte]): Boolean =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).isEmpty
-
-  def kllQuantilePrim(bytes: Array[Byte], p: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantile(p,
-      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
 
   def thetaEstimate(bytes: Array[Byte]): Double =
     Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
@@ -95,15 +87,19 @@ case class KllSketchAgg(child: Expression, k: Int,
   * sketches WITHOUT touching raw values — the re-aggregation step
   * (store per-day sketches once, answer any window later).
   */
-case class KllMergeAgg(child: Expression,
+case class KllMergeAgg(child: Expression, k: Int = 200,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch]
     with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  // merged accuracy is governed by the MINIMUM k involved — the
+  // buffer's k must match-or-exceed the stored sketches' k or the
+  // roll-up silently degrades them (pass the build-time k here)
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance() // merge adopts the inputs' k
+    KllDoublesSketch.newHeapInstance(k)
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null)
@@ -137,12 +133,18 @@ case class KllValue(left: Expression, right: Expression)
   override def nullSafeEval(b: Any, p: Any): Any =
     DsImpl.kllQuantile(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, p) =>
-      s"""if (graft.functions.DsImpl.kllIsEmpty($b)) {
+    nullSafeCodeGen(ctx, ev, (b, p) => {
+      val boxed = ctx.freshName("kllQ")
+      // ONE heapify per row: the boxed result carries both the null
+      // test and the value (a primitive-returning split would
+      // deserialize the sketch twice)
+      s"""java.lang.Double $boxed = graft.functions.DsImpl.kllQuantile($b, $p);
+         |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.DsImpl.kllQuantilePrim($b, $p);
-         |}""".stripMargin)
+         |  ${ev.value} = $boxed.doubleValue();
+         |}""".stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllValue = copy(newLeft, newRight)
   override def prettyName: String = "kll_value"
@@ -157,16 +159,31 @@ case class KllValue(left: Expression, right: Expression)
 case class ThetaSketchAgg(child: Expression, lgK: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union]
-    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    with UnaryLike[Expression] {
   require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26], got $lgK")
-  override def inputTypes: Seq[DataType] = Seq(LongType)
+  // integral OR string items, checked EXPLICITLY — an implicit
+  // string→long cast would turn a uuid column into all-null and
+  // report 0 distincts with no error
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"theta_sketch_agg needs an integral or string item, got ${other.simpleString}")
+    }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+  private lazy val isString = child.dataType == StringType
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Long])
+    if (v != null) {
+      if (isString) buf.update(v.toString)
+      else buf.update(v.asInstanceOf[Number].longValue())
+    }
     buf
   }
   override def merge(buf: Union, other: Union): Union = {
@@ -189,15 +206,19 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
 }
 
 /** theta_union_agg(sketch) → binary: OR-combine stored sketches. */
-case class ThetaUnionAgg(child: Expression,
+case class ThetaUnionAgg(child: Expression, lgK: Int = 12,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union]
     with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26], got $lgK")
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  // the union GADGET downsamples to its own nominal entries — it must
+  // match-or-exceed the stored sketches' lgK or re-aggregation
+  // silently degrades their precision (pass the build-time lgK here)
   override def createAggregationBuffer(): Union =
-    SetOperation.builder().buildUnion()
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) buf.union(Sketches.wrapCompactSketch(
@@ -210,7 +231,7 @@ case class ThetaUnionAgg(child: Expression,
   override def eval(buf: Union): Any = buf.getResult.toByteArray
   override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
   override def deserialize(b: Array[Byte]): Union = {
-    val u = SetOperation.builder().buildUnion()
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
     u.union(Sketches.wrapCompactSketch(Memory.wrap(b)))
     u
   }

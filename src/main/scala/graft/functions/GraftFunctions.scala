@@ -61,7 +61,13 @@ object GraftFunctions {
           "usage: kll_sketch_agg(value[, k literal])")
       }),
     (FunctionIdentifier("kll_merge_agg"), info("kll_merge_agg", classOf[KllMergeAgg]),
-      (args: Seq[Expression]) => { val a = expect("kll_merge_agg", 1)(args); KllMergeAgg(a(0)) }),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => KllMergeAgg(v)
+        case Seq(v, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KllMergeAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: kll_merge_agg(sketch[, k literal — match the build k])")
+      }),
     (FunctionIdentifier("kll_value"), info("kll_value", classOf[KllValue]),
       (args: Seq[Expression]) => { val a = expect("kll_value", 2)(args); KllValue(a(0), a(1)) }),
     (FunctionIdentifier("theta_sketch_agg"), info("theta_sketch_agg", classOf[ThetaSketchAgg]),
@@ -73,7 +79,13 @@ object GraftFunctions {
           "usage: theta_sketch_agg(item[, lgK literal])")
       }),
     (FunctionIdentifier("theta_union_agg"), info("theta_union_agg", classOf[ThetaUnionAgg]),
-      (args: Seq[Expression]) => { val a = expect("theta_union_agg", 1)(args); ThetaUnionAgg(a(0)) }),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => ThetaUnionAgg(v)
+        case Seq(v, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          ThetaUnionAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: theta_union_agg(sketch[, lgK literal — match the build lgK])")
+      }),
     (FunctionIdentifier("theta_intersect_agg"), info("theta_intersect_agg", classOf[ThetaIntersectAgg]),
       (args: Seq[Expression]) => { val a = expect("theta_intersect_agg", 1)(args); ThetaIntersectAgg(a(0)) }),
     (FunctionIdentifier("theta_estimate"), info("theta_estimate", classOf[ThetaEstimate]),
@@ -182,12 +194,14 @@ object GraftFunctions {
     call_function("hash_embed", text, lit(dim))
   def kllSketchAgg(v: Column, k: Int = 200): Column =
     call_function("kll_sketch_agg", v, lit(k))
-  def kllMergeAgg(s: Column): Column = call_function("kll_merge_agg", s)
+  def kllMergeAgg(s: Column, k: Int = 200): Column =
+    call_function("kll_merge_agg", s, lit(k))
   def kllValue(s: Column, p: Double): Column =
     call_function("kll_value", s, lit(p))
   def thetaSketchAgg(v: Column, lgK: Int = 12): Column =
     call_function("theta_sketch_agg", v, lit(lgK))
-  def thetaUnionAgg(s: Column): Column = call_function("theta_union_agg", s)
+  def thetaUnionAgg(s: Column, lgK: Int = 12): Column =
+    call_function("theta_union_agg", s, lit(lgK))
   def thetaIntersectAgg(s: Column): Column = call_function("theta_intersect_agg", s)
   def thetaEstimate(s: Column): Column = call_function("theta_estimate", s)
 }

@@ -1267,7 +1267,7 @@ object Relational {
       .agg(thetaSketchAgg(col("user_id"), 14).as("sk"))
     val est = halves.groupBy("event_type")
       .agg(thetaEstimate(thetaIntersectAgg(col("sk"))).cast("long").as("est_both"),
-        thetaEstimate(thetaUnionAgg(col("sk"))).cast("long").as("est_any"))
+        thetaEstimate(thetaUnionAgg(col("sk"), 14)).cast("long").as("est_any"))
     val decided = graft.util.OracleExports.materialize(est, "theta_overlap")
     val exact = typed.groupBy("event_type", "user_id")
       .agg(max(when(col("half") === 0, 1).otherwise(0)).as("h1"),

@@ -3255,19 +3255,30 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         .map(_.get("_rows").asLong))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
+    // one manifest READ per version: the walk descends, so version
+    // v-1's manifest (needed for v's diff) becomes the next
+    // iteration's own manifest — carry it instead of re-parsing
+    var carried: Option[(Int, JsonNode)] = None
+    def manifestAt(v: Int): JsonNode = carried match {
+      case Some((cv, m)) if cv == v => m
+      case _ => manifest(v)
+    }
     val rows = Iterator.range(cur, math.max(cur - maxVersions, 0), -1)
       .map { v =>
         try {
-          val m = manifest(v)
+          val m = manifestAt(v)
           val files = manifestFiles(m)
           val prev: Option[(JsonNode, Set[String])] =
             if (v <= 1) Some((m, Set.empty[String])) // v1 adds everything
             else
-              try { val pm = manifest(v - 1); Some((pm, manifestFiles(pm).toSet)) }
+              try {
+                val pm = manifest(v - 1)
+                carried = Some((v - 1, pm))
+                Some((pm, manifestFiles(pm).toSet))
+              }
               catch { case NonFatal(_) => None }
           val added = prev.map { case (_, pf) => files.filterNot(pf) }
-          val removed = prev.map { case (pm, _) =>
-            (prev.get._2 -- files.toSet).toSeq }
+          val removed = prev.map { case (_, pf) => (pf -- files.toSet).toSeq }
           def jl(o: Option[Long]): java.lang.Long =
             o.map(java.lang.Long.valueOf).orNull
           def ji(o: Option[Int]): java.lang.Integer =

@@ -162,6 +162,11 @@ final case class VTableStreamSink(dir: String, checkpoint: String,
     refreshView: Option[graft.sources.MaterializedView] = None,
     clusterBy: Seq[String] = Seq.empty)
     extends StreamSinkProvider {
+  // fail at CONSTRUCTION: an invalid spec inside the best-effort
+  // maintenance catch would log once per boundary while the table
+  // silently never compacts for the stream's lifetime
+  require(clusterBy.size <= 4,
+    s"clusterBy supports at most 4 columns (z-order bit budget), got ${clusterBy.size}")
   val name = "vtable"
   def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
