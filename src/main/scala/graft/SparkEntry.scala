@@ -627,7 +627,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     "q_theta_overlap" ->
       s"""WITH est AS (
-        |  SELECT event_type, est_both, est_any
+        |  SELECT event_type, est_both, est_any, est_gone
         |  FROM read_parquet('${graft.util.OracleExports.dir("theta_overlap")}/*.parquet')),
         |e AS (
         |  SELECT event_type, user_id,
@@ -637,11 +637,13 @@ object SparkEntry {
         |ex AS (
         |  SELECT event_type,
         |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ex_both,
-        |    count(*) AS ex_any
+        |    count(*) AS ex_any,
+        |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ex_gone
         |  FROM e GROUP BY event_type)
-        |SELECT est.event_type, est.est_both, est.est_any,
+        |SELECT est.event_type, est.est_both, est.est_any, est.est_gone,
         |  abs(est.est_both - ex.ex_both) <= greatest(ex.ex_both * 0.05, 3.0) AS both_ok,
-        |  abs(est.est_any - ex.ex_any) <= greatest(ex.ex_any * 0.05, 3.0) AS any_ok
+        |  abs(est.est_any - ex.ex_any) <= greatest(ex.ex_any * 0.05, 3.0) AS any_ok,
+        |  abs(est.est_gone - ex.ex_gone) <= greatest(ex.ex_gone * 0.05, 3.0) AS gone_ok
         |FROM est JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q6_filter_agg" ->

@@ -46,6 +46,20 @@ object DsImpl {
 
   def thetaEstimate(bytes: Array[Byte]): Double =
     Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
+
+  def thetaANotB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.wrapCompactSketch(Memory.wrap(a)))
+    op.notB(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    op.getResult(true).toByteArray
+  }
+
+  def kllRank(bytes: Array[Byte], value: Double): java.lang.Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(sk.getRank(value,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+  }
 }
 
 /** kll_sketch_agg(value[, k]) → binary: a KLL doubles sketch of the
@@ -302,6 +316,49 @@ case class ThetaIntersectAgg(child: Expression,
 
 object ThetaIntersectAgg {
   final case class Buf(it: Intersection, var seeded: Boolean)
+}
+
+/** theta_anotb(a, b) → binary: the set DIFFERENCE sketch a \ b —
+  * with intersection, the full set algebra: "users active in period
+  * A but gone in period B" (churn) straight from stored sketches.
+  */
+case class ThetaANotB(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DsImpl.thetaANotB(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DsImpl.thetaANotB($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaANotB = copy(newLeft, newRight)
+  override def prettyName: String = "theta_anotb"
+}
+
+/** kll_rank(sketch, value) → double: the normalized rank of `value`
+  * (the inverse of kll_value — "what fraction of the distribution
+  * sits at or below this SLO threshold"); null on an empty sketch.
+  */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // empty sketch → null
+  override def nullSafeEval(b: Any, v: Any): Any =
+    DsImpl.kllRank(b.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v) => {
+      val boxed = ctx.freshName("kllR")
+      s"""java.lang.Double $boxed = graft.functions.DsImpl.kllRank($b, $v);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRank = copy(newLeft, newRight)
+  override def prettyName: String = "kll_rank"
 }
 
 /** theta_estimate(sketch) → double: the sketch's distinct estimate. */

@@ -90,6 +90,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("theta_intersect_agg", 1)(args); ThetaIntersectAgg(a(0)) }),
     (FunctionIdentifier("theta_estimate"), info("theta_estimate", classOf[ThetaEstimate]),
       (args: Seq[Expression]) => { val a = expect("theta_estimate", 1)(args); ThetaEstimate(a(0)) }),
+    (FunctionIdentifier("theta_anotb"), info("theta_anotb", classOf[ThetaANotB]),
+      (args: Seq[Expression]) => { val a = expect("theta_anotb", 2)(args); ThetaANotB(a(0), a(1)) }),
+    (FunctionIdentifier("kll_rank"), info("kll_rank", classOf[KllRank]),
+      (args: Seq[Expression]) => { val a = expect("kll_rank", 2)(args); KllRank(a(0), a(1)) }),
     (FunctionIdentifier("hash_embed"), info("hash_embed", classOf[HashEmbed]),
       (args: Seq[Expression]) => { val a = expect("hash_embed", 2)(args); HashEmbed(a(0), a(1)) }),
     (FunctionIdentifier("bpe_count"), info("bpe_count", classOf[BpeTokenCount]),
@@ -204,6 +208,8 @@ object GraftFunctions {
     call_function("theta_union_agg", s, lit(lgK))
   def thetaIntersectAgg(s: Column): Column = call_function("theta_intersect_agg", s)
   def thetaEstimate(s: Column): Column = call_function("theta_estimate", s)
+  def thetaANotB(a: Column, b: Column): Column = call_function("theta_anotb", a, b)
+  def kllRank(s: Column, v: Double): Column = call_function("kll_rank", s, lit(v))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

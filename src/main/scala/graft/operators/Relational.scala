@@ -1258,29 +1258,40 @@ object Relational {
     * recompute exact overlap from raw rows; flags hash-compare).
     */
   def qThetaOverlap(t: Tables): DataFrame = {
-    import graft.functions.GraftFunctions.{thetaEstimate, thetaIntersectAgg, thetaSketchAgg, thetaUnionAgg}
+    import graft.functions.GraftFunctions.{thetaANotB, thetaEstimate, thetaIntersectAgg, thetaSketchAgg, thetaUnionAgg}
     val typed = t.events
       .select(col("event_type"),
         when(dayofmonth(col("ts")) <= 7, 0).otherwise(1).as("half"),
         col("user_id"))
     val halves = typed.groupBy("event_type", "half")
       .agg(thetaSketchAgg(col("user_id"), 14).as("sk"))
+    // intersection + union re-aggregate the sketch rows; CHURN (in the
+    // first half, gone in the second — the A\B difference) applies the
+    // scalar theta_anotb to the half sketches side by side
+    val wide = halves.groupBy("event_type")
+      .agg(first(when(col("half") === 0, col("sk")), ignoreNulls = true).as("sk1"),
+        first(when(col("half") === 1, col("sk")), ignoreNulls = true).as("sk2"))
     val est = halves.groupBy("event_type")
       .agg(thetaEstimate(thetaIntersectAgg(col("sk"))).cast("long").as("est_both"),
         thetaEstimate(thetaUnionAgg(col("sk"), 14)).cast("long").as("est_any"))
+      .join(wide.select(col("event_type"),
+        thetaEstimate(thetaANotB(col("sk1"), col("sk2"))).cast("long").as("est_gone")),
+        "event_type")
     val decided = graft.util.OracleExports.materialize(est, "theta_overlap")
     val exact = typed.groupBy("event_type", "user_id")
       .agg(max(when(col("half") === 0, 1).otherwise(0)).as("h1"),
         max(when(col("half") === 1, 1).otherwise(0)).as("h2"))
       .groupBy("event_type")
       .agg(sum(when(col("h1") === 1 && col("h2") === 1, 1L).otherwise(0L)).as("ex_both"),
-        count(lit(1)).as("ex_any"))
+        count(lit(1)).as("ex_any"),
+        sum(when(col("h1") === 1 && col("h2") === 0, 1L).otherwise(0L)).as("ex_gone"))
     def ok(e: String, x: String) =
       abs(col(e) - col(x)) <= greatest(col(x) * 0.05, lit(3.0))
     decided.join(exact, "event_type")
-      .select(col("event_type"), col("est_both"), col("est_any"),
+      .select(col("event_type"), col("est_both"), col("est_any"), col("est_gone"),
         ok("est_both", "ex_both").as("both_ok"),
-        ok("est_any", "ex_any").as("any_ok"))
+        ok("est_any", "ex_any").as("any_ok"),
+        ok("est_gone", "ex_gone").as("gone_ok"))
       .orderBy("event_type")
   }
 

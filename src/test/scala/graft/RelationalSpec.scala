@@ -137,8 +137,12 @@ class RelationalSpec extends SparkSpecBase {
       // below lgK=14's nominal entries the sketch is EXACT
       assert(r.getAs[Long]("est_both") == b && r.getAs[Long]("est_any") == a,
         s"${r.getString(0)}: theta ${r.getAs[Long]("est_both")}/${r.getAs[Long]("est_any")} vs exact $b/$a")
-      assert(r.getAs[Boolean]("both_ok") && r.getAs[Boolean]("any_ok"))
+      assert(r.getAs[Boolean]("both_ok") && r.getAs[Boolean]("any_ok") &&
+        r.getAs[Boolean]("gone_ok"))
       assert(r.getAs[Long]("est_any") >= r.getAs[Long]("est_both"))
+      // set identity: |A| = |A∩B| + |A\B| holds in exact mode
+      assert(r.getAs[Long]("est_gone") + r.getAs[Long]("est_both") <=
+        r.getAs[Long]("est_any"))
     }
   }
 
