@@ -47,6 +47,17 @@ object DsImpl {
   def thetaEstimate(bytes: Array[Byte]): Double =
     Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate
 
+  /** Compact EMPTY theta sketch bytes (estimate 0) — the coalesce
+    * identity for side-by-side set algebra: a group with rows in only
+    * one half has a NULL sketch for the other, and theta_anotb would
+    * null-propagate where the math wants "minus the empty set" /
+    * "the empty set minus". Matches ThetaIntersectAgg's convention
+    * that an absent input is the empty set, not the universal one.
+    */
+  val emptyThetaBytes: Array[Byte] =
+    org.apache.datasketches.theta.UpdateSketch.builder().build()
+      .compact(true, null).toByteArray
+
   def thetaANotB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val op = SetOperation.builder().buildANotB()
     op.setA(Sketches.wrapCompactSketch(Memory.wrap(a)))

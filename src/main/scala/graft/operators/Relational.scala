@@ -1271,11 +1271,24 @@ object Relational {
     val wide = halves.groupBy("event_type")
       .agg(first(when(col("half") === 0, col("sk")), ignoreNulls = true).as("sk1"),
         first(when(col("half") === 1, col("sk")), ignoreNulls = true).as("sk2"))
+    // a type with rows in only ONE half has a null sketch for the
+    // other — coalesce to the empty sketch (estimate 0) so A\B stays
+    // arithmetic ("everyone minus nobody" / "nobody minus everyone")
+    // instead of null-propagating where the oracle computes a number
+    val emptySk = lit(graft.functions.DsImpl.emptyThetaBytes)
     val est = halves.groupBy("event_type")
-      .agg(thetaEstimate(thetaIntersectAgg(col("sk"))).cast("long").as("est_both"),
+      // the intersect agg only sees the sketch rows that EXIST — for a
+      // single-half type it returns that half's sketch (∩ of one
+      // input), but "active in both halves" is 0 when a half is
+      // absent; the half count guards it. Union needs no guard: ∪
+      // with a missing half is just the present half.
+      .agg(when(count(col("sk")) === 2,
+          thetaEstimate(thetaIntersectAgg(col("sk"))))
+        .otherwise(lit(0.0)).cast("long").as("est_both"),
         thetaEstimate(thetaUnionAgg(col("sk"), 14)).cast("long").as("est_any"))
       .join(wide.select(col("event_type"),
-        thetaEstimate(thetaANotB(col("sk1"), col("sk2"))).cast("long").as("est_gone")),
+        thetaEstimate(thetaANotB(coalesce(col("sk1"), emptySk),
+          coalesce(col("sk2"), emptySk))).cast("long").as("est_gone")),
         "event_type")
     val decided = graft.util.OracleExports.materialize(est, "theta_overlap")
     val exact = typed.groupBy("event_type", "user_id")

@@ -86,9 +86,14 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     * layer passes a per-client isolated session); job bookkeeping,
     * admission, and the reaper stay on the constructor service's
     * shared SparkContext, which every isolated session shares.
+    * `onComplete` fires exactly once when the job reaches a terminal
+    * state (done, failed, or cancelled) — the HTTP layer uses it to
+    * keep the submitting session marked busy for the job's whole
+    * lifetime, not just the submit round-trip, so idle-session expiry
+    * can never tear down a session with a live async job.
     */
   def start(query: String, limit: Int = 1000,
-      svc: QueryService = service): String = {
+      svc: QueryService = service, onComplete: () => Unit = () => ()): String = {
     val id = java.util.UUID.randomUUID().toString.take(12)
     val job = new Job(id, System.nanoTime())
     // check-and-admit under one lock: concurrent submits must not both
@@ -133,11 +138,16 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
           finally sc.clearJobGroup()
         }
         ()
-      } finally evictBeyondRetention()
+      } finally {
+        try onComplete() finally evictBeyondRetention()
+      }
     } catch {
       case e: RejectedExecutionException =>
-        // shutdown race: the entry must not linger as a forever-running job
+        // shutdown race: the entry must not linger as a forever-running
+        // job — and the caller's completion hook must still fire, or
+        // the submitting session would stay marked busy forever
         jobs.remove(id)
+        try onComplete() catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
     id

@@ -159,13 +159,41 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   // until someone actually wants a slot).
   private val sessionLastUsed =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // in-flight request count per session id. Idle expiry MUST skip a
+  // session with live work: last-touch is stamped at request START, so
+  // a single query running longer than sessionIdleMs would otherwise
+  // read as "idle" and another client's session-create would release
+  // its caches mid-query and silently hand later requests a fresh
+  // session with all temp views and SET state gone. Entries exist only
+  // while count > 0 (compute/computeIfPresent keep increment/decrement
+  // atomic with insert/remove, so a begin racing a drop-to-zero can't
+  // lose its mark), so the map is bounded by live concurrency.
+  private val sessionInFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private[graft] def beginSessionWork(id: String): Unit =
+    sessionInFlight.compute(id, (_, c) => {
+      val n = if (c == null) new java.util.concurrent.atomic.AtomicInteger(0) else c
+      n.incrementAndGet(); n
+    })
+
+  private[graft] def endSessionWork(id: String): Unit = {
+    sessionInFlight.computeIfPresent(id, (_, c) =>
+      if (c.decrementAndGet() <= 0) null else c)
+    // re-stamp at COMPLETION too: idleness counts from when work
+    // ended, not when it started — a 20-minute query should not burn
+    // 20 minutes of the idle budget while it runs
+    if (sessions.containsKey(id))
+      sessionLastUsed.put(id, java.lang.Long.valueOf(System.currentTimeMillis()))
+  }
 
   private def expireIdleSessions(): Unit = {
     val now = System.currentTimeMillis()
     import scala.jdk.CollectionConverters._
     sessions.keySet.asScala.toSeq.foreach { id =>
       val last = sessionLastUsed.get(id)
-      if (last == null || now - last.longValue > sessionIdleMs) {
+      if (!sessionInFlight.containsKey(id) &&
+          (last == null || now - last.longValue > sessionIdleMs)) {
         val svc = sessions.remove(id)
         sessionLastUsed.remove(id)
         // same cleanup as /drop-session: name-keyed caches live in the
@@ -301,7 +329,16 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
             // same per-statement gate as /sql — the async plane must
             // not be a mutation-auth bypass
             if (SqlDml.isMutation(query)) requireAuth(exchange)
-            val id = async.start(query, limit, serviceFor(exchange))
+            // an async job outlives the HTTP round-trip: hold the
+            // session's busy mark until the job reaches a terminal
+            // state, or idle expiry could release the isolated
+            // session's caches under a still-running job
+            val sid = Option(exchange.getRequestHeaders.getFirst("X-Graft-Session"))
+            sid.foreach(beginSessionWork)
+            val id =
+              try async.start(query, limit, serviceFor(exchange),
+                onComplete = () => sid.foreach(endSessionWork))
+              catch { case t: Throwable => sid.foreach(endSessionWork); throw t }
             reply(exchange, 200, s"""{"job":${quote(id)}}""")
           }
         case ("GET", List("query", id)) =>
@@ -685,11 +722,18 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       handle: (com.fasterxml.jackson.databind.JsonNode, HttpExchange) => String)
       : com.sun.net.httpserver.HttpHandler = (exchange: HttpExchange) =>
     if (exchange.getRequestMethod != "POST") reply(exchange, 405, err("POST only"))
-    else
+    else {
+      // mark the request's session busy for the request's whole
+      // duration — idle expiry must never tear down a session whose
+      // query is still running (see sessionInFlight)
+      val sid = Option(exchange.getRequestHeaders.getFirst("X-Graft-Session"))
+      sid.foreach(beginSessionWork)
       try {
         requireAuthForReads(exchange)
         readBody(exchange).foreach(body => reply(exchange, 200, handle(body, exchange)))
       } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) }
+      finally sid.foreach(endSessionWork)
+    }
 
   private val startedAt = System.currentTimeMillis()
   // path → [requests, 4xx, 5xx]; populated by reply(), served by

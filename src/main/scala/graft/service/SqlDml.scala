@@ -985,7 +985,25 @@ object SqlDml {
           }
           else if (ifNotExists && dest.commitOp(1).contains("clone")) {
             // attach ONLY a table that verifiably began life as a
-            // clone — IF NOT EXISTS is the re-run idempotence hatch,
+            // clone OF THE REQUESTED SOURCE — the clone commit records
+            // its source dir (+ pinned version), and a re-run pointed
+            // at a different source (or a different VERSION AS OF)
+            // must fail rather than silently register the wrong table
+            // as the requested clone. Pre-provenance clones (older
+            // manifests) have nothing to check and attach as before.
+            dest.cloneProvenance(1).foreach { case (recSrc, recVer) =>
+              if (recSrc != norm(srcDir)) fail(
+                s"CREATE TABLE IF NOT EXISTS … $kindWord: $location was " +
+                  s"cloned from $recSrc, not ${norm(srcDir)} — refusing to " +
+                  "attach it as a clone of a different source")
+              Option(ver).map(_.toInt).foreach { pin =>
+                if (pin != recVer) fail(
+                  s"CREATE TABLE IF NOT EXISTS … $kindWord: $location holds " +
+                    s"a clone of source version $recVer, not the requested " +
+                    s"VERSION AS OF $pin")
+              }
+            }
+            // IF NOT EXISTS is the re-run idempotence hatch,
             // never license to adopt arbitrary pre-existing data as
             // if it were the requested clone. The attach COMPLETES a
             // torn run: a DEEP request materializes any external refs

@@ -1389,13 +1389,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       epoch: Option[Long] = None, cdf: Option[Seq[String]] = None,
       extraRetired: Seq[String] = Seq.empty,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      extraCopied: Seq[String] = Seq.empty): Int = {
+      extraCopied: Seq[String] = Seq.empty,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val writer = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("op", op)
     node.put("writer", writer)
     node.put("ts", System.currentTimeMillis()) // commit wall time (history())
+    // op-specific provenance (e.g. a clone's source dir + version):
+    // NOT carried forward — it describes THIS commit only
+    extraMeta.foreach { case (k, value) => node.put(k, value); () }
     if (schemaJson != null) node.put("schema", schemaJson)
     epoch.foreach { e => node.put("epoch", e); () }
     // The previous HEAD manifest, parsed ONCE for every carried node
@@ -2215,11 +2219,37 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     if (cdfEnabled) dest.enableCdf()
     dest.commit(1, "clone", files,
       Option(m.get("schema")).map(_.asText()).orNull, stats,
-      constraintsOverride = constraintsOf(m),
+      // the SIDECAR-AWARE resolver, not constraintsOf(m): a source
+      // whose constraints still live in the legacy _constraints file
+      // (no add/drop since the upgrade — data commits never promote
+      // the sidecar) has no manifest node, and constraintsOf alone
+      // would clone it with CHECK enforcement silently dropped. The
+      // clone's v1 manifest becomes constraint-aware either way.
+      constraintsOverride = Some(constraintsAt(v)),
       extraCopied = copiedOf(m),
-      extraRetired = retiredOf(m))
+      extraRetired = retiredOf(m),
+      // provenance: which table (normalized dir) and which of ITS
+      // versions this clone was taken from. CREATE TABLE IF NOT
+      // EXISTS … CLONE verifies these on its attach path, so a re-run
+      // pointed at a DIFFERENT source can never silently adopt a
+      // pre-existing clone of something else as the requested one.
+      extraMeta = Map(
+        "cloneSource" -> Paths.get(dir).toAbsolutePath.normalize.toString,
+        "cloneVersion" -> v.toString))
     dest
   }
+
+  /** A clone commit's recorded provenance: (normalized source dir,
+    * source version cloned). None when the version's manifest is
+    * unreadable or predates provenance recording.
+    */
+  private[graft] def cloneProvenance(version: Int): Option[(String, Int)] =
+    try {
+      val m = manifest(version)
+      if (m.has("cloneSource") && m.has("cloneVersion"))
+        Some((m.get("cloneSource").asText, m.get("cloneVersion").asInt))
+      else None
+    } catch { case NonFatal(_) => None }
 
   /** Rewrite every EXTERNAL reference into table-local files as one
     * COMPACT-class commit (bytes move, rows don't — the change feed

@@ -48,4 +48,29 @@ class AsyncQueriesSpec extends SparkSpecBase {
       intercept[IllegalArgumentException] { aq.result(ok, offset = -1) }
     } finally aq.shutdown()
   }
+
+  test("onComplete fires exactly once per job — on done, failed, and cancelled") {
+    val aq = new AsyncQueries(service, maxConcurrent = 1)
+    try {
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = aq.start("SELECT 1 AS one", onComplete = () => { fired.incrementAndGet(); () })
+      assert(awaitStatus(aq, done, "done") == "done")
+      // the hook may run a hair after the state flips; wait for it
+      val deadline = System.currentTimeMillis + 10000
+      while (fired.get < 1 && System.currentTimeMillis < deadline) Thread.sleep(20)
+      assert(fired.get == 1, s"done job must fire onComplete once, got ${fired.get}")
+      val bad = aq.start("SELECT FROM definitely_not_a_table !!!",
+        onComplete = () => { fired.incrementAndGet(); () })
+      assert(awaitStatus(aq, bad, "failed") == "failed")
+      val d2 = System.currentTimeMillis + 10000
+      while (fired.get < 2 && System.currentTimeMillis < d2) Thread.sleep(20)
+      assert(fired.get == 2, s"failed job must fire onComplete once, got ${fired.get}")
+      val slow = aq.start(slowSql, onComplete = () => { fired.incrementAndGet(); () })
+      aq.cancel(slow)
+      assert(awaitStatus(aq, slow, "failed") == "failed")
+      val d3 = System.currentTimeMillis + 10000
+      while (fired.get < 3 && System.currentTimeMillis < d3) Thread.sleep(20)
+      assert(fired.get == 3, s"cancelled job must fire onComplete once, got ${fired.get}")
+    } finally aq.shutdown()
+  }
 }

@@ -99,6 +99,37 @@ class CloneSpec extends SparkSpecBase {
     }
   }
 
+  test("legacy sidecar constraints carry to the clone with enforcement intact") {
+    import spark.implicits._
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+    // simulate a pre-versioned-constraints table: constraints only in
+    // the unversioned sidecar, no node in any manifest — a manifest-only
+    // resolver would clone this with CHECK enforcement silently dropped
+    Files.write(Paths.get(s"$root/src", "_graft_log", "_constraints"),
+      """{"pos_price":"price > 0"}""".getBytes)
+    val clone = src.cloneTo(s"$root/clone")
+    assert(clone.constraintList == Seq("pos_price" -> "price > 0"),
+      "legacy-sidecar constraints must carry to the clone")
+    intercept[IllegalArgumentException] {
+      clone.append(Seq((3L, -5.0)).toDF("id", "price"))
+    }
+  }
+
+  test("clone commits record provenance: source dir + source version") {
+    import spark.implicits._
+    val root = tmp()
+    val src = VersionedTable(spark, s"$root/src")
+    src.append(Seq((1L, "a")).toDF("id", "v"))
+    src.append(Seq((2L, "b")).toDF("id", "v"))
+    val clone = src.cloneTo(s"$root/clone", 1)
+    assert(clone.cloneProvenance(1) ==
+      Some((Paths.get(s"$root/src").toAbsolutePath.normalize.toString, 1)))
+    // a non-clone commit has none
+    assert(src.cloneProvenance(1).isEmpty)
+  }
+
   test("compaction materializes external references into local files") {
     import spark.implicits._
     val root = tmp()

@@ -720,6 +720,65 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("idle expiry skips a session with a live query; completion restarts the clock") {
+    val h = new HttpQueryService(
+      new QueryService(spark.newSession()), port = 0,
+      sessionIdleMs = 1500L, maxSessions = 4).start()
+    try {
+      def sqlAs(sess: String, q: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${h.boundPort}/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"query":"$q"}"""))
+          .header("X-Graft-Session", sess).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def sessionList(): String = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/sessions")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body
+      // an async job that would run for minutes holds the "busy"
+      // session's in-flight mark for its WHOLE lifetime — last-touch
+      // is stamped at submit, so without the mark the session would
+      // read as idle the moment the sleep below outlasts the horizon
+      val submit = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"SELECT max(id) AS s FROM range(2000000000000)"}"""))
+        .header("X-Graft-Session", "busy").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(submit.statusCode == 200, submit.body)
+      val jobId = """"job":"([^"]+)"""".r.findFirstMatchIn(submit.body)
+        .map(_.group(1)).getOrElse(fail(s"no job id in ${submit.body}"))
+      Thread.sleep(1800)
+      // a fresh session-create triggers expiry — the busy session must
+      // survive it mid-query, caches intact
+      assert(sqlAs("fresh", "SELECT 1 AS one").statusCode == 200)
+      assert(sessionList().contains("\"busy\""),
+        "a session with a live async job must not expire: " + sessionList())
+      // cancel → terminal state → onComplete releases the mark AND
+      // re-stamps last-touch: the idle clock starts at completion
+      assert(client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.boundPort}/query/$jobId/cancel"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode == 200)
+      val deadline = System.currentTimeMillis + 30000
+      var st = ""
+      while (st != "failed" && System.currentTimeMillis < deadline) {
+        Thread.sleep(100)
+        st = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${h.boundPort}/query/$jobId")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body match {
+          case b if b.contains("\"failed\"") => "failed"
+          case _ => "running"
+        }
+      }
+      assert(st == "failed", "cancelled job must reach a terminal state")
+      // now idle for real: the next expiry wave reclaims it
+      Thread.sleep(1800)
+      assert(sqlAs("fresh2", "SELECT 1 AS one").statusCode == 200)
+      assert(!sessionList().contains("\"busy\""),
+        "a completed-then-idle session must expire: " + sessionList())
+    } finally h.stop()
+  }
+
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"

@@ -146,6 +146,44 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("theta overlap is total on single-half event types: both=0, churn exact, no nulls") {
+    import spark.implicits._
+    // a corpus where some event_type has rows in only ONE half: the
+    // missing half's sketch is NULL, and without the empty-sketch
+    // coalesce (A\B) would null-propagate while the intersect agg —
+    // seeing one input — would report that half's full count as "both"
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-half").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    Seq(
+      ("only_h1", ts("2024-03-02"), 1L), ("only_h1", ts("2024-03-03"), 2L),
+      ("only_h2", ts("2024-03-20"), 5L),
+      ("both", ts("2024-03-03"), 7L), ("both", ts("2024-03-21"), 7L),
+      ("both", ts("2024-03-22"), 8L))
+      .toDF("event_type", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Relational.qThetaOverlap(
+      graft.sources.Tables(spark, dir)).collect()
+    assert(out.length == 3)
+    out.foreach(r => (0 until r.length).foreach(i =>
+      assert(!r.isNullAt(i), s"null at ${r.schema.fieldNames(i)} for ${r.getString(0)}")))
+    val m = out.map(r => r.getString(0) -> r).toMap
+    // 2 users active early, nobody late: both=0, everyone churned
+    assert(m("only_h1").getAs[Long]("est_both") == 0L)
+    assert(m("only_h1").getAs[Long]("est_any") == 2L)
+    assert(m("only_h1").getAs[Long]("est_gone") == 2L)
+    // nobody early: both=0, gone=0 (nothing to churn from)
+    assert(m("only_h2").getAs[Long]("est_both") == 0L)
+    assert(m("only_h2").getAs[Long]("est_gone") == 0L)
+    // the two-half type behaves as before: user 7 in both, 8 joined late
+    assert(m("both").getAs[Long]("est_both") == 1L)
+    assert(m("both").getAs[Long]("est_any") == 2L)
+    assert(m("both").getAs[Long]("est_gone") == 0L)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("both_ok") && r.getAs[Boolean]("any_ok") &&
+        r.getAs[Boolean]("gone_ok"), r.toString)
+    }
+  }
+
   test("approx_percentile tracks the exact percentiles within 1% per group") {
     val exact = Relational.qPercentile(tables).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap

@@ -373,6 +373,27 @@ class SqlDmlSpec extends SparkSpecBase {
       svc.sql("CREATE TABLE IF NOT EXISTS adopted SHALLOW CLONE clone_src " +
         s"LOCATION '$base/plain'").collect()
     }
+    // ... nor a clone OF A DIFFERENT SOURCE: the clone commit records
+    // its provenance and the attach path verifies it
+    svc.sql(s"CREATE TABLE other_src USING vtable LOCATION '$base/osrc' " +
+      "AS SELECT 1 AS k, 2 AS v").collect()
+    val wrongSrc = intercept[IllegalArgumentException] {
+      svc.sql("CREATE TABLE IF NOT EXISTS stolen SHALLOW CLONE other_src " +
+        s"LOCATION '$base/cl'").collect() // $base/cl was cloned from clone_src
+    }
+    assert(wrongSrc.getMessage.contains("different source"), wrongSrc.getMessage)
+    // ... nor a clone pinned at a DIFFERENT version of the right source
+    val wrongVer = intercept[IllegalArgumentException] {
+      svc.sql("CREATE TABLE IF NOT EXISTS v1_again SHALLOW CLONE clone_src " +
+        s"VERSION AS OF 2 LOCATION '$base/v1'").collect() // cloned at version 1
+    }
+    assert(wrongVer.getMessage.contains("VERSION AS OF"), wrongVer.getMessage)
+    // matching provenance attaches fine
+    svc.sql("CREATE TABLE IF NOT EXISTS v1_again SHALLOW CLONE clone_src " +
+      s"VERSION AS OF 1 LOCATION '$base/v1'").collect()
+    assert(spark.table("v1_again").count() == 5)
+    svc.sql("DROP TABLE v1_again").collect()
+    svc.sql("DROP TABLE other_src").collect()
     svc.sql("DROP TABLE clone_t").collect()
     svc.sql("DROP TABLE clone_v1").collect()
     svc.sql("DROP TABLE clone_src").collect()
