@@ -304,13 +304,17 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Decontam.qWeightedSample(t(s, d))),
   )
 
-  /** DuckDB oracle per SQL-expressible query. Omitted keys —
-    * q_media_features, q_image_features, q_frame_sample,
-    * q_audio_features (codec work) — are rows-only BY DESIGN: their
-    * semantics are not ANSI-SQL-expressible and are property-tested
-    * in ScalaTest instead. (Keep this list equal to queries.keySet --
-    * oracleSql.keySet; OracleContractSpec enforces it.) Every
-    * non-codec query is oracled.
+  /** DuckDB oracle per query — since round 12 EVERY query is oracled
+    * (OracleContractSpec enforces queries.keySet == oracleSql.keySet).
+    * The four codec-bound multimodal queries are DECODED-PLANE
+    * REPLAYS: the decode stage (the only non-SQL step — ImageIO, PCM
+    * byte layout, the fake-decoder harness) exports its output plane
+    * (per-pixel RGB/luma/bytes, PCM samples) and the oracle recomputes
+    * every downstream feature — Rec.601 luma, histogram entropy,
+    * channel means, RMS/peak/zero-crossings, windowed-energy
+    * variance, frame-sampling arithmetic — from those values in plain
+    * SQL, so all feature math is hash-gated while the codecs stay
+    * pinned by MultimodalSpec's bit-exact asserts.
     * q_dedup_ingest, q_minhash_lsh, q_simhash, q_semdedup,
     * q_text_ann, q_ann_lsh, q_ann_ivf, q_ann_pq, q_ann_ivfpq, and
     * q_maxsim_ivf ARE oracled, as decision replays: the signature
@@ -654,6 +658,93 @@ object SparkEntry {
         |  abs(est.est_gone - ex.ex_gone) <= greatest(ex.ex_gone * 0.05, 3.0) AS gone_ok
         |FROM est JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // ---- decoded-plane replays: the decode exports its output plane;
+    // every downstream feature recomputes here in plain SQL ----------
+    "q_media_features" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, n_bytes, width, height, b
+        |  FROM read_parquet('${graft.util.OracleExports.dir("media_px")}/*.parquet')),
+        |hist AS (SELECT doc_id, b, count(*) AS c FROM px GROUP BY doc_id, b),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM hist GROUP BY doc_id),
+        |ent AS (
+        |  SELECT h.doc_id, -sum((c / n) * log2(c / n)) AS e
+        |  FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id),
+        |agg AS (
+        |  SELECT doc_id, max(n_bytes) AS n_bytes, max(width) AS width,
+        |    max(height) AS height, avg(b) AS m
+        |  FROM px GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bytes,
+        |  floor(a.m * 100 + 0.5) / 100 AS byte_mean,
+        |  floor(e.e * 100 + 0.5) / 100 AS byte_entropy,
+        |  a.width, a.height
+        |FROM agg a JOIN ent e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_image_features" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, n_bytes, width, height, r, g, b,
+        |    (r * 299 + g * 587 + b * 114) // 1000 AS luma
+        |  FROM read_parquet('${graft.util.OracleExports.dir("img_px")}/*.parquet')),
+        |hist AS (SELECT doc_id, luma, count(*) AS c FROM px GROUP BY doc_id, luma),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM hist GROUP BY doc_id),
+        |ent AS (
+        |  SELECT h.doc_id, -sum((c / n) * log2(c / n)) AS e
+        |  FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id),
+        |agg AS (
+        |  SELECT doc_id, max(n_bytes) AS n_bytes, max(width) AS width,
+        |    max(height) AS height, avg(luma) AS lm,
+        |    avg(r) AS mr, avg(g) AS mg, avg(b) AS mb
+        |  FROM px GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bytes, a.width, a.height,
+        |  floor(a.lm * 100 + 0.5) / 100 AS luma_mean,
+        |  floor(e.e * 100 + 0.5) / 100 AS luma_entropy,
+        |  floor(a.mr * 100 + 0.5) / 100 AS mean_r,
+        |  floor(a.mg * 100 + 0.5) / 100 AS mean_g,
+        |  floor(a.mb * 100 + 0.5) / 100 AS mean_b
+        |FROM agg a JOIN ent e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, n_frames, frame_idx, luma
+        |  FROM read_parquet('${graft.util.OracleExports.dir("frame_px")}/*.parquet')),
+        |agg AS (SELECT doc_id, CAST(count(DISTINCT frame_idx) AS INTEGER) AS n_sampled,
+        |    avg(luma) AS lm
+        |  FROM px GROUP BY doc_id),
+        |hdr AS (SELECT doc_id, max(n_frames) AS n_frames FROM px GROUP BY doc_id)
+        |SELECT h.doc_id, h.n_frames, a.n_sampled,
+        |  floor(a.lm * 100 + 0.5) / 100 AS sampled_luma_mean
+        |FROM hdr h JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_audio_features" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, idx, x
+        |  FROM read_parquet('${graft.util.OracleExports.dir("audio_samples")}/*.parquet')),
+        |sp AS (SELECT doc_id, idx, x,
+        |    lag(x) OVER (PARTITION BY doc_id ORDER BY idx) AS px
+        |  FROM s),
+        |base AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    sqrt(sum(x * x) / count(*)) AS rms,
+        |    max(abs(x)) AS peak,
+        |    CAST(sum(CASE WHEN px IS NOT NULL AND ((x >= 0) <> (px >= 0))
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS crossings
+        |  FROM sp GROUP BY doc_id),
+        |we AS (SELECT doc_id, idx // 256 AS w, sum(x * x) / count(*) AS e
+        |  FROM s GROUP BY doc_id, w),
+        |wm AS (SELECT doc_id, avg(e) AS m, count(*) AS nw FROM we GROUP BY doc_id),
+        |wv AS (SELECT we.doc_id, sum((e - m) * (e - m)) / max(nw) AS v
+        |  FROM we JOIN wm USING (doc_id) GROUP BY we.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(b.n, 0) AS INTEGER) AS n_samples,
+        |  floor(coalesce(b.n, 0) / 16000.0 * 10000 + 0.5) / 10000 AS duration_sec,
+        |  floor(coalesce(b.rms, 0) * 10000 + 0.5) / 10000 AS rms,
+        |  floor(coalesce(b.peak, 0) * 10000 + 0.5) / 10000 AS peak,
+        |  floor((CASE WHEN coalesce(b.n, 0) <= 1 THEN 0.0
+        |    ELSE b.crossings / (b.n - 1) END) * 10000 + 0.5) / 10000 AS zero_cross_rate,
+        |  floor(coalesce(w.v, 0) * 1000000 + 0.5) / 1000000 AS energy_var
+        |FROM documents d
+        |LEFT JOIN base b USING (doc_id)
+        |LEFT JOIN wv w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q6_filter_agg" ->
       """SELECT floor((sum(l_extendedprice*l_discount)) * 100 + 0.5) / 100 AS revenue,
         | count(*) AS n_rows

@@ -113,6 +113,19 @@ object ImageCodec {
     * (IllegalArgument, NegativeArraySize, ...) on corrupted headers,
     * not just IIOException, and the quarantine contract covers both.
     */
+  /** Decode to the raw packed-RGB plane (w, h, ints) — the oracle
+    * export surface: the DuckDB replay re-derives luma, entropy, and
+    * channel means from these per-pixel values in SQL, so every
+    * arithmetic step downstream of the codec is hash-gated.
+    */
+  def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map(i =>
+      (i.getWidth, i.getHeight, i.getRGB(0, 0, i.getWidth, i.getHeight, null, 0, i.getWidth)))
+  }
+
   def decode(payload: Array[Byte]): Option[Decoded] = {
     // the quarantine catch covers ONLY the reader: a bug in our own
     // analyze must fail loudly, not silently drop the corpus as

@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.operators.Rnd.round // shadows functions.round: oracle-portable floor form
 import graft.sources.Tables
+import graft.util.OracleExports
 
 /** Multimodal column plumbing (SURVEY.md §2.6).
   *
@@ -144,16 +146,45 @@ object Media {
   }
 
   /** Feature pipeline as a query: media build → batched decode →
-    * rounded features (rows-only driver check; MultimodalSpec asserts
-    * determinism + batch shape).
+    * rounded features. DuckDB-oracled as a DECODED-PLANE REPLAY: the
+    * decode stage (the only non-SQL step) exports its output plane —
+    * per-pixel bytes plus the carried header — and the oracle
+    * recomputes mean and Shannon entropy from those values in plain
+    * SQL, so all feature arithmetic downstream of the decoder is
+    * hash-gated (MultimodalSpec still pins the decode itself).
     */
-  def qMediaFeatures(t: Tables): DataFrame =
-    extractFeatures(mediaTable(t))
+  def qMediaFeatures(t: Tables): DataFrame = {
+    val media = mediaTable(t)
+    if (OracleExports.enabled) {
+      val pxSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_bytes", IntegerType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("idx", IntegerType, nullable = false),
+        StructField("b", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(pxSchema)
+      OracleExports.export(
+        media.select("doc_id", "payload", "meta.width", "meta.height")
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val payload = r.getAs[Array[Byte]](1)
+              val w = r.getInt(2); val h = r.getInt(3)
+              val px = FakeDecoder.decode(payload, w, h)
+              px.iterator.zipWithIndex.map { case (bv, i) =>
+                Row(id, payload.length, w, h, i, bv & 0xff)
+              }
+            }
+          }(enc), "media_px")
+    }
+    extractFeatures(media)
       .select(col("doc_id"), col("n_bytes"),
         round(col("byte_mean"), 2).as("byte_mean"),
         round(col("byte_entropy"), 2).as("byte_entropy"),
         col("width"), col("height"))
       .orderBy("doc_id")
+  }
 
   // ---- images (REAL decode via JDK ImageIO — PNG/JPEG/BMP/GIF/TIFF) ----
 
@@ -214,11 +245,44 @@ object Media {
       }(outEncoder)
   }
 
-  /** Real-decode image pipeline as a contract query (rows-only;
-    * MultimodalSpec proves the decode is the codec's, not the fake's).
+  /** Real-decode image pipeline as a contract query. DuckDB-oracled
+    * as a DECODED-PLANE REPLAY: the codec exports the raw packed-RGB
+    * plane per pixel, and the oracle re-derives the integer Rec.601
+    * luma transform, the histogram entropy, and all four means from
+    * those values in SQL — every arithmetic step downstream of
+    * ImageIO is hash-gated (MultimodalSpec proves the decode itself
+    * is the codec's, not the fake's).
     */
-  def qImageFeatures(t: Tables): DataFrame =
-    extractImageFeatures(imageTable(t))
+  def qImageFeatures(t: Tables): DataFrame = {
+    val images = imageTable(t)
+    if (OracleExports.enabled) {
+      val pxSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_bytes", IntegerType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("idx", IntegerType, nullable = false),
+        StructField("r", IntegerType, nullable = false),
+        StructField("g", IntegerType, nullable = false),
+        StructField("b", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(pxSchema)
+      OracleExports.export(
+        images.select("doc_id", "payload").mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val payload = r.getAs[Array[Byte]](1)
+            // same quarantine contract as the feature path: an
+            // undecodable payload exports nothing and emits nothing
+            ImageCodec.decodeRgb(payload).iterator.flatMap { case (w, h, rgb) =>
+              rgb.iterator.zipWithIndex.map { case (p, i) =>
+                Row(id, payload.length, w, h, i,
+                  (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+              }
+            }
+          }
+        }(enc), "img_px")
+    }
+    extractImageFeatures(images)
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
         round(col("luma_mean"), 2).as("luma_mean"),
         round(col("luma_entropy"), 2).as("luma_entropy"),
@@ -226,6 +290,7 @@ object Media {
         round(col("mean_g"), 2).as("mean_g"),
         round(col("mean_b"), 2).as("mean_b"))
       .orderBy("doc_id")
+  }
 
   val frameSampleSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -242,6 +307,38 @@ object Media {
     */
   def qFrameSample(t: Tables, frames: Int = 6, stride: Int = 2): DataFrame = {
     val outEncoder = RowEncoder.encoderFor(frameSampleSchema)
+    if (OracleExports.enabled) {
+      // decoded-plane replay export: the sampled frames' luma planes
+      // plus the container's frame count, per doc. The oracle
+      // recomputes n_sampled (distinct sampled indices), checks the
+      // stride rule against n_frames, and re-derives the mean of
+      // per-frame means in SQL.
+      val pxSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("idx", IntegerType, nullable = false),
+        StructField("luma", IntegerType, nullable = false)))
+      val enc = RowEncoder.encoderFor(pxSchema)
+      OracleExports.export(
+        t.documents.select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(8)) === 0).repartition(8)
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val w = 16; val h = 12
+              val clip = ImageCodec.encodeMultiTiff(w, h,
+                (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
+              val (nFrames, sampled) = ImageCodec.sampleFramesWithCount(clip, stride)
+              val strideN = math.max(stride, 1)
+              sampled.iterator.zipWithIndex.flatMap { case (d, k) =>
+                d.luma.iterator.zipWithIndex.map { case (l, i) =>
+                  Row(id, nFrames, k * strideN, i, l & 0xff)
+                }
+              }
+            }
+          }(enc), "frame_px")
+    }
     t.documents.select(col("doc_id")).filter(pmod(col("doc_id"), lit(8)) === 0)
       .repartition(8)
       .mapPartitions { rows =>
@@ -252,10 +349,19 @@ object Media {
             (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
           // one container parse for count AND samples
           val (nFrames, sampled) = ImageCodec.sampleFramesWithCount(clip, stride)
+          // mean luma over ALL sampled pixels (frames are equal-sized,
+          // so this equals the mean of per-frame means) — the integer
+          // sum is exact, so the DuckDB replay's avg() reproduces it
+          // bit-identically; a mean-of-means float chain did not
           val lumaMean =
             if (sampled.isEmpty) 0.0
-            else sampled.map(d => d.luma.map(_ & 0xff).sum.toDouble / d.luma.length)
-              .sum / sampled.size
+            else {
+              var s = 0L; var n = 0L
+              sampled.foreach { d =>
+                d.luma.foreach(b => s += (b & 0xff)); n += d.luma.length
+              }
+              s.toDouble / n
+            }
           Row(id, nFrames, sampled.size, lumaMean)
         }
       }(outEncoder)
@@ -352,11 +458,32 @@ object Media {
       }(outEncoder)
   }
 
-  /** Audio feature pipeline as a query (rows-only; MultimodalSpec
-    * hand-checks the features on known PCM buffers).
+  /** Audio feature pipeline as a query. DuckDB-oracled as a
+    * DECODED-PLANE REPLAY: the PCM decode (the only non-SQL step)
+    * exports its sample stream, and the oracle recomputes RMS, peak,
+    * zero-crossing rate, and the windowed-energy variance from those
+    * values in plain SQL — all feature arithmetic downstream of the
+    * decoder is hash-gated (MultimodalSpec still hand-checks the
+    * decode on known PCM buffers).
     */
-  def qAudioFeatures(t: Tables): DataFrame =
-    extractAudioFeatures(audioTable(t))
+  def qAudioFeatures(t: Tables): DataFrame = {
+    val audio = audioTable(t)
+    if (OracleExports.enabled) {
+      val sSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("idx", IntegerType, nullable = false),
+        StructField("x", DoubleType, nullable = false)))
+      val enc = RowEncoder.encoderFor(sSchema)
+      OracleExports.export(
+        audio.select("doc_id", "payload").mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            decodePcmS16le(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+              .map { case (x, i) => Row(id, i, x) }
+          }
+        }(enc), "audio_samples")
+    }
+    extractAudioFeatures(audio)
       .select(col("doc_id"), col("n_samples"),
         round(col("duration_sec"), 4).as("duration_sec"),
         round(col("rms"), 4).as("rms"),
@@ -364,4 +491,5 @@ object Media {
         round(col("zero_cross_rate"), 4).as("zero_cross_rate"),
         round(col("energy_var"), 6).as("energy_var"))
       .orderBy("doc_id")
+  }
 }

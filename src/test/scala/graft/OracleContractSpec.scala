@@ -10,9 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleContractSpec extends AnyFunSuite {
 
-  private val rowsOnlyByDesign = Set(
-    "q_media_features", "q_image_features",
-    "q_frame_sample", "q_audio_features")
+  // round 12 closed the oracle program: the four codec-bound
+  // multimodal queries are now DECODED-PLANE REPLAYS (the decode
+  // exports its output plane; DuckDB recomputes every downstream
+  // feature from those values), so nothing is rows-only anymore
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query is oracled unless declared rows-only by design") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
