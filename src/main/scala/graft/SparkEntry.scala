@@ -107,7 +107,8 @@ object SparkEntry {
     // and the timed entries measure the committed-snapshot serving read
     "sqldml_fixture" -> ((s, d) => graft.service.SqlDmlDemo.warmBuild(t(s, d))),
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
-    "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))))
+    "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
+    "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -284,6 +285,7 @@ object SparkEntry {
     "q_cdf" -> ((s, d) => graft.sources.TableCdf.qCdf(t(s, d))),
     "q_tvf_changes" -> ((s, d) => graft.sources.TableCdf.qTvfChanges(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
+    "q_sketch_sidecars" -> ((s, d) => graft.sources.TableSketch.qSketchSidecars(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
@@ -2319,6 +2321,34 @@ object SparkEntry {
     // the Bloom-pruned point lookup must return exactly the rows the
     // plain md5-equality filter selects — index-driven file skipping
     // may change how many files open, never the answer
+    // metadata-only sketch-sidecar answers, bound-verified: both
+    // engines recompute exact rank spans and the exact key overlap
+    // from raw lineitem rows against the exported estimates
+    "q_sketch_sidecars" ->
+      s"""WITH est AS (
+        |  SELECT v50, v95, est_overlap
+        |  FROM read_parquet('${graft.util.OracleExports.dir("sketch_sidecars")}/*.parquet')),
+        |head AS (
+        |  SELECT l_orderkey AS k, l_extendedprice AS price
+        |  FROM lineitem WHERE l_orderkey % 3 >= 1),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN h.price <= e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS le50,
+        |    CAST(sum(CASE WHEN h.price <  e.v50 THEN 1 ELSE 0 END) AS BIGINT) AS lt50,
+        |    CAST(sum(CASE WHEN h.price <= e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS le95,
+        |    CAST(sum(CASE WHEN h.price <  e.v95 THEN 1 ELSE 0 END) AS BIGINT) AS lt95
+        |  FROM head h CROSS JOIN est e),
+        |ov AS (
+        |  SELECT count(DISTINCT l_orderkey) AS ex_overlap
+        |  FROM lineitem WHERE l_orderkey % 3 = 1)
+        |SELECT floor(e.v50 * 10000 + 0.5) / 10000 AS p50,
+        |  floor(e.v95 * 10000 + 0.5) / 10000 AS p95,
+        |  a.n,
+        |  (le50 >= n * 0.5 - (n * 0.03 + 1.0)) AND (lt50 <= n * 0.5 + (n * 0.03 + 1.0)) AS p50_ok,
+        |  (le95 >= n * 0.95 - (n * 0.03 + 1.0)) AND (lt95 <= n * 0.95 + (n * 0.03 + 1.0)) AS p95_ok,
+        |  e.est_overlap,
+        |  abs(e.est_overlap - ov.ex_overlap) <= greatest(ov.ex_overlap * 0.05, 3.0) AS overlap_ok
+        |FROM est e CROSS JOIN a CROSS JOIN ov""".stripMargin,
     "q_bloom_lookup" ->
       """SELECT count(*) AS n_rows,
         | coalesce(floor((sum(o_totalprice)) * 100 + 0.5) / 100, 0.0) AS total

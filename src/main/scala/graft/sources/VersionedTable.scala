@@ -476,6 +476,150 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     Some(math.round(union.getResult.getEstimate))
   }
 
+  private def sketchConfigPath: Path = logDir.resolve("_sketch")
+
+  /** Opt into per-file KLL quantile sketches on `kllColumns` (numeric)
+    * and Theta distinct-key sketches on `thetaColumns` (integral or
+    * string), built inside the SAME one-pass per-file stats job as
+    * min/max, Bloom, and NDV — enabling them adds agg columns, not
+    * jobs. Each data file written from now on gets `<file>.kll-<col>`
+    * / `<file>.theta-<col>` sidecars (KB each — metadata scale).
+    *
+    * What they buy at 100 TB, with NO data scan:
+    *   - KLL sidecars MERGE across any file subset, so
+    *     [[approxQuantiles]] (and `/describe`) answer p50/p95/any-p
+    *     over the snapshot — or any time-travel version — from
+    *     manifest-adjacent bytes. Per-file min/max cannot compose
+    *     into a quantile; a mergeable sketch is the only O(metadata)
+    *     answer (the quantile twin of [[approxNdv]]).
+    *   - Theta sidecars are closed under SET ALGEBRA, so
+    *     [[approxKeyOverlap]] answers "how many distinct keys do two
+    *     versions (or two tables) share" — retention/churn between
+    *     snapshots — from stored sketches; HLL structurally cannot
+    *     intersect.
+    *
+    * `kllK` (default 200 ≈ 1.65% rank error) and `thetaLgK` (default
+    * 12 = exact below 4096 distincts/file) are BUILD-time precision;
+    * the merge gadgets reuse them so roll-ups never silently degrade.
+    * Existing files have no sidecars and disable the answer (never
+    * corrupt it), same contract as bloom/NDV.
+    */
+  def enableSketch(kllColumns: Seq[String] = Seq.empty,
+      thetaColumns: Seq[String] = Seq.empty,
+      kllK: Int = 200, thetaLgK: Int = 12): Unit = {
+    require(kllColumns.nonEmpty || thetaColumns.nonEmpty,
+      "enableSketch needs at least one kll or theta column")
+    require((kllColumns ++ thetaColumns).forall(_.matches("[A-Za-z0-9_]+")),
+      s"sketch columns must be simple identifiers (they name sidecar files): " +
+        s"${kllColumns ++ thetaColumns}")
+    require(kllK >= 8 && kllK <= 65535, s"kll k must be in [8, 65535], got $kllK")
+    require(thetaLgK >= 4 && thetaLgK <= 26,
+      s"theta lgK must be in [4, 26], got $thetaLgK")
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    val ka = node.putArray("kll")
+    kllColumns.foreach(ka.add)
+    val ta = node.putArray("theta")
+    thetaColumns.foreach(ta.add)
+    node.put("kllK", kllK)
+    node.put("thetaLgK", thetaLgK)
+    atomicReplace(sketchConfigPath, node)
+  }
+
+  private def sketchConfig: Option[VersionedTable.SketchConfig] =
+    if (!Files.exists(sketchConfigPath)) None
+    else
+      try {
+        val n = mapper.readTree(sketchConfigPath.toFile)
+        import scala.jdk.CollectionConverters._
+        Some(VersionedTable.SketchConfig(
+          n.get("kll").elements().asScala.map(_.asText()).toSeq,
+          n.get("theta").elements().asScala.map(_.asText()).toSeq,
+          n.get("kllK").asInt, n.get("thetaLgK").asInt))
+      } catch { case NonFatal(_) => None } // torn config: indexes are advisory
+
+  /** The merged KLL sketch of `column` over a file set — answerable
+    * only when EVERY file carries a sidecar (pre-enablement files
+    * disqualify; sound-only). The merge buffer uses the BUILD k, so
+    * the roll-up never degrades the stored precision.
+    */
+  private def kllMergedOver(column: String, k: Int,
+      files: Seq[String]): Option[org.apache.datasketches.kll.KllDoublesSketch] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    files.foreach { rel =>
+      val p = dataFsPath(s"$rel.kll-$column")
+      if (!Files.exists(p)) return None
+      merged.merge(KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(Files.readAllBytes(p))))
+    }
+    Some(merged)
+  }
+
+  /** Approximate quantiles of `column` at `ps`, from the per-file KLL
+    * sidecars alone — zero data scan, any committed version. None when
+    * the column isn't sketch-indexed, any snapshot file predates
+    * enablement, or the snapshot holds no non-null values.
+    */
+  def approxQuantiles(column: String, ps: Seq[Double],
+      version: Int = -1): Option[Seq[Double]] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"quantiles must be in [0,1]: $ps")
+    val cfg = sketchConfig.getOrElse(return None)
+    if (!cfg.kll.contains(column)) return None
+    val v = if (version == -1) currentVersion else version
+    if (v <= 0) return None
+    kllMergedOver(column, cfg.kllK, manifestFiles(manifest(v)))
+      .filter(!_.isEmpty)
+      .map(sk => ps.map(p => sk.getQuantile(p,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)))
+  }
+
+  def approxQuantile(column: String, p: Double, version: Int = -1): Option[Double] =
+    approxQuantiles(column, Seq(p), version).map(_.head)
+
+  /** The unioned Theta sketch (compact bytes) of `column` over
+    * snapshot `version` — the distinct-key summary other sketches can
+    * intersect/union/diff against. None under the same coverage rules
+    * as [[approxQuantiles]].
+    */
+  def thetaSketch(column: String, version: Int = -1): Option[Array[Byte]] = {
+    val cfg = sketchConfig.getOrElse(return None)
+    if (!cfg.theta.contains(column)) return None
+    val v = if (version == -1) currentVersion else version
+    if (v <= 0) return None
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val u = SetOperation.builder().setNominalEntries(1 << cfg.thetaLgK).buildUnion()
+    manifestFiles(manifest(v)).foreach { rel =>
+      val p = dataFsPath(s"$rel.theta-$column")
+      if (!Files.exists(p)) return None
+      u.union(Sketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(Files.readAllBytes(p))))
+    }
+    Some(u.getResult.toByteArray)
+  }
+
+  /** Approximate number of distinct `column` keys PRESENT IN BOTH
+    * snapshots — version `v1` of this table vs `v2` of `other`
+    * (defaults: this table's head vs the same table's head, so
+    * `approxKeyOverlap("user_id", v1 = 3)` is retention between
+    * version 3 and now). Computed by intersecting the two unioned
+    * Theta sketches: zero data scan, the set operation HLL sidecars
+    * structurally cannot do. None when either side lacks coverage.
+    */
+  def approxKeyOverlap(column: String, v1: Int = -1,
+      other: VersionedTable = this, v2: Int = -1): Option[Long] =
+    for {
+      a <- thetaSketch(column, v1)
+      b <- other.thetaSketch(column, v2)
+    } yield {
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.theta.{SetOperation, Sketches}
+      val i = SetOperation.builder().buildIntersection()
+      i.intersect(Sketches.wrapCompactSketch(Memory.wrap(a)))
+      i.intersect(Sketches.wrapCompactSketch(Memory.wrap(b)))
+      math.round(i.getResult.getEstimate)
+    }
+
   private def bloomConfig: Option[VersionedTable.BloomConfig] =
     if (!Files.exists(bloomConfigPath)) None
     else
@@ -872,6 +1016,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       consNode.add(c); ()
     }
     val cols = node.putArray("columns")
+    // per-column KLL quantiles from the sketch sidecars — /describe
+    // gains p50/p95 with zero data scan when coverage holds (the
+    // quantile complement of ndv_approx). One merged sketch per
+    // covered column, reused for both quantiles.
+    val skCfg = sketchConfig
     rel.output.foreach { a =>
       val c = mapper.createObjectNode()
       c.put("name", a.name)
@@ -881,6 +1030,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         c.put("min", lo.toString); c.put("max", hi.toString); ()
       }
       rel.ndv.get(a.name).foreach { n => c.put("ndv_approx", n); () }
+      if (skCfg.exists(_.kll.contains(a.name)))
+        approxQuantiles(a.name, Seq(0.5, 0.95), rel.version).foreach { qs =>
+          c.put("p50_approx", qs(0)); c.put("p95_approx", qs(1)); ()
+        }
       cols.add(c)
       ()
     }
@@ -1080,13 +1233,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     *     null counts and row counts — O(files) driver metadata reads,
     *     no second pass over the data. This keeps commit cost at one
     *     write job for plain tables (the common case).
-    *   - bloom/NDV sidecars enabled → [[aggStats]]: those need a real
-    *     aggregation over the values, and min/max ride along in the
-    *     same one-pass job as before.
+    *   - bloom/NDV/KLL/theta sidecars enabled → [[aggStats]]: those
+    *     need a real aggregation over the values, and min/max ride
+    *     along in the same one-pass job as before.
     */
   private def freshStats(sub: String, rels: Seq[String], schema: StructType)
       : Map[String, JsonNode] =
-    if (bloomConfig.isEmpty && ndvConfig.isEmpty) footerStats(rels, schema)
+    if (bloomConfig.isEmpty && ndvConfig.isEmpty && sketchConfig.isEmpty)
+      footerStats(rels, schema)
     else aggStats(sub, rels, schema)
 
   /** Footer-derived per-file stats: trust boundary is narrow by
@@ -1225,15 +1379,47 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val ndvAggs = ndvCols.map { case (c, lgK) =>
       org.apache.spark.sql.functions.hll_sketch_agg(col(c), lgK).as(s"__ndv_$c")
     }
+    // KLL quantile + Theta key sketches ride the same pass too: the
+    // type filters mirror the aggregates' own input contracts (a
+    // config naming a non-numeric kll column or a double theta column
+    // just doesn't build that sidecar — advisory, never a crash)
+    val kllCols = sketchConfig.toSeq.flatMap(cfg =>
+      cfg.kll.filter(c => schema.fields.exists(f => f.name == c &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        .map(c => (c, cfg.kllK)))
+    // built as raw aggregate expressions through the bridge (not
+    // call_function) so the stats job never depends on GraftFunctions
+    // having been registered in this session
+    val kllAggs = kllCols.map { case (c, k) =>
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.KllSketchAgg(
+          org.apache.spark.sql.GraftSqlBridge.expr(col(c).cast("double")), k)
+          .toAggregateExpression()).as(s"__kll_$c")
+    }
+    val thetaCols = sketchConfig.toSeq.flatMap(cfg =>
+      cfg.theta.filter(c => schema.fields.exists(f => f.name == c &&
+          (f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType | StringType => true
+            case _ => false
+          })))
+        .map(c => (c, cfg.thetaLgK)))
+    val thetaAggs = thetaCols.map { case (c, lgK) =>
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.ThetaSketchAgg(
+          org.apache.spark.sql.GraftSqlBridge.expr(col(c)), lgK)
+          .toAggregateExpression()).as(s"__theta_$c")
+    }
     val aggs = (count(lit(1)).as("__rows") +: fields.flatMap(f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
-        count(col(f.name)).as(s"__nn_${f.name}")))) ++ bloomAggs ++ ndvAggs
+        count(col(f.name)).as(s"__nn_${f.name}")))) ++
+      bloomAggs ++ ndvAggs ++ kllAggs ++ thetaAggs
     val aggDf = spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
     val nScalar = 2 + 3 * fields.size
     val rows: Array[Row] =
-      if (bloomCols.isEmpty && ndvCols.isEmpty) aggDf.collect()
+      if (bloomCols.isEmpty && ndvCols.isEmpty &&
+          kllCols.isEmpty && thetaCols.isEmpty) aggDf.collect()
       else {
         // Sidecar blobs are written TASK-SIDE and only the scalar
         // stats prefix rides to the driver: a bloom blob is ~1.2 MB
@@ -1250,6 +1436,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         val tableDir = dir
         val bloomNames = bloomCols.map(_._1)
         val ndvNames = ndvCols.map(_._1)
+        val kllNames = kllCols.map(_._1)
+        val thetaNames = thetaCols.map(_._1)
         aggDf.rdd.mapPartitions { it =>
           // tmp + ATOMIC_MOVE, the manifest's write discipline: a
           // speculative/killed duplicate attempt dying mid-write after
@@ -1284,6 +1472,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
               val blob = r.getAs[Array[Byte]](nScalar + bloomNames.size + j)
               if (blob != null)
                 put(Paths.get(tableDir, sub, s"$name.ndv-$c"), blob)
+            }
+            kllNames.zipWithIndex.foreach { case (c, j) =>
+              val blob = r.getAs[Array[Byte]](
+                nScalar + bloomNames.size + ndvNames.size + j)
+              if (blob != null)
+                put(Paths.get(tableDir, sub, s"$name.kll-$c"), blob)
+            }
+            thetaNames.zipWithIndex.foreach { case (c, j) =>
+              val blob = r.getAs[Array[Byte]](
+                nScalar + bloomNames.size + ndvNames.size + kllNames.size + j)
+              if (blob != null)
+                put(Paths.get(tableDir, sub, s"$name.theta-$c"), blob)
             }
             Row.fromSeq(r.toSeq.take(nScalar))
           }
@@ -1983,9 +2183,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     require(!st.fieldNames.contains(newName),
       s"column `$newName` already exists")
     val indexed = bloomConfig.exists(_.columns.contains(oldName)) ||
-      ndvConfig.exists(_.columns.contains(oldName))
+      ndvConfig.exists(_.columns.contains(oldName)) ||
+      sketchConfig.exists(c => c.kll.contains(oldName) || c.theta.contains(oldName))
     require(!indexed,
-      s"cannot rename bloom/NDV-indexed column `$oldName`: sidecar files are " +
+      s"cannot rename an index-sidecar column `$oldName` (bloom/NDV/KLL/theta): sidecar files are " +
         "named by it (drop the index config first)")
     requireNoConstraintRefs(oldName, "rename")
     val renamed = StructType(st.fields.map { f =>
@@ -3448,7 +3649,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           : java.nio.file.FileVisitResult = {
         val n = p.getFileName.toString
         val isData = n.endsWith(".parquet") || n.contains(".parquet.bloom-") ||
-          n.contains(".parquet.ndv-")
+          n.contains(".parquet.ndv-") || n.contains(".parquet.kll-") ||
+          n.contains(".parquet.theta-")
         if (isData && attrs.isRegularFile &&
             attrs.lastModifiedTime.toMillis < cutoff) {
           // a sidecar is live while its data file is referenced; the
@@ -3555,7 +3757,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       // with it
       val p = Paths.get(dir, rel)
       val parent = p.getParent
-      val prefixes = Seq(".bloom-", ".ndv-").map(p.getFileName.toString + _)
+      val prefixes = Seq(".bloom-", ".ndv-", ".kll-", ".theta-")
+        .map(p.getFileName.toString + _)
       if (Files.isDirectory(parent)) {
         val s = Files.list(parent)
         try {
@@ -3603,6 +3806,8 @@ object VersionedTable {
     */
   final case class BloomConfig(columns: Seq[String], expected: Long, fpp: Double)
   final case class NdvConfig(columns: Seq[String], lgK: Int)
+  final case class SketchConfig(kll: Seq[String], theta: Seq[String],
+      kllK: Int, thetaLgK: Int)
 
   /** Key-set cap for driver-side Bloom probing in DELETE/MERGE: above
     * this the key set is bulk-scale (a backfill, not a point lookup) —
@@ -4221,6 +4426,92 @@ object TableBloom {
       .readWhere(col("k") === probe)
       .agg(count(lit(1)).as("n_rows"),
         coalesce(graft.operators.Rnd.round(sum("price"), 2), lit(0.0)).as("total"))
+  }
+}
+
+/** Contract query for the per-file KLL/theta SKETCH SIDECARS
+  * (`q_sketch_sidecars`): a sketch-indexed table goes through append
+  * (keys %3 ∈ {0,1}) then overwrite (keys %3 ∈ {1,2}); the query then
+  * answers — with ZERO data scan, from manifest-adjacent sidecar
+  * bytes alone — the head snapshot's p50/p95 of `price` (merged KLL
+  * sidecars) and the distinct-key overlap between version 1 and the
+  * head (intersected theta sidecars: retention across an overwrite,
+  * the set operation HLL sidecars structurally cannot do).
+  *
+  * DuckDB-oracled as a BOUND-VERIFICATION REPLAY like q_kll_quantiles:
+  * the metadata-only estimates export as the decision table; both
+  * engines independently recompute the exact rank spans and the exact
+  * key overlap from raw lineitem rows and hash-compare the
+  * within-bound flags (KLL k=200 → ~1.65% rank error, audit allows
+  * 3% + 1; theta lgK=12 → audit allows 5% ∨ 3). Memoized per
+  * (session, corpus) like [[TableBloom]].
+  */
+object TableSketch {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = Files.createTempDirectory("graft-tsketch")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_sk"
+      val vt = VersionedTable(t.spark, dir)
+      vt.enableSketch(kllColumns = Seq("price"), thetaColumns = Seq("k"))
+      val base = t.lineitem.select(col("l_orderkey").as("k"),
+        col("l_extendedprice").as("price"))
+      vt.append(base.filter(pmod(col("k"), lit(3)) < 2).repartition(4))
+      vt.overwrite(base.filter(pmod(col("k"), lit(3)) >= 1).repartition(4))
+      dir
+    }
+
+  /** Forces the memoized fixture build (Bench's index_build pass): the
+    * two sketch-indexed commits are a one-time corpus cost reported
+    * separately, so the timed query measures the metadata serve +
+    * verification scan. Verify never calls this.
+    */
+  def warmBuild(t: Tables): Unit = { builtTable(t); () }
+
+  def qSketchSidecars(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vt = VersionedTable(t.spark, builtTable(t))
+    // driver-side METADATA reads — the whole point: no data file opens
+    val qs = vt.approxQuantiles("price", Seq(0.5, 0.95)).getOrElse(
+      throw new IllegalStateException("kll sidecars must cover the snapshot"))
+    val overlap = vt.approxKeyOverlap("k", v1 = 1, v2 = 2).getOrElse(
+      throw new IllegalStateException("theta sidecars must cover both versions"))
+    val est = t.spark.range(1).select(
+      lit(qs(0)).as("v50"), lit(qs(1)).as("v95"), lit(overlap).as("est_overlap"))
+    val decided = graft.util.OracleExports.materialize(est, "sketch_sidecars")
+    val head = vt.read()
+    val audit = head.crossJoin(broadcast(decided))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("price") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("price") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("price") <= col("v95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("price") < col("v95"), 1L).otherwise(0L)).as("lt95"))
+    val exactOv = vt.read(1).select("k").intersect(vt.read(2).select("k"))
+      .agg(count(lit(1)).as("ex_overlap"))
+    def ok(le: String, lt: String, p: Double) = {
+      val eps = col("n") * 0.03 + lit(1.0)
+      (col(le) >= col("n") * p - eps) && (col(lt) <= col("n") * p + eps)
+    }
+    decided.crossJoin(broadcast(audit)).crossJoin(broadcast(exactOv))
+      .select(
+        graft.operators.Rnd.round(col("v50"), 4).as("p50"),
+        graft.operators.Rnd.round(col("v95"), 4).as("p95"),
+        col("n"),
+        ok("le50", "lt50", 0.5).as("p50_ok"),
+        ok("le95", "lt95", 0.95).as("p95_ok"),
+        col("est_overlap"),
+        (abs(col("est_overlap") - col("ex_overlap")) <=
+          greatest(col("ex_overlap") * 0.05, lit(3.0))).as("overlap_ok"))
   }
 }
 
