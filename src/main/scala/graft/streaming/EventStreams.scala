@@ -81,6 +81,34 @@ object EventStreams {
         round(graft.functions.GraftFunctions.kllValue(col("sk"), 0.95), 4).as("p95"),
         col("n_events"))
 
+  /** Windowed DISTINCT-KEY SKETCHES under a watermark: per-hour Theta
+    * sketch BYTES of `user_id`, plus their estimate — the streaming
+    * feed of the stored-sketch rollups (the set-algebra twin of
+    * [[hourlyUniqueUsers]] and the key-domain sibling of
+    * [[hourlyQuantiles]]). Downstream stores the emitted bytes and
+    * answers ANY later cross-window question from them — overlap
+    * (retention: `theta_intersect_agg`), reach (`theta_union_agg`),
+    * churn (`theta_anotb`) — without re-touching raw events;
+    * operations the HLL cardinality twin structurally cannot do.
+    * O(KB) state per window, merging monotonically across
+    * micro-batches. `lgK` is build-time precision (exact below 2^lgK
+    * distincts per window); pass the same value to the re-aggregation
+    * gadgets so roll-ups never silently degrade.
+    */
+  def hourlyKeySketches(events: DataFrame, watermark: String = "2 hours",
+      lgK: Int = 12): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions.thetaSketchAgg(col("user_id"), lgK).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("sk"),
+        graft.functions.GraftFunctions.thetaEstimate(col("sk"))
+          .cast("long").as("approx_users"),
+        col("n_events"))
+
   /** NATIVE session windows in a stream: the same
     * `session_window` grouping the batch `Sessionize.qSessionWindow`
     * uses, under a watermark — Spark merges windows as late events

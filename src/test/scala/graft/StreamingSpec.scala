@@ -64,6 +64,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed theta sketches: stored bytes answer cross-window overlap/churn") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{thetaANotB, thetaEstimate, thetaIntersectAgg, thetaUnionAgg}
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyKeySketches(input.toDS().toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("theta_win_test")
+      .outputMode("complete").start()
+    try {
+      // hour 0: users 1..60 over TWO batches (sketch state must merge
+      // across micro-batches); hour 1: users 41..100 → overlap 20,
+      // churn (in h0, gone in h1) 40, reach 100 — all exact at lgK=12
+      input.addData((1 to 30).map(u => Event(u.toLong, ts(u % 50), u.toLong, "c", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((31 to 60).map(u => Event(u.toLong, ts(u % 50), u.toLong, "c", 1.0)): _*)
+      input.addData((41 to 100).map(u =>
+        Event(1000 + u.toLong, ts(60 + u % 50), u.toLong, "c", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("theta_win_test").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 3600000 ->
+          (r.getAs[Array[Byte]]("sk"), r.getAs[Long]("approx_users"))).toMap
+      assert(rows(0L)._2 == 60L, s"hour-0 distincts ${rows(0L)._2}")
+      assert(rows(1L)._2 == 60L, s"hour-1 distincts ${rows(1L)._2}")
+      // downstream re-aggregation from the STORED bytes alone: the
+      // whole point of emitting sketches instead of counts
+      val stored = Seq(rows(0L)._1, rows(1L)._1).toDF("sk")
+      val re = stored.agg(
+        thetaEstimate(thetaIntersectAgg(col("sk"))).cast("long").as("overlap"),
+        thetaEstimate(thetaUnionAgg(col("sk"), 12)).cast("long").as("reach")).head()
+      assert(re.getLong(0) == 20L, s"overlap ${re.getLong(0)} vs exact 20")
+      assert(re.getLong(1) == 100L, s"reach ${re.getLong(1)} vs exact 100")
+      val churn = spark.range(1).select(
+        thetaEstimate(thetaANotB(lit(rows(0L)._1), lit(rows(1L)._1)))
+          .cast("long")).head().getLong(0)
+      assert(churn == 40L, s"churn $churn vs exact 40")
+    } finally q.stop()
+  }
+
   test("token-bucket rate limiter: burst, refill, per-key isolation, cross-batch state") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
