@@ -29,15 +29,37 @@ import graft.sources.VersionedTable
   *   - `plan_s`: `scan()` construction + one `count()` over the
   *     manifest-backed snapshot
   *
+  * A second dimension (round-12): LEDGER CARRY. The COPY INTO load
+  * ledger, RETIRED storage names, and the constraint set ride EVERY
+  * manifest forward, so a landing-zone table that has ingested L
+  * source files carries an L-entry ledger in each subsequent commit
+  * — even a 1-file append. Per ledger size L this measures:
+  *
+  *   - `stamp_commit_s`: the commit that first records the L-entry
+  *     ledger (the ingest commit itself)
+  *   - `small_commit_s`: a 1-file append onto the ledger-bearing
+  *     table — the steady-state carry cost every later commit pays
+  *   - `manifest_kb` / `bytes_per_entry`: what the ledger adds to
+  *     every manifest on disk
+  *   - `parse_s`: cold describe (manifest parse) with the ledger in
+  *     the document
+  *
+  * These numbers decide whether the ledger needs checkpoint-style
+  * compaction before the columnar-stats sidecar does.
+  *
   * Run: `sbt "runMain graft.tools.CommitScaleProbe 1000,5000,20000"`.
-  * One JSON line per N on stdout; findings recorded in PROGRESS.md
-  * with the threshold decision.
+  * Second arg overrides the ledger sizes (default 10000,100000).
+  * One JSON line per N / per L on stdout; findings recorded in
+  * PROGRESS.md with the threshold decision.
   */
 object CommitScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val ns = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1000, 5000, 20000, 50000))
+    val ledgerNs = args.drop(1).headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(10000, 100000))
     val spark = graft.engine.GraftSession
       .builder(master = "local[8]", appName = "graft-commit-probe",
         shufflePartitions = 8)
@@ -115,6 +137,43 @@ object CommitScaleProbe {
         s""""bloom_bulk_commit_s":${ms(bloomBulk)},""" +
         s""""sidecar_mb":${sidecarBytes / (1024 * 1024)},""" +
         s""""bloom_commit_heap_delta_mb":${(heapAfter - heapBefore) / (1024 * 1024)}}""")
+    }
+
+    // ---- ledger-carry growth --------------------------------------
+    ledgerNs.foreach { l =>
+      val lroot = java.nio.file.Files.createTempDirectory("graft-lprobe")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(lroot.toFile)
+      }
+      val ldir = lroot.toString + "/t"
+      val lvt = VersionedTable(spark, ldir)
+      def one = spark.range(4).select(col("id").as("k"),
+        (col("id") % 997).cast("double").as("v")).coalesce(1)
+      lvt.append(one)
+      // stamp an L-entry COPY ledger through the REAL carry path
+      // (commitData + extraCopied — the same call copyInto makes),
+      // with synthetic path#size#mtime identities: the carry cost is
+      // a function of the ledger strings, not of whether the landing
+      // files physically exist
+      val ledger = (0 until l).map(i =>
+        s"/landing/part-$i.parquet#1024#1700000000000")
+      val (_, stamp) = timed(lvt.commitData(2, "copy-into", one,
+        carryForward = lvt.fileList(1), extraCopied = ledger))
+      // steady state: every later commit re-carries the ledger
+      val (_, _) = timed(lvt.append(one)) // warm the carry path once
+      val (_, small) = timed(lvt.append(one))
+      val mp = java.nio.file.Paths.get(ldir, "_graft_log",
+        f"v${lvt.currentVersion}%08d.json")
+      val bytes = java.nio.file.Files.size(mp)
+      val cold = VersionedTable(spark, ldir)
+      val (_, parse) = timed(cold.describeJson())
+      def ms(x: Double) = f"$x%.3f"
+      println(s"""{"ledger_entries":$l,"stamp_commit_s":${ms(stamp)},""" +
+        s""""small_commit_s":${ms(small)},"manifest_kb":${bytes / 1024},""" +
+        s""""bytes_per_entry":${bytes / math.max(l, 1)},"parse_s":${ms(parse)}}""")
     }
     spark.stop()
   }
