@@ -55,6 +55,7 @@ import graft.sources.VersionedTable
 case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
     rows: Option[BigInt], bounds: Map[String, (Any, Any)],
     nonNulls: Map[String, Long], ndv: Map[String, Long],
+    histograms: Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram],
     output: Seq[Attribute])
   extends LeafNode with MultiInstanceRelation {
   override def newInstance(): VTableRelation = copy(output = output.map(_.newInstance()))
@@ -77,9 +78,11 @@ case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
 
   /** CBO-grade statistics straight from the commit log: exact row
     * count, per-column min/max and null counts from the manifest,
-    * approximate distinct counts from the NDV sidecars — join reorder
-    * and selectivity estimation get ANALYZE-quality numbers without an
-    * ANALYZE ever running.
+    * approximate distinct counts from the NDV sidecars, and
+    * equi-height HISTOGRAMS from the KLL sketch sidecars — join
+    * reorder and selectivity estimation get ANALYZE-quality numbers
+    * (including skew-aware range selectivity) without an ANALYZE ever
+    * running.
     */
   override def computeStats(): Statistics = {
     import org.apache.spark.sql.catalyst.expressions.AttributeMap
@@ -89,12 +92,17 @@ case class VTableRelation(dir: String, version: Int, sizeBytes: BigInt,
       val nulls = for { r <- rows; nn <- nonNulls.get(a.name) }
         yield r - BigInt(nn)
       val dc = ndv.get(a.name).map(BigInt(_))
-      if (b.isEmpty && nulls.isEmpty && dc.isEmpty) None
+      val hg = histograms.get(a.name)
+      if (b.isEmpty && nulls.isEmpty && dc.isEmpty && hg.isEmpty) None
       else Some(a -> ColumnStat(
         distinctCount = dc,
         min = b.map(p => internal(a, p._1)),
         max = b.map(p => internal(a, p._2)),
-        nullCount = nulls))
+        nullCount = nulls,
+        // equi-height histogram merged from the KLL sketch sidecars:
+        // range/equality selectivity sees the actual value
+        // distribution, not a uniform assumption over [min, max]
+        histogram = hg))
     }
     Statistics(sizeInBytes = sizeBytes, rowCount = rows,
       attributeStats = AttributeMap(colStats))

@@ -975,19 +975,46 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // call. The ndv columns key the memo so enableNdv() between scans
     // can't serve a stale column set.
     val cfg = ndvConfig
+    val skCfg = sketchConfig
     val meta = VersionedTable.scanMeta.getOrBuild(
-      (dir, v, cfg.map(_.columns).getOrElse(Nil))) {
+      (dir, v, cfg.map(_.columns).getOrElse(Nil),
+        skCfg.map(_.kll).getOrElse(Nil))) {
       val bytes = files.map { rel =>
         try Files.size(dataFsPath(rel)) catch { case _: java.io.IOException => 0L }
       }.sum
       val ndv: Map[String, Long] = cfg.toSeq.flatMap(c0 =>
         c0.columns.filter(st.fieldNames.contains)
           .flatMap(c => approxNdvOver(c, c0.lgK, files).map(c -> _))).toMap
-      VersionedTable.ScanMeta(bytes, ndv)
+      // equi-height histograms from the KLL sidecars — CBO's
+      // FilterEstimation consumes ColumnStat.histogram whenever
+      // present, so covered columns get ANALYZE-grade range/equality
+      // selectivity with zero data scan and no ANALYZE. Attached only
+      // when the NDV sidecar covers the column too: each bin carries
+      // a per-bin distinct estimate (global ndv spread uniformly, the
+      // standard approximation), and inventing one from row counts
+      // would mis-estimate equality selectivity on low-cardinality
+      // columns.
+      import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+      val nBins = 64
+      val hist: Map[String, Histogram] = skCfg.toSeq.flatMap { sc =>
+        sc.kll.filter(c => ndv.contains(c) && st.fields.exists(f =>
+            f.name == c &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          .flatMap { c =>
+            kllMergedOver(c, sc.kllK, files).filter(!_.isEmpty).map { sk =>
+              val qs = (0 to nBins).map(i => sk.getQuantile(i.toDouble / nBins,
+                org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+              val perBinNdv = math.max(ndv(c) / nBins, 1L)
+              c -> Histogram(sk.getN.toDouble / nBins,
+                (0 until nBins).map(i => HistogramBin(qs(i), qs(i + 1), perBinNdv)).toArray)
+            }
+          }
+      }.toMap
+      VersionedTable.ScanMeta(bytes, ndv, hist)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.VTableRelation(dir, v, BigInt(meta.bytes.max(1L)), rows, bounds,
-        nonNulls, meta.ndv, attrs))
+        nonNulls, meta.ndv, meta.hist, attrs))
   }
 
   /** DESCRIBE DETAIL as one O(metadata) JSON document: schema plus the
@@ -1377,7 +1404,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val ndvCols = ndvConfig.toSeq.flatMap(cfg =>
       cfg.columns.filter(schema.fieldNames.contains).map(c => (c, cfg.lgK)))
     val ndvAggs = ndvCols.map { case (c, lgK) =>
-      org.apache.spark.sql.functions.hll_sketch_agg(col(c), lgK).as(s"__ndv_$c")
+      // Spark's HllSketchAgg accepts integral/string/binary inputs
+      // natively; every other type (double measures above all — the
+      // columns KLL histograms want NDV for) sketches its xxhash64
+      // instead: distinct values ↔ distinct hashes at NDV precision.
+      // Era-safe: such columns could never commit before (analysis
+      // error), so no raw-value sidecars exist to mix with, and the
+      // appendEvolve guard already refuses representation-changing
+      // widenings on NDV-indexed columns.
+      val in = schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             BinaryType => col(c)
+        case _ => org.apache.spark.sql.functions.xxhash64(col(c))
+      }
+      org.apache.spark.sql.functions.hll_sketch_agg(in, lgK).as(s"__ndv_$c")
     }
     // KLL quantile + Theta key sketches ride the same pass too: the
     // type filters mirror the aggregates' own input contracts (a
@@ -3901,9 +3941,10 @@ object VersionedTable {
     * file set of a committed version is immutable, so this work is
     * computed once per JVM, not once per scan()/describe call.
     */
-  private[sources] final case class ScanMeta(bytes: Long, ndv: Map[String, Long])
+  private[sources] final case class ScanMeta(bytes: Long, ndv: Map[String, Long],
+      hist: Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram])
   private[sources] val scanMeta =
-    new graft.util.BoundedMemo[(String, Int, Seq[String]), ScanMeta](64, _ => ())
+    new graft.util.BoundedMemo[(String, Int, Seq[String], Seq[String]), ScanMeta](64, _ => ())
 
   /** Field-metadata key carrying a column's PHYSICAL name — the name
     * its values are stored under in parquet files (Delta's name-mode

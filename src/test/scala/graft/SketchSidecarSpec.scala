@@ -124,6 +124,41 @@ class SketchSidecarSpec extends SparkSpecBase {
     assert(!idCol.has("p50_approx"))
   }
 
+  test("CBO gets a KLL-fed equi-height histogram: skew-aware, no ANALYZE") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    // histogram needs BOTH sidecar families: KLL for bin bounds, NDV
+    // for the per-bin distinct estimate
+    t.enableSketch(kllColumns = Seq("v"))
+    t.enableNdv(Seq("v"))
+    // heavily skewed: 900 values in [0,1), 100 in [100,101) — a
+    // uniform [min,max] assumption would misplace every quantile
+    val skewed = (0 until 900).map(i => (i.toLong, i / 900.0)) ++
+      (0 until 100).map(i => (900L + i, 100.0 + i / 100.0))
+    t.append(skewed.toDF("id", "v").repartition(2))
+    val rel = t.scan().queryExecution.logical.collectFirst {
+      case r: graft.plans.VTableRelation => r
+    }.get
+    val stats = rel.computeStats()
+    val vAttr = rel.output.find(_.name == "v").get
+    val cs = stats.attributeStats(vAttr)
+    assert(cs.histogram.isDefined, "kll+ndv coverage must attach a histogram")
+    val h = cs.histogram.get
+    // equi-height: height * bins == non-null count
+    assert(math.round(h.height * h.bins.length) == 1000L)
+    // bins are monotone and track the skew: the 90th-percentile
+    // boundary still sits in the dense [0,1) mass, not midway to 100
+    val bounds = h.bins.map(_.lo) :+ h.bins.last.hi
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
+    val p90bin = h.bins((h.bins.length * 9) / 10 - 1)
+    assert(p90bin.hi <= 1.0,
+      s"90% of mass is below 1.0 but bin ends at ${p90bin.hi}")
+    assert(h.bins.last.hi >= 100.0)
+    // id column: kll-unconfigured → no histogram, but stats still flow
+    val idAttr = rel.output.find(_.name == "id").get
+    assert(stats.attributeStats(idAttr).histogram.isEmpty)
+  }
+
   test("sketch columns refuse rename (sidecar files are name-keyed)") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
