@@ -124,6 +124,21 @@ class SketchSidecarSpec extends SparkSpecBase {
     assert(!idCol.has("p50_approx"))
   }
 
+  test("OPTIMIZE restores sketch coverage over pre-enablement files") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    // TWO pre-enablement files (compact no-ops on a single small file)
+    t.append((0L until 15L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    t.append((15L until 30L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    t.enableSketch(kllColumns = Seq("v"), thetaColumns = Seq("id"))
+    assert(t.approxQuantiles("v", Seq(0.5)).isEmpty,
+      "premise: the pre-enablement files block the answer")
+    // compaction rewrites every file through the stats job → sidecars
+    t.compact(targetBytes = 1L << 30)
+    assert(t.approxQuantiles("v", Seq(0.5)).contains(Seq(14.0)))
+    assert(t.approxKeyOverlap("id").contains(30L))
+  }
+
   test("CBO gets a KLL-fed equi-height histogram: skew-aware, no ANALYZE") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
