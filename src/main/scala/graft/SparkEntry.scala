@@ -108,7 +108,14 @@ object SparkEntry {
     "sqldml_fixture" -> ((s, d) => graft.service.SqlDmlDemo.warmBuild(t(s, d))),
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
-    "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))))
+    "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),
+    // the next fixture-dominated class after the SQL-DML trio: the
+    // CDF/apply/mview fixtures commit 3-6 times each before the timed
+    // query reads the feed/result — same attribution split
+    "cdf_fixture" -> ((s, d) => graft.sources.TableCdf.warmBuild(t(s, d))),
+    "apply_fixture" -> ((s, d) => graft.sources.TableApply.warmBuild(t(s, d))),
+    "mview_fixture" -> ((s, d) => graft.sources.MviewDemo.warmBuild(t(s, d))),
+    "mview_cdf_fixture" -> ((s, d) => graft.sources.MviewCdfDemo.warmBuild(t(s, d))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

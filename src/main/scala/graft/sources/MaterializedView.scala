@@ -380,6 +380,13 @@ object MviewCdfDemo {
       mv
     }
 
+  /** Forces the memoized fixture build (Bench's index_build pass) so
+    * the timed contract query measures the committed-result read, not
+    * the fixture's commit sequence — which stays on the record under
+    * index_build. Verify never calls this.
+    */
+  def warmBuild(t: Tables): Unit = { builtView(t); () }
+
   def qMviewCdf(t: Tables): DataFrame =
     builtView(t).read()
       .select(col("pri"), col("n_orders"),
@@ -427,6 +434,13 @@ object MviewDemo {
       }
       mv
     }
+
+  /** Forces the memoized fixture build (Bench's index_build pass) so
+    * the timed contract query measures the committed-result read, not
+    * the fixture's commit sequence — which stays on the record under
+    * index_build. Verify never calls this.
+    */
+  def warmBuild(t: Tables): Unit = { builtView(t); () }
 
   def qMview(t: Tables): DataFrame =
     builtView(t).read()
