@@ -174,6 +174,24 @@ class SketchSidecarSpec extends SparkSpecBase {
     assert(stats.attributeStats(idAttr).histogram.isEmpty)
   }
 
+  test("a shallow clone answers from the source's sidecars once it opts in") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sketch-clone")
+    val t = VersionedTable(spark, s"$root/src")
+    t.enableSketch(kllColumns = Seq("v"), thetaColumns = Seq("id"))
+    t.append((0L until 50L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val c = t.cloneTo(s"$root/clone")
+    // index CONFIG does not carry (same contract as bloom/NDV): the
+    // clone answers nothing until it opts in itself ...
+    assert(c.approxQuantiles("v", Seq(0.5)).isEmpty)
+    c.enableSketch(kllColumns = Seq("v"), thetaColumns = Seq("id"))
+    // ... and then the SOURCE files' sidecars resolve in place through
+    // the clone's external references — zero-copy metadata answers
+    assert(c.approxQuantiles("v", Seq(0.5)).contains(Seq(24.0)))
+    assert(c.approxKeyOverlap("id", other = t).contains(50L),
+      "clone vs source share all 50 keys")
+  }
+
   test("sketch columns refuse rename (sidecar files are name-keyed)") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
