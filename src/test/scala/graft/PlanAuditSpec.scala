@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_semdedup",        // same k-row centroid table (index-build lineage)
     "q_cluster_topics",  // same k-row centroid table (assignment pass)
     "q_approx_distinct", // 1-row exact-count audit side (bound verification)
+    "q_sketch_sidecars", // 1-row metadata-estimate decision × 1-row audits
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
     "q_bm25",            // 1-row (n_docs, avgdl) corpus stats
