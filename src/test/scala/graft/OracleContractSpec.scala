@@ -37,7 +37,7 @@ class OracleContractSpec extends AnyFunSuite {
   private val singleRowResults = Set(
     "q6_filter_agg", "q17_small_qty", "q14_promo_revenue", "q19_disjunctive",
     "q_funnel", "q_sample_mod", "q_distinct_cond", "q_dedup_exact", "q_data_card", "q_table_replace",
-    "q_approx_distinct", "q_copy_into",
+    "q_approx_distinct", "q_copy_into", "q_sketch_sidecars",
     "q_table_merge", "q_sql_merge", "q_sql_merge_general", "q_sql_insert",
     "q_vtable_skip", "q_vtable_lazy", "q_vtable_meta",
     "q_vtable_dfp", "q_vtable_in", "q_vtable_or", "q_table_evolve",
