@@ -192,6 +192,33 @@ class SketchSidecarSpec extends SparkSpecBase {
       "clone vs source share all 50 keys")
   }
 
+  test("a stream-fed table serves metadata quantiles: sidecars ride the sink's commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sketch-stream")
+    val tableDir = s"$root/t"
+    // enable BEFORE the stream starts: every epoch's commit then runs
+    // the one-pass stats job and lands kll/theta sidecars
+    VersionedTable(spark, tableDir).enableSketch(
+      kllColumns = Seq("v"), thetaColumns = Seq("id"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = graft.streaming.VTableStreamSink(tableDir, s"$root/chk")
+      .start(input.toDS().toDF("id", "v"))
+    try {
+      input.addData((0L until 30L).map(i => (i, i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((30L until 50L).map(i => (i, i.toDouble)): _*)
+      q.processAllAvailable()
+      val t = VersionedTable(spark, tableDir)
+      // 0..49 exact mode: inclusive p50 = 24
+      assert(t.approxQuantiles("v", Seq(0.5)).contains(Seq(24.0)),
+        "a stream-fed table must answer quantiles from metadata")
+      assert(t.approxKeyOverlap("id").contains(50L))
+      // epoch 1's snapshot answers its own-era question too
+      assert(t.approxQuantiles("v", Seq(0.5), version = 1).contains(Seq(14.0)))
+    } finally q.stop()
+  }
+
   test("sketch columns refuse rename (sidecar files are name-keyed)") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
