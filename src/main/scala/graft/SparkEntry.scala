@@ -182,6 +182,8 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => graft.operators.Skew.qSaltedJoin(t(s, d))),
     "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
+    "q_recursive_cte" -> ((s, d) => Relational.qRecursiveCte(t(s, d))),
+    "q_lateral_topn" -> ((s, d) => Relational.qLateralTopn(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
     "q_hll_sketch" -> ((s, d) => Relational.qHllSketch(t(s, d))),
@@ -1502,6 +1504,25 @@ object SparkEntry {
         |       floor((avg(total)) * 100 + 0.5) / 100 AS avg_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE chain(start_k, k, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey <= 64
+        |  UNION ALL
+        |  SELECT c.start_k, o.o_orderkey, c.depth + 1
+        |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2)
+        |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
+        |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n.n_name, top.s_name,
+        |       floor(top.s_acctbal * 100 + 0.5) / 100 AS bal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2
+        |) top
+        |ORDER BY n.n_name, bal DESC, top.s_name""".stripMargin,
     "q_sample_mod" ->
       """SELECT count(*) AS n_rows, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total,
         | floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty

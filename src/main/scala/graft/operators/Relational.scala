@@ -958,6 +958,49 @@ object Relational {
          |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): key-doubling chains
+    * over orders — each recursion level joins the frontier back to
+    * the table (k → 2k edges), so the plan is a true iterative
+    * fixpoint, not an unrolled union. Bounded by construction: odd
+    * start keys ≤ 64, depth ≤ log2(maxkey). At scale each level is
+    * one equi-join on the (pruned) key column; the recursion carries
+    * only the live frontier, never the table.
+    */
+  def qRecursiveCte(t: Tables): DataFrame = {
+    val vo = corpusView(t, "__graft_rec_orders", t.orders)
+    t.spark.sql(
+      s"""WITH RECURSIVE chain(start_k, k, depth) AS (
+         |  SELECT o_orderkey, o_orderkey, 0
+         |  FROM $vo WHERE o_orderkey % 2 = 1 AND o_orderkey <= 64
+         |  UNION ALL
+         |  SELECT c.start_k, o.o_orderkey, c.depth + 1
+         |  FROM chain c JOIN $vo o ON o.o_orderkey = c.k * 2
+         |)
+         |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
+         |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery: per-nation top-2 suppliers by
+    * account balance through `, LATERAL (… ORDER BY … LIMIT 2)` — the
+    * SQL spelling of the per-group top-n every dashboard wants, planned
+    * as a lateral join (DuckDB runs the identical statement). Ties
+    * break on s_suppkey so both engines pick the same rows.
+    */
+  def qLateralTopn(t: Tables): DataFrame = {
+    val vn = corpusView(t, "__graft_lat_nation", t.nation)
+    val vs = corpusView(t, "__graft_lat_supplier", t.supplier)
+    t.spark.sql(
+      s"""SELECT n.n_name, top.s_name,
+         |       floor(top.s_acctbal * 100 + 0.5) / 100 AS bal
+         |FROM $vn n,
+         |LATERAL (
+         |  SELECT s_name, s_acctbal FROM $vs s
+         |  WHERE s.s_nationkey = n.n_nationkey
+         |  ORDER BY s_acctbal DESC, s_name LIMIT 2
+         |) top
+         |ORDER BY n.n_name, bal DESC, top.s_name""".stripMargin)
+  }
+
   /** Conditional distinct counts: distinct customers per order status
     * from ONE pass (count(DISTINCT CASE ...)) — no per-status
     * re-scan, the expand+distinct machinery handles all three.
