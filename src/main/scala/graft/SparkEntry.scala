@@ -202,6 +202,7 @@ object SparkEntry {
     "q_collect_statuses" -> ((s, d) => Relational.qCollectStatuses(t(s, d))),
     // §2.3 dedup
     "q_dedup_exact" -> ((s, d) => Dedup.qDedupExact(t(s, d))),
+    "q_url_dedup" -> ((s, d) => Dedup.qUrlDedup(t(s, d))),
     "q_dedup_keep_first" -> ((s, d) => Dedup.qDedupKeepFirst(t(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(t(s, d))),
     "q_span_dedup" -> ((s, d) => Dedup.qSpanDedup(t(s, d))),
@@ -1587,6 +1588,13 @@ object SparkEntry {
         | count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // §2.3 dedup
+    "q_url_dedup" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, canonical
+        |  FROM read_parquet('${graft.util.OracleExports.dir("url_canon")}/*.parquet'))
+        |SELECT canonical, count(*) AS n_variants, min(doc_id) AS keeper
+        |FROM c GROUP BY canonical HAVING count(*) > 1
+        |ORDER BY canonical""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         | count(DISTINCT lang) AS n_langs

@@ -39,6 +39,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => { val a = expect("rolling_fp", 1)(args); RollingFp(a(0)) }),
     (FunctionIdentifier("token_count"), info("token_count", classOf[TokenCount]),
       (args: Seq[Expression]) => { val a = expect("token_count", 1)(args); TokenCount(a(0)) }),
+    (FunctionIdentifier("canonical_url"), info("canonical_url", classOf[CanonicalUrl]),
+      (args: Seq[Expression]) => { val a = expect("canonical_url", 1)(args); CanonicalUrl(a(0)) }),
     (FunctionIdentifier("hamming64"), info("hamming64", classOf[Hamming64]),
       (args: Seq[Expression]) => { val a = expect("hamming64", 2)(args); Hamming64(a(0), a(1)) }),
     (FunctionIdentifier("word_shingles"), info("word_shingles", classOf[WordShingles]),
@@ -187,6 +189,7 @@ object GraftFunctions {
     call_function("simhash64", text, lit(shingleSize))
   def rollingFp(text: Column): Column = call_function("rolling_fp", text)
   def tokenCount(text: Column): Column = call_function("token_count", text)
+  def canonicalUrl(url: Column): Column = call_function("canonical_url", url)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))

@@ -241,4 +241,59 @@ object HashImpl {
     }
     true
   }
+
+  /** canonical_url kernel: normalize an http(s) URL to its dedup
+    * identity — the FIRST pass of every crawl pipeline (URL-level
+    * dedup before any content hashing touches bytes):
+    *   - scheme + host lowercase; leading `www.` stripped
+    *   - default ports stripped (`:80` for http, `:443` for https)
+    *   - fragment dropped
+    *   - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `msclkid`),
+    *     remaining params SORTED (param order is not identity)
+    *   - trailing path slash normalized away (root stays bare)
+    * Scheme is preserved (http vs https are different resources until
+    * a fetch proves otherwise). Non-http(s) strings pass through
+    * trimmed — canonicalization is defined for web URLs only, and
+    * guessing at mailto:/ftp: would corrupt, not normalize.
+    */
+  def canonicalUrl(u: UTF8String): UTF8String = {
+    val raw = u.toString.trim
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    val scheme =
+      if (lower.startsWith("https://")) "https"
+      else if (lower.startsWith("http://")) "http"
+      else return UTF8String.fromString(raw)
+    val rest0 = raw.substring(scheme.length + 3)
+    // fragment first: everything after '#' is client-side
+    val rest = rest0.indexOf('#') match {
+      case -1 => rest0
+      case i  => rest0.substring(0, i)
+    }
+    val pathStart = {
+      val slash = rest.indexOf('/')
+      val q = rest.indexOf('?')
+      if (slash == -1 && q == -1) rest.length
+      else if (slash == -1) q
+      else if (q == -1) slash
+      else math.min(slash, q)
+    }
+    var host = rest.substring(0, pathStart).toLowerCase(java.util.Locale.ROOT)
+    if (host.startsWith("www.")) host = host.substring(4)
+    val defPort = if (scheme == "https") ":443" else ":80"
+    if (host.endsWith(defPort)) host = host.dropRight(defPort.length)
+    val tail = rest.substring(pathStart)
+    val (path0, query0) = tail.indexOf('?') match {
+      case -1 => (tail, "")
+      case i  => (tail.substring(0, i), tail.substring(i + 1))
+    }
+    var path = path0
+    while (path.endsWith("/")) path = path.dropRight(1)
+    val kept = query0.split("&").iterator.filter(_.nonEmpty).filterNot { p =>
+      val k = p.indexOf('=') match { case -1 => p; case i => p.substring(0, i) }
+      val kl = k.toLowerCase(java.util.Locale.ROOT)
+      kl.startsWith("utm_") || kl == "fbclid" || kl == "gclid" || kl == "msclkid"
+    }.toArray.sorted
+    val q = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+    UTF8String.fromString(s"$scheme://$host$path$q")
+  }
 }

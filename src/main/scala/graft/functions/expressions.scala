@@ -103,6 +103,26 @@ case class RollingFp(child: Expression)
   override def prettyName: String = "rolling_fp"
 }
 
+/** canonical_url(url) → string: the URL's dedup identity (lowercased
+  * scheme/host, www/default-port/fragment/tracking-params stripped,
+  * remaining params sorted, trailing slash normalized) — the first
+  * pass of a crawl pipeline, codegen'd so URL-level dedup of billions
+  * of rows stays inside whole-stage codegen. Non-http(s) strings pass
+  * through trimmed.
+  */
+case class CanonicalUrl(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    HashImpl.canonicalUrl(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.HashImpl.canonicalUrl($t)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(newChild)
+  override def prettyName: String = "canonical_url"
+}
+
 /** token_count(text) → int: whitespace-run token count. */
 case class TokenCount(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -699,4 +699,45 @@ object Dedup {
         count(lit(1)).cast("int").as("n_kept"))
       .orderBy("doc_id")
   }
+
+  /** URL-level dedup — the FIRST pass of every crawl pipeline: the
+    * fetch identity is the cheapest dedup signal, applied before any
+    * content hashing touches bytes. The corpus carries no URL column,
+    * so the query synthesizes a deterministic messy-URL surface from
+    * documents — three variants per shared target (uppercase host +
+    * scheme, www + default port + tracking params + trailing slash,
+    * fragment) — and the codegen'd `canonical_url` collapses them;
+    * dup groups then reduce to (canonical, n_variants, keeper) by
+    * keep-min-doc_id. One hash-partial groupBy on the canonical
+    * string: at 100 TB this is the same shuffle class as exact dedup.
+    *
+    * DuckDB-oracled as a DECISION REPLAY: the (doc_id, canonical)
+    * table exports and the oracle re-derives groups/keepers in plain
+    * SQL; the canonicalization kernel itself is pinned by
+    * ExtensionsSpec unit cases (ports, params, fragments, non-http
+    * passthrough).
+    */
+  def qUrlDedup(t: Tables): DataFrame = {
+    val urls = t.documents
+      .select(col("doc_id"),
+        (col("doc_id") / 3).cast("long").as("g"),
+        pmod(col("doc_id"), lit(3)).as("v"))
+      .withColumn("host", concat(lit("example-"), pmod(col("g"), lit(5))))
+      .select(col("doc_id"),
+        when(col("v") === 0,
+          concat(lit("HTTPS://"), upper(col("host")), lit(".COM/d/"), col("g")))
+        .when(col("v") === 1,
+          concat(lit("https://www."), col("host"), lit(".com:443/d/"), col("g"),
+            lit("/?utm_source=x&gclid=1")))
+        .otherwise(
+          concat(lit("https://"), col("host"), lit(".com/d/"), col("g"),
+            lit("#section-2"))).as("url"))
+    val canon = urls.select(col("doc_id"),
+      GraftFunctions.canonicalUrl(col("url")).as("canonical"))
+    val decided = graft.util.OracleExports.materialize(canon, "url_canon")
+    decided.groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper"))
+      .filter(col("n_variants") > 1)
+      .orderBy("canonical")
+  }
 }

@@ -29,4 +29,34 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(2) == 3)
     } finally ()
   }
+
+  test("canonical_url pins the dedup identity on adversarial URLs") {
+    def c(u: String): String = graft.functions.HashImpl
+      .canonicalUrl(org.apache.spark.unsafe.types.UTF8String.fromString(u)).toString
+    // case, www, default port, trailing slash, fragment, tracking params
+    assert(c("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&gclid=1#frag") ==
+      "https://example.com/A/b")
+    // path case is PRESERVED (paths are case-sensitive resources)
+    assert(c("https://example.com/A") != c("https://example.com/a"))
+    // param ORDER is not identity; non-tracking params survive, sorted
+    assert(c("https://e.com/p?b=2&a=1") == c("https://e.com/p?a=1&b=2"))
+    assert(c("https://e.com/p?a=1&utm_campaign=z&b=2") == "https://e.com/p?a=1&b=2")
+    // scheme is identity: http and https do NOT merge
+    assert(c("http://e.com/p") != c("https://e.com/p"))
+    // http strips ITS default port, not https's
+    assert(c("http://e.com:80/p") == "http://e.com/p")
+    assert(c("http://e.com:443/p") == "http://e.com:443/p")
+    // bare host, root slash, and multiple trailing slashes all collapse
+    assert(c("https://e.com") == c("https://e.com/") && c("https://e.com") == c("https://e.com///"))
+    // a '?' before any '/' still parses as the query
+    assert(c("https://e.com?utm_source=x") == "https://e.com")
+    // non-http(s) passes through trimmed, untouched
+    assert(c("  mailto:a@b.c ") == "mailto:a@b.c")
+    assert(c("ftp://E.com/X") == "ftp://E.com/X")
+    // codegen path (SQL) agrees with the kernel
+    val viaSql = TestSpark.spark.sql(
+      "SELECT canonical_url('HTTPS://WWW.E.com:443/p/?utm_source=1&z=2&a=3#x') AS u")
+      .head().getString(0)
+    assert(viaSql == "https://e.com/p?a=3&z=2")
+  }
 }
