@@ -252,6 +252,7 @@ object SparkEntry {
     // rows-only: corpus-trained BPE vocabulary isn't SQL-expressible
     "q_bpe_tokens" -> ((s, d) => TextAnalysis.qBpeTokens(t(s, d))),
     "q_bpe_fertility" -> ((s, d) => TextAnalysis.qBpeFertility(t(s, d))),
+    "q_bpe_roundtrip" -> ((s, d) => TextAnalysis.qBpeRoundtrip(t(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qQualityScore(t(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.qLangId(t(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.qFingerprint(t(s, d))),
@@ -508,6 +509,21 @@ object SparkEntry {
     // fertility = BPE tokens per whitespace word, per language — the
     // per-doc sums re-derive from the same merge replay, then join
     // lang; integer-valued double sums keep the ratio bit-identical
+    "q_bpe_roundtrip" ->
+      s"""WITH v AS (
+        |  SELECT symbol, id
+        |  FROM read_parquet('${graft.util.OracleExports.dir("bpe_vocab")}/*.parquet')),
+        |i AS (
+        |  SELECT doc_id, pos, id
+        |  FROM read_parquet('${graft.util.OracleExports.dir("bpe_ids")}/*.parquet')),
+        |dec AS (
+        |  SELECT i.doc_id, count(*) AS n_tokens,
+        |    string_agg(coalesce(v.symbol, chr(65533)), '' ORDER BY i.pos) AS decoded
+        |  FROM i LEFT JOIN v USING (id) GROUP BY i.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(dec.n_tokens, 0) AS INTEGER) AS n_tokens,
+        |  coalesce(dec.decoded, '') = regexp_replace(d.text, '\\s+', '', 'g') AS roundtrip_ok
+        |FROM documents d LEFT JOIN dec USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_bpe_fertility" ->
       ("WITH RECURSIVE " + bpeCte + ",\n" +
        """agg AS (

@@ -64,6 +64,25 @@ object Bpe {
     }
     def vocabSize: Int = vocab.size
     def unkId: Int = vocabSize
+    // id → symbol, the decode direction. U+FFFD for the unk id (and
+    // anything out of range): decode is total, and the replacement
+    // char makes a broken round-trip VISIBLE instead of silently
+    // dropping ids.
+    @transient private lazy val invVocab: Array[String] = {
+      val arr = new Array[String](vocabSize)
+      vocab.foreach { case (sym, i) => arr(i) = sym }
+      arr
+    }
+    def decodeIds(ids: Array[Int]): String = {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < ids.length) {
+        val id = ids(i)
+        sb.append(if (id >= 0 && id < vocabSize) invVocab(id) else "\ufffd")
+        i += 1
+      }
+      sb.toString
+    }
     // per-word encode caches: corpora repeat words massively and eval
     // is per-row; bounded by wipe-on-overflow (executor-local, a pure
     // memo — losing it costs recompute only)
@@ -221,6 +240,8 @@ object Bpe {
 
   def encode(modelId: String, text: Column): Column =
     call_function("bpe_encode", text, lit(modelId))
+  def decode(modelId: String, ids: Column): Column =
+    call_function("bpe_decode", ids, org.apache.spark.sql.functions.lit(modelId))
 }
 
 /** Static eval target for both interpreted eval and generated Java —
@@ -234,4 +255,9 @@ object BpeImpl {
       : org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       m.encodeIds(text.toString))
+
+  def decode(m: Bpe.Model, ids: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      m.decodeIds(ids.toIntArray()))
 }

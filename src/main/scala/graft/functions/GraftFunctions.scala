@@ -120,6 +120,16 @@ object GraftFunctions {
             s"bpe_encode expects a literal model id, got $other")
         }
       }),
+    (FunctionIdentifier("bpe_decode"), info("bpe_decode", classOf[BpeDecode]),
+      (args: Seq[Expression]) => {
+        val a = expect("bpe_decode", 2)(args)
+        a(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+            BpeDecode(a(0), Bpe.resolve(s.toString))
+          case other => throw new IllegalArgumentException(
+            s"bpe_decode expects a literal model id, got $other")
+        }
+      }),
   )
 
   /** Idempotent runtime registration — for sessions not built through

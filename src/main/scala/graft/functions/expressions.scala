@@ -307,6 +307,28 @@ case class BpeEncode(child: Expression, model: Bpe.Model)
   override def prettyName: String = "bpe_encode"
 }
 
+/** bpe_decode(ids, 'model') → string: the decode direction — token
+  * ids back to their symbol concatenation (U+FFFD for the unk id, so
+  * a broken round-trip is visible, never silent). Since the encoder
+  * whitespace-tokenizes, decode(encode(text)) equals text with
+  * whitespace REMOVED — the round-trip invariant q_bpe_roundtrip
+  * gates. Same analysis-time model resolution as bpe_encode.
+  */
+case class BpeDecode(child: Expression, model: Bpe.Model)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    BpeImpl.decode(model, t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.Model].getName)
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeImpl.decode($ref, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+    copy(newChild)
+  override def prettyName: String = "bpe_decode"
+}
+
 /** hash_embed(text, dim) → array<float>: feature-hashed unit vector
   * of a document (signed hashing trick) — the trained-state-free
   * bridge from raw text into every embedding consumer (cosine

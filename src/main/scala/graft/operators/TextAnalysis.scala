@@ -74,6 +74,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer ROUND-TRIP gate: `bpe_decode(bpe_encode(text))` must
+    * equal text with whitespace removed, per document — the encoder
+    * whitespace-tokenizes, so word-boundary whitespace is the ONE
+    * lossy step, and any other loss (dropped word, mangled merge,
+    * unk leakage — decode maps unk to U+FFFD precisely so it can
+    * never silently pass) flips the flag. The corpus-trained
+    * vocabulary covers its own corpus, so every flag must be true.
+    *
+    * DuckDB-oracled as a DECISION REPLAY with an INDEPENDENT decode:
+    * the per-doc id stream exports; the oracle joins ids to the
+    * exported vocabulary, string_aggs in position order, and compares
+    * against raw `documents.text` itself — a Spark-side decode bug
+    * diverges the flags, and both engines check against the same
+    * untokenized source.
+    */
+  def qBpeRoundtrip(t: Tables): DataFrame = {
+    val (id, _) = corpusModel(t)
+    val enc = t.documents.select(col("doc_id"), col("text"),
+      graft.functions.Bpe.encode(id, col("text")).as("ids"))
+    graft.util.OracleExports.export(
+      enc.select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "id"))),
+      "bpe_ids")
+    enc.select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        (graft.functions.Bpe.decode(id, col("ids")) ===
+          regexp_replace(col("text"), "\\s+", "")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer FERTILITY per language — BPE tokens per whitespace
     * word, the standard multilingual tokenizer-evaluation metric (a
     * language with fertility ≫ 1 is paying more sequence length per

@@ -107,4 +107,29 @@ class BpeSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("nope"), err.getMessage)
   }
+
+  test("decode inverts encode on the training corpus; unk decodes visibly") {
+    // the oracle hash-compares per-doc flags, which would also match
+    // if BOTH engines computed false — this pins the flags themselves
+    val rows = graft.operators.TextAnalysis.qBpeRoundtrip(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"),
+        s"doc ${r.getLong(0)} failed the encode→decode round-trip")
+      assert(r.getAs[Int]("n_tokens") > 0)
+    }
+    // unseen characters encode to unk and decode to U+FFFD — visible,
+    // never silently dropped
+    val (id, m) = graft.operators.TextAnalysis.corpusModel(tables)
+    val ids = m.encodeIds("中文")
+    assert(ids.forall(_ == m.unkId))
+    assert(m.decodeIds(ids) == "��")
+    // SQL path agrees with the kernel
+    import spark.implicits._
+    val viaSql = Seq("key agg row").toDF("text")
+      .select(graft.functions.Bpe.decode(id,
+        graft.functions.Bpe.encode(id, org.apache.spark.sql.functions.col("text"))))
+      .head().getString(0)
+    assert(viaSql == "keyaggrow")
+  }
 }
