@@ -297,6 +297,7 @@ object SparkEntry {
     "q_tvf_changes" -> ((s, d) => graft.sources.TableCdf.qTvfChanges(t(s, d))),
     "q_bloom_lookup" -> ((s, d) => graft.sources.TableBloom.qBloomLookup(t(s, d))),
     "q_sketch_sidecars" -> ((s, d) => graft.sources.TableSketch.qSketchSidecars(t(s, d))),
+    "q_table_stats" -> ((s, d) => graft.sources.TableSketch.qTableStats(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
@@ -2373,6 +2374,23 @@ object SparkEntry {
     // the Bloom-pruned point lookup must return exactly the rows the
     // plain md5-equality filter selects — index-driven file skipping
     // may change how many files open, never the answer
+    // the TVF's manifest-exact columns recomputed from raw rows: the
+    // fixture holds exactly lineitem's %3>=1 slice as (k, price)
+    "q_table_stats" ->
+      """WITH head AS (
+        |  SELECT l_orderkey AS k, l_extendedprice AS price
+        |  FROM lineitem WHERE l_orderkey % 3 >= 1),
+        |s AS (
+        |  SELECT 'k' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(k) AS n_nulls,
+        |    CAST(min(k) AS VARCHAR) AS min_val,
+        |    CAST(max(k) AS VARCHAR) AS max_val FROM head
+        |  UNION ALL
+        |  SELECT 'price', count(*), count(*) - count(price),
+        |    CAST(min(price) AS VARCHAR), CAST(max(price) AS VARCHAR) FROM head)
+        |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  min_val, max_val
+        |FROM s ORDER BY col_name""".stripMargin,
     // metadata-only sketch-sidecar answers, bound-verified: both
     // engines recompute exact rank spans and the exact key overlap
     // from raw lineitem rows against the exported estimates

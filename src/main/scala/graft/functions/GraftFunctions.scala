@@ -185,6 +185,33 @@ object GraftFunctions {
               "or an absolute table path"))
       graft.sources.VersionedTable(spark, dir)
         .readChangesSince(since, until).queryExecution.analyzed
+    }), (
+    // O(metadata) per-column statistics as SQL: `SELECT * FROM
+    // table_stats('name-or-/path'[, version])` — manifest-exact rows,
+    // null counts and numeric bounds; NDV-sidecar distincts and
+    // KLL-sidecar p50/p95 where coverage holds (null otherwise). The
+    // SQL twin of POST /describe; no data file opened.
+    FunctionIdentifier("table_stats"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_stats"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (target, version) = args match {
+        case Seq(Literal(t: UTF8String, _)) => (t.toString, -1)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Int, _)) => (t.toString, v)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Long, _)) => (t.toString, v.toInt)
+        case _ => throw new IllegalArgumentException(
+          "usage: table_stats('name-or-/path'[, version])")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_stats: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .statsTable(version).queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

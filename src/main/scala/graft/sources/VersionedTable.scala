@@ -1106,6 +1106,48 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       spark.sparkContext.parallelize(entries, 1), schema))
   }
 
+  /** O(metadata) per-column statistics as a DataFrame — the
+    * SQL-facing superset of [[profileFromMetadata]]: best-effort PER
+    * COLUMN (null where the manifest or sidecars can't answer)
+    * instead of all-or-nothing, plus KLL p50/p95 where sketch
+    * sidecars cover. Served as `SELECT * FROM table_stats('t')` via
+    * the registered table function; no data file is opened.
+    */
+  def statsTable(version: Int = -1): DataFrame = {
+    val v = if (version == -1) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version")
+    val rel = scan(v).queryExecution.logical.collectFirst {
+      case r: graft.plans.VTableRelation => r
+    }.getOrElse(throw new IllegalStateException(s"scan of $dir lost its relation"))
+    val rows = rel.rows.map(_.toLong)
+    val skCfg = sketchConfig
+    val entries = rel.output.map { a =>
+      val nulls = for { r <- rows; n <- rel.nonNulls.get(a.name) } yield r - n
+      val (mn, mx) = rel.bounds.get(a.name) match {
+        case Some((lo, hi)) => (lo.toString, hi.toString)
+        case None           => (null: String, null: String)
+      }
+      val qs =
+        if (skCfg.exists(_.kll.contains(a.name)))
+          approxQuantiles(a.name, Seq(0.5, 0.95), v)
+        else None
+      Row(a.name, rows.map(Long.box).orNull, nulls.map(Long.box).orNull,
+        rel.ndv.get(a.name).map(Long.box).orNull, mn, mx,
+        qs.map(q => Double.box(q.head)).orNull,
+        qs.map(q => Double.box(q(1))).orNull)
+    }.sortBy(_.getString(0))
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("n_nulls", LongType, nullable = true),
+      StructField("n_distinct", LongType, nullable = true),
+      StructField("min_val", StringType, nullable = true),
+      StructField("max_val", StringType, nullable = true),
+      StructField("p50_approx", DoubleType, nullable = true),
+      StructField("p95_approx", DoubleType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(entries, 1), schema)
+  }
+
   /** Any column whose logical name differs from its stored name? */
   private def hasMapping(st: StructType): Boolean =
     st.fields.exists(f => VersionedTable.physicalName(f) != f.name)
@@ -4525,6 +4567,21 @@ object TableSketch {
     * verification scan. Verify never calls this.
     */
   def warmBuild(t: Tables): Unit = { builtTable(t); () }
+
+  /** The `table_stats` TVF's manifest-exact columns under the hash
+    * gate: rows, null counts and bounds come from commit metadata
+    * (zero data scan), and the oracle recomputes the identical values
+    * from raw lineitem rows — any drift in the stats arithmetic or
+    * the bound stringification diverges the hash. The approx columns
+    * (NDV, quantiles) are bound-verified by `q_sketch_sidecars`.
+    */
+  def qTableStats(t: Tables): DataFrame = {
+    val dir = builtTable(t)
+    t.spark.sql(
+      s"""SELECT col_name, n_rows, n_nulls, min_val, max_val
+         |FROM table_stats('$dir')
+         |ORDER BY col_name""".stripMargin)
+  }
 
   def qSketchSidecars(t: Tables): DataFrame = {
     import org.apache.spark.sql.functions._

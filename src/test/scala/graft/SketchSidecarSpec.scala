@@ -219,6 +219,35 @@ class SketchSidecarSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("table_stats TVF: per-column best-effort metadata stats incl. quantiles") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.enableSketch(kllColumns = Seq("v"))
+    t.enableNdv(Seq("id"))
+    t.append((0L until 50L).map(i => (i, i.toDouble, s"s$i")).toDF("id", "v", "name")
+      .coalesce(1))
+    t.append((50L until 80L).map(i => (i, i.toDouble, s"s$i")).toDF("id", "v", "name")
+      .coalesce(1))
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(s"SELECT * FROM table_stats('${t.dir}')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "v", "name"))
+    assert(rows("v").getAs[Long]("n_rows") == 80L)
+    assert(rows("v").getAs[Long]("n_nulls") == 0L)
+    // kll coverage → quantiles; 0..79 exact mode: inclusive p50 = 39
+    assert(rows("v").getAs[Double]("p50_approx") == 39.0)
+    assert(rows("id").isNullAt(rows("id").fieldIndex("p50_approx")),
+      "no kll sidecar on id → null quantiles, not a refusal")
+    assert(rows("id").getAs[Long]("n_distinct") == 80L)
+    // strings: exact null counts, no numeric bounds served
+    assert(rows("name").isNullAt(rows("name").fieldIndex("min_val")))
+    // version pin sees the old snapshot
+    val v1 = spark.sql(s"SELECT * FROM table_stats('${t.dir}', 1)").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(v1("v").getAs[Long]("n_rows") == 50L)
+    assert(v1("v").getAs[Double]("p50_approx") == 24.0)
+  }
+
   test("sketch columns refuse rename (sidecar files are name-keyed)") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())
