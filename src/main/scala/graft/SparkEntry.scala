@@ -1528,7 +1528,8 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey <= 64
         |  UNION ALL
         |  SELECT c.start_k, o.o_orderkey, c.depth + 1
-        |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2)
+        |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+        |  WHERE c.depth < 12)
         |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
         |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin,
     "q_lateral_topn" ->

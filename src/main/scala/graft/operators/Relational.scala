@@ -964,7 +964,10 @@ object Relational {
     * fixpoint, not an unrolled union. Bounded by construction: odd
     * start keys ≤ 64, depth ≤ log2(maxkey). At scale each level is
     * one equi-join on the (pruned) key column; the recursion carries
-    * only the live frontier, never the table.
+    * only the live frontier, never the table. Depth is CAPPED (12) as
+    * declared semantics: unbounded recursion is a production hazard —
+    * every level is one column-pruned scan + broadcast-frontier join,
+    * so the cap bounds total work at any corpus size.
     */
   def qRecursiveCte(t: Tables): DataFrame = {
     val vo = corpusView(t, "__graft_rec_orders", t.orders)
@@ -975,6 +978,7 @@ object Relational {
          |  UNION ALL
          |  SELECT c.start_k, o.o_orderkey, c.depth + 1
          |  FROM chain c JOIN $vo o ON o.o_orderkey = c.k * 2
+         |  WHERE c.depth < 12
          |)
          |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
          |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin)
