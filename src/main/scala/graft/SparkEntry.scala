@@ -182,6 +182,7 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => graft.operators.Skew.qSaltedJoin(t(s, d))),
     "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
+    "q_group_by_all" -> ((s, d) => Relational.qGroupByAll(t(s, d))),
     "q_recursive_cte" -> ((s, d) => Relational.qRecursiveCte(t(s, d))),
     "q_lateral_topn" -> ((s, d) => Relational.qLateralTopn(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
@@ -1522,6 +1523,13 @@ object SparkEntry {
         |       floor((avg(total)) * 100 + 0.5) / 100 AS avg_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE chain(start_k, k, depth) AS (
         |  SELECT o_orderkey, o_orderkey, 0

@@ -958,6 +958,22 @@ object Relational {
          |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** GROUP BY ALL (Spark 4 / DuckDB shared surface): every non-agg
+    * select item groups implicitly — the analyst spelling that keeps
+    * projection and grouping from drifting apart. Identical statement
+    * in both engines.
+    */
+  def qGroupByAll(t: Tables): DataFrame = {
+    val vl = corpusView(t, "__graft_gba_lineitem", t.lineitem)
+    t.spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       count(*) AS n,
+         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS qty
+         |FROM $vl
+         |GROUP BY ALL
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): key-doubling chains
     * over orders — each recursion level joins the frontier back to
     * the table (k → 2k edges), so the plan is a true iterative

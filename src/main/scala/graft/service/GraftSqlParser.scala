@@ -87,6 +87,20 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     if (!graft.plans.VTableTimeTravel.hasTimeTravel(plan)) plan
     else graft.plans.VTableTimeTravel.substitute(session, plan)
 
+  /** PARAMETERIZED plans must not lose their binds: ParserInterface's
+    * DEFAULT parsePlanWithParameters silently drops the
+    * ParameterContext (it calls bare parsePlan), so an injected
+    * parser that doesn't override it breaks `spark.sql(text, args)`
+    * with UNBOUND_SQL_PARAMETER. Parameter binds are plain queries —
+    * the text-shaped DML/maintenance routing doesn't apply — so this
+    * delegates whole (the delegate wraps with the proper
+    * parameterized-query node) and re-applies only the time-travel
+    * substitution, which transforms through the wrapper.
+    */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    timeTravel(delegate.parsePlanWithParameters(sqlText, ctx))
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -272,16 +272,41 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // dedicated mutation routes — otherwise /sql would be an
     // authentication bypass for every one of them
     if (SqlDml.isMutation(query)) requireAuth(exchange)
+    // named parameters ({"args": {"k": 42}} → `:k` markers) bind as
+    // VALUES through Spark's parameterized-SQL API — the prepared-
+    // statement posture: client data can never splice into the text.
+    // Parameterized requests skip the result cache (it keys on query
+    // TEXT; two binds of one text must never share an entry).
+    val args: Map[String, Any] = Option(body.get("args")) match {
+      case None => Map.empty
+      case Some(n) if !n.isObject =>
+        throw new IllegalArgumentException("args must be a JSON object")
+      case Some(n) =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map { e =>
+          val v = e.getValue
+          val bound: Any =
+            if (v.isNull) null
+            else if (v.isBoolean) v.asBoolean
+            else if (v.isIntegralNumber) v.asLong
+            else if (v.isNumber) v.asDouble
+            else if (v.isTextual) v.asText
+            else throw new IllegalArgumentException(
+              s"arg ${e.getKey}: only scalar JSON values bind (got ${v.getNodeType})")
+          e.getKey -> bound
+        }.toMap
+    }
     val svc = serviceFor(exchange)
     val sc = svc.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
       interruptOnCancel = true)
     val (rows, hit) =
       try {
-        if (useCache) svc.sqlJsonCached(query, page, offset)
+        if (args.nonEmpty) (svc.sqlJson(query, args, page, offset), false)
+        else if (useCache) svc.sqlJsonCached(query, page, offset)
         else (svc.sqlJson(query, page, offset), false)
       } finally if (tagged) sc.clearJobGroup()
-    val cached = if (useCache) s""","cached":$hit""" else ""
+    val cached = if (useCache && args.isEmpty) s""","cached":$hit""" else ""
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
     s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$cached$next}"""
   })

@@ -99,6 +99,26 @@ final class QueryService(val spark: SparkSession,
       .orElse(SqlDml.timeTravelSelect(spark, query))
       .getOrElse(spark.sql(query))
 
+  /** PARAMETERIZED statement: named markers (`:k`) bind server-side
+    * through Spark's own parameterized-SQL API, so client values are
+    * VALUES — never spliced text, never an injection surface (the
+    * service version of a prepared statement). Parameter markers are
+    * for queries; the vtable DML dispatcher and time-travel
+    * substitution are text-shaped and deliberately bypassed — a
+    * parameterized MERGE fails loudly rather than half-parsing.
+    */
+  def sql(query: String, args: Map[String, Any]): DataFrame =
+    if (args.isEmpty) sql(query) else spark.sql(query, args)
+
+  /** [[sqlJson]] with named parameters — bypasses the result cache
+    * (the cache keys on query TEXT; two binds of one text must never
+    * share an entry) and the DML dispatcher, like `sql(query, args)`.
+    */
+  def sqlJson(query: String, args: Map[String, Any], limit: Int,
+      offset: Int): Seq[String] =
+    if (args.isEmpty) sqlJson(query, limit, offset)
+    else jsonRows(spark.sql(query, args), limit, offset)
+
   /** The reference's REST response shape: one JSON object per row,
     * with null fields RETAINED (`toJSON` would drop the key entirely,
     * giving rows inconsistent shapes — a trap for consumers indexing

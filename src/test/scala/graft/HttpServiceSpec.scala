@@ -51,6 +51,37 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2,"offset":0}""", res.body)
   }
 
+  test("POST /sql binds named parameters as values, never spliced text") {
+    post("/register",
+      s"""{"name":"http_param_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    // numeric + string binds
+    val ok = post("/sql",
+      """{"query":"SELECT n_name FROM http_param_nation WHERE n_nationkey = :k AND n_name <> :skip ORDER BY n_name",
+        |"args":{"k":3,"skip":"nobody"}}""".stripMargin.replace("\n", ""))
+    assert(ok.statusCode == 200 && ok.body.contains("\"count\":1"), ok.body)
+    // an injection-shaped STRING stays a value: zero rows, not all rows
+    val inj = post("/sql",
+      """{"query":"SELECT n_name FROM http_param_nation WHERE n_name = :v",
+        |"args":{"v":"x' OR '1'='1"}}""".stripMargin.replace("\n", ""))
+    assert(inj.statusCode == 200 && inj.body.contains("\"count\":0"),
+      s"injection-shaped bind must match nothing: ${inj.body}")
+    // parameterized requests skip the result cache (keys are query
+    // TEXT; two binds of one text must never share an entry)
+    val c1 = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM http_param_nation WHERE n_nationkey < :k",
+        |"args":{"k":5},"cache":true}""".stripMargin.replace("\n", ""))
+    assert(c1.statusCode == 200 && !c1.body.contains("\"cached\""), c1.body)
+    val c2 = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM http_param_nation WHERE n_nationkey < :k",
+        |"args":{"k":9}}""".stripMargin.replace("\n", ""))
+    assert(c1.body.contains("\"n\":5") && c2.body.contains("\"n\":9"),
+      s"two binds of one text must answer independently: ${c1.body} / ${c2.body}")
+    // non-scalar args refuse loudly
+    val bad = post("/sql",
+      """{"query":"SELECT 1","args":{"k":[1,2]}}""")
+    assert(bad.statusCode == 400 && bad.body.contains("scalar"), bad.body)
+  }
+
   test("POST /sql honors the collect limit and caps it server-side") {
     post("/register",
       s"""{"name":"http_orders","format":"parquet","path":"${TestSpark.sfDir}/orders.parquet"}""")
