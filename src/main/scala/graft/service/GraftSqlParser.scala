@@ -91,15 +91,28 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     * DEFAULT parsePlanWithParameters silently drops the
     * ParameterContext (it calls bare parsePlan), so an injected
     * parser that doesn't override it breaks `spark.sql(text, args)`
-    * with UNBOUND_SQL_PARAMETER. Parameter binds are plain queries —
-    * the text-shaped DML/maintenance routing doesn't apply — so this
-    * delegates whole (the delegate wraps with the proper
-    * parameterized-query node) and re-applies only the time-travel
-    * substitution, which transforms through the wrapper.
+    * with UNBOUND_SQL_PARAMETER. BUT the classic session routes PLAIN
+    * `sql(text)` through here too (with an empty context), so the
+    * split must be on the BINDS, not the entry point: no actual
+    * parameters → the full [[parsePlan]] routing (DML, maintenance,
+    * time travel — bypassing it broke every SQL-DML statement);
+    * actual parameters → delegate whole (parameter binds are plain
+    * queries; the delegate wraps the proper parameterized-query node)
+    * with the time-travel substitution still applied through the
+    * wrapper.
     */
   override def parsePlanWithParameters(sqlText: String,
-      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    timeTravel(delegate.parsePlanWithParameters(sqlText, ctx))
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.parser.{HybridParameterContext, NamedParameterContext, PositionalParameterContext}
+    val hasBinds = ctx match {
+      case n: NamedParameterContext      => n.params.nonEmpty
+      case p: PositionalParameterContext => p.params.nonEmpty
+      case _: HybridParameterContext     => true
+      case _                             => false
+    }
+    if (!hasBinds) parsePlan(sqlText)
+    else timeTravel(delegate.parsePlanWithParameters(sqlText, ctx))
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
