@@ -277,25 +277,32 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // statement posture: client data can never splice into the text.
     // Parameterized requests skip the result cache (it keys on query
     // TEXT; two binds of one text must never share an entry).
-    val args: Map[String, Any] = Option(body.get("args")) match {
-      case None => Map.empty
-      case Some(n) if !n.isObject =>
-        throw new IllegalArgumentException("args must be a JSON object")
-      case Some(n) =>
-        import scala.jdk.CollectionConverters._
-        n.properties().asScala.map { e =>
-          val v = e.getValue
-          val bound: Any =
-            if (v.isNull) null
-            else if (v.isBoolean) v.asBoolean
-            else if (v.isIntegralNumber) v.asLong
-            else if (v.isNumber) v.asDouble
-            else if (v.isTextual) v.asText
-            else throw new IllegalArgumentException(
-              s"arg ${e.getKey}: only scalar JSON values bind (got ${v.getNodeType})")
-          e.getKey -> bound
-        }.toMap
-    }
+    def scalar(what: String, v: JsonNode): Any =
+      if (v.isNull) null
+      else if (v.isBoolean) v.asBoolean
+      else if (v.isIntegralNumber) v.asLong
+      else if (v.isNumber) v.asDouble
+      else if (v.isTextual) v.asText
+      else throw new IllegalArgumentException(
+        s"arg $what: only scalar JSON values bind (got ${v.getNodeType})")
+    // a JSON OBJECT binds named markers (:k); a JSON ARRAY binds
+    // positional markers (?), left to right — the two prepared-
+    // statement spellings
+    val (args, posArgs): (Map[String, Any], Seq[Any]) =
+      Option(body.get("args")) match {
+        case None => (Map.empty, Seq.empty)
+        case Some(n) if n.isObject =>
+          import scala.jdk.CollectionConverters._
+          (n.properties().asScala.map(e =>
+            e.getKey -> scalar(e.getKey, e.getValue)).toMap, Seq.empty)
+        case Some(n) if n.isArray =>
+          import scala.jdk.CollectionConverters._
+          (Map.empty, n.elements().asScala.zipWithIndex
+            .map { case (v, i) => scalar(s"#$i", v) }.toSeq)
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            "args must be a JSON object (named :k binds) or array (positional ? binds)")
+      }
     val svc = serviceFor(exchange)
     val sc = svc.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
@@ -303,10 +310,14 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val (rows, hit) =
       try {
         if (args.nonEmpty) (svc.sqlJson(query, args, page, offset), false)
+        else if (posArgs.nonEmpty)
+          (svc.sqlJsonPositional(query, posArgs, page, offset), false)
         else if (useCache) svc.sqlJsonCached(query, page, offset)
         else (svc.sqlJson(query, page, offset), false)
       } finally if (tagged) sc.clearJobGroup()
-    val cached = if (useCache && args.isEmpty) s""","cached":$hit""" else ""
+    val cached =
+      if (useCache && args.isEmpty && posArgs.isEmpty) s""","cached":$hit"""
+      else ""
     val next = if (rows.size == page) s""","next_offset":${offset + rows.size}""" else ""
     s"""{"rows":[${rows.mkString(",")}],"count":${rows.size},"offset":$offset$cached$next}"""
   })

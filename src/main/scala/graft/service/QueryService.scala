@@ -119,6 +119,15 @@ final class QueryService(val spark: SparkSession,
     if (args.isEmpty) sqlJson(query, limit, offset)
     else jsonRows(spark.sql(query, args), limit, offset)
 
+  /** POSITIONAL parameters (`?` markers, bound left to right) — the
+    * JDBC-prepared-statement spelling; same cache/dispatch bypass as
+    * the named form.
+    */
+  def sqlJsonPositional(query: String, args: Seq[Any], limit: Int,
+      offset: Int): Seq[String] =
+    if (args.isEmpty) sqlJson(query, limit, offset)
+    else jsonRows(spark.sql(query, args.toArray), limit, offset)
+
   /** The reference's REST response shape: one JSON object per row,
     * with null fields RETAINED (`toJSON` would drop the key entirely,
     * giving rows inconsistent shapes — a trap for consumers indexing

@@ -80,6 +80,16 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     val bad = post("/sql",
       """{"query":"SELECT 1","args":{"k":[1,2]}}""")
     assert(bad.statusCode == 400 && bad.body.contains("scalar"), bad.body)
+    // POSITIONAL binds: a JSON array binds ? markers left to right
+    val pos = post("/sql",
+      """{"query":"SELECT n_name FROM http_param_nation WHERE n_nationkey = ? AND n_name <> ? ORDER BY n_name",
+        |"args":[3,"nobody"]}""".stripMargin.replace("\n", ""))
+    assert(pos.statusCode == 200 && pos.body.contains("\"count\":1"), pos.body)
+    val posInj = post("/sql",
+      """{"query":"SELECT n_name FROM http_param_nation WHERE n_name = ?",
+        |"args":["x' OR '1'='1"]}""".stripMargin.replace("\n", ""))
+    assert(posInj.statusCode == 200 && posInj.body.contains("\"count\":0"),
+      s"positional injection-shaped bind must match nothing: ${posInj.body}")
   }
 
   test("POST /sql honors the collect limit and caps it server-side") {
