@@ -93,7 +93,9 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
     * can never tear down a session with a live async job.
     */
   def start(query: String, limit: Int = 1000,
-      svc: QueryService = service, onComplete: () => Unit = () => ()): String = {
+      svc: QueryService = service, onComplete: () => Unit = () => (),
+      args: Map[String, Any] = Map.empty,
+      posArgs: Seq[Any] = Seq.empty): String = {
     val id = java.util.UUID.randomUUID().toString.take(12)
     val job = new Job(id, System.nanoTime())
     // check-and-admit under one lock: concurrent submits must not both
@@ -121,7 +123,13 @@ final class AsyncQueries(service: QueryService, maxRows: Int = 10000,
           val sc = service.spark.sparkContext
           sc.setJobGroup(s"graft-async-$id", s"async query $id", interruptOnCancel = true)
           try {
-            val rows = svc.sqlJson(query, math.min(limit, maxRows))
+            val cap = math.min(limit, maxRows)
+            // parameterized jobs bind through the same value-only API
+            // as the synchronous path (named :k / positional ?)
+            val rows =
+              if (args.nonEmpty) svc.sqlJson(query, args, cap, 0)
+              else if (posArgs.nonEmpty) svc.sqlJsonPositional(query, posArgs, cap, 0)
+              else svc.sqlJson(query, cap)
             if (job.cancelRequested.get)
               job.state.compareAndSet(Running, Failed("cancelled"))
             else job.state.compareAndSet(Running, Done(rows))

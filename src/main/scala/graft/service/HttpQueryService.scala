@@ -130,6 +130,38 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   // shared driver
   if (service.results.cap > maxRows) service.results.cap = maxRows
 
+  /** Named/positional parameter binds from the request body: a JSON
+    * OBJECT binds named markers (:k), a JSON ARRAY binds positional
+    * markers (?) left to right — the two prepared-statement
+    * spellings, shared by /sql and the async /query plane. Values
+    * bind through Spark's parameterized-SQL API as VALUES, never
+    * spliced text; only scalars are accepted.
+    */
+  private def parseArgs(body: JsonNode): (Map[String, Any], Seq[Any]) = {
+    def scalar(what: String, v: JsonNode): Any =
+      if (v.isNull) null
+      else if (v.isBoolean) v.asBoolean
+      else if (v.isIntegralNumber) v.asLong
+      else if (v.isNumber) v.asDouble
+      else if (v.isTextual) v.asText
+      else throw new IllegalArgumentException(
+        s"arg $what: only scalar JSON values bind (got ${v.getNodeType})")
+    Option(body.get("args")) match {
+      case None => (Map.empty, Seq.empty)
+      case Some(n) if n.isObject =>
+        import scala.jdk.CollectionConverters._
+        (n.properties().asScala.map(e =>
+          e.getKey -> scalar(e.getKey, e.getValue)).toMap, Seq.empty)
+      case Some(n) if n.isArray =>
+        import scala.jdk.CollectionConverters._
+        (Map.empty, n.elements().asScala.zipWithIndex
+          .map { case (v, i) => scalar(s"#$i", v) }.toSeq)
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          "args must be a JSON object (named :k binds) or array (positional ? binds)")
+    }
+  }
+
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   private val heavy = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -277,32 +309,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // statement posture: client data can never splice into the text.
     // Parameterized requests skip the result cache (it keys on query
     // TEXT; two binds of one text must never share an entry).
-    def scalar(what: String, v: JsonNode): Any =
-      if (v.isNull) null
-      else if (v.isBoolean) v.asBoolean
-      else if (v.isIntegralNumber) v.asLong
-      else if (v.isNumber) v.asDouble
-      else if (v.isTextual) v.asText
-      else throw new IllegalArgumentException(
-        s"arg $what: only scalar JSON values bind (got ${v.getNodeType})")
-    // a JSON OBJECT binds named markers (:k); a JSON ARRAY binds
-    // positional markers (?), left to right — the two prepared-
-    // statement spellings
-    val (args, posArgs): (Map[String, Any], Seq[Any]) =
-      Option(body.get("args")) match {
-        case None => (Map.empty, Seq.empty)
-        case Some(n) if n.isObject =>
-          import scala.jdk.CollectionConverters._
-          (n.properties().asScala.map(e =>
-            e.getKey -> scalar(e.getKey, e.getValue)).toMap, Seq.empty)
-        case Some(n) if n.isArray =>
-          import scala.jdk.CollectionConverters._
-          (Map.empty, n.elements().asScala.zipWithIndex
-            .map { case (v, i) => scalar(s"#$i", v) }.toSeq)
-        case Some(_) =>
-          throw new IllegalArgumentException(
-            "args must be a JSON object (named :k binds) or array (positional ? binds)")
-      }
+    val (args, posArgs) = parseArgs(body)
     val svc = serviceFor(exchange)
     val sc = svc.spark.sparkContext
     if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
@@ -369,11 +376,13 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
             // session's busy mark until the job reaches a terminal
             // state, or idle expiry could release the isolated
             // session's caches under a still-running job
+            val (args, posArgs) = parseArgs(body)
             val sid = Option(exchange.getRequestHeaders.getFirst("X-Graft-Session"))
             sid.foreach(beginSessionWork)
             val id =
               try async.start(query, limit, serviceFor(exchange),
-                onComplete = () => sid.foreach(endSessionWork))
+                onComplete = () => sid.foreach(endSessionWork),
+                args = args, posArgs = posArgs)
               catch { case t: Throwable => sid.foreach(endSessionWork); throw t }
             reply(exchange, 200, s"""{"job":${quote(id)}}""")
           }

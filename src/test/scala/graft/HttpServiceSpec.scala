@@ -90,6 +90,21 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
         |"args":["x' OR '1'='1"]}""".stripMargin.replace("\n", ""))
     assert(posInj.statusCode == 200 && posInj.body.contains("\"count\":0"),
       s"positional injection-shaped bind must match nothing: ${posInj.body}")
+    // the async plane binds identically
+    val sub = post("/query",
+      """{"query":"SELECT n_name FROM http_param_nation WHERE n_nationkey = :k ORDER BY n_name",
+        |"args":{"k":3}}""".stripMargin.replace("\n", ""))
+    assert(sub.statusCode == 200, sub.body)
+    val jid = """"job":"([^"]+)"""".r.findFirstMatchIn(sub.body).get.group(1)
+    val deadline = System.currentTimeMillis + 30000
+    var done = false
+    while (!done && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      done = get(s"/query/$jid").body.contains("\"done\"")
+    }
+    assert(done, "async parameterized job must finish")
+    val res = get(s"/query/$jid/result")
+    assert(res.body.contains("\"count\":1"), res.body)
   }
 
   test("POST /sql honors the collect limit and caps it server-side") {
