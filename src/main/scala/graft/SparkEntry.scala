@@ -92,6 +92,9 @@ object SparkEntry {
     "span_idx" -> ((s, d) => {
       graft.operators.SpanIndex.corpusIndexDir(t(s, d)); ()
     }),
+    "semdedup_idx" -> ((s, d) => {
+      graft.operators.SemDedupIndex.corpusIndexDir(t(s, d)); ()
+    }),
     // the memoized n-gram candidate-pair table + CC label build every
     // near-dup roster query rides (qDupClusters/qDedupNear/
     // qDedupKeepBest/qLeakageSafeSplit): one corpus-level build, four
@@ -184,6 +187,7 @@ object SparkEntry {
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
     "q_group_by_all" -> ((s, d) => Relational.qGroupByAll(t(s, d))),
     "q_recursive_cte" -> ((s, d) => Relational.qRecursiveCte(t(s, d))),
+    "q_recursive_vtable" -> ((s, d) => graft.sources.TableRecursive.qRecursiveVtable(t(s, d))),
     "q_lateral_topn" -> ((s, d) => Relational.qLateralTopn(t(s, d))),
     "q_sample_mod" -> ((s, d) => Relational.qSampleMod(t(s, d))),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(t(s, d))),
@@ -224,6 +228,7 @@ object SparkEntry {
     // rows-only: k-means cell blocking isn't SQL-expressible;
     // SemDedupSpec bounds precision/recall vs brute force
     "q_semdedup" -> ((s, d) => Dedup.qSemDedup(t(s, d))),
+    "q_semdedup_ingest" -> ((s, d) => graft.operators.SemDedupIndex.qSemDedupIngest(t(s, d))),
     // §2.3b pretraining batch prep (packing / shuffle order / mixing)
     "q_pack_sequences" -> ((s, d) => Pretrain.qPackSequences(t(s, d))),
     "q_pack_bpe" -> ((s, d) => Pretrain.qPackBpe(t(s, d))),
@@ -1540,6 +1545,19 @@ object SparkEntry {
         |  WHERE c.depth < 12)
         |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
         |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin,
+    // the vtable chase must visit exactly the nodes the declarative
+    // recursion visits — file pruning must never change WHICH keys
+    // match, so the oracle is the identical recursive SQL over orders
+    "q_recursive_vtable" ->
+      """WITH RECURSIVE chain(start_k, k, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey <= 64
+        |  UNION ALL
+        |  SELECT c.start_k, o.o_orderkey, c.depth + 1
+        |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+        |  WHERE c.depth < 12)
+        |SELECT start_k, max(depth) AS chain_len, count(*) AS n_nodes
+        |FROM chain GROUP BY start_k ORDER BY start_k""".stripMargin,
     "q_lateral_topn" ->
       """SELECT n.n_name, top.s_name,
         |       floor(top.s_acctbal * 100 + 0.5) / 100 AS bal
@@ -1717,6 +1735,24 @@ object SparkEntry {
         |  count(*) - CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
         |GROUP BY e.label ORDER BY e.label""".stripMargin,
+    // incremental SemDeDup ingest decision replay: given the exported
+    // (vec_id, cell) maps of the indexed half and the probe batch, the
+    // within-cell pair join, cosine, shared rounding formula, and
+    // threshold are plain SQL over the embeddings table
+    "q_semdedup_ingest" ->
+      s"""WITH xi AS (
+        |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.operators.SemDedupIndex.OracleExportDir}/indexed/*.parquet') c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id),
+        |yp AS (
+        |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.operators.SemDedupIndex.OracleExportDir}/probe/*.parquet') c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id)
+        |SELECT y.vec_id AS vec_id, x.vec_id AS dup_of,
+        |       floor(list_cosine_similarity(x.emb, y.emb) * 100 + 0.5) / 100 AS cos
+        |FROM xi x JOIN yp y ON x.cell = y.cell
+        |WHERE floor(list_cosine_similarity(x.emb, y.emb) * 100 + 0.5) / 100 >= 0.45
+        |ORDER BY vec_id, dup_of""".stripMargin,
     // verbatim-span dedup: 8-token spans (the Spark side joins 8-byte
     // span hashes, the oracle joins the span strings — doc-level
     // outputs agree modulo 2^64 hash collisions, same accepted

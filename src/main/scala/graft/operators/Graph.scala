@@ -115,8 +115,12 @@ object Graph {
   }
 
   /** Contract query: 5 PageRank iterations over the event-transition
-    * graph, ranks as exact integer quanta.
+    * graph, ranks as exact integer quanta. Runs the CHECKPOINTED form —
+    * per-iteration lineage truncation is the 100 TB posture (constant
+    * plan depth, linear recompute cost), GraphSpec proves it
+    * rank-identical to the lazy loop, so the benched/oracled plan IS
+    * the scale plan.
     */
   def qPageRank(t: Tables, iters: Int = 5): DataFrame =
-    pageRank(edgesFor(t), iters).orderBy("node")
+    pageRankCheckpointed(edgesFor(t), iters).orderBy("node")
 }
