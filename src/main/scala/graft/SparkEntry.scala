@@ -282,6 +282,7 @@ object SparkEntry {
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
     "q_copy_into" -> ((s, d) => graft.sources.TableCopyInto.qCopyInto(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
+    "q_info_schema" -> ((s, d) => graft.service.InfoSchema.qInfoSchema(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
     "q_sql_timetravel" -> ((s, d) =>
@@ -2287,6 +2288,24 @@ object SparkEntry {
         |         THEN 'VIP' ELSE c_mktsegment END AS segment
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |GROUP BY segment ORDER BY segment""".stripMargin,
+    // catalog introspection: the service's information_schema views
+    // vs DuckDB's OWN information_schema over the same parquet-backed
+    // views — one CASE maps DuckDB's type spellings to Spark's
+    // catalogString, timestamps normalize to one label on both sides
+    "q_info_schema" ->
+      s"""SELECT t.table_name, c.column_name,
+        |       CAST(c.ordinal_position AS INT) AS ordinal,
+        |       CASE WHEN c.data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+        |            WHEN c.data_type = 'BIGINT' THEN 'bigint'
+        |            WHEN c.data_type = 'INTEGER' THEN 'int'
+        |            WHEN c.data_type = 'VARCHAR' THEN 'string'
+        |            WHEN c.data_type = 'FLOAT[]' THEN 'array<float>'
+        |            ELSE lower(c.data_type) END AS data_type,
+        |       c.is_nullable
+        |FROM information_schema.columns c
+        |JOIN information_schema.tables t ON c.table_name = t.table_name
+        |WHERE t.table_name IN (${graft.service.InfoSchema.InfoNamesSql})
+        |ORDER BY t.table_name, ordinal""".stripMargin,
     // the SQL-text DML path: merge (bump div-3 keys / insert the
     // unmatched), double div-5 prices, delete the expensive tail —
     // reproduced as nested CASE/WHERE over the same base

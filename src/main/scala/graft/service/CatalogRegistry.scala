@@ -76,6 +76,14 @@ final class CatalogRegistry(dir: Option[Path]) {
     entries.values.asScala.toSeq.foreach(apply)
   }
 
+  /** Point-in-time copy of every definition, in definition order —
+    * lock-free against the in-memory cache, like replay().
+    */
+  def entriesSnapshot: Seq[Entry] = synchronized {
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.toSeq
+  }
+
   def recordSource(name: String, format: String, path: String,
       options: Map[String, String]): Unit =
     record(Entry("source", name, format, path, options, ""))

@@ -1,0 +1,163 @@
+package graft.service
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** INFORMATION_SCHEMA catalog views over plain SQL — the introspection
+  * surface BI tooling expects from a SQL service: any client that can
+  * POST a SELECT can now discover what is queryable
+  * (`information_schema.tables`) and each table's shape
+  * (`information_schema.columns`) without a proprietary endpoint.
+  *
+  * ZERO-SCAN by construction: both views are built from session
+  * catalog state — registered names from the [[CatalogRegistry]],
+  * schemas from each view's ANALYZED plan (for the Catalog's default
+  * vtable registration that is the committed-manifest schema on the
+  * [[graft.plans.VTableRelation]] marker) — no data file is opened to
+  * answer a catalog query, which at 100 TB is the difference between
+  * a dashboard's table picker loading instantly and it launching a
+  * cluster job.
+  *
+  * Mechanics: Spark's session catalog has no writable
+  * `information_schema` database, so [[prepare]] REFRESHES two backing
+  * temp views and rewrites `information_schema.tables|columns`
+  * references (outside string/backtick literals — a quoted literal is
+  * data, not a table reference) to them at statement time. Refresh-on-
+  * reference keeps the views trivially consistent with the catalog —
+  * a registration in one statement is visible to the next, with no
+  * invalidation protocol. The per-statement cost is a catalog listing
+  * plus one LocalRelation per view: O(session tables), no Spark job.
+  */
+object InfoSchema {
+
+  private val TablesView = "__graft_info_tables"
+  private val ColumnsView = "__graft_info_columns"
+
+  private val Ref =
+    java.util.regex.Pattern.compile(
+      "(?i)\\binformation_schema\\s*\\.\\s*(tables|columns)\\b")
+
+  /** Rewrite info-schema references in the segments of `q` that lie
+    * OUTSIDE single-quoted strings, double-quoted strings, and
+    * backtick identifiers; None when nothing referenced.
+    */
+  private[service] def rewrite(q: String): Option[String] = {
+    val out = new StringBuilder(q.length)
+    var changed = false
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        // copy the quoted span verbatim (SQL escapes a quote by
+        // doubling it — the doubled pair re-enters and re-exits)
+        val close = q.indexOf(c, i + 1)
+        val end = if (close < 0) q.length else close + 1
+        out.append(q.substring(i, end))
+        i = end
+      } else {
+        val next = Seq(q.indexOf('\'', i), q.indexOf('"', i), q.indexOf('`', i))
+          .filter(_ >= 0).sorted.headOption.getOrElse(q.length)
+        val seg = q.substring(i, next)
+        val m = Ref.matcher(seg)
+        val sb = new StringBuffer()
+        while (m.find()) {
+          changed = true
+          m.appendReplacement(sb,
+            if (m.group(1).equalsIgnoreCase("tables")) TablesView
+            else ColumnsView)
+        }
+        m.appendTail(sb)
+        out.append(sb)
+        i = next
+      }
+    }
+    if (changed) Some(out.toString) else None
+  }
+
+  /** Statement-time hook: when `query` references the info schema,
+    * refresh the backing views from the live catalog and return the
+    * rewritten text; the untouched statement otherwise.
+    */
+  def prepare(svc: QueryService, query: String): String =
+    rewrite(query) match {
+      case None => query
+      case Some(q) => refresh(svc); q
+    }
+
+  /** Rebuild both backing views from the session catalog. Table kind
+    * comes from the registry (a registered SOURCE is what a BI client
+    * calls a base table; a submitted or SQL-created view is a VIEW);
+    * schemas come from each name's analyzed plan — catalog state, not
+    * data. The backing views themselves are excluded.
+    */
+  def refresh(svc: QueryService): Unit = {
+    val spark = svc.spark
+    val kinds = svc.catalogEntries.map(e => e.name -> e.kind).toMap
+    val names = spark.catalog.listTables().collect().map(_.name)
+      .filterNot(n => n == TablesView || n == ColumnsView).sorted.toSeq
+    val tableRows = names.map { n =>
+      Row("graft", n, kinds.get(n) match {
+        case Some("source") => "BASE TABLE"
+        case _              => "VIEW"
+      })
+    }
+    val colRows = names.flatMap { n =>
+      spark.table(n).schema.fields.zipWithIndex.map { case (f, i) =>
+        // timestamp flavors normalize to one label: the micros/nanos +
+        // tz-adjustment vintage of a parquet file is a storage detail
+        // a catalog consumer doesn't key on (and it keeps the oracle
+        // comparison vintage-proof)
+        val dt = f.dataType.catalogString match {
+          case t if t.startsWith("timestamp") => "timestamp"
+          case t                              => t
+        }
+        Row(n, f.name, i + 1, dt, if (f.nullable) "YES" else "NO")
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(tableRows.asJava, StructType(Seq(
+        StructField("table_catalog", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("table_type", StringType, nullable = false))))
+      .createOrReplaceTempView(TablesView)
+    spark.createDataFrame(colRows.asJava, StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("ordinal_position", IntegerType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("is_nullable", StringType, nullable = false))))
+      .createOrReplaceTempView(ColumnsView)
+  }
+
+  // ---- contract query ------------------------------------------------
+
+  /** Contract query — a fresh isolated service registers the standard
+    * parquet tables and introspects itself through plain SQL, exactly
+    * the statement a BI client would send. DuckDB-oracled against ITS
+    * OWN information_schema over the same parquet views, with the two
+    * engines' type names mapped to Spark's catalogString spelling
+    * (events is left unregistered: its timestamp vintage is the one
+    * schema the corpora don't pin).
+    */
+  def qInfoSchema(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    val svc = new QueryService(t.spark.newSession())
+    InfoNames.foreach(n =>
+      svc.registerSource(n, "parquet", s"${t.sfDir}/$n.parquet"))
+    // table_type is exercised by the join + filter but NOT in the
+    // compared output: what is a registered source here is a parquet
+    // VIEW in the oracle's engine, so the label is engine-relative
+    svc.sql(
+      s"""SELECT t.table_name, c.column_name,
+         |       c.ordinal_position AS ordinal, c.data_type, c.is_nullable
+         |FROM information_schema.columns c
+         |JOIN information_schema.tables t ON c.table_name = t.table_name
+         |WHERE t.table_name IN ($InfoNamesSql)
+         |  AND t.table_type = 'BASE TABLE'
+         |ORDER BY t.table_name, ordinal""".stripMargin)
+  }
+
+  val InfoNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+
+  val InfoNamesSql: String = InfoNames.map(n => s"'$n'").mkString(", ")
+}

@@ -97,7 +97,7 @@ final class QueryService(val spark: SparkSession,
   def sql(query: String): DataFrame =
     SqlDml.dispatch(this, query)
       .orElse(SqlDml.timeTravelSelect(spark, query))
-      .getOrElse(spark.sql(query))
+      .getOrElse(spark.sql(InfoSchema.prepare(this, query)))
 
   /** PARAMETERIZED statement: named markers (`:k`) bind server-side
     * through Spark's own parameterized-SQL API, so client values are
@@ -147,7 +147,7 @@ final class QueryService(val spark: SparkSession,
       case Some(dml) => return jsonRows(dml, limit, offset)
       case None      => ()
     }
-    val df = spark.sql(query) // commands execute eagerly here
+    val df = spark.sql(InfoSchema.prepare(this, query)) // commands execute eagerly here
     // a command (CREATE/REPLACE VIEW, SET, INSERT...) can re-point
     // names or change session semantics underneath cached entries —
     // tell the cache so it invalidates (coarse, DDL is rare)
@@ -316,6 +316,10 @@ final class QueryService(val spark: SparkSession,
 
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
+
+  /** Registry definitions, for catalog introspection ([[InfoSchema]]). */
+  private[service] def catalogEntries: Seq[CatalogRegistry.Entry] =
+    registry.entriesSnapshot
 
   /** Column profile of a registered table (one row per column). The
     * HTTP default is `approx=true` — the Expand-free single-pass form

@@ -51,6 +51,32 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(res.body == s"""{"rows":[${expected.mkString(",")}],"count":2,"offset":0}""", res.body)
   }
 
+  test("information_schema.tables/columns introspect the catalog over plain SQL") {
+    post("/register",
+      s"""{"name":"is_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
+    val tabs = post("/sql",
+      """{"query":"SELECT table_name, table_type FROM information_schema.tables WHERE table_name = 'is_nation'"}""")
+    assert(tabs.statusCode == 200 &&
+      tabs.body.contains("\"table_type\":\"BASE TABLE\""), tabs.body)
+    val cols = post("/sql",
+      """{"query":"SELECT column_name, data_type FROM information_schema.columns WHERE table_name = 'is_nation' ORDER BY ordinal_position"}""")
+    assert(cols.statusCode == 200 && cols.body.contains("n_nationkey") &&
+      cols.body.contains("\"data_type\":\"int\""), cols.body)
+    // refresh-on-reference: a registration AFTER a prior info-schema
+    // query is visible to the next one, no invalidation protocol
+    post("/register",
+      s"""{"name":"is_region","format":"parquet","path":"${TestSpark.sfDir}/region.parquet"}""")
+    val again = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM information_schema.tables WHERE table_name IN ('is_nation','is_region')"}""")
+    assert(again.statusCode == 200 && again.body.contains("\"n\":2"), again.body)
+    // a quoted literal is data, not a reference — it must come back
+    // verbatim, not rewritten to the backing view's name
+    val lit = post("/sql",
+      """{"query":"SELECT 'information_schema.tables' AS s"}""")
+    assert(lit.statusCode == 200 &&
+      lit.body.contains("\"s\":\"information_schema.tables\""), lit.body)
+  }
+
   test("POST /sql binds named parameters as values, never spliced text") {
     post("/register",
       s"""{"name":"http_param_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")

@@ -50,6 +50,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  // Queries whose served plan legitimately contains a GLOBAL
+  // (partition-less) window, each with its bound proof — the input is
+  // O(constant) or O(dims) rows BY CONSTRUCTION, never corpus-scale.
+  // Anything else planning a partition-less window fails the audit:
+  // the bench log's recurring benign WindowExec warnings would
+  // otherwise mask a real single-partition total order sneaking in.
+  private val boundedGlobalWindows = Map(
+    // two-level prefix sums: the global window ranks the BLOCK ROSTER
+    // (n/BlockSize rows, Pretrain.withStart), never the docs
+    "q_pack_sequences" -> "block roster of n/8192 rows",
+    "q_pack_bpe" -> "block roster of n/8192 rows",
+    // same two-level shape over exactly 64 hash buckets
+    "q_shuffle_order" -> "bucket roster of <=65 rows",
+    // grand-total over PER-LANGUAGE counts (|langs| rows, single digits)
+    "q_domain_mix" -> "per-lang count frame",
+    "q_mix_upsample" -> "per-lang count frame",
+    // deliberate dim-scale total order, documented at the operator;
+    // its fact-scale twin is q_ntile_scaled (pre-computed cut points)
+    "q_ntile" -> "dim-scale by contract; scale twin q_ntile_scaled")
+
+  test("no contract query plans an unbounded partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan
+      val globals = plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty          => w.nodeName
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (globals.nonEmpty && !boundedGlobalWindows.contains(name))
+        Some(s"$name: ${globals.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("every query's plan prunes the parquet scan to referenced columns") {
     // spot the worst smell: a scan with the full 16-col lineitem schema
     // in a query that uses a handful
