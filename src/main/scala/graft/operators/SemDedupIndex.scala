@@ -67,9 +67,19 @@ object SemDedupIndex {
     // survives either way
     val bcast = probe.count() <= maxBroadcastRows
     val probeSide = if (bcast) broadcast(probe.as("y")) else probe.as("y")
-    val stored = spark.read.parquet(s"$dir/assigned")
+    // batch-absorbed rows live under assigned/, streamed micro-batches
+    // under epochs/epoch=N/ ([[IvfIndex.appendEpoch]]'s exactly-once
+    // layout) — `cell` is a partition column in BOTH trees, so the
+    // union widens the file set, never the scan shape
+    val base = spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("long"))
-      .filter(col("cell").isin(cells: _*))
+    val full =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, "epochs")))
+        base.unionByName(spark.read.parquet(s"$dir/epochs")
+          .withColumn("cell", col("cell").cast("long")).drop("epoch"))
+      else base
+    val stored = full.filter(col("cell").isin(cells: _*))
     stored.as("x")
       .join(probeSide, col("x.cell") === col("y.cell"))
       .withColumn("cos", Rnd.round(

@@ -63,6 +63,43 @@ class SemDedupIngestSpec extends SparkSpecBase {
       plan.take(800))
   }
 
+  test("streaming ingest: micro-batches check against the index, clean vectors absorb per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = tmp()
+    buildIdx(dir, col("vec_id") < 100)
+    val vecOf = tables.embeddings.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        val dups = SemDedupIndex.checkBatch(spark, dir, batch)
+          .filter(col("cos") === 1.0)
+          .select("vec_id", "dup_of").as[(Long, Long)].collect()
+        flagged ++= dups
+        val dupIds = dups.map(_._1).distinct
+        IvfIndex.appendEpoch(spark, dir,
+          batch.filter(!col("vec_id").isin(dupIds: _*)), epochId)
+        ()
+      }.start()
+    try {
+      // batch 1: an exact copy of indexed vector 5 (flagged, NOT
+      // absorbed) and a fresh out-of-index vector (clean, absorbed
+      // into its epoch directory)
+      input.addData((700001L, vecOf(5L)), (700002L, vecOf(401L)))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((700001L, 5L)), flagged)
+      // batch 2: a copy of the absorbed fresh vector — now flagged
+      // against 700002 THROUGH the epochs/ tree, proving checkBatch
+      // unions streamed rows into the stored side
+      input.addData((700003L, vecOf(401L)))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((700001L, 5L), (700003L, 700002L)), flagged)
+    } finally q.stop()
+  }
+
   test("contract query finds every cross-half pair the batch SemDeDup blocks identically") {
     // the ingest path and the batch semDedupDrops use DIFFERENT
     // quantizers (even-half-trained vs full-corpus-trained), so their
