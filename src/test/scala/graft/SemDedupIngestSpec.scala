@@ -100,6 +100,50 @@ class SemDedupIngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("epoch compaction folds streamed rows into the base file; interrupted folds roll forward") {
+    import spark.implicits._
+    val dir = tmp()
+    buildIdx(dir, col("vec_id") < 100)
+    val vecs = tables.embeddings.select("vec_id", "embedding")
+    // two streamed epochs land under epochs/
+    IvfIndex.appendEpoch(spark, dir, vecs.filter(col("vec_id").between(200, 219)), 1L)
+    IvfIndex.appendEpoch(spark, dir, vecs.filter(col("vec_id").between(300, 319)), 2L)
+    val before = IvfIndex.load(spark, dir).assigned
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "epochs")))
+    val folded = IvfIndex.compactEpochs(spark, dir)
+    assert(folded == 40, s"expected 40 folded rows, got $folded")
+    // epochs are gone, the visible row set is unchanged, probes work
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_compacting.json")))
+    val after = IvfIndex.load(spark, dir).assigned
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(after == before, s"compaction changed the row set: ${after.diff(before)}")
+    val copy = Seq((900310L, tables.embeddings.filter(col("vec_id") === 310L)
+      .select("embedding").as[Array[Float]].collect().head))
+      .toDF("vec_id", "embedding")
+    assert(SemDedupIndex.checkBatch(spark, dir, copy)
+      .filter(col("cos") === 1.0).collect()
+      .exists(_.getAs[Long]("dup_of") == 310L))
+    // interrupted fold: stage + marker written (the commit point), but
+    // no moves/deletes ran — load() must roll it forward to the same
+    // end state a completed compaction reaches
+    IvfIndex.appendEpoch(spark, dir, vecs.filter(col("vec_id").between(400, 409)), 3L)
+    val savedRows = spark.read.parquet(s"$dir/epochs").drop("epoch")
+      .withColumn("cell", col("cell").cast("long"))
+    savedRows.select(spark.read.parquet(s"$dir/assigned")
+        .withColumn("cell", col("cell").cast("long")).columns.map(col).toSeq: _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_fold/deadbeef")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_compacting.json"),
+      "deadbeef\nepoch=3".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val recovered = IvfIndex.load(spark, dir).assigned
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(recovered == (before ++ (400L to 409L)).sorted,
+      "roll-forward must land epoch 3 exactly once")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_fold")))
+  }
+
   test("contract query finds every cross-half pair the batch SemDeDup blocks identically") {
     // the ingest path and the batch semDedupDrops use DIFFERENT
     // quantizers (even-half-trained vs full-corpus-trained), so their
