@@ -131,6 +131,19 @@ object DedupIndex {
     ()
   }
 
+  /** OPTIMIZE for the on-disk band table: every [[absorb]] appends one
+    * file per touched bucket, so a long-lived index accumulates a file
+    * per (batch × bucket) — the small-file death partition layouts die
+    * of at scale. Rewrites each bucket directory to one file,
+    * exactly-once under crashes via
+    * [[graft.util.FoldCommit.compactPartitionedTree]]'s write-ahead
+    * roll-forward; probes keep their PartitionFilters prune throughout
+    * (same layout, fewer files). Returns rows rewritten; 0 when
+    * already compact.
+    */
+  def compactBuckets(spark: SparkSession, dir: String): Long =
+    graft.util.FoldCommit.compactPartitionedTree(spark, dir, "bands", "bh_bucket")
+
   private case class Key(session: Int, sfDir: String)
   private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
 

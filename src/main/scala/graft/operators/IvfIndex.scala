@@ -165,17 +165,12 @@ object IvfIndex {
     * documents — the vtable sink is the path for readers that need
     * isolation).
     *
-    * EXACTLY-ONCE under crashes via write-ahead roll-forward, the same
-    * shape as a vtable commit: (1) the folded rows are STAGED whole
-    * under `_fold/<id>/` — nothing visible changes; (2) an intent
-    * marker (`_compacting.json`: fold id + epoch names) lands by
-    * atomic rename — the commit point; (3) staged files MOVE into the
-    * cell directories (per-file atomic renames, idempotent by
-    * deterministic target name), the listed epoch trees delete, the
-    * marker clears. A crash before (2) leaves only invisible staging,
-    * swept by the next run; a crash after (2) rolls FORWARD — moves
-    * and deletes are both idempotent, so completion is safe from any
-    * interleaving. No window loses rows and none doubles them.
+    * EXACTLY-ONCE under crashes via [[graft.util.FoldCommit]]'s
+    * write-ahead roll-forward (stage whole → atomic intent marker →
+    * idempotent moves + deletes): a crash before the marker leaves
+    * only invisible staging, swept by the next run; a crash after it
+    * rolls FORWARD to completion. No window loses rows and none
+    * doubles them.
     */
   def compactEpochs(spark: SparkSession, dir: String): Long = {
     recoverCompaction(spark, dir)
@@ -193,96 +188,39 @@ object IvfIndex {
       val foldId = java.util.UUID.randomUUID().toString.take(8)
       if (n > 0)
         rows.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/_fold/$foldId") // (1) invisible staging
-      writeMarker(dir, foldId, epochNames) // (2) commit point
-      rollForward(dir) // (3) idempotent moves + deletes
+          .parquet(graft.util.FoldCommit.stageDir(dir, foldId).toString)
+      graft.util.FoldCommit.commit(dir, foldId, "assigned",
+        epochNames.map(e => s"epochs/$e"))
+      dropEmptyEpochShell(dir)
       n
     } finally { rows.unpersist(); () }
   }
 
-  /** Finish or sweep an interrupted [[compactEpochs]]: with an intent
-    * marker present the fold is committed — roll it forward (staged
-    * moves and epoch deletes are idempotent); without one, any staging
-    * tree is a pre-commit abort and sweeps away. Run by
-    * [[compactEpochs]] and [[load]]; no-op on a quiescent index.
+  /** Finish or sweep an interrupted [[compactEpochs]] (see
+    * [[graft.util.FoldCommit.recover]]); also drops an epochs/ shell
+    * left empty by a completed fold so [[load]]/checkBatch skip the
+    * union. Run by [[compactEpochs]] and [[load]]; no-op on a
+    * quiescent index.
     */
   def recoverCompaction(spark: SparkSession, dir: String): Unit = {
-    if (java.nio.file.Files.exists(markerPath(dir))) rollForward(dir)
-    val staging = java.nio.file.Paths.get(dir, "_fold")
-    if (java.nio.file.Files.isDirectory(staging)) rmTree(staging)
+    graft.util.FoldCommit.recover(dir)
+    dropEmptyEpochShell(dir)
   }
 
-  private def markerPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_compacting.json")
-
-  private def rollForward(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val lines = new String(Files.readAllBytes(markerPath(dir)),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').map(_.trim).filter(_.nonEmpty)
-    val foldId = lines.head
-    val epochs = lines.tail
-    // marker entries come from the appendEpoch layout; refuse
-    // traversal shapes anyway (the file is world-editable bytes)
-    (foldId +: epochs).foreach(e => require(!e.contains("/") &&
-      !e.contains(".."), s"suspicious compaction marker entry: $e"))
-    val foldRoot = Paths.get(dir, "_fold", foldId)
-    if (Files.isDirectory(foldRoot)) {
-      listEpochDirs(foldRoot, prefix = "cell=").foreach { cellDir =>
-        val target = Paths.get(dir, "assigned", cellDir.getFileName.toString)
-        Files.createDirectories(target)
-        val s = Files.list(cellDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-              // deterministic target name keyed on the fold id makes the
-              // move idempotent across recovery re-runs
-              val t = target.resolve(s"fold-$foldId-${f.getFileName}")
-              if (!Files.exists(t))
-                Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-            }
-        } finally s.close()
-      }
-      rmTree(foldRoot)
-    }
-    epochs.foreach(name =>
-      rmTree(Paths.get(dir, "epochs", name).normalize()))
-    val epochsRoot = Paths.get(dir, "epochs")
-    if (Files.isDirectory(epochsRoot) && listEpochDirs(epochsRoot).isEmpty)
-      rmTree(epochsRoot) // empty shell: load()/checkBatch skip the union
-    Files.deleteIfExists(markerPath(dir))
-    ()
+  private def dropEmptyEpochShell(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir, "epochs")
+    if (java.nio.file.Files.isDirectory(root) && listEpochDirs(root).isEmpty)
+      graft.util.FoldCommit.rmTree(root)
   }
 
-  private def listEpochDirs(root: java.nio.file.Path,
-      prefix: String = "epoch="): Seq[java.nio.file.Path] = {
+  private def listEpochDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter(p =>
         java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(prefix)).toSeq
+          p.getFileName.toString.startsWith("epoch=")).toSeq
     } finally s.close()
-  }
-
-  private def writeMarker(dir: String, foldId: String,
-      epochNames: Seq[String]): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(dir), "_compacting", ".tmp")
-    java.nio.file.Files.write(tmp, (foldId +: epochNames).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, markerPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(p.toFile)
   }
 
   /** The inverted file's schema from the save-time sidecar (never a

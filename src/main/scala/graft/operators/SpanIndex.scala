@@ -130,6 +130,15 @@ object SpanIndex {
     ()
   }
 
+  /** OPTIMIZE for the span table — same contract as
+    * [[DedupIndex.compactBuckets]]: fold each append-grown bucket
+    * directory back to one file, crash-safe via
+    * [[graft.util.FoldCommit.compactPartitionedTree]]. Returns rows
+    * rewritten; 0 when already compact.
+    */
+  def compactBuckets(spark: SparkSession, dir: String): Long =
+    graft.util.FoldCommit.compactPartitionedTree(spark, dir, "spans", "span_bucket")
+
   private case class Key(session: Int, sfDir: String)
   private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())
 

@@ -32,10 +32,11 @@ object InfoSchema {
 
   private val TablesView = "__graft_info_tables"
   private val ColumnsView = "__graft_info_columns"
+  private val ViewsView = "__graft_info_views"
 
   private val Ref =
     java.util.regex.Pattern.compile(
-      "(?i)\\binformation_schema\\s*\\.\\s*(tables|columns)\\b")
+      "(?i)\\binformation_schema\\s*\\.\\s*(tables|columns|views)\\b")
 
   /** Rewrite info-schema references in the segments of `q` that lie
     * OUTSIDE single-quoted strings, double-quoted strings, and
@@ -62,9 +63,11 @@ object InfoSchema {
         val sb = new StringBuffer()
         while (m.find()) {
           changed = true
-          m.appendReplacement(sb,
-            if (m.group(1).equalsIgnoreCase("tables")) TablesView
-            else ColumnsView)
+          m.appendReplacement(sb, m.group(1).toLowerCase match {
+            case "tables" => TablesView
+            case "views"  => ViewsView
+            case _        => ColumnsView
+          })
         }
         m.appendTail(sb)
         out.append(sb)
@@ -92,9 +95,11 @@ object InfoSchema {
     */
   def refresh(svc: QueryService): Unit = {
     val spark = svc.spark
-    val kinds = svc.catalogEntries.map(e => e.name -> e.kind).toMap
+    val entries = svc.catalogEntries
+    val kinds = entries.map(e => e.name -> e.kind).toMap
     val names = spark.catalog.listTables().collect().map(_.name)
-      .filterNot(n => n == TablesView || n == ColumnsView).sorted.toSeq
+      .filterNot(n => n == TablesView || n == ColumnsView || n == ViewsView)
+      .sorted.toSeq
     val tableRows = names.map { n =>
       Row("graft", n, kinds.get(n) match {
         case Some("source") => "BASE TABLE"
@@ -127,6 +132,16 @@ object InfoSchema {
         StructField("data_type", StringType, nullable = false),
         StructField("is_nullable", StringType, nullable = false))))
       .createOrReplaceTempView(ColumnsView)
+    // information_schema.views: each submitted view's recorded SQL —
+    // how BI tooling shows a view's definition (sources have none)
+    val viewRows = entries.filter(e => e.kind == "view" &&
+        names.contains(e.name))
+      .map(e => Row("graft", e.name, e.query))
+    spark.createDataFrame(viewRows.asJava, StructType(Seq(
+        StructField("table_catalog", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("view_definition", StringType, nullable = false))))
+      .createOrReplaceTempView(ViewsView)
   }
 
   // ---- contract query ------------------------------------------------

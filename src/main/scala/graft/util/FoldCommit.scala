@@ -1,0 +1,157 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Write-ahead ROLL-FORWARD commit for bare-parquet index maintenance
+  * — the shared protocol behind every "rewrite files under a live
+  * directory tree" operation ([[graft.operators.IvfIndex]] epoch
+  * folds, [[graft.operators.DedupIndex]] /
+  * [[graft.operators.SpanIndex]] bucket compaction). A maintenance op
+  * that deletes-then-writes (or writes-then-deletes) has a crash
+  * window that loses or doubles rows; this gives each op the vtable
+  * commit's shape without the vtable:
+  *
+  *   1. STAGE — the op writes its replacement files whole under
+  *      `<root>/_fold/<foldId>/`, mirroring the target tree's relative
+  *      layout. Nothing visible changes; a crash here leaves garbage
+  *      the next [[recover]] sweeps.
+  *   2. COMMIT — [[commit]] lands `_fold_commit.txt` (fold id, target
+  *      subtree, relative delete list) by atomic rename. This is the
+  *      point of no return.
+  *   3. ROLL FORWARD — staged files MOVE into the target tree
+  *      (per-file atomic renames, idempotent by deterministic
+  *      `fold-<id>-` names), the listed paths delete, the marker
+  *      clears. Every step is idempotent, so a crash anywhere after
+  *      (2) is finished by the next [[recover]] — run it before any
+  *      op (and on reopen) and no interleaving loses or doubles rows.
+  *
+  * Readers racing step (3) can see old and new files together — the
+  * single-writer, no-snapshot-isolation trade every bare-parquet
+  * layout makes (documented at each call site); the versioned table
+  * is the path for readers needing isolation.
+  */
+object FoldCommit {
+
+  def stageDir(root: String, foldId: String): Path =
+    Paths.get(root, "_fold", foldId)
+
+  private def markerPath(root: String): Path =
+    Paths.get(root, "_fold_commit.txt")
+
+  /** Commit a staged fold and roll it forward: atomically record the
+    * intent (fold id + target subtree + paths to delete, all relative
+    * to `root`), then complete it.
+    */
+  def commit(root: String, foldId: String, targetSub: String,
+      deletes: Seq[String]): Unit = {
+    (Seq(foldId, targetSub) ++ deletes).foreach(validateRel)
+    val tmp = Files.createTempFile(Paths.get(root), "_fold_commit", ".tmp")
+    Files.write(tmp, (Seq(foldId, targetSub) ++ deletes).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    rollForward(root)
+  }
+
+  /** Finish a committed-but-interrupted fold (marker present) and
+    * sweep any uncommitted staging; true when a fold rolled forward.
+    * No-op on a quiescent tree.
+    */
+  def recover(root: String): Boolean = {
+    val did =
+      if (Files.exists(markerPath(root))) { rollForward(root); true }
+      else false
+    val staging = Paths.get(root, "_fold")
+    if (Files.isDirectory(staging)) rmTree(staging)
+    did
+  }
+
+  private def rollForward(root: String): Unit = {
+    val lines = new String(Files.readAllBytes(markerPath(root)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val (foldId, targetSub, deletes) = (lines.head, lines(1), lines.drop(2))
+    // marker bytes are world-editable; refuse traversal shapes
+    lines.foreach(validateRel)
+    val fold = stageDir(root, foldId)
+    if (Files.isDirectory(fold)) {
+      listDataFiles(fold).foreach { f =>
+        val rel = fold.relativize(f)
+        val targetDir = Option(rel.getParent)
+          .map(Paths.get(root, targetSub).resolve(_))
+          .getOrElse(Paths.get(root, targetSub))
+        Files.createDirectories(targetDir)
+        // deterministic target name keyed on the fold id makes the
+        // move idempotent across recovery re-runs
+        val t = targetDir.resolve(s"fold-$foldId-${f.getFileName}")
+        if (!Files.exists(t)) {
+          Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
+      }
+      rmTree(fold)
+    }
+    deletes.foreach(d => rmTree(Paths.get(root, d)))
+    Files.deleteIfExists(markerPath(root))
+    ()
+  }
+
+  /** Rewrite a partitioned parquet subtree to ONE file per partition
+    * directory — the OPTIMIZE for append-grown bucket indexes, whose
+    * per-absorb appends otherwise accumulate a file per (batch ×
+    * bucket) forever. Snapshot-scoped: exactly the files listed at
+    * entry are read and replaced (`basePath` keeps the partition
+    * column), so rows appended by a racing writer are never deleted
+    * unseen — though the single-writer contract should make that moot.
+    * Returns rows rewritten; 0 when the tree is already one file per
+    * directory (nothing to gain).
+    */
+  def compactPartitionedTree(spark: SparkSession, root: String, sub: String,
+      partitionCol: String): Long = {
+    recover(root)
+    val treeRoot = Paths.get(root, sub)
+    if (!Files.isDirectory(treeRoot)) return 0L
+    val files = listDataFiles(treeRoot)
+    val dirs = files.map(_.getParent).distinct
+    if (files.isEmpty || files.size == dirs.size) return 0L
+    val rows = spark.read.option("basePath", treeRoot.toString)
+      .parquet(files.map(_.toString): _*)
+      .repartition(col(partitionCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rows.count()
+      val foldId = java.util.UUID.randomUUID().toString.take(8)
+      rows.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(stageDir(root, foldId).toString)
+      commit(root, foldId, sub,
+        files.map(f => Paths.get(root).relativize(f).toString))
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Every data file under `root`, recursively (skips Spark's
+    * `_SUCCESS`/CRC sidecars).
+    */
+  def listDataFiles(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+    } finally s.close()
+  }
+
+  def rmTree(p: Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+  }
+
+  private def validateRel(e: String): Unit =
+    require(e.nonEmpty && !e.startsWith("/") && !e.split('/').contains(".."),
+      s"suspicious fold-commit entry: $e")
+}

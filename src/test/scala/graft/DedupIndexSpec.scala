@@ -99,6 +99,52 @@ class DedupIndexSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bucket compaction shrinks the file count, preserves results, and recovers mid-fold") {
+    import spark.implicits._
+    val corpus = tables.documents.select("doc_id", "text")
+    val dir = tmp()
+    DedupIndex.build(corpus.filter(col("doc_id") < 200), dir, params)
+    // several absorbs: each appends a file per touched bucket
+    (200L until 260L by 20).foreach(lo =>
+      DedupIndex.absorb(spark, dir,
+        corpus.filter(col("doc_id").between(lo, lo + 19))))
+    val bands = java.nio.file.Paths.get(dir, "bands")
+    def nFiles() = graft.util.FoldCommit.listDataFiles(bands).size
+    def nDirs() = graft.util.FoldCommit.listDataFiles(bands)
+      .map(_.getParent).distinct.size
+    val doc = corpus.filter(col("doc_id") === 42L).as[(Long, String)].collect().head
+    val batch = Seq((500000L, doc._2)).toDF("doc_id", "text")
+    val before = DedupIndex.checkBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))).toSet
+    assert(nFiles() > nDirs(), s"absorbs should leave multi-file buckets (${nFiles()})")
+    val rewritten = DedupIndex.compactBuckets(spark, dir)
+    assert(rewritten > 0)
+    assert(nFiles() == nDirs(), s"compaction should leave 1 file/bucket, saw ${nFiles()}/${nDirs()}")
+    // idempotent: already-compact tree is a no-op
+    assert(DedupIndex.compactBuckets(spark, dir) == 0L)
+    val after = DedupIndex.checkBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))).toSet
+    assert(after == before, s"compaction changed probe results: ${after.diff(before)}")
+    // crash window: stage + commit marker written, moves/deletes not
+    // run — the next maintenance call (recover inside compactBuckets)
+    // must roll the fold forward without doubling rows
+    val files = graft.util.FoldCommit.listDataFiles(bands)
+    val rows = spark.read.option("basePath", bands.toString)
+      .parquet(files.map(_.toString): _*)
+    val total = rows.count()
+    rows.write.mode("overwrite").partitionBy("bh_bucket")
+      .parquet(graft.util.FoldCommit.stageDir(dir, "cafe0001").toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_fold_commit.txt"),
+      (Seq("cafe0001", "bands") ++ files.map(f =>
+        java.nio.file.Paths.get(dir).relativize(f).toString)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(DedupIndex.compactBuckets(spark, dir) == 0L) // recover path, then no-op
+    assert(spark.read.parquet(s"$dir/bands").count() == total,
+      "roll-forward must land the staged rewrite exactly once")
+    assert(DedupIndex.checkBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))).toSet == before)
+  }
+
   test("contract query flags cross-half near-dups consistent with the in-session LSH") {
     val ingest = DedupIndex.qDedupIngest(tables).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet

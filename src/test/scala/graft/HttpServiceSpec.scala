@@ -75,6 +75,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       """{"query":"SELECT 'information_schema.tables' AS s"}""")
     assert(lit.statusCode == 200 &&
       lit.body.contains("\"s\":\"information_schema.tables\""), lit.body)
+    // a submitted view surfaces its recorded SQL in information_schema.views
+    post("/submit",
+      """{"name":"is_view1","query":"SELECT n_name FROM is_nation WHERE n_nationkey < 3"}""")
+    val views = post("/sql",
+      """{"query":"SELECT view_definition FROM information_schema.views WHERE table_name = 'is_view1'"}""")
+    assert(views.statusCode == 200 &&
+      views.body.contains("n_nationkey < 3"), views.body)
   }
 
   test("POST /sql binds named parameters as values, never spliced text") {

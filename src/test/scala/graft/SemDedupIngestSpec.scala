@@ -115,7 +115,7 @@ class SemDedupIngestSpec extends SparkSpecBase {
     assert(folded == 40, s"expected 40 folded rows, got $folded")
     // epochs are gone, the visible row set is unchanged, probes work
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_compacting.json")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_fold_commit.txt")))
     val after = IvfIndex.load(spark, dir).assigned
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(after == before, s"compaction changed the row set: ${after.diff(before)}")
@@ -134,8 +134,9 @@ class SemDedupIngestSpec extends SparkSpecBase {
     savedRows.select(spark.read.parquet(s"$dir/assigned")
         .withColumn("cell", col("cell").cast("long")).columns.map(col).toSeq: _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_fold/deadbeef")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_compacting.json"),
-      "deadbeef\nepoch=3".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_fold_commit.txt"),
+      "deadbeef\nassigned\nepochs/epoch=3"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val recovered = IvfIndex.load(spark, dir).assigned
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(recovered == (before ++ (400L to 409L)).sorted,
