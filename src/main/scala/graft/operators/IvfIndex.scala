@@ -136,6 +136,15 @@ object IvfIndex {
     */
   def appendEpoch(spark: SparkSession, dir: String, newVectors: DataFrame,
       epochId: Long): Long = {
+    // a replay of an epoch that COMPACTION already folded into the
+    // base file must skip whole: its directory no longer exists, so
+    // the overwrite-in-place idempotence above can't help, and
+    // re-appending would double every folded row. The high-water mark
+    // is recorded BEFORE a fold commits (see compactEpochs), which is
+    // safe in every crash interleaving: a skipped epoch's rows always
+    // exist in the epochs tree (fold uncommitted) or the base file
+    // (fold committed).
+    if (epochId <= maxFoldedEpoch(dir)) return 0L
     val centroids = spark.read.parquet(s"$dir/centroids")
     val savedSchema = savedSchemaOf(spark, dir)
     val assigned0 = Similarity.assignCells(newVectors, centroids)
@@ -189,11 +198,41 @@ object IvfIndex {
       if (n > 0)
         rows.write.mode("overwrite").partitionBy("cell")
           .parquet(graft.util.FoldCommit.stageDir(dir, foldId).toString)
+      // the folded-epoch high-water mark lands BEFORE the commit: a
+      // crash between the two leaves these epochs unfolded but
+      // replay-skipped — harmless, their rows still sit in epochs/
+      // (appendEpoch would only have overwritten them identically) and
+      // the next maintenance pass folds them
+      recordFoldedEpochs(dir,
+        epochNames.map(_.stripPrefix("epoch=").toLong).max)
       graft.util.FoldCommit.commit(dir, foldId, "assigned",
         epochNames.map(e => s"epochs/$e"))
       dropEmptyEpochShell(dir)
       n
     } finally { rows.unpersist(); () }
+  }
+
+  private def foldedMarkPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_folded_epochs.txt")
+
+  /** Highest epoch id ever folded into the base file; -1 when none. */
+  def maxFoldedEpoch(dir: String): Long = {
+    val p = foldedMarkPath(dir)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private def recordFoldedEpochs(dir: String, maxId: Long): Unit = {
+    val v = math.max(maxId, maxFoldedEpoch(dir))
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), "_folded_epochs", ".tmp")
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, foldedMarkPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   /** Finish or sweep an interrupted [[compactEpochs]] (see

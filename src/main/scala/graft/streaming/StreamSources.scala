@@ -142,7 +142,8 @@ final case class FileStreamSink(format: String, path: String, checkpoint: String
   * vectors with full cell pruning; the quantizer itself is stable
   * (retraining is a scheduled rebuild, never a per-batch cost).
   */
-final case class IvfStreamSink(indexDir: String, checkpoint: String)
+final case class IvfStreamSink(indexDir: String, checkpoint: String,
+    compactEvery: Int = 16)
     extends StreamSinkProvider {
   val name = "ivf"
   def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
@@ -150,8 +151,23 @@ final case class IvfStreamSink(indexDir: String, checkpoint: String)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           epochId: Long) =>
-        graft.operators.IvfIndex.appendEpoch(
+        val n = graft.operators.IvfIndex.appendEpoch(
           batch.sparkSession, indexDir, batch.toDF(), epochId)
+        // self-maintaining index, same contract as VTableStreamSink's
+        // inline pass: only the writer that landed a non-empty epoch
+        // compacts (replays stay no-ops), only on the cadence boundary,
+        // and best-effort — the epoch is already durable, so a compact
+        // fault must not kill the stream; FoldCommit's roll-forward
+        // makes a mid-compact crash finish on the next boundary.
+        if (n > 0 && compactEvery > 0 && (epochId + 1) % compactEvery == 0)
+          try {
+            graft.operators.IvfIndex.compactEpochs(batch.sparkSession, indexDir)
+            ()
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Console.err.println(
+                s"[graft] ivf auto-compact at epoch $epochId deferred: $e")
+          }
         ()
       }
       .start()

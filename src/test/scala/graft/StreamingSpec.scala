@@ -835,6 +835,53 @@ class StreamingSpec extends SparkSpecBase {
     idx.centroids.unpersist(); replayed.centroids.unpersist()
     ()
   }
+
+  test("ivf stream sink auto-compacts on the cadence; folded epochs replay as no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{IvfIndex, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcomp").toString
+    val built = IvfIndex.build(
+      tables.embeddings.filter(col("vec_id") % 2 === 0), cells = 16, iters = 2)
+    built.save(dir)
+    built.unpersist()
+    val base = IvfIndex.load(spark, dir).assigned.count()
+    val odd = tables.embeddings.filter(col("vec_id") % 2 === 1)
+      .collect().map(r => StreamingSpec.Vec(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray, r.getAs[Int]("label")))
+    val input = MemoryStream[StreamingSpec.Vec]
+    // cadence 2: the second landed epoch (id 1) triggers the inline fold
+    val q = graft.streaming.IvfStreamSink(dir, s"$dir/_ckpt", compactEvery = 2)
+      .start(input.toDF())
+    try {
+      input.addData(odd.take(100).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(odd.drop(100).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // both epochs folded into the base file: no epochs tree, all rows
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")),
+      "cadence boundary should have folded the epoch trees")
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.assigned.count() == base + odd.length)
+    // a foreachBatch redelivery of a FOLDED epoch (restart after the
+    // fold, before the offset commit) must skip whole — its directory
+    // is gone, so the overwrite idempotence can't apply, and a
+    // re-append would double every row it carried
+    assert(IvfIndex.maxFoldedEpoch(dir) == 1L)
+    val skipped = IvfIndex.appendEpoch(spark, dir,
+      odd.drop(100).toIndexedSeq.toDF("vec_id", "embedding", "label"), 1L)
+    assert(skipped == 0L, "folded-epoch replay must be a no-op")
+    assert(IvfIndex.load(spark, dir).assigned.count() == base + odd.length,
+      "folded-epoch replay double-appended")
+    // streamed vectors stay probe-retrievable through the folded file
+    val hits = Similarity.ivfProbe(idx,
+      tables.embeddings.filter(col("vec_id").isin(2L, 4L, 6L))).collect()
+    assert(hits.exists(_.getAs[Long]("vec_id") % 2 == 1),
+      s"no streamed vector among ${hits.length} probe hits")
+    idx.centroids.unpersist()
+    ()
+  }
 }
 
 object StreamingSpec {
