@@ -60,12 +60,28 @@ object NbFilter {
     * same values.
     */
   private def fit(t: Tables): (DataFrame, DataFrame, DataFrame) = {
-    val lab = labeled(t)
+    // the label table is read three times (train features, priors, the
+    // holdout score join); checkpointed LAZILY it materializes inside
+    // the first job that touches it (no extra standalone job — eager
+    // checkpoints cost more than the recompute they save at small SF)
+    // and the other two readers reuse the blocks: one stop-ratio scan
+    // + one median job instead of three of each. 2 columns per doc —
+    // exactly the distilled-label table a production pipeline persists.
+    val lab = labeled(t).localCheckpoint(eager = false)
     val tr = occ(t).join(lab.filter(isTrain), "doc_id")
     val counts = tr.groupBy("tok")
       .agg(sum("label").as("c1"), sum(lit(1) - col("label")).as("c0"))
-    val tot = tr.agg(sum("label").as("t1"), sum(lit(1) - col("label")).as("t0"),
-      countDistinct("tok").as("v"))
+      // vocab-sized (bounded at any corpus scale); pinning it holds the
+      // corpus-scale explode+join behind it to ONE pass — `tot` below
+      // and the weights join both read the cached rows
+      .localCheckpoint(eager = false)
+    // class totals and vocabulary FOLD from the per-token counts —
+    // sum-over-tokens of per-token occurrence counts IS the class
+    // total, and v is the vocab row count — so the second full pass
+    // over the exploded training corpus disappears (same numbers, the
+    // oracle's t1/t0/v definitions are unchanged)
+    val tot = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+      count(lit(1)).as("v"))
     val pri = lab.filter(isTrain)
       .agg(sum("label").as("n1"), sum(lit(1) - col("label")).as("n0"))
     val wts = counts.crossJoin(broadcast(tot))
