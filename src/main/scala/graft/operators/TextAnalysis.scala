@@ -249,8 +249,15 @@ object TextAnalysis {
   def qTfidf(t: Tables, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = t.documents.select(col("doc_id"), explode(tokensCol).as("token"))
+    // lazily checkpointed: tf feeds BOTH the df derivation and the
+    // score join — without the pin each reader re-runs the full
+    // explode+shuffle; with it the corpus pays one token pass
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint(eager = false)
+    // df FOLDS from tf (one row per (doc, token) ⇒ per-token row count
+    // IS the distinct-doc count) — the second corpus-scale explode +
+    // the countDistinct expand both disappear
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
@@ -278,7 +285,12 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = t.documents.select(col("doc_id"), explode(tokensCol).as("token"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = the token ARRAY's size — same number the explode
+    // row count gives (split never yields an empty array), with no
+    // explode and no shuffle: dl and the corpus stats become pure
+    // scan-level projections/aggregates, so the only corpus-scale
+    // explode left is the term-filtered tf path below
+    val dl = t.documents.select(col("doc_id"), size(tokensCol).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = tok.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
