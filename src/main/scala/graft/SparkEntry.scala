@@ -110,6 +110,12 @@ object SparkEntry {
     "pagerank_edges" -> ((s, d) => {
       graft.operators.Graph.edgesFor(t(s, d)).count(); ()
     }),
+    // the recursive-chase contract fixture (one clustered vtable
+    // append per corpus): billed here so the timed query measures the
+    // per-level pruned chase, not tempdir table construction
+    "trec_fixture" -> ((s, d) => {
+      graft.sources.TableRecursive.warmBuild(t(s, d)); ()
+    }),
     // SQL-DML fixtures: multi-commit temp-vtable builds (append +
     // statement commits) that dominated the timed numbers —
     // q_sql_merge_general billed 3.6 s, ~90% of it this build. Like

@@ -5,26 +5,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Recursive (frontier-chasing) queries OVER A VTABLE with per-level
-  * dynamic file pruning — the scale posture `q_recursive_cte`'s plain
-  * SQL form can't reach: Spark's native WITH RECURSIVE re-plans each
+  * file pruning — the scale posture `q_recursive_cte`'s plain SQL
+  * form can't reach: Spark's native WITH RECURSIVE re-plans each
   * level as a join against the full table relation, so every level
   * re-SCANS the table even though the live frontier pins the only
-  * keys that can match. Here each level's frontier becomes a
-  * LocalRelation dim joined to the LAZY vtable scan, which is exactly
-  * the `marker ⋈ small-dim` shape [[graft.plans.VTableScanRule]]'s
-  * dynamic file pruning rewrites: the executed IN-list reaches the
-  * manifest's per-file stats (and Bloom sidecars) and each recursion
-  * level opens O(matching files) of a range-clustered table instead
-  * of all of them — on a 100 TB table, the difference between 12
-  * directory pings and 12 full scans (TableRecursiveSpec asserts the
-  * per-level file count).
+  * keys that can match. Here the frontier's stepped keys push as an
+  * executed IN-list straight into the LAZY vtable scan
+  * (Filter-over-marker, which [[graft.plans.VTableScanRule]]
+  * collapses through the manifest's per-file stats and Bloom
+  * sidecars), so each recursion level is ONE tiny job over
+  * O(matching files) of a range-clustered table — on a 100 TB table,
+  * the difference between 12 directory pings and 12 full scans
+  * (TableRecursiveSpec asserts the per-level file count). The same
+  * IN-list derivation is what the DFP rule would compute from a
+  * LocalRelation dim join; doing it from the already-collected
+  * frontier skips the optimizer-time derivation job each level would
+  * otherwise pay.
   *
   * The frontier itself is collected per level — bounded by the live
   * CHAIN count, not the corpus (key-chasing recursions carry only the
   * frontier; the contract query's is ≤ 32 rows). `frontierCap` guards
   * the collect: a frontier that outgrows it falls back to the
-  * distributed join against the same lazy scan (correct at any size,
-  * band-pruned at best) instead of materializing on the driver.
+  * distributed join against the same lazy scan (correct at any size)
+  * instead of materializing on the driver.
   */
 object TableRecursive {
 
@@ -70,6 +73,16 @@ object TableRecursive {
     // rule recognizes EqualTo(markerAttr, dimAttr) only
     def stepped(live: DataFrame): DataFrame =
       live.select(col("start_k"), step(col("k")).cast("long").as("k2"))
+    // stepped keys for a DRIVER-SIDE frontier: a deterministic Project
+    // over a LocalRelation folds at optimize time
+    // (ConvertToLocalRelation), so this collect is a LocalTableScan —
+    // no Spark job
+    def steppedLocal(rows: Seq[Row]): Seq[(Long, Long)] = {
+      val dim = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r.getLong(0), r.getLong(1))): _*),
+        dimSchema)
+      stepped(dim).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
     // level 0: the seed predicate collapses into the stats-pruned scan
     var frontier: Seq[Row] = vt.readWhere(seedCond)
       .select(col(keyCol).cast("long")).collect()
@@ -79,40 +92,51 @@ object TableRecursive {
     var spilled: Option[DataFrame] = None // distributed fallback, if ever
     while (frontier.nonEmpty && spilled.isEmpty && depth < maxDepth) {
       depth += 1
-      // a true LocalRelation (List overload), NOT an RDD-backed frame:
-      // the DFP rule's snapshot-stability check admits LocalRelation
-      // leaves and refuses LogicalRDD
-      val dim = spark.createDataFrame(
-        java.util.Arrays.asList(
-          frontier.map(r => Row(r.getLong(0), r.getLong(1))): _*), dimSchema)
-      // marker ⋈ tiny stepped dim: VTableScanRule's dynamic pruning
-      // derives the executed IN-list from the dim and expands the
-      // marker to only the admitting files, per level
-      val lvl = vt.scan().join(stepped(dim), col(keyCol) === col("k2"))
-        .select(col("start_k"), col("k2").as("k"), lit(depth).as("depth"))
-      if (frontier.length > frontierCap) {
+      if (frontier.length <= frontierCap) {
+        // ONE tiny job per level: the frontier's stepped keys push as
+        // an executed IN-list straight into the lazy scan
+        // (Filter-over-marker collapses to the stats+bloom-pruned file
+        // set), and the level resolves as an existence/multiplicity
+        // lookup — no join, no optimizer-time derivation job. The
+        // groupBy keeps general-table semantics: a key matching m rows
+        // fans a chain out m-fold, exactly like the declarative
+        // recursion's join
+        val want = steppedLocal(frontier)
+        val keys = want.map(_._2).distinct
+        val mult = vt.scan().filter(col(keyCol).isin(keys: _*))
+          .groupBy(col(keyCol).cast("long").as("_k")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        frontier = want.flatMap { case (s, k2) =>
+          Seq.fill(mult.getOrElse(k2, 0L).toInt)(Row(s, k2, depth))
+        }
+        visited += frontier
+      } else {
         // oversized frontier: stop collecting, finish distributed —
-        // the remaining levels join frame-to-scan without driver hops
-        var live = lvl.localCheckpoint()
-        var acc: DataFrame = live
-        var d = depth
+        // the already-visited frontier seeds a frame and the remaining
+        // levels join frame-to-scan without driver hops
+        var live: DataFrame = frame(frontier)
+          .select(col("start_k"), col("k")).localCheckpoint()
+        var acc: Option[DataFrame] = None
+        var d = depth - 1 // frontier sits at the previous level
         while (d < maxDepth) {
           d += 1
           val nxt = vt.scan().join(stepped(live), col(keyCol) === col("k2"))
             .select(col("start_k"), col("k2").as("k"), lit(d).as("depth"))
             .localCheckpoint()
-          acc = acc.unionByName(nxt)
-          live = nxt
+          acc = Some(acc.fold(nxt)(_.unionByName(nxt)))
+          live = nxt.select("start_k", "k")
         }
-        spilled = Some(acc)
-      } else {
-        frontier = lvl.collect().toSeq
-        visited += frontier
+        spilled = acc
       }
     }
     val collectedPart = frame(visited.toSeq.flatten)
     spilled.fold(collectedPart)(collectedPart.unionByName(_))
   }
+
+  /** Forces the memoized fixture build (Bench's index_build pass);
+    * the correctness gate still runs build+chase together, cold.
+    */
+  def warmBuild(t: Tables): Unit = { builtTable(t); () }
 
   /** Contract query — the vtable twin of `q_recursive_cte` with the
     * SAME chain semantics (odd seeds ≤ 64, key-doubling steps, depth

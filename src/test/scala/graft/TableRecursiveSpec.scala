@@ -40,10 +40,18 @@ class TableRecursiveSpec extends SparkSpecBase {
     t
   }
 
-  test("each recursion level's join opens only the frontier's admitting files") {
+  test("each recursion level's scan opens only the frontier's admitting files") {
     val t = eightFiles()
-    // one level of the chase's join shape: a 3-key frontier whose
-    // stepped keys all land in file 3's [300, 319] range
+    // the chase's per-level shape: the stepped frontier keys as an
+    // executed IN-list on the lazy scan — all land in file 3's
+    // [300, 319] range
+    val lvl = t.scan().filter(col("k").isin(300L, 304L, 308L))
+      .groupBy(col("k")).count()
+    assert(lvl.count() == 3)
+    assert(scanFiles(lvl) == 1,
+      s"level scan should open 1 of 8 files, opened ${scanFiles(lvl)}")
+    // the DFP dim-join form (the fallback path's shape when the dim is
+    // a LocalRelation) prunes the same way
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val dim = spark.createDataFrame(
@@ -51,10 +59,10 @@ class TableRecursiveSpec extends SparkSpecBase {
       StructType(Seq(StructField("start_k", LongType, nullable = false),
         StructField("k", LongType, nullable = false))))
       .select(col("start_k"), (col("k") * 2).cast("long").as("k2"))
-    val lvl = t.scan().join(dim, col("k") === col("k2"))
-    assert(lvl.count() == 3)
-    assert(scanFiles(lvl) == 1,
-      s"level join should open 1 of 8 files, opened ${scanFiles(lvl)}")
+    val joined = t.scan().join(dim, col("k") === col("k2"))
+    assert(joined.count() == 3)
+    assert(scanFiles(joined) == 1,
+      s"level join should open 1 of 8 files, opened ${scanFiles(joined)}")
   }
 
   test("the vtable chase visits exactly the nodes the declarative recursion visits") {
