@@ -86,7 +86,7 @@ object DedupIndex {
     // cached blocks (lineage cut; blocks release when the plan is
     // GC'd), instead of re-tokenizing the batch twice per ingest
     val probe = withBucket(Dedup.bandTable(batch, p.numHashes, p.bands, p.shingleSize))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // bucket list is bounded by the (small) batch; collecting it is a
     // planning step that buys PartitionFilters on the corpus scan
     val buckets = probe.select("bh_bucket").distinct()

@@ -89,8 +89,9 @@ object Graph {
     val nodes0 = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     // the roster is re-joined every iteration: pin it once in the
-    // checkpointed regime (it also feeds the count below)
-    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    // checkpointed regime (it also feeds the count below, which is
+    // the job that materializes the lazy checkpoint's blocks)
+    val nodes = if (checkpoint) nodes0.localCheckpoint(eager = false) else nodes0
     // node count as a driver literal: the roster is per-key tiny here;
     // at scale this is one count() on an already-persisted frame
     val n = nodes.count()
@@ -105,7 +106,14 @@ object Graph {
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(baseQ) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-      r = if (checkpoint) next.localCheckpoint() else next
+      // LAZY checkpoints: the logical plan each iteration hands the
+      // optimizer is a constant-depth LogicalRDD either way (the
+      // property the checkpointed regime exists for), but eager
+      // materialization paid one standalone job PER ITERATION —
+      // lazily, iteration blocks persist inside whichever job first
+      // computes them, so the whole loop settles in O(1) jobs while
+      // keeping truncated lineage and linear recompute cost
+      r = if (checkpoint) next.localCheckpoint(eager = false) else next
     }
     val deg = edges.groupBy("src").agg(sum("w").as("out_deg"))
       .withColumnRenamed("src", "node")

@@ -57,7 +57,7 @@ object SemDedupIndex {
     // localCheckpoint: the assignment join runs ONCE — the cell
     // collect below and the pair join both read the cached blocks
     // instead of re-assigning the batch twice per ingest
-    val probe = Similarity.assignCells(batch, centroids).localCheckpoint()
+    val probe = Similarity.assignCells(batch, centroids).localCheckpoint(eager = false)
     // cell list is bounded by min(batch, k cells); collecting it is a
     // planning step that buys PartitionFilters on the stored scan
     val cells = probe.select(col("cell").cast("long")).distinct()

@@ -97,7 +97,7 @@ object SpanIndex {
     val k = readK(dir)
     // one signature pass for the bucket collect, the size gate, and
     // both join probes
-    val probe = spans(batch, k).localCheckpoint()
+    val probe = spans(batch, k).localCheckpoint(eager = false)
     val buckets = probe.select("span_bucket").distinct()
       .collect().map(_.getAs[Long]("span_bucket"))
     // counting cached blocks, not a recompute; decides the hints below
