@@ -140,6 +140,12 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     val names = referencedNames(plan)
     if (hasNondeterministic(plan) || names.exists(nondetNames.contains))
       return (service.sqlJson(query, limit, offset), false)
+    // catalog INTROSPECTION is never cacheable: information_schema
+    // views reflect live session state, and registrations bump nonces
+    // for the REGISTERED names — not for these — so a cached listing
+    // would silently go stale the moment the catalog changes
+    if (names.exists(_.startsWith("information_schema.")))
+      return (service.sqlJson(query, limit, offset), false)
     // session flags that change RESULT SEMANTICS key separately: an
     // approximate-mode answer must never serve an exact-mode caller
     // (or vice versa, or across different error targets)

@@ -82,6 +82,18 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       """{"query":"SELECT view_definition FROM information_schema.views WHERE table_name = 'is_view1'"}""")
     assert(views.statusCode == 200 &&
       views.body.contains("n_nationkey < 3"), views.body)
+    // introspection is never served from the result cache: a cached
+    // listing would go stale on the next registration (registrations
+    // bump nonces for the registered names, not the info views)
+    val q = """{"query":"SELECT count(*) AS n FROM information_schema.tables WHERE table_name LIKE 'is_%'","cache":true}"""
+    val c1 = post("/sql", q)
+    post("/register",
+      s"""{"name":"is_supplier","format":"parquet","path":"${TestSpark.sfDir}/supplier.parquet"}""")
+    val c2 = post("/sql", q)
+    def n(b: String) = "\"n\":(\\d+)".r.findFirstMatchIn(b).get.group(1).toInt
+    assert(n(c2.body) == n(c1.body) + 1,
+      s"cached introspection went stale: ${c1.body} -> ${c2.body}")
+    assert(!c2.body.contains("\"cached\":true"), c2.body)
   }
 
   test("POST /sql binds named parameters as values, never spliced text") {
