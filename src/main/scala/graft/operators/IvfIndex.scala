@@ -121,12 +121,13 @@ object IvfIndex {
 
   /** Epoch-keyed STREAMING index maintenance: land one micro-batch of
     * new vectors as `epochs/epoch=<id>/cell=<c>/...` under the saved
-    * index. The epoch's directory is OVERWRITTEN whole, so a replayed
-    * batch (foreachBatch redelivery after restart, or a torn previous
-    * attempt) converges to exactly-once by construction — no marker
-    * file whose write could race the data. Cell stays a partition
-    * column inside every epoch, so probes keep directory-level pruning
-    * over streamed rows too.
+    * index. The epoch stages outside the tree and lands by ONE
+    * directory rename (atomic visibility — a partial epoch can never
+    * appear under `epochs/`), and a replayed batch (foreachBatch
+    * redelivery after restart) replaces the directory whole, so the
+    * tree converges to exactly-once by construction. Cell stays a
+    * partition column inside every epoch, so probes keep
+    * directory-level pruning over streamed rows too.
     *
     * Single-writer contract (one streaming query per index, Structured
     * Streaming's own constraint): a probe racing the overwrite of a
@@ -156,9 +157,27 @@ object IvfIndex {
       val n = assigned.count()
       // an empty epoch writes nothing — replaying it is equally empty,
       // so idempotence holds without an empty parquet footprint
-      if (n > 0)
+      if (n > 0) {
+        // ATOMIC VISIBILITY: the epoch stages outside epochs/ and lands
+        // by one directory rename, so `epochs/epoch=N` existing means
+        // the epoch is COMPLETE. Without this, a crash mid-write leaves
+        // a partial epoch that compaction could fold and mark — and the
+        // folded-epoch replay skip would then orphan the missing rows
+        // forever. With it, every crash shape is safe: stage-only
+        // (swept; offset uncommitted → redelivered), old epoch deleted
+        // pre-rename (redelivered → rewritten), or renamed (complete).
+        val stage = java.nio.file.Paths.get(dir, "_epoch_stage", s"epoch=$epochId")
+        if (java.nio.file.Files.isDirectory(stage))
+          graft.util.FoldCommit.rmTree(stage)
         assigned.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/epochs/epoch=$epochId")
+          .parquet(stage.toString)
+        val target = java.nio.file.Paths.get(dir, "epochs", s"epoch=$epochId")
+        java.nio.file.Files.createDirectories(target.getParent)
+        if (java.nio.file.Files.isDirectory(target)) // replay overwrite
+          graft.util.FoldCommit.rmTree(target)
+        java.nio.file.Files.move(stage, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       n
     } finally { assigned.unpersist(); () }
   }
@@ -182,7 +201,14 @@ object IvfIndex {
     * doubles them.
     */
   def compactEpochs(spark: SparkSession, dir: String): Long = {
-    recoverCompaction(spark, dir)
+    // writer-side recovery: also sweeps aborted staging (we ARE the
+    // single writer, so a marker-less stage here is dead, not live),
+    // including any epoch stage a crashed appendEpoch left behind
+    graft.util.FoldCommit.recover(dir, sweepStaging = true)
+    val epochStage = java.nio.file.Paths.get(dir, "_epoch_stage")
+    if (java.nio.file.Files.isDirectory(epochStage))
+      graft.util.FoldCommit.rmTree(epochStage)
+    dropEmptyEpochShell(dir)
     val epochsRoot = java.nio.file.Paths.get(dir, "epochs")
     if (!java.nio.file.Files.isDirectory(epochsRoot)) return 0L
     val epochNames = listEpochDirs(epochsRoot).map(_.getFileName.toString)
@@ -235,14 +261,16 @@ object IvfIndex {
     ()
   }
 
-  /** Finish or sweep an interrupted [[compactEpochs]] (see
-    * [[graft.util.FoldCommit.recover]]); also drops an epochs/ shell
-    * left empty by a completed fold so [[load]]/checkBatch skip the
-    * union. Run by [[compactEpochs]] and [[load]]; no-op on a
-    * quiescent index.
+  /** READER-side recovery: finish an interrupted-but-COMMITTED
+    * [[compactEpochs]] (see [[graft.util.FoldCommit.recover]]) and
+    * drop an epochs/ shell left empty by a completed fold so
+    * [[load]]/checkBatch skip the union. Never sweeps staging — a
+    * marker-less stage may be the live writer mid-fold, and deleting
+    * it from a read path would turn the writer's commit into pure
+    * deletes (data loss). No-op on a quiescent index.
     */
   def recoverCompaction(spark: SparkSession, dir: String): Unit = {
-    graft.util.FoldCommit.recover(dir)
+    graft.util.FoldCommit.recover(dir, sweepStaging = false)
     dropEmptyEpochShell(dir)
   }
 

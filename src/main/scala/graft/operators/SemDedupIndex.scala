@@ -53,6 +53,12 @@ object SemDedupIndex {
   def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
       threshold: Double = Threshold,
       maxBroadcastRows: Long = 500000L): DataFrame = {
+    // reader-side recovery BEFORE touching the trees: a committed but
+    // interrupted compaction may have rows in both assigned/ (moved)
+    // and epochs/ (not yet deleted) — unioning that state would
+    // double-count; recovery completes the fold (and drops an empty
+    // epochs/ shell, which a raw parquet read would refuse)
+    IvfIndex.recoverCompaction(spark, dir)
     val centroids = spark.read.parquet(s"$dir/centroids")
     // localCheckpoint: the assignment join runs ONCE — the cell
     // collect below and the pair join both read the cached blocks

@@ -41,18 +41,38 @@ object InfoSchema {
   /** Rewrite info-schema references in the segments of `q` that lie
     * OUTSIDE single-quoted strings, double-quoted strings, and
     * backtick identifiers; None when nothing referenced.
+    * `backslashEscapes` mirrors the session's string-literal dialect
+    * (Spark's default processes `\'`; with
+    * `spark.sql.parser.escapedStringLiterals=true` a backslash is a
+    * literal character) — the scanner must end a string exactly where
+    * the parser does, or a literal's tail gets rewritten as SQL / a
+    * real reference hides inside a phantom span.
     */
-  private[service] def rewrite(q: String): Option[String] = {
+  private[graft] def rewrite(q: String,
+      backslashEscapes: Boolean = true): Option[String] = {
+    // end index (exclusive) of the quoted span opening at `i`
+    def spanEnd(i: Int): Int = {
+      val c = q.charAt(i)
+      var j = i + 1
+      while (j < q.length) {
+        val cj = q.charAt(j)
+        if (backslashEscapes && c != '`' && cj == '\\' && j + 1 < q.length)
+          j += 2 // escaped char (incl. \' and \\) stays inside the span
+        else if (cj == c) {
+          // a doubled quote escapes itself and stays inside
+          if (j + 1 < q.length && q.charAt(j + 1) == c) j += 2
+          else return j + 1
+        } else j += 1
+      }
+      q.length // unterminated literal: the parser will reject it anyway
+    }
     val out = new StringBuilder(q.length)
     var changed = false
     var i = 0
     while (i < q.length) {
       val c = q.charAt(i)
       if (c == '\'' || c == '"' || c == '`') {
-        // copy the quoted span verbatim (SQL escapes a quote by
-        // doubling it — the doubled pair re-enters and re-exits)
-        val close = q.indexOf(c, i + 1)
-        val end = if (close < 0) q.length else close + 1
+        val end = spanEnd(i)
         out.append(q.substring(i, end))
         i = end
       } else {
@@ -82,7 +102,8 @@ object InfoSchema {
     * rewritten text; the untouched statement otherwise.
     */
   def prepare(svc: QueryService, query: String): String =
-    rewrite(query) match {
+    rewrite(query, backslashEscapes = !svc.spark.conf
+        .get("spark.sql.parser.escapedStringLiterals", "false").toBoolean) match {
       case None => query
       case Some(q) => refresh(svc); q
     }

@@ -108,7 +108,8 @@ final class QueryService(val spark: SparkSession,
     * parameterized MERGE fails loudly rather than half-parsing.
     */
   def sql(query: String, args: Map[String, Any]): DataFrame =
-    if (args.isEmpty) sql(query) else spark.sql(query, args)
+    if (args.isEmpty) sql(query)
+    else spark.sql(InfoSchema.prepare(this, query), args)
 
   /** [[sqlJson]] with named parameters — bypasses the result cache
     * (the cache keys on query TEXT; two binds of one text must never
@@ -117,7 +118,8 @@ final class QueryService(val spark: SparkSession,
   def sqlJson(query: String, args: Map[String, Any], limit: Int,
       offset: Int): Seq[String] =
     if (args.isEmpty) sqlJson(query, limit, offset)
-    else jsonRows(spark.sql(query, args), limit, offset)
+    else jsonRows(spark.sql(InfoSchema.prepare(this, query), args),
+      limit, offset)
 
   /** POSITIONAL parameters (`?` markers, bound left to right) — the
     * JDBC-prepared-statement spelling; same cache/dispatch bypass as
@@ -126,7 +128,8 @@ final class QueryService(val spark: SparkSession,
   def sqlJsonPositional(query: String, args: Seq[Any], limit: Int,
       offset: Int): Seq[String] =
     if (args.isEmpty) sqlJson(query, limit, offset)
-    else jsonRows(spark.sql(query, args.toArray), limit, offset)
+    else jsonRows(spark.sql(InfoSchema.prepare(this, query), args.toArray),
+      limit, offset)
 
   /** The reference's REST response shape: one JSON object per row,
     * with null fields RETAINED (`toJSON` would drop the key entirely,
@@ -186,7 +189,9 @@ final class QueryService(val spark: SparkSession,
     * the reference's named-result workflow.
     */
   def submit(name: String, query: String): DataFrame = {
-    val df = spark.sql(query)
+    // info-schema references resolve here too (the recorded definition
+    // stays the ORIGINAL text; replay prepares it again below)
+    val df = spark.sql(InfoSchema.prepare(this, query))
     df.createOrReplaceTempView(name)
     // bumps the name's nonce AND taints it if the definition is
     // non-deterministic, so cached queries over the view stay honest
@@ -255,7 +260,8 @@ final class QueryService(val spark: SparkSession,
         System.err.println(
           s"[graft] catalog replay: refusing command view '${entry.name}'")
       } else {
-        spark.sql(entry.query).createOrReplaceTempView(entry.name)
+        spark.sql(InfoSchema.prepare(this, entry.query))
+          .createOrReplaceTempView(entry.name)
         results.noteSubmission(entry.name, entry.query)
       }
       true

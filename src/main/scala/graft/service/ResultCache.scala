@@ -97,11 +97,20 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
       try {
         val plan = service.spark.sessionState.sqlParser.parsePlan(query)
         hasNondeterministic(plan) ||
-          referencedNames(plan).exists(nondetNames.contains)
+          referencedNames(plan).exists(n =>
+            nondetNames.contains(n) || isIntrospection(n))
       } catch { case NonFatal(_) => false }
     if (tainted) nondetNames.add(key) else nondetNames.remove(key)
     invalidate(name)
   }
+
+  /** Catalog-introspection relations (information_schema or its
+    * backing views): their content tracks live session state that no
+    * name nonce covers, so anything built over them must never cache —
+    * a view WRAPPING one inherits the taint through noteSubmission.
+    */
+  private def isIntrospection(name: String): Boolean =
+    name.startsWith("information_schema.") || name.startsWith("__graft_info_")
 
   // any command executed through the service (CREATE/REPLACE VIEW,
   // SET, INSERT...) may re-point names or change session state the
@@ -141,10 +150,11 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     if (hasNondeterministic(plan) || names.exists(nondetNames.contains))
       return (service.sqlJson(query, limit, offset), false)
     // catalog INTROSPECTION is never cacheable: information_schema
-    // views reflect live session state, and registrations bump nonces
+    // views (under either spelling — the SQL name or the backing temp
+    // views) reflect live session state, and registrations bump nonces
     // for the REGISTERED names — not for these — so a cached listing
     // would silently go stale the moment the catalog changes
-    if (names.exists(_.startsWith("information_schema.")))
+    if (names.exists(isIntrospection))
       return (service.sqlJson(query, limit, offset), false)
     // session flags that change RESULT SEMANTICS key separately: an
     // approximate-mode answer must never serve an exact-mode caller

@@ -90,9 +90,30 @@ object TableRecursive {
     val visited = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 0
     var spilled: Option[DataFrame] = None // distributed fallback, if ever
+    // oversized frontier (or fan-out): stop collecting, finish
+    // distributed — the last collected frontier seeds a frame and the
+    // remaining levels join frame-to-scan without driver hops; the
+    // loop stops early when a level comes back empty (the chains died)
+    def spill(from: Seq[Row], prevDepth: Int): Option[DataFrame] = {
+      var live: DataFrame = frame(from)
+        .select(col("start_k"), col("k")).localCheckpoint()
+      var acc: Option[DataFrame] = None
+      var d = prevDepth
+      while (d < maxDepth && !live.isEmpty) {
+        d += 1
+        val nxt = vt.scan().join(stepped(live), col(keyCol) === col("k2"))
+          .select(col("start_k"), col("k2").as("k"), lit(d).as("depth"))
+          .localCheckpoint()
+        acc = Some(acc.fold(nxt)(_.unionByName(nxt)))
+        live = nxt.select("start_k", "k")
+      }
+      acc
+    }
     while (frontier.nonEmpty && spilled.isEmpty && depth < maxDepth) {
-      depth += 1
-      if (frontier.length <= frontierCap) {
+      if (frontier.length > frontierCap) {
+        spilled = spill(frontier, depth)
+      } else {
+        depth += 1
         // ONE tiny job per level: the frontier's stepped keys push as
         // an executed IN-list straight into the lazy scan
         // (Filter-over-marker collapses to the stats+bloom-pruned file
@@ -106,27 +127,19 @@ object TableRecursive {
         val mult = vt.scan().filter(col(keyCol).isin(keys: _*))
           .groupBy(col(keyCol).cast("long").as("_k")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        frontier = want.flatMap { case (s, k2) =>
-          Seq.fill(mult.getOrElse(k2, 0L).toInt)(Row(s, k2, depth))
+        // the cap guards the EXPANSION too, not just the next collect:
+        // a high-multiplicity key spills to the distributed path
+        // instead of materializing (or Int-overflowing) its fan-out on
+        // the driver — the fallback recomputes this level distributed
+        val nextSize = want.iterator.map(p => mult.getOrElse(p._2, 0L)).sum
+        if (nextSize > frontierCap) {
+          spilled = spill(frontier, depth - 1)
+        } else {
+          frontier = want.flatMap { case (s, k2) =>
+            Seq.fill(mult.getOrElse(k2, 0L).toInt)(Row(s, k2, depth))
+          }
+          visited += frontier
         }
-        visited += frontier
-      } else {
-        // oversized frontier: stop collecting, finish distributed —
-        // the already-visited frontier seeds a frame and the remaining
-        // levels join frame-to-scan without driver hops
-        var live: DataFrame = frame(frontier)
-          .select(col("start_k"), col("k")).localCheckpoint()
-        var acc: Option[DataFrame] = None
-        var d = depth - 1 // frontier sits at the previous level
-        while (d < maxDepth) {
-          d += 1
-          val nxt = vt.scan().join(stepped(live), col(keyCol) === col("k2"))
-            .select(col("start_k"), col("k2").as("k"), lit(d).as("depth"))
-            .localCheckpoint()
-          acc = Some(acc.fold(nxt)(_.unionByName(nxt)))
-          live = nxt.select("start_k", "k")
-        }
-        spilled = acc
       }
     }
     val collectedPart = frame(visited.toSeq.flatten)

@@ -56,16 +56,24 @@ object FoldCommit {
     rollForward(root)
   }
 
-  /** Finish a committed-but-interrupted fold (marker present) and
-    * sweep any uncommitted staging; true when a fold rolled forward.
-    * No-op on a quiescent tree.
+  /** Finish a committed-but-interrupted fold (marker present); true
+    * when one rolled forward. `sweepStaging` additionally deletes any
+    * marker-less staging tree — that cleanup is for the WRITER ONLY
+    * (the start of its next fold): a marker-less stage is either a
+    * pre-commit abort (writer-side sweep is safe) or a fold the single
+    * writer is staging RIGHT NOW — a reader sweeping it would let the
+    * writer's commit roll forward with no staged files and execute
+    * only the deletes, losing every folded row. Readers (load /
+    * checkBatch recovery) must call with the default `false`.
     */
-  def recover(root: String): Boolean = {
+  def recover(root: String, sweepStaging: Boolean = false): Boolean = {
     val did =
       if (Files.exists(markerPath(root))) { rollForward(root); true }
       else false
-    val staging = Paths.get(root, "_fold")
-    if (Files.isDirectory(staging)) rmTree(staging)
+    if (sweepStaging) {
+      val staging = Paths.get(root, "_fold")
+      if (Files.isDirectory(staging)) rmTree(staging)
+    }
     did
   }
 
@@ -85,14 +93,30 @@ object FoldCommit {
           .getOrElse(Paths.get(root, targetSub))
         Files.createDirectories(targetDir)
         // deterministic target name keyed on the fold id makes the
-        // move idempotent across recovery re-runs
+        // move idempotent across recovery re-runs; a CONCURRENT
+        // recoverer (a reader rolling the same committed fold forward
+        // while the writer finishes it) can win the exists→move race,
+        // which is success, not failure
         val t = targetDir.resolve(s"fold-$foldId-${f.getFileName}")
         if (!Files.exists(t)) {
-          Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+          try Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: java.nio.file.NoSuchFileException => ()
+          }
           ()
         }
       }
       rmTree(fold)
+    }
+    // drop the staging PARENT only when empty — a reader rolling a
+    // committed fold forward must not touch a sibling stage the live
+    // writer may be building
+    val staging = Paths.get(root, "_fold")
+    if (Files.isDirectory(staging)) {
+      val s = Files.list(staging)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) rmTree(staging)
     }
     deletes.foreach(d => rmTree(Paths.get(root, d)))
     Files.deleteIfExists(markerPath(root))
@@ -111,7 +135,7 @@ object FoldCommit {
     */
   def compactPartitionedTree(spark: SparkSession, root: String, sub: String,
       partitionCol: String): Long = {
-    recover(root)
+    recover(root, sweepStaging = true) // we ARE the single writer here
     val treeRoot = Paths.get(root, sub)
     if (!Files.isDirectory(treeRoot)) return 0L
     val files = listDataFiles(treeRoot)
