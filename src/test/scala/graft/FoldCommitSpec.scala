@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.util.FoldCommit
+
+/** The shared write-ahead roll-forward primitive, at the protocol
+  * level: every step idempotent, recovery correct from both sides of
+  * the commit point, and reader/writer sweep scoping — the invariants
+  * the three index OPTIMIZEs all lean on.
+  */
+class FoldCommitSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-foldc").toString
+
+  private def writeTree(root: String, sub: String, buckets: Int,
+      filesPer: Int): Unit = {
+    import spark.implicits._
+    (0 until filesPer).foreach { _ =>
+      (0 until buckets).map(b => (b.toLong, s"r$b"))
+        .toDF("b", "v").coalesce(1)
+        .write.mode("append").partitionBy("b").parquet(s"$root/$sub")
+    }
+  }
+
+  test("compactPartitionedTree: 1 file per dir, idempotent, rows intact") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 4, filesPer = 3)
+    val before = spark.read.parquet(s"$root/data").count()
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 12)
+    val n = FoldCommit.compactPartitionedTree(spark, root, "data", "b")
+    assert(n == before)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 4)
+    assert(spark.read.parquet(s"$root/data").count() == before)
+    // already compact: no-op
+    assert(FoldCommit.compactPartitionedTree(spark, root, "data", "b") == 0L)
+  }
+
+  test("recovery completes a committed fold exactly once, even run twice") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 2, filesPer = 2)
+    val total = spark.read.parquet(s"$root/data").count()
+    val files = FoldCommit.listDataFiles(Paths.get(root, "data"))
+    // stage a full rewrite + land the marker by hand (the crash point:
+    // committed, nothing moved)
+    spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(_.toString): _*)
+      .repartition(col("b")).write.partitionBy("b")
+      .parquet(FoldCommit.stageDir(root, "feed0001").toString)
+    Files.write(Paths.get(root, "_fold_commit.txt"),
+      (Seq("feed0001", "data") ++ files.map(f =>
+        Paths.get(root).relativize(f).toString)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(FoldCommit.recover(root))
+    assert(spark.read.parquet(s"$root/data").count() == total)
+    // running recovery AGAIN is a no-op (marker gone, nothing doubles)
+    assert(!FoldCommit.recover(root))
+    assert(spark.read.parquet(s"$root/data").count() == total)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 2)
+  }
+
+  test("reader-mode recovery leaves a marker-less stage alone; writer-mode sweeps it") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 2, filesPer = 1)
+    val stage = FoldCommit.stageDir(root, "live0001")
+    Files.createDirectories(stage)
+    Files.write(stage.resolve("part-x.parquet"), Array[Byte](1, 2, 3))
+    // a reader must NOT delete what might be the live writer's stage
+    assert(!FoldCommit.recover(root))
+    assert(Files.exists(stage.resolve("part-x.parquet")),
+      "reader-mode recovery swept live staging")
+    // the writer's own recovery sweeps the (now known-dead) stage
+    assert(!FoldCommit.recover(root, sweepStaging = true))
+    assert(!Files.exists(stage))
+  }
+
+  test("traversal-shaped marker entries are refused, nothing deleted") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 1, filesPer = 1)
+    Files.write(Paths.get(root, "_fold_commit.txt"),
+      "f1\ndata\n../../etc/passwd"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] { FoldCommit.recover(root) }
+    assert(spark.read.parquet(s"$root/data").count() == 1)
+  }
+}
