@@ -81,7 +81,7 @@ object IvfIndex {
     val base = spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("long"))
     val withEpochs =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "epochs")))
+      if (hasEpochRows(dir))
         base.unionByName(spark.read.parquet(s"$dir/epochs")
           .withColumn("cell", col("cell").cast("long")).drop("epoch"))
       else base
@@ -262,16 +262,31 @@ object IvfIndex {
   }
 
   /** READER-side recovery: finish an interrupted-but-COMMITTED
-    * [[compactEpochs]] (see [[graft.util.FoldCommit.recover]]) and
-    * drop an epochs/ shell left empty by a completed fold so
-    * [[load]]/checkBatch skip the union. Never sweeps staging — a
-    * marker-less stage may be the live writer mid-fold, and deleting
-    * it from a read path would turn the writer's commit into pure
-    * deletes (data loss). No-op on a quiescent index.
+    * [[compactEpochs]] (see [[graft.util.FoldCommit.recover]]).
+    * Deliberately deletes NOTHING ELSE — not staging (a marker-less
+    * stage may be the live writer mid-fold; sweeping it would turn the
+    * writer's commit into pure deletes) and not an empty epochs/ shell
+    * (a reader's list-then-delete races the writer's atomic epoch
+    * rename: rmTree just after the rename destroys a complete landed
+    * epoch, just before it yanks the parent from under the move).
+    * Readers instead treat a FILE-LESS epochs tree as absent
+    * ([[hasEpochRows]]); only the single writer ever removes the
+    * shell. No-op on a quiescent index.
     */
   def recoverCompaction(spark: SparkSession, dir: String): Unit = {
     graft.util.FoldCommit.recover(dir, sweepStaging = false)
-    dropEmptyEpochShell(dir)
+    ()
+  }
+
+  /** Does the epochs tree hold any data files? The read-side gate for
+    * unioning `epochs/` in — robust to the empty shell a completed
+    * fold leaves (a raw parquet read of a file-less dir refuses with
+    * "unable to infer schema").
+    */
+  private[graft] def hasEpochRows(dir: String): Boolean = {
+    val root = java.nio.file.Paths.get(dir, "epochs")
+    java.nio.file.Files.isDirectory(root) &&
+      graft.util.FoldCommit.listDataFiles(root).nonEmpty
   }
 
   private def dropEmptyEpochShell(dir: String): Unit = {

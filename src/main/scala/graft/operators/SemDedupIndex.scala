@@ -56,8 +56,9 @@ object SemDedupIndex {
     // reader-side recovery BEFORE touching the trees: a committed but
     // interrupted compaction may have rows in both assigned/ (moved)
     // and epochs/ (not yet deleted) — unioning that state would
-    // double-count; recovery completes the fold (and drops an empty
-    // epochs/ shell, which a raw parquet read would refuse)
+    // double-count; recovery completes the fold, and the epochs union
+    // below gates on actual data files (a file-less shell reads as
+    // absent — readers never delete it, that's the writer's job)
     IvfIndex.recoverCompaction(spark, dir)
     val centroids = spark.read.parquet(s"$dir/centroids")
     // localCheckpoint: the assignment join runs ONCE — the cell
@@ -80,8 +81,7 @@ object SemDedupIndex {
     val base = spark.read.parquet(s"$dir/assigned")
       .withColumn("cell", col("cell").cast("long"))
     val full =
-      if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(dir, "epochs")))
+      if (IvfIndex.hasEpochRows(dir))
         base.unionByName(spark.read.parquet(s"$dir/epochs")
           .withColumn("cell", col("cell").cast("long")).drop("epoch"))
       else base

@@ -189,9 +189,19 @@ final class QueryService(val spark: SparkSession,
     * the reference's named-result workflow.
     */
   def submit(name: String, query: String): DataFrame = {
-    // info-schema references resolve here too (the recorded definition
-    // stays the ORIGINAL text; replay prepares it again below)
-    val df = spark.sql(InfoSchema.prepare(this, query))
+    // REFUSE info-schema definitions: a submitted view stores its
+    // ANALYZED plan, which would bake the backing views' rows at
+    // submit time — a catalog listing frozen forever while looking
+    // live. Loud beats silently stale; clients query
+    // information_schema directly (always fresh by refresh-on-
+    // reference). Both literal dialects are checked — a reference is a
+    // reference under either.
+    require(InfoSchema.rewrite(query).isEmpty &&
+      InfoSchema.rewrite(query, backslashEscapes = false).isEmpty,
+      "submit: information_schema views snapshot at definition time " +
+        "and would serve stale catalog listings — query " +
+        "information_schema directly instead")
+    val df = spark.sql(query)
     df.createOrReplaceTempView(name)
     // bumps the name's nonce AND taints it if the definition is
     // non-deterministic, so cached queries over the view stay honest

@@ -175,7 +175,12 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
         service.spark.conf.getOption("spark.sql.ansi.enabled").getOrElse("") +
         "\u0000ddl=" + ddlNonce.get + "\u0000" + approx
     }
-    val key = normalize(query) + "\u0000" + fingerprint(names) + semantics
+    // the literal dialect shapes BOTH the normalization and the parse,
+    // so it folds into the key AND drives the span scanner
+    val bsEscapes = !service.spark.conf
+      .get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+    val key = normalize(query, bsEscapes) + "\u0000esc=" + bsEscapes +
+      "\u0000" + fingerprint(names) + semantics
     var built = false
     val entry =
       try memo.getOrBuild(key) {
@@ -258,13 +263,18 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
 
   /** Collapse whitespace runs and case-fold, EXCEPT inside
     * '...'/"..."/`...` spans (string literals keep their exact bytes;
-    * quoted identifiers keep case). A backslash inside a '/" span
-    * escapes the next character (Spark's default literal syntax), so
-    * an escaped quote does not end the span. Doubled quotes inside a
-    * span ('it''s') read as two adjacent spans — harmlessly
-    * over-preserved.
+    * quoted identifiers keep case). `backslashEscapes` mirrors the
+    * session's literal dialect — under Spark's default a backslash
+    * escapes the next character so `\'` stays inside the span, while
+    * under `escapedStringLiterals=true` the backslash is a literal and
+    * the quote CLOSES the span; mis-spanning under either dialect
+    * case-folds literal bytes (or preserves keyword case), colliding
+    * semantically different statements onto one cache key. Doubled
+    * quotes inside a span ('it''s') read as two adjacent spans —
+    * harmlessly over-preserved.
     */
-  private[graft] def normalize(sql: String): String = {
+  private[graft] def normalize(sql: String,
+      backslashEscapes: Boolean = true): String = {
     val out = new java.lang.StringBuilder(sql.length)
     var i = 0
     var quote: Char = 0
@@ -273,7 +283,7 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
       val c = sql.charAt(i)
       if (quote != 0) {
         out.append(c)
-        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+        if (backslashEscapes && c == '\\' && quote != '`' && i + 1 < sql.length) {
           // escaped char (incl. \' and \") stays inside the span
           out.append(sql.charAt(i + 1))
           i += 1

@@ -78,15 +78,35 @@ object FoldCommit {
   }
 
   private def rollForward(root: String): Unit = {
-    val lines = new String(Files.readAllBytes(markerPath(root)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // a CONCURRENT recoverer (the writer finishing its own commit
+    // while a reader rolls the same fold forward) can clear the marker
+    // between our existence check and this read — that recoverer
+    // completed the fold; nothing left to do
+    val bytes =
+      try Files.readAllBytes(markerPath(root))
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.size < 2) { // torn-impossible (atomic rename), but stale-empty isn't
+      Files.deleteIfExists(markerPath(root)); return
+    }
     val (foldId, targetSub, deletes) = (lines.head, lines(1), lines.drop(2))
     // marker bytes are world-editable; refuse traversal shapes
     lines.foreach(validateRel)
     val fold = stageDir(root, foldId)
     if (Files.isDirectory(fold)) {
-      listDataFiles(fold).foreach { f =>
+      // the walk races the other recoverer's rmTree of the same fold
+      // dir the same way the moves race — vanishing files mean the
+      // other side finished them
+      val staged =
+        try listDataFiles(fold)
+        catch {
+          case _: java.nio.file.NoSuchFileException => Seq.empty
+          case e: java.io.UncheckedIOException
+              if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+            Seq.empty
+        }
+      staged.foreach { f =>
         val rel = fold.relativize(f)
         val targetDir = Option(rel.getParent)
           .map(Paths.get(root, targetSub).resolve(_))
@@ -114,9 +134,13 @@ object FoldCommit {
     // writer may be building
     val staging = Paths.get(root, "_fold")
     if (Files.isDirectory(staging)) {
-      val s = Files.list(staging)
-      val empty = try !s.iterator().hasNext finally s.close()
-      if (empty) rmTree(staging)
+      try {
+        val s = Files.list(staging)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) rmTree(staging)
+      } catch { // the other recoverer dropped it first: done
+        case _: java.nio.file.NoSuchFileException => ()
+      }
     }
     deletes.foreach(d => rmTree(Paths.get(root, d)))
     Files.deleteIfExists(markerPath(root))

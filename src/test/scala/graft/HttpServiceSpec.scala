@@ -82,6 +82,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       """{"query":"SELECT view_definition FROM information_schema.views WHERE table_name = 'is_view1'"}""")
     assert(views.statusCode == 200 &&
       views.body.contains("n_nationkey < 3"), views.body)
+    // a submitted view OVER information_schema refuses loudly: the
+    // stored analyzed plan would bake the catalog rows at submit time —
+    // a listing frozen forever while looking live
+    val frozen = post("/submit",
+      """{"name":"is_frozen","query":"SELECT table_name FROM information_schema.tables"}""")
+    assert(frozen.statusCode != 200 &&
+      frozen.body.contains("information_schema"), frozen.body)
     // introspection is never served from the result cache: a cached
     // listing would go stale on the next registration (registrations
     // bump nonces for the registered names, not the info views)

@@ -141,7 +141,12 @@ class SemDedupIngestSpec extends SparkSpecBase {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(recovered == (before ++ (400L to 409L)).sorted,
       "roll-forward must land epoch 3 exactly once")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))
+    // reader-side recovery never deletes the epochs SHELL (that's the
+    // writer's job — a reader's delete races the atomic epoch rename);
+    // it must just hold no data files anymore
+    val shell = java.nio.file.Paths.get(dir, "epochs")
+    assert(!java.nio.file.Files.isDirectory(shell) ||
+      graft.util.FoldCommit.listDataFiles(shell).isEmpty)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_fold")))
   }
 
