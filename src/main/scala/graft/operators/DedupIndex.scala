@@ -80,6 +80,14 @@ object DedupIndex {
     */
   def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
       maxBroadcastRows: Long = 2000000L): DataFrame = {
+    // reader-side recovery BEFORE the scan (same contract as
+    // IvfIndex.recoverCompaction): a committed-but-interrupted
+    // compactBuckets leaves staged files already moved next to the
+    // not-yet-deleted originals — scanning that state double-counts
+    // every band row in the folded buckets on every probe until the
+    // fold completes. sweepStaging stays false: a marker-less stage
+    // may be the live writer mid-fold.
+    graft.util.FoldCommit.recover(dir)
     val p = readParams(dir)
     // localCheckpoint: the batch's signature pipeline runs ONCE — the
     // bucket collect below and the broadcast join both read the
@@ -123,6 +131,10 @@ object DedupIndex {
     * bucket directories; nothing already stored is rewritten.
     */
   def absorb(spark: SparkSession, dir: String, accepted: DataFrame): Unit = {
+    // finish any committed fold first so the append's bucket files land
+    // beside a consistent tree (reader-mode: absorb appends, it never
+    // owns staging — only compactBuckets sweeps)
+    graft.util.FoldCommit.recover(dir)
     val p = readParams(dir)
     withBucket(Dedup.bandTable(accepted, p.numHashes, p.bands, p.shingleSize))
       .repartition(col("bh_bucket"))

@@ -130,7 +130,14 @@ object IvfIndex {
     * directory-level pruning over streamed rows too.
     *
     * Single-writer contract (one streaming query per index, Structured
-    * Streaming's own constraint): a probe racing the overwrite of a
+    * Streaming's own constraint) — and the writer's CHECKPOINT
+    * DIRECTORY is part of the index's identity: epoch ids are the
+    * checkpoint's batch ids, and the folded-epoch high-water mark
+    * persists with the index, so resuming ingest with a FRESH
+    * checkpointLocation against an existing index restarts ids at 0
+    * and every batch skips as a "replay" (loudly — see the skip
+    * warning). Resume with the original checkpoint or rebuild.
+    * A probe racing the overwrite of a
     * replayed epoch can observe that epoch partially — the same
     * no-snapshot-isolation trade every bare-parquet layout makes; the
     * vtable sink is the path for readers that need isolation.
@@ -145,7 +152,26 @@ object IvfIndex {
     // safe in every crash interleaving: a skipped epoch's rows always
     // exist in the epochs tree (fold uncommitted) or the base file
     // (fold committed).
-    if (epochId <= maxFoldedEpoch(dir)) return 0L
+    //
+    // LOUD on skip: the checkpoint directory is part of the index's
+    // identity — restart a stream against an existing index with a
+    // FRESH checkpointLocation and epoch ids restart at 0, making
+    // every batch <= the high-water mark. Silently returning 0 there
+    // would drop all new data forever; the warning names the only two
+    // legitimate causes so the misconfiguration is visible in the
+    // first micro-batch's logs.
+    val folded = maxFoldedEpoch(dir)
+    if (epochId <= folded) {
+      System.err.println(
+        s"[graft] IvfIndex.appendEpoch SKIPPED epoch $epochId at $dir " +
+          s"(folded high-water mark $folded). Legitimate only as a " +
+          "foreachBatch redelivery of an already-folded epoch; if this " +
+          "fires on EVERY batch, the stream was restarted with a fresh " +
+          "checkpointLocation against an existing index — unsupported: " +
+          "the checkpoint directory is part of the index's identity. " +
+          "Resume with the original checkpoint or rebuild the index.")
+      return 0L
+    }
     val centroids = spark.read.parquet(s"$dir/centroids")
     val savedSchema = savedSchemaOf(spark, dir)
     val assigned0 = Similarity.assignCells(newVectors, centroids)

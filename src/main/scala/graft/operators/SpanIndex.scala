@@ -94,6 +94,10 @@ object SpanIndex {
     */
   def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
       maxBroadcastRows: Long = 10000000L): DataFrame = {
+    // reader-side recovery (see DedupIndex.checkBatch): finish a
+    // committed-but-interrupted compactBuckets before scanning, or the
+    // folded buckets' span rows double-count on every probe
+    graft.util.FoldCommit.recover(dir)
     val k = readK(dir)
     // one signature pass for the bucket collect, the size gate, and
     // both join probes
@@ -123,6 +127,9 @@ object SpanIndex {
     * their spans; nothing stored is read or rewritten.
     */
   def absorb(spark: SparkSession, dir: String, accepted: DataFrame): Unit = {
+    // finish any committed fold before appending (reader-mode recovery;
+    // see DedupIndex.absorb)
+    graft.util.FoldCommit.recover(dir)
     val k = readK(dir)
     spans(accepted, k).repartition(col("span_bucket"))
       .write.mode(SaveMode.Append).partitionBy("span_bucket")

@@ -34,9 +34,12 @@ object InfoSchema {
   private val ColumnsView = "__graft_info_columns"
   private val ViewsView = "__graft_info_views"
 
+  // (?<![\w.]): a LONGER qualified name (somecat.information_schema.tables)
+  // is not OUR schema — rewriting its tail would turn a clean
+  // resolution error into a reference to a different table
   private val Ref =
     java.util.regex.Pattern.compile(
-      "(?i)\\binformation_schema\\s*\\.\\s*(tables|columns|views)\\b")
+      "(?i)(?<![\\w.])information_schema\\s*\\.\\s*(tables|columns|views)\\b")
 
   /** Rewrite info-schema references in the segments of `q` that lie
     * OUTSIDE single-quoted strings, double-quoted strings, and

@@ -62,4 +62,18 @@ class InfoSchemaRewriteSpec extends AnyFunSuite {
     assert(rw("SELECT 1").isEmpty)
     assert(rw("SELECT 'information_schema.tables'").isEmpty)
   }
+
+  test("a longer qualified name is not ours and never rewrites") {
+    // somecat.information_schema.tables names a DIFFERENT catalog's
+    // schema — rewriting its tail would turn a clean resolution error
+    // into a reference to our backing view
+    assert(rw("SELECT * FROM somecat.information_schema.tables").isEmpty)
+    assert(rw("SELECT * FROM x_information_schema.tables").isEmpty)
+    // but the bare reference right after a qualified one still rewrites
+    val q = "SELECT * FROM somecat.information_schema.tables a " +
+      "JOIN information_schema.tables b ON a.table_name = b.table_name"
+    val r = rw(q).get
+    assert(r.contains("somecat.information_schema.tables a"), r)
+    assert(r.contains("JOIN __graft_info_tables b"), r)
+  }
 }
