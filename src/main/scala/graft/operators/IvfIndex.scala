@@ -226,7 +226,8 @@ object IvfIndex {
     * rolls FORWARD to completion. No window loses rows and none
     * doubles them.
     */
-  def compactEpochs(spark: SparkSession, dir: String): Long = {
+  def compactEpochs(spark: SparkSession, dir: String,
+      store: graft.sources.CommitStore = graft.util.FoldCommit.DefaultStore): Long = {
     // writer-side recovery: also sweeps aborted staging (we ARE the
     // single writer, so a marker-less stage here is dead, not live),
     // including any epoch stage a crashed appendEpoch left behind
@@ -258,7 +259,7 @@ object IvfIndex {
       recordFoldedEpochs(dir,
         epochNames.map(_.stripPrefix("epoch=").toLong).max)
       graft.util.FoldCommit.commit(dir, foldId, "assigned",
-        epochNames.map(e => s"epochs/$e"))
+        epochNames.map(e => s"epochs/$e"), store)
       dropEmptyEpochShell(dir)
       n
     } finally { rows.unpersist(); () }
@@ -284,6 +285,12 @@ object IvfIndex {
     java.nio.file.Files.move(tmp, foldedMarkPath(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the mark must be durable BEFORE the fold commits: a durable fold
+    // with a rolled-back mark would let a redelivered epoch re-append
+    // rows the fold already moved into the base file (doubling) —
+    // best-effort like the FoldCommit marker fsync
+    graft.util.FoldCommit.force(foldedMarkPath(dir))
+    graft.util.FoldCommit.force(java.nio.file.Paths.get(dir))
     ()
   }
 

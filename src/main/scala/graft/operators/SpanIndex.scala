@@ -143,8 +143,10 @@ object SpanIndex {
     * [[graft.util.FoldCommit.compactPartitionedTree]]. Returns rows
     * rewritten; 0 when already compact.
     */
-  def compactBuckets(spark: SparkSession, dir: String): Long =
-    graft.util.FoldCommit.compactPartitionedTree(spark, dir, "spans", "span_bucket")
+  def compactBuckets(spark: SparkSession, dir: String,
+      store: graft.sources.CommitStore = graft.util.FoldCommit.DefaultStore): Long =
+    graft.util.FoldCommit.compactPartitionedTree(spark, dir, "spans",
+      "span_bucket", store)
 
   private case class Key(session: Int, sfDir: String)
   private val built = new graft.util.BoundedMemo[Key, String](4, _ => ())

@@ -19,14 +19,39 @@ import org.apache.spark.sql.functions.col
   *      layout. Nothing visible changes; a crash here leaves garbage
   *      the next [[recover]] sweeps.
   *   2. COMMIT — [[commit]] lands `_fold_commit.txt` (fold id, target
-  *      subtree, relative delete list) by atomic rename. This is the
-  *      point of no return.
+  *      subtree, relative delete list) through a pluggable
+  *      [[graft.sources.CommitStore]] claim — atomic PUT-IF-ABSENT,
+  *      exactly the vtable log's one storage primitive. POSIX
+  *      filesystems get link(2)/mkdir(2) (the default); object-store
+  *      deployments plug [[graft.sources.CommitStore.ConditionalPut]]
+  *      (S3 `If-None-Match: *`) so index maintenance never silently
+  *      assumes atomic rename where the store doesn't give it. The
+  *      claim is the point of no return — and it makes a second
+  *      concurrent committer fail LOUDLY
+  *      (`ConcurrentModificationException`) instead of clobbering the
+  *      first writer's pending delete list.
   *   3. ROLL FORWARD — staged files MOVE into the target tree
   *      (per-file atomic renames, idempotent by deterministic
   *      `fold-<id>-` names), the listed paths delete, the marker
   *      clears. Every step is idempotent, so a crash anywhere after
   *      (2) is finished by the next [[recover]] — run it before any
   *      op (and on reopen) and no interleaving loses or doubles rows.
+  *
+  * Durability at the commit point: staged data files are fsync'd
+  * BEFORE the claim and the landed marker (plus its directory) after
+  * it, so an OS/power crash cannot leave a durable marker pointing at
+  * vanished staged data — the interleaving that would skip the moves
+  * and still execute the deletes. The marker additionally carries a
+  * SHA-256 of its own payload; recovery treats a checksum mismatch as
+  * an uncommitted fold (nothing moves, nothing deletes), so a torn
+  * marker can never execute a partial delete list. On the
+  * ConditionalPut path the store's own PUT durability contract
+  * replaces the marker fsync (a successful object-store PUT is
+  * durable by definition); staged-file durability still comes from
+  * the pre-claim fsync. Roll-forward's per-file moves remain
+  * rename-based — on an object store they degrade to idempotent
+  * copy+delete by the same deterministic names; only the CLAIM
+  * decides correctness, which is why it alone is pluggable.
   *
   * Readers racing step (3) can see old and new files together — the
   * single-writer, no-snapshot-isolation trade every bare-parquet
@@ -35,26 +60,73 @@ import org.apache.spark.sql.functions.col
   */
 object FoldCommit {
 
+  /** The default POSIX claim — same primitive as the vtable log. */
+  val DefaultStore: graft.sources.CommitStore =
+    new graft.sources.CommitStore.AtomicRename(() => false)
+
   def stageDir(root: String, foldId: String): Path =
     Paths.get(root, "_fold", foldId)
 
   private def markerPath(root: String): Path =
     Paths.get(root, "_fold_commit.txt")
 
-  /** Commit a staged fold and roll it forward: atomically record the
-    * intent (fold id + target subtree + paths to delete, all relative
-    * to `root`), then complete it.
+  /** Commit a staged fold and roll it forward: record the intent
+    * (fold id + target subtree + paths to delete, all relative to
+    * `root`) by one atomic put-if-absent through `store`, then
+    * complete it. A concurrent committer loses the claim with
+    * `ConcurrentModificationException` — its staged files stay
+    * invisible and the next writer-mode [[recover]] sweeps them.
     */
   def commit(root: String, foldId: String, targetSub: String,
-      deletes: Seq[String]): Unit = {
+      deletes: Seq[String],
+      store: graft.sources.CommitStore = DefaultStore): Unit = {
     (Seq(foldId, targetSub) ++ deletes).foreach(validateRel)
-    val tmp = Files.createTempFile(Paths.get(root), "_fold_commit", ".tmp")
-    Files.write(tmp, (Seq(foldId, targetSub) ++ deletes).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, markerPath(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // staged data durable BEFORE the claim: a durable marker must
+    // never point at staged files an OS crash rolled back
+    val stage = stageDir(root, foldId)
+    if (Files.isDirectory(stage)) {
+      listDataFiles(stage).foreach(force)
+      forceDirs(stage)
+    }
+    val payload = (Seq(foldId, targetSub) ++ deletes).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    store.putIfAbsent(markerPath(root),
+      (s"#sha256=${sha256Hex(payload)}\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8) ++ payload,
+      s"fold $foldId of $root")
+    // marker durable BEFORE any delete runs (best-effort on the POSIX
+    // path; the ConditionalPut path's PUT is durable by contract)
+    force(markerPath(root)); force(Paths.get(root))
     rollForward(root)
   }
+
+  /** Best-effort fsync of a file or directory (directories force via
+    * a read FileChannel — the Lucene recipe); no-ops where the
+    * platform refuses, leaving durability to the commit store's own
+    * contract.
+    */
+  def force(p: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try { ch.force(true); () } finally ch.close()
+    } catch { case _: Exception => () }
+
+  /** fsync `leaf` and every directory between it and the fold root —
+    * new bucket/cell directories need their PARENT's entry durable
+    * too.
+    */
+  private def forceDirs(leaf: Path): Unit = {
+    val s = Files.walk(leaf)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_)).foreach(force)
+    } finally s.close()
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
 
   /** Finish a committed-but-interrupted fold (marker present); true
     * when one rolled forward. `sweepStaging` additionally deletes any
@@ -85,9 +157,28 @@ object FoldCommit {
     val bytes =
       try Files.readAllBytes(markerPath(root))
       catch { case _: java.nio.file.NoSuchFileException => return }
-    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
-    if (lines.size < 2) { // torn-impossible (atomic rename), but stale-empty isn't
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    // integrity-checked markers (the current format): a marker whose
+    // payload doesn't hash to its recorded SHA-256 is TORN — executing
+    // its (possibly truncated) delete list after the moves would
+    // double every original the missing tail named. A torn marker is
+    // an uncommitted fold: drop it, touch nothing; the staged files
+    // stay invisible and the writer's next sweep reclaims them.
+    // Markers without the prefix (pre-checksum format) parse as-is.
+    val body =
+      if (text.startsWith("#sha256=")) {
+        val nl = text.indexOf('\n')
+        val (head, rest) =
+          if (nl < 0) (text, "") else (text.substring(0, nl), text.substring(nl + 1))
+        if (sha256Hex(rest.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)) !=
+            head.stripPrefix("#sha256=")) {
+          Files.deleteIfExists(markerPath(root)); return
+        }
+        rest
+      } else text
+    val lines = body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.size < 2) { // torn-impossible (atomic claim), but stale-empty isn't
       Files.deleteIfExists(markerPath(root)); return
     }
     val (foldId, targetSub, deletes) = (lines.head, lines(1), lines.drop(2))
@@ -158,7 +249,8 @@ object FoldCommit {
     * directory (nothing to gain).
     */
   def compactPartitionedTree(spark: SparkSession, root: String, sub: String,
-      partitionCol: String): Long = {
+      partitionCol: String,
+      store: graft.sources.CommitStore = DefaultStore): Long = {
     recover(root, sweepStaging = true) // we ARE the single writer here
     val treeRoot = Paths.get(root, sub)
     if (!Files.isDirectory(treeRoot)) return 0L
@@ -175,7 +267,7 @@ object FoldCommit {
       rows.write.mode("overwrite").partitionBy(partitionCol)
         .parquet(stageDir(root, foldId).toString)
       commit(root, foldId, sub,
-        files.map(f => Paths.get(root).relativize(f).toString))
+        files.map(f => Paths.get(root).relativize(f).toString), store)
       n
     } finally { rows.unpersist(); () }
   }

@@ -117,7 +117,12 @@ class DedupIndexSpec extends SparkSpecBase {
     val before = DedupIndex.checkBatch(spark, dir, batch).collect()
       .map(r => (r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard"))).toSet
     assert(nFiles() > nDirs(), s"absorbs should leave multi-file buckets (${nFiles()})")
-    val rewritten = DedupIndex.compactBuckets(spark, dir)
+    // through the SIMULATED OBJECT STORE claim: the whole battery below
+    // (one file per bucket, idempotence, byte-identical probes, crash
+    // recovery) holds when the commit point is a conditional PUT with
+    // no rename — the 100 TB deployment shape
+    val rewritten = DedupIndex.compactBuckets(spark, dir,
+      graft.sources.CommitStore.simulatedConditionalPut())
     assert(rewritten > 0)
     assert(nFiles() == nDirs(), s"compaction should leave 1 file/bucket, saw ${nFiles()}/${nDirs()}")
     // idempotent: already-compact tree is a no-op

@@ -77,6 +77,84 @@ class FoldCommitSpec extends SparkSpecBase {
     assert(!Files.exists(stage))
   }
 
+  test("two concurrent committers: the claim serializes them, the loser is loud") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 2, filesPer = 2)
+    val total = spark.read.parquet(s"$root/data").count()
+    val files = FoldCommit.listDataFiles(Paths.get(root, "data"))
+    def stageFold(id: String): Unit = {
+      spark.read.option("basePath", s"$root/data")
+        .parquet(files.map(_.toString): _*)
+        .repartition(col("b")).write.partitionBy("b")
+        .parquet(FoldCommit.stageDir(root, id).toString)
+    }
+    // writer A: committed (marker landed) but not yet rolled forward —
+    // the exact window a second writer would previously CLOBBER with
+    // REPLACE_EXISTING, orphaning A's delete list forever
+    stageFold("writera1")
+    FoldCommit.DefaultStore.putIfAbsent(Paths.get(root, "_fold_commit.txt"),
+      (Seq("writera1", "data") ++ files.map(f =>
+        Paths.get(root).relativize(f).toString)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), "test fold a")
+    // writer B loses the claim loudly; its deletes never run
+    stageFold("writerb1")
+    intercept[java.util.ConcurrentModificationException] {
+      FoldCommit.commit(root, "writerb1", "data",
+        files.map(f => Paths.get(root).relativize(f).toString))
+    }
+    assert(spark.read.parquet(s"$root/data").count() == total,
+      "loser's commit touched the tree")
+    // A's fold completes via recovery; B's dead stage sweeps writer-side
+    assert(FoldCommit.recover(root, sweepStaging = true))
+    assert(spark.read.parquet(s"$root/data").count() == total)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 2)
+    assert(!Files.exists(Paths.get(root, "_fold")))
+  }
+
+  test("no-rename store: compaction commits through a simulated conditional PUT") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 3, filesPer = 3)
+    val before = spark.read.parquet(s"$root/data").count()
+    val store = graft.sources.CommitStore.simulatedConditionalPut()
+    val n = FoldCommit.compactPartitionedTree(spark, root, "data", "b", store)
+    assert(n == before)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 3)
+    assert(spark.read.parquet(s"$root/data").count() == before)
+    assert(!Files.exists(Paths.get(root, "_fold_commit.txt")))
+  }
+
+  test("a torn marker (checksum mismatch) is an uncommitted fold: nothing moves, nothing deletes") {
+    val root = tmp()
+    writeTree(root, "data", buckets = 2, filesPer = 2)
+    val total = spark.read.parquet(s"$root/data").count()
+    val files = FoldCommit.listDataFiles(Paths.get(root, "data"))
+    spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(_.toString): _*)
+      .repartition(col("b")).write.partitionBy("b")
+      .parquet(FoldCommit.stageDir(root, "torn0001").toString)
+    // a power crash that made the marker NAME durable but tore its
+    // payload: the recorded hash no longer matches the (truncated)
+    // delete list — executing it after the moves would double the
+    // originals the missing tail named
+    val payload = (Seq("torn0001", "data") ++ files.map(f =>
+      Paths.get(root).relativize(f).toString)).mkString("\n")
+    val truncated = payload.substring(0, payload.length - 10)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    Files.write(Paths.get(root, "_fold_commit.txt"),
+      (s"#sha256=$hash\n" + truncated)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    FoldCommit.recover(root)
+    assert(!Files.exists(Paths.get(root, "_fold_commit.txt")), "torn marker kept")
+    assert(spark.read.parquet(s"$root/data").count() == total)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 4,
+      "a torn marker moved or deleted files")
+    // the intact stage is reclaimed by the writer's next sweep
+    assert(!FoldCommit.recover(root, sweepStaging = true))
+    assert(!Files.exists(FoldCommit.stageDir(root, "torn0001")))
+  }
+
   test("traversal-shaped marker entries are refused, nothing deleted") {
     val root = tmp()
     writeTree(root, "data", buckets = 1, filesPer = 1)

@@ -111,7 +111,11 @@ class SemDedupIngestSpec extends SparkSpecBase {
     val before = IvfIndex.load(spark, dir).assigned
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "epochs")))
-    val folded = IvfIndex.compactEpochs(spark, dir)
+    // through the SIMULATED OBJECT STORE claim (no-rename conditional
+    // PUT): the fold, the row-set identity, and the probe below all
+    // hold on the 100 TB deployment's commit primitive
+    val folded = IvfIndex.compactEpochs(spark, dir,
+      graft.sources.CommitStore.simulatedConditionalPut())
     assert(folded == 40, s"expected 40 folded rows, got $folded")
     // epochs are gone, the visible row set is unchanged, probes work
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))

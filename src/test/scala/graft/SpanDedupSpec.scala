@@ -155,6 +155,39 @@ class SpanDedupSpec extends SparkSpecBase {
       plan.take(800))
   }
 
+  test("span index: bucket compaction through the no-rename store keeps probes byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SpanIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx-cmp").toString + "/idx"
+    val corpus = tables.documents.select("doc_id", "text")
+    SpanIndex.build(corpus.filter(col("doc_id") < 200), dir)
+    (200L until 260L by 20).foreach(lo =>
+      SpanIndex.absorb(spark, dir, corpus.filter(col("doc_id").between(lo, lo + 19))))
+    val spansRoot = java.nio.file.Paths.get(dir, "spans")
+    def nFiles() = graft.util.FoldCommit.listDataFiles(spansRoot).size
+    def nDirs() = graft.util.FoldCommit.listDataFiles(spansRoot)
+      .map(_.getParent).distinct.size
+    val doc42 = corpus.filter($"doc_id" === 42L).as[(Long, String)].collect().head
+    val batch = Seq((910000L, doc42._2)).toDF("doc_id", "text")
+    val before = SpanIndex.checkBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("first_partner"))).toSet
+    assert(before.nonEmpty)
+    assert(nFiles() > nDirs(), s"absorbs should leave multi-file buckets (${nFiles()})")
+    // the OPTIMIZE commits through the simulated object-store claim
+    // (conditional PUT, no rename) — the deployment shape at 100 TB
+    val rewritten = SpanIndex.compactBuckets(spark, dir,
+      graft.sources.CommitStore.simulatedConditionalPut())
+    assert(rewritten > 0)
+    assert(nFiles() == nDirs(), s"compaction should leave 1 file/bucket, saw ${nFiles()}/${nDirs()}")
+    assert(SpanIndex.compactBuckets(spark, dir) == 0L) // idempotent no-op
+    val after = SpanIndex.checkBatch(spark, dir, batch).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("first_partner"))).toSet
+    assert(after == before, s"compaction changed probe results: ${after.diff(before)}")
+  }
+
   test("span index streaming ingest: per micro-batch check, clean docs absorb") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
