@@ -142,6 +142,7 @@ object SparkEntry {
     "sqldml_fixture" -> ((s, d) => graft.service.SqlDmlDemo.warmBuild(t(s, d))),
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
+    "export_fixture" -> ((s, d) => graft.service.ExportDemo.warmBuild(t(s, d))),
     "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),
     // the next fixture-dominated class after the SQL-DML trio: the
     // CDF/apply/mview fixtures commit 3-6 times each before the timed
@@ -320,6 +321,8 @@ object SparkEntry {
       graft.service.SqlTimeTravelDemo.qSqlTimeTravel(t(s, d))),
     "q_sql_insert" -> ((s, d) =>
       graft.service.SqlInsertDemo.qSqlInsert(t(s, d))),
+    "q_export_roundtrip" -> ((s, d) =>
+      graft.service.ExportDemo.qExportRoundtrip(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
     "q_scd2_pit" -> ((s, d) => graft.operators.Merge.qScd2Pit(t(s, d))),
     "q_vtable_skip" -> ((s, d) => graft.sources.TableSkip.qVtableSkip(t(s, d))),
@@ -2356,6 +2359,14 @@ object SparkEntry {
         |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
         |WHERE price <= 400000""".stripMargin,
     // only the INSERT OVERWRITE's world survives: the div-3 slice
+    // the DIRECT query — the gate hashes the exported-and-read-back
+    // vtable content against the answer the export persisted
+    "q_export_roundtrip" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     "q_sql_insert" ->
       """SELECT count(*) AS n_rows,
         | floor((sum(price)) * 100 + 0.5) / 100 AS total,

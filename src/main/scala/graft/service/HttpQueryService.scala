@@ -14,7 +14,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the build environment). Every endpoint is a thin translation to one
   * QueryService method; no query logic lives in this layer.
   *
-  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "...", "cache": true]}
+  *   POST /sql      {"query": "...", "limit": 1000, "offset": 0[, "tag": "...", "cache": true, "timeout_ms": n]}
   *                    → {"rows": [...], "count": n, "offset": k[, "cached": bool][, "next_offset": k+n]}
   *   GET  /cachestats                                   → {"hits": n, "misses": m} (result cache)
   *   GET  /metrics                                      → uptime, in-flight/queued queries, cache stats, per-endpoint request/error counters
@@ -29,6 +29,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /changes  {"path": "...", "since": v[, "until", "limit", "offset"]}
   *                    → {"changes": [...], "count": n[, "next_offset"]} (row-level feed; 409 = resync)
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
+  *   POST /export   {"name": "...", "location": "/abs", "query": "..."}
+  *                    → {"exported", "location", "version", "rows"} (result lands as a vtable, never in driver memory; page it back via /sql)
   *   POST /cache    {"name": "..."}                    → {"cached": "..."} (name-keyed, survives re-registration)
   *   POST /uncache  {"name": "..."}                    → {"uncached": "..."}
   *   POST /register {"name","format","path","options"} → {"registered": "...", "columns": [...]}
@@ -54,7 +56,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * run SQL and register sources. With a token configured, every
   * MUTATING surface requires `Authorization: Bearer <token>`: the
   * mutation routes (/delete, /update, /apply, /rename, /drop-column,
-  * /add-column, /restore, /register, /submit, /cache, /uncache) AND any /sql or
+  * /add-column, /restore, /register, /submit, /export, /cache, /uncache) AND any /sql or
   * async /query statement whose leading verb can write (MERGE /
   * UPDATE / DELETE / INSERT / CREATE / DROP / SET / ... — see
   * [[SqlDml.isMutation]]; unknown verbs classify as mutations so
@@ -96,7 +98,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     maxRows: Int = 10000, maxBodyBytes: Int = 1 << 20,
     sessionIdleMs: Long = 30L * 60 * 1000, maxSessions: Int = 32,
     maxConcurrentQueries: Int = 8, queueWaitMs: Long = 30000,
-    authToken: Option[String] = None, authReads: Boolean = false) {
+    authToken: Option[String] = None, authReads: Boolean = false,
+    defaultTimeoutMs: Long = 0) {
+
+  require(defaultTimeoutMs >= 0,
+    s"defaultTimeoutMs must be non-negative, got $defaultTimeoutMs")
 
   require(authToken.forall(_.nonEmpty), "authToken must be non-empty when set")
   require(!authReads || authToken.isDefined,
@@ -312,8 +318,32 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val (args, posArgs) = parseArgs(body)
     val svc = serviceFor(exchange)
     val sc = svc.spark.sparkContext
-    if (tagged) sc.setJobGroup(groupFor(text(body, "tag")), "graft-http /sql",
+    // ---- per-request timeout (the auto-bounded twin of /cancel) ----
+    // A runaway statement on a shared service previously ran until an
+    // operator noticed; `timeout_ms` (request field, service default
+    // via the ctor) kills its jobs at the bound through the SAME
+    // job-group cancel /cancel uses. Timeout enforcement needs a job
+    // group even for untagged requests, so one is synthesized — under
+    // the client-tag namespace, never colliding with a real tag (UUID)
+    // or the async plane's groups.
+    val timeoutMs = longArg(body, "timeout_ms", defaultTimeoutMs)
+    require(timeoutMs >= 0, s"timeout_ms must be non-negative, got $timeoutMs")
+    val group =
+      if (tagged) groupFor(text(body, "tag"))
+      else if (timeoutMs > 0)
+        groupFor(s"auto-timeout-${java.util.UUID.randomUUID()}")
+      else null
+    if (group != null) sc.setJobGroup(group, "graft-http /sql",
       interruptOnCancel = true)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog =
+      if (timeoutMs > 0) Some(timeoutExec.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOut.set(true)
+          sc.cancelJobGroup(group)
+        }
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
     val (rows, hit) =
       try {
         if (args.nonEmpty) (svc.sqlJson(query, args, page, offset), false)
@@ -321,7 +351,19 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
           (svc.sqlJsonPositional(query, posArgs, page, offset), false)
         else if (useCache) svc.sqlJsonCached(query, page, offset)
         else (svc.sqlJson(query, page, offset), false)
-      } finally if (tagged) sc.clearJobGroup()
+      } catch {
+        // the cancel surfaces as a SparkException in the collect; remap
+        // it to the timeout's own type so the caller sees WHY (500 with
+        // the bound named) and /metrics counts it as a timeout, not a
+        // generic server error
+        case NonFatal(e) if timedOut.get =>
+          timeouts.incrementAndGet()
+          throw new HttpQueryService.QueryTimeoutException(
+            s"query exceeded timeout_ms=$timeoutMs and its jobs were cancelled", e)
+      } finally {
+        watchdog.foreach(_.cancel(false))
+        if (group != null) sc.clearJobGroup()
+      }
     val cached =
       if (useCache && args.isEmpty && posArgs.isEmpty) s""","cached":$hit"""
       else ""
@@ -354,7 +396,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       reply(exchange, 200,
         s"""{"uptime_ms":${System.currentTimeMillis() - startedAt},""" +
           s""""in_flight":$inFlight,"queued":${waiters.get},""" +
-          s""""sessions":${sessions.size},""" +
+          s""""sessions":${sessions.size},"timeouts":${timeouts.get},""" +
           s""""cache":{"hits":$h,"misses":$m},"endpoints":$eps}""")
     } catch { case NonFatal(e) => reply(exchange, statusFor(e), err(e.toString)) })
   // ---- async query jobs: submit → id, poll, page, cancel ----
@@ -549,6 +591,40 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     serviceFor(ex).submit(name, text(body, "query"))
     s"""{"submitted":${quote(name)}}"""
   })
+  // ---- large-result export: the result never touches the driver ----
+  // /sql pages a driver-cached collect (correct for dashboards, wrong
+  // for a 10^6-row dedup drop manifest); /export lowers the statement
+  // to CREATE TABLE … USING vtable … AS query — the result lands
+  // DISTRIBUTED as a committed versioned table, registers for paged
+  // read-back through the pruned lazy scan (follow up with /sql
+  // SELECT … FROM name), and the response carries the handle plus an
+  // O(metadata) row count instead of rows. Mutation-grade (it creates
+  // a table), like the CREATE it wraps.
+  server.createContext("/export", gatedMutEx { (body, ex) =>
+    val name = text(body, "name")
+    val location = text(body, "location")
+    val (v, rows) = Export.exportTo(serviceFor(ex), name, location,
+      text(body, "query"))
+    s"""{"exported":${quote(name)},"location":${quote(location)},"version":$v,"rows":$rows}"""
+  })
+
+  /** Single-thread watchdog for `timeout_ms` bounds: the scheduled
+    * task only flips a flag and cancels a job group (microseconds), so
+    * one daemon thread bounds every in-flight statement.
+    */
+  private val timeoutExec =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val th = new Thread(r, "graft-http-timeout"); th.setDaemon(true); th
+    })
+  private val timeouts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def longArg(body: JsonNode, name: String, default: Long): Long =
+    if (!body.has(name)) default
+    else {
+      val n = body.get(name)
+      require(n.canConvertToLong, s"$name out of long range: $n")
+      n.asLong
+    }
 
   /** Bounded int body field: Jackson's asInt silently TRUNCATES long
     * JSON numbers (offset 2^32 would become page 0), so reject
@@ -810,13 +886,22 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   /** Actual bound port (pass port=0 to pick a free one). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = { server.stop(0); pool.shutdown(); async.shutdown() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown(); async.shutdown(); timeoutExec.shutdown()
+  }
 }
 
 object HttpQueryService {
   /** Query plane saturated — mapped to 503 by `statusFor`. */
   private[service] final class ServiceBusyException(msg: String)
       extends RuntimeException(msg)
+
+  /** A statement ran past its `timeout_ms` bound and its jobs were
+    * cancelled — a server-side execution fault (500), counted
+    * separately in /metrics (`timeouts`).
+    */
+  private[service] final class QueryTimeoutException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
 
   /** Bearer-token check failed — mapped to 401 by `statusFor` and
     * counted in its own /metrics column.

@@ -1108,4 +1108,74 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(!b.spark.catalog.isCached("refc_v"),
       "the last holder's release evicts")
   }
+
+  test("POST /export lands an over-page result as a vtable; /sql pages it back") {
+    post("/register",
+      s"""{"name":"http_li_exp","format":"parquet","path":"${TestSpark.sfDir}/lineitem.parquet"}""")
+    val direct = service
+      .sql("SELECT count(*) AS n FROM http_li_exp").collect().head.getLong(0)
+    assert(direct > 1000, s"need an over-page corpus, got $direct rows")
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp-http")
+      .toString + "/t"
+    val r = post("/export",
+      s"""{"name":"exp_li","location":"$dir","query":"SELECT l_orderkey, l_linenumber, l_quantity FROM http_li_exp"}""")
+    assert(r.statusCode == 200, r.body)
+    assert(r.body.contains("\"exported\":\"exp_li\"") &&
+      r.body.contains("\"version\":1") &&
+      r.body.contains(s""""rows":$direct"""), r.body)
+    // the response never carried rows; they page back through /sql over
+    // the registered vtable view
+    val page = post("/sql",
+      """{"query":"SELECT l_orderkey, l_linenumber FROM exp_li ORDER BY l_orderkey, l_linenumber","limit":1000}""")
+    assert(page.statusCode == 200 && page.body.contains("\"count\":1000") &&
+      page.body.contains("\"next_offset\":1000"), page.body.take(300))
+    val n = post("/sql", """{"query":"SELECT count(*) AS n FROM exp_li"}""")
+    assert(n.statusCode == 200 && n.body.contains(s""""n":$direct"""), n.body)
+    // landed CONTENT equals the direct result, not just its count
+    val direct9 = service.sql(
+      "SELECT count(*) AS n FROM http_li_exp WHERE l_orderkey % 10 = 9")
+      .collect().head.getLong(0)
+    val back9 = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM exp_li WHERE l_orderkey % 10 = 9"}""")
+    assert(back9.body.contains(s""""n":$direct9"""), back9.body)
+    // the injection boundary: non-identifier names and quoted
+    // locations refuse as client faults
+    assert(post("/export",
+      s"""{"name":"bad name; drop","location":"$dir-2","query":"SELECT 1 AS x"}""")
+      .statusCode == 400)
+    assert(post("/export",
+      """{"name":"exp_ok","location":"relative/path","query":"SELECT 1 AS x"}""")
+      .statusCode == 400)
+  }
+
+  test("timeout_ms bounds a runaway statement: 500 at the bound, jobs killed, counted") {
+    def timeouts(): Long =
+      """"timeouts":(\d+)""".r.findFirstMatchIn(get("/metrics").body)
+        .get.group(1).toLong
+    val before = timeouts()
+    // lazy range: runs for minutes on its own, so only the watchdog's
+    // job-group cancel can explain a prompt 500
+    val t0 = System.nanoTime()
+    val r = post("/sql",
+      """{"query":"SELECT max(id) AS s FROM range(2000000000000)","tag":"slowpoke","timeout_ms":1500}""")
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.statusCode == 500 && r.body.contains("timeout_ms"),
+      s"${r.statusCode} ${r.body}")
+    assert(elapsedMs >= 1000, s"timed out suspiciously early: $elapsedMs ms")
+    // its jobs are KILLED, not orphaned: every job in the tagged group
+    // leaves RUNNING promptly after the response
+    val sc = spark.sparkContext
+    def anyRunning = sc.statusTracker.getJobIdsForGroup("graft-http-slowpoke")
+      .exists(id => sc.statusTracker.getJobInfo(id)
+        .exists(_.status == org.apache.spark.JobExecutionStatus.RUNNING))
+    val deadline = System.currentTimeMillis + 30000
+    while (anyRunning && System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(!anyRunning, "timed-out statement left running jobs behind")
+    assert(timeouts() == before + 1, "metrics did not count the timeout")
+    // a statement that finishes inside its bound is untouched
+    val ok = post("/sql",
+      """{"query":"SELECT 1 AS one","timeout_ms":60000}""")
+    assert(ok.statusCode == 200 && ok.body.contains("\"one\":1"), ok.body)
+    assert(timeouts() == before + 1)
+  }
 }
