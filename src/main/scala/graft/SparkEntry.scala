@@ -143,6 +143,7 @@ object SparkEntry {
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
     "export_fixture" -> ((s, d) => graft.service.ExportDemo.warmBuild(t(s, d))),
+    "semdecon_fixture" -> ((s, d) => graft.operators.SemDecontam.warmBuild(t(s, d))),
     "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),
     // the next fixture-dominated class after the SQL-DML trio: the
     // CDF/apply/mview fixtures commit 3-6 times each before the timed
@@ -351,6 +352,8 @@ object SparkEntry {
     // compliance stages: decontamination, redaction, stratified sampling
     "q_decontaminate" -> ((s, d) => Decontam.qDecontaminate(t(s, d))),
     "q_decontaminate_bloom" -> ((s, d) => Decontam.qDecontaminateBloom(t(s, d))),
+    "q_decontaminate_sem" -> ((s, d) =>
+      graft.operators.SemDecontam.qDecontaminateSem(t(s, d))),
     "q_redact" -> ((s, d) => Decontam.qRedact(t(s, d))),
     "q_pii_scan" -> ((s, d) => Decontam.qPiiScan(t(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.qRepetition(t(s, d))),
@@ -2705,6 +2708,26 @@ object SparkEntry {
         |  cast(count(*) AS BIGINT) AS n_docs
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    // semantic decontamination decision replay: given the exported
+    // (vec_id, cell) maps of the benchmark index and the corpus
+    // assignment, the within-cell pair join, cosine, shared rounding,
+    // threshold, and per-doc aggregation are plain SQL
+    "q_decontaminate_sem" ->
+      s"""WITH b AS (
+        |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.operators.SemDecontam.OracleExportDir}/bench/*.parquet') c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id),
+        |co AS (
+        |  SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM read_parquet('${graft.operators.SemDecontam.OracleExportDir}/corpus/*.parquet') c
+        |  JOIN embeddings e ON c.vec_id = e.vec_id)
+        |SELECT y.vec_id AS vec_id,
+        |  count(*) AS n_bench_hits,
+        |  max(floor(list_cosine_similarity(x.emb, y.emb) * 100 + 0.5) / 100) AS max_cos
+        |FROM b x JOIN co y ON x.cell = y.cell
+        |WHERE floor(list_cosine_similarity(x.emb, y.emb) * 100 + 0.5) / 100 >= 0.40
+        |GROUP BY y.vec_id
+        |ORDER BY vec_id""".stripMargin,
     // bit-identical by construction: the Bloom stage only pre-filters,
     // the exact-confirm join restores exact semantics — so the bloom
     // variant answers to the SAME oracle as the exact plan
