@@ -306,6 +306,7 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => Media.qMediaFeatures(t(s, d))),
     "q_image_features" -> ((s, d) => Media.qImageFeatures(t(s, d))),
     "q_frame_sample" -> ((s, d) => Media.qFrameSample(t(s, d))),
+    "q_frame_sample_gif" -> ((s, d) => Media.qFrameSampleGif(t(s, d))),
     "q_audio_features" -> ((s, d) => Media.qAudioFeatures(t(s, d))),
     "q_source_roundtrip" -> ((s, d) =>
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
@@ -779,6 +780,21 @@ object SparkEntry {
       s"""WITH px AS (
         |  SELECT doc_id, n_frames, frame_idx, luma
         |  FROM read_parquet('${graft.util.OracleExports.dir("frame_px")}/*.parquet')),
+        |agg AS (SELECT doc_id, CAST(count(DISTINCT frame_idx) AS INTEGER) AS n_sampled,
+        |    avg(luma) AS lm
+        |  FROM px GROUP BY doc_id),
+        |hdr AS (SELECT doc_id, max(n_frames) AS n_frames FROM px GROUP BY doc_id)
+        |SELECT h.doc_id, h.n_frames, a.n_sampled,
+        |  floor(a.lm * 100 + 0.5) / 100 AS sampled_luma_mean
+        |FROM hdr h JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the animated-GIF twin: same replay over its own decoded planes
+    // (the GIF codec palettizes at encode, so the planes — and the
+    // numbers — are the container's own, not TIFF's)
+    "q_frame_sample_gif" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, n_frames, frame_idx, luma
+        |  FROM read_parquet('${graft.util.OracleExports.dir("frame_px_gif")}/*.parquet')),
         |agg AS (SELECT doc_id, CAST(count(DISTINCT frame_idx) AS INTEGER) AS n_sampled,
         |    avg(luma) AS lm
         |  FROM px GROUP BY doc_id),

@@ -86,6 +86,35 @@ object ImageCodec {
     }
   }
 
+  /** Encode frames as one ANIMATED GIF — the JDK's other native
+    * multi-frame container, via the same `writeToSequence` shape as
+    * TIFF. The GIF writer palettizes each frame (256-color quantize,
+    * deterministic for a given input), so encode→decode is NOT
+    * pixel-lossless like TIFF — which the decoded-plane-replay oracle
+    * absorbs by construction: every downstream number re-derives from
+    * the DECODED planes, whatever the codec did to them. One more real
+    * decode family at zero new dependencies, narrowing the declared
+    * video gap (full-frame writes, so the reader's per-index `read(i)`
+    * returns whole frames — no disposal compositing needed).
+    */
+  def encodeAnimatedGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val out = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(toImage(w, h, f), null, null), null))
+      writer.endWriteSequence()
+      out.flush()
+      bos.toByteArray
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+  }
+
   private def analyze(img: BufferedImage): Decoded = {
     val w = img.getWidth
     val h = img.getHeight

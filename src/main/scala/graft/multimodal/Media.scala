@@ -305,7 +305,24 @@ object Media {
     * frames and the pipeline wants 1 in 100. Restricted to a 1-in-8
     * doc sample: clips are ~6× the encode cost of stills.
     */
-  def qFrameSample(t: Tables, frames: Int = 6, stride: Int = 2): DataFrame = {
+  def qFrameSample(t: Tables, frames: Int = 6, stride: Int = 2): DataFrame =
+    frameSampleQuery(t, frames, stride, residue = 0,
+      ImageCodec.encodeMultiTiff, "frame_px")
+
+  /** The ANIMATED-GIF twin of [[qFrameSample]] (`q_frame_sample_gif`):
+    * identical sampling contract over the JDK's other multi-frame
+    * container. The GIF codec PALETTIZES frames at encode (TIFF is
+    * lossless), so the two queries' luma numbers differ — each oracle
+    * replays its own decoded planes. A disjoint 1-in-8 doc slice
+    * (residue 4) keeps the two fixtures from double-covering docs.
+    */
+  def qFrameSampleGif(t: Tables, frames: Int = 6, stride: Int = 2): DataFrame =
+    frameSampleQuery(t, frames, stride, residue = 4,
+      ImageCodec.encodeAnimatedGif, "frame_px_gif")
+
+  private def frameSampleQuery(t: Tables, frames: Int, stride: Int,
+      residue: Int, encode: (Int, Int, Seq[Array[Int]]) => Array[Byte],
+      exportSub: String): DataFrame = {
     val outEncoder = RowEncoder.encoderFor(frameSampleSchema)
     if (OracleExports.enabled) {
       // decoded-plane replay export: the sampled frames' luma planes
@@ -322,12 +339,12 @@ object Media {
       val enc = RowEncoder.encoderFor(pxSchema)
       OracleExports.export(
         t.documents.select(col("doc_id"))
-          .filter(pmod(col("doc_id"), lit(8)) === 0).repartition(8)
+          .filter(pmod(col("doc_id"), lit(8)) === residue).repartition(8)
           .mapPartitions { rows =>
             rows.flatMap { r =>
               val id = r.getLong(0)
               val w = 16; val h = 12
-              val clip = ImageCodec.encodeMultiTiff(w, h,
+              val clip = encode(w, h,
                 (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
               val (nFrames, sampled) = ImageCodec.sampleFramesWithCount(clip, stride)
               val strideN = math.max(stride, 1)
@@ -337,15 +354,15 @@ object Media {
                 }
               }
             }
-          }(enc), "frame_px")
+          }(enc), exportSub)
     }
-    t.documents.select(col("doc_id")).filter(pmod(col("doc_id"), lit(8)) === 0)
+    t.documents.select(col("doc_id")).filter(pmod(col("doc_id"), lit(8)) === residue)
       .repartition(8)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val w = 16; val h = 12
-          val clip = ImageCodec.encodeMultiTiff(w, h,
+          val clip = encode(w, h,
             (0 until frames).map(f => ImageCodec.synthPixels(id * 131 + f, w, h)))
           // one container parse for count AND samples
           val (nFrames, sampled) = ImageCodec.sampleFramesWithCount(clip, stride)

@@ -116,6 +116,35 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("animated GIF frame sampling: container round-trips, only stride-th frames decode") {
+    import graft.multimodal.ImageCodec
+    val frames = (0 until 7).map(f => ImageCodec.synthPixels(2000L + f, 16, 12))
+    val clip = ImageCodec.encodeAnimatedGif(16, 12, frames)
+    // real animated GIF: magic bytes + the reader's container index
+    assert(clip.take(6).map(_.toChar).mkString.startsWith("GIF8"), "not a GIF")
+    assert(ImageCodec.frameCount(clip) == 7)
+    val sampled = ImageCodec.sampleFrames(clip, 3)
+    assert(sampled.size == 3) // frames 0, 3, 6
+    // frame IDENTITY through the palettized codec: each sampled frame
+    // must be closest (in mean-luma) to ITS source frame, not a
+    // neighbor — quantization shifts values but can't swap frames,
+    // because synthPixels makes per-frame means far apart
+    val srcLuma = frames.map(f =>
+      f.map(p => (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000).sum.toDouble / f.length)
+    sampled.zip(Seq(0, 3, 6)).foreach { case (d, idx) =>
+      val got = d.luma.map(_ & 0xff).sum.toDouble / d.luma.length
+      val nearest = srcLuma.zipWithIndex.minBy { case (m, _) => math.abs(m - got) }._2
+      assert(nearest == idx, s"sampled frame decoded nearest to $nearest, expected $idx")
+    }
+    // deterministic encode+decode: the replay oracle's ground
+    assert(ImageCodec.encodeAnimatedGif(16, 12, frames)
+      .sameElements(clip), "GIF encode must be deterministic")
+    val fs = Media.qFrameSampleGif(tables).collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(r => r.getAs[Int]("n_frames") == 6 && r.getAs[Int]("n_sampled") == 3))
+  }
+
   test("image query pipeline decodes real PNGs end to end") {
     val rows = Media.qImageFeatures(tables).collect()
     assert(rows.length == tables.documents.count())
