@@ -121,7 +121,11 @@ object Bench {
               s"[bench] fixture confirm $n FAILED: ${e.getMessage}")
             None
           }
-        fixtureConfirmed += n
+        // only a SUCCEEDED rerun counts as confirmation — listing a
+        // failed rebuild would claim a second measurement that never
+        // happened (the failure is on stderr; the first reading ships
+        // unconfirmed, which is the honest state)
+        if (again.isDefined) fixtureConfirmed += n
         n -> again.fold(v)(a => math.min(v, a))
       } else n -> v
     }

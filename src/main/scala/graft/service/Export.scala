@@ -33,8 +33,13 @@ object Export {
       query: String): (Int, Long) = {
     require(NameRe.matches(name),
       s"export name must be a bare identifier ([A-Za-z_][A-Za-z0-9_]*), got '$name'")
-    require(location.startsWith("/") && !location.contains("'"),
-      s"export location must be an absolute path without quotes, got '$location'")
+    // no quotes (would close the SQL literal), no backslashes (Spark's
+    // default string-literal dialect processes escapes, silently
+    // re-pointing the path), no control characters
+    require(location.startsWith("/") &&
+      !location.exists(c => c == '\'' || c == '\\' || c < ' '),
+      s"export location must be an absolute path without quotes, " +
+        s"backslashes, or control characters, got '$location'")
     val v = svc.sql(
         s"CREATE TABLE `$name` USING vtable LOCATION '$location' AS $query")
       .collect().head.getAs[Number]("version").intValue()

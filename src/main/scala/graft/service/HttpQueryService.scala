@@ -325,7 +325,10 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // job-group cancel /cancel uses. Timeout enforcement needs a job
     // group even for untagged requests, so one is synthesized — under
     // the client-tag namespace, never colliding with a real tag (UUID)
-    // or the async plane's groups.
+    // or the async plane's groups. A TAGGED request's timeout cancels
+    // the tag's whole group — consistent with /cancel, where the tag IS
+    // the cancellable unit; clients wanting per-request isolation send
+    // distinct tags.
     val timeoutMs = longArg(body, "timeout_ms", defaultTimeoutMs)
     require(timeoutMs >= 0, s"timeout_ms must be non-negative, got $timeoutMs")
     val group =
