@@ -2377,7 +2377,6 @@ object SparkEntry {
         |    FROM orders
         |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) a) b
         |WHERE price <= 400000""".stripMargin,
-    // only the INSERT OVERWRITE's world survives: the div-3 slice
     // the DIRECT query — the gate hashes the exported-and-read-back
     // vtable content against the answer the export persisted
     "q_export_roundtrip" ->
@@ -2386,6 +2385,7 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+    // only the INSERT OVERWRITE's world survives: the div-3 slice
     "q_sql_insert" ->
       """SELECT count(*) AS n_rows,
         | floor((sum(price)) * 100 + 0.5) / 100 AS total,

@@ -68,8 +68,17 @@ object ImageCodec {
   /** Encode frames as one multi-page TIFF — the JDK's native
     * multi-frame container (`ImageWriter.writeToSequence`).
     */
-  def encodeMultiTiff(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+  def encodeMultiTiff(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] =
+    encodeSequence("tiff", w, h, frames)
+
+  /** The shared sequence-writer lifecycle (prepare → per-frame
+    * writeToSequence → end → flush → dispose) behind both multi-frame
+    * encoders — one home so a lifecycle fix can't silently apply to
+    * one container and not the other.
+    */
+  private def encodeSequence(format: String, w: Int, h: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName(format).next()
     val bos = new ByteArrayOutputStream()
     val out = new MemoryCacheImageOutputStream(bos)
     try {
@@ -97,23 +106,8 @@ object ImageCodec {
     * video gap (full-frame writes, so the reader's per-index `read(i)`
     * returns whole frames — no disposal compositing needed).
     */
-  def encodeAnimatedGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    val bos = new ByteArrayOutputStream()
-    val out = new MemoryCacheImageOutputStream(bos)
-    try {
-      writer.setOutput(out)
-      writer.prepareWriteSequence(null)
-      frames.foreach(f =>
-        writer.writeToSequence(new javax.imageio.IIOImage(toImage(w, h, f), null, null), null))
-      writer.endWriteSequence()
-      out.flush()
-      bos.toByteArray
-    } finally {
-      writer.dispose()
-      out.close()
-    }
-  }
+  def encodeAnimatedGif(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] =
+    encodeSequence("gif", w, h, frames)
 
   private def analyze(img: BufferedImage): Decoded = {
     val w = img.getWidth

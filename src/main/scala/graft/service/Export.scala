@@ -72,13 +72,7 @@ object ExportDemo {
   /** Returns the registered view name of the exported table. */
   private def builtExport(t: graft.sources.Tables): String =
     built.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
-      val parent = java.nio.file.Files.createTempDirectory("graft-export")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(parent.toFile)
-      }
+      val parent = graft.util.TempDirs.createWithCleanup("graft-export")
       val suffix = s"${System.identityHashCode(t.spark)}_" +
         t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val src = s"__graft_export_src_$suffix"

@@ -322,51 +322,23 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     // A runaway statement on a shared service previously ran until an
     // operator noticed; `timeout_ms` (request field, service default
     // via the ctor) kills its jobs at the bound through the SAME
-    // job-group cancel /cancel uses. Timeout enforcement needs a job
-    // group even for untagged requests, so one is synthesized — under
-    // the client-tag namespace, never colliding with a real tag (UUID)
-    // or the async plane's groups. A TAGGED request's timeout cancels
-    // the tag's whole group — consistent with /cancel, where the tag IS
-    // the cancellable unit; clients wanting per-request isolation send
-    // distinct tags.
+    // job-group cancel /cancel uses (see boundedBy). A TAGGED
+    // request's timeout cancels the tag's whole group — consistent
+    // with /cancel, where the tag IS the cancellable unit; clients
+    // wanting per-request isolation send distinct tags.
     val timeoutMs = longArg(body, "timeout_ms", defaultTimeoutMs)
     require(timeoutMs >= 0, s"timeout_ms must be non-negative, got $timeoutMs")
-    val group =
-      if (tagged) groupFor(text(body, "tag"))
-      else if (timeoutMs > 0)
-        groupFor(s"auto-timeout-${java.util.UUID.randomUUID()}")
-      else null
+    val group = requestGroup(body, timeoutMs)
     if (group != null) sc.setJobGroup(group, "graft-http /sql",
       interruptOnCancel = true)
-    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val watchdog =
-      if (timeoutMs > 0) Some(timeoutExec.schedule(new Runnable {
-        override def run(): Unit = {
-          timedOut.set(true)
-          sc.cancelJobGroup(group)
-        }
-      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-      else None
     val (rows, hit) =
-      try {
+      try boundedBy(timeoutMs, sc, group) {
         if (args.nonEmpty) (svc.sqlJson(query, args, page, offset), false)
         else if (posArgs.nonEmpty)
           (svc.sqlJsonPositional(query, posArgs, page, offset), false)
         else if (useCache) svc.sqlJsonCached(query, page, offset)
         else (svc.sqlJson(query, page, offset), false)
-      } catch {
-        // the cancel surfaces as a SparkException in the collect; remap
-        // it to the timeout's own type so the caller sees WHY (500 with
-        // the bound named) and /metrics counts it as a timeout, not a
-        // generic server error
-        case NonFatal(e) if timedOut.get =>
-          timeouts.incrementAndGet()
-          throw new HttpQueryService.QueryTimeoutException(
-            s"query exceeded timeout_ms=$timeoutMs and its jobs were cancelled", e)
-      } finally {
-        watchdog.foreach(_.cancel(false))
-        if (group != null) sc.clearJobGroup()
-      }
+      } finally if (group != null) sc.clearJobGroup()
     val cached =
       if (useCache && args.isEmpty && posArgs.isEmpty) s""","cached":$hit"""
       else ""
@@ -606,8 +578,23 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/export", gatedMutEx { (body, ex) =>
     val name = text(body, "name")
     val location = text(body, "location")
-    val (v, rows) = Export.exportTo(serviceFor(ex), name, location,
-      text(body, "query"))
+    val svc = serviceFor(ex)
+    // exports are the service's deliberately LONG statements, so the
+    // timeout/tag plane covers them like /sql: `timeout_ms` bounds the
+    // CTAS via the re-armed group cancel, and a `tag` makes it
+    // /cancel-able. A cancelled CTAS commits nothing (the manifest
+    // claim never lands); its orphaned data files are vacuumOrphans
+    // debris, the standard crashed-writer posture.
+    val timeoutMs = longArg(body, "timeout_ms", defaultTimeoutMs)
+    require(timeoutMs >= 0, s"timeout_ms must be non-negative, got $timeoutMs")
+    val group = requestGroup(body, timeoutMs)
+    val sc = svc.spark.sparkContext
+    if (group != null) sc.setJobGroup(group, "graft-http /export",
+      interruptOnCancel = true)
+    val (v, rows) =
+      try boundedBy(timeoutMs, sc, group) {
+        Export.exportTo(svc, name, location, text(body, "query"))
+      } finally if (group != null) sc.clearJobGroup()
     s"""{"exported":${quote(name)},"location":${quote(location)},"version":$v,"rows":$rows}"""
   })
 
@@ -620,6 +607,53 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       val th = new Thread(r, "graft-http-timeout"); th.setDaemon(true); th
     })
   private val timeouts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The request's cancellation group: the client tag when present, a
+    * synthesized UUID group when only a timeout needs one (under the
+    * client-tag namespace — never colliding with a real tag or the
+    * async plane's groups), null when neither applies.
+    */
+  private def requestGroup(body: JsonNode, timeoutMs: Long): String =
+    if (body.has("tag")) groupFor(text(body, "tag"))
+    else if (timeoutMs > 0)
+      groupFor(s"auto-timeout-${java.util.UUID.randomUUID()}")
+    else null
+
+  /** Run `run` under a `timeout_ms` bound, enforced by cancelling
+    * `group` — RE-ARMED every 250 ms from the bound until the
+    * statement returns: one cancel only kills currently-ACTIVE jobs,
+    * so a multi-job statement (AQE stages, iterative plans) whose
+    * single cancel landed in the gap between two jobs would run on
+    * unbounded; the re-arm catches the next job the moment it starts.
+    * (Repeated cancelJobGroup beats cancelJobGroupAndFutureJobs here:
+    * the future-jobs mark POISONS the group name in the scheduler, and
+    * a client reusing its tag after one timeout would find every later
+    * request insta-cancelled.) Driver-side planning is not
+    * cancellable — the bound covers execution, which is where runaway
+    * time lives. No-op when `timeoutMs` <= 0.
+    */
+  private def boundedBy[A](timeoutMs: Long, sc: org.apache.spark.SparkContext,
+      group: String)(run: => A): A = {
+    if (timeoutMs <= 0) return run
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = timeoutExec.scheduleAtFixedRate(new Runnable {
+      override def run(): Unit = {
+        timedOut.set(true)
+        sc.cancelJobGroup(group)
+      }
+    }, timeoutMs, 250, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try run
+    catch {
+      // the cancel surfaces as a SparkException in the collect; remap
+      // it to the timeout's own type so the caller sees WHY (500 with
+      // the bound named) and /metrics counts it as a timeout, not a
+      // generic server error
+      case NonFatal(e) if timedOut.get =>
+        timeouts.incrementAndGet()
+        throw new HttpQueryService.QueryTimeoutException(
+          s"query exceeded timeout_ms=$timeoutMs and its jobs were cancelled", e)
+    } finally { watchdog.cancel(false); () }
+  }
 
   private def longArg(body: JsonNode, name: String, default: Long): Long =
     if (!body.has(name)) default

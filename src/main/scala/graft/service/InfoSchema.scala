@@ -36,10 +36,14 @@ object InfoSchema {
 
   // (?<![\w.]): a LONGER qualified name (somecat.information_schema.tables)
   // is not OUR schema — rewriting its tail would turn a clean
-  // resolution error into a reference to a different table
+  // resolution error into a reference to a different table. SQL also
+  // allows whitespace around qualifier dots ("somecat . information_
+  // schema.tables"), so a second (bounded) lookbehind rejects a dot
+  // any reasonable run of whitespace back — symmetric with the
+  // pattern's own \s*\.\s* tolerance.
   private val Ref =
     java.util.regex.Pattern.compile(
-      "(?i)(?<![\\w.])information_schema\\s*\\.\\s*(tables|columns|views)\\b")
+      "(?i)(?<![\\w.])(?<!\\.[\\s]{0,64})information_schema\\s*\\.\\s*(tables|columns|views)\\b")
 
   /** Rewrite info-schema references in the segments of `q` that lie
     * OUTSIDE single-quoted strings, double-quoted strings, and

@@ -97,7 +97,7 @@ object FoldCommit {
     // marker durable BEFORE any delete runs (best-effort on the POSIX
     // path; the ConditionalPut path's PUT is durable by contract)
     force(markerPath(root)); force(Paths.get(root))
-    rollForward(root)
+    rollForward(root, deleteMarker = true) // we are the writer
   }
 
   /** Best-effort fsync of a file or directory (directories force via
@@ -137,11 +137,24 @@ object FoldCommit {
     * writer's commit roll forward with no staged files and execute
     * only the deletes, losing every folded row. Readers (load /
     * checkBatch recovery) must call with the default `false`.
+    *
+    * Marker lifetime is WRITER-owned the same way staging is: a
+    * reader's roll-forward completes the fold's moves and deletes
+    * (all idempotent) but leaves the marker for the single writer's
+    * next op to clear. A reader's unconditional delete would race the
+    * live writer — stall mid-roll-forward of fold N, wake after the
+    * writer has claimed fold N+1, and the delete kills the NEWER
+    * fold's marker, whose deletes then never run if the writer
+    * crashes mid-roll-forward. Re-processing an already-completed
+    * fold on later reader recoveries is a handful of no-op
+    * existence checks; deleting another fold's claim is data
+    * corruption. `sweepStaging=true` (the writer) clears it.
     */
   def recover(root: String, sweepStaging: Boolean = false): Boolean = {
     val did =
-      if (Files.exists(markerPath(root))) { rollForward(root); true }
-      else false
+      if (Files.exists(markerPath(root))) {
+        rollForward(root, deleteMarker = sweepStaging); true
+      } else false
     if (sweepStaging) {
       val staging = Paths.get(root, "_fold")
       if (Files.isDirectory(staging)) rmTree(staging)
@@ -149,7 +162,7 @@ object FoldCommit {
     did
   }
 
-  private def rollForward(root: String): Unit = {
+  private def rollForward(root: String, deleteMarker: Boolean): Unit = {
     // a CONCURRENT recoverer (the writer finishing its own commit
     // while a reader rolls the same fold forward) can clear the marker
     // between our existence check and this read — that recoverer
@@ -173,13 +186,17 @@ object FoldCommit {
         if (sha256Hex(rest.getBytes(
             java.nio.charset.StandardCharsets.UTF_8)) !=
             head.stripPrefix("#sha256=")) {
-          Files.deleteIfExists(markerPath(root)); return
+          // torn = uncommitted: only the WRITER clears it (a reader's
+          // delete could race a live writer's newer claim)
+          if (deleteMarker) Files.deleteIfExists(markerPath(root))
+          return
         }
         rest
       } else text
     val lines = body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
     if (lines.size < 2) { // torn-impossible (atomic claim), but stale-empty isn't
-      Files.deleteIfExists(markerPath(root)); return
+      if (deleteMarker) Files.deleteIfExists(markerPath(root))
+      return
     }
     val (foldId, targetSub, deletes) = (lines.head, lines(1), lines.drop(2))
     // marker bytes are world-editable; refuse traversal shapes
@@ -234,7 +251,10 @@ object FoldCommit {
       }
     }
     deletes.foreach(d => rmTree(Paths.get(root, d)))
-    Files.deleteIfExists(markerPath(root))
+    // WRITER-only (see recover's scaladoc): a reader's unconditional
+    // delete here could kill the live writer's NEWER fold claim if the
+    // reader stalled mid-roll-forward across the writer's next commit
+    if (deleteMarker) Files.deleteIfExists(markerPath(root))
     ()
   }
 

@@ -56,10 +56,19 @@ class FoldCommitSpec extends SparkSpecBase {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(FoldCommit.recover(root))
     assert(spark.read.parquet(s"$root/data").count() == total)
-    // running recovery AGAIN is a no-op (marker gone, nothing doubles)
-    assert(!FoldCommit.recover(root))
+    // READER recovery leaves the marker for the writer (deleting it
+    // could race a live writer's newer claim); re-running is pure
+    // no-ops — nothing doubles, nothing vanishes
+    assert(Files.exists(Paths.get(root, "_fold_commit.txt")),
+      "reader recovery must not delete the writer-owned marker")
+    assert(FoldCommit.recover(root))
     assert(spark.read.parquet(s"$root/data").count() == total)
     assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 2)
+    // WRITER-mode recovery clears the marker; after that, a no-op
+    assert(FoldCommit.recover(root, sweepStaging = true))
+    assert(!Files.exists(Paths.get(root, "_fold_commit.txt")))
+    assert(!FoldCommit.recover(root))
+    assert(spark.read.parquet(s"$root/data").count() == total)
   }
 
   test("reader-mode recovery leaves a marker-less stage alone; writer-mode sweeps it") {
@@ -146,12 +155,17 @@ class FoldCommitSpec extends SparkSpecBase {
       (s"#sha256=$hash\n" + truncated)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FoldCommit.recover(root)
-    assert(!Files.exists(Paths.get(root, "_fold_commit.txt")), "torn marker kept")
+    // the reader treats it as uncommitted and touches NOTHING — not
+    // even the marker (writer-owned, like staging)
+    assert(Files.exists(Paths.get(root, "_fold_commit.txt")))
     assert(spark.read.parquet(s"$root/data").count() == total)
     assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 4,
       "a torn marker moved or deleted files")
-    // the intact stage is reclaimed by the writer's next sweep
-    assert(!FoldCommit.recover(root, sweepStaging = true))
+    // the writer's next sweep clears both the torn marker and the stage
+    assert(FoldCommit.recover(root, sweepStaging = true))
+    assert(!Files.exists(Paths.get(root, "_fold_commit.txt")), "torn marker kept")
+    assert(spark.read.parquet(s"$root/data").count() == total)
+    assert(FoldCommit.listDataFiles(Paths.get(root, "data")).size == 4)
     assert(!Files.exists(FoldCommit.stageDir(root, "torn0001")))
   }
 

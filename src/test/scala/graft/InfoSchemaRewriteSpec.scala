@@ -69,6 +69,9 @@ class InfoSchemaRewriteSpec extends AnyFunSuite {
     // into a reference to our backing view
     assert(rw("SELECT * FROM somecat.information_schema.tables").isEmpty)
     assert(rw("SELECT * FROM x_information_schema.tables").isEmpty)
+    // SQL allows whitespace around qualifier dots — still not ours
+    assert(rw("SELECT * FROM somecat . information_schema.tables").isEmpty)
+    assert(rw("SELECT * FROM somecat .\n  information_schema.tables").isEmpty)
     // but the bare reference right after a qualified one still rewrites
     val q = "SELECT * FROM somecat.information_schema.tables a " +
       "JOIN information_schema.tables b ON a.table_name = b.table_name"
