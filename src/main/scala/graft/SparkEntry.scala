@@ -92,6 +92,9 @@ object SparkEntry {
     "span_idx" -> ((s, d) => {
       graft.operators.SpanIndex.corpusIndexDir(t(s, d)); ()
     }),
+    "text_idx" -> ((s, d) => {
+      graft.operators.TextIndex.corpusIndexDir(t(s, d)); ()
+    }),
     "semdedup_idx" -> ((s, d) => {
       graft.operators.SemDedupIndex.corpusIndexDir(t(s, d)); ()
     }),
@@ -299,6 +302,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(t(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
+    "q_text_search" -> ((s, d) => graft.operators.TextIndex.qTextSearch(t(s, d))),
+    "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
@@ -1481,6 +1486,42 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.token, tf.doc_id, tf.tf,
+        |    floor((ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)))
+        |          * 10000 + 0.5) / 10000 AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN corpus),
+        |r AS (
+        |  SELECT token, doc_id, tf, score,
+        |    cast(row_number() OVER (PARTITION BY token
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT token, doc_id, tf, score, rk FROM r
+        |WHERE rk <= 10 ORDER BY token, rk""".stripMargin,
+    // index-served keyword conjunction: build(even)+absorb(odd) covers
+    // the full corpus, so the oracle scans `documents` directly
+    "q_text_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |m AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |      WHERE token IN ('spark', 'merge') GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_matched,
+        |       cast(sum(tf) AS BIGINT) AS total_tf
+        |FROM m GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""".stripMargin,
+    // index-served BM25 ≡ the corpus-scan formula; avgdl is spelled
+    // sum/count on BOTH sides (the ledger folds exact integer sums,
+    // so the division is bit-identical to the full-corpus one)
+    "q_text_index_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |                  cast(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
         |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextIndex
+
+/** Persisted inverted text index: pruned search, index-served BM25
+  * equal to the corpus-scan formula, incremental absorb, crash-safe
+  * compaction (SURVEY §2.5).
+  */
+class TextIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-textidx-$tag").toString + "/idx"
+
+  test("search: AND requires every term, OR admits any; tf sums per doc") {
+    val dir = freshDir("and-or")
+    val docs = Seq(
+      (1L, "spark merge spark window"),
+      (2L, "merge only here"),
+      (3L, "spark alone"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    TextIndex.build(docs, dir)
+    val both = TextIndex.search(spark, dir, Seq("spark", "merge")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(both == Set((1L, 2L, 3L)), s"only doc 1 has both: ${both.mkString(",")}")
+    val any = TextIndex.search(spark, dir, Seq("spark", "merge"),
+      requireAll = false).collect().map(_.getLong(0)).toSet
+    assert(any == Set(1L, 2L, 3L))
+    // a duplicated query term must not relax the AND bar
+    val dup = TextIndex.search(spark, dir, Seq("spark", "spark", "merge"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dup == Set(1L))
+  }
+
+  test("probe plan: PartitionFilters prune to the query terms' buckets; no corpus shuffle before the agg") {
+    val dir = freshDir("prune")
+    TextIndex.build(tables.documents.select("doc_id", "text"), dir)
+    val q = TextIndex.search(spark, dir, Seq("spark", "merge"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+      "term-bucket pruning must reach the scan: " + plan.take(800))
+    // driver-side bucket hashing must agree with the executor's
+    // pmod(xxhash64, n) — otherwise pruning silently drops postings
+    val viaSpark = Seq("spark", "merge", "window", "the")
+      .toDF("token")
+      .select(col("token"), pmod(xxhash64(col("token")), lit(64)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaSpark.foreach { case (term, b) =>
+      assert(TextIndex.bucketOf(term, 64) == b, s"bucket mismatch for $term")
+    }
+  }
+
+  test("absorb makes docs searchable and shifts the BM25 constants exactly") {
+    val dir = freshDir("absorb")
+    val first = Seq(
+      (1L, "spark merge window"),
+      (2L, "spark spark spark filter")).toDF("doc_id", "text")
+    val second = Seq(
+      (3L, "merge merge spark"),
+      (4L, "window pad pad pad pad pad")).toDF("doc_id", "text")
+    TextIndex.build(first, dir)
+    assert(TextIndex.search(spark, dir, Seq("merge"), requireAll = false)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    TextIndex.absorb(spark, dir, second)
+    assert(TextIndex.search(spark, dir, Seq("merge"), requireAll = false)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // index-served BM25 over build+absorb == the same formula computed
+    // directly over the full 4-doc corpus (same operand order)
+    val full = first.union(second)
+    val got = TextIndex.bm25(spark, dir, Seq("spark", "merge"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    val expect = corpusScanBm25(full, Seq("spark", "merge"))
+    assert(got == expect, s"index path diverged:\n got=$got\n exp=$expect")
+  }
+
+  /** The corpus-scan BM25 reference — TextAnalysis.qBm25's exact plan
+    * but with avgdl spelled sum/count like the index's ledger fold.
+    */
+  private def corpusScanBm25(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : Set[(String, Long, Double, Int)] = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Rnd.round
+    val toks = split(col("text"), " ")
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1))
+    val denom = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(dl, "doc_id").join(broadcast(df), "token")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", round(idf * col("tf") * lit(k1 + 1) / denom, 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("token").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rk"))).toSet
+  }
+
+  test("corpus contract path: index bm25 == corpus-scan bm25 on the test corpus") {
+    val dir = freshDir("corpus")
+    val docs = tables.documents.select("doc_id", "text")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    TextIndex.absorb(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    val got = TextIndex.bm25(spark, dir, Seq("spark", "merge", "window"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    assert(got == corpusScanBm25(docs, Seq("spark", "merge", "window")))
+  }
+
+  test("compaction folds buckets and the stats ledger; probes byte-identical through the no-rename store") {
+    val dir = freshDir("compact")
+    val docs = tables.documents.select("doc_id", "text")
+    TextIndex.build(docs.filter(col("doc_id") < 100), dir)
+    (100L until 160L by 20).foreach(lo =>
+      TextIndex.absorb(spark, dir, docs.filter(col("doc_id").between(lo, lo + 19))))
+    val postRoot = java.nio.file.Paths.get(dir, "postings")
+    val statsRoot = java.nio.file.Paths.get(dir, "stats")
+    def nFiles() = graft.util.FoldCommit.listDataFiles(postRoot).size
+    def nDirs() = graft.util.FoldCommit.listDataFiles(postRoot)
+      .map(_.getParent).distinct.size
+    def statsFiles() = graft.util.FoldCommit.listDataFiles(statsRoot).size
+    assert(nFiles() > nDirs(), s"absorbs should leave multi-file buckets (${nFiles()})")
+    assert(statsFiles() == 4, s"one ledger row per commit: ${statsFiles()}")
+    val terms = Seq("spark", "merge", "window")
+    val before = TextIndex.bm25(spark, dir, terms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val searchBefore = TextIndex.search(spark, dir, terms, requireAll = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rewritten = TextIndex.compact(spark, dir,
+      graft.sources.CommitStore.simulatedConditionalPut())
+    assert(rewritten > 0)
+    assert(nFiles() == nDirs(), s"1 file/bucket after compaction, saw ${nFiles()}/${nDirs()}")
+    assert(statsFiles() == 1, s"ledger folds to one row: ${statsFiles()}")
+    val after = TextIndex.bm25(spark, dir, terms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(after == before, "compaction changed BM25 output")
+    assert(TextIndex.search(spark, dir, terms, requireAll = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == searchBefore)
+    // idempotent: a second OPTIMIZE finds nothing to fold
+    assert(TextIndex.compact(spark, dir) == 0L)
+    // and the index still absorbs after folding
+    TextIndex.absorb(spark, dir,
+      Seq((990001L, "spark merge window")).toDF("doc_id", "text"))
+    assert(TextIndex.search(spark, dir, Seq("spark", "merge"))
+      .collect().map(_.getLong(0)).toSet.contains(990001L))
+  }
+}
