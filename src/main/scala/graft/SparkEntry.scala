@@ -303,6 +303,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.qTfidf(t(s, d))),
     "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
     "q_text_search" -> ((s, d) => graft.operators.TextIndex.qTextSearch(t(s, d))),
+    "q_edit_join" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoin(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
@@ -1503,6 +1504,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT token, doc_id, tf, score, rk FROM r
         |WHERE rk <= 10 ORDER BY token, rk""".stripMargin,
+    // the oracle blocks with the PassJoin pigeonhole (d+1 chunks; an
+    // ed<=d partner contains one verbatim) — a DIFFERENT lossless
+    // filter than the Spark side's prefix-filtered q-grams, so a
+    // false negative in either blocking diverges the hash
+    "q_edit_join" ->
+      """WITH a AS (SELECT p_partkey AS a_id, p_name AS a_s FROM part),
+        |b AS (SELECT p_partkey + 1000000 AS b_id,
+        |        CASE WHEN p_partkey % 3 = 0
+        |               THEN substr(p_name, 1, 2) || substr(p_name, 4)
+        |             WHEN p_partkey % 3 = 1 THEN p_name
+        |             ELSE substr(p_name, 1, 4) || 'x' || substr(p_name, 6)
+        |        END AS b_s
+        |      FROM part),
+        |ch AS (SELECT a_id, a_s,
+        |        unnest([substr(a_s, 1, cast(ceil(length(a_s) / 2.0) AS INTEGER)),
+        |                substr(a_s, cast(ceil(length(a_s) / 2.0) AS INTEGER) + 1)]) AS chunk
+        |       FROM a),
+        |cand AS (SELECT DISTINCT a_id, a_s, b_id, b_s
+        |         FROM ch JOIN b ON abs(length(a_s) - length(b_s)) <= 1
+        |                       AND contains(b_s, chunk))
+        |SELECT a_id, b_id, cast(levenshtein(a_s, b_s) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(a_s, b_s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     // index-served keyword conjunction: build(even)+absorb(odd) covers
     // the full corpus, so the oracle scans `documents` directly
     "q_text_search" ->

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Prefix-filtered edit-distance join: lossless vs brute force on
+  * adversarial shapes, plan shape, and the contract mutation
+  * (SURVEY §2.1).
+  */
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("lossless vs brute force on repeated-gram, short, and empty strings at d=2") {
+    val a = Seq(
+      (1L, "aaaaaa"),       // one distinct gram — the set-semantics edge
+      (2L, "abcdefgh"),
+      (3L, "ab"),           // shorter than q: no grams at all
+      (4L, ""),             // empty
+      (5L, "xyzxyzxyz"),
+      (6L, "mississippi")).toDF("id", "s")
+    val b = Seq(
+      (11L, "aaabaa"),      // ed 1 from aaaaaa (substitution)
+      (12L, "abcdefgh"),    // exact
+      (13L, "abzdefgh"),    // ed 1
+      (14L, "b"),           // ed 1 from "ab", 1 from ""
+      (15L, "xyzxyzxy"),    // ed 1 deletion
+      (16L, "mississippe"), // ed 1
+      (17L, "zzzzzzzz"),    // far from everything
+      (18L, "abcd")).toDF("id", "s")
+    val got = pairs(FuzzyJoin.edJoin(a, b, maxDist = 2))
+    val want = pairs(FuzzyJoin.edJoinBrute(a, b, maxDist = 2))
+    assert(got == want,
+      s"missing=${(want -- got).mkString(",")} extra=${(got -- want).mkString(",")}")
+    // and the adversarial hits are actually in there
+    assert(want.contains((1L, 11L, 1)) && want.contains((3L, 14L, 1)) &&
+      want.contains((4L, 14L, 1)) && want.contains((5L, 15L, 1)))
+  }
+
+  test("lossless vs brute force on a real part-name slice with the contract mutation at d=1") {
+    val slice = tables.part.filter(col("p_partkey") <= 150)
+    val clean = slice.select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val dirty = slice.select((col("p_partkey") + lit(1000000L)).as("id"),
+      when(col("p_partkey") % 3 === 0,
+        concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)")))
+        .when(col("p_partkey") % 3 === 1, col("p_name"))
+        .otherwise(concat(substring(col("p_name"), 1, 4), lit("x"),
+          expr("substr(p_name, 6)"))).as("s"))
+    val got = pairs(FuzzyJoin.edJoin(clean, dirty, maxDist = 1))
+    assert(got == pairs(FuzzyJoin.edJoinBrute(clean, dirty, maxDist = 1)))
+    // every mutated row must find its origin (all mutations are ed<=1)
+    val n = slice.count()
+    val selfPairs = got.filter { case (aId, bId, _) => bId - 1000000L == aId }
+    assert(selfPairs.size == n, s"${selfPairs.size} of $n mutations matched its origin")
+  }
+
+  test("plan: candidate generation is equi-join only — no cartesian, no nested loop") {
+    val q = FuzzyJoin.qEditJoin(tables)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("maxDist=0 degenerates to exact string match") {
+    val a = Seq((1L, "same"), (2L, "other")).toDF("id", "s")
+    val b = Seq((11L, "same"), (12L, "othex")).toDF("id", "s")
+    assert(pairs(FuzzyJoin.edJoin(a, b, maxDist = 0)) == Set((1L, 11L, 0)))
+  }
+}

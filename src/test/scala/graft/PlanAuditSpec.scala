@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_cosine_pairs",    // label-blocked; AQE may plan tiny side as BNLJ? keep strict below
     "q_tfidf",           // 1-row n_docs
     "q_bm25",            // 1-row (n_docs, avgdl) corpus stats
+    "q_text_index_bm25", // same 1-row corpus stats, from the index ledger
     "q_resample",        // |types| x 24 grid
     "q_ntile_scaled",    // 1-row quartile cut points
     "q_nb_filter",       // 1-row label median + 1-row model scalars
