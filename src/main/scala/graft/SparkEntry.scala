@@ -131,6 +131,7 @@ object SparkEntry {
     // billed the whole TableSkip fixture at 1.1 s against a 0.1 s-class
     // lookup; same misattribution class the SQL-DML trio had in r11)
     "tmerge_fixture" -> ((s, d) => graft.sources.TableMerge.warmBuild(t(s, d))),
+    "tbranch_fixture" -> ((s, d) => graft.sources.TableBranch.warmBuild(t(s, d))),
     "treplace_fixture" -> ((s, d) => graft.sources.TableReplace.warmBuild(t(s, d))),
     "tclone_fixture" -> ((s, d) => graft.sources.TableClone.warmBuild(t(s, d))),
     "tcopy_fixture" -> ((s, d) => graft.sources.TableCopyInto.warmBuild(t(s, d))),
@@ -318,6 +319,7 @@ object SparkEntry {
       graft.sources.SourceRoundtrip.qSourceRoundtrip(t(s, d))),
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
+    "q_table_branch" -> ((s, d) => graft.sources.TableBranch.qTableBranch(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
     "q_copy_into" -> ((s, d) => graft.sources.TableCopyInto.qCopyInto(t(s, d))),
@@ -2554,6 +2556,32 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) t""".stripMargin,
+    // the branch workflow's final snapshot reconstructed in SQL: the
+    // parent's disjoint update applies to the base, then the branch's
+    // update/delete/insert replay over it — row-for-row, so fork,
+    // branch commits, feed replay, and the un-forced conflict proof
+    // all sit under one hash gate
+    "q_table_branch" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS k, p_name AS name, p_retailprice AS price
+        |  FROM part),
+        |after_main AS (
+        |  SELECT k, name,
+        |    CASE WHEN k % 10 = 1 THEN floor((price + 1) * 100 + 0.5) / 100
+        |         ELSE price END AS price
+        |  FROM base),
+        |after_branch AS (
+        |  SELECT k, name,
+        |    CASE WHEN k % 10 = 0 THEN floor((price * 1.05) * 100 + 0.5) / 100
+        |         ELSE price END AS price
+        |  FROM after_main WHERE k % 10 <> 4),
+        |ins AS (
+        |  SELECT k + 10000000 AS k, name,
+        |    floor((price / 2) * 100 + 0.5) / 100 AS price
+        |  FROM base WHERE k % 10 = 6)
+        |SELECT k, name, price FROM after_branch
+        |UNION ALL SELECT k, name, price FROM ins
+        |ORDER BY k""".stripMargin,
     // every change class reconstructed in SQL: v1 inserts = the evens
     // append, v2 pre/postimages = the merge's matched keys (evens ∩
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes

@@ -2566,6 +2566,148 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     dest
   }
 
+  // ──────────────────────────── branches ────────────────────────────
+
+  private def branchesDir: Path = Paths.get(dir, VersionedTable.BranchesSub)
+
+  private def branchDirOf(name: String): Path = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_-]{0,63}"),
+      s"branch name must be a bare identifier: $name")
+    branchesDir.resolve(name)
+  }
+
+  /** Fork a BRANCH at `version` (default: head) — the git-shaped
+    * workflow a 100 TB curation table needs: experiment on a fork,
+    * keep the mainline serving, merge row-level when accepted. A
+    * branch is a zero-copy shallow clone under the table's own
+    * `_graft_branches/<name>` with change tracking ON, so every later
+    * branch commit is row-replayable for [[mergeBranch]]. Creation is
+    * O(metadata) whatever the table size: the branch references the
+    * fork snapshot's files by absolute path, and the parent's vacuums
+    * treat files held by live branches as live ([[branchHeldRels]]) —
+    * [[dropBranch]] releases them.
+    */
+  def createBranch(name: String, version: Int = -1): VersionedTable = {
+    val bd = branchDirOf(name)
+    require(!Files.exists(bd), s"branch $name already exists at $bd")
+    val bt = cloneTo(bd.toString, version)
+    bt.enableCdf() // idempotent when the parent already fed the clone
+    bt
+  }
+
+  /** Open a live branch as a table — every vtable operation works on
+    * it (MERGE, DELETE, time travel, its own branches).
+    */
+  def branch(name: String): VersionedTable = {
+    val bd = branchDirOf(name)
+    require(Files.isDirectory(bd), s"no branch $name under $dir")
+    VersionedTable(spark, bd.toString)
+  }
+
+  /** Live branch names (direct children; a branch's own branches are
+    * its to list).
+    */
+  def branchNames: Seq[String] = {
+    if (!Files.isDirectory(branchesDir)) return Seq.empty
+    val s = Files.list(branchesDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toList.sorted
+    } finally s.close()
+  }
+
+  /** (name, fork version on this table, branch head version). */
+  def branches(): Seq[(String, Int, Int)] =
+    branchNames.map { n =>
+      val bt = branch(n)
+      (n, bt.cloneProvenance(1).map(_._2).getOrElse(-1), bt.currentVersion)
+    }
+
+  /** Delete a branch and release its holds on the parent's files. */
+  def dropBranch(name: String): Boolean = {
+    val bd = branchDirOf(name)
+    if (!Files.isDirectory(bd)) false
+    else { deleteTree(bd); true }
+  }
+
+  /** MERGE a branch back: replay the branch's row-level change feed
+    * since its fork point as ONE [[applyChanges]] commit on this
+    * table — upserts and deletes together, several branch commits to
+    * one key resolved to the branch-latest by the feed's commit
+    * version. Cost is O(branch changes + touched files), the
+    * stats/bloom-pruned CDC apply; the unchanged bulk carries by
+    * path. Returns the new parent version (unchanged when the branch
+    * never committed past its fork).
+    *
+    * Three-way safety: when this table moved past the fork point, the
+    * merge REFUSES any branch-touched key this table also touched —
+    * row-level conflicts, detected from this table's own change feed
+    * since the fork — unless `force = true` lets the branch win. A
+    * parent history that is not row-replayable since the fork (change
+    * tracking off across a rewriting commit) cannot prove safety and
+    * also demands `force`. The branch's schema must match the
+    * parent's (evolve the parent first, then rebase).
+    */
+  def mergeBranch(name: String, key: String, force: Boolean = false,
+      dropAfter: Boolean = false): Int = {
+    val bt = branch(name)
+    val prov = bt.cloneProvenance(1).getOrElse(throw new IllegalStateException(
+      s"branch $name carries no fork provenance; was it created by createBranch?"))
+    require(prov._1 == Paths.get(dir).toAbsolutePath.normalize.toString,
+      s"branch $name was forked from ${prov._1}, not this table")
+    val fork = prov._2
+    if (bt.currentVersion <= 1) { // nothing committed past the fork
+      if (dropAfter) { dropBranch(name); () }
+      return currentVersion
+    }
+    val delta = bt.readChangesSince(1)
+    if (currentVersion > fork && !force) {
+      val mineSince =
+        try readChangesSince(fork)
+        catch {
+          case e: VersionedTable.ResyncRequired =>
+            throw new IllegalStateException(
+              s"cannot prove merge safety: parent history since fork v$fork " +
+                s"is not row-replayable (${e.getMessage}); " +
+                "mergeBranch(force = true) lets the branch win", e)
+        }
+      val conflicts = mineSince.select(col(key)).distinct()
+        .join(delta.select(col(key)).distinct(), Seq(key), "left_semi")
+        .limit(10).collect().map(_.get(0))
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          s"merge conflict: branch $name and the parent both changed key(s) " +
+            s"${conflicts.mkString(", ")} since fork v$fork; rebase the " +
+            "branch or mergeBranch(force = true) to let the branch win")
+    }
+    val v = applyChanges(delta, key, VersionedTable.CommitVersionCol)
+    if (dropAfter) { dropBranch(name); () }
+    v
+  }
+
+  /** Every file a live branch (recursively — branches of branches)
+    * still references inside THIS table's directory, as
+    * table-relative paths. Both vacuums treat these as live: a
+    * branch's fork snapshot must outlive the parent's retention
+    * window until the branch is dropped. O(branch manifests) metadata
+    * reads; the set is bounded by branch count × files per snapshot.
+    */
+  private[graft] def branchHeldRels: Set[String] = {
+    val root = Paths.get(dir).toAbsolutePath.normalize()
+    def heldBy(bt: VersionedTable): Set[String] = {
+      val own = bt.listVersions().flatMap { v =>
+        try bt.fileList(v) catch { case NonFatal(_) => Seq.empty }
+      }.filter(VersionedTable.isExternal)
+        .map(p => Paths.get(p).toAbsolutePath.normalize())
+        .filter(_.startsWith(root))
+        .map(p => root.relativize(p).toString)
+        .toSet
+      own ++ bt.branchNames.flatMap(n => heldBy(bt.branch(n)))
+    }
+    branchNames.flatMap(n => heldBy(branch(n))).toSet
+  }
+
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
     * new ones — `Merge.upsert` semantics incl. the duplicate-source
     * and null-key raises). Only snapshot files whose per-file [min,max]
@@ -3704,7 +3846,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // incomplete knowledge is how a cleaner destroys a table); one
     // that VANISHED under us was dropped by a concurrent vacuum and
     // its files are that vacuum's to reclaim — skip it.
-    val referenced: Set[String] = listVersions().flatMap { v =>
+    // live-branch references count as referenced: a parent file held
+    // only by a branch's fork snapshot (its own manifests dropped by a
+    // version vacuum whose branch guard kept the bytes) must not read
+    // as debris
+    val referenced: Set[String] = (listVersions().flatMap { v =>
       try {
         val m = manifest(v)
         manifestFiles(m) ++ manifestCdf(m).getOrElse(Seq.empty)
@@ -3712,7 +3858,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         case _: java.nio.file.NoSuchFileException |
              _: java.io.FileNotFoundException => Seq.empty
       }
-    }.filterNot(VersionedTable.isExternal)
+    }.filterNot(VersionedTable.isExternal) ++ branchHeldRels)
       .map(rel => root.resolve(rel).normalize().toString).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     // walk skips the commit-log subtree entirely (manifests and
@@ -3723,7 +3869,12 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
           attrs: java.nio.file.attribute.BasicFileAttributes)
           : java.nio.file.FileVisitResult =
         if (d.getFileName != null &&
-            d.getFileName.toString == logDir.getFileName.toString)
+            (d.getFileName.toString == logDir.getFileName.toString ||
+              // branch subtrees are whole tables with their own
+              // manifests — their files are referenced by manifests
+              // THIS sweep never reads, so walking them would delete
+              // live branch data; each branch vacuums itself
+              d.getFileName.toString == VersionedTable.BranchesSub))
           java.nio.file.FileVisitResult.SKIP_SUBTREE
         else java.nio.file.FileVisitResult.CONTINUE
       override def visitFile(p: Path,
@@ -3816,7 +3967,11 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // are never owned by this table: the source table's own vacuum
     // governs their lifetime, so they are excluded from deletion even
     // when no retained version of the CLONE references them anymore.
-    val live = keep.flatMap(held).toSet
+    // files held by a live branch's snapshots stay live past the
+    // retention window — the branch forked at (possibly) a dropped
+    // version and references the parent's bytes by path; dropBranch
+    // releases them to the NEXT vacuum
+    val live = keep.flatMap(held).toSet ++ branchHeldRels
     val dead = drop.flatMap(held).distinct
       .filterNot(live)
       .filterNot(VersionedTable.isExternal)
@@ -4007,6 +4162,9 @@ object VersionedTable {
 
   /** Change-feed commit-version column. */
   val CommitVersionCol = "_commit_version"
+
+  /** Subdirectory holding a table's branches (each a full vtable). */
+  val BranchesSub = "_graft_branches"
 
   /** Checkpoint cadence: every Nth commit duplicates the manifest and
     * bumps `_last_checkpoint`. Delta uses 10; manifests here are
@@ -4875,5 +5033,69 @@ object TableSkip {
         |       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM __graft_vt_meta""".stripMargin)
+  }
+}
+
+/** Contract fixture for table BRANCHES ([[VersionedTable.createBranch]]
+  * / [[VersionedTable.mergeBranch]]): a part-catalog snapshot forks a
+  * branch, the branch updates one key slice, deletes another, and
+  * inserts derived rows while the PARENT updates a disjoint slice —
+  * then the branch merges back through the change-feed replay, with
+  * the three-way conflict proof running un-forced (disjoint keys must
+  * pass it). The final snapshot is fully DuckDB-oracled row-for-row by
+  * reconstructing the same edits in plain SQL over `part`, so the
+  * whole chain — zero-copy fork, branch-local commits, feed replay,
+  * conflict detection — sits under one hash gate. Memoized per
+  * (session, corpus) like [[TableMerge]].
+  */
+object TableBranch {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtTable(t: Tables): String =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Rnd.round
+      val parent = Files.createTempDirectory("graft-tbranch")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/catalog"
+      val vt = VersionedTable(t.spark, dir)
+      // parent history must be row-replayable for the merge's safety
+      // proof — change tracking on from the first commit
+      vt.enableCdf()
+      vt.append(t.part.select(col("p_partkey").as("k"),
+        col("p_name").as("name"), col("p_retailprice").as("price")))
+      val br = vt.createBranch("exp")
+      br.updateWhere(col("k") % 10 === 0,
+        Map("price" -> round(col("price") * 1.05, 2)))
+      br.deleteWhere(col("k") % 10 === 4)
+      br.append(t.part.filter(col("p_partkey") % 10 === 6)
+        .select((col("p_partkey") + lit(10000000L)).as("k"),
+          col("p_name").as("name"),
+          round(col("p_retailprice") / 2, 2).as("price")))
+      // the parent moves too — on a DISJOINT key slice, so the
+      // un-forced merge must prove safety and proceed
+      vt.updateWhere(col("k") % 10 === 1,
+        Map("price" -> round(col("price") + 1, 2)))
+      vt.mergeBranch("exp", key = "k")
+      dir
+    }
+
+  /** Forces the memoized fixture build (Bench's index_build pass);
+    * the correctness gate still runs fork+edit+merge+read cold.
+    */
+  def warmBuild(t: Tables): Unit = { builtTable(t); () }
+
+  def qTableBranch(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable(t.spark, builtTable(t)).read()
+      .select("k", "name", "price")
+      .orderBy("k")
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Table branches: zero-copy fork, independent histories, row-level
+  * merge with three-way conflict detection, and vacuum safety for the
+  * fork snapshot's bytes (SURVEY §2.2).
+  */
+class BranchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshTable(tag: String): VersionedTable = {
+    val dir = Files.createTempDirectory(s"graft-branch-$tag").toString + "/t"
+    VersionedTable(spark, dir)
+  }
+
+  private def seed(vt: VersionedTable, n: Int = 20): Unit = {
+    vt.append((1 to n).map(i => (i.toLong, s"name$i", i * 10.0))
+      .toDF("k", "name", "price"))
+    ()
+  }
+
+  private def snapshot(vt: VersionedTable): Set[(Long, String, Double)] =
+    vt.read().collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("branch is the fork snapshot; parent and branch histories are independent") {
+    val vt = freshTable("iso")
+    seed(vt)
+    val atFork = snapshot(vt)
+    val br = vt.createBranch("exp")
+    assert(snapshot(br) == atFork)
+    assert(vt.branches() == Seq(("exp", 1, 1)))
+    // branch edit invisible to parent; parent edit invisible to branch
+    br.deleteWhere(col("k") === 1L)
+    vt.updateWhere(col("k") === 2L, Map("price" -> lit(999.0)))
+    assert(snapshot(br) == atFork.filterNot(_._1 == 1L))
+    assert(snapshot(vt).exists(r => r._1 == 2L && r._3 == 999.0))
+    assert(snapshot(vt).exists(_._1 == 1L))
+    assert(!snapshot(br).exists(r => r._3 == 999.0))
+    // creation was O(metadata): the branch's v1 references parent bytes
+    assert(vt.branch("exp").read().count() == 19)
+  }
+
+  test("merge onto an unmoved parent replays updates, deletes, and inserts") {
+    val vt = freshTable("ff")
+    seed(vt)
+    val br = vt.createBranch("work")
+    br.updateWhere(col("k") <= 3L, Map("price" -> (col("price") + lit(1.0))))
+    br.deleteWhere(col("k") === 10L)
+    br.append(Seq((100L, "new100", 5.0)).toDF("k", "name", "price"))
+    // two branch commits touching one key resolve to the LATEST
+    br.updateWhere(col("k") === 3L, Map("price" -> lit(777.0)))
+    val expected = snapshot(br) // before the merge drops the branch
+    vt.mergeBranch("work", key = "k", dropAfter = true)
+    val got = snapshot(vt)
+    assert(got == expected, "parent must converge to the branch snapshot")
+    assert(got.exists(r => r._1 == 1L && r._3 == 11.0))
+    assert(got.exists(r => r._1 == 3L && r._3 == 777.0))
+    assert(!got.exists(_._1 == 10L))
+    assert(got.exists(r => r._1 == 100L && r._2 == "new100"))
+    assert(got.size == 20) // 20 - 1 delete + 1 insert
+    assert(vt.branchNames.isEmpty)
+  }
+
+  test("diverged parent with disjoint keys merges cleanly; overlapping keys refuse unless forced") {
+    val vt = freshTable("conflict")
+    vt.enableCdf() // parent history must be row-replayable for safety proofs
+    seed(vt)
+    val br = vt.createBranch("risky")
+    br.updateWhere(col("k") === 4L, Map("price" -> lit(44.0)))
+    vt.updateWhere(col("k") === 5L, Map("price" -> lit(55.0)))
+    // disjoint (4 vs 5): merge succeeds, both edits land
+    vt.mergeBranch("risky", key = "k")
+    assert(snapshot(vt).exists(r => r._1 == 4L && r._3 == 44.0))
+    assert(snapshot(vt).exists(r => r._1 == 5L && r._3 == 55.0))
+    // now a genuine conflict: both sides touch k=6
+    val br2 = vt.createBranch("risky2")
+    br2.updateWhere(col("k") === 6L, Map("price" -> lit(66.0)))
+    vt.updateWhere(col("k") === 6L, Map("price" -> lit(600.0)))
+    val e = intercept[IllegalStateException](vt.mergeBranch("risky2", key = "k"))
+    assert(e.getMessage.contains("conflict") && e.getMessage.contains("6"))
+    assert(snapshot(vt).exists(r => r._1 == 6L && r._3 == 600.0)) // refused = untouched
+    // force lets the branch win
+    vt.mergeBranch("risky2", key = "k", force = true, dropAfter = true)
+    assert(snapshot(vt).exists(r => r._1 == 6L && r._3 == 66.0))
+  }
+
+  test("parent vacuums spare the fork snapshot while the branch lives; dropBranch releases it") {
+    val vt = freshTable("vac")
+    seed(vt, n = 12)
+    val br = vt.createBranch("hold")
+    val atFork = snapshot(br)
+    // parent rewrites everything — the fork version's files leave the
+    // parent's retained manifests entirely
+    vt.overwrite((1 to 12).map(i => (i.toLong, s"v2name$i", i * 2.0))
+      .toDF("k", "name", "price"))
+    assert(vt.vacuum(retainVersions = 1) == 0,
+      "fork snapshot bytes are branch-held: version vacuum must spare them")
+    assert(vt.vacuumOrphans(olderThanMs = 0L) == 0,
+      "orphan sweep must not touch branch-held or branch-local files")
+    assert(snapshot(br) == atFork, "branch must survive parent vacuums")
+    // release: the version vacuum already dropped the fork manifest
+    // (bytes spared as branch-held), so once the branch is gone the
+    // fork files are plain orphans and the orphan sweep reclaims them
+    vt.dropBranch("hold")
+    assert(vt.vacuumOrphans(olderThanMs = 0L) > 0)
+    assert(snapshot(vt).exists(_._2 == "v2name1"))
+  }
+
+  test("branches of branches list and merge through their own parent") {
+    val vt = freshTable("nest")
+    seed(vt, n = 6)
+    val br = vt.createBranch("b1")
+    val sub = br.createBranch("b2")
+    sub.updateWhere(col("k") === 1L, Map("price" -> lit(111.0)))
+    br.mergeBranch("b2", key = "k", dropAfter = true)
+    assert(snapshot(br).exists(r => r._1 == 1L && r._3 == 111.0))
+    assert(!snapshot(vt).exists(r => r._3 == 111.0))
+    vt.mergeBranch("b1", key = "k", dropAfter = true)
+    assert(snapshot(vt).exists(r => r._1 == 1L && r._3 == 111.0))
+  }
+
+  test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
+    val vt = freshTable("noop")
+    seed(vt, n = 3)
+    vt.createBranch("idle")
+    val v = vt.currentVersion
+    assert(vt.mergeBranch("idle", key = "k") == v)
+    assert(vt.currentVersion == v)
+    // a branch directory transplanted from another table must refuse
+    val other = freshTable("foreign")
+    seed(other, n = 3)
+    val foreignClone = other.cloneTo(
+      java.nio.file.Paths.get(vt.dir, VersionedTable.BranchesSub, "alien").toString)
+    foreignClone.enableCdf()
+    foreignClone.append(Seq((9L, "x", 1.0)).toDF("k", "name", "price"))
+    val e = intercept[IllegalArgumentException](vt.mergeBranch("alien", key = "k"))
+    assert(e.getMessage.contains("forked from"))
+  }
+}
