@@ -40,6 +40,17 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     else if (SqlDml.isDescribeDetail(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.detailOutput,
         (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else if (SqlDml.isDescribeBranches(sqlText))
+      GraftDmlCommand(sqlText, GraftSqlParser.branchesOutput,
+        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else if (SqlDml.isBranchStmt(sqlText))
+      // branch lifecycle: like maintenance, no Spark grammar exists —
+      // wrap BEFORE delegation
+      GraftDmlCommand(sqlText,
+        if (SqlDml.isCreateBranch(sqlText)) GraftSqlParser.createBranchOutput
+        else if (SqlDml.isDropBranch(sqlText)) GraftSqlParser.dropBranchOutput
+        else GraftSqlParser.versionOutput,
+        (spark, q) => SqlDml.branchStmt(spark, q, () => ()).get.collect().toSeq)
     else if (SqlDml.isMaintenance(sqlText))
       // VACUUM / OPTIMIZE / RESTORE — no Spark grammar exists for
       // these, so the command wraps BEFORE delegation (which would
@@ -142,6 +153,20 @@ object GraftSqlParser {
   /** VACUUM reports reclamation, not a commit. */
   private def vacuumOutput: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+
+  private def createBranchOutput: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("fork_version", IntegerType, nullable = false)())
+
+  private def dropBranchOutput: Seq[Attribute] = Seq(
+    AttributeReference("dropped",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  /** Mirrors DESCRIBE BRANCHES' roster frame. */
+  private def branchesOutput: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = true)(),
+    AttributeReference("fork_version", IntegerType, nullable = false)(),
+    AttributeReference("head_version", IntegerType, nullable = false)())
 
   /** Mirrors [[graft.sources.VersionedTable.detail]]'s schema. */
   private def detailOutput: Seq[Attribute] = Seq(

@@ -458,6 +458,8 @@ object SqlDml {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*$""".r
+  private val BranchesRe =
+    """(?is)^\s*DESCRIBE\s+BRANCHES\s+(.+?)\s*;?\s*$""".r
 
   private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] =
@@ -475,6 +477,17 @@ object SqlDml {
           .getOrElse(throw new IllegalArgumentException(
             s"DESCRIBE DETAIL: '$target' is not a registered vtable view or a quoted table path"))
         Some(VersionedTable(spark, dir).detail())
+      case BranchesRe(target) =>
+        // branch roster: (branch, fork_version, head_version) per live
+        // branch — O(branch manifests) metadata, no data IO
+        val dir = unquotePath(target)
+          .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"DESCRIBE BRANCHES: '$target' is not a registered vtable view or a quoted table path"))
+        val rows = VersionedTable(spark, dir).branches()
+        import spark.implicits._
+        Some(rows.toDF("branch", "fork_version", "head_version")
+          .orderBy("branch"))
       case _ => None // plain DESCRIBE t — Spark's own statement
     }
 
@@ -1172,8 +1185,85 @@ object SqlDml {
     * tables, error messages) is preserved. Results are the committed
     * version, one commit per column for the multi-column forms.
     */
+  // branch statements are NOT Spark grammar — text-routed like the
+  // maintenance verbs, BEFORE the parse (whose ParseException would
+  // otherwise swallow them)
+  private val CreateBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+BRANCH\s+""" +
+      """([A-Za-z_][A-Za-z0-9_-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val DropBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+BRANCH\s+""" +
+      """([A-Za-z_][A-Za-z0-9_-]*)\s*;?\s*$""").r
+  private val MergeBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+MERGE\s+BRANCH\s+""" +
+      """([A-Za-z_][A-Za-z0-9_-]*)\s+KEY\s+([A-Za-z0-9_`]+)""" +
+      """(\s+FORCE)?(\s+DROP)?\s*;?\s*$""").r
+
+  /** Branch lifecycle as SQL (Iceberg's ALTER TABLE … BRANCH shape):
+    *
+    *   ALTER TABLE t CREATE BRANCH b [VERSION AS OF v] → createBranch; result = (branch, fork_version)
+    *   ALTER TABLE t DROP BRANCH b → dropBranch; result = (dropped)
+    *   ALTER TABLE t MERGE BRANCH b KEY k [FORCE] [DROP] → mergeBranch; result = (version)
+    *   DESCRIBE BRANCHES t → the roster (see [[describeHistory]])
+    *
+    * All three ride the ALTER verb, which the auth gate already
+    * classifies as a mutation. CREATE/DROP never bump the parent's
+    * version, so they bump the service's DDL nonce (`onCommit`)
+    * instead — a cached DESCRIBE BRANCHES can't serve a stale roster.
+    */
+  private[service] def isDescribeBranches(query: String): Boolean =
+    BranchesRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isCreateBranch(query: String): Boolean =
+    CreateBranchRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isDropBranch(query: String): Boolean =
+    DropBranchRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isBranchStmt(query: String): Boolean = {
+    val c = content(query)
+    CreateBranchRe.findFirstIn(c).isDefined ||
+      DropBranchRe.findFirstIn(c).isDefined ||
+      MergeBranchRe.findFirstIn(c).isDefined
+  }
+
+  private[service] def branchStmt(spark: org.apache.spark.sql.SparkSession,
+      query: String, onCommit: () => Unit): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    def table(target: String): VersionedTable = {
+      val dir = unquotePath(target.trim)
+        .orElse(resolveVTable(spark, unquoteIdent(target.trim)).map(_._1))
+        .getOrElse(fail(s"'${target.trim}' is not a registered vtable view " +
+          "or a quoted table path"))
+      VersionedTable(spark, dir)
+    }
+    content(query) match {
+      case CreateBranchRe(target, name, ver) =>
+        val vt = table(target)
+        val bt = vt.createBranch(name,
+          Option(ver).map(_.toInt).getOrElse(-1))
+        onCommit()
+        Some(spark.range(1).select(lit(name).as("branch"),
+          lit(bt.cloneProvenance(1).map(_._2).getOrElse(-1)).as("fork_version")))
+      case DropBranchRe(target, name) =>
+        val dropped = table(target).dropBranch(name)
+        onCommit()
+        Some(spark.range(1).select(lit(dropped).as("dropped")))
+      case MergeBranchRe(target, name, key, force, drop) =>
+        val vt = table(target)
+        val preHead = vt.currentVersion
+        val v = vt.mergeBranch(name, unquoteIdent(key),
+          force = force != null, dropAfter = drop != null)
+        onCommit()
+        refreshViews(spark, vt.dir, preHead)
+        Some(spark.range(1).select(lit(v).as("version")))
+      case _ => None
+    }
+  }
+
   private[service] def alterTable(spark: org.apache.spark.sql.SparkSession,
       query: String, onCommit: () => Unit): Option[DataFrame] = {
+    branchStmt(spark, query, onCommit).foreach(df => return Some(df))
     val plan =
       try spark.sessionState.sqlParser.parsePlan(query)
       catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>

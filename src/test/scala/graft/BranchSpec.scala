@@ -124,6 +124,48 @@ class BranchSpec extends SparkSpecBase {
     assert(snapshot(vt).exists(r => r._1 == 1L && r._3 == 111.0))
   }
 
+  test("SQL surface: CREATE/DESCRIBE/MERGE/DROP BRANCH over a registered vtable view") {
+    val vt = freshTable("sql")
+    vt.enableCdf()
+    seed(vt, n = 8)
+    vt.scan().createOrReplaceTempView("branch_sql_t")
+    val svc = new graft.service.QueryService(spark)
+    val created = svc.sql("ALTER TABLE branch_sql_t CREATE BRANCH dev").head()
+    assert(created.getString(0) == "dev" && created.getInt(1) == 1)
+    // edit the branch through its own API, then merge back as SQL
+    vt.branch("dev").updateWhere(col("k") === 2L, Map("price" -> lit(222.0)))
+    val roster = svc.sql("DESCRIBE BRANCHES branch_sql_t").collect()
+    assert(roster.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("dev", 1, 2)))
+    val v = svc.sql("ALTER TABLE branch_sql_t MERGE BRANCH dev KEY k DROP").head().getInt(0)
+    assert(v == vt.currentVersion)
+    assert(snapshot(vt).exists(r => r._1 == 2L && r._3 == 222.0))
+    assert(vt.branchNames.isEmpty)
+    // read-your-writes: the registered view sees the merged row
+    assert(spark.table("branch_sql_t").filter(col("k") === 2L)
+      .head().getDouble(2) == 222.0)
+    // DROP BRANCH on a non-existent name reports false, not an error
+    val again = svc.sql("ALTER TABLE branch_sql_t DROP BRANCH dev").head()
+    assert(!again.getBoolean(0))
+  }
+
+  test("SQL surface reaches plain spark.sql through the injected parser") {
+    // the shared test session is extension-built, so spark.sql itself
+    // routes the branch verbs — no QueryService anywhere
+    val vt = freshTable("parser")
+    vt.enableCdf()
+    seed(vt, n = 5)
+    vt.scan().createOrReplaceTempView("branch_parser_t")
+    val created = spark.sql("ALTER TABLE branch_parser_t CREATE BRANCH px").head()
+    assert(created.getString(0) == "px" && created.getInt(1) == 1)
+    vt.branch("px").deleteWhere(col("k") === 5L)
+    assert(spark.sql("DESCRIBE BRANCHES branch_parser_t").collect()
+      .map(_.getString(0)).toSeq == Seq("px"))
+    spark.sql("ALTER TABLE branch_parser_t MERGE BRANCH px KEY k DROP").collect()
+    assert(!snapshot(vt).exists(_._1 == 5L))
+    assert(!spark.sql("ALTER TABLE branch_parser_t DROP BRANCH px").head().getBoolean(0))
+  }
+
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
     val vt = freshTable("noop")
     seed(vt, n = 3)
