@@ -143,6 +143,32 @@ object TextIndex {
     appendBatch(docs, dir, readBuckets(dir), SaveMode.Append)
   }
 
+  private def hasParquet(p: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val s = java.nio.file.Files.walk(p)
+    try {
+      s.anyMatch(f => f.getFileName != null &&
+        f.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
+  /** The full posting set: the compacted base tree plus any streamed
+    * epochs not yet folded ([[absorbEpoch]]) — both directory-
+    * partitioned on `tok_bucket`, so bucket pruning reaches BOTH scans.
+    * The epochs side is bounded by the sink's compaction cadence.
+    */
+  private def readPostingsTrees(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(dir, "postings")
+    val epochs = epochsRoot(dir)
+    val sides = Seq(
+      if (hasParquet(base)) Some(spark.read.parquet(base.toString)) else None,
+      if (hasParquet(epochs))
+        Some(spark.read.parquet(epochs.toString).drop("epoch"))
+      else None).flatten
+    require(sides.nonEmpty, s"text index at $dir has no postings")
+    sides.reduce(_.unionByName(_))
+  }
+
   /** The pruned posting scan for a term list: PartitionFilters on the
     * driver-computed bucket set, then the token filter — a query for
     * k terms opens at most k of the [[Buckets]] directories.
@@ -152,9 +178,32 @@ object TextIndex {
     graft.util.FoldCommit.recover(dir)
     val buckets = readBuckets(dir)
     val bs = terms.map(bucketOf(_, buckets)).distinct
-    spark.read.parquet(s"$dir/postings")
+    readPostingsTrees(spark, dir)
       .filter(col("tok_bucket").isin(bs: _*))
       .filter(col("token").isin(terms: _*))
+  }
+
+  /** Corpus constants (N, avgdl) — the ledger's exact integer sums
+    * plus, while unfolded epochs exist, the same sums derived from the
+    * epoch postings (one doc row per doc via min(dl); dl is constant
+    * per doc). Epoch derivation is O(unfolded epochs), which the
+    * compaction cadence bounds; after a fold the ledger alone answers.
+    */
+  private def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)).cast("long").as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).cast("long").as("sum_dl"))
+    val er = epochsRoot(dir)
+    val both =
+      if (!hasParquet(er)) ledger
+      else ledger.unionByName(
+        spark.read.parquet(er.toString)
+          .groupBy("doc_id").agg(min("dl").as("dl"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl")))
+    both.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
   }
 
   /** Keyword search against the index: documents matching the term
@@ -187,10 +236,7 @@ object TextIndex {
     import org.apache.spark.sql.expressions.Window
     val tf = matchedPostings(spark, dir, terms)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val corpus = spark.read.parquet(s"$dir/stats")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val corpus = corpusStats(spark, dir)
     val idf = log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1))
     val denom = col("tf") + lit(k1) *
@@ -204,13 +250,149 @@ object TextIndex {
       .select("token", "doc_id", "tf", "score", "rk")
   }
 
-  /** OPTIMIZE: fold each append-grown bucket directory back to one
-    * file and the stats ledger back to one row (an exact integer
-    * fold), each step crash-safe via [[graft.util.FoldCommit]].
+  // ─────────────────── streamed (epoch-keyed) ingest ───────────────────
+
+  private def epochsRoot(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "epochs")
+
+  private def foldedMarkPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_folded_epochs.txt")
+
+  /** Highest epoch id ever folded into the base tree (-1 before any
+    * fold) — [[absorbEpoch]]'s replay fence, same contract as the IVF
+    * index's mark: the checkpoint directory is part of the index's
+    * identity.
+    */
+  def maxFoldedEpoch(dir: String): Long = {
+    val p = foldedMarkPath(dir)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private def recordFoldedEpochs(dir: String, maxId: Long): Unit = {
+    val v = math.max(maxId, maxFoldedEpoch(dir))
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), "_folded_epochs", ".tmp")
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, foldedMarkPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // durable BEFORE the fold commits (see IvfIndex.recordFoldedEpochs
+    // for the doubling interleaving this closes); best-effort force
+    graft.util.FoldCommit.force(foldedMarkPath(dir))
+    graft.util.FoldCommit.force(java.nio.file.Paths.get(dir))
+    ()
+  }
+
+  /** Streamed absorb — foreachBatch's at-least-once delivery made
+    * exactly-once: the epoch stages OUTSIDE `epochs/` and lands by one
+    * atomic directory rename (a partial epoch is unrepresentable), a
+    * redelivered epoch overwrites its own directory (converges), and a
+    * redelivery of an epoch compaction ALREADY FOLDED skips whole,
+    * loudly (its rows live in the base tree; re-appending would double
+    * them). Same append-only corpus semantics as [[absorb]]: a doc_id
+    * re-absorbed under a different epoch double-counts — dedup is the
+    * pipeline's job ([[SpanIndex]]/[[DedupIndex]] gate ingest).
+    * Returns posting rows landed.
+    */
+  def absorbEpoch(spark: SparkSession, dir: String, docs: DataFrame,
+      epochId: Long): Long = {
+    val folded = maxFoldedEpoch(dir)
+    if (epochId <= folded) {
+      System.err.println(
+        s"[graft] TextIndex.absorbEpoch SKIPPED epoch $epochId at $dir " +
+          s"(folded high-water mark $folded). Legitimate only as a " +
+          "foreachBatch redelivery of an already-folded epoch; if this " +
+          "fires on EVERY batch, the stream was restarted with a fresh " +
+          "checkpointLocation against an existing index — unsupported. " +
+          "Resume with the original checkpoint or rebuild the index.")
+      return 0L
+    }
+    val p = postings(docs, readBuckets(dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = p.count()
+      if (n > 0) {
+        val stage = java.nio.file.Paths.get(dir, "_epoch_stage", s"epoch=$epochId")
+        if (java.nio.file.Files.isDirectory(stage))
+          graft.util.FoldCommit.rmTree(stage)
+        p.repartition(col("tok_bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
+          .parquet(stage.toString)
+        val target = epochsRoot(dir).resolve(s"epoch=$epochId")
+        java.nio.file.Files.createDirectories(target.getParent)
+        if (java.nio.file.Files.isDirectory(target)) // replay overwrite
+          graft.util.FoldCommit.rmTree(target)
+        java.nio.file.Files.move(stage, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      n
+    } finally { p.unpersist(); () }
+  }
+
+  /** Fold streamed epochs into the base tree + ONE ledger row — the
+    * streamed index's OPTIMIZE: moves + the epochs-tree delete ride
+    * one [[graft.util.FoldCommit]] cycle (a crash anywhere loses and
+    * doubles nothing), and the folded-epoch high-water mark lands
+    * durably BEFORE the commit so a redelivered epoch can never
+    * re-append folded rows. Returns posting rows folded.
+    */
+  def compactEpochs(spark: SparkSession, dir: String,
+      store: graft.sources.CommitStore = graft.util.FoldCommit.DefaultStore): Long = {
+    graft.util.FoldCommit.recover(dir, sweepStaging = true)
+    val epochStage = java.nio.file.Paths.get(dir, "_epoch_stage")
+    if (java.nio.file.Files.isDirectory(epochStage))
+      graft.util.FoldCommit.rmTree(epochStage)
+    val er = epochsRoot(dir)
+    if (!java.nio.file.Files.isDirectory(er)) return 0L
+    val epochIds = {
+      val s = java.nio.file.Files.list(er)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("epoch=") =>
+            n.stripPrefix("epoch=").toLong }
+          .toList
+      } finally s.close()
+    }
+    if (epochIds.isEmpty) {
+      graft.util.FoldCommit.rmTree(er) // empty shell: writer-owned sweep
+      return 0L
+    }
+    val rows = spark.read.parquet(er.toString).drop("epoch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rows.count()
+      val foldId = java.util.UUID.randomUUID().toString.take(8)
+      if (n > 0) {
+        val stage = graft.util.FoldCommit.stageDir(dir, foldId)
+        rows.repartition(col("tok_bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
+          .parquet(stage.resolve("postings").toString)
+        rows.groupBy("doc_id").agg(min("dl").as("dl"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(stage.resolve("stats").toString)
+      }
+      recordFoldedEpochs(dir, epochIds.max)
+      graft.util.FoldCommit.commit(dir, foldId, ".", Seq("epochs"), store)
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** OPTIMIZE: fold streamed epochs into the base tree, then each
+    * append-grown bucket directory back to one file and the stats
+    * ledger back to one row (an exact integer fold) — three
+    * independently crash-safe [[graft.util.FoldCommit]] cycles.
     * Returns posting rows rewritten; 0 when already compact.
     */
   def compact(spark: SparkSession, dir: String,
       store: graft.sources.CommitStore = graft.util.FoldCommit.DefaultStore): Long = {
+    compactEpochs(spark, dir, store)
     val n = graft.util.FoldCommit.compactPartitionedTree(spark, dir,
       "postings", "tok_bucket", store)
     compactStats(spark, dir, store)

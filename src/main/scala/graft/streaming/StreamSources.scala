@@ -173,6 +173,44 @@ final case class IvfStreamSink(indexDir: String, checkpoint: String,
       .start()
 }
 
+/** STREAMING TEXT-INDEX MAINTENANCE: each micro-batch of (doc_id,
+  * text) documents lands as an epoch-keyed posting tree under the
+  * inverted index ([[graft.operators.TextIndex.absorbEpoch]]) — a
+  * replayed epoch overwrites its own directory, so restarts converge
+  * to exactly-once, and every `compactEvery`-th landed epoch folds the
+  * epoch trees into the base buckets inline (same self-maintenance
+  * contract as [[IvfStreamSink]]: only the writer that landed a
+  * non-empty epoch compacts, best-effort — the epoch is already
+  * durable, and FoldCommit's roll-forward finishes a mid-compact
+  * crash on the next boundary). Searches and BM25 over the index see
+  * streamed documents immediately, with bucket pruning on both the
+  * base and epoch trees.
+  */
+final case class TextIndexStreamSink(indexDir: String, checkpoint: String,
+    compactEvery: Int = 16)
+    extends StreamSinkProvider {
+  val name = "text-index"
+  def start(df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+        val n = graft.operators.TextIndex.absorbEpoch(
+          batch.sparkSession, indexDir, batch.toDF(), epochId)
+        if (n > 0 && compactEvery > 0 && (epochId + 1) % compactEvery == 0)
+          try {
+            graft.operators.TextIndex.compactEpochs(batch.sparkSession, indexDir)
+            ()
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Console.err.println(
+                s"[graft] text-index auto-compact at epoch $epochId deferred: $e")
+          }
+        ()
+      }
+      .start()
+}
+
 final case class VTableStreamSink(dir: String, checkpoint: String,
     compactEvery: Int = 16, compactTargetBytes: Long = 128L << 20,
     refreshView: Option[graft.sources.MaterializedView] = None,

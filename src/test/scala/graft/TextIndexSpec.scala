@@ -117,6 +117,71 @@ class TextIndexSpec extends SparkSpecBase {
     assert(got == corpusScanBm25(docs, Seq("spark", "merge", "window")))
   }
 
+  test("epoch absorb: visible immediately, replay converges, folded epochs skip") {
+    val dir = freshDir("epoch")
+    val docs = tables.documents.select("doc_id", "text")
+    TextIndex.build(docs.filter(col("doc_id") < 50), dir)
+    val batch = Seq((900001L, "spark merge window"),
+      (900002L, "unrelated words here")).toDF("doc_id", "text")
+    assert(TextIndex.absorbEpoch(spark, dir, batch, epochId = 0L) > 0)
+    assert(TextIndex.search(spark, dir, Seq("spark", "merge"))
+      .collect().map(_.getLong(0)).toSet.contains(900001L))
+    // full-pipeline consistency through the epoch tree: index BM25 ==
+    // corpus-scan BM25 over base + epoch docs (corpusStats exercises
+    // the epoch-derived (n_docs, sum_dl) path)
+    val full = docs.filter(col("doc_id") < 50).union(batch)
+    val viaIndex = TextIndex.bm25(spark, dir, Seq("spark", "merge"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    assert(viaIndex == corpusScanBm25(full, Seq("spark", "merge")))
+    // redelivery of the SAME epoch overwrites its own directory — the
+    // index converges instead of doubling
+    assert(TextIndex.absorbEpoch(spark, dir, batch, epochId = 0L) > 0)
+    assert(TextIndex.bm25(spark, dir, Seq("spark", "merge"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+      == viaIndex)
+    // fold, then a redelivery of the folded epoch must skip whole
+    val before = viaIndex
+    assert(TextIndex.compactEpochs(spark, dir) > 0)
+    assert(TextIndex.maxFoldedEpoch(dir) == 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")))
+    assert(TextIndex.absorbEpoch(spark, dir, batch, epochId = 0L) == 0L)
+    assert(TextIndex.bm25(spark, dir, Seq("spark", "merge"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+      == before, "fold + skipped replay must leave scores identical")
+    // a fresh epoch above the mark still lands
+    assert(TextIndex.absorbEpoch(spark, dir,
+      Seq((900003L, "spark spark")).toDF("doc_id", "text"), epochId = 1L) > 0)
+    assert(TextIndex.search(spark, dir, Seq("spark"), requireAll = false)
+      .collect().map(_.getLong(0)).toSet.contains(900003L))
+  }
+
+  test("streaming sink: micro-batches land exactly-once and self-compact on the cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("stream")
+    TextIndex.build(tables.documents.select("doc_id", "text")
+      .filter(col("doc_id") < 20), dir)
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-textidx-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.TextIndexStreamSink(dir, checkpoint, compactEvery = 2)
+      .start(input.toDF().toDF("doc_id", "text"))
+    try {
+      input.addData((910001L, "spark merge window"))
+      q.processAllAvailable()
+      assert(TextIndex.search(spark, dir, Seq("spark", "merge"))
+        .collect().map(_.getLong(0)).toSet.contains(910001L))
+      input.addData((910002L, "merge merge spark"))
+      q.processAllAvailable() // epoch 1 → cadence boundary → inline fold
+      assert(TextIndex.search(spark, dir, Seq("merge"), requireAll = false)
+        .collect().map(_.getLong(0)).toSet
+        .intersect(Set(910001L, 910002L)) == Set(910001L, 910002L))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "epochs")),
+        "the cadence boundary must have folded the epoch trees inline")
+      assert(TextIndex.maxFoldedEpoch(dir) >= 1L)
+    } finally q.stop()
+  }
+
   test("compaction folds buckets and the stats ledger; probes byte-identical through the no-rename store") {
     val dir = freshDir("compact")
     val docs = tables.documents.select("doc_id", "text")
