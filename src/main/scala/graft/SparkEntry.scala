@@ -320,6 +320,7 @@ object SparkEntry {
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_table_branch" -> ((s, d) => graft.sources.TableBranch.qTableBranch(t(s, d))),
+    "q_table_diff" -> ((s, d) => graft.sources.TableBranch.qTableDiff(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
     "q_copy_into" -> ((s, d) => graft.sources.TableCopyInto.qCopyInto(t(s, d))),
@@ -2582,6 +2583,29 @@ object SparkEntry {
         |SELECT k, name, price FROM after_branch
         |UNION ALL SELECT k, name, price FROM ins
         |ORDER BY k""".stripMargin,
+    // every diff class derived from part with the fixture's own CASE
+    // arithmetic: deletes at their OLD values, update pre/post pairs
+    // for both the parent's and the branch's slices, branch inserts
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS k, p_name AS name, p_retailprice AS price
+        |  FROM part)
+        |SELECT k, name, price, 'delete' AS _change_type
+        |FROM base WHERE k % 10 = 4
+        |UNION ALL
+        |SELECT k, name, price, 'update_preimage' FROM base WHERE k % 10 IN (0, 1)
+        |UNION ALL
+        |SELECT k, name,
+        |  CASE WHEN k % 10 = 0 THEN floor((price * 1.05) * 100 + 0.5) / 100
+        |       ELSE floor((price + 1) * 100 + 0.5) / 100 END AS price,
+        |  'update_postimage' AS _change_type
+        |FROM base WHERE k % 10 IN (0, 1)
+        |UNION ALL
+        |SELECT k + 10000000 AS k, name,
+        |  floor((price / 2) * 100 + 0.5) / 100 AS price,
+        |  'insert' AS _change_type
+        |FROM base WHERE k % 10 = 6
+        |ORDER BY k, _change_type""".stripMargin,
     // every change class reconstructed in SQL: v1 inserts = the evens
     // append, v2 pre/postimages = the merge's matched keys (evens ∩
     // div3) at old/bumped price + inserts = unmatched div3, v3 deletes

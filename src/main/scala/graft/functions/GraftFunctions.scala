@@ -186,6 +186,37 @@ object GraftFunctions {
       graft.sources.VersionedTable(spark, dir)
         .readChangesSince(since, until).queryExecution.analyzed
     }), (
+    // retroactive row-level diff between any two versions (no CDF
+    // needed): `SELECT * FROM table_diff('name-or-/path', v1, v2,
+    // 'key')` — readChangesSince's net shape, manifest-pruned to the
+    // files unique to either version
+    FunctionIdentifier("table_diff"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_diff"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      def intArg(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"table_diff: $what must be an integer literal, got $other")
+      }
+      val (target, v1, v2, key) = args match {
+        case Seq(Literal(t: UTF8String, _), a, b, Literal(k: UTF8String, _)) =>
+          (t.toString, intArg(a, "v1"), intArg(b, "v2"), k.toString)
+        case _ => throw new IllegalArgumentException(
+          "usage: table_diff('name-or-/path', v1, v2, 'key')")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_diff: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .snapshotDiff(v1, v2, key).queryExecution.analyzed
+    }), (
     // O(metadata) per-column statistics as SQL: `SELECT * FROM
     // table_stats('name-or-/path'[, version])` — manifest-exact rows,
     // null counts and numeric bounds; NDV-sidecar distincts and

@@ -3645,6 +3645,80 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     pieces.foldLeft(empty)(_ unionByName _)
   }
 
+  /** Row-level DIFF between two committed versions WITHOUT change
+    * tracking — retroactive (works on any pair of retained versions,
+    * CDF on or off): rows only in `v1` emit as `delete` (their old
+    * values), rows only in `v2` as `insert`, rows under a key both
+    * versions hold with ANY column differing as `update_preimage` +
+    * `update_postimage`. The output is [[readChangesSince]]'s net
+    * shape minus the commit-version column, so it feeds
+    * [[applyChanges]] (replicate a version range onto another table
+    * with no feed history) and answers "what changed between Monday's
+    * and today's snapshot" as one frame.
+    *
+    * MANIFEST-PRUNED: files common to both versions carry identical
+    * rows on both sides and cancel, so only files unique to either
+    * version are read — O(changed files), never O(table). Soundness
+    * needs the keyed-table contract this engine's MERGE already
+    * enforces: `key` unique per snapshot (a key can't sit in a common
+    * file on one side and a differing file on the other) and non-null
+    * (SQL join semantics would split a null-keyed row into a
+    * delete+insert pair). Schemas may differ across the window:
+    * both sides align to `v2`'s logical schema by physical identity
+    * (renames track, dropped/added columns null-extend, widenings
+    * up-cast) — the same alignment the change feed applies.
+    */
+  def snapshotDiff(v1: Int, v2: Int, key: String): DataFrame = {
+    val cur = currentVersion
+    require(v1 >= 1 && v2 >= 1 && v1 <= cur && v2 <= cur,
+      s"snapshotDiff: versions must be committed (1..$cur), got $v1, $v2")
+    val m1 = manifest(v1)
+    val m2 = manifest(v2)
+    val f1 = manifestFiles(m1)
+    val f2 = manifestFiles(m2)
+    val only1 = f1.filterNot(f2.toSet)
+    val only2 = f2.filterNot(f1.toSet)
+    val tgt = Option(m2.get("schema"))
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      .filter(_.fields.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshotDiff: version $v2 of $dir carries no schema"))
+    require(tgt.fieldNames.contains(key), s"snapshotDiff: no column `$key` in v$v2")
+    def side(m: JsonNode, rels: Seq[String]): DataFrame = {
+      val df = if (rels.nonEmpty) readFiles(m, rels) else emptySnapshot(m)
+      val pieceSchema = Option(m.get("schema"))
+        .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+        .filter(_.fields.nonEmpty).getOrElse(tgt)
+      val byPhys = pieceSchema.fields.iterator
+        .map(f => VersionedTable.physicalName(f) -> f.name).toMap
+      df.select(tgt.fields.toSeq.map { f =>
+        byPhys.get(VersionedTable.physicalName(f)) match {
+          case Some(src) if df.columns.contains(src) =>
+            col(src).cast(f.dataType).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+    val a = side(m1, only1).as("a")
+    val b = side(m2, only2).as("b")
+    val cols = tgt.fieldNames.toSeq
+    val joined = a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
+    val ct = VersionedTable.ChangeTypeCol
+    def pick(sideTag: String) = cols.map(c => col(s"$sideTag.$c").as(c))
+    val aRow = org.apache.spark.sql.functions.struct(cols.map(c => col(s"a.$c")): _*)
+    val bRow = org.apache.spark.sql.functions.struct(cols.map(c => col(s"b.$c")): _*)
+    val deletes = joined.filter(col(s"b.$key").isNull)
+      .select(pick("a") :+ lit("delete").as(ct): _*)
+    val inserts = joined.filter(col(s"a.$key").isNull)
+      .select(pick("b") :+ lit("insert").as(ct): _*)
+    val changed = joined.filter(col(s"a.$key").isNotNull &&
+      col(s"b.$key").isNotNull && !(aRow <=> bRow))
+    deletes
+      .unionByName(inserts)
+      .unionByName(changed.select(pick("a") :+ lit("update_preimage").as(ct): _*))
+      .unionByName(changed.select(pick("b") :+ lit("update_postimage").as(ct): _*))
+  }
+
   /** Commit history, newest first (Delta's DESCRIBE HISTORY): one row
     * per retained version with its operation, wall-clock commit time
     * (null for manifests written before timestamps existed), file
@@ -5097,5 +5171,20 @@ object TableBranch {
     VersionedTable(t.spark, builtTable(t)).read()
       .select("k", "name", "price")
       .orderBy("k")
+  }
+
+  /** Contract query for the retroactive snapshot diff
+    * ([[VersionedTable.snapshotDiff]]): v1 (the seed) diffed against
+    * the post-merge head of the SAME branch fixture must report
+    * exactly the parent's update, the branch's update/delete/insert —
+    * every change class in one frame, with no change tracking
+    * consulted. FULLY DuckDB-oracled by deriving each class from
+    * `part` with the fixture's own CASE arithmetic.
+    */
+  def qTableDiff(t: Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vt = VersionedTable(t.spark, builtTable(t))
+    vt.snapshotDiff(1, vt.currentVersion, "k")
+      .orderBy("k", VersionedTable.ChangeTypeCol)
   }
 }
