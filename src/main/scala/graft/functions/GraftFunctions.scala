@@ -217,6 +217,30 @@ object GraftFunctions {
       graft.sources.VersionedTable(spark, dir)
         .snapshotDiff(v1, v2, key).queryExecution.analyzed
     }), (
+    // read a live branch as a relation: `SELECT * FROM
+    // table_branch('name-or-/path', 'branch')` — the branch's head
+    // snapshot, queryable/joinable without registering a second view
+    FunctionIdentifier("table_branch"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_branch"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (target, branch) = args match {
+        case Seq(Literal(t: UTF8String, _), Literal(b: UTF8String, _)) =>
+          (t.toString, b.toString)
+        case _ => throw new IllegalArgumentException(
+          "usage: table_branch('name-or-/path', 'branch')")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_branch: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .branch(branch).read().queryExecution.analyzed
+    }), (
     // O(metadata) per-column statistics as SQL: `SELECT * FROM
     // table_stats('name-or-/path'[, version])` — manifest-exact rows,
     // null counts and numeric bounds; NDV-sidecar distincts and

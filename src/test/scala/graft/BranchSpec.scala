@@ -166,6 +166,26 @@ class BranchSpec extends SparkSpecBase {
     assert(!spark.sql("ALTER TABLE branch_parser_t DROP BRANCH px").head().getBoolean(0))
   }
 
+  test("table_branch TVF reads a branch head as a relation") {
+    val vt = freshTable("tvf")
+    seed(vt, n = 4)
+    vt.scan().createOrReplaceTempView("branch_tvf_t")
+    vt.createBranch("peek")
+    vt.branch("peek").updateWhere(col("k") === 1L, Map("price" -> lit(123.0)))
+    val viaName = spark.sql(
+      "SELECT price FROM table_branch('branch_tvf_t', 'peek') WHERE k = 1")
+      .head().getDouble(0)
+    assert(viaName == 123.0)
+    val viaPath = spark.sql(
+      s"SELECT count(*) AS n FROM table_branch('${vt.dir}', 'peek')")
+      .head().getLong(0)
+    assert(viaPath == 4L)
+    // the parent's own view is untouched by the branch edit
+    assert(spark.table("branch_tvf_t").filter(col("k") === 1L)
+      .head().getDouble(2) == 10.0)
+    vt.dropBranch("peek")
+  }
+
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
     val vt = freshTable("noop")
     seed(vt, n = 3)
