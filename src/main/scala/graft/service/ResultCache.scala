@@ -96,7 +96,7 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     val tainted =
       try {
         val plan = service.spark.sessionState.sqlParser.parsePlan(query)
-        hasNondeterministic(plan) ||
+        hasNondeterministic(plan) || hasStatefulTvf(plan) ||
           referencedNames(plan).exists(n =>
             nondetNames.contains(n) || isIntrospection(n))
       } catch { case NonFatal(_) => false }
@@ -148,6 +148,15 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
       return (service.sqlJson(query, limit, offset), false)
     val names = referencedNames(plan)
     if (hasNondeterministic(plan) || names.exists(nondetNames.contains))
+      return (service.sqlJson(query, limit, offset), false)
+    // graft's TABLE functions read table state the name fingerprint
+    // can't see — their target arrives as a string ARGUMENT, not an
+    // UnresolvedRelation, so no version binding or nonce covers it: a
+    // cached table_changes/table_branch/table_stats result would
+    // silently go stale on the next commit to the argument table (a
+    // direct-API writer bumps no DDL nonce). Version-pinned spellings
+    // (table_diff, until-bounded table_changes) over-bypass — safe
+    if (hasStatefulTvf(plan))
       return (service.sqlJson(query, limit, offset), false)
     // catalog INTROSPECTION is never cacheable: information_schema
     // views (under either spelling — the SQL name or the backing temp
@@ -261,6 +270,17 @@ final class ResultCache(service: QueryService, capacity: Int = 64,
     hits.exists(ResultCache.NondeterministicFns)
   }
 
+  /** Does the statement invoke one of graft's table functions? Their
+    * table identity hides in a string argument, outside every
+    * fingerprint — see the bypass at the call site.
+    */
+  private def hasStatefulTvf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.collectWithSubqueries {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
+        t.name.last.toLowerCase
+    }.exists(ResultCache.StatefulTvfs)
+
   /** Collapse whitespace runs and case-fold, EXCEPT inside
     * '...'/"..."/`...` spans (string literals keep their exact bytes;
     * quoted identifiers keep case). `backslashEscapes` mirrors the
@@ -316,4 +336,10 @@ object ResultCache {
     "now", "current_timestamp", "current_date", "current_timezone",
     "unix_timestamp", "localtimestamp", "current_user", "session_user",
     "input_file_name", "spark_partition_id")
+
+  /** graft table functions whose content lives outside the name
+    * fingerprint (table identity is a string argument).
+    */
+  val StatefulTvfs: Set[String] = Set(
+    "table_changes", "table_stats", "table_diff", "table_branch")
 }

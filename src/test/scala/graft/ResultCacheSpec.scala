@@ -174,6 +174,32 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(r1 != r2)
   }
 
+  test("stateful table functions bypass the cache (their target hides in a string argument)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = svc()
+    val dir = Files.createTempDirectory("graft-rc-tvf").toString + "/t"
+    val vt = VersionedTable(spark, dir)
+    vt.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    vt.createBranch("b")
+    val q = s"SELECT count(*) AS n FROM table_branch('$dir', 'b')"
+    val (r1, h1) = s.sqlJsonCached(q)
+    val (r2, h2) = s.sqlJsonCached(q)
+    assert(!h1 && !h2, "table_branch reads branch state no fingerprint covers")
+    assert(r1 == r2)
+    // the point of the bypass: a DIRECT-API branch write (no service
+    // command, no nonce bump) must be visible on the next call
+    vt.branch("b").append(Seq((3L, 3.0)).toDF("k", "v"))
+    val (r3, h3) = s.sqlJsonCached(q)
+    assert(!h3 && r3 != r1, s"stale branch count served: $r3")
+    // a submitted view WRAPPING the TVF inherits the bypass
+    s.submit("rc_tvf_view", s"SELECT * FROM table_branch('$dir', 'b')")
+    val wrapped = "SELECT count(*) AS n FROM rc_tvf_view"
+    val (_, w1) = s.sqlJsonCached(wrapped)
+    val (_, w2) = s.sqlJsonCached(wrapped)
+    assert(!w1 && !w2, "a view over a stateful TVF must never cache")
+  }
+
   test("non-deterministic statements bypass the cache") {
     val s = svc()
     val q = "SELECT rand() AS r"
