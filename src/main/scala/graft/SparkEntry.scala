@@ -1512,13 +1512,14 @@ object SparkEntry {
     // filter than the Spark side's prefix-filtered q-grams, so a
     // false negative in either blocking diverges the hash
     "q_edit_join" ->
-      """WITH a AS (SELECT p_partkey AS a_id, p_name AS a_s FROM part),
+      """WITH a AS (SELECT p_partkey AS a_id,
+        |        p_name || ' #' || cast(p_partkey AS VARCHAR) AS a_s FROM part),
         |b AS (SELECT p_partkey + 1000000 AS b_id,
-        |        CASE WHEN p_partkey % 3 = 0
+        |        (CASE WHEN p_partkey % 3 = 0
         |               THEN substr(p_name, 1, 2) || substr(p_name, 4)
         |             WHEN p_partkey % 3 = 1 THEN p_name
         |             ELSE substr(p_name, 1, 4) || 'x' || substr(p_name, 6)
-        |        END AS b_s
+        |        END) || ' #' || cast(p_partkey AS VARCHAR) AS b_s
         |      FROM part),
         |ch AS (SELECT a_id, a_s,
         |        unnest([substr(a_s, 1, cast(ceil(length(a_s) / 2.0) AS INTEGER)),

@@ -5,37 +5,43 @@ import org.apache.spark.sql.functions._
 
 /** Edit-distance FUZZY JOIN — all pairs (a, b) with
   * `levenshtein(a.s, b.s) <= d`, without the O(|A|·|B|) cross
-  * product: q-gram PREFIX FILTERING (Chaudhuri et al., ICDE 2006;
-  * Xiao et al.'s Ed-Join refinement, VLDB 2008) blocks candidates
-  * down to pairs sharing a RARE gram, then one codegen'd
-  * `levenshtein` verifies each survivor.
+  * product: POSITIONAL q-gram blocking in the Ed-Join family (Xiao
+  * et al., VLDB 2008; prefix filtering after Chaudhuri et al., ICDE
+  * 2006), then one codegen'd threshold-`levenshtein` verifies each
+  * surviving candidate.
   *
-  * Why it is LOSSLESS (no false negatives): one edit rewrites at most
-  * q of a string's distinct q-grams (a distinct gram vanishes only if
-  * some occurrence overlaps the edited position), so
-  * `ed(a,b) <= d ⟹ |grams(a) ∖ grams(b)| <= q·d` and the set overlap
-  * is at least `max(|grams(a)|, |grams(b)|) − q·d`. By the standard
-  * prefix-filtering lemma, two gram sets ordered by ONE global total
-  * order and overlapping that much must collide within their first
-  * `q·d + 1` grams — so joining only each string's `q·d + 1` RAREST
-  * grams (global document frequency, ties by gram) finds every true
-  * pair. Rarest-first is also the SCALE lever: a boilerplate gram
-  * shared by half the corpus sorts to the back of every prefix and
-  * never drives the candidate join's fan-out.
+  * Why it is LOSSLESS (no false negatives): a string of length L has
+  * L−q+1 positional q-gram OCCURRENCES, and one edit rewrites at most
+  * q of them — so `ed(a,b) <= d` destroys at most `q·d` of a's
+  * occurrences, and every SURVIVING occurrence (gram g at position p)
+  * appears in b as g at some position within `d` of p (edits left of
+  * it shift it by at most one each). Pick ANY `q·d + 1` of a's
+  * occurrences: at least one survives, so joining a's picked
+  * occurrences against ALL of b's occurrences on (gram,
+  * position-bucket) — buckets of width d+1, the a side emitting the
+  * ≤2 buckets its ±d window spans — finds every true pair. The pick
+  * is a free choice, so it is spent as a performance heuristic: a's
+  * occurrences whose gram is RAREST ON THE B SIDE (absent-in-b grams
+  * first — for a true pair those were destroyed occurrences, and the
+  * +1 over `q·d` already pays for them). The positional key is what
+  * keeps a common gram cheap: a boilerplate gram pairs only strings
+  * carrying it at nearby OFFSETS, not every pair of strings
+  * containing it anywhere.
   *
   * Strings too short to carry a q-gram (len < q) can't ride the gram
   * join; their partners sit within d of their length, so both sides
   * of any such pair live in the bounded `len < q + d` slice — those
-  * slices pair through a constant-key equi-join (broadcast-sized at
-  * any corpus scale: sub-q-gram strings are a fixed-alphabet
-  * population) and verify through the same levenshtein. The two
+  * slices pair through an exploded LENGTH-BAND equi-key (a constant
+  * dummy key would fold away in the optimizer and degrade to a
+  * nested loop) and verify through the same levenshtein. The two
   * candidate sets are disjoint by construction (the short path
   * requires one side with no grams; the gram path requires both).
   *
-  * Shuffle inventory at 100 TB: grams explode O(len) rows per string,
-  * df is one partial-agg'd gram-keyed pass, the prefix pick is a
-  * per-string window (bounded partitions), the candidate join is
-  * gram-keyed carrying `q·d + 1` rows per string, verification is a
+  * Shuffle inventory at 100 TB: both sides explode O(len) occurrence
+  * rows per string, b's gram frequencies are one partial-agg'd pass,
+  * a's pick is a per-string window (bounded partitions), the
+  * candidate join carries `q·d + 1` rows per a-string (×2 bucket
+  * keys) against b's occurrence table, and verification is a
   * projection. Nothing is quadratic except genuinely-colliding
   * candidates — which the verifier must read anyway.
   */
@@ -48,7 +54,9 @@ object FuzzyJoin {
     */
   def edJoin(a: DataFrame, b: DataFrame, maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad edJoin params d=$maxDist q=$q")
-    val prefixLen = q * maxDist + 1
+    if (maxDist <= 1) return edJoinDeletion(a, b, maxDist)
+    val pickLen = q * maxDist + 1
+    val w = maxDist + 1 // position-bucket width
 
     def named(df: DataFrame, side: String): DataFrame =
       df.select(col("id").as(s"${side}_id"), col("s").as(s"${side}_s"),
@@ -57,49 +65,56 @@ object FuzzyJoin {
     val aN = named(a, "a")
     val bN = named(b, "b")
 
-    // distinct q-grams per string: one explode, no shuffle until df
+    // positional q-gram occurrences: one explode per side
     def grams(df: DataFrame, side: String): DataFrame =
       df.filter(col(s"${side}_len") >= q)
         .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
-          explode(array_distinct(transform(
+          explode(transform(
             sequence(lit(1), col(s"${side}_len") - lit(q) + 1),
-            i => col(s"${side}_s").substr(i, lit(q))))).as("gram"))
+            i => struct(col(s"${side}_s").substr(i, lit(q)).as("gram"),
+              i.as("pos")))).as("g"))
+        .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+          col("g.gram").as("gram"), col("g.pos").as("pos"))
 
     val aG = grams(aN, "a")
     val bG = grams(bN, "b")
+      .withColumn("pb", floor(col("pos") / w))
 
-    // ONE global gram order for both sides: document frequency over
-    // the union (rarest first, ties by gram) — the lemma needs the
-    // same total order on every prefix
-    val df = aG.select(col("gram")).union(bG.select(col("gram")))
-      .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // b-side gram frequencies steer a's pick (rarest-in-b first;
+    // absent-in-b grams rank ahead of everything — destroyed
+    // occurrences for any true pair, already budgeted by the +1)
+    val dfB = bG.groupBy("gram").agg(count(lit(1)).as("gram_df"))
 
-    def prefix(g: DataFrame, side: String): DataFrame = {
+    val aPick = {
       import org.apache.spark.sql.expressions.Window
-      g.join(df, "gram")
+      aG.join(dfB, Seq("gram"), "left")
+        .withColumn("gram_df", coalesce(col("gram_df"), lit(0L)))
         .withColumn("grank", row_number().over(
-          Window.partitionBy(s"${side}_id")
-            .orderBy(col("gram_df"), col("gram"))))
-        .filter(col("grank") <= prefixLen)
-        .select(col("gram"), col(s"${side}_id"), col(s"${side}_s"),
-          col(s"${side}_len"))
+          Window.partitionBy("a_id")
+            .orderBy(col("gram_df"), col("gram"), col("pos"))))
+        .filter(col("grank") <= pickLen)
     }
+    // each picked occurrence enumerates every bucket its ±d window
+    // can touch (≤3 of width d+1) — the band-join-to-equi-join trick
+    val aKeys = aPick
+      .withColumn("pb", explode(sequence(
+        floor((col("pos") - maxDist) / w), floor((col("pos") + maxDist) / w))))
+      .select("gram", "pb", "a_id", "a_s", "a_len")
 
-    // candidates: prefixes collide on a gram within the length window;
-    // strings ride along (<= prefixLen copies each) so verification
-    // needs no id-rejoin — flip to a rejoin if rows are document-sized
-    val gramCands = prefix(aG, "a").join(prefix(bG, "b"), "gram")
+    // candidates: picked a-occurrences meet ALL b-occurrences sharing
+    // the gram at a nearby offset, inside the length window; strings
+    // ride along (<= pickLen·2 copies each) so verification needs no
+    // id-rejoin — flip to a rejoin if rows are document-sized
+    val gramCands = aKeys.join(bG.select("gram", "pb", "b_id", "b_s", "b_len"),
+        Seq("gram", "pb"))
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)
       .select("a_id", "a_s", "b_id", "b_s")
       .distinct()
 
     // sub-q-gram strings: both sides of such a pair have len < q + d —
     // a bounded population at any scale. The length window IS the
-    // equi-key: the a-side emits its 2d+1 admissible partner lengths,
-    // the b-side its own length, and equality covers |Δlen| <= d as a
-    // hash join (a constant dummy key would fold away and degrade to
-    // a nested loop; a length key survives the optimizer). Each pair
-    // meets on exactly one key (b's length), so no dedup is needed.
+    // equi-key (see the scaladoc); each pair meets on exactly one key
+    // (b's length), so no dedup is needed.
     val shortCands = aN.filter(col("a_len") < q + maxDist)
       .withColumn("lk", explode(sequence(
         col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
@@ -111,6 +126,44 @@ object FuzzyJoin {
     gramCands.unionByName(shortCands)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0) // threshold form returns -1 past the bound
+      .select("a_id", "b_id", "dist")
+  }
+
+  /** The d <= 1 fast path — DELETION-NEIGHBORHOOD blocking (the
+    * FastSS / SymSpell family, Bocek et al. 2007): `ed(a, b) <= 1`
+    * EXACTLY when `{a} ∪ deletions(a)` intersects `{b} ∪
+    * deletions(b)` (a substitution deletes the differing position
+    * from both; an insertion deletes the inserted character from the
+    * longer side), so candidates come from ONE equi-join on hashed
+    * variants — no gram frequencies, no windows, and crucially no
+    * dependence on the corpus's gram vocabulary: q-gram blocking
+    * degrades to ~n²/|gram vocabulary| candidates on repetitive
+    * small-vocabulary corpora, while the deletion join's fan-out
+    * tracks actual near-duplicate structure. Variants are emitted as
+    * xxhash64 values (8 bytes per variant, O(len) per string — never
+    * the O(len²) bytes of materialized variant strings); a hash
+    * collision or the ed<=2 shapes whose deletion sets also touch
+    * only ever ADD candidates, and the levenshtein verify kills them.
+    */
+  private def edJoinDeletion(a: DataFrame, b: DataFrame, maxDist: Int): DataFrame = {
+    def variants(df: DataFrame, side: String): DataFrame = {
+      val named = df.select(col("id").as(s"${side}_id"),
+        col("s").as(s"${side}_s"), length(col("s")).as(s"${side}_len"))
+      val s = col(s"${side}_s")
+      // i = 0 keeps the string itself; i = 1..len deletes char i
+      val upper = if (maxDist == 0) lit(0) else col(s"${side}_len")
+      named.select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+        explode(transform(sequence(lit(0), upper), i =>
+          xxhash64(when(i === 0, s)
+            .otherwise(concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, col(s"${side}_len") - i)))))).as("vh"))
+    }
+    variants(a, "a").join(variants(b, "b"), "vh")
+      .filter(abs(col("a_len") - col("b_len")) <= maxDist)
+      .select("a_id", "a_s", "b_id", "b_s")
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
+      .filter(col("dist") >= 0)
       .select("a_id", "b_id", "dist")
   }
 
@@ -126,22 +179,32 @@ object FuzzyJoin {
     * lossless blocking: the oracle blocks by the PassJoin pigeonhole
     * (split each left string into d+1 chunks; an ed<=d partner must
     * contain one chunk verbatim — Li et al., VLDB 2012) while this
-    * side blocks by prefix-filtered q-grams, so a false negative in
+    * side blocks by positional q-grams, so a false negative in
     * EITHER filter diverges the hash. The dirty side is a
-    * deterministic per-key mutation of `part.p_name` (drop a char /
+    * deterministic per-key mutation of the part entity (drop a char /
     * identity / replace a char — all ed<=1, all SQL-replicable), the
     * entity-resolution shape: match a corrupted feed back to its
     * catalog.
     */
   def qEditJoin(t: graft.sources.Tables): DataFrame = {
-    val clean = t.part.select(col("p_partkey").as("id"), col("p_name").as("s"))
+    // entity string = name + record id, the dirty-feed shape. The id
+    // suffix matters for SCALE, not just realism: the synthetic part
+    // names draw from a ~100-name vocabulary with groups of hundreds
+    // of identical strings, so a bare-name ed-join's ANSWER is
+    // quadratic in group size (6M+ pairs at sf0.1) — no blocking can
+    // beat an output that large. Suffixed entities keep the answer
+    // O(n) and give every string rare grams for the pick to block on.
+    def entity(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(name, lit(" #"), col("p_partkey").cast("string"))
+    val clean = t.part.select(col("p_partkey").as("id"),
+      entity(col("p_name")).as("s"))
     val dirty = t.part.select(
       (col("p_partkey") + lit(1000000L)).as("id"),
       when(col("p_partkey") % 3 === 0,
-        concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)")))
-        .when(col("p_partkey") % 3 === 1, col("p_name"))
-        .otherwise(concat(substring(col("p_name"), 1, 4), lit("x"),
-          expr("substr(p_name, 6)"))).as("s"))
+        entity(concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)"))))
+        .when(col("p_partkey") % 3 === 1, entity(col("p_name")))
+        .otherwise(entity(concat(substring(col("p_name"), 1, 4), lit("x"),
+          expr("substr(p_name, 6)")))).as("s"))
     edJoin(clean, dirty, maxDist = 1)
       .orderBy("a_id", "b_id")
   }
