@@ -305,6 +305,7 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
     "q_text_search" -> ((s, d) => graft.operators.TextIndex.qTextSearch(t(s, d))),
     "q_edit_join" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoin(t(s, d))),
+    "q_edit_join_sql" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
@@ -1512,6 +1513,29 @@ object SparkEntry {
     // filter than the Spark side's prefix-filtered q-grams, so a
     // false negative in either blocking diverges the hash
     "q_edit_join" ->
+      """WITH a AS (SELECT p_partkey AS a_id,
+        |        p_name || ' #' || cast(p_partkey AS VARCHAR) AS a_s FROM part),
+        |b AS (SELECT p_partkey + 1000000 AS b_id,
+        |        (CASE WHEN p_partkey % 3 = 0
+        |               THEN substr(p_name, 1, 2) || substr(p_name, 4)
+        |             WHEN p_partkey % 3 = 1 THEN p_name
+        |             ELSE substr(p_name, 1, 4) || 'x' || substr(p_name, 6)
+        |        END) || ' #' || cast(p_partkey AS VARCHAR) AS b_s
+        |      FROM part),
+        |ch AS (SELECT a_id, a_s,
+        |        unnest([substr(a_s, 1, cast(ceil(length(a_s) / 2.0) AS INTEGER)),
+        |                substr(a_s, cast(ceil(length(a_s) / 2.0) AS INTEGER) + 1)]) AS chunk
+        |       FROM a),
+        |cand AS (SELECT DISTINCT a_id, a_s, b_id, b_s
+        |         FROM ch JOIN b ON abs(length(a_s) - length(b_s)) <= 1
+        |                       AND contains(b_s, chunk))
+        |SELECT a_id, b_id, cast(levenshtein(a_s, b_s) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(a_s, b_s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the SQL-text spelling of the same join (planned by the
+    // EdJoinRewrite optimizer rule) must reproduce the identical
+    // decision set — same independent PassJoin oracle
+    "q_edit_join_sql" ->
       """WITH a AS (SELECT p_partkey AS a_id,
         |        p_name || ' #' || cast(p_partkey AS VARCHAR) AS a_s FROM part),
         |b AS (SELECT p_partkey + 1000000 AS b_id,

@@ -316,6 +316,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session-flagged COUNT(DISTINCT) → HLL sketch rewrite (off by
     // default; see graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+    // naive `JOIN ON levenshtein(a,b) <= d` (d <= 1) → the lossless
+    // deletion-neighborhood blocked join instead of a nested loop
+    ext.injectOptimizerRule(_ => graft.plans.EdJoinRewrite)
     // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -208,4 +208,33 @@ object FuzzyJoin {
     edJoin(clean, dirty, maxDist = 1)
       .orderBy("a_id", "b_id")
   }
+
+  /** The SAME join as [[qEditJoin]] written the way a SQL user would —
+    * a naive `JOIN ON levenshtein(a.s, b.s) <= 1` over two views —
+    * planned by [[graft.plans.EdJoinRewrite]] into the blocked form
+    * (PlanAuditSpec's no-nested-loop sweep enforces that the rule
+    * actually fired: without it this plan IS a BroadcastNestedLoopJoin
+    * over 20k×20k levenshtein calls). Shares q_edit_join's oracle
+    * text: both paths must hash-match the same independent PassJoin
+    * replay.
+    */
+  def qEditJoinSql(t: graft.sources.Tables): DataFrame = {
+    graft.plans.EdJoinRewrite.install(t.spark)
+    def entity(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(name, lit(" #"), col("p_partkey").cast("string"))
+    t.part.select(col("p_partkey").as("id"), entity(col("p_name")).as("s"))
+      .createOrReplaceTempView("__graft_edj_a")
+    t.part.select((col("p_partkey") + lit(1000000L)).as("id"),
+      when(col("p_partkey") % 3 === 0,
+        entity(concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)"))))
+        .when(col("p_partkey") % 3 === 1, entity(col("p_name")))
+        .otherwise(entity(concat(substring(col("p_name"), 1, 4), lit("x"),
+          expr("substr(p_name, 6)")))).as("s"))
+      .createOrReplaceTempView("__graft_edj_b")
+    t.spark.sql(
+      """SELECT a.id AS a_id, b.id AS b_id, levenshtein(a.s, b.s) AS dist
+        |FROM __graft_edj_a a JOIN __graft_edj_b b
+        |  ON levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
 }

@@ -145,11 +145,20 @@ object TextIndex {
 
   private def hasParquet(p: java.nio.file.Path): Boolean = {
     if (!java.nio.file.Files.isDirectory(p)) return false
-    val s = java.nio.file.Files.walk(p)
+    // the walk races the writer's epoch fold (atomic renames + tree
+    // deletes); a subtree vanishing mid-walk means the fold moved it —
+    // treat as absent rather than failing the probe
     try {
-      s.anyMatch(f => f.getFileName != null &&
-        f.getFileName.toString.endsWith(".parquet"))
-    } finally s.close()
+      val s = java.nio.file.Files.walk(p)
+      try {
+        s.anyMatch(f => f.getFileName != null &&
+          f.getFileName.toString.endsWith(".parquet"))
+      } finally s.close()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => false
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => false
+    }
   }
 
   /** The full posting set: the compacted base tree plus any streamed
