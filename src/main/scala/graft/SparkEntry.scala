@@ -305,6 +305,7 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TextAnalysis.qBm25(t(s, d))),
     "q_text_search" -> ((s, d) => graft.operators.TextIndex.qTextSearch(t(s, d))),
     "q_edit_join" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoin(t(s, d))),
+    "q_range_join_sql" -> ((s, d) => RangeJoin.qRangeJoinSql(t(s, d))),
     "q_edit_join_sql" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
@@ -1666,6 +1667,17 @@ object SparkEntry {
         |      WHERE event_type = 'error') e
         |JOIN ev a ON a.user_id = e.user_id
         |  AND a.tu > e.err_tu AND a.tu <= e.err_tu + 300000000
+        |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin,
+    // the pure-range spelling (no user key): planned by RangeJoinRewrite
+    // into a binned equi-join; counts are per-error over ALL users
+    "q_range_join_sql" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS tu, event_type FROM events)
+        |SELECT e.err_id, count(*) AS n_after,
+        | cast(sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |FROM (SELECT event_id AS err_id, tu AS err_tu FROM ev
+        |      WHERE event_type = 'error') e
+        |JOIN ev a ON a.tu > e.err_tu AND a.tu <= e.err_tu + 300000000
         |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin,
     "q_sql_cte" ->
       """WITH spend AS (

@@ -319,6 +319,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive `JOIN ON levenshtein(a,b) <= d` (d <= 1) → the lossless
     // deletion-neighborhood blocked join instead of a nested loop
     ext.injectOptimizerRule(_ => graft.plans.EdJoinRewrite)
+    // naive range join (x BETWEEN lo AND hi) → binned equi-join when
+    // spark.graft.rangeJoin.binSize is set (off otherwise)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // plans graft.plans.TopKPerGroupPlan (bounded-heap per-group
     // top-k); inert on every other plan node
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -42,4 +42,31 @@ object RangeJoin {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
       .orderBy("err_id")
   }
+
+  /** The NAIVE SQL spelling of a pure range join — no user key, no
+    * hand bucketing: every event (any user) within the window after
+    * each error, written as `a.tu > e.err_tu AND a.tu <= e.err_tu +
+    * win`. Stock Spark can only nested-loop this;
+    * [[graft.plans.RangeJoinRewrite]] bins it into an equi-join
+    * (PlanAuditSpec's no-nested-loop sweep enforces that the rule
+    * actually fired). The bin-size conf is left set for the session —
+    * it only affects joins carrying range conjuncts, every one of
+    * which stays oracle-exact by the rule's losslessness.
+    */
+  def qRangeJoinSql(t: Tables, windowSec: Long = 300): DataFrame = {
+    graft.plans.RangeJoinRewrite.install(t.spark)
+    t.spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf,
+      (windowSec * 1000000L).toString)
+    t.events.select(col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("event_type"))
+      .createOrReplaceTempView("__graft_rj_ev")
+    t.spark.sql(
+      s"""SELECT e.err_id, count(*) AS n_after,
+         | sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+         |FROM (SELECT event_id AS err_id, tu AS err_tu FROM __graft_rj_ev
+         |      WHERE event_type = 'error') e
+         |JOIN __graft_rj_ev a
+         |  ON a.tu > e.err_tu AND a.tu <= e.err_tu + ${windowSec * 1000000L}
+         |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin)
+  }
 }
