@@ -308,6 +308,7 @@ object SparkEntry {
     "q_range_join_sql" -> ((s, d) => RangeJoin.qRangeJoinSql(t(s, d))),
     "q_edit_join_sql" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
+    "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.qPhraseSearch(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
@@ -1592,6 +1593,19 @@ object SparkEntry {
         |  FROM s)
         |SELECT token, doc_id, tf, score, rk FROM r
         |WHERE rk <= 10 ORDER BY token, rk""".stripMargin,
+    // positional phrase search: the oracle re-derives 1-based token
+    // positions and counts ADJACENT pairs (overlap-exact, unlike
+    // substring replacement counting)
+    "q_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, z.z[1] AS token, cast(z.z[2] AS BIGINT) AS pos
+        |  FROM documents, unnest(list_zip(string_split(text, ' '),
+        |       range(1, len(string_split(text, ' ')) + 1))) AS z(z))
+        |SELECT t1.doc_id, cast(count(*) AS BIGINT) AS n_hits
+        |FROM tok t1 JOIN tok t2
+        |  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |WHERE t1.token = 'spark' AND t2.token = 'merge'
+        |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         | substr(p_name, 1, 8) AS name_prefix,

@@ -89,16 +89,20 @@ object TextIndex {
     if (m < 0) m + buckets else m
   }
 
-  /** (token, doc_id, tf, dl, tok_bucket) postings for a
-    * (doc_id, text) frame: one explode, one partial-agg'd count —
+  /** (token, doc_id, tf, dl, positions, tok_bucket) postings for a
+    * (doc_id, text) frame: one posexplode, one partial-agg'd count —
     * dl rides along as `size(tokens)` (a scan-level projection, no
-    * second pass and no join).
+    * second pass and no join). POSITIONS (1-based, sorted) make the
+    * index positional: phrase and proximity queries answer from
+    * postings alone ([[phraseSearch]]) at the classic ~2× posting
+    * size cost of a positional inverted index.
     */
   private def postings(docs: DataFrame, buckets: Int): DataFrame =
     docs.select(col("doc_id"), size(toks).as("dl"),
-        explode(toks).as("token"))
+        posexplode(toks).as(Seq("pos0", "token")))
       .groupBy("token", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos0") + 1)).as("positions"))
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets)))
 
   private def appendBatch(docs: DataFrame, dir: String, buckets: Int,
@@ -228,6 +232,35 @@ object TextIndex {
       .agg(countDistinct(col("token")).as("n_matched"),
         sum(col("tf")).as("total_tf"))
     if (requireAll) m.filter(col("n_matched") === terms.distinct.size) else m
+  }
+
+  /** PHRASE search from the positional index: documents containing
+    * the exact token sequence, with the occurrence count —
+    * (doc_id, n_hits). The scan stays pruned to the phrase's terms'
+    * buckets; matching folds left to right through |phrase|−1
+    * doc-keyed joins, each keeping only the positions whose
+    * PREDECESSOR position survived the previous step (so `n_hits`
+    * counts every occurrence, overlapping ones included — "merge
+    * merge" hits twice in "merge merge merge", where substring
+    * replacement counting would see one). A one-term phrase
+    * degenerates to the term's tf.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val m = matchedPostings(spark, dir, phrase.distinct)
+      .localCheckpoint(eager = false) // one pruned scan feeds every step
+    var cur = m.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("positions").as("pos"))
+    phrase.tail.foreach { term =>
+      val next = m.filter(col("token") === term)
+        .select(col("doc_id"), col("positions").as("p2"))
+      cur = cur.join(next, "doc_id")
+        .select(col("doc_id"),
+          filter(col("p2"), p => array_contains(col("pos"), p - 1)).as("pos"))
+        .filter(size(col("pos")) > 0)
+    }
+    cur.select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"))
   }
 
   /** BM25 top-k per query term, served FROM THE INDEX — no corpus
@@ -469,4 +502,14 @@ object TextIndex {
   def qTextIndexBm25(t: graft.sources.Tables): DataFrame =
     bm25(t.spark, corpusIndexDir(t), Seq("spark", "merge", "window"))
       .orderBy("token", "rk")
+
+  /** Contract query — positional PHRASE search, FULLY DuckDB-oracled:
+    * every document containing the exact token bigram, with the
+    * occurrence count; the oracle re-derives token positions with
+    * `list_zip(string_split(...), range(...))` and counts adjacent
+    * pairs, so overlapping occurrences gate exactly.
+    */
+  def qPhraseSearch(t: graft.sources.Tables): DataFrame =
+    phraseSearch(t.spark, corpusIndexDir(t), Seq("spark", "merge"))
+      .orderBy("doc_id")
 }

@@ -117,6 +117,37 @@ class TextIndexSpec extends SparkSpecBase {
     assert(got == corpusScanBm25(docs, Seq("spark", "merge", "window")))
   }
 
+  test("phrase search: adjacency from positions, overlap-exact counts, multi-term folds") {
+    val dir = freshDir("phrase")
+    val docs = Seq(
+      (1L, "a spark merge b spark merge"),   // two bigram hits
+      (2L, "spark x merge"),                 // terms present, not adjacent
+      (3L, "merge merge merge"),             // overlapping self-bigram
+      (4L, "spark merge window done"),       // trigram host
+      (5L, "nothing here")).toDF("doc_id", "text")
+    TextIndex.build(docs, dir)
+    val bigram = TextIndex.phraseSearch(spark, dir, Seq("spark", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigram == Set((1L, 2L), (4L, 1L)), bigram.toString)
+    val selfOverlap = TextIndex.phraseSearch(spark, dir, Seq("merge", "merge"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfOverlap == Set((3L, 2L)), "overlapping occurrences count individually")
+    val trigram = TextIndex.phraseSearch(spark, dir, Seq("spark", "merge", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trigram == Set((4L, 1L)))
+    // one term degenerates to tf (bucket pruning of the shared
+    // matchedPostings path is pinned by the probe-plan test above;
+    // here the scan hides behind the phrase fold's local checkpoint)
+    val one = TextIndex.phraseSearch(spark, dir, Seq("merge"))
+    assert(one.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 1L), (3L, 3L), (4L, 1L)))
+    // phrases see streamed epochs too
+    TextIndex.absorbEpoch(spark, dir,
+      Seq((10L, "spark merge again")).toDF("doc_id", "text"), epochId = 0L)
+    assert(TextIndex.phraseSearch(spark, dir, Seq("spark", "merge"))
+      .collect().map(_.getLong(0)).toSet.contains(10L))
+  }
+
   test("epoch absorb: visible immediately, replay converges, folded epochs skip") {
     val dir = freshDir("epoch")
     val docs = tables.documents.select("doc_id", "text")
