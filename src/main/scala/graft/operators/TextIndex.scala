@@ -122,14 +122,23 @@ object TextIndex {
     ()
   }
 
-  /** Build the index from scratch over a (doc_id, text) corpus. */
+  /** Build the index from scratch over a (doc_id, text) corpus. A
+    * rebuild over a previous index directory must not inherit ANY of
+    * its state: the postings tree overwrites (SaveMode), and the
+    * ledger, streamed epoch trees, the folded-epoch high-water mark,
+    * and fold staging all reset by delete — otherwise probes would
+    * serve the OLD index's epoch postings beside the new corpus, and
+    * the stale high-water mark would silently fence out the new
+    * stream's epoch ids.
+    */
   def build(docs: DataFrame, dir: String): Unit = {
     writeParams(dir)
-    // a rebuild over a previous index must not inherit its ledger:
-    // postings overwrite (SaveMode), the ledger resets by delete
-    val statsDir = java.nio.file.Paths.get(dir, "stats")
-    if (java.nio.file.Files.isDirectory(statsDir))
-      graft.util.FoldCommit.rmTree(statsDir)
+    graft.util.FoldCommit.recover(dir, sweepStaging = true) // we own the dir
+    Seq("stats", "epochs", "_epoch_stage").foreach { sub =>
+      val p = java.nio.file.Paths.get(dir, sub)
+      if (java.nio.file.Files.isDirectory(p)) graft.util.FoldCommit.rmTree(p)
+    }
+    java.nio.file.Files.deleteIfExists(foldedMarkPath(dir))
     appendBatch(docs, dir, Buckets, SaveMode.Overwrite)
   }
 

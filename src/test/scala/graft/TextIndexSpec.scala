@@ -148,6 +148,28 @@ class TextIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet.contains(10L))
   }
 
+  test("rebuild over a streamed index resets epochs, ledger, and the epoch fence") {
+    val dir = freshDir("rebuild")
+    TextIndex.build(Seq((1L, "old spark text")).toDF("doc_id", "text"), dir)
+    TextIndex.absorbEpoch(spark, dir,
+      Seq((2L, "old merge epoch")).toDF("doc_id", "text"), epochId = 0L)
+    TextIndex.compactEpochs(spark, dir)
+    assert(TextIndex.maxFoldedEpoch(dir) == 0L)
+    // rebuild: nothing of the old index may survive
+    TextIndex.build(Seq((10L, "new spark corpus")).toDF("doc_id", "text"), dir)
+    assert(TextIndex.search(spark, dir, Seq("merge"), requireAll = false)
+      .collect().isEmpty, "old epoch postings leaked through the rebuild")
+    assert(TextIndex.search(spark, dir, Seq("spark"), requireAll = false)
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(TextIndex.maxFoldedEpoch(dir) == -1L,
+      "a stale high-water mark would fence out the new stream's epoch 0")
+    // the fresh stream's epoch 0 must land
+    assert(TextIndex.absorbEpoch(spark, dir,
+      Seq((11L, "new merge doc")).toDF("doc_id", "text"), epochId = 0L) > 0)
+    assert(TextIndex.search(spark, dir, Seq("merge"), requireAll = false)
+      .collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
   test("epoch absorb: visible immediately, replay converges, folded epochs skip") {
     val dir = freshDir("epoch")
     val docs = tables.documents.select("doc_id", "text")
