@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   * carrying it at nearby OFFSETS, not every pair of strings
   * containing it anywhere.
   *
-  * Strings too short to carry a q-gram (len < q) can't ride the gram
-  * join; their partners sit within d of their length, so both sides
-  * of any such pair live in the bounded `len < q + d` slice — those
-  * slices pair through an exploded LENGTH-BAND equi-key (a constant
-  * dummy key would fold away in the optimizer and degrade to a
-  * nested loop) and verify through the same levenshtein. The two
-  * candidate sets are disjoint by construction (the short path
-  * requires one side with no grams; the gram path requires both).
+  * The pick guarantee needs `q·d + 1` occurrences to pick FROM, i.e.
+  * `len >= q·(d+1)`; a-strings below that (including the gram-less
+  * `len < q`) can have EVERY occurrence destroyed by d edits, so they
+  * can't ride the gram join. Their partners sit within d of their
+  * length, a bounded slice, so every a-string with
+  * `a_len < q·(d+1)` pairs through an exploded LENGTH-BAND equi-key
+  * (a constant dummy key would fold away in the optimizer and
+  * degrade to a nested loop) against the `b_len <= a_len + d` slice
+  * and verifies through the same levenshtein. The two candidate sets
+  * are disjoint by construction: the band path takes exactly the
+  * a-strings the gram path excludes (`a_len < q·(d+1)` vs `>=`).
   *
   * Shuffle inventory at 100 TB: both sides explode O(len) occurrence
   * rows per string, b's gram frequencies are one partial-agg'd pass,
@@ -65,9 +68,19 @@ object FuzzyJoin {
     val aN = named(a, "a")
     val bN = named(b, "b")
 
-    // positional q-gram occurrences: one explode per side
+    // the pick below chooses q·d + 1 of a's occurrences, so the
+    // guarantee only holds for a-strings that HAVE that many
+    // (a_len − q + 1 >= q·d + 1 ⇔ a_len >= q·(d+1)); shorter
+    // a-strings go through the length-band path instead
+    val gramFloor = q * (maxDist + 1)
+
+    // positional q-gram occurrences: one explode per side. The a side
+    // is floored at gramFloor (pick guarantee); the b side only needs
+    // its occurrences ENUMERATED, and any b paired with a gram-path a
+    // has b_len >= gramFloor − d >= q, so the len >= q filter loses
+    // nothing.
     def grams(df: DataFrame, side: String): DataFrame =
-      df.filter(col(s"${side}_len") >= q)
+      df.filter(col(s"${side}_len") >= (if (side == "a") gramFloor else q))
         .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
           explode(transform(
             sequence(lit(1), col(s"${side}_len") - lit(q) + 1),
@@ -111,16 +124,16 @@ object FuzzyJoin {
       .select("a_id", "a_s", "b_id", "b_s")
       .distinct()
 
-    // sub-q-gram strings: both sides of such a pair have len < q + d —
-    // a bounded population at any scale. The length window IS the
-    // equi-key (see the scaladoc); each pair meets on exactly one key
-    // (b's length), so no dedup is needed.
-    val shortCands = aN.filter(col("a_len") < q + maxDist)
+    // below-pick-floor a-strings (a_len < q·(d+1), including the
+    // gram-less len < q): partners sit at b_len <= a_len + d <
+    // q·(d+1) + d — a bounded slice at any scale. The length window
+    // IS the equi-key (see the scaladoc); each pair meets on exactly
+    // one key (b's length), so no dedup is needed.
+    val shortCands = aN.filter(col("a_len") < gramFloor)
       .withColumn("lk", explode(sequence(
         col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
-      .join(bN.filter(col("b_len") < q + maxDist)
+      .join(bN.filter(col("b_len") < gramFloor + maxDist)
         .withColumn("lk", col("b_len")), "lk")
-      .filter(least(col("a_len"), col("b_len")) < q)
       .select("a_id", "a_s", "b_id", "b_s")
 
     gramCands.unionByName(shortCands)

@@ -49,24 +49,34 @@ object RangeJoin {
     * win`. Stock Spark can only nested-loop this;
     * [[graft.plans.RangeJoinRewrite]] bins it into an equi-join
     * (PlanAuditSpec's no-nested-loop sweep enforces that the rule
-    * actually fired). The bin-size conf is left set for the session —
-    * it only affects joins carrying range conjuncts, every one of
-    * which stays oracle-exact by the rule's losslessness.
+    * actually fired). The bin-size conf is scoped to THIS query: the
+    * optimized plan is forced while the conf is set (the rule reads it
+    * at rewrite time), then the prior value is restored — a
+    * 300s-derived bin must not silently become every later range
+    * join's plan for the rest of the session.
     */
   def qRangeJoinSql(t: Tables, windowSec: Long = 300): DataFrame = {
     graft.plans.RangeJoinRewrite.install(t.spark)
+    val prior = t.spark.conf.getOption(graft.plans.RangeJoinRewrite.BinSizeConf)
     t.spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf,
       (windowSec * 1000000L).toString)
-    t.events.select(col("event_id"), unix_micros(col("ts")).as("tu"),
-        col("event_type"))
-      .createOrReplaceTempView("__graft_rj_ev")
-    t.spark.sql(
-      s"""SELECT e.err_id, count(*) AS n_after,
-         | sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
-         |FROM (SELECT event_id AS err_id, tu AS err_tu FROM __graft_rj_ev
-         |      WHERE event_type = 'error') e
-         |JOIN __graft_rj_ev a
-         |  ON a.tu > e.err_tu AND a.tu <= e.err_tu + ${windowSec * 1000000L}
-         |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin)
+    try {
+      t.events.select(col("event_id"), unix_micros(col("ts")).as("tu"),
+          col("event_type"))
+        .createOrReplaceTempView("__graft_rj_ev")
+      val df = t.spark.sql(
+        s"""SELECT e.err_id, count(*) AS n_after,
+           | sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+           |FROM (SELECT event_id AS err_id, tu AS err_tu FROM __graft_rj_ev
+           |      WHERE event_type = 'error') e
+           |JOIN __graft_rj_ev a
+           |  ON a.tu > e.err_tu AND a.tu <= e.err_tu + ${windowSec * 1000000L}
+           |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin)
+      df.queryExecution.optimizedPlan // pin the rewrite under the conf
+      df
+    } finally prior match {
+      case Some(v) => t.spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, v)
+      case None => t.spark.conf.unset(graft.plans.RangeJoinRewrite.BinSizeConf)
+    }
   }
 }

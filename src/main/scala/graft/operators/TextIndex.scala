@@ -134,7 +134,12 @@ object TextIndex {
   def build(docs: DataFrame, dir: String): Unit = {
     writeParams(dir)
     graft.util.FoldCommit.recover(dir, sweepStaging = true) // we own the dir
-    Seq("stats", "epochs", "_epoch_stage").foreach { sub =>
+    // postings/ is deleted explicitly too: under
+    // spark.sql.sources.partitionOverwriteMode=dynamic a
+    // SaveMode.Overwrite replaces only the tok_bucket partitions the
+    // NEW corpus touches, leaving the old index's other buckets live —
+    // rebuild semantics must not depend on session conf
+    Seq("postings", "stats", "epochs", "_epoch_stage").foreach { sub =>
       val p = java.nio.file.Paths.get(dir, sub)
       if (java.nio.file.Files.isDirectory(p)) graft.util.FoldCommit.rmTree(p)
     }

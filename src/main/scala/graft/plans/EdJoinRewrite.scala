@@ -60,13 +60,22 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
         if lev.threshold.isEmpty => Some((lev, d))
     case LessThan(lev: Levenshtein, Literal(d: Int, IntegerType))
         if lev.threshold.isEmpty => Some((lev, d - 1))
+    case GreaterThan(Literal(d: Int, IntegerType), lev: Levenshtein)
+        if lev.threshold.isEmpty => Some((lev, d - 1))
     case EqualTo(lev: Levenshtein, Literal(0, IntegerType))
+        if lev.threshold.isEmpty => Some((lev, 0))
+    case EqualTo(Literal(0, IntegerType), lev: Levenshtein)
         if lev.threshold.isEmpty => Some((lev, 0))
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
+    case j @ Join(left, right, Inner, Some(cond), _)
+        // the multiplicity-preserving dedup groups on every original
+        // output attribute; a non-groupable type (MapType) there would
+        // turn a valid-if-slow NLJ plan into an invalid Aggregate —
+        // leave such joins alone
+        if j.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
       val parts = conjuncts(cond)
       val hit = parts.iterator.flatMap { c =>
         levBound(c).flatMap { case (lev, d) =>

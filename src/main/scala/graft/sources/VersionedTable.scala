@@ -2697,7 +2697,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     val root = Paths.get(dir).toAbsolutePath.normalize()
     def heldBy(bt: VersionedTable): Set[String] = {
       val own = bt.listVersions().flatMap { v =>
-        try bt.fileList(v) catch { case NonFatal(_) => Seq.empty }
+        // ONLY the concurrent-drop race (manifest vanished between the
+        // listing and the read) may be treated as "holds nothing" —
+        // any other failure (transient IO, corrupt manifest) must
+        // abort the caller's vacuum: this set feeds both vacuums' live
+        // sets, and sweeping with incomplete knowledge deletes files a
+        // live branch still references
+        try bt.fileList(v) catch {
+          case _: java.nio.file.NoSuchFileException => Seq.empty
+          case _: java.io.FileNotFoundException => Seq.empty
+        }
       }.filter(VersionedTable.isExternal)
         .map(p => Paths.get(p).toAbsolutePath.normalize())
         .filter(_.startsWith(root))

@@ -40,6 +40,66 @@ class FuzzyJoinSpec extends SparkSpecBase {
       want.contains((4L, 14L, 1)) && want.contains((5L, 15L, 1)))
   }
 
+  test("lossless at d=2 in the below-pick-floor window (q <= len < q*(d+1)): multi-edit pairs with zero shared grams") {
+    // the counterexample family the pick guarantee can't cover: both
+    // sides long enough to HAVE grams (len >= q) but too short to own
+    // q*d+1 occurrences (len < q*(d+1) = 9), with d=2 edits placed to
+    // destroy EVERY q-gram — these must ride the length-band path
+    val a = Seq(
+      (1L, "abcdefgh"),  // len 8, the advisor's exact counterexample
+      (2L, "abcdef"),    // len 6
+      (3L, "abcde"),     // len 5
+      (4L, "abcd"),      // len 4
+      (5L, "abc")).toDF("id", "s") // len 3 — minimum with a gram
+    val b = Seq(
+      (11L, "abXdeYgh"), // ed 2 from abcdefgh, zero shared 3-grams
+      (12L, "aXcdYf"),   // ed 2 from abcdef, zero shared 3-grams
+      (13L, "aXcYe"),    // ed 2 from abcde
+      (14L, "aXcY"),     // ed 2 from abcd
+      (15L, "aXY"),      // ed 2 from abc
+      (16L, "abXdeYghZ"),// len 9: ed 3 from a1 — must NOT match at d=2
+      (17L, "qqqqqqqq")).toDF("id", "s")
+    val got = pairs(FuzzyJoin.edJoin(a, b, maxDist = 2))
+    val want = pairs(FuzzyJoin.edJoinBrute(a, b, maxDist = 2))
+    assert(got == want,
+      s"missing=${(want -- got).mkString(",")} extra=${(got -- want).mkString(",")}")
+    assert(want.contains((1L, 11L, 2)) && want.contains((2L, 12L, 2)) &&
+      want.contains((3L, 13L, 2)) && want.contains((4L, 14L, 2)) &&
+      want.contains((5L, 15L, 2)))
+  }
+
+  test("lossless at d=2 on dense random mutations spanning the pick-floor boundary") {
+    // randomized-but-seeded sweep: lengths 3..14 cross gramFloor=9 on
+    // both sides; mutations are 0..2 random substitutions/deletions/
+    // insertions so pairs land on both sides of the threshold
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd" // tiny alphabet → dense collisions
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (1L to 60L).map(i => (i, randStr(3 + rnd.nextInt(12))))
+    def mutate(s: String): String = {
+      var cur = s
+      (1 to rnd.nextInt(3)).foreach { _ =>
+        if (cur.isEmpty) cur = alpha(rnd.nextInt(alpha.length)).toString
+        else rnd.nextInt(3) match {
+          case 0 => val i = rnd.nextInt(cur.length) // substitute
+            cur = cur.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => val i = rnd.nextInt(cur.length) // delete
+            cur = cur.take(i) + cur.drop(i + 1)
+          case _ => val i = rnd.nextInt(cur.length + 1) // insert
+            cur = cur.take(i) + alpha(rnd.nextInt(alpha.length)) + cur.drop(i)
+        }
+      }
+      cur
+    }
+    val a = base.toDF("id", "s")
+    val b = base.map { case (i, s) => (i + 1000L, mutate(s)) }.toDF("id", "s")
+    val got = pairs(FuzzyJoin.edJoin(a, b, maxDist = 2))
+    val want = pairs(FuzzyJoin.edJoinBrute(a, b, maxDist = 2))
+    assert(got == want,
+      s"missing=${(want -- got).mkString(",")} extra=${(got -- want).mkString(",")}")
+    assert(want.nonEmpty)
+  }
+
   test("lossless vs brute force on a real part-name slice with the contract mutation at d=1") {
     val slice = tables.part.filter(col("p_partkey") <= 150)
     val clean = slice.select(col("p_partkey").as("id"), col("p_name").as("s"))

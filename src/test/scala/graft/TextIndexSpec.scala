@@ -170,6 +170,29 @@ class TextIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet == Set(11L))
   }
 
+  test("rebuild clears stale postings buckets under partitionOverwriteMode=dynamic") {
+    val dir = freshDir("rebuild-dyn")
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // the old corpus fills many tok_bucket partitions; the new one
+      // hits few — a rebuild relying on SaveMode.Overwrite alone would
+      // leave the old corpus's untouched buckets serving beside it
+      TextIndex.build(tables.documents.select("doc_id", "text")
+        .filter(col("doc_id") < 200), dir)
+      TextIndex.build(Seq((10L, "solitary fresh corpus")).toDF("doc_id", "text"), dir)
+      val stale = TextIndex.search(spark, dir, Seq("the", "a", "data", "spark"),
+        requireAll = false).collect()
+      assert(stale.isEmpty,
+        s"old-corpus postings survived the dynamic-overwrite rebuild: ${stale.length} docs")
+      assert(TextIndex.search(spark, dir, Seq("solitary"), requireAll = false)
+        .collect().map(_.getLong(0)).toSet == Set(10L))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("epoch absorb: visible immediately, replay converges, folded epochs skip") {
     val dir = freshDir("epoch")
     val docs = tables.documents.select("doc_id", "text")
