@@ -307,6 +307,7 @@ object SparkEntry {
     "q_edit_join" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoin(t(s, d))),
     "q_range_join_sql" -> ((s, d) => RangeJoin.qRangeJoinSql(t(s, d))),
     "q_edit_join_sql" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql(t(s, d))),
+    "q_edit_join_sql2" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql2(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.qPhraseSearch(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
@@ -1556,6 +1557,34 @@ object SparkEntry {
         |                       AND contains(b_s, chunk))
         |SELECT a_id, b_id, cast(levenshtein(a_s, b_s) AS INTEGER) AS dist
         |FROM cand WHERE levenshtein(a_s, b_s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the d = 2 twin: same independence argument, with the d+1 = 3
+    // chunk pigeonhole (two edits touch at most two chunks, so an
+    // ed<=2 partner contains at least one verbatim)
+    "q_edit_join_sql2" ->
+      """WITH p2 AS (SELECT * FROM part WHERE p_partkey % 2 = 0),
+        |a AS (SELECT p_partkey AS a_id,
+        |        p_name || ' #' || cast(p_partkey AS VARCHAR) AS a_s FROM p2),
+        |b AS (SELECT p_partkey + 1000000 AS b_id,
+        |        (CASE WHEN p_partkey % 3 = 0
+        |               THEN substr(p_name, 1, 2) || substr(p_name, 5)
+        |             WHEN p_partkey % 3 = 1 THEN p_name
+        |             ELSE substr(p_name, 1, 4) || 'xy' || substr(p_name, 7)
+        |        END) || ' #' || cast(p_partkey AS VARCHAR) AS b_s
+        |      FROM p2),
+        |k AS (SELECT a_id, a_s,
+        |        cast(ceil(length(a_s) / 3.0) AS INTEGER) AS k1,
+        |        cast(ceil((length(a_s) - ceil(length(a_s) / 3.0)) / 2.0) AS INTEGER) AS k2
+        |      FROM a),
+        |ch AS (SELECT a_id, a_s,
+        |        unnest([substr(a_s, 1, k1), substr(a_s, k1 + 1, k2),
+        |                substr(a_s, k1 + k2 + 1)]) AS chunk
+        |       FROM k),
+        |cand AS (SELECT DISTINCT a_id, a_s, b_id, b_s
+        |         FROM ch JOIN b ON abs(length(a_s) - length(b_s)) <= 2
+        |                       AND contains(b_s, chunk))
+        |SELECT a_id, b_id, cast(levenshtein(a_s, b_s) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(a_s, b_s) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
     // index-served keyword conjunction: build(even)+absorb(odd) covers
     // the full corpus, so the oracle scans `documents` directly

@@ -250,4 +250,35 @@ object FuzzyJoin {
         |  ON levenshtein(a.s, b.s) <= 1
         |ORDER BY a_id, b_id""".stripMargin)
   }
+
+  /** The d = 2 twin of [[qEditJoinSql]]: a naive `ON levenshtein <= 2`
+    * join planned by [[graft.plans.EdJoinRewrite]]'s positional
+    * q-gram path (the d >= 2 regime — deletion neighborhoods are
+    * useless there). Mutations are two-edit (drop two chars / identity
+    * / replace two chars), all SQL-replicable; the oracle blocks with
+    * the d+1 = 3-chunk PassJoin pigeonhole. Both sides take the even
+    * half of `part` — the d = 2 verify budget is the same, but the
+    * oracle's contains() scan is quadratic in slice size, and half the
+    * table already exercises every code path.
+    */
+  def qEditJoinSql2(t: graft.sources.Tables): DataFrame = {
+    graft.plans.EdJoinRewrite.install(t.spark)
+    def entity(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(name, lit(" #"), col("p_partkey").cast("string"))
+    val half = t.part.filter(col("p_partkey") % 2 === 0)
+    half.select(col("p_partkey").as("id"), entity(col("p_name")).as("s"))
+      .createOrReplaceTempView("__graft_edj2_a")
+    half.select((col("p_partkey") + lit(1000000L)).as("id"),
+      when(col("p_partkey") % 3 === 0,
+        entity(concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 5)"))))
+        .when(col("p_partkey") % 3 === 1, entity(col("p_name")))
+        .otherwise(entity(concat(substring(col("p_name"), 1, 4), lit("xy"),
+          expr("substr(p_name, 7)")))).as("s"))
+      .createOrReplaceTempView("__graft_edj2_b")
+    t.spark.sql(
+      """SELECT a.id AS a_id, b.id AS b_id, levenshtein(a.s, b.s) AS dist
+        |FROM __graft_edj2_a a JOIN __graft_edj2_b b
+        |  ON levenshtein(a.s, b.s) <= 2
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
 }

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 
 /** Catalyst rewrite for the NAIVE fuzzy join: `a JOIN b ON
   * levenshtein(a.s, b.s) <= d` has no equi-condition, so Spark can
@@ -30,11 +31,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * unchanged; residual conjuncts of the original condition stay in
   * the verification filter for the optimizer to push as usual.
   *
+  * For `2 <= d <= spark.graft.edJoin.maxRewriteDist` (deletion
+  * neighborhoods at depth d grow O(len^d) — useless past 1) the rule
+  * instead lowers the SAME positional q-gram blocking as
+  * [[graft.operators.FuzzyJoin.edJoin]]: explode positional q-grams
+  * on both sides, steer each left string's `q·d + 1`-occurrence pick
+  * by right-side gram frequency (rarest first — a per-string window
+  * over ≤len rows, never a corpus-scale partition), meet on (gram,
+  * position bucket) with the band-to-equi bucket explode, and route
+  * left strings below the pick floor (`len < q·(d+1)` — every
+  * occurrence destroyable by d edits) through a length-band equi-join
+  * over the bounded short slice. The two branches are disjoint on the
+  * left length, so the closing per-pair aggregate never conflates
+  * them even though each branch assigns its per-row ids
+  * independently: equal ids across branches imply equal grouped
+  * attribute values, which imply equal strings, which imply one
+  * branch.
+  *
   * Scope guards: inner joins only; the levenshtein must be the 2-arg
-  * form comparing one expression per side; `d ∈ {0, 1}` (two-deletion
-  * neighborhoods grow O(len²) — the d >= 2 plan is left alone; use
-  * [[graft.operators.FuzzyJoin.edJoin]]'s positional-gram path
-  * directly). Null strings produce a null variant array, which
+  * form comparing one expression per side; `d` at most the conf cap
+  * (default 4 — candidate width grows with `q·d + 1` picks × d+1
+  * buckets, and past a few edits a similarity join is the better
+  * tool). Null strings produce a null gram/variant array, which
   * explodes to nothing — exactly the null-never-matches semantics of
   * the original predicate.
   *
@@ -69,6 +87,17 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `d > this` is left to Spark's native plan. */
+  val MaxDistConf = "spark.graft.edJoin.maxRewriteDist"
+
+  /** Gram width for the d >= 2 positional-gram path. */
+  val GramSizeConf = "spark.graft.edJoin.gramSize"
+
+  private def intConf(key: String, dflt: Int): Int =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, dflt.toString).toInt
+    catch { case _: NumberFormatException => dflt }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
         // the multiplicity-preserving dedup groups on every original
@@ -77,9 +106,10 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
         // leave such joins alone
         if j.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
       val parts = conjuncts(cond)
+      val maxD = intConf(MaxDistConf, 4)
       val hit = parts.iterator.flatMap { c =>
         levBound(c).flatMap { case (lev, d) =>
-          if (d < 0 || d > 1) None
+          if (d < 0 || d > maxD) None
           else if (lev.left.references.subsetOf(left.outputSet) &&
             lev.right.references.subsetOf(right.outputSet))
             Some((c, lev.left, lev.right, d))
@@ -92,23 +122,150 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
       hit match {
         case None => j
         case Some((matched, lStr, rStr, d)) =>
-          val (lGen, lId, lVh) = variantSide(left, lStr, d, "l")
-          val (rGen, rId, rVh) = variantSide(right, rStr, d, "r")
-          val lenWindow = LessThanOrEqual(
-            new Abs(new Subtract(Length(lStr), Length(rStr))), Literal(d))
-          val blocked = Join(lGen, rGen, Inner,
-            Some(And(EqualTo(lVh, rVh), lenWindow)),
-            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+          val blocked =
+            if (d <= 1) deletionBlocked(left, right, lStr, rStr, d)
+            else gramBlocked(left, right, lStr, rStr, d,
+              q = math.max(1, intConf(GramSizeConf, 3)), j.output)
           // re-verify with the THRESHOLD levenshtein (banded, and
           // never re-matched by this rule); keep every other conjunct
           val verify = GreaterThanOrEqual(
             new Levenshtein(lStr, rStr, Literal(d)), Literal(0))
           val residual = parts.filterNot(_ eq matched)
-          val filtered = Filter((residual :+ verify).reduce(And), blocked)
+          val (cands, lId, rId) = blocked
+          val filtered = Filter((residual :+ verify).reduce(And), cands)
           val origOutput = j.output
           Project(origOutput,
             Aggregate(Seq(lId, rId) ++ origOutput, origOutput, filtered))
       }
+  }
+
+  /** d <= 1 candidate generation: the deletion-neighborhood equi-join.
+    * Returns (plan, left row id, right row id); the plan outputs both
+    * children's original attributes plus the ids.
+    */
+  private def deletionBlocked(left: LogicalPlan, right: LogicalPlan,
+      lStr: Expression, rStr: Expression, d: Int)
+      : (LogicalPlan, Attribute, Attribute) = {
+    val (lGen, lId, lVh) = variantSide(left, lStr, d, "l")
+    val (rGen, rId, rVh) = variantSide(right, rStr, d, "r")
+    val lenWindow = LessThanOrEqual(
+      new Abs(new Subtract(Length(lStr), Length(rStr))), Literal(d))
+    val joined = Join(lGen, rGen, Inner,
+      Some(And(EqualTo(lVh, rVh), lenWindow)),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    (joined, lId, rId)
+  }
+
+  /** d >= 2 candidate generation — the positional q-gram blocking of
+    * [[graft.operators.FuzzyJoin.edJoin]] lowered to logical nodes.
+    * Union of two branches, disjoint on the left string's length:
+    * gram branch (`len >= q·(d+1)`, the pick guarantee's floor) and
+    * length-band branch (below it). Output of both branches is
+    * `(lId, rId) ++ origOutput`, exprIds preserved.
+    *
+    * The right subtree appears twice (gram-frequency aggregate inside
+    * the left side's pick, and the occurrence table on the right side
+    * of the candidate join), as does each child across the two union
+    * branches — the aggregate's output is freshly aliased so no JOIN
+    * in the produced plan has overlapping output sets; interior
+    * duplication binds per-subtree at execution (the self-union
+    * shape).
+    */
+  private def gramBlocked(left: LogicalPlan, right: LogicalPlan,
+      lStr: Expression, rStr: Expression, d: Int, q: Int,
+      origOutput: Seq[Attribute]): (LogicalPlan, Attribute, Attribute) = {
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val pickLen = q * d + 1
+    val gramFloor = q * (d + 1)
+    val w = d + 1 // position-bucket width
+
+    val lIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_lid")()
+    val rIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_rid")()
+    val lTag = Project(left.output :+ lIdAlias, left)
+    val rTag = Project(right.output :+ rIdAlias, right)
+    val lId = lIdAlias.toAttribute
+    val rId = rIdAlias.toAttribute
+
+    // positional q-gram occurrences of one tagged side: rows with
+    // len >= lenFloor explode to (…, gram, pos)
+    def occurrences(tagged: LogicalPlan, str: Expression, lenFloor: Int,
+        tag: String): (LogicalPlan, Attribute, Attribute) = {
+      val len = Length(str)
+      val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+      val gs = CreateNamedStruct(Seq(
+        Literal("g"), Substring(str, i, Literal(q)), Literal("p"), i))
+      val seq = Sequence(Literal(1), new Subtract(len, Literal(q - 1)), None, tz)
+      val arr = ArrayTransform(seq, LambdaFunction(gs, Seq(i)))
+      val occAttr = AttributeReference(s"__graft_edj_${tag}occ",
+        gs.dataType.asInstanceOf[StructType], nullable = false)()
+      val gen = Generate(Explode(arr), Nil, outer = false, None, Seq(occAttr),
+        Filter(GreaterThanOrEqual(len, Literal(lenFloor)), tagged))
+      val gAl = Alias(GetStructField(occAttr, 0, Some("g")), s"__graft_edj_${tag}g")()
+      val pAl = Alias(GetStructField(occAttr, 1, Some("p")), s"__graft_edj_${tag}p")()
+      (Project(tagged.output ++ Seq(gAl, pAl), gen),
+        gAl.toAttribute, pAl.toAttribute)
+    }
+
+    val (lOcc, lG, lP) = occurrences(lTag, lStr, gramFloor, "l")
+    // any b paired with a gram-branch a has len >= gramFloor - d >= q
+    val (rOcc, rG, rP) = occurrences(rTag, rStr, q, "r")
+
+    def bucket(posExpr: Expression): Expression =
+      Floor(Divide(Cast(posExpr, DoubleType), Literal(w.toDouble)))
+
+    // right-side gram frequencies steer the left pick (rarest-in-b
+    // first; absent-in-b sorts ahead via the outer join's null→0) —
+    // freshly aliased so the pick join's sides have disjoint outputs
+    val dfGramAlias = Alias(rG, "__graft_edj_fg")()
+    val dfCntAlias = Alias(Count(Seq(Literal(1))).toAggregateExpression(),
+      "__graft_edj_df")()
+    val freq = Aggregate(Seq(rG), Seq(dfGramAlias, dfCntAlias), rOcc)
+    val pickJoin = Join(lOcc, freq, org.apache.spark.sql.catalyst.plans.LeftOuter,
+      Some(EqualTo(lG, dfGramAlias.toAttribute)),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    val gdf = Coalesce(Seq(dfCntAlias.toAttribute, Literal(0L)))
+    val order = Seq(
+      SortOrder(gdf, Ascending), SortOrder(lG, Ascending), SortOrder(lP, Ascending))
+    val rankAlias = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Seq(lId), order,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+      "__graft_edj_rk")()
+    val picked = Filter(LessThanOrEqual(rankAlias.toAttribute, Literal(pickLen)),
+      Window(Seq(rankAlias), Seq(lId), order, pickJoin))
+    // each picked occurrence enumerates every bucket its ±d window can
+    // touch — the band-join-to-equi-join trick
+    val lPb = AttributeReference("__graft_edj_lpb", LongType, nullable = false)()
+    val lKeys = Generate(Explode(Sequence(
+        bucket(new Subtract(lP, Literal(d))), bucket(new Add(lP, Literal(d))),
+        None, tz)),
+      Nil, outer = false, None, Seq(lPb), picked)
+    val rPbAlias = Alias(bucket(rP), "__graft_edj_rpb")()
+    val rKeys = Project(rTag.output ++ Seq(rG, rPbAlias), rOcc)
+    val lenWindow = LessThanOrEqual(
+      new Abs(new Subtract(Length(lStr), Length(rStr))), Literal(d))
+    val gramJoin = Join(lKeys, rKeys, Inner,
+      Some(And(And(EqualTo(lG, rG), EqualTo(lPb, rPbAlias.toAttribute)),
+        lenWindow)),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+
+    // below-pick-floor branch: partners sit within ±d of the left
+    // length — the length window IS the equi-key; each pair meets on
+    // exactly one key (the right length)
+    val lLk = AttributeReference("__graft_edj_lk", IntegerType, nullable = false)()
+    val lShort = Generate(Explode(Sequence(
+        new Subtract(Length(lStr), Literal(d)), new Add(Length(lStr), Literal(d)),
+        None, tz)),
+      Nil, outer = false, None, Seq(lLk),
+      Filter(LessThan(Length(lStr), Literal(gramFloor)), lTag))
+    val shortJoin = Join(lShort,
+      Filter(LessThan(Length(rStr), Literal(gramFloor + d)), rTag), Inner,
+      Some(EqualTo(lLk, Length(rStr))),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+
+    val cols: Seq[NamedExpression] = Seq(lId, rId) ++ origOutput
+    val union = Union(Seq(
+      Project(cols, gramJoin), Project(cols, shortJoin)))
+    (union, lId, rId)
   }
 
   /** One side of the blocked join: tag rows with a per-row id, then

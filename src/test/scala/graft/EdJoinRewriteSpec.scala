@@ -56,15 +56,74 @@ class EdJoinRewriteSpec extends SparkSpecBase {
     assert(got == Seq((1L, 11L), (2L, 11L)), got.toString)
   }
 
-  test("d=0 degenerates to hash-blocked exact match; d=2 is left alone") {
+  test("d=0 degenerates to hash-blocked exact match; past the conf cap the plan is left alone") {
     seed()
     assert(naive(0).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 11L)))
-    val p2 = naive(2).queryExecution.executedPlan.toString
-    assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("CartesianProduct"),
-      "d>=2 must keep Spark's native plan (two-deletion sets blow up): " + p2.take(600))
-    // and it still answers correctly through the native plan
-    assert(naive(2).collect().nonEmpty)
+    val p5 = naive(5).queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastNestedLoopJoin") || p5.contains("CartesianProduct"),
+      "d above spark.graft.edJoin.maxRewriteDist (default 4) must keep " +
+        "Spark's native plan: " + p5.take(600))
+    assert(naive(5).collect().nonEmpty)
+    // lowering the cap turns the d=2 rewrite off too
+    val prior = spark.conf.getOption(graft.plans.EdJoinRewrite.MaxDistConf)
+    try {
+      spark.conf.set(graft.plans.EdJoinRewrite.MaxDistConf, "1")
+      val p2 = naive(2).queryExecution.executedPlan.toString
+      assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("CartesianProduct"),
+        "capped d=2 must keep the native plan: " + p2.take(600))
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.plans.EdJoinRewrite.MaxDistConf, v)
+      case None => spark.conf.unset(graft.plans.EdJoinRewrite.MaxDistConf)
+    }
+  }
+
+  test("d=2: the naive join plans gram-blocked (no nested loop) and matches brute force") {
+    seed()
+    val q = naive(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the d=2 gram rewrite must remove the nested loop: " + plan.take(900))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = FuzzyJoin.edJoinBrute(
+      spark.table("edjr_a"), spark.table("edjr_b"), 2)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("d=2: lossless across the pick-floor boundary — zero-shared-gram multi-edit pairs ride the band branch") {
+    // len in [q, q*(d+1)) with every 3-gram destroyed by 2 edits: the
+    // gram branch cannot see these, the band branch must
+    Seq((1L, "abcdefgh"), (2L, "abcdefghijkl"), (3L, "ab"), (4L, "abcde"))
+      .toDF("id", "s").createOrReplaceTempView("edjr_a")
+    Seq((11L, "abXdeYgh"), (12L, "abcdeZghijkW"), (13L, "aXbY"), (14L, "aXcYe"),
+      (15L, "zzzzzzzz")).toDF("id", "s").createOrReplaceTempView("edjr_b")
+    val got = naive(2).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = FuzzyJoin.edJoinBrute(
+      spark.table("edjr_a"), spark.table("edjr_b"), 2)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((1L, 11L, 2)), "the zero-shared-gram pair must be present")
+  }
+
+  test("d=2 multiplicity: duplicate rows stay duplicate matches; multi-gram collisions collapse to one") {
+    // both strings are long enough for the gram branch and share many
+    // (gram, bucket) keys → many candidate copies per pair, one output
+    Seq((1L, "abcdefghijkl"), (2L, "abcdefghijkl")).toDF("id", "s")
+      .createOrReplaceTempView("edjr_a")
+    Seq((11L, "abcdefghijkl"), (12L, "abcdefghiXkl")).toDF("id", "s")
+      .createOrReplaceTempView("edjr_b")
+    val rows = naive(2).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L)), rows.toString)
+  }
+
+  test("d=2 residual conjuncts survive the gram rewrite") {
+    seed()
+    val got = naive(2, "AND a.id = 1 AND b.id <= 12")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L)), got.toString)
   }
 
   test("runtime install() reaches a plain non-extension session") {
