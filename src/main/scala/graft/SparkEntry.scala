@@ -324,6 +324,7 @@ object SparkEntry {
     "q_federated" -> ((s, d) => graft.sources.Federated.qFederated(t(s, d))),
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_table_branch" -> ((s, d) => graft.sources.TableBranch.qTableBranch(t(s, d))),
+    "q_branch_read" -> ((s, d) => graft.sources.TableBranch.qBranchRead(t(s, d))),
     "q_table_diff" -> ((s, d) => graft.sources.TableBranch.qTableDiff(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
@@ -2662,6 +2663,15 @@ object SparkEntry {
         |  FROM base WHERE k % 10 = 6)
         |SELECT k, name, price FROM after_branch
         |UNION ALL SELECT k, name, price FROM ins
+        |ORDER BY k""".stripMargin,
+    // the one-statement parent-vs-branch join: after the merge the
+    // live branch trails the parent by exactly the parent's own
+    // post-fork update slice (k % 10 = 1, price + 1)
+    "q_branch_read" ->
+      """SELECT p_partkey AS k,
+        |  floor((p_retailprice + 1) * 100 + 0.5) / 100 AS main_price,
+        |  p_retailprice AS branch_price
+        |FROM part WHERE p_partkey % 10 = 1
         |ORDER BY k""".stripMargin,
     // every diff class derived from part with the fixture's own CASE
     // arithmetic: deletes at their OLD values, update pre/post pairs

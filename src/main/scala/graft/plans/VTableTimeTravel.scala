@@ -45,14 +45,25 @@ object VTableTimeTravel {
           case None => tt
           case Some(dir) =>
             val vt = VersionedTable(spark, dir)
-            val version = (ver, ts) match {
+            (ver, ts) match {
+              // a non-numeric version is a BRANCH NAME (Iceberg's
+              // `VERSION AS OF 'branch'` idiom; also the lowered form
+              // of `FROM t BRANCH 'b'`): resolve to the branch head —
+              // the same semantics as the table_branch TVF
+              case (Some(v), _) if v.toIntOption.isEmpty =>
+                if (vt.branchNames.contains(v))
+                  vt.branch(v).read().queryExecution.analyzed
+                else throw new IllegalArgumentException(
+                  s"VERSION AS OF wants a commit number or a live branch " +
+                    s"name, got '$v' (branches: " +
+                    s"${vt.branchNames.mkString(", ")})")
               case (Some(v), _) =>
-                v.toIntOption.getOrElse(throw new IllegalArgumentException(
-                  s"VERSION AS OF wants a commit number for a versioned table, got '$v'"))
-              case (_, Some(e)) => vt.versionAt(timestampMillis(spark, e))
-              case _ => -1
+                vt.scan(v.toInt).queryExecution.analyzed
+              case (_, Some(e)) =>
+                vt.scan(vt.versionAt(timestampMillis(spark, e)))
+                  .queryExecution.analyzed
+              case _ => vt.scan(-1).queryExecution.analyzed
             }
-            vt.scan(version).queryExecution.analyzed
         }
     }
 

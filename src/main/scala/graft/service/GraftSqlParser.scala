@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText0: String): LogicalPlan = {
+    // branch READS (`FROM t BRANCH 'b'`) lower to `VERSION AS OF 'b'`
+    // before any routing — quote-aware, identity without the pattern
+    val sqlText = SqlDml.rewriteBranchReads(sqlText0)
     if (!SqlDml.mightDispatch(sqlText)) timeTravel(delegate.parsePlan(sqlText))
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
@@ -88,6 +91,7 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                 .getOrElse(GraftSqlBridge.ofRows(spark, alterTree).collect().toSeq))
         case other => timeTravel(other)
       }
+  }
 
   /** `VERSION AS OF` / `TIMESTAMP AS OF` over a vtable view pins the
     * versioned scan here at parse time — see
@@ -122,7 +126,8 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       case _                             => false
     }
     if (!hasBinds) parsePlan(sqlText)
-    else timeTravel(delegate.parsePlanWithParameters(sqlText, ctx))
+    else timeTravel(delegate.parsePlanWithParameters(
+      SqlDml.rewriteBranchReads(sqlText), ctx))
   }
 
   override def parseExpression(sqlText: String): Expression =

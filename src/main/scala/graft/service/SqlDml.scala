@@ -440,9 +440,10 @@ object SqlDml {
     */
   def timeTravelSelect(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] = {
-    if (!TimeTravelProbe.matcher(query).find()) return None
+    val q = rewriteBranchReads(query)
+    if (!TimeTravelProbe.matcher(q).find()) return None
     val plan =
-      try spark.sessionState.sqlParser.parsePlan(query)
+      try spark.sessionState.sqlParser.parsePlan(q)
       catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         return None
       }
@@ -453,6 +454,72 @@ object SqlDml {
 
   private val TimeTravelProbe =
     java.util.regex.Pattern.compile("(?is)\\b(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b")
+
+  private val BranchReadProbe =
+    java.util.regex.Pattern.compile("(?i)\\bBRANCH\\s*'")
+
+  /** `FROM t BRANCH 'b'` → `FROM t VERSION AS OF 'b'`: the branch-READ
+    * surface (Iceberg's `FOR VERSION AS OF 'branch'` family) lowered
+    * onto the grammar Spark already has — [[graft.plans.VTableTimeTravel]]
+    * resolves the non-numeric version string to the branch head, the
+    * exact semantics of the `table_branch` TVF. Purely textual but
+    * QUOTE-AWARE: `BRANCH` inside string literals, quoted identifiers,
+    * or comments is untouched, and the keyword only rewrites when a
+    * string literal follows (the lifecycle statements — `ALTER TABLE t
+    * CREATE|DROP|MERGE BRANCH b` — use bare identifiers and are
+    * additionally shielded by the preceding-verb check). Identity when
+    * the cheap probe misses.
+    */
+  def rewriteBranchReads(sql: String): String = {
+    if (!BranchReadProbe.matcher(sql).find()) return sql
+    val n = sql.length
+    val sb = new StringBuilder(n + 16)
+    var i = 0
+    var lastWord = ""
+    def copyQuoted(open: Char, allowDoubling: Boolean): Unit = {
+      val start = i
+      i += 1
+      var done = false
+      while (i < n && !done) {
+        if (sql.charAt(i) == open) {
+          if (allowDoubling && i + 1 < n && sql.charAt(i + 1) == open) i += 2
+          else { i += 1; done = true }
+        } else i += 1
+      }
+      sb.append(sql.substring(start, i))
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') copyQuoted('\'', allowDoubling = true)
+      else if (c == '"') copyQuoted('"', allowDoubling = true)
+      else if (c == '`') copyQuoted('`', allowDoubling = true)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i)
+        val end = if (j < 0) n else j + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i + 2)
+        val end = if (j < 0) n else j + 2
+        sb.append(sql.substring(i, end)); i = end
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i + 1
+        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
+          sql.charAt(j) == '_')) j += 1
+        val w = sql.substring(i, j)
+        var k = j
+        while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
+        val beforeLiteral = k < n && sql.charAt(k) == '\''
+        val lifecycleVerb = lastWord.equalsIgnoreCase("CREATE") ||
+          lastWord.equalsIgnoreCase("DROP") || lastWord.equalsIgnoreCase("MERGE")
+        if (w.equalsIgnoreCase("BRANCH") && beforeLiteral && !lifecycleVerb)
+          sb.append("VERSION AS OF")
+        else sb.append(w)
+        lastWord = w
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r

@@ -5182,6 +5182,26 @@ object TableBranch {
       .orderBy("k")
   }
 
+  /** Branch READ over plain SQL: one statement joins the parent head
+    * against `t BRANCH 'exp'` (lowered by
+    * [[graft.service.SqlDml.rewriteBranchReads]] +
+    * [[graft.plans.VTableTimeTravel]] to the branch-head scan — the
+    * `table_branch` TVF's semantics). On this fixture the live branch
+    * trails the parent by exactly the parent's own post-fork slice
+    * (k % 10 = 1, +1), so the divergence set is fully SQL-derivable.
+    */
+  def qBranchRead(t: Tables): DataFrame = {
+    val dir = builtTable(t)
+    val tgt = s"__graft_brread_${System.identityHashCode(t.spark)}_" +
+      t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    VersionedTable(t.spark, dir).scan().createOrReplaceTempView(tgt)
+    new graft.service.QueryService(t.spark).sql(
+      s"""SELECT m.k AS k, m.price AS main_price, b.price AS branch_price
+         |FROM `$tgt` m JOIN `$tgt` BRANCH 'exp' b ON m.k = b.k
+         |WHERE m.price <> b.price
+         |ORDER BY k""".stripMargin)
+  }
+
   /** Contract query for the retroactive snapshot diff
     * ([[VersionedTable.snapshotDiff]]): v1 (the seed) diffed against
     * the post-merge head of the SAME branch fixture must report

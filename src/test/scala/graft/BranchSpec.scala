@@ -166,6 +166,51 @@ class BranchSpec extends SparkSpecBase {
     assert(!spark.sql("ALTER TABLE branch_parser_t DROP BRANCH px").head().getBoolean(0))
   }
 
+  test("branch reads over SQL: FROM t BRANCH 'b' and VERSION AS OF 'b', both entry points") {
+    val vt = freshTable("read")
+    seed(vt, n = 6)
+    vt.createBranch("dev")
+    vt.branch("dev").updateWhere(col("k") === 3L, Map("price" -> lit(333.0)))
+    vt.updateWhere(col("k") === 4L, Map("price" -> lit(444.0)))
+    // registered AFTER the edits: a view pins its snapshot (snapshot
+    // isolation), so registration order is part of the fixture
+    vt.scan().createOrReplaceTempView("branch_read_t")
+    // plain spark.sql (injected parser): the BRANCH read is the branch
+    // head — sees the branch edit, not the parent's post-fork edit
+    val viaBranch = spark.sql(
+      "SELECT k, price FROM branch_read_t BRANCH 'dev' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaBranch(3L) == 333.0 && viaBranch(4L) == 40.0, viaBranch.toString)
+    // Iceberg-style VERSION AS OF 'name' resolves the branch too
+    val viaVersion = spark.sql(
+      "SELECT price FROM branch_read_t VERSION AS OF 'dev' WHERE k = 3")
+      .head().getDouble(0)
+    assert(viaVersion == 333.0)
+    // one statement reads BOTH sides (self-join parent vs branch)
+    val both = spark.sql(
+      """SELECT m.k, m.price AS mp, b.price AS bp
+        |FROM branch_read_t m JOIN branch_read_t BRANCH 'dev' b ON m.k = b.k
+        |WHERE m.price <> b.price ORDER BY m.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(both == Seq((3L, 30.0, 333.0), (4L, 444.0, 40.0)), both.toString)
+    // QueryService entry point (plain-session textual path)
+    val svc = new graft.service.QueryService(spark)
+    assert(svc.sql("SELECT price FROM branch_read_t BRANCH 'dev' WHERE k = 3")
+      .head().getDouble(0) == 333.0)
+    // a misspelled branch names the live roster in its error
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM branch_read_t BRANCH 'nope'").collect())
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("dev"))
+    // the keyword inside a string literal is data, not grammar
+    assert(spark.sql("SELECT 'read BRANCH ''x'' later' AS s").head().getString(0)
+      == "read BRANCH 'x' later")
+    // numeric VERSION AS OF is untouched by the branch extension
+    assert(spark.sql("SELECT count(*) AS n FROM branch_read_t VERSION AS OF 1")
+      .head().getLong(0) == 6L)
+    vt.dropBranch("dev")
+    ()
+  }
+
   test("table_branch TVF reads a branch head as a relation") {
     val vt = freshTable("tvf")
     seed(vt, n = 4)
