@@ -310,6 +310,7 @@ object SparkEntry {
     "q_edit_join_sql2" -> ((s, d) => graft.operators.FuzzyJoin.qEditJoinSql2(t(s, d))),
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.qPhraseSearch(t(s, d))),
+    "q_near_search" -> ((s, d) => graft.operators.TextIndex.qNearSearch(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
@@ -1636,6 +1637,29 @@ object SparkEntry {
         |  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
         |WHERE t1.token = 'spark' AND t2.token = 'merge'
         |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin,
+    // proximity (NEAR/3) both modes from the positional index; the
+    // oracle counts qualifying position PAIRS over the same list_zip
+    // position replay as the phrase oracle
+    "q_near_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, z.z[1] AS token, cast(z.z[2] AS BIGINT) AS pos
+        |  FROM documents, unnest(list_zip(string_split(text, ' '),
+        |       range(1, len(string_split(text, ' ')) + 1))) AS z(z)),
+        |a AS (SELECT doc_id, pos FROM tok WHERE token = 'spark'),
+        |b AS (SELECT doc_id, pos FROM tok WHERE token = 'merge'),
+        |anym AS (
+        |  SELECT a.doc_id, cast(count(*) AS BIGINT) AS n_hits
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |    AND b.pos <> a.pos AND abs(b.pos - a.pos) <= 3
+        |  GROUP BY a.doc_id),
+        |ordm AS (
+        |  SELECT a.doc_id, cast(count(*) AS BIGINT) AS n_hits
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |    AND b.pos > a.pos AND b.pos - a.pos <= 3
+        |  GROUP BY a.doc_id)
+        |SELECT 'any' AS mode, doc_id, n_hits FROM anym
+        |UNION ALL SELECT 'ord' AS mode, doc_id, n_hits FROM ordm
+        |ORDER BY mode, doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         | substr(p_name, 1, 8) AS name_prefix,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Rnd.round
@@ -277,6 +277,37 @@ object TextIndex {
     cur.select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"))
   }
 
+  /** PROXIMITY (NEAR/k) search from the positional index: documents
+    * where `b` occurs within `k` tokens of `a`, with the number of
+    * qualifying position PAIRS — (doc_id, n_hits). `ordered` demands
+    * `a` before `b` (`0 < pos_b − pos_a <= k`); unordered admits
+    * either side (`0 < |pos_b − pos_a| <= k`, so a term never pairs
+    * with its own occurrence when `a == b`). `ordered` with k = 1 is
+    * exactly the two-term phrase. The scan stays pruned to the two
+    * terms' buckets; pairing is per-document over the two posting
+    * arrays (higher-order array ops — positions per (term, doc) are
+    * bounded by term frequency, no explode touches the corpus).
+    */
+  def nearSearch(spark: SparkSession, dir: String, a: String, b: String,
+      k: Int, ordered: Boolean = false): DataFrame = {
+    require(k >= 1, s"NEAR window must be positive, got $k")
+    val m = matchedPostings(spark, dir, Seq(a, b).distinct)
+      .localCheckpoint(eager = false) // one pruned scan feeds both sides
+    val pa = m.filter(col("token") === a)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = m.filter(col("token") === b)
+      .select(col("doc_id"), col("positions").as("pb"))
+    def pred(p1: Column, p2: Column): Column =
+      if (ordered) p2 > p1 && p2 - p1 <= k
+      else p2 =!= p1 && abs(p2 - p1) <= k
+    pa.join(pb, "doc_id")
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("pa"), p1 => size(filter(col("pb"), p2 => pred(p1, p2)))),
+          lit(0L), (acc, x) => acc + x).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** BM25 top-k per query term, served FROM THE INDEX — no corpus
     * scan: tf/dl come from the matched postings, df folds from them
     * (one row per (token, doc) ⇒ the per-token row count IS the
@@ -526,4 +557,19 @@ object TextIndex {
   def qPhraseSearch(t: graft.sources.Tables): DataFrame =
     phraseSearch(t.spark, corpusIndexDir(t), Seq("spark", "merge"))
       .orderBy("doc_id")
+
+  /** Contract query for [[nearSearch]]: both proximity modes over the
+    * same streamed index in one frame — unordered NEAR/3 and ordered
+    * a-before-b within 3 — oracled against the list_zip position
+    * replay's pair counts.
+    */
+  def qNearSearch(t: graft.sources.Tables): DataFrame = {
+    val dir = corpusIndexDir(t)
+    nearSearch(t.spark, dir, "spark", "merge", k = 3)
+      .select(lit("any").as("mode"), col("doc_id"), col("n_hits"))
+      .unionByName(
+        nearSearch(t.spark, dir, "spark", "merge", k = 3, ordered = true)
+          .select(lit("ord").as("mode"), col("doc_id"), col("n_hits")))
+      .orderBy("mode", "doc_id")
+  }
 }

@@ -148,6 +148,38 @@ class TextIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet.contains(10L))
   }
 
+  test("nearSearch: pair counts in both modes; ordered k=1 equals the phrase; epochs visible; same-term excludes self-pairs") {
+    val dir = freshDir("near")
+    val docs = Seq(
+      (1L, "spark x merge"),        // gap 2: any+ord at k>=2
+      (2L, "merge x x spark"),      // b before a: any only (gap 3)
+      (3L, "spark merge spark"),    // pairs both ways + adjacency
+      (4L, "spark x x x x merge"),  // gap 5: outside k=3
+      (5L, "nothing here")).toDF("doc_id", "text")
+    TextIndex.build(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val any3 = rows(TextIndex.nearSearch(spark, dir, "spark", "merge", k = 3))
+    // doc3: spark@1,3 merge@2 → pairs (1,2),(3,2) = 2
+    assert(any3 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), any3.toString)
+    val ord3 = rows(TextIndex.nearSearch(spark, dir, "spark", "merge", k = 3,
+      ordered = true))
+    assert(ord3 == Map(1L -> 1L, 3L -> 1L), ord3.toString)
+    // ordered with k=1 IS the two-term phrase
+    val ord1 = rows(TextIndex.nearSearch(spark, dir, "spark", "merge", k = 1,
+      ordered = true))
+    val phrase = rows(TextIndex.phraseSearch(spark, dir, Seq("spark", "merge")))
+    assert(ord1 == phrase && phrase == Map(3L -> 1L), s"$ord1 vs $phrase")
+    // same term: a position never pairs with itself
+    val self = rows(TextIndex.nearSearch(spark, dir, "spark", "spark", k = 3))
+    assert(self == Map(3L -> 2L), self.toString) // (1,3) and (3,1)
+    // streamed epochs serve proximity too
+    TextIndex.absorbEpoch(spark, dir,
+      Seq((10L, "merge near spark")).toDF("doc_id", "text"), epochId = 0L)
+    assert(rows(TextIndex.nearSearch(spark, dir, "spark", "merge", k = 3))
+      .contains(10L))
+  }
+
   test("rebuild over a streamed index resets epochs, ledger, and the epoch fence") {
     val dir = freshDir("rebuild")
     TextIndex.build(Seq((1L, "old spark text")).toDF("doc_id", "text"), dir)
