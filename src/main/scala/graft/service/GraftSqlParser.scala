@@ -200,5 +200,6 @@ object GraftSqlParser {
     AttributeReference("files_added", IntegerType, nullable = true)(),
     AttributeReference("files_removed", IntegerType, nullable = true)(),
     AttributeReference("rows_added", LongType, nullable = true)(),
-    AttributeReference("rows_removed", LongType, nullable = true)())
+    AttributeReference("rows_removed", LongType, nullable = true)(),
+    AttributeReference("op_params", StringType, nullable = true)())
 }

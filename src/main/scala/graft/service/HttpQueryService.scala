@@ -28,6 +28,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   POST /describe {"path": "..."[, "version"]}       → schema + manifest rows/non-null/min-max, O(metadata)
   *   POST /changes  {"path": "...", "since": v[, "until", "limit", "offset"]}
   *                    → {"changes": [...], "count": n[, "next_offset"]} (row-level feed; 409 = resync)
+  *   POST /branch   {"path", "name"[, "version"]}      → {"branch", "fork_version"}; with {"drop": true} → {"dropped": bool}
+  *   POST /merge-branch {"path", "name", "key"[, "force", "drop"]} → {"version": v} (three-way replay merge)
+  *   POST /diff     {"path", "v1", "v2", "key"[, "limit", "offset"]}
+  *                    → {"diff": [...], "count": n[, "next_offset"]} (retroactive snapshot diff, manifest-pruned)
   *   POST /submit   {"name": "...", "query": "..."}    → {"submitted": "..."} (named result view)
   *   POST /export   {"name": "...", "location": "/abs", "query": "..."}
   *                    → {"exported", "location", "version", "rows"} (result lands as a vtable, never in driver memory; page it back via /sql)
@@ -56,7 +60,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * run SQL and register sources. With a token configured, every
   * MUTATING surface requires `Authorization: Bearer <token>`: the
   * mutation routes (/delete, /update, /apply, /rename, /drop-column,
-  * /add-column, /restore, /register, /submit, /export, /cache, /uncache) AND any /sql or
+  * /add-column, /restore, /branch, /merge-branch, /register, /submit,
+  * /export, /cache, /uncache) AND any /sql or
   * async /query statement whose leading verb can write (MERGE /
   * UPDATE / DELETE / INSERT / CREATE / DROP / SET / ... — see
   * [[SqlDml.isMutation]]; unknown verbs classify as mutations so
@@ -534,6 +539,44 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
     val v = service.addTableColumn(text(body, "path"),
       text(body, "column"), text(body, "type"))
     s"""{"added_as_version":$v}"""
+  })
+  // branch lifecycle as first-class routes (the REST idiom next to
+  // /history and /restore; the SQL spellings remain on /sql): create
+  // by default, drop with {"drop": true} — both mutations
+  server.createContext("/branch", gatedMut { body =>
+    val path = text(body, "path")
+    val name = text(body, "name")
+    if (body.has("drop") && body.get("drop").asBoolean(false)) {
+      val dropped = service.dropTableBranch(path, name)
+      s"""{"dropped":$dropped}"""
+    } else {
+      val fork = service.createTableBranch(path, name,
+        intArg(body, "version", -1))
+      s"""{"branch":"$name","fork_version":$fork}"""
+    }
+  })
+  server.createContext("/merge-branch", gatedMut { body =>
+    val v = service.mergeTableBranch(text(body, "path"), text(body, "name"),
+      text(body, "key"),
+      force = body.has("force") && body.get("force").asBoolean(false),
+      dropAfter = body.has("drop") && body.get("drop").asBoolean(false))
+    s"""{"version":$v}"""
+  })
+  // retroactive snapshot diff — a READ (rows out, nothing committed),
+  // with the same server-driven paging contract as /changes
+  server.createContext("/diff", gated { body =>
+    val v1 = intArg(body, "v1", -1)
+    val v2 = intArg(body, "v2", -1)
+    require(v1 >= 1 && v2 >= 1, "missing or non-positive field: v1/v2")
+    val limit = intArg(body, "limit", 1000)
+    require(limit > 0, s"limit must be positive, got $limit")
+    val offset = intArg(body, "offset", 0)
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    val df = service.tableDiff(text(body, "path"), v1, v2, text(body, "key"))
+      .orderBy(text(body, "key"), graft.sources.VersionedTable.ChangeTypeCol)
+    val rows = service.jsonRows(df, limit, offset)
+    val next = if (rows.size == limit) s""","next_offset":${offset + limit}""" else ""
+    s"""{"diff":[${rows.mkString(",")}],"count":${rows.size}$next}"""
   })
   server.createContext("/restore", gatedMut { body =>
     require(body.has("version"), "missing field: version")

@@ -384,6 +384,34 @@ final class QueryService(val spark: SparkSession,
   def restoreTable(dir: String, version: Int): Int =
     graft.sources.VersionedTable(spark, dir).restore(version)
 
+  /** Fork a zero-copy branch at `version` (head when -1); returns the
+    * fork version recorded in the branch's provenance.
+    */
+  def createTableBranch(dir: String, name: String, version: Int = -1): Int = {
+    val bt = graft.sources.VersionedTable(spark, dir).createBranch(name, version)
+    bt.cloneProvenance(1).map(_._2).getOrElse(-1)
+  }
+
+  /** Drop a branch, releasing its holds on the parent's files; false
+    * when no such branch exists (idempotent delete, like SQL's).
+    */
+  def dropTableBranch(dir: String, name: String): Boolean =
+    graft.sources.VersionedTable(spark, dir).dropBranch(name)
+
+  /** Merge a branch back (row-level three-way replay with the
+    * un-forced conflict proof); returns the parent's new version.
+    */
+  def mergeTableBranch(dir: String, name: String, key: String,
+      force: Boolean = false, dropAfter: Boolean = false): Int =
+    graft.sources.VersionedTable(spark, dir)
+      .mergeBranch(name, key, force, dropAfter)
+
+  /** Retroactive snapshot diff between two committed versions —
+    * manifest-pruned to files unique to either side.
+    */
+  def tableDiff(dir: String, v1: Int, v2: Int, key: String): DataFrame =
+    graft.sources.VersionedTable(spark, dir).snapshotDiff(v1, v2, key)
+
   /** Rename a versioned table's column (metadata-only commit via
     * column mapping — no file rewritten). Returns the new version.
     */

@@ -1905,7 +1905,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   private[graft] def commitData(v: Int, op: String, df: DataFrame,
       carryForward: Seq[String], carriedStats: Map[String, JsonNode] = Map.empty,
       epoch: Option[Long] = None, changes: Option[DataFrame] = None,
-      extraCopied: Seq[String] = Seq.empty): Int = {
+      extraCopied: Seq[String] = Seq.empty,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val storeSchema = inheritMapping(v, op, df.schema)
     val (sub, fresh) = writeFiles(toPhysical(df, storeSchema))
     // ANY failure past this point (stats pass, change write, lost
@@ -1930,7 +1931,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       val stats = carriedStats ++ statsToLogical(storeSchema,
         freshStats(sub, fresh, physicalSchema(storeSchema)))
       commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels,
-        extraCopied = extraCopied)
+        extraCopied = extraCopied, extraMeta = extraMeta)
     } catch {
       case scala.util.control.NonFatal(e) =>
         (Seq(sub) ++ cdfSub).foreach { s =>
@@ -2681,7 +2682,16 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
             s"${conflicts.mkString(", ")} since fork v$fork; rebase the " +
             "branch or mergeBranch(force = true) to let the branch win")
     }
-    val v = applyChanges(delta, key, VersionedTable.CommitVersionCol)
+    // provenance rides the apply commit's manifest: which branch,
+    // which fork version, and which branch-feed version range produced
+    // it — DESCRIBE HISTORY surfaces it as op_params, answering "where
+    // did these rows come from" after the branch is dropped
+    val v = applyChanges(delta, key, VersionedTable.CommitVersionCol,
+      op = "merge_branch",
+      extraMeta = Map(
+        "branchSource" -> name,
+        "branchFork" -> fork.toString,
+        "branchFeed" -> s"2..${bt.currentVersion}"))
     if (dropAfter) { dropBranch(name); () }
     v
   }
@@ -2848,10 +2858,13 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * exactly — is CdfStreamSpec's apply test.
     */
   def applyChanges(changes0: DataFrame, key: String, orderBy: String,
-      changeTypeCol: String = VersionedTable.ChangeTypeCol): Int = {
+      changeTypeCol: String = VersionedTable.ChangeTypeCol,
+      op: String = "apply",
+      extraMeta: Map[String, String] = Map.empty): Int = {
     // same single-evaluation pin as merge/delete
     val changes = changes0.localCheckpoint()
-    retryingRewrite(applyOnce(changes, key, orderBy, changeTypeCol, None))
+    retryingRewrite(applyOnce(changes, key, orderBy, changeTypeCol, None,
+      op, extraMeta))
   }
 
   /** [[applyChanges]] keyed by a streaming epoch: a batch re-delivered
@@ -2876,7 +2889,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   }
 
   private def applyOnce(changes: DataFrame, key: String, orderBy: String,
-      changeTypeCol: String, epoch: Option[Long]): Int = {
+      changeTypeCol: String, epoch: Option[Long], op: String = "apply",
+      extraMeta: Map[String, String] = Map.empty): Int = {
     Seq(key, orderBy, changeTypeCol).foreach(c =>
       require(changes.columns.contains(c), s"apply: change batch lacks column $c"))
     // resolve each key to its LATEST change. Ties on orderBy are a
@@ -2904,7 +2918,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         (if (orderBy != key) Set(orderBy) else Set.empty)
       val seeded = latest.filter(col(changeTypeCol) =!= "delete")
         .select(changes.columns.filterNot(drop).map(col).toSeq: _*)
-      return commitData(1, "append", seeded, Seq.empty, Map.empty, epoch)
+      return commitData(1, "append", seeded, Seq.empty, Map.empty, epoch,
+        extraMeta = extraMeta)
     }
     val m = manifest(v)
     val files = manifestFiles(m)
@@ -2923,7 +2938,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       min(col(key)).as("lo"), max(col(key)).as("hi"),
       count(col(key)).as("nn")).head()
     if (b.getLong(0) == 0) // empty batch: visible no-op, epoch recorded
-      return commit(v + 1, "apply", files, schemaJson, stats, epoch)
+      return commit(v + 1, op, files, schemaJson, stats, epoch,
+        extraMeta = extraMeta)
     require(b.getLong(3) == b.getLong(0),
       s"apply: null $key in change batch (a CDC feed bug — null keys can't merge)")
     val keyType = committed(key).dataType
@@ -2960,9 +2976,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
             .select(base.columns.map(col).toSeq: _*)
             .withColumn(ct, lit("delete"))))
       }
-    commitData(v + 1, "apply", out,
+    commitData(v + 1, op, out,
       untouched, untouched.flatMap(f => stats.get(f).map(f -> _)).toMap,
-      epoch = epoch, changes = changesOut)
+      epoch = epoch, changes = changesOut, extraMeta = extraMeta)
   }
 
   /** Stats-pruned copy-on-write DELETE by key set: drop every snapshot
@@ -3828,7 +3844,8 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
             ji(added.map(_.size)), ji(removed.map(_.size)),
             jl(added.flatMap(a => rowsOf(m, a))),
             jl(prev.flatMap { case (pm, _) =>
-              removed.flatMap(r => rowsOf(pm, r)) })))
+              removed.flatMap(r => rowsOf(pm, r)) }),
+            opParamsOf(m)))
         } catch {
           // below the vacuum horizon: the walk is over
           case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
@@ -3845,9 +3862,24 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       StructField("files_added", IntegerType, nullable = true),
       StructField("files_removed", IntegerType, nullable = true),
       StructField("rows_added", LongType, nullable = true),
-      StructField("rows_removed", LongType, nullable = true)))
+      StructField("rows_removed", LongType, nullable = true),
+      StructField("op_params", StringType, nullable = true)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Op-specific provenance a commit chose to record ([[commit]]'s
+    * extraMeta — clone source/version, merge_branch source branch +
+    * fork + feed range), serialized as one compact JSON string for
+    * DESCRIBE HISTORY's `op_params`; null when the commit recorded
+    * none. Whitelisted keys only: the manifest's structural nodes
+    * (files, stats, schema, …) are not operation parameters.
+    */
+  private def opParamsOf(m: JsonNode): String = {
+    val kvs = VersionedTable.OpParamKeys.flatMap { k =>
+      Option(m.get(k)).map(v => s""""$k":${mapper.writeValueAsString(v.asText())}""")
+    }
+    if (kvs.isEmpty) null else kvs.mkString("{", ",", "}")
   }
 
   /** Bound storage: drop history older than the last `retainVersions`
@@ -4241,6 +4273,10 @@ object VersionedTable {
   /** Change-feed tag column: insert | delete | update_preimage |
     * update_postimage (Delta's _change_type vocabulary).
     */
+  /** Manifest keys surfaced as DESCRIBE HISTORY `op_params`. */
+  private[sources] val OpParamKeys =
+    Seq("cloneSource", "cloneVersion", "branchSource", "branchFork", "branchFeed")
+
   val ChangeTypeCol = "_change_type"
 
   /** Change-feed commit-version column. */

@@ -166,6 +166,36 @@ class BranchSpec extends SparkSpecBase {
     assert(!spark.sql("ALTER TABLE branch_parser_t DROP BRANCH px").head().getBoolean(0))
   }
 
+  test("mergeBranch records provenance in the apply commit; DESCRIBE HISTORY surfaces it") {
+    val vt = freshTable("prov")
+    vt.enableCdf()
+    seed(vt, n = 6)
+    vt.createBranch("feat")
+    val br = vt.branch("feat")
+    br.updateWhere(col("k") === 2L, Map("price" -> lit(20.5)))
+    br.deleteWhere(col("k") === 5L)
+    val feedHead = br.currentVersion
+    val v = vt.mergeBranch("feat", key = "k")
+    val head = vt.history(maxVersions = 1).head()
+    assert(head.getInt(0) == v)
+    assert(head.getString(1) == "merge_branch", head.toString)
+    val params = head.getAs[String]("op_params")
+    assert(params != null &&
+      params.contains("\"branchSource\":\"feat\"") &&
+      params.contains("\"branchFork\":\"1\"") &&
+      params.contains(s""""branchFeed":"2..$feedHead""""), params)
+    // provenance survives the branch's deletion — that is its point
+    vt.dropBranch("feat")
+    assert(vt.history(maxVersions = 1).head().getAs[String]("op_params")
+      .contains("feat"))
+    // non-merge commits carry no op_params
+    assert(vt.history().collect().filter(_.getInt(0) == 1)
+      .head.getAs[String]("op_params") == null)
+    // the change feed reads across the merge_branch commit (CDF rides it)
+    val feed = vt.readChangesSince(v - 1)
+    assert(feed.filter(col("_change_type") === "delete").count() == 1)
+  }
+
   test("branch reads over SQL: FROM t BRANCH 'b' and VERSION AS OF 'b', both entry points") {
     val vt = freshTable("read")
     seed(vt, n = 6)

@@ -887,6 +887,69 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("/branch, /merge-branch, /diff: lifecycle + paging over HTTP; auth gates the mutations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-branch").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.enableCdf()
+    vt.append((1L to 6L).map(i => (i, i * 10.0)).toDF("k", "v"))
+    // create → edit through the API → merge (forced drop) → diff
+    val created = post("/branch", s"""{"path":"$dir","name":"dev"}""")
+    assert(created.statusCode == 200 &&
+      created.body == """{"branch":"dev","fork_version":1}""", created.body)
+    vt.branch("dev").updateWhere(
+      org.apache.spark.sql.functions.col("k") === 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit(99.0)))
+    val merged = post("/merge-branch",
+      s"""{"path":"$dir","name":"dev","key":"k","drop":true}""")
+    assert(merged.statusCode == 200 && merged.body == """{"version":2}""", merged.body)
+    assert(vt.branchNames.isEmpty && vt.read()
+      .filter(org.apache.spark.sql.functions.col("k") === 2L).head().getDouble(1) == 99.0)
+    // the merge commit carries provenance (op_params over /history too)
+    val hist = post("/history", s"""{"path":"$dir","limit":1}""")
+    assert(hist.statusCode == 200 && hist.body.contains("merge_branch") &&
+      hist.body.contains("branchSource"), hist.body)
+    // /diff pages the retroactive snapshot diff
+    val diff = post("/diff", s"""{"path":"$dir","v1":1,"v2":2,"key":"k"}""")
+    assert(diff.statusCode == 200 && diff.body.contains(""""count":2""") &&
+      diff.body.contains("update_preimage") &&
+      diff.body.contains("update_postimage"), diff.body)
+    val page = post("/diff", s"""{"path":"$dir","v1":1,"v2":2,"key":"k","limit":1}""")
+    assert(page.statusCode == 200 && page.body.contains(""""next_offset":1"""), page.body)
+    // dropping a non-existent branch reports false, not an error
+    val gone = post("/branch", s"""{"path":"$dir","name":"dev","drop":true}""")
+    assert(gone.statusCode == 200 && gone.body == """{"dropped":false}""", gone.body)
+    // bad input is a 400, not a 500
+    assert(post("/diff", s"""{"path":"$dir","key":"k"}""").statusCode == 400)
+    // with a token configured, /branch and /merge-branch are
+    // mutations (401 without/with-wrong token); /diff stays a read
+    val locked = new HttpQueryService(service, port = 0,
+      authToken = Some("sesame")).start()
+    try {
+      def send(path: String, body: String, token: Option[String]) = {
+        val b = HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:${locked.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(send("/branch", s"""{"path":"$dir","name":"x"}""", None)
+        .statusCode == 401)
+      assert(send("/branch", s"""{"path":"$dir","name":"x"}""", Some("wrong"))
+        .statusCode == 401)
+      assert(vt.branchNames.isEmpty, "unauthorized branch create must not land")
+      assert(send("/merge-branch",
+        s"""{"path":"$dir","name":"x","key":"k"}""", None).statusCode == 401)
+      assert(send("/diff",
+        s"""{"path":"$dir","v1":1,"v2":2,"key":"k"}""", None).statusCode == 200)
+      assert(send("/branch", s"""{"path":"$dir","name":"x"}""", Some("sesame"))
+        .statusCode == 200)
+      assert(send("/branch",
+        s"""{"path":"$dir","name":"x","drop":true}""", Some("sesame"))
+        .statusCode == 200)
+    } finally locked.stop()
+  }
+
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"

@@ -276,7 +276,7 @@ class SqlDmlSpec extends SparkSpecBase {
     // DESCRIBE HISTORY as plain SQL, with the history schema
     val h = spark.sql("DESCRIBE HISTORY sqlm_parser")
     assert(h.columns.toSeq == Seq("version", "op", "ts", "n_files", "epoch",
-      "files_added", "files_removed", "rows_added", "rows_removed"))
+      "files_added", "files_removed", "rows_added", "rows_removed", "op_params"))
     assert(h.count() == 4) // append + delete + merge + update
     // EXPLAIN of a DML statement must never mutate (parsing is pure;
     // only command EXECUTION commits) — whatever EXPLAIN returns or
