@@ -57,6 +57,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" WARN is expected here and
+    // ONLY here: every partition-less window in the contract is
+    // bounded by construction (block/bucket rosters, per-lang frames,
+    // the documented q_ntile) and PlanAuditSpec proves it per query —
+    // the recurring log line carried no information and tripped every
+    // artifact reader, so the bench silences that one logger. An
+    // UNBOUNDED global window sneaking in still fails the audit.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // optional name filter for local iteration (comma-separated);
     // the driver leaves it unset and benches the full contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -51,6 +51,54 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("the intentionalCross allowlist's non-equi join sides are actually bounded") {
+    // each allowlist entry claims its nested-loop side is <= O(100)
+    // rows BY CONSTRUCTION — machine-check the claim instead of
+    // trusting the comment: for every optimized-plan join with no
+    // cross-side equi key, the SMALLER side must actually count under
+    // the bound at audit SF (a constant-size side stays constant; a
+    // corpus-shaped side would already dwarf it here)
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val Bound = 200L
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o         => Seq(o)
+    }
+    val offenders = intentionalCross.toSeq.sorted.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.optimizedPlan
+      val loose = plan.collectWithSubqueries {
+        case j: Join =>
+          val hasEqui = j.condition.exists(c => conjuncts(c).exists {
+            case EqualTo(l, r) => splitsAcross(j, l, r)
+            case EqualNullSafe(l, r) => splitsAcross(j, l, r)
+            case _ => false
+          })
+          if (hasEqui) None else Some(j)
+      }.flatten
+      loose.flatMap { j =>
+        val minSide = Seq(j.left, j.right).map(side =>
+          org.apache.spark.sql.GraftSqlBridge.ofRows(spark, side).count()).min
+        if (minSide > Bound)
+          Some(s"$name: non-equi join whose smaller side is $minSide rows (> $Bound)")
+        else None
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  // a genuine equi KEY pulls references from BOTH children (a
+  // literal comparison has an empty side and blocks nothing)
+  private def splitsAcross(j: org.apache.spark.sql.catalyst.plans.logical.Join,
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    (l.references.nonEmpty && r.references.nonEmpty) &&
+      ((l.references.subsetOf(j.left.outputSet) &&
+        r.references.subsetOf(j.right.outputSet)) ||
+        (r.references.subsetOf(j.left.outputSet) &&
+          l.references.subsetOf(j.right.outputSet)))
+
   // Queries whose served plan legitimately contains a GLOBAL
   // (partition-less) window, each with its bound proof — the input is
   // O(constant) or O(dims) rows BY CONSTRUCTION, never corpus-scale.
