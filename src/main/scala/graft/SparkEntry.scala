@@ -311,6 +311,7 @@ object SparkEntry {
     "q_text_index_bm25" -> ((s, d) => graft.operators.TextIndex.qTextIndexBm25(t(s, d))),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.qPhraseSearch(t(s, d))),
     "q_near_search" -> ((s, d) => graft.operators.TextIndex.qNearSearch(t(s, d))),
+    "q_text_tvf" -> ((s, d) => graft.operators.TextIndex.qTextTvf(t(s, d))),
     "q_entropy" -> ((s, d) => TextAnalysis.qEntropy(t(s, d))),
     // §2.6 multimodal: q_media_features exercises the fake-decoder
     // plumbing harness; image/frame/audio decode are REAL (JDK
@@ -1660,6 +1661,29 @@ object SparkEntry {
         |SELECT 'any' AS mode, doc_id, n_hits FROM anym
         |UNION ALL SELECT 'ord' AS mode, doc_id, n_hits FROM ordm
         |ORDER BY mode, doc_id""".stripMargin,
+    // the TVF surface composed in one SQL statement over the index —
+    // AND-conjunction docs left-joined with their NEAR/3 pair counts
+    "q_text_tvf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, z.z[1] AS token, cast(z.z[2] AS BIGINT) AS pos
+        |  FROM documents, unnest(list_zip(string_split(text, ' '),
+        |       range(1, len(string_split(text, ' ')) + 1))) AS z(z)),
+        |m AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |      WHERE token IN ('spark', 'merge') GROUP BY 1, 2),
+        |s AS (SELECT doc_id, count(*) AS n_matched,
+        |        cast(sum(tf) AS BIGINT) AS total_tf
+        |      FROM m GROUP BY doc_id HAVING count(*) = 2),
+        |a AS (SELECT doc_id, pos FROM tok WHERE token = 'spark'),
+        |b AS (SELECT doc_id, pos FROM tok WHERE token = 'merge'),
+        |near AS (
+        |  SELECT a.doc_id, cast(count(*) AS BIGINT) AS n_hits
+        |  FROM a JOIN b ON a.doc_id = b.doc_id
+        |    AND b.pos <> a.pos AND abs(b.pos - a.pos) <= 3
+        |  GROUP BY a.doc_id)
+        |SELECT s.doc_id, s.n_matched, s.total_tf,
+        |  coalesce(near.n_hits, 0) AS near_hits
+        |FROM s LEFT JOIN near ON s.doc_id = near.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         | substr(p_name, 1, 8) AS name_prefix,

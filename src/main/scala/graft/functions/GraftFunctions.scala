@@ -267,6 +267,92 @@ object GraftFunctions {
               "or an absolute table path"))
       graft.sources.VersionedTable(spark, dir)
         .statsTable(version).queryExecution.analyzed
+    }), (
+    // the persisted text index as SQL: `SELECT * FROM
+    // text_search('/idx', 'spark,merge'[, require_all])` — the
+    // bucket-pruned probe ([[graft.operators.TextIndex.search]])
+    // served through any SQL entry point, REST /sql included; the
+    // driver-computed bucket set rides into PartitionFilters exactly
+    // as in the operator path (TextIndexSpec asserts it through the
+    // service)
+    FunctionIdentifier("text_search"),
+    new ExpressionInfo("graft.operators.TextIndex", "text_search"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (dir, terms, all) = args match {
+        case Seq(Literal(d: UTF8String, _), Literal(q: UTF8String, _)) =>
+          (d.toString, q.toString, true)
+        case Seq(Literal(d: UTF8String, _), Literal(q: UTF8String, _),
+            Literal(b: Boolean, _)) => (d.toString, q.toString, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: text_search('/index-dir', 'term,term,...'[, require_all])")
+      }
+      graft.operators.TextIndex.search(SparkSession.active, dir,
+        terms.split(",").map(_.trim).filter(_.nonEmpty).toSeq, all)
+        .queryExecution.analyzed
+    }), (
+    // exact phrase: `SELECT * FROM text_phrase('/idx', 'spark merge')`
+    FunctionIdentifier("text_phrase"),
+    new ExpressionInfo("graft.operators.TextIndex", "text_phrase"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (dir, phrase) = args match {
+        case Seq(Literal(d: UTF8String, _), Literal(p: UTF8String, _)) =>
+          (d.toString, p.toString)
+        case _ => throw new IllegalArgumentException(
+          "usage: text_phrase('/index-dir', 'exact phrase words')")
+      }
+      graft.operators.TextIndex.phraseSearch(SparkSession.active, dir,
+        phrase.split("\\s+").filter(_.nonEmpty).toSeq)
+        .queryExecution.analyzed
+    }), (
+    // proximity: `SELECT * FROM text_near('/idx', 'a', 'b', k[, ordered])`
+    FunctionIdentifier("text_near"),
+    new ExpressionInfo("graft.operators.TextIndex", "text_near"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      def intOf(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"text_near: $what must be an integer literal, got $other")
+      }
+      val (dir, a, b, k, ordered) = args match {
+        case Seq(Literal(d: UTF8String, _), Literal(x: UTF8String, _),
+            Literal(y: UTF8String, _), kk) =>
+          (d.toString, x.toString, y.toString, intOf(kk, "k"), false)
+        case Seq(Literal(d: UTF8String, _), Literal(x: UTF8String, _),
+            Literal(y: UTF8String, _), kk, Literal(o: Boolean, _)) =>
+          (d.toString, x.toString, y.toString, intOf(kk, "k"), o)
+        case _ => throw new IllegalArgumentException(
+          "usage: text_near('/index-dir', 'a', 'b', k[, ordered])")
+      }
+      graft.operators.TextIndex.nearSearch(SparkSession.active, dir, a, b, k,
+        ordered).queryExecution.analyzed
+    }), (
+    // index-served BM25 top-k per term:
+    // `SELECT * FROM text_bm25('/idx', 'spark,merge'[, k])`
+    FunctionIdentifier("text_bm25"),
+    new ExpressionInfo("graft.operators.TextIndex", "text_bm25"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (dir, terms, k) = args match {
+        case Seq(Literal(d: UTF8String, _), Literal(q: UTF8String, _)) =>
+          (d.toString, q.toString, 10)
+        case Seq(Literal(d: UTF8String, _), Literal(q: UTF8String, _),
+            Literal(kk: Int, _)) => (d.toString, q.toString, kk)
+        case Seq(Literal(d: UTF8String, _), Literal(q: UTF8String, _),
+            Literal(kk: Long, _)) => (d.toString, q.toString, kk.toInt)
+        case _ => throw new IllegalArgumentException(
+          "usage: text_bm25('/index-dir', 'term,term,...'[, topK])")
+      }
+      graft.operators.TextIndex.bm25(SparkSession.active, dir,
+        terms.split(",").map(_.trim).filter(_.nonEmpty).toSeq, topK = k)
+        .queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

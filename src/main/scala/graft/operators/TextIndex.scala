@@ -572,4 +572,22 @@ object TextIndex {
           .select(lit("ord").as("mode"), col("doc_id"), col("n_hits")))
       .orderBy("mode", "doc_id")
   }
+
+  /** Contract query for the TEXT-INDEX TVF surface through the
+    * service's SQL entry point (the REST /sql engine): a composed
+    * probe — keyword AND conjunction left-joined with the NEAR/3 pair
+    * counts — written entirely in SQL over `text_search`/`text_near`.
+    * TextIndexSpec asserts the plan behind this exact path keeps
+    * PartitionFilters bucket pruning on both TVF scans.
+    */
+  def qTextTvf(t: graft.sources.Tables): DataFrame = {
+    val dir = corpusIndexDir(t)
+    new graft.service.QueryService(t.spark).sql(
+      s"""SELECT s.doc_id, s.n_matched, s.total_tf,
+         |  coalesce(n.n_hits, 0) AS near_hits
+         |FROM text_search('$dir', 'spark,merge') s
+         |LEFT JOIN text_near('$dir', 'spark', 'merge', 3) n
+         |  ON s.doc_id = n.doc_id
+         |ORDER BY s.doc_id""".stripMargin)
+  }
 }

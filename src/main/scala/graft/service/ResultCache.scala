@@ -341,5 +341,6 @@ object ResultCache {
     * fingerprint (table identity is a string argument).
     */
   val StatefulTvfs: Set[String] = Set(
-    "table_changes", "table_stats", "table_diff", "table_branch")
+    "table_changes", "table_stats", "table_diff", "table_branch",
+    "text_search", "text_phrase", "text_near", "text_bm25")
 }

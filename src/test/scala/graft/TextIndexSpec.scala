@@ -180,6 +180,45 @@ class TextIndexSpec extends SparkSpecBase {
       .contains(10L))
   }
 
+  test("TVF surface: text_search/text_phrase/text_near/text_bm25 over SQL keep bucket pruning, service path included") {
+    val dir = freshDir("tvf")
+    TextIndex.build(Seq(
+      (1L, "spark merge spark window"),
+      (2L, "merge only here"),
+      (3L, "spark alone"),
+      (4L, "spark x x merge")).toDF("doc_id", "text"), dir)
+    // plain SQL: AND search
+    val s = spark.sql(s"SELECT * FROM text_search('$dir', 'spark,merge') ORDER BY doc_id")
+    assert(s.collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // OR mode via the third arg
+    assert(spark.sql(
+      s"SELECT doc_id FROM text_search('$dir', 'spark,merge', false) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // phrase and proximity
+    assert(spark.sql(s"SELECT doc_id FROM text_phrase('$dir', 'spark merge')")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(
+      s"SELECT doc_id, n_hits FROM text_near('$dir', 'spark', 'merge', 3) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (4L, 1L)))
+    // bm25 serves the ranked shape
+    assert(spark.sql(s"SELECT * FROM text_bm25('$dir', 'spark', 2)")
+      .collect().length == 2)
+    // the TVF plan keeps the driver-computed bucket pruning
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+      "TVF probes must stay bucket-pruned: " + plan.take(800))
+    // the service's SQL entry point (the REST /sql engine) serves it too
+    val svc = new graft.service.QueryService(spark)
+    assert(svc.sql(s"SELECT doc_id FROM text_search('$dir', 'merge') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // index mutations are visible through the TVF (no stale cache):
+    // absorb a doc, re-ask through the SAME service
+    TextIndex.absorb(spark, dir, Seq((9L, "fresh merge doc")).toDF("doc_id", "text"))
+    assert(svc.sql(s"SELECT doc_id FROM text_search('$dir', 'merge') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 9L))
+  }
+
   test("rebuild over a streamed index resets epochs, ledger, and the epoch fence") {
     val dir = freshDir("rebuild")
     TextIndex.build(Seq((1L, "old spark text")).toDF("doc_id", "text"), dir)
