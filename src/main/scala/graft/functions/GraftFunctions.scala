@@ -353,6 +353,43 @@ object GraftFunctions {
       graft.operators.TextIndex.bm25(SparkSession.active, dir,
         terms.split(",").map(_.trim).filter(_.nonEmpty).toSeq, topK = k)
         .queryExecution.analyzed
+    }), (
+    // vector search over a SAVED IVF index as SQL: `SELECT * FROM
+    // ann_search('/idx', '0.1,0.2,...', k[, nprobe])` — the
+    // cell-pruned probe ([[graft.operators.Similarity.ivfProbe]]; the
+    // saved inverted file is partitioned on `cell`, so the scan opens
+    // only the probed cells) with the query vector as a CSV float
+    // literal. Streamed epochs fold in through IvfIndex.load's
+    // recovery, same as the operator path.
+    FunctionIdentifier("ann_search"),
+    new ExpressionInfo("graft.operators.IvfIndex", "ann_search"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      def intOf(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"ann_search: $what must be an integer literal, got $other")
+      }
+      val (dir, csv, k, nprobe) = args match {
+        case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _)) =>
+          (d.toString, v.toString, 10, 3)
+        case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _), kk) =>
+          (d.toString, v.toString, intOf(kk, "k"), 3)
+        case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _), kk, np) =>
+          (d.toString, v.toString, intOf(kk, "k"), intOf(np, "nprobe"))
+        case _ => throw new IllegalArgumentException(
+          "usage: ann_search('/index-dir', 'f1,f2,...', k[, nprobe])")
+      }
+      val spark = SparkSession.active
+      val vec = csv.split(",").map(_.trim.toFloat)
+      import spark.implicits._
+      val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
+      graft.operators.Similarity
+        .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
+        .drop("query_id") // single query: (vec_id, cos, rk)
+        .queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

@@ -342,5 +342,5 @@ object ResultCache {
     */
   val StatefulTvfs: Set[String] = Set(
     "table_changes", "table_stats", "table_diff", "table_branch",
-    "text_search", "text_phrase", "text_near", "text_bm25")
+    "text_search", "text_phrase", "text_near", "text_bm25", "ann_search")
 }

@@ -137,6 +137,41 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_search TVF: SQL vector search over a saved index equals the operator probe, cell-pruned") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-tvf").toString
+    val handles = scala.collection.mutable.ArrayBuffer.empty[IvfIndex]
+    def tracked(i: IvfIndex): IvfIndex = { handles += i; i }
+    try {
+      tracked(IvfIndex.build(tables.embeddings, cells = 16, iters = 2)).save(dir)
+      val qVec = tables.embeddings.filter(col("vec_id") === 1L)
+        .head().getAs[scala.collection.Seq[Float]]("embedding")
+      val csv = qVec.mkString(",")
+      val viaSql = spark.sql(
+        s"SELECT vec_id, cos, rk FROM ann_search('$dir', '$csv', 5) ORDER BY rk")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("cos"), r.getInt(2))).toSeq
+      // operator-path twin: same saved index, a -1-tagged query row
+      import spark.implicits._
+      val q = Seq((-1L, qVec.toArray)).toDF("vec_id", "embedding")
+      val viaOp = Similarity.ivfProbe(tracked(IvfIndex.load(spark, dir)), q, k = 5)
+        .select("vec_id", "cos", "rk").orderBy("rk")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("cos"), r.getInt(2))).toSeq
+      assert(viaSql == viaOp, s"sql=$viaSql op=$viaOp")
+      assert(viaSql.nonEmpty && viaSql.head._1 == 1L,
+        "the query's own vector must rank first: " + viaSql.take(3))
+      // the saved inverted file is cell-partitioned and the probe must
+      // prune to the visited cells
+      val plan = spark.sql(s"SELECT * FROM ann_search('$dir', '$csv', 5)")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        "ann_search must keep cell pruning on the saved scan: " + plan.take(800))
+    } finally {
+      handles.foreach(_.unpersist())
+      deleteDir(dir)
+    }
+  }
+
   test("incremental append to a saved IVF index absorbs new vectors without retraining") {
     import org.apache.spark.sql.functions.col
     import graft.operators.IvfIndex
