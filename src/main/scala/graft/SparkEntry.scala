@@ -155,6 +155,7 @@ object SparkEntry {
     "cdf_fixture" -> ((s, d) => graft.sources.TableCdf.warmBuild(t(s, d))),
     "apply_fixture" -> ((s, d) => graft.sources.TableApply.warmBuild(t(s, d))),
     "mview_fixture" -> ((s, d) => graft.sources.MviewDemo.warmBuild(t(s, d))),
+    "sqlmv_fixture" -> ((s, d) => graft.service.SqlMviewDemo.warmBuild(t(s, d))),
     "mview_cdf_fixture" -> ((s, d) => graft.sources.MviewCdfDemo.warmBuild(t(s, d))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_sketch_sidecars" -> ((s, d) => graft.sources.TableSketch.qSketchSidecars(t(s, d))),
     "q_table_stats" -> ((s, d) => graft.sources.TableSketch.qTableStats(t(s, d))),
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
+    "q_sql_mview" -> ((s, d) => graft.service.SqlMviewDemo.qSqlMview(t(s, d))),
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
@@ -2916,6 +2918,14 @@ object SparkEntry {
     // cycles; the oracle is the direct one-shot aggregate over all of
     // orders — gating that the incremental merge algebra is exact
     "q_mview" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the SQL-DDL-driven twin: CREATE + two REFRESHes over the service
+    // must land on the identical aggregate of the full table
+    "q_sql_mview" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

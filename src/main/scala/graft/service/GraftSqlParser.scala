@@ -54,6 +54,13 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         else if (SqlDml.isDropBranch(sqlText)) GraftSqlParser.dropBranchOutput
         else GraftSqlParser.versionOutput,
         (spark, q) => SqlDml.branchStmt(spark, q, () => ()).get.collect().toSeq)
+    else if (SqlDml.isMvStmt(sqlText))
+      // materialized-view DDL: no Spark grammar — wrap BEFORE delegation
+      GraftDmlCommand(sqlText,
+        if (SqlDml.isCreateMv(sqlText)) GraftSqlParser.mvCreateOutput
+        else if (SqlDml.isDropMv(sqlText)) GraftSqlParser.dropBranchOutput
+        else GraftSqlParser.versionOutput,
+        (spark, q) => SqlDml.mvStmt(spark, q, () => (), None).get.collect().toSeq)
     else if (SqlDml.isMaintenance(sqlText))
       // VACUUM / OPTIMIZE / RESTORE — no Spark grammar exists for
       // these, so the command wraps BEFORE delegation (which would
@@ -158,6 +165,10 @@ object GraftSqlParser {
   /** VACUUM reports reclamation, not a commit. */
   private def vacuumOutput: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+
+  private def mvCreateOutput: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
 
   private def createBranchOutput: Seq[Attribute] = Seq(
     AttributeReference("branch", StringType, nullable = false)(),

@@ -2,7 +2,7 @@ package graft.service
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedWith, UpdateAction, UpdateStarAction, UpdateTable, View}
 
 import graft.plans.VTableRelation
@@ -387,6 +387,8 @@ object SqlDml {
     // bare extension session doesn't have (its users attach tables
     // via Catalog.register / the scan API instead)
     val lifecycle = effectiveVerb(query) match {
+      case "CREATE" | "REFRESH" | "DROP" if isMvStmt(query) =>
+        mvStmt(svc.spark, query, () => svc.results.noteCommand(), Some(svc))
       case "CREATE" => createVTable(svc.spark, query, (n, p) => {
         svc.registerSource(n, "vtable", p)
         svc.results.noteCommand()
@@ -412,6 +414,8 @@ object SqlDml {
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
       case "COPY" => copyIntoStmt(spark, query, onCommit)
       case "ALTER" => alterTable(spark, query, onCommit)
+      case "CREATE" | "REFRESH" | "DROP" if isMvStmt(query) =>
+        mvStmt(spark, query, onCommit, None)
       case _ => None
     }
   }
@@ -427,7 +431,8 @@ object SqlDml {
     verb == "DESCRIBE" || verb == "MERGE" || verb == "UPDATE" ||
       verb == "DELETE" || verb == "INSERT" ||
       verb == "VACUUM" || verb == "OPTIMIZE" || verb == "RESTORE" ||
-      verb == "COPY" || verb == "ALTER"
+      verb == "COPY" || verb == "ALTER" ||
+      verb == "CREATE" || verb == "REFRESH" || verb == "DROP"
   }
 
   /** `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...` for sessions
@@ -1294,6 +1299,188 @@ object SqlDml {
       MergeBranchRe.findFirstIn(c).isDefined
   }
 
+  // ---- materialized views as SQL -----------------------------------
+
+  // text-routed like the branch/maintenance verbs: Spark has no
+  // MATERIALIZED VIEW grammar, so these wrap BEFORE the parse
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_`]+)\s+""" +
+      """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\s.+?)\s*;?\s*$""").r
+  private val RefreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*$""".r
+  private val DropMvRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*$""".r
+
+  private[service] def isCreateMv(query: String): Boolean =
+    CreateMvRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isDropMv(query: String): Boolean =
+    DropMvRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isMvStmt(query: String): Boolean = {
+    val c = content(query)
+    CreateMvRe.findFirstIn(c).isDefined || RefreshMvRe.findFirstIn(c).isDefined ||
+      DropMvRe.findFirstIn(c).isDefined
+  }
+
+  // session-scoped name → viewDir roster so REFRESH/DROP resolve a
+  // bare name on the plain-parser path; the service ADDITIONALLY
+  // records the durable `mview` catalog source, so names survive a
+  // service restart there
+  private val mvRoster = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mvKey(spark: org.apache.spark.sql.SparkSession, name: String) =
+    s"${System.identityHashCode(spark)}/${name.toLowerCase}"
+
+  /** Materialized views over SQL (the IVM engine of
+    * [[graft.sources.MaterializedView]] behind DDL verbs):
+    *
+    *   CREATE MATERIALIZED VIEW name LOCATION '/dir' AS
+    *     SELECT g1, …, count(*) AS n, sum(x) AS sx FROM src GROUP BY g1, …
+    *       → build + initial refresh + register; result = (view, version)
+    *   REFRESH MATERIALIZED VIEW name | '/dir' → O(delta) refresh +
+    *       re-register; result = (version)
+    *   DROP MATERIALIZED VIEW name → unregister (state storage is
+    *       deliberately kept — it is a table; remove the dir to reclaim);
+    *       result = (dropped)
+    *
+    * The body is restricted to what incremental maintenance can hold:
+    * plain group columns plus aliased ALGEBRAIC aggregates (count(*) /
+    * sum / min / max / avg) over single columns of one registered
+    * vtable view — anything holistic fails loudly at CREATE, not
+    * wrongly at refresh.
+    */
+  private[service] def mvStmt(spark: org.apache.spark.sql.SparkSession,
+      query: String, onCommit: () => Unit,
+      svc: Option[QueryService]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    content(query) match {
+      case CreateMvRe(name0, loc, select) =>
+        val name = unquoteIdent(name0)
+        val (srcDir, group, aggs) = parseMvDef(spark, select)
+        val mv = graft.sources.MaterializedView(spark, loc, srcDir, group, aggs)
+        val v = mv.refresh()
+        svc match {
+          case Some(s) => s.registerSource(name, "mview", loc); ()
+          case None    => mv.read().createOrReplaceTempView(name)
+        }
+        mvRoster.put(mvKey(spark, name), loc)
+        onCommit()
+        Some(spark.range(1).select(lit(name).as("view"), lit(v).as("version")))
+      case RefreshMvRe(target) =>
+        val (nameOpt, dir) = mvTarget(spark, target, svc)
+        val mv = graft.sources.MaterializedView.load(spark, dir)
+        val v = mv.refresh()
+        // re-register so readers of the NAME see the refreshed state
+        // (registrations pin their snapshot, same as vtable views)
+        nameOpt.foreach { n =>
+          svc match {
+            case Some(s) => s.registerSource(n, "mview", dir); ()
+            case None    => mv.read().createOrReplaceTempView(n)
+          }
+        }
+        onCommit()
+        Some(spark.range(1).select(lit(v).as("version")))
+      case DropMvRe(target) =>
+        val name = unquoteIdent(target.trim)
+        val known = mvRoster.remove(mvKey(spark, name)) != null
+        val dropped = svc match {
+          case Some(s) => s.unregister(name) || known
+          case None =>
+            val existed = spark.catalog.dropTempView(name)
+            existed || known
+        }
+        onCommit()
+        Some(spark.range(1).select(lit(dropped).as("dropped")))
+      case _ => None
+    }
+  }
+
+  /** Resolve a REFRESH target: a quoted '/dir' path, or a name known
+    * to the session roster / the service's durable catalog.
+    */
+  private def mvTarget(spark: org.apache.spark.sql.SparkSession, target0: String,
+      svc: Option[QueryService]): (Option[String], String) = {
+    val t = target0.trim
+    unquotePath(t) match {
+      case Some(p) => (None, p)
+      case None =>
+        val name = unquoteIdent(t)
+        val dir = Option(mvRoster.get(mvKey(spark, name)))
+          .orElse(svc.flatMap(_.catalogEntries.find(e =>
+            e.kind == "source" && e.format == "mview" &&
+              e.name.equalsIgnoreCase(name)).map(_.path)))
+          .getOrElse(fail(s"'$name' is not a known materialized view " +
+            "(CREATE it here, or refresh by its '/dir' path)"))
+        (Some(name), dir)
+    }
+  }
+
+  /** Parse + restrict a materialized-view body to the maintainable
+    * shape; returns (source table dir, group columns, aggregates).
+    */
+  private def parseMvDef(spark: org.apache.spark.sql.SparkSession,
+      select: String): (String, Seq[String], Seq[graft.sources.MvAgg]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import graft.sources.MvAgg
+    val shapeMsg = "materialized view body must be: SELECT <group cols>, " +
+      "<count(*)|sum|min|max|avg(col) AS alias>… FROM <registered vtable view> " +
+      "GROUP BY <group cols> (no ORDER BY/HAVING/joins — the state is a table)"
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(select)
+      catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        fail(s"$shapeMsg: ${e.getMessage}")
+      }
+    plan match {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        val src = agg.child match {
+          case UnresolvedRelation(parts, _, _) if parts.length == 1 => parts.head
+          case SubqueryAlias(_, UnresolvedRelation(parts, _, _)) if parts.length == 1 =>
+            parts.head
+          case _ => fail(shapeMsg)
+        }
+        val srcDir = resolveVTable(spark, src).map(_._1)
+          .getOrElse(fail(
+            s"materialized view source '$src' is not a registered vtable view " +
+              "(IVM rides the versioned table's commit log)"))
+        val group = agg.groupingExpressions.map {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
+          case other => fail(s"GROUP BY must list plain columns, got ${other.sql}")
+        }
+        val aggs = agg.aggregateExpressions.flatMap {
+          case a: UnresolvedAttribute
+              if a.nameParts.length == 1 && group.contains(a.nameParts.head) => None
+          case al @ Alias(f: UnresolvedFunction, _) =>
+            if (f.isDistinct) fail(
+              "DISTINCT aggregates are holistic (no mergeable partial state) " +
+                "— not incrementally maintainable")
+            val fn = f.nameParts.map(_.toLowerCase).mkString(".")
+            def col1: String = f.arguments match {
+              case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+                a.nameParts.head
+              case _ => fail(s"$fn takes one plain column here, got ${f.sql}")
+            }
+            Some(fn match {
+              case "count" => f.arguments match {
+                case Seq() | Seq(_: UnresolvedStar) => MvAgg.Count(al.name)
+                case Seq(Literal(1, _)) => MvAgg.Count(al.name)
+                case _ => fail("only count(*) / count(1) is maintainable " +
+                  "(count(col) skips nulls — filter the nulls in a view first)")
+              }
+              case "sum" => MvAgg.Sum(col1, al.name)
+              case "min" => MvAgg.Min(col1, al.name)
+              case "max" => MvAgg.Max(col1, al.name)
+              case "avg" | "mean" => MvAgg.Avg(col1, al.name)
+              case other => fail(s"aggregate '$other' has no mergeable partial " +
+                "state — a materialized view holds count/sum/min/max/avg only")
+            })
+          case other => fail(s"$shapeMsg (got ${other.sql})")
+        }
+        if (aggs.isEmpty) fail("materialized view needs at least one aggregate")
+        (srcDir, group, aggs)
+      case _ => fail(shapeMsg)
+    }
+  }
+
   private[service] def branchStmt(spark: org.apache.spark.sql.SparkSession,
       query: String, onCommit: () => Unit): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
@@ -2141,5 +2328,74 @@ object SqlTimeTravelDemo {
          |  floor(sum(price) * 100 + 0.5) / 100 AS total
          |FROM `$tgt`
          |ORDER BY snap""".stripMargin)
+  }
+}
+
+
+/** Contract fixture for the MATERIALIZED VIEW SQL surface: the source
+  * vtable takes three appends; the view is CREATEd over SQL after the
+  * first and REFRESHed over SQL after each subsequent commit — so the
+  * committed state is the product of one initial compute plus two
+  * O(delta) append-diff folds, all driven through the service's DDL
+  * verbs. The DuckDB oracle aggregates `orders` directly (the three
+  * slices are a partition of the table): any drop or double-count in
+  * the SQL-surface plumbing diverges the hash. Memoized per (session,
+  * corpus) like [[SqlTimeTravelDemo]].
+  */
+object SqlMviewDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, (String, String)](4, _ => ())
+
+  /** Returns (mv view dir, registered mv name). */
+  private def builtView(t: graft.sources.Tables): (String, String) =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = java.nio.file.Files.createTempDirectory("graft-sqlmv")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val srcDir = parent.toString + "/orders_src"
+      val mvDir = parent.toString + "/orders_mv"
+      val src = VersionedTable(t.spark, srcDir)
+      val base = t.orders.select(col("o_orderpriority"), col("o_totalprice"))
+      def slice(i: Int) =
+        base.filter(pmod(col("o_totalprice").cast("long"), lit(3)) === i)
+      val tag = s"${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val srcName = s"__graft_sqlmv_src_$tag"
+      val mvName = s"__graft_sqlmv_$tag"
+      val svc = new QueryService(t.spark)
+      src.append(slice(0))
+      src.scan().createOrReplaceTempView(srcName)
+      svc.sql(
+        s"""CREATE MATERIALIZED VIEW $mvName LOCATION '$mvDir' AS
+           |SELECT o_orderpriority, count(*) AS n_orders,
+           |  sum(o_totalprice) AS total,
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           |  avg(o_totalprice) AS avg_price
+           |FROM $srcName GROUP BY o_orderpriority""".stripMargin).collect()
+      (1 until 3).foreach { i =>
+        src.append(slice(i))
+        svc.sql(s"REFRESH MATERIALIZED VIEW $mvName").collect()
+        ()
+      }
+      (mvDir, mvName)
+    }
+
+  def warmBuild(t: graft.sources.Tables): Unit = { builtView(t); () }
+
+  def qSqlMview(t: graft.sources.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, mvName) = builtView(t)
+    t.spark.table(mvName)
+      .select(col("o_orderpriority"), col("n_orders"),
+        graft.operators.Rnd.round(col("total"), 2).as("total"),
+        col("min_price"), col("max_price"),
+        graft.operators.Rnd.round(col("avg_price"), 2).as("avg_price"))
+      .orderBy("o_orderpriority")
   }
 }

@@ -656,6 +656,59 @@ class SqlDmlSpec extends SparkSpecBase {
     assert(!SqlDml.mightDispatch("WITH s AS (SELECT 1 AS k) SELECT * FROM s"))
   }
 
+  test("materialized views over SQL: CREATE / REFRESH / DROP on both entry points, O(delta) refresh") {
+    val (svc, vt) = seeded("sqlmv", "sqlmv_src")
+    val mvDir = Files.createTempDirectory("graft-sqlmv-state").toString + "/mv"
+    // CREATE: builds + initial refresh + registers the name
+    val created = svc.sql(
+      s"""CREATE MATERIALIZED VIEW sqlmv_v LOCATION '$mvDir' AS
+         |SELECT k, count(*) AS n, sum(v) AS sv, avg(v) AS av
+         |FROM sqlmv_src GROUP BY k""".stripMargin).head()
+    assert(created.getString(0) == "sqlmv_v" && created.getInt(1) >= 1, created.toString)
+    assert(spark.table("sqlmv_v").count() == 10)
+    // source moves; REFRESH folds the append diff and re-registers
+    vt.append(spark.range(1, 6).select(col("id").as("k"), lit(1.0).as("v")))
+    svc.sql("REFRESH MATERIALIZED VIEW sqlmv_v").collect()
+    val row = spark.table("sqlmv_v").filter(col("k") === 2L).head()
+    assert(row.getAs[Long]("n") == 2L && row.getAs[Double]("sv") == 21.0,
+      row.toString)
+    // avg finalizes from (sum, count) state
+    assert(math.abs(row.getAs[Double]("av") - 10.5) < 1e-9)
+    // holistic aggregates refuse at CREATE, loudly
+    val e1 = intercept[IllegalArgumentException](svc.sql(
+      s"""CREATE MATERIALIZED VIEW sqlmv_bad LOCATION '${mvDir}2' AS
+         |SELECT k, count(DISTINCT v) AS d FROM sqlmv_src GROUP BY k""".stripMargin))
+    assert(e1.getMessage.contains("holistic"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](svc.sql(
+      s"""CREATE MATERIALIZED VIEW sqlmv_bad LOCATION '${mvDir}2' AS
+         |SELECT k, median(v) AS m FROM sqlmv_src GROUP BY k""".stripMargin))
+    assert(e2.getMessage.contains("mergeable"), e2.getMessage)
+    // non-vtable sources refuse (IVM rides the commit log)
+    spark.range(3).toDF("k").createOrReplaceTempView("sqlmv_plain")
+    val e3 = intercept[IllegalArgumentException](svc.sql(
+      s"""CREATE MATERIALIZED VIEW sqlmv_bad LOCATION '${mvDir}3' AS
+         |SELECT k, count(*) AS n FROM sqlmv_plain GROUP BY k""".stripMargin))
+    assert(e3.getMessage.contains("vtable"), e3.getMessage)
+    // DROP unregisters the name; the state dir (a table) survives
+    assert(svc.sql("DROP MATERIALIZED VIEW sqlmv_v").head().getBoolean(0))
+    assert(!spark.catalog.tableExists("sqlmv_v"))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(mvDir)))
+    // the plain-parser entry point (no QueryService): same verbs
+    val (vt2, _) = freshTable("sqlmv-p")
+    vt2.append(spark.range(1, 4).select(col("id").as("k"), (col("id") * 2.0).as("v")))
+    vt2.scan().createOrReplaceTempView("sqlmv_src2")
+    val mvDir2 = Files.createTempDirectory("graft-sqlmv-p").toString + "/mv"
+    spark.sql(s"""CREATE MATERIALIZED VIEW sqlmv_p LOCATION '$mvDir2' AS
+                 |SELECT k, sum(v) AS sv FROM sqlmv_src2 GROUP BY k""".stripMargin)
+      .collect()
+    assert(spark.table("sqlmv_p").count() == 3)
+    vt2.append(spark.range(1, 2).select(col("id").as("k"), lit(100.0).as("v")))
+    assert(spark.sql("REFRESH MATERIALIZED VIEW sqlmv_p").head().getInt(0) >= 2)
+    assert(spark.table("sqlmv_p").filter(col("k") === 1L).head()
+      .getAs[Double]("sv") == 102.0)
+    assert(spark.sql("DROP MATERIALIZED VIEW sqlmv_p").head().getBoolean(0))
+  }
+
   test("the auth classifier lexes like Spark: nested comments, AS-less CTEs, either escape convention") {
     import graft.service.SqlDml
     // Spark 4.1 NESTS bracketed comments: the whole header below is ONE
