@@ -89,7 +89,8 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // vtable view routes to its metadata-only evolution commits;
         // any other ALTER keeps Spark's native plan and errors
         case alterTree @ (_: AddColumns | _: RenameColumn | _: DropColumns |
-            _: AddCheckConstraint | _: DropConstraint)
+            _: AddCheckConstraint | _: DropConstraint |
+            _: org.apache.spark.sql.catalyst.plans.logical.AddConstraint)
             if SqlDml.isVTableAlter(session, alterTree) =>
           GraftDmlCommand(sqlText, GraftSqlParser.versionOutput,
             (spark, _) =>

@@ -1591,6 +1591,31 @@ object SqlDml {
         import org.apache.spark.sql.functions.lit
         spark.range(1).select(lit(vt.currentVersion).as("version"))
       }
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+      alterDir(spark, a.child).map { dir =>
+        val vt = VersionedTable(spark, dir)
+        val preHead = vt.currentVersion
+        a.tableConstraint match {
+          case u: org.apache.spark.sql.catalyst.expressions.UniqueConstraint =>
+            // ENFORCED on a vtable (Delta/Iceberg leave UNIQUE
+            // informational): every later commit proves no duplicate
+            // key, pruned through the per-file stats
+            vt.addUniqueConstraint(u.name, u.columns)
+          case pk: org.apache.spark.sql.catalyst.expressions.PrimaryKeyConstraint =>
+            fail("PRIMARY KEY is not supported on a vtable; declare " +
+              s"UNIQUE (${pk.columns.mkString(", ")}) plus a CHECK " +
+              "(col IS NOT NULL) constraint — together they are the " +
+              "enforced equivalent")
+          case other => fail(
+            s"unsupported constraint kind on a vtable: ${other.sql} " +
+              "(CHECK and UNIQUE are enforced; FOREIGN KEY has no " +
+              "single-table enforcement point)")
+        }
+        onCommit()
+        refreshViews(spark, vt.dir, preHead)
+        import org.apache.spark.sql.functions.lit
+        spark.range(1).select(lit(vt.currentVersion).as("version"))
+      }
     case d: DropConstraint =>
       alterDir(spark, d.table).map { dir =>
         val vt = VersionedTable(spark, dir)
@@ -1616,6 +1641,8 @@ object SqlDml {
     case r: RenameColumn => alterDir(spark, r.table).isDefined
     case d: DropColumns  => alterDir(spark, d.table).isDefined
     case a: AddCheckConstraint => alterDir(spark, a.child).isDefined
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+      alterDir(spark, a.child).isDefined
     case d: DropConstraint     => alterDir(spark, d.table).isDefined
     case _ => false
   }

@@ -260,6 +260,57 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** ENFORCED UNIQUE constraint over `cols` (what Delta/Iceberg leave
+    * informational): every later data commit proves it created no
+    * duplicate key before its manifest claims. The proof is complete
+    * yet never O(table) per commit: a post-commit duplicate pair must
+    * involve at least one freshly written row (the carried files are a
+    * subset of the previous — already unique — snapshot), so checking
+    * (a) the fresh files internally and (b) fresh keys against the
+    * carried files PRUNED by the batch's key range through the
+    * per-file stats covers every pair — O(batch + overlapping files).
+    * Rows with a NULL in any constrained column are exempt (SQL's
+    * UNIQUE: NULLs are distinct). The add itself validates the whole
+    * existing snapshot once, like [[addConstraint]]; RESTORE shares
+    * the same documented resurrect window.
+    */
+  def addUniqueConstraint(name: String, cols: Seq[String]): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint names must be simple identifiers, got `$name`")
+    require(cols.nonEmpty, "UNIQUE needs at least one column")
+    require(currentVersion > 0,
+      s"table at $dir has no committed version; add constraints after the first commit")
+    val schemaCols = scan().columns.toSet
+    cols.foreach(c => require(schemaCols.contains(c),
+      s"UNIQUE column `$c` is not in the table's schema (${schemaCols.mkString(", ")})"))
+    Files.createDirectories(logDir)
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion
+      val existing = constraintsAt(prev)
+      require(!existing.exists(_._1 == name),
+        s"constraint `$name` already exists (drop it first to replace)")
+      val dup = read(prev)
+        .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__uq_n"))
+        .filter(col("__uq_n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"cannot add UNIQUE constraint `$name` (${cols.mkString(", ")}): " +
+          s"existing rows duplicate key ${dup.headOption.map(_.toString).getOrElse("")}")
+      try {
+        commitConstraints(prev + 1, "add-constraint",
+          existing :+ (name -> s"${VersionedTable.UniquePrefix}${cols.mkString(",")}"))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= VersionedTable.MaxCommitRetries) throw e
+      }
+    }
+  }
+
   /** Remove a named constraint; returns whether it existed. The drop
     * is a metadata commit like [[addConstraint]], serializing with
     * every writer through the claim protocol.
@@ -389,23 +440,68 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * reports. Throws IllegalArgumentException → commitData's cleanup
     * reclaims the refused files.
     */
-  private def validateConstraints(sub: String, storeSchema: StructType): Unit = {
+  private def validateConstraints(sub: String, storeSchema: StructType,
+      carried: Seq[String] = Seq.empty,
+      carriedStats: Map[String, JsonNode] = Map.empty): Unit = {
     val cs = constraintList
     if (cs.isEmpty) return
-    val logical = spark.read.schema(physicalSchema(storeSchema))
-      .parquet(s"$dir/$sub")
-      .select(storeSchema.fields.toSeq.map(f =>
-        col(VersionedTable.physicalName(f)).as(f.name)): _*)
-    val aggs = cs.map { case (n, e) =>
-      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(s"__ck_$n")
+    def projected(paths: Seq[String]): DataFrame =
+      spark.read.schema(physicalSchema(storeSchema))
+        .parquet(paths: _*)
+        .select(storeSchema.fields.toSeq.map(f =>
+          col(VersionedTable.physicalName(f)).as(f.name)): _*)
+    val logical = projected(Seq(s"$dir/$sub"))
+    val checks = cs.filter(c => VersionedTable.uniqueColsOf(c._2).isEmpty)
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(s"__ck_$n")
+      }
+      val row = logical.agg(aggs.head, aggs.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty commit
+        if (bad > 0) throw new IllegalArgumentException(
+          s"CHECK constraint `$n` ($e) violated by $bad row(s); commit refused " +
+            "(NULL evaluates as a violation here — de-NULL with coalesce/IS NULL " +
+            "in the constraint expression if NULLs should pass)")
+      }
     }
-    val row = logical.agg(aggs.head, aggs.tail: _*).head()
-    cs.zipWithIndex.foreach { case ((n, e), i) =>
-      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty commit
-      if (bad > 0) throw new IllegalArgumentException(
-        s"CHECK constraint `$n` ($e) violated by $bad row(s); commit refused " +
-          "(NULL evaluates as a violation here — de-NULL with coalesce/IS NULL " +
-          "in the constraint expression if NULLs should pass)")
+    // UNIQUE: fresh-internal duplicates, then fresh × carried overlap
+    // pruned by the batch's key range (see addUniqueConstraint for why
+    // the two checks are a COMPLETE proof). NULL-keyed rows exempt.
+    cs.foreach { case (n, spec) =>
+      VersionedTable.uniqueColsOf(spec).foreach { cols =>
+        val fresh = logical
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        val dup = fresh.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__uq_n")).filter(col("__uq_n") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"UNIQUE constraint `$n` (${cols.mkString(", ")}) violated inside " +
+            s"the commit: duplicate key ${dup.head.toString}; commit refused")
+        if (carried.nonEmpty) {
+          val head = cols.head
+          val headType = storeSchema(head).dataType
+          val b = fresh.agg(min(col(head)), max(col(head))).head()
+          if (!b.isNullAt(0)) {
+            // a carried file without stats on the column never prunes
+            val toScan = carried.filter(f => rangeOverlaps(
+              carriedStats.get(f), head, headType, b.get(0), b.get(1)))
+            if (toScan.nonEmpty) {
+              val paths = toScan.map(f =>
+                if (VersionedTable.isExternal(f)) f else s"$dir/$f")
+              val hit = projected(paths)
+                .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+                .join(fresh.select(cols.map(col): _*).distinct(),
+                  cols, "left_semi")
+                .limit(1).collect()
+              if (hit.nonEmpty) throw new IllegalArgumentException(
+                s"UNIQUE constraint `$n` (${cols.mkString(", ")}) violated: " +
+                  s"key ${hit.head.toString} already exists in the table; " +
+                  "commit refused")
+            }
+          }
+        }
+      }
     }
   }
 
@@ -1927,7 +2023,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       }
       // enforced CHECK constraints: refuse (and reclaim) a violating
       // batch BEFORE any manifest claim; carried files never re-scan
-      validateConstraints(sub, storeSchema)
+      validateConstraints(sub, storeSchema, carryForward, carriedStats)
       val stats = carriedStats ++ statsToLogical(storeSchema,
         freshStats(sub, fresh, physicalSchema(storeSchema)))
       commit(v, op, carryForward ++ fresh, storeSchema.json, stats, epoch, cdfRels,
@@ -4273,6 +4369,16 @@ object VersionedTable {
   /** Change-feed tag column: insert | delete | update_preimage |
     * update_postimage (Delta's _change_type vocabulary).
     */
+  /** Stored-constraint encoding for ENFORCED UNIQUE: the constraint
+    * map's value is `unique:col1,col2` instead of a CHECK expression.
+    */
+  private[sources] val UniquePrefix = "unique:"
+
+  private[sources] def uniqueColsOf(spec: String): Option[Seq[String]] =
+    if (spec.startsWith(UniquePrefix))
+      Some(spec.stripPrefix(UniquePrefix).split(",").map(_.trim).toSeq)
+    else None
+
   /** Manifest keys surfaced as DESCRIBE HISTORY `op_params`. */
   private[sources] val OpParamKeys =
     Seq("cloneSource", "cloneVersion", "branchSource", "branchFork", "branchFeed")

@@ -286,6 +286,91 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(t.read(2).filter(col("day") === 1).count() == 2)
   }
 
+  test("UNIQUE constraints: enforced on appends and rewrites, null-exempt, stats-pruned overlap") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    t.addUniqueConstraint("id_uq", Seq("id"))
+    assert(t.currentVersion == 2)
+    // a fresh batch colliding with EXISTING keys refuses (cross-file)
+    val e1 = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "dup")).toDF("id", "name"))
+    }
+    assert(e1.getMessage.contains("id_uq") &&
+      e1.getMessage.contains("already exists"), e1.getMessage)
+    // a batch duplicating WITHIN itself refuses
+    val e2 = intercept[IllegalArgumentException] {
+      t.append(Seq((7L, "x"), (7L, "y")).toDF("id", "name"))
+    }
+    assert(e2.getMessage.contains("inside"), e2.getMessage)
+    assert(t.read().count() == 3, "refused batches must not land")
+    // disjoint keys append fine
+    t.append(Seq((4L, "d")).toDF("id", "name"))
+    // an UPDATE that would collide two keys refuses — the rewritten
+    // files overlap a carried file's key
+    val e3 = intercept[IllegalArgumentException] {
+      t.updateWhere(org.apache.spark.sql.functions.col("id") === 4L,
+        Map("id" -> org.apache.spark.sql.functions.lit(1L)))
+    }
+    assert(e3.getMessage.contains("id_uq"), e3.getMessage)
+    // merge ON the unique key stays legal (upsert preserves key sets)
+    t.merge(Seq((4L, "d2"), (9L, "new")).toDF("id", "name"), "id")
+    assert(t.read().filter(org.apache.spark.sql.functions.col("id") === 4L)
+      .head().getString(1) == "d2")
+    // NULL keys are exempt (SQL UNIQUE: NULLs are distinct)
+    t.append(Seq((Option.empty[Long], "n1")).toDF("id", "name"))
+    t.append(Seq((Option.empty[Long], "n2")).toDF("id", "name"))
+    assert(t.read().count() == 7)
+    // adding UNIQUE over data that already duplicates refuses
+    val t2 = VersionedTable(spark, tmp())
+    t2.append(Seq((1L, "a"), (1L, "b")).toDF("id", "name"))
+    val e4 = intercept[IllegalArgumentException] {
+      t2.addUniqueConstraint("u", Seq("id"))
+    }
+    assert(e4.getMessage.contains("duplicate"), e4.getMessage)
+    // multi-column UNIQUE: pair must repeat to refuse
+    val t3 = VersionedTable(spark, tmp())
+    t3.append(Seq((1L, "a"), (1L, "b")).toDF("k1", "k2"))
+    t3.addUniqueConstraint("pair", Seq("k1", "k2"))
+    t3.append(Seq((2L, "a")).toDF("k1", "k2")) // same k2, new k1: fine
+    intercept[IllegalArgumentException] {
+      t3.append(Seq((1L, "a")).toDF("k1", "k2"))
+    }
+    // drop lifts enforcement
+    assert(t3.dropConstraint("pair"))
+    t3.append(Seq((1L, "a")).toDF("k1", "k2"))
+    assert(t3.read().count() == 4)
+  }
+
+  test("UNIQUE over SQL: ALTER TABLE ADD CONSTRAINT ... UNIQUE routes to the vtable; PK refuses with guidance") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    t.scan().createOrReplaceTempView("uq_sql_t")
+    val svc = new graft.service.QueryService(spark)
+    val v = svc.sql("ALTER TABLE uq_sql_t ADD CONSTRAINT k_uq UNIQUE (k)")
+      .head().getInt(0)
+    assert(v == 2 && t.constraintList.exists(_._1 == "k_uq"))
+    intercept[Exception] {
+      svc.sql("INSERT INTO uq_sql_t VALUES (2, 99.0)")
+    }
+    assert(t.read().count() == 2)
+    // the plain-parser entry point enforces too
+    intercept[Exception] {
+      spark.sql("INSERT INTO uq_sql_t VALUES (1, 5.0)")
+    }
+    // PRIMARY KEY points at the enforced spelling instead
+    val e = intercept[IllegalArgumentException] {
+      svc.sql("ALTER TABLE uq_sql_t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    }
+    assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+    // DROP CONSTRAINT lifts it over SQL
+    svc.sql("ALTER TABLE uq_sql_t DROP CONSTRAINT k_uq").collect()
+    assert(svc.sql("INSERT INTO uq_sql_t VALUES (2, 99.0)").head().getInt(0) >= 3)
+  }
+
   test("constraint-referenced columns refuse drop/rename; multi-column DDL is one commit") {
     import spark.implicits._
     val dir = tmp()
