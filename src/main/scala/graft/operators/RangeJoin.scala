@@ -49,34 +49,33 @@ object RangeJoin {
     * win`. Stock Spark can only nested-loop this;
     * [[graft.plans.RangeJoinRewrite]] bins it into an equi-join
     * (PlanAuditSpec's no-nested-loop sweep enforces that the rule
-    * actually fired). The bin-size conf is scoped to THIS query: the
-    * optimized plan is forced while the conf is set (the rule reads it
-    * at rewrite time), then the prior value is restored — a
-    * 300s-derived bin must not silently become every later range
-    * join's plan for the rest of the session.
+    * actually fired). The bin-size conf lives in a CHILD SESSION
+    * scoped to this query: executions DERIVED from the returned frame
+    * (`count()`, `write` — each builds a fresh QueryExecution from the
+    * analyzed plan) re-run the optimizer and must still see the conf,
+    * yet a 300s-derived bin must not silently become every later range
+    * join's plan in the caller's session. A set-then-restore around a
+    * pinned optimizedPlan satisfies only the pinned execution — the
+    * derived ones re-optimize after the restore and silently fall back
+    * to the nested loop (measured: 0.4 s → 12 s at sf0.1, still
+    * oracle-exact, which is why only the bench caught it).
     */
   def qRangeJoinSql(t: Tables, windowSec: Long = 300): DataFrame = {
-    graft.plans.RangeJoinRewrite.install(t.spark)
-    val prior = t.spark.conf.getOption(graft.plans.RangeJoinRewrite.BinSizeConf)
-    t.spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf,
+    val s2 = t.spark.newSession()
+    graft.plans.RangeJoinRewrite.install(s2)
+    s2.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf,
       (windowSec * 1000000L).toString)
-    try {
-      t.events.select(col("event_id"), unix_micros(col("ts")).as("tu"),
-          col("event_type"))
-        .createOrReplaceTempView("__graft_rj_ev")
-      val df = t.spark.sql(
-        s"""SELECT e.err_id, count(*) AS n_after,
-           | sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
-           |FROM (SELECT event_id AS err_id, tu AS err_tu FROM __graft_rj_ev
-           |      WHERE event_type = 'error') e
-           |JOIN __graft_rj_ev a
-           |  ON a.tu > e.err_tu AND a.tu <= e.err_tu + ${windowSec * 1000000L}
-           |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin)
-      df.queryExecution.optimizedPlan // pin the rewrite under the conf
-      df
-    } finally prior match {
-      case Some(v) => t.spark.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, v)
-      case None => t.spark.conf.unset(graft.plans.RangeJoinRewrite.BinSizeConf)
-    }
+    val t2 = Tables(s2, t.sfDir)
+    t2.events.select(col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("event_type"))
+      .createOrReplaceTempView("__graft_rj_ev")
+    s2.sql(
+      s"""SELECT e.err_id, count(*) AS n_after,
+         | sum(CASE WHEN a.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+         |FROM (SELECT event_id AS err_id, tu AS err_tu FROM __graft_rj_ev
+         |      WHERE event_type = 'error') e
+         |JOIN __graft_rj_ev a
+         |  ON a.tu > e.err_tu AND a.tu <= e.err_tu + ${windowSec * 1000000L}
+         |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin)
   }
 }
