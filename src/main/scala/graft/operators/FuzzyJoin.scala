@@ -50,14 +50,57 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Length bound for the d = 2 deletion regime: strings below it
+    * carry O(len²/2) two-deletion variants (≤ ~530 hashes at 32) —
+    * cheap, vocabulary-immune blocking; above it the positional-gram
+    * path takes over (its pick guarantee needs only len >= q·(d+1),
+    * comfortably below this).
+    */
+  private[graft] val DeletionMaxLen = 32
+
   /** All (a_id, b_id, dist) with `levenshtein <= maxDist` between two
     * (id, s) frames. `q` is the gram width (3 suits natural-language
     * strings; raise it for long near-unique strings to sharpen the
     * filter).
+    *
+    * Regimes: d ≤ 1 is pure deletion-neighborhood; d = 2 splits on
+    * the LEFT length at [[DeletionMaxLen]] — short strings block by
+    * depth-2 deletion neighborhoods (`ed ≤ 2 ⟹ D≤2 sets intersect`:
+    * delete from each side the ≤2 positions its half of the edit
+    * script touches and both reach the same string — false positives
+    * verified away), long strings by positional grams; d ≥ 3 is the
+    * gram path with its length-band branch. The deletion split
+    * matters on REPETITIVE short-string corpora (entity names drawn
+    * from a small vocabulary), where any gram blocking floors at
+    * n²/|vocab| candidates: measured on the contract corpus (64
+    * distinct 7-12-char names over 20k rows), gram blocking admits
+    * 19M candidates for a 39k-pair answer; deletion blocking tracks
+    * the actual near-duplicate structure.
     */
   def edJoin(a: DataFrame, b: DataFrame, maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad edJoin params d=$maxDist q=$q")
     if (maxDist <= 1) return edJoinDeletion(a, b, maxDist)
+    if (maxDist == 2) {
+      // disjoint on the LEFT length (the band-split convention): a
+      // short-a pair's b side sits within +d, a bounded slice the
+      // deletion branch's own filter admits
+      val short = edJoinDeletion(
+        a.filter(length(col("s")) < DeletionMaxLen),
+        b.filter(length(col("s")) < DeletionMaxLen + maxDist), maxDist)
+      val long = gramPath(a, b, maxDist, q, aFloor = DeletionMaxLen)
+      return short.unionByName(long)
+    }
+    gramPath(a, b, maxDist, q, aFloor = q * (maxDist + 1), bandBranch = true)
+  }
+
+  /** The positional-gram regime: candidates for pairs whose LEFT
+    * string has `len >= aFloor` (callers guarantee `aFloor >=
+    * q·(d+1)`, the pick floor); when `bandBranch` is set, left
+    * strings below the floor pair through the length-band equi-key
+    * (the d >= 3 layout — at d = 2 the deletion branch covers them).
+    */
+  private def gramPath(a: DataFrame, b: DataFrame, maxDist: Int, q: Int,
+      aFloor: Int, bandBranch: Boolean = false): DataFrame = {
     val pickLen = q * maxDist + 1
     val w = maxDist + 1 // position-bucket width
 
@@ -70,17 +113,13 @@ object FuzzyJoin {
 
     // the pick below chooses q·d + 1 of a's occurrences, so the
     // guarantee only holds for a-strings that HAVE that many
-    // (a_len − q + 1 >= q·d + 1 ⇔ a_len >= q·(d+1)); shorter
-    // a-strings go through the length-band path instead
-    val gramFloor = q * (maxDist + 1)
-
-    // positional q-gram occurrences: one explode per side. The a side
-    // is floored at gramFloor (pick guarantee); the b side only needs
-    // its occurrences ENUMERATED, and any b paired with a gram-path a
-    // has b_len >= gramFloor − d >= q, so the len >= q filter loses
-    // nothing.
+    // (a_len − q + 1 >= q·d + 1 ⇔ a_len >= q·(d+1)); the caller's
+    // aFloor is at or above that, and a-strings below it arrive via
+    // the deletion (d = 2) or length-band (d >= 3) branch instead.
+    // The b side only needs its occurrences ENUMERATED, and any b
+    // paired with a gram-path a has b_len >= aFloor − d >= q.
     def grams(df: DataFrame, side: String): DataFrame =
-      df.filter(col(s"${side}_len") >= (if (side == "a") gramFloor else q))
+      df.filter(col(s"${side}_len") >= (if (side == "a") aFloor else q))
         .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
           explode(transform(
             sequence(lit(1), col(s"${side}_len") - lit(q) + 1),
@@ -124,19 +163,22 @@ object FuzzyJoin {
       .select("a_id", "a_s", "b_id", "b_s")
       .distinct()
 
-    // below-pick-floor a-strings (a_len < q·(d+1), including the
-    // gram-less len < q): partners sit at b_len <= a_len + d <
-    // q·(d+1) + d — a bounded slice at any scale. The length window
-    // IS the equi-key (see the scaladoc); each pair meets on exactly
-    // one key (b's length), so no dedup is needed.
-    val shortCands = aN.filter(col("a_len") < gramFloor)
-      .withColumn("lk", explode(sequence(
-        col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
-      .join(bN.filter(col("b_len") < gramFloor + maxDist)
-        .withColumn("lk", col("b_len")), "lk")
-      .select("a_id", "a_s", "b_id", "b_s")
+    // below-floor a-strings (the d >= 3 layout; at d = 2 the deletion
+    // branch owns them): partners sit at b_len <= a_len + d — a
+    // bounded slice at any scale. The length window IS the equi-key
+    // (see the scaladoc); each pair meets on exactly one key (b's
+    // length), so no dedup is needed.
+    val cands =
+      if (!bandBranch) gramCands
+      else gramCands.unionByName(
+        aN.filter(col("a_len") < aFloor)
+          .withColumn("lk", explode(sequence(
+            col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
+          .join(bN.filter(col("b_len") < aFloor + maxDist)
+            .withColumn("lk", col("b_len")), "lk")
+          .select("a_id", "a_s", "b_id", "b_s"))
 
-    gramCands.unionByName(shortCands)
+    cands
       .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0) // threshold form returns -1 past the bound
       .select("a_id", "b_id", "dist")
@@ -163,13 +205,28 @@ object FuzzyJoin {
       val named = df.select(col("id").as(s"${side}_id"),
         col("s").as(s"${side}_s"), length(col("s")).as(s"${side}_len"))
       val s = col(s"${side}_s")
+      val len = col(s"${side}_len")
       // i = 0 keeps the string itself; i = 1..len deletes char i
-      val upper = if (maxDist == 0) lit(0) else col(s"${side}_len")
+      val upper = if (maxDist == 0) lit(0) else len
+      val depth1 = transform(sequence(lit(0), upper), i =>
+        xxhash64(when(i === 0, s)
+          .otherwise(concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, len - i)))))
+      // depth 2 (maxDist = 2): delete chars i < j — O(len²/2) hashes;
+      // callers bound len ([[DeletionMaxLen]]) so this stays cheap
+      val all =
+        if (maxDist < 2) depth1
+        else concat(depth1,
+          // sequence(x, y) with x > y generates DESCENDING — guard the
+          // sub-2-char strings to an empty depth-2 set instead
+          when(len >= 2, flatten(transform(sequence(lit(1), len - 1), i =>
+            transform(sequence(i + 1, len), j =>
+              xxhash64(concat(s.substr(lit(1), i - 1),
+                s.substr(i + 1, j - i - 1),
+                s.substr(j + 1, len - j)))))))
+            .otherwise(array().cast("array<long>")))
       named.select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
-        explode(transform(sequence(lit(0), upper), i =>
-          xxhash64(when(i === 0, s)
-            .otherwise(concat(s.substr(lit(1), i - 1),
-              s.substr(i + 1, col(s"${side}_len") - i)))))).as("vh"))
+        explode(array_distinct(all)).as("vh"))
     }
     variants(a, "a").join(variants(b, "b"), "vh")
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)

@@ -122,10 +122,11 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
       hit match {
         case None => j
         case Some((matched, lStr, rStr, d)) =>
+          val q = math.max(1, intConf(GramSizeConf, 3))
           val blocked =
             if (d <= 1) deletionBlocked(left, right, lStr, rStr, d)
-            else gramBlocked(left, right, lStr, rStr, d,
-              q = math.max(1, intConf(GramSizeConf, 3)), j.output)
+            else if (d == 2) deletionGramSplit(left, right, lStr, rStr, q, j.output)
+            else gramBlocked(left, right, lStr, rStr, d, q, j.output)
           // re-verify with the THRESHOLD levenshtein (banded, and
           // never re-matched by this rule); keep every other conjunct
           val verify = GreaterThanOrEqual(
@@ -156,6 +157,36 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     (joined, lId, rId)
   }
 
+  /** d = 2 candidate generation — [[graft.operators.FuzzyJoin.edJoin]]'s
+    * regime split lowered to logical nodes: left strings below
+    * [[graft.operators.FuzzyJoin.DeletionMaxLen]] block by DEPTH-2
+    * deletion neighborhoods (vocabulary-immune — the gram path floors
+    * at n²/|vocab| candidates on repetitive short-string corpora),
+    * longer ones by positional grams with the pick floor raised to the
+    * split point. Branches are disjoint on the left length, so the
+    * closing per-pair aggregate never conflates their independently
+    * assigned row ids; both shape to ONE (lid, rid) attribute pair via
+    * explicit-exprId aliases so the union's head ids cover both.
+    */
+  private def deletionGramSplit(left: LogicalPlan, right: LogicalPlan,
+      lStr: Expression, rStr: Expression, q: Int,
+      origOutput: Seq[Attribute]): (LogicalPlan, Attribute, Attribute) = {
+    val s = graft.operators.FuzzyJoin.DeletionMaxLen
+    val (delPlan, dLid, dRid) = deletionBlocked(
+      Filter(LessThan(Length(lStr), Literal(s)), left),
+      Filter(LessThan(Length(rStr), Literal(s + 2)), right), lStr, rStr, 2)
+    val (gramPlan, gLid, gRid) = gramBlocked(left, right, lStr, rStr, 2, q,
+      origOutput, aFloor0 = s, bandBranch = false)
+    val lIdU = AttributeReference("__graft_edj_ulid", LongType, nullable = false)()
+    val rIdU = AttributeReference("__graft_edj_urid", LongType, nullable = false)()
+    def shaped(p: LogicalPlan, lid: Attribute, rid: Attribute): LogicalPlan =
+      Project(Seq(
+        Alias(lid, lIdU.name)(exprId = lIdU.exprId),
+        Alias(rid, rIdU.name)(exprId = rIdU.exprId)) ++ origOutput, p)
+    (Union(Seq(shaped(delPlan, dLid, dRid), shaped(gramPlan, gLid, gRid))),
+      lIdU, rIdU)
+  }
+
   /** d >= 2 candidate generation — the positional q-gram blocking of
     * [[graft.operators.FuzzyJoin.edJoin]] lowered to logical nodes.
     * Union of two branches, disjoint on the left string's length:
@@ -173,10 +204,13 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     */
   private def gramBlocked(left: LogicalPlan, right: LogicalPlan,
       lStr: Expression, rStr: Expression, d: Int, q: Int,
-      origOutput: Seq[Attribute]): (LogicalPlan, Attribute, Attribute) = {
+      origOutput: Seq[Attribute], aFloor0: Int = -1,
+      bandBranch: Boolean = true): (LogicalPlan, Attribute, Attribute) = {
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val pickLen = q * d + 1
-    val gramFloor = q * (d + 1)
+    // the pick guarantee's floor; callers may raise it (the d = 2
+    // deletion regime owns everything below DeletionMaxLen)
+    val gramFloor = math.max(q * (d + 1), aFloor0)
     val w = d + 1 // position-bucket width
 
     val lIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_lid")()
@@ -263,9 +297,10 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
 
     val cols: Seq[NamedExpression] = Seq(lId, rId) ++ origOutput
-    val union = Union(Seq(
-      Project(cols, gramJoin), Project(cols, shortJoin)))
-    (union, lId, rId)
+    val out =
+      if (bandBranch) Union(Seq(Project(cols, gramJoin), Project(cols, shortJoin)))
+      else Project(cols, gramJoin)
+    (out, lId, rId)
   }
 
   /** One side of the blocked join: tag rows with a per-row id, then
@@ -287,10 +322,35 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     val upper = if (d == 0) Literal(0) else len
     // Sequence is TimeZoneAwareExpression: without a zone it reads as
     // unresolved and the optimizer's plan validation rejects the batch
-    val seq = Sequence(Literal(0), upper, None,
-      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-    val variants = ArrayDistinct(ArrayTransform(
-      seq, LambdaFunction(body, Seq(i))))
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val seq = Sequence(Literal(0), upper, None, tz)
+    val depth1 = ArrayTransform(seq, LambdaFunction(body, Seq(i)))
+    // depth 2 (d = 2): delete chars i < j — O(len²/2) hashes; callers
+    // bound the string length (FuzzyJoin.DeletionMaxLen), and
+    // sequence(x, y) DESCENDS when x > y, so sub-2-char strings guard
+    // to an empty depth-2 set
+    val all =
+      if (d < 2) depth1
+      else {
+        val i2 = NamedLambdaVariable("i2", IntegerType, nullable = false)
+        val j2 = NamedLambdaVariable("j2", IntegerType, nullable = false)
+        val del2 = new XxHash64(Seq(Concat(Seq(
+          Substring(str, Literal(1), new Subtract(i2, Literal(1))),
+          Substring(str, new Add(i2, Literal(1)),
+            new Subtract(new Subtract(j2, i2), Literal(1))),
+          Substring(str, new Add(j2, Literal(1)), new Subtract(len, j2))))))
+        val inner = ArrayTransform(
+          Sequence(new Add(i2, Literal(1)), len, None, tz),
+          LambdaFunction(del2, Seq(j2)))
+        val nested = Flatten(ArrayTransform(
+          Sequence(Literal(1), new Subtract(len, Literal(1)), None, tz),
+          LambdaFunction(inner, Seq(i2))))
+        Concat(Seq(depth1,
+          If(GreaterThanOrEqual(len, Literal(2)), nested,
+            Literal.create(Array.empty[Long],
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))))
+      }
+    val variants = ArrayDistinct(all)
     val vhAttr = AttributeReference(s"__graft_edj_${tag}vh", LongType,
       nullable = false)()
     val gen = Generate(Explode(variants), Nil, outer = false, None,

@@ -100,6 +100,34 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("lossless at d=2 across the deletion/gram regime boundary (len straddles DeletionMaxLen)") {
+    // strings on both sides of the 32-char split, incl. pairs that
+    // STRADDLE it (a short, b long and vice versa) — the deletion
+    // branch must cover every short-a pair and the gram branch every
+    // long-a pair, with no seam
+    val base = "abcdefghijklmnopqrstuvwxyz01234" // 31 chars (short side)
+    val long = base + "XYZAB" // 36 chars (gram side)
+    val a = Seq(
+      (1L, base),                         // 31: deletion regime
+      (2L, base + "5"),                   // 32: gram regime, boundary
+      (3L, long),                         // 36: gram regime
+      (4L, base.take(30))).toDF("id", "s")
+    val b = Seq(
+      (11L, base.take(29) + "Q34"),       // ed 2 from base (len 32: straddles)
+      (12L, base + "56"),                 // 33: ed 1 from a2
+      (13L, long.take(33) + "ZZZ"),       // ed 3 from a3: excluded
+      (14L, base.take(12) + "QQ" + base.drop(14)), // ed 2 from base, len 31
+      (15L, long.dropRight(2) + "BA")).toDF("id", "s") // ed 2 from long
+    val got = pairs(FuzzyJoin.edJoin(a, b, maxDist = 2))
+    val want = pairs(FuzzyJoin.edJoinBrute(a, b, maxDist = 2))
+    assert(got == want,
+      s"missing=${(want -- got).mkString(",")} extra=${(got -- want).mkString(",")}")
+    // straddling pairs present on both sides of the split
+    assert(want.contains((1L, 11L, 1)) && want.contains((2L, 12L, 1)) &&
+      want.contains((3L, 15L, 2)) && want.contains((1L, 14L, 2)) &&
+      want.contains((4L, 11L, 2)))
+  }
+
   test("lossless vs brute force on a real part-name slice with the contract mutation at d=1") {
     val slice = tables.part.filter(col("p_partkey") <= 150)
     val clean = slice.select(col("p_partkey").as("id"), col("p_name").as("s"))
