@@ -220,6 +220,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Sessionize.qSessionize(t(s, d))),
     "q_session_window" -> ((s, d) => Sessionize.qSessionWindow(t(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoin.qAsofJoin(t(s, d))),
+    "q_asof_tvf" -> ((s, d) => AsofJoin.qAsofTvf(t(s, d))),
     "q_salted_join" -> ((s, d) => graft.operators.Skew.qSaltedJoin(t(s, d))),
     "q_range_join" -> ((s, d) => RangeJoin.qRangeJoin(t(s, d))),
     "q_sql_cte" -> ((s, d) => Relational.qSqlCte(t(s, d))),
@@ -1738,6 +1739,17 @@ object SparkEntry {
         |FROM g GROUP BY user_id, seq
         |ORDER BY user_id, session_start""".stripMargin,
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | e.tu - b.tu AS gap_us,
+        | floor((b.value) * 100 + 0.5) / 100 AS p_value
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events) e
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+        |                WHERE event_type = 'purchase') b
+        |  ON e.user_id = b.user_id AND e.tu >= b.tu
+        |ORDER BY e.event_id""".stripMargin,
+    // the TVF spelling must reproduce the identical decision set —
+    // same DuckDB native-ASOF oracle
+    "q_asof_tvf" ->
       """SELECT e.event_id, e.user_id,
         | e.tu - b.tu AS gap_us,
         | floor((b.value) * 100 + 0.5) / 100 AS p_value

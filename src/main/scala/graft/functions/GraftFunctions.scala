@@ -390,6 +390,31 @@ object GraftFunctions {
         .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
         .drop("query_id") // single query: (vec_id, cos, rk)
         .queryExecution.analyzed
+    }), (
+    // the as-of (merge-asof) join as SQL — Spark has no ASOF grammar
+    // and a naive inequality join plans O(n·m) per key:
+    // `SELECT * FROM asof_join('trades', 'quotes', 'sym', 'ts',
+    // 'bid,ask')` runs the union+window composition (one shuffle on
+    // the key, no join explosion); output = every left column plus
+    // asof_time and asof_<payload> (null when nothing precedes)
+    FunctionIdentifier("asof_join"),
+    new ExpressionInfo("graft.operators.AsofJoin", "asof_join"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (l, r, key, time, payload) = args match {
+        case Seq(Literal(lv: UTF8String, _), Literal(rv: UTF8String, _),
+            Literal(k: UTF8String, _), Literal(t: UTF8String, _),
+            Literal(p: UTF8String, _)) =>
+          (lv.toString, rv.toString, k.toString, t.toString,
+            p.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case _ => throw new IllegalArgumentException(
+          "usage: asof_join('left_view', 'right_view', 'key', 'time', 'payload1,payload2,...')")
+      }
+      val spark = SparkSession.active
+      graft.operators.AsofJoin.asofJoin(
+        spark.table(l), spark.table(r), key, time, payload)
+        .queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

@@ -75,4 +75,24 @@ object AsofJoin {
         round(col("asof_value"), 2).as("p_value"))
       .orderBy("event_id")
   }
+
+  /** The SAME join written the way a SQL user would — through the
+    * `asof_join` TVF over registered views (no DataFrame API anywhere)
+    * — sharing [[qAsofJoin]]'s DuckDB native-ASOF oracle: both paths
+    * must hash-match the identical decision set.
+    */
+  def qAsofTvf(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"), col("value"))
+    ev.createOrReplaceTempView("__graft_asof_ev")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tu"), col("value"))
+      .createOrReplaceTempView("__graft_asof_p")
+    t.spark.sql(
+      """SELECT event_id, user_id, tu - asof_time AS gap_us,
+        |  floor(asof_value * 100 + 0.5) / 100 AS p_value
+        |FROM asof_join('__graft_asof_ev', '__graft_asof_p',
+        |               'user_id', 'tu', 'value')
+        |ORDER BY event_id""".stripMargin)
+  }
 }
