@@ -415,6 +415,56 @@ object GraftFunctions {
       graft.operators.AsofJoin.asofJoin(
         spark.table(l), spark.table(r), key, time, payload)
         .queryExecution.analyzed
+    }), (
+    // the commit log as a relation (the `history` metadata-table
+    // idiom): `SELECT * FROM table_history('name-or-/path'[, limit])`
+    // — filterable/joinable where DESCRIBE HISTORY is a flat command
+    FunctionIdentifier("table_history"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_history"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (target, limit) = args match {
+        case Seq(Literal(t: UTF8String, _)) => (t.toString, 100)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Int, _)) => (t.toString, v)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Long, _)) => (t.toString, v.toInt)
+        case _ => throw new IllegalArgumentException(
+          "usage: table_history('name-or-/path'[, maxVersions])")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_history: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .history(limit).queryExecution.analyzed
+    }), (
+    // per-file metadata at a version (the `files` metadata table):
+    // `SELECT * FROM table_files('name-or-/path'[, version])` —
+    // (file, rows, size_bytes), O(manifest), no data file opened
+    FunctionIdentifier("table_files"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_files"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val (target, version) = args match {
+        case Seq(Literal(t: UTF8String, _)) => (t.toString, -1)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Int, _)) => (t.toString, v)
+        case Seq(Literal(t: UTF8String, _), Literal(v: Long, _)) => (t.toString, v.toInt)
+        case _ => throw new IllegalArgumentException(
+          "usage: table_files('name-or-/path'[, version])")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_files: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      graft.sources.VersionedTable(spark, dir)
+        .filesTable(version).queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

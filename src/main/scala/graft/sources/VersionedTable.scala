@@ -3888,6 +3888,31 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       schema)
   }
 
+  /** Per-file metadata listing at `version` (head when -1) — the
+    * `files` metadata-table idiom: (file, rows, size_bytes), rows
+    * null for statless files. O(manifest) plus one size stat per
+    * file; no data file opened.
+    */
+  def filesTable(version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version")
+    val m = manifest(v)
+    val stats = manifestStats(m)
+    val rows = manifestFiles(m).map { f =>
+      val r: java.lang.Long = stats.get(f)
+        .flatMap(n => Option(n.get("_rows"))).filter(_.isNumber)
+        .map(n => java.lang.Long.valueOf(n.asLong)).orNull
+      val sz = try Files.size(dataFsPath(f)) catch { case NonFatal(_) => -1L }
+      Row(f, r, sz)
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def history(maxVersions: Int = 100): DataFrame = {
     val cur = currentVersion
     require(cur > 0, s"table at $dir has no committed version")

@@ -371,6 +371,55 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(svc.sql("INSERT INTO uq_sql_t VALUES (2, 99.0)").head().getInt(0) >= 3)
   }
 
+  test("metadata TVFs: table_history and table_files serve the commit log and file listing as relations") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    t.append(Seq((3L, "c")).toDF("id", "name"))
+    t.deleteWhere(org.apache.spark.sql.functions.col("id") === 1L)
+    t.scan().createOrReplaceTempView("meta_tvf_t")
+    // history as a relation: filterable, joinable, ordered
+    val ops = spark.sql(
+      "SELECT version, op FROM table_history('meta_tvf_t') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(ops == Seq((1, "append"), (2, "append"), (3, "delete")), ops.toString)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_history('meta_tvf_t', 2)").head().getLong(0) == 2)
+    // files at head vs a past version; rows from the per-file stats
+    val head = spark.sql(s"SELECT * FROM table_files('$dir')").collect()
+    assert(head.nonEmpty && head.forall(_.getLong(2) > 0))
+    assert(head.map(_.getLong(1)).sum == t.read().count())
+    val atV1 = spark.sql(s"SELECT sum(rows) AS r FROM table_files('$dir', 1)")
+      .head().getLong(0)
+    assert(atV1 == 2L, s"v1 held 2 rows, files said $atV1")
+    // unknown names refuse loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM table_history('no_such_view')").collect())
+    assert(e.getMessage.contains("no_such_view"), e.getMessage)
+  }
+
+  test("UNIQUE constraints hold through applyChanges (the CDC/replica path)") {
+    import spark.implicits._
+    val t = VersionedTable(spark, tmp())
+    t.append(Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "v", "u"))
+    t.addUniqueConstraint("u_uq", Seq("u"))
+    // an apply batch keyed on k whose upsert duplicates the SECONDARY
+    // unique column must refuse — the rewritten files overlap a
+    // carried file's u value
+    val bad = Seq((3L, 30.0, "x", 1L, "insert"))
+      .toDF("k", "v", "u", "_seq", "_change_type")
+    val e = intercept[IllegalArgumentException] {
+      t.applyChanges(bad, key = "k", orderBy = "_seq")
+    }
+    assert(e.getMessage.contains("u_uq"), e.getMessage)
+    // a clean apply lands
+    val ok = Seq((3L, 30.0, "z", 1L, "insert"))
+      .toDF("k", "v", "u", "_seq", "_change_type")
+    t.applyChanges(ok, key = "k", orderBy = "_seq")
+    assert(t.read().count() == 3)
+  }
+
   test("constraint-referenced columns refuse drop/rename; multi-column DDL is one commit") {
     import spark.implicits._
     val dir = tmp()
