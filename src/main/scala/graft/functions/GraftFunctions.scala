@@ -465,6 +465,31 @@ object GraftFunctions {
               "or an absolute table path"))
       graft.sources.VersionedTable(spark, dir)
         .filesTable(version).queryExecution.analyzed
+    }), (
+    // the live branch roster as a relation (DESCRIBE BRANCHES' TVF
+    // twin): `SELECT * FROM table_branches('name-or-/path')` —
+    // (branch, fork_version, head_version)
+    FunctionIdentifier("table_branches"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_branches"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val target = args match {
+        case Seq(Literal(t: UTF8String, _)) => t.toString
+        case _ => throw new IllegalArgumentException(
+          "usage: table_branches('name-or-/path')")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_branches: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      import spark.implicits._
+      graft.sources.VersionedTable(spark, dir).branches()
+        .toDF("branch", "fork_version", "head_version")
+        .queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

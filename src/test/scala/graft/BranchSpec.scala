@@ -241,6 +241,26 @@ class BranchSpec extends SparkSpecBase {
     ()
   }
 
+  test("table_branches TVF lists the live roster as a relation") {
+    val vt = freshTable("roster")
+    seed(vt, n = 4)
+    vt.scan().createOrReplaceTempView("branch_roster_t")
+    vt.createBranch("b1")
+    vt.branch("b1").deleteWhere(col("k") === 1L)
+    vt.createBranch("b2")
+    val roster = spark.sql(
+      "SELECT * FROM table_branches('branch_roster_t') ORDER BY branch")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(roster == Seq(("b1", 1, 2), ("b2", 1, 1)), roster.toString)
+    // joinable like any relation: pick only diverged branches
+    assert(spark.sql(
+      "SELECT branch FROM table_branches('branch_roster_t') WHERE head_version > fork_version")
+      .collect().map(_.getString(0)).toSeq == Seq("b1"))
+    vt.dropBranch("b1"); vt.dropBranch("b2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM table_branches('${vt.dir}')")
+      .head().getLong(0) == 0L)
+  }
+
   test("table_branch TVF reads a branch head as a relation") {
     val vt = freshTable("tvf")
     seed(vt, n = 4)
