@@ -83,11 +83,17 @@ object FuzzyJoin {
     if (maxDist == 2) {
       // disjoint on the LEFT length (the band-split convention): a
       // short-a pair's b side sits within +d, a bounded slice the
-      // deletion branch's own filter admits
+      // deletion branch's own filter admits. The split point must sit
+      // AT OR ABOVE the gram path's pick floor q·(d+1): with q >= 11
+      // (3q > DeletionMaxLen) a left string in [DeletionMaxLen, 3q)
+      // has too few occurrences for the pick guarantee, so the
+      // deletion regime widens to cover it — O(len²/2) variants per
+      // string stays bounded by the caller's own q choice
+      val split = math.max(DeletionMaxLen, q * (maxDist + 1))
       val short = edJoinDeletion(
-        a.filter(length(col("s")) < DeletionMaxLen),
-        b.filter(length(col("s")) < DeletionMaxLen + maxDist), maxDist)
-      val long = gramPath(a, b, maxDist, q, aFloor = DeletionMaxLen)
+        a.filter(length(col("s")) < split),
+        b.filter(length(col("s")) < split + maxDist), maxDist)
+      val long = gramPath(a, b, maxDist, q, aFloor = split)
       return short.unionByName(long)
     }
     gramPath(a, b, maxDist, q, aFloor = q * (maxDist + 1), bandBranch = true)
@@ -117,9 +123,14 @@ object FuzzyJoin {
     // aFloor is at or above that, and a-strings below it arrive via
     // the deletion (d = 2) or length-band (d >= 3) branch instead.
     // The b side only needs its occurrences ENUMERATED, and any b
-    // paired with a gram-path a has b_len >= aFloor − d >= q.
+    // paired with a gram-path a has b_len >= aFloor − d — applied as
+    // a filter so a corpus with NO gram-regime strings costs two
+    // filtered scans, not an occurrence explode + frequency aggregate
+    // (the pick heuristic stays lossless: frequencies steer a free
+    // choice, and b's outside the window can never be candidates).
+    val bFloor = math.max(q, aFloor - maxDist)
     def grams(df: DataFrame, side: String): DataFrame =
-      df.filter(col(s"${side}_len") >= (if (side == "a") aFloor else q))
+      df.filter(col(s"${side}_len") >= (if (side == "a") aFloor else bFloor))
         .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
           explode(transform(
             sequence(lit(1), col(s"${side}_len") - lit(q) + 1),

@@ -171,7 +171,12 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
   private def deletionGramSplit(left: LogicalPlan, right: LogicalPlan,
       lStr: Expression, rStr: Expression, q: Int,
       origOutput: Seq[Attribute]): (LogicalPlan, Attribute, Attribute) = {
-    val s = graft.operators.FuzzyJoin.DeletionMaxLen
+    // the split must sit AT OR ABOVE the gram pick floor q·(d+1):
+    // with gramSize >= 11 (3q > DeletionMaxLen) a left string in
+    // [DeletionMaxLen, 3q) has too few occurrences for the pick
+    // guarantee, so the deletion regime widens to cover it — the same
+    // coverage rule as FuzzyJoin.edJoin's d = 2 branch
+    val s = math.max(graft.operators.FuzzyJoin.DeletionMaxLen, q * 3)
     val (delPlan, dLid, dRid) = deletionBlocked(
       Filter(LessThan(Length(lStr), Literal(s)), left),
       Filter(LessThan(Length(rStr), Literal(s + 2)), right), lStr, rStr, 2)
@@ -241,8 +246,13 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     }
 
     val (lOcc, lG, lP) = occurrences(lTag, lStr, gramFloor, "l")
-    // any b paired with a gram-branch a has len >= gramFloor - d >= q
-    val (rOcc, rG, rP) = occurrences(rTag, rStr, q, "r")
+    // any b paired with a gram-branch a has len >= gramFloor - d —
+    // applied as the right occurrence floor so a corpus with no
+    // gram-regime strings costs two filtered scans, not an occurrence
+    // explode + frequency aggregate (frequencies steer a free choice,
+    // so shrinking their population is lossless)
+    val (rOcc, rG, rP) = occurrences(rTag, rStr,
+      math.max(q, gramFloor - d), "r")
 
     def bucket(posExpr: Expression): Expression =
       Floor(Divide(Cast(posExpr, DoubleType), Literal(w.toDouble)))

@@ -126,6 +126,38 @@ class EdJoinRewriteSpec extends SparkSpecBase {
     assert(got == Seq((1L, 11L)), got.toString)
   }
 
+  test("d=2 with raised gramSize conf: lengths in [DeletionMaxLen, 3q) stay covered") {
+    // spark.graft.edJoin.gramSize = 12 pushes the pick floor 3q = 36
+    // past DeletionMaxLen = 32; the split must widen to 36 so a
+    // 33-char left string whose 2-edit partner shares ZERO 12-grams
+    // (edits at positions 12 and 23 touch every gram) still pairs via
+    // the deletion branch — pre-fix it fell in neither branch
+    val s33 = "abcdefghijklmnopqrstuvwxyz0123456"
+    val s33m = s33.updated(11, 'X').updated(22, 'Y')
+    val s40 = "abcdefghijklmnopqrstuvwxyz01234567890123"
+    Seq((1L, s33), (2L, s40)).toDF("id", "s").createOrReplaceTempView("edjr_a")
+    Seq((11L, s33m), (12L, s40.dropRight(2) + "XY"), (13L, "unrelated"))
+      .toDF("id", "s").createOrReplaceTempView("edjr_b")
+    val prior = spark.conf.getOption(graft.plans.EdJoinRewrite.GramSizeConf)
+    try {
+      spark.conf.set(graft.plans.EdJoinRewrite.GramSizeConf, "12")
+      val q = naive(2)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan.take(600))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val want = FuzzyJoin.edJoinBrute(
+        spark.table("edjr_a"), spark.table("edjr_b"), 2)
+        .orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(got == want, s"got=$got want=$want")
+      assert(want.contains((1L, 11L, 2)) && want.contains((2L, 12L, 2)))
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.plans.EdJoinRewrite.GramSizeConf, v)
+      case None => spark.conf.unset(graft.plans.EdJoinRewrite.GramSizeConf)
+    }
+  }
+
   test("runtime install() reaches a plain non-extension session") {
     val s2 = spark.newSession()
     graft.plans.EdJoinRewrite.install(s2)

@@ -128,6 +128,27 @@ class FuzzyJoinSpec extends SparkSpecBase {
       want.contains((4L, 11L, 2)))
   }
 
+  test("lossless at d=2 with raised gram width q=12: lengths in [DeletionMaxLen, 3q) stay covered") {
+    // with q = 12 the pick floor 3q = 36 exceeds DeletionMaxLen = 32;
+    // the split must widen so left strings in [32, 36) ride the
+    // deletion branch — pre-fix they fell in NEITHER branch and their
+    // pairs silently vanished. The pair below has ZERO shared 12-grams
+    // (edits at 1-based positions 12 and 23 touch every gram of a
+    // 33-char string), so only the deletion branch can find it.
+    val s33 = "abcdefghijklmnopqrstuvwxyz0123456" // 33 chars
+    val s33m = s33.updated(11, 'X').updated(22, 'Y') // ed 2, no shared grams
+    val s40 = "abcdefghijklmnopqrstuvwxyz01234567890123" // 40: gram regime at q=12
+    val a = Seq((1L, s33), (2L, s40), (3L, "short")).toDF("id", "s")
+    val b = Seq((11L, s33m), (12L, s40.dropRight(2) + "XY"),
+      (13L, "shoXY"), (14L, "far away string")).toDF("id", "s")
+    val got = pairs(FuzzyJoin.edJoin(a, b, maxDist = 2, q = 12))
+    val want = pairs(FuzzyJoin.edJoinBrute(a, b, maxDist = 2))
+    assert(got == want,
+      s"missing=${(want -- got).mkString(",")} extra=${(got -- want).mkString(",")}")
+    assert(want.contains((1L, 11L, 2)) && want.contains((2L, 12L, 2)) &&
+      want.contains((3L, 13L, 2)))
+  }
+
   test("lossless vs brute force on a real part-name slice with the contract mutation at d=1") {
     val slice = tables.part.filter(col("p_partkey") <= 150)
     val clean = slice.select(col("p_partkey").as("id"), col("p_name").as("s"))
