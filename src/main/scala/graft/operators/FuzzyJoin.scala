@@ -110,9 +110,14 @@ object FuzzyJoin {
     val pickLen = q * maxDist + 1
     val w = maxDist + 1 // position-bucket width
 
+    // O(len)× occurrence amplification — same round-robin pre-split
+    // as the deletion path, so the explode never runs on the scan's
+    // raw-byte-sized (often single-task) partitioning
+    val nPart = a.sparkSession.sessionState.conf.numShufflePartitions
     def named(df: DataFrame, side: String): DataFrame =
-      df.select(col("id").as(s"${side}_id"), col("s").as(s"${side}_s"),
-        length(col("s")).as(s"${side}_len"))
+      df.repartition(nPart)
+        .select(col("id").as(s"${side}_id"), col("s").as(s"${side}_s"),
+          length(col("s")).as(s"${side}_len"))
 
     val aN = named(a, "a")
     val bN = named(b, "b")
@@ -168,7 +173,10 @@ object FuzzyJoin {
     // the gram at a nearby offset, inside the length window; strings
     // ride along (<= pickLen·2 copies each) so verification needs no
     // id-rejoin — flip to a rejoin if rows are document-sized
-    val gramCands = aKeys.join(bG.select("gram", "pb", "b_id", "b_s", "b_len"),
+    // both sides of the candidate join are exploded occurrence tables
+    // (never broadcast-sized despite Generate's understated estimate)
+    val gramCands = aKeys.join(
+        bG.select("gram", "pb", "b_id", "b_s", "b_len").hint("shuffle_hash"),
         Seq("gram", "pb"))
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)
       .select("a_id", "a_s", "b_id", "b_s")
@@ -212,9 +220,19 @@ object FuzzyJoin {
     * only ever ADD candidates, and the levenshtein verify kills them.
     */
   private def edJoinDeletion(a: DataFrame, b: DataFrame, maxDist: Int): DataFrame = {
+    // the explode amplifies each row ~len²/2× at d = 2, so the scan's
+    // own partitioning (sized for the RAW bytes — often one task for a
+    // dimension-sized input) undersplits the expensive stage: a 1×
+    // round-robin shuffle of the raw strings buys a fully parallel
+    // variant explode. The variant join is hinted SHUFFLE_HASH: the
+    // exploded sides are never broadcast-sized (Generate's size
+    // estimate wildly understates them), and per-task deserialization
+    // of a multi-million-row broadcast table dominated the probe stage
+    val nPart = a.sparkSession.sessionState.conf.numShufflePartitions
     def variants(df: DataFrame, side: String): DataFrame = {
-      val named = df.select(col("id").as(s"${side}_id"),
-        col("s").as(s"${side}_s"), length(col("s")).as(s"${side}_len"))
+      val named = df.repartition(nPart)
+        .select(col("id").as(s"${side}_id"),
+          col("s").as(s"${side}_s"), length(col("s")).as(s"${side}_len"))
       val s = col(s"${side}_s")
       val len = col(s"${side}_len")
       // i = 0 keeps the string itself; i = 1..len deletes char i
@@ -239,7 +257,7 @@ object FuzzyJoin {
       named.select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
         explode(array_distinct(all)).as("vh"))
     }
-    variants(a, "a").join(variants(b, "b"), "vh")
+    variants(a, "a").join(variants(b, "b").hint("shuffle_hash"), "vh")
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)
       .select("a_id", "a_s", "b_id", "b_s")
       .distinct()

@@ -151,11 +151,32 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
     val (rGen, rId, rVh) = variantSide(right, rStr, d, "r")
     val lenWindow = LessThanOrEqual(
       new Abs(new Subtract(Length(lStr), Length(rStr))), Literal(d))
+    // the exploded variant sides are never broadcast-sized (Generate's
+    // size estimate understates them ~len²/2×), and per-task
+    // deserialization of a multi-million-row broadcast table dominates
+    // the probe stage — pin the strategy to a shuffled hash join
     val joined = Join(lGen, rGen, Inner,
-      Some(And(EqualTo(lVh, rVh), lenWindow)),
-      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      Some(And(EqualTo(lVh, rVh), lenWindow)), shuffleHashRight)
     (joined, lId, rId)
   }
+
+  /** SHUFFLE_HASH on the right (build) side — the exploded sides of
+    * the candidate joins must not plan as a statically-missized
+    * broadcast.
+    */
+  private def shuffleHashRight =
+    org.apache.spark.sql.catalyst.plans.logical.JoinHint(None,
+      Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+        strategy = Some(org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH))))
+
+  /** Round-robin pre-split before an O(len)–O(len²) explode: the
+    * scan's partitioning is sized for the RAW bytes (often one task
+    * for a dimension-sized input), so the expensive stage undersplits
+    * without it.
+    */
+  private def presplit(child: LogicalPlan): LogicalPlan =
+    Repartition(org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions,
+      shuffle = true, child)
 
   /** d = 2 candidate generation — [[graft.operators.FuzzyJoin.edJoin]]'s
     * regime split lowered to logical nodes: left strings below
@@ -220,8 +241,8 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
 
     val lIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_lid")()
     val rIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_rid")()
-    val lTag = Project(left.output :+ lIdAlias, left)
-    val rTag = Project(right.output :+ rIdAlias, right)
+    val lTag = Project(left.output :+ lIdAlias, presplit(left))
+    val rTag = Project(right.output :+ rIdAlias, presplit(right))
     val lId = lIdAlias.toAttribute
     val rId = rIdAlias.toAttribute
 
@@ -289,8 +310,7 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
       new Abs(new Subtract(Length(lStr), Length(rStr))), Literal(d))
     val gramJoin = Join(lKeys, rKeys, Inner,
       Some(And(And(EqualTo(lG, rG), EqualTo(lPb, rPbAlias.toAttribute)),
-        lenWindow)),
-      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        lenWindow)), shuffleHashRight)
 
     // below-pick-floor branch: partners sit within ±d of the left
     // length — the length window IS the equi-key; each pair meets on
@@ -320,7 +340,7 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
   private def variantSide(child: LogicalPlan, str: Expression, d: Int,
       tag: String): (LogicalPlan, Attribute, Attribute) = {
     val idAlias = Alias(MonotonicallyIncreasingID(), s"__graft_edj_${tag}id")()
-    val withId = Project(child.output :+ idAlias, child)
+    val withId = Project(child.output :+ idAlias, presplit(child))
     val len = Length(str)
     val i = NamedLambdaVariable("i", IntegerType, nullable = false)
     val deletion = Concat(Seq(
