@@ -329,6 +329,7 @@ object SparkEntry {
     "q_table_merge" -> ((s, d) => graft.sources.TableMerge.qTableMerge(t(s, d))),
     "q_table_branch" -> ((s, d) => graft.sources.TableBranch.qTableBranch(t(s, d))),
     "q_branch_read" -> ((s, d) => graft.sources.TableBranch.qBranchRead(t(s, d))),
+    "q_table_tag" -> ((s, d) => graft.sources.TableBranch.qTableTag(t(s, d))),
     "q_table_diff" -> ((s, d) => graft.sources.TableBranch.qTableDiff(t(s, d))),
     "q_table_replace" -> ((s, d) => graft.sources.TableReplace.qTableReplace(t(s, d))),
     "q_table_clone" -> ((s, d) => graft.sources.TableClone.qTableClone(t(s, d))),
@@ -2734,6 +2735,19 @@ object SparkEntry {
         |  floor((p_retailprice + 1) * 100 + 0.5) / 100 AS main_price,
         |  p_retailprice AS branch_price
         |FROM part WHERE p_partkey % 10 = 1
+        |ORDER BY k""".stripMargin,
+    // the immutable tag pinned at the pristine seed vs the post-merge
+    // head: exactly the two updated slices diverge (branch's %10=0 at
+    // *1.05, parent's %10=1 at +1); deletes drop out of the inner
+    // join and inserts have no seed row
+    "q_table_tag" ->
+      """SELECT p_partkey AS k,
+        |  p_retailprice AS seed_price,
+        |  CASE WHEN p_partkey % 10 = 0
+        |       THEN floor((p_retailprice * 1.05) * 100 + 0.5) / 100
+        |       ELSE floor((p_retailprice + 1) * 100 + 0.5) / 100
+        |       END AS head_price
+        |FROM part WHERE p_partkey % 10 IN (0, 1)
         |ORDER BY k""".stripMargin,
     // every diff class derived from part with the fixture's own CASE
     // arithmetic: deletes at their OLD values, update pre/post pairs

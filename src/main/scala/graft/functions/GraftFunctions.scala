@@ -490,6 +490,30 @@ object GraftFunctions {
       graft.sources.VersionedTable(spark, dir).branches()
         .toDF("branch", "fork_version", "head_version")
         .queryExecution.analyzed
+    }), (
+    // the live tag roster as a relation (DESCRIBE TAGS' TVF twin):
+    // `SELECT * FROM table_tags('name-or-/path')` — (tag, version, ts)
+    FunctionIdentifier("table_tags"),
+    new ExpressionInfo("graft.sources.VersionedTable", "table_tags"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val target = args match {
+        case Seq(Literal(t: UTF8String, _)) => t.toString
+        case _ => throw new IllegalArgumentException(
+          "usage: table_tags('name-or-/path')")
+      }
+      val spark = SparkSession.active
+      val dir =
+        if (target.startsWith("/")) target
+        else graft.service.SqlDml.resolveVTable(spark, target).map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_tags: '$target' is not a registered vtable view " +
+              "or an absolute table path"))
+      import spark.implicits._
+      graft.sources.VersionedTable(spark, dir).tags()
+        .toDF("tag", "version", "ts")
+        .queryExecution.analyzed
     }))
 
   // ---- typed Column wrappers (DataFrame API surface) ----

@@ -46,17 +46,23 @@ object VTableTimeTravel {
           case Some(dir) =>
             val vt = VersionedTable(spark, dir)
             (ver, ts) match {
-              // a non-numeric version is a BRANCH NAME (Iceberg's
-              // `VERSION AS OF 'branch'` idiom; also the lowered form
-              // of `FROM t BRANCH 'b'`): resolve to the branch head —
-              // the same semantics as the table_branch TVF
+              // a non-numeric version is a named REF (Iceberg's
+              // `VERSION AS OF 'ref'` idiom; also the lowered form of
+              // `FROM t BRANCH 'b'`): a TAG resolves to its pinned
+              // version of THIS table, a BRANCH to the fork's own
+              // head. Creation refuses cross-kind name collisions, so
+              // the tag-first order here can never shadow a branch.
               case (Some(v), _) if v.toIntOption.isEmpty =>
-                if (vt.branchNames.contains(v))
-                  vt.branch(v).read().queryExecution.analyzed
-                else throw new IllegalArgumentException(
-                  s"VERSION AS OF wants a commit number or a live branch " +
-                    s"name, got '$v' (branches: " +
-                    s"${vt.branchNames.mkString(", ")})")
+                vt.tagVersion(v) match {
+                  case Some(tv) => vt.scan(tv).queryExecution.analyzed
+                  case None if vt.branchNames.contains(v) =>
+                    vt.branch(v).read().queryExecution.analyzed
+                  case None => throw new IllegalArgumentException(
+                    s"VERSION AS OF wants a commit number, a tag, or a " +
+                      s"live branch name, got '$v' (tags: " +
+                      s"${vt.tagNames.mkString(", ")}; branches: " +
+                      s"${vt.branchNames.mkString(", ")})")
+                }
               case (Some(v), _) =>
                 vt.scan(v.toInt).queryExecution.analyzed
               case (_, Some(e)) =>

@@ -46,12 +46,17 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     else if (SqlDml.isDescribeBranches(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.branchesOutput,
         (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+    else if (SqlDml.isDescribeTags(sqlText))
+      GraftDmlCommand(sqlText, GraftSqlParser.tagsOutput,
+        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
     else if (SqlDml.isBranchStmt(sqlText))
-      // branch lifecycle: like maintenance, no Spark grammar exists —
-      // wrap BEFORE delegation
+      // branch/tag lifecycle: like maintenance, no Spark grammar
+      // exists — wrap BEFORE delegation
       GraftDmlCommand(sqlText,
         if (SqlDml.isCreateBranch(sqlText)) GraftSqlParser.createBranchOutput
-        else if (SqlDml.isDropBranch(sqlText)) GraftSqlParser.dropBranchOutput
+        else if (SqlDml.isCreateTag(sqlText)) GraftSqlParser.createTagOutput
+        else if (SqlDml.isDropBranch(sqlText) || SqlDml.isDropTag(sqlText))
+          GraftSqlParser.dropBranchOutput
         else GraftSqlParser.versionOutput,
         (spark, q) => SqlDml.branchStmt(spark, q, () => ()).get.collect().toSeq)
     else if (SqlDml.isMvStmt(sqlText))
@@ -184,6 +189,16 @@ object GraftSqlParser {
     AttributeReference("branch", StringType, nullable = true)(),
     AttributeReference("fork_version", IntegerType, nullable = false)(),
     AttributeReference("head_version", IntegerType, nullable = false)())
+
+  /** Mirrors DESCRIBE TAGS' roster frame. */
+  private def tagsOutput: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = true)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("ts", LongType, nullable = false)())
+
+  private def createTagOutput: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
 
   /** Mirrors [[graft.sources.VersionedTable.detail]]'s schema. */
   private def detailOutput: Seq[Attribute] = Seq(

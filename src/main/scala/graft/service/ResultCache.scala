@@ -343,5 +343,6 @@ object ResultCache {
   val StatefulTvfs: Set[String] = Set(
     "table_changes", "table_stats", "table_diff", "table_branch",
     "text_search", "text_phrase", "text_near", "text_bm25", "ann_search",
-    "asof_join", "table_history", "table_files", "table_branches")
+    "asof_join", "table_history", "table_files", "table_branches",
+    "table_tags")
 }

@@ -481,12 +481,18 @@ object SqlDml {
     val sb = new StringBuilder(n + 16)
     var i = 0
     var lastWord = ""
-    def copyQuoted(open: Char, allowDoubling: Boolean): Unit = {
+    // backslash escapes apply to ' and " (Spark's default non-ANSI
+    // string lexer accepts 'it\'s') but NOT to backtick identifiers —
+    // skipping the escaped char keeps the literal/code classification
+    // in sync for the rest of the statement
+    def copyQuoted(open: Char, allowDoubling: Boolean,
+        allowBackslash: Boolean = false): Unit = {
       val start = i
       i += 1
       var done = false
       while (i < n && !done) {
-        if (sql.charAt(i) == open) {
+        if (allowBackslash && sql.charAt(i) == '\\' && i + 1 < n) i += 2
+        else if (sql.charAt(i) == open) {
           if (allowDoubling && i + 1 < n && sql.charAt(i + 1) == open) i += 2
           else { i += 1; done = true }
         } else i += 1
@@ -495,8 +501,8 @@ object SqlDml {
     }
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') copyQuoted('\'', allowDoubling = true)
-      else if (c == '"') copyQuoted('"', allowDoubling = true)
+      if (c == '\'') copyQuoted('\'', allowDoubling = true, allowBackslash = true)
+      else if (c == '"') copyQuoted('"', allowDoubling = true, allowBackslash = true)
       else if (c == '`') copyQuoted('`', allowDoubling = true)
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val j = sql.indexOf('\n', i)
@@ -532,6 +538,8 @@ object SqlDml {
     """(?is)^\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val BranchesRe =
     """(?is)^\s*DESCRIBE\s+BRANCHES\s+(.+?)\s*;?\s*$""".r
+  private val TagsRe =
+    """(?is)^\s*DESCRIBE\s+TAGS\s+(.+?)\s*;?\s*$""".r
 
   private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] =
@@ -560,6 +568,15 @@ object SqlDml {
         import spark.implicits._
         Some(rows.toDF("branch", "fork_version", "head_version")
           .orderBy("branch"))
+      case TagsRe(target) =>
+        // tag roster: (tag, version, ts) per live pin — O(tag files)
+        val dir = unquotePath(target)
+          .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"DESCRIBE TAGS: '$target' is not a registered vtable view or a quoted table path"))
+        val rows = VersionedTable(spark, dir).tags()
+        import spark.implicits._
+        Some(rows.toDF("tag", "version", "ts").orderBy("tag"))
       case _ => None // plain DESCRIBE t — Spark's own statement
     }
 
@@ -1270,6 +1287,12 @@ object SqlDml {
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+MERGE\s+BRANCH\s+""" +
       """([A-Za-z_][A-Za-z0-9_-]*)\s+KEY\s+([A-Za-z0-9_`]+)""" +
       """(\s+FORCE)?(\s+DROP)?\s*;?\s*$""").r
+  private val CreateTagRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+TAG\s+""" +
+      """([A-Za-z_][A-Za-z0-9_.-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val DropTagRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+TAG\s+""" +
+      """([A-Za-z_][A-Za-z0-9_.-]*)\s*;?\s*$""").r
 
   /** Branch lifecycle as SQL (Iceberg's ALTER TABLE … BRANCH shape):
     *
@@ -1286,17 +1309,28 @@ object SqlDml {
   private[service] def isDescribeBranches(query: String): Boolean =
     BranchesRe.findFirstIn(content(query)).isDefined
 
+  private[service] def isDescribeTags(query: String): Boolean =
+    TagsRe.findFirstIn(content(query)).isDefined
+
   private[service] def isCreateBranch(query: String): Boolean =
     CreateBranchRe.findFirstIn(content(query)).isDefined
 
   private[service] def isDropBranch(query: String): Boolean =
     DropBranchRe.findFirstIn(content(query)).isDefined
 
+  private[service] def isCreateTag(query: String): Boolean =
+    CreateTagRe.findFirstIn(content(query)).isDefined
+
+  private[service] def isDropTag(query: String): Boolean =
+    DropTagRe.findFirstIn(content(query)).isDefined
+
   private[service] def isBranchStmt(query: String): Boolean = {
     val c = content(query)
     CreateBranchRe.findFirstIn(c).isDefined ||
       DropBranchRe.findFirstIn(c).isDefined ||
-      MergeBranchRe.findFirstIn(c).isDefined
+      MergeBranchRe.findFirstIn(c).isDefined ||
+      CreateTagRe.findFirstIn(c).isDefined ||
+      DropTagRe.findFirstIn(c).isDefined
   }
 
   // ---- materialized views as SQL -----------------------------------
@@ -1371,8 +1405,30 @@ object SqlDml {
         val mv = graft.sources.MaterializedView.load(spark, dir)
         val v = mv.refresh()
         // re-register so readers of the NAME see the refreshed state
-        // (registrations pin their snapshot, same as vtable views)
-        nameOpt.foreach { n =>
+        // (registrations pin their snapshot, same as vtable views).
+        // The '/dir' path form reverse-looks-up every name registered
+        // for that directory — without it a path-form refresh advanced
+        // the stored state while named readers silently kept serving
+        // the pre-refresh pinned snapshot
+        val names: Seq[String] = nameOpt match {
+          case Some(n) => Seq(n)
+          case None =>
+            val canon = java.nio.file.Paths.get(dir)
+              .toAbsolutePath.normalize.toString
+            def canonOf(p: String) =
+              java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+            import scala.jdk.CollectionConverters._
+            val prefix = s"${System.identityHashCode(spark)}/"
+            val fromRoster = mvRoster.entrySet().asScala
+              .filter(e => e.getKey.startsWith(prefix) && canonOf(e.getValue) == canon)
+              .map(_.getKey.stripPrefix(prefix)).toSeq
+            val fromCatalog = svc.toSeq.flatMap(_.catalogEntries
+              .filter(e => e.kind == "source" && e.format == "mview" &&
+                canonOf(e.path) == canon)
+              .map(_.name))
+            (fromRoster ++ fromCatalog).distinct
+        }
+        names.foreach { n =>
           svc match {
             case Some(s) => s.registerSource(n, "mview", dir); ()
             case None    => mv.read().createOrReplaceTempView(n)
@@ -1511,6 +1567,18 @@ object SqlDml {
         onCommit()
         refreshViews(spark, vt.dir, preHead)
         Some(spark.range(1).select(lit(v).as("version")))
+      // immutable tags (ALTER TABLE … CREATE/DROP TAG): never bump the
+      // table's version — like branch create/drop they bump the DDL
+      // nonce so a cached DESCRIBE TAGS can't serve a stale roster
+      case CreateTagRe(target, name, ver) =>
+        val v = table(target).createTag(name,
+          Option(ver).map(_.toInt).getOrElse(-1))
+        onCommit()
+        Some(spark.range(1).select(lit(name).as("tag"), lit(v).as("version")))
+      case DropTagRe(target, name) =>
+        val dropped = table(target).dropTag(name)
+        onCommit()
+        Some(spark.range(1).select(lit(dropped).as("dropped")))
       case _ => None
     }
   }

@@ -2687,6 +2687,9 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
   def createBranch(name: String, version: Int = -1): VersionedTable = {
     val bd = branchDirOf(name)
     require(!Files.exists(bd), s"branch $name already exists at $bd")
+    require(tagVersion(name).isEmpty,
+      s"'$name' is a live tag of this table; tags and branches share " +
+        "the VERSION AS OF namespace — pick another name")
     val bt = cloneTo(bd.toString, version)
     bt.enableCdf() // idempotent when the parent already fed the clone
     bt
@@ -2822,6 +2825,91 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     }
     branchNames.flatMap(n => heldBy(branch(n))).toSet
   }
+
+  // ──────────────────────────── tags ────────────────────────────
+
+  private def tagsDir: Path = Paths.get(dir, VersionedTable.TagsSub)
+
+  private def tagFileOf(name: String): Path = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_.-]{0,63}"),
+      s"tag name must be a bare identifier: $name")
+    tagsDir.resolve(name + ".json")
+  }
+
+  /** Pin an immutable TAG at `version` (default: head) — Iceberg's
+    * named-reference idiom minus writability: where a branch is a
+    * live fork, a tag is a durable (name → version) PIN ("the
+    * v2026-08 training snapshot") that `VERSION AS OF 'name'` reads
+    * and [[vacuum]] respects — a tagged version's manifest and data
+    * files stay live past any retention window until [[dropTag]].
+    * O(1) metadata: one small JSON file, created with CREATE_NEW so a
+    * tag can never be silently re-pointed (drop + create is the
+    * explicit re-pin, and the two-step is visible in the directory's
+    * mtimes). The name must not collide with a live branch — both
+    * resolve through the same `VERSION AS OF 'name'` surface.
+    */
+  def createTag(name: String, version: Int = -1): Int = {
+    val v = if (version < 0) currentVersion else version
+    require(v > 0, s"table at $dir has no committed version to tag")
+    require(!branchNames.contains(name),
+      s"'$name' is a live branch of this table; tags and branches share " +
+        "the VERSION AS OF namespace — pick another name")
+    manifest(v) // proof the pinned version is readable (not vacuumed away)
+    Files.createDirectories(tagsDir)
+    val body = s"""{"version":$v,"ts":${System.currentTimeMillis()}}"""
+    try Files.write(tagFileOf(name),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag $name already exists (tags are immutable — " +
+            "DROP TAG first to re-pin)")
+    }
+    v
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def tagVersion(name: String): Option[Int] = {
+    val p = tagFileOf(name)
+    if (!Files.isRegularFile(p)) None
+    else Some(mapper.readTree(Files.readAllBytes(p))
+      .get("version").asInt)
+  }
+
+  def tagNames: Seq[String] = {
+    if (!Files.isDirectory(tagsDir)) return Seq.empty
+    val s = Files.list(tagsDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toList.sorted
+    } finally s.close()
+  }
+
+  /** (name, pinned version, created-at epoch millis) per live tag. */
+  def tags(): Seq[(String, Int, Long)] =
+    tagNames.flatMap { n =>
+      val p = tagsDir.resolve(n + ".json")
+      try {
+        val j = mapper.readTree(Files.readAllBytes(p))
+        Some((n, j.get("version").asInt,
+          if (j.has("ts")) j.get("ts").asLong else 0L))
+      } catch {
+        // concurrently dropped between the listing and the read
+        case _: java.io.IOException => None
+      }
+    }
+
+  /** Release a tag's pin; the next vacuum may reclaim the version. */
+  def dropTag(name: String): Boolean =
+    Files.deleteIfExists(tagFileOf(name))
+
+  /** Versions pinned live by tags — [[vacuum]] keeps their manifests
+    * (and thereby their files) out of the drop set, the same liveness
+    * promise [[branchHeldRels]] makes for branch-referenced bytes.
+    */
+  private[graft] def taggedVersions: Set[Int] = tags().map(_._2).toSet
 
   /** Partition-pruned copy-on-write MERGE (update matched keys, insert
     * new ones — `Merge.upsert` semantics incl. the duplicate-source
@@ -4170,7 +4258,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       dryRun: Boolean = false): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
     val vs = listVersions().sorted
-    val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
+    // tagged versions are PINNED live: pulled from the drop set into
+    // the keep set, so their manifests survive (VERSION AS OF 'tag'
+    // must stay readable) and their files join the live set below —
+    // the manifest-level twin of branchHeldRels' file-level promise
+    val tagged = taggedVersions
+    val (drop0, keep0) = vs.splitAt(math.max(vs.size - retainVersions, 0))
+    val drop = drop0.filterNot(tagged)
+    val keep = drop0.filter(tagged) ++ keep0
     if (drop.isEmpty) return 0
     // files a version holds — data + change files; ONE definition so
     // the dry-run count can never diverge from what the real pass
@@ -4415,6 +4510,11 @@ object VersionedTable {
 
   /** Subdirectory holding a table's branches (each a full vtable). */
   val BranchesSub = "_graft_branches"
+
+  /** Subdirectory holding a table's immutable tags (one small JSON
+    * pin file per tag).
+    */
+  val TagsSub = "_graft_tags"
 
   /** Checkpoint cadence: every Nth commit duplicates the manifest and
     * bumps `_last_checkpoint`. Delta uses 10; manifests here are
@@ -5321,6 +5421,9 @@ object TableBranch {
       vt.enableCdf()
       vt.append(t.part.select(col("p_partkey").as("k"),
         col("p_name").as("name"), col("p_retailprice").as("price")))
+      // immutable pin at the pristine seed — qTableTag reads it back
+      // through `VERSION AS OF 'seed'` after the head has moved
+      vt.createTag("seed")
       val br = vt.createBranch("exp")
       br.updateWhere(col("k") % 10 === 0,
         Map("price" -> round(col("price") * 1.05, 2)))
@@ -5366,6 +5469,28 @@ object TableBranch {
       s"""SELECT m.k AS k, m.price AS main_price, b.price AS branch_price
          |FROM `$tgt` m JOIN `$tgt` BRANCH 'exp' b ON m.k = b.k
          |WHERE m.price <> b.price
+         |ORDER BY k""".stripMargin)
+  }
+
+  /** TAG read over plain SQL: one statement joins the post-merge head
+    * against `VERSION AS OF 'seed'` — the immutable tag pinned at the
+    * pristine seed before any branch/parent commit ([[VersionedTable
+    * .createTag]], resolved by [[graft.plans.VTableTimeTravel]]'s
+    * named-ref path). The head differs from the seed on exactly the
+    * two updated slices (k % 10 = 0 via the branch, = 1 via the
+    * parent), so the divergence set is fully SQL-derivable: the tag's
+    * durability, name resolution, and the head read all sit under one
+    * hash gate.
+    */
+  def qTableTag(t: Tables): DataFrame = {
+    val dir = builtTable(t)
+    val tgt = s"__graft_tagread_${System.identityHashCode(t.spark)}_" +
+      t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    VersionedTable(t.spark, dir).scan().createOrReplaceTempView(tgt)
+    new graft.service.QueryService(t.spark).sql(
+      s"""SELECT h.k AS k, s.price AS seed_price, h.price AS head_price
+         |FROM `$tgt` h JOIN `$tgt` VERSION AS OF 'seed' s ON h.k = s.k
+         |WHERE h.price <> s.price
          |ORDER BY k""".stripMargin)
   }
 

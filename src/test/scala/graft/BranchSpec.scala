@@ -281,6 +281,79 @@ class BranchSpec extends SparkSpecBase {
     vt.dropBranch("peek")
   }
 
+  test("tags pin a version immutably: named read, vacuum hold, drop releases") {
+    val vt = freshTable("tag")
+    seed(vt, n = 12)
+    val atSeed = snapshot(vt)
+    assert(vt.createTag("rel1") == 1)
+    // immutable: a second CREATE of the same name refuses (re-pin is
+    // an explicit DROP + CREATE)
+    val e = intercept[IllegalArgumentException] { vt.createTag("rel1") }
+    assert(e.getMessage.contains("immutable"))
+    // the head moves past the pin — full rewrite, nothing shared
+    vt.overwrite((1 to 12).map(i => (i.toLong, s"v2name$i", i * 2.0))
+      .toDF("k", "name", "price"))
+    // roster + resolution
+    assert(vt.tags().map(t => (t._1, t._2)) == Seq(("rel1", 1)))
+    assert(vt.tagVersion("rel1").contains(1))
+    // a version vacuum must keep the tagged manifest and bytes live
+    assert(vt.vacuum(retainVersions = 1) == 0,
+      "tagged version is pinned: version vacuum must spare it")
+    assert(vt.vacuumOrphans(olderThanMs = 0L) == 0,
+      "orphan sweep must not touch tag-pinned files")
+    vt.scan().createOrReplaceTempView("tag_hold_t")
+    val tagged = spark.sql("SELECT * FROM tag_hold_t VERSION AS OF 'rel1'")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(tagged == atSeed, "the tag must read the pinned snapshot post-vacuum")
+    // an unknown ref names both namespaces in its error
+    val miss = intercept[Exception] {
+      spark.sql("SELECT * FROM tag_hold_t VERSION AS OF 'nope'").collect()
+    }
+    assert(miss.getMessage.contains("tags"))
+    // drop releases the pin: the next vacuum reclaims the old version
+    assert(vt.dropTag("rel1"))
+    assert(!vt.dropTag("rel1"))
+    assert(vt.vacuum(retainVersions = 1) > 0,
+      "dropTag must release the version to the next vacuum")
+    assert(snapshot(vt).exists(_._2 == "v2name1"))
+  }
+
+  test("tag SQL lifecycle: CREATE/DROP TAG, DESCRIBE TAGS, table_tags TVF, name collisions") {
+    val vt = freshTable("tagsql")
+    seed(vt, n = 6)
+    vt.scan().createOrReplaceTempView("tag_sql_t")
+    val svc = new graft.service.QueryService(spark)
+    val created = svc.sql("ALTER TABLE tag_sql_t CREATE TAG v1").head()
+    assert(created.getString(0) == "v1" && created.getInt(1) == 1)
+    vt.updateWhere(col("k") === 1L, Map("price" -> lit(999.0)))
+    svc.sql("ALTER TABLE tag_sql_t CREATE TAG v2 VERSION AS OF 2").collect()
+    assert(svc.sql("DESCRIBE TAGS tag_sql_t").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("v1", 1), ("v2", 2)))
+    // the TVF roster matches, and the named read serves the pin
+    assert(spark.sql("SELECT tag, version FROM table_tags('tag_sql_t')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("v1", 1), ("v2", 2)))
+    val pinned = svc.sql(
+      "SELECT price FROM tag_sql_t VERSION AS OF 'v1' WHERE k = 1").head()
+    assert(pinned.getDouble(0) == 10.0, "tag v1 predates the update")
+    val head = svc.sql(
+      "SELECT price FROM tag_sql_t VERSION AS OF 'v2' WHERE k = 1").head()
+    assert(head.getDouble(0) == 999.0)
+    // the injected parser routes the same verbs through plain spark.sql
+    assert(spark.sql("ALTER TABLE tag_sql_t DROP TAG v2").head().getBoolean(0))
+    assert(!spark.sql("ALTER TABLE tag_sql_t DROP TAG v2").head().getBoolean(0))
+    assert(spark.sql("DESCRIBE TAGS tag_sql_t").collect()
+      .map(_.getString(0)).toSeq == Seq("v1"))
+    // tags and branches share the VERSION AS OF namespace: creation
+    // refuses cross-kind collisions in both directions
+    vt.createBranch("bx")
+    val eb = intercept[IllegalArgumentException] { vt.createTag("bx") }
+    assert(eb.getMessage.contains("branch"))
+    val et = intercept[IllegalArgumentException] { vt.createBranch("v1") }
+    assert(et.getMessage.contains("tag"))
+  }
+
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
     val vt = freshTable("noop")
     seed(vt, n = 3)
