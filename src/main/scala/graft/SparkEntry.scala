@@ -156,7 +156,8 @@ object SparkEntry {
     "apply_fixture" -> ((s, d) => graft.sources.TableApply.warmBuild(t(s, d))),
     "mview_fixture" -> ((s, d) => graft.sources.MviewDemo.warmBuild(t(s, d))),
     "sqlmv_fixture" -> ((s, d) => graft.service.SqlMviewDemo.warmBuild(t(s, d))),
-    "mview_cdf_fixture" -> ((s, d) => graft.sources.MviewCdfDemo.warmBuild(t(s, d))))
+    "mview_cdf_fixture" -> ((s, d) => graft.sources.MviewCdfDemo.warmBuild(t(s, d))),
+    "mview_branch_fixture" -> ((s, d) => graft.sources.MviewBranchDemo.warmBuild(t(s, d))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,6 +364,7 @@ object SparkEntry {
     "q_mview" -> ((s, d) => graft.sources.MviewDemo.qMview(t(s, d))),
     "q_sql_mview" -> ((s, d) => graft.service.SqlMviewDemo.qSqlMview(t(s, d))),
     "q_mview_cdf" -> ((s, d) => graft.sources.MviewCdfDemo.qMviewCdf(t(s, d))),
+    "q_mview_branch" -> ((s, d) => graft.sources.MviewBranchDemo.qMviewBranch(t(s, d))),
     // composed curation pipeline (dedup → quality gate → routing stats)
     "q_curate" -> ((s, d) => Curate.qCurate(t(s, d))),
     "q_data_card" -> ((s, d) => Curate.qDataCard(t(s, d))),
@@ -2978,6 +2980,17 @@ object SparkEntry {
         | floor((avg(price)) * 100 + 0.5) / 100 AS avg_price
         |FROM snap WHERE k % 5 <> 0
         |GROUP BY pri ORDER BY pri""".stripMargin,
+    // the view follows the BRANCH: fork snapshot (evens) plus the two
+    // branch-only odd slices; the parent's own post-fork slice
+    // (odd, %3=2) must be absent — its absence proves the view tracks
+    // the branch's commit log, not the parent's
+    "q_mview_branch" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n_orders,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 IN (0, 1))
+        |GROUP BY o_orderpriority ORDER BY pri""".stripMargin,
     "q_curate" ->
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -1475,29 +1475,63 @@ object SqlDml {
     * shape; returns (source table dir, group columns, aggregates).
     */
   private def parseMvDef(spark: org.apache.spark.sql.SparkSession,
-      select: String): (String, Seq[String], Seq[graft.sources.MvAgg]) = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+      select0: String): (String, Seq[String], Seq[graft.sources.MvAgg]) = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import graft.sources.MvAgg
+    // `FROM src BRANCH 'b'` lowers to `VERSION AS OF 'b'` here too —
+    // the injected-parser path arrives pre-rewritten (idempotent), the
+    // service path raw
+    val select = rewriteBranchReads(select0)
     val shapeMsg = "materialized view body must be: SELECT <group cols>, " +
       "<count(*)|sum|min|max|avg(col) AS alias>… FROM <registered vtable view> " +
-      "GROUP BY <group cols> (no ORDER BY/HAVING/joins — the state is a table)"
+      "[BRANCH 'b'] GROUP BY <group cols> (no ORDER BY/HAVING/joins — the " +
+      "state is a table)"
+    // the VANILLA parser, deliberately: an injected-parser session
+    // would substitute the VERSION AS OF node at parse time (pinning
+    // the scan), and this definition needs the RAW named ref to
+    // classify it as live-branch vs frozen-pin
     val plan =
-      try spark.sessionState.sqlParser.parsePlan(select)
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(select)
       catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         fail(s"$shapeMsg: ${e.getMessage}")
       }
     plan match {
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        val src = agg.child match {
-          case UnresolvedRelation(parts, _, _) if parts.length == 1 => parts.head
+        // a `VERSION AS OF` child is an MV over a NAMED REF: a live
+        // branch resolves to the branch's own table (it has its own
+        // commit log, so IVM works unchanged); a tag or numeric pin
+        // never changes, so materializing it is a plain CTAS — refuse
+        // with that guidance instead of failing wrongly at refresh
+        val (src, refOpt) = agg.child match {
+          case UnresolvedRelation(parts, _, _) if parts.length == 1 =>
+            (parts.head, None)
           case SubqueryAlias(_, UnresolvedRelation(parts, _, _)) if parts.length == 1 =>
-            parts.head
+            (parts.head, None)
+          case RelationTimeTravel(UnresolvedRelation(parts, _, _), None, Some(v))
+              if parts.length == 1 => (parts.head, Some(v))
+          case SubqueryAlias(_,
+              RelationTimeTravel(UnresolvedRelation(parts, _, _), None, Some(v)))
+              if parts.length == 1 => (parts.head, Some(v))
           case _ => fail(shapeMsg)
         }
-        val srcDir = resolveVTable(spark, src).map(_._1)
+        val parentDir = resolveVTable(spark, src).map(_._1)
           .getOrElse(fail(
             s"materialized view source '$src' is not a registered vtable view " +
               "(IVM rides the versioned table's commit log)"))
+        val srcDir = refOpt match {
+          case None => parentDir
+          case Some(ref) =>
+            val pv = VersionedTable(spark, parentDir)
+            if (ref.toIntOption.isDefined || pv.tagVersion(ref).isDefined)
+              fail(s"materialized view source '$src VERSION AS OF $ref' is a " +
+                "frozen pin — it never changes, so materialize it once with " +
+                "CREATE TABLE ... AS instead; an MV follows a LIVE ref " +
+                "(the table head or a branch)")
+            if (!pv.branchNames.contains(ref))
+              fail(s"'$ref' is not a live branch of '$src' (branches: " +
+                s"${pv.branchNames.mkString(", ")})")
+            pv.branch(ref).dir
+        }
         val group = agg.groupingExpressions.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
           case other => fail(s"GROUP BY must list plain columns, got ${other.sql}")

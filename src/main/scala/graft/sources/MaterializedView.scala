@@ -200,6 +200,17 @@ final class MaterializedView private (
     */
   def refresh(): Int = {
     val srcV = source.currentVersion
+    // a view can follow a BRANCH (the branch is its own table, so IVM
+    // works unchanged); when that branch is merged-with-drop or
+    // dropped, the next refresh must say WHY the source vanished
+    // rather than raise the generic no-committed-version error
+    if (srcV == 0 && sourceDir.contains(s"/${VersionedTable.BranchesSub}/") &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceDir)))
+      throw new IllegalStateException(
+        s"materialized view at $viewDir follows branch source $sourceDir, " +
+          "which no longer exists (merged with DROP, or dropped); the last " +
+          "refreshed state still reads — DROP the view, or CREATE it afresh " +
+          "over the parent or a new branch")
     require(srcV > 0, s"source table at $sourceDir has no committed version")
     persistDefinition()
     val covered = coveredSourceVersion
@@ -392,6 +403,72 @@ object MviewCdfDemo {
       .select(col("pri"), col("n_orders"),
         graft.operators.Rnd.round(col("total"), 2).as("total"),
         graft.operators.Rnd.round(col("avg_price"), 2).as("avg_price"))
+      .orderBy("pri")
+}
+
+/** Contract query for an MV FOLLOWING A BRANCH: the curation workflow
+  * — fork a branch, keep a validating aggregate in step with the fork
+  * while the parent keeps moving. The view is created through the SQL
+  * surface (`AS SELECT … FROM src BRANCH 'cur' GROUP BY …`), the
+  * branch then receives a second append and the view refreshes
+  * O(delta) off the BRANCH's own commit log; the parent also moves
+  * post-fork on a slice that must NOT appear in the view (the oracle's
+  * absence of that slice proves the view tracks the branch, not the
+  * parent). Memoized per (session, corpus) like [[MviewDemo]].
+  */
+object MviewBranchDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val views = new graft.util.BoundedMemo[Key, String](4, _ => ())
+
+  private def builtView(t: Tables): String =
+    views.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import java.nio.file.Files
+      val parent = Files.createTempDirectory("graft-mvbranch")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val srcDir = parent.toString + "/orders_src"
+      val mvDir = parent.toString + "/branch_mv"
+      val src = VersionedTable(t.spark, srcDir)
+      src.enableCdf()
+      val base = t.orders.select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"), col("o_totalprice").as("price"))
+      src.append(base.filter(col("o_orderkey") % 2 === 0)
+        .select("pri", "price"))
+      src.createBranch("cur")
+      val br = src.branch("cur")
+      br.append(base.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 0).select("pri", "price"))
+      val tgt = s"__graft_mvbr_${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      src.scan().createOrReplaceTempView(tgt)
+      val svc = new graft.service.QueryService(t.spark)
+      svc.sql(s"CREATE MATERIALIZED VIEW ${tgt}_mv LOCATION '$mvDir' AS " +
+        s"SELECT pri, count(*) AS n_orders, sum(price) AS total " +
+        s"FROM `$tgt` BRANCH 'cur' GROUP BY pri").collect()
+      // the branch moves → O(delta) refresh; the parent moves on a
+      // slice the view must never see
+      br.append(base.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 1).select("pri", "price"))
+      src.append(base.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 3 === 2).select("pri", "price"))
+      svc.sql(s"REFRESH MATERIALIZED VIEW '$mvDir'").collect()
+      mvDir
+    }
+
+  /** Forces the memoized fixture build (Bench's index_build pass);
+    * Verify never calls this.
+    */
+  def warmBuild(t: Tables): Unit = { builtView(t); () }
+
+  def qMviewBranch(t: Tables): DataFrame =
+    MaterializedView.load(t.spark, builtView(t)).read()
+      .select(col("pri"), col("n_orders"),
+        graft.operators.Rnd.round(col("total"), 2).as("total"))
       .orderBy("pri")
 }
 

@@ -264,6 +264,73 @@ class MaterializedViewSpec extends SparkSpecBase {
     assert(state.read().columns.contains("__rows"))
   }
 
+  test("a view follows a BRANCH source; merged/dropped branch fails the refresh loudly") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf()
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    val br = src.createBranch("cur")
+    br.append(Seq(("a", 10L)).toDF("grp", "v"))
+    val mv = MaterializedView(spark, viewDir, br.dir,
+      Seq("grp"), Seq(MvAgg.Count("n"), MvAgg.Sum("v", "total")))
+    mv.refresh()
+    def rows = mv.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 2L, 11L), ("b", 1L, 2L)))
+    // the parent moving must NOT leak into the branch-following view
+    src.append(Seq(("c", 99L)).toDF("grp", "v"))
+    br.append(Seq(("b", 20L)).toDF("grp", "v"))
+    mv.refresh()
+    assert(rows == Set(("a", 2L, 11L), ("b", 2L, 22L)))
+    // merge-with-drop removes the branch: the last state still reads,
+    // and the next refresh names the branch as the reason
+    src.mergeBranch("cur", key = "grp", force = true, dropAfter = true)
+    assert(rows == Set(("a", 2L, 11L), ("b", 2L, 22L)))
+    val e = intercept[IllegalStateException] { mv.refresh() }
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
+  test("SQL: CREATE MV over FROM t BRANCH 'b'; frozen pins refuse with CTAS guidance") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf()
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    src.createBranch("work")
+    src.branch("work").append(Seq(("a", 5L)).toDF("grp", "v"))
+    src.createTag("pin1")
+    src.scan().createOrReplaceTempView("mvbr_src_t")
+    val svc = new graft.service.QueryService(spark)
+    svc.sql(s"CREATE MATERIALIZED VIEW mvbr_v LOCATION '$viewDir' AS " +
+      "SELECT grp, count(*) AS n, sum(v) AS total " +
+      "FROM mvbr_src_t BRANCH 'work' GROUP BY grp").collect()
+    val got = MaterializedView.load(spark, viewDir).read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 6L), ("b", 1L, 2L)))
+    // a tag or numeric pin never changes — refuse at CREATE with the
+    // CTAS guidance, not wrongly at refresh
+    val et = intercept[Exception] {
+      svc.sql(s"CREATE MATERIALIZED VIEW mvbr_v2 LOCATION '${viewDir}2' AS " +
+        "SELECT grp, count(*) AS n FROM mvbr_src_t VERSION AS OF 'pin1' " +
+        "GROUP BY grp").collect()
+    }
+    assert(et.getMessage.contains("CREATE TABLE"), et.getMessage)
+    val en = intercept[Exception] {
+      svc.sql(s"CREATE MATERIALIZED VIEW mvbr_v3 LOCATION '${viewDir}3' AS " +
+        "SELECT grp, count(*) AS n FROM mvbr_src_t VERSION AS OF 1 " +
+        "GROUP BY grp").collect()
+    }
+    assert(en.getMessage.contains("CREATE TABLE"), en.getMessage)
+    // an unknown branch names the live roster
+    val eb = intercept[Exception] {
+      svc.sql(s"CREATE MATERIALIZED VIEW mvbr_v4 LOCATION '${viewDir}4' AS " +
+        "SELECT grp, count(*) AS n FROM mvbr_src_t BRANCH 'nope' " +
+        "GROUP BY grp").collect()
+    }
+    assert(eb.getMessage.contains("work"), eb.getMessage)
+  }
+
   test("holistic aggregates and bad specs are rejected at construction") {
     val (srcDir, viewDir) = dirs()
     intercept[IllegalArgumentException] {
