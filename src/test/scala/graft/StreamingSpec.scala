@@ -525,6 +525,93 @@ class StreamingSpec extends SparkSpecBase {
     } finally q4.stop()
   }
 
+  test("UNIQUE gates the streaming sink: the epoch refuses loudly, remediation + replay lands exactly-once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-vuqsrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-vuqtbl").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-vuqchk").toString
+    def start() = graft.streaming.VTableStreamSink(tableDir, chk).start(
+      graft.streaming.FileStreamSource("parquet", src, Seq.empty[Event].toDS().schema)
+        .readStream(spark))
+    Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0),
+      Event(3, ts(3), 2, "click", 3.0))
+      .toDS().write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val t = graft.sources.VersionedTable(spark, tableDir)
+    t.addUniqueConstraint("eid_uq", Seq("event_id"))
+    val vBefore = t.currentVersion
+    // a batch duplicating a CARRIED key: the epoch must refuse, the
+    // stream must FAIL (not wedge), and nothing may half-land
+    Seq(Event(3, ts(4), 9, "dup", 99.0)).toDS().write.mode("append").parquet(src)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => String.valueOf(c.getMessage).contains("eid_uq")), e.getMessage)
+    assert(t.currentVersion == vBefore && t.read().count() == 3,
+      "the refused epoch must not half-land")
+    // remediation: the operator deletes the conflicting table row, then
+    // RESTARTS from the same checkpoint — the refused epoch never
+    // advanced, so it replays whole and lands exactly-once
+    t.deleteWhere($"event_id" === 3L)
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      val out = t.read()
+      assert(out.count() == 3)
+      assert(out.where($"event_id" === 3L).head().getAs[Double]("value") == 99.0,
+        "the replayed epoch's row must serve, exactly once")
+    } finally q3.stop()
+    // a batch violating WITHIN ITSELF refuses through the same gate
+    Seq(Event(7, ts(5), 1, "a", 1.0), Event(7, ts(6), 1, "b", 2.0))
+      .toDS().write.mode("append").parquet(src)
+    val q4 = start()
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => String.valueOf(c.getMessage).contains("eid_uq")), e2.getMessage)
+    assert(t.read().count() == 3)
+  }
+
+  test("UNIQUE gates the CDC merge sink: a non-key duplicate refuses; fix + replay converges") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-muqsrc").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-muqtbl").toString + "/t"
+    val chk = java.nio.file.Files.createTempDirectory("graft-muqchk").toString
+    val t = graft.sources.VersionedTable(spark, tableDir)
+    t.append(Seq((1L, "a@x"), (2L, "b@x")).toDF("k", "email"))
+    // the merge key keeps k unique by construction; the constraint
+    // guards a NON-key column the upsert could still collide
+    t.addUniqueConstraint("email_uq", Seq("email"))
+    val schema = Seq.empty[(Long, String)].toDF("k", "email").schema
+    def start() = graft.streaming.VTableMergeSink(tableDir, "k", chk).start(
+      graft.streaming.FileStreamSource("parquet", src, schema).readStream(spark))
+    // an insert duplicating k=1's email: the merge epoch must refuse
+    Seq((4L, "a@x")).toDF("k", "email").write.mode("append").parquet(src)
+    val q1 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => String.valueOf(c.getMessage).contains("email_uq")), e.getMessage)
+    assert(t.read().count() == 2, "the refused merge epoch must not half-land")
+    // fix the collision in the table, restart from the same checkpoint:
+    // the refused epoch replays whole and lands exactly-once
+    t.updateWhere($"k" === 1L, Map("email" -> org.apache.spark.sql.functions.lit("a2@x")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a2@x", 2L -> "b@x", 4L -> "a@x"))
+    } finally q2.stop()
+  }
+
   test("vtable merge sink applies a CDC stream exactly-once, last change wins") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-cdcsrc").toString
