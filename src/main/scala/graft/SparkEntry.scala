@@ -337,6 +337,7 @@ object SparkEntry {
     "q_copy_into" -> ((s, d) => graft.sources.TableCopyInto.qCopyInto(t(s, d))),
     "q_sql_merge" -> ((s, d) => graft.service.SqlDmlDemo.qSqlMerge(t(s, d))),
     "q_info_schema" -> ((s, d) => graft.service.InfoSchema.qInfoSchema(t(s, d))),
+    "q_constraints_schema" -> ((s, d) => graft.service.InfoSchema.qConstraintsSchema(t(s, d))),
     "q_sql_merge_general" -> ((s, d) =>
       graft.service.SqlMergeGeneralDemo.qSqlMergeGeneral(t(s, d))),
     "q_sql_timetravel" -> ((s, d) =>
@@ -2559,6 +2560,16 @@ object SparkEntry {
     // vs DuckDB's OWN information_schema over the same parquet-backed
     // views — one CASE maps DuckDB's type spellings to Spark's
     // catalogString, timestamps normalize to one label on both sides
+    // the literal constraint roster of the fixture vtable: one CHECK,
+    // one UNIQUE — gates the manifest encoding, the type classification,
+    // and the information_schema.table_constraints rewrite surface
+    "q_constraints_schema" ->
+      """SELECT * FROM (
+        |  SELECT 'cons_t' AS table_name, 'k_nonneg' AS constraint_name,
+        |         'CHECK' AS constraint_type, 'k >= 0' AS definition
+        |  UNION ALL
+        |  SELECT 'cons_t', 'k_uq', 'UNIQUE', 'k')
+        |ORDER BY constraint_name""".stripMargin,
     "q_info_schema" ->
       s"""SELECT t.table_name, c.column_name,
         |       CAST(c.ordinal_position AS INT) AS ordinal,

@@ -359,8 +359,13 @@ object GraftFunctions {
     // cell-pruned probe ([[graft.operators.Similarity.ivfProbe]]; the
     // saved inverted file is partitioned on `cell`, so the scan opens
     // only the probed cells) with the query vector as a CSV float
-    // literal. Streamed epochs fold in through IvfIndex.load's
-    // recovery, same as the operator path.
+    // literal. The BATCH form takes a registered VIEW of query
+    // vectors instead — `ann_search('/idx', 'query_view', k[,
+    // nprobe])` with (vec_id, embedding) columns — and lowers to the
+    // operator's one-plan multi-query probe (cell pruning intact,
+    // query_id kept), so a SQL user scoring thousands of queries never
+    // falls back to per-vector statements. Streamed epochs fold in
+    // through IvfIndex.load's recovery, same as the operator path.
     FunctionIdentifier("ann_search"),
     new ExpressionInfo("graft.operators.IvfIndex", "ann_search"),
     (args: Seq[Expression]) => {
@@ -372,7 +377,7 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"ann_search: $what must be an integer literal, got $other")
       }
-      val (dir, csv, k, nprobe) = args match {
+      val (dir, qArg, k, nprobe) = args match {
         case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _)) =>
           (d.toString, v.toString, 10, 3)
         case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _), kk) =>
@@ -380,16 +385,30 @@ object GraftFunctions {
         case Seq(Literal(d: UTF8String, _), Literal(v: UTF8String, _), kk, np) =>
           (d.toString, v.toString, intOf(kk, "k"), intOf(np, "nprobe"))
         case _ => throw new IllegalArgumentException(
-          "usage: ann_search('/index-dir', 'f1,f2,...', k[, nprobe])")
+          "usage: ann_search('/index-dir', '<f1,f2,...>' | '<query_view>', k[, nprobe])")
       }
       val spark = SparkSession.active
-      val vec = csv.split(",").map(_.trim.toFloat)
-      import spark.implicits._
-      val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
-      graft.operators.Similarity
-        .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
-        .drop("query_id") // single query: (vec_id, cos, rk)
-        .queryExecution.analyzed
+      // a CSV of floats can never be a SQL identifier, so the argument
+      // shape is unambiguous: identifier → batch view, otherwise CSV
+      val isView = qArg.matches("[A-Za-z_][A-Za-z0-9_.]*")
+      if (isView) {
+        val q = spark.table(qArg)
+        require(q.columns.contains("vec_id") && q.columns.contains("embedding"),
+          s"ann_search: query view '$qArg' needs (vec_id, embedding) columns, " +
+            s"got (${q.columns.mkString(", ")})")
+        graft.operators.Similarity
+          .ivfProbe(graft.operators.IvfIndex.load(spark, dir),
+            q.select("vec_id", "embedding"), k, nprobe)
+          .queryExecution.analyzed // batch: (query_id, vec_id, cos, rk)
+      } else {
+        val vec = qArg.split(",").map(_.trim.toFloat)
+        import spark.implicits._
+        val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
+        graft.operators.Similarity
+          .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
+          .drop("query_id") // single query: (vec_id, cos, rk)
+          .queryExecution.analyzed
+      }
     }), (
     // the as-of (merge-asof) join as SQL — Spark has no ASOF grammar
     // and a naive inequality join plans O(n·m) per key:

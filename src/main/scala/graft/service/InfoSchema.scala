@@ -33,6 +33,7 @@ object InfoSchema {
   private val TablesView = "__graft_info_tables"
   private val ColumnsView = "__graft_info_columns"
   private val ViewsView = "__graft_info_views"
+  private val ConstraintsView = "__graft_info_constraints"
 
   // (?<![\w.]): a LONGER qualified name (somecat.information_schema.tables)
   // is not OUR schema — rewriting its tail would turn a clean
@@ -41,9 +42,12 @@ object InfoSchema {
   // schema.tables"), so a second (bounded) lookbehind rejects a dot
   // any reasonable run of whitespace back — symmetric with the
   // pattern's own \s*\.\s* tolerance.
+  // table_constraints FIRST in the alternation: `tables` must not
+  // shadow its prefix
   private val Ref =
     java.util.regex.Pattern.compile(
-      "(?i)(?<![\\w.])(?<!\\.[\\s]{0,64})information_schema\\s*\\.\\s*(tables|columns|views)\\b")
+      "(?i)(?<![\\w.])(?<!\\.[\\s]{0,64})information_schema\\s*\\.\\s*" +
+        "(table_constraints|tables|columns|views)\\b")
 
   /** Rewrite info-schema references in the segments of `q` that lie
     * OUTSIDE single-quoted strings, double-quoted strings, and
@@ -91,9 +95,10 @@ object InfoSchema {
         while (m.find()) {
           changed = true
           m.appendReplacement(sb, m.group(1).toLowerCase match {
-            case "tables" => TablesView
-            case "views"  => ViewsView
-            case _        => ColumnsView
+            case "tables"            => TablesView
+            case "views"             => ViewsView
+            case "table_constraints" => ConstraintsView
+            case _                   => ColumnsView
           })
         }
         m.appendTail(sb)
@@ -126,7 +131,8 @@ object InfoSchema {
     val entries = svc.catalogEntries
     val kinds = entries.map(e => e.name -> e.kind).toMap
     val names = spark.catalog.listTables().collect().map(_.name)
-      .filterNot(n => n == TablesView || n == ColumnsView || n == ViewsView)
+      .filterNot(n => n == TablesView || n == ColumnsView || n == ViewsView ||
+        n == ConstraintsView)
       .sorted.toSeq
     val tableRows = names.map { n =>
       Row("graft", n, kinds.get(n) match {
@@ -170,6 +176,29 @@ object InfoSchema {
         StructField("table_name", StringType, nullable = false),
         StructField("view_definition", StringType, nullable = false))))
       .createOrReplaceTempView(ViewsView)
+    // information_schema.table_constraints: CHECK/UNIQUE rows from each
+    // registered vtable's manifest constraint node (the BI-tooling twin
+    // of DESCRIBE DETAIL's flat constraints column) — zero-scan, one
+    // manifest read per vtable, nothing for plain sources/views
+    val consRows = names.flatMap { n =>
+      SqlDml.resolveVTable(spark, n).toSeq.flatMap { case (dir, _) =>
+        graft.sources.VersionedTable(spark, dir).constraintList.map {
+          case (cn, spec) =>
+            val isUq = spec.startsWith(graft.sources.VersionedTable.UniquePrefix)
+            Row("graft", n, cn,
+              if (isUq) "UNIQUE" else "CHECK",
+              if (isUq) spec.stripPrefix(graft.sources.VersionedTable.UniquePrefix)
+              else spec)
+        }
+      }
+    }
+    spark.createDataFrame(consRows.asJava, StructType(Seq(
+        StructField("table_catalog", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("constraint_name", StringType, nullable = false),
+        StructField("constraint_type", StringType, nullable = false),
+        StructField("definition", StringType, nullable = false))))
+      .createOrReplaceTempView(ConstraintsView)
   }
 
   // ---- contract query ------------------------------------------------
@@ -197,6 +226,40 @@ object InfoSchema {
          |WHERE t.table_name IN ($InfoNamesSql)
          |  AND t.table_type = 'BASE TABLE'
          |ORDER BY t.table_name, ordinal""".stripMargin)
+  }
+
+  /** Sibling contract query — constraint discovery over plain SQL
+    * (`information_schema.table_constraints`): a fresh isolated
+    * service registers a vtable carrying one CHECK and one UNIQUE
+    * constraint and reads them back through the statement a BI client
+    * would send. The oracle is the literal roster: the fixture's
+    * constraints are fixed by construction, so any drift in the
+    * manifest encoding, the UNIQUE/CHECK classification, or the
+    * rewrite surface diverges the hash.
+    */
+  def qConstraintsSchema(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val s2 = t.spark.newSession()
+    val svc = new QueryService(s2)
+    val parent = java.nio.file.Files.createTempDirectory("graft-infocons")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(parent.toFile)
+    }
+    val dir = parent.toString + "/t"
+    val vt = graft.sources.VersionedTable(s2, dir)
+    vt.append(s2.read.parquet(s"${t.sfDir}/region.parquet")
+      .select(col("r_regionkey").as("k"), col("r_name").as("name")))
+    vt.addConstraint("k_nonneg", "k >= 0")
+    vt.addUniqueConstraint("k_uq", Seq("k"))
+    svc.registerSource("cons_t", "vtable", dir)
+    svc.sql(
+      """SELECT table_name, constraint_name, constraint_type, definition
+        |FROM information_schema.table_constraints
+        |WHERE table_name = 'cons_t'
+        |ORDER BY constraint_name""".stripMargin)
   }
 
   val InfoNames: Seq[String] = Seq("region", "nation", "customer",

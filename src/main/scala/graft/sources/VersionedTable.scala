@@ -4492,7 +4492,7 @@ object VersionedTable {
   /** Stored-constraint encoding for ENFORCED UNIQUE: the constraint
     * map's value is `unique:col1,col2` instead of a CHECK expression.
     */
-  private[sources] val UniquePrefix = "unique:"
+  private[graft] val UniquePrefix = "unique:"
 
   private[sources] def uniqueColsOf(spec: String): Option[Seq[String]] =
     if (spec.startsWith(UniquePrefix))

@@ -172,6 +172,47 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("batch ann_search TVF: a query-vector VIEW probes in one plan, row-for-row the operator") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-tvfb").toString
+    val handles = scala.collection.mutable.ArrayBuffer.empty[IvfIndex]
+    def tracked(i: IvfIndex): IvfIndex = { handles += i; i }
+    try {
+      tracked(IvfIndex.build(tables.embeddings, cells = 16, iters = 2)).save(dir)
+      val qs = tables.embeddings.filter(col("vec_id").isin(1L, 2L, 3L))
+      qs.createOrReplaceTempView("annb_queries")
+      val viaSql = spark.sql(
+        s"SELECT query_id, vec_id, cos, rk FROM ann_search('$dir', 'annb_queries', 5) " +
+          "ORDER BY query_id, rk")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"), r.getInt(3)))
+        .toSeq
+      val viaOp = Similarity.ivfProbe(tracked(IvfIndex.load(spark, dir)), qs, k = 5)
+        .orderBy("query_id", "rk")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"), r.getInt(3)))
+        .toSeq
+      assert(viaSql == viaOp, s"sql=${viaSql.take(5)} op=${viaOp.take(5)}")
+      assert(viaSql.map(_._1).distinct.sorted == Seq(1L, 2L, 3L),
+        "all three queries must answer in the one statement")
+      // cell pruning must survive the batch form
+      val plan = spark.sql(s"SELECT * FROM ann_search('$dir', 'annb_queries', 5)")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        "batch ann_search must keep cell pruning on the saved scan: " + plan.take(800))
+      // a view without the contract columns refuses with guidance
+      spark.range(3).toDF("x").createOrReplaceTempView("annb_bad")
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM ann_search('$dir', 'annb_bad', 5)").collect()
+      }
+      assert(e.getMessage.contains("vec_id"), e.getMessage)
+    } finally {
+      handles.foreach(_.unpersist())
+      deleteDir(dir)
+    }
+  }
+
   test("incremental append to a saved IVF index absorbs new vectors without retraining") {
     import org.apache.spark.sql.functions.col
     import graft.operators.IvfIndex

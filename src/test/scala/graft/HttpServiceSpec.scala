@@ -103,6 +103,31 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(!c2.body.contains("\"cached\":true"), c2.body)
   }
 
+  test("information_schema.table_constraints lists CHECK/UNIQUE rows over plain SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-cons").toString + "/t"
+    val vt = graft.sources.VersionedTable(service.spark, dir)
+    import service.spark.implicits._
+    vt.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    vt.addConstraint("k_pos", "k > 0")
+    vt.addUniqueConstraint("k_uq", Seq("k"))
+    post("/register", s"""{"name":"is_cons_t","format":"vtable","path":"$dir"}""")
+    val res = post("/sql",
+      """{"query":"SELECT constraint_name, constraint_type, definition FROM information_schema.table_constraints WHERE table_name = 'is_cons_t' ORDER BY constraint_name"}""")
+    assert(res.statusCode == 200, res.body)
+    assert(res.body.contains("\"constraint_name\":\"k_pos\"") &&
+      res.body.contains("\"constraint_type\":\"CHECK\"") &&
+      res.body.contains("\"definition\":\"k > 0\""), res.body)
+    assert(res.body.contains("\"constraint_name\":\"k_uq\"") &&
+      res.body.contains("\"constraint_type\":\"UNIQUE\"") &&
+      res.body.contains("\"definition\":\"k\""), res.body)
+    // refresh-on-reference: dropping a constraint is visible to the
+    // next statement with no invalidation protocol
+    vt.dropConstraint("k_pos")
+    val after = post("/sql",
+      """{"query":"SELECT count(*) AS n FROM information_schema.table_constraints WHERE table_name = 'is_cons_t'"}""")
+    assert(after.statusCode == 200 && after.body.contains("\"n\":1"), after.body)
+  }
+
   test("POST /sql binds named parameters as values, never spliced text") {
     post("/register",
       s"""{"name":"http_param_nation","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""")
