@@ -66,6 +66,17 @@ def main():
         print(f"REFUSING to pin: interference sentinel fired ({dirty}); "
               "re-run in a clean window")
         sys.exit(2)
+    # the bench now labels its own window (calib thresholds + pin-anchored
+    # outliers): a self-declared dirty run never pins, and a degraded one
+    # pins only with its named outliers printed for the reader
+    wq = art.get("window_quality")
+    if wq == "dirty":
+        print(f"REFUSING to pin: bench self-labeled window_quality=dirty "
+              f"(pin_outliers={art.get('pin_outliers', {})})")
+        sys.exit(2)
+    if wq == "degraded":
+        print(f"WARNING: window_quality=degraded; outliers vs prior pin: "
+              f"{art.get('pin_outliers', {})}")
     doc = {"sf": art.get("sf", SF_DIR), "engine": "graft-spark",
            "total_sec": art["value"], "n_queries": len(art["queries"]),
            "calib": calib, "confirmed": art.get("confirmed", []),
