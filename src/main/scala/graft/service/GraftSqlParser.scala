@@ -39,16 +39,16 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     if (!SqlDml.mightDispatch(sqlText)) timeTravel(delegate.parsePlan(sqlText))
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
-        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+        (spark, q) => SqlDml.describeMeta(spark, q).get.collect().toSeq)
     else if (SqlDml.isDescribeDetail(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.detailOutput,
-        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+        (spark, q) => SqlDml.describeMeta(spark, q).get.collect().toSeq)
     else if (SqlDml.isDescribeBranches(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.branchesOutput,
-        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+        (spark, q) => SqlDml.describeMeta(spark, q).get.collect().toSeq)
     else if (SqlDml.isDescribeTags(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.tagsOutput,
-        (spark, q) => SqlDml.describeHistory(spark, q).get.collect().toSeq)
+        (spark, q) => SqlDml.describeMeta(spark, q).get.collect().toSeq)
     else if (SqlDml.isBranchStmt(sqlText))
       // branch/tag lifecycle: like maintenance, no Spark grammar
       // exists — wrap BEFORE delegation

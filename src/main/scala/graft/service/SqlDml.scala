@@ -409,7 +409,7 @@ object SqlDml {
     // INTO vtable` routes exactly like its verb-led form (dmlPlan
     // inlines the CTE definitions into the parsed tree)
     effectiveVerb(query) match {
-      case "DESCRIBE" => describeHistory(spark, query)
+      case "DESCRIBE" => describeMeta(spark, query)
       case "MERGE" | "UPDATE" | "DELETE" | "INSERT" => dml(spark, query, onCommit)
       case "VACUUM" | "OPTIMIZE" | "RESTORE" => maintenance(spark, query, onCommit)
       case "COPY" => copyIntoStmt(spark, query, onCommit)
@@ -541,7 +541,7 @@ object SqlDml {
   private val TagsRe =
     """(?is)^\s*DESCRIBE\s+TAGS\s+(.+?)\s*;?\s*$""".r
 
-  private[service] def describeHistory(spark: org.apache.spark.sql.SparkSession,
+  private[service] def describeMeta(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] =
     content(query) match {
       case HistoryRe(target) =>
@@ -1299,7 +1299,7 @@ object SqlDml {
     *   ALTER TABLE t CREATE BRANCH b [VERSION AS OF v] → createBranch; result = (branch, fork_version)
     *   ALTER TABLE t DROP BRANCH b → dropBranch; result = (dropped)
     *   ALTER TABLE t MERGE BRANCH b KEY k [FORCE] [DROP] → mergeBranch; result = (version)
-    *   DESCRIBE BRANCHES t → the roster (see [[describeHistory]])
+    *   DESCRIBE BRANCHES t → the roster (see [[describeMeta]])
     *
     * All three ride the ALTER verb, which the auth gate already
     * classifies as a mutation. CREATE/DROP never bump the parent's
