@@ -555,6 +555,27 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       s"""{"branch":"$name","fork_version":$fork}"""
     }
   })
+  // immutable tags: create by default, drop with {"drop": true} —
+  // both mutations; GET-shaped roster via {"list": true} stays on the
+  // same route (one concept, one path)
+  server.createContext("/tag", gatedMut { body =>
+    val path = text(body, "path")
+    if (body.has("list") && body.get("list").asBoolean(false)) {
+      val rows = service.tableTags(path).map { case (n, v, ts) =>
+        s"""{"tag":"$n","version":$v,"ts":$ts}"""
+      }
+      s"""{"tags":[${rows.mkString(",")}],"count":${rows.size}}"""
+    } else {
+      val name = text(body, "name")
+      if (body.has("drop") && body.get("drop").asBoolean(false)) {
+        val dropped = service.dropTableTag(path, name)
+        s"""{"dropped":$dropped}"""
+      } else {
+        val v = service.createTableTag(path, name, intArg(body, "version", -1))
+        s"""{"tag":"$name","version":$v}"""
+      }
+    }
+  })
   server.createContext("/merge-branch", gatedMut { body =>
     val v = service.mergeTableBranch(text(body, "path"), text(body, "name"),
       text(body, "key"),

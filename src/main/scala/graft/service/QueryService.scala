@@ -406,6 +406,20 @@ final class QueryService(val spark: SparkSession,
     graft.sources.VersionedTable(spark, dir)
       .mergeBranch(name, key, force, dropAfter)
 
+  /** Pin an immutable tag at `version` (head when -1); returns the
+    * pinned version. Vacuum keeps it live until [[dropTableTag]].
+    */
+  def createTableTag(dir: String, name: String, version: Int = -1): Int =
+    graft.sources.VersionedTable(spark, dir).createTag(name, version)
+
+  /** Release a tag's pin; false when no such tag (idempotent). */
+  def dropTableTag(dir: String, name: String): Boolean =
+    graft.sources.VersionedTable(spark, dir).dropTag(name)
+
+  /** The live tag roster: (tag, pinned version, created-at millis). */
+  def tableTags(dir: String): Seq[(String, Int, Long)] =
+    graft.sources.VersionedTable(spark, dir).tags()
+
   /** Retroactive snapshot diff between two committed versions —
     * manifest-pruned to files unique to either side.
     */

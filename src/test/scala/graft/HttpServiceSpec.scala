@@ -975,6 +975,29 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     } finally locked.stop()
   }
 
+  test("/tag: immutable pin lifecycle + roster over HTTP") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-tag").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append((1L to 4L).map(i => (i, i * 10.0)).toDF("k", "v"))
+    val created = post("/tag", s"""{"path":"$dir","name":"rel1"}""")
+    assert(created.statusCode == 200 &&
+      created.body == """{"tag":"rel1","version":1}""", created.body)
+    vt.append(Seq((9L, 90.0)).toDF("k", "v"))
+    val v2 = post("/tag", s"""{"path":"$dir","name":"rel2","version":2}""")
+    assert(v2.statusCode == 200 && v2.body.contains("\"version\":2"), v2.body)
+    // immutability over HTTP: re-creating an existing tag is a 400
+    assert(post("/tag", s"""{"path":"$dir","name":"rel1"}""").statusCode == 400)
+    val roster = post("/tag", s"""{"path":"$dir","list":true}""")
+    assert(roster.statusCode == 200 && roster.body.contains(""""count":2""") &&
+      roster.body.contains(""""tag":"rel1","version":1"""), roster.body)
+    val dropped = post("/tag", s"""{"path":"$dir","name":"rel1","drop":true}""")
+    assert(dropped.statusCode == 200 && dropped.body == """{"dropped":true}""",
+      dropped.body)
+    val again = post("/tag", s"""{"path":"$dir","name":"rel1","drop":true}""")
+    assert(again.statusCode == 200 && again.body == """{"dropped":false}""")
+  }
+
   test("a configured bearer token refuses unauthorized mutations, 401 counted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-http-auth").toString + "/t"
