@@ -610,8 +610,10 @@ object SqlDml {
   private val VacuumOrphansRe =
     ("""(?is)^\s*VACUUM\s+(.+?)\s+ORPHANS""" +
      """(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  // the version operand is a commit number OR a quoted TAG name —
+  // "roll back to the blessed snapshot" is the tag idiom's other half
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z_][A-Za-z0-9_.-]*')\s*;?\s*$""".r
   private val RestoreTsRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+""" +
      """('[^']+'|"[^"]+"|\d+)\s*;?\s*$""").r
@@ -676,7 +678,14 @@ object SqlDml {
       case RestoreRe(target, ver) =>
         val vt = table(target)
         val preHead = vt.currentVersion
-        val v = vt.restore(ver.toInt)
+        val resolved = ver.toIntOption.getOrElse {
+          val name = ver.stripPrefix("'").stripSuffix("'")
+          vt.tagVersion(name).getOrElse(fail(
+            s"RESTORE VERSION AS OF: '$name' is not a tag of this table " +
+              s"(tags: ${vt.tagNames.mkString(", ")}); a restore target " +
+              "must be immutable — commit numbers and tags only"))
+        }
+        val v = vt.restore(resolved)
         onCommit()
         refreshViews(spark, vt.dir, preHead)
         Some(spark.range(1).select(lit(v).as("version")))

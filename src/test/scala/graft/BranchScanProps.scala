@@ -1,0 +1,83 @@
+package graft
+
+import graft.service.SqlDml
+
+/** Randomized gate for the quote/comment-aware branch-read scanner
+  * (`SqlDml.rewriteBranchReads`): two rounds of advisor findings were
+  * scanner desyncs (the lifecycle-verb guard, then backslash escapes),
+  * so this pins the two properties every future edit must keep:
+  *
+  *   1. LITERAL PRESERVATION — string literals (doubled-quote AND
+  *      backslash-escaped dialects, adversarial contents including
+  *      the word BRANCH followed by quotes) pass through byte-for-byte
+  *      while a genuine `FROM t BRANCH 'b'` ref in the same statement
+  *      still rewrites;
+  *   2. IDENTITY — statements with no rewritable ref (lifecycle verbs,
+  *      refs inside literals/comments/backticks, bare BRANCH with no
+  *      following literal) come back unchanged.
+  */
+class BranchScanProps extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260816L)
+
+  // adversarial literal CONTENTS (pre-escaping): quote runs, escape
+  // runs, comment markers, the keyword itself in every case mix
+  private def rawContent(): String = {
+    val atoms = Seq("BRANCH", "branch", "Branch", "'", "''", "\\", "\\'",
+      "--", "/*", "*/", "`", "\"", "b", " ", "BRANCH 'x'", "VERSION AS OF",
+      "it's", "a\\b")
+    (0 until rnd.nextInt(6)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+  }
+
+  /** Render `content` as a single-quoted literal under the DOUBLING
+    * convention (both lexer dialects read it identically) — backslashes
+    * are excluded from the content for this form.
+    */
+  private def doubledLit(content: String): String =
+    "'" + content.replace("\\", "").replace("'", "''") + "'"
+
+  /** Render under the BACKSLASH convention (Spark's default lexer). */
+  private def backslashLit(content: String): String =
+    "'" + content.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  test("literals pass through byte-for-byte while the genuine ref still rewrites (randomized)") {
+    (1 to 400).foreach { _ =>
+      val content = rawContent()
+      val lit =
+        if (rnd.nextBoolean()) doubledLit(content) else backslashLit(content)
+      val sql = s"SELECT $lit AS s FROM t BRANCH 'exp' WHERE x > 1"
+      val want = s"SELECT $lit AS s FROM t VERSION AS OF 'exp' WHERE x > 1"
+      val got = SqlDml.rewriteBranchReads(sql)
+      assert(got == want, s"\nsql= $sql\ngot= $got\nwant=$want")
+    }
+  }
+
+  test("statements with no rewritable ref come back unchanged (randomized)") {
+    (1 to 400).foreach { _ =>
+      val content = rawContent()
+      val lit =
+        if (rnd.nextBoolean()) doubledLit(content) else backslashLit(content)
+      val shapes = Seq(
+        s"SELECT $lit AS s FROM t WHERE x > 1",
+        s"ALTER TABLE t CREATE BRANCH b",
+        s"ALTER TABLE t DROP BRANCH b",
+        s"ALTER TABLE t MERGE BRANCH b KEY k",
+        s"SELECT * FROM t -- BRANCH 'c' in a line comment\nWHERE x = $lit",
+        s"SELECT * FROM t /* BRANCH 'c' in a block comment */ WHERE x = $lit",
+        s"SELECT `BRANCH` FROM t WHERE x = $lit",
+        s"SELECT branchy, BRANCH2 FROM t_branch WHERE x = $lit",
+        s"SELECT 'BRANCH ''q''' AS s, $lit AS u FROM t")
+      val sql = shapes(rnd.nextInt(shapes.size))
+      val got = SqlDml.rewriteBranchReads(sql)
+      assert(got == sql, s"\nsql= $sql\ngot= $got")
+    }
+  }
+
+  test("multiple genuine refs all rewrite; mixed with decoys in literals") {
+    val sql = "SELECT a.x FROM t BRANCH 'a' a JOIN t BRANCH 'b' b " +
+      "ON a.k = b.k WHERE a.s <> 'use BRANCH ''c'' here' AND b.s <> 'BRANCH \\'d\\''"
+    val want = "SELECT a.x FROM t VERSION AS OF 'a' a JOIN t VERSION AS OF 'b' b " +
+      "ON a.k = b.k WHERE a.s <> 'use BRANCH ''c'' here' AND b.s <> 'BRANCH \\'d\\''"
+    assert(SqlDml.rewriteBranchReads(sql) == want)
+  }
+}

@@ -352,6 +352,17 @@ class BranchSpec extends SparkSpecBase {
     assert(eb.getMessage.contains("branch"))
     val et = intercept[IllegalArgumentException] { vt.createBranch("v1") }
     assert(et.getMessage.contains("tag"))
+    // RESTORE to a tag: "roll back to the blessed snapshot" — the
+    // copy-forward restore lands the tag's content as a NEW version
+    val rv = svc.sql("RESTORE TABLE tag_sql_t VERSION AS OF 'v1'")
+      .head().getInt(0)
+    assert(rv == vt.currentVersion)
+    assert(snapshot(vt).forall(_._3 != 999.0), "the update must be rolled back")
+    // an unknown tag names the roster; a branch is not a restore target
+    val er = intercept[Exception] {
+      svc.sql("RESTORE TABLE tag_sql_t VERSION AS OF 'nope'").collect()
+    }
+    assert(er.getMessage.contains("v1"), er.getMessage)
   }
 
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
