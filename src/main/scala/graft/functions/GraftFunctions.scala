@@ -195,17 +195,14 @@ object GraftFunctions {
     (args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.unsafe.types.UTF8String
-      def intArg(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _)  => v
-        case Literal(v: Long, _) => v.toInt
-        case other => throw new IllegalArgumentException(
-          s"table_diff: $what must be an integer literal, got $other")
-      }
-      val (target, v1, v2, key) = args match {
+      // a version operand is a commit number OR a tag name ("diff the
+      // two blessed snapshots" is the tag workflow's reporting half);
+      // resolution needs the table, so names resolve after it opens
+      val (target, e1, e2, key) = args match {
         case Seq(Literal(t: UTF8String, _), a, b, Literal(k: UTF8String, _)) =>
-          (t.toString, intArg(a, "v1"), intArg(b, "v2"), k.toString)
+          (t.toString, a, b, k.toString)
         case _ => throw new IllegalArgumentException(
-          "usage: table_diff('name-or-/path', v1, v2, 'key')")
+          "usage: table_diff('name-or-/path', v1|'tag', v2|'tag', 'key')")
       }
       val spark = SparkSession.active
       val dir =
@@ -214,8 +211,20 @@ object GraftFunctions {
           .getOrElse(throw new IllegalArgumentException(
             s"table_diff: '$target' is not a registered vtable view " +
               "or an absolute table path"))
-      graft.sources.VersionedTable(spark, dir)
-        .snapshotDiff(v1, v2, key).queryExecution.analyzed
+      val vt = graft.sources.VersionedTable(spark, dir)
+      def verOf(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case Literal(s: UTF8String, _) =>
+          vt.tagVersion(s.toString).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_diff: '$s' is not a tag of this table (tags: " +
+                s"${vt.tagNames.mkString(", ")})"))
+        case other => throw new IllegalArgumentException(
+          s"table_diff: $what must be an integer or tag-name literal, got $other")
+      }
+      vt.snapshotDiff(verOf(e1, "v1"), verOf(e2, "v2"), key)
+        .queryExecution.analyzed
     }), (
     // read a live branch as a relation: `SELECT * FROM
     // table_branch('name-or-/path', 'branch')` — the branch's head
@@ -468,12 +477,11 @@ object GraftFunctions {
     (args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.unsafe.types.UTF8String
-      val (target, version) = args match {
-        case Seq(Literal(t: UTF8String, _)) => (t.toString, -1)
-        case Seq(Literal(t: UTF8String, _), Literal(v: Int, _)) => (t.toString, v)
-        case Seq(Literal(t: UTF8String, _), Literal(v: Long, _)) => (t.toString, v.toInt)
+      val (target, verArg) = args match {
+        case Seq(Literal(t: UTF8String, _)) => (t.toString, None)
+        case Seq(Literal(t: UTF8String, _), v) => (t.toString, Some(v))
         case _ => throw new IllegalArgumentException(
-          "usage: table_files('name-or-/path'[, version])")
+          "usage: table_files('name-or-/path'[, version|'tag'])")
       }
       val spark = SparkSession.active
       val dir =
@@ -482,8 +490,21 @@ object GraftFunctions {
           .getOrElse(throw new IllegalArgumentException(
             s"table_files: '$target' is not a registered vtable view " +
               "or an absolute table path"))
-      graft.sources.VersionedTable(spark, dir)
-        .filesTable(version).queryExecution.analyzed
+      val vt = graft.sources.VersionedTable(spark, dir)
+      val version = verArg match {
+        case None => -1
+        case Some(Literal(v: Int, _))  => v
+        case Some(Literal(v: Long, _)) => v.toInt
+        // a tag name pins the listed version, same as table_diff
+        case Some(Literal(s: UTF8String, _)) =>
+          vt.tagVersion(s.toString).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_files: '$s' is not a tag of this table (tags: " +
+                s"${vt.tagNames.mkString(", ")})"))
+        case Some(other) => throw new IllegalArgumentException(
+          s"table_files: version must be an integer or tag-name literal, got $other")
+      }
+      vt.filesTable(version).queryExecution.analyzed
     }), (
     // the live branch roster as a relation (DESCRIBE BRANCHES' TVF
     // twin): `SELECT * FROM table_branches('name-or-/path')` —

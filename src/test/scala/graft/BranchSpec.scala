@@ -363,6 +363,18 @@ class BranchSpec extends SparkSpecBase {
       svc.sql("RESTORE TABLE tag_sql_t VERSION AS OF 'nope'").collect()
     }
     assert(er.getMessage.contains("v1"), er.getMessage)
+    // version-taking metadata TVFs resolve tag names: the restored
+    // head equals the tagged snapshot, so the diff is empty, and the
+    // tagged version's file listing answers from its manifest
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM table_diff('tag_sql_t', 'v1', " +
+        s"${vt.currentVersion}, 'k')").head().getLong(0)
+    assert(n == 0, s"restored head must not diff from its tag, got $n rows")
+    assert(spark.sql("SELECT * FROM table_files('tag_sql_t', 'v1')").count() >= 1)
+    val ef = intercept[Exception] {
+      spark.sql("SELECT * FROM table_files('tag_sql_t', 'zzz')").collect()
+    }
+    assert(ef.getMessage.contains("v1"), ef.getMessage)
   }
 
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
