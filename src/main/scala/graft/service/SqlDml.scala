@@ -1042,7 +1042,8 @@ object SqlDml {
     */
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_`]+)\s+""" +
-     """(?:(SHALLOW|DEEP)\s+)?CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+     """(?:(SHALLOW|DEEP)\s+)?CLONE\s+(.+?)""" +
+     """(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z_][A-Za-z0-9_.-]*'))?""" +
      """\s+LOCATION\s+('[^']*'|"[^"]*")\s*;?\s*$""").r
 
   private def createClone(spark: org.apache.spark.sql.SparkSession,
@@ -1090,7 +1091,16 @@ object SqlDml {
         val v =
           if (dest.currentVersion == 0) {
             val srcVt = VersionedTable(spark, srcDir)
-            val pin = Option(ver).map(_.toInt).getOrElse(-1)
+            // the pin is a commit number or a quoted TAG name — cloning
+            // the blessed snapshot by name
+            val pin = Option(ver).map { v =>
+              v.toIntOption.getOrElse {
+                val tag = v.stripPrefix("'").stripSuffix("'")
+                srcVt.tagVersion(tag).getOrElse(fail(
+                  s"CLONE VERSION AS OF: '$tag' is not a tag of the source " +
+                    s"(tags: ${srcVt.tagNames.mkString(", ")})"))
+              }
+            }.getOrElse(-1)
             (if (shallow) srcVt.cloneTo(location, pin)
              else srcVt.deepCloneTo(location, pin)).currentVersion
           }

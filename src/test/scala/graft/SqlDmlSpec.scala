@@ -350,6 +350,16 @@ class SqlDmlSpec extends SparkSpecBase {
     svc.sql("CREATE TABLE clone_v1 SHALLOW CLONE clone_src VERSION AS OF 1 " +
       s"LOCATION '$base/v1'").collect()
     assert(spark.table("clone_v1").count() == 5)
+    // a quoted TAG pins the same way — clone the blessed snapshot by name
+    graft.sources.VersionedTable(spark, s"$base/src").createTag("seed", 1)
+    svc.sql("CREATE TABLE clone_tag SHALLOW CLONE clone_src " +
+      s"VERSION AS OF 'seed' LOCATION '$base/tg'").collect()
+    assert(spark.table("clone_tag").count() == 5)
+    val etag = intercept[IllegalArgumentException] {
+      svc.sql("CREATE TABLE clone_bad SHALLOW CLONE clone_src " +
+        s"VERSION AS OF 'nope' LOCATION '$base/bad'").collect()
+    }
+    assert(etag.getMessage.contains("seed"), etag.getMessage)
     // IF NOT EXISTS no-ops at the registered location; a bare re-run refuses
     intercept[IllegalArgumentException] {
       svc.sql("CREATE TABLE clone_t SHALLOW CLONE clone_src " +
