@@ -281,23 +281,24 @@ object Bench {
     // ---- pin-anchored outlier confirmation ----------------------------
     // every query above is already min-of-two, but both measurements
     // can sit inside ONE interference window; anything still >1.5× its
-    // committed clean-window pin gets one more confirm so the shipped
+    // committed clean-window pin — AND more than ~0.45 s over it, so a
+    // sub-second pin's scheduler jitter (the ~0.3 s floor moving a few
+    // tenths) doesn't cry wolf — gets one more confirm so the shipped
     // number had three chances to escape the window. Survivors are
     // listed in `pin_outliers` (final ratio vs pin) — the artifact
     // names its own suspect readings instead of leaving the judge to
     // diff against the pin by hand.
+    def overPin(name: String, v: Double): Boolean =
+      queryPins.get(name).exists(p => p > 0 && v > p * 1.5 && v - p > 0.45)
     val pinConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = third2.map { case (name, v) =>
-      queryPins.get(name) match {
-        case Some(pin) if !failed.contains(name) && pin > 0 && v > pin * 1.5 =>
-          pinConfirmed += name
-          name -> rerunMin(name, v)
-        case _ => name -> v
-      }
+      if (!failed.contains(name) && overPin(name, v)) {
+        pinConfirmed += name
+        name -> rerunMin(name, v)
+      } else name -> v
     }
     val pinOutliers = results.collect {
-      case (name, v) if !failed.contains(name) &&
-          queryPins.get(name).exists(p => p > 0 && v > p * 1.5) =>
+      case (name, v) if !failed.contains(name) && overPin(name, v) =>
         name -> v / queryPins(name)
     }
     val pinTotalRatio: Option[Double] = {
