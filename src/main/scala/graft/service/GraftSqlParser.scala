@@ -35,7 +35,8 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
   override def parsePlan(sqlText0: String): LogicalPlan = {
     // branch READS (`FROM t BRANCH 'b'`) lower to `VERSION AS OF 'b'`
     // before any routing — quote-aware, identity without the pattern
-    val sqlText = SqlDml.rewriteBranchReads(sqlText0)
+    val sqlText = SqlDml.rewriteBranchReads(sqlText0,
+      SqlDml.branchReadEscapes(session))
     if (!SqlDml.mightDispatch(sqlText)) timeTravel(delegate.parsePlan(sqlText))
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
@@ -140,7 +141,7 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     }
     if (!hasBinds) parsePlan(sqlText)
     else timeTravel(delegate.parsePlanWithParameters(
-      SqlDml.rewriteBranchReads(sqlText), ctx))
+      SqlDml.rewriteBranchReads(sqlText, SqlDml.branchReadEscapes(session)), ctx))
   }
 
   override def parseExpression(sqlText: String): Expression =

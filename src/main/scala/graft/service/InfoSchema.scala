@@ -117,7 +117,11 @@ object InfoSchema {
     rewrite(query, backslashEscapes = !svc.spark.conf
         .get("spark.sql.parser.escapedStringLiterals", "false").toBoolean) match {
       case None => query
-      case Some(q) => refresh(svc); q
+      // the constraints view costs a manifest read + an extra analysis
+      // per registered vtable — built only when the statement actually
+      // references it, so the tables/columns hot path stays
+      // catalog-state-only
+      case Some(q) => refresh(svc, withConstraints = q.contains(ConstraintsView)); q
     }
 
   /** Rebuild both backing views from the session catalog. Table kind
@@ -126,7 +130,7 @@ object InfoSchema {
     * schemas come from each name's analyzed plan — catalog state, not
     * data. The backing views themselves are excluded.
     */
-  def refresh(svc: QueryService): Unit = {
+  def refresh(svc: QueryService, withConstraints: Boolean = true): Unit = {
     val spark = svc.spark
     val entries = svc.catalogEntries
     val kinds = entries.map(e => e.name -> e.kind).toMap
@@ -179,7 +183,10 @@ object InfoSchema {
     // information_schema.table_constraints: CHECK/UNIQUE rows from each
     // registered vtable's manifest constraint node (the BI-tooling twin
     // of DESCRIBE DETAIL's flat constraints column) — zero-scan, one
-    // manifest read per vtable, nothing for plain sources/views
+    // manifest read per vtable, nothing for plain sources/views. Built
+    // only when referenced (see [[prepare]]): the per-vtable resolution
+    // re-analyzes every name, which the tables/columns path must not pay
+    if (!withConstraints) return
     val consRows = names.flatMap { n =>
       SqlDml.resolveVTable(spark, n).toSeq.flatMap { case (dir, _) =>
         graft.sources.VersionedTable(spark, dir).constraintList.map {

@@ -445,7 +445,7 @@ object SqlDml {
     */
   def timeTravelSelect(spark: org.apache.spark.sql.SparkSession,
       query: String): Option[DataFrame] = {
-    val q = rewriteBranchReads(query)
+    val q = rewriteBranchReads(query, branchReadEscapes(spark))
     if (!TimeTravelProbe.matcher(q).find()) return None
     val plan =
       try spark.sessionState.sqlParser.parsePlan(q)
@@ -475,7 +475,22 @@ object SqlDml {
     * additionally shielded by the preceding-verb check). Identity when
     * the cheap probe misses.
     */
-  def rewriteBranchReads(sql: String): String = {
+  def rewriteBranchReads(sql: String): String =
+    rewriteBranchReads(sql, backslashEscapes = true)
+
+  /** The given session's string-literal dialect for the scanner. */
+  private[service] def branchReadEscapes(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    !spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+
+  /** `backslashEscapes` mirrors the session's string-literal dialect
+    * (false under `spark.sql.parser.escapedStringLiterals=true`, where
+    * a backslash is a literal character and the quote always closes) —
+    * the scanner must end a literal exactly where the session's lexer
+    * does, or a literal's tail reads as code (phantom rewrite inside
+    * data) / a genuine ref hides inside a phantom span.
+    */
+  def rewriteBranchReads(sql: String, backslashEscapes: Boolean): String = {
     if (!BranchReadProbe.matcher(sql).find()) return sql
     val n = sql.length
     val sb = new StringBuilder(n + 16)
@@ -501,8 +516,10 @@ object SqlDml {
     }
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') copyQuoted('\'', allowDoubling = true, allowBackslash = true)
-      else if (c == '"') copyQuoted('"', allowDoubling = true, allowBackslash = true)
+      if (c == '\'')
+        copyQuoted('\'', allowDoubling = true, allowBackslash = backslashEscapes)
+      else if (c == '"')
+        copyQuoted('"', allowDoubling = true, allowBackslash = backslashEscapes)
       else if (c == '`') copyQuoted('`', allowDoubling = true)
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val j = sql.indexOf('\n', i)
@@ -1500,7 +1517,7 @@ object SqlDml {
     // `FROM src BRANCH 'b'` lowers to `VERSION AS OF 'b'` here too —
     // the injected-parser path arrives pre-rewritten (idempotent), the
     // service path raw
-    val select = rewriteBranchReads(select0)
+    val select = rewriteBranchReads(select0, branchReadEscapes(spark))
     val shapeMsg = "materialized view body must be: SELECT <group cols>, " +
       "<count(*)|sum|min|max|avg(col) AS alias>… FROM <registered vtable view> " +
       "[BRANCH 'b'] GROUP BY <group cols> (no ORDER BY/HAVING/joins — the " +

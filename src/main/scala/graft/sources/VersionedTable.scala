@@ -2869,12 +2869,20 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     v
   }
 
-  /** The version a tag pins, if the tag exists. */
+  /** The version a tag pins, if the tag exists. A name outside the
+    * tag grammar is simply NOT A TAG (None — the named-ref resolvers
+    * probe arbitrary user strings through here and must fall through
+    * to their own unknown-ref guidance, not a validator's raise), and
+    * a file dropped between the probe and the read reads as absent —
+    * the same concurrent-drop tolerance [[tags]] has.
+    */
   def tagVersion(name: String): Option[Int] = {
-    val p = tagFileOf(name)
-    if (!Files.isRegularFile(p)) None
-    else Some(mapper.readTree(Files.readAllBytes(p))
-      .get("version").asInt)
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_.-]{0,63}")) return None
+    val p = tagsDir.resolve(name + ".json")
+    try {
+      if (!Files.isRegularFile(p)) None
+      else Some(mapper.readTree(Files.readAllBytes(p)).get("version").asInt)
+    } catch { case _: java.io.IOException => None }
   }
 
   def tagNames: Seq[String] = {

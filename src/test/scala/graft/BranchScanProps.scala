@@ -73,6 +73,22 @@ class BranchScanProps extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("the escapedStringLiterals dialect lexes backslashes as literal characters") {
+    // under spark.sql.parser.escapedStringLiterals=true the quote
+    // ALWAYS closes ('a\' is a complete literal), so the scanner must
+    // not let a trailing backslash open a phantom span that swallows a
+    // genuine ref — and a decoy after such a literal stays data
+    val sql = raw"SELECT 'C:\' AS p FROM t BRANCH 'exp'"
+    val want = raw"SELECT 'C:\' AS p FROM t VERSION AS OF 'exp'"
+    assert(SqlDml.rewriteBranchReads(sql, backslashEscapes = false) == want)
+    val decoy = raw"SELECT 'a\' AS x, 'BRANCH ''b'' ' AS y FROM t"
+    assert(SqlDml.rewriteBranchReads(decoy, backslashEscapes = false) == decoy)
+    // the DEFAULT dialect processes the escape: '\'' stays one literal
+    val dflt = raw"SELECT 'it\'s BRANCH ''q''' AS s FROM t BRANCH 'exp'"
+    val dWant = raw"SELECT 'it\'s BRANCH ''q''' AS s FROM t VERSION AS OF 'exp'"
+    assert(SqlDml.rewriteBranchReads(dflt, backslashEscapes = true) == dWant)
+  }
+
   test("multiple genuine refs all rewrite; mixed with decoys in literals") {
     val sql = "SELECT a.x FROM t BRANCH 'a' a JOIN t BRANCH 'b' b " +
       "ON a.k = b.k WHERE a.s <> 'use BRANCH ''c'' here' AND b.s <> 'BRANCH \\'d\\''"
