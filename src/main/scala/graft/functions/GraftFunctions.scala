@@ -163,18 +163,11 @@ object GraftFunctions {
     (args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.unsafe.types.UTF8String
-      def intArg(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _)  => v
-        case Literal(v: Long, _) => v.toInt
-        case other => throw new IllegalArgumentException(
-          s"table_changes: $what must be an integer literal, got $other")
-      }
-      val (target, since, until) = args match {
-        case Seq(Literal(t: UTF8String, _), s) => (t.toString, intArg(s, "since"), -1)
-        case Seq(Literal(t: UTF8String, _), s, u) =>
-          (t.toString, intArg(s, "since"), intArg(u, "until"))
+      val (target, e1, e2) = args match {
+        case Seq(Literal(t: UTF8String, _), s) => (t.toString, s, None)
+        case Seq(Literal(t: UTF8String, _), s, u) => (t.toString, s, Some(u))
         case _ => throw new IllegalArgumentException(
-          "usage: table_changes('name-or-/path', sinceVersion[, untilVersion])")
+          "usage: table_changes('name-or-/path', since|'tag'[, until|'tag'])")
       }
       val spark = SparkSession.active
       val dir =
@@ -183,8 +176,22 @@ object GraftFunctions {
           .getOrElse(throw new IllegalArgumentException(
             s"table_changes: '$target' is not a registered vtable view " +
               "or an absolute table path"))
-      graft.sources.VersionedTable(spark, dir)
-        .readChangesSince(since, until).queryExecution.analyzed
+      val vt = graft.sources.VersionedTable(spark, dir)
+      // "changes since the blessed snapshot": a version operand is a
+      // commit number or a tag name, same as table_diff/table_files
+      def verOf(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case Literal(s: UTF8String, _) =>
+          vt.tagVersion(s.toString).getOrElse(
+            throw new IllegalArgumentException(
+              s"table_changes: '$s' is not a tag of this table (tags: " +
+                s"${vt.tagNames.mkString(", ")})"))
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $what must be an integer or tag-name literal, got $other")
+      }
+      vt.readChangesSince(verOf(e1, "since"), e2.map(verOf(_, "until")).getOrElse(-1))
+        .queryExecution.analyzed
     }), (
     // retroactive row-level diff between any two versions (no CDF
     // needed): `SELECT * FROM table_diff('name-or-/path', v1, v2,

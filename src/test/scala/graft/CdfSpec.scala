@@ -122,6 +122,16 @@ class CdfSpec extends SparkSpecBase {
       .head().getLong(0) == 2, "bootstrap window: v1's two inserts")
     // usage errors are loud
     intercept[Exception] { spark.sql("SELECT * FROM table_changes('/nope')") }
+    // "changes since the blessed snapshot": a tag name resolves to its
+    // pinned version for either operand
+    t.createTag("seed", 1)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('cdf_tvf_t', 'seed')")
+      .head().getLong(0) == 2, "since-tag window must equal since-v1")
+    val et = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('cdf_tvf_t', 'nope')").collect()
+    }
+    assert(et.getMessage.contains("seed"), et.getMessage)
   }
 
   test("delete by key set and deleteWhere both emit delete rows") {
