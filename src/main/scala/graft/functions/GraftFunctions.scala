@@ -148,6 +148,60 @@ object GraftFunctions {
     }
   }
 
+  /** Versions-as-millis floor: no table accumulates 10^11 commits,
+    * and epoch millis below it predate 1973 — so one integer space
+    * serves both operand kinds without a flag.
+    */
+  private val EpochMillisFloor = 100000000000L
+
+  /** Version operand of the metadata TVFs (`table_changes`,
+    * `table_diff`, `table_files`): a commit number, a TAG name, a
+    * timestamp string (`'2026-08-01 12:00:00'`, session zone — the
+    * contract RESTORE's `TIMESTAMP AS OF` already honors), a typed
+    * `TIMESTAMP`/`DATE` literal, or epoch millis (any integer ≥
+    * 10^11). "Changes since yesterday" should not require the user to
+    * hunt the version number first when [[VersionedTable.versionAt]]
+    * already resolves instants. Tag names win over timestamp parses
+    * (a tag named like a date pins ITS version — the unambiguous
+    * reading, since the user created that tag); a string that is
+    * neither fails naming the roster and the accepted forms.
+    */
+  private def versionOperand(spark: SparkSession,
+      vt: graft.sources.VersionedTable, e: Expression,
+      fn: String, what: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def millisOf(expr: Expression): Option[Long] = {
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      // TRY semantics: a malformed string is "not a timestamp" (the
+      // tag-roster error below owns the message), never an ANSI
+      // CAST_INVALID_INPUT out of the operand probe
+      Option(Cast(expr, TimestampType, Some(zone),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null))
+        .map(_.asInstanceOf[Long] / 1000L)
+    }
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) =>
+        if (v >= EpochMillisFloor) vt.versionAt(v) else v.toInt
+      case Literal(micros: Long, TimestampType) => vt.versionAt(micros / 1000L)
+      case d @ Literal(_, DateType) =>
+        vt.versionAt(millisOf(d).getOrElse(throw new IllegalArgumentException(
+          s"$fn: $what DATE operand is null")))
+      case s @ Literal(u: UTF8String, StringType) =>
+        val str = u.toString
+        vt.tagVersion(str).orElse(millisOf(s).map(vt.versionAt)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: $what '$str' is neither a tag of this table (tags: " +
+              s"${vt.tagNames.mkString(", ")}) nor a parseable timestamp " +
+              "('yyyy-MM-dd[ HH:mm:ss]', session zone)"))
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer version, a tag name, or a " +
+          s"timestamp (string, TIMESTAMP/DATE literal, or epoch millis), got $other")
+    }
+  }
+
   /** Delta-shaped CDF table function: `SELECT * FROM
     * table_changes('name-or-/path', since [, until])` serves the
     * row-level change feed as plain SQL — the batch twin of the
@@ -177,19 +231,11 @@ object GraftFunctions {
             s"table_changes: '$target' is not a registered vtable view " +
               "or an absolute table path"))
       val vt = graft.sources.VersionedTable(spark, dir)
-      // "changes since the blessed snapshot": a version operand is a
-      // commit number or a tag name, same as table_diff/table_files
-      def verOf(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _)  => v
-        case Literal(v: Long, _) => v.toInt
-        case Literal(s: UTF8String, _) =>
-          vt.tagVersion(s.toString).getOrElse(
-            throw new IllegalArgumentException(
-              s"table_changes: '$s' is not a tag of this table (tags: " +
-                s"${vt.tagNames.mkString(", ")})"))
-        case other => throw new IllegalArgumentException(
-          s"table_changes: $what must be an integer or tag-name literal, got $other")
-      }
+      // "changes since the blessed snapshot" / "changes since
+      // yesterday": a version operand is a commit number, a tag name,
+      // or a timestamp — same contract as table_diff/table_files
+      def verOf(e: Expression, what: String): Int =
+        versionOperand(spark, vt, e, "table_changes", what)
       vt.readChangesSince(verOf(e1, "since"), e2.map(verOf(_, "until")).getOrElse(-1))
         .queryExecution.analyzed
     }), (
@@ -219,17 +265,10 @@ object GraftFunctions {
             s"table_diff: '$target' is not a registered vtable view " +
               "or an absolute table path"))
       val vt = graft.sources.VersionedTable(spark, dir)
-      def verOf(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _)  => v
-        case Literal(v: Long, _) => v.toInt
-        case Literal(s: UTF8String, _) =>
-          vt.tagVersion(s.toString).getOrElse(
-            throw new IllegalArgumentException(
-              s"table_diff: '$s' is not a tag of this table (tags: " +
-                s"${vt.tagNames.mkString(", ")})"))
-        case other => throw new IllegalArgumentException(
-          s"table_diff: $what must be an integer or tag-name literal, got $other")
-      }
+      // a commit number, a tag name ("diff the two blessed
+      // snapshots"), or a timestamp ("diff now vs yesterday")
+      def verOf(e: Expression, what: String): Int =
+        versionOperand(spark, vt, e, "table_diff", what)
       vt.snapshotDiff(verOf(e1, "v1"), verOf(e2, "v2"), key)
         .queryExecution.analyzed
     }), (
@@ -404,26 +443,41 @@ object GraftFunctions {
           "usage: ann_search('/index-dir', '<f1,f2,...>' | '<query_view>', k[, nprobe])")
       }
       val spark = SparkSession.active
-      // a CSV of floats can never be a SQL identifier, so the argument
-      // shape is unambiguous: identifier → batch view, otherwise CSV
-      val isView = qArg.matches("[A-Za-z_][A-Za-z0-9_.]*")
-      if (isView) {
-        val q = spark.table(qArg)
-        require(q.columns.contains("vec_id") && q.columns.contains("embedding"),
-          s"ann_search: query view '$qArg' needs (vec_id, embedding) columns, " +
-            s"got (${q.columns.mkString(", ")})")
-        graft.operators.Similarity
-          .ivfProbe(graft.operators.IvfIndex.load(spark, dir),
-            q.select("vec_id", "embedding"), k, nprobe)
-          .queryExecution.analyzed // batch: (query_id, vec_id, cos, rk)
-      } else {
-        val vec = qArg.split(",").map(_.trim.toFloat)
-        import spark.implicits._
-        val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
-        graft.operators.Similarity
-          .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
-          .drop("query_id") // single query: (vec_id, cos, rk)
-          .queryExecution.analyzed
+      // a CSV of floats is almost never a SQL identifier, so the
+      // argument shape routes itself: identifier → batch view,
+      // otherwise CSV — but NEITHER probe may fail opaquely. An
+      // identifier that is no registered table still gets a CSV-parse
+      // attempt ('NaN' / 'Infinity' ARE float-parseable 1-d vectors),
+      // and any final miss names BOTH accepted forms instead of
+      // surfacing a bare NumberFormatException / table-not-found.
+      def csvVec: Option[Array[Float]] =
+        try Some(qArg.split(",").map(_.trim.toFloat))
+        catch { case _: NumberFormatException => None }
+      val asView: Option[org.apache.spark.sql.DataFrame] =
+        if (!qArg.matches("[A-Za-z_][A-Za-z0-9_.]*")) None
+        else try Some(spark.table(qArg))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      asView match {
+        case Some(q) =>
+          require(q.columns.contains("vec_id") && q.columns.contains("embedding"),
+            s"ann_search: query view '$qArg' needs (vec_id, embedding) columns, " +
+              s"got (${q.columns.mkString(", ")})")
+          graft.operators.Similarity
+            .ivfProbe(graft.operators.IvfIndex.load(spark, dir),
+              q.select("vec_id", "embedding"), k, nprobe)
+            .queryExecution.analyzed // batch: (query_id, vec_id, cos, rk)
+        case None =>
+          val vec = csvVec.getOrElse(throw new IllegalArgumentException(
+            s"ann_search: '$qArg' is neither a registered view of " +
+              "(vec_id, embedding) query vectors nor a parseable CSV float " +
+              "vector ('0.1,0.2,...'); register the batch view with " +
+              "createOrReplaceTempView or pass the vector as comma-separated floats"))
+          import spark.implicits._
+          val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
+          graft.operators.Similarity
+            .ivfProbe(graft.operators.IvfIndex.load(spark, dir), q, k, nprobe)
+            .drop("query_id") // single query: (vec_id, cos, rk)
+            .queryExecution.analyzed
       }
     }), (
     // the as-of (merge-asof) join as SQL — Spark has no ASOF grammar
@@ -498,19 +552,11 @@ object GraftFunctions {
             s"table_files: '$target' is not a registered vtable view " +
               "or an absolute table path"))
       val vt = graft.sources.VersionedTable(spark, dir)
-      val version = verArg match {
-        case None => -1
-        case Some(Literal(v: Int, _))  => v
-        case Some(Literal(v: Long, _)) => v.toInt
-        // a tag name pins the listed version, same as table_diff
-        case Some(Literal(s: UTF8String, _)) =>
-          vt.tagVersion(s.toString).getOrElse(
-            throw new IllegalArgumentException(
-              s"table_files: '$s' is not a tag of this table (tags: " +
-                s"${vt.tagNames.mkString(", ")})"))
-        case Some(other) => throw new IllegalArgumentException(
-          s"table_files: version must be an integer or tag-name literal, got $other")
-      }
+      // a tag name or a timestamp pins the listed version, same
+      // operand contract as table_changes/table_diff
+      val version = verArg
+        .map(versionOperand(spark, vt, _, "table_files", "version"))
+        .getOrElse(-1)
       vt.filesTable(version).queryExecution.analyzed
     }), (
     // the live branch roster as a relation (DESCRIBE BRANCHES' TVF

@@ -555,10 +555,13 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       s"""{"branch":"$name","fork_version":$fork}"""
     }
   })
-  // immutable tags: create by default, drop with {"drop": true} —
-  // both mutations; GET-shaped roster via {"list": true} stays on the
-  // same route (one concept, one path)
-  server.createContext("/tag", gatedMut { body =>
+  // immutable tags: create by default, drop with {"drop": true};
+  // GET-shaped roster via {"list": true} stays on the same route (one
+  // concept, one path). Auth is per-SHAPE, like /sql's per-statement
+  // gate: the roster is a READ (a bearer-read-only client can already
+  // reach it via table_tags/DESCRIBE TAGS — the dedicated route must
+  // not be stricter for the same data), create/drop are mutations.
+  server.createContext("/tag", gatedEx { (body, ex) =>
     val path = text(body, "path")
     if (body.has("list") && body.get("list").asBoolean(false)) {
       val rows = service.tableTags(path).map { case (n, v, ts) =>
@@ -566,6 +569,7 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
       }
       s"""{"tags":[${rows.mkString(",")}],"count":${rows.size}}"""
     } else {
+      requireAuth(ex)
       val name = text(body, "name")
       if (body.has("drop") && body.get("drop").asBoolean(false)) {
         val dropped = service.dropTableTag(path, name)

@@ -54,7 +54,7 @@ final class VTableChangeSourceProvider extends StreamSourceProvider with DataSou
       params: Map[String, String]): Source = {
     val vt = VersionedTable(ctx.sparkSession, tableDir(params))
     val starting = params.get("startingVersion").orElse(params.get("startingversion"))
-      .map(_.toInt)
+      .map(resolveStarting(vt, _))
     val maxVersions = params.get("maxVersionsPerTrigger")
       .orElse(params.get("maxversionspertrigger")).map(_.toInt)
     maxVersions.foreach(m => require(m >= 1,
@@ -64,6 +64,20 @@ final class VTableChangeSourceProvider extends StreamSourceProvider with DataSou
     // lease this source maintains on the table
     new VTableChangeSource(vt, starting, maxVersions, Some(metadataPath))
   }
+
+  /** `startingVersion` operand: a commit number, or an immutable TAG
+    * name — "replicate everything after the blessed snapshot" is the
+    * natural bootstrap for a replication chain, and every other
+    * version-taking surface (reads, RESTORE, CLONE, the TVFs) already
+    * speaks tag names. Exclusive-start semantics are identical either
+    * way: the feed covers `(resolved, head]`. A name that is no tag
+    * fails naming the roster — never a bare NumberFormatException.
+    */
+  private def resolveStarting(vt: VersionedTable, s: String): Int =
+    if (s.matches("-?\\d+")) s.toInt
+    else vt.tagVersion(s).getOrElse(throw new IllegalArgumentException(
+      s"graft-cdf: startingVersion '$s' is neither a commit number nor a " +
+        s"tag of ${vt.dir} (tags: ${vt.tagNames.mkString(", ")})"))
 }
 
 private[streaming] object VTableChangeSource {

@@ -207,6 +207,22 @@ class AnnSpec extends SparkSpecBase {
         spark.sql(s"SELECT * FROM ann_search('$dir', 'annb_bad', 5)").collect()
       }
       assert(e.getMessage.contains("vec_id"), e.getMessage)
+      // an identifier that is NO registered view must not die as an
+      // opaque table-not-found or NumberFormatException: the usage
+      // error names both accepted argument forms...
+      val miss = intercept[Exception] {
+        spark.sql(s"SELECT * FROM ann_search('$dir', 'no_such_view', 5)").collect()
+      }
+      assert(miss.getMessage.contains("registered view") &&
+        miss.getMessage.contains("CSV"), miss.getMessage)
+      // ...and 'NaN' — float-parseable yet identifier-shaped — reads
+      // as the 1-d CSV vector it is, not as a phantom table probe:
+      // whatever the outcome (a dim-mismatch error or an empty probe),
+      // it must never be table-not-found
+      scala.util.Try(spark.sql(s"SELECT * FROM ann_search('$dir', 'NaN', 5)")
+        .collect()).failed.foreach(t =>
+        assert(!String.valueOf(t.getMessage).toLowerCase
+          .contains("table or view not found"), t.getMessage))
     } finally {
       handles.foreach(_.unpersist())
       deleteDir(dir)

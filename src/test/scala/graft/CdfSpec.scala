@@ -134,6 +134,43 @@ class CdfSpec extends SparkSpecBase {
     assert(et.getMessage.contains("seed"), et.getMessage)
   }
 
+  test("version-taking TVFs accept timestamp operands: string, TIMESTAMP literal, epoch millis") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // v1
+    t.enableCdf()
+    Thread.sleep(30)
+    val between = System.currentTimeMillis() // strictly between v1 and v2
+    Thread.sleep(30)
+    t.merge(Seq((2L, "B")).toDF("id", "name"), "id")       // v2
+    // "changes since yesterday" without hunting the version number:
+    // the operand resolves through versionAt, the same contract
+    // RESTORE's TIMESTAMP AS OF honors — here the instant lands on v1,
+    // so all three spellings must serve the since-v1 window (2 rows)
+    val s = new java.sql.Timestamp(between).toString
+    for (operand <- Seq(s"'$s'", s"TIMESTAMP '$s'", between.toString))
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM table_changes('$dir', $operand)")
+        .head().getLong(0) == 2, s"operand $operand")
+    // table_diff: a timestamp v1 operand must equal the integer form
+    val byInt = spark.sql(s"SELECT * FROM table_diff('$dir', 1, 2, 'id')")
+      .collect().toSet
+    val byTs = spark.sql(s"SELECT * FROM table_diff('$dir', '$s', 2, 'id')")
+      .collect().toSet
+    assert(byInt.nonEmpty && byInt == byTs)
+    // table_files: the listed snapshot pins to versionAt(ts) = v1
+    assert(spark.sql(s"SELECT sum(rows) AS r FROM table_files('$dir', '$s')")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT sum(rows) AS r FROM table_files('$dir', 1)")
+        .head().getLong(0))
+    // a string that is neither a tag nor a timestamp names both forms
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', 'not-a-thing')").collect()
+    }
+    assert(bad.getMessage.contains("timestamp"), bad.getMessage)
+  }
+
   test("delete by key set and deleteWhere both emit delete rows") {
     import spark.implicits._
     val t = VersionedTable(spark, tmp())

@@ -340,4 +340,56 @@ class CdfStreamSpec extends SparkSpecBase {
     assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
       Seq((1L, "a1"), (2L, "b2")))
   }
+
+  test("startingVersion accepts a tag name: replicate everything after the blessed snapshot") {
+    import spark.implicits._
+    val root = tmp("cdftag")
+    val dir = s"$root/t"
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.append(Seq((2L, "b")).toDF("id", "name")) // v2
+    t.createTag("blessed")                       // pins v2
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "name"), "id") // v3
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", dir).option("startingVersion", "blessed").load()
+      .writeStream.format("memory").queryName("cdf_tag")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      // exclusive start at the tag's pinned version, identical to the
+      // integer form: only the post-tag delta flows
+      assert(rows("cdf_tag") == Set(
+        (2L, "b", "update_preimage", 3), (2L, "B", "update_postimage", 3),
+        (3L, "c", "insert", 3)))
+    } finally q.stop()
+  }
+
+  test("a startingVersion that is neither a number nor a tag fails naming the roster") {
+    import spark.implicits._
+    val root = tmp("cdftagbad")
+    val dir = s"$root/t"
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.enableCdf()
+    t.createTag("blessed")
+    // sources build on the stream thread, so the guided error arrives
+    // wrapped in the StreamingQueryException — but it must be the
+    // roster-naming IllegalArgumentException, never a bare
+    // NumberFormatException out of option parsing
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", dir).option("startingVersion", "nope").load()
+      .writeStream.format("memory").queryName("cdf_tag_bad")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).toList
+    assert(chain.exists(c => String.valueOf(c.getMessage).contains("nope") &&
+      String.valueOf(c.getMessage).contains("blessed")), e.getMessage)
+    assert(!chain.exists(_.isInstanceOf[NumberFormatException]), e.getMessage)
+  }
 }

@@ -1048,6 +1048,21 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
       assert(send("/register",
         s"""{"name":"http_auth_n","format":"parquet","path":"${TestSpark.sfDir}/nation.parquet"}""",
         None).statusCode == 401)
+      // /tag is gated per-SHAPE: create/drop are mutations, but the
+      // roster ({"list":true}) is a read — a bearer-read-only client
+      // can already reach the same data via table_tags/DESCRIBE TAGS,
+      // so the dedicated route must not be stricter
+      assert(send("/tag", s"""{"path":"$dir","name":"pin1"}""", None)
+        .statusCode == 401)
+      assert(vt.tagNames.isEmpty, "unauthorized tag create must not land")
+      assert(send("/tag", s"""{"path":"$dir","name":"pin1"}""", Some("sesame"))
+        .statusCode == 200)
+      val tagRoster = send("/tag", s"""{"path":"$dir","list":true}""", None)
+      assert(tagRoster.statusCode == 200 && tagRoster.body.contains("pin1"),
+        tagRoster.body)
+      assert(send("/tag", s"""{"path":"$dir","name":"pin1","drop":true}""", None)
+        .statusCode == 401)
+      assert(vt.tagNames == Seq("pin1"), "unauthorized tag drop must not land")
       // a CTE header must not launder a write past the token: Spark's
       // grammar accepts WITH-led INSERT OVERWRITE DIRECTORY (a
       // filesystem write), and the classifier must see the verb
