@@ -146,6 +146,7 @@ object SparkEntry {
     "sqldml_fixture" -> ((s, d) => graft.service.SqlDmlDemo.warmBuild(t(s, d))),
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
+    "sqlbw_fixture" -> ((s, d) => graft.service.SqlBranchWriteDemo.warmBuild(t(s, d))),
     "export_fixture" -> ((s, d) => graft.service.ExportDemo.warmBuild(t(s, d))),
     "semdecon_fixture" -> ((s, d) => graft.operators.SemDecontam.warmBuild(t(s, d))),
     "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),
@@ -344,6 +345,8 @@ object SparkEntry {
       graft.service.SqlTimeTravelDemo.qSqlTimeTravel(t(s, d))),
     "q_sql_insert" -> ((s, d) =>
       graft.service.SqlInsertDemo.qSqlInsert(t(s, d))),
+    "q_branch_write" -> ((s, d) =>
+      graft.service.SqlBranchWriteDemo.qBranchWrite(t(s, d))),
     "q_export_roundtrip" -> ((s, d) =>
       graft.service.ExportDemo.qExportRoundtrip(t(s, d))),
     "q_scd2" -> ((s, d) => graft.operators.Merge.qScd2(t(s, d))),
@@ -2610,6 +2613,31 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+    // both worlds of the SQL branch-write loop reproduced from raw
+    // orders: 'before' = the seeded div-3 slice (the parent as-of its
+    // pre-merge version — branch writes must not leak), 'after' = the
+    // branch's curated state (insert %3=1, update +1000 on %6=0,
+    // delete %9=0) landed by MERGE BRANCH
+    "q_branch_write" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |final AS (
+        |  SELECT o_orderkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 6 = 0 THEN 1000.0 ELSE 0.0 END AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 3 = 1)
+        |SELECT 'before' AS world, count(*) AS n_rows,
+        |  floor(sum(price) * 100 + 0.5) / 100 AS total,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM seed
+        |UNION ALL
+        |SELECT 'after' AS world, count(*) AS n_rows,
+        |  floor(sum(price) * 100 + 0.5) / 100 AS total,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM final""".stripMargin,
     // only the INSERT OVERWRITE's world survives: the div-3 slice
     "q_sql_insert" ->
       """SELECT count(*) AS n_rows,

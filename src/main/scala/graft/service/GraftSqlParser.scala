@@ -33,10 +33,15 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText0: String): LogicalPlan = {
-    // branch READS (`FROM t BRANCH 'b'`) lower to `VERSION AS OF 'b'`
-    // before any routing — quote-aware, identity without the pattern
-    val sqlText = SqlDml.rewriteBranchReads(sqlText0,
-      SqlDml.branchReadEscapes(session))
+    // branch WRITES (`INSERT INTO t BRANCH 'b'`) lower the TARGET to
+    // the branch's table dir FIRST, then branch READS (`FROM t BRANCH
+    // 'b'`) lower to `VERSION AS OF 'b'` — quote-aware, identity
+    // without the pattern; order matters (a write-position clause the
+    // read scanner saw first would become an unparseable temporal
+    // clause on a write target)
+    val esc = SqlDml.branchReadEscapes(session)
+    val sqlText = SqlDml.rewriteBranchReads(
+      SqlDml.rewriteBranchWrites(session, sqlText0, esc), esc)
     if (!SqlDml.mightDispatch(sqlText)) timeTravel(delegate.parsePlan(sqlText))
     else if (SqlDml.isDescribeHistory(sqlText))
       GraftDmlCommand(sqlText, GraftSqlParser.historyOutput,
@@ -141,7 +146,9 @@ final class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
     }
     if (!hasBinds) parsePlan(sqlText)
     else timeTravel(delegate.parsePlanWithParameters(
-      SqlDml.rewriteBranchReads(sqlText, SqlDml.branchReadEscapes(session)), ctx))
+      SqlDml.rewriteBranchReads(SqlDml.rewriteBranchWrites(session, sqlText,
+        SqlDml.branchReadEscapes(session)), SqlDml.branchReadEscapes(session)),
+      ctx))
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -549,6 +549,146 @@ object SqlDml {
     sb.toString
   }
 
+  /** `INSERT INTO t BRANCH 'b' …` / `MERGE INTO t BRANCH 'b' …` /
+    * `UPDATE t BRANCH 'b' SET …` / `DELETE FROM t BRANCH 'b' …` /
+    * `COPY INTO t BRANCH 'b' …` — the branch WRITE surface: landing
+    * data ON a fork must be as SQL-complete as reading it (fork,
+    * read, and merge-back already are). Spark's grammar has no
+    * temporal clause on WRITE targets — `VERSION AS OF` is read-only
+    * — so the write-position clause lowers the TARGET itself to the
+    * branch's own table directory (a backtick-quoted absolute path
+    * the DML dispatcher resolves directly; a branch IS a table under
+    * `_graft_branches/<b>`). Quote-aware exactly like
+    * [[rewriteBranchReads]], which must run AFTER this so
+    * read-position refs (`FROM s BRANCH 'x'` in the source) still
+    * lower to `VERSION AS OF`.
+    *
+    * The rewrite fires only when the preceding token sequence is a
+    * write-target position (INSERT INTO/OVERWRITE [TABLE], MERGE
+    * INTO, UPDATE, DELETE FROM, COPY INTO) AND the named target is a
+    * registered bare vtable view. A resolvable target with an unknown
+    * branch refuses naming the live roster — falling through would
+    * hand the clause to the read scanner and die as a grammar error.
+    * Writing to a TAG is structurally impossible here: tags are not
+    * branch directories, so they never pass the roster check.
+    */
+  def rewriteBranchWrites(spark: org.apache.spark.sql.SparkSession,
+      sql: String, backslashEscapes: Boolean): String = {
+    if (!BranchReadProbe.matcher(sql).find()) return sql
+    val n = sql.length
+    val sb = new StringBuilder(n + 32)
+    var i = 0
+    // rolling window of the last three WORD tokens (bare or backticked
+    // identifiers/keywords), plus where the newest one begins in the
+    // OUTPUT buffer — the write rewrite replaces that emitted span
+    var w1 = ""; var w2 = ""; var w3 = ""
+    var w1Start = -1
+    def push(w: String, start: Int): Unit = {
+      w3 = w2; w2 = w1; w1 = w; w1Start = start
+    }
+    def copyQuoted(open: Char, allowBackslash: Boolean): Unit = {
+      val start = i
+      i += 1
+      var done = false
+      while (i < n && !done) {
+        if (allowBackslash && sql.charAt(i) == '\\' && i + 1 < n) i += 2
+        else if (sql.charAt(i) == open) {
+          if (i + 1 < n && sql.charAt(i + 1) == open) i += 2
+          else { i += 1; done = true }
+        } else i += 1
+      }
+      sb.append(sql.substring(start, i))
+    }
+    // single-quoted literal starting at k: (content, index past quote)
+    def readLiteral(k: Int): (String, Int) = {
+      var p = k + 1
+      val out = new StringBuilder
+      var done = false
+      while (p < n && !done) {
+        val ch = sql.charAt(p)
+        if (backslashEscapes && ch == '\\' && p + 1 < n) {
+          out.append(sql.charAt(p + 1)); p += 2
+        } else if (ch == '\'') {
+          if (p + 1 < n && sql.charAt(p + 1) == '\'') { out.append('\''); p += 2 }
+          else { p += 1; done = true }
+        } else { out.append(ch); p += 1 }
+      }
+      (out.toString, p)
+    }
+    def isWriteTarget: Boolean = w1.nonEmpty && w1Start >= 0 && (
+      (w3.equalsIgnoreCase("INSERT") && (w2.equalsIgnoreCase("INTO") ||
+        w2.equalsIgnoreCase("OVERWRITE"))) ||
+      (w2.equalsIgnoreCase("TABLE") && (w3.equalsIgnoreCase("INTO") ||
+        w3.equalsIgnoreCase("OVERWRITE"))) ||
+      ((w3.equalsIgnoreCase("MERGE") || w3.equalsIgnoreCase("COPY")) &&
+        w2.equalsIgnoreCase("INTO")) ||
+      (w3.equalsIgnoreCase("DELETE") && w2.equalsIgnoreCase("FROM")) ||
+      w2.equalsIgnoreCase("UPDATE"))
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') copyQuoted('\'', backslashEscapes)
+      else if (c == '"') copyQuoted('"', backslashEscapes)
+      else if (c == '`') {
+        val start = sb.length
+        val from = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '`') {
+            if (i + 1 < n && sql.charAt(i + 1) == '`') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        sb.append(sql.substring(from, i))
+        val inner = sql.substring(from + 1, math.max(from + 1, i - 1))
+          .replace("``", "`")
+        push(inner, start)
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i)
+        val end = if (j < 0) n else j + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val j = sql.indexOf("*/", i + 2)
+        val end = if (j < 0) n else j + 2
+        sb.append(sql.substring(i, end)); i = end
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i + 1
+        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
+          sql.charAt(j) == '_')) j += 1
+        val w = sql.substring(i, j)
+        var handled = false
+        if (w.equalsIgnoreCase("BRANCH") && isWriteTarget) {
+          var k = j
+          while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
+          if (k < n && sql.charAt(k) == '\'') {
+            resolveVTable(spark, w1) match {
+              case Some((dir, _)) =>
+                val (lit, end) = readLiteral(k)
+                val vt = VersionedTable(spark, dir)
+                if (!vt.branchNames.contains(lit))
+                  fail(s"BRANCH write: '$lit' is not a live branch of " +
+                    s"'$w1' (branches: ${vt.branchNames.mkString(", ")}); " +
+                    "fork one with ALTER TABLE ... CREATE BRANCH first")
+                sb.setLength(w1Start)
+                sb.append('`').append(vt.branch(lit).dir).append('`')
+                push("", -1) // the clause is consumed; reset history
+                i = end
+                handled = true
+              case None => () // alias or native table: not ours
+            }
+          }
+        }
+        if (!handled) {
+          val start = sb.length
+          sb.append(w)
+          push(w, start)
+          i = j
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DetailRe =
@@ -741,9 +881,12 @@ object SqlDml {
   private[service] def copyIntoStmt(spark: org.apache.spark.sql.SparkSession,
       query: String, onCommit: () => Unit): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
-    content(query) match {
+    // `COPY INTO t BRANCH 'b' FROM …` lands the files on the fork:
+    // the write scanner lowers the target to the branch's table dir
+    content(rewriteBranchWrites(spark, query, branchReadEscapes(spark))) match {
       case CopyRe(target, src, fmt, force) =>
         val dir = unquotePath(target.trim)
+          .orElse(Some(unquoteIdent(target.trim)).filter(_.startsWith("/")))
           .orElse(resolveVTable(spark, unquoteIdent(target.trim)).map(_._1))
           .getOrElse(fail(s"'${target.trim}' is not a registered vtable view " +
             "or a quoted table path"))
@@ -773,8 +916,13 @@ object SqlDml {
 
   private def dml(spark: org.apache.spark.sql.SparkSession, query: String,
       onCommit: () => Unit): Option[DataFrame] = {
+    // branch-target writes lower here too, so the surface works on a
+    // service over a PLAIN session (the injected parser applies the
+    // same rewrites itself — a second pass is identity)
+    val esc = branchReadEscapes(spark)
+    val q = rewriteBranchReads(rewriteBranchWrites(spark, query, esc), esc)
     val plan =
-      try spark.sessionState.sqlParser.parsePlan(query)
+      try spark.sessionState.sqlParser.parsePlan(q)
       catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         return None // let spark.sql raise the parse error itself
       }
@@ -1826,6 +1974,16 @@ object SqlDml {
     def walk(p: LogicalPlan, quals: Set[String])
         : Option[(String, Set[String], Seq[String])] = p match {
       case SubqueryAlias(id, child) => walk(child, quals + id.name.toLowerCase)
+      case UnresolvedRelation(parts, _, _) if parts.length == 1 &&
+          parts.head.startsWith("/") =>
+        // literal table-dir target (backtick-quoted absolute path):
+        // the lowered form of `t BRANCH 'b'` ([[rewriteBranchWrites]])
+        // and the path-addressed DML idiom — accepted only when the
+        // path holds a committed vtable
+        val dir = parts.head
+        scala.util.Try(VersionedTable(spark, dir)).toOption
+          .filter(_.currentVersion > 0)
+          .map(vt => (dir, quals, vt.read().schema.fieldNames.toSeq))
       case UnresolvedRelation(parts, _, _) if parts.length == 1 =>
         val name = parts.head
         resolveVTable(spark, name).map { case (dir, cols) =>
@@ -2442,6 +2600,81 @@ object SqlInsertDemo {
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.Rnd.round(sum("price"), 2).as("total"),
         min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+  }
+}
+
+/** Contract query for SQL WRITES TO A BRANCH (`q_branch_write`): the
+  * full SQL-only curation loop — fork (`ALTER TABLE … CREATE
+  * BRANCH`), land data ON the fork (`INSERT INTO t BRANCH 'cur'`,
+  * `UPDATE … BRANCH 'cur'`, `DELETE FROM … BRANCH 'cur'`), then merge
+  * back (`ALTER TABLE … MERGE BRANCH … DROP`). The result serves BOTH
+  * worlds: the parent as-of its pre-merge version (provably identical
+  * to the seed — branch writes must never leak onto the mainline) and
+  * the post-merge head (the branch's curated state). The DuckDB
+  * oracle reproduces both from the raw orders table, so target
+  * lowering, branch-commit routing, isolation, AND the merge replay
+  * are all under one hash gate. Memoized per (session, corpus) like
+  * [[SqlInsertDemo]].
+  */
+object SqlBranchWriteDemo {
+
+  private case class Key(session: Int, sfDir: String)
+  private val tables = new graft.util.BoundedMemo[Key, (String, Int)](4, _ => ())
+
+  /** Returns (table dir, parent version BEFORE the merge-back). */
+  private def builtTable(t: graft.sources.Tables): (String, Int) =
+    tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
+      import org.apache.spark.sql.functions._
+      val parent = java.nio.file.Files.createTempDirectory("graft-sqlbw")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(parent.toFile)
+      }
+      val dir = parent.toString + "/orders_bw"
+      val vt = VersionedTable(t.spark, dir)
+      // seed = the div-3 slice; everything after this is SQL text
+      vt.append(t.orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      val suffix = s"${System.identityHashCode(t.spark)}_" +
+        t.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tgt = s"__graft_sqlbw_t_$suffix"
+      val src = s"__graft_sqlbw_o_$suffix"
+      vt.scan().createOrReplaceTempView(tgt)
+      t.orders.createOrReplaceTempView(src)
+      val svc = new QueryService(t.spark)
+      svc.sql(s"ALTER TABLE `$tgt` CREATE BRANCH cur").collect()
+      svc.sql(s"INSERT INTO `$tgt` BRANCH 'cur' " +
+        s"SELECT o_orderkey, o_totalprice FROM `$src` WHERE o_orderkey % 3 = 1")
+        .collect()
+      svc.sql(s"UPDATE `$tgt` BRANCH 'cur' SET price = price + 1000.0 " +
+        "WHERE o_orderkey % 6 = 0").collect()
+      svc.sql(s"DELETE FROM `$tgt` BRANCH 'cur' WHERE o_orderkey % 9 = 0")
+        .collect()
+      val preMerge = vt.currentVersion // the fork never moved the parent
+      svc.sql(s"ALTER TABLE `$tgt` MERGE BRANCH cur KEY o_orderkey DROP")
+        .collect()
+      (dir, preMerge)
+    }
+
+  /** Forces the memoized fixture build + statements (Bench's
+    * index_build pass) — same attribution split as [[SqlInsertDemo]].
+    */
+  def warmBuild(t: graft.sources.Tables): Unit = { builtTable(t); () }
+
+  def qBranchWrite(t: graft.sources.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dir, preMerge) = builtTable(t)
+    val vt = VersionedTable(t.spark, dir)
+    def world(df: org.apache.spark.sql.DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        graft.operators.Rnd.round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_k"), max("o_orderkey").as("max_k"))
+        .select(lit(label).as("world"), col("n_rows"), col("total"),
+          col("min_k"), col("max_k"))
+    world(vt.read(preMerge), "before")
+      .unionAll(world(vt.read(), "after"))
   }
 }
 

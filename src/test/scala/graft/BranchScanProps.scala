@@ -96,4 +96,76 @@ class BranchScanProps extends org.scalatest.funsuite.AnyFunSuite {
       "ON a.k = b.k WHERE a.s <> 'use BRANCH ''c'' here' AND b.s <> 'BRANCH \\'d\\''"
     assert(SqlDml.rewriteBranchReads(sql) == want)
   }
+
+  // ---- the WRITE scanner (rewriteBranchWrites) ----------------------
+
+  /** The write scanner shares the read scanner's lexer discipline but
+    * resolves targets through the session catalog, so its properties
+    * run against the shared test session. Identity must hold for:
+    * read-position refs (the read scanner's territory), unresolvable
+    * targets (aliases, native tables), lifecycle verbs, and any
+    * BRANCH text inside literals/comments/backticks.
+    */
+  test("write scanner: identity on everything that is not a resolvable write target (randomized)") {
+    val spark = TestSpark.spark
+    (1 to 400).foreach { _ =>
+      val content = rawContent()
+      val useBackslash = rnd.nextBoolean()
+      val lit = if (useBackslash) backslashLit(content) else doubledLit(content)
+      val shapes = Seq(
+        // read positions stay for the read scanner
+        s"SELECT $lit AS s FROM t BRANCH 'exp' WHERE x > 1",
+        s"MERGE INTO t AS x USING s BRANCH 'b' ON x.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET *",
+        // unresolvable targets (no such view in the session)
+        s"INSERT INTO no_such_vw_${rnd.nextInt(1000)} BRANCH 'b' VALUES (1)",
+        s"UPDATE not_registered BRANCH 'b' SET x = $lit",
+        s"DELETE FROM nothing_here BRANCH 'b' WHERE x = $lit",
+        // lifecycle verbs use bare identifiers — never a literal
+        "ALTER TABLE t CREATE BRANCH b",
+        "ALTER TABLE t MERGE BRANCH b KEY k DROP",
+        // decoys in literals/comments/backticks
+        s"INSERT INTO x VALUES ($lit, 'INSERT INTO t BRANCH ''b''')",
+        s"UPDATE x SET s = $lit -- UPDATE t BRANCH 'b' in a comment",
+        s"SELECT `BRANCH` FROM x WHERE s = $lit")
+      val sql = shapes(rnd.nextInt(shapes.size))
+      val got = SqlDml.rewriteBranchWrites(spark, sql,
+        backslashEscapes = useBackslash)
+      assert(got == sql, s"\nsql= $sql\ngot= $got")
+    }
+  }
+
+  test("write scanner: a resolvable target rewrites to the branch dir; literals survive byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bwprops").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.createBranch("exp")
+    vt.scan().createOrReplaceTempView("bwprops_t")
+    val bdir = vt.branch("exp").dir
+    (1 to 200).foreach { _ =>
+      val content = rawContent()
+      val useBackslash = rnd.nextBoolean()
+      val lit = if (useBackslash) backslashLit(content) else doubledLit(content)
+      val (sql, want) = rnd.nextInt(4) match {
+        case 0 => (s"INSERT INTO bwprops_t BRANCH 'exp' VALUES (1, $lit)",
+          s"INSERT INTO `$bdir` VALUES (1, $lit)")
+        case 1 => (s"UPDATE bwprops_t BRANCH 'exp' SET s = $lit WHERE k = 1",
+          s"UPDATE `$bdir` SET s = $lit WHERE k = 1")
+        case 2 => (s"DELETE FROM bwprops_t BRANCH 'exp' WHERE s = $lit",
+          s"DELETE FROM `$bdir` WHERE s = $lit")
+        case _ => (s"MERGE INTO bwprops_t BRANCH 'exp' AS t USING s " +
+          s"ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = $lit",
+          s"MERGE INTO `$bdir` AS t USING s " +
+            s"ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = $lit")
+      }
+      val got = SqlDml.rewriteBranchWrites(spark, sql,
+        backslashEscapes = useBackslash)
+      assert(got == want, s"\nsql= $sql\ngot= $got\nwant=$want")
+    }
+    spark.catalog.dropTempView("bwprops_t")
+    ()
+  }
 }

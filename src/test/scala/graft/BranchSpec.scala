@@ -241,6 +241,61 @@ class BranchSpec extends SparkSpecBase {
     ()
   }
 
+  test("branch writes over SQL: INSERT/UPDATE/DELETE/MERGE … BRANCH 'b', parent untouched") {
+    val vt = freshTable("write")
+    seed(vt, n = 6)
+    vt.createBranch("cur")
+    vt.scan().createOrReplaceTempView("branch_write_t")
+    val parentBefore = snapshot(vt)
+    // injected-parser entry point: the three row verbs land ON the fork
+    spark.sql("INSERT INTO branch_write_t BRANCH 'cur' VALUES (100, 'new', 1.0)")
+      .collect()
+    spark.sql("UPDATE branch_write_t BRANCH 'cur' SET price = 999.0 WHERE k = 2")
+      .collect()
+    spark.sql("DELETE FROM branch_write_t BRANCH 'cur' WHERE k = 5").collect()
+    // MERGE with an aliased branch target (the alias survives the
+    // target lowering, so qualified ON/SET references resolve)
+    Seq((3L, "name3", 303.0), (200L, "merged", 2.0)).toDF("k", "name", "price")
+      .createOrReplaceTempView("branch_write_src")
+    spark.sql(
+      """MERGE INTO branch_write_t BRANCH 'cur' AS t USING branch_write_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val b = snapshot(vt.branch("cur"))
+    assert(b.exists(_._1 == 100L), "branch INSERT must land")
+    assert(b.find(_._1 == 2L).exists(_._3 == 999.0), "branch UPDATE must land")
+    assert(!b.exists(_._1 == 5L), "branch DELETE must land")
+    assert(b.find(_._1 == 3L).exists(_._3 == 303.0) && b.exists(_._1 == 200L),
+      "branch MERGE must land")
+    assert(snapshot(vt) == parentBefore,
+      "parent must be untouched by every branch write")
+    // service entry point (textual dispatch) speaks the same spelling
+    val svc = new graft.service.QueryService(spark)
+    svc.sql("INSERT INTO branch_write_t BRANCH 'cur' VALUES (300, 'svc', 3.0)")
+      .collect()
+    assert(snapshot(vt.branch("cur")).exists(_._1 == 300L))
+    assert(snapshot(vt) == parentBefore)
+    // an unknown branch refuses naming the live roster (a tag is not a
+    // writable ref either — it never joins the branch roster)
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO branch_write_t BRANCH 'nope' VALUES (1, 'x', 1.0)"))
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("cur"),
+      err.getMessage)
+    // the keyword inside a string literal stays data even in DML text
+    spark.sql("UPDATE branch_write_t BRANCH 'cur' " +
+      "SET name = 'wrote BRANCH ''x''' WHERE k = 100").collect()
+    assert(snapshot(vt.branch("cur")).find(_._1 == 100L)
+      .exists(_._2 == "wrote BRANCH 'x'"))
+    // merge-back completes the SQL-only curation loop: fork → write →
+    // merge; the parent now serves the branch's curated state
+    spark.sql("ALTER TABLE branch_write_t MERGE BRANCH cur KEY k DROP").collect()
+    val merged = snapshot(vt)
+    assert(merged.exists(_._1 == 300L) && !merged.exists(_._1 == 5L) &&
+      merged.find(_._1 == 2L).exists(_._3 == 999.0), merged.toString)
+    assert(vt.branchNames.isEmpty)
+  }
+
   test("table_branches TVF lists the live roster as a relation") {
     val vt = freshTable("roster")
     seed(vt, n = 4)
