@@ -291,16 +291,89 @@ object Bench {
     def overPin(name: String, v: Double): Boolean =
       queryPins.get(name).exists(p => p > 0 && v > p * 1.5 && v - p > 0.45)
     val pinConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = third2.map { case (name, v) =>
+    val results0 = third2.map { case (name, v) =>
       if (!failed.contains(name) && overPin(name, v)) {
         pinConfirmed += name
         name -> rerunMin(name, v)
       } else name -> v
     }
-    val pinOutliers = results.collect {
-      case (name, v) if !failed.contains(name) && overPin(name, v) =>
-        name -> v / queryPins(name)
+    def outliersOf(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.collect {
+        case (name, v) if !failed.contains(name) && overPin(name, v) =>
+          name -> v / queryPins(name)
+      }
+    // pin COVERAGE rides in the artifact: with zero (or marginal)
+    // pins the pin-anchored passes are no-ops, and a run must not
+    // read identically to a fully pin-verified one — the pin tool
+    // trusts the label
+    val pinsN = results0.count { case (n, _) =>
+      !failed.contains(n) && queryPins.get(n).exists(_ > 0) }
+    val pinnedFrac =
+      if (results0.nonEmpty) pinsN.toDouble / results0.size else 0.0
+    val calibPost = calibrate()
+    // ---- window-quality verdict ---------------------------------------
+    // the artifact labels ITSELF so a contended run can't masquerade as
+    // a clean one. Thresholds from the pin sentinel's history on this
+    // host: clean bracketing calib ≈ 0.32–0.36 s, the sentinel refuses
+    // windows ≥ ~0.5, and r15's dirty artifact closed at 0.491 with
+    // 54 requeues. "dirty" = do not read per-query numbers at face
+    // value (the pin_outliers list names the suspects); "degraded" =
+    // mostly sound, check the named outliers; "clean" = ship;
+    // "unpinned" = the calibrations look clean but no pin covered the
+    // run, so the outlier machinery never engaged (bootstrap state).
+    def gradeOf(worstCalib: Double, nOutliers: Int): String = {
+      val frac =
+        if (results0.nonEmpty) nOutliers.toDouble / results0.size else 0.0
+      val raw =
+        if (worstCalib >= 0.5 || frac > 0.1) "dirty"
+        else if (worstCalib >= 0.42 || nOutliers > 0 || inflated.exists(_._2))
+          "degraded"
+        else "clean"
+      if (pinsN == 0) (if (raw == "dirty") "dirty" else "unpinned")
+      else if (pinnedFrac < 0.5 && raw == "clean") "degraded"
+      else raw
     }
+    val provisional =
+      gradeOf(math.max(calibPre, calibPost), outliersOf(results0).size)
+    // ---- dirty-window recovery cycle -----------------------------------
+    // Detection without correction shipped three rounds of contended
+    // artifacts whose headline was mostly noise (BENCH_r14–r16; r16
+    // self-labeled dirty with 37 pin outliers ≈ 48 s of excess — and
+    // shipped them anyway). When the provisional grade is dirty, run
+    // ONE cooldown-then-remeasure cycle over JUST the pin_outliers
+    // set: probe the host until the calibration quiets (or the wait
+    // budget expires), then re-measure each outlier (same memo-warmth
+    // guard) and splice per-query minima. A host that never quiets
+    // ships with recovery="host_busy" — the artifact documents why it
+    // is still dirty instead of leaving the reader to infer it.
+    val cooldownBudgetMs = sys.env.get("SPARK_GRAFT_BENCH_COOLDOWN_MS")
+      .flatMap(_.trim.toLongOption).getOrElse(240000L)
+    var results = results0
+    var recovery = "none"
+    var calibRecovery = Option.empty[Double]
+    val recovered = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (provisional == "dirty" && outliersOf(results0).nonEmpty &&
+        cooldownBudgetMs > 0) {
+      val deadline = System.currentTimeMillis() + cooldownBudgetMs
+      var probe = calibrate()
+      while (probe > 0.42 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(15000)
+        probe = calibrate()
+      }
+      if (probe <= 0.42) {
+        val names = outliersOf(results0).map(_._1).toSet
+        results = results0.map { case (n, v) =>
+          if (names(n)) { recovered += n; n -> rerunMin(n, v) }
+          else n -> v
+        }
+        calibRecovery = Some(calibrate())
+        recovery = "remeasured"
+      } else {
+        calibRecovery = Some(probe)
+        recovery = "host_busy"
+      }
+    }
+    val pinOutliers = outliersOf(results)
     val pinTotalRatio: Option[Double] = {
       val joint = results.filter { case (n, _) =>
         !failed.contains(n) && queryPins.get(n).exists(_ > 0) }
@@ -317,32 +390,31 @@ object Bench {
       s"\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val calibPost = calibrate()
     val calib = s""""calib":[${ms(calibPre)},${ms(calibPost)}]"""
-    // ---- window-quality verdict ---------------------------------------
-    // the artifact labels ITSELF so a contended run can't masquerade as
-    // a clean one. Thresholds from the pin sentinel's history on this
-    // host: clean bracketing calib ≈ 0.32–0.36 s, the sentinel refuses
-    // windows ≥ ~0.5, and r15's dirty artifact closed at 0.491 with
-    // 54 requeues. "dirty" = do not read per-query numbers at face
-    // value (the pin_outliers list names the suspects); "degraded" =
-    // mostly sound, check the named outliers; "clean" = ship.
-    val calibWorst = math.max(calibPre, calibPost)
-    val outlierFrac =
-      if (results.nonEmpty) pinOutliers.size.toDouble / results.size else 0.0
-    val windowQuality =
-      if (calibWorst >= 0.5 || outlierFrac > 0.1) "dirty"
-      else if (calibWorst >= 0.42 || pinOutliers.nonEmpty || inflated.exists(_._2))
-        "degraded"
-      else "clean"
+    // a recovered run grades on its recovery bracket but can never
+    // claim "clean" — the non-outlier majority was still measured
+    // inside the contended main pass; host_busy stays dirty
+    val windowQuality = recovery match {
+      case "remeasured" =>
+        val frac =
+          if (results.nonEmpty) pinOutliers.size.toDouble / results.size
+          else 0.0
+        if (frac > 0.1 || calibRecovery.exists(_ >= 0.5)) "dirty"
+        else "degraded"
+      case "host_busy" => "dirty"
+      case _           => provisional
+    }
     val pinOutliersJson = pinOutliers
       .map { case (k, r) => s"\"$k\":${ms(r)}" }.mkString("{", ",", "}")
     val pinRatioJson = pinTotalRatio.map(r => s""","pin_total_ratio":${ms(r)}""")
       .getOrElse("")
-    val windowJson = s""""window_quality":"$windowQuality","pin_outliers":$pinOutliersJson,"pin_confirmed":${pinConfirmed.length}$pinRatioJson"""
+    val recoveryJson = s""","recovery":"$recovery","recovered_n":${recovered.length}""" +
+      calibRecovery.map(c => s""","calib_recovery":${ms(c)}""").getOrElse("")
+    val coverageJson = s""","pins_n":$pinsN,"pinned_frac":${ms(pinnedFrac)}"""
+    val windowJson = s""""window_quality":"$windowQuality","pin_outliers":$pinOutliersJson,"pin_confirmed":${pinConfirmed.length}$pinRatioJson$coverageJson$recoveryJson"""
     // the stdout line has a hard size budget: quality + counts only,
     // the full per-query outlier map lives in the file artifact
-    val windowJsonCompact = s""""window_quality":"$windowQuality","pin_outliers_n":${pinOutliers.length},"pin_confirmed":${pinConfirmed.length}$pinRatioJson"""
+    val windowJsonCompact = s""""window_quality":"$windowQuality","pin_outliers_n":${pinOutliers.length},"pin_confirmed":${pinConfirmed.length}$pinRatioJson$coverageJson$recoveryJson"""
     // full artifact only (the stdout line has a hard size budget):
     // per-query start offsets into the timed pass and the interleaved
     // [offset, seconds] probes — together they localize an
@@ -355,6 +427,7 @@ object Bench {
       .mkString("{", ",", "}")
     val requeuedJson = requeued.map(n => s"\"$n\"").mkString("[", ",", "]")
     val confirmedJson = confirmed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val recoveredJson = recovered.map(n => s"\"$n\"").mkString("[", ",", "]")
     val fixtureConfJson = fixtureConfirmed.map(n => s"\"$n\"")
       .mkString("[", ",", "]")
     // reader's note shipped with the artifact: the WindowExec
@@ -366,7 +439,7 @@ object Bench {
       "(Pretrain), cell numbering over k centroids (Similarity), and " +
       "q_ntile's deliberate total-order form whose scale twin is " +
       "q_ntile_scaled. All are O(constant)-row windows.\""
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib,$windowJson,"calib_mid":$midJson,"index_build":$idxJson,"requeued":$requeuedJson,"confirmed":$confirmedJson,"fixture_confirmed":$fixtureConfJson,$notes,"t_start":$startsJson}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib,$windowJson,"calib_mid":$midJson,"index_build":$idxJson,"requeued":$requeuedJson,"confirmed":$confirmedJson,"recovered":$recoveredJson,"fixture_confirmed":$fixtureConfJson,$notes,"t_start":$startsJson}"""
     // The driver captures only a fixed tail of stdout (~2000 chars) and
     // parses the last JSON line it finds; 136 queries make the full line
     // ~3 KB, so it arrived truncated and unparseable four rounds running.

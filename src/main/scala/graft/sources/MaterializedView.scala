@@ -173,21 +173,57 @@ final class MaterializedView private (
     * rejected up front: silently merging apples-state into
     * oranges-spec is the failure mode this file exists to prevent.
     */
+  /** A branch source's INCARNATION identity: the wall-clock stamp of
+    * its fork commit (the clone's version 1). Coverage arithmetic is
+    * dir-keyed, and drop + re-create of a same-name branch reuses the
+    * same DIRECTORY — so without this pin a re-created branch whose
+    * history happens to satisfy the version numbers could feed the
+    * view a different lineage. None for non-branch sources (a parent
+    * table's directory is its identity) or a vanished branch (the
+    * refresh guard owns that error).
+    */
+  private def branchForkStamp: Option[Long] =
+    if (!sourceDir.contains(s"/${VersionedTable.BranchesSub}/")) None
+    else if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceDir))) None
+    else source.commitStamp(1)
+
   private def persistDefinition(): Unit = {
     val defPath = java.nio.file.Paths.get(viewDir, MaterializedView.DefFile)
     val json = MaterializedView.defJson(sourceDir, groupCols, aggs)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def write(forkTs: Option[Long]): Unit = {
+      val node = mapper.readTree(json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      forkTs.foreach(node.put("fork_ts", _))
+      java.nio.file.Files.createDirectories(defPath.getParent)
+      java.nio.file.Files.write(defPath, mapper.writeValueAsString(node)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
     if (java.nio.file.Files.exists(defPath)) {
-      val committed = new String(java.nio.file.Files.readAllBytes(defPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val node = mapper.readTree(defPath.toFile)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val pinned = Option(node.get("fork_ts")).map(_.asLong)
+      node.remove("fork_ts")
+      val committed = mapper.writeValueAsString(node)
       require(committed == json,
         s"view at $viewDir is already defined with a different spec; " +
           "use a fresh directory for a new definition")
-    } else {
-      java.nio.file.Files.createDirectories(defPath.getParent)
-      java.nio.file.Files.write(defPath,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
+      (pinned, branchForkStamp) match {
+        case (Some(p), Some(cur)) if p != cur =>
+          // same name, same directory, DIFFERENT branch: refusing here
+          // is the whole point of pinning the identity
+          throw new IllegalStateException(
+            s"materialized view at $viewDir follows branch source " +
+              s"$sourceDir, but that branch was dropped and re-created " +
+              s"(fork stamp $cur != pinned $p): a re-created branch is a " +
+              "NEW source lineage, not a resumable one — DROP the view and " +
+              "CREATE it afresh over the new branch")
+        case (None, cur @ Some(_)) =>
+          write(cur) // migrate a pre-identity definition once
+        case _ => ()
+      }
+    } else write(branchForkStamp)
   }
 
   /** Bring the view up to the source's current version. Returns the

@@ -2623,6 +2623,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * source version cloned). None when the version's manifest is
     * unreadable or predates provenance recording.
     */
+  /** Wall-clock stamp of a commit's manifest, or None when the
+    * manifest is unreadable/pre-timestamp. Version 1's stamp is a
+    * table INCARNATION identity: a dropped-and-recreated branch
+    * reuses its directory but never its fork stamp.
+    */
+  private[graft] def commitStamp(version: Int): Option[Long] =
+    try {
+      val m = manifest(version)
+      if (m.has("ts")) Some(m.get("ts").asLong) else None
+    } catch { case NonFatal(_) => None }
+
   private[graft] def cloneProvenance(version: Int): Option[(String, Int)] =
     try {
       val m = manifest(version)
@@ -2847,6 +2858,18 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * explicit re-pin, and the two-step is visible in the directory's
     * mtimes). The name must not collide with a live branch — both
     * resolve through the same `VERSION AS OF 'name'` surface.
+    *
+    * A tag pins its OWN snapshot, not the feed above it: the change
+    * window `table_changes(t, 'tag')` additionally needs every
+    * manifest BETWEEN the tag and head, which ordinary retention
+    * governs — after a vacuum drops intermediate versions, a since-tag
+    * window raises the guided [[VersionedTable.ResyncRequired]] (the
+    * tag itself still reads). Consumers replaying from a tag on a
+    * schedule should hold a feed lease ([[registerFeedLease]], what
+    * the streaming CDF source does) or size `retainVersions`; pinning
+    * the whole post-tag history under every tag would quietly turn
+    * one forgotten tag into an unbounded retention leak — the loud
+    * resync is the deliberate choice.
     */
   def createTag(name: String, version: Int = -1): Int = {
     val v = if (version < 0) currentVersion else version
@@ -4269,7 +4292,10 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     // tagged versions are PINNED live: pulled from the drop set into
     // the keep set, so their manifests survive (VERSION AS OF 'tag'
     // must stay readable) and their files join the live set below —
-    // the manifest-level twin of branchHeldRels' file-level promise
+    // the manifest-level twin of branchHeldRels' file-level promise.
+    // Deliberately NOT pinned: the change window ABOVE a tag —
+    // `table_changes(t, 'tag')` past a vacuumed gap resyncs loudly
+    // (see createTag's scaladoc); feed leases are the replay contract
     val tagged = taggedVersions
     val (drop0, keep0) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     val drop = drop0.filterNot(tagged)

@@ -134,6 +134,28 @@ class CdfSpec extends SparkSpecBase {
     assert(et.getMessage.contains("seed"), et.getMessage)
   }
 
+  test("a since-tag window past a vacuumed gap resyncs loudly; the tag itself still reads") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.createTag("blessed", 1)
+    t.merge(Seq((2L, "b")).toDF("id", "name"), "id") // v2
+    t.merge(Seq((3L, "c")).toDF("id", "name"), "id") // v3
+    // intact history: the since-tag window serves v2+v3 changes
+    assert(t.readChangesSince(1).count() == 2)
+    // vacuum drops v2 (v1 is tag-pinned, v3 is head): the tag pins its
+    // OWN snapshot, deliberately not the feed above it — a forgotten
+    // tag must never become an unbounded retention leak
+    t.vacuum(retainVersions = 1, force = true)
+    assert(t.read(1).count() == 1, "the tagged snapshot must still read")
+    val e = intercept[VersionedTable.ResyncRequired] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', 'blessed')").collect()
+    }
+    assert(e.getMessage.contains("vacuum horizon"), e.getMessage)
+  }
+
   test("version-taking TVFs accept timestamp operands: string, TIMESTAMP literal, epoch millis") {
     import spark.implicits._
     val dir = tmp()

@@ -291,6 +291,38 @@ class MaterializedViewSpec extends SparkSpecBase {
     assert(e.getMessage.contains("branch"), e.getMessage)
   }
 
+  test("a dropped-and-recreated branch reads as a NEW lineage: refresh refuses on the identity pin") {
+    import spark.implicits._
+    val (srcDir, viewDir) = dirs()
+    val src = VersionedTable(spark, srcDir)
+    src.enableCdf()
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("grp", "v"))
+    val br = src.createBranch("cur")
+    br.append(Seq(("a", 10L)).toDF("grp", "v"))
+    val mv = MaterializedView(spark, viewDir, br.dir,
+      Seq("grp"), Seq(MvAgg.Count("n"), MvAgg.Sum("v", "total")))
+    mv.refresh()
+    // drop + re-create the SAME branch name: same directory, but a
+    // different fork — a history that happens to satisfy the covered
+    // version arithmetic must NOT resume (coverage is dir-keyed; the
+    // pinned fork stamp in _mv_def.json is what catches this)
+    src.dropBranch("cur")
+    Thread.sleep(5) // distinct fork wall-stamp
+    val br2 = src.createBranch("cur")
+    br2.append(Seq(("z", 99L)).toDF("grp", "v"))
+    val e = intercept[IllegalStateException] { mv.refresh() }
+    assert(e.getMessage.contains("re-created") &&
+      e.getMessage.contains("cur"), e.getMessage)
+    // the last refreshed state still reads (stale, but never wrong)
+    assert(mv.read().collect().map(r => (r.getString(0), r.getLong(2))).toSet ==
+      Set(("a", 11L), ("b", 2L)))
+    // a reloaded-by-path handle honors the same pin
+    val e2 = intercept[IllegalStateException] {
+      MaterializedView.load(spark, viewDir).refresh()
+    }
+    assert(e2.getMessage.contains("re-created"), e2.getMessage)
+  }
+
   test("SQL: CREATE MV over FROM t BRANCH 'b'; frozen pins refuse with CTAS guidance") {
     import spark.implicits._
     val (srcDir, viewDir) = dirs()

@@ -76,7 +76,16 @@ def main():
         sys.exit(2)
     if wq == "degraded":
         print(f"WARNING: window_quality=degraded; outliers vs prior pin: "
-              f"{art.get('pin_outliers', {})}")
+              f"{art.get('pin_outliers', {})}; recovery="
+              f"{art.get('recovery', 'n/a')}")
+    if wq == "unpinned":
+        print("NOTE: window_quality=unpinned (no prior pin covered the run; "
+              "the pin-anchored outlier pass never engaged) — pinning as "
+              "bootstrap on the calibration sentinel alone")
+    cov = art.get("pinned_frac")
+    if cov is not None:
+        print(f"pin coverage: {art.get('pins_n', 0)} pinned queries "
+              f"({float(cov) * 100:.0f}% of run)")
     doc = {"sf": art.get("sf", SF_DIR), "engine": "graft-spark",
            "total_sec": art["value"], "n_queries": len(art["queries"]),
            "calib": calib, "confirmed": art.get("confirmed", []),
