@@ -2637,7 +2637,8 @@ object SparkEntry {
         |SELECT 'after' AS world, count(*) AS n_rows,
         |  floor(sum(price) * 100 + 0.5) / 100 AS total,
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
-        |FROM final""".stripMargin,
+        |FROM final
+        |ORDER BY world""".stripMargin,
     // only the INSERT OVERWRITE's world survives: the div-3 slice
     "q_sql_insert" ->
       """SELECT count(*) AS n_rows,

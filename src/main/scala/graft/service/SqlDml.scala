@@ -671,6 +671,35 @@ object SqlDml {
                     "fork one with ALTER TABLE ... CREATE BRANCH first")
                 sb.setLength(w1Start)
                 sb.append('`').append(vt.branch(lit).dir).append('`')
+                // the lowered path erases the name the user would
+                // qualify columns with (`ON t.k = s.k`, `WHERE t.k`):
+                // re-alias the target AS the original name UNLESS the
+                // user wrote their own alias (peeked: anything but the
+                // verb's own structural keyword / end of clause).
+                // INSERT/COPY targets take no alias in the grammar.
+                val insertFamily = w3.equalsIgnoreCase("INSERT") ||
+                  w3.equalsIgnoreCase("COPY") ||
+                  (w2.equalsIgnoreCase("TABLE") &&
+                    (w3.equalsIgnoreCase("INTO") || w3.equalsIgnoreCase("OVERWRITE")))
+                val structural =
+                  if (w3.equalsIgnoreCase("MERGE")) Set("USING")
+                  else if (w2.equalsIgnoreCase("UPDATE")) Set("SET")
+                  else Set("WHERE") // DELETE FROM
+                var k2 = end
+                while (k2 < n && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+                val nextWord =
+                  if (k2 < n && (Character.isLetter(sql.charAt(k2)) ||
+                      sql.charAt(k2) == '_')) {
+                    var j2 = k2 + 1
+                    while (j2 < n && (Character.isLetterOrDigit(sql.charAt(j2)) ||
+                      sql.charAt(j2) == '_')) j2 += 1
+                    sql.substring(k2, j2)
+                  } else if (k2 < n && sql.charAt(k2) == '`') "`aliased`"
+                  else ""
+                val userAliased = nextWord.nonEmpty &&
+                  !structural.exists(_.equalsIgnoreCase(nextWord))
+                if (!insertFamily && !userAliased)
+                  sb.append(" AS `").append(w1).append('`')
                 push("", -1) // the clause is consumed; reset history
                 i = end
                 handled = true
@@ -2675,6 +2704,7 @@ object SqlBranchWriteDemo {
           col("min_k"), col("max_k"))
     world(vt.read(preMerge), "before")
       .unionAll(world(vt.read(), "after"))
+      .orderBy("world")
   }
 }
 

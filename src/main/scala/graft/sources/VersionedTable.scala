@@ -4627,7 +4627,18 @@ object VTableSource extends SourceProvider {
     val vt = VersionedTable(spark, path)
     require(!(options.contains("version") && options.contains("timestampAsOf")),
       "give version OR timestampAsOf, not both")
-    val version = options.get("version").map(_.toInt)
+    // `version` also takes a TAG name: a /register with
+    // options("version") = "blessed" is the DURABLE tag-pinned
+    // registration (the service registry replays options on restart,
+    // and the tag is immutable, so the view re-resolves to the same
+    // pinned snapshot every time — or fails loudly if the tag was
+    // dropped, which is the honest outcome)
+    val version = options.get("version").map { v =>
+      v.toIntOption.getOrElse(vt.tagVersion(v).getOrElse(
+        throw new IllegalArgumentException(
+          s"vtable option version='$v' is neither a commit number nor a " +
+            s"tag of $path (tags: ${vt.tagNames.mkString(", ")})")))
+    }
       .orElse(options.get("timestampAsOf").map { t =>
         val millis =
           if (t.forall(_.isDigit)) t.toLong

@@ -150,12 +150,16 @@ class BranchScanProps extends org.scalatest.funsuite.AnyFunSuite {
       val useBackslash = rnd.nextBoolean()
       val lit = if (useBackslash) backslashLit(content) else doubledLit(content)
       val (sql, want) = rnd.nextInt(4) match {
+        // UPDATE/DELETE/MERGE without a user alias re-alias AS the
+        // original name, so qualified column refs keep resolving;
+        // INSERT targets take no alias in the grammar, and an explicit
+        // user alias is never overridden
         case 0 => (s"INSERT INTO bwprops_t BRANCH 'exp' VALUES (1, $lit)",
           s"INSERT INTO `$bdir` VALUES (1, $lit)")
         case 1 => (s"UPDATE bwprops_t BRANCH 'exp' SET s = $lit WHERE k = 1",
-          s"UPDATE `$bdir` SET s = $lit WHERE k = 1")
+          s"UPDATE `$bdir` AS `bwprops_t` SET s = $lit WHERE k = 1")
         case 2 => (s"DELETE FROM bwprops_t BRANCH 'exp' WHERE s = $lit",
-          s"DELETE FROM `$bdir` WHERE s = $lit")
+          s"DELETE FROM `$bdir` AS `bwprops_t` WHERE s = $lit")
         case _ => (s"MERGE INTO bwprops_t BRANCH 'exp' AS t USING s " +
           s"ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = $lit",
           s"MERGE INTO `$bdir` AS t USING s " +

@@ -287,6 +287,17 @@ class BranchSpec extends SparkSpecBase {
       "SET name = 'wrote BRANCH ''x''' WHERE k = 100").collect()
     assert(snapshot(vt.branch("cur")).find(_._1 == 100L)
       .exists(_._2 == "wrote BRANCH 'x'"))
+    // qualified refs by the ORIGINAL name still resolve: the lowered
+    // path target is re-aliased AS that name when no alias is given
+    spark.sql("UPDATE branch_write_t BRANCH 'cur' SET price = 7.0 " +
+      "WHERE branch_write_t.k = 100").collect()
+    assert(snapshot(vt.branch("cur")).find(_._1 == 100L).exists(_._3 == 7.0))
+    // MERGE without an explicit alias: ON t.k qualifiers keep working
+    spark.sql(
+      """MERGE INTO branch_write_t BRANCH 'cur' USING branch_write_src
+        |ON branch_write_t.k = branch_write_src.k
+        |WHEN MATCHED THEN UPDATE SET name = branch_write_src.name""".stripMargin)
+      .collect()
     // merge-back completes the SQL-only curation loop: fork → write →
     // merge; the parent now serves the branch's curated state
     spark.sql("ALTER TABLE branch_write_t MERGE BRANCH cur KEY k DROP").collect()
@@ -430,6 +441,30 @@ class BranchSpec extends SparkSpecBase {
       spark.sql("SELECT * FROM table_files('tag_sql_t', 'zzz')").collect()
     }
     assert(ef.getMessage.contains("v1"), ef.getMessage)
+  }
+
+  test("a tag-pinned registration is durable: the registry replays it to the same snapshot") {
+    val vt = freshTable("tagreg")
+    seed(vt, n = 4)              // v1
+    vt.createTag("blessed")      // pins v1
+    vt.append(Seq((99L, "later", 9.0)).toDF("k", "name", "price")) // v2
+    val regDir = Files.createTempDirectory("graft-tagreg-reg").toString
+    val svc1 = new graft.service.QueryService(spark, Some(regDir))
+    svc1.registerSource("blessed_view", "vtable", vt.dir,
+      Map("version" -> "blessed"))
+    assert(spark.table("blessed_view").count() == 4,
+      "the registration serves the tag's pinned snapshot, not head")
+    // a NEW service over the same registry (restart) replays the
+    // definition; the tag is immutable, so the re-resolved view is the
+    // same snapshot — the durable BI-facing twin of VERSION AS OF 'tag'
+    new graft.service.QueryService(spark, Some(regDir))
+    assert(spark.table("blessed_view").count() == 4)
+    // a bogus named ref fails naming the roster, not NumberFormat
+    val e = intercept[Exception] {
+      svc1.registerSource("nope_view", "vtable", vt.dir,
+        Map("version" -> "nope"))
+    }
+    assert(e.getMessage.contains("blessed"), e.getMessage)
   }
 
   test("merging a branch with no commits past the fork is a no-op; foreign branches refuse") {
