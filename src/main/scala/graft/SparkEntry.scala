@@ -147,6 +147,7 @@ object SparkEntry {
     "sqlgm_fixture" -> ((s, d) => graft.service.SqlMergeGeneralDemo.warmBuild(t(s, d))),
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
     "sqlbw_fixture" -> ((s, d) => graft.service.SqlBranchWriteDemo.warmBuild(t(s, d))),
+    "infocons_fixture" -> ((s, d) => graft.service.InfoSchema.warmConstraintsFixture(t(s, d))),
     "export_fixture" -> ((s, d) => graft.service.ExportDemo.warmBuild(t(s, d))),
     "semdecon_fixture" -> ((s, d) => graft.operators.SemDecontam.warmBuild(t(s, d))),
     "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),
