@@ -605,7 +605,7 @@ object GraftFunctions {
               "or an absolute table path"))
       import spark.implicits._
       graft.sources.VersionedTable(spark, dir).tags()
-        .toDF("tag", "version", "ts")
+        .toDF("tag", "version", "ts", "message")
         .queryExecution.analyzed
     }))
 

@@ -202,7 +202,8 @@ object GraftSqlParser {
   private def tagsOutput: Seq[Attribute] = Seq(
     AttributeReference("tag", StringType, nullable = true)(),
     AttributeReference("version", IntegerType, nullable = false)(),
-    AttributeReference("ts", LongType, nullable = false)())
+    AttributeReference("ts", LongType, nullable = false)(),
+    AttributeReference("message", StringType, nullable = true)())
 
   private def createTagOutput: Seq[Attribute] = Seq(
     AttributeReference("tag", StringType, nullable = false)(),

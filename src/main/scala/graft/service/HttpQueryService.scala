@@ -564,8 +564,11 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   server.createContext("/tag", gatedEx { (body, ex) =>
     val path = text(body, "path")
     if (body.has("list") && body.get("list").asBoolean(false)) {
-      val rows = service.tableTags(path).map { case (n, v, ts) =>
-        s"""{"tag":"$n","version":$v,"ts":$ts}"""
+      val rows = service.tableTags(path).map { case (n, v, ts, msg) =>
+        // Jackson-escape the free-text message; the rest are safe names
+        val m = if (msg.isEmpty) ""
+          else s""","message":${mapper.writeValueAsString(msg)}"""
+        s"""{"tag":"$n","version":$v,"ts":$ts$m}"""
       }
       s"""{"tags":[${rows.mkString(",")}],"count":${rows.size}}"""
     } else {
@@ -575,7 +578,9 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
         val dropped = service.dropTableTag(path, name)
         s"""{"dropped":$dropped}"""
       } else {
-        val v = service.createTableTag(path, name, intArg(body, "version", -1))
+        val msg = if (body.has("message")) body.get("message").asText("") else ""
+        val v = service.createTableTag(path, name,
+          intArg(body, "version", -1), msg)
         s"""{"tag":"$name","version":$v}"""
       }
     }

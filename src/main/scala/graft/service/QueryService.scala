@@ -409,15 +409,18 @@ final class QueryService(val spark: SparkSession,
   /** Pin an immutable tag at `version` (head when -1); returns the
     * pinned version. Vacuum keeps it live until [[dropTableTag]].
     */
-  def createTableTag(dir: String, name: String, version: Int = -1): Int =
-    graft.sources.VersionedTable(spark, dir).createTag(name, version)
+  def createTableTag(dir: String, name: String, version: Int = -1,
+      message: String = ""): Int =
+    graft.sources.VersionedTable(spark, dir).createTag(name, version, message)
 
   /** Release a tag's pin; false when no such tag (idempotent). */
   def dropTableTag(dir: String, name: String): Boolean =
     graft.sources.VersionedTable(spark, dir).dropTag(name)
 
-  /** The live tag roster: (tag, pinned version, created-at millis). */
-  def tableTags(dir: String): Seq[(String, Int, Long)] =
+  /** The live tag roster: (tag, pinned version, created-at millis,
+    * message — empty when none).
+    */
+  def tableTags(dir: String): Seq[(String, Int, Long, String)] =
     graft.sources.VersionedTable(spark, dir).tags()
 
   /** Retroactive snapshot diff between two committed versions —

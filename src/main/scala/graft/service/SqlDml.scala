@@ -755,14 +755,15 @@ object SqlDml {
         Some(rows.toDF("branch", "fork_version", "head_version")
           .orderBy("branch"))
       case TagsRe(target) =>
-        // tag roster: (tag, version, ts) per live pin — O(tag files)
+        // tag roster: (tag, version, ts, message) per live pin —
+        // O(tag files)
         val dir = unquotePath(target)
           .orElse(resolveVTable(spark, unquoteIdent(target)).map(_._1))
           .getOrElse(throw new IllegalArgumentException(
             s"DESCRIBE TAGS: '$target' is not a registered vtable view or a quoted table path"))
         val rows = VersionedTable(spark, dir).tags()
         import spark.implicits._
-        Some(rows.toDF("tag", "version", "ts").orderBy("tag"))
+        Some(rows.toDF("tag", "version", "ts", "message").orderBy("tag"))
       case _ => None // plain DESCRIBE t — Spark's own statement
     }
 
@@ -1502,7 +1503,8 @@ object SqlDml {
       """(\s+FORCE)?(\s+DROP)?\s*;?\s*$""").r
   private val CreateTagRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+TAG\s+""" +
-      """([A-Za-z_][A-Za-z0-9_.-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+      """([A-Za-z_][A-Za-z0-9_.-]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*;?\s*$""").r
   private val DropTagRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+TAG\s+""" +
       """([A-Za-z_][A-Za-z0-9_.-]*)\s*;?\s*$""").r
@@ -1817,9 +1819,11 @@ object SqlDml {
       // immutable tags (ALTER TABLE … CREATE/DROP TAG): never bump the
       // table's version — like branch create/drop they bump the DDL
       // nonce so a cached DESCRIBE TAGS can't serve a stale roster
-      case CreateTagRe(target, name, ver) =>
+      case CreateTagRe(target, name, ver, msg) =>
+        // COMMENT 'why this version is blessed' rides in the pin file
         val v = table(target).createTag(name,
-          Option(ver).map(_.toInt).getOrElse(-1))
+          Option(ver).map(_.toInt).getOrElse(-1),
+          Option(msg).map(_.replace("''", "'")).getOrElse(""))
         onCommit()
         Some(spark.range(1).select(lit(name).as("tag"), lit(v).as("version")))
       case DropTagRe(target, name) =>

@@ -2871,7 +2871,7 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     * one forgotten tag into an unbounded retention leak — the loud
     * resync is the deliberate choice.
     */
-  def createTag(name: String, version: Int = -1): Int = {
+  def createTag(name: String, version: Int = -1, message: String = ""): Int = {
     val v = if (version < 0) currentVersion else version
     require(v > 0, s"table at $dir has no committed version to tag")
     require(!branchNames.contains(name),
@@ -2879,7 +2879,14 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
         "the VERSION AS OF namespace — pick another name")
     manifest(v) // proof the pinned version is readable (not vacuumed away)
     Files.createDirectories(tagsDir)
-    val body = s"""{"version":$v,"ts":${System.currentTimeMillis()}}"""
+    // Jackson renders the body so a message with quotes/backslashes
+    // can never tear the pin file (Iceberg's snapshot-summary idiom:
+    // "why was this version blessed" travels with the pin)
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("ts", System.currentTimeMillis())
+    if (message.nonEmpty) node.put("message", message)
+    val body = mapper.writeValueAsString(node)
     try Files.write(tagFileOf(name),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -2918,14 +2925,17 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     } finally s.close()
   }
 
-  /** (name, pinned version, created-at epoch millis) per live tag. */
-  def tags(): Seq[(String, Int, Long)] =
+  /** (name, pinned version, created-at epoch millis, message — empty
+    * when the pin carries none) per live tag.
+    */
+  def tags(): Seq[(String, Int, Long, String)] =
     tagNames.flatMap { n =>
       val p = tagsDir.resolve(n + ".json")
       try {
         val j = mapper.readTree(Files.readAllBytes(p))
         Some((n, j.get("version").asInt,
-          if (j.has("ts")) j.get("ts").asLong else 0L))
+          if (j.has("ts")) j.get("ts").asLong else 0L,
+          if (j.has("message")) j.get("message").asText else ""))
       } catch {
         // concurrently dropped between the listing and the read
         case _: java.io.IOException => None

@@ -392,10 +392,15 @@ class BranchSpec extends SparkSpecBase {
     val created = svc.sql("ALTER TABLE tag_sql_t CREATE TAG v1").head()
     assert(created.getString(0) == "v1" && created.getInt(1) == 1)
     vt.updateWhere(col("k") === 1L, Map("price" -> lit(999.0)))
-    svc.sql("ALTER TABLE tag_sql_t CREATE TAG v2 VERSION AS OF 2").collect()
+    // COMMENT rides in the pin file — "why was this version blessed";
+    // the doubled quote unescapes, so free text can't tear the pin
+    svc.sql("ALTER TABLE tag_sql_t CREATE TAG v2 VERSION AS OF 2 " +
+      "COMMENT 'the ''blessed'' training cut'").collect()
     assert(svc.sql("DESCRIBE TAGS tag_sql_t").collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
-      Seq(("v1", 1), ("v2", 2)))
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3))).toSeq ==
+      Seq(("v1", 1, ""), ("v2", 2, "the 'blessed' training cut")))
+    assert(spark.sql("SELECT message FROM table_tags('tag_sql_t') WHERE tag = 'v2'")
+      .head().getString(0) == "the 'blessed' training cut")
     // the TVF roster matches, and the named read serves the pin
     assert(spark.sql("SELECT tag, version FROM table_tags('tag_sql_t')")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet ==

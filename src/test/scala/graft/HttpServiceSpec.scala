@@ -991,6 +991,13 @@ class HttpServiceSpec extends SparkSpecBase with BeforeAndAfterAll {
     val roster = post("/tag", s"""{"path":"$dir","list":true}""")
     assert(roster.statusCode == 200 && roster.body.contains(""""count":2""") &&
       roster.body.contains(""""tag":"rel1","version":1"""), roster.body)
+    // a free-text message rides the pin and serves Jackson-escaped
+    val withMsg = post("/tag",
+      s"""{"path":"$dir","name":"rel3","version":1,"message":"the \\"blessed\\" cut"}""")
+    assert(withMsg.statusCode == 200, withMsg.body)
+    val roster3 = post("/tag", s"""{"path":"$dir","list":true}""")
+    assert(roster3.body.contains(""""message":"the \"blessed\" cut""""),
+      roster3.body)
     val dropped = post("/tag", s"""{"path":"$dir","name":"rel1","drop":true}""")
     assert(dropped.statusCode == 200 && dropped.body == """{"dropped":true}""",
       dropped.body)
