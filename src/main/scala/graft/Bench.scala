@@ -329,7 +329,12 @@ object Bench {
         else if (worstCalib >= 0.42 || nOutliers > 0 || inflated.exists(_._2))
           "degraded"
         else "clean"
-      if (pinsN == 0) (if (raw == "dirty") "dirty" else "unpinned")
+      // "unpinned" replaces only a would-be CLEAN label: with zero
+      // pins the outlier pass is a no-op, so "clean" would be vacuous
+      // — but a raw dirty/degraded verdict (calibrations, inflated
+      // probes) is evidence in its own right and must survive, or a
+      // contended bootstrap run pins as a trusted baseline
+      if (pinsN == 0) (if (raw == "clean") "unpinned" else raw)
       else if (pinnedFrac < 0.5 && raw == "clean") "degraded"
       else raw
     }

@@ -456,7 +456,15 @@ object GraftFunctions {
       val asView: Option[org.apache.spark.sql.DataFrame] =
         if (!qArg.matches("[A-Za-z_][A-Za-z0-9_.]*")) None
         else try Some(spark.table(qArg))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        catch {
+          // ONLY not-found falls through to the CSV attempt: a view
+          // that exists but is broken (dropped backing table,
+          // unresolvable column) must surface its own diagnosis, not
+          // be misreported as "neither a view nor a CSV"
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition)
+                .exists(_.startsWith("TABLE_OR_VIEW_NOT_FOUND")) => None
+        }
       asView match {
         case Some(q) =>
           require(q.columns.contains("vec_id") && q.columns.contains("embedding"),

@@ -561,27 +561,33 @@ final class HttpQueryService(val service: QueryService, port: Int = 0,
   // gate: the roster is a READ (a bearer-read-only client can already
   // reach it via table_tags/DESCRIBE TAGS — the dedicated route must
   // not be stricter for the same data), create/drop are mutations.
-  server.createContext("/tag", gatedEx { (body, ex) =>
-    val path = text(body, "path")
-    if (body.has("list") && body.get("list").asBoolean(false)) {
-      val rows = service.tableTags(path).map { case (n, v, ts, msg) =>
-        // Jackson-escape the free-text message; the rest are safe names
-        val m = if (msg.isEmpty) ""
-          else s""","message":${mapper.writeValueAsString(msg)}"""
-        s"""{"tag":"$n","version":$v,"ts":$ts$m}"""
-      }
-      s"""{"tags":[${rows.mkString(",")}],"count":${rows.size}}"""
-    } else {
-      requireAuth(ex)
-      val name = text(body, "name")
-      if (body.has("drop") && body.get("drop").asBoolean(false)) {
-        val dropped = service.dropTableTag(path, name)
-        s"""{"dropped":$dropped}"""
+  server.createContext("/tag", postEx { (body, ex) =>
+    val isList = body.has("list") && body.get("list").asBoolean(false)
+    // mutation shapes take the bearer check BEFORE the query permit —
+    // gatedMut's invariant (unauthorized requests must not occupy the
+    // data plane) holds per-shape, not per-route
+    if (!isList) requireAuth(ex)
+    withPermit {
+      val path = text(body, "path")
+      if (isList) {
+        val rows = service.tableTags(path).map { case (n, v, ts, msg) =>
+          // Jackson-escape the free-text message; the rest are safe names
+          val m = if (msg.isEmpty) ""
+            else s""","message":${mapper.writeValueAsString(msg)}"""
+          s"""{"tag":"$n","version":$v,"ts":$ts$m}"""
+        }
+        s"""{"tags":[${rows.mkString(",")}],"count":${rows.size}}"""
       } else {
-        val msg = if (body.has("message")) body.get("message").asText("") else ""
-        val v = service.createTableTag(path, name,
-          intArg(body, "version", -1), msg)
-        s"""{"tag":"$name","version":$v}"""
+        val name = text(body, "name")
+        if (body.has("drop") && body.get("drop").asBoolean(false)) {
+          val dropped = service.dropTableTag(path, name)
+          s"""{"dropped":$dropped}"""
+        } else {
+          val msg = if (body.has("message")) body.get("message").asText("") else ""
+          val v = service.createTableTag(path, name,
+            intArg(body, "version", -1), msg)
+          s"""{"tag":"$name","version":$v}"""
+        }
       }
     }
   })

@@ -261,14 +261,8 @@ object InfoSchema {
       import org.apache.spark.sql.functions.col
       val s2 = t.spark.newSession()
       val svc = new QueryService(s2)
-      val parent = java.nio.file.Files.createTempDirectory("graft-infocons")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(parent.toFile)
-      }
-      val dir = parent.toString + "/t"
+      val parent = graft.util.TempDirs.createWithCleanup("graft-infocons")
+      val dir = parent + "/t"
       val vt = graft.sources.VersionedTable(s2, dir)
       vt.append(s2.read.parquet(s"${t.sfDir}/region.parquet")
         .select(col("r_regionkey").as("k"), col("r_name").as("name")))

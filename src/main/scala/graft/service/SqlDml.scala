@@ -2658,14 +2658,8 @@ object SqlBranchWriteDemo {
   private def builtTable(t: graft.sources.Tables): (String, Int) =
     tables.getOrBuild(Key(System.identityHashCode(t.spark), t.sfDir)) {
       import org.apache.spark.sql.functions._
-      val parent = java.nio.file.Files.createTempDirectory("graft-sqlbw")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(parent.toFile)
-      }
-      val dir = parent.toString + "/orders_bw"
+      val parent = graft.util.TempDirs.createWithCleanup("graft-sqlbw")
+      val dir = parent + "/orders_bw"
       val vt = VersionedTable(t.spark, dir)
       // seed = the div-3 slice; everything after this is SQL text
       vt.append(t.orders.where(col("o_orderkey") % 3 === 0)

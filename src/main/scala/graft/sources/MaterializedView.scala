@@ -196,8 +196,15 @@ final class MaterializedView private (
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       forkTs.foreach(node.put("fork_ts", _))
       java.nio.file.Files.createDirectories(defPath.getParent)
-      java.nio.file.Files.write(defPath, mapper.writeValueAsString(node)
+      // stage + atomic rename: the fork_ts migration REWRITES a
+      // committed def file, and a crash mid-write must never leave a
+      // torn definition behind (load would then fail every open)
+      val tmp = defPath.resolveSibling(defPath.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, defPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
     if (java.nio.file.Files.exists(defPath)) {

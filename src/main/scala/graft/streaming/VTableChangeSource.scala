@@ -54,33 +54,36 @@ final class VTableChangeSourceProvider extends StreamSourceProvider with DataSou
       params: Map[String, String]): Source = {
     val vt = VersionedTable(ctx.sparkSession, tableDir(params))
     val starting = params.get("startingVersion").orElse(params.get("startingversion"))
-      .map(resolveStarting(vt, _))
     val maxVersions = params.get("maxVersionsPerTrigger")
       .orElse(params.get("maxversionspertrigger")).map(_.toInt)
     maxVersions.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
     // the stream's checkpoint location is the stable consumer identity
     // (survives restarts, distinct per query) — it names the retention
-    // lease this source maintains on the table
+    // lease this source maintains on the table. The starting REF is
+    // passed raw: it resolves lazily at first use, so a restart whose
+    // checkpoint already supersedes the bootstrap never re-resolves a
+    // since-dropped tag (see the class's initialVersion note).
     new VTableChangeSource(vt, starting, maxVersions, Some(metadataPath))
   }
+}
 
+private[streaming] object VTableChangeSource {
   /** `startingVersion` operand: a commit number, or an immutable TAG
     * name — "replicate everything after the blessed snapshot" is the
     * natural bootstrap for a replication chain, and every other
     * version-taking surface (reads, RESTORE, CLONE, the TVFs) already
     * speaks tag names. Exclusive-start semantics are identical either
-    * way: the feed covers `(resolved, head]`. A name that is no tag
-    * fails naming the roster — never a bare NumberFormatException.
+    * way: the feed covers `(resolved, head]`. A name that is no tag —
+    * including an all-digit string outside Int range — fails naming
+    * the roster, never a bare NumberFormatException.
     */
-  private def resolveStarting(vt: VersionedTable, s: String): Int =
-    if (s.matches("-?\\d+")) s.toInt
-    else vt.tagVersion(s).getOrElse(throw new IllegalArgumentException(
-      s"graft-cdf: startingVersion '$s' is neither a commit number nor a " +
-        s"tag of ${vt.dir} (tags: ${vt.tagNames.mkString(", ")})"))
-}
+  private[streaming] def resolveStarting(vt: VersionedTable, s: String): Int =
+    s.toIntOption.getOrElse(vt.tagVersion(s).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-cdf: startingVersion '$s' is neither a commit number nor a " +
+          s"tag of ${vt.dir} (tags: ${vt.tagNames.mkString(", ")})")))
 
-private[streaming] object VTableChangeSource {
   /** Committed schema + the two feed columns. */
   def feedSchema(vt: VersionedTable): StructType = {
     val v = vt.currentVersion
@@ -92,7 +95,7 @@ private[streaming] object VTableChangeSource {
 }
 
 private[streaming] final class VTableChangeSource(vt: VersionedTable,
-    startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int] = None,
+    startingRef: Option[String], maxVersionsPerTrigger: Option[Int] = None,
     leaseId: Option[String] = None)
   extends Source {
 
@@ -116,14 +119,45 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
     }
 
   // fixed at stream START (first run, not restart — restarts resume
-  // from the checkpointed offset, which supersedes this)
-  private val initialVersion: Int = startingVersion.getOrElse(vt.currentVersion)
+  // from the checkpointed offset, which supersedes this). The ref
+  // resolves exactly ONCE per checkpoint lifetime and the result
+  // persists under the source's own metadataPath (the engine hands a
+  // DSv1 source that directory precisely for initial-state
+  // durability): a restart re-READS the resolved version instead of
+  // re-resolving the name, so dropping the bootstrap tag afterwards —
+  // the documented re-pin two-step — can never kill a stream whose
+  // checkpoint already supersedes it, and a drop+re-create of the
+  // same tag name can never silently re-base the feed.
+  private lazy val initialVersion: Int = {
+    import java.nio.file.{Files, Paths}
+    val marker = leaseId.map(mp => Paths.get(mp, "graft-cdf-initial"))
+    val persisted = marker.filter(Files.exists(_)).flatMap { p =>
+      new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+    }
+    persisted.getOrElse {
+      val v = startingRef
+        .map(VTableChangeSource.resolveStarting(vt, _))
+        .getOrElse(vt.currentVersion)
+      marker.foreach { p =>
+        // best-effort durability: a failed write only means the next
+        // restart re-resolves (the pre-persistence behavior)
+        try {
+          Files.createDirectories(p.getParent)
+          Files.write(p, v.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      v
+    }
+  }
 
   // high-water mark of batch ends already handed out — the base the
-  // rate limit counts from. Restart recovery calls getBatch with the
-  // checkpointed range before the next getOffset, so the mark
-  // self-corrects past the checkpoint after a resume.
-  @volatile private var lastEnd: Int = initialVersion
+  // rate limit counts from. Starts UNSET: restart recovery calls
+  // getBatch with the checkpointed range before the next getOffset,
+  // which seeds the mark past the checkpoint without ever touching
+  // initialVersion.
+  @volatile private var lastEnd: Int = Int.MinValue
 
   override val schema: StructType = VTableChangeSource.feedSchema(vt)
 
@@ -140,18 +174,21 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
     */
   override def getOffset: Option[Offset] = {
     val cur = vt.currentVersion
-    val base = math.max(lastEnd, initialVersion)
+    // the bootstrap ref resolves only on the FIRST offset probe of a
+    // fresh stream; once any batch end is known (normal progress or a
+    // restart's recovery getBatch), it alone is the base
+    val base = if (lastEnd != Int.MinValue) lastEnd else initialVersion
     val capped = maxVersionsPerTrigger match {
       case Some(m) => math.min(cur, base + m)
       case None    => cur
     }
-    if (capped > initialVersion && capped > lastEnd) Some(LongOffset(capped.toLong))
+    if (capped > base) Some(LongOffset(capped.toLong))
     else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = v(end)
-    if (e > lastEnd) lastEnd = e
+    if (lastEnd == Int.MinValue || e > lastEnd) lastEnd = e
     val s = start.map(v).getOrElse(initialVersion)
     lease(s)
     org.apache.spark.sql.GraftSqlBridge.asStreamingFrame(

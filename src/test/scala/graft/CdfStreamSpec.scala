@@ -366,6 +366,42 @@ class CdfStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a checkpointed stream restarts after its bootstrap tag is dropped") {
+    import spark.implicits._
+    val root = tmp("cdftagdrop")
+    val dir = s"$root/t"
+    val t = VersionedTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "name")) // v1
+    t.enableCdf()
+    t.createTag("boot")                          // pins v1
+    t.merge(Seq((2L, "b")).toDF("id", "name"), "id") // v2
+    val out = s"$root/out"
+    // file sink: the memory sink refuses checkpoint recovery
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", dir).option("startingVersion", "boot").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 1, "v2's insert delta")
+    // the documented re-pin two-step drops the tag; the stream's
+    // checkpoint already supersedes the bootstrap ref, so a restart
+    // must RESUME (lazy resolution), not die re-resolving the name —
+    // the integer form could never fail a restart here and the named
+    // form must not either
+    assert(t.dropTag("boot"))
+    t.merge(Seq((3L, "c")).toDF("id", "name"), "id") // v3
+    run()
+    val all = spark.read.parquet(out).collect().map(r => (
+      r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex(CT)),
+      r.getInt(r.fieldIndex(CV)))).toSeq
+    assert(all.count(_ == ((3L, "insert", 3))) == 1, s"rows: $all")
+    assert(all.length == 2, s"no replay of the since-tag window: $all")
+  }
+
   test("a startingVersion that is neither a number nor a tag fails naming the roster") {
     import spark.implicits._
     val root = tmp("cdftagbad")
