@@ -492,61 +492,141 @@ object SqlDml {
     */
   def rewriteBranchReads(sql: String, backslashEscapes: Boolean): String = {
     if (!BranchReadProbe.matcher(sql).find()) return sql
-    val n = sql.length
-    val sb = new StringBuilder(n + 16)
-    var i = 0
+    val scan = new BranchScan(sql, backslashEscapes)
     var lastWord = ""
-    // backslash escapes apply to ' and " (Spark's default non-ANSI
-    // string lexer accepts 'it\'s') but NOT to backtick identifiers —
-    // skipping the escaped char keeps the literal/code classification
-    // in sync for the rest of the statement
-    def copyQuoted(open: Char, allowDoubling: Boolean,
-        allowBackslash: Boolean = false): Unit = {
+    scan.run { (raw, _, quoted, _) =>
+      var handled = false
+      if (!quoted) {
+        val k = scan.skipWs(scan.i)
+        val beforeLiteral = k < scan.n && sql.charAt(k) == '\''
+        val lifecycleVerb = lastWord.equalsIgnoreCase("CREATE") ||
+          lastWord.equalsIgnoreCase("DROP") || lastWord.equalsIgnoreCase("MERGE")
+        if (raw.equalsIgnoreCase("BRANCH") && beforeLiteral && !lifecycleVerb) {
+          scan.out.append("VERSION AS OF")
+          handled = true
+        }
+        // backticked identifiers deliberately do NOT become the verb
+        // context (`CREATE` in `` `CREATE` `` is data, not grammar)
+        lastWord = raw
+      }
+      handled
+    }
+  }
+
+  /** Shared single-pass surface lexer for the TWO branch scanners
+    * (read: `t BRANCH 'b'` → `VERSION AS OF`; write: target lowering)
+    * — ONE home for the string-literal dialect, comment skipping, and
+    * identifier lexing, so an escape/comment fix can never land in
+    * one scanner and silently miss the other (the desync class behind
+    * two advisor rounds). Everything except WORD tokens copies
+    * verbatim into `out`; the handler sees each word — bare or
+    * backticked — with its OUTPUT offset and either handles it
+    * (appending its own text to `out`, optionally consuming lookahead
+    * by advancing `i`) or lets it emit verbatim. `i` is already past
+    * the word when the handler runs.
+    *
+    * `backslashEscapes` mirrors the session dialect: escapes apply to
+    * `'` and `"` (Spark's default non-ANSI lexer accepts `'it\'s'`)
+    * but NOT to backtick identifiers — ending a literal exactly where
+    * the session's lexer does is what keeps literal/code
+    * classification in sync for the rest of the statement.
+    */
+  private[service] final class BranchScan(sql: String,
+      backslashEscapes: Boolean) {
+    val n: Int = sql.length
+    val out = new StringBuilder(n + 32)
+    var i: Int = 0
+
+    /** Index of the first non-whitespace char at or after `from`. */
+    def skipWs(from: Int): Int = {
+      var k = from
+      while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
+      k
+    }
+
+    /** Single-quoted literal starting at `sql(k) == '\''` under the
+      * session dialect: (unescaped content, index past the closing
+      * quote). Does NOT emit — the caller decides (the write scanner
+      * CONSUMES the branch-name literal it lowers).
+      */
+    def readLiteral(k: Int): (String, Int) = {
+      var p = k + 1
+      val content = new StringBuilder
+      var done = false
+      while (p < n && !done) {
+        val ch = sql.charAt(p)
+        if (backslashEscapes && ch == '\\' && p + 1 < n) {
+          content.append(sql.charAt(p + 1)); p += 2
+        } else if (ch == '\'') {
+          if (p + 1 < n && sql.charAt(p + 1) == '\'') {
+            content.append('\''); p += 2
+          } else { p += 1; done = true }
+        } else { content.append(ch); p += 1 }
+      }
+      (content.toString, p)
+    }
+
+    private def copyQuoted(open: Char, allowBackslash: Boolean): Unit = {
       val start = i
       i += 1
       var done = false
       while (i < n && !done) {
         if (allowBackslash && sql.charAt(i) == '\\' && i + 1 < n) i += 2
         else if (sql.charAt(i) == open) {
-          if (allowDoubling && i + 1 < n && sql.charAt(i + 1) == open) i += 2
+          if (i + 1 < n && sql.charAt(i + 1) == open) i += 2
           else { i += 1; done = true }
         } else i += 1
       }
-      sb.append(sql.substring(start, i))
+      out.append(sql.substring(start, i))
+      ()
     }
-    while (i < n) {
-      val c = sql.charAt(i)
-      if (c == '\'')
-        copyQuoted('\'', allowDoubling = true, allowBackslash = backslashEscapes)
-      else if (c == '"')
-        copyQuoted('"', allowDoubling = true, allowBackslash = backslashEscapes)
-      else if (c == '`') copyQuoted('`', allowDoubling = true)
-      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
-        val j = sql.indexOf('\n', i)
-        val end = if (j < 0) n else j + 1
-        sb.append(sql.substring(i, end)); i = end
-      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
-        val j = sql.indexOf("*/", i + 2)
-        val end = if (j < 0) n else j + 2
-        sb.append(sql.substring(i, end)); i = end
-      } else if (Character.isLetter(c) || c == '_') {
-        var j = i + 1
-        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
-          sql.charAt(j) == '_')) j += 1
-        val w = sql.substring(i, j)
-        var k = j
-        while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
-        val beforeLiteral = k < n && sql.charAt(k) == '\''
-        val lifecycleVerb = lastWord.equalsIgnoreCase("CREATE") ||
-          lastWord.equalsIgnoreCase("DROP") || lastWord.equalsIgnoreCase("MERGE")
-        if (w.equalsIgnoreCase("BRANCH") && beforeLiteral && !lifecycleVerb)
-          sb.append("VERSION AS OF")
-        else sb.append(w)
-        lastWord = w
-        i = j
-      } else { sb.append(c); i += 1 }
+
+    /** Run the scan. `handler(raw, unquoted, backticked, outStart)`
+      * returns true when it consumed the token (emitting its own
+      * replacement); false emits the raw token verbatim.
+      */
+    def run(handler: (String, String, Boolean, Int) => Boolean): String = {
+      while (i < n) {
+        val c = sql.charAt(i)
+        if (c == '\'') copyQuoted('\'', backslashEscapes)
+        else if (c == '"') copyQuoted('"', backslashEscapes)
+        else if (c == '`') {
+          val outStart = out.length
+          val from = i
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == '`') {
+              if (i + 1 < n && sql.charAt(i + 1) == '`') i += 2
+              else { i += 1; done = true }
+            } else i += 1
+          }
+          val raw = sql.substring(from, i)
+          val unq = sql.substring(from + 1, math.max(from + 1, i - 1))
+            .replace("``", "`")
+          if (!handler(raw, unq, true, outStart)) out.append(raw)
+          ()
+        } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+          val j = sql.indexOf('\n', i)
+          val end = if (j < 0) n else j + 1
+          out.append(sql.substring(i, end)); i = end
+        } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+          val j = sql.indexOf("*/", i + 2)
+          val end = if (j < 0) n else j + 2
+          out.append(sql.substring(i, end)); i = end
+        } else if (Character.isLetter(c) || c == '_') {
+          var j = i + 1
+          while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
+            sql.charAt(j) == '_')) j += 1
+          val w = sql.substring(i, j)
+          val outStart = out.length
+          i = j
+          if (!handler(w, w, false, outStart)) out.append(w)
+          ()
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
     }
-    sb.toString
   }
 
   /** `INSERT INTO t BRANCH 'b' …` / `MERGE INTO t BRANCH 'b' …` /
@@ -575,45 +655,14 @@ object SqlDml {
   def rewriteBranchWrites(spark: org.apache.spark.sql.SparkSession,
       sql: String, backslashEscapes: Boolean): String = {
     if (!BranchReadProbe.matcher(sql).find()) return sql
-    val n = sql.length
-    val sb = new StringBuilder(n + 32)
-    var i = 0
+    val scan = new BranchScan(sql, backslashEscapes)
     // rolling window of the last three WORD tokens (bare or backticked
     // identifiers/keywords), plus where the newest one begins in the
-    // OUTPUT buffer — the write rewrite replaces that emitted span
+    // OUTPUT buffer - the write rewrite replaces that emitted span
     var w1 = ""; var w2 = ""; var w3 = ""
     var w1Start = -1
     def push(w: String, start: Int): Unit = {
       w3 = w2; w2 = w1; w1 = w; w1Start = start
-    }
-    def copyQuoted(open: Char, allowBackslash: Boolean): Unit = {
-      val start = i
-      i += 1
-      var done = false
-      while (i < n && !done) {
-        if (allowBackslash && sql.charAt(i) == '\\' && i + 1 < n) i += 2
-        else if (sql.charAt(i) == open) {
-          if (i + 1 < n && sql.charAt(i + 1) == open) i += 2
-          else { i += 1; done = true }
-        } else i += 1
-      }
-      sb.append(sql.substring(start, i))
-    }
-    // single-quoted literal starting at k: (content, index past quote)
-    def readLiteral(k: Int): (String, Int) = {
-      var p = k + 1
-      val out = new StringBuilder
-      var done = false
-      while (p < n && !done) {
-        val ch = sql.charAt(p)
-        if (backslashEscapes && ch == '\\' && p + 1 < n) {
-          out.append(sql.charAt(p + 1)); p += 2
-        } else if (ch == '\'') {
-          if (p + 1 < n && sql.charAt(p + 1) == '\'') { out.append('\''); p += 2 }
-          else { p += 1; done = true }
-        } else { out.append(ch); p += 1 }
-      }
-      (out.toString, p)
     }
     def isWriteTarget: Boolean = w1.nonEmpty && w1Start >= 0 && (
       (w3.equalsIgnoreCase("INSERT") && (w2.equalsIgnoreCase("INTO") ||
@@ -624,98 +673,59 @@ object SqlDml {
         w2.equalsIgnoreCase("INTO")) ||
       (w3.equalsIgnoreCase("DELETE") && w2.equalsIgnoreCase("FROM")) ||
       w2.equalsIgnoreCase("UPDATE"))
-    while (i < n) {
-      val c = sql.charAt(i)
-      if (c == '\'') copyQuoted('\'', backslashEscapes)
-      else if (c == '"') copyQuoted('"', backslashEscapes)
-      else if (c == '`') {
-        val start = sb.length
-        val from = i
-        i += 1
-        var done = false
-        while (i < n && !done) {
-          if (sql.charAt(i) == '`') {
-            if (i + 1 < n && sql.charAt(i + 1) == '`') i += 2
-            else { i += 1; done = true }
-          } else i += 1
-        }
-        sb.append(sql.substring(from, i))
-        val inner = sql.substring(from + 1, math.max(from + 1, i - 1))
-          .replace("``", "`")
-        push(inner, start)
-      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
-        val j = sql.indexOf('\n', i)
-        val end = if (j < 0) n else j + 1
-        sb.append(sql.substring(i, end)); i = end
-      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
-        val j = sql.indexOf("*/", i + 2)
-        val end = if (j < 0) n else j + 2
-        sb.append(sql.substring(i, end)); i = end
-      } else if (Character.isLetter(c) || c == '_') {
-        var j = i + 1
-        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
-          sql.charAt(j) == '_')) j += 1
-        val w = sql.substring(i, j)
-        var handled = false
-        if (w.equalsIgnoreCase("BRANCH") && isWriteTarget) {
-          var k = j
-          while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
-          if (k < n && sql.charAt(k) == '\'') {
-            resolveVTable(spark, w1) match {
-              case Some((dir, _)) =>
-                val (lit, end) = readLiteral(k)
-                val vt = VersionedTable(spark, dir)
-                if (!vt.branchNames.contains(lit))
-                  fail(s"BRANCH write: '$lit' is not a live branch of " +
-                    s"'$w1' (branches: ${vt.branchNames.mkString(", ")}); " +
-                    "fork one with ALTER TABLE ... CREATE BRANCH first")
-                sb.setLength(w1Start)
-                sb.append('`').append(vt.branch(lit).dir).append('`')
-                // the lowered path erases the name the user would
-                // qualify columns with (`ON t.k = s.k`, `WHERE t.k`):
-                // re-alias the target AS the original name UNLESS the
-                // user wrote their own alias (peeked: anything but the
-                // verb's own structural keyword / end of clause).
-                // INSERT/COPY targets take no alias in the grammar.
-                val insertFamily = w3.equalsIgnoreCase("INSERT") ||
-                  w3.equalsIgnoreCase("COPY") ||
-                  (w2.equalsIgnoreCase("TABLE") &&
-                    (w3.equalsIgnoreCase("INTO") || w3.equalsIgnoreCase("OVERWRITE")))
-                val structural =
-                  if (w3.equalsIgnoreCase("MERGE")) Set("USING")
-                  else if (w2.equalsIgnoreCase("UPDATE")) Set("SET")
-                  else Set("WHERE") // DELETE FROM
-                var k2 = end
-                while (k2 < n && Character.isWhitespace(sql.charAt(k2))) k2 += 1
-                val nextWord =
-                  if (k2 < n && (Character.isLetter(sql.charAt(k2)) ||
-                      sql.charAt(k2) == '_')) {
-                    var j2 = k2 + 1
-                    while (j2 < n && (Character.isLetterOrDigit(sql.charAt(j2)) ||
-                      sql.charAt(j2) == '_')) j2 += 1
-                    sql.substring(k2, j2)
-                  } else if (k2 < n && sql.charAt(k2) == '`') "`aliased`"
-                  else ""
-                val userAliased = nextWord.nonEmpty &&
-                  !structural.exists(_.equalsIgnoreCase(nextWord))
-                if (!insertFamily && !userAliased)
-                  sb.append(" AS `").append(w1).append('`')
-                push("", -1) // the clause is consumed; reset history
-                i = end
-                handled = true
-              case None => () // alias or native table: not ours
-            }
+    scan.run { (raw, unq, _, outStart) =>
+      var handled = false
+      if (raw.equalsIgnoreCase("BRANCH") && isWriteTarget) {
+        val k = scan.skipWs(scan.i)
+        if (k < scan.n && sql.charAt(k) == '\'') {
+          resolveVTable(spark, w1) match {
+            case Some((dir, _)) =>
+              val (lit, end) = scan.readLiteral(k)
+              val vt = VersionedTable(spark, dir)
+              if (!vt.branchNames.contains(lit))
+                fail(s"BRANCH write: '$lit' is not a live branch of " +
+                  s"'$w1' (branches: ${vt.branchNames.mkString(", ")}); " +
+                  "fork one with ALTER TABLE ... CREATE BRANCH first")
+              scan.out.setLength(w1Start)
+              scan.out.append('`').append(vt.branch(lit).dir).append('`')
+              // the lowered path erases the name the user would
+              // qualify columns with (`ON t.k = s.k`, `WHERE t.k`):
+              // re-alias the target AS the original name UNLESS the
+              // user wrote their own alias (peeked: anything but the
+              // verb's own structural keyword / end of clause).
+              // INSERT/COPY targets take no alias in the grammar.
+              val insertFamily = w3.equalsIgnoreCase("INSERT") ||
+                w3.equalsIgnoreCase("COPY") ||
+                (w2.equalsIgnoreCase("TABLE") &&
+                  (w3.equalsIgnoreCase("INTO") || w3.equalsIgnoreCase("OVERWRITE")))
+              val structural =
+                if (w3.equalsIgnoreCase("MERGE")) Set("USING")
+                else if (w2.equalsIgnoreCase("UPDATE")) Set("SET")
+                else Set("WHERE") // DELETE FROM
+              val k2 = scan.skipWs(end)
+              val nextWord =
+                if (k2 < scan.n && (Character.isLetter(sql.charAt(k2)) ||
+                    sql.charAt(k2) == '_')) {
+                  var j2 = k2 + 1
+                  while (j2 < scan.n && (Character.isLetterOrDigit(sql.charAt(j2)) ||
+                    sql.charAt(j2) == '_')) j2 += 1
+                  sql.substring(k2, j2)
+                } else if (k2 < scan.n && sql.charAt(k2) == '`') "`aliased`"
+                else ""
+              val userAliased = nextWord.nonEmpty &&
+                !structural.exists(_.equalsIgnoreCase(nextWord))
+              if (!insertFamily && !userAliased)
+                scan.out.append(" AS `").append(w1).append('`')
+              push("", -1) // the clause is consumed; reset history
+              scan.i = end // the literal never emits
+              handled = true
+            case None => () // alias or native table: not ours
           }
         }
-        if (!handled) {
-          val start = sb.length
-          sb.append(w)
-          push(w, start)
-          i = j
-        }
-      } else { sb.append(c); i += 1 }
+      }
+      if (!handled) push(unq, outStart)
+      handled
     }
-    sb.toString
   }
 
   private val HistoryRe =
