@@ -84,6 +84,24 @@ private[streaming] object VTableChangeSource {
         s"graft-cdf: startingVersion '$s' is neither a commit number nor a " +
           s"tag of ${vt.dir} (tags: ${vt.tagNames.mkString(", ")})")))
 
+  /** The engine hands `metadataPath` as a Hadoop-style URI
+    * (`file:/tmp/ckpt/sources/0`) — naively treating it as a relative
+    * java.nio path would plant a literal `file:` directory under the
+    * process cwd. file-scheme (and scheme-less) paths resolve to the
+    * local filesystem; any other scheme means the checkpoint lives on
+    * a store java.nio can't reach, so the marker is skipped and the
+    * ref resolves per-start (the pre-persistence, still-correct
+    * behavior).
+    */
+  private[streaming] def markerPath(mp: String): Option[java.nio.file.Path] =
+    try {
+      val uri = new java.net.URI(mp)
+      val base =
+        if (uri.getScheme == null) java.nio.file.Paths.get(mp)
+        else java.nio.file.Paths.get(uri)
+      Some(base.resolve("graft-cdf-initial"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Committed schema + the two feed columns. */
   def feedSchema(vt: VersionedTable): StructType = {
     val v = vt.currentVersion
@@ -129,8 +147,8 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
   // checkpoint already supersedes it, and a drop+re-create of the
   // same tag name can never silently re-base the feed.
   private lazy val initialVersion: Int = {
-    import java.nio.file.{Files, Paths}
-    val marker = leaseId.map(mp => Paths.get(mp, "graft-cdf-initial"))
+    import java.nio.file.Files
+    val marker = leaseId.flatMap(VTableChangeSource.markerPath)
     val persisted = marker.filter(Files.exists(_)).flatMap { p =>
       new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
