@@ -148,6 +148,27 @@ object Bench {
         n -> again.fold(v)(a => math.min(v, a))
       } else n -> v
     }
+    // ---- pre-pass window gate -------------------------------------------
+    // Detection and recovery existed; REFUSAL to start didn't — three
+    // rounds running the headline artifact was born inside a contended
+    // window and the trustworthy number lived in a manually pinned
+    // pair (r17 verdict #1). Before the timed pass begins, probe the
+    // sentinel until the host quiets (same 0.42 s threshold the
+    // recovery cycle uses) or a bounded wait expires: a bench that
+    // starts clean usually FINISHES clean, and the dirty-recovery
+    // machinery below remains as the in-pass safety net. The budget is
+    // bounded (default 5 min) so a permanently busy host still ships a
+    // self-labeled artifact instead of hanging the driver.
+    val warmGateMs = sys.env.get("SPARK_GRAFT_BENCH_WARMGATE_MS")
+      .flatMap(_.trim.toLongOption).getOrElse(300000L)
+    if (warmGateMs > 0) {
+      val deadline = System.currentTimeMillis() + warmGateMs
+      var probe = calibrate()
+      while (probe > 0.42 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(15000)
+        probe = calibrate()
+      }
+    }
     var failed = List.empty[String]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

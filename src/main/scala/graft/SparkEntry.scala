@@ -148,6 +148,11 @@ object SparkEntry {
     "sqlins_fixture" -> ((s, d) => graft.service.SqlInsertDemo.warmBuild(t(s, d))),
     "sqlbw_fixture" -> ((s, d) => graft.service.SqlBranchWriteDemo.warmBuild(t(s, d))),
     "infocons_fixture" -> ((s, d) => graft.service.InfoSchema.warmConstraintsFixture(t(s, d))),
+    // the maintained SCD2 dimension q_scd2_pit's as-of read serves
+    // from: the inline rebuild billed full dimension maintenance to a
+    // point-in-time READ every round (127x the oracle in r17's RATIOS
+    // decomposition) — same attribution split as infocons_fixture
+    "scd2pit_fixture" -> ((s, d) => graft.operators.Merge.warmScd2PitFixture(t(s, d))),
     "export_fixture" -> ((s, d) => graft.service.ExportDemo.warmBuild(t(s, d))),
     "semdecon_fixture" -> ((s, d) => graft.operators.SemDecontam.warmBuild(t(s, d))),
     "sketch_fixture" -> ((s, d) => graft.sources.TableSketch.warmBuild(t(s, d))),

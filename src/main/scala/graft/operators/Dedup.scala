@@ -233,13 +233,27 @@ object Dedup {
     * as [[qSpanDedup]].
     */
   def qCrossSourceOverlap(t: Tables, k: Int = 8): DataFrame = {
-    val x = t.documents.repartition(col("doc_id"))
+    // One agg keyed on span replaces the distinct + self-join: a
+    // span's posting list is bounded by |sources| (a constant), so
+    // collect_set(source) per span is a bounded-state aggregate whose
+    // partial combine dedups map-side, and the a<b pairs enumerate
+    // from the sorted set as a codegen'd array expression. Same pairs,
+    // same counts as the self-join spelling (each shared span counts
+    // an unordered source pair exactly once), but the explode crosses
+    // the wire once instead of three times — the old plan exchanged
+    // for the distinct, then re-exchanged BOTH self-join sides on
+    // span (guide §2.4: remove shuffles outright).
+    val srcSets = t.documents.repartition(col("doc_id"))
       .select(col("source"),
         explode(GraftFunctions.wordShingles(col("text"), k)).as("span"))
-      .distinct()
-    x.as("a").join(x.as("b"),
-        col("a.span") === col("b.span") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("span").agg(sort_array(collect_set("source")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    srcSets
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b"))))))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_spans"))
       .orderBy("src_a", "src_b")
   }

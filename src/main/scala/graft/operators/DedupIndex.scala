@@ -96,14 +96,18 @@ object DedupIndex {
     val probe = withBucket(Dedup.bandTable(batch, p.numHashes, p.bands, p.shingleSize))
       .localCheckpoint(eager = false)
     // bucket list is bounded by the (small) batch; collecting it is a
-    // planning step that buys PartitionFilters on the corpus scan
-    val buckets = probe.select("bh_bucket").distinct()
-      .collect().map(_.getAs[Long]("bh_bucket"))
+    // planning step that buys PartitionFilters on the corpus scan.
+    // ONE action answers it AND the broadcast size gate (per-bucket
+    // counts sum to the probe total) — was a distinct-collect plus a
+    // count(), two scheduler round-trips per ingest.
+    val perBucket = probe.groupBy("bh_bucket")
+      .agg(count(lit(1)).as("n")).collect()
+    val buckets = perBucket.map(_.getAs[Long]("bh_bucket"))
     // size-gate the broadcast (same guard as SpanIndex.checkBatch,
     // lower default: band rows carry the full numHashes signature
     // array). An oversized batch shuffles instead; the bucket prune
     // on the stored scan survives either way.
-    val bcast = probe.count() <= maxBroadcastRows
+    val bcast = perBucket.map(_.getAs[Long]("n")).sum <= maxBroadcastRows
     val probeSide = if (bcast) broadcast(probe.as("y")) else probe.as("y")
     val stored = spark.read.parquet(s"$dir/bands")
       .filter(col("bh_bucket").isin(buckets: _*))

@@ -68,7 +68,13 @@ object NbFilter {
     // + one median job instead of three of each. 2 columns per doc —
     // exactly the distilled-label table a production pipeline persists.
     val lab = labeled(t).localCheckpoint(eager = false)
-    val tr = occ(t).join(lab.filter(isTrain), "doc_id")
+    // the train-half predicate sits on the EXPLODED side too: the join
+    // key equality doesn't propagate `doc_id % 2 = 0` across the join
+    // by itself, so without the explicit filter the full token explode
+    // shuffled into the join and half of it was discarded after —
+    // filtering first halves the exchange (guide §2.3: project/filter
+    // before the exchange)
+    val tr = occ(t).filter(isTrain).join(lab.filter(isTrain), "doc_id")
     val counts = tr.groupBy("tok")
       .agg(sum("label").as("c1"), sum(lit(1) - col("label")).as("c0"))
       // vocab-sized (bounded at any corpus scale); pinning it holds the
@@ -104,14 +110,34 @@ object NbFilter {
     // fit hands back its labeled frame: rebuilding it here would run
     // the stop-ratio scan and the train-median job a second time
     val (wts, consts, lab) = fit(t)
-    val scored = occ(t).join(lab.filter(col("doc_id") % 2 === 1), "doc_id")
-      .join(wts, Seq("tok"), "left")
+    // Scoring path reordered around what each step actually needs
+    // (guide §2.3/§2.4): the holdout restriction is a PREDICATE
+    // (doc_id % 2 = 1), not a join — applying it to the explode
+    // directly drops the train half before anything shuffles; the
+    // label is only read AFTER the per-doc sum, so the lab join moves
+    // past the aggregation, where it keys on the agg's own doc_id
+    // partitioning (one row per doc) instead of riding every token
+    // row. The old shape shuffled the full explode by doc_id, then by
+    // tok, then by doc_id again; this one pays tok + doc_id only.
+    // Same rows out: lab's n_tok>0 docs are exactly the docs with >=1
+    // non-empty token, i.e. the docs the explode emits.
+    // wts is explicitly BROADCAST: it is the deployable model table
+    // (vocab-bounded by construction — trainModel collects this exact
+    // frame to the driver as the shipped filter), but it reaches this
+    // join as a checkpointed LogicalRDD whose size the planner can't
+    // estimate, so without the hint the scoring join planned as a
+    // SortMergeJoin that shuffled the corpus-scale token explode by
+    // tok (guide §3.1: use an explicit hint when you know a side is
+    // small; the estimate here isn't wrong, it's absent)
+    val scored = occ(t).filter(col("doc_id") % 2 === 1)
+      .join(broadcast(wts), Seq("tok"), "left")
       .crossJoin(broadcast(consts))
       .withColumn("wv", coalesce(col("w"), col("w0")))
-      .groupBy(col("doc_id"), col("label").as("actual"))
+      .groupBy(col("doc_id"))
       .agg(sum("wv").as("ev"))
+      .join(lab.filter(col("doc_id") % 2 === 1), "doc_id")
     scored.crossJoin(broadcast(consts))
-      .select(col("actual"),
+      .select(col("label").as("actual"),
         (col("prior_q") + col("ev") > 0).cast("int").as("pred"))
       .groupBy("actual", "pred")
       .agg(count(lit(1)).as("n"))

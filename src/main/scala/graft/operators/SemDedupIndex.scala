@@ -66,13 +66,17 @@ object SemDedupIndex {
     // instead of re-assigning the batch twice per ingest
     val probe = Similarity.assignCells(batch, centroids).localCheckpoint(eager = false)
     // cell list is bounded by min(batch, k cells); collecting it is a
-    // planning step that buys PartitionFilters on the stored scan
-    val cells = probe.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    // planning step that buys PartitionFilters on the stored scan.
+    // ONE action answers it AND the broadcast size gate (per-cell
+    // counts sum to the batch total) — was a distinct-collect plus a
+    // count(), two scheduler round-trips per ingest.
+    val perCell = probe.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+    val cells = perCell.map(_.getAs[Long]("cell"))
     // size-gate the broadcast (embedding rows are wide); an oversized
     // batch shuffles instead — the cell prune on the stored side
     // survives either way
-    val bcast = probe.count() <= maxBroadcastRows
+    val bcast = perCell.map(_.getAs[Long]("n")).sum <= maxBroadcastRows
     val probeSide = if (bcast) broadcast(probe.as("y")) else probe.as("y")
     // batch-absorbed rows live under assigned/, streamed micro-batches
     // under epochs/epoch=N/ ([[IvfIndex.appendEpoch]]'s exactly-once

@@ -102,10 +102,15 @@ object SpanIndex {
     // one signature pass for the bucket collect, the size gate, and
     // both join probes
     val probe = spans(batch, k).localCheckpoint(eager = false)
-    val buckets = probe.select("span_bucket").distinct()
-      .collect().map(_.getAs[Long]("span_bucket"))
-    // counting cached blocks, not a recompute; decides the hints below
-    val small = probe.count() <= maxBroadcastRows
+    // ONE action answers both planning questions — the bucket roster
+    // (PartitionFilters on the stored scan) and the total probe row
+    // count (the broadcast size gate): per-bucket counts sum to the
+    // total, so the old distinct-collect + count() pair of jobs folds
+    // into a single bounded agg (<= Buckets rows)
+    val perBucket = probe.groupBy("span_bucket")
+      .agg(count(lit(1)).as("n")).collect()
+    val buckets = perBucket.map(_.getAs[Long]("span_bucket"))
+    val small = perBucket.map(_.getAs[Long]("n")).sum <= maxBroadcastRows
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val stored = spark.read.parquet(s"$dir/spans")
       .filter(col("span_bucket").isin(buckets: _*))

@@ -83,10 +83,49 @@ object TableRecursive {
         dimSchema)
       stepped(dim).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
+    // stepped DISTINCT keys for the key-tree prefetch below
+    def stepKeysLocal(ks: Seq[Long]): Seq[Long] = {
+      val dim = spark.createDataFrame(
+        java.util.Arrays.asList(ks.map(k => Row(0L, k)): _*), dimSchema)
+      stepped(dim).collect().map(_.getLong(1)).toSeq.distinct
+    }
     // level 0: the seed predicate collapses into the stats-pruned scan
     var frontier: Seq[Row] = vt.readWhere(seedCond)
       .select(col(keyCol).cast("long")).collect()
       .map(r => Row(r.getLong(0), r.getLong(0), 0)).toSeq
+    // ---- batched multiplicity prefetch --------------------------------
+    // `step` is a deterministic driver-evaluable expression
+    // (steppedLocal already folds it over a LocalRelation), so every
+    // key any level can possibly probe is computable UPFRONT from the
+    // seeds: level d's candidates are step^d(seed keys), ≤ |seeds|
+    // distinct values per level whether or not chains die early. One
+    // stats/bloom-pruned scan then answers the multiplicity lookup for
+    // ALL levels at once — the chase walks the levels driver-side
+    // against the map, paying two jobs total (seed read + this lookup)
+    // instead of one scan job per level; the spill path, caps, and
+    // visited-node semantics are unchanged (a dead chain's stepped key
+    // simply reads count 0 from the map, exactly as its per-level
+    // lookup did). Guide §2.4 applied to scans: 12 pruned re-opens of
+    // the table fold into one opening the union of admitting files.
+    val batchedMult: Option[Map[Long, Long]] = {
+      var ks = frontier.map(_.getLong(1)).distinct
+      val all = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var d = 0
+      var ok = true
+      while (ok && d < maxDepth && ks.nonEmpty) {
+        d += 1
+        ks = stepKeysLocal(ks)
+        all ++= ks
+        // an oversized key tree would make the IN-list itself the
+        // problem; hand those to the per-level loop / spill machinery
+        if (all.size > frontierCap) ok = false
+      }
+      if (!ok) None
+      else if (all.isEmpty) Some(Map.empty)
+      else Some(vt.scan().filter(col(keyCol).isin(all.toSeq: _*))
+        .groupBy(col(keyCol).cast("long").as("_k")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
     val visited = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 0
     var spilled: Option[DataFrame] = None // distributed fallback, if ever
@@ -123,10 +162,12 @@ object TableRecursive {
         // fans a chain out m-fold, exactly like the declarative
         // recursion's join
         val want = steppedLocal(frontier)
-        val keys = want.map(_._2).distinct
-        val mult = vt.scan().filter(col(keyCol).isin(keys: _*))
-          .groupBy(col(keyCol).cast("long").as("_k")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val mult = batchedMult.getOrElse {
+          val keys = want.map(_._2).distinct
+          vt.scan().filter(col(keyCol).isin(keys: _*))
+            .groupBy(col(keyCol).cast("long").as("_k")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
         // the cap guards the EXPANSION too, not just the next collect:
         // a high-multiplicity key spills to the distributed path
         // instead of materializing (or Int-overflowing) its fan-out on
