@@ -494,7 +494,7 @@ object SqlDml {
     if (!BranchReadProbe.matcher(sql).find()) return sql
     val scan = new BranchScan(sql, backslashEscapes)
     var lastWord = ""
-    scan.run { (raw, _, quoted, _) =>
+    scan.run { (raw, _, quoted, _, _) =>
       var handled = false
       if (!quoted) {
         val k = scan.skipWs(scan.i)
@@ -581,11 +581,14 @@ object SqlDml {
       ()
     }
 
-    /** Run the scan. `handler(raw, unquoted, backticked, outStart)`
-      * returns true when it consumed the token (emitting its own
-      * replacement); false emits the raw token verbatim.
+    /** Run the scan. `handler(raw, unquoted, backticked, outStart,
+      * inStart)` — `outStart` is where the token would land in `out`,
+      * `inStart` where it begins in the INPUT (so a handler can peek
+      * at surrounding source text, e.g. a qualifying dot). Returns
+      * true when it consumed the token (emitting its own replacement);
+      * false emits the raw token verbatim.
       */
-    def run(handler: (String, String, Boolean, Int) => Boolean): String = {
+    def run(handler: (String, String, Boolean, Int, Int) => Boolean): String = {
       while (i < n) {
         val c = sql.charAt(i)
         if (c == '\'') copyQuoted('\'', backslashEscapes)
@@ -604,7 +607,7 @@ object SqlDml {
           val raw = sql.substring(from, i)
           val unq = sql.substring(from + 1, math.max(from + 1, i - 1))
             .replace("``", "`")
-          if (!handler(raw, unq, true, outStart)) out.append(raw)
+          if (!handler(raw, unq, true, outStart, from)) out.append(raw)
           ()
         } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
           val j = sql.indexOf('\n', i)
@@ -620,8 +623,9 @@ object SqlDml {
             sql.charAt(j) == '_')) j += 1
           val w = sql.substring(i, j)
           val outStart = out.length
+          val from = i
           i = j
-          if (!handler(w, w, false, outStart)) out.append(w)
+          if (!handler(w, w, false, outStart, from)) out.append(w)
           ()
         } else { out.append(c); i += 1 }
       }
@@ -657,27 +661,46 @@ object SqlDml {
     if (!BranchReadProbe.matcher(sql).find()) return sql
     val scan = new BranchScan(sql, backslashEscapes)
     // rolling window of the last three WORD tokens (bare or backticked
-    // identifiers/keywords), plus where the newest one begins in the
-    // OUTPUT buffer - the write rewrite replaces that emitted span
+    // identifiers/keywords), plus the emitted span of the newest one
+    // in the OUTPUT buffer - the write rewrite replaces exactly that
+    // span (not everything after it: a comment or hint between the
+    // target and BRANCH must survive the rewrite)
     var w1 = ""; var w2 = ""; var w3 = ""
-    var w1Start = -1
-    def push(w: String, start: Int): Unit = {
-      w3 = w2; w2 = w1; w1 = w; w1Start = start
+    // bareness per slot: the KEYWORD positions (w2/w3) may only match
+    // bare words — a backtick-quoted identifier that happens to spell
+    // `UPDATE` or `INTO` is data, not grammar, and must not spoof a
+    // write-target position. The TARGET (w1) may be backticked.
+    var b1 = false; var b2 = false; var b3 = false
+    var w1Start = -1; var w1End = -1
+    def push(w: String, bare: Boolean, start: Int, end: Int): Unit = {
+      w3 = w2; w2 = w1; w1 = w; b3 = b2; b2 = b1; b1 = bare
+      w1Start = start; w1End = end
     }
     def isWriteTarget: Boolean = w1.nonEmpty && w1Start >= 0 && (
-      (w3.equalsIgnoreCase("INSERT") && (w2.equalsIgnoreCase("INTO") ||
-        w2.equalsIgnoreCase("OVERWRITE"))) ||
-      (w2.equalsIgnoreCase("TABLE") && (w3.equalsIgnoreCase("INTO") ||
-        w3.equalsIgnoreCase("OVERWRITE"))) ||
-      ((w3.equalsIgnoreCase("MERGE") || w3.equalsIgnoreCase("COPY")) &&
+      (b3 && b2 && w3.equalsIgnoreCase("INSERT") &&
+        (w2.equalsIgnoreCase("INTO") || w2.equalsIgnoreCase("OVERWRITE"))) ||
+      (b3 && b2 && w2.equalsIgnoreCase("TABLE") &&
+        (w3.equalsIgnoreCase("INTO") || w3.equalsIgnoreCase("OVERWRITE"))) ||
+      (b3 && b2 &&
+        (w3.equalsIgnoreCase("MERGE") || w3.equalsIgnoreCase("COPY")) &&
         w2.equalsIgnoreCase("INTO")) ||
-      (w3.equalsIgnoreCase("DELETE") && w2.equalsIgnoreCase("FROM")) ||
-      w2.equalsIgnoreCase("UPDATE"))
-    scan.run { (raw, unq, _, outStart) =>
+      (b3 && b2 && w3.equalsIgnoreCase("DELETE") &&
+        w2.equalsIgnoreCase("FROM")) ||
+      (b2 && w2.equalsIgnoreCase("UPDATE")))
+    scan.run { (raw, unq, quoted, outStart, inStart) =>
       var handled = false
       if (raw.equalsIgnoreCase("BRANCH") && isWriteTarget) {
         val k = scan.skipWs(scan.i)
         if (k < scan.n && sql.charAt(k) == '\'') {
+          // a QUALIFIED target (db.t) can never be a registered bare
+          // vtable view, and falling through would hand the clause to
+          // the read scanner and die as an opaque VERSION-AS-OF-on-
+          // write-target grammar error — refuse with the guided
+          // message instead
+          if (w1.contains("."))
+            fail(s"BRANCH write: target '$w1' is qualified — branch " +
+              "writes take bare registered vtable views only " +
+              "(register the table and write to the view name)")
           resolveVTable(spark, w1) match {
             case Some((dir, _)) =>
               val (lit, end) = scan.readLiteral(k)
@@ -686,8 +709,15 @@ object SqlDml {
                 fail(s"BRANCH write: '$lit' is not a live branch of " +
                   s"'$w1' (branches: ${vt.branchNames.mkString(", ")}); " +
                   "fork one with ALTER TABLE ... CREATE BRANCH first")
+              // splice ONLY the target identifier's emitted span: a
+              // comment or optimizer hint between the target and
+              // BRANCH re-emits after the lowered path instead of
+              // being silently deleted (pure whitespace still drops —
+              // the clause's own spacing re-establishes it)
+              val mid = scan.out.substring(w1End)
               scan.out.setLength(w1Start)
               scan.out.append('`').append(vt.branch(lit).dir).append('`')
+              if (mid.exists(!_.isWhitespace)) scan.out.append(mid)
               // the lowered path erases the name the user would
               // qualify columns with (`ON t.k = s.k`, `WHERE t.k`):
               // re-alias the target AS the original name UNLESS the
@@ -716,14 +746,26 @@ object SqlDml {
                 !structural.exists(_.equalsIgnoreCase(nextWord))
               if (!insertFamily && !userAliased)
                 scan.out.append(" AS `").append(w1).append('`')
-              push("", -1) // the clause is consumed; reset history
+              push("", bare = false, -1, -1) // the clause is consumed; reset history
               scan.i = end // the literal never emits
               handled = true
             case None => () // alias or native table: not ours
           }
         }
       }
-      if (!handled) push(unq, outStart)
+      if (!handled) {
+        // a word directly preceded by '.' EXTENDS the current w1 into
+        // a qualified name (db.t lexes as two words around a copied
+        // dot) instead of shifting the window — so the write-verb
+        // detection above still sees (INSERT, INTO) in w3/w2 and the
+        // qualified-target refusal can name the problem
+        var p = inStart - 1
+        while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p -= 1
+        if (p >= 0 && sql.charAt(p) == '.' && w1.nonEmpty && w1Start >= 0) {
+          w1 = w1 + "." + unq
+          w1End = outStart + raw.length
+        } else push(unq, bare = !quoted, outStart, outStart + raw.length)
+      }
       handled
     }
   }

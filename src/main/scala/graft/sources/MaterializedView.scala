@@ -185,7 +185,11 @@ final class MaterializedView private (
   private def branchForkStamp: Option[Long] =
     if (!sourceDir.contains(s"/${VersionedTable.BranchesSub}/")) None
     else if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceDir))) None
-    else source.commitStamp(1)
+    // incarnationStamp, not the bare wall-clock commitStamp: fork
+    // commits carry a random nonce, so a same-millisecond drop +
+    // re-create can no longer produce an identical pin and silently
+    // resume the re-created lineage
+    else source.incarnationStamp(1)
 
   private def persistDefinition(): Unit = {
     val defPath = java.nio.file.Paths.get(viewDir, MaterializedView.DefFile)

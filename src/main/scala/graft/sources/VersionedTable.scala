@@ -2615,7 +2615,15 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
       // pre-existing clone of something else as the requested one.
       extraMeta = Map(
         "cloneSource" -> Paths.get(dir).toAbsolutePath.normalize.toString,
-        "cloneVersion" -> v.toString))
+        "cloneVersion" -> v.toString,
+        // incarnation nonce: the clone commit's wall-clock ts is only
+        // millisecond-grained, so a drop + re-create within the same
+        // millisecond would produce an identical stamp and a consumer
+        // pinned on it (MV-over-branch) would silently resume a
+        // different lineage — the random component makes two forks of
+        // the same directory distinguishable regardless of clock
+        "cloneNonce" -> java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong().toString))
     dest
   }
 
@@ -2632,6 +2640,23 @@ final class VersionedTable private (val spark: SparkSession, val dir: String) {
     try {
       val m = manifest(version)
       if (m.has("ts")) Some(m.get("ts").asLong) else None
+    } catch { case NonFatal(_) => None }
+
+  /** INCARNATION stamp of a commit: the manifest wall-clock ts mixed
+    * with the clone nonce when one was recorded. Two forks of the same
+    * directory landing in the same millisecond still read differently
+    * (the nonce is random per clone commit); manifests predating the
+    * nonce fall back to the bare ts, so pins written against them keep
+    * matching.
+    */
+  private[graft] def incarnationStamp(version: Int): Option[Long] =
+    try {
+      val m = manifest(version)
+      if (!m.has("ts")) None
+      else {
+        val ts = m.get("ts").asLong
+        Some(if (m.has("cloneNonce")) ts ^ m.get("cloneNonce").asLong else ts)
+      }
     } catch { case NonFatal(_) => None }
 
   private[graft] def cloneProvenance(version: Int): Option[(String, Int)] =

@@ -85,22 +85,16 @@ private[streaming] object VTableChangeSource {
           s"tag of ${vt.dir} (tags: ${vt.tagNames.mkString(", ")})")))
 
   /** The engine hands `metadataPath` as a Hadoop-style URI
-    * (`file:/tmp/ckpt/sources/0`) — naively treating it as a relative
-    * java.nio path would plant a literal `file:` directory under the
-    * process cwd. file-scheme (and scheme-less) paths resolve to the
-    * local filesystem; any other scheme means the checkpoint lives on
-    * a store java.nio can't reach, so the marker is skipped and the
-    * ref resolves per-start (the pre-persistence, still-correct
-    * behavior).
+    * (`file:/tmp/ckpt/sources/0`). The marker goes through the Hadoop
+    * FileSystem API for the path's OWN scheme — a checkpoint on
+    * hdfs:// or s3a:// persists the resolved bootstrap version exactly
+    * like a local one, instead of silently downgrading to
+    * resolve-per-start (where a restart that replays batch 0 after the
+    * documented drop-the-bootstrap-tag two-step would fail).
     */
-  private[streaming] def markerPath(mp: String): Option[java.nio.file.Path] =
-    try {
-      val uri = new java.net.URI(mp)
-      val base =
-        if (uri.getScheme == null) java.nio.file.Paths.get(mp)
-        else java.nio.file.Paths.get(uri)
-      Some(base.resolve("graft-cdf-initial"))
-    } catch { case scala.util.control.NonFatal(_) => None }
+  private[streaming] def markerPath(mp: String): Option[org.apache.hadoop.fs.Path] =
+    try Some(new org.apache.hadoop.fs.Path(mp, "graft-cdf-initial"))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Committed schema + the two feed columns. */
   def feedSchema(vt: VersionedTable): StructType = {
@@ -147,11 +141,21 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
   // checkpoint already supersedes it, and a drop+re-create of the
   // same tag name can never silently re-base the feed.
   private lazy val initialVersion: Int = {
-    import java.nio.file.Files
+    val conf = vt.spark.sparkContext.hadoopConfiguration
     val marker = leaseId.flatMap(VTableChangeSource.markerPath)
-    val persisted = marker.filter(Files.exists(_)).flatMap { p =>
-      new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+    val persisted = marker.flatMap { p =>
+      try {
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val s = scala.io.Source.fromInputStream(in,
+              java.nio.charset.StandardCharsets.UTF_8.name()).mkString
+            s.trim.toIntOption
+          } finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     persisted.getOrElse {
       val v = startingRef
@@ -161,9 +165,11 @@ private[streaming] final class VTableChangeSource(vt: VersionedTable,
         // best-effort durability: a failed write only means the next
         // restart re-resolves (the pre-persistence behavior)
         try {
-          Files.createDirectories(p.getParent)
-          Files.write(p, v.toString.getBytes(
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try out.write(v.toString.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         } catch { case scala.util.control.NonFatal(_) => () }
       }
       v

@@ -172,4 +172,56 @@ class BranchScanProps extends org.scalatest.funsuite.AnyFunSuite {
     spark.catalog.dropTempView("bwprops_t")
     ()
   }
+
+  test("write scanner: backticked keywords never spoof a write-target position") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bwspoof").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.createBranch("exp")
+    vt.scan().createOrReplaceTempView("bwspoof_t")
+    // `UPDATE` here is a backtick-quoted COLUMN, not the verb: the
+    // following `bwspoof_t BRANCH 'exp'` sits in READ position and
+    // must stay for the read scanner (identity under the write pass)
+    val readPos = "SELECT `UPDATE` FROM x JOIN bwspoof_t BRANCH 'exp' ON 1=1"
+    // w2 = backticked `UPDATE`, w1 = bwspoof_t: looks like an UPDATE
+    // target if bareness is ignored
+    val spoof = "SELECT a, `UPDATE` bwspoof_t BRANCH 'exp' FROM x"
+    Seq(readPos, spoof).foreach { sql =>
+      val got = SqlDml.rewriteBranchWrites(spark, sql, backslashEscapes = true)
+      assert(got == sql, s"\nsql= $sql\ngot= $got")
+    }
+    spark.catalog.dropTempView("bwspoof_t")
+    ()
+  }
+
+  test("write scanner: a comment or hint between target and BRANCH survives the rewrite") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bwmid").toString + "/t"
+    val vt = graft.sources.VersionedTable(spark, dir)
+    vt.append(Seq((1L, "a")).toDF("k", "s"))
+    vt.createBranch("exp")
+    vt.scan().createOrReplaceTempView("bwmid_t")
+    val bdir = vt.branch("exp").dir
+    val got = SqlDml.rewriteBranchWrites(spark,
+      "INSERT INTO bwmid_t /*+ REPARTITION(4) */ BRANCH 'exp' VALUES (1, 'x')",
+      backslashEscapes = true)
+    assert(got.contains(s"`$bdir`"), got)
+    assert(got.contains("/*+ REPARTITION(4) */"),
+      s"hint between target and BRANCH was deleted: $got")
+    spark.catalog.dropTempView("bwmid_t")
+    ()
+  }
+
+  test("write scanner: a qualified write target fails with the guided message") {
+    val spark = TestSpark.spark
+    val e = intercept[Exception] {
+      SqlDml.rewriteBranchWrites(spark,
+        "INSERT INTO db.t BRANCH 'b' VALUES (1)", backslashEscapes = true)
+    }
+    assert(e.getMessage.contains("qualified"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("bare"), e.getMessage)
+  }
 }

@@ -306,9 +306,13 @@ class MaterializedViewSpec extends SparkSpecBase {
     // different fork — a history that happens to satisfy the covered
     // version arithmetic must NOT resume (coverage is dir-keyed; the
     // pinned fork stamp in _mv_def.json is what catches this)
+    val stampBefore = br.incarnationStamp(1) // capture BEFORE the drop (same dir)
     src.dropBranch("cur")
-    Thread.sleep(5) // distinct fork wall-stamp
+    // no sleep: the fork commit carries a random nonce, so even a
+    // same-millisecond re-create reads as a different incarnation
     val br2 = src.createBranch("cur")
+    assert(br2.incarnationStamp(1) != stampBefore,
+      "re-created fork must never share the dropped fork's incarnation stamp")
     br2.append(Seq(("z", 99L)).toDF("grp", "v"))
     val e = intercept[IllegalStateException] { mv.refresh() }
     assert(e.getMessage.contains("re-created") &&
