@@ -59,7 +59,7 @@ object NbFilter {
     * the double math mirrors the oracle so both engines quantize the
     * same values.
     */
-  private def fit(t: Tables): (DataFrame, DataFrame, DataFrame) = {
+  private def fit(t: Tables): (DataFrame, Long, Long, DataFrame) = {
     // the label table is read three times (train features, priors, the
     // holdout score join); checkpointed LAZILY it materializes inside
     // the first job that touches it (no extra standalone job — eager
@@ -90,16 +90,26 @@ object NbFilter {
       count(lit(1)).as("v"))
     val pri = lab.filter(isTrain)
       .agg(sum("label").as("n1"), sum(lit(1) - col("label")).as("n0"))
-    val wts = counts.crossJoin(broadcast(tot))
-      .select(col("tok"), quant(
-        log(col("c1") + 1) - log(col("t1") + col("v"))
-          - (log(col("c0") + 1) - log(col("t0") + col("v")))).as("w"))
-    val consts = tot.crossJoin(pri)
-      .select(
+    // The five model scalars COLLECT to the driver in one job and ride
+    // the rest of the plan as literals: they are the deployable
+    // model's constants (trainModel ships exactly these), and keeping
+    // them as 1-row frames cost three broadcast-nested-loop cross
+    // joins (each its own broadcast-build job) for values the plan
+    // can constant-fold. Arithmetic is unchanged — the quantization
+    // runs through the same Spark expressions, just once, here.
+    val trow = tot.crossJoin(pri).select(
+        col("t1"), col("t0"), col("v"),
         quant(log(col("t0") + col("v")) - log(col("t1") + col("v"))).as("w0"),
         quant(log(col("n1") + lit(1).cast("double"))
           - log(col("n0") + lit(1).cast("double"))).as("prior_q"))
-    (wts, consts, lab)
+      .collect().head
+    val (t1, t0, v) = (trow.getAs[Long]("t1"), trow.getAs[Long]("t0"),
+      trow.getAs[Long]("v"))
+    val wts = counts
+      .select(col("tok"), quant(
+        log(col("c1") + 1) - log(lit(t1) + lit(v))
+          - (log(col("c0") + 1) - log(lit(t0) + lit(v)))).as("w"))
+    (wts, trow.getAs[Long]("w0"), trow.getAs[Long]("prior_q"), lab)
   }
 
   /** Train on even doc_ids, score odd ones; emit the holdout confusion
@@ -109,7 +119,7 @@ object NbFilter {
   def qNbFilter(t: Tables): DataFrame = {
     // fit hands back its labeled frame: rebuilding it here would run
     // the stop-ratio scan and the train-median job a second time
-    val (wts, consts, lab) = fit(t)
+    val (wts, w0, priorQ, lab) = fit(t)
     // Scoring path reordered around what each step actually needs
     // (guide §2.3/§2.4): the holdout restriction is a PREDICATE
     // (doc_id % 2 = 1), not a join — applying it to the explode
@@ -131,14 +141,13 @@ object NbFilter {
     // small; the estimate here isn't wrong, it's absent)
     val scored = occ(t).filter(col("doc_id") % 2 === 1)
       .join(broadcast(wts), Seq("tok"), "left")
-      .crossJoin(broadcast(consts))
-      .withColumn("wv", coalesce(col("w"), col("w0")))
+      .withColumn("wv", coalesce(col("w"), lit(w0)))
       .groupBy(col("doc_id"))
       .agg(sum("wv").as("ev"))
       .join(lab.filter(col("doc_id") % 2 === 1), "doc_id")
-    scored.crossJoin(broadcast(consts))
+    scored
       .select(col("label").as("actual"),
-        (col("prior_q") + col("ev") > 0).cast("int").as("pred"))
+        (lit(priorQ) + col("ev") > 0).cast("int").as("pred"))
       .groupBy("actual", "pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "pred")
@@ -160,11 +169,10 @@ object NbFilter {
   final case class Model(weights: Map[String, Long], w0: Long, priorQ: Long)
 
   def trainModel(t: Tables): Model = {
-    val (wts, consts, _) = fit(t)
-    val c = consts.collect().head
+    val (wts, w0, priorQ, _) = fit(t)
     Model(
       wts.collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("w")).toMap,
-      c.getAs[Long]("w0"), c.getAs[Long]("prior_q"))
+      w0, priorQ)
   }
 
   /** Stateless per-row scoring expression over a `text` column: the
