@@ -258,9 +258,17 @@ object TextAnalysis {
     // IS the distinct-doc count) — the second corpus-scale explode +
     // the countDistinct expand both disappear
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = t.documents.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "token").crossJoin(broadcast(n))
-      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    // df BROADCASTS like the BM25 twin's df table (vocab-bounded by
+    // construction); without the hint the checkpointed tf side has no
+    // size estimate and the score join planned as a SortMergeJoin
+    // that re-exchanged the corpus-scale (doc, token) table by token
+    // (guide §3.1). The corpus doc count is one bounded scalar — a
+    // driver literal, not a 1-row frame cross-joined via a
+    // broadcast-nested-loop (same numbers: long/long division either
+    // way).
+    val nDocs = t.documents.count()
+    val scored = tf.join(broadcast(df), "token")
+      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
