@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from captured stdout; the
+// default LoggedOutput strategy wraps every forked line in sbt's
+// "[info] " prefix, which broke that parse two rounds running
+// (PERF_r17/r18 `parsed: null`). StdoutOutput inherits the raw stdout
+// fd, and hiding the "[success] Total time" epilogue keeps the JSON as
+// the last line of the run.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

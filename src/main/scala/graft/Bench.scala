@@ -161,14 +161,23 @@ object Bench {
     // self-labeled artifact instead of hanging the driver.
     val warmGateMs = sys.env.get("SPARK_GRAFT_BENCH_WARMGATE_MS")
       .flatMap(_.trim.toLongOption).getOrElse(300000L)
+    // gate outcome rides in the file artifact (calib_gate +
+    // started_contended): a gated-but-still-dirty run is
+    // self-describing instead of inferable only from calibPre, and
+    // each probe logs to stderr so a stalled gate is visible live
+    var calibGate = Option.empty[Double]
     if (warmGateMs > 0) {
       val deadline = System.currentTimeMillis() + warmGateMs
       var probe = calibrate()
+      System.err.println(f"[bench] warm-gate probe $probe%.3f")
       while (probe > 0.42 && System.currentTimeMillis() < deadline) {
         Thread.sleep(15000)
         probe = calibrate()
+        System.err.println(f"[bench] warm-gate probe $probe%.3f")
       }
+      calibGate = Some(probe)
     }
+    val startedContended = calibGate.exists(_ > 0.42)
     var failed = List.empty[String]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -435,7 +444,10 @@ object Bench {
     val pinRatioJson = pinTotalRatio.map(r => s""","pin_total_ratio":${ms(r)}""")
       .getOrElse("")
     val recoveryJson = s""","recovery":"$recovery","recovered_n":${recovered.length}""" +
-      calibRecovery.map(c => s""","calib_recovery":${ms(c)}""").getOrElse("")
+      calibRecovery.map(c => s""","calib_recovery":${ms(c)}""").getOrElse("") +
+      calibGate.map(c =>
+        s""","calib_gate":${ms(c)},"started_contended":$startedContended""")
+        .getOrElse("")
     val coverageJson = s""","pins_n":$pinsN,"pinned_frac":${ms(pinnedFrac)}"""
     val windowJson = s""""window_quality":"$windowQuality","pin_outliers":$pinOutliersJson,"pin_confirmed":${pinConfirmed.length}$pinRatioJson$coverageJson$recoveryJson"""
     // the stdout line has a hard size budget: quality + counts only,
@@ -466,18 +478,26 @@ object Bench {
       "q_ntile's deliberate total-order form whose scale twin is " +
       "q_ntile_scaled. All are O(constant)-row windows.\""
     val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},"sf":"$sfDir","failed":${failed.length},$calib,$windowJson,"calib_mid":$midJson,"index_build":$idxJson,"requeued":$requeuedJson,"confirmed":$confirmedJson,"recovered":$recoveredJson,"fixture_confirmed":$fixtureConfJson,$notes,"t_start":$startsJson}"""
-    // The driver captures only a fixed tail of stdout (~2000 chars) and
-    // parses the last JSON line it finds; 136 queries make the full line
-    // ~3 KB, so it arrived truncated and unparseable four rounds running.
-    // stdout gets a compact line — total plus the slowest queries, under
-    // ~1.2 KB — printed LAST; the complete per-query record goes to the
-    // file, which has no length limit.
+    // stdout contract (r18 verdict #1): the driver parses a bare JSON
+    // line from the run's stdout — build.sbt now forks with
+    // StdoutOutput (no "[info] " prefix) and hides the "[success]"
+    // epilogue, so the JSON really is the last thing printed. Two
+    // lines go out: first the FULL per-query map (~6 KB — index_build
+    // and the pin diagnostics moved to the file artifact to pay for
+    // the space), then a ≤1.5 KB compact fallback with the slowest 30,
+    // so a tail-limited capture that truncates the full line still
+    // ends with a complete, parseable record. spark.stop() runs BEFORE
+    // the prints so no shutdown logging can trail them.
     val slowest = results.sortBy { case (k, v) => if (failed.contains(k)) Double.MinValue else -v }.take(30)
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},"sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},$calib,$windowJsonCompact,"requeued":${requeued.length},"confirmed":${confirmed.length},"fixture_confirmed":${fixtureConfirmed.length},"index_build":$idxJson,"detail":"bench_queries.json"}"""
+    val common = s""""sf":"$sfDir","failed":${failed.length},"n_queries":${results.length},$calib,$windowJsonCompact,"requeued":${requeued.length},"confirmed":${confirmed.length},"fixture_confirmed":${fixtureConfirmed.length},"detail":"bench_queries.json""""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(results)},$common}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonQs(slowest)},$common}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try { spark.sparkContext.setLogLevel("ERROR"); spark.stop() }
+    catch { case _: Throwable => () }
+    println(fullLine)
     println(compact)
-    spark.stop()
   }
 }

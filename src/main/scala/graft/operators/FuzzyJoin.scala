@@ -99,6 +99,29 @@ object FuzzyJoin {
     gramPath(a, b, maxDist, q, aFloor = q * (maxDist + 1), bandBranch = true)
   }
 
+  /** Verify candidate id pairs: re-join the strings by id (the only
+    * point where payload strings move — candidate generation and dedup
+    * shuffle ids + lengths only, guide §2.3 "shuffle keys and metadata
+    * instead of payloads": before r19 the candidate join carried both
+    * strings through the blocking join AND the distinct at the
+    * occurrence fan-out's multiplicity, ~6× the bytes) and keep pairs
+    * the threshold levenshtein admits. The `(id, s).distinct()` on the
+    * re-join sides reproduces the old 4-tuple-distinct multiplicity
+    * exactly when a caller feeds duplicate rows; for unique-id frames
+    * (every contract use) it folds into the join's own exchange scale.
+    * Lossless: any (a_s, b_s) combo within `maxDist` shares a blocking
+    * key by the pick/deletion guarantees, so id-level dedup can only
+    * ADD string combos the verifier then filters — never drop one.
+    */
+  private def verified(candIds: DataFrame, a: DataFrame, b: DataFrame,
+      maxDist: Int): DataFrame =
+    candIds
+      .join(a.select(col("id").as("a_id"), col("s").as("a_s")).distinct(), "a_id")
+      .join(b.select(col("id").as("b_id"), col("s").as("b_s")).distinct(), "b_id")
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
+      .filter(col("dist") >= 0) // threshold form returns -1 past the bound
+      .select("a_id", "b_id", "dist")
+
   /** The positional-gram regime: candidates for pairs whose LEFT
     * string has `len >= aFloor` (callers guarantee `aFloor >=
     * q·(d+1)`, the pick floor); when `bandBranch` is set, left
@@ -119,8 +142,16 @@ object FuzzyJoin {
         .select(col("id").as(s"${side}_id"), col("s").as(s"${side}_s"),
           length(col("s")).as(s"${side}_len"))
 
-    val aN = named(a, "a")
+    // a's pre-split HASH-partitions by id (not round-robin): same
+    // explode-parallelizing spread, but the pick window below then
+    // reuses the clustering and sorts locally instead of re-shuffling
+    // the exploded occurrence rows (guide §2.4)
+    val aN = a.repartition(nPart, col("id"))
+      .select(col("id").as("a_id"), col("s").as("a_s"),
+        length(col("s")).as("a_len"))
     val bN = named(b, "b")
+    // everything from the gram explode to the candidate distinct moves
+    // ids + lengths only; strings re-join at verification ([[verified]])
 
     // the pick below chooses q·d + 1 of a's occurrences, so the
     // guarantee only holds for a-strings that HAVE that many
@@ -136,12 +167,12 @@ object FuzzyJoin {
     val bFloor = math.max(q, aFloor - maxDist)
     def grams(df: DataFrame, side: String): DataFrame =
       df.filter(col(s"${side}_len") >= (if (side == "a") aFloor else bFloor))
-        .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+        .select(col(s"${side}_id"), col(s"${side}_len"),
           explode(transform(
             sequence(lit(1), col(s"${side}_len") - lit(q) + 1),
             i => struct(col(s"${side}_s").substr(i, lit(q)).as("gram"),
               i.as("pos")))).as("g"))
-        .select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+        .select(col(s"${side}_id"), col(s"${side}_len"),
           col("g.gram").as("gram"), col("g.pos").as("pos"))
 
     val aG = grams(aN, "a")
@@ -167,40 +198,39 @@ object FuzzyJoin {
     val aKeys = aPick
       .withColumn("pb", explode(sequence(
         floor((col("pos") - maxDist) / w), floor((col("pos") + maxDist) / w))))
-      .select("gram", "pb", "a_id", "a_s", "a_len")
+      .select("gram", "pb", "a_id", "a_len")
 
     // candidates: picked a-occurrences meet ALL b-occurrences sharing
-    // the gram at a nearby offset, inside the length window; strings
-    // ride along (<= pickLen·2 copies each) so verification needs no
-    // id-rejoin — flip to a rejoin if rows are document-sized
+    // the gram at a nearby offset, inside the length window — id pairs
+    // only; [[verified]] re-joins the strings once after the dedup.
     // both sides of the candidate join are exploded occurrence tables
     // (never broadcast-sized despite Generate's understated estimate)
     val gramCands = aKeys.join(
-        bG.select("gram", "pb", "b_id", "b_s", "b_len").hint("shuffle_hash"),
+        bG.select("gram", "pb", "b_id", "b_len").hint("shuffle_hash"),
         Seq("gram", "pb"))
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)
-      .select("a_id", "a_s", "b_id", "b_s")
+      .select("a_id", "b_id")
       .distinct()
+
+    val gramVerified = verified(gramCands, a, b, maxDist)
 
     // below-floor a-strings (the d >= 3 layout; at d = 2 the deletion
     // branch owns them): partners sit at b_len <= a_len + d — a
     // bounded slice at any scale. The length window IS the equi-key
     // (see the scaladoc); each pair meets on exactly one key (b's
-    // length), so no dedup is needed.
-    val cands =
-      if (!bandBranch) gramCands
-      else gramCands.unionByName(
-        aN.filter(col("a_len") < aFloor)
-          .withColumn("lk", explode(sequence(
-            col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
-          .join(bN.filter(col("b_len") < aFloor + maxDist)
-            .withColumn("lk", col("b_len")), "lk")
-          .select("a_id", "a_s", "b_id", "b_s"))
-
-    cands
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
-      .filter(col("dist") >= 0) // threshold form returns -1 past the bound
-      .select("a_id", "b_id", "dist")
+    // length), so no dedup is needed — and with no dedup there is no
+    // payload-amplified shuffle to avoid, so the strings ride straight
+    // into the verify (the id-rejoin would only add two joins here).
+    if (!bandBranch) gramVerified
+    else gramVerified.unionByName(
+      aN.filter(col("a_len") < aFloor)
+        .withColumn("lk", explode(sequence(
+          col("a_len") - lit(maxDist), col("a_len") + lit(maxDist))))
+        .join(bN.filter(col("b_len") < aFloor + maxDist)
+          .withColumn("lk", col("b_len")), "lk")
+        .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
+        .filter(col("dist") >= 0)
+        .select("a_id", "b_id", "dist"))
   }
 
   /** The d <= 1 fast path — DELETION-NEIGHBORHOOD blocking (the
@@ -254,16 +284,19 @@ object FuzzyJoin {
                 s.substr(i + 1, j - i - 1),
                 s.substr(j + 1, len - j)))))))
             .otherwise(array().cast("array<long>")))
-      named.select(col(s"${side}_id"), col(s"${side}_s"), col(s"${side}_len"),
+      // ids + lengths only ride the variant join and the candidate
+      // dedup (strings re-join at verification — guide §2.3): the
+      // explode amplifies each row O(len)× at d = 1 and O(len²/2)× at
+      // d = 2, so a ~45-byte string riding here costs ~6× the bytes of
+      // the (id, len, vh) triple at every exchange
+      named.select(col(s"${side}_id"), col(s"${side}_len"),
         explode(array_distinct(all)).as("vh"))
     }
-    variants(a, "a").join(variants(b, "b").hint("shuffle_hash"), "vh")
+    val candIds = variants(a, "a").join(variants(b, "b").hint("shuffle_hash"), "vh")
       .filter(abs(col("a_len") - col("b_len")) <= maxDist)
-      .select("a_id", "a_s", "b_id", "b_s")
+      .select("a_id", "b_id")
       .distinct()
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
-      .filter(col("dist") >= 0)
-      .select("a_id", "b_id", "dist")
+    verified(candIds, a, b, maxDist)
   }
 
   /** Brute-force reference — O(|A|·|B|); test-scale oracle only. */

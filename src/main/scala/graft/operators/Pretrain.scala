@@ -244,15 +244,25 @@ object Pretrain {
       .join(targetIds.withColumn("_tgt", lit(1L)), Seq("doc_id"), "left")
       .groupBy("tok").agg(count(lit(1)).as("rc"),
         sum(coalesce(col("_tgt"), lit(0L))).as("tc"))
-    val scal = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
-      count(lit(1)).as("v"))
+    // the three corpus scalars (target/complement token totals, vocab
+    // size) are the trained model's constants — collected once and
+    // ridden as literals (the nb_filter treatment, r18): as a 1-row
+    // frame they cost a BroadcastNestedLoopJoin plus a SECOND full
+    // token-agg subtree (the scal branch shared no exchange with wts'
+    // — see plans/r19/q_dsir_select_before.txt, operators 15-28)
+    val srow = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
+      count(lit(1)).as("v")).collect()(0)
+    def lng(i: Int): Long = if (srow.isNullAt(i)) 0L else srow.getLong(i)
+    val (tn, cn, v) = (lng(0), lng(1), lng(2))
     // parenthesization mirrors the oracle: identical doubles quantize
     // to identical integers
-    val wts = m.crossJoin(broadcast(scal))
-      .select(col("tok"), quant(
-        log(col("tc") + 1) - log(col("tn") + col("v"))
-          - (log(col("rc") - col("tc") + 1) - log(col("cn") + col("v")))).as("w"))
-    corpusToks.join(wts, "tok")
+    val wts = m.select(col("tok"), quant(
+      log(col("tc") + 1) - log(lit(tn) + lit(v))
+        - (log(col("rc") - col("tc") + 1) - log(lit(cn) + lit(v)))).as("w"))
+    // wts is vocab-bounded (hashed n-gram features at 100 TB — the
+    // documented DSIR posture); without the hint the planner broadcast
+    // the CORPUS-scale exploded-token side (BuildLeft in the r18 plan)
+    corpusToks.join(broadcast(wts), "tok")
       .groupBy("doc_id").agg(sum("w").as("score_q"))
   }
 

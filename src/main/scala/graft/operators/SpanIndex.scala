@@ -93,7 +93,8 @@ object SpanIndex {
     *     (SpanDedupSpec pins both properties).
     */
   def checkBatch(spark: SparkSession, dir: String, batch: DataFrame,
-      maxBroadcastRows: Long = 10000000L): DataFrame = {
+      maxBroadcastRows: Long = 10000000L,
+      dedupProbe: Boolean = false): DataFrame = {
     // reader-side recovery (see DedupIndex.checkBatch): finish a
     // committed-but-interrupted compactBuckets before scanning, or the
     // folded buckets' span rows double-count on every probe
@@ -119,8 +120,18 @@ object SpanIndex {
       Seq("span_bucket", "span"), "left_semi")
     val owners = matched.groupBy("span_bucket", "span")
       .agg(min("doc_id").as("first_owner"))
+    // optional probe-side dedup ahead of the conviction join (r18's
+    // exchange-neutral idea, re-evaluated at a compute-bound SF in
+    // r19 — see CoreScaleProbe): a doc repeating a shingle contributes
+    // duplicate (doc, span) probe rows the final countDistinct/min agg
+    // ignores anyway, so deduping first only changes WHERE the
+    // collapse happens, never the result
+    val convictionProbe =
+      if (dedupProbe)
+        probe.select("doc_id", "span_bucket", "span").distinct()
+      else probe.toDF()
     owners.as("x")
-      .join(hinted(probe.as("y")),
+      .join(hinted(convictionProbe.as("y")),
         col("x.span_bucket") === col("y.span_bucket") &&
           col("x.span") === col("y.span"))
       .groupBy(col("y.doc_id").as("doc_id"))

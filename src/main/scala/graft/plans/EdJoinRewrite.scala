@@ -127,16 +127,42 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
             if (d <= 1) deletionBlocked(left, right, lStr, rStr, d)
             else if (d == 2) deletionGramSplit(left, right, lStr, rStr, q, j.output)
             else gramBlocked(left, right, lStr, rStr, d, q, j.output)
-          // re-verify with the THRESHOLD levenshtein (banded, and
-          // never re-matched by this rule); keep every other conjunct
+          val origOutput = j.output
+          val (cands, lId, rId) = blocked
+          // residual conjuncts go BELOW the dedup so the optimizer can
+          // keep pushing them into the children as usual
+          val residual = parts.filterNot(_ eq matched)
+          val preFiltered =
+            if (residual.isEmpty) cands else Filter(residual.reduce(And), cands)
+          // dedup BEFORE the threshold-levenshtein verify (r19,
+          // measured): with the verify filter below the aggregate,
+          // predicate pushdown re-injects it into the candidate JOINs'
+          // conditions, where it runs once per blocking-key match — up
+          // to O(len) variant / q·d+1 gram duplicates per pair. The
+          // filter above the aggregate must be structurally UN-pushable
+          // or PushPredicateThroughNonJoin moves it straight back (it
+          // references only grouping columns), so the verify is fused
+          // into an If gated on the aggregate's count(1) output — a
+          // non-grouping reference pushdown cannot cross, always true,
+          // and unsplittable as a conjunction. Grouping stays on
+          // (ids ++ payload) — ids alone would need First() payload
+          // aggregates, whose string buffers forbid HashAggregate and
+          // force a full candidate SORT (measured slower).
+          val cntAlias = Alias(
+            Count(Seq(Literal(1))).toAggregateExpression(), "__graft_edj_cnt")()
+          val dedup = Aggregate(Seq(lId, rId) ++ origOutput,
+            origOutput :+ cntAlias, preFiltered)
+          // re-verify with the THRESHOLD levenshtein (banded, and never
+          // re-matched by this rule — the fixed-point batch stays a
+          // fixed point)
           val verify = GreaterThanOrEqual(
             new Levenshtein(lStr, rStr, Literal(d)), Literal(0))
-          val residual = parts.filterNot(_ eq matched)
-          val (cands, lId, rId) = blocked
-          val filtered = Filter((residual :+ verify).reduce(And), cands)
-          val origOutput = j.output
-          Project(origOutput,
-            Aggregate(Seq(lId, rId) ++ origOutput, origOutput, filtered))
+          val guarded = If(
+            GreaterThanOrEqual(cntAlias.toAttribute, Literal(1L)),
+            verify, Literal(false))
+          // output attributes (same exprIds) pass through the grouping
+          // untouched, so everything above the join resolves unchanged
+          Project(origOutput, Filter(guarded, dedup))
       }
   }
 
@@ -241,7 +267,19 @@ object EdJoinRewrite extends Rule[LogicalPlan] {
 
     val lIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_lid")()
     val rIdAlias = Alias(MonotonicallyIncreasingID(), "__graft_edj_rid")()
-    val lTag = Project(left.output :+ lIdAlias, presplit(left))
+    // LEFT side: tag first, then HASH-partition by the row id (instead
+    // of the round-robin pre-split) — the same explode-parallelizing
+    // spread (ids are unique), but the exchange moves the RAW tagged
+    // strings (|L| rows) and establishes exactly the clustering the
+    // pick Window below requires, so the window's sort runs locally
+    // instead of re-shuffling the O(len)×-exploded occurrence rows
+    // with their payload columns (the plan's single largest exchange
+    // before r19 — guide §2.4 "two operations keyed the same way share
+    // one exchange")
+    val lTag = RepartitionByExpression(
+      Seq(lIdAlias.toAttribute),
+      Project(left.output :+ lIdAlias, left),
+      Some(org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions))
     val rTag = Project(right.output :+ rIdAlias, presplit(right))
     val lId = lIdAlias.toAttribute
     val rId = rIdAlias.toAttribute

@@ -107,7 +107,10 @@ object TableRecursive {
     // simply reads count 0 from the map, exactly as its per-level
     // lookup did). Guide §2.4 applied to scans: 12 pruned re-opens of
     // the table fold into one opening the union of admitting files.
-    val batchedMult: Option[Map[Long, Long]] = {
+    // guard: a seed frontier already past the cap goes straight to the
+    // spill path — don't pay the key-tree walk + prefetch scan for a
+    // map the chase loop would never consult (ADVICE r18)
+    val batchedMult: Option[Map[Long, Long]] = if (frontier.length > frontierCap) None else {
       var ks = frontier.map(_.getLong(1)).distinct
       val all = scala.collection.mutable.LinkedHashSet.empty[Long]
       var d = 0
