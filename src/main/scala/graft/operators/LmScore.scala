@@ -43,20 +43,23 @@ object LmScore {
     val tr = bg.filter(isTrain)
     val ctx = tr.groupBy("w1").agg(count(lit(1)).as("ctx_n"))
     val pc = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    // the vocabulary size is the trained LM's constant (the add-one
-    // smoothing denominator): collected once and ridden as a literal —
-    // as a 1-row frame it cost a BroadcastNestedLoopJoin on the
-    // corpus-scale holdout stream plus a second bigram-explode subtree
-    // (the nb_filter/dsir treatment, guide §2.4)
-    val v = tr.agg(countDistinct("w2")).collect()(0).getLong(0)
+    // the vocabulary scalar stays a 1-row frame: the collect-as-literal
+    // form was TRIED in r19 and measured slower at sf0.1 — the
+    // countDistinct is a corpus-scale bigram pass, and collecting it
+    // eagerly serializes that pass ahead of the main plan instead of
+    // letting the 1-row broadcast materialize concurrently (see
+    // Pretrain.dsirScores for the same finding; nb_filter's collapse
+    // pays only because its scalar frames are cheap)
+    val vocab = tr.agg(countDistinct("w2").as("v"))
     val scored = bg.filter(col("doc_id") % 2 === 1)
       .join(pc, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
       .withColumn("lp_q",
         when(col("ctx_n").isNull,
-          floor((log(lit(1.0)) - log(lit(v))) * Q + 0.5).cast("long"))
+          floor((log(lit(1.0)) - log(col("v"))) * Q + 0.5).cast("long"))
           .otherwise(floor((log(coalesce(col("c"), lit(0L)) + 1)
-            - log(col("ctx_n") + lit(v))) * Q + 0.5).cast("long")))
+            - log(col("ctx_n") + col("v"))) * Q + 0.5).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp_q").as("lp_sum"))
     scored.select(col("doc_id"), col("n_bigrams"),

@@ -244,21 +244,21 @@ object Pretrain {
       .join(targetIds.withColumn("_tgt", lit(1L)), Seq("doc_id"), "left")
       .groupBy("tok").agg(count(lit(1)).as("rc"),
         sum(coalesce(col("_tgt"), lit(0L))).as("tc"))
-    // the three corpus scalars (target/complement token totals, vocab
-    // size) are the trained model's constants — collected once and
-    // ridden as literals (the nb_filter treatment, r18): as a 1-row
-    // frame they cost a BroadcastNestedLoopJoin plus a SECOND full
-    // token-agg subtree (the scal branch shared no exchange with wts'
-    // — see plans/r19/q_dsir_select_before.txt, operators 15-28)
-    val srow = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
-      count(lit(1)).as("v")).collect()(0)
-    def lng(i: Int): Long = if (srow.isNullAt(i)) 0L else srow.getLong(i)
-    val (tn, cn, v) = (lng(0), lng(1), lng(2))
+    // the corpus scalars stay a 1-row frame: the nb_filter-style
+    // collect-as-literals was TRIED in r19 and measured SLOWER at
+    // sf0.1 (+0.2-0.4 s) — the scalar agg is a corpus pass, and the
+    // eager collect serializes it ahead of the main plan where the
+    // 1-row BNLJ's broadcast used to materialize concurrently. The
+    // collapse only pays when the scalar frame is cheap (nb_filter's
+    // tiny count frames), not when it is itself a corpus aggregate.
+    val scal = m.agg(sum("tc").as("tn"), sum(col("rc") - col("tc")).as("cn"),
+      count(lit(1)).as("v"))
     // parenthesization mirrors the oracle: identical doubles quantize
     // to identical integers
-    val wts = m.select(col("tok"), quant(
-      log(col("tc") + 1) - log(lit(tn) + lit(v))
-        - (log(col("rc") - col("tc") + 1) - log(lit(cn) + lit(v)))).as("w"))
+    val wts = m.crossJoin(broadcast(scal))
+      .select(col("tok"), quant(
+        log(col("tc") + 1) - log(col("tn") + col("v"))
+          - (log(col("rc") - col("tc") + 1) - log(col("cn") + col("v")))).as("w"))
     // wts is vocab-bounded (hashed n-gram features at 100 TB — the
     // documented DSIR posture); without the hint the planner broadcast
     // the CORPUS-scale exploded-token side (BuildLeft in the r18 plan)
